@@ -1,0 +1,600 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.etl.Stage
+import graft.io.{HdfsUrl, Warehouse, WarehouseTable}
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.time.Day
+
+/**
+ * The correctness + benchmark battery: one named query per SURVEY.md §2
+ * capability, each paired with an ANSI-SQL oracle the driver runs in DuckDB
+ * over the same parquet tables.
+ *
+ * Cross-engine determinism rules (SURVEY.md §6):
+ *  - money sums go through exact integer arithmetic (cents / percent units)
+ *    so double summation order can never flip a rounded digit;
+ *  - every per-row computation uses only engine-portable primitives (md5,
+ *    substring, regexp) that produce bit-identical results;
+ *  - every top-k / window has a total-order tiebreaker;
+ *  - timestamps surface as formatted strings or epoch micros, never raw;
+ *  - all integer outputs are 64-bit on both sides.
+ */
+object Queries {
+
+  // ---- portable helpers (Spark side) ----------------------------------
+
+  /** Exact cents: prices have 2 decimals, so this is lossless. */
+  private def cents(c: Column): Column = round(c * 100, 0).cast("long")
+
+  /** Exact percent units for 2-decimal rates (discount, tax). */
+  private def pct(c: Column): Column = round(c * 100, 0).cast("long")
+
+  private def t(dir: String, name: String)(implicit spark: SparkSession): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /**
+   * `events.ts` is nanosecond-precision parquet, which Spark 4 only reads as
+   * a raw long (`spark.sql.legacy.parquet.nanosAsLong`, set by Verify/Bench).
+   * Truncate to micros with exact integer division (the ns values exceed
+   * 2^53, so double division would corrupt them) — matching DuckDB's own
+   * ns -> us truncation.
+   */
+  private def events(dir: String)(implicit spark: SparkSession): DataFrame = {
+    val df = t(dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ => df
+    }
+  }
+
+  /** `ts` columns may load as TIMESTAMP_NTZ; normalize (UTC session). */
+  private def micros(c: Column): Column = unix_micros(c.cast("timestamp"))
+
+  // ---- portable helpers (DuckDB side) ---------------------------------
+
+  private def sqlCents(c: String) = s"cast(round($c * 100, 0) as bigint)"
+  private val Norm = raw"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
+  private val Toks = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+  private def sqlShingles(norm: String) =
+    s"list_distinct(list_transform(range(1, greatest(length($norm) - 7, 1) + 1), i -> substring($norm, i, 8)))"
+
+  // =====================================================================
+  // Framework battery
+  // =====================================================================
+
+  /** TPC-H Q1: one shuffle on a 2-value key, map-side partial agg. */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val disc = lit(100L) - pct(col("l_discount"))
+    val tax = lit(100L) + pct(col("l_tax"))
+    t(dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        round(sum(cents(col("l_extendedprice"))) / 100.0, 2).as("sum_base_price"),
+        round(sum(cents(col("l_extendedprice")) * disc) / 10000.0, 2).as("sum_disc_price"),
+        round(sum(cents(col("l_extendedprice")) * disc * tax) / 1000000.0, 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(sum(cents(col("l_extendedprice"))) / 100.0 / count(lit(1)), 4).as("avg_price"),
+        round(sum(pct(col("l_discount"))) / 100.0 / count(lit(1)), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
+  val q1Sql: String = {
+    val c = sqlCents("l_extendedprice")
+    val d = s"(100 - ${sqlCents("l_discount")})"
+    val x = s"(100 + ${sqlCents("l_tax")})"
+    s"""SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       round(cast(sum($c) as bigint) / 100.0, 2) AS sum_base_price,
+       round(cast(sum($c * $d) as bigint) / 10000.0, 2) AS sum_disc_price,
+       round(cast(sum($c * $d * $x) as bigint) / 1000000.0, 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(cast(sum($c) as bigint) / 100.0 / count(*), 4) AS avg_price,
+       round(cast(sum(${sqlCents("l_discount")}) as bigint) / 100.0 / count(*), 4) AS avg_disc,
+       count(*) AS count_order
+       FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+       GROUP BY l_returnflag, l_linestatus"""
+  }
+
+  /** TPC-H Q3: broadcast the filtered dims, shuffle only on l_orderkey. */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val cust = t(dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val ord = t(dir, "orders").filter(col("o_orderdate") < lit("1998-01-01"))
+    val li = t(dir, "lineitem").filter(col("l_shipdate") > lit("1998-01-01"))
+    li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(round(sum(cents(col("l_extendedprice")) * (lit(100L) - pct(col("l_discount")))) / 10000.0, 2)
+        .as("revenue"))
+      .select(col("l_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3Sql: String = {
+    val rev = s"round(cast(sum(${sqlCents("l_extendedprice")} * (100 - ${sqlCents("l_discount")})) as bigint) / 10000.0, 2)"
+    s"""SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, revenue FROM (
+       SELECT l_orderkey, o_orderdate, $rev AS revenue
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+         AND l_shipdate > TIMESTAMP '1998-01-01'
+       GROUP BY l_orderkey, o_orderdate)
+       ORDER BY revenue DESC, l_orderkey LIMIT 10"""
+  }
+
+  /** TPC-H Q5: four broadcast dims, one shuffle join on orderkey. */
+  def q5RegionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val dims = broadcast(
+      t(dir, "customer")
+        .join(broadcast(t(dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(dir, "region")).filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey")))
+    t(dir, "lineitem")
+      .join(broadcast(t(dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(t(dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1998-01-01")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(dims, col("o_custkey") === col("c_custkey") && col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(cents(col("l_extendedprice")) * (lit(100L) - pct(col("l_discount")))) / 10000.0, 2)
+        .as("revenue"))
+  }
+
+  val q5Sql: String =
+    s"""SELECT n_name,
+       round(cast(sum(${sqlCents("l_extendedprice")} * (100 - ${sqlCents("l_discount")})) as bigint) / 10000.0, 2) AS revenue
+       FROM lineitem
+       JOIN supplier ON l_suppkey = s_suppkey
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey AND s_nationkey = c_nationkey
+       JOIN nation ON c_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       WHERE r_name = 'ASIA'
+         AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+       GROUP BY n_name"""
+
+  /** Window function: single shuffle on o_custkey. */
+  def topOrdersPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(dir, "orders")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rank"))
+  }
+
+  val topOrdersSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+       SELECT o_custkey, o_orderkey, o_totalprice,
+              row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rank
+       FROM orders) WHERE rank <= 3"""
+
+  /** Partial distinct map-side before the shuffle. */
+  def distinctEventTypes(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    events(dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n"))
+  }
+
+  val distinctEventTypesSql: String =
+    "SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n FROM events GROUP BY event_type"
+
+  /** Date-truncated rollup; partition-prunable at scale by the day key. */
+  def eventsDailyRollup(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    events(dir)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
+  }
+
+  val eventsDailyRollupSql: String =
+    """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n,
+       round(sum(value), 4) AS total_value
+       FROM events GROUP BY 1, 2"""
+
+  /** DateInterval-driven predicate, pushed to the parquet scan. */
+  def dateFilter(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val interval = Day(2024, 1, 10) to Day(2024, 1, 20)
+    events(dir)
+      .filter(col("ts") >= lit(interval.start.toString) && col("ts") < lit(interval.end.start.toString))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
+  }
+
+  val dateFilterSql: String =
+    """SELECT event_type, count(*) AS n, round(sum(value), 4) AS total_value
+       FROM events WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+       GROUP BY event_type"""
+
+  /** Column cleansing ops (`nullify` / `isDefined`) inside an aggregate. */
+  def cleanseNullify(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    t(dir, "documents")
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, lit("null")).otherwise(col("lang")).as("lang_raw"))
+      .select(col("doc_id"), col("lang_raw").nullify.as("lang_clean"))
+      .groupBy(col("lang_clean"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("lang_clean").isDefined, 1L).otherwise(0L)).as("n_defined"))
+  }
+
+  val cleanseNullifySql: String =
+    """SELECT lang_clean, count(*) AS n,
+       cast(sum(CASE WHEN lang_clean IS NOT NULL AND lang_clean <> '' AND lang_clean <> 'null'
+                     THEN 1 ELSE 0 END) as bigint) AS n_defined
+       FROM (SELECT CASE WHEN lang_raw = 'null' THEN NULL ELSE lang_raw END AS lang_clean
+             FROM (SELECT CASE WHEN doc_id % 7 = 0 THEN 'null' ELSE lang END AS lang_raw
+                   FROM documents))
+       GROUP BY lang_clean"""
+
+  /** The Stage algebra end-to-end: source -> transform -> sink over lineitem. */
+  def stagePipeline(spark: SparkSession, dir: String): DataFrame = {
+    val out = Files.createTempDirectory("graft_stage_sink").toString
+    val pipeline = for {
+      raw <- "read_lineitem".source(ctx => ctx.spark.read.parquet(s"$dir/lineitem.parquet"))
+      agg <- Stage.transform[org.apache.spark.sql.Row, org.apache.spark.sql.Row]("returned_by_status") { ctx =>
+        ctx.value.toDF()
+          .filter(col("l_returnflag") === "R")
+          .groupBy(col("l_linestatus"))
+          .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      }
+      _ <- "write_parquet".sink[org.apache.spark.sql.Row](ctx =>
+        ctx.value.write.mode("overwrite").parquet(s"$out/returned_by_status"))
+    } yield agg
+    pipeline.run(Stage.Context(spark, Day(2026, 8, 12))).get.toDF()
+  }
+
+  val stagePipelineSql: String =
+    """SELECT l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n
+       FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_linestatus"""
+
+  /** WarehouseTable save(TRUNCATE) + load round trip, partition-parallel. */
+  def warehouseRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val root = HdfsUrl(Files.createTempDirectory("graft_wh").toString)
+    val table = WarehouseTable(root, "orders_agg")
+    val date = Day(2026, 8, 12)
+    val slice = t(dir, "orders").filter(col("o_orderstatus") === "F")
+    table.save(slice, date, Warehouse.WriteTruncate)
+    table.load(spark, date)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(cents(col("o_totalprice"))) / 100.0, 2).as("total"))
+  }
+
+  val warehouseRoundtripSql: String =
+    s"""SELECT o_orderpriority, count(*) AS n,
+       round(cast(sum(${sqlCents("o_totalprice")}) as bigint) / 100.0, 2) AS total
+       FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderpriority"""
+
+  /** Gap-based sessionization: one shuffle on user_id, two window passes. */
+  def sessionizeEvents(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = 30L * 60 * 1000000
+    events(dir)
+      .withColumn("ts_us", micros(col("ts")))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"), (max(col("ts_us")) - min(col("ts_us"))).as("duration_us"))
+  }
+
+  val sessionizeEventsSql: String =
+    """SELECT user_id, session_id, count(*) AS n_events,
+       max(ts_us) - min(ts_us) AS duration_us
+       FROM (
+         SELECT user_id, ts_us,
+                cast(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS session_id
+         FROM (
+           SELECT user_id, event_id, ts_us,
+                  CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_sess
+           FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                        lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+                 FROM events)))
+       GROUP BY user_id, session_id"""
+
+  private val Priorities =
+    Seq("1-URGENT" -> "p1_urgent", "2-HIGH" -> "p2_high", "3-MEDIUM" -> "p3_medium",
+      "4-NOT SPECIFIED" -> "p4_not_specified", "5-LOW" -> "p5_low")
+
+  /** Pivot on order priority (conditional aggregation: single shuffle). */
+  def ordersPivot(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val aggs = Priorities.map { case (value, alias) =>
+      round(sum(when(col("o_orderpriority") === value, cents(col("o_totalprice")))) / 100.0, 2).as(alias)
+    }
+    t(dir, "orders").groupBy(col("o_orderstatus")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  val ordersPivotSql: String = {
+    val cols = Priorities.map { case (value, alias) =>
+      s"round(cast(sum(CASE WHEN o_orderpriority = '$value' THEN ${sqlCents("o_totalprice")} END) as bigint) / 100.0, 2) AS $alias"
+    }.mkString(",\n       ")
+    s"SELECT o_orderstatus,\n       $cols\n       FROM orders GROUP BY o_orderstatus"
+  }
+
+  // =====================================================================
+  // LLM training-data operators
+  // =====================================================================
+
+  /** Exact dedup: one shuffle on the normalized-text hash. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    Dedup.exact(t(dir, "documents"), "text", "doc_id")
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+  }
+
+  val dedupExactSql: String =
+    s"""SELECT doc_id, md5($Norm) AS fp FROM (
+       SELECT doc_id, text,
+              row_number() OVER (PARTITION BY md5($Norm) ORDER BY doc_id) AS rn
+       FROM documents) WHERE rn = 1"""
+
+  /** MinHash signatures (4 seeds shown; per-row, shuffle-free). */
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    Dedup.withMinhashSignature(t(dir, "documents").select(col("doc_id"), col("text")), "text", numHashes = 4)
+      .select(col("doc_id"), col("mh0"), col("mh1"), col("mh2"), col("mh3"))
+  }
+
+  /** DuckDB twin of [[Dedup.minhash]]: word `j%4` of the md5 of block `j/4`. */
+  private def sqlMinhash(j: Int): String =
+    s"list_min(list_transform(sh, s -> substring(md5(s || ':${j / 4}'), ${(j % 4) * 8 + 1}, 8)))"
+
+  val minhashSignaturesSql: String = {
+    val mhs = (0 until 4)
+      .map(j => s"${sqlMinhash(j)} AS mh$j").mkString(",\n       ")
+    s"""SELECT doc_id,
+       $mhs
+       FROM (SELECT doc_id, ${sqlShingles(Norm)} AS sh FROM documents)"""
+  }
+
+  /** LSH banding: candidates from an equi-join on (band, hash) — no crossJoin. */
+  def lshCandidatePairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.lshCandidatePairs(t(dir, "documents")(spark), "doc_id", "text",
+      numHashes = 12, rowsPerBand = 3)
+
+  val lshCandidatePairsSql: String = {
+    val mhs = (0 until 12)
+      .map(j => s"${sqlMinhash(j)} AS mh$j").mkString(", ")
+    val bands = (0 until 4)
+      .map(b => s"md5(mh${3 * b} || '|' || mh${3 * b + 1} || '|' || mh${3 * b + 2}) AS band$b").mkString(", ")
+    val unpivot = (0 until 4)
+      .map(b => s"SELECT doc_id, $b AS band, band$b AS bh FROM banded").mkString(" UNION ALL ")
+    s"""WITH sig AS (SELECT doc_id, $mhs
+                     FROM (SELECT doc_id, ${sqlShingles(Norm)} AS sh FROM documents)),
+       banded AS (SELECT doc_id, $bands FROM sig),
+       buckets AS ($unpivot)
+       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       FROM buckets a JOIN buckets b ON a.band = b.band AND a.bh = b.bh
+       WHERE a.doc_id < b.doc_id"""
+  }
+
+  /** LSH candidates verified by exact shingle Jaccard. */
+  def nearDupPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.nearDuplicatePairs(t(dir, "documents")(spark), "doc_id", "text", threshold = 0.8)
+
+  val nearDupPairsSql: String =
+    s"""WITH cand AS ($lshCandidatePairsSql),
+       docs AS (SELECT doc_id, ${sqlShingles(Norm)} AS sh FROM documents)
+       SELECT id_a, id_b, jaccard FROM (
+         SELECT id_a, id_b,
+                round(cast(len(list_filter(a.sh, x -> list_contains(b.sh, x))) as double)
+                      / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1), 4) AS jaccard
+         FROM cand JOIN docs a ON cand.id_a = a.doc_id JOIN docs b ON cand.id_b = b.doc_id)
+       WHERE jaccard >= 0.8"""
+
+  /** 32-bit SimHash fingerprints (per-row, portable md5 bit parity). */
+  def simhashFingerprints(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    t(dir, "documents").select(col("doc_id"), Dedup.simhash32(col("text")).as("simhash"))
+  }
+
+  val simhashFingerprintsSql: String = {
+    val terms = (1 to 32).map { j =>
+      val w = 1L << (j - 1)
+      s"(CASE WHEN coalesce(list_sum(list_transform(toks, t -> ((strpos('0123456789abcdef', substring(md5(t), $j, 1)) - 1) % 2) * 2 - 1)), 0) > 0 THEN $w ELSE 0 END)"
+    }.mkString(" + ")
+    s"""SELECT doc_id, cast($terms as bigint) AS simhash
+       FROM (SELECT doc_id, $Toks AS toks FROM documents)"""
+  }
+
+  /** Quality-scoring stats; pure codegen'd column math. */
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val stats = TextAnalysis.qualityStats(col("text")).map {
+      case (n @ ("n_chars" | "n_tokens"), c) => c.cast("long").as(n)
+      case (name, c) => c.as(name)
+    }
+    t(dir, "documents").select(col("doc_id") +: stats: _*)
+  }
+
+  val textQualitySql: String = {
+    val stop = TextAnalysis.StopwordProfiles("en").map(w => s"'$w'").mkString(", ")
+    s"""SELECT doc_id,
+       cast(length(text) as bigint) AS n_chars,
+       cast(len(toks) as bigint) AS n_tokens,
+       round((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))) / cast(greatest(length(text), 1) as double), 4) AS punct_ratio,
+       round(coalesce(list_sum(list_transform(toks, t -> CASE WHEN t IN ($stop) THEN 1 ELSE 0 END)), 0) / cast(greatest(len(toks), 1) as double), 4) AS stopword_ratio,
+       round(coalesce(list_sum(list_transform(toks, t -> length(t))), 0) / cast(greatest(len(toks), 1) as double), 4) AS mean_word_len
+       FROM (SELECT doc_id, text, $Toks AS toks FROM documents)"""
+  }
+
+  /** Stopword-profile language ID. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    t(dir, "documents").select(col("doc_id"), TextAnalysis.languageId(col("text")).as("lang_pred"))
+  }
+
+  val langIdSql: String = {
+    val ordered = TextAnalysis.StopwordProfiles.toSeq.sortBy(_._1)
+    val scores = ordered.map { case (lang, words) =>
+      val set = words.map(w => s"'$w'").mkString(", ")
+      lang -> s"coalesce(list_sum(list_transform(toks, t -> CASE WHEN t IN ($set) THEN 1 ELSE 0 END)), 0)"
+    }
+    val scoreCols = scores.map { case (lang, e) => s"$e AS s_$lang" }.mkString(",\n         ")
+    val best = s"greatest(${scores.map(p => "s_" + p._1).mkString(", ")})"
+    val pick = scores.map { case (lang, _) => s"WHEN s_$lang = best AND best > 0 THEN '$lang'" }
+      .mkString(" ")
+    s"""SELECT doc_id, CASE $pick ELSE 'und' END AS lang_pred
+       FROM (SELECT doc_id, $best AS best, * FROM (
+         SELECT doc_id,
+         $scoreCols
+         FROM (SELECT doc_id, $Toks AS toks FROM documents)))"""
+  }
+
+  /** Whitespace + BPE-ish token counts. */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    t(dir, "documents").select(col("doc_id"),
+      TextAnalysis.whitespaceTokenCount(col("text")).cast("long").as("ws_tokens"),
+      TextAnalysis.bpeTokenCount(col("text")).cast("long").as("bpe_tokens"))
+  }
+
+  val tokenCountsSql: String =
+    raw"""SELECT doc_id,
+       cast(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) as bigint) AS ws_tokens,
+       cast(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]')) as bigint) AS bpe_tokens
+       FROM documents"""
+
+  /** Full + rolling-window document fingerprints. */
+  def docFingerprints(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    t(dir, "documents").select(col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("fp"),
+      TextAnalysis.rollingFingerprint(col("text")).as("rolling_fp"))
+  }
+
+  val docFingerprintsSql: String =
+    s"""SELECT doc_id, md5($Norm) AS fp,
+       list_min(list_transform(range(1, greatest(len(toks) - 4, 1) + 1),
+                i -> md5(array_to_string(toks[i:i+4], ' ')))) AS rolling_fp
+       FROM (SELECT doc_id, text, $Toks AS toks FROM documents)"""
+
+  /** Exact cosine top-k: broadcast query set, no corpus shuffle. */
+  def annBruteforceTopK(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val emb = t(dir, "embeddings")
+    Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", k = 5)
+  }
+
+  private val SqlCos = {
+    val dot = "list_sum(list_transform(range(1, len(qv) + 1), i -> cast(qv[i] as double) * cast(nv[i] as double)))"
+    val nq = "sqrt(list_sum(list_transform(qv, x -> cast(x as double) * cast(x as double))))"
+    val nn = "sqrt(list_sum(list_transform(nv, x -> cast(x as double) * cast(x as double))))"
+    s"round($dot / ($nq * $nn), 4)"
+  }
+
+  val annBruteforceTopKSql: String =
+    s"""SELECT query_id, neighbor_id, cosine, rank FROM (
+       SELECT query_id, neighbor_id, cosine,
+              row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                    $SqlCos AS cosine
+             FROM (SELECT vec_id, embedding AS qv FROM embeddings WHERE vec_id < 5) q,
+                  (SELECT vec_id, embedding AS nv FROM embeddings) c
+             WHERE q.vec_id <> c.vec_id))
+       WHERE rank <= 5"""
+
+  /** Random-hyperplane LSH bucket histogram (the ANN scale path). */
+  def annLshBuckets(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    Similarity.withLshBucket(t(dir, "embeddings"), "embedding", nbits = 8)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+  }
+
+  private def sqlLshBucket(vec: String, nbits: Int = 8): String =
+    (0 until nbits).map { i =>
+      s"(CASE WHEN list_sum(list_transform(range(0, len($vec)), d -> cast($vec[d + 1] as double) * cast((($i * 31 + d * 17) % 7) - 3 as double))) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+
+  val annLshBucketsSql: String =
+    s"""SELECT bucket, count(*) AS n FROM (
+       SELECT cast(${sqlLshBucket("embedding")} as bigint) AS bucket FROM embeddings)
+       GROUP BY bucket"""
+
+  /**
+   * Embedding-cosine near-duplicates within LSH buckets. The testdata
+   * embeddings are near-orthogonal random vectors (max pairwise cosine
+   * ~0.51), so the "duplicate" bar here is 0.3 with coarse 4-bit buckets —
+   * production corpora would use ~0.95 and more bits.
+   */
+  def embeddingNeardup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingNearDupPairs(t(dir, "embeddings")(spark), "vec_id", "embedding",
+      threshold = 0.3, nbits = 4)
+
+  val embeddingNeardupSql: String =
+    s"""WITH bucketed AS (
+         SELECT vec_id, embedding, cast(${sqlLshBucket("embedding", 4)} as bigint) AS bucket
+         FROM embeddings)
+       SELECT DISTINCT id_a, id_b, cosine FROM (
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                $SqlCos AS cosine
+         FROM (SELECT vec_id, embedding AS qv, bucket FROM bucketed) a
+         JOIN (SELECT vec_id, embedding AS nv, bucket FROM bucketed) b USING (bucket)
+         WHERE a.vec_id < b.vec_id)
+       WHERE cosine >= 0.3"""
+
+  /** Multimodal: opaque binary payloads + SQL-side metadata. */
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val payload = encode(col("text"), "UTF-8")
+    val meta = Multimodal.payloadMeta(payload).map { case (n, c) => c.as(n) }
+    t(dir, "documents").select(col("doc_id") +: meta: _*)
+  }
+
+  val multimodalMetaSql: String =
+    """SELECT doc_id, cast(octet_length(encode(text)) as bigint) AS byte_len, md5(text) AS checksum
+       FROM documents"""
+
+  // =====================================================================
+  // Registry
+  // =====================================================================
+
+  val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q1_pricing_summary", q1PricingSummary _, Some(q1Sql)),
+    ("q3_shipping_priority", q3ShippingPriority _, Some(q3Sql)),
+    ("q5_region_revenue", q5RegionRevenue _, Some(q5Sql)),
+    ("top_orders_per_customer", topOrdersPerCustomer _, Some(topOrdersSql)),
+    ("distinct_event_types", distinctEventTypes _, Some(distinctEventTypesSql)),
+    ("events_daily_rollup", eventsDailyRollup _, Some(eventsDailyRollupSql)),
+    ("date_filter", dateFilter _, Some(dateFilterSql)),
+    ("cleanse_nullify", cleanseNullify _, Some(cleanseNullifySql)),
+    ("stage_pipeline", stagePipeline _, Some(stagePipelineSql)),
+    ("warehouse_roundtrip", warehouseRoundtrip _, Some(warehouseRoundtripSql)),
+    ("sessionize_events", sessionizeEvents _, Some(sessionizeEventsSql)),
+    ("orders_pivot", ordersPivot _, Some(ordersPivotSql)),
+    ("dedup_exact", dedupExact _, Some(dedupExactSql)),
+    ("minhash_signatures", minhashSignatures _, Some(minhashSignaturesSql)),
+    ("lsh_candidate_pairs", lshCandidatePairs _, Some(lshCandidatePairsSql)),
+    ("near_dup_pairs", nearDupPairs _, Some(nearDupPairsSql)),
+    ("simhash_fingerprints", simhashFingerprints _, Some(simhashFingerprintsSql)),
+    ("text_quality", textQuality _, Some(textQualitySql)),
+    ("lang_id", langId _, Some(langIdSql)),
+    ("token_counts", tokenCounts _, Some(tokenCountsSql)),
+    ("doc_fingerprints", docFingerprints _, Some(docFingerprintsSql)),
+    ("ann_bruteforce_topk", annBruteforceTopK _, Some(annBruteforceTopKSql)),
+    ("ann_lsh_buckets", annLshBuckets _, Some(annLshBucketsSql)),
+    ("embedding_neardup", embeddingNeardup _, Some(embeddingNeardupSql)),
+    ("multimodal_meta", multimodalMeta _, Some(multimodalMetaSql)))
+}

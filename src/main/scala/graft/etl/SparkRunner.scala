@@ -1,0 +1,181 @@
+package graft.etl
+
+import org.apache.spark.SparkConf
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+
+import scala.concurrent.duration._
+import scala.util.{Failure, Success, Try}
+
+import graft.config.GraftConfig
+import graft.monitoring.MessagingSystem
+import graft.time.{DateInterval, Day}
+import graft.util.Logging
+
+/** Per-stage retry policy. */
+case class RetryOptions(delay: FiniteDuration, max: Int)
+
+object RetryOptions {
+  val none: RetryOptions = RetryOptions(0.millis, 1)
+
+  /** Reads `retry.delay` (duration string or millis) and `retry.max`. */
+  def fromConfig(config: GraftConfig): RetryOptions =
+    RetryOptions(
+      delay = config.getDuration("retry.delay").getOrElse(30.seconds),
+      max = config.getInt("retry.max").getOrElse(3))
+}
+
+/**
+ * Entry point driving a [[SparkJob]] over its [[Schedule]]
+ * (reference core SparkRunner.scala:30-160):
+ *
+ *  1. load layered config (env > properties file), build the `SparkConf`
+ *     from every `spark.*` config key,
+ *  2. compute the dates to run: newest-first from the schedule, capped at
+ *     [[SparkJob.MaxScheduledDates]], filtered by `shouldRunForDate`, then
+ *     reversed so processing is chronological — or the single date from the
+ *     `start` env variable ("yyyy-MM-dd") when set,
+ *  3. run the job's stage pipeline per date inside a monitoring + retry
+ *     [[Stage.Context]]: every stage publishes starting/complete/failed
+ *     events and is retried up to `retry.max` times with `retry.delay`
+ *     between attempts,
+ *  4. collect read metrics via a `SparkListener` and publish them per stage.
+ */
+abstract class SparkRunner[Job <: SparkJob] extends Logging with ScheduleDsl {
+  def jobName: String
+  def schedule: Schedule
+  def createJob(config: GraftConfig): Job
+
+  /** Override to point at a properties file with job configuration. */
+  def configFile: Option[String] = sys.env.get("GRAFT_CONFIG_FILE")
+
+  def main(args: Array[String]): Unit =
+    Try(run()) match {
+      case Failure(failure) =>
+        System.err.println("Spark job failed")
+        failure.printStackTrace(System.err)
+        System.exit(1)
+      case Success(_) =>
+        System.exit(0)
+    }
+
+  def run(): Unit = {
+    val config = GraftConfig.load(configFile)
+    val spark = createSession(config)
+    try runWith(spark, config)
+    finally spark.stop()
+  }
+
+  /** Separated from [[run]] so tests can drive the date loop with their own session. */
+  def runWith(spark: SparkSession, config: GraftConfig): Unit = {
+    val messaging = MessagingSystem.create(config)
+    val retryOptions = RetryOptions.fromConfig(config)
+    val job = createJob(config)
+    val metrics = new RunnerMetrics
+    spark.sparkContext.addSparkListener(metrics.listener)
+
+    val singleDate = sys.env.get("start").flatMap(Day.parse)
+    val shouldRun: DateInterval => Boolean = singleDate match {
+      case Some(date) => date.<=
+      case None => job.shouldRunForDate(spark, _)
+    }
+
+    val dates = schedule.iterator
+      .take(SparkJob.MaxScheduledDates)
+      .takeWhile(shouldRun)
+      .toList
+      .reverse
+
+    logger.info(s"[$jobName] scheduled dates: $dates")
+    try {
+      dates.foreach { date =>
+        val ctx = new RunnerContext(date, retryOptions, spark, messaging, metrics, spark)
+        messaging.publishProcessStarting(ctx)
+        job.stages.run(ctx).get
+        messaging.publishProcessComplete(ctx)
+      }
+    } finally messaging.stop()
+  }
+
+  def createSession(config: GraftConfig): SparkSession = {
+    val sparkConf = new SparkConf().setAppName(jobName)
+    config.entries.foreach {
+      case (key, value) if key.startsWith("spark.") => sparkConf.setIfMissing(key, value)
+      case _ =>
+    }
+    SparkSession.builder.config(sparkConf).getOrCreate()
+  }
+
+  /** Stage context wiring retry + lifecycle events around every stage execution. */
+  class RunnerContext[+I](
+      val eventDate: DateInterval,
+      retryOptions: RetryOptions,
+      spark: SparkSession,
+      messaging: MessagingSystem,
+      metrics: RunnerMetrics,
+      value: I)
+      extends Stage.Context[I](spark, eventDate, value)
+      with MessagingSystem.Context {
+
+    val jobId: String = jobName
+    val processId: String = java.util.UUID.randomUUID().toString
+    val startTime: Long = System.currentTimeMillis
+
+    override def withValue[U](value: U): Stage.Context[U] =
+      new RunnerContext(eventDate, retryOptions, spark, messaging, metrics, value)
+
+    override def run[O](stage: Stage[I, O], result: => O): Stage.Result[O] = {
+      @scala.annotation.tailrec
+      def attempt(callCount: Int): Stage.Result[O] = {
+        val stageId = s"$jobName/$eventDate/$processId/${stage.name}"
+        logger.info(s"[$stageId] running try #$callCount")
+        metrics.reset()
+        messaging.publishStageStarting(this, stage.name)
+        Try(result) match {
+          case success @ Success(_) =>
+            messaging.publishStageComplete(this, stage.name)
+            messaging.publishMetrics(this, stage.name, metrics.snapshot)
+            success
+          case Failure(failure) if callCount >= retryOptions.max =>
+            logger.error(s"[$stageId] giving up after ${retryOptions.max} attempt(s)", failure)
+            messaging.publishStageFailed(this, stage.name, failure)
+            messaging.publishProcessFailed(this, failure)
+            throw failure
+          case Failure(failure) =>
+            logger.warn(s"[$stageId] retrying in ${retryOptions.delay}", failure)
+            messaging.publishStageRetrying(this, stage.name)
+            Thread.sleep(retryOptions.delay.toMillis)
+            attempt(callCount + 1)
+        }
+      }
+      attempt(1)
+    }
+  }
+}
+
+/**
+ * Lightweight per-stage counters fed by Spark's task-end events — the
+ * public-knowledge stand-in for the reference's Prometheus collectors
+ * (reference core SparkRunner.scala:163-217).
+ */
+class RunnerMetrics extends Serializable {
+  private val bytesRead = new java.util.concurrent.atomic.AtomicLong
+  private val recordsRead = new java.util.concurrent.atomic.AtomicLong
+  private val recordsWritten = new java.util.concurrent.atomic.AtomicLong
+
+  def reset(): Unit = { bytesRead.set(0); recordsRead.set(0); recordsWritten.set(0) }
+
+  def snapshot: Map[String, Double] = Map(
+    "spark_bytes_read" -> bytesRead.get.toDouble,
+    "spark_records_read" -> recordsRead.get.toDouble,
+    "spark_records_written" -> recordsWritten.get.toDouble)
+
+  val listener: SparkListener = new SparkListener {
+    override def onTaskEnd(taskEnd: SparkListenerTaskEnd): Unit = {
+      bytesRead.addAndGet(taskEnd.taskMetrics.inputMetrics.bytesRead)
+      recordsRead.addAndGet(taskEnd.taskMetrics.inputMetrics.recordsRead)
+      recordsWritten.addAndGet(taskEnd.taskMetrics.outputMetrics.recordsWritten)
+      ()
+    }
+  }
+}

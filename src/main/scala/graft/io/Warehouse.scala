@@ -1,0 +1,88 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+
+import graft.time.DateInterval
+import graft.util.Logging
+
+/**
+ * Date-partitioned warehouse tables over columnar files — the
+ * public-knowledge, partition-parallel equivalent of the reference's
+ * BigQuery table IO (reference bigquery/package.scala:24-199,
+ * BigQueryTable.scala). Where the reference stages whole tables through a
+ * single cloud-storage export path, graft writes each date partition
+ * directly with Spark's parallel writers, so a 1000-executor cluster never
+ * funnels through one path.
+ *
+ * Dispositions mirror the warehouse API users know:
+ *  - `WRITE_TRUNCATE` replaces the partition, `WRITE_APPEND` appends,
+ *    `WRITE_EMPTY` fails if the partition already has data;
+ *  - `CREATE_IF_NEEDED` creates the table root, `CREATE_NEVER` requires it.
+ */
+object Warehouse {
+  sealed trait WriteDisposition
+  case object WriteTruncate extends WriteDisposition
+  case object WriteAppend extends WriteDisposition
+  case object WriteEmpty extends WriteDisposition
+
+  sealed trait CreateDisposition
+  case object CreateIfNeeded extends CreateDisposition
+  case object CreateNever extends CreateDisposition
+
+  sealed abstract class PartitionStrategy(val pattern: String)
+  case object PartitionByDay extends PartitionStrategy("'date='yyyy-MM-dd")
+  case object PartitionByMonth extends PartitionStrategy("'date='yyyy-MM")
+
+  case class TableExistsException(table: String, date: DateInterval)
+      extends Exception(s"partition $date of $table is not empty (WRITE_EMPTY)")
+  case class TableNotFoundException(table: String)
+      extends Exception(s"table root $table does not exist (CREATE_NEVER)")
+}
+
+case class WarehouseTable(
+    root: HdfsUrl,
+    name: String,
+    partitioning: Warehouse.PartitionStrategy = Warehouse.PartitionByDay,
+    format: String = "parquet")
+    extends Logging {
+  import Warehouse._
+
+  def tableUrl: HdfsUrl = root / name
+  def partitionUrl(date: DateInterval): HdfsUrl =
+    tableUrl / date.format(partitioning.pattern)
+
+  /** Write one date partition with the requested dispositions. */
+  def save[T](
+      ds: Dataset[T],
+      date: DateInterval,
+      writeDisposition: WriteDisposition = WriteTruncate,
+      createDisposition: CreateDisposition = CreateIfNeeded): Unit = {
+    val spark = ds.sparkSession
+    if (createDisposition == CreateNever && !tableUrl.exists(spark))
+      throw TableNotFoundException(tableUrl.toString)
+
+    val target = partitionUrl(date)
+    val mode = writeDisposition match {
+      case WriteTruncate => SaveMode.Overwrite
+      case WriteAppend => SaveMode.Append
+      case WriteEmpty =>
+        if (target.exists(spark)) throw TableExistsException(tableUrl.toString, date)
+        SaveMode.ErrorIfExists
+    }
+    logger.info(s"saving $name partition $date to $target ($writeDisposition)")
+    ds.write.mode(mode).format(format).save(target.toString)
+  }
+
+  /** Read one date partition. */
+  def load(spark: SparkSession, date: DateInterval): DataFrame =
+    spark.read.format(format).load(partitionUrl(date).toString)
+
+  /** Read the whole table; `date` comes back as a partition column via the path layout. */
+  def loadAll(spark: SparkSession): DataFrame =
+    spark.read
+      .format(format)
+      .option("basePath", tableUrl.toString)
+      .load(tableUrl.toString + "/date=*")
+
+  def exists(spark: SparkSession, date: DateInterval): Boolean = partitionUrl(date).exists(spark)
+}

@@ -1,0 +1,163 @@
+package graft.monitoring
+
+import graft.config.GraftConfig
+import graft.time.DateInterval
+import graft.util.Logging
+
+/** Process and stage lifecycle states (reference core monitoring/Events.scala:21-33). */
+sealed trait StateRecord { def identifier: String = toString }
+case object Processing extends StateRecord
+case object Retrying extends StateRecord
+case object Failed extends StateRecord
+case object Complete extends StateRecord
+
+case class RunEvent(
+    jobId: String,
+    processId: String,
+    state: String,
+    processingDate: String,
+    timestamp: Long,
+    duration: Long,
+    message: String) {
+  def toJson: String = Json.obj(
+    "jobId" -> jobId, "processId" -> processId, "state" -> state,
+    "processingDate" -> processingDate, "timestamp" -> timestamp,
+    "duration" -> duration, "message" -> message)
+}
+
+case class StageEvent(
+    jobId: String,
+    processId: String,
+    stage: String,
+    state: String,
+    timestamp: Long,
+    duration: Long,
+    message: String) {
+  def toJson: String = Json.obj(
+    "jobId" -> jobId, "processId" -> processId, "stage" -> stage,
+    "state" -> state, "timestamp" -> timestamp, "duration" -> duration,
+    "message" -> message)
+}
+
+case class MetricsEvent(
+    jobId: String,
+    processId: String,
+    stage: String,
+    timestamp: Long,
+    metrics: Map[String, Double]) {
+  def toJson: String = Json.obj(
+    "jobId" -> jobId, "processId" -> processId, "stage" -> stage,
+    "timestamp" -> timestamp,
+    "metrics" -> metrics.toSeq.sortBy(_._1).map { case (k, v) => Json.quote(k) + ":" + v }
+      .mkString("{", ",", "}"))
+}
+
+/** Tiny hand-rolled JSON writer — events are flat, so no library needed. */
+private[monitoring] object Json {
+  def quote(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  def obj(fields: (String, Any)*): String =
+    fields
+      .map {
+        case (k, v: String) => quote(k) + ":" + quote(v)
+        case (k, v) => quote(k) + ":" + v.toString
+      }
+      .mkString("{", ",", "}")
+}
+
+object MessagingSystem {
+  /** Pick an implementation from config; only the print transport ships (no Kafka jar in this env). */
+  def create(config: GraftConfig): MessagingSystem =
+    config.get("messaging.transport") match {
+      case Some("memory") => new InMemoryMessagingSystem
+      case _ => new PrintMessagingSystem
+    }
+
+  /** What a publisher needs to know about the currently-running process. */
+  trait Context {
+    def jobId: String
+    def eventDate: DateInterval
+    def processId: String
+    def startTime: Long
+    def duration: Long = System.currentTimeMillis - startTime
+  }
+}
+
+/**
+ * Publishes job/stage lifecycle and metrics events to a transport
+ * (reference core monitoring/MessagingSystem.scala:21-121). Implementations
+ * only provide `publish`; the event shaping lives here.
+ */
+abstract class MessagingSystem {
+  import MessagingSystem.Context
+
+  def publish(topic: String, message: String): Unit
+  def stop(): Unit = ()
+
+  def publishProcessStarting(ctx: Context): Unit = publishRunEvent(ctx, Processing)
+  def publishProcessComplete(ctx: Context): Unit = publishRunEvent(ctx, Complete)
+  def publishProcessFailed(ctx: Context, failure: Throwable): Unit =
+    publishRunEvent(ctx, Failed, failureToMessage(failure))
+
+  def publishStageStarting(ctx: Context, stage: String, message: String = ""): Unit =
+    publishStageEvent(ctx, Processing, stage, message)
+  def publishStageComplete(ctx: Context, stage: String, message: String = ""): Unit =
+    publishStageEvent(ctx, Complete, stage, message)
+  def publishStageRetrying(ctx: Context, stage: String): Unit =
+    publishStageEvent(ctx, Retrying, stage)
+  def publishStageFailed(ctx: Context, stage: String, failure: Throwable): Unit =
+    publishStageEvent(ctx, Failed, stage, failureToMessage(failure))
+
+  def publishMetrics(ctx: Context, stage: String, metrics: Map[String, Double]): Unit =
+    publish("metrics",
+      MetricsEvent(ctx.jobId, ctx.processId, stage, System.currentTimeMillis(), metrics).toJson)
+
+  private def publishRunEvent(ctx: Context, state: StateRecord, message: String = ""): Unit =
+    publish("jobs",
+      RunEvent(
+        jobId = ctx.jobId,
+        processId = ctx.processId,
+        state = state.identifier,
+        processingDate = ctx.eventDate.format("yyyy-MM-dd"),
+        timestamp = System.currentTimeMillis(),
+        duration = if (state == Complete) ctx.duration else 0L,
+        message = message).toJson)
+
+  private def publishStageEvent(ctx: Context, state: StateRecord, stage: String, message: String = ""): Unit =
+    publish("stages",
+      StageEvent(
+        jobId = ctx.jobId,
+        processId = ctx.processId,
+        stage = stage,
+        state = state.identifier,
+        timestamp = System.currentTimeMillis(),
+        duration = if (state == Complete) ctx.duration else 0L,
+        message = message).toJson)
+
+  private def failureToMessage(failure: Throwable): String =
+    s"${failure.getClass.getName}: ${failure.getMessage}"
+}
+
+/** Logs every event — the default transport (reference core monitoring/PrintMessagingSystem.scala). */
+class PrintMessagingSystem extends MessagingSystem with Logging {
+  override def publish(topic: String, message: String): Unit =
+    logger.info(s"[$topic] $message")
+}
+
+/** Captures events in memory for assertions in tests. */
+class InMemoryMessagingSystem extends MessagingSystem {
+  private val buffer = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+  override def publish(topic: String, message: String): Unit =
+    buffer.synchronized { buffer += topic -> message; () }
+  def events: Seq[(String, String)] = buffer.synchronized(buffer.toVector)
+  def topics: Seq[String] = events.map(_._1)
+}

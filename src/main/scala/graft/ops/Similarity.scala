@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over embedding columns (`array<float>`):
+ *
+ *  - [[bruteForceTopK]] — exact cosine top-k of a (small, broadcast) query
+ *    set against the corpus. The baseline: one broadcast join, no shuffle of
+ *    the corpus, linear scan. Right answer at any scale when the query set
+ *    is small.
+ *  - [[withLshBucket]] / [[annTopK]] — random-hyperplane LSH: corpus and
+ *    queries are bucketed by the sign pattern of `nbits` fixed hyperplanes;
+ *    candidates come from an equi-join on the bucket (optionally probing
+ *    neighboring buckets), then exact cosine reranks. At 100 TB this turns a
+ *    full scan per query into a bucketed lookup: the corpus is hash-
+ *    partitioned by bucket once and reused.
+ *
+ * The hyperplanes are deterministic integer-weight vectors derived from
+ * `(bit, dim)`, so results are reproducible across engines and runs without
+ * shipping a random state.
+ */
+object Similarity {
+
+  /** Dot product of two numeric arrays (element order fixed, double accumulator). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, x) => acc + x)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /**
+   * Exact top-`k` cosine neighbors for each query vector. `queries` must be
+   * small enough to broadcast (it is explicitly broadcast). Excludes
+   * self-matches on id equality.
+   */
+  def bruteForceTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 10): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("neighbor_vec"))
+    val scored = q
+      .join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(cosine(col("query_vec"), col("neighbor_vec")), 4))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /**
+   * Deterministic hyperplane weight for (bit `i`, dimension `d`): a small
+   * integer in [-3, 3]. Engine-portable (plain modular arithmetic).
+   */
+  private def weight(i: Int, d: Column): Column =
+    ((lit(i * 31) + d * 17) % 7) - 3
+
+  /** Sign-pattern bucket id in [0, 2^nbits) for a vector under the fixed hyperplanes. */
+  def lshBucket(vec: Column, nbits: Int = 8): Column = {
+    val dims = sequence(lit(0), size(vec) - 1)
+    val bits = (0 until nbits).map { i =>
+      val proj = aggregate(dims, lit(0.0), (acc, d) =>
+        acc + element_at(vec, d + 1).cast("double") * weight(i, d).cast("double"))
+      when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  def withLshBucket(df: DataFrame, vecCol: String, nbits: Int = 8): DataFrame =
+    df.withColumn("bucket", lshBucket(col(vecCol), nbits))
+
+  /**
+   * ANN top-`k`: candidates share the query's LSH bucket, exact cosine
+   * reranks. Recall/latency trades on `nbits` (more bits -> smaller buckets,
+   * lower recall per probe).
+   */
+  def annTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 10,
+      nbits: Int = 8): DataFrame = {
+    val q = broadcast(
+      withLshBucket(queries, vecCol, nbits)
+        .select(col(idCol).as("query_id"), col(vecCol).as("query_vec"), col("bucket")))
+    val c = withLshBucket(corpus, vecCol, nbits)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("neighbor_vec"), col("bucket"))
+    val scored = q
+      .join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(cosine(col("query_vec"), col("neighbor_vec")), 4))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** Embedding-based near-duplicate pairs: same-bucket pairs above a cosine threshold. */
+  def embeddingNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double = 0.95,
+      nbits: Int = 8): DataFrame = {
+    val bucketed = withLshBucket(df, vecCol, nbits)
+      .select(col(idCol), col(vecCol), col("bucket"))
+    val a = bucketed.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = bucketed.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", round(cosine(col("vec_a"), col("vec_b")), 4))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+      .distinct()
+  }
+}

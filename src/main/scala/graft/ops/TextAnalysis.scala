@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis primitives for LLM training-data pipelines, built entirely
+ * from codegen'd Catalyst functions (no UDFs): tokenization, token counting,
+ * language identification, quality scoring and fingerprinting.
+ *
+ * Everything here is a `Column`, so it fuses into whole-stage codegen and
+ * scales linearly with input — no shuffle, no state. All hash primitives are
+ * md5 so results are reproducible in any engine (the driver's DuckDB oracle
+ * computes the same hex).
+ */
+object TextAnalysis {
+
+  /** Lowercased alphanumeric word tokens. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+
+  /** Whitespace-delimited token count (fast, locale-free). */
+  def whitespaceTokenCount(text: Column): Column =
+    size(filter(split(text, "\\s+"), t => t =!= ""))
+
+  /**
+   * BPE-style pre-tokenizer count: word runs and individual non-space
+   * punctuation each count as one token — a deterministic proxy for
+   * subword-tokenizer input size.
+   */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("""[a-zA-Z0-9]+|[^a-zA-Z0-9\s]"""), lit(0)))
+
+  /** Stopword profiles for the language-ID heuristic. */
+  val StopwordProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for", "with", "was"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "des", "une", "dans", "que", "pour"),
+    "es" -> Seq("el", "la", "los", "que", "de", "en", "es", "una", "con", "por"))
+
+  /** Number of tokens that appear in `words` (multiset count, not set intersection). */
+  def stopwordHits(toks: Column, words: Seq[String]): Column = {
+    val wordArray = array(words.map(lit): _*)
+    aggregate(toks, lit(0), (acc, t) => acc + when(array_contains(wordArray, t), 1).otherwise(0))
+  }
+
+  /**
+   * N-gram/stopword language-ID heuristic: score each language profile by
+   * stopword hit rate and pick the argmax (alphabetical tie-break, "und" for
+   * undetermined when nothing matches).
+   */
+  def languageId(text: Column): Column = {
+    val toks = tokens(text)
+    // Alphabetical order makes the greatest()-based argmax tie-break deterministic.
+    val ordered = StopwordProfiles.toSeq.sortBy(_._1)
+    val scores = ordered.map { case (lang, words) => lang -> stopwordHits(toks, words) }
+    val best = greatest(scores.map(_._2): _*)
+    val pick = scores.foldRight(lit("und")) { case ((lang, score), alt) =>
+      when(score === best && best > 0, lang).otherwise(alt)
+    }
+    pick
+  }
+
+  /**
+   * Quality-scoring stats per document: character/token counts, punctuation
+   * ratio, stopword ratio, mean word length. Filter thresholds on these are
+   * the standard cheap quality gate before expensive dedup/training steps.
+   */
+  def qualityStats(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    val nChars = length(text)
+    val nTokens = size(toks)
+    val punct = length(text) - length(regexp_replace(text, """[^a-zA-Z0-9\s]""", ""))
+    val stopHits = stopwordHits(toks, StopwordProfiles("en"))
+    val wordChars = aggregate(toks, lit(0), (acc, t) => acc + length(t))
+    Seq(
+      "n_chars" -> nChars,
+      "n_tokens" -> nTokens,
+      "punct_ratio" -> round(punct.cast("double") / greatest(nChars, lit(1)), 4),
+      "stopword_ratio" -> round(stopHits.cast("double") / greatest(nTokens, lit(1)), 4),
+      "mean_word_len" -> round(wordChars.cast("double") / greatest(nTokens, lit(1)), 4))
+  }
+
+  /** Whitespace-normalized, lowercased text — the canonical form for hashing. */
+  def normalize(text: Column): Column =
+    lower(trim(regexp_replace(text, "\\s+", " ")))
+
+  /** Full-document fingerprint: md5 of the normalized text. */
+  def fingerprint(text: Column): Column = md5(normalize(text))
+
+  /**
+   * Rolling-window fingerprint (winnowing-style): the minimum hash over all
+   * word `w`-gram windows — robust to small appends/prepends, unlike the
+   * full-document hash.
+   */
+  def rollingFingerprint(text: Column, window: Int = 5): Column = {
+    val toks = tokens(text)
+    val n = size(toks)
+    val starts = sequence(lit(1), greatest(n - (window - 1), lit(1)))
+    array_min(transform(starts, i => md5(array_join(slice(toks, i, lit(window)), " "))))
+  }
+}
