@@ -66,9 +66,13 @@ abstract class SparkRunner[Job <: SparkJob] extends Logging with ScheduleDsl {
     finally spark.stop()
   }
 
+  /** Override to intercept lifecycle events (tests use the in-memory impl). */
+  protected def createMessaging(config: GraftConfig): MessagingSystem =
+    MessagingSystem.create(config)
+
   /** Separated from [[run]] so tests can drive the date loop with their own session. */
   def runWith(spark: SparkSession, config: GraftConfig): Unit = {
-    val messaging = MessagingSystem.create(config)
+    val messaging = createMessaging(config)
     val retryOptions = RetryOptions.fromConfig(config)
     val job = createJob(config)
     val metrics = new RunnerMetrics

@@ -48,12 +48,15 @@ case class MetricsEvent(
   def toJson: String = Json.obj(
     "jobId" -> jobId, "processId" -> processId, "stage" -> stage,
     "timestamp" -> timestamp,
-    "metrics" -> metrics.toSeq.sortBy(_._1).map { case (k, v) => Json.quote(k) + ":" + v }
-      .mkString("{", ",", "}"))
+    "metrics" -> Json.Raw(metrics.toSeq.sortBy(_._1).map { case (k, v) => Json.quote(k) + ":" + v }
+      .mkString("{", ",", "}")))
 }
 
 /** Tiny hand-rolled JSON writer — events are flat, so no library needed. */
 private[monitoring] object Json {
+  /** A value that is already JSON and must not be quoted. */
+  case class Raw(json: String)
+
   def quote(s: String): String =
     "\"" + s.flatMap {
       case '"' => "\\\""
@@ -68,6 +71,7 @@ private[monitoring] object Json {
   def obj(fields: (String, Any)*): String =
     fields
       .map {
+        case (k, Raw(j)) => quote(k) + ":" + j
         case (k, v: String) => quote(k) + ":" + quote(v)
         case (k, v) => quote(k) + ":" + v.toString
       }

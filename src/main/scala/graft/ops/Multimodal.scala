@@ -76,6 +76,7 @@ object Multimodal {
    */
   def sampleOffsets(payload: Column, n: Int): Column = {
     val len = octet_length(payload).cast("long")
-    transform(sequence(lit(0), lit(n - 1)), i => (i.cast("long") * len) / n)
+    // floor-div, not `/`: Column./ is double division and would yield array<double>
+    transform(sequence(lit(0), lit(n - 1)), i => floor(i.cast("long") * len / n).cast("long"))
   }
 }

@@ -1,0 +1,94 @@
+package graft.etl
+
+import org.apache.spark.sql.SparkSession
+
+import graft._
+import graft.config.GraftConfig
+import graft.monitoring.{InMemoryMessagingSystem, MessagingSystem}
+import graft.testkit.SparkJobSuiteBase
+import graft.time.{Day, DateInterval}
+
+/** End-to-end runner behavior (reference core SparkRunner.scala + TestEtlSpec). */
+class SparkRunnerSpec extends SparkJobSuiteBase {
+
+  private class CountingJob(failFirstN: Int = 0) extends SparkJob {
+    var processedDates: Vector[DateInterval] = Vector.empty
+    var attempts = 0
+    override def shouldRunForDate(spark: SparkSession, date: DateInterval): Boolean = true
+    override def stages: Stage[SparkSession, _] = for {
+      nums <- "nums".source { c =>
+        import c.spark.implicits._
+        c.spark.range(10).as[Long]
+      }
+      counted <- Stage.transform[Long, Long]("maybe_fail") { c =>
+        attempts += 1
+        if (attempts <= failFirstN) sys.error(s"flaky (attempt $attempts)")
+        c.value
+      }
+      _ <- "record".sink[Long] { c => processedDates :+= c.date; () }
+    } yield counted
+  }
+
+  private def runner(job: CountingJob, sched: Schedule, messaging: MessagingSystem, retryMax: Int = 1) =
+    new SparkRunner[CountingJob] {
+      override def jobName = "counting_job"
+      override def schedule: Schedule = sched
+      override def createJob(config: GraftConfig): CountingJob = job
+      override protected def createMessaging(config: GraftConfig): MessagingSystem = messaging
+      override def configFile: Option[String] = None
+      def go(): Unit = runWith(spark, GraftConfig("retry.max" -> retryMax.toString, "retry.delay" -> "0ms"))
+    }
+
+  test("runs scheduled dates in chronological order") {
+    val job = new CountingJob()
+    val messaging = new InMemoryMessagingSystem
+    val sched = Schedule.iterate(Day(2026, 8, 12)).where(_ >= Day(2026, 8, 10))
+    runner(job, sched, messaging).go()
+    job.processedDates shouldBe Vector(Day(2026, 8, 10), Day(2026, 8, 11), Day(2026, 8, 12))
+    messaging.topics.count(_ == "jobs") shouldBe 6 // starting+complete per date
+    messaging.topics should contain("metrics")
+  }
+
+  test("retries a flaky stage and publishes a Retrying event") {
+    val job = new CountingJob(failFirstN = 1)
+    val messaging = new InMemoryMessagingSystem
+    runner(job, Schedule(Day(2026, 8, 12)), messaging, retryMax = 3).go()
+    job.attempts shouldBe 2
+    job.processedDates shouldBe Vector(Day(2026, 8, 12))
+    messaging.events.filter(_._1 == "stages").map(_._2).count(_.contains("\"Retrying\"")) shouldBe 1
+  }
+
+  test("gives up after max retries and publishes failure events") {
+    val job = new CountingJob(failFirstN = 99)
+    val messaging = new InMemoryMessagingSystem
+    val r = runner(job, Schedule(Day(2026, 8, 12)), messaging, retryMax = 2)
+    a[RuntimeException] should be thrownBy r.go()
+    job.attempts shouldBe 2
+    val stageStates = messaging.events.filter(_._1 == "stages").map(_._2)
+    stageStates.count(_.contains("\"Failed\"")) shouldBe 1
+    messaging.events.filter(_._1 == "jobs").map(_._2).count(_.contains("\"Failed\"")) shouldBe 1
+  }
+
+  test("stops the date walk where shouldRunForDate turns false") {
+    val job = new CountingJob() {
+      override def shouldRunForDate(spark: SparkSession, date: DateInterval): Boolean =
+        date >= Day(2026, 8, 11)
+    }
+    val messaging = new InMemoryMessagingSystem
+    runner(job, Schedule.iterate(Day(2026, 8, 12)), messaging).go()
+    job.processedDates shouldBe Vector(Day(2026, 8, 11), Day(2026, 8, 12))
+  }
+
+  test("testkit runJob drives a pipeline directly") {
+    val job = new CountingJob()
+    runJob(job, Day(2026, 8, 12)).isSuccess shouldBe true
+    job.processedDates shouldBe Vector(Day(2026, 8, 12))
+  }
+
+  test("RetryOptions reads duration strings and counts from config") {
+    val opts = RetryOptions.fromConfig(GraftConfig("retry.delay" -> "10s", "retry.max" -> "5"))
+    opts.delay.toSeconds shouldBe 10
+    opts.max shouldBe 5
+    RetryOptions.fromConfig(GraftConfig()).max shouldBe 3 // defaults
+  }
+}

@@ -1,0 +1,71 @@
+package graft.io
+
+import org.apache.spark.sql.functions.col
+
+import graft._
+import graft.testkit.SparkTestBase
+import graft.time.Day
+
+/** HdfsUrl composition + reader/writer/column implicits (reference ImplicitsSpec). */
+class IoSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("HdfsUrl composes paths and dates") {
+    (HdfsUrl("some/path") / "somewhere" / Day(2016, 8, 28)).toString shouldBe
+      "some/path/somewhere/2016-08-28"
+    (HdfsUrl("root", dateFormat = Some("'year='yyyy/'month='MM")) / Day(2016, 8, 28)).toString shouldBe
+      "root/year=2016/month=08"
+  }
+
+  test("HdfsUrl exists + open against the local filesystem") {
+    val dir = HdfsUrl(tmpDir("hdfsurl"))
+    val file = dir / "marker.txt"
+    file.exists(spark) shouldBe false
+    file.open(spark)(_.writeBytes("hello"))
+    file.exists(spark) shouldBe true
+  }
+
+  test("reader and writer implicits round trip parquet through HdfsUrl") {
+    val url = HdfsUrl(tmpDir("implicits")) / "nums"
+    spark.range(10).toDF("n").write.mode("overwrite").parquet(url)
+    spark.read.parquet(url).as[Long].collect().sorted shouldBe (0L until 10L).toArray
+  }
+
+  test("column ops: nullify and isDefined") {
+    val df = Seq(Some("a"), Some(""), Some("null"), None).toDF("v")
+    df.select(col("v").nullify).as[Option[String]].collect().toSet shouldBe
+      Set(Some("a"), Some(""), None)
+    df.select(col("v").isDefined).as[Option[Boolean]].collect().count(_.contains(true)) shouldBe 1
+  }
+
+  test("warehouse dispositions: truncate replaces, append adds, empty refuses") {
+    val table = WarehouseTable(HdfsUrl(tmpDir("wh")), "t")
+    val date = Day(2026, 8, 12)
+    table.exists(spark, date) shouldBe false
+    table.save(spark.range(5).toDF("n"), date, Warehouse.WriteTruncate)
+    table.load(spark, date).count() shouldBe 5
+    table.save(spark.range(3).toDF("n"), date, Warehouse.WriteTruncate)
+    table.load(spark, date).count() shouldBe 3 // replaced
+    table.save(spark.range(2).toDF("n"), date, Warehouse.WriteAppend)
+    table.load(spark, date).count() shouldBe 5 // appended
+    a[Warehouse.TableExistsException] should be thrownBy
+      table.save(spark.range(1).toDF("n"), date, Warehouse.WriteEmpty)
+  }
+
+  test("warehouse CREATE_NEVER requires the table root") {
+    val table = WarehouseTable(HdfsUrl(tmpDir("wh_missing")), "absent")
+    a[Warehouse.TableNotFoundException] should be thrownBy
+      table.save(spark.range(1).toDF("n"), Day(2026, 8, 12),
+        Warehouse.WriteTruncate, Warehouse.CreateNever)
+  }
+
+  test("loadAll exposes the date partition column") {
+    val table = WarehouseTable(HdfsUrl(tmpDir("wh_all")), "t")
+    table.save(spark.range(2).toDF("n"), Day(2026, 8, 11))
+    table.save(spark.range(3).toDF("n"), Day(2026, 8, 12))
+    val all = table.loadAll(spark)
+    all.count() shouldBe 5
+    all.select("date").distinct().as[java.sql.Date].collect().map(_.toString).sorted shouldBe
+      Array("2026-08-11", "2026-08-12")
+  }
+}

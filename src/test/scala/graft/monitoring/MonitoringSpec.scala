@@ -1,0 +1,68 @@
+package graft.monitoring
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.config.GraftConfig
+import graft.time.Day
+
+class MonitoringSpec extends AnyFunSuite with Matchers {
+
+  private val ctx = new MessagingSystem.Context {
+    val jobId = "job1"
+    val eventDate = Day(2026, 8, 12)
+    val processId = "p-1"
+    val startTime = System.currentTimeMillis() - 1000
+  }
+
+  test("create picks the transport from config") {
+    MessagingSystem.create(GraftConfig("messaging.transport" -> "memory")) shouldBe
+      an[InMemoryMessagingSystem]
+    MessagingSystem.create(GraftConfig.empty) shouldBe a[PrintMessagingSystem]
+  }
+
+  test("run events carry state, date, and duration only on completion") {
+    val m = new InMemoryMessagingSystem
+    m.publishProcessStarting(ctx)
+    m.publishProcessComplete(ctx)
+    m.publishProcessFailed(ctx, new RuntimeException("kaput"))
+    val jobs = m.events.filter(_._1 == "jobs").map(_._2)
+    jobs should have size 3
+    jobs(0) should include("\"state\":\"Processing\"")
+    jobs(0) should include("\"duration\":0")
+    jobs(0) should include("\"processingDate\":\"2026-08-12\"")
+    jobs(1) should include("\"state\":\"Complete\"")
+    jobs(1) should not include "\"duration\":0"
+    jobs(2) should include("\"state\":\"Failed\"")
+    jobs(2) should include("kaput")
+  }
+
+  test("stage and metrics events are shaped JSON") {
+    val m = new InMemoryMessagingSystem
+    m.publishStageStarting(ctx, "clean")
+    m.publishStageRetrying(ctx, "clean")
+    m.publishMetrics(ctx, "clean", Map("rows" -> 42.0))
+    val stages = m.events.filter(_._1 == "stages").map(_._2)
+    stages(0) should include("\"stage\":\"clean\"")
+    stages(1) should include("\"state\":\"Retrying\"")
+    val metrics = m.events.filter(_._1 == "metrics").map(_._2)
+    metrics.head should include("\"rows\":42.0")
+  }
+
+  test("JSON quoting escapes control characters") {
+    Json.quote("a\"b\\c\nd") shouldBe "\"a\\\"b\\\\c\\nd\""
+  }
+
+  test("notifier shapes webhook-style payloads") {
+    val n = new InMemoryNotifier
+    n.jobStarted("etl")
+    n.jobFailed("etl", new RuntimeException("oops"))
+    n.notifications should have size 2
+    n.notifications.head.severity shouldBe Notifier.Info
+    val failed = n.notifications(1)
+    failed.severity shouldBe Notifier.Error
+    failed.toPayload should include("oops")
+    failed.toPayload should include(":rotating_light:")
+    Notifier.create(GraftConfig("notifier.transport" -> "memory")) shouldBe an[InMemoryNotifier]
+  }
+}

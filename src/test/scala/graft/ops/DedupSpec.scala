@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.testkit.SparkTestBase
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and then runs far away " +
+    "through fields of golden wheat while the evening sun sets slowly behind distant hills"
+
+  private def docs = Seq(
+    (1L, base),
+    (2L, base.replace("golden", "silver")), // near-duplicate of 1
+    (3L, "THE  QUICK brown fox jumps over the lazy dog and then runs far away " +
+      "through fields of golden wheat while the evening sun sets slowly behind distant hills"),
+    (4L, "completely different content about spark catalyst optimizer rules and " +
+      "distributed shuffle joins across many executor nodes in a large cluster"),
+    (5L, base) // exact duplicate of 1
+  ).toDF("id", "text")
+
+  test("exact dedup keeps the smallest key per normalized text") {
+    val kept = Dedup.exact(docs, "text", "id").select("id").as[Long].collect().sorted
+    // 3 normalizes to the same text as 1/5 (case+whitespace), so one survivor
+    kept shouldBe Array(1L, 2L, 4L)
+  }
+
+  test("shingles are distinct sliding windows of the normalized text") {
+    val sh = spark.sql("SELECT 'abcdefghij' AS t")
+      .select(Dedup.shingles(col("t"), 8).as("sh")).as[Seq[String]].head()
+    sh shouldBe Seq("abcdefgh", "bcdefghi", "cdefghij")
+    // shorter than k -> single whole-string shingle
+    spark.sql("SELECT 'abc' AS t").select(Dedup.shingles(col("t"), 8).as("sh"))
+      .as[Seq[String]].head() shouldBe Seq("abc")
+  }
+
+  test("minhash signatures are identical for normalized-equal docs") {
+    val sig = Dedup.withMinhashSignature(docs, "text", numHashes = 8)
+    val rows = sig.select("id", "mh0", "mh7").collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    rows(1L) shouldBe rows(5L)
+    rows(1L) shouldBe rows(3L) // normalization handles case/whitespace
+    rows(1L) should not be rows(4L)
+  }
+
+  test("jaccard on known arrays") {
+    val df = spark.sql("SELECT array('a','b','c') AS a, array('b','c','d') AS b")
+    df.select(Dedup.jaccard(col("a"), col("b")).as("j")).as[Double].head() shouldBe 0.5
+  }
+
+  test("lsh candidates include near-duplicates and exclude unrelated docs") {
+    val pairs = Dedup.lshCandidatePairs(docs, "id", "text")
+      .as[(Long, Long)].collect().toSet
+    pairs should contain(1L -> 5L)
+    pairs should contain(1L -> 2L)
+    pairs.exists { case (a, b) => a == 4L || b == 4L } shouldBe false
+  }
+
+  test("near-duplicate pairs verify candidates with exact jaccard") {
+    val verified = Dedup.nearDuplicatePairs(docs, "id", "text", threshold = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    verified should contain(1L -> 5L) // jaccard 1.0
+    verified should contain(1L -> 2L) // one word changed
+    verified.exists { case (a, b) => a == 4L || b == 4L } shouldBe false
+  }
+
+  test("bucket cap drops degenerate buckets before pairing") {
+    val boilerplate = (1L to 20L).map(i => (i, base)).toDF("id", "text")
+    Dedup.lshCandidatePairs(boilerplate, "id", "text", maxBucket = 5).count() shouldBe 0
+    Dedup.lshCandidatePairs(boilerplate, "id", "text", maxBucket = 100).count() shouldBe 190 // 20 choose 2
+  }
+
+  test("simhash is a bag-of-words fingerprint: permutation-invariant, dup-sensitive") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "delta gamma beta alpha"), // same bag
+      (3L, "omega psi chi phi upsilon tau")
+    ).toDF("id", "text")
+    val hashes = df.select($"id", Dedup.simhash32($"text").as("h")).as[(Long, Long)].collect().toMap
+    hashes(1L) shouldBe hashes(2L)
+    hashes(1L) should not be hashes(3L)
+    df.filter($"id" === 1).select(Dedup.hammingDistance(Dedup.simhash32($"text"), lit(hashes(3L))))
+      .as[Int].head() should be > 0
+  }
+}

@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.testkit.SparkTestBase
+
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  /**
+   * Deterministic clustered corpus: 4 near-orthogonal cluster centers in
+   * 16 dims, 25 points each, with small sin-based noise (no RNG state).
+   */
+  private lazy val corpus: DataFrame = {
+    val rows = for {
+      c <- 0 until 4
+      i <- 0 until 25
+    } yield {
+      val id = (c * 25 + i).toLong
+      val vec = Array.tabulate(16) { d =>
+        val center = if (d % 4 == c) 10.0f else 0.0f
+        center + math.sin(id * 31 + d * 7).toFloat
+      }
+      (id, c, vec)
+    }
+    rows.toDF("vec_id", "cluster", "embedding")
+  }
+
+  test("dot, norm and cosine on known vectors") {
+    val df = spark.sql("SELECT array(1.0, 0.0) AS a, array(0.0, 1.0) AS b, array(2.0, 0.0) AS c")
+    df.select(Similarity.dot($"a", $"c")).as[Double].head() shouldBe 2.0
+    df.select(Similarity.cosine($"a", $"b")).as[Double].head() shouldBe 0.0
+    df.select(Similarity.cosine($"a", $"c")).as[Double].head() shouldBe 1.0 +- 1e-12
+  }
+
+  test("brute-force top-k finds same-cluster neighbors first") {
+    val queries = corpus.filter($"vec_id".isin(0L, 30L, 60L, 90L))
+    val top = Similarity.bruteForceTopK(queries, corpus, "vec_id", "embedding", k = 5)
+    val byQuery = top.select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    byQuery should have size 4
+    for ((q, neighbors) <- byQuery) {
+      val cluster = (q / 25).toInt
+      neighbors should have size 5
+      all(neighbors.map(n => (n / 25).toInt)) shouldBe cluster
+    }
+  }
+
+  test("same vector always lands in the same bucket; scaling preserves it") {
+    val b = Similarity.withLshBucket(corpus, "embedding", nbits = 8)
+      .filter($"vec_id" === 7).select("bucket").as[Long].head()
+    val scaled = corpus.withColumn("embedding", transform($"embedding", x => x * 3.0f))
+    val b2 = Similarity.withLshBucket(scaled, "embedding", nbits = 8)
+      .filter($"vec_id" === 7).select("bucket").as[Long].head()
+    b2 shouldBe b
+  }
+
+  test("LSH ANN reaches recall >= 0.8 vs brute force") {
+    val queries = corpus.filter($"vec_id" % 10 === 0)
+    val exact = Similarity.bruteForceTopK(queries, corpus, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val approx = Similarity.annTopK(queries, corpus, "vec_id", "embedding", k = 5, nbits = 6)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (q, truth) =>
+      approx.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    withClue(s"per-query recalls: $recalls") { mean should be >= 0.8 }
+  }
+
+  test("embedding near-dup pairs stay within clusters") {
+    val pairs = Similarity.embeddingNearDupPairs(corpus, "vec_id", "embedding",
+      threshold = 0.9, nbits = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    pairs should not be empty
+    all(pairs.map { case (a, b) => (a / 25, b / 25) }.map(p => p._1 == p._2)) shouldBe true
+  }
+}

@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.testkit.SparkTestBase
+
+class TextAnalysisSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def one(text: String) = Seq(text).toDF("text")
+
+  test("tokens lowercases and splits on non-alphanumerics") {
+    one("Hello, World! Take 5.").select(TextAnalysis.tokens($"text"))
+      .as[Seq[String]].head() shouldBe Seq("hello", "world", "take", "5")
+  }
+
+  test("token counts: whitespace vs BPE-ish") {
+    one("don't  stop me\tnow").select(
+      TextAnalysis.whitespaceTokenCount($"text"),
+      TextAnalysis.bpeTokenCount($"text")).as[(Int, Int)].head() shouldBe
+      (4, 6) // [don't, stop, me, now] vs [don, ', t, stop, me, now]
+  }
+
+  test("language id picks the profile with most stopword hits") {
+    one("the cat and the dog is in the house").select(TextAnalysis.languageId($"text"))
+      .as[String].head() shouldBe "en"
+    one("der Hund und die Katze ist nicht hier").select(TextAnalysis.languageId($"text"))
+      .as[String].head() shouldBe "de"
+    one("le chat est dans la maison avec les enfants").select(TextAnalysis.languageId($"text"))
+      .as[String].head() shouldBe "fr"
+    one("zzz qqq xxx").select(TextAnalysis.languageId($"text"))
+      .as[String].head() shouldBe "und"
+  }
+
+  test("quality stats on a known document") {
+    val stats = TextAnalysis.qualityStats($"text")
+    val row = one("Hello world!").select(stats.map { case (n, c) => c.as(n) }: _*).collect().head
+    row.getAs[Int]("n_chars") shouldBe 12
+    row.getAs[Int]("n_tokens") shouldBe 2
+    row.getAs[Double]("punct_ratio") shouldBe 1.0 / 12 +- 1e-4
+    row.getAs[Double]("mean_word_len") shouldBe 5.0
+  }
+
+  test("normalization and fingerprints collapse case and whitespace") {
+    val df = Seq(("A  B\tc", "a b c"), ("x", "y")).toDF("l", "r")
+    df.select((TextAnalysis.fingerprint($"l") === TextAnalysis.fingerprint($"r")).as("eq"))
+      .as[Boolean].collect() shouldBe Array(true, false)
+  }
+
+  test("rolling fingerprint is window-min based and deterministic") {
+    val text = "one two three four five six seven eight nine ten"
+    val fp1 = one(text).select(TextAnalysis.rollingFingerprint($"text")).as[String].head()
+    val fp2 = one(text).select(TextAnalysis.rollingFingerprint($"text")).as[String].head()
+    fp1 shouldBe fp2
+    fp1 should fullyMatch regex "[0-9a-f]{32}"
+    // appending text can only add windows -> the min can only stay or decrease
+    val extended = one(text + " eleven twelve thirteen fourteen fifteen")
+      .select(TextAnalysis.rollingFingerprint($"text")).as[String].head()
+    extended should be <= fp1
+  }
+
+  test("stopword hits count multiset occurrences") {
+    one("the the the").select(
+      TextAnalysis.stopwordHits(TextAnalysis.tokens($"text"), Seq("the", "and")))
+      .as[Int].head() shouldBe 3
+  }
+}
