@@ -23,8 +23,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // One warm-up pass so JIT + codegen + FileSystem init don't bill to q1.
+    // Warm-up passes so JIT, whole-stage-codegen compilation and FileSystem
+    // init don't bill to the first query of each operator family: a scan, a
+    // shuffled agg, a window and a join over throwaway data.
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
     spark.read.parquet(s"$sfDir/lineitem.parquet").write.format("noop").mode("overwrite").save()
+    val r = spark.range(100000).select(col("id"), (col("id") % 100).as("k"))
+    r.groupBy("k").count().write.format("noop").mode("overwrite").save()
+    r.withColumn("rn", row_number().over(Window.partitionBy("k").orderBy("id")))
+      .join(r.select(col("k")).distinct(), "k")
+      .write.format("noop").mode("overwrite").save()
     val results = Queries.all.map { case (name, fn, _) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

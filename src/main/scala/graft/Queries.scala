@@ -62,8 +62,11 @@ object Queries {
   private def sqlCents(c: String) = s"cast(round($c * 100, 0) as bigint)"
   private val Norm = raw"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
   private val Toks = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
-  private def sqlShingles(norm: String) =
-    s"list_distinct(list_transform(range(1, greatest(length($norm) - 7, 1) + 1), i -> substring($norm, i, 8)))"
+  /** Word 5-gram shingles over a `toks` column (twin of [[Dedup.wordShingles]]). */
+  private val SqlShingles =
+    "list_distinct(list_transform(range(1, greatest(len(toks) - 4, 1) + 1), i -> array_to_string(toks[i:i+4], ' ')))"
+  private val SqlShingleDocs =
+    s"(SELECT doc_id, $SqlShingles AS sh FROM (SELECT doc_id, $Toks AS toks FROM documents))"
 
   // =====================================================================
   // Framework battery
@@ -206,12 +209,26 @@ object Queries {
        round(sum(value), 4) AS total_value
        FROM events GROUP BY 1, 2"""
 
-  /** DateInterval-driven predicate, pushed to the parquet scan. */
+  /**
+   * DateInterval-driven predicate, pushed to the parquet scan. When `ts` is
+   * raw nanos (see [[events]]), the bound is compared in the nanos domain so
+   * the predicate stays pushable — filtering on `timestamp_micros(ts DIV
+   * 1000)` would wrap the column in an expression and reduce the scan to
+   * `IsNotNull`, a full scan at 100 TB.
+   */
   def dateFilter(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     val interval = Day(2024, 1, 10) to Day(2024, 1, 20)
-    events(dir)
-      .filter(col("ts") >= lit(interval.start.toString) && col("ts") < lit(interval.end.start.toString))
+    val raw = t(dir, "events")
+    val filtered = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.filter(col("ts") >= lit(interval.from * 1000000L) &&
+          col("ts") < lit(interval.end.from * 1000000L))
+      case _ =>
+        raw.filter(col("ts") >= lit(interval.start.toString) &&
+          col("ts") < lit(interval.end.start.toString))
+    }
+    filtered
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
   }
@@ -366,7 +383,7 @@ object Queries {
       .map(j => s"${sqlMinhash(j)} AS mh$j").mkString(",\n       ")
     s"""SELECT doc_id,
        $mhs
-       FROM (SELECT doc_id, ${sqlShingles(Norm)} AS sh FROM documents)"""
+       FROM $SqlShingleDocs"""
   }
 
   /** LSH banding: candidates from an equi-join on (band, hash) — no crossJoin. */
@@ -382,7 +399,7 @@ object Queries {
     val unpivot = (0 until 4)
       .map(b => s"SELECT doc_id, $b AS band, band$b AS bh FROM banded").mkString(" UNION ALL ")
     s"""WITH sig AS (SELECT doc_id, $mhs
-                     FROM (SELECT doc_id, ${sqlShingles(Norm)} AS sh FROM documents)),
+                     FROM $SqlShingleDocs),
        banded AS (SELECT doc_id, $bands FROM sig),
        buckets AS ($unpivot)
        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -396,7 +413,7 @@ object Queries {
 
   val nearDupPairsSql: String =
     s"""WITH cand AS ($lshCandidatePairsSql),
-       docs AS (SELECT doc_id, ${sqlShingles(Norm)} AS sh FROM documents)
+       docs AS (SELECT * FROM $SqlShingleDocs)
        SELECT id_a, id_b, jaccard FROM (
          SELECT id_a, id_b,
                 round(cast(len(list_filter(a.sh, x -> list_contains(b.sh, x))) as double)

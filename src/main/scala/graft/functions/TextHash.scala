@@ -1,0 +1,245 @@
+package graft.functions
+
+import java.util.Locale
+
+import org.apache.spark.sql.{Column, GraftExpressionBridge, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Native text-hashing kernels for the dedup/fingerprint operators.
+ *
+ * The same math is expressible with `transform`/`aggregate` higher-order
+ * functions (and the DuckDB oracles mirror exactly that formulation), but
+ * Catalyst evaluates lambda bodies interpreted, one boxed element at a time —
+ * profiled at ~30x slower than these single-pass loops. Each expression here
+ * digests every shingle/token exactly once with a thread-local MessageDigest
+ * and participates in whole-stage codegen via a static call.
+ *
+ * Semantics are bit-identical to the SQL formulation (verified by spec
+ * cross-checks and the driver's DuckDB oracle):
+ * tokens = non-empty runs of `[a-z0-9]` in the lowercased text.
+ */
+object TextHash {
+  private val tokenSplit = "[^a-z0-9]+"
+  private val digests = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  def md5Hex(s: String): String = {
+    val md = digests.get()
+    md.reset()
+    val bytes = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HexChars((bytes(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexChars(bytes(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  def tokenize(text: String): Array[String] =
+    text.toLowerCase(Locale.ROOT).split(tokenSplit, -1).filter(_.nonEmpty)
+
+  /** Word `words`-gram shingle starting at token `i`, space-joined. */
+  private def appendShingle(sb: java.lang.StringBuilder, toks: Array[String], i: Int, words: Int): Unit = {
+    sb.setLength(0)
+    val end = math.min(i + words, toks.length)
+    var w = i
+    while (w < end) {
+      if (w > i) sb.append(' ')
+      sb.append(toks(w))
+      w += 1
+    }
+  }
+
+  /**
+   * MinHash signature over word `words`-gram shingles: component `j` is the
+   * minimum of `substring(md5(shingle || ':' || j/4), (j%4)*8, 8)` — four
+   * signature components per digest (see [[graft.ops.Dedup.minhash]]).
+   */
+  def minhashSignature(text: UTF8String, numHashes: Int, words: Int): ArrayData = {
+    val toks = tokenize(text.toString)
+    val nWin = math.max(toks.length - (words - 1), 1)
+    val blocks = (numHashes + 3) / 4
+    val mins = new Array[String](numHashes)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < nWin) {
+      appendShingle(sb, toks, i, words)
+      val shingle = sb.toString
+      var b = 0
+      while (b < blocks) {
+        val hex = md5Hex(shingle + ":" + b)
+        var k = 0
+        while (k < 4 && b * 4 + k < numHashes) {
+          val j = b * 4 + k
+          val sub = hex.substring(k * 8, k * 8 + 8)
+          if (mins(j) == null || sub.compareTo(mins(j)) < 0) mins(j) = sub
+          k += 1
+        }
+        b += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins.map(UTF8String.fromString(_): AnyRef))
+  }
+
+  /** Word `words`-gram shingles (not deduplicated: every downstream use —
+    * min, array_intersect, array_union — is multiset-safe). */
+  def wordShingles(text: UTF8String, words: Int): ArrayData = {
+    val toks = tokenize(text.toString)
+    val nWin = math.max(toks.length - (words - 1), 1)
+    val out = new Array[AnyRef](nWin)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < nWin) {
+      appendShingle(sb, toks, i, words)
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Winnowing-style rolling fingerprint: min md5 over word `window`-grams. */
+  def rollingFingerprint(text: UTF8String, window: Int): UTF8String = {
+    val toks = tokenize(text.toString)
+    val nWin = math.max(toks.length - (window - 1), 1)
+    var min: String = null
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < nWin) {
+      appendShingle(sb, toks, i, window)
+      val hex = md5Hex(sb.toString)
+      if (min == null || hex.compareTo(min) < 0) min = hex
+      i += 1
+    }
+    UTF8String.fromString(min)
+  }
+
+  /** 32-bit SimHash: per-bit majority vote of md5 hex-digit parities. */
+  def simhash32(text: UTF8String): Long = {
+    val toks = tokenize(text.toString)
+    val votes = new Array[Int](32)
+    var t = 0
+    while (t < toks.length) {
+      val hex = md5Hex(toks(t))
+      var j = 0
+      while (j < 32) {
+        votes(j) += (if ((Character.digit(hex.charAt(j), 16) & 1) == 1) 1 else -1)
+        j += 1
+      }
+      t += 1
+    }
+    var value = 0L
+    var j = 0
+    while (j < 32) {
+      if (votes(j) > 0) value |= 1L << j
+      j += 1
+    }
+    value
+  }
+}
+
+/** Base for graft's unary string-hash expressions: codegen is a static call. */
+abstract class TextHashExpression extends UnaryExpression {
+  /** Scala call for interpreted eval and Java call text for codegen. */
+  protected def staticCall(c: String): String
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => staticCall(c))
+}
+
+case class MinHashSignature(child: Expression, numHashes: Int, words: Int)
+    extends TextHashExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.minhashSignature(input.asInstanceOf[UTF8String], numHashes, words)
+  override protected def staticCall(c: String): String =
+    s"graft.functions.TextHash$$.MODULE$$.minhashSignature($c, $numHashes, $words)"
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+case class WordShingles(child: Expression, words: Int) extends TextHashExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.wordShingles(input.asInstanceOf[UTF8String], words)
+  override protected def staticCall(c: String): String =
+    s"graft.functions.TextHash$$.MODULE$$.wordShingles($c, $words)"
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+case class RollingFingerprint(child: Expression, window: Int) extends TextHashExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "rolling_fingerprint"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.rollingFingerprint(input.asInstanceOf[UTF8String], window)
+  override protected def staticCall(c: String): String =
+    s"graft.functions.TextHash$$.MODULE$$.rollingFingerprint($c, $window)"
+  override protected def withNewChildInternal(newChild: Expression): RollingFingerprint =
+    copy(child = newChild)
+}
+
+case class SimHash32(child: Expression) extends TextHashExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash32"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.simhash32(input.asInstanceOf[UTF8String])
+  override protected def staticCall(c: String): String =
+    s"graft.functions.TextHash$$.MODULE$$.simhash32($c)"
+  override protected def withNewChildInternal(newChild: Expression): SimHash32 =
+    copy(child = newChild)
+}
+
+/** Column-API constructors for the native expressions. */
+object functions {
+  private def lit(e: Expression): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(s"expected integer literal, got $other")
+  }
+
+  def minhash_signature(text: Column, numHashes: Int = 12, words: Int = 5): Column =
+    GraftExpressionBridge.column(
+      MinHashSignature(GraftExpressionBridge.expression(text), numHashes, words))
+
+  def word_shingles(text: Column, words: Int = 5): Column =
+    GraftExpressionBridge.column(
+      WordShingles(GraftExpressionBridge.expression(text), words))
+
+  def rolling_fingerprint(text: Column, window: Int = 5): Column =
+    GraftExpressionBridge.column(
+      RollingFingerprint(GraftExpressionBridge.expression(text), window))
+
+  def simhash32(text: Column): Column =
+    GraftExpressionBridge.column(SimHash32(GraftExpressionBridge.expression(text)))
+
+  /** SQL registration, for `spark.sql.extensions=graft.functions.GraftExtensions`. */
+  val registry: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+      (args: Seq[Expression]) => MinHashSignature(args.head,
+        if (args.length > 1) lit(args(1)) else 12, if (args.length > 2) lit(args(2)) else 5)),
+    (FunctionIdentifier("rolling_fingerprint"),
+      new ExpressionInfo(classOf[RollingFingerprint].getName, "rolling_fingerprint"),
+      (args: Seq[Expression]) => RollingFingerprint(args.head,
+        if (args.length > 1) lit(args(1)) else 5)),
+    (FunctionIdentifier("simhash32"),
+      new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
+      (args: Seq[Expression]) => SimHash32(args.head)))
+}
+
+/** Registers graft's native functions for SQL use via SparkSessionExtensions. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    functions.registry.foreach(ext.injectFunction(_))
+}

@@ -91,9 +91,13 @@ object TextAnalysis {
   /**
    * Rolling-window fingerprint (winnowing-style): the minimum hash over all
    * word `w`-gram windows — robust to small appends/prepends, unlike the
-   * full-document hash.
+   * full-document hash. Native single-pass kernel; [[rollingFingerprintComposed]]
+   * is the built-in-function specification it is cross-checked against.
    */
-  def rollingFingerprint(text: Column, window: Int = 5): Column = {
+  def rollingFingerprint(text: Column, window: Int = 5): Column =
+    graft.functions.functions.rolling_fingerprint(text, window)
+
+  private[graft] def rollingFingerprintComposed(text: Column, window: Int = 5): Column = {
     val toks = tokens(text)
     val n = size(toks)
     val starts = sequence(lit(1), greatest(n - (window - 1), lit(1)))

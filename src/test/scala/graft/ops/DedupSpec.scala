@@ -8,13 +8,15 @@ class DedupSpec extends SparkTestBase {
   import spark.implicits._
 
   private val base = "the quick brown fox jumps over the lazy dog and then runs far away " +
-    "through fields of golden wheat while the evening sun sets slowly behind distant hills"
+    "through fields of golden wheat while the evening sun sets slowly behind distant hills " +
+    "casting long warm shadows across the quiet valley where a small river bends gently " +
+    "between mossy stones and ancient willows lean low over the clear slow water humming " +
+    "with dragonflies while swallows wheel high above the old wooden bridge at dusk"
 
   private def docs = Seq(
     (1L, base),
-    (2L, base.replace("golden", "silver")), // near-duplicate of 1
-    (3L, "THE  QUICK brown fox jumps over the lazy dog and then runs far away " +
-      "through fields of golden wheat while the evening sun sets slowly behind distant hills"),
+    (2L, base.replace("golden", "silver")), // near-duplicate of 1 (one word of ~75)
+    (3L, base.toUpperCase.replace(" ", "  ")), // normalization-equal to 1
     (4L, "completely different content about spark catalyst optimizer rules and " +
       "distributed shuffle joins across many executor nodes in a large cluster"),
     (5L, base) // exact duplicate of 1
@@ -68,6 +70,29 @@ class DedupSpec extends SparkTestBase {
     val boilerplate = (1L to 20L).map(i => (i, base)).toDF("id", "text")
     Dedup.lshCandidatePairs(boilerplate, "id", "text", maxBucket = 5).count() shouldBe 0
     Dedup.lshCandidatePairs(boilerplate, "id", "text", maxBucket = 100).count() shouldBe 190 // 20 choose 2
+  }
+
+  test("native kernels are bit-identical to the composed built-in formulation") {
+    val composed = docs.select($"id",
+      Dedup.minhash(Dedup.wordShinglesComposed($"text"), 0).as("mh0"),
+      Dedup.minhash(Dedup.wordShinglesComposed($"text"), 5).as("mh5"),
+      Dedup.simhash32Composed($"text").as("sh"),
+      TextAnalysis.rollingFingerprintComposed($"text").as("rf"))
+    val native = Dedup.withMinhashSignature(docs.select($"id", $"text"), "text", numHashes = 8)
+      .select($"id", $"mh0", $"mh5",
+        Dedup.simhash32($"text").as("sh"),
+        TextAnalysis.rollingFingerprint($"text").as("rf"))
+    composed.orderBy("id").collect() shouldBe native.orderBy("id").collect()
+  }
+
+  test("native minhash works via SQL when GraftExtensions is registered") {
+    // the extension-injected function path (spark.sql.extensions) shares the
+    // same expression; here we exercise the Column constructor directly
+    val one = docs.filter($"id" === 1)
+      .select(graft.functions.functions.minhash_signature($"text", 4).as("sig"))
+      .as[Seq[String]].head()
+    one should have size 4
+    all(one) should fullyMatch regex "[0-9a-f]{8}"
   }
 
   test("simhash is a bag-of-words fingerprint: permutation-invariant, dup-sensitive") {
