@@ -1,0 +1,148 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftExpressionBridge}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/**
+ * Native vector kernels for the similarity operators. The composed
+ * `aggregate(zip_with(...))` formulation allocates a zipped array and boxes
+ * every element; these loop once over the raw ArrayData. Arithmetic order is
+ * identical to the sequential fold (and to the DuckDB oracle): accumulate
+ * left-to-right in doubles, so results are bit-identical.
+ */
+object VectorMath {
+
+  private def value(a: ArrayData, t: DataType, i: Int): Double = t match {
+    case DoubleType => a.getDouble(i)
+    case FloatType => a.getFloat(i).toDouble
+    case org.apache.spark.sql.types.IntegerType => a.getInt(i).toDouble
+    case org.apache.spark.sql.types.LongType => a.getLong(i).toDouble
+    case dt: org.apache.spark.sql.types.DecimalType =>
+      a.getDecimal(i, dt.precision, dt.scale).toDouble
+    case org.apache.spark.sql.types.ShortType => a.getShort(i).toDouble
+    case other => throw new IllegalArgumentException(s"non-numeric vector element type: $other")
+  }
+
+  def dot(a: ArrayData, ta: DataType, b: ArrayData, tb: DataType): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += value(a, ta, i) * value(b, tb, i); i += 1 }
+    acc
+  }
+
+  /**
+   * Random-hyperplane LSH bucket: bit `i` of the result is the sign of the
+   * projection onto deterministic integer hyperplane `i` with weights
+   * `((i*31 + d*17) % 7) - 3` (see [[graft.ops.Similarity]]). One pass over
+   * the vector, all `nbits` accumulators at once; per-accumulator addition
+   * order matches the composed per-bit fold, so buckets are bit-identical.
+   */
+  def lshBucket(a: ArrayData, ta: DataType, nbits: Int): Long = {
+    val acc = new Array[Double](nbits)
+    val n = a.numElements()
+    var d = 0
+    while (d < n) {
+      val x = value(a, ta, d)
+      var i = 0
+      while (i < nbits) { acc(i) += x * (((i * 31 + d * 17) % 7) - 3); i += 1 }
+      d += 1
+    }
+    var bucket = 0L
+    var i = 0
+    while (i < nbits) { if (acc(i) >= 0) bucket |= 1L << i; i += 1 }
+    bucket
+  }
+
+  def cosine(a: ArrayData, ta: DataType, b: ArrayData, tb: DataType): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var d = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = value(a, ta, i)
+      val y = value(b, tb, i)
+      d += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    d / (math.sqrt(na) * math.sqrt(nb))
+  }
+}
+
+sealed abstract class VectorBinaryExpression extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  protected def elementType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  /** codegen helper: `(leftCode, rightCode) => java call` */
+  protected def call: String
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = compute(
+    a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  protected def compute(a: ArrayData, b: ArrayData): Double
+
+  override def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val (lt, rt) = (elementType(left), elementType(right))
+    val ltRef = ctx.addReferenceObj("ltype", lt)
+    val rtRef = ctx.addReferenceObj("rtype", rt)
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorMath$$.MODULE$$.$call($a, $ltRef, $b, $rtRef)")
+  }
+}
+
+case class DotProduct(left: Expression, right: Expression) extends VectorBinaryExpression {
+  override def prettyName: String = "dot_product"
+  override protected def call: String = "dot"
+  override protected def compute(a: ArrayData, b: ArrayData): Double =
+    VectorMath.dot(a, elementType(left), b, elementType(right))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+    copy(left = l, right = r)
+}
+
+case class CosineSimilarity(left: Expression, right: Expression) extends VectorBinaryExpression {
+  override def prettyName: String = "cosine_similarity"
+  override protected def call: String = "cosine"
+  override protected def compute(a: ArrayData, b: ArrayData): Double =
+    VectorMath.cosine(a, elementType(left), b, elementType(right))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
+    copy(left = l, right = r)
+}
+
+case class LshBucket(child: Expression, nbits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "lsh_bucket"
+  private def elemType: DataType = child.dataType.asInstanceOf[ArrayType].elementType
+  override protected def nullSafeEval(input: Any): Any =
+    VectorMath.lshBucket(input.asInstanceOf[ArrayData], elemType, nbits)
+  override def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val tRef = ctx.addReferenceObj("etype", elemType)
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorMath$$.MODULE$$.lshBucket($c, $tRef, $nbits)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): LshBucket =
+    copy(child = newChild)
+}
+
+object vectors {
+  def lsh_bucket(vec: Column, nbits: Int = 8): Column =
+    GraftExpressionBridge.column(LshBucket(GraftExpressionBridge.expression(vec), nbits))
+
+  def dot_product(a: Column, b: Column): Column =
+    GraftExpressionBridge.column(
+      DotProduct(GraftExpressionBridge.expression(a), GraftExpressionBridge.expression(b)))
+
+  def cosine_similarity(a: Column, b: Column): Column =
+    GraftExpressionBridge.column(
+      CosineSimilarity(GraftExpressionBridge.expression(a), GraftExpressionBridge.expression(b)))
+}

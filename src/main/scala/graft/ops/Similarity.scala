@@ -24,14 +24,20 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
-  /** Dot product of two numeric arrays (element order fixed, double accumulator). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, x) => acc + x)
+  /** Dot product of two numeric arrays (native one-pass kernel, double accumulator). */
+  def dot(a: Column, b: Column): Column = graft.functions.vectors.dot_product(a, b)
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (l2Norm(a) * l2Norm(b))
+  /** Cosine similarity (native one-pass kernel; [[cosineComposed]] is its spec). */
+  def cosine(a: Column, b: Column): Column = graft.functions.vectors.cosine_similarity(a, b)
+
+  /** Built-in-function specification of [[cosine]] (spec cross-check + oracle twin). */
+  private[graft] def cosineComposed(a: Column, b: Column): Column = {
+    def dotC(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")), lit(0.0), (acc, v) => acc + v)
+    dotC(a, b) / (sqrt(dotC(a, a)) * sqrt(dotC(b, b)))
+  }
 
   /**
    * Exact top-`k` cosine neighbors for each query vector. `queries` must be
@@ -63,8 +69,13 @@ object Similarity {
   private def weight(i: Int, d: Column): Column =
     ((lit(i * 31) + d * 17) % 7) - 3
 
-  /** Sign-pattern bucket id in [0, 2^nbits) for a vector under the fixed hyperplanes. */
-  def lshBucket(vec: Column, nbits: Int = 8): Column = {
+  /** Sign-pattern bucket id in [0, 2^nbits) for a vector under the fixed
+    * hyperplanes (native one-pass kernel; [[lshBucketComposed]] is its spec). */
+  def lshBucket(vec: Column, nbits: Int = 8): Column =
+    graft.functions.vectors.lsh_bucket(vec, nbits)
+
+  /** Built-in-function specification of [[lshBucket]] (spec cross-check). */
+  private[graft] def lshBucketComposed(vec: Column, nbits: Int = 8): Column = {
     val dims = sequence(lit(0), size(vec) - 1)
     val bits = (0 until nbits).map { i =>
       val proj = aggregate(dims, lit(0.0), (acc, d) =>

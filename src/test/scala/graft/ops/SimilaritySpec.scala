@@ -47,6 +47,16 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("native vector kernels are bit-identical to the composed formulation") {
+    val pairs = corpus.as("a").join(corpus.as("b"), $"a.vec_id" + 25 === $"b.vec_id")
+      .select($"a.embedding".as("x"), $"b.embedding".as("y"))
+    val checked = pairs.select(
+      (Similarity.cosine($"x", $"y") === Similarity.cosineComposed($"x", $"y")).as("cos_eq"),
+      (Similarity.lshBucket($"x", 8) === Similarity.lshBucketComposed($"x", 8)).as("b_eq"))
+      .collect()
+    all(checked.map(r => r.getBoolean(0) && r.getBoolean(1))) shouldBe true
+  }
+
   test("same vector always lands in the same bucket; scaling preserves it") {
     val b = Similarity.withLshBucket(corpus, "embedding", nbits = 8)
       .filter($"vec_id" === 7).select("bucket").as[Long].head()
