@@ -1,0 +1,117 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/**
+ * Structured Streaming operators over the `events` stream shape
+ * (`event_id, ts, user_id, event_type, value`): the streaming half of the
+ * batch battery — watermarked windowed rollups, exactly-once-ish streaming
+ * dedup, and stateful gap sessionization.
+ *
+ * Scale notes: every operator keys its state by a high-cardinality column
+ * (`user_id`, `event_id`), so state partitions across executors; watermarks
+ * bound state size (late data beyond the watermark is dropped, state for
+ * closed windows/sessions is evicted). At 100 TB/day the same topology runs
+ * with a checkpoint dir on durable storage and more shuffle partitions.
+ */
+case class Event(eventId: Long, ts: Timestamp, userId: Long, eventType: String, value: Double)
+
+/** A closed user session emitted once the gap (and watermark) passes. */
+case class Session(userId: Long, startMs: Long, endMs: Long, nEvents: Long) {
+  def durationMs: Long = endMs - startMs
+}
+
+private[streaming] case class SessionState(startMs: Long, endMs: Long, n: Long)
+
+object EventStreams {
+
+  implicit val eventEncoder: Encoder[Event] = Encoders.product[Event]
+  implicit val sessionEncoder: Encoder[Session] = Encoders.product[Session]
+  private implicit val stateEncoder: Encoder[SessionState] = Encoders.product[SessionState]
+  private implicit val longEncoder: Encoder[Long] = Encoders.scalaLong
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  /** Stream of events from a directory of parquet/json drops. */
+  def readEvents(spark: SparkSession, path: String, format: String = "parquet"): DataFrame =
+    spark.readStream.schema(eventSchema).format(format).load(path)
+
+  /**
+   * Tumbling-window rollup per event type. With Append output the row for a
+   * window emits exactly once, when the watermark passes the window end —
+   * the streaming twin of the batch `events_daily_rollup`.
+   */
+  def windowedRollup(
+      events: DataFrame,
+      windowLength: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("total_value"))
+
+  /**
+   * Streaming exact dedup on `idCol`: duplicates arriving within the
+   * watermark horizon are dropped; the watermark bounds the id-set state.
+   */
+  def dedup(events: DataFrame, idCol: String = "event_id", watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(idCol)
+
+  /**
+   * Gap-based sessionization with [[Dataset.flatMapGroupsWithState]] state
+   * per user: a session closes (and emits) when `gap` passes with no event —
+   * enforced by an event-time timeout, so emission is driven by the
+   * watermark, not wall clock. The streaming twin of batch
+   * `sessionize_events`.
+   */
+  def sessionize(
+      events: Dataset[Event],
+      gapMinutes: Int = 30,
+      watermark: String = "10 minutes"): Dataset[Session] = {
+    val gapMs = gapMinutes * 60L * 1000
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, newEvents: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(userId, s.startMs, s.endMs, s.n))
+          } else {
+            // fold sorted events into sessions, emitting every closed one
+            val sorted = newEvents.map(_.ts.getTime).toVector.sorted
+            var current = state.getOption
+            val closed = Vector.newBuilder[Session]
+            sorted.foreach { t =>
+              current match {
+                case Some(s) if t - s.endMs <= gapMs =>
+                  current = Some(s.copy(endMs = math.max(s.endMs, t), n = s.n + 1))
+                case Some(s) =>
+                  closed += Session(userId, s.startMs, s.endMs, s.n)
+                  current = Some(SessionState(t, t, 1))
+                case None =>
+                  current = Some(SessionState(t, t, 1))
+              }
+            }
+            current.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.endMs + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.testkit.SparkTestBase
+
+class EventStreamsSpec extends SparkTestBase {
+  import EventStreams._
+  import spark.implicits._
+
+  private def ts(minute: Int) = new Timestamp(3600_000L * 24 * 365 * 50 + minute * 60_000L)
+
+  /** MemoryStream[Event] yields camelCase columns; the stream contract is snake_case. */
+  private def asContract(df: org.apache.spark.sql.DataFrame) =
+    df.toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  private def runToCompletion(q: StreamingQuery): Unit = {
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+  }
+
+  test("windowed rollup emits a window once the watermark passes it") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = windowedRollup(asContract(in.toDF()), windowLength = "10 minutes", watermark = "5 minutes")
+      .writeStream.format("memory").queryName("rollup_out").outputMode("append").start()
+    in.addData(
+      Event(1, ts(1), 10, "click", 1.0),
+      Event(2, ts(2), 11, "click", 2.0),
+      Event(3, ts(4), 10, "view", 5.0))
+    q.processAllAvailable()
+    // advance the watermark far past the first window
+    in.addData(Event(99, ts(60), 12, "click", 0.0))
+    runToCompletion(q)
+    val out = spark.table("rollup_out")
+      .select($"event_type", $"n", $"total_value").as[(String, Long, Double)].collect().toSet
+    out shouldBe Set(("click", 2L, 3.0), ("view", 1L, 5.0))
+  }
+
+  test("streaming dedup drops duplicate ids within the watermark") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = dedup(asContract(in.toDF()), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    in.addData(
+      Event(1, ts(1), 10, "click", 1.0),
+      Event(1, ts(2), 10, "click", 1.0), // dup id
+      Event(2, ts(2), 11, "view", 2.0),
+      Event(2, ts(3), 11, "view", 2.0), // dup id
+      Event(3, ts(3), 12, "click", 3.0))
+    runToCompletion(q)
+    spark.table("dedup_out").select($"event_id").as[Long].collect().sorted shouldBe Array(1L, 2L, 3L)
+  }
+
+  test("stateful sessionization closes sessions on gap timeout") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = sessionize(in.toDS(), gapMinutes = 30, watermark = "1 minute")
+      .writeStream.format("memory").queryName("sessions_out").outputMode("append").start()
+    // user 10: two events 5 min apart (one session), then nothing for > 30 min
+    // user 11: one event
+    in.addData(
+      Event(1, ts(0), 10, "click", 1.0),
+      Event(2, ts(5), 10, "view", 1.0),
+      Event(3, ts(2), 11, "click", 1.0))
+    q.processAllAvailable()
+    // second batch: an event 90 minutes later pushes the watermark past both
+    // users' session timeouts AND starts a new session for user 10
+    in.addData(Event(4, ts(90), 10, "click", 1.0))
+    q.processAllAvailable()
+    // third batch: advance watermark past the second session's timeout too
+    in.addData(Event(5, ts(200), 12, "click", 1.0))
+    runToCompletion(q)
+    val sessions = spark.table("sessions_out")
+      .select($"userId", $"startMs", $"endMs", $"nEvents")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    sessions should contain((10L, ts(0).getTime, ts(5).getTime, 2L)) // closed by gap
+    sessions should contain((11L, ts(2).getTime, ts(2).getTime, 1L))
+    sessions should contain((10L, ts(90).getTime, ts(90).getTime, 1L)) // second session
+  }
+}
