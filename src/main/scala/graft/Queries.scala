@@ -350,6 +350,42 @@ object Queries {
     s"SELECT o_orderstatus,\n       $cols\n       FROM orders GROUP BY o_orderstatus"
   }
 
+  /** TPC-H Q14-style: lineitem joins broadcast part; conditional revenue share. */
+  def q14PromoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val rev = cents(col("l_extendedprice")) * (lit(100L) - pct(col("l_discount")))
+    t(dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1997-04-01"))
+      .join(broadcast(t(dir, "part")), col("l_partkey") === col("p_partkey"))
+      .agg(
+        round(sum(when(col("p_type").startsWith("PROMO"), rev).otherwise(lit(0L))) / 10000.0, 2)
+          .as("promo_revenue"),
+        round(sum(rev) / 10000.0, 2).as("total_revenue"))
+  }
+
+  val q14Sql: String = {
+    val rev = s"${sqlCents("l_extendedprice")} * (100 - ${sqlCents("l_discount")})"
+    s"""SELECT
+       round(cast(sum(CASE WHEN p_type LIKE 'PROMO%' THEN $rev ELSE 0 END) as bigint) / 10000.0, 2) AS promo_revenue,
+       round(cast(sum($rev) as bigint) / 10000.0, 2) AS total_revenue
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'"""
+  }
+
+  /** Semi-structured: extract a JSON field from events.props and aggregate. */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    events(dir)
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"), col("value"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
+  }
+
+  val jsonExtractSql: String =
+    """SELECT cast(json_extract_string(props, '$.k') as bigint) AS k,
+       count(*) AS n, round(sum(value), 4) AS total_value
+       FROM events GROUP BY k"""
+
   // =====================================================================
   // LLM training-data operators
   // =====================================================================
@@ -584,6 +620,18 @@ object Queries {
     """SELECT doc_id, cast(octet_length(encode(text)) as bigint) AS byte_len, md5(text) AS checksum
        FROM documents"""
 
+  /** Deterministic frame-sampling offsets over binary payloads. */
+  def multimodalFrames(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    t(dir, "documents").select(col("doc_id"),
+      Multimodal.sampleOffsets(encode(col("text"), "UTF-8"), 4).as("offsets"))
+  }
+
+  val multimodalFramesSql: String =
+    """SELECT doc_id,
+       list_transform(range(0, 4), i -> i * cast(octet_length(encode(text)) as bigint) // 4) AS offsets
+       FROM documents"""
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -601,6 +649,9 @@ object Queries {
     ("warehouse_roundtrip", warehouseRoundtrip _, Some(warehouseRoundtripSql)),
     ("sessionize_events", sessionizeEvents _, Some(sessionizeEventsSql)),
     ("orders_pivot", ordersPivot _, Some(ordersPivotSql)),
+    ("q14_promo_revenue", q14PromoRevenue _, Some(q14Sql)),
+    ("json_extract", jsonExtract _, Some(jsonExtractSql)),
+    ("multimodal_frames", multimodalFrames _, Some(multimodalFramesSql)),
     ("dedup_exact", dedupExact _, Some(dedupExactSql)),
     ("minhash_signatures", minhashSignatures _, Some(minhashSignaturesSql)),
     ("lsh_candidate_pairs", lshCandidatePairs _, Some(lshCandidatePairsSql)),
