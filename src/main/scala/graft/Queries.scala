@@ -386,6 +386,49 @@ object Queries {
        count(*) AS n, round(sum(value), 4) AS total_value
        FROM events GROUP BY k"""
 
+  /** Anti join: orders with no lineitem shipped after the cutoff, by status. */
+  def ordersNoLateItems(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val late = t(dir, "lineitem").filter(col("l_shipdate") > lit("2000-01-01"))
+      .select(col("l_orderkey"))
+    t(dir, "orders")
+      .join(late, col("o_orderkey") === col("l_orderkey"), "left_anti")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(cents(col("o_totalprice"))) / 100.0, 2).as("total"))
+  }
+
+  val ordersNoLateItemsSql: String =
+    s"""SELECT o_orderstatus, count(*) AS n,
+       round(cast(sum(${sqlCents("o_totalprice")}) as bigint) / 100.0, 2) AS total
+       FROM orders WHERE NOT EXISTS (
+         SELECT 1 FROM lineitem
+         WHERE l_orderkey = o_orderkey AND l_shipdate > TIMESTAMP '2000-01-01')
+       GROUP BY o_orderstatus"""
+
+  /**
+   * ISO-week revenue rollup driven by the [[graft.time.Week]] interval type:
+   * the week boundaries come from `Week.by(Day)` semantics, surfaced as the
+   * ISO week-year string both engines compute identically.
+   */
+  def weeklyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val q1_1997 = graft.time.Quarter(1997, graft.time.Quarter.Q1)
+    t(dir, "orders")
+      .filter(col("o_orderdate") >= lit(q1_1997.start.toString) &&
+        col("o_orderdate") < lit(q1_1997.end.start.toString))
+      .groupBy(weekofyear(col("o_orderdate")).cast("long").as("iso_week"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(cents(col("o_totalprice"))) / 100.0, 2).as("total"))
+  }
+
+  val weeklyRevenueSql: String =
+    s"""SELECT cast(weekofyear(o_orderdate) as bigint) AS iso_week, count(*) AS n,
+       round(cast(sum(${sqlCents("o_totalprice")}) as bigint) / 100.0, 2) AS total
+       FROM orders
+       WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+       GROUP BY iso_week"""
+
   // =====================================================================
   // LLM training-data operators
   // =====================================================================
@@ -650,6 +693,8 @@ object Queries {
     ("sessionize_events", sessionizeEvents _, Some(sessionizeEventsSql)),
     ("orders_pivot", ordersPivot _, Some(ordersPivotSql)),
     ("q14_promo_revenue", q14PromoRevenue _, Some(q14Sql)),
+    ("orders_no_late_items", ordersNoLateItems _, Some(ordersNoLateItemsSql)),
+    ("weekly_revenue", weeklyRevenue _, Some(weeklyRevenueSql)),
     ("json_extract", jsonExtract _, Some(jsonExtractSql)),
     ("multimodal_frames", multimodalFrames _, Some(multimodalFramesSql)),
     ("dedup_exact", dedupExact _, Some(dedupExactSql)),
