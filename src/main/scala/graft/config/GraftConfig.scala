@@ -51,6 +51,21 @@ final case class GraftConfig(entries: Map[String, String]) {
   def withFallback(other: GraftConfig): GraftConfig = GraftConfig(other.entries ++ entries)
 
   def set(key: String, value: String): GraftConfig = GraftConfig(entries + (key -> value))
+
+  /**
+   * The value of `key` names a properties file to load (reference core
+   * ConfigLoader.scala `propertiesValueReader`): empty when the key is
+   * absent, fails when the path does not exist — used for e.g. JDBC
+   * credentials kept outside the main config.
+   */
+  def getPropertiesFile(key: String): Properties =
+    get(key).fold(new Properties()) { path =>
+      val props = new Properties()
+      val in = new FileInputStream(path)
+      try props.load(in)
+      finally in.close()
+      props
+    }
 }
 
 object GraftConfig {

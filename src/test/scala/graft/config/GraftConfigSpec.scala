@@ -54,6 +54,18 @@ class GraftConfigSpec extends AnyFunSuite with Matchers {
     c.get("path") shouldBe None
   }
 
+  test("getPropertiesFile loads a referenced file, empty when absent, fails when missing") {
+    val file = java.nio.file.Files.createTempFile("graft", ".properties")
+    java.nio.file.Files.writeString(file, "user=john\npass=secret\n")
+    val c = GraftConfig("database.properties" -> file.toString)
+    val props = c.getPropertiesFile("database.properties")
+    props.getProperty("user") shouldBe "john"
+    props.getProperty("pass") shouldBe "secret"
+    c.getPropertiesFile("absent.key").isEmpty shouldBe true
+    a[java.io.FileNotFoundException] should be thrownBy
+      GraftConfig("p" -> "/does/not/exist.properties").getPropertiesFile("p")
+  }
+
   test("properties round trip") {
     val props = new java.util.Properties()
     props.setProperty("x.y", "z")

@@ -92,6 +92,34 @@ class StageSpec extends SparkTestBase {
     pipeline.run(ctx.withValue(41)).get shouldBe 42
   }
 
+  test("contexts intercept each named stage exactly once (map adds no stage)") {
+    // mirrors reference StageSpec's TestContext: runners hang retry and
+    // monitoring off Context.run, so the interception count is the contract
+    class CountingContext[+I](value: I, val names: collection.mutable.ArrayBuffer[String])
+        extends Stage.Context[I](spark, Day(2026, 8, 12), value) {
+      override def withValue[U](u: U): Stage.Context[U] = new CountingContext(u, names)
+      override def run[O](stage: Stage[I, O], result: => O): Stage.Result[O] = {
+        names += stage.name
+        scala.util.Try(result)
+      }
+    }
+    val names = collection.mutable.ArrayBuffer.empty[String]
+    val ctx = new CountingContext[Int](1, names)
+    Stage[Int, Int]("init")(_.value).map(_ + 1).map(_ * 2).run(ctx).get shouldBe 4
+    names.toList shouldBe List("init") // map never re-enters the context
+    names.clear()
+    val chained = for {
+      a <- Stage[Int, Int]("a")(_.value + 1)
+      b <- Stage[Int, Int]("b")(_.value * 10)
+    } yield b
+    chained.run(new CountingContext[Int](1, names)).get shouldBe 20
+    names.toList shouldBe List("a", "b") // each named stage intercepted once
+    names.clear()
+    val failing = Stage[Int, Int]("boom")(_ => sys.error("x")).flatMap(_ => Stage[Int, Int]("after")(_.value))
+    failing.run(new CountingContext[Int](1, names)).isFailure shouldBe true
+    names.toList shouldBe List("boom") // downstream never intercepted
+  }
+
   test("string DSL builds named stages") {
     val st = "my_stage".stage[Any, Int](_ => 5)
     st.name shouldBe "my_stage"
