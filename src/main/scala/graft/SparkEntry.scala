@@ -4,9 +4,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * q1 rather than q5: the pricing summary always yields its full group set
+    * even at the smallest scale factor (q5's selective 6-table join shrinks
+    * to a single row at sf0.001). */
   def entry(spark: SparkSession): DataFrame =
-    Queries.q5RegionRevenue(spark, "/root/testdata/sf0.001")
+    Queries.q1PricingSummary(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
