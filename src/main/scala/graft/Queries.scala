@@ -651,6 +651,19 @@ object Queries {
          WHERE a.vec_id < b.vec_id)
        WHERE cosine >= 0.3"""
 
+  /**
+   * IVF ANN: k-means cells + probe-and-rerank. No DuckDB oracle (k-means is
+   * not reproducible in SQL) — the driver records a rows-only check; the
+   * recall>=0.9 guarantee lives in SimilaritySpec.
+   */
+  def annIvfTopK(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val emb = t(dir, "embeddings")
+    val (assigned, centroids) = Similarity.ivfAssign(emb, "embedding", k = 8)
+    Similarity.ivfTopK(emb.filter(col("vec_id") < 5), assigned, centroids,
+      "vec_id", "embedding", k = 5, nprobe = 2)
+  }
+
   /** Multimodal: opaque binary payloads + SQL-side metadata. */
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
@@ -708,6 +721,7 @@ object Queries {
     ("doc_fingerprints", docFingerprints _, Some(docFingerprintsSql)),
     ("ann_bruteforce_topk", annBruteforceTopK _, Some(annBruteforceTopKSql)),
     ("ann_lsh_buckets", annLshBuckets _, Some(annLshBucketsSql)),
+    ("ann_ivf_topk", annIvfTopK _, None),
     ("embedding_neardup", embeddingNeardup _, Some(embeddingNeardupSql)),
     ("multimodal_meta", multimodalMeta _, Some(multimodalMetaSql)))
 }

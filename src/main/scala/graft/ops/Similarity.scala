@@ -116,6 +116,68 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /**
+   * IVF (inverted-file) index: k-means centroids partition the corpus into
+   * cells; queries search only the `nprobe` nearest cells. The scale path
+   * when random-hyperplane buckets are too coarse: cells adapt to the data
+   * distribution, and the corpus can be written bucketed/partitioned by
+   * `centroid_id` so probes touch only matching files.
+   *
+   * Uses MLlib k-means (deterministic seed). The centroid set (k rows) stays
+   * tiny and broadcasts; the corpus is never collected.
+   */
+  def ivfAssign(
+      corpus: DataFrame,
+      vecCol: String,
+      k: Int = 16,
+      seed: Long = 42L): (DataFrame, DataFrame) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    val featurized = corpus.withColumn("__features", array_to_vector(col(vecCol).cast("array<double>")))
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(20).setFeaturesCol("__features")
+      .fit(featurized)
+    val assigned = model.transform(featurized)
+      .withColumnRenamed(model.getPredictionCol, "centroid_id")
+      .drop("__features")
+    val centroids = corpus.sparkSession.createDataFrame(
+      model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray.map(_.toFloat)) }.toSeq)
+      .toDF("centroid_id", "centroid")
+    (assigned, centroids)
+  }
+
+  /**
+   * ANN top-k over an IVF-assigned corpus: each query probes its `nprobe`
+   * nearest centroids (k x |queries| tiny cross score, centroids broadcast),
+   * then exact cosine reranks within the probed cells only.
+   */
+  def ivfTopK(
+      queries: DataFrame,
+      assigned: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 10,
+      nprobe: Int = 2): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
+    val probeW = Window.partitionBy(col("query_id")).orderBy(col("c_dist").desc, col("centroid_id"))
+    val probes = q
+      .join(broadcast(centroids), lit(true))
+      .withColumn("c_dist", cosine(col("query_vec"), col("centroid")))
+      .withColumn("probe_rank", row_number().over(probeW))
+      .filter(col("probe_rank") <= nprobe)
+      .select(col("query_id"), col("query_vec"), col("centroid_id"))
+    val cells = assigned.select(col(idCol).as("neighbor_id"), col(vecCol).as("neighbor_vec"),
+      col("centroid_id"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    broadcast(probes)
+      .join(cells, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(cosine(col("query_vec"), col("neighbor_vec")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
   /** Embedding-based near-duplicate pairs: same-bucket pairs above a cosine threshold. */
   def embeddingNearDupPairs(
       df: DataFrame,

@@ -85,6 +85,35 @@ class SparkRunnerSpec extends SparkJobSuiteBase {
     job.processedDates shouldBe Vector(Day(2026, 8, 12))
   }
 
+  test("a warehouse-gated job is idempotent across runner invocations") {
+    import graft.io.{HdfsUrl, WarehouseTable}
+    val table = WarehouseTable(HdfsUrl(tmpDir("idempotent_wh")), "out")
+    var writes = 0
+    val job = new SparkJob {
+      override def shouldRunForDate(spark: SparkSession, date: DateInterval): Boolean =
+        !table.exists(spark, date)
+      override def stages: Stage[SparkSession, _] = for {
+        nums <- "nums".source { c =>
+          import c.spark.implicits._
+          c.spark.range(5).as[Long]
+        }
+        _ <- "write".sink[Long] { c => writes += 1; table.save(c.value.toDF(), c.date) }
+      } yield nums
+    }
+    val runner = new SparkRunner[SparkJob] {
+      override def jobName = "idempotent_job"
+      override def schedule: Schedule = Schedule.iterate(Day(2026, 8, 12)).where(_ >= Day(2026, 8, 11))
+      override def createJob(config: GraftConfig): SparkJob = job
+      override protected def createMessaging(config: GraftConfig) = new InMemoryMessagingSystem
+      override def configFile: Option[String] = None
+    }
+    val config = GraftConfig("retry.max" -> "1", "retry.delay" -> "0ms")
+    runner.runWith(spark, config)
+    writes shouldBe 2 // both scheduled dates written
+    runner.runWith(spark, config)
+    writes shouldBe 2 // second invocation: shouldRunForDate gates everything out
+  }
+
   test("RetryOptions reads duration strings and counts from config") {
     val opts = RetryOptions.fromConfig(GraftConfig("retry.delay" -> "10s", "retry.max" -> "5"))
     opts.delay.toSeconds shouldBe 10

@@ -81,6 +81,23 @@ class SimilaritySpec extends SparkTestBase {
     withClue(s"per-query recalls: $recalls") { mean should be >= 0.8 }
   }
 
+  test("IVF ANN reaches recall >= 0.9 vs brute force with nprobe=2") {
+    val queries = corpus.filter($"vec_id" % 10 === 0)
+    val exact = Similarity.bruteForceTopK(queries, corpus, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val (assigned, centroids) = Similarity.ivfAssign(corpus, "embedding", k = 8)
+    centroids.count() shouldBe 8
+    val approx = Similarity.ivfTopK(queries, assigned, centroids, "vec_id", "embedding", k = 5, nprobe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (q, truth) =>
+      approx.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    withClue(s"per-query recalls: $recalls") { mean should be >= 0.9 }
+  }
+
   test("embedding near-dup pairs stay within clusters") {
     val pairs = Similarity.embeddingNearDupPairs(corpus, "vec_id", "embedding",
       threshold = 0.9, nbits = 4)
