@@ -559,6 +559,63 @@ object Queries {
          FROM (SELECT doc_id, $Toks AS toks FROM documents)))"""
   }
 
+  /**
+   * PII scrubbing: the word-soup test corpus has no PII, so deterministic
+   * synthetic PII is appended to every 5th doc before scrubbing — the
+   * redaction, detection flag and scrubbed fingerprint are all checked.
+   */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val salted = when(col("doc_id") % 5 === 0,
+      concat(col("text"), lit(" contact user"), col("doc_id"), lit("@example.com or +1 555 010 "),
+        col("doc_id"), lit(" at 10.0.0."), col("doc_id") % 255))
+      .otherwise(col("text"))
+    t(dir, "documents")
+      .select(col("doc_id"), salted.as("salted"))
+      .select(col("doc_id"),
+        TextAnalysis.hasPii(col("salted")).cast("long").as("has_pii"),
+        md5(TextAnalysis.scrubPii(col("salted"))).as("scrubbed_fp"))
+  }
+
+  val piiScrubSql: String = {
+    val salted = "CASE WHEN doc_id % 5 = 0 THEN text || ' contact user' || doc_id || " +
+      "'@example.com or +1 555 010 ' || doc_id || ' at 10.0.0.' || (doc_id % 255) ELSE text END"
+    // DuckDB single-quoted strings are not C-escaped: backslashes pass through verbatim
+    val scrubbed = TextAnalysis.PiiPatterns.foldLeft("salted") { case (c, (kind, p)) =>
+      s"regexp_replace($c, '${p.replace("'", "''")}', '<${kind.toUpperCase}>', 'g')"
+    }
+    val any = TextAnalysis.PiiPatterns
+      .map { case (_, p) => s"CASE WHEN regexp_matches(salted, '${p.replace("'", "''")}') THEN 1 ELSE 0 END" }
+      .mkString(" + ")
+    s"""SELECT doc_id, cast(CASE WHEN ($any) > 0 THEN 1 ELSE 0 END as bigint) AS has_pii,
+       md5($scrubbed) AS scrubbed_fp
+       FROM (SELECT doc_id, $salted AS salted FROM documents)"""
+  }
+
+  /** Gopher-style quality gate flags per document. */
+  def qualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val flags = TextAnalysis.qualityFlags(col("text")).map { case (n, c) => c.as(n) }
+    t(dir, "documents").select(col("doc_id") +: flags: _*)
+  }
+
+  val qualityFilterSql: String =
+    s"""SELECT doc_id,
+       cast(CASE WHEN n_tokens >= 5 AND n_tokens <= 100000 THEN 1 ELSE 0 END as bigint) AS ok_word_count,
+       cast(CASE WHEN mean_len >= 2.0 AND mean_len <= 12.0 THEN 1 ELSE 0 END as bigint) AS ok_mean_word_len,
+       cast(CASE WHEN symbol_ratio <= 0.2 THEN 1 ELSE 0 END as bigint) AS ok_symbol_ratio,
+       cast(CASE WHEN distinct_ratio >= 0.2 THEN 1 ELSE 0 END as bigint) AS ok_distinct_ratio,
+       cast((CASE WHEN n_tokens >= 5 AND n_tokens <= 100000 THEN 1 ELSE 0 END)
+         * (CASE WHEN mean_len >= 2.0 AND mean_len <= 12.0 THEN 1 ELSE 0 END)
+         * (CASE WHEN symbol_ratio <= 0.2 THEN 1 ELSE 0 END)
+         * (CASE WHEN distinct_ratio >= 0.2 THEN 1 ELSE 0 END) as bigint) AS passes
+       FROM (SELECT doc_id,
+               len(toks) AS n_tokens,
+               coalesce(list_sum(list_transform(toks, t -> length(t))), 0) / cast(greatest(len(toks), 1) as double) AS mean_len,
+               (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))) / cast(greatest(length(text), 1) as double) AS symbol_ratio,
+               len(list_distinct(toks)) / cast(greatest(len(toks), 1) as double) AS distinct_ratio
+             FROM (SELECT doc_id, text, $Toks AS toks FROM documents))"""
+
   /** Whitespace + BPE-ish token counts. */
   def tokenCounts(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
@@ -718,6 +775,8 @@ object Queries {
     ("text_quality", textQuality _, Some(textQualitySql)),
     ("lang_id", langId _, Some(langIdSql)),
     ("token_counts", tokenCounts _, Some(tokenCountsSql)),
+    ("pii_scrub", piiScrub _, Some(piiScrubSql)),
+    ("quality_filter", qualityFilter _, Some(qualityFilterSql)),
     ("doc_fingerprints", docFingerprints _, Some(docFingerprintsSql)),
     ("ann_bruteforce_topk", annBruteforceTopK _, Some(annBruteforceTopKSql)),
     ("ann_lsh_buckets", annLshBuckets _, Some(annLshBucketsSql)),

@@ -81,6 +81,57 @@ object TextAnalysis {
       "mean_word_len" -> round(wordChars.cast("double") / greatest(nTokens, lit(1)), 4))
   }
 
+  /**
+   * PII patterns, engine-portable (identical in Java regex and RE2): email,
+   * international-ish phone runs, IPv4, US SSN. Conservative by design —
+   * a production scrubber layers locale-specific patterns on top.
+   */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "email" -> """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""",
+    "phone" -> """\+[0-9][0-9 ()-]{7,}[0-9]""",
+    "ipv4" -> """\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b""",
+    "ssn" -> """\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b""")
+
+  /** Redact every PII pattern with `<KIND>` markers; pure codegen'd regexp chain. */
+  def scrubPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (kind, pattern)) =>
+      regexp_replace(c, pattern, s"<${kind.toUpperCase}>")
+    }
+
+  /** 1 when any PII pattern matches, else 0. */
+  def hasPii(text: Column): Column =
+    PiiPatterns.map { case (_, p) => when(regexp_like(text, lit(p)), 1).otherwise(0) }
+      .reduce(_ + _).gt(0).cast("int")
+
+  /**
+   * Gopher-style document quality gate: word-count bounds, mean word length
+   * bounds, symbol ratio, and distinct-token ratio (low = degenerate
+   * repetition). Returns (flagName -> 0/1 column) plus an overall `passes`.
+   */
+  def qualityFlags(
+      text: Column,
+      minWords: Int = 5,
+      maxWords: Int = 100000,
+      minMeanWordLen: Double = 2.0,
+      maxMeanWordLen: Double = 12.0,
+      maxSymbolRatio: Double = 0.2,
+      minDistinctRatio: Double = 0.2): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    val nTokens = size(toks)
+    val meanLen = aggregate(toks, lit(0), (acc, t) => acc + length(t)).cast("double") /
+      greatest(nTokens, lit(1))
+    val symbolRatio = (length(text) - length(regexp_replace(text, """[^a-zA-Z0-9\s]""", "")))
+      .cast("double") / greatest(length(text), lit(1))
+    val distinctRatio = size(array_distinct(toks)).cast("double") / greatest(nTokens, lit(1))
+    val flags = Seq(
+      "ok_word_count" -> (nTokens >= minWords && nTokens <= maxWords),
+      "ok_mean_word_len" -> (meanLen >= minMeanWordLen && meanLen <= maxMeanWordLen),
+      "ok_symbol_ratio" -> (symbolRatio <= maxSymbolRatio),
+      "ok_distinct_ratio" -> (distinctRatio >= minDistinctRatio))
+    val asInts = flags.map { case (n, c) => n -> when(c, 1L).otherwise(0L) }
+    asInts :+ ("passes" -> asInts.map(_._2).reduce(_ * _))
+  }
+
   /** Whitespace-normalized, lowercased text — the canonical form for hashing. */
   def normalize(text: Column): Column =
     lower(trim(regexp_replace(text, "\\s+", " ")))

@@ -59,6 +59,38 @@ class TextAnalysisSpec extends SparkTestBase {
     extended should be <= fp1
   }
 
+  test("PII scrubbing redacts emails, phones, IPs and SSNs") {
+    val dirty = "mail me at john.doe+x@corp.example.org or call +1 (514) 555-0199, " +
+      "server 192.168.1.10, ssn 123-45-6789 ok"
+    val (scrubbed, flag) = one(dirty)
+      .select(TextAnalysis.scrubPii($"text"), TextAnalysis.hasPii($"text"))
+      .as[(String, Int)].head()
+    scrubbed should include("<EMAIL>")
+    scrubbed should include("<PHONE>")
+    scrubbed should include("<IPV4>")
+    scrubbed should include("<SSN>")
+    scrubbed should not include "john.doe"
+    scrubbed should not include "192.168.1.10"
+    flag shouldBe 1
+    one("nothing sensitive here").select(TextAnalysis.hasPii($"text")).as[Int].head() shouldBe 0
+  }
+
+  test("quality flags gate degenerate documents") {
+    val rows = Seq(
+      ("good", "the quick brown fox jumps over the lazy dog near the river bank today"),
+      ("too_short", "hi"),
+      ("repetitive", ("spam " * 50).trim),
+      ("symbols", "@#$% ^&*! @#$% ^&*! @#$% ~~~ !!! ??? ### $$$ %%%")
+    ).toDF("name", "text")
+    val flags = TextAnalysis.qualityFlags($"text").map { case (n, c) => c.as(n) }
+    val byName = rows.select($"name" +: flags: _*).collect()
+      .map(r => r.getString(0) -> r.getLong(5)).toMap // passes col
+    byName("good") shouldBe 1L
+    byName("too_short") shouldBe 0L
+    byName("repetitive") shouldBe 0L // distinct ratio 1/50
+    byName("symbols") shouldBe 0L
+  }
+
   test("stopword hits count multiset occurrences") {
     one("the the the").select(
       TextAnalysis.stopwordHits(TextAnalysis.tokens($"text"), Seq("the", "and")))
