@@ -1,0 +1,61 @@
+package graft.etl.examples
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft._
+import graft.etl.{SparkJob, Stage}
+import graft.io.{Warehouse, WarehouseTable}
+import graft.ops.TextAnalysis
+import graft.time.DateInterval
+
+/**
+ * End-to-end example wiring the whole library together: an incremental
+ * cross-date dedup pipeline, the shape every training-data ingestion job
+ * takes.
+ *
+ * Per date: read the day's documents, drop rows whose normalized-text
+ * fingerprint was already seen on ANY earlier date (anti join against the
+ * fingerprint store), drop within-day duplicates, then append the day's new
+ * fingerprints to the store and write the clean partition.
+ *
+ * Scale notes: the fingerprint store holds only `(fp)` — 32 bytes a row for
+ * billions of rows; the anti join shuffles on the fingerprint hash (or stays
+ * shuffle-free if both sides are bucketed by fp via [[graft.io.Bucketing]]);
+ * day partitions load via partition pruning, never the whole corpus.
+ */
+class IncrementalDedupJob(
+    source: DateInterval => DataFrame,
+    clean: WarehouseTable,
+    fingerprints: WarehouseTable,
+    textCol: String = "text",
+    idCol: String = "doc_id")
+    extends SparkJob {
+
+  override def shouldRunForDate(spark: SparkSession, date: DateInterval): Boolean =
+    !clean.exists(spark, date)
+
+  private def seenFingerprints(spark: SparkSession): DataFrame =
+    if (fingerprints.tableUrl.exists(spark)) fingerprints.loadAll(spark).select(col("fp"))
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("fp", org.apache.spark.sql.types.StringType))))
+
+  override def stages: Stage[SparkSession, _] = for {
+    raw <- "read_docs".source(ctx => source(ctx.date))
+    deduped <- Stage.transform[org.apache.spark.sql.Row, org.apache.spark.sql.Row]("dedup") { ctx =>
+      val withFp = ctx.value.toDF()
+        .withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
+      val newDocs = withFp.join(seenFingerprints(ctx.spark), Seq("fp"), "left_anti")
+      // within-day dedup: deterministic keeper on the smallest id
+      graft.ops.Dedup.exact(newDocs, textCol, idCol)
+    }
+    _ <- "write_fingerprints".sink[org.apache.spark.sql.Row] { ctx =>
+      fingerprints.save(ctx.value.toDF().select(col("fp")).distinct(), ctx.date, Warehouse.WriteTruncate)
+    }
+    _ <- "write_clean".sink[org.apache.spark.sql.Row] { ctx =>
+      clean.save(ctx.value.toDF().drop("fp"), ctx.date, Warehouse.WriteTruncate)
+    }
+  } yield deduped
+}
