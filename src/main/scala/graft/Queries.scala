@@ -62,6 +62,16 @@ object Queries {
   private def sqlCents(c: String) = s"cast(round($c * 100, 0) as bigint)"
   private val Norm = raw"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
   private val Toks = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+  /** Cosine over `qv`/`nv` list columns (twin of [[Similarity.cosine]]).
+    * Declared with the other SQL helpers: any val referenced by an earlier
+    * val would silently interpolate as "null" (Scala init order). */
+  private val SqlCos = {
+    val dot = "list_sum(list_transform(range(1, len(qv) + 1), i -> cast(qv[i] as double) * cast(nv[i] as double)))"
+    val nq = "sqrt(list_sum(list_transform(qv, x -> cast(x as double) * cast(x as double))))"
+    val nn = "sqrt(list_sum(list_transform(nv, x -> cast(x as double) * cast(x as double))))"
+    s"round($dot / ($nq * $nn), 4)"
+  }
+
   /** Word 5-gram shingles over a `toks` column (twin of [[Dedup.wordShingles]]). */
   private val SqlShingles =
     "list_distinct(list_transform(range(1, greatest(len(toks) - 4, 1) + 1), i -> array_to_string(toks[i:i+4], ' ')))"
@@ -500,6 +510,62 @@ object Queries {
          FROM cand JOIN docs a ON cand.id_a = a.doc_id JOIN docs b ON cand.id_b = b.doc_id)
        WHERE jaccard >= 0.8"""
 
+  /** Duplicate clusters: connected components over verified near-dup pairs. */
+  def dupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.nearDuplicatePairs(t(dir, "documents")(spark), "doc_id", "text", threshold = 0.8)
+    Dedup.duplicateClusters(pairs)
+  }
+
+  /**
+   * Oracle twin of [[Dedup.duplicateClusters]]: 6 fixed rounds of min-label
+   * propagation (Spark iterates to convergence; 6 rounds cover any component
+   * of diameter <= 6, far beyond real dup-cluster shapes).
+   */
+  val dupClustersSql: String = {
+    val rounds = (1 to 6).map { k =>
+      s"""l$k AS (SELECT id, min(cluster_id) AS cluster_id FROM (
+            SELECT id, cluster_id FROM l${k - 1}
+            UNION ALL
+            SELECT e.src AS id, l.cluster_id FROM edges e JOIN l${k - 1} l ON e.dst = l.id
+          ) GROUP BY id)"""
+    }.mkString(",\n       ")
+    s"""WITH pairs AS ($nearDupPairsSql),
+       edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                 UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+       l0 AS (SELECT DISTINCT src AS id, src AS cluster_id FROM edges),
+       $rounds
+       SELECT id, cluster_id FROM l6"""
+  }
+
+  /** Multiprobe LSH ANN: probe own + Hamming-1 buckets, exact rerank. */
+  def annMultiprobe(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val emb = t(dir, "embeddings")
+    Similarity.annTopKMultiprobe(emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding",
+      k = 5, nbits = 8)
+  }
+
+  val annMultiprobeSql: String =
+    s"""WITH bucketed AS (
+         SELECT vec_id, embedding, cast(${sqlLshBucket("embedding")} as bigint) AS bucket
+         FROM embeddings),
+       probes AS (
+         SELECT vec_id AS query_id, embedding AS qv,
+                unnest(list_concat(list_transform(range(0, 8), i -> xor(bucket, (1::BIGINT << i))),
+                                   [bucket])) AS bucket
+         FROM bucketed WHERE vec_id < 5),
+       cand AS (
+         SELECT p.query_id, c.vec_id AS neighbor_id, p.qv AS qv, c.embedding AS nv
+         FROM probes p JOIN bucketed c USING (bucket)
+         WHERE p.query_id <> c.vec_id),
+       scored AS (
+         SELECT DISTINCT query_id, neighbor_id, $SqlCos AS cosine FROM cand)
+       SELECT query_id, neighbor_id, cosine, rank FROM (
+         SELECT query_id, neighbor_id, cosine,
+                row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         FROM scored)
+       WHERE rank <= 5"""
+
   /** 32-bit SimHash fingerprints (per-row, portable md5 bit parity). */
   def simhashFingerprints(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
@@ -651,13 +717,6 @@ object Queries {
     Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", k = 5)
   }
 
-  private val SqlCos = {
-    val dot = "list_sum(list_transform(range(1, len(qv) + 1), i -> cast(qv[i] as double) * cast(nv[i] as double)))"
-    val nq = "sqrt(list_sum(list_transform(qv, x -> cast(x as double) * cast(x as double))))"
-    val nn = "sqrt(list_sum(list_transform(nv, x -> cast(x as double) * cast(x as double))))"
-    s"round($dot / ($nq * $nn), 4)"
-  }
-
   val annBruteforceTopKSql: String =
     s"""SELECT query_id, neighbor_id, cosine, rank FROM (
        SELECT query_id, neighbor_id, cosine,
@@ -781,6 +840,8 @@ object Queries {
     ("ann_bruteforce_topk", annBruteforceTopK _, Some(annBruteforceTopKSql)),
     ("ann_lsh_buckets", annLshBuckets _, Some(annLshBucketsSql)),
     ("ann_ivf_topk", annIvfTopK _, None),
+    ("ann_multiprobe", annMultiprobe _, Some(annMultiprobeSql)),
+    ("dup_clusters", dupClusters _, Some(dupClustersSql)),
     ("embedding_neardup", embeddingNeardup _, Some(embeddingNeardupSql)),
     ("multimodal_meta", multimodalMeta _, Some(multimodalMetaSql)))
 }

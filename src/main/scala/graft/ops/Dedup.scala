@@ -203,4 +203,57 @@ object Dedup {
 
   /** Hamming distance between two simhash fingerprints. */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /**
+   * Duplicate clusters from near-dup pairs: connected components, each doc
+   * labeled with its cluster's minimum id (the canonical keeper). Iterative
+   * min-label propagation over the pair edges — converges in
+   * O(log(diameter)) joins, and dup clusters are short chains in practice,
+   * so the default iteration cap is generous. Unlike a GraphX round trip
+   * this stays in DataFrame land (AQE, broadcast, codegen all apply).
+   *
+   * Input: `(id_a, id_b)` pairs. Output: `(id, cluster_id)` for every id
+   * appearing in any pair; singletons are their own cluster by omission.
+   */
+  def duplicateClusters(pairs: DataFrame, maxIterations: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster_id", col("id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIterations) {
+      // each node adopts the min label among itself and its neighbors
+      val neighborLabels = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .select(col("src").as("id"), col("cluster_id"))
+      val updated = labels.select(col("id"), col("cluster_id"))
+        .union(neighborLabels)
+        .groupBy("id").agg(min("cluster_id").as("cluster_id"))
+      val changes = updated.as("u")
+        .join(labels.as("l"), "id")
+        .filter(col("u.cluster_id") =!= col("l.cluster_id"))
+        .limit(1).count()
+      labels = updated.localCheckpoint(eager = true) // truncate the growing lineage
+      converged = changes == 0
+      i += 1
+    }
+    labels
+  }
+
+  /**
+   * One-call near-dup removal: keep, per duplicate cluster, the smallest id.
+   * Returns the deduplicated DataFrame.
+   */
+  def removeNearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8): DataFrame = {
+    val pairs = nearDuplicatePairs(df, idCol, textCol, threshold)
+    val losers = duplicateClusters(pairs)
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
 }

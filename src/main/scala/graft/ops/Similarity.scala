@@ -117,6 +117,37 @@ object Similarity {
   }
 
   /**
+   * Multiprobe LSH ANN: each query also probes the buckets at Hamming
+   * distance 1 from its own (flip each of the `nbits` sign bits), trading
+   * `nbits+1` x candidate volume for much higher recall at the same bucket
+   * granularity — the standard way to keep buckets small AND recall high.
+   */
+  def annTopKMultiprobe(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 10,
+      nbits: Int = 8): DataFrame = {
+    val flips = array((0 until nbits).map(i => lit(1L << i)) :+ lit(0L): _*)
+    val q = broadcast(
+      withLshBucket(queries, vecCol, nbits)
+        .select(col(idCol).as("query_id"), col(vecCol).as("query_vec"),
+          explode(transform(flips, f => col("bucket").bitwiseXOR(f))).as("bucket")))
+    val c = withLshBucket(corpus, vecCol, nbits)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("neighbor_vec"), col("bucket"))
+    val scored = q
+      .join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(cosine(col("query_vec"), col("neighbor_vec")), 4))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .select(col("query_id"), col("neighbor_id"), col("cosine")).distinct()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /**
    * IVF (inverted-file) index: k-means centroids partition the corpus into
    * cells; queries search only the `nprobe` nearest cells. The scale path
    * when random-hyperplane buckets are too coarse: cells adapt to the data

@@ -66,6 +66,22 @@ class DedupSpec extends SparkTestBase {
     verified.exists { case (a, b) => a == 4L || b == 4L } shouldBe false
   }
 
+  test("duplicate clusters are connected components labeled by min id") {
+    // two chains: 1-2, 2-3 (cluster 1) and 7-9 (cluster 7); 5 untouched
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val clusters = Dedup.duplicateClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    clusters shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L)
+  }
+
+  test("removeNearDuplicates keeps one representative per cluster") {
+    val kept = Dedup.removeNearDuplicates(docs, "id", "text", threshold = 0.8)
+      .select("id").as[Long].collect().sorted
+    // 1, 2 (near-dup of 1 but ALSO clustered with it -> only min survives),
+    // 3 and 5 are exact/normalized dups of 1; 4 is unrelated
+    kept shouldBe Array(1L, 4L)
+  }
+
   test("bucket cap drops degenerate buckets before pairing") {
     val boilerplate = (1L to 20L).map(i => (i, base)).toDF("id", "text")
     Dedup.lshCandidatePairs(boilerplate, "id", "text", maxBucket = 5).count() shouldBe 0

@@ -81,6 +81,28 @@ class SimilaritySpec extends SparkTestBase {
     withClue(s"per-query recalls: $recalls") { mean should be >= 0.8 }
   }
 
+  test("multiprobe LSH beats single-probe recall at the same nbits") {
+    val queries = corpus.filter($"vec_id" % 10 === 0)
+    def recallOf(approx: Map[Long, Set[Long]], exact: Map[Long, Set[Long]]): Double = {
+      val rs = exact.map { case (q, truth) =>
+        approx.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+      }
+      rs.sum / rs.size
+    }
+    def results(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = results(Similarity.bruteForceTopK(queries, corpus, "vec_id", "embedding", k = 5))
+    val single = recallOf(results(
+      Similarity.annTopK(queries, corpus, "vec_id", "embedding", k = 5, nbits = 10)), exact)
+    val multi = recallOf(results(
+      Similarity.annTopKMultiprobe(queries, corpus, "vec_id", "embedding", k = 5, nbits = 10)), exact)
+    withClue(s"single=$single multi=$multi") {
+      multi should be >= single
+      multi should be >= 0.9
+    }
+  }
+
   test("IVF ANN reaches recall >= 0.9 vs brute force with nprobe=2") {
     val queries = corpus.filter($"vec_id" % 10 === 0)
     val exact = Similarity.bruteForceTopK(queries, corpus, "vec_id", "embedding", k = 5)
