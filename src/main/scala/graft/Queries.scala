@@ -396,6 +396,68 @@ object Queries {
        count(*) AS n, round(sum(value), 4) AS total_value
        FROM events GROUP BY k"""
 
+  /** TPC-H Q7-style: supplier-nation x customer-nation shipping volume by year. */
+  def q7NationVolume(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val n1 = broadcast(t(dir, "nation").select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+    val n2 = broadcast(t(dir, "nation").select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation")))
+    t(dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1998-01-01"))
+      .join(broadcast(t(dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(t(dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(n1, col("s_nationkey") === col("s_nk"))
+      .join(n2, col("c_nationkey") === col("c_nk"))
+      .filter(col("supp_nation").isin("NATION_3", "NATION_7") &&
+        col("cust_nation").isin("NATION_3", "NATION_7"))
+      .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(round(sum(cents(col("l_extendedprice")) * (lit(100L) - pct(col("l_discount")))) / 10000.0, 2)
+        .as("revenue"))
+  }
+
+  val q7Sql: String =
+    s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       cast(year(l_shipdate) as bigint) AS l_year,
+       round(cast(sum(${sqlCents("l_extendedprice")} * (100 - ${sqlCents("l_discount")})) as bigint) / 10000.0, 2) AS revenue
+       FROM lineitem
+       JOIN supplier ON l_suppkey = s_suppkey
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+         AND n1.n_name IN ('NATION_3', 'NATION_7') AND n2.n_name IN ('NATION_3', 'NATION_7')
+       GROUP BY 1, 2, 3"""
+
+  /** TPC-H Q8-style: one nation's market share of region revenue by year. */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val vol = cents(col("l_extendedprice")) * (lit(100L) - pct(col("l_discount")))
+    val nations = broadcast(t(dir, "nation")
+      .join(broadcast(t(dir, "region")).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name")))
+    t(dir, "lineitem")
+      .join(broadcast(t(dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(nations, col("s_nationkey") === col("n_nationkey"))
+      .groupBy(year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(round(sum(when(col("n_name") === "NATION_7", vol).otherwise(lit(0L))).cast("double") /
+        greatest(sum(vol), lit(1L)), 6).as("mkt_share"))
+  }
+
+  val q8Sql: String = {
+    val vol = s"${sqlCents("l_extendedprice")} * (100 - ${sqlCents("l_discount")})"
+    s"""SELECT cast(year(l_shipdate) as bigint) AS l_year,
+       round(cast(sum(CASE WHEN n_name = 'NATION_7' THEN $vol ELSE 0 END) as bigint)
+             / cast(greatest(sum($vol), 1) as double), 6) AS mkt_share
+       FROM lineitem
+       JOIN supplier ON l_suppkey = s_suppkey
+       JOIN nation ON s_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       WHERE r_name = 'ASIA'
+       GROUP BY 1"""
+  }
+
   /** Anti join: orders with no lineitem shipped after the cutoff, by status. */
   def ordersNoLateItems(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
@@ -822,6 +884,8 @@ object Queries {
     ("sessionize_events", sessionizeEvents _, Some(sessionizeEventsSql)),
     ("orders_pivot", ordersPivot _, Some(ordersPivotSql)),
     ("q14_promo_revenue", q14PromoRevenue _, Some(q14Sql)),
+    ("q7_nation_volume", q7NationVolume _, Some(q7Sql)),
+    ("q8_market_share", q8MarketShare _, Some(q8Sql)),
     ("orders_no_late_items", ordersNoLateItems _, Some(ordersNoLateItemsSql)),
     ("weekly_revenue", weeklyRevenue _, Some(weeklyRevenueSql)),
     ("json_extract", jsonExtract _, Some(jsonExtractSql)),

@@ -216,8 +216,11 @@ object Dedup {
    * appearing in any pair; singletons are their own cluster by omission.
    */
   def duplicateClusters(pairs: DataFrame, maxIterations: Int = 10): DataFrame = {
+    // materialize the edge list once: it is re-joined every round, and its
+    // lineage is the whole (expensive) candidate-pair pipeline
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(eager = true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id"))
     var converged = false
@@ -227,14 +230,26 @@ object Dedup {
       val neighborLabels = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .select(col("src").as("id"), col("cluster_id"))
-      val updated = labels.select(col("id"), col("cluster_id"))
+      // materialize before the self-join: a self-join over the live
+      // union+groupBy plan trips analyzer attribute dedup, and the probe +
+      // next round reuse the materialized result anyway
+      val propagated = labels.select(col("id"), col("cluster_id"))
         .union(neighborLabels)
         .groupBy("id").agg(min("cluster_id").as("cluster_id"))
+        .localCheckpoint(eager = true)
+      // pointer jumping: adopt the label of your label, halving the distance
+      // to the component minimum — O(log diameter) rounds instead of O(diameter)
+      val updated = propagated
+        .join(propagated.select(col("id").as("b_id"), col("cluster_id").as("b_cluster")),
+          col("cluster_id") === col("b_id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("b_cluster"), col("cluster_id"))).as("cluster_id"))
+        .localCheckpoint(eager = true)
       val changes = updated.as("u")
         .join(labels.as("l"), "id")
         .filter(col("u.cluster_id") =!= col("l.cluster_id"))
         .limit(1).count()
-      labels = updated.localCheckpoint(eager = true) // truncate the growing lineage
+      labels = updated
       converged = changes == 0
       i += 1
     }

@@ -69,6 +69,30 @@ object EventStreams {
     events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(idCol)
 
   /**
+   * Stream-static enrichment: join the event stream against a (batch) dim
+   * table. Stream-static joins are stateless — each micro-batch joins
+   * against the current dim snapshot, and a broadcast dim never shuffles
+   * the stream.
+   */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
+
+  /**
+   * Stream into a date-partitioned [[WarehouseTable]] via `foreachBatch`:
+   * each micro-batch appends to the partition of its processing date, so
+   * downstream batch jobs (and `shouldRunForDate` gates) see streaming
+   * output exactly like batch output.
+   */
+  def warehouseSink(
+      events: DataFrame,
+      table: graft.io.WarehouseTable,
+      date: () => graft.time.DateInterval = () => graft.time.Day.today)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      table.save(batch, date(), graft.io.Warehouse.WriteAppend)
+    }
+
+  /**
    * Gap-based sessionization with [[Dataset.flatMapGroupsWithState]] state
    * per user: a session closes (and emits) when `gap` passes with no event —
    * enforced by an event-time timeout, so emission is driven by the

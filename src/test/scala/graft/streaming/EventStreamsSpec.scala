@@ -56,6 +56,33 @@ class EventStreamsSpec extends SparkTestBase {
     spark.table("dedup_out").select($"event_id").as[Long].collect().sorted shouldBe Array(1L, 2L, 3L)
   }
 
+  test("stream-static enrichment joins each batch against the dim table") {
+    implicit val sc = spark.sqlContext
+    val dim = Seq((10L, "gold"), (11L, "silver")).toDF("user_id", "tier")
+    val in = MemoryStream[Event]
+    val q = enrich(asContract(in.toDF()), dim, "user_id")
+      .writeStream.format("memory").queryName("enrich_out").outputMode("append").start()
+    in.addData(Event(1, ts(1), 10, "click", 1.0), Event(2, ts(2), 99, "view", 2.0))
+    runToCompletion(q)
+    val out = spark.table("enrich_out").select($"user_id", $"tier").as[(Long, Option[String])]
+      .collect().toSet
+    out shouldBe Set((10L, Some("gold")), (99L, None))
+  }
+
+  test("warehouseSink lands micro-batches in a date partition") {
+    implicit val sc = spark.sqlContext
+    val table = graft.io.WarehouseTable(graft.io.HdfsUrl(tmpDir("stream_wh")), "events")
+    val date = graft.time.Day(2026, 8, 12)
+    val in = MemoryStream[Event]
+    val q = warehouseSink(asContract(in.toDF()), table, () => date)
+      .option("checkpointLocation", tmpDir("stream_wh_ckpt")).start()
+    in.addData(Event(1, ts(1), 10, "click", 1.0), Event(2, ts(2), 11, "view", 2.0))
+    q.processAllAvailable()
+    in.addData(Event(3, ts(3), 12, "click", 3.0))
+    runToCompletion(q)
+    table.load(spark, date).count() shouldBe 3 // appended across micro-batches
+  }
+
   test("stateful sessionization closes sessions on gap timeout") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Event]
