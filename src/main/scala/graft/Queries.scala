@@ -744,6 +744,19 @@ object Queries {
                len(list_distinct(toks)) / cast(greatest(len(toks), 1) as double) AS distinct_ratio
              FROM (SELECT doc_id, text, $Toks AS toks FROM documents))"""
 
+  /** Corpus-level top-50 bigrams by frequency. */
+  def topNgrams(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.topNgrams(t(dir, "documents")(spark), "text", n = 2, k = 50)
+
+  val topNgramsSql: String =
+    s"""SELECT ngram, n FROM (
+       SELECT ngram, count(*) AS n,
+              row_number() OVER (ORDER BY count(*) DESC, ngram) AS rk
+       FROM (SELECT unnest(list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
+                    i -> array_to_string(toks[i:i+1], ' '))) AS ngram
+             FROM (SELECT $Toks AS toks FROM documents))
+       GROUP BY ngram) WHERE rk <= 50"""
+
   /** Whitespace + BPE-ish token counts. */
   def tokenCounts(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
@@ -899,6 +912,7 @@ object Queries {
     ("lang_id", langId _, Some(langIdSql)),
     ("token_counts", tokenCounts _, Some(tokenCountsSql)),
     ("pii_scrub", piiScrub _, Some(piiScrubSql)),
+    ("top_ngrams", topNgrams _, Some(topNgramsSql)),
     ("quality_filter", qualityFilter _, Some(qualityFilterSql)),
     ("doc_fingerprints", docFingerprints _, Some(docFingerprintsSql)),
     ("ann_bruteforce_topk", annBruteforceTopK _, Some(annBruteforceTopKSql)),

@@ -132,6 +132,18 @@ object TextAnalysis {
     asInts :+ ("passes" -> asInts.map(_._2).reduce(_ * _))
   }
 
+  /**
+   * Corpus-level top-k word n-grams by frequency: explode (multiset) n-grams,
+   * one count shuffle with map-side partials, deterministic tiebreak. The
+   * standard corpus-statistics pass before vocabulary or contamination
+   * analysis.
+   */
+  def topNgrams(df: org.apache.spark.sql.DataFrame, textCol: String, n: Int = 2, k: Int = 100): org.apache.spark.sql.DataFrame =
+    df.select(explode(Dedup.wordShingles(col(textCol), n)).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("ngram"))
+      .limit(k)
+
   /** Whitespace-normalized, lowercased text — the canonical form for hashing. */
   def normalize(text: Column): Column =
     lower(trim(regexp_replace(text, "\\s+", " ")))

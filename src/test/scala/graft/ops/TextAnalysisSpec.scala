@@ -91,6 +91,15 @@ class TextAnalysisSpec extends SparkTestBase {
     byName("symbols") shouldBe 0L
   }
 
+  test("topNgrams counts multiset bigrams with deterministic ordering") {
+    val df = Seq("the cat sat", "the cat ran", "a dog ran").toDF("text")
+    val top = TextAnalysis.topNgrams(df, "text", n = 2, k = 3)
+      .as[(String, Long)].collect().toList
+    top.head shouldBe ("the cat", 2L)
+    top should have size 3
+    top(1)._2 shouldBe 1L // ties broken alphabetically
+  }
+
   test("stopword hits count multiset occurrences") {
     one("the the the").select(
       TextAnalysis.stopwordHits(TextAnalysis.tokens($"text"), Seq("the", "and")))
