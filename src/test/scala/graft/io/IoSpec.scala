@@ -31,6 +31,12 @@ class IoSpec extends SparkTestBase {
     spark.read.parquet(url).as[Long].collect().sorted shouldBe (0L until 10L).toArray
   }
 
+  test("Schema.encoder derives product encoders without spark.implicits") {
+    val ds = spark.createDataset(Seq(IoSpec.Point(1, "a"), IoSpec.Point(2, "b")))(
+      graft.Schema.encoder[IoSpec.Point])
+    ds.collect().map(_.x).sorted shouldBe Array(1L, 2L)
+  }
+
   test("column ops: nullify and isDefined") {
     val df = Seq(Some("a"), Some(""), Some("null"), None).toDF("v")
     df.select(col("v").nullify).as[Option[String]].collect().toSet shouldBe
@@ -68,4 +74,8 @@ class IoSpec extends SparkTestBase {
     all.select("date").distinct().as[java.sql.Date].collect().map(_.toString).sorted shouldBe
       Array("2026-08-11", "2026-08-12")
   }
+}
+
+object IoSpec {
+  case class Point(x: Long, label: String)
 }
