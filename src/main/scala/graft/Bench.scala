@@ -36,6 +36,8 @@ object Bench {
     r.withColumn("rn", row_number().over(Window.partitionBy("k").orderBy("id")))
       .join(r.select(col("k")).distinct(), "k")
       .write.format("noop").mode("overwrite").save()
+    r.groupBy("k").agg(min_by(struct(col("id"), col("k")), col("id")))
+      .write.format("noop").mode("overwrite").save()
     val results = Queries.all.map { case (name, fn, _) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
