@@ -71,6 +71,36 @@ object Multimodal {
   }
 
   /**
+   * Feature extraction stub: a deterministic pseudo-embedding from the
+   * payload bytes (md5 over seeded windows, mapped to [-1, 1]). Stands in
+   * for a real image/audio encoder — swapping in an ONNX/JNI model changes
+   * only this function — and lets the full multimodal pipeline
+   * (decode -> featurize -> [[Similarity]] ANN index) run and be tested
+   * end-to-end. Runs per-partition on executors, one digest instance each.
+   */
+  def featureStub(df: DataFrame, idCol: String, payloadCol: String, dim: Int = 16): DataFrame = {
+    val projected = df.select(col(idCol).cast("long"), col(payloadCol))
+    val spark = df.sparkSession
+    import spark.implicits._
+    projected.mapPartitions { rows =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      rows.map { row =>
+        val id = row.getLong(0)
+        val payload = row.getAs[Array[Byte]](1)
+        val vec = Array.tabulate(dim) { j =>
+          digest.reset()
+          digest.update(payload)
+          digest.update(j.toByte)
+          val h = digest.digest()
+          val bits = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) | ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+          (bits.toDouble / Int.MaxValue.toDouble - 1.0).toFloat
+        }
+        (id, vec)
+      }
+    }.toDF(idCol, "embedding")
+  }
+
+  /**
    * Deterministic frame/sample selection: `n` evenly spaced byte offsets of
    * the payload (the pattern a video frame-sampler follows, minus the codec).
    */

@@ -38,6 +38,24 @@ class MultimodalSpec extends SparkTestBase {
     rows.view.mapValues(m => (m.width, m.height)).toMap shouldBe again
   }
 
+  test("featureStub payloads flow into the ANN index end-to-end") {
+    val media = (1L to 40L).map { i =>
+      // duplicate payloads in pairs: (1,2), (3,4), ... share bytes
+      (i, s"payload content number ${(i + 1) / 2}")
+    }.toDF("doc_id", "text").select($"doc_id", encode($"text", "UTF-8").as("payload"))
+    val features = Multimodal.featureStub(media, "doc_id", "payload", dim = 16)
+    features.count() shouldBe 40
+    // identical payloads -> identical embeddings -> cosine 1 neighbors
+    val top = Similarity.bruteForceTopK(
+      features.filter($"doc_id" === 1), features, "doc_id", "embedding", k = 1)
+      .select("neighbor_id", "cosine").as[(Long, Double)].head()
+    top shouldBe ((2L, 1.0))
+    // deterministic across invocations
+    val again = Multimodal.featureStub(media, "doc_id", "payload", dim = 16)
+    features.join(again.withColumnRenamed("embedding", "e2"), "doc_id")
+      .filter($"embedding" =!= $"e2").count() shouldBe 0
+  }
+
   test("sampleOffsets picks n evenly spaced byte offsets") {
     val df = Seq(("x" * 100)).toDF("text").select(encode($"text", "UTF-8").as("payload"))
     df.select(Multimodal.sampleOffsets($"payload", 4)).as[Seq[Long]].head() shouldBe
