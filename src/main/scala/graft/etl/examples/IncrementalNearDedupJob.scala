@@ -1,0 +1,81 @@
+package graft.etl.examples
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft._
+import graft.etl.{SparkJob, Stage}
+import graft.io.{Warehouse, WarehouseTable}
+import graft.ops.Dedup
+import graft.time.DateInterval
+
+/**
+ * Incremental NEAR-duplicate filtering across dates: each day's documents
+ * are checked against a persistent LSH band store — `(band, band_hash)`
+ * rows, ~40 bytes each — so history is never re-read or re-shingled.
+ *
+ * A new document is dropped when any of its bands collides with the store
+ * (candidate = duplicate; precision is tuned by bands x rows-per-band — more
+ * rows per band raises the effective Jaccard bar). Within-day near-dups are
+ * removed exactly (LSH + Jaccard verify + cluster representative). Surviving
+ * documents append their bands to the store.
+ *
+ * Scale: the store join is an equi-join on high-cardinality `(band, bh)` —
+ * one shuffle, broadcast when the day is small; band rows are tiny compared
+ * to text; writing the store date-partitioned keeps it append-only.
+ */
+class IncrementalNearDedupJob(
+    source: DateInterval => DataFrame,
+    clean: WarehouseTable,
+    bandStore: WarehouseTable,
+    numHashes: Int = 12,
+    rowsPerBand: Int = 3,
+    threshold: Double = 0.8,
+    textCol: String = "text",
+    idCol: String = "doc_id")
+    extends SparkJob {
+
+  override def shouldRunForDate(spark: SparkSession, date: DateInterval): Boolean =
+    !clean.exists(spark, date)
+
+  private val bands = numHashes / rowsPerBand
+
+  /** `(id, band, bh)` rows for every document in `df`. */
+  private def bandRows(df: DataFrame): DataFrame = {
+    val sig = Dedup.withMinhashSignature(df.select(col(idCol), col(textCol)), textCol, numHashes)
+    sig
+      .select(col(idCol) +: Dedup.bandHashes(numHashes, rowsPerBand): _*)
+      .select(col(idCol), explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"), col(s"band$b").as("bh"))): _*)).as("e"))
+      .select(col(idCol), col("e.band").as("band"), col("e.bh").as("bh"))
+  }
+
+  private def storedBands(spark: SparkSession): DataFrame =
+    if (bandStore.tableUrl.exists(spark)) bandStore.loadAll(spark).select(col("band"), col("bh"))
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("band", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("bh", org.apache.spark.sql.types.StringType))))
+
+  override def stages: Stage[SparkSession, _] = for {
+    raw <- "read_docs".source(ctx => source(ctx.date))
+    fresh <- Stage.transform[org.apache.spark.sql.Row, org.apache.spark.sql.Row]("drop_seen") { ctx =>
+      val docs = ctx.value.toDF()
+      val hits = bandRows(docs)
+        .join(storedBands(ctx.spark), Seq("band", "bh"), "left_semi")
+        .select(col(idCol)).distinct()
+      docs.join(hits, Seq(idCol), "left_anti")
+    }
+    deduped <- Stage.transform[org.apache.spark.sql.Row, org.apache.spark.sql.Row]("within_day") {
+      ctx => Dedup.removeNearDuplicates(ctx.value.toDF(), idCol, textCol, threshold)
+    }
+    _ <- "append_bands".sink[org.apache.spark.sql.Row] { ctx =>
+      bandStore.save(bandRows(ctx.value.toDF()).select(col("band"), col("bh")).distinct(),
+        ctx.date, Warehouse.WriteTruncate)
+    }
+    _ <- "write_clean".sink[org.apache.spark.sql.Row] { ctx =>
+      clean.save(ctx.value.toDF(), ctx.date, Warehouse.WriteTruncate)
+    }
+  } yield deduped
+}
