@@ -744,6 +744,31 @@ object Queries {
                len(list_distinct(toks)) / cast(greatest(len(toks), 1) as double) AS distinct_ratio
              FROM (SELECT doc_id, text, $Toks AS toks FROM documents))"""
 
+  /**
+   * Contamination check: documents sharing word 3-grams with a probe set
+   * (here: the texts of three fixed documents, playing the benchmark role).
+   */
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val docs = t(dir, "documents")
+    val probes = docs.filter(col("doc_id").isin(7L, 77L, 177L)).select(col("text"))
+    TextAnalysis.contamination(docs, probes, n = 3)
+  }
+
+  val contaminationSql: String = {
+    val grams = (toks: String) =>
+      s"list_transform(range(1, greatest(len($toks) - 2, 1) + 1), i -> array_to_string($toks[i:i+2], ' '))"
+    s"""WITH probe_grams AS (
+         SELECT DISTINCT unnest(${grams("toks")}) AS gram
+         FROM (SELECT $Toks AS toks FROM documents WHERE doc_id IN (7, 77, 177))),
+       doc_grams AS (
+         SELECT doc_id, unnest(list_distinct(${grams("toks")})) AS gram
+         FROM (SELECT doc_id, $Toks AS toks FROM documents))
+       SELECT doc_id, count(*) AS n_contaminated_grams
+       FROM doc_grams JOIN probe_grams USING (gram)
+       GROUP BY doc_id"""
+  }
+
   /** Corpus-level top-50 bigrams by frequency. */
   def topNgrams(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.topNgrams(t(dir, "documents")(spark), "text", n = 2, k = 50)
@@ -913,6 +938,7 @@ object Queries {
     ("token_counts", tokenCounts _, Some(tokenCountsSql)),
     ("pii_scrub", piiScrub _, Some(piiScrubSql)),
     ("top_ngrams", topNgrams _, Some(topNgramsSql)),
+    ("contamination", contamination _, Some(contaminationSql)),
     ("quality_filter", qualityFilter _, Some(qualityFilterSql)),
     ("doc_fingerprints", docFingerprints _, Some(docFingerprintsSql)),
     ("ann_bruteforce_topk", annBruteforceTopK _, Some(annBruteforceTopKSql)),

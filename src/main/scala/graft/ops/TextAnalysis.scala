@@ -144,6 +144,31 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("ngram"))
       .limit(k)
 
+  /**
+   * Benchmark-contamination detection: count how many of a document's word
+   * n-grams appear in the (small, broadcast) probe corpus — the
+   * decontamination pass run before training on scraped data. Probe n-grams
+   * are deduplicated and broadcast; the document side streams, no shuffle of
+   * the corpus.
+   */
+  def contamination(
+      docs: org.apache.spark.sql.DataFrame,
+      probes: org.apache.spark.sql.DataFrame,
+      docTextCol: String = "text",
+      probeTextCol: String = "text",
+      idCol: String = "doc_id",
+      n: Int = 3): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val probeGrams = broadcast(
+      probes.select(explode(Dedup.wordShingles(col(probeTextCol), n)).as("gram")).distinct())
+    val docGrams = docs.select(col(idCol),
+      explode(array_distinct(Dedup.wordShingles(col(docTextCol), n))).as("gram"))
+    docGrams
+      .join(probeGrams, Seq("gram"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_contaminated_grams"))
+  }
+
   /** Whitespace-normalized, lowercased text — the canonical form for hashing. */
   def normalize(text: Column): Column =
     lower(trim(regexp_replace(text, "\\s+", " ")))

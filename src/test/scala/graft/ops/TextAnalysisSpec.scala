@@ -100,6 +100,20 @@ class TextAnalysisSpec extends SparkTestBase {
     top(1)._2 shouldBe 1L // ties broken alphabetically
   }
 
+  test("contamination counts shared n-grams against the probe set") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a completely unrelated sentence about database joins"),
+      (3L, "quick brown fox stories are nice")
+    ).toDF("doc_id", "text")
+    val probes = Seq("the quick brown fox runs").toDF("text")
+    val hits = TextAnalysis.contamination(docs, probes, n = 3)
+      .as[(Long, Long)].collect().toMap
+    hits(1L) shouldBe 2L // "the quick brown", "quick brown fox"
+    hits(3L) shouldBe 1L // "quick brown fox"
+    hits.get(2L) shouldBe None // clean doc: no row
+  }
+
   test("stopword hits count multiset occurrences") {
     one("the the the").select(
       TextAnalysis.stopwordHits(TextAnalysis.tokens($"text"), Seq("the", "and")))
