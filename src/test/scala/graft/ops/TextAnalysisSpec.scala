@@ -114,6 +114,30 @@ class TextAnalysisSpec extends SparkTestBase {
     hits.get(2L) shouldBe None // clean doc: no row
   }
 
+  test("all text operators are null-safe") {
+    val df = Seq((1L, Some("real text here")), (2L, None)).toDF("doc_id", "text")
+    val out = df.select($"doc_id",
+      TextAnalysis.tokens($"text").as("toks"),
+      TextAnalysis.fingerprint($"text").as("fp"),
+      TextAnalysis.languageId($"text").as("lang"),
+      TextAnalysis.rollingFingerprint($"text").as("rfp"),
+      graft.ops.Dedup.simhash32($"text").as("sh"),
+      graft.functions.functions.minhash_signature($"text", 4).as("sig"),
+      TextAnalysis.scrubPii($"text").as("scrubbed"))
+    val rows = out.collect().map(r => r.getLong(0) -> r).toMap
+    rows(2L).isNullAt(1) shouldBe true // tokens null
+    rows(2L).isNullAt(2) shouldBe true // fingerprint null
+    rows(2L).isNullAt(4) shouldBe true // native rolling fp null
+    rows(2L).isNullAt(5) shouldBe true // native simhash null
+    rows(2L).isNullAt(6) shouldBe true // native minhash null
+    rows(1L).isNullAt(2) shouldBe false
+    // exact dedup groups null texts without crashing
+    val deduped = graft.ops.Dedup.exact(
+      Seq((1L, "a"), (2L, null.asInstanceOf[String]), (3L, null.asInstanceOf[String])).toDF("id", "text"),
+      "text", "id")
+    deduped.select("id").as[Long].collect().sorted shouldBe Array(1L, 2L)
+  }
+
   test("stopword hits count multiset occurrences") {
     one("the the the").select(
       TextAnalysis.stopwordHits(TextAnalysis.tokens($"text"), Seq("the", "and")))
