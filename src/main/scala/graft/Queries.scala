@@ -552,9 +552,11 @@ object Queries {
     s"""WITH sig AS (SELECT doc_id, $mhs
                      FROM $SqlShingleDocs),
        banded AS (SELECT doc_id, $bands FROM sig),
-       buckets AS ($unpivot)
+       buckets AS ($unpivot),
+       capped AS (SELECT doc_id, band, bh FROM buckets
+                  QUALIFY count(*) OVER (PARTITION BY band, bh) <= 1000)
        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       FROM buckets a JOIN buckets b ON a.band = b.band AND a.bh = b.bh
+       FROM capped a JOIN capped b ON a.band = b.band AND a.bh = b.bh
        WHERE a.doc_id < b.doc_id"""
   }
 
@@ -868,17 +870,51 @@ object Queries {
        WHERE cosine >= 0.3"""
 
   /**
-   * IVF ANN: k-means cells + probe-and-rerank. No DuckDB oracle (k-means is
-   * not reproducible in SQL) — the driver records a rows-only check; the
-   * recall>=0.9 guarantee lives in SimilaritySpec.
+   * IVF ANN: cells + probe-and-rerank. The verified path uses
+   * [[Similarity.ivfAssignSeeded]] (deterministic pinned-sample centroids) so
+   * the whole index — assignment, probe selection, rerank — replays
+   * bit-for-bit in DuckDB; the MLlib k-means training path ([[Similarity.ivfAssign]])
+   * is covered by SimilaritySpec's recall>=0.9 check instead (k-means has no
+   * SQL twin).
    */
   def annIvfTopK(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     val emb = t(dir, "embeddings")
-    val (assigned, centroids) = Similarity.ivfAssign(emb, "embedding", k = 8)
+    val (assigned, centroids) = Similarity.ivfAssignSeeded(emb, "vec_id", "embedding", k = 8)
     Similarity.ivfTopK(emb.filter(col("vec_id") < 5), assigned, centroids,
       "vec_id", "embedding", k = 5, nprobe = 2)
   }
+
+  val annIvfTopKSql: String =
+    s"""WITH cent AS (
+         SELECT rk - 1 AS centroid_id, embedding AS cv FROM (
+           SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id) AS rk FROM embeddings)
+         WHERE rk <= 8),
+       assigned AS (
+         SELECT vec_id, embedding, centroid_id FROM (
+           SELECT vec_id, embedding, centroid_id,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id) AS rn
+           FROM (SELECT e.vec_id, e.qv AS embedding, c.centroid_id, $SqlCos AS cos
+                 FROM (SELECT vec_id, embedding AS qv FROM embeddings) e
+                 CROSS JOIN (SELECT centroid_id, cv AS nv FROM cent) c))
+         WHERE rn = 1),
+       probes AS (
+         SELECT query_id, qv, centroid_id FROM (
+           SELECT query_id, qv, centroid_id,
+                  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, centroid_id) AS rn
+           FROM (SELECT q.vec_id AS query_id, q.qv, c.centroid_id, $SqlCos AS cos
+                 FROM (SELECT vec_id, embedding AS qv FROM embeddings WHERE vec_id < 5) q
+                 CROSS JOIN (SELECT centroid_id, cv AS nv FROM cent) c))
+         WHERE rn <= 2),
+       cand AS (
+         SELECT p.query_id, p.qv, a.vec_id AS neighbor_id, a.embedding AS nv
+         FROM probes p JOIN assigned a USING (centroid_id)
+         WHERE p.query_id <> a.vec_id)
+       SELECT query_id, neighbor_id, cosine, rank FROM (
+         SELECT query_id, neighbor_id, cosine,
+                row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         FROM (SELECT query_id, neighbor_id, $SqlCos AS cosine FROM cand))
+       WHERE rank <= 5"""
 
   /** Multimodal: opaque binary payloads + SQL-side metadata. */
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {
@@ -892,16 +928,23 @@ object Queries {
     """SELECT doc_id, cast(octet_length(encode(text)) as bigint) AS byte_len, md5(text) AS checksum
        FROM documents"""
 
-  /** Deterministic frame-sampling offsets over binary payloads. */
+  /**
+   * Deterministic frame-sampling offsets over binary payloads. The offsets
+   * surface as a comma-joined string: the driver's pandas-side compare sorts
+   * result columns, and raw array cells are unsortable there (round 2's only
+   * broken check) — the list itself is still computed and verified.
+   */
   def multimodalFrames(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
+    val off = Multimodal.sampleOffsets(encode(col("text"), "UTF-8"), 4)
     t(dir, "documents").select(col("doc_id"),
-      Multimodal.sampleOffsets(encode(col("text"), "UTF-8"), 4).as("offsets"))
+      array_join(transform(off, _.cast("string")), ",").as("offsets"))
   }
 
   val multimodalFramesSql: String =
     """SELECT doc_id,
-       list_transform(range(0, 4), i -> i * cast(octet_length(encode(text)) as bigint) // 4) AS offsets
+       array_to_string(list_transform(range(0, 4),
+         i -> cast(i * cast(octet_length(encode(text)) as bigint) // 4 as varchar)), ',') AS offsets
        FROM documents"""
 
   // =====================================================================
@@ -943,7 +986,7 @@ object Queries {
     ("doc_fingerprints", docFingerprints _, Some(docFingerprintsSql)),
     ("ann_bruteforce_topk", annBruteforceTopK _, Some(annBruteforceTopKSql)),
     ("ann_lsh_buckets", annLshBuckets _, Some(annLshBucketsSql)),
-    ("ann_ivf_topk", annIvfTopK _, None),
+    ("ann_ivf_topk", annIvfTopK _, Some(annIvfTopKSql)),
     ("ann_multiprobe", annMultiprobe _, Some(annMultiprobeSql)),
     ("dup_clusters", dupClusters _, Some(dupClustersSql)),
     ("embedding_neardup", embeddingNeardup _, Some(embeddingNeardupSql)),

@@ -35,8 +35,15 @@ class IncrementalDedupJob(
   override def shouldRunForDate(spark: SparkSession, date: DateInterval): Boolean =
     !clean.exists(spark, date)
 
-  private def seenFingerprints(spark: SparkSession): DataFrame =
-    if (fingerprints.tableUrl.exists(spark)) fingerprints.loadAll(spark).select(col("fp"))
+  /**
+   * Fingerprints from partitions strictly BEFORE `date`: a rerun after a
+   * crash between write_fingerprints and write_clean must not anti-join the
+   * day's documents against their own already-stored fingerprints (that
+   * would silently write an empty clean partition).
+   */
+  private def seenFingerprints(spark: SparkSession, date: DateInterval): DataFrame =
+    if (fingerprints.tableUrl.exists(spark))
+      fingerprints.loadBefore(spark, date).select(col("fp"))
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType(Seq(
@@ -47,7 +54,7 @@ class IncrementalDedupJob(
     deduped <- Stage.transform[org.apache.spark.sql.Row, org.apache.spark.sql.Row]("dedup") { ctx =>
       val withFp = ctx.value.toDF()
         .withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
-      val newDocs = withFp.join(seenFingerprints(ctx.spark), Seq("fp"), "left_anti")
+      val newDocs = withFp.join(seenFingerprints(ctx.spark, ctx.date), Seq("fp"), "left_anti")
       // within-day dedup: deterministic keeper on the smallest id
       graft.ops.Dedup.exact(newDocs, textCol, idCol)
     }

@@ -50,8 +50,15 @@ class IncrementalNearDedupJob(
       .select(col(idCol), col("e.band").as("band"), col("e.bh").as("bh"))
   }
 
-  private def storedBands(spark: SparkSession): DataFrame =
-    if (bandStore.tableUrl.exists(spark)) bandStore.loadAll(spark).select(col("band"), col("bh"))
+  /**
+   * Bands from partitions strictly BEFORE `date`: a rerun after a crash
+   * between append_bands and write_clean must not treat the day's documents
+   * as 'seen' against their own already-stored bands (that would silently
+   * write an empty clean partition).
+   */
+  private def storedBands(spark: SparkSession, date: DateInterval): DataFrame =
+    if (bandStore.tableUrl.exists(spark))
+      bandStore.loadBefore(spark, date).select(col("band"), col("bh"))
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType(Seq(
@@ -63,7 +70,7 @@ class IncrementalNearDedupJob(
     fresh <- Stage.transform[org.apache.spark.sql.Row, org.apache.spark.sql.Row]("drop_seen") { ctx =>
       val docs = ctx.value.toDF()
       val hits = bandRows(docs)
-        .join(storedBands(ctx.spark), Seq("band", "bh"), "left_semi")
+        .join(storedBands(ctx.spark, ctx.date), Seq("band", "bh"), "left_semi")
         .select(col(idCol)).distinct()
       docs.join(hits, Seq(idCol), "left_anti")
     }

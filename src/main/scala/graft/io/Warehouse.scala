@@ -84,5 +84,22 @@ case class WarehouseTable(
       .option("basePath", tableUrl.toString)
       .load(tableUrl.toString + "/date=*")
 
+  /** Partition value string for `date` under this table's layout (e.g. "2026-08-12"). */
+  def partitionValue(date: DateInterval): String =
+    date.format(partitioning.pattern).stripPrefix("date=")
+
+  /**
+   * Read every partition strictly before `date` (partition-pruned — the
+   * predicate is on the partition column, so later/current files are never
+   * listed into the scan). Incremental jobs MUST read their own store this
+   * way: a rerun after a mid-job failure would otherwise anti-join the day's
+   * input against fingerprints/bands it already wrote for that same day and
+   * silently produce an empty output partition.
+   */
+  def loadBefore(spark: SparkSession, date: DateInterval): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    loadAll(spark).filter(col("date").cast("string") < partitionValue(date))
+  }
+
   def exists(spark: SparkSession, date: DateInterval): Boolean = partitionUrl(date).exists(spark)
 }

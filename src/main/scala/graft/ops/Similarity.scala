@@ -177,9 +177,42 @@ object Similarity {
   }
 
   /**
+   * Deterministic IVF centroids without k-means training: the `k`
+   * smallest-id corpus vectors seed the cells directly (the "train on a
+   * sample" shortcut production IVF indexes use, with the sample pinned for
+   * reproducibility). Assignment is nearest-centroid by cosine with an id
+   * tiebreak — every step engine-portable, so a SQL oracle can replay it
+   * bit-for-bit, unlike [[ivfAssign]]'s MLlib k-means. Cell quality is lower
+   * than trained centroids; use this for verification paths and k-means for
+   * recall-critical production indexes.
+   */
+  def ivfAssignSeeded(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 16): (DataFrame, DataFrame) = {
+    // distributed take-ordered first, so the global row_number window only
+    // ever sees k rows (a full-corpus single-partition sort would not scale)
+    val seeds = corpus.select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(k)
+    val centroids = broadcast(seeds
+      .withColumn("__rk", row_number().over(Window.orderBy(col(idCol))))
+      .select((col("__rk") - 1).as("centroid_id"), col(vecCol).as("centroid")))
+    val assignW = Window.partitionBy(col(idCol)).orderBy(col("__cos").desc, col("centroid_id"))
+    val assigned = corpus
+      .join(centroids, lit(true))
+      .withColumn("__cos", round(cosine(col(vecCol), col("centroid")), 4))
+      .withColumn("__rn", row_number().over(assignW))
+      .filter(col("__rn") === 1)
+      .drop("__cos", "__rn", "centroid")
+    (assigned, centroids)
+  }
+
+  /**
    * ANN top-k over an IVF-assigned corpus: each query probes its `nprobe`
    * nearest centroids (k x |queries| tiny cross score, centroids broadcast),
-   * then exact cosine reranks within the probed cells only.
+   * then exact cosine reranks within the probed cells only. Centroid
+   * distances rank on 4-dp-rounded cosine with a centroid-id tiebreak so
+   * probe selection is deterministic and engine-portable.
    */
   def ivfTopK(
       queries: DataFrame,
@@ -193,7 +226,7 @@ object Similarity {
     val probeW = Window.partitionBy(col("query_id")).orderBy(col("c_dist").desc, col("centroid_id"))
     val probes = q
       .join(broadcast(centroids), lit(true))
-      .withColumn("c_dist", cosine(col("query_vec"), col("centroid")))
+      .withColumn("c_dist", round(cosine(col("query_vec"), col("centroid")), 4))
       .withColumn("probe_rank", row_number().over(probeW))
       .filter(col("probe_rank") <= nprobe)
       .select(col("query_id"), col("query_vec"), col("centroid_id"))

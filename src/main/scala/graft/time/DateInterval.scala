@@ -173,6 +173,13 @@ object Week extends DateIntervalType("week") {
   /** The interval for the ISO week containing the given weekday of (week-year, week). */
   def apply(year: Int, week: Int, dayOfWeek: WeekDay = Monday): DateInterval = {
     require(1 <= week && week <= 53, "week must be between 1-53")
+    // adjustInto is lenient: week 53 of a 52-week ISO year would silently
+    // roll into the next year's W01 (the reference's non-lenient
+    // Calendar.setWeekDate throws instead) — validate against the year's
+    // actual week range.
+    val weeksInYear =
+      IsoFields.WEEK_OF_WEEK_BASED_YEAR.rangeRefinedBy(LocalDate.of(year, 1, 4)).getMaximum
+    require(week <= weeksInYear, s"ISO year $year has only $weeksInYear weeks (got week $week)")
     of(
       LocalDate
         .of(year, 1, 4) // Jan 4 is always in ISO week 1

@@ -43,4 +43,22 @@ class IncrementalDedupJobSpec extends SparkJobSuiteBase {
     // idempotence: day2 is gated out on rerun
     job.shouldRunForDate(spark, day2) shouldBe false
   }
+
+  test("a rerun after a crash between the two sinks rewrites the same clean partition") {
+    val root = HdfsUrl(tmpDir("incr_dedup_rerun"))
+    val clean = WarehouseTable(root, "clean")
+    val job = new IncrementalDedupJob(sourceFor, clean, WarehouseTable(root, "fps"))
+    runJob(job, day1).isSuccess shouldBe true
+
+    // simulate: day2's run wrote its fingerprints, then crashed before
+    // write_clean. The rerun must NOT anti-join day2's docs against their
+    // own stored fingerprints and write an empty partition.
+    runJob(job, day2).isSuccess shouldBe true
+    val part = clean.partitionUrl(day2)
+    part.fileSystem(spark).delete(part.path, true)
+    job.shouldRunForDate(spark, day2) shouldBe true // gate re-opens
+
+    runJob(job, day2).isSuccess shouldBe true
+    clean.load(spark, day2).select("doc_id").as[Long].collect().sorted shouldBe Array(11L)
+  }
 }

@@ -50,4 +50,21 @@ class IncrementalNearDedupJobSpec extends SparkJobSuiteBase {
 
     job.shouldRunForDate(spark, day2) shouldBe false // idempotent
   }
+
+  test("a rerun after a crash between append_bands and write_clean rewrites the same partition") {
+    val root = HdfsUrl(tmpDir("incr_near_rerun"))
+    val clean = WarehouseTable(root, "clean")
+    val job = new IncrementalNearDedupJob(sourceFor, clean, WarehouseTable(root, "bands"))
+    runJob(job, day1).isSuccess shouldBe true
+
+    // simulate: day2 appended its bands, then crashed before write_clean.
+    // The rerun must not drop day2's survivors as 'seen' against their own bands.
+    runJob(job, day2).isSuccess shouldBe true
+    val part = clean.partitionUrl(day2)
+    part.fileSystem(spark).delete(part.path, true)
+    job.shouldRunForDate(spark, day2) shouldBe true
+
+    runJob(job, day2).isSuccess shouldBe true
+    clean.load(spark, day2).select("doc_id").as[Long].collect().sorted shouldBe Array(11L)
+  }
 }

@@ -74,6 +74,15 @@ class IoSpec extends SparkTestBase {
     all.select("date").distinct().as[java.sql.Date].collect().map(_.toString).sorted shouldBe
       Array("2026-08-11", "2026-08-12")
   }
+
+  test("loadBefore reads only partitions strictly before the date") {
+    val table = WarehouseTable(HdfsUrl(tmpDir("wh_before")), "t")
+    table.save(spark.range(2).toDF("n"), Day(2026, 8, 11))
+    table.save(spark.range(3).toDF("n"), Day(2026, 8, 12))
+    table.loadBefore(spark, Day(2026, 8, 12)).count() shouldBe 2
+    table.loadBefore(spark, Day(2026, 8, 11)).count() shouldBe 0
+    table.loadBefore(spark, Day(2026, 8, 13)).count() shouldBe 5
+  }
 }
 
 object IoSpec {

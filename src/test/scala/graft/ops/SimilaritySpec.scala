@@ -120,6 +120,23 @@ class SimilaritySpec extends SparkTestBase {
     withClue(s"per-query recalls: $recalls") { mean should be >= 0.9 }
   }
 
+  test("seeded IVF assigns every vector to exactly one deterministic cell") {
+    val (assigned, centroids) = Similarity.ivfAssignSeeded(corpus, "vec_id", "embedding", k = 8)
+    centroids.count() shouldBe 8
+    centroids.select("centroid_id").as[Long].collect().sorted shouldBe (0L until 8L).toArray
+    assigned.count() shouldBe corpus.count() // exactly one cell per vector
+    assigned.columns should contain("centroid_id")
+    // deterministic: a second run produces the identical assignment
+    val (assigned2, _) = Similarity.ivfAssignSeeded(corpus, "vec_id", "embedding", k = 8)
+    assigned.select("vec_id", "centroid_id").except(
+      assigned2.select("vec_id", "centroid_id")).count() shouldBe 0
+    // probe-and-rerank over the seeded cells returns well-formed ranked rows
+    val queries = corpus.filter($"vec_id" % 25 === 0)
+    val top = Similarity.ivfTopK(queries, assigned, centroids, "vec_id", "embedding", k = 5, nprobe = 2)
+    val ranks = top.groupBy("query_id").count().select("count").as[Long].collect()
+    all(ranks) shouldBe 5L
+  }
+
   test("embedding near-dup pairs stay within clusters") {
     val pairs = Similarity.embeddingNearDupPairs(corpus, "vec_id", "embedding",
       threshold = 0.9, nbits = 4)

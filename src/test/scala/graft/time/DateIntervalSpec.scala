@@ -19,6 +19,11 @@ class DateIntervalSpec extends AnyFunSuite with Matchers {
     Week.parse("2009-W01") shouldBe Some(Week(Day(2008, 12, 29)))
     Week(2016, 11).by(Day) should have size 7
     an[IllegalArgumentException] should be thrownBy Week(2016, 54)
+    // 53-week ISO years accept W53; 52-week years must throw, not roll over
+    Week(2009, 53).toString shouldBe "2009-W53"
+    Week(2020, 53).toString shouldBe "2020-W53"
+    an[IllegalArgumentException] should be thrownBy Week(2016, 53)
+    an[IllegalArgumentException] should be thrownBy Week(2008, 53)
   }
 
   test("Week truncates to Monday") {
