@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 
 import graft.etl.Stage
 import graft.io.{HdfsUrl, Warehouse, WarehouseTable}
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Joins, Multimodal, Similarity, TextAnalysis}
 import graft.time.Day
 
 /**
@@ -501,6 +501,136 @@ object Queries {
        WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
        GROUP BY iso_week"""
 
+  /**
+   * As-of join: each purchase event picks up the user's latest prior signup
+   * value — one shuffle on user_id via the tagged-union window (see
+   * [[Joins.asOf]]), never a non-equi join. DuckDB's native ASOF JOIN is the
+   * oracle.
+   */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val ev = events(dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), micros(col("ts")).as("ts_us"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"), micros(col("ts")).as("ts_us"))
+      .agg(round(max(col("value")), 4).as("signup_value"))
+    Joins.asOf(purchases, signups, Seq("user_id"), "ts_us")
+  }
+
+  val asofJoinSql: String =
+    """SELECT p.user_id, p.ts_us, p.event_id, s.signup_value AS asof_signup_value
+       FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+             WHERE event_type = 'purchase') p
+       ASOF LEFT JOIN (SELECT user_id, epoch_us(ts) AS ts_us, round(max(value), 4) AS signup_value
+                       FROM events WHERE event_type = 'signup' GROUP BY 1, 2) s
+       ON p.user_id = s.user_id AND p.ts_us >= s.ts_us"""
+
+  /**
+   * Range join: how many orders fall inside each 7-day window opened by a
+   * low-key customer's order. Bucketed equi-join ([[Joins.rangeJoin]]) on the
+   * Spark side; DuckDB's IEJoin handles the raw inequality oracle.
+   */
+  def rangeJoinCount(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val day = datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date")).cast("long")
+    val points = t(dir, "orders").select(day.as("d"))
+    val intervals = t(dir, "orders").filter(col("o_custkey") <= 5)
+      .select(col("o_orderkey").as("interval_id"), day.as("d_start"), (day + 7).as("d_end"))
+    Joins.rangeJoin(points, intervals, "d", "d_start", "d_end", bucketWidth = 7)
+      .groupBy(col("interval_id"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val rangeJoinCountSql: String =
+    """SELECT interval_id, count(*) AS n
+       FROM (SELECT o_orderkey AS interval_id, cast(epoch(o_orderdate) as bigint) // 86400 AS d0
+             FROM orders WHERE o_custkey <= 5) iv
+       JOIN (SELECT cast(epoch(o_orderdate) as bigint) // 86400 AS d FROM orders) pts
+         ON pts.d >= iv.d0 AND pts.d < iv.d0 + 7
+       GROUP BY interval_id"""
+
+  /** TPC-H Q4 shape: orders having a late-shipped item (EXISTS), by priority. */
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val li = t(dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+    t(dir, "orders")
+      .filter(col("o_orderdate") >= lit("1997-01-01") && col("o_orderdate") < lit("1998-01-01"))
+      .join(li, col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate").cast("date") > date_add(col("o_orderdate").cast("date"), 60), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  val q4Sql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+       FROM orders
+       WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+         AND EXISTS (SELECT 1 FROM lineitem
+                     WHERE l_orderkey = o_orderkey
+                       AND cast(l_shipdate as date) > cast(o_orderdate as date) + 60)
+       GROUP BY o_orderpriority"""
+
+  /** TPC-H Q18 shape: large-quantity orders joined back to their customer. */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val big = t(dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 250)
+    t(dir, "orders")
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(t(dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        round(cents(col("o_totalprice")) / 100.0, 2).as("total"), col("sum_qty"))
+  }
+
+  val q18Sql: String =
+    s"""SELECT c_name, o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       round(${sqlCents("o_totalprice")} / 100.0, 2) AS total, sum_qty
+       FROM orders
+       JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty FROM lineitem
+             GROUP BY l_orderkey HAVING sum(l_quantity) > 250) big
+         ON o_orderkey = l_orderkey
+       JOIN customer ON o_custkey = c_custkey"""
+
+  /** Argmin-per-group (TPC-H Q2 shape): cheapest supplier lineitem per part. */
+  def cheapestSupplier(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val w = Window.partitionBy(col("l_partkey")).orderBy(col("price_cents"), col("l_suppkey"))
+    t(dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"), cents(col("l_extendedprice")).as("price_cents"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_partkey"), col("l_suppkey"), round(col("price_cents") / 100.0, 2).as("min_price"))
+  }
+
+  val cheapestSupplierSql: String =
+    s"""SELECT l_partkey, l_suppkey, round(price_cents / 100.0, 2) AS min_price FROM (
+       SELECT l_partkey, l_suppkey, ${sqlCents("l_extendedprice")} AS price_cents,
+              row_number() OVER (PARTITION BY l_partkey
+                                 ORDER BY ${sqlCents("l_extendedprice")}, l_suppkey) AS rn
+       FROM lineitem) WHERE rn = 1"""
+
+  /** Hierarchical rollup (GROUPING SETS): status x priority with subtotals. */
+  def rollupOrders(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    t(dir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum(cents(col("o_totalprice"))) / 100.0, 2).as("total"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total"))
+  }
+
+  val rollupOrdersSql: String =
+    s"""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n,
+       round(cast(sum(${sqlCents("o_totalprice")}) as bigint) / 100.0, 2) AS total
+       FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)"""
+
   // =====================================================================
   // LLM training-data operators
   // =====================================================================
@@ -643,6 +773,83 @@ object Queries {
     }.mkString(" + ")
     s"""SELECT doc_id, cast($terms as bigint) AS simhash
        FROM (SELECT doc_id, $Toks AS toks FROM documents)"""
+  }
+
+  /** SimHash byte-band near-dup pairs (exact recall for Hamming <= 3). */
+  def simhashNeardup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDupPairs(t(dir, "documents")(spark), "doc_id", "text", maxHamming = 3)
+
+  val simhashNeardupSql: String =
+    s"""WITH sh AS ($simhashFingerprintsSql),
+       banded AS (SELECT doc_id, simhash, b.band, (simhash >> (b.band * 8)) & 255 AS bb
+                  FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b)
+       SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+              cast(bit_count(xor(a.simhash, c.simhash)) as bigint) AS hamming
+       FROM banded a JOIN banded c ON a.band = c.band AND a.bb = c.bb
+       WHERE a.doc_id < c.doc_id AND bit_count(xor(a.simhash, c.simhash)) <= 3"""
+
+  /**
+   * Line-level boilerplate removal (C4-style). The word-soup corpus has no
+   * newlines, so a deterministic footer line is appended to every 3rd doc
+   * first; the op must strip the shared footer everywhere and empty out
+   * fully-duplicated documents, preserving everything else in order.
+   */
+  def boilerplateLines(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val salted = t(dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit("\nSubscribe to our newsletter today")))
+        .otherwise(col("text")).as("text"))
+    TextAnalysis.removeBoilerplateLines(salted, "doc_id", "text", minDocs = 2)
+      .select(col("doc_id"),
+        when(length(col("text")) === 0, 0L)
+          .otherwise(size(split(col("text"), "\n")).cast("long")).as("n_lines"),
+        md5(col("text")).as("clean_fp"))
+  }
+
+  val boilerplateLinesSql: String = {
+    val normLine = raw"md5(lower(trim(regexp_replace(line, '\s+', ' ', 'g'))))"
+    s"""WITH salted AS (
+         SELECT doc_id, CASE WHEN doc_id % 3 = 0
+                THEN text || chr(10) || 'Subscribe to our newsletter today'
+                ELSE text END AS text
+         FROM documents),
+       lines AS (
+         SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+                unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+         FROM salted),
+       norm AS (SELECT doc_id, pos, line, $normLine AS nfp FROM lines),
+       bp AS (SELECT nfp FROM norm GROUP BY nfp HAVING count(DISTINCT doc_id) >= 2),
+       rebuilt AS (
+         SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+         FROM norm WHERE nfp NOT IN (SELECT nfp FROM bp)
+         GROUP BY doc_id)
+       SELECT d.doc_id,
+              cast(coalesce(len(string_split(r.text, chr(10))), 0) as bigint) AS n_lines,
+              md5(coalesce(r.text, '')) AS clean_fp
+       FROM documents d LEFT JOIN rebuilt r USING (doc_id)"""
+  }
+
+  /** Deterministic hash-based train/valid/test split, counted per language. */
+  def hashSplitCounts(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    t(dir, "documents")
+      .select(TextAnalysis.hashSplit(col("doc_id"),
+        Seq("train" -> 80, "valid" -> 10, "test" -> 10)).as("split"), col("lang"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val hashSplitCountsSql: String = {
+    val digit = (i: Int) =>
+      s"(strpos('0123456789abcdef', substring(md5('graft:' || doc_id), $i, 1)) - 1)"
+    val bucket = s"(((${digit(1)} * 16 + ${digit(2)}) * 16 + ${digit(3)}) * 16 + ${digit(4)})"
+    s"""SELECT split, lang, count(*) AS n FROM (
+       SELECT lang, CASE WHEN $bucket * 100 < 80 * 65536 THEN 'train'
+                         WHEN $bucket * 100 < 90 * 65536 THEN 'valid'
+                         ELSE 'test' END AS split
+       FROM documents)
+       GROUP BY split, lang"""
   }
 
   /** Quality-scoring stats; pure codegen'd column math. */
@@ -968,6 +1175,12 @@ object Queries {
     ("q7_nation_volume", q7NationVolume _, Some(q7Sql)),
     ("q8_market_share", q8MarketShare _, Some(q8Sql)),
     ("orders_no_late_items", ordersNoLateItems _, Some(ordersNoLateItemsSql)),
+    ("asof_join", asofJoin _, Some(asofJoinSql)),
+    ("range_join_count", rangeJoinCount _, Some(rangeJoinCountSql)),
+    ("q4_order_priority", q4OrderPriority _, Some(q4Sql)),
+    ("q18_large_orders", q18LargeOrders _, Some(q18Sql)),
+    ("cheapest_supplier", cheapestSupplier _, Some(cheapestSupplierSql)),
+    ("rollup_orders", rollupOrders _, Some(rollupOrdersSql)),
     ("weekly_revenue", weeklyRevenue _, Some(weeklyRevenueSql)),
     ("json_extract", jsonExtract _, Some(jsonExtractSql)),
     ("multimodal_frames", multimodalFrames _, Some(multimodalFramesSql)),
@@ -976,6 +1189,9 @@ object Queries {
     ("lsh_candidate_pairs", lshCandidatePairs _, Some(lshCandidatePairsSql)),
     ("near_dup_pairs", nearDupPairs _, Some(nearDupPairsSql)),
     ("simhash_fingerprints", simhashFingerprints _, Some(simhashFingerprintsSql)),
+    ("simhash_neardup", simhashNeardup _, Some(simhashNeardupSql)),
+    ("boilerplate_lines", boilerplateLines _, Some(boilerplateLinesSql)),
+    ("hash_split", hashSplitCounts _, Some(hashSplitCountsSql)),
     ("text_quality", textQuality _, Some(textQualitySql)),
     ("lang_id", langId _, Some(langIdSql)),
     ("token_counts", tokenCounts _, Some(tokenCountsSql)),

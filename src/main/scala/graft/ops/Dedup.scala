@@ -205,6 +205,37 @@ object Dedup {
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /**
+   * SimHash near-duplicate pairs: fingerprints within `maxHamming` bits.
+   * The 32-bit simhash splits into 4 byte-bands; by pigeonhole, any pair
+   * within Hamming distance 3 agrees on at least one whole band, so the
+   * equi-join on `(band, byte)` has EXACT recall for `maxHamming <= 3` —
+   * one shuffle keyed on the band byte, never an all-pairs scan. (For
+   * larger `maxHamming`, add bands/permutations; above 3 this band layout
+   * is a high-recall heuristic, so it is rejected here.)
+   */
+  def simhashNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(0 <= maxHamming && maxHamming <= 3,
+      "4 byte-bands guarantee recall only for maxHamming <= 3")
+    val sh = df.select(col(idCol), simhash32(col(textCol)).as("__sh"))
+    val banded = sh.select(col(idCol), col("__sh"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"), shiftright(col("__sh"), b * 8).bitwiseAND(lit(255L)).as("bb"))): _*)).as("e"))
+      .select(col(idCol), col("__sh"), col("e.band").as("band"), col("e.bb").as("bb"))
+    val a = banded.select(col("band"), col("bb"), col(idCol).as("id_a"), col("__sh").as("__sh_a"))
+    val b = banded.select(col("band"), col("bb"), col(idCol).as("id_b"), col("__sh").as("__sh_b"))
+    a.join(b, Seq("band", "bb"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", hammingDistance(col("__sh_a"), col("__sh_b")).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .distinct()
+  }
+
+  /**
    * Duplicate clusters from near-dup pairs: connected components, each doc
    * labeled with its cluster's minimum id (the canonical keeper). Iterative
    * min-label propagation over the pair edges — converges in

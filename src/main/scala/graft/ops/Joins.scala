@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Join shapes Spark has no single operator for, built from shuffles Spark
+ * does have — an as-of (temporal) join and a point-in-interval range join.
+ * Both avoid the naive non-equi join (an O(n*m) broadcast-nested-loop at
+ * cluster scale) by reducing to ONE equi-shuffle plus per-partition work.
+ */
+object Joins {
+
+  /**
+   * As-of join: for every left row, attach the latest right payload whose
+   * `tsCol` is at or before the left row's (per join `keys`) — the canonical
+   * "state at event time" lookup (market data, dimension snapshots, feature
+   * stores).
+   *
+   * Implementation is a tagged union + running `last(ignoreNulls)` window,
+   * NOT a join: both sides shuffle once on `keys`, each partition sorts by
+   * `(ts, side)` and the payload carries forward. No range predicate ever
+   * reaches a join operator, so Catalyst can never degrade it to a
+   * nested-loop; it scales exactly like one window aggregation.
+   *
+   * Right rows must be unique per `(keys, tsCol)` (pre-aggregate otherwise);
+   * equal timestamps resolve as right-before-left, i.e. inclusive (`>=`).
+   * Payload columns surface as `asof_<name>`; left rows with no prior right
+   * row keep null payloads (left-outer semantics).
+   */
+  def asOf(left: DataFrame, right: DataFrame, keys: Seq[String], tsCol: String): DataFrame = {
+    val payload = right.columns.filterNot(c => keys.contains(c) || c == tsCol).toSeq
+    val leftRest = left.columns.filterNot(c => keys.contains(c) || c == tsCol).toSeq
+    val l = left.select(
+      keys.map(col) ++ Seq(col(tsCol), lit(1).as("__side")) ++
+        leftRest.map(col) ++
+        payload.map(c => lit(null).cast(right.schema(c).dataType).as(s"asof_$c")): _*)
+    val r = right.select(
+      keys.map(col) ++ Seq(col(tsCol), lit(0).as("__side")) ++
+        leftRest.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        payload.map(c => col(c).as(s"asof_$c")): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .select(
+        keys.map(col) ++ Seq(col(tsCol), col("__side")) ++ leftRest.map(col) ++
+          payload.map(c => last(col(s"asof_$c"), ignoreNulls = true).over(w).as(s"asof_$c")): _*)
+      .filter(col("__side") === 1)
+      .drop("__side")
+  }
+
+  /**
+   * Range join: match every point to every interval containing it
+   * (`start <= point < end`). Intervals explode onto fixed-width buckets,
+   * points hash to their single bucket, and the match becomes an equi-join
+   * on the bucket id plus a residual bound filter — one shuffle keyed on
+   * bucket, never a cross/nested-loop join. Each (point, interval) pair
+   * meets in exactly one bucket (the point's), so no dedup pass is needed.
+   *
+   * `pointCol`/`startCol`/`endCol` are integer-domain (epoch days, epoch
+   * seconds, ids...). `bucketWidth` should be on the order of the typical
+   * interval length: much smaller multiplies the interval replication,
+   * much larger multiplies the residual-filter false candidates.
+   */
+  def rangeJoin(
+      points: DataFrame,
+      intervals: DataFrame,
+      pointCol: String,
+      startCol: String,
+      endCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def bucketOf(c: Column): Column = floor(c / bucketWidth).cast("long")
+    val p = points.withColumn("__bucket", bucketOf(col(pointCol)))
+    val i = intervals
+      .filter(col(startCol) < col(endCol))
+      .withColumn("__bucket",
+        explode(sequence(bucketOf(col(startCol)), bucketOf(col(endCol) - 1))))
+    p.join(i, Seq("__bucket"))
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
+      .drop("__bucket")
+  }
+}

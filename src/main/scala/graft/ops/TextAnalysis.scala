@@ -173,6 +173,61 @@ object TextAnalysis {
   def normalize(text: Column): Column =
     lower(trim(regexp_replace(text, "\\s+", " ")))
 
+  /**
+   * Line-level boilerplate removal (the C4/RefinedWeb recipe): a line whose
+   * normalized form appears in at least `minDocs` distinct documents is
+   * boilerplate (nav bars, cookie banners, footers) and is dropped from
+   * every document; surviving lines reassemble in their original order.
+   * Documents whose lines are all boilerplate come back with empty text
+   * (caller filters as desired) — no document is silently lost.
+   *
+   * Scale: one shuffle on the normalized line hash to count, one broadcast-
+   * able join back (the boilerplate line set is tiny relative to the
+   * corpus), one shuffle on the doc id to reassemble. Line text never
+   * travels twice: the count side carries only hashes.
+   */
+  def removeBoilerplateLines(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      minDocs: Int = 2): org.apache.spark.sql.DataFrame = {
+    val lines = df
+      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+      .withColumn("__norm_fp", md5(normalize(col("__line"))))
+    val boilerplate = lines
+      .groupBy(col("__norm_fp"))
+      .agg(countDistinct(col(idCol)).as("__ndocs"))
+      .filter(col("__ndocs") >= minDocs)
+      .select(col("__norm_fp"))
+    val rebuilt = lines
+      .join(boilerplate, Seq("__norm_fp"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          e => e.getField("__line")), "\n").as(textCol))
+    df.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .na.fill("", Seq(textCol))
+  }
+
+  /**
+   * Deterministic train/validation/test assignment by hashed id: the first
+   * 4 md5 hex digits of `salt || id` give a uniform bucket in [0, 65536),
+   * split by cumulative `weights` (percent-style, any positive scale).
+   * Pure per-row math — reproducible across engines, runs, and cluster
+   * sizes, unlike `randomSplit` (which is partition-order dependent).
+   */
+  def hashSplit(id: Column, weights: Seq[(String, Int)], salt: String = "graft"): Column = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0), "weights must be positive")
+    val total = weights.map(_._2).sum
+    val bucket = conv(substring(md5(concat(lit(salt), lit(":"), id.cast("string"))), 1, 4), 16, 10)
+      .cast("long")
+    val bounds = weights.scanLeft(0L) { case (acc, (_, w)) => acc + w }.tail
+    weights.zip(bounds).foldRight(lit(weights.last._1)) { case (((name, _), bound), alt) =>
+      when(bucket * total < bound * 65536L, name).otherwise(alt)
+    }
+  }
+
   /** Full-document fingerprint: md5 of the normalized text. */
   def fingerprint(text: Column): Column = md5(normalize(text))
 

@@ -111,6 +111,23 @@ class DedupSpec extends SparkTestBase {
     all(one) should fullyMatch regex "[0-9a-f]{8}"
   }
 
+  test("simhash near-dup pairs find small-Hamming pairs and nothing else") {
+    val pairs = Dedup.simhashNearDupPairs(docs, "id", "text", maxHamming = 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect()
+      .map { case (a, b, h) => (a, b) -> h }.toMap
+    // exact/normalized duplicates are Hamming 0 (simhash tokenizes lowercase)
+    pairs((1L, 3L)) shouldBe 0L
+    pairs((1L, 5L)) shouldBe 0L
+    pairs((3L, 5L)) shouldBe 0L
+    // the one-word-changed near-dup lands within 3 bits
+    pairs((1L, 2L)) should be <= 3L
+    // the unrelated doc never pairs
+    pairs.keys.flatMap(p => Seq(p._1, p._2)) should not contain 4L
+    // recall guarantee only holds to 3 bits with 4 byte-bands
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.simhashNearDupPairs(docs, "id", "text", maxHamming = 4)
+  }
+
   test("simhash is a bag-of-words fingerprint: permutation-invariant, dup-sensitive") {
     val df = Seq(
       (1L, "alpha beta gamma delta"),

@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.testkit.SparkTestBase
+
+class JoinsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("asOf picks the latest right row at or before each left timestamp") {
+    val trades = Seq(
+      ("A", 10L, 1L), ("A", 25L, 2L), ("A", 30L, 3L), // 30 ties a quote ts
+      ("B", 5L, 4L), // before any B quote
+      ("B", 50L, 5L)
+    ).toDF("sym", "ts", "trade_id")
+    val quotes = Seq(
+      ("A", 8L, 100.0), ("A", 20L, 101.0), ("A", 30L, 102.0),
+      ("B", 10L, 200.0)
+    ).toDF("sym", "ts", "px")
+
+    val joined = Joins.asOf(trades, quotes, Seq("sym"), "ts")
+      .select($"trade_id", $"asof_px").as[(Long, Option[Double])].collect().toMap
+    joined shouldBe Map(
+      1L -> Some(100.0), // 8 <= 10 < 20
+      2L -> Some(101.0), // 20 <= 25 < 30
+      3L -> Some(102.0), // equal ts is inclusive
+      4L -> None, // no quote yet -> left-outer null
+      5L -> Some(200.0))
+  }
+
+  test("asOf matches a naive per-row lookup on a dense case") {
+    val left = (0L until 200L).map(i => (i % 5, i, i)).toDF("k", "ts", "lid")
+    val right = (0L until 60L).map(j => (j % 5, j * 3, j * 1.5)).toDF("k", "ts", "v")
+    val expected = {
+      val r = right.as[(Long, Long, Double)].collect()
+      left.as[(Long, Long, Long)].collect().map { case (k, ts, lid) =>
+        val m = r.filter(q => q._1 == k && q._2 <= ts).sortBy(_._2).lastOption.map(_._3)
+        lid -> m
+      }.toMap
+    }
+    val actual = Joins.asOf(left, right, Seq("k"), "ts")
+      .select($"lid", $"asof_v").as[(Long, Option[Double])].collect().toMap
+    actual shouldBe expected
+  }
+
+  test("rangeJoin equals the naive inequality join for any bucket width") {
+    val points = (0L until 300L).map(p => (p, p * 7 % 100)).toDF("pid", "x")
+    val intervals = (0L until 40L).map { i =>
+      val s = i * 13 % 90
+      (i, s, s + 1 + (i % 20))
+    }.toDF("iid", "lo", "hi")
+    val naive = points.join(intervals, $"x" >= $"lo" && $"x" < $"hi")
+      .select($"pid", $"iid").as[(Long, Long)].collect().toSet
+    for (width <- Seq(1L, 4L, 16L, 128L)) {
+      val bucketed = Joins.rangeJoin(points, intervals, "x", "lo", "hi", width)
+        .select($"pid", $"iid").as[(Long, Long)].collect().toSet
+      withClue(s"bucketWidth=$width") { bucketed shouldBe naive }
+    }
+  }
+
+  test("rangeJoin drops empty and inverted intervals") {
+    val points = Seq(Tuple1(5L)).toDF("x")
+    val intervals = Seq((1L, 5L, 5L), (2L, 9L, 3L)).toDF("iid", "lo", "hi")
+    Joins.rangeJoin(points, intervals, "x", "lo", "hi", 10L).count() shouldBe 0
+  }
+}

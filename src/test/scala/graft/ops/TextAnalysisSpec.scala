@@ -114,6 +114,36 @@ class TextAnalysisSpec extends SparkTestBase {
     hits.get(2L) shouldBe None // clean doc: no row
   }
 
+  test("boilerplate lines are removed corpus-wide, order preserved, no doc lost") {
+    val docs = Seq(
+      (1L, "unique line one\nShared Footer Text\nunique line two"),
+      (2L, "another original paragraph\nshared  footer   TEXT"), // normalization-equal footer
+      (3L, "shared footer text"), // the doc IS the boilerplate -> empties out
+      (4L, "totally unrelated content")
+    ).toDF("doc_id", "text")
+    val cleaned = TextAnalysis.removeBoilerplateLines(docs, "doc_id", "text", minDocs = 2)
+      .as[(Long, String)].collect().toMap
+    cleaned(1L) shouldBe "unique line one\nunique line two"
+    cleaned(2L) shouldBe "another original paragraph"
+    cleaned(3L) shouldBe "" // kept as a row, text emptied
+    cleaned(4L) shouldBe "totally unrelated content"
+  }
+
+  test("hashSplit is deterministic and roughly proportional") {
+    val ids = spark.range(10000).toDF("id")
+    val split = TextAnalysis.hashSplit($"id", Seq("train" -> 80, "valid" -> 10, "test" -> 10))
+    val counts = ids.select(split.as("s")).groupBy("s").count()
+      .as[(String, Long)].collect().toMap
+    counts.keySet shouldBe Set("train", "valid", "test")
+    counts("train").toDouble shouldBe 8000.0 +- 300.0
+    counts("valid").toDouble shouldBe 1000.0 +- 150.0
+    counts("test").toDouble shouldBe 1000.0 +- 150.0
+    // same ids -> identical assignment, independent of partitioning
+    val again = ids.repartition(13).select($"id", split.as("s")).as[(Long, String)].collect().toMap
+    val first = ids.select($"id", split.as("s")).as[(Long, String)].collect().toMap
+    again shouldBe first
+  }
+
   test("all text operators are null-safe") {
     val df = Seq((1L, Some("real text here")), (2L, None)).toDF("doc_id", "text")
     val out = df.select($"doc_id",
