@@ -78,6 +78,29 @@ object EventStreams {
     events.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
 
   /**
+   * Stream-stream join within a time bound: each left event pairs with the
+   * right-stream events for the same key that occurred in the `maxGap`
+   * window before it (e.g. purchases matched to the clicks that preceded
+   * them). Both sides are watermarked and the join carries an explicit
+   * event-time range condition, which is what lets Spark EVICT buffered
+   * state — a stream-stream join without the range would buffer both
+   * streams forever. State partitions by the join key.
+   */
+  def joinWithin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      maxGap: String = "30 minutes",
+      watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermark).alias("l")
+    val r = right.withWatermark("ts", watermark).alias("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col("r.ts") >= col("l.ts") - expr(s"INTERVAL $maxGap") &&
+        col("r.ts") <= col("l.ts"))
+  }
+
+  /**
    * Stream into a date-partitioned [[WarehouseTable]] via `foreachBatch`:
    * each micro-batch appends to the partition of its processing date, so
    * downstream batch jobs (and `shouldRunForDate` gates) see streaming

@@ -83,6 +83,33 @@ class EventStreamsSpec extends SparkTestBase {
     table.load(spark, date).count() shouldBe 3 // appended across micro-batches
   }
 
+  test("stream-stream join pairs events within the time bound only") {
+    implicit val sc = spark.sqlContext
+    val purchases = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val joined = joinWithin(
+      asContract(purchases.toDF()).select($"event_id".as("p_id"), $"ts", $"user_id"),
+      asContract(clicks.toDF()).select($"event_id".as("c_id"), $"ts", $"user_id"),
+      key = "user_id", maxGap = "30 minutes", watermark = "5 minutes")
+    val q = joined.select($"p_id", $"c_id")
+      .writeStream.format("memory").queryName("ss_join_out").outputMode("append").start()
+    clicks.addData(
+      Event(100, ts(0), 10, "click", 0.0), // 40 min before the purchase: outside gap
+      Event(101, ts(20), 10, "click", 0.0), // 20 min before: inside
+      Event(102, ts(35), 10, "click", 0.0), // 5 min before: inside
+      Event(103, ts(20), 11, "click", 0.0)) // other user: never pairs
+    purchases.addData(Event(1, ts(40), 10, "purchase", 9.99))
+    q.processAllAvailable()
+    // advance both watermarks so buffered state flushes
+    clicks.addData(Event(199, ts(500), 99, "click", 0.0))
+    purchases.addData(Event(99, ts(500), 99, "purchase", 0.0))
+    runToCompletion(q)
+    val pairs = spark.table("ss_join_out").as[(Long, Long)].collect().toSet
+    pairs should contain allOf ((1L, 101L), (1L, 102L))
+    pairs should not contain ((1L, 100L))
+    pairs.map(_._2) should not contain 103L
+  }
+
   test("stateful sessionization closes sessions on gap timeout") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Event]
