@@ -631,6 +631,93 @@ object Queries {
        round(cast(sum(${sqlCents("o_totalprice")}) as bigint) / 100.0, 2) AS total
        FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)"""
 
+  /** TPC-H Q13 shape: histogram of customers by order count (outer join). */
+  def q13CustDist(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val perCust = t(dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+    t(dir, "customer")
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("n_orders"), lit(0L)).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  val q13Sql: String =
+    """SELECT c_count, count(*) AS custdist FROM (
+       SELECT c_custkey, count(o_orderkey) AS c_count
+       FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+       GROUP BY c_custkey)
+       GROUP BY c_count"""
+
+  /**
+   * TPC-H Q22 shape: scalar subquery (above-average balance) + anti join
+   * (no recent orders). The balance cutoff compares in EXACT integer cents —
+   * `bal * n > sum` instead of `bal > sum/n` — so an engine's floating
+   * average can never flip a borderline customer.
+   */
+  def q22AcctBal(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val cust = t(dir, "customer")
+    val stats = cust.filter(col("c_acctbal") > 0)
+      .agg(sum(cents(col("c_acctbal"))).as("__sum"), count(lit(1)).as("__n"))
+    val recent = t(dir, "orders")
+      .filter(col("o_orderdate") >= lit("2000-01-01"))
+      .select(col("o_custkey"))
+    cust
+      .join(broadcast(stats), lit(true))
+      .filter(cents(col("c_acctbal")) * col("__n") > col("__sum"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"),
+        round(sum(cents(col("c_acctbal"))) / 100.0, 2).as("totacctbal"))
+  }
+
+  val q22Sql: String = {
+    val c = sqlCents("c_acctbal")
+    s"""SELECT c_nationkey, count(*) AS numcust,
+       round(cast(sum($c) as bigint) / 100.0, 2) AS totacctbal
+       FROM customer,
+            (SELECT sum($c) AS s, count(*) AS n FROM customer WHERE c_acctbal > 0) stats
+       WHERE $c * n > s
+         AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                         AND o_orderdate >= TIMESTAMP '2000-01-01')
+       GROUP BY c_nationkey"""
+  }
+
+  /** Exact interpolated percentiles (median/p90) of event value per type. */
+  def percentileValues(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    events(dir)
+      .groupBy(col("event_type"))
+      .agg(round(percentile(col("value"), lit(0.5)), 4).as("p50"),
+        round(percentile(col("value"), lit(0.9)), 4).as("p90"))
+  }
+
+  val percentileValuesSql: String =
+    """SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.9), 4) AS p90
+       FROM events GROUP BY event_type"""
+
+  /** Trailing moving average (ROWS frame) of event values per user. */
+  def movingAvg(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(-2, Window.currentRow)
+    events(dir)
+      .select(col("event_id"), col("user_id"), micros(col("ts")).as("ts_us"), col("value"))
+      .withColumn("avg3", round(avg(col("value")).over(w), 4))
+      .select(col("event_id"), col("user_id"), col("avg3"))
+  }
+
+  val movingAvgSql: String =
+    """SELECT event_id, user_id,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS avg3
+       FROM events"""
+
   // =====================================================================
   // LLM training-data operators
   // =====================================================================
@@ -775,13 +862,23 @@ object Queries {
        FROM (SELECT doc_id, $Toks AS toks FROM documents)"""
   }
 
-  /** SimHash byte-band near-dup pairs (exact recall for Hamming <= 3). */
+  /** SimHash 16-bit-band near-dup pairs (exact recall for Hamming <= 3). */
   def simhashNeardup(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDupPairs(t(dir, "documents")(spark), "doc_id", "text", maxHamming = 3)
 
+  /** DuckDB twin of [[Dedup.simhash64]]: bit j = bit j%4 of md5 hex digit j/4. */
+  private val SqlSimhash64: String = {
+    val terms = (0 until 64).map { j =>
+      val contrib = if (j == 63) "((-9223372036854775807)::BIGINT - 1)" else (1L << j).toString
+      s"(CASE WHEN coalesce(list_sum(list_transform(toks, t -> (((strpos('0123456789abcdef', substring(md5(t), ${j / 4 + 1}, 1)) - 1) >> ${j % 4}) & 1) * 2 - 1)), 0) > 0 THEN $contrib ELSE 0 END)"
+    }.mkString(" + ")
+    s"cast($terms as bigint)"
+  }
+
   val simhashNeardupSql: String =
-    s"""WITH sh AS ($simhashFingerprintsSql),
-       banded AS (SELECT doc_id, simhash, b.band, (simhash >> (b.band * 8)) & 255 AS bb
+    s"""WITH sh AS (SELECT doc_id, $SqlSimhash64 AS simhash
+                    FROM (SELECT doc_id, $Toks AS toks FROM documents)),
+       banded AS (SELECT doc_id, simhash, b.band, (simhash >> (b.band * 16)) & 65535 AS bb
                   FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b)
        SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
               cast(bit_count(xor(a.simhash, c.simhash)) as bigint) AS hamming
@@ -1181,6 +1278,10 @@ object Queries {
     ("q18_large_orders", q18LargeOrders _, Some(q18Sql)),
     ("cheapest_supplier", cheapestSupplier _, Some(cheapestSupplierSql)),
     ("rollup_orders", rollupOrders _, Some(rollupOrdersSql)),
+    ("q13_custdist", q13CustDist _, Some(q13Sql)),
+    ("q22_acctbal", q22AcctBal _, Some(q22Sql)),
+    ("percentile_values", percentileValues _, Some(percentileValuesSql)),
+    ("moving_avg", movingAvg _, Some(movingAvgSql)),
     ("weekly_revenue", weeklyRevenue _, Some(weeklyRevenueSql)),
     ("json_extract", jsonExtract _, Some(jsonExtractSql)),
     ("multimodal_frames", multimodalFrames _, Some(multimodalFramesSql)),

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Scale-amplification harness behind BASELINE.md's scale checks: replicates
+ * the test tables `factor`x (with re-keyed ids so key cardinality grows too)
+ * and times the shuffle-bearing operators on the amplified data. Linear (or
+ * better) growth here is the evidence that the operator's one-shuffle design
+ * holds as data outgrows a single node.
+ *
+ * Usage: runMain graft.ScaleCheck [sfDir] [factor]
+ */
+object ScaleCheck {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.drop(1).headOption.map(_.toInt).getOrElse(20)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    /** `factor` copies; ids re-keyed into disjoint ranges, timestamps kept. */
+    def amplify(df: DataFrame, idCols: Seq[String], span: Long): DataFrame =
+      df.withColumn("__copy", explode(sequence(lit(0), lit(factor - 1))))
+        .select(df.columns.map(c =>
+          (if (idCols.contains(c)) col(c) + col("__copy") * span else col(c)).as(c)): _*)
+
+    def time[T](name: String)(f: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      f.write.format("noop").mode("overwrite").save()
+      println(f"[scale] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
+
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val bigEvents = amplify(events, Seq("event_id", "user_id"), 1000000L)
+      .localCheckpoint(eager = true) // time operators, not the amplification
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val bigDocs = amplify(docs, Seq("doc_id"), 1000000L).localCheckpoint(eager = true)
+    println(s"[scale] events ${bigEvents.count()} rows, documents ${bigDocs.count()} rows (${factor}x)")
+
+    time("asof_join") {
+      val purchases = bigEvents.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      val signups = bigEvents.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+        .agg(max(col("value")).as("signup_value"))
+      ops.Joins.asOf(purchases, signups, Seq("user_id"), "ts_us")
+    }
+    time("range_join") {
+      val pts = bigEvents.select(expr("unix_micros(ts) DIV 86400000000").as("d"))
+      val iv = bigEvents.filter(col("event_id") % 1000 === 0)
+        .select(col("event_id").as("iid"),
+          expr("unix_micros(ts) DIV 86400000000").as("lo"),
+          (expr("unix_micros(ts) DIV 86400000000") + 7).as("hi"))
+      ops.Joins.rangeJoin(pts, iv, "d", "lo", "hi", 7).groupBy("iid").count()
+    }
+    time("simhash_neardup") {
+      ops.Dedup.simhashNearDupPairs(bigDocs, "doc_id", "text")
+    }
+    time("boilerplate_lines") {
+      ops.TextAnalysis.removeBoilerplateLines(bigDocs, "doc_id", "text")
+    }
+    time("exact_dedup") {
+      ops.Dedup.exact(bigDocs, "text", "doc_id")
+    }
+    spark.stop()
+  }
+}

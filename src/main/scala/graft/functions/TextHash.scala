@@ -145,6 +145,38 @@ object TextHash {
     }
     value
   }
+
+  /**
+   * 64-bit SimHash: bit `j`'s vote is bit `j%4` of md5 hex digit `j/4` —
+   * 4 independent bits per digit, 64 bits from the first 16 digits of ONE
+   * md5 per token (same digest count as [[simhash32]]). The wider
+   * fingerprint exists for banding: 4 x 16-bit bands give 65536 bucket
+   * values per band, vs 256 for byte-bands of the 32-bit hash — the
+   * difference between bounded buckets and a quadratic candidate blow-up on
+   * a large corpus. Bit 63 makes the value negative; Hamming distance and
+   * band extraction are sign-agnostic (xor/shift/mask).
+   */
+  def simhash64(text: UTF8String): Long = {
+    val toks = tokenize(text.toString)
+    val votes = new Array[Int](64)
+    var t = 0
+    while (t < toks.length) {
+      val hex = md5Hex(toks(t))
+      var j = 0
+      while (j < 64) {
+        votes(j) += (if (((Character.digit(hex.charAt(j >> 2), 16) >> (j & 3)) & 1) == 1) 1 else -1)
+        j += 1
+      }
+      t += 1
+    }
+    var value = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) value |= 1L << j
+      j += 1
+    }
+    value
+  }
 }
 
 /** Base for graft's unary string-hash expressions: codegen is a static call. */
@@ -201,6 +233,17 @@ case class SimHash32(child: Expression) extends TextHashExpression {
     copy(child = newChild)
 }
 
+case class SimHash64(child: Expression) extends TextHashExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.simhash64(input.asInstanceOf[UTF8String])
+  override protected def staticCall(c: String): String =
+    s"graft.functions.TextHash$$.MODULE$$.simhash64($c)"
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
 /** Column-API constructors for the native expressions. */
 object functions {
   private def lit(e: Expression): Int = e match {
@@ -223,6 +266,9 @@ object functions {
   def simhash32(text: Column): Column =
     GraftExpressionBridge.column(SimHash32(GraftExpressionBridge.expression(text)))
 
+  def simhash64(text: Column): Column =
+    GraftExpressionBridge.column(SimHash64(GraftExpressionBridge.expression(text)))
+
   /** SQL registration, for `spark.sql.extensions=graft.functions.GraftExtensions`. */
   val registry: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("minhash_signature"),
@@ -235,7 +281,10 @@ object functions {
         if (args.length > 1) lit(args(1)) else 5)),
     (FunctionIdentifier("simhash32"),
       new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
-      (args: Seq[Expression]) => SimHash32(args.head)))
+      (args: Seq[Expression]) => SimHash32(args.head)),
+    (FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (args: Seq[Expression]) => SimHash64(args.head)))
 }
 
 /** Registers graft's native functions for SQL use via SparkSessionExtensions. */

@@ -119,11 +119,15 @@ class DedupSpec extends SparkTestBase {
     pairs((1L, 3L)) shouldBe 0L
     pairs((1L, 5L)) shouldBe 0L
     pairs((3L, 5L)) shouldBe 0L
-    // the one-word-changed near-dup lands within 3 bits
-    pairs((1L, 2L)) should be <= 3L
     // the unrelated doc never pairs
     pairs.keys.flatMap(p => Seq(p._1, p._2)) should not contain 4L
-    // recall guarantee only holds to 3 bits with 4 byte-bands
+    // exact recall to 3 bits: a pair is reported IFF its 64-bit Hamming <= 3
+    val h12 = docs.filter($"id".isin(1L, 2L))
+      .agg(Dedup.hammingDistance(
+        min(Dedup.simhash64($"text")), max(Dedup.simhash64($"text"))))
+      .as[Long].head()
+    pairs.contains((1L, 2L)) shouldBe (h12 <= 3)
+    // recall guarantee only holds to 3 bits with 4 bands
     an[IllegalArgumentException] should be thrownBy
       Dedup.simhashNearDupPairs(docs, "id", "text", maxHamming = 4)
   }
