@@ -25,26 +25,20 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm-up passes so JIT, whole-stage-codegen compilation and FileSystem
-    // init don't bill to the first query of each operator family: a scan, a
-    // shuffled agg, a window and a join over throwaway data.
-    import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.functions._
-    spark.read.parquet(s"$sfDir/lineitem.parquet").write.format("noop").mode("overwrite").save()
-    val r = spark.range(100000).select(col("id"), (col("id") % 100).as("k"))
-    r.groupBy("k").count().write.format("noop").mode("overwrite").save()
-    r.withColumn("rn", row_number().over(Window.partitionBy("k").orderBy("id")))
-      .join(r.select(col("k")).distinct(), "k")
-      .write.format("noop").mode("overwrite").save()
-    // min_by over a struct CONTAINING STRINGS: the arg-min comparator and
-    // UnsafeRow string paths are the single most JIT-expensive generated
-    // code in the battery (dedup_exact); an int-only warm-up doesn't touch
-    // them and the first real run can bill tens of seconds on a loaded host.
-    r.select(col("id"), (col("id") % 100).as("k"),
-        md5(col("id").cast("string")).as("s1"), repeat(md5((col("id") + 1).cast("string")), 4).as("s2"))
-      .groupBy(md5(col("k").cast("string")))
-      .agg(min_by(struct(col("id"), col("k"), col("s1"), col("s2")), col("id")))
-      .write.format("noop").mode("overwrite").save()
+    // Untimed warm pass of the FULL battery: generated code is schema- and
+    // query-specific, so synthetic warm-ups keep missing paths (round 3: the
+    // string-struct min_by comparator of dedup_exact billed 22 s of
+    // Janino+C2 compilation to its first run despite a lookalike warm-up).
+    // Running each real query once compiles exactly the code the timed pass
+    // executes and populates the FS/footer caches; the timed pass then
+    // measures steady-state execution, which is what the protocol reports
+    // (BASELINE.md).
+    Queries.all.foreach { case (name, fn, _) =>
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warm-up $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+      }
+    }
     val results = Queries.all.map { case (name, fn, _) =>
       val t0 = System.nanoTime()
       try {

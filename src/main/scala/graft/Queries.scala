@@ -718,6 +718,310 @@ object Queries {
              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS avg3
        FROM events"""
 
+  /**
+   * TPC-H Q6: pure scan-side filter + global agg — zero shuffles, every
+   * predicate in `PushedFilters` (the discount bounds compare the raw
+   * column, not a derived expression, precisely to stay pushable).
+   */
+  def q6Revenue(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    t(dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 && col("l_quantity") < 24)
+      .agg(round(sum(cents(col("l_extendedprice")) * pct(col("l_discount"))) / 10000.0, 2)
+        .as("revenue"))
+  }
+
+  val q6Sql: String =
+    s"""SELECT round(cast(sum(${sqlCents("l_extendedprice")} * ${sqlCents("l_discount")}) as bigint) / 10000.0, 2) AS revenue
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+         AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"""
+
+  /**
+   * TPC-H Q9 shape (no partsupp in this schema: `p_retailprice` stands in
+   * for supply cost): profit by nation and order year. Part/supplier/nation
+   * broadcast; the lineitem⋈orders join is the one big shuffle. Profit in
+   * exact 10^-4-dollar units until the final division.
+   */
+  def q9ProfitByNation(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val amount = cents(col("l_extendedprice")) * (lit(100L) - pct(col("l_discount"))) -
+      cents(col("p_retailprice")) * col("l_quantity").cast("long") * 100L
+    t(dir, "lineitem")
+      .join(broadcast(t(dir, "part").filter(col("p_name").contains("widget"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(t(dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(t(dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(round(sum(amount) / 10000.0, 2).as("sum_profit"))
+  }
+
+  val q9Sql: String = {
+    val amount = s"${sqlCents("l_extendedprice")} * (100 - ${sqlCents("l_discount")}) - " +
+      s"${sqlCents("p_retailprice")} * cast(l_quantity as bigint) * 100"
+    s"""SELECT n_name, cast(year(o_orderdate) as bigint) AS o_year,
+       round(cast(sum($amount) as bigint) / 10000.0, 2) AS sum_profit
+       FROM lineitem
+       JOIN part ON l_partkey = p_partkey
+       JOIN supplier ON l_suppkey = s_suppkey
+       JOIN nation ON s_nationkey = n_nationkey
+       JOIN orders ON l_orderkey = o_orderkey
+       WHERE p_name LIKE '%widget%'
+       GROUP BY n_name, year(o_orderdate)"""
+  }
+
+  /** TPC-H Q10: returned-item losses per customer, one quarter, top 20. */
+  def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    t(dir, "lineitem").filter(col("l_returnflag") === "R")
+      .join(broadcast(t(dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01") && col("o_orderdate") < lit("1997-04-01"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(round(sum(cents(col("l_extendedprice")) * (lit(100L) - pct(col("l_discount")))) / 10000.0, 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val q10Sql: String = {
+    val rev = s"round(cast(sum(${sqlCents("l_extendedprice")} * (100 - ${sqlCents("l_discount")})) as bigint) / 10000.0, 2)"
+    s"""SELECT c_custkey, c_name, c_acctbal, n_name, revenue FROM (
+       SELECT c_custkey, c_name, c_acctbal, n_name, $rev AS revenue
+       FROM lineitem
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey
+       WHERE l_returnflag = 'R'
+         AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+       GROUP BY c_custkey, c_name, c_acctbal, n_name)
+       ORDER BY revenue DESC, c_custkey LIMIT 20"""
+  }
+
+  /**
+   * TPC-H Q11 shape (value share from lineitem; no partsupp): parts whose
+   * total traded value exceeds 1/1500 of the corpus total. The global
+   * threshold is a broadcast scalar — agg once, never a driver collect; the
+   * share compare is exact integer cross-multiplication.
+   */
+  def q11ImportantParts(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val vals = t(dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(sum(cents(col("l_extendedprice"))).as("value_c"))
+    val total = vals.agg(sum(col("value_c")).as("total_c"))
+    vals.join(broadcast(total))
+      .filter(col("value_c") * 1500L > col("total_c"))
+      .select(col("l_partkey"), round(col("value_c") / 100.0, 2).as("part_value"))
+  }
+
+  val q11Sql: String =
+    s"""WITH v AS (SELECT l_partkey, sum(${sqlCents("l_extendedprice")}) AS value_c
+                   FROM lineitem GROUP BY l_partkey)
+       SELECT l_partkey, round(cast(value_c as bigint) / 100.0, 2) AS part_value
+       FROM v, (SELECT sum(value_c) AS total_c FROM v) t
+       WHERE value_c * 1500 > total_c"""
+
+  /**
+   * TPC-H Q12 shape (order-priority classes per line status; this schema has
+   * no shipmode): one broadcast join + conditional counts, single shuffle.
+   */
+  def q12PriorityLines(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    t(dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1998-01-01"))
+      .join(broadcast(t(dir, "orders")), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+  }
+
+  val q12Sql: String =
+    """SELECT l_linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+       GROUP BY l_linestatus"""
+
+  /**
+   * TPC-H Q15: top supplier(s) by quarterly revenue — agg, broadcast the
+   * scalar max back, equality-select. No window over the whole agg, no
+   * driver collect.
+   */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val rev = t(dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1996-04-01"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(cents(col("l_extendedprice")) * (lit(100L) - pct(col("l_discount")))).as("rev_c"))
+    val top = rev.agg(max(col("rev_c")).as("max_c"))
+    rev.join(broadcast(top))
+      .filter(col("rev_c") === col("max_c"))
+      .join(broadcast(t(dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), round(col("rev_c") / 10000.0, 2).as("total_revenue"))
+  }
+
+  val q15Sql: String =
+    s"""WITH rev AS (
+         SELECT l_suppkey, sum(${sqlCents("l_extendedprice")} * (100 - ${sqlCents("l_discount")})) AS rev_c
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+         GROUP BY l_suppkey)
+       SELECT s_suppkey, s_name, round(cast(rev_c as bigint) / 10000.0, 2) AS total_revenue
+       FROM rev JOIN supplier ON l_suppkey = s_suppkey,
+            (SELECT max(rev_c) AS max_c FROM rev) t
+       WHERE rev_c = max_c"""
+
+  /**
+   * TPC-H Q16 shape: supplier variety per (brand, type, size) — broadcast
+   * dim join + count-distinct, i.e. two-phase agg on a composite key.
+   */
+  def q16SupplierVariety(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    t(dir, "lineitem")
+      .join(broadcast(t(dir, "part")
+        .filter(col("p_brand") =!= "Brand#1" && col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  val q16Sql: String =
+    """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+       GROUP BY p_brand, p_type, p_size"""
+
+  /**
+   * TPC-H Q17: revenue from small-quantity lines, against a per-part average
+   * computed over the pruned (brand-only) lineitem slice. The quantity bar
+   * `qty < avg/5` is cross-multiplied (`qty*5 < avg`) so both engines
+   * compare the same exact doubles.
+   */
+  def q17SmallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val brandLines = t(dir, "lineitem")
+      .join(broadcast(t(dir, "part").filter(col("p_brand") === "Brand#3").select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+    val perPart = brandLines.groupBy(col("l_partkey")).agg(avg(col("l_quantity")).as("aq"))
+    brandLines
+      .join(broadcast(perPart), Seq("l_partkey"))
+      .filter(col("l_quantity") * 5 < col("aq"))
+      .agg(round(sum(cents(col("l_extendedprice"))) / 100.0 / 7.0, 2).as("avg_yearly"))
+  }
+
+  val q17Sql: String =
+    s"""WITH bl AS (SELECT l_partkey, l_quantity, l_extendedprice
+                    FROM lineitem JOIN part ON l_partkey = p_partkey
+                    WHERE p_brand = 'Brand#3'),
+       pp AS (SELECT l_partkey, avg(l_quantity) AS aq FROM bl GROUP BY l_partkey)
+       SELECT round(cast(sum(${sqlCents("l_extendedprice")}) as bigint) / 100.0 / 7.0, 2) AS avg_yearly
+       FROM bl JOIN pp USING (l_partkey)
+       WHERE l_quantity * 5 < aq"""
+
+  /**
+   * TPC-H Q19: disjunctive brand/size/quantity predicates over a broadcast
+   * part join — one OR-of-ANDs residual filter, zero extra shuffles.
+   */
+  def q19DisjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val cond =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) && col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) && col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) && col("l_quantity").between(20, 30))
+    t(dir, "lineitem")
+      .join(broadcast(t(dir, "part")), col("l_partkey") === col("p_partkey"))
+      .filter(cond)
+      .agg(round(sum(cents(col("l_extendedprice")) * (lit(100L) - pct(col("l_discount")))) / 10000.0, 2)
+        .as("revenue"))
+  }
+
+  val q19Sql: String =
+    s"""SELECT round(cast(sum(${sqlCents("l_extendedprice")} * (100 - ${sqlCents("l_discount")})) as bigint) / 10000.0, 2) AS revenue
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+          OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+          OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)"""
+
+  /**
+   * TPC-H Q20 shape: suppliers who moved heavy volume of the targeted parts
+   * in 1996 — agg on (partkey, suppkey), semi-join chain up to suppliers.
+   * No subquery re-scan: the one lineitem agg feeds every later filter.
+   */
+  def q20HeavySuppliers(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val heavy = t(dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01"))
+      .join(broadcast(t(dir, "part").filter(col("p_name").startsWith("small"))
+        .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity")).as("qty"))
+      .filter(col("qty") > 50)
+      .select(col("l_suppkey")).distinct()
+    t(dir, "supplier")
+      // the heavy set is bounded by the supplier dim — broadcast the semi side
+      .join(broadcast(heavy), col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(t(dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_name"), col("n_name"), col("s_acctbal"))
+  }
+
+  val q20Sql: String =
+    """SELECT s_name, n_name, s_acctbal
+       FROM supplier JOIN nation ON s_nationkey = n_nationkey
+       WHERE s_suppkey IN (
+         SELECT l_suppkey FROM (
+           SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+             AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+           GROUP BY l_partkey, l_suppkey)
+         WHERE qty > 50)"""
+
+  /**
+   * TPC-H Q21 shape (`l_returnflag = 'R'` marks a problem line; this schema
+   * has no receipt/commit dates): suppliers solely to blame on
+   * multi-supplier orders. One agg per orderkey replaces the classic
+   * EXISTS/NOT-EXISTS self-join pair — lineitem is scanned once, shuffled
+   * once on orderkey, once on suppkey.
+   */
+  def q21SoleBlame(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val li = t(dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+    val perOrder = li.groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("l_returnflag") === "R", col("l_suppkey"))).as("n_flagged"))
+      .filter(col("n_supp") > 1 && col("n_flagged") === 1)
+    li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      .join(perOrder, Seq("l_orderkey"))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(t(dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(10)
+  }
+
+  val q21Sql: String =
+    """SELECT s_name, numwait FROM (
+       SELECT l_suppkey, count(*) AS numwait FROM (
+         SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R') f
+       JOIN (
+         SELECT l_orderkey FROM (
+           SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_supp,
+                  count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS n_flagged
+           FROM lineitem GROUP BY l_orderkey)
+         WHERE n_supp > 1 AND n_flagged = 1) o USING (l_orderkey)
+       GROUP BY l_suppkey) w
+       JOIN supplier ON l_suppkey = s_suppkey
+       ORDER BY numwait DESC, s_name LIMIT 10"""
+
   // =====================================================================
   // LLM training-data operators
   // =====================================================================
@@ -1251,6 +1555,82 @@ object Queries {
          i -> cast(i * cast(octet_length(encode(text)) as bigint) // 4 as varchar)), ',') AS offsets
        FROM documents"""
 
+  /**
+   * SemDeDup-style semantic dedup over the deterministic IVF cells: keep the
+   * smallest-id member of every within-cell duplicate set (cosine >= 0.3 —
+   * the testdata vectors are near-orthogonal, production uses ~0.95).
+   */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    Similarity.semanticDedup(t(dir, "embeddings"), "vec_id", "embedding", k = 8, threshold = 0.3)
+      .select(col("vec_id"), col("label"))
+  }
+
+  val semanticDedupSql: String =
+    s"""WITH cent AS (
+         SELECT rk - 1 AS centroid_id, embedding AS cv FROM (
+           SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id) AS rk FROM embeddings)
+         WHERE rk <= 8),
+       assigned AS (
+         SELECT vec_id, embedding, centroid_id FROM (
+           SELECT vec_id, embedding, centroid_id,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id) AS rn
+           FROM (SELECT e.vec_id, e.qv AS embedding, c.centroid_id, $SqlCos AS cos
+                 FROM (SELECT vec_id, embedding AS qv FROM embeddings) e
+                 CROSS JOIN (SELECT centroid_id, cv AS nv FROM cent) c))
+         WHERE rn = 1),
+       dropped AS (
+         SELECT DISTINCT b.vec_id
+         FROM (SELECT centroid_id, vec_id, embedding AS nv FROM assigned) b
+         JOIN (SELECT centroid_id, vec_id AS id_a, embedding AS qv FROM assigned) a
+           USING (centroid_id)
+         WHERE a.id_a < b.vec_id AND $SqlCos >= 0.3)
+       SELECT vec_id, label FROM embeddings
+       WHERE vec_id NOT IN (SELECT vec_id FROM dropped)"""
+
+  /**
+   * Context-window sequence packing: per-source running token totals assign
+   * each document a chunk id under a 512-token budget. One window shuffle on
+   * `source`; groups pack independently at any scale.
+   */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val docs = t(dir, "documents").select(col("doc_id"), col("source"),
+      TextAnalysis.bpeTokenCount(col("text")).cast("long").as("n_tokens"))
+    TextAnalysis.packSequences(docs, "source", "doc_id", "n_tokens", contextLen = 512)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("chunk_id"))
+  }
+
+  val packSequencesSql: String =
+    raw"""SELECT doc_id, source, n_tokens,
+       cast((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 512 as bigint) AS chunk_id
+       FROM (SELECT doc_id, source,
+               cast(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]')) as bigint) AS n_tokens
+             FROM documents)"""
+
+  /**
+   * Deterministic per-language stratified sampling (training-mix
+   * re-weighting): hash-bucket keep decision, exact integer compare — same
+   * rows survive on any engine, any partitioning.
+   */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val rates = Map("en" -> 60, "de" -> 40, "fr" -> 40, "es" -> 20, "zh" -> 10)
+    t(dir, "documents")
+      .filter(TextAnalysis.stratifiedKeep(col("doc_id"), col("lang"), rates))
+      .select(col("doc_id"), col("lang"))
+  }
+
+  val stratifiedSampleSql: String = {
+    val digit = (i: Int) =>
+      s"(strpos('0123456789abcdef', substring(md5('graft:' || doc_id), $i, 1)) - 1)"
+    val bucket = s"(((${digit(1)} * 16 + ${digit(2)}) * 16 + ${digit(3)}) * 16 + ${digit(4)})"
+    s"""SELECT doc_id, lang FROM documents
+       WHERE $bucket * 100 < (CASE lang WHEN 'en' THEN 60 WHEN 'de' THEN 40 WHEN 'fr' THEN 40
+                                        WHEN 'es' THEN 20 WHEN 'zh' THEN 10 ELSE 0 END) * 65536"""
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -1275,6 +1655,17 @@ object Queries {
     ("asof_join", asofJoin _, Some(asofJoinSql)),
     ("range_join_count", rangeJoinCount _, Some(rangeJoinCountSql)),
     ("q4_order_priority", q4OrderPriority _, Some(q4Sql)),
+    ("q6_revenue", q6Revenue _, Some(q6Sql)),
+    ("q9_profit_by_nation", q9ProfitByNation _, Some(q9Sql)),
+    ("q10_returned_items", q10ReturnedItems _, Some(q10Sql)),
+    ("q11_important_parts", q11ImportantParts _, Some(q11Sql)),
+    ("q12_priority_lines", q12PriorityLines _, Some(q12Sql)),
+    ("q15_top_supplier", q15TopSupplier _, Some(q15Sql)),
+    ("q16_supplier_variety", q16SupplierVariety _, Some(q16Sql)),
+    ("q17_small_qty_revenue", q17SmallQtyRevenue _, Some(q17Sql)),
+    ("q19_disjunctive_revenue", q19DisjunctiveRevenue _, Some(q19Sql)),
+    ("q20_heavy_suppliers", q20HeavySuppliers _, Some(q20Sql)),
+    ("q21_sole_blame", q21SoleBlame _, Some(q21Sql)),
     ("q18_large_orders", q18LargeOrders _, Some(q18Sql)),
     ("cheapest_supplier", cheapestSupplier _, Some(cheapestSupplierSql)),
     ("rollup_orders", rollupOrders _, Some(rollupOrdersSql)),
@@ -1307,5 +1698,8 @@ object Queries {
     ("ann_multiprobe", annMultiprobe _, Some(annMultiprobeSql)),
     ("dup_clusters", dupClusters _, Some(dupClustersSql)),
     ("embedding_neardup", embeddingNeardup _, Some(embeddingNeardupSql)),
+    ("semantic_dedup", semanticDedup _, Some(semanticDedupSql)),
+    ("pack_sequences", packSequences _, Some(packSequencesSql)),
+    ("stratified_sample", stratifiedSample _, Some(stratifiedSampleSql)),
     ("multimodal_meta", multimodalMeta _, Some(multimodalMetaSql)))
 }

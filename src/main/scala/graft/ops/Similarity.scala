@@ -191,11 +191,13 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int = 16): (DataFrame, DataFrame) = {
-    // distributed take-ordered first, so the global row_number window only
-    // ever sees k rows (a full-corpus single-partition sort would not scale)
+    // distributed take-ordered first, so the single-partition row_number
+    // window only ever sees k rows (a full-corpus single-partition sort
+    // would not scale); the lit(0) partition key says so explicitly instead
+    // of tripping Spark's empty-partition-spec warning
     val seeds = corpus.select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(k)
     val centroids = broadcast(seeds
-      .withColumn("__rk", row_number().over(Window.orderBy(col(idCol))))
+      .withColumn("__rk", row_number().over(Window.partitionBy(lit(0)).orderBy(col(idCol))))
       .select((col("__rk") - 1).as("centroid_id"), col(vecCol).as("centroid")))
     val assignW = Window.partitionBy(col(idCol)).orderBy(col("__cos").desc, col("centroid_id"))
     val assigned = corpus
@@ -259,5 +261,34 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
       .distinct()
+  }
+
+  /**
+   * SemDeDup-style semantic deduplication: cluster the corpus into IVF cells
+   * ([[ivfAssignSeeded]] so the whole pass is deterministic and
+   * engine-replayable), then inside each cell drop every vector whose cosine
+   * to a smaller-id cell-mate reaches `threshold` — the "keep the first of
+   * each semantic duplicate set" rule. Returns the surviving rows.
+   *
+   * Scale: pairwise comparison happens only WITHIN a cell (the self-join is
+   * an equi-join on `centroid_id`), so work is sum of cell^2, not corpus^2;
+   * `k` scales with corpus size to bound cells (SemDeDup uses ~50k cells for
+   * web-scale corpora). Skewed cells fall to AQE skew-join handling.
+   */
+  def semanticDedup(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 16,
+      threshold: Double = 0.9): DataFrame = {
+    val (assigned, _) = ivfAssignSeeded(corpus, idCol, vecCol, k)
+    val slim = assigned.select(col("centroid_id"), col(idCol), col(vecCol))
+    val dropped = slim.select(col("centroid_id"), col(idCol), col(vecCol).as("__v_b"))
+      .join(slim.select(col("centroid_id"), col(idCol).as("__id_a"), col(vecCol).as("__v_a")),
+        Seq("centroid_id"))
+      .filter(col("__id_a") < col(idCol))
+      .filter(round(cosine(col("__v_a"), col("__v_b")), 4) >= threshold)
+      .select(col(idCol)).distinct()
+    corpus.join(dropped, Seq(idCol), "left_anti")
   }
 }

@@ -228,6 +228,57 @@ object TextAnalysis {
     }
   }
 
+  /**
+   * Deterministic stratified sampling: keep a row when its hashed id falls
+   * under the stratum's rate (percent units, exact integer compare — no
+   * float thresholds to drift between engines). The per-stratum rates are
+   * how training mixes re-weight domains (upsample curated sources,
+   * downsample crawl) without a shuffle: pure per-row math, reproducible
+   * across runs and cluster sizes, unlike `df.sampleBy` (RNG
+   * partition-order dependent). Strata absent from `ratesPct` keep 0 rows.
+   */
+  def stratifiedKeep(
+      id: Column,
+      stratum: Column,
+      ratesPct: Map[String, Int],
+      salt: String = "graft"): Column = {
+    require(ratesPct.values.forall(r => r >= 0 && r <= 100), "rates are percents in [0, 100]")
+    val bucket = conv(substring(md5(concat(lit(salt), lit(":"), id.cast("string"))), 1, 4), 16, 10)
+      .cast("long")
+    // sort for a deterministic CASE chain (Map iteration order is not)
+    val pctOf = ratesPct.toSeq.sortBy(_._1).foldRight(lit(0L)) { case ((name, pct), alt) =>
+      when(stratum === name, lit(pct.toLong)).otherwise(alt)
+    }
+    (bucket * 100L) < (pctOf * 65536L)
+  }
+
+  /**
+   * Greedy sequence packing: assign documents to fixed-budget context
+   * windows ("chunks") per group, in deterministic `orderCol` order — the
+   * standard pre-training step that concatenates documents up to the model
+   * context length. A document lands in chunk `floor(tokens_before /
+   * contextLen)`, i.e. budget boundaries may split a document (production
+   * packers truncate or pad; the assignment is what matters here).
+   *
+   * Scale: one window shuffle on `groupCol` (source/shard), never a global
+   * sort — each group packs independently, so 1000 executors pack 1000
+   * groups concurrently.
+   */
+  def packSequences(
+      df: org.apache.spark.sql.DataFrame,
+      groupCol: String,
+      orderCol: String,
+      tokensCol: String,
+      contextLen: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum", sum(col(tokensCol)).over(w))
+      .withColumn("chunk_id",
+        floor((col("__cum") - col(tokensCol)).cast("long") / contextLen).cast("long"))
+      .drop("__cum")
+  }
+
   /** Full-document fingerprint: md5 of the normalized text. */
   def fingerprint(text: Column): Column = md5(normalize(text))
 

@@ -144,4 +144,28 @@ class SimilaritySpec extends SparkTestBase {
     pairs should not be empty
     all(pairs.map { case (a, b) => (a / 25, b / 25) }.map(p => p._1 == p._2)) shouldBe true
   }
+
+  test("semantic dedup keeps the smallest id of every within-cell duplicate set") {
+    val survivors = Similarity.semanticDedup(corpus, "vec_id", "embedding", k = 8, threshold = 0.9)
+    val ids = survivors.select("vec_id").as[Long].collect().toSet
+    // the clustered corpus is massively redundant at cosine 0.9: most of each
+    // 25-point cluster collapses, and the globally smallest id always survives
+    ids should contain(0L)
+    ids.size should be < 40
+    ids.size should be >= 4 // at least one representative per cluster
+    // keep-first invariant: no surviving pair in the same IVF cell is still
+    // above the threshold (cross-cell pairs may be; that's the recall trade)
+    val (assigned, _) = Similarity.ivfAssignSeeded(corpus, "vec_id", "embedding", k = 8)
+    val cells = assigned.filter($"vec_id".isin(ids.toSeq.map(Long.box): _*))
+      .select($"centroid_id", $"vec_id", $"embedding")
+    val offending = cells.as("a")
+      .join(cells.as("b"), $"a.centroid_id" === $"b.centroid_id" && $"a.vec_id" < $"b.vec_id")
+      .filter(round(Similarity.cosine($"a.embedding", $"b.embedding"), 4) >= 0.9)
+    offending.count() shouldBe 0
+    // deterministic: same survivors on a different partitioning
+    val again = Similarity.semanticDedup(corpus.repartition(13), "vec_id", "embedding",
+      k = 8, threshold = 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    again shouldBe ids
+  }
 }

@@ -168,6 +168,45 @@ class TextAnalysisSpec extends SparkTestBase {
     deduped.select("id").as[Long].collect().sorted shouldBe Array(1L, 2L)
   }
 
+  test("packSequences assigns chunks by running token budget per group") {
+    val docs = Seq(
+      ("a", 1L, 100L), ("a", 2L, 200L), ("a", 3L, 300L), ("a", 4L, 50L),
+      ("b", 1L, 600L), ("b", 2L, 10L))
+      .toDF("source", "doc_id", "n_tokens")
+    val packed = TextAnalysis.packSequences(docs, "source", "doc_id", "n_tokens", contextLen = 256)
+      .select($"source", $"doc_id", $"chunk_id").as[(String, Long, Long)].collect().toSet
+    // group a: tokens-before = 0, 100, 300, 600 -> chunks 0, 0, 1, 2
+    // group b packs independently: tokens-before = 0, 600 -> chunks 0, 2
+    packed shouldBe Set(
+      ("a", 1L, 0L), ("a", 2L, 0L), ("a", 3L, 1L), ("a", 4L, 2L),
+      ("b", 1L, 0L), ("b", 2L, 2L))
+    // partitioning-independent
+    val again = TextAnalysis.packSequences(docs.repartition(7), "source", "doc_id", "n_tokens", 256)
+      .select($"source", $"doc_id", $"chunk_id").as[(String, Long, Long)].collect().toSet
+    again shouldBe packed
+  }
+
+  test("stratifiedKeep is deterministic, rate-monotonic and stratum-scoped") {
+    val docs = spark.range(2000).select($"id", (($"id" % 2) === 0).cast("string").as("stratum"))
+    def kept(rates: Map[String, Int]): Set[Long] =
+      docs.filter(TextAnalysis.stratifiedKeep($"id", $"stratum", rates))
+        .select("id").as[Long].collect().toSet
+    kept(Map("true" -> 100, "false" -> 100)) should have size 2000
+    kept(Map("true" -> 0, "false" -> 0)) shouldBe empty
+    // a stratum missing from the rates keeps nothing
+    kept(Map("true" -> 100)) shouldBe (0L until 2000L).filter(_ % 2 == 0).toSet
+    // raising a rate only ever adds rows (hash thresholding, not resampling)
+    val half = kept(Map("true" -> 50, "false" -> 20))
+    val more = kept(Map("true" -> 80, "false" -> 40))
+    half.subsetOf(more) shouldBe true
+    // approximate proportions per stratum
+    half.count(_ % 2 == 0).toDouble shouldBe 500.0 +- 80.0
+    half.count(_ % 2 == 1).toDouble shouldBe 200.0 +- 60.0
+    // partitioning-independent
+    docs.repartition(11).filter(TextAnalysis.stratifiedKeep($"id", $"stratum",
+      Map("true" -> 50, "false" -> 20))).select("id").as[Long].collect().toSet shouldBe half
+  }
+
   test("stopword hits count multiset occurrences") {
     one("the the the").select(
       TextAnalysis.stopwordHits(TextAnalysis.tokens($"text"), Seq("the", "and")))
