@@ -1556,6 +1556,52 @@ object Queries {
        FROM documents"""
 
   /**
+   * Gopher-style intra-document repetition stats (duplicate-line and
+   * duplicate-character fractions) — exact rational math both sides.
+   */
+  def docRepetition(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    TextAnalysis.repetitionStats(t(dir, "documents"), "doc_id", "text")
+  }
+
+  val docRepetitionSql: String =
+    raw"""WITH lines AS (
+         SELECT doc_id, lower(trim(regexp_replace(line, '\s+', ' ', 'g'))) AS nl
+         FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents)
+         WHERE lower(trim(regexp_replace(line, '\s+', ' ', 'g'))) <> ''),
+       per AS (
+         SELECT doc_id, nl, count(*) AS n, length(nl) AS len
+         FROM lines GROUP BY doc_id, nl)
+       SELECT doc_id, cast(sum(n) as bigint) AS n_lines,
+              round((sum(n) - count(*)) / cast(sum(n) as double), 4) AS dup_line_frac,
+              round(sum(CASE WHEN n > 1 THEN n * len ELSE 0 END) / cast(sum(n * len) as double), 4) AS dup_char_frac
+       FROM per GROUP BY doc_id"""
+
+  /**
+   * Per-document top-3 terms by the exact rational tf-idf weight
+   * `tf * n_docs / df` (no `ln`: libm-dependent, not engine-portable;
+   * identical top-k ranking within a document).
+   */
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    TextAnalysis.tfidfTopTerms(t(dir, "documents"), "doc_id", "text", k = 3)
+  }
+
+  val tfidfTopTermsSql: String =
+    s"""WITH terms AS (
+         SELECT doc_id, unnest($Toks) AS term FROM documents),
+       tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+       dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY term),
+       nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+       SELECT doc_id, term, tf, df, score, rank FROM (
+         SELECT doc_id, term, tf, df,
+                round(tf * n_docs / cast(df as double), 6) AS score,
+                row_number() OVER (PARTITION BY doc_id
+                  ORDER BY round(tf * n_docs / cast(df as double), 6) DESC, term) AS rank
+         FROM tf JOIN dfreq USING (term), nd)
+       WHERE rank <= 3"""
+
+  /**
    * SemDeDup-style semantic dedup over the deterministic IVF cells: keep the
    * smallest-id member of every within-cell duplicate set (cosine >= 0.3 —
    * the testdata vectors are near-orthogonal, production uses ~0.95).
@@ -1701,5 +1747,7 @@ object Queries {
     ("semantic_dedup", semanticDedup _, Some(semanticDedupSql)),
     ("pack_sequences", packSequences _, Some(packSequencesSql)),
     ("stratified_sample", stratifiedSample _, Some(stratifiedSampleSql)),
+    ("doc_repetition", docRepetition _, Some(docRepetitionSql)),
+    ("tfidf_top_terms", tfidfTopTerms _, Some(tfidfTopTermsSql)),
     ("multimodal_meta", multimodalMeta _, Some(multimodalMetaSql)))
 }

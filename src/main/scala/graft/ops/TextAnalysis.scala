@@ -174,6 +174,71 @@ object TextAnalysis {
     lower(trim(regexp_replace(text, "\\s+", " ")))
 
   /**
+   * Gopher-style intra-document repetition stats: the fraction of lines that
+   * repeat an earlier line (`dup_line_frac`) and the fraction of line
+   * characters inside repeated lines (`dup_char_frac`) — the cheap signal
+   * for machine-generated/templated text. Documents whose every line
+   * normalizes to empty are omitted (nothing to measure).
+   *
+   * Scale: explode + two aggs keyed on the doc id — partial aggregation
+   * combines map-side, and the (id, line) key never concentrates (a doc's
+   * lines are one group). All ratios are exact integer divisions done once.
+   */
+  def repetitionStats(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val lines = df
+      .select(col(idCol), explode(split(col(textCol), "\n")).as("__line"))
+      .withColumn("__norm", normalize(col("__line")))
+      .filter(col("__norm") =!= "")
+    val perLine = lines
+      .groupBy(col(idCol), col("__norm"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__len", length(col("__norm")))
+    perLine
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("__n")).cast("long").as("n_lines"),
+        round((sum(col("__n")) - count(lit(1))) / sum(col("__n")).cast("double"), 4)
+          .as("dup_line_frac"),
+        round(sum(when(col("__n") > 1, col("__n") * col("__len")).otherwise(0L)) /
+          sum(col("__n") * col("__len")).cast("double"), 4).as("dup_char_frac"))
+  }
+
+  /**
+   * Per-document top-`k` terms by tf-idf-style weight. The weight is the
+   * exact rational `tf * n_docs / doc_freq` — deliberately no logarithm:
+   * `ln` is libm-implementation-specific and would break bit-reproducibility
+   * across engines, while the rational ranks identically for top-k within a
+   * document (both are monotonic in tf and 1/df).
+   *
+   * Scale: term-frequency agg on (doc, term), document-frequency agg on
+   * term, equi-join on term (vocabulary-sized — shuffle, not broadcast, at
+   * corpus scale), corpus size as a broadcast scalar, one top-k window on
+   * the doc id. No collect, no cross join beyond the 1-row scalar.
+   */
+  def tfidfTopTerms(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.broadcast
+    val terms = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = terms.groupBy(col("term")).agg(countDistinct(col(idCol)).as("df"))
+    val nDocs = df.agg(countDistinct(col(idCol)).as("__n_docs"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, Seq("term"))
+      .join(broadcast(nDocs))
+      .withColumn("score", round(col("tf") * col("__n_docs") / col("df"), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("score"), col("rank"))
+  }
+
+  /**
    * Line-level boilerplate removal (the C4/RefinedWeb recipe): a line whose
    * normalized form appears in at least `minDocs` distinct documents is
    * boilerplate (nav bars, cookie banners, footers) and is dropped from

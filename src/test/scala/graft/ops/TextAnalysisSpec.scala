@@ -207,6 +207,36 @@ class TextAnalysisSpec extends SparkTestBase {
       Map("true" -> 50, "false" -> 20))).select("id").as[Long].collect().toSet shouldBe half
   }
 
+  test("repetitionStats measures duplicate line and char fractions exactly") {
+    val docs = Seq(
+      (1L, "alpha beta\ngamma\nAlpha  beta\n\n"), // "alpha beta" repeats (case/ws-insensitive)
+      (2L, "unique one\nunique two"),
+      (3L, "\n \n")) // all-empty doc is omitted
+      .toDF("doc_id", "text")
+    val stats = TextAnalysis.repetitionStats(docs, "doc_id", "text")
+      .as[(Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    stats.keySet shouldBe Set(1L, 2L)
+    // doc 1: 3 nonempty lines, 2 distinct -> dup_line_frac 1/3;
+    // chars: "alpha beta"(10)*2 + "gamma"(5) = 25, dup chars 20 -> 0.8
+    stats(1L) shouldBe ((1L, 3L, 0.3333, 0.8))
+    stats(2L) shouldBe ((2L, 2L, 0.0, 0.0))
+  }
+
+  test("tfidfTopTerms ranks rare-but-frequent terms first") {
+    val docs = Seq(
+      (1L, "zebra zebra zebra common"),
+      (2L, "common words only here"),
+      (3L, "common zebra words")).toDF("doc_id", "text")
+    val top = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+    val first = top.filter($"doc_id" === 1 && $"rank" === 1)
+      .select("term", "tf", "df", "score").as[(String, Long, Long, Double)].head()
+    // zebra: tf=3, df=2, n_docs=3 -> score 4.5 beats common (tf=1, df=3 -> 1.0)
+    first shouldBe (("zebra", 3L, 2L, 4.5))
+    // every doc gets at most k ranked rows, ranks contiguous from 1
+    val byDoc = top.select("doc_id", "rank").as[(Long, Long)].collect().groupBy(_._1)
+    byDoc.values.foreach(rs => rs.map(_._2).sorted shouldBe (1L to rs.size.toLong).toArray)
+  }
+
   test("stopword hits count multiset occurrences") {
     one("the the the").select(
       TextAnalysis.stopwordHits(TextAnalysis.tokens($"text"), Seq("the", "and")))
