@@ -992,14 +992,17 @@ object Queries {
    */
   def q21SoleBlame(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    val li = t(dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
-    val perOrder = li.groupBy(col("l_orderkey"))
+    // one scan, one per-order agg: the flagged-supplier set rides along as a
+    // collect_list (collect_list drops the nulls of unflagged lines), so the
+    // qualifying orders' sole supplier pops out of the same shuffle — no
+    // second lineitem scan, no join back
+    t(dir, "lineitem")
+      .groupBy(col("l_orderkey"))
       .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(when(col("l_returnflag") === "R", col("l_suppkey"))).as("n_flagged"))
-      .filter(col("n_supp") > 1 && col("n_flagged") === 1)
-    li.filter(col("l_returnflag") === "R")
-      .select(col("l_orderkey"), col("l_suppkey")).distinct()
-      .join(perOrder, Seq("l_orderkey"))
+        array_distinct(collect_list(when(col("l_returnflag") === "R", col("l_suppkey"))))
+          .as("flagged"))
+      .filter(col("n_supp") > 1 && size(col("flagged")) === 1)
+      .select(element_at(col("flagged"), 1).as("l_suppkey"))
       .groupBy(col("l_suppkey"))
       .agg(count(lit(1)).as("numwait"))
       .join(broadcast(t(dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
@@ -1556,6 +1559,27 @@ object Queries {
        FROM documents"""
 
   /**
+   * Fixed-size overlapping document chunks (pre-embedding/training step);
+   * chunk text surfaces as length + md5 so the compare stays narrow.
+   */
+  def chunkDocuments(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    TextAnalysis.chunkDocuments(t(dir, "documents"), "doc_id", "text",
+      chunkChars = 200, overlap = 20)
+      .select(col("doc_id"), col("chunk_id"),
+        length(col("chunk_text")).cast("long").as("chunk_len"),
+        md5(col("chunk_text")).as("chunk_fp"))
+  }
+
+  val chunkDocumentsSql: String =
+    """SELECT doc_id, chunk_id,
+       cast(length(substring(text, cast(chunk_id * 180 + 1 as int), 200)) as bigint) AS chunk_len,
+       md5(substring(text, cast(chunk_id * 180 + 1 as int), 200)) AS chunk_fp
+       FROM (SELECT doc_id, text,
+               unnest(range(0, greatest((length(text) - 20 + 179) // 180, 1))) AS chunk_id
+             FROM documents)"""
+
+  /**
    * Gopher-style intra-document repetition stats (duplicate-line and
    * duplicate-character fractions) — exact rational math both sides.
    */
@@ -1749,5 +1773,6 @@ object Queries {
     ("stratified_sample", stratifiedSample _, Some(stratifiedSampleSql)),
     ("doc_repetition", docRepetition _, Some(docRepetitionSql)),
     ("tfidf_top_terms", tfidfTopTerms _, Some(tfidfTopTermsSql)),
+    ("chunk_documents", chunkDocuments _, Some(chunkDocumentsSql)),
     ("multimodal_meta", multimodalMeta _, Some(multimodalMetaSql)))
 }

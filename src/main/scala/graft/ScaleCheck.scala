@@ -72,6 +72,26 @@ object ScaleCheck {
     time("exact_dedup") {
       ops.Dedup.exact(bigDocs, "text", "doc_id")
     }
+    time("doc_repetition") {
+      ops.TextAnalysis.repetitionStats(bigDocs, "doc_id", "text")
+    }
+    time("tfidf_top_terms") {
+      ops.TextAnalysis.tfidfTopTerms(bigDocs, "doc_id", "text")
+    }
+    time("pack_sequences") {
+      val sized = bigDocs.select(col("doc_id"), col("source"),
+        ops.TextAnalysis.bpeTokenCount(col("text")).cast("long").as("n_tokens"))
+      ops.TextAnalysis.packSequences(sized, "source", "doc_id", "n_tokens", 2048)
+    }
+    // every amplified copy is an exact semantic duplicate of its original:
+    // the worst-case load AND a correctness check (survivors = one per
+    // duplicate family). k grows with the corpus so cell^2 work stays flat.
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val bigEmb = amplify(emb, Seq("vec_id"), 1000000L).localCheckpoint(eager = true)
+    println(s"[scale] embeddings ${bigEmb.count()} rows (${factor}x)")
+    time("semantic_dedup") {
+      ops.Similarity.semanticDedup(bigEmb, "vec_id", "embedding", k = 8 * factor, threshold = 0.999)
+    }
     spark.stop()
   }
 }

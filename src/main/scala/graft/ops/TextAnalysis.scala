@@ -344,6 +344,31 @@ object TextAnalysis {
       .drop("__cum")
   }
 
+  /**
+   * Split documents into fixed-size character chunks with overlap — the
+   * standard pre-embedding / long-document-training step. Chunk `i` covers
+   * `[i*(size-overlap), i*(size-overlap)+size)`; the last chunk may be
+   * short; every document yields at least one chunk. Pure per-row explode —
+   * shuffle-free, streams at scan speed.
+   */
+  def chunkDocuments(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkChars: Int = 1000,
+      overlap: Int = 100): org.apache.spark.sql.DataFrame = {
+    require(overlap < chunkChars, "overlap must be smaller than the chunk size")
+    val step = chunkChars - overlap
+    // exact integer ceil((len - overlap) / step), floored at 1 chunk
+    val nChunks = greatest(
+      floor((length(col(textCol)) - overlap + (step - 1)) / lit(step)).cast("long"), lit(1L))
+    df.select(col(idCol), col(textCol),
+        explode(sequence(lit(0L), nChunks - 1)).as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        substring(col(textCol), (col("chunk_id") * step + 1).cast("int"), lit(chunkChars))
+          .as("chunk_text"))
+  }
+
   /** Full-document fingerprint: md5 of the normalized text. */
   def fingerprint(text: Column): Column = md5(normalize(text))
 

@@ -237,6 +237,20 @@ class TextAnalysisSpec extends SparkTestBase {
     byDoc.values.foreach(rs => rs.map(_._2).sorted shouldBe (1L to rs.size.toLong).toArray)
   }
 
+  test("chunkDocuments covers the text with overlapping windows") {
+    val docs = Seq((1L, "a" * 450), (2L, "short")).toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunkDocuments(docs, "doc_id", "text", chunkChars = 200, overlap = 20)
+      .select($"doc_id", $"chunk_id", $"chunk_text").as[(Long, Long, String)].collect()
+    // doc 1: ceil((450-20)/180) = 3 chunks at offsets 0/180/360; last is short
+    chunks.filter(_._1 == 1L).map(c => (c._2, c._3.length)).sorted shouldBe
+      Seq((0L, 200), (1L, 200), (2L, 90))
+    // consecutive chunks share exactly `overlap` characters
+    val c1 = chunks.filter(_._1 == 1L).sortBy(_._2).map(_._3)
+    c1(0).takeRight(20) shouldBe c1(1).take(20)
+    // a doc shorter than one chunk still yields one (whole-text) chunk
+    chunks.filter(_._1 == 2L).map(_._3) shouldBe Array("short")
+  }
+
   test("stopword hits count multiset occurrences") {
     one("the the the").select(
       TextAnalysis.stopwordHits(TextAnalysis.tokens($"text"), Seq("the", "and")))
