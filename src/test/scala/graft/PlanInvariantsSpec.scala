@@ -1,0 +1,80 @@
+package graft
+
+import graft.testkit.SparkTestBase
+
+/**
+ * Plan-shape regression guard: the scale properties PLANS.md documents are
+ * asserted here against the executed plans, so an accidental broadcast-hint
+ * removal or join-order change fails the build instead of silently turning a
+ * one-shuffle query into a sort-merge cascade at 100 TB.
+ *
+ * Bounds are per-query ceilings from the PLANS.md audit (a plan using FEWER
+ * shuffles than documented is fine). Plans are scale-independent, so the
+ * tiny sf0.001 tables are enough to pin the shapes.
+ */
+class PlanInvariantsSpec extends SparkTestBase {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def shape(name: String): (String, Map[String, Int]) = {
+    val fn = Queries.all.collectFirst { case (`name`, f, _) => f }
+      .getOrElse(fail(s"unknown query $name"))
+    val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+    def n(p: String) = p.r.findAllIn(plan).size
+    (plan, Map(
+      "smj" -> n("SortMergeJoin"),
+      "cartesian" -> n("CartesianProduct"),
+      "bnlj" -> n("BroadcastNestedLoopJoin"),
+      "exchange" -> n("Exchange hashpartitioning")))
+  }
+
+  /** maxShuffles = hash exchanges; maxBnlj covers deliberate 1-row scalar broadcasts. */
+  private def check(name: String, maxShuffles: Int, maxSmj: Int = 0, maxBnlj: Int = 0): Unit = {
+    val (plan, counts) = shape(name)
+    withClue(s"$name plan:\n$plan\n") {
+      counts("cartesian") shouldBe 0
+      counts("smj") should be <= maxSmj
+      counts("bnlj") should be <= maxBnlj
+      counts("exchange") should be <= maxShuffles
+    }
+  }
+
+  test("TPC-H shapes: broadcast dims, bounded shuffles, no cartesian/SMJ") {
+    check("q1_pricing_summary", maxShuffles = 1)
+    check("q3_shipping_priority", maxShuffles = 1)
+    check("q5_region_revenue", maxShuffles = 1)
+    check("q6_revenue", maxShuffles = 0)
+    check("q9_profit_by_nation", maxShuffles = 1)
+    check("q10_returned_items", maxShuffles = 1)
+    check("q11_important_parts", maxShuffles = 2, maxBnlj = 1) // 1-row scalar broadcast
+    check("q12_priority_lines", maxShuffles = 1)
+    check("q14_promo_revenue", maxShuffles = 0)
+    check("q15_top_supplier", maxShuffles = 2, maxBnlj = 1)
+    check("q16_supplier_variety", maxShuffles = 2)
+    check("q17_small_qty_revenue", maxShuffles = 1)
+    check("q19_disjunctive_revenue", maxShuffles = 0)
+    check("q20_heavy_suppliers", maxShuffles = 2)
+    check("q21_sole_blame", maxShuffles = 3)
+  }
+
+  test("per-row operators stay exchange-free") {
+    check("minhash_signatures", maxShuffles = 0)
+    check("simhash_fingerprints", maxShuffles = 0)
+    check("doc_fingerprints", maxShuffles = 0)
+    check("multimodal_meta", maxShuffles = 0)
+    check("chunk_documents", maxShuffles = 0)
+    check("stratified_sample", maxShuffles = 0)
+  }
+
+  test("dedup/similarity pipelines: equi-joins only, bounded shuffles") {
+    check("dedup_exact", maxShuffles = 1)
+    check("lsh_candidate_pairs", maxShuffles = 3)
+    check("pack_sequences", maxShuffles = 1)
+    check("doc_repetition", maxShuffles = 2)
+    check("tfidf_top_terms", maxShuffles = 5, maxBnlj = 1)
+    // the SMJs are the within-cell self-join and the survivors anti-join —
+    // both sides are the corpus in each, so a shuffle join IS the at-scale
+    // plan; the 2 BNLJs are the deliberate corpus x 8-centroid crosses
+    check("semantic_dedup", maxShuffles = 6, maxSmj = 2, maxBnlj = 2)
+  }
+}
