@@ -78,6 +78,27 @@ object EventStreams {
     events.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
 
   /**
+   * Streaming twin of [[graft.etl.examples.IncrementalDedupJob]]: drop
+   * streamed documents whose normalized-content fingerprint already exists
+   * in the (batch) fingerprint store, then drop in-stream repeats within
+   * the watermark horizon. The store anti-join is stream-static — stateless
+   * per micro-batch, re-snapshotted each trigger — so only the within-
+   * stream dedup keeps state, and the watermark bounds it. Emits the input
+   * columns plus the computed `fp`.
+   */
+  def dedupAgainstStore(
+      docs: DataFrame,
+      store: DataFrame,
+      textCol: String = "text",
+      tsCol: String = "ts",
+      watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("fp", graft.ops.TextAnalysis.fingerprint(col(textCol)))
+      .join(store.select(col("fp")), Seq("fp"), "left_anti")
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("fp")
+
+  /**
    * Stream-stream join within a time bound: each left event pairs with the
    * right-stream events for the same key that occurred in the `maxGap`
    * window before it (e.g. purchases matched to the clicks that preceded

@@ -69,6 +69,27 @@ class EventStreamsSpec extends SparkTestBase {
     out shouldBe Set((10L, Some("gold")), (99L, None))
   }
 
+  test("dedupAgainstStore drops stored fingerprints and in-stream repeats") {
+    implicit val sc = spark.sqlContext
+    // the store holds the fingerprint of "seen before" (normalized)
+    val store = Seq("seen before").toDF("text")
+      .select(graft.ops.TextAnalysis.fingerprint($"text").as("fp"))
+    val in = MemoryStream[Event]
+    // reuse the Event stream shape: event_type carries the "text"
+    val docs = asContract(in.toDF()).select($"event_id".as("doc_id"), $"ts",
+      $"event_type".as("text"))
+    val q = dedupAgainstStore(docs, store, textCol = "text")
+      .writeStream.format("memory").queryName("store_dedup_out").outputMode("append").start()
+    in.addData(
+      Event(1, ts(1), 0, "Seen  BEFORE", 0.0), // normalizes onto the stored fp -> dropped
+      Event(2, ts(2), 0, "fresh one", 0.0),
+      Event(3, ts(3), 0, "fresh  ONE", 0.0), // in-stream near-repeat -> dropped
+      Event(4, ts(4), 0, "another", 0.0))
+    runToCompletion(q)
+    spark.table("store_dedup_out").select($"doc_id").as[Long].collect().sorted shouldBe
+      Array(2L, 4L)
+  }
+
   test("warehouseSink lands micro-batches in a date partition") {
     implicit val sc = spark.sqlContext
     val table = graft.io.WarehouseTable(graft.io.HdfsUrl(tmpDir("stream_wh")), "events")
