@@ -1234,6 +1234,61 @@ object Queries {
        FROM documents d LEFT JOIN rebuilt r USING (doc_id)"""
   }
 
+  /**
+   * Span-level exact substring dedup (Lee-et-al-style, word-window
+   * granularity). The word-soup corpus has few organic repeated 8-grams, so
+   * a fixed 12-token disclaimer is appended to every 4th doc first; the op
+   * must keep the disclaimer's first corpus occurrence, strip it everywhere
+   * else, and leave everything else byte-identical.
+   */
+  def spanDedup(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val disclaimer =
+      " please subscribe to our newsletter for weekly updates and exclusive offers today"
+    val salted = t(dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 4 === 0, concat(col("text"), lit(disclaimer)))
+        .otherwise(col("text")).as("text"))
+    Dedup.removeDuplicateSpans(salted, "doc_id", "text", w = 8)
+      .select(col("doc_id"), col("n_tokens"), col("n_kept"),
+        md5(col("clean_text")).as("clean_fp"))
+  }
+
+  val spanDedupSql: String = {
+    s"""WITH salted AS (
+         SELECT doc_id, CASE WHEN doc_id % 4 = 0
+                THEN text || ' please subscribe to our newsletter for weekly updates and exclusive offers today'
+                ELSE text END AS text
+         FROM documents),
+       toks AS (SELECT doc_id, $Toks AS toks FROM salted),
+       tokpos AS (
+         SELECT doc_id, unnest(range(1, len(toks) + 1)) AS tp, unnest(toks) AS tok
+         FROM toks),
+       wins AS (
+         SELECT doc_id, pos, md5(array_to_string(toks[pos:pos+7], ' ')) AS h
+         FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS pos
+               FROM toks WHERE len(toks) >= 8)),
+       dup AS (
+         SELECT doc_id, pos FROM (
+           SELECT doc_id, pos, row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+           FROM wins)
+         WHERE rn > 1),
+       covered AS (
+         SELECT DISTINCT doc_id, pos + g AS tp
+         FROM dup CROSS JOIN (SELECT unnest(range(0, 8)) AS g) offs),
+       kept AS (
+         SELECT t.doc_id, t.tp, t.tok
+         FROM tokpos t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.tp = c.tp
+         WHERE c.tp IS NULL),
+       rebuilt AS (
+         SELECT doc_id, count(*) AS n_kept,
+                md5(string_agg(tok, ' ' ORDER BY tp)) AS clean_fp
+         FROM kept GROUP BY doc_id)
+       SELECT d.doc_id, cast(len(d.toks) as bigint) AS n_tokens,
+              cast(coalesce(r.n_kept, 0) as bigint) AS n_kept,
+              coalesce(r.clean_fp, md5('')) AS clean_fp
+       FROM toks d LEFT JOIN rebuilt r USING (doc_id)"""
+  }
+
   /** Deterministic hash-based train/valid/test split, counted per language. */
   def hashSplitCounts(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
@@ -1753,6 +1808,7 @@ object Queries {
     ("simhash_fingerprints", simhashFingerprints _, Some(simhashFingerprintsSql)),
     ("simhash_neardup", simhashNeardup _, Some(simhashNeardupSql)),
     ("boilerplate_lines", boilerplateLines _, Some(boilerplateLinesSql)),
+    ("span_dedup", spanDedup _, Some(spanDedupSql)),
     ("hash_split", hashSplitCounts _, Some(hashSplitCountsSql)),
     ("text_quality", textQuality _, Some(textQualitySql)),
     ("lang_id", langId _, Some(langIdSql)),

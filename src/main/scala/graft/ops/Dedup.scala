@@ -318,6 +318,74 @@ object Dedup {
   }
 
   /**
+   * Span-level exact substring deduplication — the "dedup the repeated
+   * passages, not just the documents" recipe (Lee et al. 2022, done there
+   * with suffix arrays), re-expressed shuffle-friendly at `w`-token window
+   * granularity: any `w`-token window whose content already occurred
+   * earlier in the corpus (in `(id, position)` total order) is a duplicate
+   * span; every token covered by one is dropped, and each document's
+   * surviving tokens reassemble in order. The first occurrence of every
+   * span survives, so shared boilerplate / quoted passages are kept exactly
+   * once corpus-wide — a dedup granularity document-level hashing cannot
+   * reach (docs sharing a paragraph are NOT near-duplicates).
+   *
+   * Output: `(idCol, n_tokens, n_kept, clean_text)` for every input row;
+   * `clean_text` is the kept tokens joined by spaces. Tokens are the
+   * normalized lowercase-alphanumeric stream ([[TextAnalysis.tokens]]) —
+   * this operator feeds training pipelines, which retokenize anyway.
+   * Documents shorter than `w` tokens pass through untouched.
+   *
+   * Scale: no suffix array and no global sort. Window hashes come from `w-1`
+   * `lead`s over the per-document token stream (one shuffle on the doc id,
+   * reused by the rebuild); keep-first is one `row_number` keyed on the
+   * window hash — high-cardinality, skewed only where text genuinely
+   * repeats; covered-position expansion is a per-row explode. Everything is
+   * md5/substring arithmetic, so a SQL oracle replays it bit-for-bit.
+   */
+  def removeDuplicateSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int = 8): DataFrame = {
+    require(w >= 2, "span window must cover at least 2 tokens")
+    val tokpos = df
+      .select(col(idCol), posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("__tp0", "__tok")))
+      .select(col(idCol), (col("__tp0") + 1).as("__tp"), col("__tok"))
+    val docW = Window.partitionBy(col(idCol))
+    val leadW = docW.orderBy(col("__tp"))
+    // hash of the w-token window starting here; lead() past the end yields
+    // nulls which concat_ws would silently skip, so trailing starts are
+    // filtered out by position instead
+    val wins = tokpos
+      .withColumn("__n", count(lit(1)).over(docW))
+      .withColumn("__h",
+        md5(concat_ws(" ", (0 until w).map(j => lead(col("__tok"), j).over(leadW)): _*)))
+      .filter(col("__tp") <= col("__n") - (w - 1))
+      .select(col(idCol), col("__tp").as("__pos"), col("__h"))
+    val dupSpans = wins
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy(col("__h")).orderBy(col(idCol), col("__pos"))))
+      .filter(col("__rn") > 1)
+    val covered = dupSpans
+      .select(col(idCol), explode(sequence(col("__pos"), col("__pos") + (w - 1))).as("__tp"))
+      .distinct()
+    val rebuilt = tokpos
+      .join(covered, Seq(idCol, "__tp"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("__tp"), col("__tok")))),
+            e => e.getField("__tok"))).as("clean_text"))
+    df.select(col(idCol), size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_kept"))
+      .na.fill("", Seq("clean_text"))
+      .select(col(idCol), col("n_tokens"), col("n_kept").cast("long").as("n_kept"),
+        col("clean_text"))
+  }
+
+  /**
    * One-call near-dup removal: keep, per duplicate cluster, the smallest id.
    * Returns the deduplicated DataFrame.
    */

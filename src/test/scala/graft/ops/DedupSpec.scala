@@ -144,4 +144,31 @@ class DedupSpec extends SparkTestBase {
     df.filter($"id" === 1).select(Dedup.hammingDistance(Dedup.simhash32($"text"), lit(hashes(3L))))
       .as[Int].head() should be > 0
   }
+
+  test("span dedup keeps the first occurrence of a repeated passage corpus-wide") {
+    val df = Seq(
+      (1L, "one two three four five six seven eight"),
+      (2L, "alpha beta gamma delta one two three four five six seven eight"),
+      (3L, "tiny doc"), // shorter than the window -> untouched
+      (4L, "red green blue yellow red green blue yellow"), // intra-doc repeat
+      (5L, "one two three four five six seven eight") // full copy of doc 1
+    ).toDF("id", "text")
+    val out = Dedup.removeDuplicateSpans(df, "id", "text", w = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    out(1L) shouldBe ((8L, 8L, "one two three four five six seven eight")) // first copy survives
+    out(2L) shouldBe ((12L, 4L, "alpha beta gamma delta")) // quoted passage stripped
+    out(3L) shouldBe ((2L, 2L, "tiny doc"))
+    out(4L) shouldBe ((8L, 4L, "red green blue yellow")) // self-repeat collapsed
+    out(5L) shouldBe ((8L, 0L, "")) // whole doc was already seen
+  }
+
+  test("span dedup is invariant to input partitioning") {
+    val df = Seq(
+      (10L, "a b c d e f g h i j"),
+      (20L, "z y x w a b c d e f g h i j")
+    ).toDF("id", "text")
+    val one = Dedup.removeDuplicateSpans(df.coalesce(1), "id", "text", w = 5).collect().toSet
+    val many = Dedup.removeDuplicateSpans(df.repartition(7), "id", "text", w = 5).collect().toSet
+    one shouldBe many
+  }
 }
