@@ -1513,6 +1513,44 @@ object Queries {
        SELECT cast(${sqlLshBucket("embedding")} as bigint) AS bucket FROM embeddings)
        GROUP BY bucket"""
 
+  /** Twin of [[Similarity.signSketchComposed]]: double-modulus hyperplane family. */
+  private def sqlSignSketch(vec: String, nbits: Int = 48): String =
+    (0 until nbits).map { i =>
+      s"(CASE WHEN list_sum(list_transform(range(0, len($vec)), d -> cast($vec[d + 1] as double) * cast((($i * 37 + d * 11) % 101) % 7 - 3 as double))) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+
+  /**
+   * Quantized ANN: 48-bit sign-sketch Hamming scan (8 bytes per corpus row)
+   * picks 20 candidates per query, exact cosine reranks. The memory-bound
+   * scale path between brute force and LSH bucketing.
+   */
+  def annHammingTopK(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val emb = t(dir, "embeddings")
+    Similarity.hammingTopK(emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding",
+      k = 5, nbits = 48, candidates = 20)
+  }
+
+  val annHammingTopKSql: String =
+    s"""WITH sk AS (
+         SELECT vec_id, embedding, cast(${sqlSignSketch("embedding")} as bigint) AS s
+         FROM embeddings),
+       cand AS (
+         SELECT query_id, qv, neighbor_id, hamming,
+                row_number() OVER (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS hr
+         FROM (SELECT q.vec_id AS query_id, q.embedding AS qv, c.vec_id AS neighbor_id,
+                      cast(bit_count(xor(q.s, c.s)) as bigint) AS hamming
+               FROM (SELECT * FROM sk WHERE vec_id < 5) q, sk c
+               WHERE q.vec_id <> c.vec_id)),
+       res AS (
+         SELECT query_id, neighbor_id, hamming, cosine,
+                row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         FROM (SELECT query_id, neighbor_id, hamming, $SqlCos AS cosine
+               FROM (SELECT query_id, qv, neighbor_id, hamming FROM cand WHERE hr <= 20) x
+               JOIN (SELECT vec_id AS neighbor_id, embedding AS nv FROM embeddings) e
+               USING (neighbor_id)))
+       SELECT query_id, neighbor_id, hamming, cosine, rank FROM res WHERE rank <= 5"""
+
   /**
    * Embedding-cosine near-duplicates within LSH buckets. The testdata
    * embeddings are near-orthogonal random vectors (max pairwise cosine
@@ -1822,6 +1860,7 @@ object Queries {
     ("ann_lsh_buckets", annLshBuckets _, Some(annLshBucketsSql)),
     ("ann_ivf_topk", annIvfTopK _, Some(annIvfTopKSql)),
     ("ann_multiprobe", annMultiprobe _, Some(annMultiprobeSql)),
+    ("ann_hamming_topk", annHammingTopK _, Some(annHammingTopKSql)),
     ("dup_clusters", dupClusters _, Some(dupClustersSql)),
     ("embedding_neardup", embeddingNeardup _, Some(embeddingNeardupSql)),
     ("semantic_dedup", semanticDedup _, Some(semanticDedupSql)),

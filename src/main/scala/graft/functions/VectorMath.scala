@@ -56,6 +56,31 @@ object VectorMath {
     bucket
   }
 
+  /**
+   * Sign sketch for Hamming-distance ANN: like [[lshBucket]] but with the
+   * double-modulus weight family `(((i*37 + d*11) % 101) % 7) - 3`. The
+   * single-modulus family is linear mod 7, so it yields only 7 distinct
+   * hyperplanes — fine for 8-bit bucketing, useless for a wide sketch whose
+   * bits must be independent. The mod-101 step breaks the linearity: all
+   * `nbits <= 63` rows are distinct, still plain integer arithmetic any
+   * engine reproduces exactly.
+   */
+  def signSketch(a: ArrayData, ta: DataType, nbits: Int): Long = {
+    val acc = new Array[Double](nbits)
+    val n = a.numElements()
+    var d = 0
+    while (d < n) {
+      val x = value(a, ta, d)
+      var i = 0
+      while (i < nbits) { acc(i) += x * (((i * 37 + d * 11) % 101) % 7 - 3); i += 1 }
+      d += 1
+    }
+    var sketch = 0L
+    var i = 0
+    while (i < nbits) { if (acc(i) >= 0) sketch |= 1L << i; i += 1 }
+    sketch
+  }
+
   def cosine(a: ArrayData, ta: DataType, b: ArrayData, tb: DataType): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var d = 0.0
@@ -134,9 +159,30 @@ case class LshBucket(child: Expression, nbits: Int)
     copy(child = newChild)
 }
 
+case class SignSketch(child: Expression, nbits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "sign_sketch"
+  private def elemType: DataType = child.dataType.asInstanceOf[ArrayType].elementType
+  override protected def nullSafeEval(input: Any): Any =
+    VectorMath.signSketch(input.asInstanceOf[ArrayData], elemType, nbits)
+  override def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val tRef = ctx.addReferenceObj("etype", elemType)
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorMath$$.MODULE$$.signSketch($c, $tRef, $nbits)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): SignSketch =
+    copy(child = newChild)
+}
+
 object vectors {
   def lsh_bucket(vec: Column, nbits: Int = 8): Column =
     GraftExpressionBridge.column(LshBucket(GraftExpressionBridge.expression(vec), nbits))
+
+  def sign_sketch(vec: Column, nbits: Int = 48): Column =
+    GraftExpressionBridge.column(SignSketch(GraftExpressionBridge.expression(vec), nbits))
 
   def dot_product(a: Column, b: Column): Column =
     GraftExpressionBridge.column(

@@ -117,6 +117,70 @@ object Similarity {
   }
 
   /**
+   * Sign-bit quantization sketch for Hamming ANN: `nbits` fixed hyperplane
+   * signs packed into a long (native one-pass kernel;
+   * [[signSketchComposed]] is its executable specification). Uses the
+   * double-modulus weight family — the [[lshBucket]] family is linear mod
+   * 7, so beyond 7 bits its hyperplanes repeat; the sketch needs all bits
+   * independent.
+   */
+  def signSketch(vec: Column, nbits: Int = 48): Column =
+    graft.functions.vectors.sign_sketch(vec, nbits)
+
+  /** Built-in-function specification of [[signSketch]] (spec cross-check + oracle twin). */
+  private[graft] def signSketchComposed(vec: Column, nbits: Int = 48): Column = {
+    val dims = sequence(lit(0), size(vec) - 1)
+    val bits = (0 until nbits).map { i =>
+      val proj = aggregate(dims, lit(0.0), (acc, d) =>
+        acc + element_at(vec, d + 1).cast("double") *
+          ((((lit(i * 37) + d * 11) % 101) % 7) - 3).cast("double"))
+      when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /**
+   * Quantized ANN: rank candidates by Hamming distance between `nbits`-bit
+   * sign sketches (cosine's quantized proxy — for unit-ish vectors the
+   * angle is proportional to the expected sign-disagreement rate), then
+   * exact-cosine rerank the best `candidates` per query.
+   *
+   * This is the memory-bound scale path: the corpus scan touches an 8-byte
+   * sketch per row instead of the full float vector (64x smaller at 128
+   * dims — in production the sketch column is materialized once next to
+   * the corpus), and full vectors are fetched by equi-join for the
+   * candidate set only. Every step is deterministic integer math, so the
+   * whole pass replays in SQL.
+   */
+  def hammingTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 10,
+      nbits: Int = 48,
+      candidates: Int = 50): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"),
+      signSketch(col(vecCol), nbits).as("__qs")))
+    val sketches = corpus.select(col(idCol).as("neighbor_id"),
+      signSketch(col(vecCol), nbits).as("__ns"))
+    val wH = Window.partitionBy(col("query_id")).orderBy(col("hamming"), col("neighbor_id"))
+    val cand = q.join(sketches, col("query_id") =!= col("neighbor_id"))
+      .withColumn("hamming", bit_count(col("__qs").bitwiseXOR(col("__ns"))).cast("long"))
+      .withColumn("__hr", row_number().over(wH))
+      .filter(col("__hr") <= candidates)
+      .select(col("query_id"), col("query_vec"), col("neighbor_id"), col("hamming"))
+    val wC = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    cand
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("neighbor_vec")),
+        Seq("neighbor_id"))
+      .withColumn("cosine", round(cosine(col("query_vec"), col("neighbor_vec")), 4))
+      .withColumn("rank", row_number().over(wC))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("hamming"), col("cosine"), col("rank"))
+  }
+
+  /**
    * Multiprobe LSH ANN: each query also probes the buckets at Hamming
    * distance 1 from its own (flip each of the `nbits` sign bits), trading
    * `nbits+1` x candidate volume for much higher recall at the same bucket

@@ -81,6 +81,40 @@ class SimilaritySpec extends SparkTestBase {
     withClue(s"per-query recalls: $recalls") { mean should be >= 0.8 }
   }
 
+  test("sign sketch: native kernel matches composed form; bits are independent") {
+    val checked = corpus.select(
+      (Similarity.signSketch($"embedding", 48) === Similarity.signSketchComposed($"embedding", 48))
+        .as("eq"))
+      .as[Boolean].collect()
+    all(checked) shouldBe true
+    // the wide sketch must use >7 distinct hyperplanes: across a clustered
+    // corpus, sketches take many distinct values (the lshBucket family
+    // would collapse bits i and i+7 to copies)
+    val distinctSketches = corpus.select(Similarity.signSketch($"embedding", 48))
+      .distinct().count()
+    distinctSketches should be >= 4L
+    val bitsUsed = (0 until 48).count { i =>
+      corpus.select((shiftright(Similarity.signSketch($"embedding", 48), i) % 2).cast("int"))
+        .distinct().count() == 2
+    }
+    withClue(s"varying bits: $bitsUsed") { bitsUsed should be > 7 }
+  }
+
+  test("Hamming-sketch ANN reaches recall >= 0.8 vs brute force") {
+    val queries = corpus.filter($"vec_id" % 10 === 0)
+    def results(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = results(Similarity.bruteForceTopK(queries, corpus, "vec_id", "embedding", k = 5))
+    val approx = results(
+      Similarity.hammingTopK(queries, corpus, "vec_id", "embedding", k = 5, candidates = 15))
+    val recalls = exact.map { case (q, truth) =>
+      approx.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    withClue(s"per-query recalls: $recalls") { mean should be >= 0.8 }
+  }
+
   test("multiprobe LSH beats single-probe recall at the same nbits") {
     val queries = corpus.filter($"vec_id" % 10 === 0)
     def recallOf(approx: Map[Long, Set[Long]], exact: Map[Long, Set[Long]]): Double = {
