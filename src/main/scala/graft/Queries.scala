@@ -1289,6 +1289,27 @@ object Queries {
        FROM toks d LEFT JOIN rebuilt r USING (doc_id)"""
   }
 
+  /**
+   * Bloom-accelerated incremental dedup: docs whose fingerprint is in the
+   * "store" (every 3rd doc stands in for past days) are dropped; the bloom
+   * scalar subquery short-circuits the definitely-new rows around the anti
+   * join. The bloom path is approximate but one-sided, and the exact anti
+   * join re-verifies, so the oracle is the plain NOT EXISTS.
+   */
+  def dedupIncrementalBloom(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val docs = t(dir, "documents")
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+    val store = docs.filter(col("doc_id") % 3 === 0).select(col("fp"))
+    ops.Bloom.antiJoinWithBloom(docs, store, "fp").select(col("doc_id"), col("fp"))
+  }
+
+  val dedupIncrementalBloomSql: String =
+    s"""WITH fps AS (SELECT doc_id, md5($Norm) AS fp FROM documents),
+       store AS (SELECT fp FROM fps WHERE doc_id % 3 = 0)
+       SELECT doc_id, fp FROM fps
+       WHERE NOT EXISTS (SELECT 1 FROM store s WHERE s.fp = fps.fp)"""
+
   /** Deterministic hash-based train/valid/test split, counted per language. */
   def hashSplitCounts(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
@@ -1847,6 +1868,7 @@ object Queries {
     ("simhash_neardup", simhashNeardup _, Some(simhashNeardupSql)),
     ("boilerplate_lines", boilerplateLines _, Some(boilerplateLinesSql)),
     ("span_dedup", spanDedup _, Some(spanDedupSql)),
+    ("dedup_incremental_bloom", dedupIncrementalBloom _, Some(dedupIncrementalBloomSql)),
     ("hash_split", hashSplitCounts _, Some(hashSplitCountsSql)),
     ("text_quality", textQuality _, Some(textQualitySql)),
     ("lang_id", langId _, Some(langIdSql)),

@@ -54,7 +54,10 @@ class IncrementalDedupJob(
     deduped <- Stage.transform[org.apache.spark.sql.Row, org.apache.spark.sql.Row]("dedup") { ctx =>
       val withFp = ctx.value.toDF()
         .withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
-      val newDocs = withFp.join(seenFingerprints(ctx.spark, ctx.date), Seq("fp"), "left_anti")
+      // bloom short-circuit: the store grows with every past day, and almost
+      // every new document misses it — those rows never enter the anti join
+      val newDocs = graft.ops.Bloom.antiJoinWithBloom(
+        withFp, seenFingerprints(ctx.spark, ctx.date), "fp")
       // within-day dedup: deterministic keeper on the smallest id
       graft.ops.Dedup.exact(newDocs, textCol, idCol)
     }

@@ -1,0 +1,37 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.testkit.SparkTestBase
+
+class BloomSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def left = (1L to 200L).map(i => (i, s"key_$i")).toDF("id", "k")
+  private def right = (1L to 200L by 3).map(i => s"key_$i").toDF("k")
+
+  test("mightContain has no false negatives") {
+    val bf = Bloom.bloomFilterOf(right, "k")
+    val missed = right.filter(!Bloom.mightContain(bf, $"k")).count()
+    missed shouldBe 0L
+  }
+
+  test("bloom anti join equals the plain anti join") {
+    val plain = left.join(right, Seq("k"), "left_anti").select("id").as[Long].collect().sorted
+    val bloomed = Bloom.antiJoinWithBloom(left, right, "k").select("id").as[Long].collect().sorted
+    bloomed shouldBe plain
+    plain.length shouldBe 133 // 200 - 67 store keys
+  }
+
+  test("empty store passes everything through") {
+    val empty = right.filter(lit(false))
+    Bloom.antiJoinWithBloom(left, empty, "k").count() shouldBe 200L
+  }
+
+  test("the definitely-new path skips the join: most rows avoid the shuffle") {
+    // with a disjoint store, every left row short-circuits on the bitmap
+    val disjoint = (1000L to 1100L).map(i => s"key_$i").toDF("k")
+    val out = Bloom.antiJoinWithBloom(left, disjoint, "k")
+    out.count() shouldBe 200L
+  }
+}
