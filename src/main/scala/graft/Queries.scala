@@ -1485,6 +1485,23 @@ object Queries {
        cast(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]')) as bigint) AS bpe_tokens
        FROM documents"""
 
+  /** Training-mix report per (source, lang): counts + exact ppm token share. */
+  def corpusMix(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val docs = t(dir, "documents").select(col("source"), col("lang"),
+      TextAnalysis.whitespaceTokenCount(col("text")).cast("long").as("n_tok"))
+    TextAnalysis.mixReport(docs, Seq("source", "lang"), "n_tok")
+  }
+
+  val corpusMixSql: String =
+    raw"""WITH d AS (
+         SELECT source, lang,
+                cast(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) as bigint) AS n_tok
+         FROM documents)
+       SELECT source, lang, count(*) AS n_docs, sum(n_tok) AS n_tokens,
+              (sum(n_tok) * 1000000) // (SELECT sum(n_tok) FROM d) AS share_ppm
+       FROM d GROUP BY source, lang"""
+
   /** Full + rolling-window document fingerprints. */
   def docFingerprints(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
@@ -1869,6 +1886,7 @@ object Queries {
     ("boilerplate_lines", boilerplateLines _, Some(boilerplateLinesSql)),
     ("span_dedup", spanDedup _, Some(spanDedupSql)),
     ("dedup_incremental_bloom", dedupIncrementalBloom _, Some(dedupIncrementalBloomSql)),
+    ("corpus_mix", corpusMix _, Some(corpusMixSql)),
     ("hash_split", hashSplitCounts _, Some(hashSplitCountsSql)),
     ("text_quality", textQuality _, Some(textQualitySql)),
     ("lang_id", langId _, Some(langIdSql)),

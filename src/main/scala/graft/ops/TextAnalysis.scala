@@ -369,6 +369,28 @@ object TextAnalysis {
           .as("chunk_text"))
   }
 
+  /**
+   * Training-mix report: per-stratum (source, language, ...) document and
+   * token counts plus each stratum's exact share of corpus tokens in parts
+   * per million — the summary every mixture-weight decision starts from,
+   * and the input [[stratifiedKeep]] rates are tuned against. The share is
+   * integer ppm (`tokens * 1e6 DIV total`), not a float ratio, so it is
+   * bit-identical in any engine. One agg shuffle on the strata plus a
+   * 1-row broadcast for the total — no collect.
+   */
+  def mixReport(
+      df: org.apache.spark.sql.DataFrame,
+      strata: Seq[String],
+      tokensCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val per = df.groupBy(strata.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"), sum(col(tokensCol)).cast("long").as("n_tokens"))
+    val total = broadcast(df.agg(sum(col(tokensCol)).cast("long").as("__total")))
+    per.join(total)
+      .withColumn("share_ppm", expr("n_tokens * 1000000 DIV __total"))
+      .drop("__total")
+  }
+
   /** Full-document fingerprint: md5 of the normalized text. */
   def fingerprint(text: Column): Column = md5(normalize(text))
 

@@ -256,4 +256,18 @@ class TextAnalysisSpec extends SparkTestBase {
       TextAnalysis.stopwordHits(TextAnalysis.tokens($"text"), Seq("the", "and")))
       .as[Int].head() shouldBe 3
   }
+
+  test("mixReport computes exact ppm token shares per stratum") {
+    val docs = Seq(
+      ("web", "en", 600L), ("web", "en", 150L),
+      ("web", "de", 150L), ("books", "en", 100L)
+    ).toDF("source", "lang", "n_tok")
+    val out = TextAnalysis.mixReport(docs, Seq("source", "lang"), "n_tok")
+      .select($"source", $"lang", $"n_docs", $"n_tokens", $"share_ppm")
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    out shouldBe Set(
+      ("web", "en", 2L, 750L, 750000L),
+      ("web", "de", 1L, 150L, 150000L),
+      ("books", "en", 1L, 100L, 100000L))
+  }
 }
