@@ -1485,6 +1485,30 @@ object Queries {
        cast(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]')) as bigint) AS bpe_tokens
        FROM documents"""
 
+  /** Gopher n-gram repetition signals (top/dup 2-gram token fractions). */
+  def ngramRepetition(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    TextAnalysis.ngramRepetition(t(dir, "documents"), "doc_id", "text", n = 2)
+  }
+
+  val ngramRepetitionSql: String =
+    s"""WITH toks AS (SELECT doc_id, $Toks AS toks FROM documents),
+       grams AS (
+         SELECT doc_id, len(toks) AS n_toks,
+                unnest(CASE WHEN len(toks) >= 2
+                       THEN list_transform(range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' '))
+                       ELSE []::VARCHAR[] END) AS gram
+         FROM toks),
+       per AS (SELECT doc_id, n_toks, gram, count(*) AS cnt
+               FROM grams GROUP BY doc_id, n_toks, gram),
+       stats AS (SELECT doc_id,
+              round(max(cnt) * 2 / cast(max(n_toks) as double), 4) AS top_ngram_frac,
+              round(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) * 2 / cast(max(n_toks) as double), 4) AS dup_ngram_frac
+              FROM per GROUP BY doc_id)
+       SELECT d.doc_id, coalesce(top_ngram_frac, 0.0) AS top_ngram_frac,
+              coalesce(dup_ngram_frac, 0.0) AS dup_ngram_frac
+       FROM documents d LEFT JOIN stats USING (doc_id)"""
+
   /** Training-mix report per (source, lang): counts + exact ppm token share. */
   def corpusMix(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
@@ -1907,6 +1931,7 @@ object Queries {
     ("pack_sequences", packSequences _, Some(packSequencesSql)),
     ("stratified_sample", stratifiedSample _, Some(stratifiedSampleSql)),
     ("doc_repetition", docRepetition _, Some(docRepetitionSql)),
+    ("ngram_repetition", ngramRepetition _, Some(ngramRepetitionSql)),
     ("tfidf_top_terms", tfidfTopTerms _, Some(tfidfTopTermsSql)),
     ("chunk_documents", chunkDocuments _, Some(chunkDocumentsSql)),
     ("multimodal_meta", multimodalMeta _, Some(multimodalMetaSql)))

@@ -78,6 +78,16 @@ object ScaleCheck {
     time("tfidf_top_terms") {
       ops.TextAnalysis.tfidfTopTerms(bigDocs, "doc_id", "text")
     }
+    // worst case by construction: every amplified copy repeats every window
+    // of its original, so ALL duplicate spans are found and stripped
+    time("span_dedup") {
+      ops.Dedup.removeDuplicateSpans(bigDocs, "doc_id", "text")
+    }
+    time("bloom_anti_join") {
+      val fps = bigDocs.select(col("doc_id"), ops.TextAnalysis.fingerprint(col("text")).as("fp"))
+      val store = fps.filter(col("doc_id") % 3 === 0).select(col("fp"))
+      ops.Bloom.antiJoinWithBloom(fps, store, "fp", expectedItems = 200000L * factor)
+    }
     time("pack_sequences") {
       val sized = bigDocs.select(col("doc_id"), col("source"),
         ops.TextAnalysis.bpeTokenCount(col("text")).cast("long").as("n_tokens"))
@@ -91,6 +101,10 @@ object ScaleCheck {
     println(s"[scale] embeddings ${bigEmb.count()} rows (${factor}x)")
     time("semantic_dedup") {
       ops.Similarity.semanticDedup(bigEmb, "vec_id", "embedding", k = 8 * factor, threshold = 0.999)
+    }
+    time("hamming_ann") {
+      ops.Similarity.hammingTopK(
+        bigEmb.filter(col("vec_id") < 5), bigEmb, "vec_id", "embedding", k = 10)
     }
     spark.stop()
   }

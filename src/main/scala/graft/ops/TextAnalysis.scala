@@ -207,6 +207,47 @@ object TextAnalysis {
   }
 
   /**
+   * Gopher's n-gram repetition signals, completing [[repetitionStats]]:
+   * per document, the fraction of tokens inside occurrences of the single
+   * most frequent `n`-gram (`top_ngram_frac`) and inside any `n`-gram that
+   * occurs more than once (`dup_ngram_frac`, counting every occurrence, so
+   * heavily looped text can exceed 1 — the gate thresholds well below
+   * that). Token-count fractions rather than the paper's character counts:
+   * same signal, and exact integer arithmetic both engines reproduce.
+   * Documents with fewer than `n` tokens have no n-grams and report 0.
+   *
+   * Scale: explode + two aggs keyed on the doc id, exactly like
+   * [[repetitionStats]] — map-side partials, no skew (a doc's grams are
+   * one group).
+   */
+  def ngramRepetition(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 2): org.apache.spark.sql.DataFrame = {
+    val toks = tokens(col(textCol))
+    // multiset n-grams (no distinct — occurrence counts matter here);
+    // sequence(1, 0) would generate a DESCENDING [1, 0], so guard short docs
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " "))).otherwise(array())
+    val perGram = df
+      .select(col(idCol), size(toks).cast("long").as("__n_toks"), explode(grams).as("__gram"))
+      .groupBy(col(idCol), col("__n_toks"), col("__gram"))
+      .agg(count(lit(1)).as("__cnt"))
+    val stats = perGram
+      .groupBy(col(idCol))
+      .agg(
+        round(max(col("__cnt")) * n / max(col("__n_toks")).cast("double"), 4)
+          .as("top_ngram_frac"),
+        round(sum(when(col("__cnt") > 1, col("__cnt")).otherwise(0L)) * n /
+          max(col("__n_toks")).cast("double"), 4).as("dup_ngram_frac"))
+    df.select(col(idCol))
+      .join(stats, Seq(idCol), "left")
+      .na.fill(0.0, Seq("top_ngram_frac", "dup_ngram_frac"))
+  }
+
+  /**
    * Per-document top-`k` terms by tf-idf-style weight. The weight is the
    * exact rational `tf * n_docs / doc_freq` — deliberately no logarithm:
    * `ln` is libm-implementation-specific and would break bit-reproducibility

@@ -77,4 +77,18 @@ class PlanInvariantsSpec extends SparkTestBase {
     // plan; the 2 BNLJs are the deliberate corpus x 8-centroid crosses
     check("semantic_dedup", maxShuffles = 6, maxSmj = 2, maxBnlj = 2)
   }
+
+  test("round-4 additions: bounded shuffles, no cartesian") {
+    // token stream + window hashing + keep-first + rebuild: all equi-keyed
+    // (the covered anti-join and rebuild join broadcast at this sf and
+    // become shuffle equi-joins at scale — allow the SMJs they'd take)
+    check("span_dedup", maxShuffles = 6, maxSmj = 2)
+    // the BNLJ is the deliberate broadcast query-set x sketch scan
+    check("ann_hamming_topk", maxShuffles = 3, maxSmj = 1, maxBnlj = 1)
+    // bloom scalar subquery adds its own agg exchange; anti join is equi
+    check("dedup_incremental_bloom", maxShuffles = 3, maxSmj = 1)
+    check("corpus_mix", maxShuffles = 2, maxBnlj = 1)
+    // explode + per-gram agg + per-doc agg + rebuild join, all on doc id
+    check("ngram_repetition", maxShuffles = 4, maxSmj = 1)
+  }
 }

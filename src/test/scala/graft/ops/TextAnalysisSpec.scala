@@ -257,6 +257,18 @@ class TextAnalysisSpec extends SparkTestBase {
       .as[Int].head() shouldBe 3
   }
 
+  test("ngramRepetition measures top and duplicated n-gram token fractions") {
+    val docs = Seq(
+      (1L, "a b a b c"), // bigrams: (a b)x2, (b a), (b c) -> top 4/5, dup 4/5
+      (2L, "one two three four"), // no repeated bigram -> top 2/4, dup 0
+      (3L, "x") // shorter than n -> no grams
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.ngramRepetition(docs, "doc_id", "text", n = 2)
+      .select($"doc_id", $"top_ngram_frac", $"dup_ngram_frac")
+      .as[(Long, Double, Double)].collect().toSet
+    out shouldBe Set((1L, 0.8, 0.8), (2L, 0.5, 0.0), (3L, 0.0, 0.0))
+  }
+
   test("mixReport computes exact ppm token shares per stratum") {
     val docs = Seq(
       ("web", "en", 600L), ("web", "en", 150L),
