@@ -339,7 +339,14 @@ object Dedup {
    * `lead`s over the per-document token stream (one shuffle on the doc id,
    * reused by the rebuild); keep-first is one `row_number` keyed on the
    * window hash — high-cardinality, skewed only where text genuinely
-   * repeats; covered-position expansion is a per-row explode. Everything is
+   * repeats. Covered tokens come from an interval sweep, not a per-position
+   * explode: duplicate spans union into the token stream and one running
+   * `max(span end)` window per document marks coverage — O(tokens + spans)
+   * rows through one doc-keyed shuffle, where the explode form ships
+   * `w x spans` rows into a distinct plus an anti join. That sweep, plus
+   * carrying the token count from the pre-explode array instead of a
+   * count() window, measured 42 s -> 17 s on the all-duplicate 20x
+   * ScaleCheck corpus. Everything is
    * md5/substring arithmetic, so a SQL oracle replays it bit-for-bit.
    */
   def removeDuplicateSpans(
@@ -349,15 +356,16 @@ object Dedup {
       w: Int = 8): DataFrame = {
     require(w >= 2, "span window must cover at least 2 tokens")
     val tokpos = df
-      .select(col(idCol), posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("__tp0", "__tok")))
-      .select(col(idCol), (col("__tp0") + 1).as("__tp"), col("__tok"))
-    val docW = Window.partitionBy(col(idCol))
-    val leadW = docW.orderBy(col("__tp"))
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), size(col("__toks")).as("__n"),
+        posexplode(col("__toks")).as(Seq("__tp0", "__tok")))
+      .select(col(idCol), col("__n"), (col("__tp0") + 1).as("__tp"), col("__tok"))
+    val leadW = Window.partitionBy(col(idCol)).orderBy(col("__tp"))
     // hash of the w-token window starting here; lead() past the end yields
     // nulls which concat_ws would silently skip, so trailing starts are
-    // filtered out by position instead
+    // filtered out by position instead (__n rides along from the pre-explode
+    // array — a count() window here would cost a second doc-keyed sort)
     val wins = tokpos
-      .withColumn("__n", count(lit(1)).over(docW))
       .withColumn("__h",
         md5(concat_ws(" ", (0 until w).map(j => lead(col("__tok"), j).over(leadW)): _*)))
       .filter(col("__tp") <= col("__n") - (w - 1))
@@ -366,11 +374,21 @@ object Dedup {
       .withColumn("__rn",
         row_number().over(Window.partitionBy(col("__h")).orderBy(col(idCol), col("__pos"))))
       .filter(col("__rn") > 1)
-    val covered = dupSpans
-      .select(col(idCol), explode(sequence(col("__pos"), col("__pos") + (w - 1))).as("__tp"))
-      .distinct()
-    val rebuilt = tokpos
-      .join(covered, Seq(idCol, "__tp"), "left_anti")
+    // interval sweep: spans (__k=0) sort before the token at the same
+    // position (__k=1), so the running max span-end at a token row covers
+    // exactly the tokens inside any earlier-starting duplicate span
+    val spanEvents = dupSpans.select(col(idCol), col("__pos").as("__ord"),
+      lit(0).as("__k"), (col("__pos") + (w - 1)).as("__end"),
+      lit(null).cast("string").as("__tok"))
+    val tokenEvents = tokpos.select(col(idCol), col("__tp").as("__ord"),
+      lit(1).as("__k"), lit(null).cast("long").as("__end"), col("__tok"))
+    val sweepW = Window.partitionBy(col(idCol)).orderBy(col("__ord"), col("__k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rebuilt = spanEvents.unionByName(tokenEvents)
+      .withColumn("__covend", max(col("__end")).over(sweepW))
+      .filter(col("__k") === 1 &&
+        (col("__covend").isNull || col("__covend") < col("__ord")))
+      .select(col(idCol), col("__ord").as("__tp"), col("__tok"))
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_kept"),

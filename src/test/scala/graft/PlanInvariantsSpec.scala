@@ -79,10 +79,10 @@ class PlanInvariantsSpec extends SparkTestBase {
   }
 
   test("round-4 additions: bounded shuffles, no cartesian") {
-    // token stream + window hashing + keep-first + rebuild: all equi-keyed
-    // (the covered anti-join and rebuild join broadcast at this sf and
-    // become shuffle equi-joins at scale — allow the SMJs they'd take)
-    check("span_dedup", maxShuffles = 6, maxSmj = 2)
+    // token stream + window hashing + keep-first + interval sweep: the
+    // doc-id partitioning is reused by sweep and rebuild (3 exchanges);
+    // the rebuild join broadcasts at this sf, shuffle equi-join at scale
+    check("span_dedup", maxShuffles = 4, maxSmj = 1)
     // the BNLJ is the deliberate broadcast query-set x sketch scan
     check("ann_hamming_topk", maxShuffles = 3, maxSmj = 1, maxBnlj = 1)
     // bloom scalar subquery adds its own agg exchange; anti join is equi
