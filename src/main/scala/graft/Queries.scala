@@ -1494,16 +1494,16 @@ object Queries {
   val ngramRepetitionSql: String =
     s"""WITH toks AS (SELECT doc_id, $Toks AS toks FROM documents),
        grams AS (
-         SELECT doc_id, len(toks) AS n_toks,
+         SELECT doc_id,
                 unnest(CASE WHEN len(toks) >= 2
                        THEN list_transform(range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' '))
                        ELSE []::VARCHAR[] END) AS gram
          FROM toks),
-       per AS (SELECT doc_id, n_toks, gram, count(*) AS cnt
-               FROM grams GROUP BY doc_id, n_toks, gram),
+       per AS (SELECT doc_id, gram, count(*) AS cnt
+               FROM grams GROUP BY doc_id, gram),
        stats AS (SELECT doc_id,
-              round(max(cnt) * 2 / cast(max(n_toks) as double), 4) AS top_ngram_frac,
-              round(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) * 2 / cast(max(n_toks) as double), 4) AS dup_ngram_frac
+              round(max(cnt) * 2 / cast(sum(cnt) + 1 as double), 4) AS top_ngram_frac,
+              round(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) * 2 / cast(sum(cnt) + 1 as double), 4) AS dup_ngram_frac
               FROM per GROUP BY doc_id)
        SELECT d.doc_id, coalesce(top_ngram_frac, 0.0) AS top_ngram_frac,
               coalesce(dup_ngram_frac, 0.0) AS dup_ngram_frac

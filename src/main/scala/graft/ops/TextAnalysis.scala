@@ -226,22 +226,27 @@ object TextAnalysis {
       textCol: String,
       n: Int = 2): org.apache.spark.sql.DataFrame = {
     val toks = tokens(col(textCol))
-    // multiset n-grams (no distinct — occurrence counts matter here);
-    // sequence(1, 0) would generate a DESCENDING [1, 0], so guard short docs
-    val grams = when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => array_join(slice(toks, i, lit(n)), " "))).otherwise(array())
+    // multiset n-grams from the native kernel (occurrence counts matter, and
+    // the composed transform/slice/array_join form is interpreted per
+    // element); the kernel emits one whole-run gram for docs shorter than n,
+    // so guard those to empty. NOTHING else rides the select: a column next
+    // to a generator is re-evaluated once per exploded row, so carrying
+    // size(tokens(text)) here cost 72 interpreted tokenizations per doc —
+    // the token count is recovered as sum(cnt) + (n-1) after the agg
+    // (native kernel + generator-clean select: 10.4 s -> 1.6 s at sf0.1).
+    val grams = when(size(toks) >= n, graft.functions.functions.word_shingles(col(textCol), n))
+      .otherwise(array().cast("array<string>"))
     val perGram = df
-      .select(col(idCol), size(toks).cast("long").as("__n_toks"), explode(grams).as("__gram"))
-      .groupBy(col(idCol), col("__n_toks"), col("__gram"))
+      .select(col(idCol), explode(grams).as("__gram"))
+      .groupBy(col(idCol), col("__gram"))
       .agg(count(lit(1)).as("__cnt"))
     val stats = perGram
       .groupBy(col(idCol))
       .agg(
-        round(max(col("__cnt")) * n / max(col("__n_toks")).cast("double"), 4)
+        round(max(col("__cnt")) * n / (sum(col("__cnt")) + (n - 1)).cast("double"), 4)
           .as("top_ngram_frac"),
         round(sum(when(col("__cnt") > 1, col("__cnt")).otherwise(0L)) * n /
-          max(col("__n_toks")).cast("double"), 4).as("dup_ngram_frac"))
+          (sum(col("__cnt")) + (n - 1)).cast("double"), 4).as("dup_ngram_frac"))
     df.select(col(idCol))
       .join(stats, Seq(idCol), "left")
       .na.fill(0.0, Seq("top_ngram_frac", "dup_ngram_frac"))

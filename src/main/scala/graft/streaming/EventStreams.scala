@@ -62,6 +62,27 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("total_value"))
 
   /**
+   * Windowed unique-user rollup with a HyperLogLog++ sketch
+   * (`approx_count_distinct`): exact streaming distinct needs state
+   * proportional to the id universe per window; the sketch is a fixed-size
+   * register set per (window, event_type), mergeable across partitions —
+   * the only way a distinct-users metric survives 100 TB/day. At small
+   * cardinalities HLL++ runs in sparse mode and is exact; `rsd` trades
+   * sketch size against error at scale.
+   */
+  def uniqueUsersRollup(
+      events: DataFrame,
+      windowLength: String = "1 hour",
+      watermark: String = "10 minutes",
+      rsd: Double = 0.05): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("n"), approx_count_distinct(col("user_id"), rsd).as("approx_users"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("approx_users"))
+
+  /**
    * Streaming exact dedup on `idCol`: duplicates arriving within the
    * watermark horizon are dropped; the watermark bounds the id-set state.
    */

@@ -41,6 +41,26 @@ class EventStreamsSpec extends SparkTestBase {
     out shouldBe Set(("click", 2L, 3.0), ("view", 1L, 5.0))
   }
 
+  test("unique-user rollup counts distinct users per window via HLL sketch") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = uniqueUsersRollup(asContract(in.toDF()), windowLength = "10 minutes",
+      watermark = "5 minutes")
+      .writeStream.format("memory").queryName("uu_out").outputMode("append").start()
+    in.addData(
+      Event(1, ts(1), 10, "click", 1.0),
+      Event(2, ts(2), 10, "click", 1.0), // same user again
+      Event(3, ts(3), 11, "click", 1.0),
+      Event(4, ts(4), 12, "view", 1.0))
+    q.processAllAvailable()
+    in.addData(Event(99, ts(60), 13, "click", 0.0)) // advance watermark
+    runToCompletion(q)
+    val out = spark.table("uu_out")
+      .select($"event_type", $"n", $"approx_users").as[(String, Long, Long)].collect().toSet
+    // HLL++ is exact in sparse mode at these cardinalities
+    out shouldBe Set(("click", 3L, 2L), ("view", 1L, 1L))
+  }
+
   test("streaming dedup drops duplicate ids within the watermark") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Event]
