@@ -68,6 +68,7 @@ object VectorMath {
   def signSketch(a: ArrayData, ta: DataType, nbits: Int): Long = {
     val acc = new Array[Double](nbits)
     val n = a.numElements()
+    if (n == 0) return 0L // all-signs-positive for a vacuous projection would be noise
     var d = 0
     while (d < n) {
       val x = value(a, ta, d)

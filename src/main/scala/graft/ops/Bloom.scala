@@ -65,16 +65,27 @@ object Bloom {
    * is definitely absent from `right` pass straight through (no shuffle);
    * only the `mightContain` survivors go through the exact anti join.
    * Result is identical to `left.join(right, key, "left_anti")`.
+   *
+   * `expectedItems` MUST be at least the right side's cardinality: an
+   * undersized filter saturates, every row tests might-contain and the
+   * pre-filter turns into pure overhead. The default (-1) counts `right`
+   * once — a metadata-cheap scan for parquet-backed stores, and the only
+   * safe default for a store that grows every day. Note Spark clamps the
+   * sketch via `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` /
+   * `maxNumBits` (defaults 4M items / 67M bits) — raise those confs
+   * alongside `expectedItems` for billion-key stores.
    */
   def antiJoinWithBloom(
       left: DataFrame,
       right: DataFrame,
       key: String,
-      expectedItems: Long = 1000000L): DataFrame = {
-    val maybe = mightContain(bloomFilterOf(right, key, expectedItems), col(key))
+      expectedItems: Long = -1L): DataFrame = {
+    val items = if (expectedItems > 0) expectedItems else math.max(right.count(), 1L)
+    val maybe = mightContain(bloomFilterOf(right, key, items), col(key))
     val newForSure = left.filter(!maybe)
+    // no distinct on the build side: left_anti ignores right duplicates
     val maybeSeen = left.filter(maybe)
-      .join(right.select(col(key)).distinct(), Seq(key), "left_anti")
+      .join(right.select(col(key)), Seq(key), "left_anti")
     newForSure.unionByName(maybeSeen)
   }
 }

@@ -136,7 +136,10 @@ object Similarity {
           ((((lit(i * 37) + d * 11) % 101) % 7) - 3).cast("double"))
       when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
     }
-    bits.reduce(_ + _)
+    // empty vector -> 0, matching the kernel (and the SQL twin, whose
+    // list_sum over an empty list is NULL -> every sign test false);
+    // sequence(0, -1) would otherwise be a DESCENDING [0, -1]
+    when(size(vec) === 0, lit(0L)).otherwise(bits.reduce(_ + _))
   }
 
   /**

@@ -433,7 +433,11 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"), sum(col(tokensCol)).cast("long").as("n_tokens"))
     val total = broadcast(df.agg(sum(col(tokensCol)).cast("long").as("__total")))
     per.join(total)
-      .withColumn("share_ppm", expr("n_tokens * 1000000 DIV __total"))
+      // decimal(38,0) intermediate: long `n_tokens * 1e6` overflows past
+      // ~9e12 stratum tokens — a 100 TB corpus is ~2e13 (DuckDB's HUGEINT
+      // sum does the same exact floor division)
+      .withColumn("share_ppm",
+        expr("CAST(CAST(n_tokens AS DECIMAL(38,0)) * 1000000 DIV __total AS BIGINT)"))
       .drop("__total")
   }
 

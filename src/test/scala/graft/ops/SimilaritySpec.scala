@@ -98,6 +98,10 @@ class SimilaritySpec extends SparkTestBase {
         .distinct().count() == 2
     }
     withClue(s"varying bits: $bitsUsed") { bitsUsed should be > 7 }
+    // empty vector: kernel and composed form agree on 0 (no vacuous all-set sketch)
+    val empty = spark.sql("SELECT cast(array() as array<float>) AS v")
+    empty.select(Similarity.signSketch($"v", 48)).as[Long].head() shouldBe 0L
+    empty.select(Similarity.signSketchComposed($"v", 48)).as[Long].head() shouldBe 0L
   }
 
   test("Hamming-sketch ANN reaches recall >= 0.8 vs brute force") {
