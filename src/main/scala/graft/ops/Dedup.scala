@@ -97,6 +97,23 @@ object Dedup {
   }
 
   /**
+   * Pick `(bands, rowsPerBand)` for an `numHashes`-component signature so
+   * the LSH collision S-curve centers on `threshold`: with `b` bands of `r`
+   * rows the curve's inflection sits near `(1/b)^(1/r)` (MMDS ch. 3), so
+   * choose the divisor pair whose implied threshold is closest. More rows
+   * per band -> fewer false candidates below the threshold; fewer rows ->
+   * better recall above it.
+   */
+  def tuneBands(numHashes: Int, threshold: Double): (Int, Int) = {
+    require(numHashes > 0 && threshold > 0 && threshold < 1,
+      "need a positive signature and a threshold in (0, 1)")
+    val (b, r) = (1 to numHashes).filter(numHashes % _ == 0)
+      .map(r => (numHashes / r, r))
+      .minBy { case (b, r) => math.abs(math.pow(1.0 / b, 1.0 / r) - threshold) }
+    (b, r)
+  }
+
+  /**
    * LSH banding: hash `rowsPerBand` consecutive signature components per band;
    * docs colliding in any band become candidate pairs. With `b` bands of `r`
    * rows, a pair of Jaccard `s` collides with probability `1-(1-s^r)^b`.

@@ -28,6 +28,18 @@ class BloomSpec extends SparkTestBase {
     Bloom.antiJoinWithBloom(left, empty, "k").count() shouldBe 200L
   }
 
+  test("bloom anti join equals plain anti join on seeded random key sets") {
+    for (seed <- Seq(3, 17, 81)) {
+      val rnd = new scala.util.Random(seed)
+      val l = Seq.fill(300)(rnd.nextInt(500)).distinct.map(i => (i.toLong, s"k$i"))
+        .toDF("id", "k")
+      val r = Seq.fill(150)(rnd.nextInt(500)).distinct.map(i => s"k$i").toDF("k")
+      val plain = l.join(r, Seq("k"), "left_anti").select("id").as[Long].collect().sorted
+      val bloomed = Bloom.antiJoinWithBloom(l, r, "k").select("id").as[Long].collect().sorted
+      withClue(s"seed=$seed") { bloomed shouldBe plain }
+    }
+  }
+
   test("the definitely-new path skips the join: most rows avoid the shuffle") {
     // with a disjoint store, every left row short-circuits on the bitmap
     val disjoint = (1000L to 1100L).map(i => s"key_$i").toDF("k")

@@ -145,6 +145,17 @@ class DedupSpec extends SparkTestBase {
       .as[Int].head() should be > 0
   }
 
+  test("tuneBands centers the LSH S-curve on the requested threshold") {
+    // 12 hashes: implied thresholds are 1/12, 0.408, 0.63, 0.76, 0.89, 1.0
+    Dedup.tuneBands(12, 0.8) shouldBe ((3, 4))
+    Dedup.tuneBands(12, 0.6) shouldBe ((4, 3))
+    Dedup.tuneBands(12, 0.4) shouldBe ((6, 2))
+    // the implied threshold brackets the request between its neighbors
+    val (b, r) = Dedup.tuneBands(24, 0.85)
+    b * r shouldBe 24
+    math.abs(math.pow(1.0 / b, 1.0 / r) - 0.85) should be < 0.1
+  }
+
   test("span dedup keeps the first occurrence of a repeated passage corpus-wide") {
     val df = Seq(
       (1L, "one two three four five six seven eight"),
@@ -160,6 +171,37 @@ class DedupSpec extends SparkTestBase {
     out(3L) shouldBe ((2L, 2L, "tiny doc"))
     out(4L) shouldBe ((8L, 4L, "red green blue yellow")) // self-repeat collapsed
     out(5L) shouldBe ((8L, 0L, "")) // whole doc was already seen
+  }
+
+  test("span dedup matches a brute-force reference on seeded random corpora") {
+    // naive reference: same keep-first semantics, computed with plain Scala
+    def reference(docs: Seq[(Long, String)], w: Int): Map[Long, (Long, Long, String)] = {
+      val toks = docs.map { case (id, t) =>
+        id -> t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toVector
+      }.sortBy(_._1)
+      val seen = collection.mutable.Set[String]()
+      val covered = collection.mutable.Map[Long, collection.mutable.Set[Int]]()
+      for ((id, ts) <- toks; pos <- 0 to ts.length - w) {
+        val win = ts.slice(pos, pos + w).mkString(" ")
+        if (seen(win)) covered.getOrElseUpdate(id, collection.mutable.Set()) ++= (pos until pos + w)
+        else seen += win
+      }
+      toks.map { case (id, ts) =>
+        val cov: collection.Set[Int] = covered.getOrElse(id, collection.mutable.Set.empty[Int])
+        val kept = ts.zipWithIndex.collect { case (t, i) if !cov(i) => t }
+        id -> ((ts.length.toLong, kept.length.toLong, kept.mkString(" ")))
+      }.toMap
+    }
+    for (seed <- Seq(7, 42, 99)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Vector("ax", "bo", "ce", "du", "ef", "fi", "gu", "ho")
+      val docs = (1L to 20L).map { id =>
+        id -> Vector.fill(8 + rnd.nextInt(25))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      val out = Dedup.removeDuplicateSpans(docs.toDF("id", "text"), "id", "text", w = 3)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      withClue(s"seed=$seed") { out shouldBe reference(docs, 3) }
+    }
   }
 
   test("span dedup is invariant to input partitioning") {

@@ -104,6 +104,17 @@ class SimilaritySpec extends SparkTestBase {
     empty.select(Similarity.signSketchComposed($"v", 48)).as[Long].head() shouldBe 0L
   }
 
+  test("sign sketch is invariant to exact positive scaling") {
+    // x4 is an exponent shift: float-exact, so projections scale without
+    // rounding and every sign bit is preserved
+    val base = corpus.select($"vec_id", Similarity.signSketch($"embedding", 48).as("s"))
+    val scaled = corpus
+      .withColumn("embedding", transform($"embedding", x => x * 4.0f))
+      .select($"vec_id", Similarity.signSketch($"embedding", 48).as("s"))
+    base.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+      scaled.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
   test("Hamming-sketch ANN reaches recall >= 0.8 vs brute force") {
     val queries = corpus.filter($"vec_id" % 10 === 0)
     def results(df: org.apache.spark.sql.DataFrame) =
