@@ -1485,6 +1485,37 @@ object Queries {
        cast(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]')) as bigint) AS bpe_tokens
        FROM documents"""
 
+  /**
+   * Interval overlap join: 14-day activity windows of one customer slice
+   * against another's, via [[Joins.intervalOverlapJoin]] (bucket explode +
+   * equi-join, each pair emitted in its first common bucket — never a
+   * nested loop). Oracle is the plain inequality join.
+   */
+  def overlapJoinPairs(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    def days(c: Column) = datediff(c.cast("date"), lit("1970-01-01").cast("date")).cast("long")
+    val o = t(dir, "orders")
+    val a = o.filter(col("o_custkey") <= 2)
+      .select(col("o_orderkey").as("key_a"), days(col("o_orderdate")).as("lo_a"),
+        (days(col("o_orderdate")) + 14).as("hi_a"))
+    val b = o.filter(col("o_custkey").between(3, 6))
+      .select(col("o_orderkey").as("key_b"), days(col("o_orderdate")).as("lo_b"),
+        (days(col("o_orderdate")) + 14).as("hi_b"))
+    Joins.intervalOverlapJoin(a, b, "lo_a", "hi_a", "lo_b", "hi_b", bucketWidth = 14)
+      .select(col("key_a"), col("key_b"))
+  }
+
+  val overlapJoinPairsSql: String =
+    s"""WITH a AS (
+         SELECT o_orderkey AS key_a,
+                datediff('day', DATE '1970-01-01', cast(o_orderdate as date)) AS lo
+         FROM orders WHERE o_custkey <= 2),
+       b AS (
+         SELECT o_orderkey AS key_b,
+                datediff('day', DATE '1970-01-01', cast(o_orderdate as date)) AS lo2
+         FROM orders WHERE o_custkey BETWEEN 3 AND 6)
+       SELECT key_a, key_b FROM a, b WHERE lo < lo2 + 14 AND lo2 < lo + 14"""
+
   /** Gopher n-gram repetition signals (top/dup 2-gram token fractions). */
   def ngramRepetition(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
@@ -1879,6 +1910,7 @@ object Queries {
     ("orders_no_late_items", ordersNoLateItems _, Some(ordersNoLateItemsSql)),
     ("asof_join", asofJoin _, Some(asofJoinSql)),
     ("range_join_count", rangeJoinCount _, Some(rangeJoinCountSql)),
+    ("overlap_join_pairs", overlapJoinPairs _, Some(overlapJoinPairsSql)),
     ("q4_order_priority", q4OrderPriority _, Some(q4Sql)),
     ("q6_revenue", q6Revenue _, Some(q6Sql)),
     ("q9_profit_by_nation", q9ProfitByNation _, Some(q9Sql)),

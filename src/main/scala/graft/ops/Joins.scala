@@ -82,4 +82,40 @@ object Joins {
       .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("__bucket")
   }
+
+  /**
+   * Interval overlap join: every left interval `[leftLo, leftHi)` paired
+   * with every right interval `[rightLo, rightHi)` it overlaps — campaign
+   * windows x activity windows, downtime x sessions, any two timelines.
+   *
+   * Both sides explode onto fixed-width buckets and meet in an equi-join on
+   * the bucket id, with the overlap bounds as a residual filter — one
+   * shuffle keyed on bucket, never a nested loop. An overlapping pair
+   * shares every bucket its intersection covers; the pair is emitted only
+   * in the bucket containing `greatest(leftLo, rightLo)` (the first common
+   * one), so each pair appears exactly once without a distinct pass.
+   *
+   * Column names must be disjoint across the two sides (as with any Spark
+   * join). Bounds are integer-domain; `bucketWidth` on the order of the
+   * typical interval length, as in [[rangeJoin]].
+   */
+  def intervalOverlapJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftLo: String,
+      leftHi: String,
+      rightLo: String,
+      rightHi: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def bucketOf(c: Column): Column = floor(c / bucketWidth).cast("long")
+    def explodeBuckets(df: DataFrame, lo: String, hi: String): DataFrame = df
+      .filter(col(lo) < col(hi))
+      .withColumn("__bucket", explode(sequence(bucketOf(col(lo)), bucketOf(col(hi) - 1))))
+    explodeBuckets(left, leftLo, leftHi)
+      .join(explodeBuckets(right, rightLo, rightHi), Seq("__bucket"))
+      .filter(col(leftLo) < col(rightHi) && col(rightLo) < col(leftHi) &&
+        bucketOf(greatest(col(leftLo), col(rightLo))) === col("__bucket"))
+      .drop("__bucket")
+  }
 }

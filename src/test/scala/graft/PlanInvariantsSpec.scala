@@ -90,5 +90,7 @@ class PlanInvariantsSpec extends SparkTestBase {
     check("corpus_mix", maxShuffles = 2, maxBnlj = 1)
     // explode + per-gram agg + per-doc agg + rebuild join, all on doc id
     check("ngram_repetition", maxShuffles = 4, maxSmj = 1)
+    // bucket-exploded equi-join; broadcast here, shuffle equi-join at scale
+    check("overlap_join_pairs", maxShuffles = 1, maxSmj = 1)
   }
 }

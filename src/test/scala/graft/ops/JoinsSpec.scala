@@ -63,4 +63,32 @@ class JoinsSpec extends SparkTestBase {
     val intervals = Seq((1L, 5L, 5L), (2L, 9L, 3L)).toDF("iid", "lo", "hi")
     Joins.rangeJoin(points, intervals, "x", "lo", "hi", 10L).count() shouldBe 0
   }
+
+  test("intervalOverlapJoin equals the naive overlap join, each pair exactly once") {
+    val a = (0L until 60L).map { i =>
+      val s = i * 17 % 200
+      (i, s, s + 1 + (i % 25))
+    }.toDF("aid", "alo", "ahi")
+    val b = (0L until 50L).map { i =>
+      val s = i * 23 % 200
+      (i, s, s + 1 + (i % 15))
+    }.toDF("bid", "blo", "bhi")
+    val naive = a.join(b, $"alo" < $"bhi" && $"blo" < $"ahi")
+      .select($"aid", $"bid").as[(Long, Long)].collect().toSeq.sorted
+    for (width <- Seq(1L, 8L, 32L, 256L)) {
+      val bucketed = Joins.intervalOverlapJoin(a, b, "alo", "ahi", "blo", "bhi", width)
+        .select($"aid", $"bid").as[(Long, Long)].collect().toSeq.sorted
+      // Seq compare (not Set): a pair emitted in two buckets would fail here
+      withClue(s"bucketWidth=$width") { bucketed shouldBe naive }
+    }
+  }
+
+  test("intervalOverlapJoin drops empty intervals and honors half-open bounds") {
+    val a = Seq((1L, 0L, 5L), (2L, 7L, 7L)).toDF("aid", "alo", "ahi")
+    val b = Seq((10L, 5L, 9L), (11L, 3L, 4L)).toDF("bid", "blo", "bhi")
+    val out = Joins.intervalOverlapJoin(a, b, "alo", "ahi", "blo", "bhi", 4L)
+      .select($"aid", $"bid").as[(Long, Long)].collect().toSet
+    // [0,5) does not overlap [5,9) (half-open); [7,7) is empty
+    out shouldBe Set(1L -> 11L)
+  }
 }
