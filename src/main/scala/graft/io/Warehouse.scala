@@ -43,7 +43,8 @@ case class WarehouseTable(
     root: HdfsUrl,
     name: String,
     partitioning: Warehouse.PartitionStrategy = Warehouse.PartitionByDay,
-    format: String = "parquet")
+    format: String = "parquet",
+    maxRecordsPerFile: Option[Long] = None)
     extends Logging {
   import Warehouse._
 
@@ -70,7 +71,28 @@ case class WarehouseTable(
         SaveMode.ErrorIfExists
     }
     logger.info(s"saving $name partition $date to $target ($writeDisposition)")
-    ds.write.mode(mode).format(format).save(target.toString)
+    val writer = ds.write.mode(mode).format(format)
+    // caps file size from wide tasks; small-file merging is compact()'s job
+    maxRecordsPerFile.fold(writer)(n => writer.option("maxRecordsPerFile", n))
+      .save(target.toString)
+  }
+
+  /**
+   * Rewrite one date partition into `targetFiles` files — the compaction
+   * pass every long-lived warehouse needs: a day written by a 1000-task
+   * job leaves 1000 files per partition, and scans pay per-file open cost
+   * forever after. Contents are unchanged (read -> repartition ->
+   * truncate-write of the same partition).
+   */
+  def compact(spark: SparkSession, date: DateInterval, targetFiles: Int = 1): Unit = {
+    require(targetFiles > 0, "targetFiles must be positive")
+    // materialize before the truncate write: the read plan lazily lists the
+    // very files the overwrite deletes
+    val current = load(spark, date).localCheckpoint(eager = true)
+    logger.info(s"compacting $name partition $date to $targetFiles files")
+    // cap-free writer: targetFiles is the explicit file count, the per-file
+    // record cap would immediately re-split what compaction merged
+    copy(maxRecordsPerFile = None).save(current.repartition(targetFiles), date, WriteTruncate)
   }
 
   /** Read one date partition. */

@@ -58,6 +58,21 @@ class IoSpec extends SparkTestBase {
       table.save(spark.range(1).toDF("n"), date, Warehouse.WriteEmpty)
   }
 
+  test("warehouse maxRecordsPerFile caps files; compact merges them back") {
+    def dataFiles(table: WarehouseTable, date: graft.time.DateInterval): Int =
+      new java.io.File(table.partitionUrl(date).toString)
+        .listFiles().count(_.getName.endsWith(".parquet"))
+    val table = WarehouseTable(HdfsUrl(tmpDir("wh_files")), "t",
+      maxRecordsPerFile = Some(10L))
+    val date = Day(2026, 8, 12)
+    table.save(spark.range(100).toDF("n").coalesce(1), date)
+    dataFiles(table, date) should be >= 10 // 100 rows / 10-row cap
+    table.compact(spark, date, targetFiles = 1)
+    dataFiles(table, date) shouldBe 1
+    table.load(spark, date).agg(org.apache.spark.sql.functions.sum("n"))
+      .head().getLong(0) shouldBe 4950L // contents unchanged
+  }
+
   test("warehouse CREATE_NEVER requires the table root") {
     val table = WarehouseTable(HdfsUrl(tmpDir("wh_missing")), "absent")
     a[Warehouse.TableNotFoundException] should be thrownBy
