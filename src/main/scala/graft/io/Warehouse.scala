@@ -81,18 +81,29 @@ case class WarehouseTable(
    * Rewrite one date partition into `targetFiles` files — the compaction
    * pass every long-lived warehouse needs: a day written by a 1000-task
    * job leaves 1000 files per partition, and scans pay per-file open cost
-   * forever after. Contents are unchanged (read -> repartition ->
-   * truncate-write of the same partition).
+   * forever after. Contents are unchanged.
+   *
+   * The rewrite lands in a temporary sibling directory first and swaps in
+   * only after it fully succeeds, so the source files survive any mid-write
+   * failure (a truncate-overwrite of the same path would delete them before
+   * the new files exist). The delete+rename swap itself is a small
+   * non-atomic window; rerunning compact() heals an interrupted swap.
    */
   def compact(spark: SparkSession, date: DateInterval, targetFiles: Int = 1): Unit = {
     require(targetFiles > 0, "targetFiles must be positive")
-    // materialize before the truncate write: the read plan lazily lists the
-    // very files the overwrite deletes
-    val current = load(spark, date).localCheckpoint(eager = true)
-    logger.info(s"compacting $name partition $date to $targetFiles files")
+    val target = partitionUrl(date)
+    val tmp = tableUrl / s".compact-tmp-${partitionValue(date)}"
+    logger.info(s"compacting $name partition $date to $targetFiles files (via $tmp)")
     // cap-free writer: targetFiles is the explicit file count, the per-file
     // record cap would immediately re-split what compaction merged
-    copy(maxRecordsPerFile = None).save(current.repartition(targetFiles), date, WriteTruncate)
+    load(spark, date).repartition(targetFiles)
+      .write.mode(SaveMode.Overwrite).format(format).save(tmp.toString)
+    val hPath = new org.apache.hadoop.fs.Path(target.toString)
+    val hTmp = new org.apache.hadoop.fs.Path(tmp.toString)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(hPath, true)
+    if (!fs.rename(hTmp, hPath))
+      throw new java.io.IOException(s"compact: rename $tmp -> $target failed")
   }
 
   /** Read one date partition. */

@@ -68,18 +68,19 @@ object Bloom {
    *
    * `expectedItems` MUST be at least the right side's cardinality: an
    * undersized filter saturates, every row tests might-contain and the
-   * pre-filter turns into pure overhead. The default (-1) counts `right`
-   * once — a metadata-cheap scan for parquet-backed stores, and the only
-   * safe default for a store that grows every day. Note Spark clamps the
-   * sketch via `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` /
-   * `maxNumBits` (defaults 4M items / 67M bits) — raise those confs
-   * alongside `expectedItems` for billion-key stores.
+   * pre-filter turns into pure overhead. The default is 4M — Spark's own
+   * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` ceiling, ~5 MB
+   * of broadcast bitmap — so sizing stays lazy (no count job at plan-build
+   * time) and only stores past 4M keys need explicit sizing, which also
+   * requires raising that conf and `maxNumBits`. Pass -1 to size from a
+   * `right.count()` instead (one extra evaluation of the right plan,
+   * metadata-cheap for parquet-backed stores).
    */
   def antiJoinWithBloom(
       left: DataFrame,
       right: DataFrame,
       key: String,
-      expectedItems: Long = -1L): DataFrame = {
+      expectedItems: Long = 4000000L): DataFrame = {
     val items = if (expectedItems > 0) expectedItems else math.max(right.count(), 1L)
     val maybe = mightContain(bloomFilterOf(right, key, items), col(key))
     val newForSure = left.filter(!maybe)

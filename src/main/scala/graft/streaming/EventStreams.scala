@@ -46,6 +46,20 @@ object EventStreams {
   def readEvents(spark: SparkSession, path: String, format: String = "parquet"): DataFrame =
     spark.readStream.schema(eventSchema).format(format).load(path)
 
+  /** Shared scaffold: watermark + tumbling window per event type, then `aggs`. */
+  private def windowedAgg(
+      events: DataFrame,
+      windowLength: String,
+      watermark: String,
+      aggs: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val agged = events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(aggs.head, aggs.tail: _*)
+    agged.select(col("window.start").as("window_start") +:
+      agged.columns.filterNot(_ == "window").map(col): _*)
+  }
+
   /**
    * Tumbling-window rollup per event type. With Append output the row for a
    * window emits exactly once, when the watermark passes the window end —
@@ -55,11 +69,8 @@ object EventStreams {
       events: DataFrame,
       windowLength: String = "1 hour",
       watermark: String = "10 minutes"): DataFrame =
-    events
-      .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), windowLength), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
-      .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("total_value"))
+    windowedAgg(events, windowLength, watermark,
+      Seq(count(lit(1)).as("n"), sum(col("value")).as("total_value")))
 
   /**
    * Windowed unique-user rollup with a HyperLogLog++ sketch
@@ -75,12 +86,8 @@ object EventStreams {
       windowLength: String = "1 hour",
       watermark: String = "10 minutes",
       rsd: Double = 0.05): DataFrame =
-    events
-      .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), windowLength), col("event_type"))
-      .agg(count(lit(1)).as("n"), approx_count_distinct(col("user_id"), rsd).as("approx_users"))
-      .select(col("window.start").as("window_start"), col("event_type"),
-        col("n"), col("approx_users"))
+    windowedAgg(events, windowLength, watermark,
+      Seq(count(lit(1)).as("n"), approx_count_distinct(col("user_id"), rsd).as("approx_users")))
 
   /**
    * Streaming exact dedup on `idCol`: duplicates arriving within the
