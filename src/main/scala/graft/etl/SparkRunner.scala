@@ -33,8 +33,10 @@ object RetryOptions {
  *     from every `spark.*` config key,
  *  2. compute the dates to run: newest-first from the schedule, capped at
  *     [[SparkJob.MaxScheduledDates]], filtered by `shouldRunForDate`, then
- *     reversed so processing is chronological — or the single date from the
- *     `start` env variable ("yyyy-MM-dd") when set,
+ *     reversed so processing is chronological — or, when the `start` env
+ *     variable ("yyyy-MM-dd") is set, EVERY schedule date at or after it
+ *     (a backfill lower bound that bypasses `shouldRunForDate` and rewrites
+ *     already-processed partitions),
  *  3. run the job's stage pipeline per date inside a monitoring + retry
  *     [[Stage.Context]]: every stage publishes starting/complete/failed
  *     events and is retried up to `retry.max` times with `retry.delay`
@@ -95,8 +97,12 @@ abstract class SparkRunner[Job <: SparkJob] extends Logging with ScheduleDsl {
       dates.foreach { date =>
         val ctx = new RunnerContext(date, retryOptions, spark, messaging, metrics, spark)
         messaging.publishProcessStarting(ctx)
-        job.stages.run(ctx).get
-        messaging.publishProcessComplete(ctx)
+        job.stages.run(ctx) match {
+          case Success(_) => messaging.publishProcessComplete(ctx)
+          case Failure(failure) =>
+            messaging.publishProcessFailed(ctx, failure)
+            throw failure
+        }
       }
     } finally messaging.stop()
   }
@@ -117,16 +123,19 @@ abstract class SparkRunner[Job <: SparkJob] extends Logging with ScheduleDsl {
       spark: SparkSession,
       messaging: MessagingSystem,
       metrics: RunnerMetrics,
-      value: I)
+      value: I,
+      // identity rides through withValue: a fresh UUID per stage transition
+      // would orphan every post-first StageEvent from its process lifecycle
+      val processId: String = java.util.UUID.randomUUID().toString,
+      val startTime: Long = System.currentTimeMillis)
       extends Stage.Context[I](spark, eventDate, value)
       with MessagingSystem.Context {
 
     val jobId: String = jobName
-    val processId: String = java.util.UUID.randomUUID().toString
-    val startTime: Long = System.currentTimeMillis
 
     override def withValue[U](value: U): Stage.Context[U] =
-      new RunnerContext(eventDate, retryOptions, spark, messaging, metrics, value)
+      new RunnerContext(eventDate, retryOptions, spark, messaging, metrics, value,
+        processId, startTime)
 
     override def run[O](stage: Stage[I, O], result: => O): Stage.Result[O] = {
       @scala.annotation.tailrec
@@ -140,11 +149,13 @@ abstract class SparkRunner[Job <: SparkJob] extends Logging with ScheduleDsl {
             messaging.publishStageComplete(this, stage.name)
             messaging.publishMetrics(this, stage.name, metrics.snapshot)
             success
-          case Failure(failure) if callCount >= retryOptions.max =>
+          case failed @ Failure(failure) if callCount >= retryOptions.max =>
             logger.error(s"[$stageId] giving up after ${retryOptions.max} attempt(s)", failure)
             messaging.publishStageFailed(this, stage.name, failure)
-            messaging.publishProcessFailed(this, failure)
-            throw failure
+            // return the Failure (Stage.run's contract) rather than throw:
+            // combinators like sequenceAll must be able to keep going and
+            // aggregate; the date loop publishes ProcessFailed and aborts
+            failed
           case Failure(failure) =>
             logger.warn(s"[$stageId] retrying in ${retryOptions.delay}", failure)
             messaging.publishStageRetrying(this, stage.name)

@@ -42,7 +42,7 @@ class IncrementalDedupJob(
    * would silently write an empty clean partition).
    */
   private def seenFingerprints(spark: SparkSession, date: DateInterval): DataFrame =
-    if (fingerprints.tableUrl.exists(spark))
+    if (fingerprints.hasAnyPartition(spark))
       fingerprints.loadBefore(spark, date).select(col("fp"))
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -58,8 +58,10 @@ class IncrementalDedupJob(
       // every new document misses it — those rows never enter the anti join
       val newDocs = graft.ops.Bloom.antiJoinWithBloom(
         withFp, seenFingerprints(ctx.spark, ctx.date), "fp")
-      // within-day dedup: deterministic keeper on the smallest id
-      graft.ops.Dedup.exact(newDocs, textCol, idCol)
+      // within-day dedup: deterministic keeper on the smallest id; persisted
+      // because both sinks consume it and its lineage is the whole day's
+      // fingerprint + anti-join pipeline
+      graft.ops.Dedup.exact(newDocs, textCol, idCol).persist()
     }
     _ <- "write_fingerprints".sink[org.apache.spark.sql.Row] { ctx =>
       fingerprints.save(ctx.value.toDF().select(col("fp")).distinct(), ctx.date, Warehouse.WriteTruncate)

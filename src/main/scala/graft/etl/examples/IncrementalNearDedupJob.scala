@@ -38,17 +38,10 @@ class IncrementalNearDedupJob(
   override def shouldRunForDate(spark: SparkSession, date: DateInterval): Boolean =
     !clean.exists(spark, date)
 
-  private val bands = numHashes / rowsPerBand
-
-  /** `(id, band, bh)` rows for every document in `df`. */
-  private def bandRows(df: DataFrame): DataFrame = {
-    val sig = Dedup.withMinhashSignature(df.select(col(idCol), col(textCol)), textCol, numHashes)
-    sig
-      .select(col(idCol) +: Dedup.bandHashes(numHashes, rowsPerBand): _*)
-      .select(col(idCol), explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band"), col(s"band$b").as("bh"))): _*)).as("e"))
-      .select(col(idCol), col("e.band").as("band"), col("e.bh").as("bh"))
-  }
+  /** `(id, band, bh)` rows for every document in `df` (same builder as the
+    * within-day pass, so cross-date and within-day hashes can never drift). */
+  private def bandRows(df: DataFrame): DataFrame =
+    Dedup.bandedIds(df, idCol, textCol, numHashes, rowsPerBand)
 
   /**
    * Bands from partitions strictly BEFORE `date`: a rerun after a crash
@@ -57,7 +50,7 @@ class IncrementalNearDedupJob(
    * write an empty clean partition).
    */
   private def storedBands(spark: SparkSession, date: DateInterval): DataFrame =
-    if (bandStore.tableUrl.exists(spark))
+    if (bandStore.hasAnyPartition(spark))
       bandStore.loadBefore(spark, date).select(col("band"), col("bh"))
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -75,7 +68,10 @@ class IncrementalNearDedupJob(
       docs.join(hits, Seq(idCol), "left_anti")
     }
     deduped <- Stage.transform[org.apache.spark.sql.Row, org.apache.spark.sql.Row]("within_day") {
-      ctx => Dedup.removeNearDuplicates(ctx.value.toDF(), idCol, textCol, threshold)
+      // persist: both sinks consume this, and its lineage is the whole
+      // shingle/minhash/verify pipeline — without it each sink recomputes
+      ctx => Dedup.removeNearDuplicates(ctx.value.toDF(), idCol, textCol, threshold,
+        numHashes, rowsPerBand).persist()
     }
     _ <- "append_bands".sink[org.apache.spark.sql.Row] { ctx =>
       bandStore.save(bandRows(ctx.value.toDF()).select(col("band"), col("bh")).distinct(),

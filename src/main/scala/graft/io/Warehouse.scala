@@ -93,6 +93,17 @@ case class WarehouseTable(
     require(targetFiles > 0, "targetFiles must be positive")
     val target = partitionUrl(date)
     val tmp = tableUrl / s".compact-tmp-${partitionValue(date)}"
+    locally { // heal an interrupted swap: after delete-before-rename died,
+      // the tmp dir holds the only copy — finish the rename before reading
+      val hPath = new org.apache.hadoop.fs.Path(target.toString)
+      val hTmp = new org.apache.hadoop.fs.Path(tmp.toString)
+      val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(hPath) && fs.exists(hTmp)) {
+        logger.warn(s"compact: healing interrupted swap of $name/$date from $tmp")
+        if (!fs.rename(hTmp, hPath))
+          throw new java.io.IOException(s"compact: heal rename $tmp -> $target failed")
+      }
+    }
     logger.info(s"compacting $name partition $date to $targetFiles files (via $tmp)")
     // cap-free writer: targetFiles is the explicit file count, the per-file
     // record cap would immediately re-split what compaction merged
@@ -135,4 +146,22 @@ case class WarehouseTable(
   }
 
   def exists(spark: SparkSession, date: DateInterval): Boolean = partitionUrl(date).exists(spark)
+
+  /**
+   * True when at least one date partition holds a visible data file. The
+   * guard incremental jobs need before `loadAll`/`loadBefore`: a crashed
+   * first run can leave the table root with only a `_temporary` skeleton,
+   * and a `date=*` scan over that fails schema inference on every rerun.
+   */
+  def hasAnyPartition(spark: SparkSession): Boolean = {
+    val hRoot = new org.apache.hadoop.fs.Path(tableUrl.toString)
+    val fs = hRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(hRoot) && {
+      val matches = fs.globStatus(new org.apache.hadoop.fs.Path(hRoot, "date=*/*"))
+      matches != null && matches.exists { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+    }
+  }
 }

@@ -127,6 +127,26 @@ object Dedup {
   }
 
   /**
+   * `(id, band, bh)` banding rows for every document — the shared builder
+   * behind [[lshCandidatePairs]] and incremental band stores (a fix to
+   * banding must hit both, or cross-date and within-day hashes diverge).
+   */
+  def bandedIds(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 12,
+      rowsPerBand: Int = 3): DataFrame = {
+    val bands = numHashes / rowsPerBand
+    val sig = withMinhashSignature(df.select(idCol, textCol), textCol, numHashes)
+    sig
+      .select(col(idCol) +: bandHashes(numHashes, rowsPerBand): _*)
+      .select(col(idCol), explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"), col(s"band$b").as("bh"))): _*)).as("e"))
+      .select(col(idCol), col("e.band").as("band"), col("e.bh").as("bh"))
+  }
+
+  /**
    * Candidate near-duplicate pairs `(id_a < id_b)` from LSH bucket collisions.
    * `maxBucket` drops degenerate buckets (boilerplate text) before pairing.
    */
@@ -137,14 +157,7 @@ object Dedup {
       numHashes: Int = 12,
       rowsPerBand: Int = 3,
       maxBucket: Int = 1000): DataFrame = {
-    val bands = numHashes / rowsPerBand
-    val sig = withMinhashSignature(df.select(idCol, textCol), textCol, numHashes)
-    val banded = sig
-      .select(col(idCol) +: bandHashes(numHashes, rowsPerBand): _*)
-      .select(col(idCol), explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band"), col(s"band$b").as("bh"))): _*)).as("e"))
-      .select(col(idCol), col("e.band").as("band"), col("e.bh").as("bh"))
-    val capped = banded
+    val capped = bandedIds(df, idCol, textCol, numHashes, rowsPerBand)
       .withColumn("bucket_n", count("*").over(Window.partitionBy(col("band"), col("bh"))))
       .filter(col("bucket_n") <= maxBucket)
       .drop("bucket_n")
@@ -428,8 +441,10 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      threshold: Double = 0.8): DataFrame = {
-    val pairs = nearDuplicatePairs(df, idCol, textCol, threshold)
+      threshold: Double = 0.8,
+      numHashes: Int = 12,
+      rowsPerBand: Int = 3): DataFrame = {
+    val pairs = nearDuplicatePairs(df, idCol, textCol, threshold, numHashes, rowsPerBand)
     val losers = duplicateClusters(pairs)
       .filter(col("id") =!= col("cluster_id"))
       .select(col("id").as(idCol))

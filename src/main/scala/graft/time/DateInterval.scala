@@ -169,6 +169,9 @@ object Week extends DateIntervalType("week") {
     .appendValue(IsoFields.WEEK_OF_WEEK_BASED_YEAR, 2)
     .parseDefaulting(ChronoField.DAY_OF_WEEK, DayOfWeek.MONDAY.getValue.toLong)
     .toFormatter(Locale.UK)
+    // SMART (the default) resolves week 53 of a 52-week ISO year by rolling
+    // into the next year's W01 — the same leniency apply() validates against
+    .withResolverStyle(java.time.format.ResolverStyle.STRICT)
 
   /** The interval for the ISO week containing the given weekday of (week-year, week). */
   def apply(year: Int, week: Int, dayOfWeek: WeekDay = Monday): DateInterval = {

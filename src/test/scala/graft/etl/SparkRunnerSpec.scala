@@ -69,6 +69,45 @@ class SparkRunnerSpec extends SparkJobSuiteBase {
     messaging.events.filter(_._1 == "jobs").map(_._2).count(_.contains("\"Failed\"")) shouldBe 1
   }
 
+  test("all events of one date share a single processId") {
+    val job = new CountingJob()
+    val messaging = new InMemoryMessagingSystem
+    runner(job, Schedule(Day(2026, 8, 12)), messaging).go()
+    val pids = messaging.events.map(_._2)
+      .flatMap("\"processId\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(_).map(_.group(1)))
+    pids should not be empty
+    withClue(s"processIds: ${pids.distinct}") { pids.distinct should have size 1 }
+  }
+
+  test("sequenceAll under the runner runs every branch and aggregates failures") {
+    var branchBRan = false
+    val job = new SparkJob {
+      override def shouldRunForDate(spark: SparkSession, date: DateInterval) = true
+      override def stages: Stage[SparkSession, _] =
+        "nums".source(_.spark.range(3)).andThen(Stage.sequenceAll(Seq(
+          Stage.transform[java.lang.Long, java.lang.Long]("branch_a")(_ =>
+            sys.error("branch a broke")),
+          Stage.transform[java.lang.Long, java.lang.Long]("branch_b") { c =>
+            branchBRan = true; c.value
+          })))
+    }
+    val messaging = new InMemoryMessagingSystem
+    val r = new SparkRunner[SparkJob] {
+      override def jobName = "seqall_job"
+      override def schedule: Schedule = Schedule(Day(2026, 8, 12))
+      override def createJob(config: GraftConfig): SparkJob = job
+      override protected def createMessaging(config: GraftConfig) = messaging
+      override def configFile: Option[String] = None
+    }
+    val thrown = the[Stage.SequenceAllException[_, _]] thrownBy
+      r.runWith(spark, GraftConfig("retry.max" -> "1", "retry.delay" -> "0ms"))
+    // the failing branch did NOT abort the sequence: b ran, and the
+    // aggregate lists exactly the one failure
+    branchBRan shouldBe true
+    thrown.failures.map(_._1.name) shouldBe Seq("branch_a")
+    messaging.events.filter(_._1 == "jobs").map(_._2).count(_.contains("\"Failed\"")) shouldBe 1
+  }
+
   test("stops the date walk where shouldRunForDate turns false") {
     val job = new CountingJob() {
       override def shouldRunForDate(spark: SparkSession, date: DateInterval): Boolean =

@@ -73,6 +73,32 @@ class IoSpec extends SparkTestBase {
       .head().getLong(0) shouldBe 4950L // contents unchanged
   }
 
+  test("hasAnyPartition ignores a _temporary-only skeleton from a crashed first write") {
+    val table = WarehouseTable(HdfsUrl(tmpDir("wh_partial")), "t")
+    table.hasAnyPartition(spark) shouldBe false // no root at all
+    // simulate a crashed first write: partition dir with only committer scratch
+    val scratch = new java.io.File(
+      table.partitionUrl(Day(2026, 8, 12)).toString + "/_temporary")
+    scratch.mkdirs() shouldBe true
+    table.hasAnyPartition(spark) shouldBe false
+    table.save(spark.range(3).toDF("n"), Day(2026, 8, 13))
+    table.hasAnyPartition(spark) shouldBe true
+  }
+
+  test("compact heals an interrupted delete-before-rename swap") {
+    val table = WarehouseTable(HdfsUrl(tmpDir("wh_heal")), "t")
+    val date = Day(2026, 8, 12)
+    table.save(spark.range(20).toDF("n"), date)
+    // simulate the crash window: partition deleted, rewrite stranded in tmp
+    val part = new java.io.File(table.partitionUrl(date).toString)
+    val tmp = new java.io.File((table.tableUrl / s".compact-tmp-${table.partitionValue(date)}").toString)
+    part.renameTo(tmp) shouldBe true
+    table.compact(spark, date, targetFiles = 1)
+    table.load(spark, date).agg(org.apache.spark.sql.functions.sum("n"))
+      .head().getLong(0) shouldBe 190L
+    tmp.exists() shouldBe false
+  }
+
   test("warehouse CREATE_NEVER requires the table root") {
     val table = WarehouseTable(HdfsUrl(tmpDir("wh_missing")), "absent")
     a[Warehouse.TableNotFoundException] should be thrownBy

@@ -17,6 +17,10 @@ class DateIntervalSpec extends AnyFunSuite with Matchers {
     Week(Day(2010, 1, 3)).toString shouldBe "2009-W53" // Sunday after new year
     Week(2016, 32).toString shouldBe "2016-W32"
     Week.parse("2009-W01") shouldBe Some(Week(Day(2008, 12, 29)))
+    // strict resolution: 2016 has 52 ISO weeks, so W53 must NOT roll into
+    // 2017-W01 (the leniency Week.apply already rejects); 2020 has 53
+    Week.parse("2016-W53") shouldBe None
+    Week.parse("2020-W53") shouldBe Some(Week(2020, 53))
     Week(2016, 11).by(Day) should have size 7
     an[IllegalArgumentException] should be thrownBy Week(2016, 54)
     // 53-week ISO years accept W53; 52-week years must throw, not roll over
