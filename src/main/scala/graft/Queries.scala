@@ -1516,6 +1516,52 @@ object Queries {
          FROM orders WHERE o_custkey BETWEEN 3 AND 6)
        SELECT key_a, key_b FROM a, b WHERE lo < lo2 + 14 AND lo2 < lo + 14"""
 
+  /**
+   * Conversion funnel view -> click -> purchase over the first two event
+   * days (the full month is degenerate — every user eventually completes;
+   * the cutoff makes per-user truncated histories differ, so the
+   * strictly-after chaining is actually exercised).
+   */
+  def funnelSteps(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    ops.Funnels.funnelCounts(
+      events(dir).filter(col("ts") < lit("2024-01-03").cast("timestamp")),
+      "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+  }
+
+  val funnelStepsSql: String =
+    s"""WITH e AS (SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-03'),
+       t1 AS (
+         SELECT user_id, min(ts) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+       t2 AS (
+         SELECT e.user_id, min(e.ts) AS t2 FROM e JOIN t1 ON e.user_id = t1.user_id
+         WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY 1),
+       t3 AS (
+         SELECT e.user_id, min(e.ts) AS t3 FROM e JOIN t2 ON e.user_id = t2.user_id
+         WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY 1)
+       SELECT steps_reached, count(*) AS n_users FROM (
+         SELECT t1.user_id,
+                1 + CASE WHEN t2.user_id IS NULL THEN 0 ELSE 1 END
+                  + CASE WHEN t3.user_id IS NULL THEN 0 ELSE 1 END AS steps_reached
+         FROM t1 LEFT JOIN t2 ON t1.user_id = t2.user_id
+                 LEFT JOIN t3 ON t1.user_id = t3.user_id)
+       GROUP BY steps_reached"""
+
+  /** Corpus vocabulary statistics (hapax share as exact integer ppm). */
+  def vocabStats(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    TextAnalysis.vocabStats(t(dir, "documents"), "text")
+  }
+
+  val vocabStatsSql: String =
+    s"""SELECT cast(sum(n) as bigint) AS n_tokens,
+              count(*) AS n_terms,
+              cast(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) as bigint) AS hapax_terms,
+              cast((sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000) // count(*) as bigint) AS hapax_ppm
+       FROM (SELECT t, count(*) AS n
+             FROM (SELECT unnest(toks) AS t FROM (SELECT $Toks AS toks FROM documents))
+             GROUP BY t)"""
+
   /** Gopher n-gram repetition signals (top/dup 2-gram token fractions). */
   def ngramRepetition(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
@@ -1964,6 +2010,8 @@ object Queries {
     ("stratified_sample", stratifiedSample _, Some(stratifiedSampleSql)),
     ("doc_repetition", docRepetition _, Some(docRepetitionSql)),
     ("ngram_repetition", ngramRepetition _, Some(ngramRepetitionSql)),
+    ("funnel_steps", funnelSteps _, Some(funnelStepsSql)),
+    ("vocab_stats", vocabStats _, Some(vocabStatsSql)),
     ("tfidf_top_terms", tfidfTopTerms _, Some(tfidfTopTermsSql)),
     ("chunk_documents", chunkDocuments _, Some(chunkDocumentsSql)),
     ("multimodal_meta", multimodalMeta _, Some(multimodalMetaSql)))

@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Ordered funnel analysis over an event stream: how far each user
+ * progresses through a sequence of step types, where step `i` counts only
+ * if it occurs strictly after the user's first occurrence of step `i-1` —
+ * the standard conversion metric (view -> click -> purchase).
+ */
+object Funnels {
+
+  /**
+   * Per-user funnel progress: one row per user who reached step 1, with
+   * `t1..tk` (first time each step was reached, null once progress stops)
+   * and `steps_reached`.
+   *
+   * Implementation: `k` chained min-aggregations — step `i`'s first time is
+   * `min(ts)` over that step's events later than `t(i-1)`, one agg shuffle
+   * + one equi-join on the user key per step (the join side shrinks as the
+   * funnel narrows, so later phases broadcast). No per-user event-list
+   * collection, no window over full history — each phase touches only one
+   * step's events.
+   */
+  def funnel(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val first = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("t1"))
+    val chained = steps.tail.zipWithIndex.foldLeft(first) { case (acc, (step, i)) =>
+      val prev = s"t${i + 1}"
+      val cur = s"t${i + 2}"
+      val next = events.filter(col(typeCol) === step)
+        .join(acc.select(col(userCol), col(prev)), Seq(userCol))
+        .filter(col(tsCol) > col(prev))
+        .groupBy(col(userCol)).agg(min(col(tsCol)).as(cur))
+      acc.join(next, Seq(userCol), "left")
+    }
+    val reached = (1 to steps.size).map(i => when(col(s"t$i").isNotNull, 1L).otherwise(0L))
+      .reduce(_ + _)
+    chained.withColumn("steps_reached", reached)
+  }
+
+  /** Funnel conversion histogram: users per `steps_reached` level. */
+  def funnelCounts(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      steps: Seq[String]): DataFrame =
+    funnel(events, userCol, tsCol, typeCol, steps)
+      .groupBy(col("steps_reached"))
+      .agg(count(lit(1)).as("n_users"))
+}

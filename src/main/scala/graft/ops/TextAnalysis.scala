@@ -441,6 +441,25 @@ object TextAnalysis {
       .drop("__total")
   }
 
+  /**
+   * Corpus vocabulary statistics, one row: total tokens, distinct terms,
+   * hapax legomena (terms occurring exactly once) and their exact
+   * integer-ppm share of the vocabulary — the Zipf-tail health check run
+   * before tokenizer training (a crawl with too few hapaxes has been
+   * over-deduplicated; too many means OCR noise / encoding damage).
+   * Two agg shuffles (term counts with map-side partials, then a global
+   * fold); everything integer-exact.
+   */
+  def vocabStats(df: org.apache.spark.sql.DataFrame, textCol: String): org.apache.spark.sql.DataFrame =
+    df.select(explode(tokens(col(textCol))).as("__t"))
+      .groupBy(col("__t")).agg(count(lit(1)).as("__n"))
+      .agg(
+        sum(col("__n")).cast("long").as("n_tokens"),
+        count(lit(1)).as("n_terms"),
+        sum(when(col("__n") === 1, 1L).otherwise(0L)).as("hapax_terms"))
+      .withColumn("hapax_ppm",
+        expr("CAST(CAST(hapax_terms AS DECIMAL(38,0)) * 1000000 DIV n_terms AS BIGINT)"))
+
   /** Full-document fingerprint: md5 of the normalized text. */
   def fingerprint(text: Column): Column = md5(normalize(text))
 
