@@ -88,6 +88,13 @@ object ScaleCheck {
       val store = fps.filter(col("doc_id") % 3 === 0).select(col("fp"))
       ops.Bloom.antiJoinWithBloom(fps, store, "fp", expectedItems = 200000L * factor)
     }
+    time("funnel") {
+      ops.Funnels.funnelCounts(bigEvents, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+    }
+    time("vocab_stats") {
+      ops.TextAnalysis.vocabStats(bigDocs, "text")
+    }
     time("pack_sequences") {
       val sized = bigDocs.select(col("doc_id"), col("source"),
         ops.TextAnalysis.bpeTokenCount(col("text")).cast("long").as("n_tokens"))
