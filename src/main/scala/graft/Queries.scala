@@ -843,8 +843,8 @@ object Queries {
 
   val q12Sql: String =
     """SELECT l_linestatus,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+       cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) as bigint) AS high_line_count,
+       cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) as bigint) AS low_line_count
        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
        GROUP BY l_linestatus"""
@@ -1599,8 +1599,8 @@ object Queries {
          SELECT source, lang,
                 cast(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) as bigint) AS n_tok
          FROM documents)
-       SELECT source, lang, count(*) AS n_docs, sum(n_tok) AS n_tokens,
-              (sum(n_tok) * 1000000) // (SELECT sum(n_tok) FROM d) AS share_ppm
+       SELECT source, lang, count(*) AS n_docs, cast(sum(n_tok) as bigint) AS n_tokens,
+              cast((sum(n_tok) * 1000000) // (SELECT sum(n_tok) FROM d) as bigint) AS share_ppm
        FROM d GROUP BY source, lang"""
 
   /** Full + rolling-window document fingerprints. */
