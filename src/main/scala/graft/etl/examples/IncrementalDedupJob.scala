@@ -51,13 +51,19 @@ class IncrementalDedupJob(
 
   override def stages: Stage[SparkSession, _] = for {
     raw <- "read_docs".source(ctx => source(ctx.date))
-    deduped <- Stage.transform[org.apache.spark.sql.Row, org.apache.spark.sql.Row]("dedup") { ctx =>
-      val withFp = ctx.value.toDF()
+    withFp <- Stage.transform[org.apache.spark.sql.Row, org.apache.spark.sql.Row]("fingerprint") { ctx =>
+      // persisted: antiJoinWithBloom's result is a two-leg union whose left
+      // side is this frame, so without a cache the day's read + fingerprint
+      // hash would run once per leg
+      ctx.value.toDF()
         .withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
+        .persist()
+    }
+    deduped <- Stage.transform[org.apache.spark.sql.Row, org.apache.spark.sql.Row]("dedup") { ctx =>
       // bloom short-circuit: the store grows with every past day, and almost
       // every new document misses it — those rows never enter the anti join
       val newDocs = graft.ops.Bloom.antiJoinWithBloom(
-        withFp, seenFingerprints(ctx.spark, ctx.date), "fp")
+        ctx.value.toDF(), seenFingerprints(ctx.spark, ctx.date), "fp")
       // within-day dedup: deterministic keeper on the smallest id; persisted
       // because both sinks consume it and its lineage is the whole day's
       // fingerprint + anti-join pipeline
@@ -69,5 +75,11 @@ class IncrementalDedupJob(
     _ <- "write_clean".sink[org.apache.spark.sql.Row] { ctx =>
       clean.save(ctx.value.toDF().drop("fp"), ctx.date, Warehouse.WriteTruncate)
     }
-  } yield deduped
+    // drop both caches before the next date: a backfill loop runs many dates
+    // in one session, and leaked blocks would accumulate for its lifetime
+    cleaned <- Stage.transform[org.apache.spark.sql.Row, org.apache.spark.sql.Row]("unpersist") { ctx =>
+      withFp.unpersist()
+      ctx.value.unpersist()
+    }
+  } yield cleaned
 }

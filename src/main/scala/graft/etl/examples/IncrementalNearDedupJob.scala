@@ -80,5 +80,10 @@ class IncrementalNearDedupJob(
     _ <- "write_clean".sink[org.apache.spark.sql.Row] { ctx =>
       clean.save(ctx.value.toDF(), ctx.date, Warehouse.WriteTruncate)
     }
-  } yield deduped
+    // drop the cache before the next date: a backfill loop runs many dates
+    // in one session, and leaked blocks would accumulate for its lifetime
+    cleaned <- Stage.transform[org.apache.spark.sql.Row, org.apache.spark.sql.Row]("unpersist") { ctx =>
+      ctx.value.unpersist()
+    }
+  } yield cleaned
 }

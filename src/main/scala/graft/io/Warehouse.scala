@@ -88,6 +88,13 @@ case class WarehouseTable(
    * failure (a truncate-overwrite of the same path would delete them before
    * the new files exist). The delete+rename swap itself is a small
    * non-atomic window; rerunning compact() heals an interrupted swap.
+   *
+   * Single writer per partition assumed — the standard warehouse contract
+   * for a maintenance pass. During the swap window a concurrent reader can
+   * observe a missing partition path, and two concurrent compact() calls on
+   * the same partition share one tmp directory and can corrupt each other's
+   * swap (the heal logic covers crashes, not races). Schedule compaction
+   * when the partition is quiescent, e.g. after the date's job completes.
    */
   def compact(spark: SparkSession, date: DateInterval, targetFiles: Int = 1): Unit = {
     require(targetFiles > 0, "targetFiles must be positive")

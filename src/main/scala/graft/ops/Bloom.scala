@@ -75,6 +75,14 @@ object Bloom {
    * requires raising that conf and `maxNumBits`. Pass -1 to size from a
    * `right.count()` instead (one extra evaluation of the right plan,
    * metadata-cheap for parquet-backed stores).
+   *
+   * The result is a two-leg union (pass-through + verified), so `left`'s
+   * lineage is evaluated once per leg — Spark has no cross-branch plan
+   * sharing without a cache. Callers whose `left` has expensive lineage
+   * (more than a scan plus cheap projections) should `persist()` it first
+   * and unpersist after the result is consumed. The flag column is computed
+   * once before the split, so both legs share one bloom scalar subquery in
+   * the analyzed plan rather than embedding two copies.
    */
   def antiJoinWithBloom(
       left: DataFrame,
@@ -82,10 +90,11 @@ object Bloom {
       key: String,
       expectedItems: Long = 4000000L): DataFrame = {
     val items = if (expectedItems > 0) expectedItems else math.max(right.count(), 1L)
-    val maybe = mightContain(bloomFilterOf(right, key, items), col(key))
-    val newForSure = left.filter(!maybe)
+    val flagged = left.withColumn("__graft_maybe",
+      mightContain(bloomFilterOf(right, key, items), col(key)))
+    val newForSure = flagged.filter(!col("__graft_maybe")).drop("__graft_maybe")
     // no distinct on the build side: left_anti ignores right duplicates
-    val maybeSeen = left.filter(maybe)
+    val maybeSeen = flagged.filter(col("__graft_maybe")).drop("__graft_maybe")
       .join(right.select(col(key)), Seq(key), "left_anti")
     newForSure.unionByName(maybeSeen)
   }

@@ -46,7 +46,15 @@ object Funnels {
     chained.withColumn("steps_reached", reached)
   }
 
-  /** Funnel conversion histogram: users per `steps_reached` level. */
+  /**
+   * Funnel conversion histogram: users per `steps_reached` level.
+   *
+   * `steps_reached >= 1` by construction: the population is users with at
+   * least one step-1 event, so there is no level-0 bucket. Conversion-rate
+   * consumers whose denominator is "all users in the event stream" must
+   * compute that denominator separately (`events.select(user).distinct`) —
+   * this histogram's denominator is the level-1 count.
+   */
   def funnelCounts(
       events: DataFrame,
       userCol: String,
