@@ -1933,6 +1933,173 @@ object Queries {
                                         WHEN 'es' THEN 20 WHEN 'zh' THEN 10 ELSE 0 END) * 65536"""
   }
 
+  // ---- round 5: curation planning + incremental corpus ops ------------
+
+  /**
+   * Per-source document cap (domain cap): keep at most 10 docs per source,
+   * chosen by hashed-id order — an unbiased deterministic sample per domain.
+   */
+  def sourceCapQ(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    TextAnalysis.sourceCap(
+      t(dir, "documents").select(col("doc_id"), col("source")),
+      "source", "doc_id", maxDocs = 10)
+  }
+
+  val sourceCapSql: String =
+    """SELECT doc_id, source, cap_rank FROM (
+       SELECT doc_id, source,
+              row_number() OVER (PARTITION BY source ORDER BY md5('graft:' || doc_id), doc_id) AS cap_rank
+       FROM documents)
+       WHERE cap_rank <= 10"""
+
+  /**
+   * Deterministic per-row weighted sampling: keep probability scales with a
+   * per-row quality prior (here: doc length), exact integer hash threshold.
+   */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    t(dir, "documents")
+      .withColumn("rate_pct", least(lit(100L), expr("n_chars DIV 20")).cast("long"))
+      .filter(TextAnalysis.weightedKeep(col("doc_id"), col("rate_pct")))
+      .select(col("doc_id"), col("rate_pct"))
+  }
+
+  val weightedSampleSql: String = {
+    val digit = (i: Int) =>
+      s"(strpos('0123456789abcdef', substring(md5('graft:' || doc_id), $i, 1)) - 1)"
+    val bucket = s"(((${digit(1)} * 16 + ${digit(2)}) * 16 + ${digit(3)}) * 16 + ${digit(4)})"
+    s"""SELECT doc_id, rate_pct FROM (
+       SELECT doc_id, cast(least(100, n_chars // 20) as bigint) AS rate_pct FROM documents)
+       WHERE $bucket * 100 < rate_pct * 65536"""
+  }
+
+  /** BPE merge-candidate counts: top adjacent char pairs weighted by word frequency. */
+  def bpePairsQ(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    TextAnalysis.bpePairs(t(dir, "documents"), "text", k = 50)
+  }
+
+  val bpePairsSql: String =
+    s"""WITH words AS (
+         SELECT t AS w, count(*) AS wc
+         FROM (SELECT unnest($Toks) AS t FROM documents) GROUP BY t),
+       pairs AS (
+         SELECT unnest(list_transform(range(1, len(w)), i -> substring(w, i, 2))) AS pair, wc
+         FROM words WHERE len(w) >= 2)
+       SELECT pair, cast(sum(wc) as bigint) AS cnt
+       FROM pairs GROUP BY pair
+       ORDER BY cnt DESC, pair LIMIT 50"""
+
+  /**
+   * Mixture plan: uniform target ppm share per observed source; per source
+   * the available tokens, planned budget, sampling rate and epoch
+   * multiplier — all exact integer math.
+   */
+  def mixPlanQ(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val docs = t(dir, "documents").select(col("source"),
+      TextAnalysis.whitespaceTokenCount(col("text")).cast("long").as("n_tok"))
+    // derive the target list from the same per-source agg mixPlan builds
+    // internally: every corpus-side exchange then has one canonical form,
+    // which ReuseExchange executes once however many times it appears
+    val srcs = docs.groupBy(col("source"))
+      .agg(sum(col("n_tok")).cast("long").as("avail_tokens"))
+      .select(col("source"))
+    val nSrc = broadcast(srcs.agg(count(lit(1)).as("__n")))
+    val targets = srcs.join(nSrc)
+      .withColumn("target_ppm", expr("CAST(1000000 DIV __n AS BIGINT)"))
+      .drop("__n")
+    TextAnalysis.mixPlan(docs, "source", "n_tok", targets)
+  }
+
+  val mixPlanSql: String =
+    raw"""WITH d AS (
+         SELECT source,
+                cast(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) as bigint) AS n_tok
+         FROM documents),
+       avail AS (SELECT source, cast(sum(n_tok) as bigint) AS avail_tokens FROM d GROUP BY source),
+       tgt AS (SELECT source, cast(1000000 // (SELECT count(*) FROM avail) as bigint) AS target_ppm FROM avail),
+       tot AS (SELECT cast(sum(avail_tokens) as bigint) AS total FROM avail)
+       SELECT a.source, a.avail_tokens, t.target_ppm,
+              cast(tot.total * t.target_ppm // 1000000 as bigint) AS planned_tokens,
+              cast(least(1000000, (tot.total * t.target_ppm // 1000000) * 1000000 // a.avail_tokens) as bigint) AS rate_ppm,
+              cast(((tot.total * t.target_ppm // 1000000) * 100 + a.avail_tokens - 1) // a.avail_tokens as bigint) AS epochs_x100
+       FROM avail a JOIN tgt t USING (source), tot"""
+
+  /**
+   * One Lloyd (k-means) update iteration over the deterministic IVF cells:
+   * per (cell, dim) member count, exact fixed-point sum and floor-mean —
+   * the whole step replays bit-for-bit in SQL.
+   */
+  def kmeansUpdateQ(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val (assigned, _) = Similarity.ivfAssignSeeded(t(dir, "embeddings"), "vec_id", "embedding", k = 8)
+    Similarity.kmeansUpdate(assigned, "embedding")
+      .select(col("centroid_id").cast("long").as("centroid_id"),
+        col("dim"), col("n_members"), col("sum_e6"), col("centroid_e6"))
+  }
+
+  val kmeansUpdateSql: String =
+    s"""WITH cent AS (
+         SELECT rk - 1 AS centroid_id, embedding AS cv FROM (
+           SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id) AS rk FROM embeddings)
+         WHERE rk <= 8),
+       assigned AS (
+         SELECT vec_id, embedding, centroid_id FROM (
+           SELECT vec_id, embedding, centroid_id,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id) AS rn
+           FROM (SELECT e.vec_id, e.qv AS embedding, c.centroid_id, $SqlCos AS cos
+                 FROM (SELECT vec_id, embedding AS qv FROM embeddings) e
+                 CROSS JOIN (SELECT centroid_id, cv AS nv FROM cent) c))
+         WHERE rn = 1),
+       exploded AS (
+         SELECT centroid_id,
+                unnest(range(1, len(embedding) + 1)) AS i,
+                unnest(list_transform(embedding, x -> cast(round(cast(x as double) * 1000000, 0) as bigint))) AS v_e6
+         FROM assigned),
+       agg AS (
+         SELECT cast(centroid_id as bigint) AS centroid_id, cast(i - 1 as bigint) AS dim,
+                cast(count(*) as bigint) AS n_members, cast(sum(v_e6) as bigint) AS sum_e6
+         FROM exploded GROUP BY centroid_id, i)
+       SELECT centroid_id, dim, n_members, sum_e6,
+              cast((sum_e6 - ((sum_e6 % n_members) + n_members) % n_members) // n_members as bigint) AS centroid_e6
+       FROM agg"""
+
+  /**
+   * Snapshot diff between two simulated corpus versions: old = ids not
+   * divisible by 7; new = ids not divisible by 5, with every 11th document
+   * edited — classify added/removed/changed/unchanged per key.
+   */
+  def snapshotDiffQ(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val docs = t(dir, "documents")
+    val old = docs.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+    val cur = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"),
+        TextAnalysis.fingerprint(
+          when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text"))).as("fp"))
+    graft.ops.Snapshots.diff(old, cur, "doc_id", "fp")
+  }
+
+  val snapshotDiffSql: String =
+    raw"""WITH o AS (
+         SELECT doc_id, md5($Norm) AS ofp FROM documents WHERE doc_id % 7 <> 0),
+       n AS (
+         SELECT doc_id,
+                md5(lower(trim(regexp_replace(
+                  CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END,
+                  '\s+', ' ', 'g')))) AS nfp
+         FROM documents WHERE doc_id % 5 <> 0)
+       SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+              CASE WHEN o.doc_id IS NULL THEN 'added'
+                   WHEN n.doc_id IS NULL THEN 'removed'
+                   WHEN ofp <> nfp THEN 'changed'
+                   ELSE 'unchanged' END AS status
+       FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id"""
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -2014,5 +2181,11 @@ object Queries {
     ("vocab_stats", vocabStats _, Some(vocabStatsSql)),
     ("tfidf_top_terms", tfidfTopTerms _, Some(tfidfTopTermsSql)),
     ("chunk_documents", chunkDocuments _, Some(chunkDocumentsSql)),
-    ("multimodal_meta", multimodalMeta _, Some(multimodalMetaSql)))
+    ("multimodal_meta", multimodalMeta _, Some(multimodalMetaSql)),
+    ("source_cap", sourceCapQ _, Some(sourceCapSql)),
+    ("weighted_sample", weightedSample _, Some(weightedSampleSql)),
+    ("bpe_pairs", bpePairsQ _, Some(bpePairsSql)),
+    ("mix_plan", mixPlanQ _, Some(mixPlanSql)),
+    ("kmeans_update", kmeansUpdateQ _, Some(kmeansUpdateSql)),
+    ("snapshot_diff", snapshotDiffQ _, Some(snapshotDiffSql)))
 }

@@ -358,4 +358,37 @@ object Similarity {
       .select(col(idCol)).distinct()
     corpus.join(dropped, Seq(idCol), "left_anti")
   }
+
+  /**
+   * One Lloyd (k-means) update step over an IVF assignment: recompute each
+   * cell's centroid as the element-wise mean of its member vectors,
+   * surfaced as one row per `(cell, dim)` in exact fixed-point micro-units
+   * (`round(v * 1e6)` per element, integer sum, exact floor division) so
+   * the result is bit-identical regardless of partitioning, summation
+   * order or engine — float accumulation would make an iterative fit
+   * unreproducible at scale.
+   *
+   * `posexplode` streams `(cell, dim, value)` triples into a two-key agg
+   * with map-side partials — two equi-keyed shuffles over scalar rows, no
+   * vector ever leaves the executors; output is k x d rows however large
+   * the corpus. Iterating assign/update to convergence is a driver-side
+   * loop over this pair.
+   */
+  def kmeansUpdate(
+      assigned: DataFrame,
+      vecCol: String,
+      cellCol: String = "centroid_id"): DataFrame =
+    assigned
+      .select(col(cellCol), posexplode(col(vecCol)).as(Seq("dim", "__v")))
+      .groupBy(col(cellCol), col("dim"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        sum(round(col("__v").cast("double") * 1000000, 0).cast("long")).as("sum_e6"))
+      // portable floor division for signed sums: subtract the non-negative
+      // remainder first so the dividend divides exactly — then trunc-vs-floor
+      // `DIV` semantics (which differ between engines on negative dividends)
+      // cannot matter, and integer DIV avoids double-precision loss
+      .withColumn("centroid_e6",
+        expr("(sum_e6 - ((sum_e6 % n_members) + n_members) % n_members) DIV n_members").cast("long"))
+      .withColumn("dim", col("dim").cast("long"))
 }

@@ -460,6 +460,107 @@ object TextAnalysis {
       .withColumn("hapax_ppm",
         expr("CAST(CAST(hapax_terms AS DECIMAL(38,0)) * 1000000 DIV n_terms AS BIGINT)"))
 
+  /**
+   * Per-stratum document cap (the "domain cap" step of web-corpus curation:
+   * no single domain may dominate the training mix): keep at most `maxDocs`
+   * documents per stratum, chosen by hashed-id order so the kept set is an
+   * unbiased deterministic sample of the stratum rather than its lowest
+   * ids. Adds a `cap_rank` column (1-based position in the stratum's hash
+   * order).
+   *
+   * One shuffle on the stratum. A hot domain with billions of rows would
+   * make the window sort one partition — pre-thin such strata with
+   * [[stratifiedKeep]] at rate ~ cap/count first, so the exact window only
+   * sees ~cap rows per stratum (two cheap passes instead of one giant sort).
+   */
+  def sourceCap(
+      df: org.apache.spark.sql.DataFrame,
+      stratumCol: String,
+      idCol: String,
+      maxDocs: Int,
+      salt: String = "graft"): org.apache.spark.sql.DataFrame = {
+    require(maxDocs > 0, "maxDocs must be positive")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(stratumCol))
+      .orderBy(md5(concat(lit(salt), lit(":"), col(idCol).cast("string"))), col(idCol))
+    df.withColumn("cap_rank", row_number().over(w).cast("long"))
+      .filter(col("cap_rank") <= maxDocs)
+  }
+
+  /**
+   * Deterministic per-row weighted sampling: keep a row with probability
+   * `ratePct`/100, where the rate is a per-row integer-percent column (a
+   * quality score, a length prior, ...) — importance sampling for training
+   * mixes. Same hash-threshold construction as [[stratifiedKeep]] but the
+   * rate varies per row instead of per stratum. Shuffle-free pure per-row
+   * math, reproducible across engines, runs and partitionings.
+   */
+  def weightedKeep(id: Column, ratePct: Column, salt: String = "graft"): Column = {
+    val bucket = conv(substring(md5(concat(lit(salt), lit(":"), id.cast("string"))), 1, 4), 16, 10)
+      .cast("long")
+    (bucket * 100L) < (ratePct.cast("long") * 65536L)
+  }
+
+  /**
+   * Tokenizer-training pair statistics — the counting step of one BPE merge
+   * iteration: corpus-wide counts of adjacent character pairs inside words,
+   * weighted by word frequency, highest first. Counting words FIRST
+   * collapses the corpus to its vocabulary, so the quadratic-ish pair
+   * explode runs once per distinct word, not once per occurrence — the
+   * standard trick that makes BPE training corpus-size-independent after
+   * the first count. Two shuffles, both over vocabulary-sized data.
+   */
+  def bpePairs(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      k: Int = 50): org.apache.spark.sql.DataFrame = {
+    val words = df.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+    words
+      .filter(length(col("w")) >= 2)
+      // nothing else in the generator select: a column beside explode() is
+      // re-evaluated once per OUTPUT row (see ngramRepetition)
+      .select(col("wc"),
+        explode(transform(sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("wc")).cast("long").as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(k)
+  }
+
+  /**
+   * Mixture plan from target shares: given documents with a stratum and a
+   * token count, plus per-stratum target corpus shares (ppm) in `targets`
+   * (`stratumCol`, `target_ppm`), compute each stratum's available tokens,
+   * planned token budget, the sampling rate (ppm) that hits it, and the
+   * stratum's consumption in hundredths of an epoch (`epochs_x100` < 100
+   * means the budget subsamples the stratum; > 100 means it must repeat
+   * to fill the budget) — the arithmetic every data-mixing decision
+   * reduces to.
+   *
+   * All integer math (`DECIMAL(38,0)` intermediates, `DIV`), so the plan is
+   * bit-identical on any engine. One agg shuffle on the stratum; targets
+   * and the 1-row total broadcast — no collect.
+   */
+  def mixPlan(
+      df: org.apache.spark.sql.DataFrame,
+      stratumCol: String,
+      tokensCol: String,
+      targets: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val avail = df.groupBy(col(stratumCol))
+      .agg(sum(col(tokensCol)).cast("long").as("avail_tokens"))
+    val total = broadcast(avail.agg(sum(col("avail_tokens")).cast("long").as("__total")))
+    avail.join(broadcast(targets), Seq(stratumCol)).join(total)
+      .withColumn("planned_tokens",
+        expr("CAST(CAST(__total AS DECIMAL(38,0)) * target_ppm DIV 1000000 AS BIGINT)"))
+      .withColumn("rate_ppm", least(lit(1000000L),
+        expr("CAST(CAST(planned_tokens AS DECIMAL(38,0)) * 1000000 DIV avail_tokens AS BIGINT)")))
+      // ceil division in pure integers: epochs = ceil(planned / avail)
+      .withColumn("epochs_x100",
+        expr("CAST((CAST(planned_tokens AS DECIMAL(38,0)) * 100 + avail_tokens - 1) DIV avail_tokens AS BIGINT)"))
+      .drop("__total")
+  }
+
   /** Full-document fingerprint: md5 of the normalized text. */
   def fingerprint(text: Column): Column = md5(normalize(text))
 

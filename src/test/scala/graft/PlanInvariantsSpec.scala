@@ -97,4 +97,22 @@ class PlanInvariantsSpec extends SparkTestBase {
     check("funnel_steps", maxShuffles = 8, maxSmj = 3)
     check("vocab_stats", maxShuffles = 2)
   }
+
+  test("round-5 additions: bounded shuffles, no cartesian") {
+    // one window shuffle on the stratum
+    check("source_cap", maxShuffles = 1)
+    // pure per-row hash-threshold filter
+    check("weighted_sample", maxShuffles = 0)
+    // vocab agg + pair agg; top-k is TakeOrdered, not a range exchange
+    check("bpe_pairs", maxShuffles = 2)
+    // all occurrences are the ONE canonical per-source agg (avail, total's
+    // input, the target list) — ReuseExchange runs that shuffle once
+    check("mix_plan", maxShuffles = 4, maxBnlj = 2)
+    // seed window + corpus x 8-centroid cross (deliberate BNLJ) + assign
+    // window on vec_id + (cell, dim) agg
+    check("kmeans_update", maxShuffles = 4, maxBnlj = 1)
+    // full-outer equi-join cannot broadcast: the SMJ on doc_id IS the
+    // at-scale plan; fingerprints, not payloads, go through its exchanges
+    check("snapshot_diff", maxShuffles = 2, maxSmj = 1)
+  }
 }

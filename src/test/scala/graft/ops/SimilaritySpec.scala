@@ -217,4 +217,34 @@ class SimilaritySpec extends SparkTestBase {
       .select("vec_id").as[Long].collect().toSet
     again shouldBe ids
   }
+
+  test("kmeansUpdate computes exact fixed-point cell means") {
+    // two cells with hand-computable means
+    val assigned = Seq(
+      (0, Array(1.0f, -2.0f)), (0, Array(2.0f, -3.0f)), (0, Array(4.0f, -7.0f)),
+      (1, Array(0.5f, 0.25f))
+    ).toDF("centroid_id", "embedding")
+    val out = Similarity.kmeansUpdate(assigned, "embedding")
+      .select($"centroid_id", $"dim", $"n_members", $"sum_e6", $"centroid_e6")
+      .as[(Int, Long, Long, Long, Long)].collect().toSet
+    out shouldBe Set(
+      // cell 0: dim0 mean (1+2+4)/3 = 7/3 -> floor(7000000/3) = 2333333
+      (0, 0L, 3L, 7000000L, 2333333L),
+      // dim1 mean (-2-3-7)/3 = -4 exactly
+      (0, 1L, 3L, -12000000L, -4000000L),
+      (1, 0L, 1L, 500000L, 500000L),
+      (1, 1L, 1L, 250000L, 250000L))
+  }
+
+  test("kmeansUpdate is partitioning-invariant (exact integer accumulation)") {
+    val (assigned, _) = Similarity.ivfAssignSeeded(corpus, "vec_id", "embedding", k = 4)
+    val a = Similarity.kmeansUpdate(assigned, "embedding")
+      .as[(Int, Long, Long, Long, Long)].collect().toSet
+    val b = Similarity.kmeansUpdate(assigned.repartition(17), "embedding")
+      .as[(Int, Long, Long, Long, Long)].collect().toSet
+    b shouldBe a
+    a.size shouldBe 4 * 16 // k cells x 16 dims
+    // every cell's member count is constant across its dims
+    a.groupBy(_._1).values.foreach(rows => rows.map(_._3).toSet.size shouldBe 1)
+  }
 }

@@ -282,4 +282,54 @@ class TextAnalysisSpec extends SparkTestBase {
       ("web", "de", 1L, 150L, 150000L),
       ("books", "en", 1L, 100L, 100000L))
   }
+
+  test("sourceCap keeps at most N per stratum with contiguous hash-order ranks") {
+    val docs = (0L until 60L).map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")
+    val capped = TextAnalysis.sourceCap(docs, "source", "doc_id", maxDocs = 5)
+      .select($"source", $"doc_id", $"cap_rank").as[(String, Long, Long)].collect()
+    capped.groupBy(_._1).foreach { case (_, rows) =>
+      rows.length shouldBe 5
+      rows.map(_._3).sorted shouldBe Seq(1L, 2L, 3L, 4L, 5L)
+    }
+    // deterministic: a second run keeps exactly the same ids
+    val again = TextAnalysis.sourceCap(docs, "source", "doc_id", maxDocs = 5)
+      .select($"doc_id").as[Long].collect().toSet
+    again shouldBe capped.map(_._2).toSet
+    // hash order, not id order: the kept set is not simply the lowest ids
+    capped.map(_._2).toSet should not be (0L until 15L).toSet
+  }
+
+  test("weightedKeep is deterministic and monotonic in the rate") {
+    val docs = (0L until 500L).toDF("doc_id")
+    def kept(rate: Int): Set[Long] = docs
+      .filter(TextAnalysis.weightedKeep($"doc_id", lit(rate)))
+      .as[Long].collect().toSet
+    kept(0) shouldBe empty
+    kept(100) should have size 500
+    val k30 = kept(30); val k60 = kept(60)
+    k30.subsetOf(k60) shouldBe true // same hash, higher threshold
+    k30.size should (be > 100 and be < 200) // ~30% of 500
+  }
+
+  test("bpePairs counts char pairs weighted by word frequency") {
+    // words: "abab" x2 -> pairs ab, ba, ab (x2 each occurrence); "ab" x1
+    val docs = Seq("abab abab ab").toDF("text")
+    val pairs = TextAnalysis.bpePairs(docs, "text", k = 10)
+      .as[(String, Long)].collect().toMap
+    pairs("ab") shouldBe 5L // 2 per "abab" occurrence (x2) + 1 in "ab"
+    pairs("ba") shouldBe 2L
+    pairs.keySet shouldBe Set("ab", "ba")
+  }
+
+  test("mixPlan computes exact budgets, rates and epoch multipliers") {
+    val docs = Seq(("web", 900L), ("curated", 100L)).toDF("source", "n_tok")
+    val targets = Seq(("web", 500000L), ("curated", 500000L)).toDF("source", "target_ppm")
+    val plan = TextAnalysis.mixPlan(docs, "source", "n_tok", targets)
+      .select($"source", $"avail_tokens", $"planned_tokens", $"rate_ppm", $"epochs_x100")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map { case (s, a, p, r, e) => s -> ((a, p, r, e)) }.toMap
+    // total 1000 tokens, each stratum plans 500
+    plan("web") shouldBe ((900L, 500L, 555555L, 56L)) // consumes 0.56 epochs of web
+    plan("curated") shouldBe ((100L, 500L, 1000000L, 500L)) // 5 epochs to fill 500 from 100
+  }
 }
