@@ -60,6 +60,14 @@ object Queries {
   // ---- portable helpers (DuckDB side) ---------------------------------
 
   private def sqlCents(c: String) = s"cast(round($c * 100, 0) as bigint)"
+
+  /** DuckDB twin of `TextAnalysis.hashBucket`: first-16-bit md5 bucket of
+    * `salt:id` in [0, 65536) — one definition for every sampling oracle. */
+  private def sqlHashBucket(idExpr: String, salt: String = "graft"): String = {
+    def digit(i: Int) =
+      s"(strpos('0123456789abcdef', substring(md5('$salt:' || $idExpr), $i, 1)) - 1)"
+    s"(((${digit(1)} * 16 + ${digit(2)}) * 16 + ${digit(3)}) * 16 + ${digit(4)})"
+  }
   private val Norm = raw"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
   private val Toks = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
   /** Cosine over `qv`/`nv` list columns (twin of [[Similarity.cosine]]).
@@ -1321,9 +1329,7 @@ object Queries {
   }
 
   val hashSplitCountsSql: String = {
-    val digit = (i: Int) =>
-      s"(strpos('0123456789abcdef', substring(md5('graft:' || doc_id), $i, 1)) - 1)"
-    val bucket = s"(((${digit(1)} * 16 + ${digit(2)}) * 16 + ${digit(3)}) * 16 + ${digit(4)})"
+    val bucket = sqlHashBucket("doc_id")
     s"""SELECT split, lang, count(*) AS n FROM (
        SELECT lang, CASE WHEN $bucket * 100 < 80 * 65536 THEN 'train'
                          WHEN $bucket * 100 < 90 * 65536 THEN 'valid'
@@ -1925,9 +1931,7 @@ object Queries {
   }
 
   val stratifiedSampleSql: String = {
-    val digit = (i: Int) =>
-      s"(strpos('0123456789abcdef', substring(md5('graft:' || doc_id), $i, 1)) - 1)"
-    val bucket = s"(((${digit(1)} * 16 + ${digit(2)}) * 16 + ${digit(3)}) * 16 + ${digit(4)})"
+    val bucket = sqlHashBucket("doc_id")
     s"""SELECT doc_id, lang FROM documents
        WHERE $bucket * 100 < (CASE lang WHEN 'en' THEN 60 WHEN 'de' THEN 40 WHEN 'fr' THEN 40
                                         WHEN 'es' THEN 20 WHEN 'zh' THEN 10 ELSE 0 END) * 65536"""
@@ -1966,9 +1970,7 @@ object Queries {
   }
 
   val weightedSampleSql: String = {
-    val digit = (i: Int) =>
-      s"(strpos('0123456789abcdef', substring(md5('graft:' || doc_id), $i, 1)) - 1)"
-    val bucket = s"(((${digit(1)} * 16 + ${digit(2)}) * 16 + ${digit(3)}) * 16 + ${digit(4)})"
+    val bucket = sqlHashBucket("doc_id")
     s"""SELECT doc_id, rate_pct FROM (
        SELECT doc_id, cast(least(100, n_chars // 20) as bigint) AS rate_pct FROM documents)
        WHERE $bucket * 100 < rate_pct * 65536"""
@@ -2096,7 +2098,7 @@ object Queries {
        SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
               CASE WHEN o.doc_id IS NULL THEN 'added'
                    WHEN n.doc_id IS NULL THEN 'removed'
-                   WHEN ofp <> nfp THEN 'changed'
+                   WHEN ofp IS DISTINCT FROM nfp THEN 'changed'
                    ELSE 'unchanged' END AS status
        FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id"""
 

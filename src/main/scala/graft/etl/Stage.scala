@@ -47,6 +47,21 @@ sealed trait Stage[-I, +O] { self =>
   /** Chain a stage that ignores this stage's output value (but still receives it in context). */
   def andThen[U](next: Stage[O, U]): Stage[I, U] = flatMap(_ => next)
 
+  /**
+   * Run `cleanup` after this stage completes, on success AND failure —
+   * `finally` semantics for resources a pipeline acquires mid-flight
+   * (persisted frames, temp dirs). On the failure path a cleanup error is
+   * suppressed (the original failure wins); on the success path it fails
+   * the stage, since the pipeline's work is otherwise done.
+   */
+  def ensuring(cleanup: () => Unit): Stage[I, O] = new Stage[I, O] {
+    override def name = self.name
+    override def run(ctx: Stage.Context[I]): Stage.Result[O] = self.run(ctx) match {
+      case s @ Success(_)   => Try(cleanup()).flatMap(_ => s)
+      case f @ Failure(_)   => Try(cleanup()); f
+    }
+  }
+
   /** Alias for [[andThen]]. */
   def ~>[U](next: Stage[O, U]): Stage[I, U] = andThen(next)
 }

@@ -49,37 +49,38 @@ class IncrementalDedupJob(
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("fp", org.apache.spark.sql.types.StringType))))
 
-  override def stages: Stage[SparkSession, _] = for {
-    raw <- "read_docs".source(ctx => source(ctx.date))
-    withFp <- Stage.transform[org.apache.spark.sql.Row, org.apache.spark.sql.Row]("fingerprint") { ctx =>
-      // persisted: antiJoinWithBloom's result is a two-leg union whose left
-      // side is this frame, so without a cache the day's read + fingerprint
-      // hash would run once per leg
-      ctx.value.toDF()
-        .withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
-        .persist()
-    }
-    deduped <- Stage.transform[org.apache.spark.sql.Row, org.apache.spark.sql.Row]("dedup") { ctx =>
-      // bloom short-circuit: the store grows with every past day, and almost
-      // every new document misses it — those rows never enter the anti join
-      val newDocs = graft.ops.Bloom.antiJoinWithBloom(
-        ctx.value.toDF(), seenFingerprints(ctx.spark, ctx.date), "fp")
-      // within-day dedup: deterministic keeper on the smallest id; persisted
-      // because both sinks consume it and its lineage is the whole day's
-      // fingerprint + anti-join pipeline
-      graft.ops.Dedup.exact(newDocs, textCol, idCol).persist()
-    }
-    _ <- "write_fingerprints".sink[org.apache.spark.sql.Row] { ctx =>
-      fingerprints.save(ctx.value.toDF().select(col("fp")).distinct(), ctx.date, Warehouse.WriteTruncate)
-    }
-    _ <- "write_clean".sink[org.apache.spark.sql.Row] { ctx =>
-      clean.save(ctx.value.toDF().drop("fp"), ctx.date, Warehouse.WriteTruncate)
-    }
-    // drop both caches before the next date: a backfill loop runs many dates
-    // in one session, and leaked blocks would accumulate for its lifetime
-    cleaned <- Stage.transform[org.apache.spark.sql.Row, org.apache.spark.sql.Row]("unpersist") { ctx =>
-      withFp.unpersist()
-      ctx.value.unpersist()
-    }
-  } yield cleaned
+  override def stages: Stage[SparkSession, _] = {
+    // caches acquired mid-pipeline, released by the `ensuring` below on
+    // success AND failure: a backfill loop runs many dates in one session,
+    // and blocks leaked on a failed date would accumulate for its lifetime
+    val cached = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    def persisted(df: DataFrame): DataFrame = { cached += df.persist(); df }
+    val pipeline = for {
+      raw <- "read_docs".source(ctx => source(ctx.date))
+      withFp <- Stage.transform[org.apache.spark.sql.Row, org.apache.spark.sql.Row]("fingerprint") { ctx =>
+        // persisted: antiJoinWithBloom's result is a two-leg union whose left
+        // side is this frame, so without a cache the day's read + fingerprint
+        // hash would run once per leg
+        persisted(ctx.value.toDF()
+          .withColumn("fp", TextAnalysis.fingerprint(col(textCol))))
+      }
+      deduped <- Stage.transform[org.apache.spark.sql.Row, org.apache.spark.sql.Row]("dedup") { ctx =>
+        // bloom short-circuit: the store grows with every past day, and almost
+        // every new document misses it — those rows never enter the anti join
+        val newDocs = graft.ops.Bloom.antiJoinWithBloom(
+          ctx.value.toDF(), seenFingerprints(ctx.spark, ctx.date), "fp")
+        // within-day dedup: deterministic keeper on the smallest id; persisted
+        // because both sinks consume it and its lineage is the whole day's
+        // fingerprint + anti-join pipeline
+        persisted(graft.ops.Dedup.exact(newDocs, textCol, idCol))
+      }
+      _ <- "write_fingerprints".sink[org.apache.spark.sql.Row] { ctx =>
+        fingerprints.save(ctx.value.toDF().select(col("fp")).distinct(), ctx.date, Warehouse.WriteTruncate)
+      }
+      _ <- "write_clean".sink[org.apache.spark.sql.Row] { ctx =>
+        clean.save(ctx.value.toDF().drop("fp"), ctx.date, Warehouse.WriteTruncate)
+      }
+    } yield deduped
+    pipeline.ensuring { () => cached.foreach(_.unpersist()); cached.clear() }
+  }
 }

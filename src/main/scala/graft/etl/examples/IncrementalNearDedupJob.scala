@@ -58,32 +58,37 @@ class IncrementalNearDedupJob(
         org.apache.spark.sql.types.StructField("band", org.apache.spark.sql.types.IntegerType),
         org.apache.spark.sql.types.StructField("bh", org.apache.spark.sql.types.StringType))))
 
-  override def stages: Stage[SparkSession, _] = for {
-    raw <- "read_docs".source(ctx => source(ctx.date))
-    fresh <- Stage.transform[org.apache.spark.sql.Row, org.apache.spark.sql.Row]("drop_seen") { ctx =>
-      val docs = ctx.value.toDF()
-      val hits = bandRows(docs)
-        .join(storedBands(ctx.spark, ctx.date), Seq("band", "bh"), "left_semi")
-        .select(col(idCol)).distinct()
-      docs.join(hits, Seq(idCol), "left_anti")
-    }
-    deduped <- Stage.transform[org.apache.spark.sql.Row, org.apache.spark.sql.Row]("within_day") {
-      // persist: both sinks consume this, and its lineage is the whole
-      // shingle/minhash/verify pipeline — without it each sink recomputes
-      ctx => Dedup.removeNearDuplicates(ctx.value.toDF(), idCol, textCol, threshold,
-        numHashes, rowsPerBand).persist()
-    }
-    _ <- "append_bands".sink[org.apache.spark.sql.Row] { ctx =>
-      bandStore.save(bandRows(ctx.value.toDF()).select(col("band"), col("bh")).distinct(),
-        ctx.date, Warehouse.WriteTruncate)
-    }
-    _ <- "write_clean".sink[org.apache.spark.sql.Row] { ctx =>
-      clean.save(ctx.value.toDF(), ctx.date, Warehouse.WriteTruncate)
-    }
-    // drop the cache before the next date: a backfill loop runs many dates
-    // in one session, and leaked blocks would accumulate for its lifetime
-    cleaned <- Stage.transform[org.apache.spark.sql.Row, org.apache.spark.sql.Row]("unpersist") { ctx =>
-      ctx.value.unpersist()
-    }
-  } yield cleaned
+  override def stages: Stage[SparkSession, _] = {
+    // caches acquired mid-pipeline, released by the `ensuring` below on
+    // success AND failure: a backfill loop runs many dates in one session,
+    // and blocks leaked on a failed date would accumulate for its lifetime
+    val cached = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    val pipeline = for {
+      raw <- "read_docs".source(ctx => source(ctx.date))
+      fresh <- Stage.transform[org.apache.spark.sql.Row, org.apache.spark.sql.Row]("drop_seen") { ctx =>
+        val docs = ctx.value.toDF()
+        val hits = bandRows(docs)
+          .join(storedBands(ctx.spark, ctx.date), Seq("band", "bh"), "left_semi")
+          .select(col(idCol)).distinct()
+        docs.join(hits, Seq(idCol), "left_anti")
+      }
+      deduped <- Stage.transform[org.apache.spark.sql.Row, org.apache.spark.sql.Row]("within_day") {
+        // persist: both sinks consume this, and its lineage is the whole
+        // shingle/minhash/verify pipeline — without it each sink recomputes
+        ctx =>
+          val d = Dedup.removeNearDuplicates(ctx.value.toDF(), idCol, textCol, threshold,
+            numHashes, rowsPerBand).persist()
+          cached += d
+          d
+      }
+      _ <- "append_bands".sink[org.apache.spark.sql.Row] { ctx =>
+        bandStore.save(bandRows(ctx.value.toDF()).select(col("band"), col("bh")).distinct(),
+          ctx.date, Warehouse.WriteTruncate)
+      }
+      _ <- "write_clean".sink[org.apache.spark.sql.Row] { ctx =>
+        clean.save(ctx.value.toDF(), ctx.date, Warehouse.WriteTruncate)
+      }
+    } yield deduped
+    pipeline.ensuring { () => cached.foreach(_.unpersist()); cached.clear() }
+  }
 }

@@ -90,11 +90,15 @@ object Bloom {
       key: String,
       expectedItems: Long = 4000000L): DataFrame = {
     val items = if (expectedItems > 0) expectedItems else math.max(right.count(), 1L)
-    val flagged = left.withColumn("__graft_maybe",
+    // collision-proof internal name: a caller's own __graft_maybe column
+    // must survive into the result untouched
+    val flag = Iterator.from(0).map(i => s"__graft_maybe$i")
+      .find(n => !left.columns.contains(n)).get
+    val flagged = left.withColumn(flag,
       mightContain(bloomFilterOf(right, key, items), col(key)))
-    val newForSure = flagged.filter(!col("__graft_maybe")).drop("__graft_maybe")
+    val newForSure = flagged.filter(!col(flag)).drop(flag)
     // no distinct on the build side: left_anti ignores right duplicates
-    val maybeSeen = flagged.filter(col("__graft_maybe")).drop("__graft_maybe")
+    val maybeSeen = flagged.filter(col(flag)).drop(flag)
       .join(right.select(col(key)), Seq(key), "left_anti")
     newForSure.unionByName(maybeSeen)
   }

@@ -24,12 +24,16 @@ object Snapshots {
    * key ([[graft.io.Bucketing]]) and even that shuffle disappears.
    */
   def diff(old: DataFrame, cur: DataFrame, keyCol: String, fpCol: String): DataFrame =
-    old.select(col(keyCol), col(fpCol).as("__old_fp"))
-      .join(cur.select(col(keyCol), col(fpCol).as("__new_fp")), Seq(keyCol), "full_outer")
+    // explicit presence flags, not fingerprint nullness: a key present on one
+    // side with a NULL fingerprint is a real row (changed/unchanged), not an
+    // absent one
+    old.select(col(keyCol), col(fpCol).as("__old_fp"), lit(true).as("__in_old"))
+      .join(cur.select(col(keyCol), col(fpCol).as("__new_fp"), lit(true).as("__in_new")),
+        Seq(keyCol), "full_outer")
       .withColumn("status",
-        when(col("__old_fp").isNull, lit("added"))
-          .when(col("__new_fp").isNull, lit("removed"))
-          .when(col("__old_fp") =!= col("__new_fp"), lit("changed"))
+        when(col("__in_old").isNull, lit("added"))
+          .when(col("__in_new").isNull, lit("removed"))
+          .when(not(col("__old_fp") <=> col("__new_fp")), lit("changed"))
           .otherwise(lit("unchanged")))
       .select(col(keyCol), col("status"))
 

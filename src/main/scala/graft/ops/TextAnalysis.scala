@@ -328,11 +328,21 @@ object TextAnalysis {
    * Pure per-row math — reproducible across engines, runs, and cluster
    * sizes, unlike `randomSplit` (which is partition-order dependent).
    */
+  /**
+   * First 16 bits of `md5(salt:id)` as a uniform bucket in [0, 65536) —
+   * THE portable sampling primitive every split/keep operator shares (one
+   * definition here; the SQL oracle twins mirror it digit by digit via
+   * `Queries.sqlHashBucket`). Changing salt format or digit width here
+   * changes every sampling op in lockstep, never one of them silently.
+   */
+  private def hashBucket(id: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt), lit(":"), id.cast("string"))), 1, 4), 16, 10)
+      .cast("long")
+
   def hashSplit(id: Column, weights: Seq[(String, Int)], salt: String = "graft"): Column = {
     require(weights.nonEmpty && weights.forall(_._2 > 0), "weights must be positive")
     val total = weights.map(_._2).sum
-    val bucket = conv(substring(md5(concat(lit(salt), lit(":"), id.cast("string"))), 1, 4), 16, 10)
-      .cast("long")
+    val bucket = hashBucket(id, salt)
     val bounds = weights.scanLeft(0L) { case (acc, (_, w)) => acc + w }.tail
     weights.zip(bounds).foldRight(lit(weights.last._1)) { case (((name, _), bound), alt) =>
       when(bucket * total < bound * 65536L, name).otherwise(alt)
@@ -354,8 +364,7 @@ object TextAnalysis {
       ratesPct: Map[String, Int],
       salt: String = "graft"): Column = {
     require(ratesPct.values.forall(r => r >= 0 && r <= 100), "rates are percents in [0, 100]")
-    val bucket = conv(substring(md5(concat(lit(salt), lit(":"), id.cast("string"))), 1, 4), 16, 10)
-      .cast("long")
+    val bucket = hashBucket(id, salt)
     // sort for a deterministic CASE chain (Map iteration order is not)
     val pctOf = ratesPct.toSeq.sortBy(_._1).foldRight(lit(0L)) { case ((name, pct), alt) =>
       when(stratum === name, lit(pct.toLong)).otherwise(alt)
@@ -494,11 +503,8 @@ object TextAnalysis {
    * rate varies per row instead of per stratum. Shuffle-free pure per-row
    * math, reproducible across engines, runs and partitionings.
    */
-  def weightedKeep(id: Column, ratePct: Column, salt: String = "graft"): Column = {
-    val bucket = conv(substring(md5(concat(lit(salt), lit(":"), id.cast("string"))), 1, 4), 16, 10)
-      .cast("long")
-    (bucket * 100L) < (ratePct.cast("long") * 65536L)
-  }
+  def weightedKeep(id: Column, ratePct: Column, salt: String = "graft"): Column =
+    (hashBucket(id, salt) * 100L) < (ratePct.cast("long") * 65536L)
 
   /**
    * Tokenizer-training pair statistics — the counting step of one BPE merge
@@ -553,11 +559,16 @@ object TextAnalysis {
     avail.join(broadcast(targets), Seq(stratumCol)).join(total)
       .withColumn("planned_tokens",
         expr("CAST(CAST(__total AS DECIMAL(38,0)) * target_ppm DIV 1000000 AS BIGINT)"))
-      .withColumn("rate_ppm", least(lit(1000000L),
-        expr("CAST(CAST(planned_tokens AS DECIMAL(38,0)) * 1000000 DIV avail_tokens AS BIGINT)")))
+      // zero-token strata (all-empty documents) surface NULL rate/epochs —
+      // their budget is unsatisfiable — instead of dividing by zero, which
+      // under ANSI mode would abort the whole report
+      .withColumn("rate_ppm", when(col("avail_tokens") === 0, lit(null).cast("long"))
+        .otherwise(least(lit(1000000L),
+          expr("CAST(CAST(planned_tokens AS DECIMAL(38,0)) * 1000000 DIV avail_tokens AS BIGINT)"))))
       // ceil division in pure integers: epochs = ceil(planned / avail)
-      .withColumn("epochs_x100",
-        expr("CAST((CAST(planned_tokens AS DECIMAL(38,0)) * 100 + avail_tokens - 1) DIV avail_tokens AS BIGINT)"))
+      .withColumn("epochs_x100", when(col("avail_tokens") === 0, lit(null).cast("long"))
+        .otherwise(
+          expr("CAST((CAST(planned_tokens AS DECIMAL(38,0)) * 100 + avail_tokens - 1) DIV avail_tokens AS BIGINT)")))
       .drop("__total")
   }
 

@@ -86,6 +86,26 @@ class StageSpec extends SparkTestBase {
     Stage.sequenceAll(stages).run(ctx).get shouldBe Seq(1, 2, 3)
   }
 
+  test("ensuring runs cleanup on success AND failure") {
+    var cleaned = 0
+    Stage[Any, Int]("ok")(_ => 1).ensuring(() => cleaned += 1)
+      .run(ctx) shouldBe Success(1)
+    cleaned shouldBe 1
+    Stage[Any, Int]("boom")(_ => sys.error("work failed"))
+      .ensuring(() => cleaned += 1).run(ctx).isFailure shouldBe true
+    cleaned shouldBe 2
+    // the original failure wins over a cleanup failure
+    val both = Stage[Any, Int]("both")(_ => sys.error("orig"))
+      .ensuring(() => sys.error("cleanup"))
+    both.run(ctx) match {
+      case Failure(e) => e.getMessage shouldBe "orig"
+      case other      => fail(s"expected the stage failure, got $other")
+    }
+    // on the success path a cleanup failure surfaces
+    Stage[Any, Int]("okbad")(_ => 1).ensuring(() => sys.error("cleanup"))
+      .run(ctx).isFailure shouldBe true
+  }
+
   test("identity passes the value through and composes") {
     Stage.identity[Int].run(ctx.withValue(7)) shouldBe Success(7)
     val pipeline = Stage.identity[Int].flatMap(v => Stage[Int, Int]("inc")(_ => v + 1))

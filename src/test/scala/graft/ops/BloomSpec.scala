@@ -46,4 +46,13 @@ class BloomSpec extends SparkTestBase {
     val out = Bloom.antiJoinWithBloom(left, disjoint, "k")
     out.count() shouldBe 200L
   }
+
+  test("a caller's own __graft_maybe column survives into the result") {
+    val l = Seq(("a", 1), ("b", 2)).toDF("k", "__graft_maybe0")
+    val r = Seq("b").toDF("k")
+    val out = Bloom.antiJoinWithBloom(l, r, "k")
+    out.columns.toSet shouldBe Set("k", "__graft_maybe0")
+    out.select("k", "__graft_maybe0").as[(String, Int)].collect().toSet shouldBe
+      Set(("a", 1))
+  }
 }

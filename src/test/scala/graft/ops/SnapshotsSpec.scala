@@ -22,6 +22,17 @@ class SnapshotsSpec extends SparkTestBase {
     out shouldBe Map("removed" -> 1L, "unchanged" -> 1L, "added" -> 2L)
   }
 
+  test("null fingerprints mean changed/unchanged, never phantom added/removed") {
+    val old = Seq((1L, Option("a")), (2L, Option.empty[String]), (3L, Option.empty[String]))
+      .toDF("id", "fp")
+    val cur = Seq((1L, Option.empty[String]), (2L, Option.empty[String]), (3L, Option("c")))
+      .toDF("id", "fp")
+    Snapshots.diff(old, cur, "id", "fp").as[(Long, String)].collect().toSet shouldBe Set(
+      (1L, "changed"),   // fp -> null is a content change, not a removal
+      (2L, "unchanged"), // null on both sides
+      (3L, "changed"))
+  }
+
   test("identical snapshots are all unchanged; disjoint ones all added/removed") {
     val a = Seq((1L, "x"), (2L, "y")).toDF("id", "fp")
     Snapshots.diff(a, a, "id", "fp").as[(Long, String)].collect()
