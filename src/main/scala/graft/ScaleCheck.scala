@@ -113,6 +113,31 @@ object ScaleCheck {
       ops.Similarity.hammingTopK(
         bigEmb.filter(col("vec_id") < 5), bigEmb, "vec_id", "embedding", k = 10)
     }
+    // every copy keeps its source: each domain's row count grows `factor`x,
+    // so the cap window sees the hot-domain case it must survive
+    time("source_cap") {
+      ops.TextAnalysis.sourceCap(bigDocs, "source", "doc_id", maxDocs = 100)
+    }
+    time("weighted_sample") {
+      bigDocs.filter(ops.TextAnalysis.weightedKeep(col("doc_id"),
+        least(lit(100L), expr("n_chars DIV 20"))))
+    }
+    // vocab is shared across copies, so the pair agg stays vocab-sized
+    // however large the corpus — the property that makes BPE counting scale
+    time("bpe_pairs") {
+      ops.TextAnalysis.bpePairs(bigDocs, "text", k = 50)
+    }
+    time("snapshot_diff") {
+      val old = bigDocs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), ops.TextAnalysis.fingerprint(col("text")).as("fp"))
+      val cur = bigDocs.filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"), ops.TextAnalysis.fingerprint(col("text")).as("fp"))
+      ops.Snapshots.diff(old, cur, "doc_id", "fp")
+    }
+    time("kmeans_update") {
+      val (assigned, _) = ops.Similarity.ivfAssignSeeded(bigEmb, "vec_id", "embedding", k = 8)
+      ops.Similarity.kmeansUpdate(assigned, "embedding")
+    }
     spark.stop()
   }
 }
