@@ -2102,6 +2102,37 @@ object Queries {
                    ELSE 'unchanged' END AS status
        FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id"""
 
+  /**
+   * Embedding norm-outlier flags per label (Tukey fences over exact
+   * fixed-point norms, discrete quartiles — bit-portable end to end).
+   */
+  def embeddingOutliers(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    Similarity.normOutliers(t(dir, "embeddings"), "vec_id", "embedding", "label")
+      .withColumn("label", col("label").cast("long"))
+  }
+
+  val embeddingOutliersSql: String =
+    """WITH norms AS (
+         SELECT vec_id, cast(label as bigint) AS label,
+                cast(round(sqrt(list_sum(list_transform(embedding,
+                  x -> cast(x as double) * cast(x as double)))) * 1000000, 0) as bigint) AS norm_e6
+         FROM embeddings),
+       ranked AS (
+         SELECT vec_id, label, norm_e6,
+                row_number() OVER (PARTITION BY label ORDER BY norm_e6, vec_id) AS rn,
+                count(*) OVER (PARTITION BY label) AS n
+         FROM norms),
+       quart AS (
+         SELECT label,
+                max(CASE WHEN rn = (n - 1) * 25 // 100 + 1 THEN norm_e6 END) AS q1,
+                max(CASE WHEN rn = (n - 1) * 75 // 100 + 1 THEN norm_e6 END) AS q3
+         FROM ranked GROUP BY label)
+       SELECT vec_id, label, norm_e6,
+              (norm_e6 * 2 < q1 * 2 - (q3 - q1) * 3) OR
+              (norm_e6 * 2 > q3 * 2 + (q3 - q1) * 3) AS is_outlier
+       FROM ranked JOIN quart USING (label)"""
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -2189,5 +2220,6 @@ object Queries {
     ("bpe_pairs", bpePairsQ _, Some(bpePairsSql)),
     ("mix_plan", mixPlanQ _, Some(mixPlanSql)),
     ("kmeans_update", kmeansUpdateQ _, Some(kmeansUpdateSql)),
-    ("snapshot_diff", snapshotDiffQ _, Some(snapshotDiffSql)))
+    ("snapshot_diff", snapshotDiffQ _, Some(snapshotDiffSql)),
+    ("embedding_outliers", embeddingOutliers _, Some(embeddingOutliersSql)))
 }

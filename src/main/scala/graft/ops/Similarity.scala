@@ -374,6 +374,41 @@ object Similarity {
    * the corpus. Iterating assign/update to convergence is a driver-side
    * loop over this pair.
    */
+  /**
+   * Embedding-hygiene check: flag vectors whose L2 norm is a Tukey outlier
+   * (outside `[Q1 - 1.5 IQR, Q3 + 1.5 IQR]`) within their label group —
+   * broken encoders, zero-padding bugs and scale drift all surface as norm
+   * outliers before they poison an ANN index or a training mix.
+   *
+   * Quartiles are DISCRETE (the element at `floor(p * (n-1))` in norm
+   * order) over exact fixed-point micro-unit norms, and the Tukey fences
+   * compare in doubled integers, so the flags are bit-identical on any
+   * engine/partitioning — no interpolation arithmetic to drift. One window
+   * shuffle on the label plus a tiny per-label quartile agg broadcast back.
+   */
+  def normOutliers(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String): DataFrame = {
+    val norms = df.select(col(idCol), col(labelCol),
+      round(l2Norm(col(vecCol)) * 1000000, 0).cast("long").as("norm_e6"))
+    val w = Window.partitionBy(col(labelCol)).orderBy(col("norm_e6"), col(idCol))
+    val wAll = Window.partitionBy(col(labelCol))
+    val ranked = norms
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wAll))
+    val quart = ranked.groupBy(col(labelCol)).agg(
+      max(when(col("__rn") === expr("(__n - 1) * 25 DIV 100") + 1, col("norm_e6"))).as("__q1"),
+      max(when(col("__rn") === expr("(__n - 1) * 75 DIV 100") + 1, col("norm_e6"))).as("__q3"))
+    ranked.join(broadcast(quart), Seq(labelCol))
+      // doubled-integer Tukey fences: lo = q1 - 1.5 iqr, hi = q3 + 1.5 iqr
+      .withColumn("is_outlier",
+        (col("norm_e6") * 2 < col("__q1") * 2 - (col("__q3") - col("__q1")) * 3) ||
+          (col("norm_e6") * 2 > col("__q3") * 2 + (col("__q3") - col("__q1")) * 3))
+      .select(col(idCol), col(labelCol), col("norm_e6"), col("is_outlier"))
+  }
+
   def kmeansUpdate(
       assigned: DataFrame,
       vecCol: String,

@@ -115,5 +115,7 @@ class PlanInvariantsSpec extends SparkTestBase {
     // full-outer equi-join cannot broadcast: the SMJ on doc_id IS the
     // at-scale plan; fingerprints, not payloads, go through its exchanges
     check("snapshot_diff", maxShuffles = 2, maxSmj = 1)
+    // norm windows on label + tiny per-label quartile agg broadcast back
+    check("embedding_outliers", maxShuffles = 2)
   }
 }

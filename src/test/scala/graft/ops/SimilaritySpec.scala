@@ -236,6 +236,23 @@ class SimilaritySpec extends SparkTestBase {
       (1, 1L, 1L, 250000L, 250000L))
   }
 
+  test("normOutliers flags Tukey norm outliers per label, exactly") {
+    // label 0: norms 1..20 plus one huge outlier (fences: q1=6, q3=16,
+    // hi = 16 + 1.5*10 = 31 -> only the 1000-norm vector is out);
+    // label 1: a tight cluster, nothing flagged
+    val rows = (1 to 20).map(i => (i.toLong, 0, Array(i.toFloat, 0f))) ++
+      Seq((100L, 0, Array(1000f, 0f))) ++
+      (200 to 205).map(i => (i.toLong, 1, Array(5f, 0f)))
+    val df = rows.toDF("vec_id", "label", "embedding")
+    val out = Similarity.normOutliers(df, "vec_id", "embedding", "label")
+    out.filter($"is_outlier").select($"vec_id").as[Long].collect().toSet shouldBe Set(100L)
+    out.count() shouldBe rows.size.toLong
+    // partitioning-invariant (discrete quartiles, integer fences)
+    val again = Similarity.normOutliers(df.repartition(7), "vec_id", "embedding", "label")
+      .filter($"is_outlier").select($"vec_id").as[Long].collect().toSet
+    again shouldBe Set(100L)
+  }
+
   test("kmeansUpdate is partitioning-invariant (exact integer accumulation)") {
     val (assigned, _) = Similarity.ivfAssignSeeded(corpus, "vec_id", "embedding", k = 4)
     val a = Similarity.kmeansUpdate(assigned, "embedding")
