@@ -2133,6 +2133,65 @@ object Queries {
               (norm_e6 * 2 > q3 * 2 + (q3 - q1) * 3) AS is_outlier
        FROM ranked JOIN quart USING (label)"""
 
+  /**
+   * Forward as-of with a staleness bound: for each purchase, the FIRST
+   * signup-aggregate at-or-after it within 30 days, else null.
+   */
+  def asofForward(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val ev = events(dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), micros(col("ts")).as("ts_us"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"), micros(col("ts")).as("ts_us"))
+      .agg(round(max(col("value")), 4).as("signup_value"))
+    Joins.asOf(purchases, signups, Seq("user_id"), "ts_us",
+      direction = "forward", tolerance = 30L * 86400000000L)
+  }
+
+  val asofForwardSql: String =
+    """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+                WHERE event_type = 'purchase'),
+       s AS (SELECT user_id, epoch_us(ts) AS ts_us, round(max(value), 4) AS signup_value
+             FROM events WHERE event_type = 'signup' GROUP BY 1, 2),
+       m AS (SELECT p.event_id, min(s.ts_us) AS m_ts
+             FROM p LEFT JOIN s ON p.user_id = s.user_id AND s.ts_us >= p.ts_us
+             GROUP BY p.event_id)
+       SELECT p.user_id, p.ts_us, p.event_id,
+              CASE WHEN m.m_ts - p.ts_us <= 30 * 86400000000 THEN s2.signup_value END
+                AS asof_signup_value
+       FROM p JOIN m USING (event_id)
+       LEFT JOIN s s2 ON s2.user_id = p.user_id AND s2.ts_us = m.m_ts"""
+
+  /**
+   * Keep-best exact dedup: of identical normalized texts, keep the
+   * highest-scored document (ties: smallest doc_id) — the curation-flavored
+   * keeper. The corpus is unioned with an uppercased, higher-scored copy of
+   * itself so every document has a duplicate family and the keeper choice
+   * is actually exercised (the copies must win).
+   */
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val docs = t(dir, "documents").select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+    val copies = docs.select((col("doc_id") + 10000).as("doc_id"), upper(col("text")).as("text"),
+      lit("copy").as("source"), (col("n_chars") + 1).as("n_chars"))
+    Dedup.exactKeepBest(docs.unionByName(copies), "text", "n_chars", "doc_id")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+  }
+
+  val dedupKeepBestSql: String =
+    raw"""WITH corpus AS (
+         SELECT doc_id, text, source, n_chars FROM documents
+         UNION ALL
+         SELECT doc_id + 10000, upper(text), 'copy', n_chars + 1 FROM documents)
+       SELECT doc_id, source, n_chars FROM (
+         SELECT doc_id, source, n_chars,
+                row_number() OVER (
+                  PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+                  ORDER BY n_chars DESC, doc_id) AS rn
+         FROM corpus)
+       WHERE rn = 1"""
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -2221,5 +2280,7 @@ object Queries {
     ("mix_plan", mixPlanQ _, Some(mixPlanSql)),
     ("kmeans_update", kmeansUpdateQ _, Some(kmeansUpdateSql)),
     ("snapshot_diff", snapshotDiffQ _, Some(snapshotDiffSql)),
-    ("embedding_outliers", embeddingOutliers _, Some(embeddingOutliersSql)))
+    ("embedding_outliers", embeddingOutliers _, Some(embeddingOutliersSql)),
+    ("asof_forward", asofForward _, Some(asofForwardSql)),
+    ("dedup_keep_best", dedupKeepBest _, Some(dedupKeepBestSql)))
 }

@@ -40,6 +40,23 @@ object Dedup {
       .select(cols.map(c => col(s"__row.$c")): _*)
   }
 
+  /**
+   * Exact dedup keeping the BEST row of each duplicate set instead of the
+   * smallest-keyed one: the curation variant ("of these identical texts,
+   * keep the one from the highest-quality source / with the richest
+   * metadata"). `scoreCol` must be numeric; ties fall to the smallest
+   * `keyCol` so the keeper is always deterministic. Same single
+   * partial-agg shuffle as [[exact]] — the arg-min runs on a
+   * `(-score, key)` struct, combining map-side, no window sort.
+   */
+  def exactKeepBest(df: DataFrame, textCol: String, scoreCol: String, keyCol: String): DataFrame = {
+    val cols = df.columns.toSeq
+    df.groupBy(md5(normalize(col(textCol))).as("__fp"))
+      .agg(min_by(struct(cols.map(col): _*),
+        struct((-col(scoreCol)).as("__neg"), col(keyCol).as("__key"))).as("__row"))
+      .select(cols.map(c => col(s"__row.$c")): _*)
+  }
+
   /** Distinct character `k`-shingles of the normalized text (min 1 shingle for short docs). */
   def shingles(text: Column, k: Int = 8): Column = {
     val norm = normalize(text)

@@ -25,11 +25,29 @@ object Joins {
    * nested-loop; it scales exactly like one window aggregation.
    *
    * Right rows must be unique per `(keys, tsCol)` (pre-aggregate otherwise);
-   * equal timestamps resolve as right-before-left, i.e. inclusive (`>=`).
-   * Payload columns surface as `asof_<name>`; left rows with no prior right
-   * row keep null payloads (left-outer semantics).
+   * equal timestamps resolve as right-before-left, i.e. inclusive (`>=`,
+   * and `<=` in forward mode). Payload columns surface as `asof_<name>`;
+   * left rows with no matching right row keep null payloads (left-outer
+   * semantics).
+   *
+   * `direction` picks the match side: `"backward"` (default) takes the
+   * latest right row at-or-before the left timestamp; `"forward"` the
+   * earliest at-or-after ("next quote", "first event following signup").
+   * `tolerance` (same units as `tsCol`, default unbounded) nulls the
+   * payload when the matched row is further than that from the left
+   * timestamp — the feature-store staleness bound, applied per row after
+   * the match so it costs nothing extra.
    */
-  def asOf(left: DataFrame, right: DataFrame, keys: Seq[String], tsCol: String): DataFrame = {
+  def asOf(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      direction: String = "backward",
+      tolerance: Long = Long.MaxValue): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward or forward, got $direction")
+    require(tolerance >= 0, "tolerance must be non-negative")
     val payload = right.columns.filterNot(c => keys.contains(c) || c == tsCol).toSeq
     val leftRest = left.columns.filterNot(c => keys.contains(c) || c == tsCol).toSeq
     val l = left.select(
@@ -40,15 +58,30 @@ object Joins {
       keys.map(col) ++ Seq(col(tsCol), lit(0).as("__side")) ++
         leftRest.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
         payload.map(c => col(c).as(s"asof_$c")): _*)
+    // backward walks time ascending, forward descending: either way the
+    // right row "seen last" in the walk is the nearest eligible match, and
+    // ordering the right side (0) first at equal timestamps makes the
+    // boundary inclusive
+    val ord = if (direction == "backward") col(tsCol).asc else col(tsCol).desc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(tsCol), col("__side"))
+      .orderBy(ord, col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l.unionByName(r)
+    val matched = l.unionByName(r)
       .select(
         keys.map(col) ++ Seq(col(tsCol), col("__side")) ++ leftRest.map(col) ++
+          Seq(last(when(col("__side") === 0, col(tsCol)), ignoreNulls = true)
+            .over(w).as("__asof_ts")) ++
           payload.map(c => last(col(s"asof_$c"), ignoreNulls = true).over(w).as(s"asof_$c")): _*)
       .filter(col("__side") === 1)
       .drop("__side")
+    if (tolerance == Long.MaxValue) matched.drop("__asof_ts")
+    else {
+      val inRange = abs(col(tsCol) - col("__asof_ts")) <= tolerance
+      matched
+        .select(
+          keys.map(col) ++ Seq(col(tsCol)) ++ leftRest.map(col) ++
+            payload.map(c => when(inRange, col(s"asof_$c")).as(s"asof_$c")): _*)
+    }
   }
 
   /**

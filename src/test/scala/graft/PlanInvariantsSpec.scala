@@ -117,5 +117,9 @@ class PlanInvariantsSpec extends SparkTestBase {
     check("snapshot_diff", maxShuffles = 2, maxSmj = 1)
     // norm windows on label + tiny per-label quartile agg broadcast back
     check("embedding_outliers", maxShuffles = 2)
+    // signup pre-agg + the tagged-union window on user_id — no join operator
+    check("asof_forward", maxShuffles = 2)
+    // same single min_by agg shuffle as dedup_exact
+    check("dedup_keep_best", maxShuffles = 1)
   }
 }

@@ -28,6 +28,19 @@ class DedupSpec extends SparkTestBase {
     kept shouldBe Array(1L, 2L, 4L)
   }
 
+  test("exactKeepBest keeps the highest score, tie-broken by smallest key") {
+    val scored = Seq(
+      (1L, "same text", 10L), (2L, "SAME   text", 30L), (3L, "same  TEXT", 30L),
+      (4L, "unique", 5L)
+    ).toDF("id", "text", "score")
+    val kept = Dedup.exactKeepBest(scored, "text", "score", "id")
+      .select("id").as[Long].collect().sorted
+    kept shouldBe Array(2L, 4L) // 2 and 3 tie at 30; smaller id wins
+    // partitioning-invariant (map-side arg-min, no window)
+    Dedup.exactKeepBest(scored.repartition(5), "text", "score", "id")
+      .select("id").as[Long].collect().sorted shouldBe Array(2L, 4L)
+  }
+
   test("shingles are distinct sliding windows of the normalized text") {
     val sh = spark.sql("SELECT 'abcdefghij' AS t")
       .select(Dedup.shingles(col("t"), 8).as("sh")).as[Seq[String]].head()

@@ -43,6 +43,30 @@ class JoinsSpec extends SparkTestBase {
     actual shouldBe expected
   }
 
+  test("asOf forward matches a naive next-at-or-after lookup, tolerance nulls stale matches") {
+    val left = (0L until 200L).map(i => (i % 5, i, i)).toDF("k", "ts", "lid")
+    val right = (0L until 60L).map(j => (j % 5, j * 3, j * 1.5)).toDF("k", "ts", "v")
+    val r = right.as[(Long, Long, Double)].collect()
+    val expected = left.as[(Long, Long, Long)].collect().map { case (k, ts, lid) =>
+      val m = r.filter(q => q._1 == k && q._2 >= ts).sortBy(_._2).headOption.map(_._3)
+      lid -> m
+    }.toMap
+    val actual = Joins.asOf(left, right, Seq("k"), "ts", direction = "forward")
+      .select($"lid", $"asof_v").as[(Long, Option[Double])].collect().toMap
+    actual shouldBe expected
+    // with tolerance: a match further than `tol` away nulls out
+    val tol = 4L
+    val expectedTol = left.as[(Long, Long, Long)].collect().map { case (k, ts, lid) =>
+      val m = r.filter(q => q._1 == k && q._2 >= ts).sortBy(_._2).headOption
+        .filter(q => q._2 - ts <= tol).map(_._3)
+      lid -> m
+    }.toMap
+    val actualTol = Joins.asOf(left, right, Seq("k"), "ts", "forward", tol)
+      .select($"lid", $"asof_v").as[(Long, Option[Double])].collect().toMap
+    actualTol shouldBe expectedTol
+    actualTol.values.flatten.size should be < actual.values.flatten.size
+  }
+
   test("rangeJoin equals the naive inequality join for any bucket width") {
     val points = (0L until 300L).map(p => (p, p * 7 % 100)).toDF("pid", "x")
     val intervals = (0L until 40L).map { i =>
