@@ -35,4 +35,26 @@ object Bucketing {
    */
   def coLocatedJoin(spark: SparkSession, left: String, right: String, keys: Seq[String]): DataFrame =
     spark.table(left).hint("merge").join(spark.table(right), keys)
+
+  /**
+   * Range layout: redistribute into `numFiles` partitions by contiguous
+   * ranges of `cols` and sort rows inside each — so each written file
+   * covers a DISJOINT slice of the key space and its parquet footer
+   * min/max lets any engine skip whole files on a range or point
+   * predicate. The single-dimension cousin of Z-ordering, and the layout
+   * pass a warehouse runs after ingest: at 100 TB the difference between
+   * "scan every file for one day's keys" and "open three".
+   *
+   * One range-exchange (sampled boundaries) + local sort; wrap the result
+   * in a plain write — e.g. `rangeLayout(df, Seq("ts")).write.parquet(p)`
+   * — or hand it to [[WarehouseTable.save]].
+   */
+  def rangeLayout(df: DataFrame, cols: Seq[String], numFiles: Int = 0): DataFrame = {
+    require(cols.nonEmpty, "rangeLayout needs at least one column")
+    val sortCols = cols.map(df.col)
+    val ranged =
+      if (numFiles > 0) df.repartitionByRange(numFiles, sortCols: _*)
+      else df.repartitionByRange(sortCols: _*)
+    ranged.sortWithinPartitions(sortCols: _*)
+  }
 }

@@ -24,6 +24,31 @@ class BucketingSpec extends SparkTestBase {
     }
   }
 
+  test("rangeLayout writes files covering disjoint key ranges (footer-prunable)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-layout").toString
+    val df = spark.range(20000).select(
+      (($"id" * 7919) % 20000).as("k"), $"id".as("payload")) // scrambled input order
+    Bucketing.rangeLayout(df, Seq("k"), numFiles = 8)
+      .write.mode("overwrite").parquet(dir)
+    val files = new java.io.File(dir).listFiles().map(_.toString)
+      .filter(_.endsWith(".parquet")).sorted
+    files.length shouldBe 8
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f).agg(min($"k"), max($"k"))
+        .as[(Long, Long)].head()
+      r
+    }.sortBy(_._1)
+    // pairwise disjoint [min, max] spans: every range predicate can skip
+    // whole files on footer stats alone
+    ranges.sliding(2).foreach {
+      case Array((_, hiA), (loB, _)) => assert(hiA < loB, s"overlap in ${ranges.toSeq}")
+      case _ =>
+    }
+    // nothing lost and a point lookup's rows sit in exactly one file
+    spark.read.parquet(dir).count() shouldBe 20000
+    ranges.count { case (lo, hi) => lo <= 12345 && 12345 <= hi } shouldBe 1
+  }
+
   test("a non-bucketed join of the same data does shuffle (control)") {
     val facts = spark.range(1000).select($"id".as("k"), lit(1.0).as("x"))
     val dims = spark.range(1000).select($"id".as("k"), lit("v").as("label"))
