@@ -2173,21 +2173,24 @@ object Queries {
   def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     val docs = t(dir, "documents").select(col("doc_id"), col("text"), col("source"), col("n_chars"))
-    val copies = docs.select((col("doc_id") + 10000).as("doc_id"), upper(col("text")).as("text"),
+    // copy ids live in the negative range: disjoint from real (non-negative)
+    // doc_ids at ANY scale factor, so no accidental key collision can ever
+    // create an exact (score, key) tie with a nondeterministic keeper
+    val copies = docs.select((-col("doc_id") - 1).as("doc_id"), upper(col("text")).as("text"),
       lit("copy").as("source"), (col("n_chars") + 1).as("n_chars"))
     Dedup.exactKeepBest(docs.unionByName(copies), "text", "n_chars", "doc_id")
       .select(col("doc_id"), col("source"), col("n_chars"))
   }
 
   val dedupKeepBestSql: String =
-    raw"""WITH corpus AS (
+    s"""WITH corpus AS (
          SELECT doc_id, text, source, n_chars FROM documents
          UNION ALL
-         SELECT doc_id + 10000, upper(text), 'copy', n_chars + 1 FROM documents)
+         SELECT -doc_id - 1, upper(text), 'copy', n_chars + 1 FROM documents)
        SELECT doc_id, source, n_chars FROM (
          SELECT doc_id, source, n_chars,
                 row_number() OVER (
-                  PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+                  PARTITION BY md5($Norm)
                   ORDER BY n_chars DESC, doc_id) AS rn
          FROM corpus)
        WHERE rn = 1"""

@@ -33,12 +33,8 @@ object Dedup {
    * buffers whole partitions of document text — the difference between one
    * partial-agg shuffle and a full-corpus sort at 100 TB.
    */
-  def exact(df: DataFrame, textCol: String, keyCol: String): DataFrame = {
-    val cols = df.columns.toSeq
-    df.groupBy(md5(normalize(col(textCol))).as("__fp"))
-      .agg(min_by(struct(cols.map(col): _*), col(keyCol)).as("__row"))
-      .select(cols.map(c => col(s"__row.$c")): _*)
-  }
+  def exact(df: DataFrame, textCol: String, keyCol: String): DataFrame =
+    argMinByFingerprint(df, textCol, col(keyCol))
 
   /**
    * Exact dedup keeping the BEST row of each duplicate set instead of the
@@ -47,13 +43,21 @@ object Dedup {
    * metadata"). `scoreCol` must be numeric; ties fall to the smallest
    * `keyCol` so the keeper is always deterministic. Same single
    * partial-agg shuffle as [[exact]] — the arg-min runs on a
-   * `(-score, key)` struct, combining map-side, no window sort.
+   * `(-score, key)` struct, combining map-side, no window sort. (The
+   * negation means a score exactly equal to its type's MinValue is
+   * rejected by ANSI overflow checking — scores are quality metrics, so
+   * that value is pathological.)
    */
-  def exactKeepBest(df: DataFrame, textCol: String, scoreCol: String, keyCol: String): DataFrame = {
+  def exactKeepBest(df: DataFrame, textCol: String, scoreCol: String, keyCol: String): DataFrame =
+    argMinByFingerprint(df, textCol,
+      struct((-col(scoreCol)).as("__neg"), col(keyCol).as("__key")))
+
+  /** One shared arg-min scaffold: group on the normalized-text fingerprint,
+    * keep the row minimizing `ordering` (map-side partial agg, no window). */
+  private def argMinByFingerprint(df: DataFrame, textCol: String, ordering: Column): DataFrame = {
     val cols = df.columns.toSeq
     df.groupBy(md5(normalize(col(textCol))).as("__fp"))
-      .agg(min_by(struct(cols.map(col): _*),
-        struct((-col(scoreCol)).as("__neg"), col(keyCol).as("__key"))).as("__row"))
+      .agg(min_by(struct(cols.map(col): _*), ordering).as("__row"))
       .select(cols.map(c => col(s"__row.$c")): _*)
   }
 

@@ -28,7 +28,10 @@ object Joins {
    * equal timestamps resolve as right-before-left, i.e. inclusive (`>=`,
    * and `<=` in forward mode). Payload columns surface as `asof_<name>`;
    * left rows with no matching right row keep null payloads (left-outer
-   * semantics).
+   * semantics). The match is by ROW: the nearest right row's payload is
+   * returned even where its fields are null, exactly like SQL ASOF. Rows
+   * with a null timestamp follow comparison semantics — a null-ts right
+   * row matches nothing, a null-ts left row gets null payloads.
    *
    * `direction` picks the match side: `"backward"` (default) takes the
    * latest right row at-or-before the left timestamp; `"forward"` the
@@ -53,35 +56,45 @@ object Joins {
     val l = left.select(
       keys.map(col) ++ Seq(col(tsCol), lit(1).as("__side")) ++
         leftRest.map(col) ++
-        payload.map(c => lit(null).cast(right.schema(c).dataType).as(s"asof_$c")): _*)
-    val r = right.select(
-      keys.map(col) ++ Seq(col(tsCol), lit(0).as("__side")) ++
-        leftRest.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payload.map(c => col(c).as(s"asof_$c")): _*)
+        Seq(lit(null)
+          .cast(org.apache.spark.sql.types.StructType(
+            right.schema.fields.filter(f => payload.contains(f.name))))
+          .as("__asof")): _*)
+    // the matched row travels as ONE struct (its ts + payload columns), so
+    // the nearest row's payload is returned even when some of its fields
+    // are null — per-column last(ignoreNulls) would skip past a null field
+    // to an older/farther row's value, silently mixing rows
+    val r = right
+      // a right row with no timestamp can never be "at or before/after"
+      // anything: drop it, as the SQL comparison semantics would
+      .filter(col(tsCol).isNotNull)
+      .select(
+        keys.map(col) ++ Seq(col(tsCol), lit(0).as("__side")) ++
+          leftRest.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+          Seq(struct(payload.map(col): _*).as("__asof")): _*)
     // backward walks time ascending, forward descending: either way the
     // right row "seen last" in the walk is the nearest eligible match, and
     // ordering the right side (0) first at equal timestamps makes the
-    // boundary inclusive
-    val ord = if (direction == "backward") col(tsCol).asc else col(tsCol).desc
+    // boundary inclusive. Nulls order FIRST in both walks so a left row
+    // with no timestamp sees no right row and keeps null payloads.
+    val ord = if (direction == "backward") col(tsCol).asc_nulls_first
+      else col(tsCol).desc_nulls_first
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(ord, col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = l.unionByName(r)
       .select(
         keys.map(col) ++ Seq(col(tsCol), col("__side")) ++ leftRest.map(col) ++
-          Seq(last(when(col("__side") === 0, col(tsCol)), ignoreNulls = true)
-            .over(w).as("__asof_ts")) ++
-          payload.map(c => last(col(s"asof_$c"), ignoreNulls = true).over(w).as(s"asof_$c")): _*)
+          Seq(last(when(col("__side") === 0, struct(col(tsCol).as("__ts"), col("__asof"))),
+            ignoreNulls = true).over(w).as("__m")): _*)
       .filter(col("__side") === 1)
       .drop("__side")
-    if (tolerance == Long.MaxValue) matched.drop("__asof_ts")
-    else {
-      val inRange = abs(col(tsCol) - col("__asof_ts")) <= tolerance
-      matched
-        .select(
-          keys.map(col) ++ Seq(col(tsCol)) ++ leftRest.map(col) ++
-            payload.map(c => when(inRange, col(s"asof_$c")).as(s"asof_$c")): _*)
-    }
+    val inRange =
+      if (tolerance == Long.MaxValue) col("__m").isNotNull
+      else abs(col(tsCol) - col("__m.__ts")) <= tolerance
+    matched.select(
+      keys.map(col) ++ Seq(col(tsCol)) ++ leftRest.map(col) ++
+        payload.map(c => when(inRange, col(s"__m.__asof.$c")).as(s"asof_$c")): _*)
   }
 
   /**

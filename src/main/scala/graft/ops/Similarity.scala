@@ -360,21 +360,6 @@ object Similarity {
   }
 
   /**
-   * One Lloyd (k-means) update step over an IVF assignment: recompute each
-   * cell's centroid as the element-wise mean of its member vectors,
-   * surfaced as one row per `(cell, dim)` in exact fixed-point micro-units
-   * (`round(v * 1e6)` per element, integer sum, exact floor division) so
-   * the result is bit-identical regardless of partitioning, summation
-   * order or engine — float accumulation would make an iterative fit
-   * unreproducible at scale.
-   *
-   * `posexplode` streams `(cell, dim, value)` triples into a two-key agg
-   * with map-side partials — two equi-keyed shuffles over scalar rows, no
-   * vector ever leaves the executors; output is k x d rows however large
-   * the corpus. Iterating assign/update to convergence is a driver-side
-   * loop over this pair.
-   */
-  /**
    * Embedding-hygiene check: flag vectors whose L2 norm is a Tukey outlier
    * (outside `[Q1 - 1.5 IQR, Q3 + 1.5 IQR]`) within their label group —
    * broken encoders, zero-padding bugs and scale drift all surface as norm
@@ -409,6 +394,21 @@ object Similarity {
       .select(col(idCol), col(labelCol), col("norm_e6"), col("is_outlier"))
   }
 
+  /**
+   * One Lloyd (k-means) update step over an IVF assignment: recompute each
+   * cell's centroid as the element-wise mean of its member vectors,
+   * surfaced as one row per `(cell, dim)` in exact fixed-point micro-units
+   * (`round(v * 1e6)` per element, integer sum, exact floor division) so
+   * the result is bit-identical regardless of partitioning, summation
+   * order or engine — float accumulation would make an iterative fit
+   * unreproducible at scale.
+   *
+   * `posexplode` streams `(cell, dim, value)` triples into a two-key agg
+   * with map-side partials — two equi-keyed shuffles over scalar rows, no
+   * vector ever leaves the executors; output is k x d rows however large
+   * the corpus. Iterating assign/update to convergence is a driver-side
+   * loop over this pair.
+   */
   def kmeansUpdate(
       assigned: DataFrame,
       vecCol: String,

@@ -67,6 +67,36 @@ class JoinsSpec extends SparkTestBase {
     actualTol.values.flatten.size should be < actual.values.flatten.size
   }
 
+  test("asOf matches by ROW: a nearest match with null payload stays null") {
+    val left = Seq((1L, 0L, 10L)).toDF("k", "ts", "lid")
+    val right = Seq((1L, 5L, Option.empty[Double]), (1L, 100L, Option(7.0)))
+      .toDF("k", "ts", "v")
+    // forward, tolerance 10: nearest at-or-after is ts=5 whose v is null —
+    // the farther ts=100 row must NOT leak through the null
+    Joins.asOf(left, right, Seq("k"), "ts", "forward", 10L)
+      .select($"asof_v").as[Option[Double]].head() shouldBe None
+    // unbounded: still the ts=5 ROW, so still null (ASOF semantics)
+    Joins.asOf(left, right, Seq("k"), "ts", "forward")
+      .select($"asof_v").as[Option[Double]].head() shouldBe None
+    // backward from ts=200: nearest is ts=100 with a real value
+    val left2 = Seq((1L, 200L, 11L)).toDF("k", "ts", "lid")
+    Joins.asOf(left2, right, Seq("k"), "ts")
+      .select($"asof_v").as[Option[Double]].head() shouldBe Some(7.0)
+  }
+
+  test("asOf null timestamps match nothing on either side") {
+    val left = Seq((1L, Option(50L), 1L), (1L, Option.empty[Long], 2L)).toDF("k", "ts", "lid")
+    val right = Seq((1L, Option(10L), 1.0), (1L, Option.empty[Long], 99.0)).toDF("k", "ts", "v")
+    for (dir <- Seq("backward", "forward")) {
+      val out = Joins.asOf(left, right, Seq("k"), "ts", dir)
+        .select($"lid", $"asof_v").as[(Long, Option[Double])].collect().toMap
+      withClue(dir) {
+        out(2L) shouldBe None // null-ts left row matches nothing
+        out(1L) should not be Some(99.0) // null-ts right row is never a match
+      }
+    }
+  }
+
   test("rangeJoin equals the naive inequality join for any bucket width") {
     val points = (0L until 300L).map(p => (p, p * 7 % 100)).toDF("pid", "x")
     val intervals = (0L until 40L).map { i =>
