@@ -2195,6 +2195,22 @@ object Queries {
          FROM corpus)
        WHERE rn = 1"""
 
+  /**
+   * Mergeable distinct-user rollup: daily HLL sketches per event type,
+   * re-aggregated to all-time per type by sketch union — never re-reading
+   * events. No SQL oracle (the estimate is approximate by design; DuckDB
+   * has no DataSketches twin): the driver records a rows-only check, and
+   * SketchesSpec pins accuracy + exact merge equality.
+   */
+  def distinctUsersSketch(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val ev = events(dir).select(col("event_type"),
+      to_date(col("ts").cast("timestamp")).as("day"), col("user_id"))
+    val daily = graft.ops.Sketches.distinctRollup(ev, Seq("event_type", "day"), "user_id")
+    graft.ops.Sketches.reRollup(daily, Seq("event_type"))
+      .select(col("event_type"), col("distinct_est"))
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -2285,5 +2301,6 @@ object Queries {
     ("snapshot_diff", snapshotDiffQ _, Some(snapshotDiffSql)),
     ("embedding_outliers", embeddingOutliers _, Some(embeddingOutliersSql)),
     ("asof_forward", asofForward _, Some(asofForwardSql)),
-    ("dedup_keep_best", dedupKeepBest _, Some(dedupKeepBestSql)))
+    ("dedup_keep_best", dedupKeepBest _, Some(dedupKeepBestSql)),
+    ("distinct_users_sketch", distinctUsersSketch _, None))
 }

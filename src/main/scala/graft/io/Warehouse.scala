@@ -98,30 +98,68 @@ case class WarehouseTable(
    */
   def compact(spark: SparkSession, date: DateInterval, targetFiles: Int = 1): Unit = {
     require(targetFiles > 0, "targetFiles must be positive")
-    val target = partitionUrl(date)
-    val tmp = tableUrl / s".compact-tmp-${partitionValue(date)}"
-    locally { // heal an interrupted swap: after delete-before-rename died,
-      // the tmp dir holds the only copy — finish the rename before reading
-      val hPath = new org.apache.hadoop.fs.Path(target.toString)
-      val hTmp = new org.apache.hadoop.fs.Path(tmp.toString)
-      val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(hPath) && fs.exists(hTmp)) {
-        logger.warn(s"compact: healing interrupted swap of $name/$date from $tmp")
-        if (!fs.rename(hTmp, hPath))
-          throw new java.io.IOException(s"compact: heal rename $tmp -> $target failed")
-      }
-    }
-    logger.info(s"compacting $name partition $date to $targetFiles files (via $tmp)")
+    logger.info(s"compacting $name partition $date to $targetFiles files")
     // cap-free writer: targetFiles is the explicit file count, the per-file
     // record cap would immediately re-split what compaction merged
-    load(spark, date).repartition(targetFiles)
-      .write.mode(SaveMode.Overwrite).format(format).save(tmp.toString)
+    rewritePartition(spark, date) { (df, tmpPath) =>
+      df.repartition(targetFiles).write.mode(SaveMode.Overwrite).format(format).save(tmpPath)
+    }
+  }
+
+  /**
+   * Keyed merge (upsert) into one date partition: rows of `updates` replace
+   * existing rows sharing their `keys`; all other existing rows are kept —
+   * the MERGE disposition for a plain-file warehouse with no transaction
+   * log. An empty/absent partition degrades to a TRUNCATE save.
+   *
+   * One anti-join on the keys + the partition rewrite; the read side is
+   * swap-protected exactly like [[compact]] (a lazy self-overwrite would
+   * delete the source mid-scan), and the same single-writer-per-partition
+   * assumption applies. At scale this rewrites ONE partition, never the
+   * table — pair with [[loadBefore]]-style pruning so a daily upsert flow
+   * touches only the day it lands on.
+   */
+  def merge[T](updates: Dataset[T], date: DateInterval, keys: Seq[String]): Unit = {
+    require(keys.nonEmpty, "merge needs at least one key column")
+    val spark = updates.sparkSession
+    if (!exists(spark, date)) { save(updates, date, WriteTruncate); return }
+    logger.info(s"merging ${keys.mkString(",")}-keyed updates into $name partition $date")
+    val newRows = updates.toDF()
+    rewritePartition(spark, date) { (existing, tmpPath) =>
+      existing
+        // no distinct on the build side: left_anti ignores right duplicates
+        .join(newRows.select(keys.head, keys.tail: _*), keys, "left_anti")
+        .unionByName(newRows)
+        .write.mode(SaveMode.Overwrite).format(format).save(tmpPath)
+    }
+  }
+
+  /**
+   * Rewrite-and-swap scaffold shared by [[compact]] and [[merge]]: heals an
+   * interrupted previous swap, hands the CURRENT partition contents and a
+   * temp path to `write`, then promotes the temp directory over the
+   * partition. The temp-then-swap keeps the source files intact through
+   * any mid-write failure; rerunning heals an interrupted swap. Single
+   * writer per partition assumed (see [[compact]]'s scaladoc).
+   */
+  private def rewritePartition(spark: SparkSession, date: DateInterval)(
+      write: (DataFrame, String) => Unit): Unit = {
+    val target = partitionUrl(date)
+    val tmp = tableUrl / s".compact-tmp-${partitionValue(date)}"
     val hPath = new org.apache.hadoop.fs.Path(target.toString)
     val hTmp = new org.apache.hadoop.fs.Path(tmp.toString)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // heal an interrupted swap: after delete-before-rename died, the tmp
+    // dir holds the only copy — finish the rename before reading
+    if (!fs.exists(hPath) && fs.exists(hTmp)) {
+      logger.warn(s"rewrite: healing interrupted swap of $name/$date from $tmp")
+      if (!fs.rename(hTmp, hPath))
+        throw new java.io.IOException(s"rewrite: heal rename $tmp -> $target failed")
+    }
+    write(load(spark, date), tmp.toString)
     fs.delete(hPath, true)
     if (!fs.rename(hTmp, hPath))
-      throw new java.io.IOException(s"compact: rename $tmp -> $target failed")
+      throw new java.io.IOException(s"rewrite: rename $tmp -> $target failed")
   }
 
   /** Read one date partition. */

@@ -85,6 +85,23 @@ class IoSpec extends SparkTestBase {
     table.hasAnyPartition(spark) shouldBe true
   }
 
+  test("merge upserts by key: updates replace, inserts land, rest survives") {
+    import spark.implicits._
+    val table = WarehouseTable(HdfsUrl(tmpDir("wh_merge")), "t")
+    val date = Day(2026, 8, 12)
+    // absent partition: merge degrades to a plain save
+    table.merge(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), date, Seq("k"))
+    table.load(spark, date).as[(Long, String)].collect().toSet shouldBe
+      Set((1L, "a"), (2L, "b"))
+    // update k=2, insert k=3; k=1 untouched
+    table.merge(Seq((2L, "B"), (3L, "c")).toDF("k", "v"), date, Seq("k"))
+    table.load(spark, date).as[(Long, String)].collect().toSet shouldBe
+      Set((1L, "a"), (2L, "B"), (3L, "c"))
+    // idempotent rerun of the same updates
+    table.merge(Seq((2L, "B"), (3L, "c")).toDF("k", "v"), date, Seq("k"))
+    table.load(spark, date).count() shouldBe 3
+  }
+
   test("compact heals an interrupted delete-before-rename swap") {
     val table = WarehouseTable(HdfsUrl(tmpDir("wh_heal")), "t")
     val date = Day(2026, 8, 12)
