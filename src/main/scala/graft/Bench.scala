@@ -50,12 +50,25 @@ object Bench {
           name -> -1.0 // sentinel: a broken query must not look fast-and-complete
       }
     }
-    // 3-decimal seconds: the consumer reads a bounded tail of stdout, and a
-    // full-precision double per query made the 77-query line overflow it.
+    // The consumer reads a bounded ~2000-char tail of stdout, and sbt appends
+    // a trailing "[success] Total time..." line. An 87-entry per-query map is
+    // ~2.1 kB, so it can never be the stdout line: the head gets chopped and
+    // the JSON fails to parse. Contract: the LAST stdout line is a short
+    // (<300 char) summary; the full per-query map goes to stderr and to
+    // bench_full.json for humans.
     def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.count(_._2 < 0)
+    val maxQ = results.filter(_._2 >= 0).maxBy(_._2)
+    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    System.err.println(fullLine)
+    try {
+      val p = java.nio.file.Paths.get("bench_full.json")
+      java.nio.file.Files.write(p, (fullLine + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable => System.err.println(s"[bench] could not write bench_full.json: ${e.getMessage}") }
+    val summary = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$failed,"max_query":"${maxQ._1}","max_sec":${fmt(maxQ._2)},"sf":"$sfDir"}"""
+    println(summary)
     spark.stop()
   }
 }

@@ -390,11 +390,19 @@ object Queries {
        WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'"""
   }
 
-  /** Semi-structured: extract a JSON field from events.props and aggregate. */
+  /**
+   * Semi-structured: extract a JSON field from events.props and aggregate.
+   * `from_json` with an explicit one-field schema parses each document once
+   * into a typed struct (a path query via `get_json_object` re-walks the
+   * document text per call and allocates more per row — the difference
+   * shows up as GC time under memory pressure, not in the plan).
+   */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
+    val propsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType)))
     events(dir)
-      .select(get_json_object(col("props"), "$.k").cast("long").as("k"), col("value"))
+      .select(from_json(col("props"), propsSchema).getField("k").as("k"), col("value"))
       .groupBy(col("k"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
   }
@@ -2211,6 +2219,23 @@ object Queries {
       .select(col("event_type"), col("distinct_est"))
   }
 
+  /**
+   * Exact twin of [[distinctUsersSketch]]: the same per-type distinct-user
+   * rollup computed with an exact `count(distinct)`, so the sketch query
+   * has a driver-checkable anchor (SketchesSpec additionally bounds the
+   * estimate against this exact value within HLL error).
+   */
+  def distinctUsersExact(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    events(dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("distinct_users"))
+  }
+
+  val distinctUsersExactSql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS distinct_users
+       FROM events GROUP BY event_type"""
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -2302,5 +2327,6 @@ object Queries {
     ("embedding_outliers", embeddingOutliers _, Some(embeddingOutliersSql)),
     ("asof_forward", asofForward _, Some(asofForwardSql)),
     ("dedup_keep_best", dedupKeepBest _, Some(dedupKeepBestSql)),
-    ("distinct_users_sketch", distinctUsersSketch _, None))
+    ("distinct_users_sketch", distinctUsersSketch _, None),
+    ("distinct_users_exact", distinctUsersExact _, Some(distinctUsersExactSql)))
 }

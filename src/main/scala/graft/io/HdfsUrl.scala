@@ -7,13 +7,17 @@ import graft.time.DateInterval
 
 /**
  * Composable path for any Hadoop-compatible filesystem (HDFS, S3A, GCS, file),
- * with date-partition formatting built in (reference core HdfsUrl.scala:31-59).
+ * with date-partition formatting built in (same API surface as the reference's
+ * core HdfsUrl.scala:31-59).
+ *
+ * `/` appends either a literal segment or a [[DateInterval]]; the interval
+ * renders through `dateFormat` when one is set, so a single table value can
+ * own its partition layout:
  *
  * {{{
- * scala> HdfsUrl("some/path") / "somewhere" / Day(2016, 8, 28)
- * res1: HdfsUrl = some/path/somewhere/2016-08-28
- * scala> HdfsUrl("root", dateFormat = Some("'year='yyyy/'month='MM")) / Day(2016, 8, 28)
- * res2: HdfsUrl = root/year=2016/month=08
+ * val table = HdfsUrl("s3a://lake/events", dateFormat = Some("'dt='yyyy-MM-dd"))
+ * (table / Day(2026, 8, 12)).toString   // "s3a://lake/events/dt=2026-08-12"
+ * (table / "_SUCCESS").exists(spark)    // filesystem probe via the spark conf
  * }}}
  */
 case class HdfsUrl(url: String, dateFormat: Option[String] = None) {

@@ -122,15 +122,24 @@ case class WarehouseTable(
   def merge[T](updates: Dataset[T], date: DateInterval, keys: Seq[String]): Unit = {
     require(keys.nonEmpty, "merge needs at least one key column")
     val spark = updates.sparkSession
+    // heal BEFORE the exists() probe: after an interrupted swap the target
+    // path is absent (the only copy lives in tmp), and an unhealed exists()
+    // here would degrade to a TRUNCATE save of just `updates`, silently
+    // dropping every pre-existing row
+    healSwap(spark, date)
     if (!exists(spark, date)) { save(updates, date, WriteTruncate); return }
     logger.info(s"merging ${keys.mkString(",")}-keyed updates into $name partition $date")
     val newRows = updates.toDF()
     rewritePartition(spark, date) { (existing, tmpPath) =>
-      existing
+      val merged = existing
         // no distinct on the build side: left_anti ignores right duplicates
         .join(newRows.select(keys.head, keys.tail: _*), keys, "left_anti")
         .unionByName(newRows)
-        .write.mode(SaveMode.Overwrite).format(format).save(tmpPath)
+        .write.mode(SaveMode.Overwrite).format(format)
+      // merge is a data write, so the table's file-size cap applies
+      // (compact() alone stays cap-free — it exists to merge files)
+      maxRecordsPerFile.fold(merged)(n => merged.option("maxRecordsPerFile", n))
+        .save(tmpPath)
     }
   }
 
@@ -149,17 +158,30 @@ case class WarehouseTable(
     val hPath = new org.apache.hadoop.fs.Path(target.toString)
     val hTmp = new org.apache.hadoop.fs.Path(tmp.toString)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // heal an interrupted swap: after delete-before-rename died, the tmp
-    // dir holds the only copy — finish the rename before reading
-    if (!fs.exists(hPath) && fs.exists(hTmp)) {
-      logger.warn(s"rewrite: healing interrupted swap of $name/$date from $tmp")
-      if (!fs.rename(hTmp, hPath))
-        throw new java.io.IOException(s"rewrite: heal rename $tmp -> $target failed")
-    }
+    healSwap(spark, date)
     write(load(spark, date), tmp.toString)
     fs.delete(hPath, true)
     if (!fs.rename(hTmp, hPath))
       throw new java.io.IOException(s"rewrite: rename $tmp -> $target failed")
+  }
+
+  /**
+   * Heal an interrupted swap: a crash between [[rewritePartition]]'s delete
+   * and rename leaves the partition path absent with the only copy stranded
+   * in the tmp sibling — finish the rename before anything reads or probes
+   * the partition. No-op when the partition path exists.
+   */
+  private def healSwap(spark: SparkSession, date: DateInterval): Unit = {
+    val target = partitionUrl(date)
+    val tmp = tableUrl / s".compact-tmp-${partitionValue(date)}"
+    val hPath = new org.apache.hadoop.fs.Path(target.toString)
+    val hTmp = new org.apache.hadoop.fs.Path(tmp.toString)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hPath) && fs.exists(hTmp)) {
+      logger.warn(s"healing interrupted swap of $name/$date from $tmp")
+      if (!fs.rename(hTmp, hPath))
+        throw new java.io.IOException(s"heal rename $tmp -> $target failed")
+    }
   }
 
   /** Read one date partition. */

@@ -43,14 +43,20 @@ object Dedup {
    * metadata"). `scoreCol` must be numeric; ties fall to the smallest
    * `keyCol` so the keeper is always deterministic. Same single
    * partial-agg shuffle as [[exact]] — the arg-min runs on a
-   * `(-score, key)` struct, combining map-side, no window sort. (The
-   * negation means a score exactly equal to its type's MinValue is
+   * `(null-flag, -score, key)` struct, combining map-side, no window sort.
+   * (The negation means a score exactly equal to its type's MinValue is
    * rejected by ANSI overflow checking — scores are quality metrics, so
    * that value is pathological.)
+   *
+   * A row with a NULL score loses to every scored duplicate (the leading
+   * null-flag sorts scored rows first — a bare `-score` would put null
+   * first in struct ordering and make the UNscored row win); among
+   * all-null duplicate sets the smallest `keyCol` still wins.
    */
   def exactKeepBest(df: DataFrame, textCol: String, scoreCol: String, keyCol: String): DataFrame =
     argMinByFingerprint(df, textCol,
-      struct((-col(scoreCol)).as("__neg"), col(keyCol).as("__key")))
+      struct(col(scoreCol).isNull.cast("int").as("__scoreless"),
+        (-coalesce(col(scoreCol), lit(0))).as("__neg"), col(keyCol).as("__key")))
 
   /** One shared arg-min scaffold: group on the normalized-text fingerprint,
     * keep the row minimizing `ordering` (map-side partial agg, no window). */
@@ -326,13 +332,29 @@ object Dedup {
    *
    * Input: `(id_a, id_b)` pairs. Output: `(id, cluster_id)` for every id
    * appearing in any pair; singletons are their own cluster by omission.
+   *
+   * Durability: each round truncates lineage with a checkpoint, so the
+   * iteration is NOT recomputable from source. With `checkpointDir` unset
+   * the checkpoints are LOCAL (executor block storage): fastest, fine on
+   * `local[*]` or short jobs, but on a large cluster losing ONE executor
+   * mid-iteration kills the job — there is no lineage left to recompute
+   * the lost blocks. Set `checkpointDir` to a reliable filesystem path
+   * (HDFS/object store) for long multi-round runs on real clusters; rounds
+   * then pay one distributed write each but survive executor loss.
    */
-  def duplicateClusters(pairs: DataFrame, maxIterations: Int = 10): DataFrame = {
+  def duplicateClusters(
+      pairs: DataFrame,
+      maxIterations: Int = 10,
+      checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    def materialize(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
     // materialize the edge list once: it is re-joined every round, and its
     // lineage is the whole (expensive) candidate-pair pipeline
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint(eager = true)
+    val edges = materialize(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id"))
     var converged = false
@@ -345,18 +367,17 @@ object Dedup {
       // materialize before the self-join: a self-join over the live
       // union+groupBy plan trips analyzer attribute dedup, and the probe +
       // next round reuse the materialized result anyway
-      val propagated = labels.select(col("id"), col("cluster_id"))
-        .union(neighborLabels)
-        .groupBy("id").agg(min("cluster_id").as("cluster_id"))
-        .localCheckpoint(eager = true)
+      val propagated = materialize(
+        labels.select(col("id"), col("cluster_id"))
+          .union(neighborLabels)
+          .groupBy("id").agg(min("cluster_id").as("cluster_id")))
       // pointer jumping: adopt the label of your label, halving the distance
       // to the component minimum — O(log diameter) rounds instead of O(diameter)
-      val updated = propagated
+      val updated = materialize(propagated
         .join(propagated.select(col("id").as("b_id"), col("cluster_id").as("b_cluster")),
           col("cluster_id") === col("b_id"), "left")
         .select(col("id"),
-          least(col("cluster_id"), coalesce(col("b_cluster"), col("cluster_id"))).as("cluster_id"))
-        .localCheckpoint(eager = true)
+          least(col("cluster_id"), coalesce(col("b_cluster"), col("cluster_id"))).as("cluster_id")))
       val changes = updated.as("u")
         .join(labels.as("l"), "id")
         .filter(col("u.cluster_id") =!= col("l.cluster_id"))

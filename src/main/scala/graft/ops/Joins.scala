@@ -82,19 +82,27 @@ object Joins {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(ord, col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the matched timestamp is only consulted by a staleness bound, so with
+    // unbounded tolerance the window carries just the payload struct — the
+    // extra nested struct + ts copy per row is pure sort/aggregation weight
+    val carried =
+      if (tolerance == Long.MaxValue) col("__asof")
+      else struct(col(tsCol).as("__ts"), col("__asof"))
     val matched = l.unionByName(r)
       .select(
         keys.map(col) ++ Seq(col(tsCol), col("__side")) ++ leftRest.map(col) ++
-          Seq(last(when(col("__side") === 0, struct(col(tsCol).as("__ts"), col("__asof"))),
-            ignoreNulls = true).over(w).as("__m")): _*)
+          Seq(last(when(col("__side") === 0, carried), ignoreNulls = true)
+            .over(w).as("__m")): _*)
       .filter(col("__side") === 1)
       .drop("__side")
-    val inRange =
-      if (tolerance == Long.MaxValue) col("__m").isNotNull
-      else abs(col(tsCol) - col("__m.__ts")) <= tolerance
+    val (inRange, payloadOf) =
+      if (tolerance == Long.MaxValue)
+        (col("__m").isNotNull, (c: String) => col(s"__m.$c"))
+      else
+        (abs(col(tsCol) - col("__m.__ts")) <= tolerance, (c: String) => col(s"__m.__asof.$c"))
     matched.select(
       keys.map(col) ++ Seq(col(tsCol)) ++ leftRest.map(col) ++
-        payload.map(c => when(inRange, col(s"__m.__asof.$c")).as(s"asof_$c")): _*)
+        payload.map(c => when(inRange, payloadOf(c)).as(s"asof_$c")): _*)
   }
 
   /**

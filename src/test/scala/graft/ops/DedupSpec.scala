@@ -41,6 +41,15 @@ class DedupSpec extends SparkTestBase {
       .select("id").as[Long].collect().sorted shouldBe Array(2L, 4L)
   }
 
+  test("exactKeepBest: a null score loses to any scored duplicate") {
+    val scored = Seq(
+      (1L, "same text", Some(-5L)), (2L, "SAME   text", None), // null must NOT win
+      (3L, "other", None), (4L, "OTHER", None) // all-null set: smallest id wins
+    ).toDF("id", "text", "score")
+    Dedup.exactKeepBest(scored, "text", "score", "id")
+      .select("id").as[Long].collect().sorted shouldBe Array(1L, 3L)
+  }
+
   test("shingles are distinct sliding windows of the normalized text") {
     val sh = spark.sql("SELECT 'abcdefghij' AS t")
       .select(Dedup.shingles(col("t"), 8).as("sh")).as[Seq[String]].head()
