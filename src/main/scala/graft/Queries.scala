@@ -2236,6 +2236,43 @@ object Queries {
     """SELECT event_type, count(DISTINCT user_id) AS distinct_users
        FROM events GROUP BY event_type"""
 
+  /**
+   * Mergeable quantile rollup via the deterministic bottom-k (KMV) sample:
+   * daily sketches per event type re-rolled to all-time, then p50/p90/p99
+   * read off the sample ([[graft.ops.Sketches.quantileSketch]]). Because
+   * the sample is a pure function of md5 ranks, the merge is EXACT and the
+   * DuckDB oracle replays the identical sample — an approximate-quantile
+   * pipeline with a hash-checkable answer.
+   */
+  def valueQuantilesSketch(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val ev = events(dir).select(col("event_type"),
+      to_date(col("ts").cast("timestamp")).as("day"), col("event_id"), col("value"))
+    val daily = graft.ops.Sketches.quantileSketch(
+      ev, Seq("event_type", "day"), "event_id", "value", k = 128)
+    val total = graft.ops.Sketches.reRollupQuantileSketch(daily, Seq("event_type"), k = 128)
+    total.select(col("event_type"),
+      round(graft.ops.Sketches.quantileFromSketch(col("q_sample"), 0.5), 4).as("p50"),
+      round(graft.ops.Sketches.quantileFromSketch(col("q_sample"), 0.9), 4).as("p90"),
+      round(graft.ops.Sketches.quantileFromSketch(col("q_sample"), 0.99), 4).as("p99"))
+  }
+
+  val valueQuantilesSketchSql: String =
+    """WITH ranked AS (
+         SELECT event_type, value,
+                row_number() OVER (
+                  PARTITION BY event_type
+                  ORDER BY md5(cast(event_id AS varchar))) AS rn
+         FROM events),
+       s AS (
+         SELECT event_type, list_sort(list(value)) AS vs
+         FROM ranked WHERE rn <= 128 GROUP BY event_type)
+       SELECT event_type,
+              round(vs[greatest(cast(ceil(0.5 * len(vs)) AS int), 1)], 4) AS p50,
+              round(vs[greatest(cast(ceil(0.9 * len(vs)) AS int), 1)], 4) AS p90,
+              round(vs[greatest(cast(ceil(0.99 * len(vs)) AS int), 1)], 4) AS p99
+       FROM s"""
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -2328,5 +2365,6 @@ object Queries {
     ("asof_forward", asofForward _, Some(asofForwardSql)),
     ("dedup_keep_best", dedupKeepBest _, Some(dedupKeepBestSql)),
     ("distinct_users_sketch", distinctUsersSketch _, None),
-    ("distinct_users_exact", distinctUsersExact _, Some(distinctUsersExactSql)))
+    ("distinct_users_exact", distinctUsersExact _, Some(distinctUsersExactSql)),
+    ("value_quantiles_sketch", valueQuantilesSketch _, Some(valueQuantilesSketchSql)))
 }

@@ -138,6 +138,15 @@ object ScaleCheck {
       val (assigned, _) = ops.Similarity.ivfAssignSeeded(bigEmb, "vec_id", "embedding", k = 8)
       ops.Similarity.kmeansUpdate(assigned, "embedding")
     }
+    // bounded bottom-k partials: state is O(k) per (type, day) group however
+    // many events — the curve to watch is flat-ish, not linear
+    time("quantile_sketch") {
+      val ev = bigEvents.select(col("event_type"),
+        to_date(col("ts")).as("day"), col("event_id"), col("value"))
+      ops.Sketches.reRollupQuantileSketch(
+        ops.Sketches.quantileSketch(ev, Seq("event_type", "day"), "event_id", "value", k = 128),
+        Seq("event_type"), k = 128)
+    }
     spark.stop()
   }
 }

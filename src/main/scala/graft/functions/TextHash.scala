@@ -269,6 +269,23 @@ object functions {
   def simhash64(text: Column): Column =
     GraftExpressionBridge.column(SimHash64(GraftExpressionBridge.expression(text)))
 
+  /**
+   * Bounded bottom-k aggregate: the `k` smallest values of `e` (by the
+   * type's natural ordering — for structs, lexicographic by field), as an
+   * ascending array. Wraps Spark's `CollectTopK` (the engine behind
+   * pandas-on-Spark `nsmallest`): each partial buffer is a k-capped
+   * priority queue, so memory is O(k) per group and partials merge
+   * map-side — the scale-safe primitive for deterministic bottom-k
+   * sampling ([[graft.ops.Sketches.quantileSketch]]), vs a full per-group
+   * sort in the window formulation.
+   */
+  def collect_bottom_k(e: Column, k: Int): Column = {
+    require(k > 0, "k must be positive")
+    GraftExpressionBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK(
+        GraftExpressionBridge.expression(e), k, reverse = true).toAggregateExpression())
+  }
+
   /** SQL registration, for `spark.sql.extensions=graft.functions.GraftExtensions`. */
   val registry: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("minhash_signature"),

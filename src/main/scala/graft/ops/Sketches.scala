@@ -51,4 +51,64 @@ object Sketches {
     rollup.groupBy(bucketCols.map(col): _*)
       .agg(mergeSketches(col("key_sketch")).as("key_sketch"))
       .withColumn("distinct_est", estimate(col("key_sketch")).cast("long"))
+
+  // ---- bottom-k (KMV) quantile sketches --------------------------------
+
+  /**
+   * Bottom-k (KMV) quantile sketch: per `bucketCols` group, the `k` rows
+   * whose `md5(idCol)` hashes are smallest, each carrying `valueCol` — a
+   * DETERMINISTIC uniform sample (the hash is a fixed pseudo-random rank,
+   * so the sample is a pure function of the data, independent of
+   * partitioning or arrival order). Quantiles of the sample estimate
+   * quantiles of the group within ~1/sqrt(k).
+   *
+   * Unlike HLL this sketch merges EXACTLY: the k smallest hashes of a
+   * union are found inside the union of per-part k-smallest sets, so
+   * daily sketches re-rolled to weekly equal the sketch built directly
+   * from the week ([[reRollupQuantileSketch]]) — and a SQL oracle can
+   * replay the whole pipeline bit-for-bit, which no randomized sample
+   * allows.
+   *
+   * Scale shape: the bounded top-k aggregate keeps at most `k` entries per
+   * group in each partial buffer and merges partials map-side (an
+   * ObjectHashAggregate) — one shuffle of k-row sketches, never a
+   * per-group sort of the raw data (the `row_number`-window formulation
+   * sorts the entire corpus).
+   *
+   * Output: one row per group with `q_sample` = array of `(h, v)` structs
+   * sorted by hash.
+   */
+  def quantileSketch(
+      df: DataFrame,
+      bucketCols: Seq[String],
+      idCol: String,
+      valueCol: String,
+      k: Int = 128): DataFrame = {
+    require(k > 0, "sample size k must be positive")
+    val entry = struct(md5(col(idCol).cast("string")).as("h"), col(valueCol).as("v"))
+    df.groupBy(bucketCols.map(col): _*)
+      .agg(graft.functions.functions.collect_bottom_k(entry, k).as("q_sample"))
+  }
+
+  /**
+   * Re-aggregate [[quantileSketch]] rows to coarser buckets: flatten the
+   * k-sized samples and keep the k smallest hashes overall. Exact — the
+   * result is identical to sketching the coarser bucket directly. Same
+   * output shape, so rollups chain without re-reading events.
+   */
+  def reRollupQuantileSketch(rollup: DataFrame, bucketCols: Seq[String], k: Int = 128): DataFrame =
+    rollup.groupBy(bucketCols.map(col): _*)
+      .agg(slice(array_sort(flatten(collect_list(col("q_sample")))), 1, k).as("q_sample"))
+
+  /**
+   * Quantile estimates from a sketch's sample column: the value at rank
+   * `ceil(q * n)` of the sample's sorted values (exclusive/"lower" discrete
+   * quantile — deterministic, no interpolation, so an engine-independent
+   * oracle reproduces it).
+   */
+  def quantileFromSketch(sample: Column, q: Double): Column = {
+    require(q > 0 && q <= 1, s"quantile must be in (0, 1], got $q")
+    val values = array_sort(transform(sample, e => e.getField("v")))
+    element_at(values, greatest(ceil(lit(q) * size(values)), lit(1)).cast("int"))
+  }
 }

@@ -90,6 +90,27 @@ object EventStreams {
       Seq(count(lit(1)).as("n"), approx_count_distinct(col("user_id"), rsd).as("approx_users")))
 
   /**
+   * Windowed value-quantile rollup with a mergeable quantile sketch
+   * (`percentile_approx`, Greenwald-Khanna): exact streaming quantiles
+   * need every value per window in state; the sketch keeps a bounded
+   * summary per (window, event_type) that merges across partitions and
+   * micro-batches — the streaming twin of the batch bottom-k rollup
+   * ([[graft.ops.Sketches.quantileSketch]]). `accuracy` trades state size
+   * against rank error (1/accuracy relative rank); at small windows the
+   * summary holds everything and the result is exact.
+   */
+  def valueQuantilesRollup(
+      events: DataFrame,
+      windowLength: String = "1 hour",
+      watermark: String = "10 minutes",
+      quantiles: Seq[Double] = Seq(0.5, 0.9, 0.99),
+      accuracy: Int = 1000): DataFrame =
+    windowedAgg(events, windowLength, watermark,
+      Seq(count(lit(1)).as("n"),
+        percentile_approx(col("value"),
+          array(quantiles.map(lit): _*), lit(accuracy)).as("value_quantiles")))
+
+  /**
    * Streaming exact dedup on `idCol`: duplicates arriving within the
    * watermark horizon are dropped; the watermark bounds the id-set state.
    */

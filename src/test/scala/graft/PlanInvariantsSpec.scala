@@ -122,4 +122,11 @@ class PlanInvariantsSpec extends SparkTestBase {
     // same single min_by agg shuffle as dedup_exact
     check("dedup_keep_best", maxShuffles = 1)
   }
+
+  test("round-6 additions: bounded shuffles, no cartesian") {
+    // one exact distinct-agg shuffle pair on (type, user)
+    check("distinct_users_exact", maxShuffles = 2)
+    // daily bottom-k agg + re-rollup agg: k-row sketches through both
+    check("value_quantiles_sketch", maxShuffles = 2)
+  }
 }

@@ -61,6 +61,27 @@ class EventStreamsSpec extends SparkTestBase {
     out shouldBe Set(("click", 3L, 2L), ("view", 1L, 1L))
   }
 
+  test("value-quantile rollup tracks per-window quantiles via mergeable sketch") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = valueQuantilesRollup(asContract(in.toDF()), windowLength = "10 minutes",
+      watermark = "5 minutes", quantiles = Seq(0.5, 1.0))
+      .writeStream.format("memory").queryName("vq_out").outputMode("append").start()
+    in.addData(
+      Event(1, ts(1), 10, "click", 1.0),
+      Event(2, ts(2), 11, "click", 2.0),
+      Event(3, ts(3), 12, "click", 3.0),
+      Event(4, ts(4), 13, "view", 5.0))
+    q.processAllAvailable()
+    in.addData(Event(99, ts(60), 14, "click", 0.0)) // advance watermark
+    runToCompletion(q)
+    val out = spark.table("vq_out")
+      .select($"event_type", $"n", $"value_quantiles").as[(String, Long, Seq[Double])]
+      .collect().toSet
+    // small windows fit entirely in the summary -> exact quantiles
+    out shouldBe Set(("click", 3L, Seq(2.0, 3.0)), ("view", 1L, Seq(5.0, 5.0)))
+  }
+
   test("streaming dedup drops duplicate ids within the watermark") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Event]
