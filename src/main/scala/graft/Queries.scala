@@ -1125,7 +1125,8 @@ object Queries {
    * propagation (Spark iterates to convergence; 6 rounds cover any component
    * of diameter <= 6, far beyond real dup-cluster shapes).
    */
-  val dupClustersSql: String = {
+  /** Shared CTE chain ending in `l6(id, cluster_id)` — reused by the split oracle. */
+  private val dupClusterCtes: String = {
     val rounds = (1 to 6).map { k =>
       s"""l$k AS (SELECT id, min(cluster_id) AS cluster_id FROM (
             SELECT id, cluster_id FROM l${k - 1}
@@ -1133,12 +1134,40 @@ object Queries {
             SELECT e.src AS id, l.cluster_id FROM edges e JOIN l${k - 1} l ON e.dst = l.id
           ) GROUP BY id)"""
     }.mkString(",\n       ")
-    s"""WITH pairs AS ($nearDupPairsSql),
+    s"""pairs AS ($nearDupPairsSql),
        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
                  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
        l0 AS (SELECT DISTINCT src AS id, src AS cluster_id FROM edges),
-       $rounds
+       $rounds"""
+  }
+
+  val dupClustersSql: String =
+    s"""WITH $dupClusterCtes
        SELECT id, cluster_id FROM l6"""
+
+  /**
+   * Leakage-safe split: every document keyed to its near-dup cluster
+   * representative, split by the group's hash bucket — near-copies can
+   * never straddle train/test ([[Dedup.leakageSafeSplit]]).
+   */
+  def leakageSafeSplitQ(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    Dedup.leakageSafeSplit(t(dir, "documents"), "doc_id", "text",
+      Seq("train" -> 80, "valid" -> 10, "test" -> 10), threshold = 0.8)
+      .select(col("doc_id"), col("group_id"), col("split"))
+  }
+
+  val leakageSafeSplitSql: String = {
+    val bucket = sqlHashBucket("group_id")
+    s"""WITH $dupClusterCtes,
+       groups AS (
+         SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS group_id
+         FROM documents d LEFT JOIN l6 l ON d.doc_id = l.id)
+       SELECT doc_id, group_id,
+              CASE WHEN $bucket * 100 < 80 * 65536 THEN 'train'
+                   WHEN $bucket * 100 < 90 * 65536 THEN 'valid'
+                   ELSE 'test' END AS split
+       FROM groups"""
   }
 
   /** Multiprobe LSH ANN: probe own + Hamming-1 buckets, exact rerank. */
@@ -2366,5 +2395,6 @@ object Queries {
     ("dedup_keep_best", dedupKeepBest _, Some(dedupKeepBestSql)),
     ("distinct_users_sketch", distinctUsersSketch _, None),
     ("distinct_users_exact", distinctUsersExact _, Some(distinctUsersExactSql)),
-    ("value_quantiles_sketch", valueQuantilesSketch _, Some(valueQuantilesSketchSql)))
+    ("value_quantiles_sketch", valueQuantilesSketch _, Some(valueQuantilesSketchSql)),
+    ("leakage_safe_split", leakageSafeSplitQ _, Some(leakageSafeSplitSql)))
 }

@@ -476,6 +476,39 @@ object Dedup {
   }
 
   /**
+   * Leakage-safe train/valid/test split: near-duplicate documents land in
+   * the SAME split, so a test document never has a near-copy in train —
+   * the contamination a plain per-document hash split cannot prevent (near
+   * duplicates hash independently and straddle the boundary). Splitting on
+   * the duplicate-cluster representative ([[duplicateClusters]]; a doc in
+   * no cluster is its own group) keys the whole cluster to one hash draw.
+   *
+   * Adds `group_id` (the split unit) and `split` to every input row. The
+   * assignment is a pure function of the data ([[TextAnalysis.hashSplit]]
+   * md5 buckets), so reruns and engines agree bit-for-bit.
+   *
+   * Scale: the clustering is the LSH near-dup pipeline (bucketed
+   * equi-joins, O(log d) label rounds); the split itself is per-row math
+   * on the cluster label — one broadcast-or-shuffle equi-join over the
+   * (small) clustered subset beyond the pipeline's own cost.
+   */
+  def leakageSafeSplit(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      weights: Seq[(String, Int)],
+      threshold: Double = 0.8,
+      numHashes: Int = 12,
+      rowsPerBand: Int = 3): DataFrame = {
+    val pairs = nearDuplicatePairs(df, idCol, textCol, threshold, numHashes, rowsPerBand)
+    val clusters = duplicateClusters(pairs).withColumnRenamed("id", idCol)
+    df.join(clusters, Seq(idCol), "left")
+      .withColumn("group_id", coalesce(col("cluster_id"), col(idCol)))
+      .withColumn("split", TextAnalysis.hashSplit(col("group_id"), weights))
+      .drop("cluster_id")
+  }
+
+  /**
    * One-call near-dup removal: keep, per duplicate cluster, the smallest id.
    * Returns the deduplicated DataFrame.
    */

@@ -104,6 +104,19 @@ class DedupSpec extends SparkTestBase {
     kept shouldBe Array(1L, 4L)
   }
 
+  test("leakage-safe split keeps near-duplicates in one split") {
+    val out = Dedup.leakageSafeSplit(docs, "id", "text",
+      Seq("train" -> 80, "valid" -> 10, "test" -> 10))
+      .select("id", "group_id", "split").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // 1/2/3/5 are one near-dup cluster -> one group, one split; 4 is alone
+    out(1L) shouldBe out(2L)
+    out(1L) shouldBe out(3L)
+    out(1L) shouldBe out(5L)
+    out(4L)._1 shouldBe 4L
+    Set("train", "valid", "test") should contain(out(1L)._2)
+  }
+
   test("bucket cap drops degenerate buckets before pairing") {
     val boilerplate = (1L to 20L).map(i => (i, base)).toDF("id", "text")
     Dedup.lshCandidatePairs(boilerplate, "id", "text", maxBucket = 5).count() shouldBe 0
