@@ -70,7 +70,10 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.count(_._2 < 0)
-    val maxQ = results.filter(_._2 >= 0).maxBy(_._2)
+    // maxByOption: with every query failed (all -1 sentinels) maxBy would
+    // throw and the summary line — the one thing the consumer parses — would
+    // never print; "none" keeps the contract in exactly the all-failed case
+    val maxQ = results.filter(_._2 >= 0).maxByOption(_._2).getOrElse("none" -> 0.0)
     val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     System.err.println(fullLine)
     try {

@@ -1121,13 +1121,25 @@ object Queries {
   }
 
   /**
-   * Oracle twin of [[Dedup.duplicateClusters]]: 6 fixed rounds of min-label
-   * propagation (Spark iterates to convergence; 6 rounds cover any component
-   * of diameter <= 6, far beyond real dup-cluster shapes).
+   * Rounds of min-label propagation the cluster ORACLES unroll. Spark's
+   * [[Dedup.duplicateClusters]] pointer-jumps to convergence; plain
+   * (non-jumping) propagation unrolled `n` rounds matches it only for
+   * components of diameter <= n. Every oracle built on [[dupClusterCtes]]
+   * — `dup_clusters` AND `leakage_safe_split`, whose split assignment
+   * rides the cluster label — inherits this assumption.
+   * DedupSpec("oracle label-propagation depth covers the corpus") asserts
+   * the test corpus's true max cluster diameter stays within it.
    */
-  /** Shared CTE chain ending in `l6(id, cluster_id)` — reused by the split oracle. */
+  val OracleLabelPropRounds: Int = 6
+
+  /**
+   * Oracle twin of [[Dedup.duplicateClusters]]: [[OracleLabelPropRounds]]
+   * fixed rounds of min-label propagation — covers any component of
+   * diameter <= that bound, far beyond real dup-cluster shapes.
+   * Shared CTE chain ending in `l6(id, cluster_id)` — reused by the split oracle.
+   */
   private val dupClusterCtes: String = {
-    val rounds = (1 to 6).map { k =>
+    val rounds = (1 to OracleLabelPropRounds).map { k =>
       s"""l$k AS (SELECT id, min(cluster_id) AS cluster_id FROM (
             SELECT id, cluster_id FROM l${k - 1}
             UNION ALL
@@ -1143,12 +1155,15 @@ object Queries {
 
   val dupClustersSql: String =
     s"""WITH $dupClusterCtes
-       SELECT id, cluster_id FROM l6"""
+       SELECT id, cluster_id FROM l$OracleLabelPropRounds"""
 
   /**
    * Leakage-safe split: every document keyed to its near-dup cluster
    * representative, split by the group's hash bucket — near-copies can
-   * never straddle train/test ([[Dedup.leakageSafeSplit]]).
+   * never straddle train/test ([[Dedup.leakageSafeSplit]]). The oracle's
+   * cluster labels come from [[dupClusterCtes]] and are therefore exact
+   * only for components of diameter <= [[OracleLabelPropRounds]] (see its
+   * doc; the corpus-diameter spec guards the assumption).
    */
   def leakageSafeSplitQ(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
@@ -1162,7 +1177,7 @@ object Queries {
     s"""WITH $dupClusterCtes,
        groups AS (
          SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS group_id
-         FROM documents d LEFT JOIN l6 l ON d.doc_id = l.id)
+         FROM documents d LEFT JOIN l$OracleLabelPropRounds l ON d.doc_id = l.id)
        SELECT doc_id, group_id,
               CASE WHEN $bucket * 100 < 80 * 65536 THEN 'train'
                    WHEN $bucket * 100 < 90 * 65536 THEN 'valid'
@@ -2294,7 +2309,8 @@ object Queries {
                   ORDER BY md5(cast(event_id AS varchar))) AS rn
          FROM events),
        s AS (
-         SELECT event_type, list_sort(list(value)) AS vs
+         SELECT event_type,
+                list_sort(list_filter(list(value), x -> x IS NOT NULL)) AS vs
          FROM ranked WHERE rn <= 128 GROUP BY event_type)
        SELECT event_type,
               round(vs[greatest(cast(ceil(0.5 * len(vs)) AS int), 1)], 4) AS p50,

@@ -83,6 +83,13 @@ object ScaleCheck {
     time("span_dedup") {
       ops.Dedup.removeDuplicateSpans(bigDocs, "doc_id", "text")
     }
+    // worst case by construction: every amplified copy is a near-dup of its
+    // original, so clusters grow `factor`x and the LSH -> verify -> cluster ->
+    // split pipeline sees the densest duplicate graph it could meet
+    time("leakage_safe_split") {
+      ops.Dedup.leakageSafeSplit(bigDocs, "doc_id", "text",
+        Seq("train" -> 80, "valid" -> 10, "test" -> 10))
+    }
     time("bloom_anti_join") {
       val fps = bigDocs.select(col("doc_id"), ops.TextAnalysis.fingerprint(col("text")).as("fp"))
       val store = fps.filter(col("doc_id") % 3 === 0).select(col("fp"))

@@ -8,7 +8,7 @@ import scala.concurrent.duration._
 import scala.util.{Failure, Success, Try}
 
 import graft.config.GraftConfig
-import graft.monitoring.MessagingSystem
+import graft.monitoring.{Counter, Gauge, MessagingSystem, MetricRegistry}
 import graft.time.{DateInterval, Day}
 import graft.util.Logging
 
@@ -72,10 +72,25 @@ abstract class SparkRunner[Job <: SparkJob] extends Logging with ScheduleDsl {
   protected def createMessaging(config: GraftConfig): MessagingSystem =
     MessagingSystem.create(config)
 
+  // ---- custom metrics (reference core SparkRunner.scala:165-205) ---------
+  // Jobs declare counters/gauges as fields of their runner and bump them in
+  // stage code; every stage's MetricsEvent carries the registry snapshot next
+  // to the SparkListener read/write numbers. Counters reset per run.
+  private val metricRegistry = new MetricRegistry
+
+  /** Register (or re-use) a counter; reset before each job run. */
+  protected def counter(name: String, help: String, labels: String*): Counter =
+    metricRegistry.counter(name, help, labels: _*)
+
+  /** Register (or re-use) a gauge; NOT reset between runs (point-in-time). */
+  protected def gauge(name: String, help: String, labels: String*): Gauge =
+    metricRegistry.gauge(name, help, labels: _*)
+
   /** Separated from [[run]] so tests can drive the date loop with their own session. */
   def runWith(spark: SparkSession, config: GraftConfig): Unit = {
     val messaging = createMessaging(config)
     val retryOptions = RetryOptions.fromConfig(config)
+    metricRegistry.resetCounters() // fresh counts per run (reference semantics)
     val job = createJob(config)
     val metrics = new RunnerMetrics
     spark.sparkContext.addSparkListener(metrics.listener)
@@ -147,7 +162,8 @@ abstract class SparkRunner[Job <: SparkJob] extends Logging with ScheduleDsl {
         Try(result) match {
           case success @ Success(_) =>
             messaging.publishStageComplete(this, stage.name)
-            messaging.publishMetrics(this, stage.name, metrics.snapshot)
+            messaging.publishMetrics(this, stage.name,
+              metrics.snapshot ++ metricRegistry.snapshot)
             success
           case failed @ Failure(failure) if callCount >= retryOptions.max =>
             logger.error(s"[$stageId] giving up after ${retryOptions.max} attempt(s)", failure)

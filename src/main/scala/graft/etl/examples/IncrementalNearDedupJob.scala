@@ -22,7 +22,10 @@ import graft.time.DateInterval
  *
  * Scale: the store join is an equi-join on high-cardinality `(band, bh)` —
  * one shuffle, broadcast when the day is small; band rows are tiny compared
- * to text; writing the store date-partitioned keeps it append-only.
+ * to text; writing the store date-partitioned keeps it append-only. On a
+ * real cluster set `checkpointDir` (reliable-FS path) so the within-day
+ * cluster iteration survives executor loss ([[Dedup.duplicateClusters]]'s
+ * durability note); unset keeps the fast local-checkpoint default.
  */
 class IncrementalNearDedupJob(
     source: DateInterval => DataFrame,
@@ -32,7 +35,8 @@ class IncrementalNearDedupJob(
     rowsPerBand: Int = 3,
     threshold: Double = 0.8,
     textCol: String = "text",
-    idCol: String = "doc_id")
+    idCol: String = "doc_id",
+    checkpointDir: Option[String] = None)
     extends SparkJob {
 
   override def shouldRunForDate(spark: SparkSession, date: DateInterval): Boolean =
@@ -77,7 +81,7 @@ class IncrementalNearDedupJob(
         // shingle/minhash/verify pipeline — without it each sink recomputes
         ctx =>
           val d = Dedup.removeNearDuplicates(ctx.value.toDF(), idCol, textCol, threshold,
-            numHashes, rowsPerBand).persist()
+            numHashes, rowsPerBand, checkpointDir).persist()
           cached += d
           d
       }

@@ -215,6 +215,20 @@ case class WarehouseTable(
   def exists(spark: SparkSession, date: DateInterval): Boolean = partitionUrl(date).exists(spark)
 
   /**
+   * Row-presence probe: true only when the `date` partition holds at least
+   * one ROW (reference bigquery/package.scala:56 checks the partition
+   * decorator's row count, not path existence). [[exists]] answers "was a
+   * write attempted" — an empty-result write leaves a partition directory
+   * with a zero-row file, which `shouldRunForDate`-style gates must treat
+   * as "no data" when downstream consumers need actual rows. Cost: footer
+   * metadata + at most one row (`limit(1)` — parquet answers from row-group
+   * counts without materializing data).
+   */
+  def hasDataForDate(spark: SparkSession, date: DateInterval): Boolean =
+    exists(spark, date) &&
+      scala.util.Try(!load(spark, date).isEmpty).getOrElse(false)
+
+  /**
    * True when at least one date partition holds a visible data file. The
    * guard incremental jobs need before `loadAll`/`loadBefore`: a crashed
    * first run can leave the table root with only a `_temporary` skeleton,

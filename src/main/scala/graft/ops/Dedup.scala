@@ -490,7 +490,10 @@ object Dedup {
    * Scale: the clustering is the LSH near-dup pipeline (bucketed
    * equi-joins, O(log d) label rounds); the split itself is per-row math
    * on the cluster label — one broadcast-or-shuffle equi-join over the
-   * (small) clustered subset beyond the pipeline's own cost.
+   * (small) clustered subset beyond the pipeline's own cost. On a real
+   * cluster pass `checkpointDir` (reliable-FS path) so the label iteration
+   * survives executor loss — see [[duplicateClusters]]'s durability note;
+   * unset keeps the fast local-checkpoint default for short/local runs.
    */
   def leakageSafeSplit(
       df: DataFrame,
@@ -499,9 +502,11 @@ object Dedup {
       weights: Seq[(String, Int)],
       threshold: Double = 0.8,
       numHashes: Int = 12,
-      rowsPerBand: Int = 3): DataFrame = {
+      rowsPerBand: Int = 3,
+      checkpointDir: Option[String] = None): DataFrame = {
     val pairs = nearDuplicatePairs(df, idCol, textCol, threshold, numHashes, rowsPerBand)
-    val clusters = duplicateClusters(pairs).withColumnRenamed("id", idCol)
+    val clusters = duplicateClusters(pairs, checkpointDir = checkpointDir)
+      .withColumnRenamed("id", idCol)
     df.join(clusters, Seq(idCol), "left")
       .withColumn("group_id", coalesce(col("cluster_id"), col(idCol)))
       .withColumn("split", TextAnalysis.hashSplit(col("group_id"), weights))
@@ -510,7 +515,8 @@ object Dedup {
 
   /**
    * One-call near-dup removal: keep, per duplicate cluster, the smallest id.
-   * Returns the deduplicated DataFrame.
+   * Returns the deduplicated DataFrame. `checkpointDir` as in
+   * [[leakageSafeSplit]]: set it to a reliable-FS path on real clusters.
    */
   def removeNearDuplicates(
       df: DataFrame,
@@ -518,9 +524,10 @@ object Dedup {
       textCol: String,
       threshold: Double = 0.8,
       numHashes: Int = 12,
-      rowsPerBand: Int = 3): DataFrame = {
+      rowsPerBand: Int = 3,
+      checkpointDir: Option[String] = None): DataFrame = {
     val pairs = nearDuplicatePairs(df, idCol, textCol, threshold, numHashes, rowsPerBand)
-    val losers = duplicateClusters(pairs)
+    val losers = duplicateClusters(pairs, checkpointDir = checkpointDir)
       .filter(col("id") =!= col("cluster_id"))
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")

@@ -10,11 +10,12 @@ import org.apache.spark.sql.functions._
  * keeps metadata-only queries from touching the bytes).
  *
  * The Spark-side plumbing — schema, encoders, partition-friendly batch
- * iteration via `mapPartitions` — is real and tested. The actual media
- * decoding is STUBBED with a deterministic fake ([[FakeCodec]]): this
- * container has no image/audio libraries, so the stub stands in where a JNI
- * or library decoder would plug in. Swapping in a real decoder changes only
- * `FakeCodec.decode`.
+ * iteration via `mapPartitions` — is real and tested. Image payloads
+ * (PNG/JPEG/GIF/BMP, sniffed by magic bytes) decode through the JDK's own
+ * `javax.imageio` ([[Codec]]) — zero extra dependencies. Payload kinds the
+ * JDK cannot decode (audio, video) fall back to a deterministic fake
+ * ([[FakeCodec]]) that keeps the full pipeline shape testable; swapping in
+ * a real audio/video decoder changes only `Codec.decode`.
  */
 object Multimodal {
 
@@ -30,18 +31,52 @@ object Multimodal {
   implicit val mediaMetaEncoder: Encoder[MediaMeta] = Encoders.product[MediaMeta]
 
   /**
-   * Deterministic stand-in for a media codec. A real implementation would
-   * parse the container format; the fake derives stable pseudo-dimensions
-   * from the payload so tests exercise the full pipeline shape.
+   * Deterministic stand-in for the media formats the JDK cannot decode
+   * (audio/video): stable pseudo-dimensions derived from the payload keep
+   * the full pipeline shape testable until a real decoder plugs in.
    */
   object FakeCodec {
     def decode(payload: Array[Byte]): (Int, Int) = {
-      // ??? <- real decoder goes here; the fake below keeps plumbing testable
       val n = payload.length
       val w = 64 + (math.abs(payload.take(16).foldLeft(17)(31 * _ + _)) % 1024)
       val h = 64 + (n % 1024)
       (w, h)
     }
+  }
+
+  /**
+   * Media codec: real JDK `javax.imageio` decoding for image payloads,
+   * [[FakeCodec]] for everything else. Image-ness is sniffed from magic
+   * bytes (PNG/JPEG/GIF/BMP — the formats the JDK ships readers for) so
+   * non-image payloads never pay a failed `ImageIO.read` attempt; a
+   * corrupt image header also falls back rather than failing the task
+   * (dirty payloads are a fact of life in a 100 TB media lake — a decode
+   * error must quarantine the row, not kill the job).
+   */
+  object Codec {
+    // ImageIO's default scratch is a temp FILE per decode; in-memory
+    // payloads want the heap path. JVM-global, idempotent, safe to set
+    // from any executor thread.
+    javax.imageio.ImageIO.setUseCache(false)
+
+    private def startsWith(p: Array[Byte], magic: Int*): Boolean =
+      p.length >= magic.length && magic.zipWithIndex.forall { case (m, i) => (p(i) & 0xff) == m }
+
+    /** True when the payload carries a JDK-decodable image signature. */
+    def isImage(payload: Array[Byte]): Boolean =
+      startsWith(payload, 0x89, 0x50, 0x4e, 0x47) || // PNG
+        startsWith(payload, 0xff, 0xd8, 0xff) ||     // JPEG
+        startsWith(payload, 0x47, 0x49, 0x46, 0x38) || // GIF8
+        startsWith(payload, 0x42, 0x4d)              // BMP
+
+    /** (width, height): real decode for images, deterministic fake otherwise. */
+    def decode(payload: Array[Byte]): (Int, Int) =
+      if (isImage(payload)) {
+        try {
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+          if (img != null) (img.getWidth, img.getHeight) else FakeCodec.decode(payload)
+        } catch { case _: java.io.IOException => FakeCodec.decode(payload) }
+      } else FakeCodec.decode(payload)
   }
 
   /** Pure-SQL payload metadata (no decode): byte length + md5 checksum. */
@@ -62,7 +97,7 @@ object Multimodal {
       rows.map { row =>
         val id = row.getLong(0)
         val payload = row.getAs[Array[Byte]](1)
-        val (w, h) = FakeCodec.decode(payload)
+        val (w, h) = Codec.decode(payload)
         digest.reset()
         val checksum = digest.digest(payload).map("%02x".format(_)).mkString
         MediaMeta(id, kind, payload.length.toLong, checksum, w, h)

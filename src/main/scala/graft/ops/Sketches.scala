@@ -102,13 +102,17 @@ object Sketches {
 
   /**
    * Quantile estimates from a sketch's sample column: the value at rank
-   * `ceil(q * n)` of the sample's sorted values (exclusive/"lower" discrete
-   * quantile — deterministic, no interpolation, so an engine-independent
-   * oracle reproduces it).
+   * `ceil(q * n)` of the sample's sorted values (the nearest-rank
+   * *inclusive* discrete quantile — q=1.0 is the max, q=0.5 of n=4 is rank
+   * 2 — deterministic, no interpolation, so an engine-independent oracle
+   * reproduces it). Null values are dropped before ranking: Spark's
+   * `array_sort` places NULLs last while other engines sort them first, so
+   * keeping them would both poison high quantiles and diverge from oracles.
    */
   def quantileFromSketch(sample: Column, q: Double): Column = {
     require(q > 0 && q <= 1, s"quantile must be in (0, 1], got $q")
-    val values = array_sort(transform(sample, e => e.getField("v")))
+    val values = array_sort(
+      transform(filter(sample, e => e.getField("v").isNotNull), e => e.getField("v")))
     element_at(values, greatest(ceil(lit(q) * size(values)), lit(1)).cast("int"))
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 
 import graft._
 import graft.config.GraftConfig
-import graft.monitoring.{InMemoryMessagingSystem, MessagingSystem}
+import graft.monitoring.{Counter, Gauge, InMemoryMessagingSystem, MessagingSystem}
 import graft.testkit.SparkJobSuiteBase
 import graft.time.{Day, DateInterval}
 
@@ -151,6 +151,43 @@ class SparkRunnerSpec extends SparkJobSuiteBase {
     writes shouldBe 2 // both scheduled dates written
     runner.runWith(spark, config)
     writes shouldBe 2 // second invocation: shouldRunForDate gates everything out
+  }
+
+  test("custom counters/gauges ride the stage MetricsEvent and counters reset per run") {
+    val messaging = new InMemoryMessagingSystem
+    object r extends SparkRunner[SparkJob] {
+      // declared as runner fields, exactly the reference pattern
+      // (reference core SparkRunner.scala:170-177)
+      val docsSeen: Counter = counter("docs_seen", "documents seen", "source")
+      val lastBatch: Gauge = gauge("last_batch_rows", "rows in the most recent batch")
+      override def jobName = "metrics_job"
+      override def schedule: Schedule = Schedule(Day(2026, 8, 12))
+      override protected def createMessaging(config: GraftConfig) = messaging
+      override def configFile: Option[String] = None
+      override def createJob(config: GraftConfig): SparkJob = new SparkJob {
+        override def shouldRunForDate(spark: SparkSession, date: DateInterval) = true
+        override def stages: Stage[SparkSession, _] = for {
+          nums <- "nums".source { c =>
+            import c.spark.implicits._
+            c.spark.range(7).as[Long]
+          }
+          _ <- "count".sink[Long] { c =>
+            docsSeen.labels("web").inc(c.value.count().toDouble)
+            lastBatch.set(7.0)
+          }
+        } yield nums
+      }
+    }
+    val config = GraftConfig("retry.max" -> "1", "retry.delay" -> "0ms")
+    r.runWith(spark, config)
+    def metricEvents = messaging.events.filter(_._1 == "metrics").map(_._2)
+    metricEvents.exists(_.contains("\"docs_seen{source=web}\":7.0")) shouldBe true
+    metricEvents.exists(_.contains("\"last_batch_rows\":7.0")) shouldBe true
+    // a second run RESETS counters (reference semantics): the count is 7
+    // again, not a 14 carried over from the first run
+    r.runWith(spark, config)
+    metricEvents.last should include("\"docs_seen{source=web}\":7.0")
+    metricEvents.last should not include "14.0"
   }
 
   test("RetryOptions reads duration strings and counts from config") {

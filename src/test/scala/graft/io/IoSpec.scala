@@ -85,6 +85,19 @@ class IoSpec extends SparkTestBase {
     table.hasAnyPartition(spark) shouldBe true
   }
 
+  test("hasDataForDate probes rows, not paths: an empty-write partition has no data") {
+    val table = WarehouseTable(HdfsUrl(tmpDir("wh_rows")), "t")
+    val date = Day(2026, 8, 12)
+    table.hasDataForDate(spark, date) shouldBe false // nothing written at all
+    // an empty-RESULT write: the partition directory and a zero-row parquet
+    // file exist, but downstream consumers would read nothing
+    table.save(spark.range(5).toDF("n").filter(col("n") < 0), date)
+    table.exists(spark, date) shouldBe true // a write WAS attempted
+    table.hasDataForDate(spark, date) shouldBe false // ...but it holds no rows
+    table.save(spark.range(2).toDF("n"), date, Warehouse.WriteTruncate)
+    table.hasDataForDate(spark, date) shouldBe true
+  }
+
   test("merge upserts by key: updates replace, inserts land, rest survives") {
     import spark.implicits._
     val table = WarehouseTable(HdfsUrl(tmpDir("wh_merge")), "t")

@@ -65,4 +65,37 @@ class MonitoringSpec extends AnyFunSuite with Matchers {
     failed.toPayload should include(":rotating_light:")
     Notifier.create(GraftConfig("notifier.transport" -> "memory")) shouldBe an[InMemoryNotifier]
   }
+
+  test("metric registry: counters sum per series and reset; gauges set") {
+    val reg = new MetricRegistry
+    val c = reg.counter("rows_quarantined", "rows dropped by quality gates", "reason")
+    c.labels("pii").inc()
+    c.labels("pii").inc(2.0)
+    c.labels("lang").inc(5.0)
+    val g = reg.gauge("store_partitions", "partitions in the band store")
+    g.set(42.0)
+    g.inc(3.0)
+    reg.snapshot shouldBe Map(
+      "rows_quarantined{reason=pii}" -> 3.0,
+      "rows_quarantined{reason=lang}" -> 5.0,
+      "store_partitions" -> 45.0)
+    reg.resetCounters()
+    // counters zero out (series vanish until touched); gauges keep their value
+    reg.snapshot shouldBe Map("store_partitions" -> 45.0)
+  }
+
+  test("metric registry: idempotent identical re-registration, conflicting shape fails") {
+    val reg = new MetricRegistry
+    val c1 = reg.counter("n", "help", "a")
+    val c2 = reg.counter("n", "help", "a") // same shape -> same collector
+    c1.labels("x").inc()
+    c2.labels("x").inc()
+    reg.snapshot("n{a=x}") shouldBe 2.0
+    an[IllegalArgumentException] should be thrownBy reg.counter("n", "other help", "a")
+    an[IllegalArgumentException] should be thrownBy reg.gauge("n", "help", "a")
+    an[IllegalArgumentException] should be thrownBy c1.labels("x").inc(-1.0) // counters only go up
+    an[IllegalArgumentException] should be thrownBy {
+      c1.labels("x", "y").inc() // wrong label arity
+    }
+  }
 }

@@ -117,6 +117,59 @@ class DedupSpec extends SparkTestBase {
     Set("train", "valid", "test") should contain(out(1L)._2)
   }
 
+  test("checkpointDir reaches the cluster iteration from the one-call APIs") {
+    // same answers as the localCheckpoint default, and the reliable
+    // checkpoint files actually land under the given dir — proof the knob
+    // threads through removeNearDuplicates/leakageSafeSplit to
+    // duplicateClusters (real clusters need it to survive executor loss)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toFile
+    try {
+      Dedup.removeNearDuplicates(docs, "id", "text", threshold = 0.8,
+        checkpointDir = Some(dir.getAbsolutePath))
+        .select("id").as[Long].collect().sorted shouldBe Array(1L, 4L)
+      def checkpointFiles = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) else Seq(f)
+        walk(dir)
+      }
+      checkpointFiles should not be empty
+      val split = Dedup.leakageSafeSplit(docs, "id", "text",
+        Seq("train" -> 80, "valid" -> 10, "test" -> 10),
+        checkpointDir = Some(dir.getAbsolutePath))
+        .select("id", "group_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      split(5L) shouldBe split(1L)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
+  test("oracle label-propagation depth covers the corpus") {
+    // The dup_clusters / leakage_safe_split ORACLES unroll plain min-label
+    // propagation Queries.OracleLabelPropRounds times; Spark pointer-jumps
+    // to convergence. They agree only while every dup component's diameter
+    // stays within the unrolled depth — replay the oracle's recurrence on
+    // the actual verify corpus (sf0.01) and demand identical labels.
+    val corpus = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val pairs = Dedup.nearDuplicatePairs(corpus, "doc_id", "text", threshold = 0.8)
+      .select($"id_a", $"id_b").localCheckpoint(true)
+    val converged = Dedup.duplicateClusters(pairs).as[(Long, Long)].collect().toMap
+    val edges = pairs.select($"id_a".as("src"), $"id_b".as("dst"))
+      .union(pairs.select($"id_b".as("src"), $"id_a".as("dst"))).localCheckpoint(true)
+    var labels = edges.select($"src".as("id")).distinct().withColumn("cluster_id", $"id")
+    (1 to graft.Queries.OracleLabelPropRounds).foreach { _ =>
+      labels = labels
+        .union(edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+          .select($"src".as("id"), $"cluster_id"))
+        .groupBy("id").agg(min("cluster_id").as("cluster_id"))
+        .localCheckpoint(true)
+    }
+    labels.as[(Long, Long)].collect().toMap shouldBe converged
+  }
+
   test("bucket cap drops degenerate buckets before pairing") {
     val boilerplate = (1L to 20L).map(i => (i, base)).toDF("id", "text")
     Dedup.lshCandidatePairs(boilerplate, "id", "text", maxBucket = 5).count() shouldBe 0

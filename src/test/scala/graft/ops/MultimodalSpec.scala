@@ -38,6 +38,32 @@ class MultimodalSpec extends SparkTestBase {
     rows.view.mapValues(m => (m.width, m.height)).toMap shouldBe again
   }
 
+  test("decodeMeta decodes a real PNG via the JDK ImageIO path") {
+    // generate a genuine 7x5 PNG in-memory: the decode must return the
+    // actual pixel dimensions, not the fake's payload-derived pseudo-dims
+    val img = new java.awt.image.BufferedImage(7, 5, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(3, 2, 0xff8800)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    val png = buf.toByteArray
+    Multimodal.Codec.isImage(png) shouldBe true
+    Multimodal.Codec.decode(png) shouldBe ((7, 5))
+
+    val media = Seq((10L, png), (11L, "not an image".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val rows = Multimodal.decodeMeta(media, "doc_id", "payload", kind = "image")
+      .collect().map(m => m.docId -> m).toMap
+    rows(10L).width shouldBe 7
+    rows(10L).height shouldBe 5
+    rows(10L).byteLen shouldBe png.length.toLong
+    // non-image payloads take the deterministic fallback, never fail the task
+    val (fw, fh) = Multimodal.FakeCodec.decode("not an image".getBytes("UTF-8"))
+    (rows(11L).width, rows(11L).height) shouldBe ((fw, fh))
+    // a corrupt image header (valid magic, garbage body) also falls back
+    val corrupt = png.take(12) ++ Array.fill[Byte](8)(0x7f)
+    noException should be thrownBy Multimodal.Codec.decode(corrupt)
+  }
+
   test("featureStub payloads flow into the ANN index end-to-end") {
     val media = (1L to 40L).map { i =>
       // duplicate payloads in pairs: (1,2), (3,4), ... share bytes
