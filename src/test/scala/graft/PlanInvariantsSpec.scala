@@ -129,4 +129,12 @@ class PlanInvariantsSpec extends SparkTestBase {
     // daily bottom-k agg + re-rollup agg: k-row sketches through both
     check("value_quantiles_sketch", maxShuffles = 2)
   }
+
+  test("leakage-safe split: outer join is equi, split is per-row") {
+    // the cluster ITERATION hides behind checkpoints (audited under
+    // dup_clusters); what the final plan must show is docs equi-joined to
+    // the checkpointed labels plus per-row hash math — never a cartesian,
+    // never a shuffle beyond the one join
+    check("leakage_safe_split", maxShuffles = 2, maxSmj = 1)
+  }
 }
