@@ -2318,6 +2318,76 @@ object Queries {
               round(vs[greatest(cast(ceil(0.99 * len(vs)) AS int), 1)], 4) AS p99
        FROM s"""
 
+  /**
+   * Token-distribution drift between corpus snapshots: the same old/cur
+   * slices as `snapshot_diff` (doc_id % 7 / % 5, with the % 11 "v2" text
+   * rewrite in cur), every term's exact integer-ppm frequency both sides,
+   * top 20 by absolute ppm change ([[graft.ops.Drift.vocabDrift]]). The
+   * "v2" token shows up as a pure addition (ppm_old = 0).
+   */
+  def vocabDriftQ(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val docs = t(dir, "documents")
+    val old = docs.filter(col("doc_id") % 7 =!= 0)
+    val cur = docs.filter(col("doc_id") % 5 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+    graft.ops.Drift.vocabDrift(old, cur, "text", k = 20)
+  }
+
+  val vocabDriftSql: String =
+    s"""WITH oldc AS (
+         SELECT t AS term, count(*) AS cnt_old FROM (
+           SELECT unnest($Toks) AS t FROM documents WHERE doc_id % 7 <> 0)
+         GROUP BY 1),
+       curd AS (
+         SELECT CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+         FROM documents WHERE doc_id % 5 <> 0),
+       curc AS (
+         SELECT t AS term, count(*) AS cnt_cur FROM (
+           SELECT unnest($Toks) AS t FROM curd)
+         GROUP BY 1),
+       tot AS (SELECT (SELECT sum(cnt_old) FROM oldc) AS tot_old,
+                      (SELECT sum(cnt_cur) FROM curc) AS tot_cur),
+       j AS (
+         SELECT coalesce(o.term, c.term) AS term,
+                coalesce(cnt_old, 0) AS cnt_old, coalesce(cnt_cur, 0) AS cnt_cur
+         FROM oldc o FULL OUTER JOIN curc c ON o.term = c.term)
+       SELECT term, ppm_old, ppm_cur, ppm_cur - ppm_old AS delta_ppm FROM (
+         SELECT term,
+                cast(cast(cnt_old AS hugeint) * 1000000 // tot_old AS bigint) AS ppm_old,
+                cast(cast(cnt_cur AS hugeint) * 1000000 // tot_cur AS bigint) AS ppm_cur
+         FROM j, tot)
+       ORDER BY abs(ppm_cur - ppm_old) DESC, term LIMIT 20"""
+
+  /**
+   * Daily ingest volume anomalies: a `(event_type, day)` bucket is flagged
+   * when its count exceeds 115% of its trailing 7-observed-day average —
+   * exact integer cross-multiply, no float division
+   * ([[graft.ops.Drift.volumeAnomalies]]).
+   */
+  def ingestAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    graft.ops.Drift.volumeAnomalies(
+      events(dir), "event_type", date_format(col("ts"), "yyyy-MM-dd"),
+      trailing = 7, factorPct = 115, minPrevDays = 3)
+  }
+
+  val ingestAnomaliesSql: String =
+    """WITH daily AS (
+         SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n
+         FROM events GROUP BY 1, 2),
+       w AS (
+         SELECT event_type, day, n,
+                coalesce(sum(n) OVER (PARTITION BY event_type ORDER BY day
+                  ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING), 0) AS prev_n,
+                count(n) OVER (PARTITION BY event_type ORDER BY day
+                  ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS prev_days
+         FROM daily)
+       SELECT event_type, day, n, prev_n, prev_days
+       FROM w WHERE prev_days >= 3 AND n * prev_days * 100 > prev_n * 115"""
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -2412,5 +2482,7 @@ object Queries {
     ("distinct_users_sketch", distinctUsersSketch _, None),
     ("distinct_users_exact", distinctUsersExact _, Some(distinctUsersExactSql)),
     ("value_quantiles_sketch", valueQuantilesSketch _, Some(valueQuantilesSketchSql)),
-    ("leakage_safe_split", leakageSafeSplitQ _, Some(leakageSafeSplitSql)))
+    ("leakage_safe_split", leakageSafeSplitQ _, Some(leakageSafeSplitSql)),
+    ("vocab_drift", vocabDriftQ _, Some(vocabDriftSql)),
+    ("ingest_anomalies", ingestAnomalies _, Some(ingestAnomaliesSql)))
 }

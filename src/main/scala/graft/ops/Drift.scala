@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus and ingest drift monitoring — the health checks a continuously
+ * refreshed training-data lake runs between snapshots: "did the token
+ * distribution move?" (tokenizer/mix drift) and "did a source's daily
+ * volume spike?" (scraper incident, duplicate-feed, upstream outage).
+ * Both are exact integer math end-to-end, so results hash-match across
+ * engines and reruns.
+ */
+object Drift {
+
+  /** Per-term counts of a corpus (vocabulary-sized output). */
+  private def termCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+
+  /**
+   * Token-distribution drift between two corpus snapshots: every term's
+   * frequency in exact integer parts-per-million on each side, ranked by
+   * absolute ppm change, top `k`. New terms read ppm_old = 0 and vanished
+   * terms ppm_cur = 0, so additions and deletions surface alongside
+   * shifts. Ppm is integer (`x * 1e6 DIV total` in DECIMAL(38) — never a
+   * float sum), and the (|delta| desc, term) rank is a total order, so the
+   * result is a pure function of the two corpora.
+   *
+   * Scale: the explodes collapse to VOCABULARY-sized per-term aggs with
+   * map-side combine (the same property that makes BPE counting scale);
+   * the full-outer join and everything after touch only vocab-sized data,
+   * and the corpus totals ride in as 1-row broadcasts. Top-k is a
+   * TakeOrdered, not a global sort shuffle.
+   */
+  def vocabDrift(old: DataFrame, cur: DataFrame, textCol: String, k: Int = 20): DataFrame = {
+    require(k > 0, "k must be positive")
+    val oldC = termCounts(old, textCol).withColumnRenamed("cnt", "cnt_old")
+    val curC = termCounts(cur, textCol).withColumnRenamed("cnt", "cnt_cur")
+    val oldTotal = oldC.agg(sum(col("cnt_old")).as("__tot_old"))
+    val curTotal = curC.agg(sum(col("cnt_cur")).as("__tot_cur"))
+    oldC.join(curC, Seq("term"), "full_outer")
+      .na.fill(0L, Seq("cnt_old", "cnt_cur"))
+      .join(broadcast(oldTotal)).join(broadcast(curTotal))
+      .withColumn("ppm_old",
+        expr("CAST(CAST(cnt_old AS DECIMAL(38,0)) * 1000000 DIV __tot_old AS BIGINT)"))
+      .withColumn("ppm_cur",
+        expr("CAST(CAST(cnt_cur AS DECIMAL(38,0)) * 1000000 DIV __tot_cur AS BIGINT)"))
+      .withColumn("delta_ppm", col("ppm_cur") - col("ppm_old"))
+      .orderBy(abs(col("delta_ppm")).desc, col("term"))
+      .limit(k)
+      .select(col("term"), col("ppm_old"), col("ppm_cur"), col("delta_ppm"))
+  }
+
+  /**
+   * Daily ingest volume anomalies: a `(key, day)` bucket is flagged when
+   * its row count exceeds `factorPct`% of its trailing `trailing`-day
+   * average (exact integer cross-multiply — `n * prev_days * 100 >
+   * prev_n * factorPct` — never a float division). Buckets with fewer than
+   * `minPrevDays` preceding observed days are unscored: no baseline, no
+   * verdict. Gaps in the calendar are skipped, not zero-filled — the
+   * window is over OBSERVED days (the common case for sparse sources);
+   * zero-fill upstream if absence itself must alarm.
+   *
+   * Scale: one `(key, day)` count agg with map-side combine — the only
+   * pass over raw events — then a per-key window over the day-level
+   * rollup, which is ~365 rows per key per year regardless of event
+   * volume. Skewed keys cost nothing: the window input is already
+   * aggregated.
+   */
+  def volumeAnomalies(
+      df: DataFrame,
+      keyCol: String,
+      day: Column,
+      trailing: Int = 7,
+      factorPct: Int = 150,
+      minPrevDays: Int = 3): DataFrame = {
+    require(trailing >= minPrevDays && minPrevDays >= 1,
+      s"need 1 <= minPrevDays ($minPrevDays) <= trailing ($trailing)")
+    require(factorPct > 100, s"factorPct must exceed 100 (got $factorPct)")
+    val daily = df.groupBy(col(keyCol), day.as("day")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("day"))
+      .rowsBetween(-trailing, -1)
+    daily
+      .withColumn("prev_n", coalesce(sum(col("n")).over(w), lit(0L)))
+      .withColumn("prev_days", count(col("n")).over(w))
+      .filter(col("prev_days") >= minPrevDays &&
+        col("n") * col("prev_days") * 100 > col("prev_n") * factorPct)
+      .select(col(keyCol), col("day"), col("n"), col("prev_n"), col("prev_days"))
+  }
+}

@@ -130,6 +130,15 @@ class PlanInvariantsSpec extends SparkTestBase {
     check("value_quantiles_sketch", maxShuffles = 2)
   }
 
+  test("round-7 additions: bounded shuffles, no cartesian") {
+    // two vocab-sized term aggs (each feeding the join AND its 1-row total),
+    // a full-outer join on term (SMJ is the at-scale plan; both sides are
+    // vocabularies), two 1-row total broadcasts, TakeOrdered top-k
+    check("vocab_drift", maxShuffles = 4, maxSmj = 1, maxBnlj = 2)
+    // one (type, day) count agg + one per-type window over the day rollup
+    check("ingest_anomalies", maxShuffles = 2)
+  }
+
   test("leakage-safe split: outer join is equi, split is per-row") {
     // the cluster ITERATION hides behind checkpoints (audited under
     // dup_clusters); what the final plan must show is docs equi-joined to

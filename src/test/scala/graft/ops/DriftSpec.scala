@@ -1,0 +1,53 @@
+package graft.ops
+
+import graft.testkit.SparkTestBase
+
+class DriftSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("vocabDrift: exact integer ppm; additions and deletions surface") {
+    val old = Seq((1L, "a a b gone")).toDF("id", "text") // totals: a=2 b=1 gone=1 of 4
+    val cur = Seq((1L, "a b b b new")).toDF("id", "text") // totals: a=1 b=3 new=1 of 5
+    val rows = Drift.vocabDrift(old, cur, "text", k = 10).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    rows("a") shouldBe ((500000L, 200000L, -300000L))
+    rows("b") shouldBe ((250000L, 600000L, 350000L))
+    rows("gone") shouldBe ((250000L, 0L, -250000L)) // vanished term: ppm_cur = 0
+    rows("new") shouldBe ((0L, 200000L, 200000L)) // new term: ppm_old = 0
+  }
+
+  test("vocabDrift top-k is a total order: |delta| desc, then term asc") {
+    val old = Seq((1L, "x y")).toDF("id", "text")
+    val cur = Seq((1L, "x z")).toDF("id", "text")
+    // y (-500000) and z (+500000) tie on |delta|; 'y' < 'z' wins the k=1 cut
+    Drift.vocabDrift(old, cur, "text", k = 1)
+      .select("term").as[String].collect() shouldBe Array("y")
+  }
+
+  test("volumeAnomalies: exact trailing-window spike detection") {
+    // key a: 9 days at 10 rows, then a 16-row day
+    //   day 10 window = days 3..9 (7 days, 70 rows): 16*7*100 > 70*115 -> flag
+    //   steady days never flag: 10*pd*100 <= 10*pd*115
+    // key b: spikes on its 2nd day -> prev_days < 3 -> unscored, no flag
+    val rows =
+      (1 to 9).flatMap(d => Seq.fill(10)(("a", f"2026-01-$d%02d"))) ++
+        Seq.fill(16)(("a", "2026-01-10")) ++
+        Seq.fill(1)(("b", "2026-01-01")) ++ Seq.fill(100)(("b", "2026-01-02"))
+    val df = rows.toDF("k", "d")
+    val flagged = Drift.volumeAnomalies(df, "k", df("d"),
+      trailing = 7, factorPct = 115, minPrevDays = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    flagged shouldBe Array(("a", "2026-01-10", 16L, 70L, 7L))
+  }
+
+  test("volumeAnomalies is invariant to input partitioning") {
+    val rows = (1 to 8).flatMap(d => Seq.fill(d * d)(("a", f"2026-02-$d%02d")))
+    val df = rows.toDF("k", "d")
+    val one = Drift.volumeAnomalies(df.coalesce(1), "k", df("d"), factorPct = 115)
+      .collect().toSet
+    val many = Drift.volumeAnomalies(df.repartition(7), "k", df("d"), factorPct = 115)
+      .collect().toSet
+    one shouldBe many
+    one should not be empty // quadratic growth trips the 115% bar
+  }
+}
