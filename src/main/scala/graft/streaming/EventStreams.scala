@@ -28,12 +28,22 @@ case class Session(userId: Long, startMs: Long, endMs: Long, nEvents: Long) {
 
 private[streaming] case class SessionState(startMs: Long, endMs: Long, n: Long)
 
+/** A flagged (event_type, window) whose count spiked vs its trailing average. */
+case class VolumeAnomaly(
+    eventType: String, windowStartMs: Long, n: Long, prevN: Long, prevWindows: Long)
+
+private[streaming] case class VolumeState(
+    open: Map[Long, Long], closed: Seq[(Long, Long)])
+
 object EventStreams {
 
   implicit val eventEncoder: Encoder[Event] = Encoders.product[Event]
   implicit val sessionEncoder: Encoder[Session] = Encoders.product[Session]
+  implicit val volumeAnomalyEncoder: Encoder[VolumeAnomaly] = Encoders.product[VolumeAnomaly]
   private implicit val stateEncoder: Encoder[SessionState] = Encoders.product[SessionState]
+  private implicit val volumeStateEncoder: Encoder[VolumeState] = Encoders.product[VolumeState]
   private implicit val longEncoder: Encoder[Long] = Encoders.scalaLong
+  private implicit val stringEncoder: Encoder[String] = Encoders.STRING
 
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -184,6 +194,68 @@ object EventStreams {
     events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       table.save(batch, date(), graft.io.Warehouse.WriteAppend)
     }
+
+  /**
+   * Streaming ingest volume-anomaly monitor — the streaming twin of batch
+   * [[graft.ops.Drift.volumeAnomalies]] (L43), same exact integer verdict:
+   * a window is flagged when `n * prevWindows * 100 > prevN * factorPct`
+   * against the trailing `trailing` OBSERVED windows of its event type.
+   * Cross-window comparison is what windowed aggregation can't express, so
+   * this is a single `flatMapGroupsWithState` keyed by event type: state
+   * holds the open windows' counts plus the last `trailing` closed counts;
+   * a window is scored and retired once the watermark passes its end (via
+   * event-time timeout, so quiet sources still close their windows).
+   *
+   * Scale: state per key is bounded — at most (watermark horizon /
+   * window) open counters + `trailing` closed pairs, independent of event
+   * volume — and keys partition across executors. Empty (unobserved)
+   * windows are skipped, not zero-filled, matching the batch semantics.
+   */
+  def volumeAnomalyMonitor(
+      events: Dataset[Event],
+      windowMinutes: Int = 60,
+      watermark: String = "10 minutes",
+      trailing: Int = 7,
+      factorPct: Int = 150,
+      minPrevWindows: Int = 3): Dataset[VolumeAnomaly] = {
+    require(trailing >= minPrevWindows && minPrevWindows >= 1,
+      s"need 1 <= minPrevWindows ($minPrevWindows) <= trailing ($trailing)")
+    val windowMs = windowMinutes * 60L * 1000
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.eventType)
+      .flatMapGroupsWithState[VolumeState, VolumeAnomaly](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (eventType: String, newEvents: Iterator[Event], state: GroupState[VolumeState]) =>
+          val prior = state.getOption.getOrElse(VolumeState(Map.empty, Vector.empty))
+          val open = newEvents.foldLeft(prior.open) { (m, e) =>
+            val w = Math.floorDiv(e.ts.getTime, windowMs) * windowMs
+            m.updated(w, m.getOrElse(w, 0L) + 1L)
+          }
+          val wm = state.getCurrentWatermarkMs()
+          // windows fully behind the watermark are final: score in window
+          // order against the trailing history, then retire into it
+          val (done, live) = open.partition { case (w, _) => w + windowMs <= wm }
+          var closed = prior.closed
+          val out = Vector.newBuilder[VolumeAnomaly]
+          done.toVector.sortBy(_._1).foreach { case (w, n) =>
+            val hist = closed.takeRight(trailing)
+            val prevN = hist.map(_._2).sum
+            if (hist.size >= minPrevWindows && n * hist.size * 100 > prevN * factorPct)
+              out += VolumeAnomaly(eventType, w, n, prevN, hist.size.toLong)
+            closed = (closed :+ (w -> n)).takeRight(trailing)
+          }
+          if (live.isEmpty && closed.isEmpty) state.remove()
+          else {
+            state.update(VolumeState(live, closed))
+            // wake when the earliest live window can close (strictly past
+            // the current watermark, as the API requires)
+            if (live.nonEmpty)
+              state.setTimeoutTimestamp(math.max(live.keys.min + windowMs, wm + 1))
+          }
+          out.result().iterator
+      }
+  }
 
   /**
    * Gap-based sessionization with [[Dataset.flatMapGroupsWithState]] state

@@ -172,6 +172,51 @@ class EventStreamsSpec extends SparkTestBase {
     pairs.map(_._2) should not contain 103L
   }
 
+  test("volume-anomaly monitor flags a spiking window against its trailing average") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Event]
+    // 10-minute windows; flag when n exceeds 115% of the trailing average
+    // of >= 2 observed windows
+    val q = volumeAnomalyMonitor(in.toDS(), windowMinutes = 10, watermark = "5 minutes",
+      trailing = 7, factorPct = 115, minPrevWindows = 2)
+      .writeStream.format("memory").queryName("vol_out").outputMode("append").start()
+    // clicks: windows w0/w1 hold 2 events each (baseline), w2 holds 6 (spike)
+    in.addData(
+      Event(1, ts(1), 10, "click", 0), Event(2, ts(2), 11, "click", 0),
+      Event(3, ts(11), 10, "click", 0), Event(4, ts(12), 11, "click", 0))
+    q.processAllAvailable()
+    in.addData((5 to 10).map(i => Event(i.toLong, ts(21 + (i - 5)), 10L + i, "click", 0.0)): _*)
+    q.processAllAvailable()
+    // advance the watermark far past w2 so every window closes and scores
+    in.addData(Event(99, ts(120), 99, "click", 0))
+    q.processAllAvailable()
+    in.addData(Event(100, ts(240), 99, "click", 0))
+    runToCompletion(q)
+    val out = spark.table("vol_out")
+      .select($"eventType", $"windowStartMs", $"n", $"prevN", $"prevWindows")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    // w0: no history; w1: 1 prev < minPrevWindows; w2: 6*2*100 > (2+2)*115 -> flag
+    out shouldBe Set(("click", ts(20).getTime, 6L, 4L, 2L))
+  }
+
+  test("volume-anomaly monitor: steady volume never flags, state retires windows") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = volumeAnomalyMonitor(in.toDS(), windowMinutes = 10, watermark = "1 minute",
+      trailing = 3, factorPct = 115, minPrevWindows = 2)
+      .writeStream.format("memory").queryName("vol_steady_out").outputMode("append").start()
+    // 6 windows of exactly 2 events: 2*k*100 <= 2k*115 always -> no flags
+    (0 until 6).foreach { wi =>
+      in.addData(
+        Event(wi * 2L, ts(wi * 10 + 1), 10, "view", 0),
+        Event(wi * 2L + 1, ts(wi * 10 + 2), 11, "view", 0))
+      q.processAllAvailable()
+    }
+    in.addData(Event(99, ts(300), 99, "view", 0))
+    runToCompletion(q)
+    spark.table("vol_steady_out").count() shouldBe 0
+  }
+
   test("stateful sessionization closes sessions on gap timeout") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Event]
