@@ -31,7 +31,7 @@ object PlanAudit {
         println(s"== $name: bhj=${n("BroadcastHashJoin")} smj=${n("SortMergeJoin")} " +
           s"shj=${n("ShuffledHashJoin")} bnlj=${n("BroadcastNestedLoopJoin")} " +
           s"cartesian=${n("CartesianProduct")} exchange=${n("Exchange hashpartitioning")} " +
-          s"codegenSpans=${n("WholeStageCodegen")}")
+          s"reused=${n("ReusedExchange")} codegenSpans=${n("WholeStageCodegen")}")
         pushed.foreach(p => println(s"   $p"))
       } catch {
         case e: Throwable => println(s"== $name: PLAN FAILED ${e.getMessage}")

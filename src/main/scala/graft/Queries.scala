@@ -2388,6 +2388,47 @@ object Queries {
        SELECT event_type, day, n, prev_n, prev_days
        FROM w WHERE prev_days >= 3 AND n * prev_days * 100 > prev_n * 115"""
 
+  /**
+   * Key-skew profile of the event stream's user key: top 10 hottest users
+   * by exact count with integer-ppm share ([[graft.ops.Skew.skewProfile]]) —
+   * the measurement that sizes a salting factor before a user-keyed shuffle.
+   */
+  def keySkewProfile(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    graft.ops.Skew.skewProfile(events(dir), "user_id", k = 10)
+  }
+
+  val keySkewProfileSql: String =
+    """WITH counts AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+       tot AS (SELECT sum(n) AS t FROM counts)
+       SELECT user_id, n,
+              cast(cast(n AS hugeint) * 1000000 // t AS bigint) AS share_ppm
+       FROM counts, tot
+       ORDER BY n DESC, user_id LIMIT 10"""
+
+  /**
+   * First-order event-type transition matrix over per-user sequences
+   * ([[graft.ops.Funnels.transitionCounts]]): exact pair counts + integer
+   * ppm share, (ts, event_id) total order so engines pair identically.
+   */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    graft.ops.Funnels.transitionCounts(events(dir), "user_id", "ts", "event_type", "event_id")
+  }
+
+  val eventTransitionsSql: String =
+    """WITH seq AS (
+         SELECT event_type AS from_type,
+                lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+         FROM events),
+       pairs AS (
+         SELECT from_type, to_type, count(*) AS n FROM seq
+         WHERE to_type IS NOT NULL GROUP BY 1, 2),
+       tot AS (SELECT sum(n) AS t FROM pairs)
+       SELECT from_type, to_type, n,
+              cast(cast(n AS hugeint) * 1000000 // t AS bigint) AS share_ppm
+       FROM pairs, tot"""
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -2484,5 +2525,7 @@ object Queries {
     ("value_quantiles_sketch", valueQuantilesSketch _, Some(valueQuantilesSketchSql)),
     ("leakage_safe_split", leakageSafeSplitQ _, Some(leakageSafeSplitSql)),
     ("vocab_drift", vocabDriftQ _, Some(vocabDriftSql)),
-    ("ingest_anomalies", ingestAnomalies _, Some(ingestAnomaliesSql)))
+    ("ingest_anomalies", ingestAnomalies _, Some(ingestAnomaliesSql)),
+    ("key_skew_profile", keySkewProfile _, Some(keySkewProfileSql)),
+    ("event_transitions", eventTransitions _, Some(eventTransitionsSql)))
 }

@@ -64,4 +64,40 @@ object Funnels {
     funnel(events, userCol, tsCol, typeCol, steps)
       .groupBy(col("steps_reached"))
       .agg(count(lit(1)).as("n_users"))
+
+  /**
+   * First-order transition counts over each user's event sequence: for
+   * every consecutive `(from_type, to_type)` pair in `(tsCol, tieCol)`
+   * order, the exact count and integer-ppm share of all transitions — the
+   * Markov view of user journeys that funnels (which fix the step order
+   * up front) cannot give. `tieCol` must make the per-user order total
+   * (e.g. a unique event id), or the pairing is partition-dependent.
+   *
+   * Scale: one window shuffle on the user key (the same partitioning
+   * sessionization uses), then a type-pair agg whose output is at most
+   * |types|^2 rows. The total for the ppm share comes from a global window
+   * over THAT bounded frame — one linear plan, one pass over raw events
+   * (a separate total-agg branch would re-run the window + agg: exchange
+   * reuse does not fire across the branch).
+   */
+  def transitionCounts(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val pairs = events
+      .select(col(userCol), col(tsCol), col(tieCol), col(typeCol).as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type")).agg(count(lit(1)).as("n"))
+    // single-partition window is safe here BY BOUND: pairs <= |types|^2 rows
+    pairs
+      .withColumn("__total", sum(col("n")).over(Window.partitionBy()))
+      .withColumn("share_ppm",
+        expr("CAST(CAST(n AS DECIMAL(38,0)) * 1000000 DIV __total AS BIGINT)"))
+      .select(col("from_type"), col("to_type"), col("n"), col("share_ppm"))
+  }
 }

@@ -53,4 +53,32 @@ object Skew {
       .withColumn("__salt", explode(sequence(lit(0), lit(n - 1))))
     bigSalted.join(smallReplicated, Seq(key, "__salt")).drop("__salt")
   }
+
+  /**
+   * Key-skew profile: the `k` hottest values of `keyCol` with exact counts
+   * and integer-ppm share of all rows — the measurement that decides
+   * WHETHER to salt and with what factor (a key holding share_ppm of the
+   * data caps any shuffle keyed on it at that fraction of one reducer;
+   * salt with n >= share x reducers to restore balance). Exact integer
+   * math and a (count desc, key) total order, so the profile is a pure
+   * function of the data.
+   *
+   * Scale: one count agg with map-side combine, a 1-row total broadcast,
+   * TakeOrdered top-k — the profile output is k rows however large the
+   * input. The total deliberately counts the RAW input, not the per-key
+   * counts: exchange reuse does not fire across the two branches, and a
+   * zero-column count over a columnar source is a metadata-only scan,
+   * where re-running the per-key hash agg would be a second full pass.
+   */
+  def skewProfile(df: DataFrame, keyCol: String, k: Int = 10): DataFrame = {
+    require(k > 0, "k must be positive")
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+    val total = df.groupBy().agg(count(lit(1)).as("__total"))
+    counts.join(broadcast(total))
+      .withColumn("share_ppm",
+        expr("CAST(CAST(n AS DECIMAL(38,0)) * 1000000 DIV __total AS BIGINT)"))
+      .orderBy(col("n").desc, col(keyCol))
+      .limit(k)
+      .select(col(keyCol), col("n"), col("share_ppm"))
+  }
 }

@@ -137,6 +137,12 @@ class PlanInvariantsSpec extends SparkTestBase {
     check("vocab_drift", maxShuffles = 4, maxSmj = 1, maxBnlj = 2)
     // one (type, day) count agg + one per-type window over the day rollup
     check("ingest_anomalies", maxShuffles = 2)
+    // one per-key count agg; the total is a metadata-only zero-column count
+    // broadcast as one row; top-k is TakeOrdered
+    check("key_skew_profile", maxShuffles = 1, maxBnlj = 1)
+    // user-key window + type-pair agg; the ppm total is a global window
+    // over the bounded (<= |types|^2 rows) pair frame — one linear plan
+    check("event_transitions", maxShuffles = 2)
   }
 
   test("leakage-safe split: outer join is equi, split is per-row") {

@@ -21,6 +21,33 @@ class FunnelsSpec extends SparkTestBase {
 
   private val steps = Seq("view", "click", "purchase")
 
+  test("transitionCounts pairs consecutive events per user, exactly") {
+    // tie-broken by the third column (unique "event id" = ts here is not
+    // unique for user 3/5, so use an explicit id)
+    val ev = Seq(
+      (1L, 10L, 100L, "view"), (1L, 20L, 101L, "click"), (1L, 30L, 102L, "purchase"),
+      (2L, 20L, 103L, "click"), (2L, 25L, 104L, "view"),
+      (3L, 5L, 105L, "view"), (3L, 6L, 106L, "click"), (3L, 7L, 107L, "view")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = Funnels.transitionCounts(ev, "user_id", "ts", "event_type", "event_id")
+      .as[(String, String, Long, Long)].collect().toSet
+    // 5 transitions total: view->click x2, click->purchase x1, click->view x2
+    out shouldBe Set(
+      ("view", "click", 2L, 400000L),
+      ("click", "purchase", 1L, 200000L),
+      ("click", "view", 2L, 400000L))
+  }
+
+  test("transitionCounts is invariant to input partitioning") {
+    val ev = (1L to 200L).map(i => (i % 7, i, i, if (i % 3 == 0) "a" else "b"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val one = Funnels.transitionCounts(ev.coalesce(1), "user_id", "ts", "event_type", "event_id")
+      .collect().toSet
+    val many = Funnels.transitionCounts(ev.repartition(11), "user_id", "ts", "event_type", "event_id")
+      .collect().toSet
+    one shouldBe many
+  }
+
   test("funnel counts only strictly-ordered step progress") {
     val out = Funnels.funnel(events, "user_id", "ts", "event_type", steps)
       .select($"user_id", $"steps_reached").as[(Long, Long)].collect().toMap

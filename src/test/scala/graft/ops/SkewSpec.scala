@@ -22,6 +22,19 @@ class SkewSpec extends SparkTestBase {
     salted shouldBe plain
   }
 
+  test("skewProfile surfaces the hot key with exact count and ppm share") {
+    val top = Skew.skewProfile(skewed, "k", k = 3)
+      .as[(String, Long, Long)].collect()
+    top.head shouldBe (("hot", 10000L, 990099L)) // 10000 * 1e6 DIV 10100
+    top should have size 3
+    // the cold keys tie at 10 rows each: (n desc, key asc) breaks the tie
+    top(1)._1 shouldBe "k0"
+    top(2)._1 shouldBe "k1"
+    // partitioning-invariant (pure function of the data)
+    Skew.skewProfile(skewed.repartition(13), "k", k = 3)
+      .as[(String, Long, Long)].collect() shouldBe top
+  }
+
   test("saltedJoin matches the plain join") {
     val dim = Seq(("hot", "H"), ("k1", "A"), ("k5", "B")).toDF("k", "label")
     val plain = skewed.join(dim, "k").groupBy("k", "label").count()
