@@ -2429,6 +2429,26 @@ object Queries {
               cast(cast(n AS hugeint) * 1000000 // t AS bigint) AS share_ppm
        FROM pairs, tot"""
 
+  /**
+   * Weekly retention cohorts over the event stream
+   * ([[graft.ops.Funnels.retentionCohorts]]): users keyed to their first
+   * ISO week, counted once per week they return.
+   */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    graft.ops.Funnels.retentionCohorts(events(dir), "user_id",
+      date_format(date_trunc("week", col("ts")), "yyyy-MM-dd"))
+  }
+
+  val retentionCohortsSql: String =
+    """WITH bucketed AS (
+         SELECT DISTINCT user_id, strftime(date_trunc('week', ts), '%Y-%m-%d') AS bucket
+         FROM events),
+       cohorts AS (SELECT user_id, min(bucket) AS cohort FROM bucketed GROUP BY user_id)
+       SELECT cohort, bucket, count(*) AS n_users
+       FROM bucketed JOIN cohorts USING (user_id)
+       GROUP BY 1, 2"""
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -2527,5 +2547,6 @@ object Queries {
     ("vocab_drift", vocabDriftQ _, Some(vocabDriftSql)),
     ("ingest_anomalies", ingestAnomalies _, Some(ingestAnomaliesSql)),
     ("key_skew_profile", keySkewProfile _, Some(keySkewProfileSql)),
-    ("event_transitions", eventTransitions _, Some(eventTransitionsSql)))
+    ("event_transitions", eventTransitions _, Some(eventTransitionsSql)),
+    ("retention_cohorts", retentionCohorts _, Some(retentionCohortsSql)))
 }

@@ -66,6 +66,31 @@ object Funnels {
       .agg(count(lit(1)).as("n_users"))
 
   /**
+   * Retention cohort matrix: users grouped by their FIRST active bucket
+   * (the cohort), counted once per later bucket they return in — the
+   * "how many of January's new users were still here in March" table.
+   * Output: `(cohort, bucket, n_users)` for every observed pair with
+   * `bucket >= cohort`; read retention rate by dividing by the cohort's
+   * own `bucket = cohort` row.
+   *
+   * Scale: a per-user min agg (cohort assignment) and a distinct
+   * (user, bucket) agg — both user-keyed, map-side combining — then one
+   * equi-join on the user key and a final tiny (cohort, bucket) agg.
+   * Never a window over event history; never a per-user collect.
+   */
+  def retentionCohorts(
+      events: DataFrame,
+      userCol: String,
+      bucket: org.apache.spark.sql.Column): DataFrame = {
+    val bucketed = events.select(col(userCol), bucket.as("bucket"))
+    val cohorts = bucketed.groupBy(col(userCol)).agg(min(col("bucket")).as("cohort"))
+    bucketed.distinct()
+      .join(cohorts, Seq(userCol))
+      .groupBy(col("cohort"), col("bucket"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /**
    * First-order transition counts over each user's event sequence: for
    * every consecutive `(from_type, to_type)` pair in `(tsCol, tieCol)`
    * order, the exact count and integer-ppm share of all transitions — the

@@ -143,6 +143,9 @@ class PlanInvariantsSpec extends SparkTestBase {
     // user-key window + type-pair agg; the ppm total is a global window
     // over the bounded (<= |types|^2 rows) pair frame — one linear plan
     check("event_transitions", maxShuffles = 2)
+    // (user, bucket) distinct + per-user min cohort (both user-keyed,
+    // shareable partitioning) + join + tiny (cohort, bucket) agg
+    check("retention_cohorts", maxShuffles = 3)
   }
 
   test("leakage-safe split: outer join is equi, split is per-row") {

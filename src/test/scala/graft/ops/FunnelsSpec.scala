@@ -21,6 +21,18 @@ class FunnelsSpec extends SparkTestBase {
 
   private val steps = Seq("view", "click", "purchase")
 
+  test("retentionCohorts keys each user to its first bucket, counts returns once") {
+    import org.apache.spark.sql.functions.col
+    val ev = Seq(
+      (1L, "w1"), (1L, "w1"), (1L, "w2"), // u1: cohort w1, returns w2 (dup visit collapses)
+      (2L, "w1"), // u2: cohort w1, never returns
+      (3L, "w2"), (3L, "w2") // u3: cohort w2
+    ).toDF("user_id", "b")
+    val out = Funnels.retentionCohorts(ev, "user_id", col("b"))
+      .as[(String, String, Long)].collect().toSet
+    out shouldBe Set(("w1", "w1", 2L), ("w1", "w2", 1L), ("w2", "w2", 1L))
+  }
+
   test("transitionCounts pairs consecutive events per user, exactly") {
     // tie-broken by the third column (unique "event id" = ts here is not
     // unique for user 3/5, so use an explicit id)
