@@ -99,6 +99,17 @@ object ScaleCheck {
       ops.Funnels.funnelCounts(bigEvents, "user_id", "ts", "event_type",
         Seq("view", "click", "purchase"))
     }
+    // the user-key lead window is the cost driver: same shape as sessionize
+    time("event_transitions") {
+      ops.Funnels.transitionCounts(bigEvents, "user_id", "ts", "event_type", "event_id")
+    }
+    time("retention_cohorts") {
+      ops.Funnels.retentionCohorts(bigEvents, "user_id",
+        date_format(date_trunc("week", col("ts")), "yyyy-MM-dd"))
+    }
+    time("key_skew_profile") {
+      ops.Skew.skewProfile(bigEvents, "user_id")
+    }
     time("vocab_stats") {
       ops.TextAnalysis.vocabStats(bigDocs, "text")
     }
