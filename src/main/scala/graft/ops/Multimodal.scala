@@ -106,6 +106,154 @@ object Multimodal {
   }
 
   /**
+   * Real image features, JDK-only: decode, resample to a `grid` x `grid`
+   * luma (perceived-brightness) patch by box-averaging pixel blocks, and
+   * normalize to zero mean — the classic aHash/dHash family's underlying
+   * representation, here exposed as a dense embedding so image payloads
+   * flow into the [[Similarity]] ANN/dedup operators unchanged. Visually
+   * similar images (resizes, small edits, recompressions) land near each
+   * other in cosine space; a learned encoder can replace this per-column
+   * without touching any downstream operator.
+   */
+  private[ops] def lumaGrid(img: java.awt.image.BufferedImage, grid: Int): Array[Double] = {
+    val out = Array.ofDim[Double](grid * grid)
+    val (w, h) = (img.getWidth, img.getHeight)
+    var gy = 0
+    while (gy < grid) {
+      var gx = 0
+      while (gx < grid) {
+        // box bounds: integer arithmetic, never empty (ceil-div guarded)
+        val x0 = gx * w / grid; val x1 = math.max((gx + 1) * w / grid, x0 + 1)
+        val y0 = gy * h / grid; val y1 = math.max((gy + 1) * h / grid, y0 + 1)
+        var sum = 0.0
+        var y = y0
+        while (y < math.min(y1, h)) {
+          var x = x0
+          while (x < math.min(x1, w)) {
+            val rgb = img.getRGB(x, y)
+            // ITU-R BT.601 luma from the sRGB bytes
+            sum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+              0.114 * (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        out(gy * grid + gx) = sum / ((math.min(x1, w) - x0) * (math.min(y1, h) - y0))
+        gx += 1
+      }
+      gy += 1
+    }
+    out
+  }
+
+  /**
+   * Per-image embeddings from [[lumaGrid]] (zero-meaned, as `Array[Float]`
+   * under the standard `(id, embedding)` contract). Image payloads decode
+   * via [[Codec]]; non-image payloads fall back to [[featureStub]]'s
+   * deterministic pseudo-embedding so mixed-media tables never fail.
+   * Runs per-partition on executors; payload bytes drop before any shuffle.
+   */
+  def imageFeatures(df: DataFrame, idCol: String, payloadCol: String, grid: Int = 8): DataFrame = {
+    require(grid >= 2, "grid must be at least 2")
+    val projected = df.select(col(idCol).cast("long"), col(payloadCol))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dim = grid * grid
+    projected.mapPartitions { rows =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      rows.map { row =>
+        val id = row.getLong(0)
+        val payload = row.getAs[Array[Byte]](1)
+        val img =
+          if (Codec.isImage(payload)) {
+            try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+            catch { case _: java.io.IOException => None }
+          } else None
+        val vec = img match {
+          case Some(i) =>
+            val g = lumaGrid(i, grid)
+            val mean = g.sum / g.length
+            g.map(v => (v - mean).toFloat)
+          case None => // deterministic fallback, same as featureStub
+            Array.tabulate(dim) { j =>
+              digest.reset(); digest.update(payload); digest.update(j.toByte)
+              val h = digest.digest()
+              val bits = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+                ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+              (bits.toDouble / Int.MaxValue.toDouble - 1.0).toFloat
+            }
+        }
+        (id, vec)
+      }
+    }.toDF(idCol, "embedding")
+  }
+
+  /**
+   * Perceptual average-hash (aHash): 64-bit fingerprint with bit `i` set
+   * when the 8x8 luma cell exceeds the image mean. Visually-near images
+   * differ in a few bits, so near-duplicate IMAGE detection is a Hamming
+   * join over these — exactly the shape [[Dedup.simhashNearDupPairs]] uses
+   * for text; [[imageNearDupPairs]] applies the same 4-band pigeonhole
+   * bucketing (exact recall for Hamming <= 3, never an all-pairs compare).
+   * Non-image payloads hash their md5 bytes (exact-dup detection only).
+   */
+  def aHash(payload: Array[Byte]): Long = {
+    val img =
+      if (Codec.isImage(payload)) {
+        try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+        catch { case _: java.io.IOException => None }
+      } else None
+    img match {
+      case Some(i) =>
+        val g = lumaGrid(i, 8)
+        val mean = g.sum / g.length
+        g.zipWithIndex.foldLeft(0L) { case (acc, (v, j)) =>
+          if (v > mean) acc | (1L << j) else acc
+        }
+      case None =>
+        val h = java.security.MessageDigest.getInstance("MD5").digest(payload)
+        (0 until 8).foldLeft(0L)((acc, j) => (acc << 8) | (h(j) & 0xffL))
+    }
+  }
+
+  /**
+   * Near-duplicate image pairs by banded perceptual-hash Hamming join:
+   * compute [[aHash]] per payload on executors, split the 64 bits into 4
+   * 16-bit bands, self-equi-join on `(band, value)` buckets (pigeonhole:
+   * any pair within `maxHamming <= 3` shares at least one intact band),
+   * verify with the exact Hamming distance. Output `(id_a, id_b, hamming)`
+   * with `id_a < id_b`. Identical scale shape to the text SimHash join —
+   * bucketed equi-joins only, never all-pairs.
+   */
+  def imageNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(0 <= maxHamming && maxHamming <= 3,
+      "4 bands guarantee recall only for maxHamming <= 3")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hashed = df.select(col(idCol).cast("long"), col(payloadCol))
+      .mapPartitions(_.map(r => (r.getLong(0), aHash(r.getAs[Array[Byte]](1)))))
+      .toDF(idCol, "__ah")
+    val banded = hashed.select(col(idCol), col("__ah"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("__ah"), b * 16).bitwiseAND(lit(65535L)).as("bb"))): _*)).as("e"))
+      .select(col(idCol), col("__ah"), col("e.band").as("band"), col("e.bb").as("bb"))
+    val a = banded.select(col("band"), col("bb"), col(idCol).as("id_a"), col("__ah").as("__ah_a"))
+    val b = banded.select(col("band"), col("bb"), col(idCol).as("id_b"), col("__ah").as("__ah_b"))
+    a.join(b, Seq("band", "bb"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming",
+        bit_count(col("__ah_a").bitwiseXOR(col("__ah_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .distinct()
+  }
+
+  /**
    * Feature extraction stub: a deterministic pseudo-embedding from the
    * payload bytes (md5 over seeded windows, mapped to [-1, 1]). Stands in
    * for a real image/audio encoder — swapping in an ONNX/JNI model changes

@@ -82,6 +82,52 @@ class MultimodalSpec extends SparkTestBase {
       .filter($"embedding" =!= $"e2").count() shouldBe 0
   }
 
+  private def png(w: Int, h: Int)(f: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, f(x, y))
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    buf.toByteArray
+  }
+
+  test("imageFeatures embeds real pixels: scale-invariant, contrast-sensitive") {
+    val halfBright = png(16, 16)((x, _) => if (x < 8) 0x000000 else 0xffffff)
+    val halfBrightBig = png(32, 32)((x, _) => if (x < 16) 0x000000 else 0xffffff)
+    val inverted = png(16, 16)((x, _) => if (x < 8) 0xffffff else 0x000000)
+    val media = Seq((1L, halfBright), (2L, halfBrightBig), (3L, inverted))
+      .toDF("doc_id", "payload")
+    val vecs = Multimodal.imageFeatures(media, "doc_id", "payload", grid = 8)
+      .collect().map(r => r.getLong(0) -> r.getAs[Seq[Float]](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    // same pattern at 2x resolution -> identical luma grid -> cosine 1
+    cos(vecs(1L), vecs(2L)) shouldBe 1.0 +- 1e-6
+    // inverted pattern -> anti-correlated
+    cos(vecs(1L), vecs(3L)) shouldBe -1.0 +- 1e-6
+  }
+
+  test("imageNearDupPairs finds perceptually-near images via banded aHash join") {
+    val base = png(16, 16)((x, y) => if (x + y < 16) 0x101010 else 0xe0e0e0)
+    // one-pixel tweak: perceptually the same image
+    val tweaked = png(16, 16)((x, y) =>
+      if (x == 3 && y == 3) 0x202020 else if (x + y < 16) 0x101010 else 0xe0e0e0)
+    val inverted = png(16, 16)((x, y) => if (x + y < 16) 0xe0e0e0 else 0x101010)
+    Multimodal.aHash(base) should not be Multimodal.aHash(inverted)
+    val media = Seq((1L, base), (2L, tweaked), (3L, inverted)).toDF("doc_id", "payload")
+    val pairs = Multimodal.imageNearDupPairs(media, "doc_id", "payload", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    pairs should contain((1L, 2L))
+    pairs.exists { case (a, b) => a == 3L || b == 3L } shouldBe false
+    // non-image payloads fall back to exact md5 bits: identical bytes pair up
+    val blobs = Seq((10L, "same bytes".getBytes("UTF-8")),
+      (11L, "same bytes".getBytes("UTF-8")),
+      (12L, "other bytes".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    Multimodal.imageNearDupPairs(blobs, "doc_id", "payload", maxHamming = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet shouldBe Set((10L, 11L))
+  }
+
   test("sampleOffsets picks n evenly spaced byte offsets") {
     val df = Seq(("x" * 100)).toDF("text").select(encode($"text", "UTF-8").as("payload"))
     df.select(Multimodal.sampleOffsets($"payload", 4)).as[Seq[Long]].head() shouldBe
