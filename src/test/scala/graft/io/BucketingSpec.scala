@@ -49,6 +49,57 @@ class BucketingSpec extends SparkTestBase {
     ranges.count { case (lo, hi) => lo <= 12345 && 12345 <= hi } shouldBe 1
   }
 
+  test("zOrderLayout files are prunable on BOTH dimensions; rangeLayout is not") {
+    // a 140x140 grid in scrambled order: x and y are independent keys
+    val n = 19600
+    val df = spark.range(n).select(
+      ((($"id" * 7919) % n) % 140).as("x"),
+      expr(s"((id * 7919) % $n) DIV 140").as("y"),
+      $"id".as("payload"))
+    def fileSpans(dir: String): Array[((Long, Long), (Long, Long))] =
+      new java.io.File(dir).listFiles().map(_.toString).filter(_.endsWith(".parquet"))
+        .map { f =>
+          spark.read.parquet(f).agg(min($"x"), max($"x"), min($"y"), max($"y"))
+            .as[(Long, Long, Long, Long)].head() match {
+              case (xlo, xhi, ylo, yhi) => ((xlo, xhi), (ylo, yhi))
+            }
+        }
+    def overlapping(spans: Array[(Long, Long)], v: Long): Int =
+      spans.count { case (lo, hi) => lo <= v && v <= hi }
+
+    val zDir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    Bucketing.zOrderLayout(df, "x", "y", numFiles = 16)
+      .write.mode("overwrite").parquet(zDir)
+    val zSpans = fileSpans(zDir)
+    zSpans.length shouldBe 16
+    spark.read.parquet(zDir).count() shouldBe n
+    // compact 2-D blocks: a point slice on EITHER dimension overlaps only
+    // a minority of footers (~sqrt of the file count, bound generously)
+    overlapping(zSpans.map(_._1), 70L) should be <= 8
+    overlapping(zSpans.map(_._2), 70L) should be <= 8
+
+    // control: single-column range layout cannot prune the OTHER dimension
+    val rDir = java.nio.file.Files.createTempDirectory("graft-range1d").toString
+    Bucketing.rangeLayout(df, Seq("x"), numFiles = 16)
+      .write.mode("overwrite").parquet(rDir)
+    val rSpans = fileSpans(rDir)
+    overlapping(rSpans.map(_._1), 70L) should be <= 2 // x: perfectly prunable
+    overlapping(rSpans.map(_._2), 70L) shouldBe rSpans.length // y: every file
+  }
+
+  test("mortonKey interleaves bits exactly") {
+    val rows = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (0xFFFFFFFFL, 0L))
+      .toDF("a", "b")
+      .select(Bucketing.mortonKey($"a", $"b").as("z")).as[Long].collect()
+    rows(0) shouldBe 0L
+    rows(1) shouldBe 1L // a's bit 0 -> position 0
+    rows(2) shouldBe 2L // b's bit 0 -> position 1
+    // a=0b011 spreads to 0b010101 & a-lanes, b=0b101 to b-lanes:
+    // z = interleave(a=3, b=5) = b2 a2 b1 a1 b0 a0 = 1 0 0 1 1 1 = 0b100111
+    rows(3) shouldBe 0x27L
+    rows(4) shouldBe 0x5555555555555555L // all 32 a-bits in even positions
+  }
+
   test("a non-bucketed join of the same data does shuffle (control)") {
     val facts = spark.range(1000).select($"id".as("k"), lit(1.0).as("x"))
     val dims = spark.range(1000).select($"id".as("k"), lit("v").as("label"))
