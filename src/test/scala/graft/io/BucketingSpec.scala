@@ -71,12 +71,14 @@ class BucketingSpec extends SparkTestBase {
     Bucketing.zOrderLayout(df, "x", "y", numFiles = 16)
       .write.mode("overwrite").parquet(zDir)
     val zSpans = fileSpans(zDir)
-    zSpans.length shouldBe 16
+    // range-sampling can leave a boundary partition empty; demand most files
+    zSpans.length should be >= 12
     spark.read.parquet(zDir).count() shouldBe n
     // compact 2-D blocks: a point slice on EITHER dimension overlaps only
-    // a minority of footers (~sqrt of the file count, bound generously)
-    overlapping(zSpans.map(_._1), 70L) should be <= 8
-    overlapping(zSpans.map(_._2), 70L) should be <= 8
+    // a minority of footers (~sqrt of the file count, bound generously at
+    // half — the 1-D control below overlaps ALL files on y)
+    overlapping(zSpans.map(_._1), 70L) should be <= zSpans.length / 2
+    overlapping(zSpans.map(_._2), 70L) should be <= zSpans.length / 2
 
     // control: single-column range layout cannot prune the OTHER dimension
     val rDir = java.nio.file.Files.createTempDirectory("graft-range1d").toString
