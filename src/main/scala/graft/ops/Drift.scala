@@ -14,8 +14,14 @@ import org.apache.spark.sql.functions._
  */
 object Drift {
 
-  /** Per-term counts of a corpus (vocabulary-sized output). */
-  private def termCounts(df: DataFrame, textCol: String): DataFrame =
+  /**
+   * Per-term counts of a corpus: `(term, cnt)`, vocabulary-sized output.
+   * This is the SNAPSHOT to persist (e.g. one WarehouseTable partition per
+   * day): vocab-sized rows instead of the corpus, and any two snapshots
+   * diff via [[vocabDriftFromCounts]] without ever re-reading raw text —
+   * the only affordable drift-monitoring shape at 100 TB/day.
+   */
+  def termCounts(df: DataFrame, textCol: String): DataFrame =
     df.select(explode(TextAnalysis.tokens(col(textCol))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
 
@@ -34,10 +40,18 @@ object Drift {
    * and the corpus totals ride in as 1-row broadcasts. Top-k is a
    * TakeOrdered, not a global sort shuffle.
    */
-  def vocabDrift(old: DataFrame, cur: DataFrame, textCol: String, k: Int = 20): DataFrame = {
+  def vocabDrift(old: DataFrame, cur: DataFrame, textCol: String, k: Int = 20): DataFrame =
+    vocabDriftFromCounts(termCounts(old, textCol), termCounts(cur, textCol), k)
+
+  /**
+   * [[vocabDrift]] over two persisted `(term, cnt)` snapshots
+   * ([[termCounts]]) — the incremental form: raw text is read once per
+   * snapshot ever; every later comparison is vocab-sized work.
+   */
+  def vocabDriftFromCounts(old: DataFrame, cur: DataFrame, k: Int = 20): DataFrame = {
     require(k > 0, "k must be positive")
-    val oldC = termCounts(old, textCol).withColumnRenamed("cnt", "cnt_old")
-    val curC = termCounts(cur, textCol).withColumnRenamed("cnt", "cnt_cur")
+    val oldC = old.select(col("term"), col("cnt").as("cnt_old"))
+    val curC = cur.select(col("term"), col("cnt").as("cnt_cur"))
     val oldTotal = oldC.agg(sum(col("cnt_old")).as("__tot_old"))
     val curTotal = curC.agg(sum(col("cnt_cur")).as("__tot_cur"))
     oldC.join(curC, Seq("term"), "full_outer")
