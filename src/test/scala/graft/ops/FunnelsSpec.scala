@@ -60,6 +60,39 @@ class FunnelsSpec extends SparkTestBase {
     one shouldBe many
   }
 
+  test("transitionCounts matches a naive in-memory reference on seeded random data") {
+    val rnd = new scala.util.Random(42)
+    val types = Array("view", "click", "buy", "err")
+    val rows = (1 to 500).map { i =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(1000).toLong, i.toLong, types(rnd.nextInt(4)))
+    }
+    // event ids unique; (ts, id) is a total order per user
+    val naivePairs = rows.groupBy(_._1).values.flatMap { evs =>
+      evs.sortBy(e => (e._2, e._3)).map(_._4).sliding(2).collect { case Seq(a, b) => (a, b) }
+    }.toSeq
+    val naiveCounts = naivePairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val total = naivePairs.size.toLong
+    val expected = naiveCounts.map { case ((f, t), n) =>
+      (f, t, n, (BigInt(n) * 1000000 / total).toLong)
+    }.toSet
+    val df = rows.toDF("user_id", "ts", "event_id", "event_type")
+    Funnels.transitionCounts(df.repartition(9), "user_id", "ts", "event_type", "event_id")
+      .as[(String, String, Long, Long)].collect().toSet shouldBe expected
+  }
+
+  test("retentionCohorts matches a naive in-memory reference on seeded random data") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 400).map(_ => (rnd.nextInt(30).toLong, f"2026-${1 + rnd.nextInt(6)}%02d"))
+    val firstBucket = rows.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val expected = rows.distinct
+      .groupBy { case (u, b) => (firstBucket(u), b) }
+      .view.mapValues(_.map(_._1).distinct.size.toLong)
+      .toMap.map { case ((c, b), n) => (c, b, n) }.toSet
+    val df = rows.toDF("user_id", "b")
+    Funnels.retentionCohorts(df.repartition(9), "user_id", org.apache.spark.sql.functions.col("b"))
+      .as[(String, String, Long)].collect().toSet shouldBe expected
+  }
+
   test("funnel counts only strictly-ordered step progress") {
     val out = Funnels.funnel(events, "user_id", "ts", "event_type", steps)
       .select($"user_id", $"steps_reached").as[(Long, Long)].collect().toMap
