@@ -12,10 +12,12 @@ import org.apache.spark.sql.functions._
  * The Spark-side plumbing — schema, encoders, partition-friendly batch
  * iteration via `mapPartitions` — is real and tested. Image payloads
  * (PNG/JPEG/GIF/BMP, sniffed by magic bytes) decode through the JDK's own
- * `javax.imageio` ([[Codec]]) — zero extra dependencies. Payload kinds the
- * JDK cannot decode (audio, video) fall back to a deterministic fake
- * ([[FakeCodec]]) that keeps the full pipeline shape testable; swapping in
- * a real audio/video decoder changes only `Codec.decode`.
+ * `javax.imageio` ([[Codec]]), and audio containers the JDK ships parsers
+ * for (WAV/AIFF/AU) yield real header metadata via `javax.sound.sampled`
+ * ([[decodeAudioMeta]]) — zero extra dependencies either way. Payload
+ * kinds the JDK cannot decode (video, compressed audio) fall back to a
+ * deterministic fake ([[FakeCodec]]) that keeps the full pipeline shape
+ * testable; swapping in a real decoder changes only `Codec.decode`.
  */
 object Multimodal {
 
@@ -29,6 +31,18 @@ object Multimodal {
       height: Int)
 
   implicit val mediaMetaEncoder: Encoder[MediaMeta] = Encoders.product[MediaMeta]
+
+  /** Typed metadata for an audio payload (real decode for WAV/AIFF/AU). */
+  case class AudioMeta(
+      docId: Long,
+      byteLen: Long,
+      checksum: String,
+      sampleRateHz: Double,
+      channels: Int,
+      frames: Long,
+      durationMs: Long)
+
+  implicit val audioMetaEncoder: Encoder[AudioMeta] = Encoders.product[AudioMeta]
 
   /**
    * Deterministic stand-in for the media formats the JDK cannot decode
@@ -103,6 +117,44 @@ object Multimodal {
         MediaMeta(id, kind, payload.length.toLong, checksum, w, h)
       }
     }(mediaMetaEncoder)
+  }
+
+  /**
+   * Real audio metadata via the JDK's `javax.sound.sampled`: sample rate,
+   * channel count, frame count, and duration for the container formats the
+   * JDK ships parsers for (WAV, AIFF, AU). Header-only — the PCM payload
+   * is never decoded, so this costs a few hundred bytes per row however
+   * long the clip. Unparseable payloads yield a `-1`-sentinel row rather
+   * than failing the task (dirty payloads quarantine, same policy as
+   * [[Codec]]). Runs per-partition on executors; bytes drop before any
+   * shuffle.
+   */
+  def decodeAudioMeta(df: DataFrame, idCol: String, payloadCol: String): Dataset[AudioMeta] = {
+    val projected = df.select(col(idCol).cast("long"), col(payloadCol))
+    projected.mapPartitions { rows =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      rows.map { row =>
+        val id = row.getLong(0)
+        val payload = row.getAs[Array[Byte]](1)
+        digest.reset()
+        val checksum = digest.digest(payload).map("%02x".format(_)).mkString
+        val parsed =
+          try {
+            val fmt = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+              new java.io.ByteArrayInputStream(payload))
+            val af = fmt.getFormat
+            val frames = fmt.getFrameLength.toLong
+            val rate = af.getSampleRate.toDouble
+            val durMs = if (frames >= 0 && rate > 0) (frames * 1000L / rate.toLong) else -1L
+            Some((rate, af.getChannels, frames, durMs))
+          } catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException => None
+            case _: java.io.IOException => None
+          }
+        val (rate, ch, frames, durMs) = parsed.getOrElse((-1.0, -1, -1L, -1L))
+        AudioMeta(id, payload.length.toLong, checksum, rate, ch, frames, durMs)
+      }
+    }(audioMetaEncoder)
   }
 
   /**

@@ -128,6 +128,31 @@ class MultimodalSpec extends SparkTestBase {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet shouldBe Set((10L, 11L))
   }
 
+  test("decodeAudioMeta parses real WAV headers; non-audio quarantines") {
+    // a genuine 1-second 8 kHz mono PCM WAV, built in memory
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val frames = 8000
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(new Array[Byte](frames * 2)), fmt, frames.toLong)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
+    val wav = buf.toByteArray
+
+    val media = Seq((1L, wav), (2L, "definitely not audio".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val rows = Multimodal.decodeAudioMeta(media, "doc_id", "payload")
+      .collect().map(m => m.docId -> m).toMap
+    rows(1L).sampleRateHz shouldBe 8000.0
+    rows(1L).channels shouldBe 1
+    rows(1L).frames shouldBe 8000L
+    rows(1L).durationMs shouldBe 1000L
+    rows(1L).byteLen shouldBe wav.length.toLong
+    // unparseable payload: sentinel row, task never fails
+    rows(2L).sampleRateHz shouldBe -1.0
+    rows(2L).frames shouldBe -1L
+  }
+
   test("sampleOffsets picks n evenly spaced byte offsets") {
     val df = Seq(("x" * 100)).toDF("text").select(encode($"text", "UTF-8").as("payload"))
     df.select(Multimodal.sampleOffsets($"payload", 4)).as[Seq[Long]].head() shouldBe
