@@ -157,6 +157,88 @@ object Multimodal {
     }(audioMetaEncoder)
   }
 
+  /** Typed metadata for a video payload (MP4/ISO-BMFF header parse). */
+  case class VideoMeta(
+      docId: Long,
+      byteLen: Long,
+      checksum: String,
+      timescale: Long,
+      duration: Long,
+      durationMs: Long)
+
+  implicit val videoMetaEncoder: Encoder[VideoMeta] = Encoders.product[VideoMeta]
+
+  /**
+   * Minimal ISO-BMFF (MP4/MOV) box walk: find `moov`/`mvhd` and read the
+   * movie timescale + duration. Pure byte arithmetic over the PUBLIC box
+   * grammar (`[u32 size][4cc type][payload]`, size 1 -> u64 largesize,
+   * size 0 -> to end; mvhd v0 = u32 times, v1 = u64 times) — no codec, no
+   * dependency, a few hundred bytes read per file. Returns None for
+   * anything malformed.
+   */
+  private[ops] def parseMvhd(payload: Array[Byte]): Option[(Long, Long)] = {
+    def u32(o: Int): Long =
+      ((payload(o) & 0xffL) << 24) | ((payload(o + 1) & 0xffL) << 16) |
+        ((payload(o + 2) & 0xffL) << 8) | (payload(o + 3) & 0xffL)
+    def u64(o: Int): Long =
+      (u32(o) << 32) | u32(o + 4)
+    @scala.annotation.tailrec
+    def findBox(start: Int, end: Int, name: String): Option[(Int, Int)] =
+      if (start + 8 > end) None
+      else {
+        val declared = u32(start)
+        val typ = new String(payload, start + 4, 4, "ISO-8859-1")
+        val (size, hdr) =
+          if (declared == 1 && start + 16 <= end) (u64(start + 8), 16)
+          else if (declared == 0) ((end - start).toLong, 8)
+          else (declared, 8)
+        if (size < hdr || start + size > end) None
+        else if (typ == name) Some((start + hdr, start + size.toInt))
+        else findBox(start + size.toInt, end, name)
+      }
+    try
+      for {
+        (ms, me) <- findBox(0, payload.length, "moov")
+        (hs, he) <- findBox(ms, me, "mvhd")
+        version = payload(hs) & 0xff
+        result <- version match {
+          case 0 if hs + 20 <= he => Some((u32(hs + 12), u32(hs + 16)))
+          case 1 if hs + 32 <= he => Some((u32(hs + 20), u64(hs + 24)))
+          case _ => None
+        }
+      } yield result
+    catch { case _: IndexOutOfBoundsException => None }
+  }
+
+  /** True when the payload carries an ISO-BMFF `ftyp` signature. */
+  def isIsoBmff(payload: Array[Byte]): Boolean =
+    payload.length >= 12 && payload(4) == 'f' && payload(5) == 't' &&
+      payload(6) == 'y' && payload(7) == 'p'
+
+  /**
+   * Real video metadata for MP4/MOV payloads: movie timescale, duration
+   * in timescale units, and milliseconds — from the `mvhd` header alone,
+   * never touching sample data, so cost is independent of clip size.
+   * Non-BMFF or malformed payloads yield `-1`-sentinel rows (quarantine,
+   * not task failure). Runs per-partition on executors.
+   */
+  def decodeVideoMeta(df: DataFrame, idCol: String, payloadCol: String): Dataset[VideoMeta] = {
+    val projected = df.select(col(idCol).cast("long"), col(payloadCol))
+    projected.mapPartitions { rows =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      rows.map { row =>
+        val id = row.getLong(0)
+        val payload = row.getAs[Array[Byte]](1)
+        digest.reset()
+        val checksum = digest.digest(payload).map("%02x".format(_)).mkString
+        val parsed = if (isIsoBmff(payload)) parseMvhd(payload) else None
+        val (ts, dur) = parsed.getOrElse((-1L, -1L))
+        val durMs = if (ts > 0 && dur >= 0) dur * 1000L / ts else -1L
+        VideoMeta(id, payload.length.toLong, checksum, ts, dur, durMs)
+      }
+    }(videoMetaEncoder)
+  }
+
   /**
    * Real image features, JDK-only: decode, resample to a `grid` x `grid`
    * luma (perceived-brightness) patch by box-averaging pixel blocks, and

@@ -153,6 +153,40 @@ class MultimodalSpec extends SparkTestBase {
     rows(2L).frames shouldBe -1L
   }
 
+  test("decodeVideoMeta reads mvhd timescale/duration from a hand-built MP4") {
+    // minimal ISO-BMFF: ftyp box + moov box wrapping an mvhd v0 with
+    // timescale 600 and duration 1800 (= 3000 ms)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length).put(typ.getBytes("ISO-8859-1")).put(payload)
+      bb.array()
+    }
+    val mvhd = {
+      val bb = java.nio.ByteBuffer.allocate(100) // v0 mvhd body is 100 bytes
+      bb.putInt(0) // version 0 + flags
+      bb.putInt(0).putInt(0) // creation, modification
+      bb.putInt(600) // timescale
+      bb.putInt(1800) // duration
+      bb.array()
+    }
+    val mp4 = box("ftyp", "isom0000".getBytes("ISO-8859-1")) ++
+      box("moov", box("mvhd", mvhd))
+    Multimodal.isIsoBmff(mp4) shouldBe true
+    Multimodal.parseMvhd(mp4) shouldBe Some((600L, 1800L))
+
+    val media = Seq((1L, mp4), (2L, "not a video".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val rows = Multimodal.decodeVideoMeta(media, "doc_id", "payload")
+      .collect().map(m => m.docId -> m).toMap
+    rows(1L).timescale shouldBe 600L
+    rows(1L).duration shouldBe 1800L
+    rows(1L).durationMs shouldBe 3000L
+    rows(2L).timescale shouldBe -1L // quarantined, not failed
+    // a truncated/corrupt BMFF payload also quarantines
+    val corrupt = mp4.take(20)
+    Multimodal.parseMvhd(corrupt) shouldBe None
+  }
+
   test("sampleOffsets picks n evenly spaced byte offsets") {
     val df = Seq(("x" * 100)).toDF("text").select(encode($"text", "UTF-8").as("payload"))
     df.select(Multimodal.sampleOffsets($"payload", 4)).as[Seq[Long]].head() shouldBe
