@@ -177,6 +177,22 @@ object TextHash {
     }
     value
   }
+
+  /**
+   * Unicode normalization via `java.text.Normalizer` (JDK, zero deps) —
+   * the canonical first pass of every text pipeline: composed vs
+   * decomposed accents (NFC/NFD) and compatibility folds (NFKC/NFKD:
+   * fullwidth forms, ligatures, superscripts) otherwise make byte-equal
+   * comparisons — exact dedup, fingerprints, token counts — silently miss
+   * equivalent text. The already-normalized fast path (the overwhelming
+   * majority of real text) returns the input without allocating.
+   */
+  def unicodeNormalize(text: UTF8String, form: String): UTF8String = {
+    val f = java.text.Normalizer.Form.valueOf(form)
+    val s = text.toString
+    if (java.text.Normalizer.isNormalized(s, f)) text
+    else UTF8String.fromString(java.text.Normalizer.normalize(s, f))
+  }
 }
 
 /** Base for graft's unary string-hash expressions: codegen is a static call. */
@@ -233,6 +249,22 @@ case class SimHash32(child: Expression) extends TextHashExpression {
     copy(child = newChild)
 }
 
+case class UnicodeNormalize(child: Expression, form: String) extends TextHashExpression {
+  require(UnicodeNormalize.Forms(form), s"form must be one of ${UnicodeNormalize.Forms}, got $form")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "unicode_normalize"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.unicodeNormalize(input.asInstanceOf[UTF8String], form)
+  override protected def staticCall(c: String): String =
+    s"""graft.functions.TextHash$$.MODULE$$.unicodeNormalize($c, "$form")"""
+  override protected def withNewChildInternal(newChild: Expression): UnicodeNormalize =
+    copy(child = newChild)
+}
+
+object UnicodeNormalize {
+  val Forms: Set[String] = Set("NFC", "NFD", "NFKC", "NFKD")
+}
+
 case class SimHash64(child: Expression) extends TextHashExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
@@ -269,6 +301,11 @@ object functions {
   def simhash64(text: Column): Column =
     GraftExpressionBridge.column(SimHash64(GraftExpressionBridge.expression(text)))
 
+  /** Unicode normalization (NFC/NFD/NFKC/NFKD); default NFKC — the LLM-pipeline fold. */
+  def unicode_normalize(text: Column, form: String = "NFKC"): Column =
+    GraftExpressionBridge.column(
+      UnicodeNormalize(GraftExpressionBridge.expression(text), form))
+
   /**
    * Bounded bottom-k aggregate: the `k` smallest values of `e` (by the
    * type's natural ordering — for structs, lexicographic by field), as an
@@ -301,7 +338,16 @@ object functions {
       (args: Seq[Expression]) => SimHash32(args.head)),
     (FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (args: Seq[Expression]) => SimHash64(args.head)))
+      (args: Seq[Expression]) => SimHash64(args.head)),
+    (FunctionIdentifier("unicode_normalize"),
+      new ExpressionInfo(classOf[UnicodeNormalize].getName, "unicode_normalize"),
+      (args: Seq[Expression]) => UnicodeNormalize(args.head,
+        if (args.length > 1) litStr(args(1)) else "NFKC")))
+
+  private def litStr(e: Expression): String = e match {
+    case Literal(v: UTF8String, StringType) => v.toString
+    case other => throw new IllegalArgumentException(s"expected string literal, got $other")
+  }
 }
 
 /** Registers graft's native functions for SQL use via SparkSessionExtensions. */

@@ -189,6 +189,32 @@ class DedupSpec extends SparkTestBase {
     composed.orderBy("id").collect() shouldBe native.orderBy("id").collect()
   }
 
+  test("unicode_normalize folds equivalent text to one byte form") {
+    import graft.functions.functions.unicode_normalize
+    val df = Seq(
+      (1L, "café"), // composed é
+      (2L, "café"), // decomposed e + combining acute
+      (3L, "Ａﬁ x²"), // fullwidth A, fi ligature, superscript 2
+      (4L, "plain ascii")
+    ).toDF("id", "s")
+    val nfkc = df.select($"id", unicode_normalize($"s").as("n"))
+      .as[(Long, String)].collect().toMap
+    nfkc(1L) shouldBe nfkc(2L) // NFC-equivalent inputs converge...
+    nfkc(1L) shouldBe "café"
+    nfkc(3L) shouldBe "Afi x2" // ...and compatibility forms fold
+    nfkc(4L) shouldBe "plain ascii"
+    // NFC preserves compatibility characters (only canonical composition)
+    val nfc = df.filter($"id" === 3)
+      .select(unicode_normalize($"s", "NFC")).as[String].head()
+    nfc shouldBe "Ａﬁ x²"
+    // exact dedup now sees the equivalent texts as one family
+    val deduped = Dedup.exact(
+      df.select($"id", unicode_normalize($"s").as("text")), "text", "id")
+    deduped.count() shouldBe 3 // 1 and 2 collapsed
+    an[IllegalArgumentException] should be thrownBy
+      graft.functions.UnicodeNormalize(null, "NFX")
+  }
+
   test("native minhash works via SQL when GraftExtensions is registered") {
     // the extension-injected function path (spark.sql.extensions) shares the
     // same expression; here we exercise the Column constructor directly
