@@ -199,6 +199,41 @@ class EventStreamsSpec extends SparkTestBase {
     out shouldBe Set(("click", ts(20).getTime, 6L, 4L, 2L))
   }
 
+  test("volume-anomaly monitor agrees with the batch operator on day windows") {
+    implicit val sc = spark.sqlContext
+    // four baseline days of 2 events, then a 6-event day: exactly one flag
+    val events = (0 until 4).flatMap(d => Seq(
+      Event(d * 10L, ts(d * 1440 + 1), 1, "click", 0),
+      Event(d * 10L + 1, ts(d * 1440 + 2), 2, "click", 0))) ++
+      (0 until 6).map(i => Event(100L + i, ts(4 * 1440 + i + 1), 3L + i, "click", 0.0))
+
+    val batch = graft.ops.Drift.volumeAnomalies(
+      asContract(events.toDF()), "event_type",
+      org.apache.spark.sql.functions.date_format($"ts", "yyyy-MM-dd"),
+      trailing = 7, factorPct = 115, minPrevDays = 3)
+      .as[(String, String, Long, Long, Long)].collect().toSet
+
+    val in = MemoryStream[Event]
+    val q = volumeAnomalyMonitor(in.toDS(), windowMinutes = 1440, watermark = "5 minutes",
+      trailing = 7, factorPct = 115, minPrevWindows = 3)
+      .writeStream.format("memory").queryName("vol_parity_out").outputMode("append").start()
+    in.addData(events: _*)
+    q.processAllAvailable()
+    in.addData(Event(999, ts(10 * 1440), 99, "click", 0)) // close day 5
+    q.processAllAvailable()
+    in.addData(Event(1000, ts(20 * 1440), 99, "click", 0))
+    runToCompletion(q)
+    val streaming = spark.table("vol_parity_out")
+      .as[VolumeAnomaly].collect()
+      .map(a => (a.eventType,
+        java.time.Instant.ofEpochMilli(a.windowStartMs)
+          .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString,
+        a.n, a.prevN, a.prevWindows)).toSet
+
+    streaming shouldBe batch // identical integer verdicts, batch and stream
+    batch.map(_._3) shouldBe Set(6L) // and it IS the spike day
+  }
+
   test("volume-anomaly monitor: steady volume never flags, state retires windows") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Event]
