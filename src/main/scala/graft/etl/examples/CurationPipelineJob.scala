@@ -1,0 +1,76 @@
+package graft.etl.examples
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft._
+import graft.etl.{SparkJob, Stage}
+import graft.io.{Warehouse, WarehouseTable}
+import graft.ops.{Dedup, TextAnalysis}
+import graft.time.DateInterval
+
+/**
+ * The complete text-curation recipe as one date-driven job — the template
+ * a training-data team starts from, chaining the library's gates in their
+ * canonical order. Per date:
+ *
+ *  1. read the day's raw documents,
+ *  2. Unicode-normalize the text (NFKC — composed/fullwidth/ligature forms
+ *     fold BEFORE any byte-equality step sees them),
+ *  3. drop documents failing the Gopher-style quality gate,
+ *  4. scrub PII from the survivors (email/phone/IPv4/SSN -> `<KIND>`),
+ *  5. remove near-duplicates (MinHash LSH -> Jaccard verify -> cluster
+ *     representative; pass `checkpointDir` on real clusters),
+ *  6. assign a deterministic train/valid/test split,
+ *  7. write the clean partition.
+ *
+ * Order matters and is load-bearing: normalize precedes dedup (equivalent
+ * byte forms must collide), the quality gate precedes the PII scrub and
+ * dedup (no sense hashing junk), and the split is assigned AFTER dedup so
+ * every surviving document draws exactly one split. Near-duplicates are
+ * REMOVED here rather than co-split ([[Dedup.leakageSafeSplit]] is the
+ * alternative when duplicates must be kept but contained).
+ *
+ * Scale: every stage is one of the library's audited shapes — per-row
+ * codegen (normalize, gate, scrub, split) plus the LSH pipeline's bucketed
+ * equi-joins; nothing here adds a shuffle beyond them.
+ */
+class CurationPipelineJob(
+    source: DateInterval => DataFrame,
+    clean: WarehouseTable,
+    weights: Seq[(String, Int)] = Seq("train" -> 90, "valid" -> 5, "test" -> 5),
+    threshold: Double = 0.8,
+    idCol: String = "doc_id",
+    textCol: String = "text",
+    checkpointDir: Option[String] = None)
+    extends SparkJob {
+
+  override def shouldRunForDate(spark: SparkSession, date: DateInterval): Boolean =
+    !clean.exists(spark, date)
+
+  override def stages: Stage[SparkSession, _] = for {
+    raw <- "read_docs".source(ctx => source(ctx.date))
+    normalized <- Stage.transform[org.apache.spark.sql.Row, org.apache.spark.sql.Row]("normalize") { ctx =>
+      ctx.value.toDF().withColumn(textCol,
+        graft.functions.functions.unicode_normalize(col(textCol)))
+    }
+    gated <- Stage.transform[org.apache.spark.sql.Row, org.apache.spark.sql.Row]("quality_gate") { ctx =>
+      val passes = TextAnalysis.qualityFlags(col(textCol))
+        .collectFirst { case ("passes", c) => c }.get
+      ctx.value.toDF().filter(passes === 1L)
+    }
+    scrubbed <- Stage.transform[org.apache.spark.sql.Row, org.apache.spark.sql.Row]("pii_scrub") { ctx =>
+      ctx.value.toDF().withColumn(textCol, TextAnalysis.scrubPii(col(textCol)))
+    }
+    deduped <- Stage.transform[org.apache.spark.sql.Row, org.apache.spark.sql.Row]("near_dedup") { ctx =>
+      Dedup.removeNearDuplicates(ctx.value.toDF(), idCol, textCol, threshold,
+        checkpointDir = checkpointDir)
+    }
+    split <- Stage.transform[org.apache.spark.sql.Row, org.apache.spark.sql.Row]("split") { ctx =>
+      ctx.value.toDF().withColumn("split", TextAnalysis.hashSplit(col(idCol), weights))
+    }
+    _ <- "write_clean".sink[org.apache.spark.sql.Row] { ctx =>
+      clean.save(ctx.value.toDF(), ctx.date, Warehouse.WriteTruncate)
+    }
+  } yield split
+}

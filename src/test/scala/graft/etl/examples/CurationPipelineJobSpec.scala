@@ -1,0 +1,54 @@
+package graft.etl.examples
+
+import org.apache.spark.sql.DataFrame
+
+import graft.io.{HdfsUrl, WarehouseTable}
+import graft.testkit.SparkJobSuiteBase
+import graft.time.{Day, DateInterval}
+
+class CurationPipelineJobSpec extends SparkJobSuiteBase {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and then runs far away " +
+    "through fields of golden wheat while the evening sun sets slowly behind distant hills " +
+    "casting long warm shadows across the quiet valley where a small river bends gently " +
+    "between mossy stones and ancient willows lean low over the clear slow water humming " +
+    "with dragonflies while swallows wheel high above the old wooden bridge at dusk"
+
+  private def sourceFor(date: DateInterval): DataFrame = Seq(
+    (1L, base),
+    (2L, base.replace("golden", "silver")), // near-dup of 1: only the keeper survives
+    (3L, "!!! ###"), // fails the quality gate (no words)
+    (4L, "please reach our support team at help.desk@example.com for assistance " +
+      "with any of the many issues you may encounter while using the product"),
+    (5L, "ｆｕｌｌｗｉｄｔｈ encoded content about completely different topics like " +
+      "catalyst optimizer rules and distributed shuffle joins across many executor nodes")
+  ).toDF("doc_id", "text")
+
+  test("curation pipeline: normalize, gate, scrub, dedup, split, write") {
+    val root = HdfsUrl(tmpDir("curation"))
+    val clean = WarehouseTable(root, "clean")
+    val job = new CurationPipelineJob(sourceFor, clean)
+    val date = Day(2026, 8, 12)
+    runJob(job, date).isSuccess shouldBe true
+
+    val out = clean.load(spark, date)
+    val byId = out.collect().map(r => r.getAs[Long]("doc_id") ->
+      ((r.getAs[String]("text"), r.getAs[String]("split")))).toMap
+
+    byId.keySet should contain(1L) // cluster keeper
+    byId.keySet should not contain 2L // near-dup removed
+    byId.keySet should not contain 3L // junk gated out
+    byId.keySet should contain(4L)
+    byId.keySet should contain(5L)
+    // PII scrubbed before landing
+    byId(4L)._1 should include("<EMAIL>")
+    byId(4L)._1 should not include "example.com"
+    // fullwidth text NFKC-folded to plain ascii
+    byId(5L)._1 should startWith("fullwidth")
+    // every survivor drew exactly one split value
+    all(byId.values.map(_._2)) should (be("train") or be("valid") or be("test"))
+    // gate: idempotent reruns
+    job.shouldRunForDate(spark, date) shouldBe false
+  }
+}
