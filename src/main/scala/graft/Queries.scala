@@ -1185,6 +1185,36 @@ object Queries {
        FROM groups"""
   }
 
+  /**
+   * Keep-best near-dedup: per near-dup cluster the highest-`n_chars`
+   * member survives (ties -> smallest id), unclustered docs always do
+   * ([[Dedup.removeNearDuplicatesKeepBest]] — the curation variant of
+   * near-dup removal). Cluster oracle inherits the
+   * [[OracleLabelPropRounds]] assumption via [[dupClusterCtes]].
+   */
+  def nearDedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    Dedup.removeNearDuplicatesKeepBest(t(dir, "documents"), "doc_id", "text",
+      "n_chars", threshold = 0.8)
+      .select(col("doc_id"), col("n_chars"))
+  }
+
+  val nearDedupKeepBestSql: String =
+    s"""WITH $dupClusterCtes,
+       scored AS (
+         SELECT l.id, l.cluster_id, d.n_chars
+         FROM l$OracleLabelPropRounds l JOIN documents d ON d.doc_id = l.id),
+       keepers AS (
+         SELECT id FROM (
+           SELECT id, row_number() OVER (PARTITION BY cluster_id
+             ORDER BY (n_chars IS NULL), n_chars DESC, id) AS rn
+           FROM scored) WHERE rn = 1),
+       losers AS (
+         SELECT id FROM l$OracleLabelPropRounds
+         WHERE id NOT IN (SELECT id FROM keepers))
+       SELECT doc_id, n_chars FROM documents
+       WHERE doc_id NOT IN (SELECT id FROM losers)"""
+
   /** Multiprobe LSH ANN: probe own + Hamming-1 buckets, exact rerank. */
   def annMultiprobe(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
@@ -2548,5 +2578,6 @@ object Queries {
     ("ingest_anomalies", ingestAnomalies _, Some(ingestAnomaliesSql)),
     ("key_skew_profile", keySkewProfile _, Some(keySkewProfileSql)),
     ("event_transitions", eventTransitions _, Some(eventTransitionsSql)),
-    ("retention_cohorts", retentionCohorts _, Some(retentionCohortsSql)))
+    ("retention_cohorts", retentionCohorts _, Some(retentionCohortsSql)),
+    ("near_dedup_keep_best", nearDedupKeepBest _, Some(nearDedupKeepBestSql)))
 }

@@ -514,6 +514,40 @@ object Dedup {
   }
 
   /**
+   * Near-dup removal keeping, per duplicate cluster, the HIGHEST-`scoreCol`
+   * row (ties -> smallest id; a null score loses to any scored duplicate —
+   * the same semantics as [[exactKeepBest]]). This is the curation variant:
+   * when near-duplicates differ in quality, the keeper should be the best
+   * one, not the lowest id. Unclustered documents always survive.
+   *
+   * Scale: the LSH pipeline plus ONE per-cluster min_by agg over the
+   * (small) clustered subset and one anti equi-join back — no window, no
+   * per-cluster sort. `checkpointDir` as in [[leakageSafeSplit]].
+   */
+  def removeNearDuplicatesKeepBest(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      scoreCol: String,
+      threshold: Double = 0.8,
+      numHashes: Int = 12,
+      rowsPerBand: Int = 3,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val pairs = nearDuplicatePairs(df, idCol, textCol, threshold, numHashes, rowsPerBand)
+    val clusters = duplicateClusters(pairs, checkpointDir = checkpointDir)
+    val scored = clusters.join(
+      df.select(col(idCol).as("id"), col(scoreCol).as("__s")), Seq("id"))
+    val keepers = scored.groupBy(col("cluster_id"))
+      .agg(min_by(col("id"),
+        struct(col("__s").isNull.cast("int").as("__scoreless"),
+          (-coalesce(col("__s"), lit(0))).as("__neg"), col("id").as("__id"))).as("id"))
+      .select(col("id"))
+    val losers = clusters.select(col("id")).join(keepers, Seq("id"), "left_anti")
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /**
    * One-call near-dup removal: keep, per duplicate cluster, the smallest id.
    * Returns the deduplicated DataFrame. `checkpointDir` as in
    * [[leakageSafeSplit]]: set it to a reliable-FS path on real clusters.

@@ -146,6 +146,9 @@ class PlanInvariantsSpec extends SparkTestBase {
     // (user, bucket) distinct + per-user min cohort (both user-keyed,
     // shareable partitioning) + join + tiny (cohort, bucket) agg
     check("retention_cohorts", maxShuffles = 3)
+    // cluster labels (checkpoint-hidden) + score join + per-cluster min_by
+    // + keeper anti-join + survivor anti-join — all equi-keyed
+    check("near_dedup_keep_best", maxShuffles = 4, maxSmj = 2)
   }
 
   test("leakage-safe split: outer join is equi, split is per-row") {

@@ -104,6 +104,23 @@ class DedupSpec extends SparkTestBase {
     kept shouldBe Array(1L, 4L)
   }
 
+  test("removeNearDuplicatesKeepBest keeps the highest-scored cluster member") {
+    val scored = docs.withColumn("quality",
+      when($"id" === 3L, 9.0).when($"id" === 4L, 1.0).otherwise(5.0))
+    // cluster {1,2,3,5}: 3 has the top score and survives; 4 is unclustered
+    Dedup.removeNearDuplicatesKeepBest(scored, "id", "text", "quality", threshold = 0.8)
+      .select("id").as[Long].collect().sorted shouldBe Array(3L, 4L)
+    // null scores lose: score only id 2 -> it wins its cluster
+    val sparse = docs.withColumn("quality",
+      when($"id" === 2L, 1.0).otherwise(lit(null).cast("double")))
+    Dedup.removeNearDuplicatesKeepBest(sparse, "id", "text", "quality", threshold = 0.8)
+      .select("id").as[Long].collect().sorted shouldBe Array(2L, 4L)
+    // all-null cluster: smallest id wins (deterministic fallback)
+    val none = docs.withColumn("quality", lit(null).cast("double"))
+    Dedup.removeNearDuplicatesKeepBest(none, "id", "text", "quality", threshold = 0.8)
+      .select("id").as[Long].collect().sorted shouldBe Array(1L, 4L)
+  }
+
   test("leakage-safe split keeps near-duplicates in one split") {
     val out = Dedup.leakageSafeSplit(docs, "id", "text",
       Seq("train" -> 80, "valid" -> 10, "test" -> 10))
