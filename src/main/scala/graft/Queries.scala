@@ -2410,8 +2410,8 @@ object Queries {
          FROM events GROUP BY 1, 2),
        w AS (
          SELECT event_type, day, n,
-                coalesce(sum(n) OVER (PARTITION BY event_type ORDER BY day
-                  ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING), 0) AS prev_n,
+                CAST(coalesce(sum(n) OVER (PARTITION BY event_type ORDER BY day
+                  ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev_n,
                 count(n) OVER (PARTITION BY event_type ORDER BY day
                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS prev_days
          FROM daily)
