@@ -2378,8 +2378,8 @@ object Queries {
          SELECT t AS term, count(*) AS cnt_cur FROM (
            SELECT unnest($Toks) AS t FROM curd)
          GROUP BY 1),
-       tot AS (SELECT (SELECT sum(cnt_old) FROM oldc) AS tot_old,
-                      (SELECT sum(cnt_cur) FROM curc) AS tot_cur),
+       tot AS (SELECT greatest(coalesce((SELECT sum(cnt_old) FROM oldc), 0), 1) AS tot_old,
+                      greatest(coalesce((SELECT sum(cnt_cur) FROM curc), 0), 1) AS tot_cur),
        j AS (
          SELECT coalesce(o.term, c.term) AS term,
                 coalesce(cnt_old, 0) AS cnt_old, coalesce(cnt_cur, 0) AS cnt_cur

@@ -128,10 +128,12 @@ object Stage {
 
   /** Raised by [[sequenceAll]] with every stage failure attached. */
   case class SequenceAllException[I, O](failures: Seq[(Stage[I, O], Throwable)]) extends Exception {
-    override def getMessage: String =
-      failures
-        .map { case (stage, e) => s"${stage.name} failed: (${e.getClass.getName}) ${e.getMessage}" }
-        .mkString(s"${failures.size} stage(s) failed:\n - ", "\n - ", "")
+    override def getMessage: String = {
+      val lines = failures.map { case (stage, e) =>
+        s"  * stage '${stage.name}' threw ${e.getClass.getName}: ${e.getMessage}"
+      }
+      (s"sequenceAll: ${failures.size} of the stages failed" +: lines).mkString("\n")
+    }
   }
 
   /** Run every stage regardless of failures; fail afterwards if any failed. */

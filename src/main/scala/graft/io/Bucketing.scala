@@ -65,11 +65,20 @@ object Bucketing {
    * arithmetic (the classic bit-spread), codegen-friendly, no UDF.
    * Inputs must fit in an unsigned 32-bit range — rank- or scale-normalize
    * wider domains upstream (z-ordering is about locality, not identity, so
-   * any order-preserving compression works).
+   * any order-preserving compression works). Out-of-range inputs FAIL the
+   * query (`raise_error`) rather than silently wrapping: a negative value
+   * would alias to the top of the unsigned range and a >32-bit value to
+   * its low bits, destroying locality — and footer prunability — with no
+   * symptom. Nulls pass through as null keys (range-partitioned first).
    */
   def mortonKey(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions.{lit, shiftleft}
-    def spread(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{concat, lit, raise_error, shiftleft, when}
+    def checked(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(c < 0L || c > 0xFFFFFFFFL,
+        raise_error(concat(lit("mortonKey: input out of [0, 2^32): "), c.cast("string"))))
+        .otherwise(c)
+    def spread(in: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val c = checked(in)
       val s0 = c.bitwiseAND(lit(0xFFFFFFFFL))
       val s1 = s0.bitwiseOR(shiftleft(s0, 16)).bitwiseAND(lit(0x0000FFFF0000FFFFL))
       val s2 = s1.bitwiseOR(shiftleft(s1, 8)).bitwiseAND(lit(0x00FF00FF00FF00FFL))

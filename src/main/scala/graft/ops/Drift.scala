@@ -47,13 +47,18 @@ object Drift {
    * [[vocabDrift]] over two persisted `(term, cnt)` snapshots
    * ([[termCounts]]) — the incremental form: raw text is read once per
    * snapshot ever; every later comparison is vocab-sized work.
+   *
+   * An EMPTY side is well-defined: its total coalesces to a safe
+   * denominator (every count on that side is 0, so its ppm column is 0 for
+   * any denominator) instead of a null `sum` silently nulling every ppm
+   * row — a brand-new corpus diffs against nothing as "everything added".
    */
   def vocabDriftFromCounts(old: DataFrame, cur: DataFrame, k: Int = 20): DataFrame = {
     require(k > 0, "k must be positive")
     val oldC = old.select(col("term"), col("cnt").as("cnt_old"))
     val curC = cur.select(col("term"), col("cnt").as("cnt_cur"))
-    val oldTotal = oldC.agg(sum(col("cnt_old")).as("__tot_old"))
-    val curTotal = curC.agg(sum(col("cnt_cur")).as("__tot_cur"))
+    val oldTotal = oldC.agg(greatest(coalesce(sum(col("cnt_old")), lit(0L)), lit(1L)).as("__tot_old"))
+    val curTotal = curC.agg(greatest(coalesce(sum(col("cnt_cur")), lit(0L)), lit(1L)).as("__tot_cur"))
     oldC.join(curC, Seq("term"), "full_outer")
       .na.fill(0L, Seq("cnt_old", "cnt_cur"))
       .join(broadcast(oldTotal)).join(broadcast(curTotal))

@@ -89,7 +89,11 @@ object Multimodal {
         try {
           val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
           if (img != null) (img.getWidth, img.getHeight) else FakeCodec.decode(payload)
-        } catch { case _: java.io.IOException => FakeCodec.decode(payload) }
+          // NonFatal, not just IOException: JDK image readers throw unchecked
+          // exceptions (IllegalArgument, NegativeArraySize, AIOOBE) on payloads
+          // that pass the magic sniff but carry malformed headers. Policy is
+          // quarantine-the-row, never kill-the-task.
+        } catch { case scala.util.control.NonFatal(_) => FakeCodec.decode(payload) }
       } else FakeCodec.decode(payload)
   }
 
@@ -147,10 +151,7 @@ object Multimodal {
             val rate = af.getSampleRate.toDouble
             val durMs = if (frames >= 0 && rate > 0) (frames * 1000L / rate.toLong) else -1L
             Some((rate, af.getChannels, frames, durMs))
-          } catch {
-            case _: javax.sound.sampled.UnsupportedAudioFileException => None
-            case _: java.io.IOException => None
-          }
+          } catch { case scala.util.control.NonFatal(_) => None }
         val (rate, ch, frames, durMs) = parsed.getOrElse((-1.0, -1, -1L, -1L))
         AudioMeta(id, payload.length.toLong, checksum, rate, ch, frames, durMs)
       }
@@ -301,7 +302,7 @@ object Multimodal {
         val img =
           if (Codec.isImage(payload)) {
             try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
-            catch { case _: java.io.IOException => None }
+            catch { case scala.util.control.NonFatal(_) => None }
           } else None
         val vec = img match {
           case Some(i) =>
@@ -335,7 +336,7 @@ object Multimodal {
     val img =
       if (Codec.isImage(payload)) {
         try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
-        catch { case _: java.io.IOException => None }
+        catch { case scala.util.control.NonFatal(_) => None }
       } else None
     img match {
       case Some(i) =>

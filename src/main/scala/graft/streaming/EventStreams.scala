@@ -210,6 +210,14 @@ object EventStreams {
    * window) open counters + `trailing` closed pairs, independent of event
    * volume — and keys partition across executors. Empty (unobserved)
    * windows are skipped, not zero-filled, matching the batch semantics.
+   *
+   * Retention: a key that stops emitting keeps its closed history only for
+   * `retentionWindows` windows past its last closed window (enforced by an
+   * event-time timeout), then its state is reaped. A key that resumes
+   * after the horizon restarts with empty history, so it must re-earn
+   * `minPrevWindows` before it can be flagged again — the documented
+   * divergence from batch (which sees all history) in exchange for state
+   * that cannot grow with the lifetime set of retired event types.
    */
   def volumeAnomalyMonitor(
       events: Dataset[Event],
@@ -217,9 +225,11 @@ object EventStreams {
       watermark: String = "10 minutes",
       trailing: Int = 7,
       factorPct: Int = 150,
-      minPrevWindows: Int = 3): Dataset[VolumeAnomaly] = {
+      minPrevWindows: Int = 3,
+      retentionWindows: Int = 168): Dataset[VolumeAnomaly] = {
     require(trailing >= minPrevWindows && minPrevWindows >= 1,
       s"need 1 <= minPrevWindows ($minPrevWindows) <= trailing ($trailing)")
+    require(retentionWindows >= 1, s"retentionWindows ($retentionWindows) must be >= 1")
     val windowMs = windowMinutes * 60L * 1000
     events
       .withWatermark("ts", watermark)
@@ -245,13 +255,19 @@ object EventStreams {
               out += VolumeAnomaly(eventType, w, n, prevN, hist.size.toLong)
             closed = (closed :+ (w -> n)).takeRight(trailing)
           }
+          val reapAt = closed.lastOption.map(_._1 + (retentionWindows + 1L) * windowMs)
           if (live.isEmpty && closed.isEmpty) state.remove()
+          else if (live.isEmpty && reapAt.exists(_ <= wm)) state.remove()
           else {
             state.update(VolumeState(live, closed))
-            // wake when the earliest live window can close (strictly past
-            // the current watermark, as the API requires)
-            if (live.nonEmpty)
-              state.setTimeoutTimestamp(math.max(live.keys.min + windowMs, wm + 1))
+            // wake when the earliest live window can close, or — for a key
+            // with no open windows — at the retention horizon so a retired
+            // event type's history is reaped instead of leaking forever
+            // (strictly past the current watermark, as the API requires)
+            val wake =
+              if (live.nonEmpty) live.keys.min + windowMs
+              else reapAt.get // live empty && closed empty handled above
+            state.setTimeoutTimestamp(math.max(wake, wm + 1))
           }
           out.result().iterator
       }

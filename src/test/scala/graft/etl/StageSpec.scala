@@ -76,7 +76,8 @@ class StageSpec extends SparkTestBase {
   private def inside(result: scala.util.Try[Seq[String]]): Unit = result match {
     case Failure(e: Stage.SequenceAllException[_, _]) =>
       e.failures.map(_._1.name) shouldBe Seq("b", "c")
-      e.getMessage should include("2 stage(s) failed")
+      e.getMessage should include("2 of the stages failed")
+      e.getMessage should include("stage 'b'")
     case other => fail(s"expected SequenceAllException, got $other")
   }
 

@@ -109,6 +109,23 @@ class BucketingSpec extends SparkTestBase {
     rows(4) shouldBe 0x5555555555555555L // all 32 a-bits in even positions
   }
 
+  test("mortonKey fails loudly on out-of-range inputs instead of aliasing") {
+    // a negative value would wrap to the top of the unsigned range and a
+    // >32-bit value to its low bits — silently destroying z-locality — so
+    // the contract violation must surface as an error, not a bad layout
+    val neg = Seq((-1L, 0L)).toDF("a", "b")
+      .select(Bucketing.mortonKey($"a", $"b").as("z"))
+    val ex = intercept[Exception](neg.collect())
+    ex.getMessage should include("mortonKey")
+    val wide = Seq((0x1_0000_0000L, 0L)).toDF("a", "b")
+      .select(Bucketing.mortonKey($"a", $"b").as("z"))
+    intercept[Exception](wide.collect()).getMessage should include("mortonKey")
+    // null inputs pass through as null keys rather than failing
+    val withNull = Seq((Some(1L), Option.empty[Long])).toDF("a", "b")
+      .select(Bucketing.mortonKey($"a", $"b").as("z"))
+    withNull.collect().head.isNullAt(0) shouldBe true
+  }
+
   test("a non-bucketed join of the same data does shuffle (control)") {
     val facts = spark.range(1000).select($"id".as("k"), lit(1.0).as("x"))
     val dims = spark.range(1000).select($"id".as("k"), lit("v").as("label"))

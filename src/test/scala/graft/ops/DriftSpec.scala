@@ -16,6 +16,20 @@ class DriftSpec extends SparkTestBase {
     rows("new") shouldBe ((0L, 200000L, 200000L)) // new term: ppm_old = 0
   }
 
+  test("vocabDrift with an empty side yields defined ppm rows, never nulls") {
+    val empty = Seq.empty[(Long, String)].toDF("id", "text")
+    val cur = Seq((1L, "a a b")).toDF("id", "text")
+    // brand-new corpus vs nothing: everything is an addition with ppm_old = 0
+    val rows = Drift.vocabDrift(empty, cur, "text", k = 10).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    rows("a") shouldBe ((0L, 666666L, 666666L))
+    rows("b") shouldBe ((0L, 333333L, 333333L))
+    // and the mirror: a corpus diffed against a now-empty snapshot
+    val gone = Drift.vocabDrift(cur, empty, "text", k = 10).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    gone("a") shouldBe ((666666L, 0L, -666666L))
+  }
+
   test("vocabDrift top-k is a total order: |delta| desc, then term asc") {
     val old = Seq((1L, "x y")).toDF("id", "text")
     val cur = Seq((1L, "x z")).toDF("id", "text")

@@ -64,6 +64,32 @@ class MultimodalSpec extends SparkTestBase {
     noException should be thrownBy Multimodal.Codec.decode(corrupt)
   }
 
+  test("malformed payloads that pass the magic sniff quarantine, never kill the task") {
+    // JDK readers throw UNCHECKED exceptions (IllegalArgument, AIOOBE,
+    // NegativeArraySize) on some malformed-header payloads, not just
+    // IOException — every decode path must quarantine the row regardless.
+    val nasty: Seq[Array[Byte]] = Seq(
+      // BMP claiming absurd negative dimensions
+      Array[Byte]('B', 'M') ++ Array.fill[Byte](16)(0xff.toByte) ++ Array.fill[Byte](40)(0x80.toByte),
+      // truncated PNG: magic only
+      Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47),
+      // GIF8 header then garbage
+      "GIF89a".getBytes("ISO-8859-1") ++ Array.fill[Byte](20)(0xee.toByte),
+      // JPEG SOI then zeros
+      Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte) ++ Array.fill[Byte](30)(0),
+      // WAV RIFF header with a garbage fmt chunk
+      "RIFF????WAVE".getBytes("ISO-8859-1") ++ Array.fill[Byte](24)(0x55))
+    nasty.foreach { p =>
+      noException should be thrownBy Multimodal.Codec.decode(p)
+      noException should be thrownBy Multimodal.aHash(p)
+    }
+    val media = nasty.zipWithIndex.map { case (p, i) => (i.toLong, p) }.toDF("doc_id", "payload")
+    Multimodal.decodeMeta(media, "doc_id", "payload", "image").collect() should have size 5
+    Multimodal.decodeAudioMeta(media, "doc_id", "payload").collect()
+      .count(_.sampleRateHz < 0) shouldBe 5 // all quarantined as sentinel rows
+    Multimodal.imageFeatures(media, "doc_id", "payload", grid = 4).collect() should have size 5
+  }
+
   test("featureStub payloads flow into the ANN index end-to-end") {
     val media = (1L to 40L).map { i =>
       // duplicate payloads in pairs: (1,2), (3,4), ... share bytes

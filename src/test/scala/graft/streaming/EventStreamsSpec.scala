@@ -252,6 +252,46 @@ class EventStreamsSpec extends SparkTestBase {
     spark.table("vol_steady_out").count() shouldBe 0
   }
 
+  test("volume-anomaly monitor reaps a retired key's state at the retention horizon") {
+    // Same event sequence twice: key "a" builds 2 windows of history, goes
+    // silent past the retention horizon, then spikes. With a short
+    // retention its history was reaped, so the spike has no baseline and
+    // cannot flag; with a long retention the history survives and flags it.
+    def run(retentionWindows: Int, sink: String): Set[(String, Long)] = {
+      implicit val sc = spark.sqlContext
+      val in = MemoryStream[Event]
+      val q = volumeAnomalyMonitor(in.toDS(), windowMinutes = 10, watermark = "1 minute",
+        trailing = 3, factorPct = 115, minPrevWindows = 2,
+        retentionWindows = retentionWindows)
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      // a: two baseline windows (w0, w1) of 2 events each
+      in.addData(
+        Event(1, ts(1), 10, "a", 0), Event(2, ts(2), 11, "a", 0),
+        Event(3, ts(11), 10, "a", 0), Event(4, ts(12), 11, "a", 0),
+        Event(5, ts(1), 99, "wmdriver", 0))
+      q.processAllAvailable()
+      // watermark-driver events close a's windows, then push the watermark
+      // past a's retention horizon (w1 start + (retention+1) windows)
+      in.addData(Event(6, ts(60), 99, "wmdriver", 0))
+      q.processAllAvailable()
+      in.addData(Event(7, ts(200), 99, "wmdriver", 0))
+      q.processAllAvailable()
+      // a resumes with a 6-event spike window at ts(201..206)
+      in.addData((0 until 6).map(i => Event(10L + i, ts(201 + i), 20L + i, "a", 0.0)): _*)
+      q.processAllAvailable()
+      in.addData(Event(30, ts(400), 99, "wmdriver", 0))
+      q.processAllAvailable()
+      in.addData(Event(31, ts(600), 99, "wmdriver", 0))
+      runToCompletion(q)
+      spark.table(sink).as[VolumeAnomaly].collect().map(a => (a.eventType, a.n)).toSet
+    }
+    // retention 2 windows: horizon ts(10) + 3*10min = ts(40) passed at the
+    // ts(200) batch -> history reaped -> spike has 0 prev windows, no flag
+    run(retentionWindows = 2, sink = "vol_reap_out") shouldBe Set.empty
+    // generous retention: history survives the silence, spike flags
+    run(retentionWindows = 168, sink = "vol_keep_out") shouldBe Set(("a", 6L))
+  }
+
   test("stateful sessionization closes sessions on gap timeout") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Event]
