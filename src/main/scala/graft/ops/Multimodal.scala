@@ -14,10 +14,11 @@ import org.apache.spark.sql.functions._
  * (PNG/JPEG/GIF/BMP, sniffed by magic bytes) decode through the JDK's own
  * `javax.imageio` ([[Codec]]), and audio containers the JDK ships parsers
  * for (WAV/AIFF/AU) yield real header metadata via `javax.sound.sampled`
- * ([[decodeAudioMeta]]) — zero extra dependencies either way. Payload
- * kinds the JDK cannot decode (video, compressed audio) fall back to a
- * deterministic fake ([[FakeCodec]]) that keeps the full pipeline shape
- * testable; swapping in a real decoder changes only `Codec.decode`.
+ * ([[decodeAudioMeta]]) and real PCM frame features ([[audioFeatures]]) —
+ * zero extra dependencies either way. Payload kinds the JDK cannot decode
+ * (video, compressed audio) fall back to a deterministic fake
+ * ([[FakeCodec]]) that keeps the full pipeline shape testable; swapping in
+ * a real decoder changes only `Codec.decode`.
  */
 object Multimodal {
 
@@ -156,6 +157,137 @@ object Multimodal {
         AudioMeta(id, payload.length.toLong, checksum, rate, ch, frames, durMs)
       }
     }(audioMetaEncoder)
+  }
+
+  /**
+   * Decode an uncompressed-PCM payload (WAV/AIFF/AU, 8- or 16-bit) to mono
+   * samples in [-1, 1) plus the sample rate. The JDK ships these parsers
+   * (`javax.sound.sampled`), so no dependency; compressed codecs (which the
+   * JDK cannot decode) and malformed payloads return None. Channels
+   * average to mono; both endiannesses and signed/unsigned handled.
+   */
+  private[ops] def pcmSamples(payload: Array[Byte]): Option[(Float, Array[Double])] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val f = ais.getFormat
+        val enc = f.getEncoding
+        val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        val unsigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+        val bits = f.getSampleSizeInBits
+        val bpf = f.getFrameSize
+        if (!(signed || unsigned) || (bits != 8 && bits != 16) || bpf <= 0) None
+        else {
+          val bytes = ais.readAllBytes()
+          val ch = f.getChannels
+          val n = bytes.length / bpf
+          val out = Array.ofDim[Double](n)
+          val big = f.isBigEndian
+          var i = 0
+          while (i < n) {
+            var acc = 0.0
+            var c = 0
+            while (c < ch) {
+              val o = i * bpf + c * (bits / 8)
+              acc += (if (bits == 8) {
+                if (signed) bytes(o).toDouble / 128.0
+                else ((bytes(o) & 0xff) - 128).toDouble / 128.0
+              } else {
+                val (loB, hiB) = if (big) (bytes(o + 1), bytes(o)) else (bytes(o), bytes(o + 1))
+                val u = ((hiB & 0xff) << 8) | (loB & 0xff)
+                if (signed) u.toShort.toDouble / 32768.0
+                else (u - 32768).toDouble / 32768.0
+              })
+              c += 1
+            }
+            out(i) = acc / ch
+            i += 1
+          }
+          Some((f.getSampleRate, out))
+        }
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /**
+   * Real audio embeddings from decoded PCM frames — the audio analog of
+   * [[imageFeatures]], under the same `(id, embedding)` contract feeding
+   * the ANN index ([[Similarity.annTopK]] etc.). The clip is cut into
+   * `windows` fixed grid windows (so clips of any length land in the same
+   * dimensionality, like [[lumaGrid]] for images) and each window yields
+   * three classic frame features:
+   *
+   *  - relative RMS: window loudness over clip loudness (the envelope),
+   *  - zero-crossing rate: sign changes per sample (pitch/noisiness proxy),
+   *  - high-frequency ratio: first-difference RMS over window RMS.
+   *
+   * The whole clip is de-meaned first and every feature is a ratio, so the
+   * embedding is invariant to DC offset and amplitude scaling — the same
+   * recording at a different gain maps to (numerically) the same vector,
+   * which is exactly what near-duplicate audio detection needs.
+   *
+   * Payloads that aren't uncompressed PCM (or are shorter than `windows`
+   * frames) yield a NULL embedding sentinel — filter them before indexing
+   * (compressed-codec decode needs a codec library this container lacks;
+   * there is deliberately no fake-feature fallback here so mixed media
+   * can't silently pollute an audio index). Runs per-partition on
+   * executors; payload bytes drop before any shuffle.
+   */
+  def audioFeatures(df: DataFrame, idCol: String, payloadCol: String, windows: Int = 16): DataFrame = {
+    require(windows >= 1, "windows must be at least 1")
+    val projected = df.select(col(idCol).cast("long"), col(payloadCol))
+    val spark = df.sparkSession
+    import spark.implicits._
+    projected.mapPartitions { rows =>
+      rows.map { row =>
+        val id = row.getLong(0)
+        val payload = row.getAs[Array[Byte]](1)
+        val vec: Array[Float] = pcmSamples(payload) match {
+          case Some((_, samples)) if samples.length >= windows =>
+            val n = samples.length
+            val mean = samples.sum / n
+            var i = 0
+            while (i < n) { samples(i) -= mean; i += 1 }
+            val clipRms = math.sqrt(samples.map(s => s * s).sum / n)
+            val out = Array.ofDim[Float](windows * 3)
+            var w = 0
+            while (w < windows) {
+              val s0 = w * n / windows
+              val s1 = math.max((w + 1) * n / windows, s0 + 1)
+              val len = s1 - s0
+              var sumSq = 0.0; var diffSq = 0.0; var crossings = 0
+              // zero-carry sign tracking: a sample quantized to exactly 0
+              // must not swallow the crossing around it (a strict product<0
+              // test would count one crossing fewer than the same clip at a
+              // gain/offset where that sample misses exact zero)
+              var prevSign = 0
+              var j = s0
+              while (j < s1) {
+                sumSq += samples(j) * samples(j)
+                if (j > s0) {
+                  val d = samples(j) - samples(j - 1)
+                  diffSq += d * d
+                }
+                val s = if (samples(j) > 0) 1 else if (samples(j) < 0) -1 else 0
+                if (s != 0) {
+                  if (prevSign != 0 && s != prevSign) crossings += 1
+                  prevSign = s
+                }
+                j += 1
+              }
+              val rms = math.sqrt(sumSq / len)
+              out(w * 3) = (if (clipRms > 0) rms / clipRms else 0.0).toFloat
+              out(w * 3 + 1) = (if (len > 1) crossings.toDouble / (len - 1) else 0.0).toFloat
+              out(w * 3 + 2) =
+                (if (rms > 0 && len > 1) math.sqrt(diffSq / (len - 1)) / rms else 0.0).toFloat
+              w += 1
+            }
+            out
+          case _ => null
+        }
+        (id, vec)
+      }
+    }.toDF(idCol, "embedding")
   }
 
   /** Typed metadata for a video payload (MP4/ISO-BMFF header parse). */

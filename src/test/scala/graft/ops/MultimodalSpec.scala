@@ -179,6 +179,81 @@ class MultimodalSpec extends SparkTestBase {
     rows(2L).frames shouldBe -1L
   }
 
+  /** Build a genuine 16-bit mono PCM WAV from a sample generator. */
+  private def wavOf(rate: Float, n: Int)(sample: Int => Double): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val pcm = java.nio.ByteBuffer.allocate(n * 2).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until n).foreach { i =>
+      val v = math.max(-1.0, math.min(1.0, sample(i)))
+      pcm.putShort(math.round(v * 32767).toShort)
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm.array()), fmt, n.toLong)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
+    buf.toByteArray
+  }
+
+  test("audioFeatures embeds real PCM: gain/offset-invariant, content-sensitive") {
+    val rate = 8000f
+    val n = 8000
+    // a clip with structure: loud low tone, then quiet high tone
+    def tone(i: Int): Double =
+      if (i < n / 2) 0.6 * math.sin(2 * math.Pi * 220 * i / rate)
+      else 0.15 * math.sin(2 * math.Pi * 1800 * i / rate)
+    val original = wavOf(rate, n)(tone)
+    val regained = wavOf(rate, n)(i => 0.4 * tone(i) + 0.05) // gain + DC offset
+    val noise = wavOf(rate, n) { i =>
+      val h = i * 2654435761L
+      ((h >>> 33) & 0xffff).toDouble / 32768.0 - 1.0
+    }
+    val media = Seq((1L, original), (2L, regained), (3L, noise),
+      (4L, "not audio at all".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val rows = Multimodal.audioFeatures(media, "doc_id", "payload", windows = 8)
+      .collect().map(r => r.getLong(0) ->
+        Option(r.getAs[scala.collection.Seq[Float]](1)).map(_.toArray)).toMap
+
+    val a = rows(1L).get; val b = rows(2L).get; val c = rows(3L).get
+    a should have length 24 // 8 windows x (relRMS, ZCR, HF ratio)
+    // same recording at different gain + DC offset: numerically same vector
+    // (16-bit requantization is the only noise)
+    a.zip(b).foreach { case (x, y) => math.abs(x - y) should be < 0.02f }
+    // the envelope is real: loud first half, quiet second half
+    a(0) should be > 1.2f
+    a(7 * 3) should be < 0.5f
+    // and the high tone has a much higher ZCR than the low tone
+    a(7 * 3 + 1) should be > (a(1) * 3)
+    // different content diverges
+    a.zip(c).map { case (x, y) => math.abs(x - y) }.max should be > 0.3f
+    // non-PCM payload: NULL sentinel, task never fails
+    rows(4L) shouldBe None
+  }
+
+  test("audioFeatures embeddings flow into the ANN index end-to-end") {
+    val rate = 8000f
+    val n = 4000
+    def clip(freq: Double, amp: Double)(i: Int): Double =
+      amp * math.sin(2 * math.Pi * freq * i / rate) *
+        (0.5 + 0.5 * math.sin(2 * math.Pi * 2 * i / rate)) // 2 Hz envelope
+    // pairs (1,2), (3,4): same content at different gain; 5 is unrelated
+    val media = Seq(
+      (1L, wavOf(rate, n)(clip(300, 0.8))), (2L, wavOf(rate, n)(clip(300, 0.3))),
+      (3L, wavOf(rate, n)(clip(1200, 0.5))), (4L, wavOf(rate, n)(clip(1200, 0.9))),
+      (5L, wavOf(rate, n)(i => if ((i / 400) % 2 == 0) 0.5 else -0.1)),
+      (6L, "not audio".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val emb = Multimodal.audioFeatures(media, "doc_id", "payload", windows = 8)
+      .filter($"embedding".isNotNull) // drop the sentinel before indexing
+    emb.count() shouldBe 5
+    val top1 = Similarity.bruteForceTopK(emb, emb, "doc_id", "embedding", k = 1)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toMap
+    top1(1L) shouldBe 2L
+    top1(2L) shouldBe 1L
+    top1(3L) shouldBe 4L
+    top1(4L) shouldBe 3L
+  }
+
   test("decodeVideoMeta reads mvhd timescale/duration from a hand-built MP4") {
     // minimal ISO-BMFF: ftyp box + moov box wrapping an mvhd v0 with
     // timescale 600 and duration 1800 (= 3000 ms)
