@@ -1100,6 +1100,33 @@ object Queries {
        WHERE a.doc_id < b.doc_id"""
   }
 
+  /**
+   * Salted hot-bucket LSH pairing ([[Dedup.lshCandidatePairs]] with
+   * `saltHotBuckets`): `maxBucket = 2` forces every bucket of 3+ docs
+   * through the salted self-join path on real data. Salting is no-loss by
+   * construction, so the result must equal the UNCAPPED pair set — which
+   * is exactly what the oracle computes (no QUALIFY cap).
+   */
+  def lshSaltedPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.lshCandidatePairs(t(dir, "documents")(spark), "doc_id", "text",
+      numHashes = 12, rowsPerBand = 3, maxBucket = 2, saltHotBuckets = true)
+
+  val lshSaltedPairsSql: String = {
+    val mhs = (0 until 12)
+      .map(j => s"${sqlMinhash(j)} AS mh$j").mkString(", ")
+    val bands = (0 until 4)
+      .map(b => s"md5(mh${3 * b} || '|' || mh${3 * b + 1} || '|' || mh${3 * b + 2}) AS band$b").mkString(", ")
+    val unpivot = (0 until 4)
+      .map(b => s"SELECT doc_id, $b AS band, band$b AS bh FROM banded").mkString(" UNION ALL ")
+    s"""WITH sig AS (SELECT doc_id, $mhs
+                     FROM $SqlShingleDocs),
+       banded AS (SELECT doc_id, $bands FROM sig),
+       buckets AS ($unpivot)
+       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       FROM buckets a JOIN buckets b ON a.band = b.band AND a.bh = b.bh
+       WHERE a.doc_id < b.doc_id"""
+  }
+
   /** LSH candidates verified by exact shingle Jaccard. */
   def nearDupPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.nearDuplicatePairs(t(dir, "documents")(spark), "doc_id", "text", threshold = 0.8)
@@ -2528,6 +2555,7 @@ object Queries {
     ("dedup_exact", dedupExact _, Some(dedupExactSql)),
     ("minhash_signatures", minhashSignatures _, Some(minhashSignaturesSql)),
     ("lsh_candidate_pairs", lshCandidatePairs _, Some(lshCandidatePairsSql)),
+    ("lsh_salted_pairs", lshSaltedPairs _, Some(lshSaltedPairsSql)),
     ("near_dup_pairs", nearDupPairs _, Some(nearDupPairsSql)),
     ("simhash_fingerprints", simhashFingerprints _, Some(simhashFingerprintsSql)),
     ("simhash_neardup", simhashNeardup _, Some(simhashNeardupSql)),

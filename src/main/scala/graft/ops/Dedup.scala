@@ -175,7 +175,24 @@ object Dedup {
 
   /**
    * Candidate near-duplicate pairs `(id_a < id_b)` from LSH bucket collisions.
-   * `maxBucket` drops degenerate buckets (boilerplate text) before pairing.
+   *
+   * Buckets larger than `maxBucket` (boilerplate text) are degenerate: a
+   * bucket of n docs yields n²/2 pairs on ONE reducer key. Two policies:
+   *
+   *  - `saltHotBuckets = false` (default): DROP over-cap buckets before
+   *    pairing. Cheap, but a RECALL LOSS — any true near-dup pair whose
+   *    only collisions happen inside hot buckets is never proposed
+   *    (DedupSpec measures the loss on a boilerplate-heavy corpus).
+   *  - `saltHotBuckets = true`: keep every bucket and pair hot ones via a
+   *    salted self-join (the [[Skew]] replicate-join pattern, with a
+   *    DETERMINISTIC per-id salt so each pair is produced exactly once):
+   *    the probe side spreads over `ceil(bucket_n / maxBucket)` salts, the
+   *    build side replicates across them, so no reducer key sees more than
+   *    ~`maxBucket` build rows however hot the bucket. Zero recall loss;
+   *    the replicated shuffle volume (`bucket_n² / maxBucket` rows) is
+   *    bounded by the pair output the bucket was always going to emit —
+   *    you pay for the pairs you asked to keep, spread evenly, instead of
+   *    silently not computing them.
    */
   def lshCandidatePairs(
       df: DataFrame,
@@ -183,17 +200,32 @@ object Dedup {
       textCol: String,
       numHashes: Int = 12,
       rowsPerBand: Int = 3,
-      maxBucket: Int = 1000): DataFrame = {
-    val capped = bandedIds(df, idCol, textCol, numHashes, rowsPerBand)
+      maxBucket: Int = 1000,
+      saltHotBuckets: Boolean = false): DataFrame = {
+    val banded = bandedIds(df, idCol, textCol, numHashes, rowsPerBand)
       .withColumn("bucket_n", count("*").over(Window.partitionBy(col("band"), col("bh"))))
-      .filter(col("bucket_n") <= maxBucket)
-      .drop("bucket_n")
-    val a = capped.select(col("band"), col("bh"), col(idCol).as("id_a"))
-    val b = capped.select(col("band"), col("bh"), col(idCol).as("id_b"))
-    a.join(b, Seq("band", "bh"))
+    val cold = banded.filter(col("bucket_n") <= maxBucket).drop("bucket_n")
+    val a = cold.select(col("band"), col("bh"), col(idCol).as("id_a"))
+    val b = cold.select(col("band"), col("bh"), col(idCol).as("id_b"))
+    val coldPairs = a.join(b, Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
-      .distinct()
+    val pairs =
+      if (!saltHotBuckets) coldPairs
+      else {
+        val hot = banded.filter(col("bucket_n") > maxBucket)
+          .withColumn("__nsalt",
+            ceil(col("bucket_n").cast("double") / maxBucket).cast("int"))
+        val hotA = hot.select(col("band"), col("bh"), col(idCol).as("id_a"),
+          explode(sequence(lit(0), col("__nsalt") - 1)).as("__salt"))
+        val hotB = hot.select(col("band"), col("bh"), col(idCol).as("id_b"),
+          pmod(hash(col(idCol)), col("__nsalt")).as("__salt"))
+        coldPairs.union(
+          hotA.join(hotB, Seq("band", "bh", "__salt"))
+            .filter(col("id_a") < col("id_b"))
+            .select(col("id_a"), col("id_b")))
+      }
+    pairs.distinct()
   }
 
   /** Exact Jaccard similarity between two shingle/token arrays. */
@@ -213,8 +245,11 @@ object Dedup {
       textCol: String,
       threshold: Double = 0.8,
       numHashes: Int = 12,
-      rowsPerBand: Int = 3): DataFrame = {
-    val candidates = lshCandidatePairs(df, idCol, textCol, numHashes, rowsPerBand)
+      rowsPerBand: Int = 3,
+      maxBucket: Int = 1000,
+      saltHotBuckets: Boolean = false): DataFrame = {
+    val candidates =
+      lshCandidatePairs(df, idCol, textCol, numHashes, rowsPerBand, maxBucket, saltHotBuckets)
     val docs = df.select(col(idCol), wordShingles(col(textCol)).as("sh"))
     candidates
       .join(docs.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")

@@ -69,6 +69,9 @@ class PlanInvariantsSpec extends SparkTestBase {
   test("dedup/similarity pipelines: equi-joins only, bounded shuffles") {
     check("dedup_exact", maxShuffles = 1)
     check("lsh_candidate_pairs", maxShuffles = 3)
+    // cold pairing + the salted hot-bucket self-join (both equi-keyed):
+    // window count, two pair joins, final distinct
+    check("lsh_salted_pairs", maxShuffles = 5)
     check("pack_sequences", maxShuffles = 1)
     check("doc_repetition", maxShuffles = 2)
     check("tfidf_top_terms", maxShuffles = 5, maxBnlj = 1)

@@ -193,6 +193,44 @@ class DedupSpec extends SparkTestBase {
     Dedup.lshCandidatePairs(boilerplate, "id", "text", maxBucket = 100).count() shouldBe 190 // 20 choose 2
   }
 
+  test("bucket cap recall loss is measurable; saltHotBuckets recovers it with no loss") {
+    // A boilerplate-heavy corpus: 30 docs share one template (every band
+    // collides -> one size-30 bucket per band, far over a cap of 8), plus
+    // 5 genuinely distinct near-dup pairs in cold buckets.
+    val hotDocs = (1L to 30L).map(i => (i, base))
+    val coldDocs = (0 until 5).flatMap { p =>
+      val suf = ('a' + p).toChar
+      val t = base.split(" ").map(w => s"$w$suf").mkString(" ")
+      // one word of ~75 changed: a genuine near-dup pair, cold bucket of 2
+      Seq((100L + p * 2, t), (101L + p * 2, t.replace(s"golden$suf", "silver")))
+    }
+    val corpus = (hotDocs ++ coldDocs).toDF("id", "text")
+
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.as[(Long, Long)].collect().toSet
+
+    // ground truth: every colliding pair, no cap in the way
+    val truth = pairSet(Dedup.lshCandidatePairs(corpus, "id", "text", maxBucket = 1000000))
+    truth.size should be >= (435 + 5) // 30C2 boilerplate pairs + the cold pairs
+
+    // the default drop policy silently loses every hot-bucket pair
+    val capped = pairSet(Dedup.lshCandidatePairs(corpus, "id", "text", maxBucket = 8))
+    val recallPct = capped.size * 100 / truth.size
+    recallPct should be < 5 // measured: ~1% — 435 of 440 true pairs dropped
+    capped.foreach { case (a, b) => a should be >= 100L; b should be >= 100L }
+
+    // salted pairing keeps the cap's per-reducer bound with ZERO recall loss
+    val salted = pairSet(Dedup.lshCandidatePairs(corpus, "id", "text",
+      maxBucket = 8, saltHotBuckets = true))
+    salted shouldBe truth
+
+    // and it is still an equi-join plan: no cartesian/nested-loop anywhere
+    val plan = Dedup.lshCandidatePairs(corpus, "id", "text",
+      maxBucket = 8, saltHotBuckets = true).queryExecution.executedPlan.toString
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoop"
+  }
+
   test("native kernels are bit-identical to the composed built-in formulation") {
     val composed = docs.select($"id",
       Dedup.minhash(Dedup.wordShinglesComposed($"text"), 0).as("mh0"),
