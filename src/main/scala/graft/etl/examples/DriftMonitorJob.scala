@@ -22,7 +22,13 @@ import graft.time.DateInterval
  *     — an empty-write partition must not be chosen as the baseline). The
  *     first day has no baseline: it writes an EMPTY report, so `exists`
  *     still gates reruns while `hasDataForDate` tells consumers there is
- *     nothing to read.
+ *     nothing to read,
+ *  4. with `snapshotRetentionDays` set, thin the snapshot store
+ *     ([[WarehouseTable.thinToWeekly]]): snapshots younger than the
+ *     horizon stay daily, older ones keep one partition per ISO week —
+ *     otherwise an always-on monitor accretes a vocab-sized partition per
+ *     day forever. The horizon must cover `lookbackDays` (enforced), so
+ *     the baseline search is never starved by its own retention.
  *
  * Scale: the only full-data pass is the day's term count; the drift
  * comparison is two vocab-sized tables however big the corpus. Gaps in
@@ -35,8 +41,13 @@ class DriftMonitorJob(
     reports: WarehouseTable,
     textCol: String = "text",
     k: Int = 20,
-    lookbackDays: Int = 30)
+    lookbackDays: Int = 30,
+    snapshotRetentionDays: Option[Int] = None)
     extends SparkJob {
+
+  snapshotRetentionDays.foreach(n => require(n >= lookbackDays,
+    s"snapshotRetentionDays ($n) must cover lookbackDays ($lookbackDays): " +
+      "thinning inside the baseline-search window would starve the drift report"))
 
   override def shouldRunForDate(spark: SparkSession, date: DateInterval): Boolean =
     !reports.exists(spark, date)
@@ -84,6 +95,11 @@ class DriftMonitorJob(
           case None => emptyReport(ctx.spark)
         }
         reports.save(report, ctx.date, Warehouse.WriteTruncate)
+      }
+      _ <- "thin_snapshots".sink[org.apache.spark.sql.Row] { ctx =>
+        // after the report: the day's writes are done, so the store is
+        // quiescent — the deletion contract thinToWeekly documents
+        snapshotRetentionDays.foreach(n => snapshots.thinToWeekly(ctx.spark, ctx.date, n))
       }
     } yield counts
     pipeline.ensuring { () => cached.foreach(_.unpersist()); cached.clear() }

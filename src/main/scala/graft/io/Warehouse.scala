@@ -228,6 +228,54 @@ case class WarehouseTable(
     exists(spark, date) &&
       scala.util.Try(!load(spark, date).isEmpty).getOrElse(false)
 
+  /** The `date=` values of existing partition directories, sorted ascending. */
+  def partitionDates(spark: SparkSession): Seq[String] = {
+    val hRoot = new org.apache.hadoop.fs.Path(tableUrl.toString)
+    val fs = hRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hRoot)) Seq.empty
+    else fs.listStatus(hRoot).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("date="))
+      .map(_.getPath.getName.stripPrefix("date="))
+      .sorted
+  }
+
+  /**
+   * Retention thinning for an append-forever daily store: partitions within
+   * `keepDays` of `asOf` are untouched; beyond that, ONE partition per ISO
+   * week survives (the latest day present in each week — the one a
+   * baseline-walking reader like a drift monitor would pick first) and the
+   * rest are deleted. Returns the deleted partition values.
+   *
+   * This is the policy a vocab-snapshot or metrics store needs to stop
+   * growing a partition per day forever while keeping enough history for
+   * week-over-week comparisons: recent days stay exact; older history
+   * keeps weekly resolution. Idempotent — a rerun deletes nothing new; and
+   * monotone in `asOf`, so a daily job can call it unconditionally.
+   * Day-partitioned tables only. Deletion is per-partition-directory and
+   * assumes the quiescence contract of [[compact]] (run it from the single
+   * writer, after the day's writes); pair survivors with [[compact]] if
+   * they were written by many tasks.
+   */
+  def thinToWeekly(spark: SparkSession, asOf: DateInterval, keepDays: Int): Seq[String] = {
+    require(partitioning == PartitionByDay, "thinToWeekly assumes day partitions")
+    require(keepDays >= 1, s"keepDays ($keepDays) must be >= 1")
+    val cutoff = graft.time.Day(asOf) - keepDays
+    val old = partitionDates(spark)
+      .flatMap(v => graft.time.Day.parse(v).map(v -> _))
+      .filter { case (_, d) => d < cutoff }
+    val keepers = old.groupBy { case (_, d) => graft.time.Week(d) }
+      .map { case (_, inWeek) => inWeek.maxBy { case (_, d) => d }._1 }
+      .toSet
+    val doomed = old.map(_._1).filterNot(keepers)
+    val fs = new org.apache.hadoop.fs.Path(tableUrl.toString)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    doomed.foreach { v =>
+      logger.info(s"retention: deleting $name partition date=$v (thinned to weekly)")
+      fs.delete(new org.apache.hadoop.fs.Path((tableUrl / s"date=$v").toString), true)
+    }
+    doomed
+  }
+
   /**
    * True when at least one date partition holds a visible data file. The
    * guard incremental jobs need before `loadAll`/`loadBefore`: a crashed

@@ -56,4 +56,38 @@ class DriftMonitorJobSpec extends SparkJobSuiteBase {
     // day2's snapshot is the baseline: surge had 3 of 6 tokens = 500000 ppm
     drift4("surge") shouldBe 500000L
   }
+
+  test("snapshot retention thins old dailies to weekly, never inside the lookback") {
+    val root = HdfsUrl(tmpDir("drift_retention"))
+    val snapshots = WarehouseTable(root, "snapshots")
+    val reports = WarehouseTable(root, "reports")
+    // seed 21 daily snapshots: Mon 2026-07-20 .. Sun 2026-08-09
+    val first = Day(2026, 7, 20)
+    (0 until 21).foreach { i =>
+      snapshots.save(Seq(("tok", 1L + i)).toDF("term", "cnt"), first + i)
+    }
+
+    val job = new DriftMonitorJob(sourceFor, snapshots, reports, k = 10,
+      lookbackDays = 5, snapshotRetentionDays = Some(7))
+    runJob(job, Day(2026, 8, 10)).isSuccess shouldBe true
+
+    // cutoff = Aug 3: Jul 20..Aug 2 (ISO weeks 30, 31) thin to their latest
+    // day — Sun Jul 26 and Sun Aug 2; Aug 3..9 stay daily; Aug 10 is the
+    // day's own fresh snapshot
+    snapshots.partitionDates(spark) shouldBe Seq(
+      "2026-07-26", "2026-08-02",
+      "2026-08-03", "2026-08-04", "2026-08-05", "2026-08-06", "2026-08-07",
+      "2026-08-08", "2026-08-09", "2026-08-10")
+
+    // the report still found its daily baseline (Aug 9, inside the lookback)
+    reports.hasDataForDate(spark, Day(2026, 8, 10)) shouldBe true
+
+    // idempotent: a second pass at the same asOf deletes nothing more
+    snapshots.thinToWeekly(spark, Day(2026, 8, 10), 7) shouldBe Seq.empty
+
+    // retention may never starve the baseline search
+    an[IllegalArgumentException] should be thrownBy
+      new DriftMonitorJob(sourceFor, snapshots, reports,
+        lookbackDays = 30, snapshotRetentionDays = Some(7))
+  }
 }
