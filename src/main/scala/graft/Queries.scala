@@ -1127,6 +1127,50 @@ object Queries {
        WHERE a.doc_id < b.doc_id"""
   }
 
+  /**
+   * Benchmark decontamination report ([[Decontaminate.contaminationHits]]):
+   * every 17th document plays the eval set; training docs sharing >= 3
+   * distinct word 5-grams with a bench doc are flagged with the exact
+   * overlap count. Bench side broadcasts; the corpus gram stream never
+   * shuffles before the hit-count agg.
+   */
+  def contaminationHits(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(dir, "documents")(spark)
+    val bench = docs.filter(col("doc_id") % 17 === 0)
+      .select(col("doc_id").as("bid"), col("text"))
+    graft.ops.Decontaminate.contaminationHits(
+      docs, "doc_id", "text", bench, "bid", "text", n = 5, minHits = 3)
+  }
+
+  val contaminationHitsSql: String =
+    s"""WITH docg AS (SELECT doc_id, unnest(sh) AS g FROM $SqlShingleDocs),
+       benchg AS (SELECT doc_id AS bench_id, unnest(sh) AS g
+                  FROM $SqlShingleDocs WHERE doc_id % 17 = 0)
+       SELECT d.doc_id, b.bench_id, count(*) AS hits
+       FROM docg d JOIN benchg b ON d.g = b.g
+       GROUP BY 1, 2
+       HAVING count(*) >= 3"""
+
+  /** The corpus after decontamination: flagged docs anti-joined away. */
+  def decontaminatedDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(dir, "documents")(spark)
+    val bench = docs.filter(col("doc_id") % 17 === 0)
+      .select(col("doc_id").as("bid"), col("text"))
+    graft.ops.Decontaminate.removeContaminated(
+      docs, "doc_id", "text", bench, "bid", "text", n = 5, minHits = 3)
+      .select(col("doc_id"))
+  }
+
+  val decontaminatedDocsSql: String =
+    s"""WITH docg AS (SELECT doc_id, unnest(sh) AS g FROM $SqlShingleDocs),
+       benchg AS (SELECT doc_id AS bench_id, unnest(sh) AS g
+                  FROM $SqlShingleDocs WHERE doc_id % 17 = 0),
+       flagged AS (
+         SELECT d.doc_id FROM docg d JOIN benchg b ON d.g = b.g
+         GROUP BY d.doc_id, b.bench_id HAVING count(*) >= 3)
+       SELECT doc_id FROM documents
+       WHERE doc_id NOT IN (SELECT doc_id FROM flagged)"""
+
   /** LSH candidates verified by exact shingle Jaccard. */
   def nearDupPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.nearDuplicatePairs(t(dir, "documents")(spark), "doc_id", "text", threshold = 0.8)
@@ -2556,6 +2600,8 @@ object Queries {
     ("minhash_signatures", minhashSignatures _, Some(minhashSignaturesSql)),
     ("lsh_candidate_pairs", lshCandidatePairs _, Some(lshCandidatePairsSql)),
     ("lsh_salted_pairs", lshSaltedPairs _, Some(lshSaltedPairsSql)),
+    ("contamination_hits", contaminationHits _, Some(contaminationHitsSql)),
+    ("decontaminated_docs", decontaminatedDocs _, Some(decontaminatedDocsSql)),
     ("near_dup_pairs", nearDupPairs _, Some(nearDupPairsSql)),
     ("simhash_fingerprints", simhashFingerprints _, Some(simhashFingerprintsSql)),
     ("simhash_neardup", simhashNeardup _, Some(simhashNeardupSql)),

@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Benchmark decontamination: find (and drop) training documents that
+ * overlap an evaluation set — the gate every LLM training pipeline runs
+ * before a corpus ships, since a single leaked eval document inflates the
+ * benchmark it came from. Overlap is counted in distinct word n-grams
+ * ([[Dedup.wordShingles]] — the unit the published decontamination recipes
+ * use), so paraphrase-level edits still hit while single shared phrases
+ * stay below any sane threshold.
+ *
+ * Scale: the benchmark side is SMALL (eval suites are thousands of docs) —
+ * it broadcasts, so the corpus-side n-gram stream never shuffles for the
+ * probe; the only exchange is the per-(doc, bench) hit count agg, whose
+ * input is already filtered to matching grams (~0 rows for a clean
+ * corpus). Set `broadcastBench = false` for an unusually large benchmark
+ * union and the probe degrades to a plain gram-keyed equi-join.
+ *
+ * [[TextAnalysis.contamination]] is the lighter sibling: one pooled
+ * per-doc overlap count against an undifferentiated probe set. Use this
+ * one when you need to know WHICH benchmark leaked, gate on a threshold,
+ * or actually drop the offenders.
+ */
+object Decontaminate {
+
+  /**
+   * Contamination report: one row per `(doc, bench doc)` pair sharing at
+   * least `minHits` distinct word `n`-grams, with the exact count.
+   * [[Dedup.wordShingles]] emits DISTINCT grams per document, so a plain
+   * `count(*)` over the gram join is the distinct-overlap count — no
+   * `count distinct` shuffle needed.
+   */
+  def contaminationHits(
+      docs: DataFrame,
+      docId: String,
+      docText: String,
+      bench: DataFrame,
+      benchId: String,
+      benchText: String,
+      n: Int = 5,
+      minHits: Int = 3,
+      broadcastBench: Boolean = true): DataFrame = {
+    require(n >= 1, "n must be at least 1")
+    require(minHits >= 1, "minHits must be at least 1")
+    val docGrams = docs.select(col(docId),
+      explode(Dedup.wordShingles(col(docText), n)).as("__gram"))
+    val benchGrams0 = bench.select(col(benchId).as("bench_id"),
+      explode(Dedup.wordShingles(col(benchText), n)).as("__gram"))
+    val benchGrams = if (broadcastBench) broadcast(benchGrams0) else benchGrams0
+    docGrams
+      .join(benchGrams, "__gram")
+      .groupBy(col(docId), col("bench_id"))
+      .agg(count(lit(1)).as("hits"))
+      .filter(col("hits") >= minHits)
+  }
+
+  /**
+   * The corpus with every contaminated document removed: one anti equi-join
+   * on the flagged ids from [[contaminationHits]]. Keep the report too —
+   * audits want to know WHAT was dropped and against WHICH benchmark.
+   */
+  def removeContaminated(
+      docs: DataFrame,
+      docId: String,
+      docText: String,
+      bench: DataFrame,
+      benchId: String,
+      benchText: String,
+      n: Int = 5,
+      minHits: Int = 3,
+      broadcastBench: Boolean = true): DataFrame = {
+    val flagged = contaminationHits(
+      docs, docId, docText, bench, benchId, benchText, n, minHits, broadcastBench)
+      .select(col(docId)).distinct()
+    docs.join(flagged, Seq(docId), "left_anti")
+  }
+}

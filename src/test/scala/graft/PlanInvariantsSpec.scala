@@ -72,6 +72,11 @@ class PlanInvariantsSpec extends SparkTestBase {
     // cold pairing + the salted hot-bucket self-join (both equi-keyed):
     // window count, two pair joins, final distinct
     check("lsh_salted_pairs", maxShuffles = 5)
+    // broadcast bench probe + one hit-count agg exchange
+    check("contamination_hits", maxShuffles = 1)
+    // + flagged-id distinct and the anti-join (SMJ statically; AQE
+    // broadcasts the small flagged side at runtime)
+    check("decontaminated_docs", maxShuffles = 3, maxSmj = 1)
     check("pack_sequences", maxShuffles = 1)
     check("doc_repetition", maxShuffles = 2)
     check("tfidf_top_terms", maxShuffles = 5, maxBnlj = 1)

@@ -1,0 +1,50 @@
+package graft.ops
+
+import graft.testkit.SparkTestBase
+
+class DecontaminateSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val eval = "which planet in our solar system has the most moons and " +
+    "why does its gravity capture so many passing objects over time"
+
+  private def corpus = Seq(
+    (1L, eval), // verbatim leak
+    (2L, eval.replace("gravity", "gravitation")), // near-paraphrase leak
+    (3L, "the solar system has the most fascinating structure overall today"), // one shared phrase
+    (4L, "completely unrelated text about parquet footers and shuffle plans")
+  ).toDF("doc_id", "text")
+
+  private def bench = Seq((100L, eval)).toDF("eval_id", "text")
+
+  test("contaminationHits counts distinct shared n-grams per (doc, bench) pair") {
+    val hits = Decontaminate.contaminationHits(
+      corpus, "doc_id", "text", bench, "eval_id", "text", n = 5, minHits = 3)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    hits.keySet shouldBe Set(1L, 2L)
+    // the verbatim leak shares every gram: 22 tokens -> 18 distinct 5-grams
+    hits(1L) shouldBe 18L
+    // one word changed kills exactly the 5 grams that span it
+    hits(2L) shouldBe 13L
+  }
+
+  test("one shared phrase stays below the threshold; removal keeps clean docs") {
+    // doc 3 shares "the solar system has the" (single 5-gram) -> not flagged
+    val clean = Decontaminate.removeContaminated(
+      corpus, "doc_id", "text", bench, "eval_id", "text", n = 5, minHits = 3)
+      .select("doc_id").as[Long].collect().sorted
+    clean shouldBe Array(3L, 4L)
+  }
+
+  test("the benchmark side broadcasts; nothing cartesians") {
+    val plan = Decontaminate.contaminationHits(
+      corpus, "doc_id", "text", bench, "eval_id", "text")
+      .queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+    plan should not include "CartesianProduct"
+    val unbroadcast = Decontaminate.contaminationHits(
+      corpus, "doc_id", "text", bench, "eval_id", "text", broadcastBench = false)
+      .queryExecution.executedPlan.toString
+    unbroadcast should not include "CartesianProduct"
+  }
+}
