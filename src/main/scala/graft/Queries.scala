@@ -1849,6 +1849,47 @@ object Queries {
                USING (neighbor_id)))
        SELECT query_id, neighbor_id, hamming, cosine, rank FROM res WHERE rank <= 5"""
 
+  /** Component `i` of the deterministic 8-dim random projection (twin of
+    * [[Similarity.randomProject]] — signSketch weight family, value kept). */
+  private def sqlRandomProjComp(vec: String, i: Int): String =
+    s"coalesce(list_sum(list_transform(range(0, len($vec)), d -> cast($vec[d + 1] as double) * cast((($i * 37 + d * 11) % 101) % 7 - 3 as double))), 0.0)"
+
+  /**
+   * Projection-space ANN ([[Similarity.projectedTopK]]): candidates rank by
+   * cosine in the 8-dim deterministic random projection (scan cost an order
+   * of magnitude under the full vector at production dims), top 20 rerank
+   * by exact full-vector cosine. Every stage is deterministic double math
+   * in a fixed fold order, so the whole pass replays in DuckDB.
+   */
+  def annProjectedTopK(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val emb = t(dir, "embeddings")
+    Similarity.projectedTopK(emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding",
+      k = 5, projDims = 8, candidates = 20)
+  }
+
+  val annProjectedTopKSql: String = {
+    val p = "[" + (0 until 8).map(i => sqlRandomProjComp("embedding", i)).mkString(", ") + "]"
+    s"""WITH pr AS (
+         SELECT vec_id, embedding, $p AS p FROM embeddings),
+       cand AS (
+         SELECT query_id, fullq, neighbor_id,
+                row_number() OVER (PARTITION BY query_id ORDER BY pcos DESC, neighbor_id) AS prank
+         FROM (SELECT q.vec_id AS query_id, q.embedding AS fullq, c.vec_id AS neighbor_id,
+                      $SqlCos AS pcos
+               FROM (SELECT vec_id, embedding, p AS qv FROM pr WHERE vec_id < 5) q,
+                    (SELECT vec_id, p AS nv FROM pr) c
+               WHERE q.vec_id <> c.vec_id)),
+       res AS (
+         SELECT query_id, neighbor_id, cosine,
+                row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         FROM (SELECT query_id, neighbor_id, $SqlCos AS cosine
+               FROM (SELECT query_id, fullq AS qv, neighbor_id FROM cand WHERE prank <= 20) x
+               JOIN (SELECT vec_id AS neighbor_id, embedding AS nv FROM embeddings) e
+               USING (neighbor_id)))
+       SELECT query_id, neighbor_id, cosine, rank FROM res WHERE rank <= 5"""
+  }
+
   /**
    * Embedding-cosine near-duplicates within LSH buckets. The testdata
    * embeddings are near-orthogonal random vectors (max pairwise cosine
@@ -2623,6 +2664,7 @@ object Queries {
     ("ann_ivf_topk", annIvfTopK _, Some(annIvfTopKSql)),
     ("ann_multiprobe", annMultiprobe _, Some(annMultiprobeSql)),
     ("ann_hamming_topk", annHammingTopK _, Some(annHammingTopKSql)),
+    ("ann_projected_topk", annProjectedTopK _, Some(annProjectedTopKSql)),
     ("dup_clusters", dupClusters _, Some(dupClustersSql)),
     ("embedding_neardup", embeddingNeardup _, Some(embeddingNeardupSql)),
     ("semantic_dedup", semanticDedup _, Some(semanticDedupSql)),

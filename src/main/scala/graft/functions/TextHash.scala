@@ -342,7 +342,24 @@ object functions {
     (FunctionIdentifier("unicode_normalize"),
       new ExpressionInfo(classOf[UnicodeNormalize].getName, "unicode_normalize"),
       (args: Seq[Expression]) => UnicodeNormalize(args.head,
-        if (args.length > 1) litStr(args(1)) else "NFKC")))
+        if (args.length > 1) litStr(args(1)) else "NFKC")),
+    (FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (args: Seq[Expression]) => DotProduct(args.head, args(1))),
+    (FunctionIdentifier("cosine_similarity"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
+      (args: Seq[Expression]) => CosineSimilarity(args.head, args(1))),
+    (FunctionIdentifier("lsh_bucket"),
+      new ExpressionInfo(classOf[LshBucket].getName, "lsh_bucket"),
+      (args: Seq[Expression]) => LshBucket(args.head,
+        if (args.length > 1) lit(args(1)) else 8)),
+    (FunctionIdentifier("sign_sketch"),
+      new ExpressionInfo(classOf[SignSketch].getName, "sign_sketch"),
+      (args: Seq[Expression]) => SignSketch(args.head,
+        if (args.length > 1) lit(args(1)) else 48)),
+    (FunctionIdentifier("random_project"),
+      new ExpressionInfo(classOf[RandomProject].getName, "random_project"),
+      (args: Seq[Expression]) => RandomProject(args.head, lit(args(1)))))
 
   private def litStr(e: Expression): String = e match {
     case Literal(v: UTF8String, StringType) => v.toString

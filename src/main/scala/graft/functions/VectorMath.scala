@@ -82,6 +82,31 @@ object VectorMath {
     sketch
   }
 
+  /**
+   * Deterministic sparse random projection to `k` dims: `out[i]` is the dot
+   * of the vector with integer hyperplane `i` of the [[signSketch]] weight
+   * family `(((i*37 + d*11) % 101) % 7) - 3` (the mod-101 step makes rows
+   * independent; see signSketch's doc). Achlioptas-style sparse projections
+   * preserve pairwise angles up to scale for `k >> log n`, so this is the
+   * pre-ANN compaction step: project wide embeddings down, bucket/shortlist
+   * on the projection, rerank survivors on the full vector. One pass over
+   * the vector, all `k` accumulators at once; per-accumulator addition
+   * order matches the composed per-dim fold, so results are bit-identical
+   * to the spec twin and the DuckDB oracle.
+   */
+  def randomProject(a: ArrayData, ta: DataType, k: Int): ArrayData = {
+    val acc = new Array[Double](k)
+    val n = a.numElements()
+    var d = 0
+    while (d < n) {
+      val x = value(a, ta, d)
+      var i = 0
+      while (i < k) { acc(i) += x * (((i * 37 + d * 11) % 101) % 7 - 3); i += 1 }
+      d += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(acc)
+  }
+
   def cosine(a: ArrayData, ta: DataType, b: ArrayData, tb: DataType): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var d = 0.0
@@ -178,7 +203,28 @@ case class SignSketch(child: Expression, nbits: Int)
     copy(child = newChild)
 }
 
+case class RandomProject(child: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "random_project"
+  private def elemType: DataType = child.dataType.asInstanceOf[ArrayType].elementType
+  override protected def nullSafeEval(input: Any): Any =
+    VectorMath.randomProject(input.asInstanceOf[ArrayData], elemType, k)
+  override def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val tRef = ctx.addReferenceObj("etype", elemType)
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorMath$$.MODULE$$.randomProject($c, $tRef, $k)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): RandomProject =
+    copy(child = newChild)
+}
+
 object vectors {
+  def random_project(vec: Column, k: Int): Column =
+    GraftExpressionBridge.column(RandomProject(GraftExpressionBridge.expression(vec), k))
+
   def lsh_bucket(vec: Column, nbits: Int = 8): Column =
     GraftExpressionBridge.column(LshBucket(GraftExpressionBridge.expression(vec), nbits))
 

@@ -143,6 +143,66 @@ object Similarity {
   }
 
   /**
+   * Deterministic random projection to `k` dims (native one-pass kernel;
+   * [[randomProjectComposed]] is its spec). Integer hyperplanes of the
+   * [[signSketch]] weight family, so angles are approximately preserved
+   * for `k >> log n` (Achlioptas-style sparse projection) and any engine
+   * replays the exact values. The pre-ANN compaction step at scale:
+   * project 768-dim embeddings to 32-64 dims, index/scan the projection
+   * (an order of magnitude less IO per row), rerank survivors on the full
+   * vector — [[projectedTopK]] wires exactly that.
+   */
+  def randomProject(vec: Column, k: Int): Column =
+    graft.functions.vectors.random_project(vec, k)
+
+  /** Built-in-function specification of [[randomProject]] (spec cross-check + oracle twin). */
+  private[graft] def randomProjectComposed(vec: Column, k: Int): Column = {
+    val dims = sequence(lit(0), size(vec) - 1)
+    val comps = (0 until k).map { i =>
+      aggregate(dims, lit(0.0), (acc, d) =>
+        acc + element_at(vec, d + 1).cast("double") *
+          ((((lit(i * 37) + d * 11) % 101) % 7) - 3).cast("double"))
+    }
+    array(comps: _*)
+  }
+
+  /**
+   * ANN through the projection: candidates rank by cosine in `projDims`-dim
+   * projected space (cheap scan), the best `candidates` per query rerank by
+   * exact cosine on the full vector (fetched by equi-join for the shortlist
+   * only). Same two-phase shape as [[hammingTopK]] with a finer-grained
+   * proxy: projected cosine degrades smoothly, Hamming quantizes to
+   * `nbits` levels.
+   */
+  def projectedTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 10,
+      projDims: Int = 8,
+      candidates: Int = 50): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"),
+      randomProject(col(vecCol), projDims).as("__qp")))
+    val projected = corpus.select(col(idCol).as("neighbor_id"),
+      randomProject(col(vecCol), projDims).as("__np"))
+    val wP = Window.partitionBy(col("query_id")).orderBy(col("pcos").desc, col("neighbor_id"))
+    val cand = q.join(projected, col("query_id") =!= col("neighbor_id"))
+      .withColumn("pcos", round(cosine(col("__qp"), col("__np")), 4))
+      .withColumn("__pr", row_number().over(wP))
+      .filter(col("__pr") <= candidates)
+      .select(col("query_id"), col("query_vec"), col("neighbor_id"))
+    val wC = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    cand
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("neighbor_vec")),
+        Seq("neighbor_id"))
+      .withColumn("cosine", round(cosine(col("query_vec"), col("neighbor_vec")), 4))
+      .withColumn("rank", row_number().over(wC))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /**
    * Quantized ANN: rank candidates by Hamming distance between `nbits`-bit
    * sign sketches (cosine's quantized proxy — for unit-ish vectors the
    * angle is proportional to the expected sign-disagreement rate), then

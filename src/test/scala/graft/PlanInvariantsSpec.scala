@@ -93,6 +93,9 @@ class PlanInvariantsSpec extends SparkTestBase {
     check("span_dedup", maxShuffles = 4, maxSmj = 1)
     // the BNLJ is the deliberate broadcast query-set x sketch scan
     check("ann_hamming_topk", maxShuffles = 3, maxSmj = 1, maxBnlj = 1)
+    // the BNLJ is the deliberate broadcast query-set x projection scan;
+    // rerank fetch is an equi-join
+    check("ann_projected_topk", maxShuffles = 3, maxSmj = 1, maxBnlj = 1)
     // bloom scalar subquery adds its own agg exchange; anti join is equi
     check("dedup_incremental_bloom", maxShuffles = 3, maxSmj = 1)
     check("corpus_mix", maxShuffles = 2, maxBnlj = 1)

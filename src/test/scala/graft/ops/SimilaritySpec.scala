@@ -115,6 +115,67 @@ class SimilaritySpec extends SparkTestBase {
       scaled.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
+  test("random projection: native kernel matches composed form; angles survive") {
+    val checked = corpus.select(
+      (Similarity.randomProject($"embedding", 8) ===
+        Similarity.randomProjectComposed($"embedding", 8)).as("eq"))
+      .as[Boolean].collect()
+    all(checked) shouldBe true
+    // projected cosine tracks full cosine: same-cluster pairs must score
+    // higher than cross-cluster pairs after projection to 8 dims
+    val ref = corpus.filter($"vec_id" === 0)
+      .select(lit(1).as("__k"), $"embedding".as("ref"))
+    val scored = corpus.withColumn("__k", lit(1)).join(broadcast(ref), "__k")
+      .filter($"vec_id".isin(1L, 2L, 30L, 60L)) // 2 same-cluster, 2 cross
+      .select($"vec_id",
+        Similarity.cosine(
+          Similarity.randomProject($"embedding", 8),
+          Similarity.randomProject($"ref", 8)).as("pcos"))
+      .as[(Long, Double)].collect().toMap
+    scored(1L) should be > scored(30L)
+    scored(1L) should be > scored(60L)
+    scored(2L) should be > scored(30L)
+    scored(2L) should be > scored(60L)
+  }
+
+  test("projected-space ANN reaches recall >= 0.8 vs brute force") {
+    val queries = corpus.filter($"vec_id" % 10 === 0)
+    def results(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = results(Similarity.bruteForceTopK(queries, corpus, "vec_id", "embedding", k = 5))
+    val approx = results(Similarity.projectedTopK(
+      queries, corpus, "vec_id", "embedding", k = 5, projDims = 8, candidates = 15))
+    val recalls = exact.map { case (q, truth) =>
+      approx.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    withClue(s"per-query recalls: $recalls") { mean should be >= 0.8 }
+  }
+
+  test("vector kernels are SQL-callable through the extension registry") {
+    // same (id, info, builder) triples GraftExtensions injects via
+    // spark.sql.extensions; the test session registers them directly
+    graft.functions.functions.registry.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+    corpus.createOrReplaceTempView("emb_sql")
+    val row = spark.sql(
+      """SELECT dot_product(embedding, embedding) AS d,
+                cosine_similarity(embedding, embedding) AS c,
+                lsh_bucket(embedding) AS b,
+                sign_sketch(embedding, 16) AS s,
+                random_project(embedding, 4) AS p
+         FROM emb_sql WHERE vec_id = 0""").head()
+    row.getDouble(0) should be > 0.0
+    row.getDouble(1) shouldBe 1.0 +- 1e-9
+    row.getAs[Seq[Double]](4) should have size 4
+    // and the SQL path computes exactly what the Column API computes
+    val viaColumn = corpus.filter($"vec_id" === 0)
+      .select(Similarity.randomProject($"embedding", 4)).as[Seq[Double]].head()
+    row.getAs[Seq[Double]](4) shouldBe viaColumn
+  }
+
   test("Hamming-sketch ANN reaches recall >= 0.8 vs brute force") {
     val queries = corpus.filter($"vec_id" % 10 === 0)
     def results(df: org.apache.spark.sql.DataFrame) =
