@@ -2131,6 +2131,34 @@ object Queries {
                                         WHEN 'es' THEN 20 WHEN 'zh' THEN 10 ELSE 0 END) * 65536"""
   }
 
+  /**
+   * Data-driven target-mix rebalancing ([[TextAnalysis.targetMixSample]]):
+   * make the corpus 40% en / 20% de / 20% fr / 20% zh (es drops). Rates
+   * derive from the actual group counts in exact integer math — the
+   * binding group keeps every row; the rest downsample to match.
+   */
+  def targetMixQ(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    TextAnalysis.targetMixSample(
+      t(dir, "documents").select(col("doc_id"), col("lang")),
+      "lang", "doc_id",
+      Map("en" -> 400000, "de" -> 200000, "fr" -> 200000, "zh" -> 200000))
+      .select(col("doc_id"), col("lang"))
+  }
+
+  val targetMixSql: String = {
+    val bucket = sqlHashBucket("doc_id")
+    s"""WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+       tgt AS (SELECT lang, n,
+                 CASE lang WHEN 'en' THEN 400000 WHEN 'de' THEN 200000
+                           WHEN 'fr' THEN 200000 WHEN 'zh' THEN 200000 ELSE 0 END AS t
+               FROM counts),
+       feasible AS (SELECT min(cast(n AS hugeint) * 1000000 // t) AS m FROM tgt WHERE t > 0)
+       SELECT doc_id, lang
+       FROM documents d JOIN tgt USING (lang), feasible
+       WHERE t > 0 AND cast($bucket AS hugeint) * n * 1000000 < cast(t AS hugeint) * m * 65536"""
+  }
+
   // ---- round 5: curation planning + incremental corpus ops ------------
 
   /**
@@ -2670,6 +2698,7 @@ object Queries {
     ("semantic_dedup", semanticDedup _, Some(semanticDedupSql)),
     ("pack_sequences", packSequences _, Some(packSequencesSql)),
     ("stratified_sample", stratifiedSample _, Some(stratifiedSampleSql)),
+    ("target_mix_sample", targetMixQ _, Some(targetMixSql)),
     ("doc_repetition", docRepetition _, Some(docRepetitionSql)),
     ("ngram_repetition", ngramRepetition _, Some(ngramRepetitionSql)),
     ("funnel_steps", funnelSteps _, Some(funnelStepsSql)),

@@ -507,6 +507,56 @@ object TextAnalysis {
     (hashBucket(id, salt) * 100L) < (ratePct.cast("long") * 65536L)
 
   /**
+   * Rebalance to a TARGET group mix — [[stratifiedKeep]]'s data-driven
+   * sibling: instead of fixed per-group rates, give target SHARES (ppm)
+   * and the per-group keep rates are computed FROM the group counts so the
+   * expected output composition is the target at the largest feasible
+   * size. The binding group (whose target share most exceeds its supply)
+   * is kept whole; every other group downsamples to match it. Groups
+   * absent from `targetsPpm` drop. This is the training-mix knob: "make
+   * the corpus 40% en / 20% de / 20% fr / 20% zh" without anyone hand
+   * computing rates that silently go stale as the corpus grows.
+   * ([[mixPlan]] is the PLANNING view of the same problem — token budgets,
+   * rates, epoch multipliers as a report; this executes the row selection.)
+   *
+   * Exact integer math end-to-end: the feasible output size is
+   * `M = min_g floor(n_g * 1e6 / t_g)` and a row of group `g` survives iff
+   * `bucket * n_g * 1e6 < t_g * M * 65536` (DECIMAL(38) cross-multiply —
+   * never a float rate), so the kept set is a pure function of the data on
+   * any engine and any partitioning.
+   *
+   * Scale: one group-count agg (map-side combine, output is
+   * group-cardinality-sized), two broadcasts (counts + the 1-row minimum),
+   * and a per-row codegen'd integer compare — the corpus is scanned once.
+   */
+  def targetMixSample(
+      df: org.apache.spark.sql.DataFrame,
+      groupCol: String,
+      idCol: String,
+      targetsPpm: Map[String, Int],
+      salt: String = "graft"): org.apache.spark.sql.DataFrame = {
+    require(targetsPpm.nonEmpty && targetsPpm.values.forall(_ > 0),
+      "targetsPpm must be non-empty with positive shares")
+    require(targetsPpm.values.map(_.toLong).sum <= 1000000L,
+      "target shares must sum to at most 1e6 ppm")
+    import org.apache.spark.sql.functions.broadcast
+    val tOf = targetsPpm.toSeq.sortBy(_._1).foldRight(lit(0L)) { case ((name, ppm), alt) =>
+      when(col(groupCol) === name, lit(ppm.toLong)).otherwise(alt)
+    }
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+      .withColumn("__t", tOf)
+      .filter(col("__t") > 0)
+    val feasible = counts.agg(
+      min(expr("CAST(CAST(__n AS DECIMAL(38,0)) * 1000000 DIV __t AS DECIMAL(38,0))")).as("__M"))
+    df.join(broadcast(counts), Seq(groupCol)) // inner join: zero-target groups drop
+      .join(broadcast(feasible))
+      .filter(
+        hashBucket(col(idCol), salt).cast("decimal(38,0)") * col("__n") * 1000000L <
+          col("__t").cast("decimal(38,0)") * col("__M") * 65536L)
+      .drop("__n", "__t", "__M")
+  }
+
+  /**
    * Tokenizer-training pair statistics — the counting step of one BPE merge
    * iteration: corpus-wide counts of adjacent character pairs inside words,
    * weighted by word frequency, highest first. Counting words FIRST

@@ -321,6 +321,35 @@ class TextAnalysisSpec extends SparkTestBase {
     pairs.keySet shouldBe Set("ab", "ba")
   }
 
+  test("targetMixSample hits the target mix at the largest feasible size") {
+    // a: 40 rows, b: 10, c: 10, d: 5; targets a 50%, b 25%, c 25% (d drops)
+    // M = min(40/.5, 10/.25, 10/.25) = 40 -> b and c bind: kept WHOLE
+    // (their threshold is bucket < 65536, exact); a samples at rate 1/2
+    val rows = (0L until 40L).map(i => (i, "a")) ++
+      (100L until 110L).map(i => (i, "b")) ++
+      (200L until 210L).map(i => (i, "c")) ++
+      (300L until 305L).map(i => (i, "d"))
+    val df = rows.toDF("doc_id", "grp")
+    val kept = TextAnalysis.targetMixSample(df, "grp", "doc_id",
+      Map("a" -> 500000, "b" -> 250000, "c" -> 250000))
+      .select($"doc_id", $"grp").as[(Long, String)].collect()
+    val byGrp = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    byGrp.getOrElse("d", 0) shouldBe 0 // no target -> dropped
+    byGrp("b") shouldBe 10 // binding groups keep every row
+    byGrp("c") shouldBe 10
+    // a downsamples at exactly rate 1/2 in expectation (hash-deterministic)
+    byGrp("a").toDouble should (be > 10.0 and be < 30.0)
+
+    // deterministic under any partitioning
+    val repartitioned = TextAnalysis.targetMixSample(df.repartition(7), "grp", "doc_id",
+      Map("a" -> 500000, "b" -> 250000, "c" -> 250000))
+      .select($"doc_id").as[Long].collect().toSet
+    repartitioned shouldBe kept.map(_._1).toSet
+
+    an[IllegalArgumentException] should be thrownBy
+      TextAnalysis.targetMixSample(df, "grp", "doc_id", Map("a" -> 600000, "b" -> 600000))
+  }
+
   test("mixPlan computes exact budgets, rates and epoch multipliers") {
     val docs = Seq(("web", 900L), ("curated", 100L)).toDF("source", "n_tok")
     val targets = Seq(("web", 500000L), ("curated", 500000L)).toDF("source", "target_ppm")
