@@ -165,6 +165,35 @@ object ScaleCheck {
         ops.Sketches.quantileSketch(ev, Seq("event_type", "day"), "event_id", "value", k = 128),
         Seq("event_type"), k = 128)
     }
+    // worst case by construction: every amplified copy lands in its
+    // original's LSH buckets, so EVERY bucket is `factor` deep — far over
+    // the cap — and the entire corpus takes the salted hot-bucket path.
+    // Output is pair-quadratic per family (factor^2/2 x families), so the
+    // curve to compare against is the PAIR COUNT's growth, not row count
+    time("lsh_salted_pairs") {
+      ops.Dedup.lshCandidatePairs(bigDocs, "doc_id", "text",
+        maxBucket = math.max(2, factor / 2), saltHotBuckets = true)
+    }
+    // bench side stays original-sized (eval suites don't grow with the
+    // corpus): the corpus gram stream grows `factor`x but never shuffles —
+    // broadcast probe + an agg over matching grams only
+    time("contamination_hits") {
+      val bench = docs.filter(col("doc_id") % 17 === 0)
+        .select(col("doc_id").as("bid"), col("text"))
+      ops.Decontaminate.contaminationHits(
+        bigDocs, "doc_id", "text", bench, "bid", "text", n = 5, minHits = 3)
+    }
+    // projection scan grows linearly; shortlist + rerank stay query-bounded
+    time("projected_ann") {
+      ops.Similarity.projectedTopK(
+        bigEmb.filter(col("vec_id") < 5), bigEmb, "vec_id", "embedding",
+        k = 10, projDims = 8, candidates = 50)
+    }
+    // one group-count agg + a per-row compare: pure scan-bound growth
+    time("target_mix_sample") {
+      ops.TextAnalysis.targetMixSample(bigDocs, "lang", "doc_id",
+        Map("en" -> 400000, "de" -> 200000, "fr" -> 200000, "zh" -> 200000))
+    }
     spark.stop()
   }
 }
