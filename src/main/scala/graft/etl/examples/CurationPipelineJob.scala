@@ -21,15 +21,20 @@ import graft.time.DateInterval
  *  4. scrub PII from the survivors (email/phone/IPv4/SSN -> `<KIND>`),
  *  5. remove near-duplicates (MinHash LSH -> Jaccard verify -> cluster
  *     representative; pass `checkpointDir` on real clusters),
- *  6. assign a deterministic train/valid/test split,
- *  7. write the clean partition.
+ *  6. with a `benchmark` set supplied, drop documents contaminated
+ *     against it ([[graft.ops.Decontaminate.removeContaminated]] — the
+ *     pre-ship gate against eval leakage),
+ *  7. assign a deterministic train/valid/test split,
+ *  8. write the clean partition.
  *
  * Order matters and is load-bearing: normalize precedes dedup (equivalent
  * byte forms must collide), the quality gate precedes the PII scrub and
- * dedup (no sense hashing junk), and the split is assigned AFTER dedup so
- * every surviving document draws exactly one split. Near-duplicates are
- * REMOVED here rather than co-split ([[Dedup.leakageSafeSplit]] is the
- * alternative when duplicates must be kept but contained).
+ * dedup (no sense hashing junk), decontamination runs on the deduped
+ * survivors (one representative per family decides once for the whole
+ * family), and the split is assigned AFTER dedup so every surviving
+ * document draws exactly one split. Near-duplicates are REMOVED here
+ * rather than co-split ([[Dedup.leakageSafeSplit]] is the alternative
+ * when duplicates must be kept but contained).
  *
  * Scale: every stage is one of the library's audited shapes — per-row
  * codegen (normalize, gate, scrub, split) plus the LSH pipeline's bucketed
@@ -42,7 +47,10 @@ class CurationPipelineJob(
     threshold: Double = 0.8,
     idCol: String = "doc_id",
     textCol: String = "text",
-    checkpointDir: Option[String] = None)
+    checkpointDir: Option[String] = None,
+    benchmark: Option[DataFrame] = None,
+    benchIdCol: String = "bench_id",
+    minContaminationHits: Int = 3)
     extends SparkJob {
 
   override def shouldRunForDate(spark: SparkSession, date: DateInterval): Boolean =
@@ -65,6 +73,13 @@ class CurationPipelineJob(
     deduped <- Stage.transform[org.apache.spark.sql.Row, org.apache.spark.sql.Row]("near_dedup") { ctx =>
       Dedup.removeNearDuplicates(ctx.value.toDF(), idCol, textCol, threshold,
         checkpointDir = checkpointDir)
+    }
+    decontaminated <- Stage.transform[org.apache.spark.sql.Row, org.apache.spark.sql.Row]("decontaminate") { ctx =>
+      benchmark.fold(ctx.value.toDF()) { bench =>
+        graft.ops.Decontaminate.removeContaminated(
+          ctx.value.toDF(), idCol, textCol, bench, benchIdCol, textCol,
+          minHits = minContaminationHits)
+      }
     }
     split <- Stage.transform[org.apache.spark.sql.Row, org.apache.spark.sql.Row]("split") { ctx =>
       ctx.value.toDF().withColumn("split", TextAnalysis.hashSplit(col(idCol), weights))

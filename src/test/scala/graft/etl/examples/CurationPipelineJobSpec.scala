@@ -51,4 +51,21 @@ class CurationPipelineJobSpec extends SparkJobSuiteBase {
     // gate: idempotent reruns
     job.shouldRunForDate(spark, date) shouldBe false
   }
+
+  test("curation pipeline with a benchmark drops contaminated survivors") {
+    val root = HdfsUrl(tmpDir("curation_bench"))
+    val clean = WarehouseTable(root, "clean")
+    // doc 5's normalized text plays the leaked eval document
+    val evalText = "fullwidth encoded content about completely different topics like " +
+      "catalyst optimizer rules and distributed shuffle joins across many executor nodes"
+    val bench = Seq((900L, evalText)).toDF("bench_id", "text")
+    val job = new CurationPipelineJob(sourceFor, clean, benchmark = Some(bench))
+    val date = Day(2026, 8, 12)
+    runJob(job, date).isSuccess shouldBe true
+
+    val ids = clean.load(spark, date).select("doc_id").as[Long].collect().toSet
+    ids should not contain 5L // contaminated against the benchmark
+    ids should contain(1L) // the rest of the pipeline is unchanged
+    ids should contain(4L)
+  }
 }
