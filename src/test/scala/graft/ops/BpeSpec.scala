@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.testkit.SparkTestBase
+
+class BpeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Reference single-node BPE: canonical greedy semantics, plain Scala. */
+  private object Ref {
+    def tokenize(text: String): Seq[String] =
+      text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+
+    def mergePair(sym: List[String], a: String, b: String): List[String] = sym match {
+      case x :: y :: rest if x == a && y == b => (a + b) :: mergePair(rest, a, b)
+      case x :: rest => x :: mergePair(rest, a, b)
+      case Nil => Nil
+    }
+
+    def learn(corpus: Seq[String], numMerges: Int, minCount: Long = 2L): Seq[(String, String, Long)] = {
+      var words: Map[List[String], Long] = corpus.flatMap(tokenize)
+        .groupBy(identity).map { case (w, ws) => w.split("").toList -> ws.size.toLong }
+      val out = Seq.newBuilder[(String, String, Long)]
+      var round = 0
+      var done = false
+      while (round < numMerges && !done) {
+        val counts = words.toSeq.flatMap { case (sym, wc) =>
+          sym.zip(sym.drop(1)).map(p => p -> wc)
+        }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        val eligible = counts.filter(_._2 >= minCount)
+        if (eligible.isEmpty) done = true
+        else {
+          val ((a, b), cnt) = eligible.minBy { case ((l, r), c) => (-c, l, r) }
+          out += ((a, b, cnt))
+          words = words.groupMapReduce { case (sym, _) => mergePair(sym, a, b) }(_._2)(_ + _)
+          round += 1
+        }
+      }
+      out.result()
+    }
+  }
+
+  private val corpus = Seq(
+    "the cat sat on the mat with another cat",
+    "that cat chased the rat past the mat",
+    "aaaa aaaaa banana bandana", // identical-pair runs + shared 'an'/'na' structure
+    "low lower lowest slow slowly")
+
+  test("learn matches the canonical single-node reference, merge for merge") {
+    val expected = Ref.learn(corpus, numMerges = 12)
+    val got = Bpe.learn(corpus.toDF("text"), "text", numMerges = 12)
+      .map(m => (m.left, m.right, m.count))
+    got shouldBe expected
+    expected.size shouldBe 12 // this corpus supports all 12 rounds
+  }
+
+  test("mergePair is canonical greedy, including overlapping identical-pair runs") {
+    def run(word: String, a: String, b: String): Seq[String] =
+      Seq(word).toDF("w")
+        .select(Bpe.mergePair(Bpe.charSymbols($"w"), a, b))
+        .as[Seq[String]].head()
+    run("aaaa", "a", "a") shouldBe Seq("aa", "aa")
+    run("aaaaa", "a", "a") shouldBe Seq("aa", "aa", "a")
+    run("banana", "a", "n") shouldBe Seq("b", "an", "an", "a")
+    run("xyz", "a", "b") shouldBe Seq("x", "y", "z")
+  }
+
+  test("applyMerges tokenizes exactly like the reference fold") {
+    val merges = Bpe.learn(corpus.toDF("text"), "text", numMerges = 10)
+    val refMerges = Ref.learn(corpus, numMerges = 10)
+    val words = Seq("lowest", "banana", "aaaaa", "catamaran")
+    val spark_ = words.toDF("w")
+      .select($"w", Bpe.applyMerges($"w", merges).as("toks"))
+      .as[(String, Seq[String])].collect().toMap
+    words.foreach { w =>
+      val ref = refMerges.foldLeft(w.split("").toList) { case (sym, (a, b, _)) =>
+        Ref.mergePair(sym, a, b)
+      }
+      spark_(w) shouldBe ref
+    }
+    // the learned tokens rebuild the word exactly (BPE invariant)
+    words.foreach(w => spark_(w).mkString shouldBe w)
+  }
+
+  test("learn stops early when no pair clears minCount") {
+    val tiny = Seq("ab cd").toDF("text") // every pair occurs once
+    Bpe.learn(tiny, "text", numMerges = 5, minCount = 2) shouldBe empty
+    // with minCount 1 it merges until single symbols remain
+    val all = Bpe.learn(tiny, "text", numMerges = 5, minCount = 1)
+    all.size shouldBe 2 // ab and cd each fully merge in one round
+  }
+}
