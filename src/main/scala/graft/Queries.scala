@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 
 import graft.etl.Stage
 import graft.io.{HdfsUrl, Warehouse, WarehouseTable}
-import graft.ops.{Dedup, Joins, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Bpe, Dedup, Joins, Multimodal, Similarity, TextAnalysis}
 import graft.time.Day
 
 /**
@@ -2216,6 +2216,48 @@ object Queries {
        ORDER BY cnt DESC, pair LIMIT 50"""
 
   /**
+   * Fixed BPE merge list for the `bpe_tokenize` battery query: the first 8
+   * merges [[graft.ops.Bpe.learn]] learns on the sf0.001 documents corpus
+   * (hardcoded so the query is a pure function of its input — the 8th merge
+   * chains on the 7th, exercising rank ordering). The oracle twin applies
+   * the same merges as a global-`replace` chain over space-terminated
+   * symbol strings, which is exactly greedy left-to-right non-overlapping
+   * pair merging.
+   */
+  private val BpeFixedMerges = Seq(
+    "e" -> "r", "o" -> "r", "i" -> "n", "o" -> "w",
+    "s" -> "t", "l" -> "u", "a" -> "r", "p" -> "ar")
+
+  /** BPE tokenization with the fixed learned merges: top-50 vocabulary
+    * tokens by frequency-weighted count. Corpus-sized work is ONE word
+    * count; the merge folds run per DISTINCT word (vocab-sized). */
+  def bpeTokenize(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    t(dir, "documents")
+      .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      .select(explode(Bpe.applyMergePairs(col("w"), BpeFixedMerges)).as("token"), col("wc"))
+      .groupBy(col("token")).agg(sum(col("wc")).cast("long").as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(50)
+  }
+
+  val bpeTokenizeSql: String = {
+    val symbols = BpeFixedMerges.foldLeft(raw"regexp_replace(w, '(.)', '\1 ', 'g')") {
+      case (s, (a, b)) => s"replace($s, '$a $b ', '$a$b ')"
+    }
+    s"""WITH words AS (
+         SELECT t AS w, count(*) AS wc
+         FROM (SELECT unnest($Toks) AS t FROM documents) GROUP BY t),
+       toks AS (
+         SELECT unnest(list_filter(string_split($symbols, ' '), x -> x <> '')) AS token, wc
+         FROM words)
+       SELECT token, cast(sum(wc) as bigint) AS cnt
+       FROM toks GROUP BY token
+       ORDER BY cnt DESC, token LIMIT 50"""
+  }
+
+  /**
    * Mixture plan: uniform target ppm share per observed source; per source
    * the available tokens, planned budget, sampling rate and epoch
    * multiplier — all exact integer math.
@@ -2709,6 +2751,7 @@ object Queries {
     ("source_cap", sourceCapQ _, Some(sourceCapSql)),
     ("weighted_sample", weightedSample _, Some(weightedSampleSql)),
     ("bpe_pairs", bpePairsQ _, Some(bpePairsSql)),
+    ("bpe_tokenize", bpeTokenize _, Some(bpeTokenizeSql)),
     ("mix_plan", mixPlanQ _, Some(mixPlanSql)),
     ("kmeans_update", kmeansUpdateQ _, Some(kmeansUpdateSql)),
     ("snapshot_diff", snapshotDiffQ _, Some(snapshotDiffSql)),

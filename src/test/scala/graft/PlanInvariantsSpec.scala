@@ -119,6 +119,9 @@ class PlanInvariantsSpec extends SparkTestBase {
     check("weighted_sample", maxShuffles = 0)
     // vocab agg + pair agg; top-k is TakeOrdered, not a range exchange
     check("bpe_pairs", maxShuffles = 2)
+    // same two aggs (word count, token count); the 8 merge folds are
+    // per-row expressions between them — no extra exchange
+    check("bpe_tokenize", maxShuffles = 2)
     // all occurrences are the ONE canonical per-source agg (avail, total's
     // input, the target list) — ReuseExchange runs that shuffle once
     check("mix_plan", maxShuffles = 4, maxBnlj = 2)
