@@ -2257,6 +2257,34 @@ object Queries {
        ORDER BY cnt DESC, token LIMIT 50"""
   }
 
+  /** CCNet-style reference-LM quality filter (portable re-expression): the
+    * 100 least-typical documents under the corpus's own capped unigram
+    * model — the tail a perplexity filter would drop. */
+  def typicalityScoreQ(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val docs = t(dir, "documents")
+    TextAnalysis.typicalityScores(docs, "doc_id", "text", docs, "text", vocabSize = 4096)
+      .orderBy(col("typicality_ppm"), col("doc_id"))
+      .limit(100)
+  }
+
+  val typicalityScoreSql: String =
+    s"""WITH terms AS (
+         SELECT t AS term, count(*) AS cnt
+         FROM (SELECT unnest($Toks) AS t FROM documents) GROUP BY t),
+       tot AS (SELECT sum(len($Toks)) AS tot FROM documents),
+       model AS (
+         SELECT term, cast(cast(cnt as hugeint) * 1000000 // tot as bigint) AS ppm
+         FROM terms, tot ORDER BY cnt DESC, term LIMIT 4096),
+       doc_terms AS (SELECT doc_id, unnest($Toks) AS term FROM documents),
+       scored AS (
+         SELECT doc_id, count(*) AS n_tok, sum(coalesce(ppm, 0)) AS sum_ppm
+         FROM doc_terms LEFT JOIN model USING (term) GROUP BY doc_id)
+       SELECT doc_id, cast(n_tok as bigint) AS n_tok,
+              cast(sum_ppm // n_tok as bigint) AS typicality_ppm
+       FROM scored
+       ORDER BY typicality_ppm, doc_id LIMIT 100"""
+
   /**
    * Mixture plan: uniform target ppm share per observed source; per source
    * the available tokens, planned budget, sampling rate and epoch
@@ -2752,6 +2780,7 @@ object Queries {
     ("weighted_sample", weightedSample _, Some(weightedSampleSql)),
     ("bpe_pairs", bpePairsQ _, Some(bpePairsSql)),
     ("bpe_tokenize", bpeTokenize _, Some(bpeTokenizeSql)),
+    ("typicality_score", typicalityScoreQ _, Some(typicalityScoreSql)),
     ("mix_plan", mixPlanQ _, Some(mixPlanSql)),
     ("kmeans_update", kmeansUpdateQ _, Some(kmeansUpdateSql)),
     ("snapshot_diff", snapshotDiffQ _, Some(snapshotDiffSql)),

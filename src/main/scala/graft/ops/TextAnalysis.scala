@@ -584,6 +584,57 @@ object TextAnalysis {
   }
 
   /**
+   * Reference-model typicality score — the CCNet/KenLM perplexity-filter
+   * recipe re-expressed in exact integer math. CCNet scores each document
+   * under a reference n-gram language model and drops the worst-perplexity
+   * tail; the log-probability itself is libm-bound (`ln` differs across
+   * implementations), so the portable re-expression scores each document by
+   * the MEAN REFERENCE FREQUENCY (ppm) of its tokens under a capped unigram
+   * model built from `ref`: text made of common reference vocabulary scores
+   * high; gibberish, wrong-language and codec-noise text scores near 0.
+   * Both statistics are monotone in per-token reference likelihood, so the
+   * filter tail is the same — and every digit is engine-reproducible.
+   *
+   * The model is the top-`vocabSize` terms of `ref` by count (ties by
+   * term), weighted `ppm = cnt * 1e6 DIV total_ref_tokens` — BOUNDED, so it
+   * broadcasts at any corpus scale; out-of-vocabulary tokens weigh 0.
+   * Documents with no tokens produce no row (nothing to score).
+   *
+   * Scale: the reference total is a per-row `size(tokens)` sum (no explode,
+   * map-side partials); the vocab agg is vocabulary-sized after its
+   * partials; top-V is a bounded single-partition limit; the scoring join
+   * is a BROADCAST into the per-token stream feeding one doc-keyed agg.
+   * Two hash shuffles total, both aggs.
+   */
+  def typicalityScores(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      ref: org.apache.spark.sql.DataFrame,
+      refTextCol: String,
+      vocabSize: Int = 4096): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val total = ref.agg(
+      sum(size(tokens(col(refTextCol))).cast("long")).as("__tot"))
+    val model = ref.select(explode(tokens(col(refTextCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .join(broadcast(total))
+      .withColumn("ppm",
+        expr("CAST(CAST(cnt AS DECIMAL(38,0)) * 1000000 DIV __tot AS BIGINT)"))
+      .orderBy(col("cnt").desc, col("term"))
+      .limit(vocabSize)
+      .select(col("term"), col("ppm"))
+    df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .join(broadcast(model), Seq("term"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_tok"),
+        sum(coalesce(col("ppm"), lit(0L))).as("__sum_ppm"))
+      .withColumn("typicality_ppm",
+        expr("CAST(CAST(__sum_ppm AS DECIMAL(38,0)) DIV n_tok AS BIGINT)"))
+      .select(col(idCol), col("n_tok"), col("typicality_ppm"))
+  }
+
+  /**
    * Mixture plan from target shares: given documents with a stratum and a
    * token count, plus per-stratum target corpus shares (ppm) in `targets`
    * (`stratumCol`, `target_ppm`), compute each stratum's available tokens,

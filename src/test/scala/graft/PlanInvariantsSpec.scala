@@ -122,6 +122,9 @@ class PlanInvariantsSpec extends SparkTestBase {
     // same two aggs (word count, token count); the 8 merge folds are
     // per-row expressions between them — no extra exchange
     check("bpe_tokenize", maxShuffles = 2)
+    // vocab agg + doc agg; the capped model BROADCASTS into the token
+    // stream; the bnlj is the deliberate 1-row ref-total broadcast
+    check("typicality_score", maxShuffles = 2, maxBnlj = 1)
     // all occurrences are the ONE canonical per-source agg (avail, total's
     // input, the target list) — ReuseExchange runs that shuffle once
     check("mix_plan", maxShuffles = 4, maxBnlj = 2)

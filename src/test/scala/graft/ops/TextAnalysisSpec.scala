@@ -361,4 +361,22 @@ class TextAnalysisSpec extends SparkTestBase {
     plan("web") shouldBe ((900L, 500L, 555555L, 56L)) // consumes 0.56 epochs of web
     plan("curated") shouldBe ((100L, 500L, 1000000L, 500L)) // 5 epochs to fill 500 from 100
   }
+
+  test("typicalityScores: exact ppm means, vocab cap with tie-break, OOV weighs 0") {
+    val docs = Seq(
+      ("d1", "the the the cat"), // all in-vocab
+      ("d2", "the dog"),         // dog misses the capped vocab -> 0
+      ("d3", "zzz qqq"),         // fully out-of-vocabulary
+      ("d4", "!!!")              // no tokens -> no row
+    ).toDF("doc_id", "text")
+    // ref counts: the=4, cat/dog/qqq/zzz=1 over 8 tokens; cap 2 keeps
+    // the (500000 ppm) and, by term tie-break among the count-1 terms, cat
+    // (125000 ppm)
+    val got = TextAnalysis.typicalityScores(docs, "doc_id", "text", docs, "text", vocabSize = 2)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    got shouldBe Map(
+      "d1" -> ((4L, 406250L)), // (3*500000 + 125000) / 4
+      "d2" -> ((2L, 250000L)), // (500000 + 0) / 2
+      "d3" -> ((2L, 0L)))
+  }
 }
