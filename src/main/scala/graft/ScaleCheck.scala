@@ -194,6 +194,25 @@ object ScaleCheck {
       ops.TextAnalysis.targetMixSample(bigDocs, "lang", "doc_id",
         Map("en" -> 400000, "de" -> 200000, "fr" -> 200000, "zh" -> 200000))
     }
+    // vocab is shared across copies: after the word count the 8 merge folds
+    // and the token agg run over an unchanged vocabulary — like bpe_pairs,
+    // only the first count sees the corpus
+    time("bpe_tokenize") {
+      val merges = Seq("e" -> "r", "o" -> "r", "i" -> "n", "o" -> "w",
+        "s" -> "t", "l" -> "u", "a" -> "r", "p" -> "ar")
+      val words = bigDocs
+        .select(explode(ops.TextAnalysis.tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      words.select(explode(ops.Bpe.applyMergePairs(col("w"), merges)).as("token"), col("wc"))
+        .groupBy(col("token")).agg(sum(col("wc")).cast("long").as("cnt"))
+        .orderBy(col("cnt").desc, col("token")).limit(50)
+    }
+    // model stays top-4096 however large the corpus (bounded broadcast);
+    // the scoring pass is scan-bound: per-token stream -> one doc agg
+    time("typicality_score") {
+      ops.TextAnalysis.typicalityScores(
+        bigDocs, "doc_id", "text", bigDocs, "text", vocabSize = 4096)
+    }
     spark.stop()
   }
 }
