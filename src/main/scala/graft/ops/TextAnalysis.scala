@@ -606,6 +606,28 @@ object TextAnalysis {
    * is a BROADCAST into the per-token stream feeding one doc-keyed agg.
    * Two hash shuffles total, both aggs.
    */
+  /** The capped unigram model behind [[typicalityScores]]: the top
+    * `vocabSize` terms of `ref` by count (ties by term) as `(term, ppm)`
+    * with `ppm = cnt * 1e6 DIV total_ref_tokens`. Bounded by construction,
+    * so it broadcasts — or collects to a literal map for
+    * [[typicalityScoreCol]] — at any reference-corpus scale. */
+  def typicalityModel(
+      ref: org.apache.spark.sql.DataFrame,
+      refTextCol: String,
+      vocabSize: Int = 4096): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val total = ref.agg(
+      sum(size(tokens(col(refTextCol))).cast("long")).as("__tot"))
+    ref.select(explode(tokens(col(refTextCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .join(broadcast(total))
+      .withColumn("ppm",
+        expr("CAST(CAST(cnt AS DECIMAL(38,0)) * 1000000 DIV __tot AS BIGINT)"))
+      .orderBy(col("cnt").desc, col("term"))
+      .limit(vocabSize)
+      .select(col("term"), col("ppm"))
+  }
+
   def typicalityScores(
       df: org.apache.spark.sql.DataFrame,
       idCol: String,
@@ -614,16 +636,7 @@ object TextAnalysis {
       refTextCol: String,
       vocabSize: Int = 4096): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.broadcast
-    val total = ref.agg(
-      sum(size(tokens(col(refTextCol))).cast("long")).as("__tot"))
-    val model = ref.select(explode(tokens(col(refTextCol))).as("term"))
-      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
-      .join(broadcast(total))
-      .withColumn("ppm",
-        expr("CAST(CAST(cnt AS DECIMAL(38,0)) * 1000000 DIV __tot AS BIGINT)"))
-      .orderBy(col("cnt").desc, col("term"))
-      .limit(vocabSize)
-      .select(col("term"), col("ppm"))
+    val model = typicalityModel(ref, refTextCol, vocabSize)
     df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
       .join(broadcast(model), Seq("term"), "left")
       .groupBy(col(idCol))
@@ -632,6 +645,26 @@ object TextAnalysis {
       .withColumn("typicality_ppm",
         expr("CAST(CAST(__sum_ppm AS DECIMAL(38,0)) DIV n_tok AS BIGINT)"))
       .select(col(idCol), col("n_tok"), col("typicality_ppm"))
+  }
+
+  /**
+   * Per-row [[typicalityScores]] against an already-materialized model
+   * (`term -> ppm`, e.g. `typicalityModel(...).collect()` — O(vocabSize),
+   * bounded): the model becomes ONE literal map inside the expression, so
+   * scoring fuses into whole-stage codegen over the scan — no join, no
+   * shuffle, no state. This is the form a streaming quality gate or a
+   * scan-speed batch filter wants; the agg form is for when the model
+   * must stay distributed. Same exact integer arithmetic (the quotient is
+   * computed on an exactly-divisible numerator, so the double division is
+   * exact); rows with no tokens score null.
+   */
+  def typicalityScoreCol(text: Column, model: Map[String, Long]): Column = {
+    val m = typedLit(model)
+    val toks = tokens(text)
+    val n = size(toks).cast("long")
+    val s = aggregate(toks, lit(0L),
+      (acc, t) => acc + coalesce(element_at(m, t), lit(0L)))
+    when(n > 0, ((s - (s % n)) / n).cast("long"))
   }
 
   /**

@@ -379,4 +379,18 @@ class TextAnalysisSpec extends SparkTestBase {
       "d2" -> ((2L, 250000L)), // (500000 + 0) / 2
       "d3" -> ((2L, 0L)))
   }
+
+  test("typicalityScoreCol (literal-map form) matches the agg form; tokenless rows null") {
+    val docs = Seq(
+      ("d1", "the the the cat"), ("d2", "the dog"), ("d3", "zzz qqq"), ("d4", "!!!")
+    ).toDF("doc_id", "text")
+    val model = TextAnalysis.typicalityModel(docs, "text", vocabSize = 2)
+      .as[(String, Long)].collect().toMap
+    model shouldBe Map("the" -> 500000L, "cat" -> 125000L)
+    val perRow = docs
+      .select($"doc_id", TextAnalysis.typicalityScoreCol($"text", model).as("t"))
+      .as[(String, Option[Long])].collect().toMap
+    perRow shouldBe Map(
+      "d1" -> Some(406250L), "d2" -> Some(250000L), "d3" -> Some(0L), "d4" -> None)
+  }
 }
