@@ -18,14 +18,18 @@ import graft.time.DateInterval
  *  2. Unicode-normalize the text (NFKC — composed/fullwidth/ligature forms
  *     fold BEFORE any byte-equality step sees them),
  *  3. drop documents failing the Gopher-style quality gate,
- *  4. scrub PII from the survivors (email/phone/IPv4/SSN -> `<KIND>`),
- *  5. remove near-duplicates (MinHash LSH -> Jaccard verify -> cluster
+ *  4. with a `typicalityModel` supplied, drop documents scoring under
+ *     `minTypicalityPpm` ([[TextAnalysis.typicalityScoreCol]] — the
+ *     CCNet-style reference-LM filter, fused into the scan as a literal
+ *     map; build the model once with [[TextAnalysis.typicalityModel]]),
+ *  5. scrub PII from the survivors (email/phone/IPv4/SSN -> `<KIND>`),
+ *  6. remove near-duplicates (MinHash LSH -> Jaccard verify -> cluster
  *     representative; pass `checkpointDir` on real clusters),
- *  6. with a `benchmark` set supplied, drop documents contaminated
+ *  7. with a `benchmark` set supplied, drop documents contaminated
  *     against it ([[graft.ops.Decontaminate.removeContaminated]] — the
  *     pre-ship gate against eval leakage),
- *  7. assign a deterministic train/valid/test split,
- *  8. write the clean partition.
+ *  8. assign a deterministic train/valid/test split,
+ *  9. write the clean partition.
  *
  * Order matters and is load-bearing: normalize precedes dedup (equivalent
  * byte forms must collide), the quality gate precedes the PII scrub and
@@ -50,7 +54,9 @@ class CurationPipelineJob(
     checkpointDir: Option[String] = None,
     benchmark: Option[DataFrame] = None,
     benchIdCol: String = "bench_id",
-    minContaminationHits: Int = 3)
+    minContaminationHits: Int = 3,
+    typicalityModel: Option[Map[String, Long]] = None,
+    minTypicalityPpm: Long = 0L)
     extends SparkJob {
 
   override def shouldRunForDate(spark: SparkSession, date: DateInterval): Boolean =
@@ -66,6 +72,12 @@ class CurationPipelineJob(
       val passes = TextAnalysis.qualityFlags(col(textCol))
         .collectFirst { case ("passes", c) => c }.get
       ctx.value.toDF().filter(passes === 1L)
+    }
+    typical <- Stage.transform[org.apache.spark.sql.Row, org.apache.spark.sql.Row]("typicality_gate") { ctx =>
+      typicalityModel.fold(ctx.value.toDF()) { model =>
+        ctx.value.toDF().filter(
+          TextAnalysis.typicalityScoreCol(col(textCol), model) >= minTypicalityPpm)
+      }
     }
     scrubbed <- Stage.transform[org.apache.spark.sql.Row, org.apache.spark.sql.Row]("pii_scrub") { ctx =>
       ctx.value.toDF().withColumn(textCol, TextAnalysis.scrubPii(col(textCol)))

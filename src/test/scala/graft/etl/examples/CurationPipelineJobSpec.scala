@@ -68,4 +68,23 @@ class CurationPipelineJobSpec extends SparkJobSuiteBase {
     ids should contain(1L) // the rest of the pipeline is unchanged
     ids should contain(4L)
   }
+
+  test("curation pipeline with a typicality model drops atypical survivors") {
+    val root = HdfsUrl(tmpDir("curation_typ"))
+    val clean = WarehouseTable(root, "clean")
+    // model built from doc 1's own register: docs 1/2 self-score ~22k ppm;
+    // doc 4 (support-speak, ~9.9k) and doc 5 (off-register tech text,
+    // ~2.4k) fall under a 15k floor
+    val model = graft.ops.TextAnalysis.typicalityModel(Seq(base).toDF("text"), "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val job = new CurationPipelineJob(sourceFor, clean,
+      typicalityModel = Some(model), minTypicalityPpm = 15000L)
+    val date = Day(2026, 8, 12)
+    runJob(job, date).isSuccess shouldBe true
+
+    val ids = clean.load(spark, date).select("doc_id").as[Long].collect().toSet
+    ids should contain(1L) // in-register keeper survives
+    ids should not contain 4L // off-register support boilerplate gated
+    ids should not contain 5L // off-register tech text gated
+  }
 }
