@@ -72,19 +72,33 @@ object Bpe {
    * Learn `numMerges` ordered merges from the corpus. Stops early when no
    * pair occurs at least `minCount` times (vocab fully merged or corpus
    * exhausted).
+   *
+   * Checkpointing as in [[Dedup.duplicateClusters]]: each round's vocab is
+   * NOT recomputable from source once lineage is truncated, and with
+   * `checkpointDir` unset the checkpoints are LOCAL (executor block
+   * storage) — fastest, fine on `local[*]`, but on a large cluster losing
+   * one executor mid-training kills the job. Set `checkpointDir` to a
+   * reliable filesystem path for long merge runs on real clusters; rounds
+   * then pay one distributed write each (of the VOCABULARY, not the
+   * corpus) but survive executor loss.
    */
   def learn(
       df: DataFrame,
       textCol: String,
       numMerges: Int,
-      minCount: Long = 2L): Seq[Merge] = {
+      minCount: Long = 2L,
+      checkpointDir: Option[String] = None): Seq[Merge] = {
     require(numMerges > 0, "numMerges must be positive")
     require(minCount >= 1, "minCount must be at least 1")
-    var words = df
+    checkpointDir.foreach(df.sparkSession.sparkContext.setCheckpointDir)
+    def materialize(d: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) d.checkpoint(eager = true)
+      else d.localCheckpoint(eager = true)
+    var words = materialize(df
       .select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("wc"))
       .select(charSymbols(col("w")).as("symbols"), col("wc"))
-      .localCheckpoint(true) // the ONLY corpus-sized pass; vocab-sized after
+    ) // the ONLY corpus-sized pass; vocab-sized after
     val learned = Seq.newBuilder[Merge]
     var rank = 0
     var exhausted = false
@@ -98,9 +112,9 @@ object Bpe {
         case Some(row) =>
           val (a, b, cnt) = (row.getString(0), row.getString(1), row.getLong(2))
           learned += Merge(rank, a, b, cnt)
-          words = words
+          words = materialize(words
             .select(mergePair(col("symbols"), a, b).as("symbols"), col("wc"))
-            .localCheckpoint(true) // truncate the per-round lineage
+          ) // truncate the per-round lineage
           rank += 1
         case None => exhausted = true
       }

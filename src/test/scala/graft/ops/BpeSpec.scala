@@ -83,6 +83,12 @@ class BpeSpec extends SparkTestBase {
     words.foreach(w => spark_(w).mkString shouldBe w)
   }
 
+  test("learn with a reliable checkpointDir produces identical merges") {
+    val dir = java.nio.file.Files.createTempDirectory("bpe-ckpt").toString
+    Bpe.learn(corpus.toDF("text"), "text", numMerges = 4, checkpointDir = Some(dir))
+      .map(m => (m.left, m.right, m.count)) shouldBe Ref.learn(corpus, 4)
+  }
+
   test("learn stops early when no pair clears minCount") {
     val tiny = Seq("ab cd").toDF("text") // every pair occurs once
     Bpe.learn(tiny, "text", numMerges = 5, minCount = 2) shouldBe empty
