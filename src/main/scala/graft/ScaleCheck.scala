@@ -207,6 +207,17 @@ object ScaleCheck {
         .groupBy(col("token")).agg(sum(col("wc")).cast("long").as("cnt"))
         .orderBy(col("cnt").desc, col("token")).limit(50)
     }
+    // training is vocab-sized after ONE corpus pass: the distributed word
+    // count is the only Spark job; all 256 merge rounds are exact
+    // incremental updates over the collected vocab on the driver. The
+    // number to compare against is 256 serialized jobs (the naive loop):
+    // rounds never multiply jobs, however deep the vocabulary
+    locally {
+      val t0 = System.nanoTime()
+      val merges = ops.Bpe.learnCollected(bigDocs, "text", numMerges = 256, minCount = 2)
+      println(f"[scale] bpe_train_256merges        ${(System.nanoTime() - t0) / 1e9}%8.2f s" +
+        f"  (${merges.size} merges, 1 Spark job)")
+    }
     // model stays top-4096 however large the corpus (bounded broadcast);
     // the scoring pass is scan-bound: per-token stream -> one doc agg
     time("typicality_score") {

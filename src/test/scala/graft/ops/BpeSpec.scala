@@ -55,6 +55,75 @@ class BpeSpec extends SparkTestBase {
     expected.size shouldBe 12 // this corpus supports all 12 rounds
   }
 
+  test("batched learning is bit-identical to sequential, whatever the round size") {
+    // a seeded diverse corpus: deep merge lists with mid-table count ties,
+    // the case where a naive batch rule would diverge from sequential
+    val rng = new scala.util.Random(42)
+    val letters = "abcdefghijkl"
+    val words = Seq.fill(400)(
+      String.valueOf(Array.fill(3 + rng.nextInt(10))(letters(rng.nextInt(letters.length)))))
+    val lines = words.grouped(8).map(_.mkString(" ")).toSeq
+    val df = lines.toDF("text")
+    val expected = Ref.learn(lines, numMerges = 96, minCount = 1)
+    expected.size shouldBe 96
+    // one-merge-per-round reproduces the classic loop (prefix of the list)
+    Bpe.learn(df, "text", numMerges = 24, minCount = 1, maxPerRound = 1)
+      .map(m => (m.left, m.right, m.count)) shouldBe expected.take(24)
+    val batched = Bpe.learn(df, "text", numMerges = 96, minCount = 1, maxPerRound = 16)
+    batched.map(m => (m.left, m.right, m.count)) shouldBe expected
+    batched.map(_.rank) shouldBe (0 until 96)
+    // batching saved rounds (the no-skip rule keeps the win modest on
+    // letter-heavy corpora — the large-vocab path is learnCollected)
+    val rounds = batched.map(_.round).distinct.size
+    rounds should be < 96
+    // a wider cap changes nothing but the round count
+    Bpe.learn(df, "text", numMerges = 96, minCount = 1, maxPerRound = 64)
+      .map(m => (m.left, m.right, m.count)) shouldBe expected
+  }
+
+  test("learnCollected is bit-identical to the reference and to distributed learn") {
+    // same seeded corpus as the batched case: deep merge list, count ties
+    val rng = new scala.util.Random(42)
+    val letters = "abcdefghijkl"
+    val words = Seq.fill(400)(
+      String.valueOf(Array.fill(3 + rng.nextInt(10))(letters(rng.nextInt(letters.length)))))
+    val lines = words.grouped(8).map(_.mkString(" ")).toSeq
+    val expected = Ref.learn(lines, numMerges = 96, minCount = 1)
+    Bpe.learnCollected(lines.toDF("text"), "text", numMerges = 96, minCount = 1)
+      .map(m => (m.left, m.right, m.count)) shouldBe expected
+    // and on the natural-language corpus, merge for merge
+    Bpe.learnCollected(corpus.toDF("text"), "text", numMerges = 12)
+      .map(m => (m.left, m.right, m.count)) shouldBe Ref.learn(corpus, 12)
+    // early stop parity too
+    Bpe.learnCollected(Seq("ab cd").toDF("text"), "text", numMerges = 5) shouldBe empty
+  }
+
+  test("learnCollected fails loudly when the vocabulary exceeds maxVocab") {
+    val ex = intercept[IllegalArgumentException] {
+      Bpe.learnCollected(corpus.toDF("text"), "text", numMerges = 4, maxVocab = 3)
+    }
+    ex.getMessage should include("maxVocab")
+  }
+
+  test("selectBatch takes a no-skip disjoint prefix and trims boundary-count ties") {
+    // (c,d) conflicts with nothing before it; walk must stop there anyway
+    // once (a,b)+(b,c)-style symbol sharing appears earlier
+    Bpe.selectBatch(Seq(("a", "b", 10L), ("c", "d", 9L), ("e", "f", 8L)), 8) shouldBe
+      Seq(("a", "b", 10L), ("c", "d", 9L), ("e", "f", 8L))
+    // shared symbol stops the walk — no skipping over (b,c)
+    Bpe.selectBatch(Seq(("a", "b", 10L), ("b", "c", 9L), ("e", "f", 8L)), 8) shouldBe
+      Seq(("a", "b", 10L))
+    // created-symbol collision: ("ab","c") would gain occurrences mid-batch
+    Bpe.selectBatch(Seq(("a", "b", 10L), ("ab", "c", 9L)), 8) shouldBe
+      Seq(("a", "b", 10L))
+    // boundary tie: (e,f) ties the first excluded count, so it is trimmed
+    Bpe.selectBatch(Seq(("a", "b", 10L), ("e", "f", 8L), ("g", "h", 8L)), 2) shouldBe
+      Seq(("a", "b", 10L))
+    // trimming to empty falls back to the single top pair
+    Bpe.selectBatch(Seq(("a", "b", 8L), ("e", "f", 8L), ("g", "h", 8L)), 2) shouldBe
+      Seq(("a", "b", 8L))
+  }
+
   test("mergePair is canonical greedy, including overlapping identical-pair runs") {
     def run(word: String, a: String, b: String): Seq[String] =
       Seq(word).toDF("w")
@@ -87,6 +156,22 @@ class BpeSpec extends SparkTestBase {
     val dir = java.nio.file.Files.createTempDirectory("bpe-ckpt").toString
     Bpe.learn(corpus.toDF("text"), "text", numMerges = 4, checkpointDir = Some(dir))
       .map(m => (m.left, m.right, m.count)) shouldBe Ref.learn(corpus, 4)
+  }
+
+  test("reliable-checkpoint rounds are cleaned up and the prior dir restored") {
+    import scala.jdk.CollectionConverters._
+    val prior = java.nio.file.Files.createTempDirectory("bpe-prior").toString
+    spark.sparkContext.setCheckpointDir(prior)
+    val resolvedPrior = spark.sparkContext.getCheckpointDir.get
+    val dir = java.nio.file.Files.createTempDirectory("bpe-ckpt2")
+    Bpe.learn(corpus.toDF("text"), "text", numMerges = 6,
+      checkpointDir = Some(dir.toString), maxPerRound = 2)
+      .map(m => (m.left, m.right, m.count)) shouldBe Ref.learn(corpus, 6)
+    // every per-round checkpoint subdirectory was deleted on completion
+    java.nio.file.Files.list(dir).iterator().asScala.toSeq shouldBe empty
+    // and the session checkpoints under the caller's prior location again
+    spark.sparkContext.getCheckpointDir.get should include(
+      new java.net.URI(resolvedPrior).getPath)
   }
 
   test("learn stops early when no pair clears minCount") {
