@@ -27,7 +27,12 @@ import graft.time.DateInterval
  *     representative; pass `checkpointDir` on real clusters),
  *  7. with a `benchmark` set supplied, drop documents contaminated
  *     against it ([[graft.ops.Decontaminate.removeContaminated]] — the
- *     pre-ship gate against eval leakage),
+ *     pre-ship gate against eval leakage). The benchmark text passes
+ *     through the SAME PII scrubber first: the corpus was scrubbed at
+ *     step 5, so comparing against raw benchmark text would mean any
+ *     5-gram spanning a scrubbed span (`<EMAIL>`/`<PHONE>`/...) could
+ *     never match and a leaked eval doc containing PII-like tokens
+ *     would silently undercount hits,
  *  8. assign a deterministic train/valid/test split,
  *  9. write the clean partition.
  *
@@ -88,8 +93,11 @@ class CurationPipelineJob(
     }
     decontaminated <- Stage.transform[org.apache.spark.sql.Row, org.apache.spark.sql.Row]("decontaminate") { ctx =>
       benchmark.fold(ctx.value.toDF()) { bench =>
+        // scrub the bench side too — the corpus is already scrubbed, and
+        // gram overlap must compare like with like (see scaladoc step 7)
+        val scrubbedBench = bench.withColumn(textCol, TextAnalysis.scrubPii(col(textCol)))
         graft.ops.Decontaminate.removeContaminated(
-          ctx.value.toDF(), idCol, textCol, bench, benchIdCol, textCol,
+          ctx.value.toDF(), idCol, textCol, scrubbedBench, benchIdCol, textCol,
           minHits = minContaminationHits)
       }
     }

@@ -359,7 +359,10 @@ object functions {
         if (args.length > 1) lit(args(1)) else 48)),
     (FunctionIdentifier("random_project"),
       new ExpressionInfo(classOf[RandomProject].getName, "random_project"),
-      (args: Seq[Expression]) => RandomProject(args.head, lit(args(1)))))
+      (args: Seq[Expression]) => {
+        require(args.length == 2, s"random_project(vec, k) takes 2 arguments, got ${args.length}")
+        RandomProject(args.head, lit(args(1)))
+      }))
 
   private def litStr(e: Expression): String = e match {
     case Literal(v: UTF8String, StringType) => v.toString

@@ -205,6 +205,10 @@ case class SignSketch(child: Expression, nbits: Int)
 
 case class RandomProject(child: Expression, k: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  // plan-time guard: k = 0 would yield empty projections whose cosine is
+  // NaN (and NaN sorts ABOVE every real value in ranking), k < 0 a
+  // NegativeArraySizeException from inside generated code mid-query
+  require(k >= 1, s"random_project k must be at least 1, got $k")
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "random_project"
   private def elemType: DataType = child.dataType.asInstanceOf[ArrayType].elementType

@@ -513,21 +513,26 @@ object TextAnalysis {
    * expected output composition is the target at the largest feasible
    * size. The binding group (whose target share most exceeds its supply)
    * is kept whole; every other group downsamples to match it. Groups
-   * absent from `targetsPpm` drop. This is the training-mix knob: "make
-   * the corpus 40% en / 20% de / 20% fr / 20% zh" without anyone hand
-   * computing rates that silently go stale as the corpus grows.
+   * absent from `targetsPpm` drop; a `targetsPpm` key with ZERO corpus
+   * rows fails fast (its share can never be realized, and silently
+   * excluding it from the feasibility minimum would skew the realized
+   * mix away from the requested one). This is the training-mix knob:
+   * "make the corpus 40% en / 20% de / 20% fr / 20% zh" without anyone
+   * hand computing rates that silently go stale as the corpus grows.
    * ([[mixPlan]] is the PLANNING view of the same problem — token budgets,
    * rates, epoch multipliers as a report; this executes the row selection.)
    *
    * Exact integer math end-to-end: the feasible output size is
    * `M = min_g floor(n_g * 1e6 / t_g)` and a row of group `g` survives iff
-   * `bucket * n_g * 1e6 < t_g * M * 65536` (DECIMAL(38) cross-multiply —
-   * never a float rate), so the kept set is a pure function of the data on
-   * any engine and any partitioning.
+   * `bucket * n_g * 1e6 < t_g * M * 65536` — evaluated as a per-group
+   * BigInt bucket limit on the driver, never a float rate — so the kept
+   * set is a pure function of the data on any engine and any partitioning.
    *
-   * Scale: one group-count agg (map-side combine, output is
-   * group-cardinality-sized), two broadcasts (counts + the 1-row minimum),
-   * and a per-row codegen'd integer compare — the corpus is scanned once.
+   * Scale: one targets-sized group-count agg (map-side combine, pre-thinned
+   * to the target groups) collected as driver control flow, then the
+   * per-group limits fuse into the scan as a literal case-when over a
+   * codegen'd integer compare — the corpus is scanned once per pass and
+   * the filter plan has NO joins at all.
    */
   def targetMixSample(
       df: org.apache.spark.sql.DataFrame,
@@ -539,21 +544,23 @@ object TextAnalysis {
       "targetsPpm must be non-empty with positive shares")
     require(targetsPpm.values.map(_.toLong).sum <= 1000000L,
       "target shares must sum to at most 1e6 ppm")
-    import org.apache.spark.sql.functions.broadcast
-    val tOf = targetsPpm.toSeq.sortBy(_._1).foldRight(lit(0L)) { case ((name, ppm), alt) =>
-      when(col(groupCol) === name, lit(ppm.toLong)).otherwise(alt)
+    val counts = df.filter(col(groupCol).isin(targetsPpm.keys.toSeq: _*))
+      .groupBy(col(groupCol).cast("string").as("__g"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val missing = targetsPpm.keySet -- counts.keySet
+    require(missing.isEmpty,
+      s"targetsPpm groups absent from the corpus: ${missing.toSeq.sorted.mkString(", ")} — " +
+        "a requested share cannot be realized from zero rows; drop the key or fix the input")
+    val feasible = counts.map { case (g, n) => BigInt(n) * 1000000 / targetsPpm(g) }.min
+    // bucket*n*1e6 < t*M*65536  <=>  bucket < (t*M*65536 - 1) div (n*1e6) + 1
+    val limits = counts.map { case (g, n) =>
+      g -> ((BigInt(targetsPpm(g)) * feasible * 65536 - 1) / (BigInt(n) * 1000000) + 1).toLong
     }
-    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
-      .withColumn("__t", tOf)
-      .filter(col("__t") > 0)
-    val feasible = counts.agg(
-      min(expr("CAST(CAST(__n AS DECIMAL(38,0)) * 1000000 DIV __t AS DECIMAL(38,0))")).as("__M"))
-    df.join(broadcast(counts), Seq(groupCol)) // inner join: zero-target groups drop
-      .join(broadcast(feasible))
-      .filter(
-        hashBucket(col(idCol), salt).cast("decimal(38,0)") * col("__n") * 1000000L <
-          col("__t").cast("decimal(38,0)") * col("__M") * 65536L)
-      .drop("__n", "__t", "__M")
+    val keep = limits.toSeq.sortBy(_._1).foldLeft(lit(false)) { case (alt, (g, limit)) =>
+      when(col(groupCol) === g, hashBucket(col(idCol), salt) < limit).otherwise(alt)
+    }
+    df.filter(keep)
   }
 
   /**

@@ -74,9 +74,10 @@ class PlanInvariantsSpec extends SparkTestBase {
     check("lsh_salted_pairs", maxShuffles = 5)
     // broadcast bench probe + one hit-count agg exchange
     check("contamination_hits", maxShuffles = 1)
-    // group-count agg + 1-row feasible-size agg; counts broadcast-join
-    // back, the 1-row minimum rides a deliberate scalar BNLJ
-    check("target_mix_sample", maxShuffles = 2, maxBnlj = 1)
+    // the targets-sized count table is collected as driver control flow
+    // and the per-group bucket limits fuse into the scan as literals:
+    // the returned plan is scan + filter, no joins, no exchanges
+    check("target_mix_sample", maxShuffles = 0)
     // + flagged-id distinct and the anti-join (SMJ statically; AQE
     // broadcasts the small flagged side at runtime)
     check("decontaminated_docs", maxShuffles = 3, maxSmj = 1)

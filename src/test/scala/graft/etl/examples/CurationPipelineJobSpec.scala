@@ -69,6 +69,25 @@ class CurationPipelineJobSpec extends SparkJobSuiteBase {
     ids should contain(4L)
   }
 
+  test("curation pipeline decontaminates across PII-scrubbed spans") {
+    // the leaked eval doc is PII-dense: most of its 5-gram windows cross an
+    // email or phone number, so comparing the scrubbed corpus against RAW
+    // benchmark text would leave under minHits aligned grams and the gate
+    // would miss the leak — the pipeline must scrub the bench side too
+    val leaked = "contact agent.one@example.com or agent.two@example.com by " +
+      "phone 555-123-4567 or 555-987-6543 to claim the prize money today"
+    val src = (_: DateInterval) => Seq((1L, base), (6L, leaked)).toDF("doc_id", "text")
+    val clean = WarehouseTable(HdfsUrl(tmpDir("curation_pii_bench")), "clean")
+    val bench = Seq((901L, leaked)).toDF("bench_id", "text")
+    val job = new CurationPipelineJob(src, clean, benchmark = Some(bench))
+    val date = Day(2026, 8, 12)
+    runJob(job, date).isSuccess shouldBe true
+
+    val ids = clean.load(spark, date).select("doc_id").as[Long].collect().toSet
+    ids should not contain 6L // caught even though its PII was scrubbed away
+    ids should contain(1L)
+  }
+
   test("curation pipeline with a typicality model drops atypical survivors") {
     val root = HdfsUrl(tmpDir("curation_typ"))
     val clean = WarehouseTable(root, "clean")

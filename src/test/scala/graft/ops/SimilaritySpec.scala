@@ -176,6 +176,26 @@ class SimilaritySpec extends SparkTestBase {
     row.getAs[Seq[Double]](4) shouldBe viaColumn
   }
 
+  test("random_project rejects bad k at plan time, not mid-codegen") {
+    // k = 0 would project to an empty vector whose cosine is NaN (which
+    // sorts ABOVE real similarities); k < 0 an array-alloc crash inside
+    // generated code — both must fail before any job runs
+    an[IllegalArgumentException] should be thrownBy
+      graft.functions.vectors.random_project($"embedding", 0)
+    an[IllegalArgumentException] should be thrownBy
+      graft.functions.vectors.random_project($"embedding", -3)
+    // the SQL registry rejects wrong arity instead of an opaque
+    // IndexOutOfBoundsException from the builder
+    graft.functions.functions.registry.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+    corpus.createOrReplaceTempView("emb_sql_arity")
+    val ex = intercept[Exception] {
+      spark.sql("SELECT random_project(embedding) FROM emb_sql_arity").head()
+    }
+    ex.getMessage should include("2 arguments")
+  }
+
   test("Hamming-sketch ANN reaches recall >= 0.8 vs brute force") {
     val queries = corpus.filter($"vec_id" % 10 === 0)
     def results(df: org.apache.spark.sql.DataFrame) =

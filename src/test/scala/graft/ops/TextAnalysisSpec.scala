@@ -348,6 +348,15 @@ class TextAnalysisSpec extends SparkTestBase {
 
     an[IllegalArgumentException] should be thrownBy
       TextAnalysis.targetMixSample(df, "grp", "doc_id", Map("a" -> 600000, "b" -> 600000))
+
+    // a target group with zero corpus rows fails fast: its share can never
+    // be realized, and silently excluding it from the feasibility minimum
+    // would skew the realized mix away from the request
+    val absent = intercept[IllegalArgumentException] {
+      TextAnalysis.targetMixSample(df, "grp", "doc_id",
+        Map("a" -> 500000, "zz" -> 500000))
+    }
+    absent.getMessage should include("zz")
   }
 
   test("mixPlan computes exact budgets, rates and epoch multipliers") {
