@@ -1553,6 +1553,42 @@ object Queries {
         md5(TextAnalysis.scrubPii(col("salted"))).as("scrubbed_fp"))
   }
 
+  /**
+   * `html_extract`: [[TextAnalysis.htmlToText]] over a deterministic HTML
+   * page built around each document's text — a head whose style/script
+   * blocks contain raw `<`/`>` operators that MUST vanish with the block,
+   * a comment, a noscript fallback, markup tags, and an entity-laden
+   * footer (incl. a double-encoded `&amp;lt;` that must resolve to the
+   * literal `&lt;`). The oracle rebuilds the same page and runs the same
+   * engine-portable strip/decode/fold chain in DuckDB (RE2).
+   */
+  private val HtmlHead: String =
+    "<html><head><title>Doc</title><style media=\"all\">p { color: #333; }</style>" +
+      "<script type=\"text/javascript\">if (1 < 2 && 2 > 1) { emit(\"x\"); }</script>" +
+      "</head><body><!-- header --><noscript>enable js</noscript><h1>Entry</h1><p class=\"lead\">"
+  private val HtmlTail: String =
+    "</p>  <p>Tom &amp; Jerry &lt;3&nbsp;end &quot;quoted&quot; it&#39;s &amp;lt;raw</p></body></html>"
+
+  def htmlExtract(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    t(dir, "documents").select(col("doc_id"),
+      TextAnalysis.htmlToText(concat(lit(HtmlHead), col("text"), lit(HtmlTail))).as("text"))
+  }
+
+  val htmlExtractSql: String = {
+    def q(s: String) = s.replace("'", "''")
+    val wrapped = s"'${q(HtmlHead)}' || text || '${q(HtmlTail)}'"
+    val untagged = TextAnalysis.HtmlStripPatterns.foldLeft("wrapped") { (c, p) =>
+      s"regexp_replace($c, '${q(p)}', ' ', 'g')"
+    }
+    val decoded = TextAnalysis.HtmlEntities.foldLeft(untagged) { case (c, (e, r)) =>
+      s"replace($c, '${q(e)}', '${q(r)}')"
+    }
+    s"""SELECT doc_id,
+       trim(regexp_replace($decoded, '${q(TextAnalysis.HtmlWhitespacePattern)}', ' ', 'g')) AS text
+       FROM (SELECT doc_id, $wrapped AS wrapped FROM documents)"""
+  }
+
   val piiScrubSql: String = {
     val salted = "CASE WHEN doc_id % 5 = 0 THEN text || ' contact user' || doc_id || " +
       "'@example.com or +1 555 010 ' || doc_id || ' at 10.0.0.' || (doc_id % 255) ELSE text END"
@@ -2753,6 +2789,7 @@ object Queries {
     ("lang_id", langId _, Some(langIdSql)),
     ("token_counts", tokenCounts _, Some(tokenCountsSql)),
     ("pii_scrub", piiScrub _, Some(piiScrubSql)),
+    ("html_extract", htmlExtract _, Some(htmlExtractSql)),
     ("top_ngrams", topNgrams _, Some(topNgramsSql)),
     ("contamination", contamination _, Some(contaminationSql)),
     ("quality_filter", qualityFilter _, Some(qualityFilterSql)),

@@ -15,6 +15,10 @@ import graft.time.DateInterval
  * canonical order. Per date:
  *
  *  1. read the day's raw documents,
+ *  1a. with `htmlSource = true`, extract text from crawled HTML first
+ *     ([[TextAnalysis.htmlToText]] — tag/script/style strip, entity
+ *     decode, whitespace fold; the front gate of a C4/FineWeb-style
+ *     funnel, so every later stage sees text, not markup),
  *  2. Unicode-normalize the text (NFKC — composed/fullwidth/ligature forms
  *     fold BEFORE any byte-equality step sees them),
  *  3. drop documents failing the Gopher-style quality gate,
@@ -61,7 +65,8 @@ class CurationPipelineJob(
     benchIdCol: String = "bench_id",
     minContaminationHits: Int = 3,
     typicalityModel: Option[Map[String, Long]] = None,
-    minTypicalityPpm: Long = 0L)
+    minTypicalityPpm: Long = 0L,
+    htmlSource: Boolean = false)
     extends SparkJob {
 
   override def shouldRunForDate(spark: SparkSession, date: DateInterval): Boolean =
@@ -69,6 +74,10 @@ class CurationPipelineJob(
 
   override def stages: Stage[SparkSession, _] = for {
     raw <- "read_docs".source(ctx => source(ctx.date))
+    extracted <- Stage.transform[org.apache.spark.sql.Row, org.apache.spark.sql.Row]("html_extract") { ctx =>
+      if (!htmlSource) ctx.value.toDF()
+      else ctx.value.toDF().withColumn(textCol, TextAnalysis.htmlToText(col(textCol)))
+    }
     normalized <- Stage.transform[org.apache.spark.sql.Row, org.apache.spark.sql.Row]("normalize") { ctx =>
       ctx.value.toDF().withColumn(textCol,
         graft.functions.functions.unicode_normalize(col(textCol)))

@@ -98,6 +98,64 @@ object TextAnalysis {
       regexp_replace(c, pattern, s"<${kind.toUpperCase}>")
     }
 
+  /**
+   * HTML-strip patterns applied in order by [[htmlToText]], engine-portable
+   * (identical semantics in Java regex and RE2 — inline `(?is)` flags, no
+   * backreferences): first drop non-content blocks WITH their contents
+   * (script/style/noscript/template — their bodies are code, not text, and
+   * may contain raw `<`/`>` that would corrupt the tag pass), then
+   * comments, then every remaining tag.
+   */
+  private[graft] val HtmlStripPatterns: Seq[String] =
+    Seq("script", "style", "noscript", "template")
+      .map(tag => s"(?is)<$tag\\b[^>]*>.*?</$tag\\s*>") ++
+      Seq("(?s)<!--.*?-->", "<[^>]*>")
+
+  /**
+   * Character-entity decodes applied after tag removal, in order. `&amp;`
+   * is decoded LAST so double-encoded entities (`&amp;lt;`) resolve to the
+   * single-decoded literal (`&lt;`), exactly like a real single-pass
+   * decoder. A fixed common-entity table (regex replacement cannot compute
+   * arbitrary `&#NNN;` code points portably); rarer numeric entities pass
+   * through unchanged.
+   */
+  private[graft] val HtmlEntities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#34;" -> "\"",
+    "&apos;" -> "'", "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+
+  /**
+   * Explicit whitespace class for the final fold — NOT `\s`, whose
+   * definition differs between Java regex (includes `\x0B`) and RE2; an
+   * explicit class keeps the result bit-identical across engines.
+   */
+  private[graft] val HtmlWhitespacePattern: String = "[ \\t\\n\\r\\f]+"
+
+  /**
+   * HTML → text extraction — the front gate of a crawled-corpus curation
+   * funnel (C4/FineWeb-style recipes start from raw HTML): drop
+   * script/style/noscript/template blocks with their contents, strip
+   * comments and tags, decode the common character entities, fold
+   * whitespace runs to single spaces and trim. A pure per-row codegen'd
+   * regexp/replace chain — shuffle-free, stays inside whole-stage codegen,
+   * and every step is expressible identically in RE2, so results are
+   * engine-reproducible (the `html_extract` oracle runs this very chain).
+   *
+   * Deliberately a text extractor, not an HTML parser: malformed markup
+   * degrades gracefully (an unpaired `<` without `>` passes through; a
+   * stray `a < b and c > d` comparison in PLAIN text is stripped as if a
+   * tag — the standard regex-extraction tradeoff, identical on every
+   * engine). Layer a DOM parser upstream if boilerplate-aware extraction
+   * (readability scoring, main-content detection) is needed;
+   * [[removeBoilerplateLines]] covers the corpus-statistical part here.
+   */
+  def htmlToText(html: Column): Column = {
+    val untagged = HtmlStripPatterns.foldLeft(html)((c, p) => regexp_replace(c, p, " "))
+    val decoded = HtmlEntities.foldLeft(untagged) { case (c, (e, r)) =>
+      replace(c, lit(e), lit(r))
+    }
+    trim(regexp_replace(decoded, HtmlWhitespacePattern, " "))
+  }
+
   /** 1 when any PII pattern matches, else 0. */
   def hasPii(text: Column): Column =
     PiiPatterns.map { case (_, p) => when(regexp_like(text, lit(p)), 1).otherwise(0) }

@@ -64,6 +64,7 @@ class PlanInvariantsSpec extends SparkTestBase {
     check("multimodal_meta", maxShuffles = 0)
     check("chunk_documents", maxShuffles = 0)
     check("stratified_sample", maxShuffles = 0)
+    check("html_extract", maxShuffles = 0)
   }
 
   test("dedup/similarity pipelines: equi-joins only, bounded shuffles") {

@@ -88,6 +88,27 @@ class CurationPipelineJobSpec extends SparkJobSuiteBase {
     ids should contain(1L)
   }
 
+  test("curation pipeline with htmlSource extracts text before every other gate") {
+    // doc 7 is a crawled page: markup-wrapped good text. Without the html
+    // gate its tag soup would flunk the symbol-ratio quality gate; with it
+    // the extracted text flows through normalize/gate/scrub/dedup as text
+    val page = "<html><head><style>p { x > 1 }</style><script>if (a < b) go();</script>" +
+      "</head><body><h1>Field notes</h1><p>" + base + "</p></body></html>"
+    val src = (_: DateInterval) => Seq((7L, page), (3L, "!!! ###")).toDF("doc_id", "text")
+    val clean = WarehouseTable(HdfsUrl(tmpDir("curation_html")), "clean")
+    val job = new CurationPipelineJob(src, clean, htmlSource = true)
+    val date = Day(2026, 8, 12)
+    runJob(job, date).isSuccess shouldBe true
+
+    val byId = clean.load(spark, date).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    byId.keySet should contain(7L)
+    byId.keySet should not contain 3L // quality gate still active downstream
+    byId(7L) should startWith("Field notes ")
+    byId(7L) should include("quick brown fox")
+    byId(7L) should not include "<" // no markup survives
+  }
+
   test("curation pipeline with a typicality model drops atypical survivors") {
     val root = HdfsUrl(tmpDir("curation_typ"))
     val clean = WarehouseTable(root, "clean")

@@ -144,6 +144,25 @@ class TextAnalysisSpec extends SparkTestBase {
     again shouldBe first
   }
 
+  test("htmlToText strips markup, drops code blocks, decodes entities, folds whitespace") {
+    def extract(html: String): String =
+      Seq(html).toDF("h").select(TextAnalysis.htmlToText($"h")).as[String].head()
+
+    extract("<html><head><title>T</title><style>p { a > b }</style>" +
+      "<script>if (1 < 2 && 2 > 1) { x(\"y\"); }</script></head>" +
+      "<body><!-- c --><h1>Hello</h1>\n\n<p class=\"l\">world  now</p></body></html>") shouldBe
+      "T Hello world now"
+    // entity decode, &amp; last: double-encoded stays single-decoded
+    extract("<p>Tom &amp; Jerry &lt;3&nbsp;end &quot;q&quot; it&#39;s &amp;lt;raw</p>") shouldBe
+      "Tom & Jerry <3 end \"q\" it's &lt;raw"
+    // noscript/template bodies vanish; multiline + case-insensitive blocks
+    extract("<NOSCRIPT>enable js</NOSCRIPT><template><li>x</li></template>" +
+      "<STYLE type=\"a\">\nbody {}\n</STYLE>keep") shouldBe "keep"
+    // malformed markup degrades, never throws: unpaired < passes through
+    extract("a < b with no closing") shouldBe "a < b with no closing"
+    extract("") shouldBe ""
+  }
+
   test("all text operators are null-safe") {
     val df = Seq((1L, Some("real text here")), (2L, None)).toDF("doc_id", "text")
     val out = df.select($"doc_id",
@@ -153,7 +172,8 @@ class TextAnalysisSpec extends SparkTestBase {
       TextAnalysis.rollingFingerprint($"text").as("rfp"),
       graft.ops.Dedup.simhash32($"text").as("sh"),
       graft.functions.functions.minhash_signature($"text", 4).as("sig"),
-      TextAnalysis.scrubPii($"text").as("scrubbed"))
+      TextAnalysis.scrubPii($"text").as("scrubbed"),
+      TextAnalysis.htmlToText($"text").as("extracted"))
     val rows = out.collect().map(r => r.getLong(0) -> r).toMap
     rows(2L).isNullAt(1) shouldBe true // tokens null
     rows(2L).isNullAt(2) shouldBe true // fingerprint null
