@@ -1519,20 +1519,38 @@ object Queries {
   }
 
   val langIdSql: String = {
+    // mirrors TextAnalysis.languageId stage for stage, generated from the
+    // same constants: script-count argmax pre-filter (ranges are \x{...}
+    // escapes that parse identically in RE2), kana-share ja/zh rule, then
+    // the stopword argmax when Latin wins
+    val scriptCols = TextAnalysis.ScriptRanges.map { case (s, r) =>
+      s"length(text) - length(regexp_replace(text, '[$r]', '', 'g')) AS c_$s"
+    }.mkString(",\n         ")
+    val bestScript = s"greatest(${TextAnalysis.ScriptRanges.map("c_" + _._1).mkString(", ")})"
     val ordered = TextAnalysis.StopwordProfiles.toSeq.sortBy(_._1)
     val scores = ordered.map { case (lang, words) =>
       val set = words.map(w => s"'$w'").mkString(", ")
       lang -> s"coalesce(list_sum(list_transform(toks, t -> CASE WHEN t IN ($set) THEN 1 ELSE 0 END)), 0)"
     }
     val scoreCols = scores.map { case (lang, e) => s"$e AS s_$lang" }.mkString(",\n         ")
-    val best = s"greatest(${scores.map(p => "s_" + p._1).mkString(", ")})"
-    val pick = scores.map { case (lang, _) => s"WHEN s_$lang = best AND best > 0 THEN '$lang'" }
+    val bestStop = s"greatest(${scores.map(p => "s_" + p._1).mkString(", ")})"
+    val stopPick = scores.map { case (lang, _) => s"WHEN s_$lang = bests AND bests > 0 THEN '$lang'" }
       .mkString(" ")
-    s"""SELECT doc_id, CASE $pick ELSE 'und' END AS lang_pred
-       FROM (SELECT doc_id, $best AS best, * FROM (
+    val cjk = "CASE WHEN c_kana * 20 >= c_kana + c_hani THEN 'ja' ELSE 'zh' END"
+    val scriptPick = TextAnalysis.ScriptRanges.map { case (s, _) =>
+      val v = s match {
+        case "latn" => s"(CASE $stopPick ELSE 'und' END)"
+        case "hani" | "kana" => s"($cjk)"
+        case other => s"'${TextAnalysis.ScriptLang(other)}'"
+      }
+      s"WHEN c_$s = bestc AND bestc > 0 THEN $v"
+    }.mkString(" ")
+    s"""SELECT doc_id, CASE $scriptPick ELSE 'und' END AS lang_pred
+       FROM (SELECT doc_id, $bestScript AS bestc, $bestStop AS bests, * FROM (
          SELECT doc_id,
+         $scriptCols,
          $scoreCols
-         FROM (SELECT doc_id, $Toks AS toks FROM documents)))"""
+         FROM (SELECT doc_id, text, $Toks AS toks FROM documents)))"""
   }
 
   /**

@@ -31,12 +31,69 @@ object TextAnalysis {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("""[a-zA-Z0-9]+|[^a-zA-Z0-9\s]"""), lit(0)))
 
-  /** Stopword profiles for the language-ID heuristic. */
+  /**
+   * Stopword profiles for the language-ID heuristic — high-frequency
+   * function words per language, restricted to forms that survive the
+   * ASCII tokenizer (`tokens` treats every non-`[a-z0-9]` char, including
+   * diacritics, as a separator — so each profile lists only fully-ASCII
+   * stopwords). Overlap between related languages (da/no, cs/sk, fi/et)
+   * is real and expected: the multiset hit count argmax with its
+   * alphabetical tie-break keeps the pick deterministic. Scripts the
+   * tokenizer cannot segment (CJK, Cyrillic, Arabic, ...) are handled
+   * BEFORE this table by the [[ScriptRanges]] pre-filter in [[languageId]].
+   */
   val StopwordProfiles: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for", "with", "was"),
     "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein"),
     "fr" -> Seq("le", "la", "les", "et", "est", "des", "une", "dans", "que", "pour"),
-    "es" -> Seq("el", "la", "los", "que", "de", "en", "es", "una", "con", "por"))
+    "es" -> Seq("el", "la", "los", "que", "de", "en", "es", "una", "con", "por"),
+    "pt" -> Seq("de", "que", "em", "uma", "para", "com", "os", "mais", "como", "seu"),
+    "it" -> Seq("di", "che", "per", "con", "del", "una", "sono", "questo", "anche", "come"),
+    "nl" -> Seq("de", "het", "een", "van", "dat", "niet", "met", "voor", "aan", "zijn"),
+    "sv" -> Seq("och", "att", "som", "det", "han", "var", "med", "den", "till", "inte"),
+    "da" -> Seq("og", "det", "at", "en", "til", "er", "som", "med", "han", "ikke"),
+    "no" -> Seq("og", "det", "som", "en", "til", "av", "ikke", "den", "har", "jeg"),
+    "fi" -> Seq("ja", "on", "ei", "joka", "kun", "mutta", "ovat", "oli", "sen", "niin"),
+    "pl" -> Seq("nie", "jest", "jak", "ale", "czy", "tak", "oraz", "przez", "tego", "jego"),
+    "cs" -> Seq("je", "na", "se", "to", "jako", "ale", "pro", "tak", "jsou", "byl"),
+    "sk" -> Seq("je", "sa", "na", "to", "ako", "ale", "pre", "tak", "aj", "som"),
+    "ro" -> Seq("de", "la", "cu", "un", "este", "care", "din", "pentru", "mai", "sau"),
+    "hu" -> Seq("hogy", "nem", "egy", "az", "ez", "volt", "csak", "mint", "ki", "meg"),
+    "tr" -> Seq("ve", "bir", "bu", "da", "ile", "ne", "gibi", "daha", "sonra", "kadar"),
+    "id" -> Seq("yang", "dan", "di", "dengan", "untuk", "dari", "ini", "itu", "pada", "adalah"),
+    "hr" -> Seq("je", "se", "da", "su", "za", "na", "ali", "kao", "ili", "biti"),
+    "sl" -> Seq("je", "in", "se", "da", "za", "na", "so", "pa", "kot", "tudi"),
+    "et" -> Seq("ja", "on", "ei", "et", "oli", "ka", "see", "oma", "kui", "mis"),
+    "lt" -> Seq("ir", "yra", "kad", "tai", "su", "bet", "kaip", "jis", "bei", "buvo"),
+    "lv" -> Seq("un", "ir", "ka", "ar", "par", "bet", "tas", "vai", "no", "tika"),
+    "ca" -> Seq("els", "amb", "per", "una", "dels", "que", "com", "aquest", "ser", "hi"),
+    "vi" -> Seq("khi", "cho", "trong", "anh", "con", "hay", "nay", "hai", "nam", "em"),
+    "tl" -> Seq("ang", "ng", "sa", "na", "mga", "ay", "para", "ito", "hindi", "kung"),
+    "sw" -> Seq("na", "ya", "wa", "kwa", "ni", "za", "katika", "la", "kuwa", "hii"))
+
+  /**
+   * Unicode-script character classes for the language-ID pre-filter, as
+   * `\x{...}` range escapes that parse identically in Java regex and RE2
+   * (ASCII-safe for JSON/SQL serialization, all ranges inside the BMP so
+   * code-unit and code-point counting agree). Sorted keys — the argmax
+   * tie-break is alphabetical, `latn` included.
+   */
+  val ScriptRanges: Seq[(String, String)] = Seq(
+    "arab" -> "\\x{0600}-\\x{06ff}",
+    "cyrl" -> "\\x{0400}-\\x{04ff}",
+    "deva" -> "\\x{0900}-\\x{097f}",
+    "grek" -> "\\x{0370}-\\x{03ff}",
+    "hang" -> "\\x{ac00}-\\x{d7a3}",
+    "hani" -> "\\x{4e00}-\\x{9fff}",
+    "hebr" -> "\\x{0590}-\\x{05ff}",
+    "kana" -> "\\x{3040}-\\x{30ff}",
+    "latn" -> "A-Za-z",
+    "thai" -> "\\x{0e00}-\\x{0e7f}")
+
+  /** Dominant non-Latin script → language (hani/kana resolve via the kana-share rule). */
+  val ScriptLang: Map[String, String] = Map(
+    "arab" -> "ar", "cyrl" -> "ru", "deva" -> "hi", "grek" -> "el",
+    "hang" -> "ko", "hebr" -> "he", "thai" -> "th")
 
   /** Number of tokens that appear in `words` (multiset count, not set intersection). */
   def stopwordHits(toks: Column, words: Seq[String]): Column = {
@@ -44,21 +101,57 @@ object TextAnalysis {
     aggregate(toks, lit(0), (acc, t) => acc + when(array_contains(wordArray, t), 1).otherwise(0))
   }
 
+  /** Characters of `text` inside the regex char-class `range` (exact count). */
+  private def scriptChars(text: Column, range: String): Column =
+    length(text) - length(regexp_replace(text, s"[$range]", ""))
+
   /**
-   * N-gram/stopword language-ID heuristic: score each language profile by
-   * stopword hit rate and pick the argmax (alphabetical tie-break, "und" for
-   * undetermined when nothing matches).
+   * Two-stage language-ID heuristic, exact and engine-portable:
+   *
+   * 1. **Script pre-filter** — count characters per Unicode script
+   *    ([[ScriptRanges]]) and take the argmax (alphabetical tie-break).
+   *    A dominant non-Latin script classifies directly (Cyrillic → ru,
+   *    Hangul → ko, ... per [[ScriptLang]]); scripts the ASCII tokenizer
+   *    cannot segment — CJK above all, which tokenizes to NOTHING and
+   *    previously scored 0 everywhere — never reach the stopword stage.
+   *    Within CJK, Japanese is any text whose kana share of Han+kana
+   *    characters is at least 1/20 (Japanese prose is kana-laced;
+   *    Chinese is kana-free), else Chinese.
+   * 2. **Stopword argmax** — when Latin wins (or no script letters at
+   *    all), score each [[StopwordProfiles]] entry by multiset stopword
+   *    hits and pick the argmax (alphabetical tie-break, "und" when
+   *    nothing matches).
+   *
+   * All integer counts and comparisons — no floats, so the pick is a pure
+   * function of the text on any engine. Cyrillic maps to ru (ru/uk/bg/sr
+   * share the script; separating them needs per-language Cyrillic
+   * stopwords the ASCII tokenizer cannot carry — documented coarseness),
+   * Arabic to ar (ar/fa/ur likewise).
    */
   def languageId(text: Column): Column = {
+    val counts = ScriptRanges.map { case (s, r) => s -> scriptChars(text, r) }
+    val byName = counts.toMap
+    val bestScript = greatest(counts.map(_._2): _*)
+    val cjk = when(
+      byName("kana") * 20 >= byName("kana") + byName("hani"), lit("ja")).otherwise(lit("zh"))
+
     val toks = tokens(text)
     // Alphabetical order makes the greatest()-based argmax tie-break deterministic.
     val ordered = StopwordProfiles.toSeq.sortBy(_._1)
     val scores = ordered.map { case (lang, words) => lang -> stopwordHits(toks, words) }
-    val best = greatest(scores.map(_._2): _*)
-    val pick = scores.foldRight(lit("und")) { case ((lang, score), alt) =>
-      when(score === best && best > 0, lang).otherwise(alt)
+    val bestStop = greatest(scores.map(_._2): _*)
+    val stopwordPick = scores.foldRight(lit("und")) { case ((lang, score), alt) =>
+      when(score === bestStop && bestStop > 0, lang).otherwise(alt)
     }
-    pick
+
+    counts.foldRight(lit("und")) { case ((script, c), alt) =>
+      val value = script match {
+        case "latn" => stopwordPick
+        case "hani" | "kana" => cjk
+        case other => lit(ScriptLang(other))
+      }
+      when(c === bestScript && bestScript > 0, value).otherwise(alt)
+    }
   }
 
   /**

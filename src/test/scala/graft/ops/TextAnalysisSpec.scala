@@ -32,6 +32,29 @@ class TextAnalysisSpec extends SparkTestBase {
       .as[String].head() shouldBe "und"
   }
 
+  test("language id classifies non-Latin scripts via the script pre-filter") {
+    def lang(s: String): String =
+      one(s).select(TextAnalysis.languageId($"text")).as[String].head()
+    lang("机器学习模型在大规模数据集上训练效果更好") shouldBe "zh" // Han, kana-free
+    lang("機械学習のモデルはこのデータで学習します") shouldBe "ja" // Han + kana
+    lang("カタカナのテキストです") shouldBe "ja" // pure kana
+    lang("머신러닝 모델은 대규모 데이터로 학습됩니다") shouldBe "ko"
+    lang("модели машинного обучения работают лучше") shouldBe "ru"
+    lang("نماذج التعلم الآلي تعمل بشكل أفضل") shouldBe "ar"
+    lang("मशीन लर्निंग मॉडल बेहतर काम करते हैं") shouldBe "hi"
+    lang("τα μοντέλα μηχανικής μάθησης λειτουργούν") shouldBe "el"
+    lang("מודלים של למידת מכונה עובדים טוב") shouldBe "he"
+    lang("โมเดลการเรียนรู้ทำงานได้ดี") shouldBe "th"
+    // a FEW Latin letters inside CJK text do not flip the pick
+    lang("この GPU モデルはデータで学習します") shouldBe "ja"
+    // Latin text with diacritics still routes to the stopword stage
+    lang("och att det som han var med den till inte") shouldBe "sv"
+    lang("yang dan di dengan untuk dari ini itu pada") shouldBe "id"
+    lang("hogy nem egy az ez volt csak mint") shouldBe "hu"
+    lang("ve bir bu da ile ne gibi daha sonra") shouldBe "tr"
+    lang("nie jest jak ale czy tak oraz przez") shouldBe "pl"
+  }
+
   test("quality stats on a known document") {
     val stats = TextAnalysis.qualityStats($"text")
     val row = one("Hello world!").select(stats.map { case (n, c) => c.as(n) }: _*).collect().head
