@@ -40,9 +40,33 @@ object Similarity {
   }
 
   /**
+   * Exact per-query top-k over a scored expansion WITHOUT ranking it
+   * through a window: aggregate each query's rows with a k-capped
+   * priority-queue buffer (`collect_bottom_k` — Spark's `CollectTopK`,
+   * an ObjectHashAggregate whose partials merge map-side), then explode
+   * the k survivors with their 1-based rank. `entry` is a struct whose
+   * fields are the ASCENDING sort key (field-wise struct comparison —
+   * negate a score for descending; include the id as tiebreaker).
+   *
+   * Why: `row_number().over(partitionBy(query_id))` shuffles EVERY scored
+   * row (queries x corpus for the brute-force tier) to collocate per
+   * query before sorting; the bounded aggregate ships at most
+   * queries x partitions x k entries through the exchange — the
+   * scored expansion itself never leaves its map-side partition. Results
+   * are identical row for row: same comparator, same tiebreak, same rank.
+   */
+  private def rankedBottomK(scored: DataFrame, entry: Column, k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.functions.collect_bottom_k(entry, k).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col("query_id"), col("__e.*"), (col("__pos") + 1).cast("int").as("rank"))
+
+  /**
    * Exact top-`k` cosine neighbors for each query vector. `queries` must be
    * small enough to broadcast (it is explicitly broadcast). Excludes
-   * self-matches on id equality.
+   * self-matches on id equality. The scan stays map-side: per-partition
+   * bounded top-k partials, never a queries x corpus window shuffle
+   * ([[rankedBottomK]]).
    */
   def bruteForceTopK(
       queries: DataFrame,
@@ -55,10 +79,9 @@ object Similarity {
     val scored = q
       .join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", round(cosine(col("query_vec"), col("neighbor_vec")), 4))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    rankedBottomK(scored,
+      struct((-col("cosine")).as("__neg"), col("neighbor_id").as("neighbor_id"),
+        col("cosine").as("cosine")), k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
@@ -186,11 +209,13 @@ object Similarity {
       randomProject(col(vecCol), projDims).as("__qp")))
     val projected = corpus.select(col(idCol).as("neighbor_id"),
       randomProject(col(vecCol), projDims).as("__np"))
-    val wP = Window.partitionBy(col("query_id")).orderBy(col("pcos").desc, col("neighbor_id"))
-    val cand = q.join(projected, col("query_id") =!= col("neighbor_id"))
+    val scoredP = q.join(projected, col("query_id") =!= col("neighbor_id"))
       .withColumn("pcos", round(cosine(col("__qp"), col("__np")), 4))
-      .withColumn("__pr", row_number().over(wP))
-      .filter(col("__pr") <= candidates)
+    // shortlist via bounded map-side partials; re-attach the full query
+    // vector by broadcast (the shortlist is queries x candidates rows)
+    val cand = rankedBottomK(scoredP,
+      struct((-col("pcos")).as("__neg"), col("neighbor_id").as("neighbor_id")), candidates)
+      .join(broadcast(q.select(col("query_id"), col("query_vec"))), Seq("query_id"))
       .select(col("query_id"), col("query_vec"), col("neighbor_id"))
     val wC = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     cand
@@ -227,11 +252,14 @@ object Similarity {
       signSketch(col(vecCol), nbits).as("__qs")))
     val sketches = corpus.select(col(idCol).as("neighbor_id"),
       signSketch(col(vecCol), nbits).as("__ns"))
-    val wH = Window.partitionBy(col("query_id")).orderBy(col("hamming"), col("neighbor_id"))
-    val cand = q.join(sketches, col("query_id") =!= col("neighbor_id"))
+    val scoredH = q.join(sketches, col("query_id") =!= col("neighbor_id"))
       .withColumn("hamming", bit_count(col("__qs").bitwiseXOR(col("__ns"))).cast("long"))
-      .withColumn("__hr", row_number().over(wH))
-      .filter(col("__hr") <= candidates)
+    // shortlist via bounded map-side partials (hamming is already the
+    // ascending key, so it rides in the entry); query vectors re-attach
+    // by broadcast for the exact rerank
+    val cand = rankedBottomK(scoredH,
+      struct(col("hamming").as("hamming"), col("neighbor_id").as("neighbor_id")), candidates)
+      .join(broadcast(q.select(col("query_id"), col("query_vec"))), Seq("query_id"))
       .select(col("query_id"), col("query_vec"), col("neighbor_id"), col("hamming"))
     val wC = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     cand

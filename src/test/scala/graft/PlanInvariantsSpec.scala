@@ -96,11 +96,13 @@ class PlanInvariantsSpec extends SparkTestBase {
     // doc-id partitioning is reused by sweep and rebuild (3 exchanges);
     // the rebuild join broadcasts at this sf, shuffle equi-join at scale
     check("span_dedup", maxShuffles = 4, maxSmj = 1)
-    // the BNLJ is the deliberate broadcast query-set x sketch scan
-    check("ann_hamming_topk", maxShuffles = 3, maxSmj = 1, maxBnlj = 1)
+    // the BNLJ is the deliberate broadcast query-set x sketch scan; the
+    // shortlist is a bounded ObjectHashAggregate whose query_id
+    // partitioning the rerank join + window then REUSE (1 exchange total)
+    check("ann_hamming_topk", maxShuffles = 2, maxSmj = 1, maxBnlj = 1)
     // the BNLJ is the deliberate broadcast query-set x projection scan;
-    // rerank fetch is an equi-join
-    check("ann_projected_topk", maxShuffles = 3, maxSmj = 1, maxBnlj = 1)
+    // rerank fetch is an equi-join on the shortlist only
+    check("ann_projected_topk", maxShuffles = 2, maxSmj = 1, maxBnlj = 1)
     // bloom scalar subquery adds its own agg exchange; anti join is equi
     check("dedup_incremental_bloom", maxShuffles = 3, maxSmj = 1)
     check("corpus_mix", maxShuffles = 2, maxBnlj = 1)
@@ -112,6 +114,29 @@ class PlanInvariantsSpec extends SparkTestBase {
     // equi-keyed; the narrowing step sides broadcast at this sf
     check("funnel_steps", maxShuffles = 8, maxSmj = 3)
     check("vocab_stats", maxShuffles = 2)
+  }
+
+  test("brute-force ANN tier ranks via bounded partials, not a full-expansion window") {
+    // the queries x corpus scored expansion must never cross an exchange:
+    // per-partition k-capped partials (ObjectHashAggregate), no Window
+    val (plan, counts) = shape("ann_bruteforce_topk")
+    withClue(s"ann_bruteforce_topk plan:\n$plan\n") {
+      plan should include("ObjectHashAggregate")
+      plan should not include "Window"
+      counts("exchange") should be <= 1
+      counts("cartesian") shouldBe 0
+    }
+    // two-phase variants: shortlist by the same bounded agg; at most the
+    // candidates-sized exact rerank may use a window
+    Seq("ann_hamming_topk", "ann_projected_topk").foreach { q =>
+      val (p, c) = shape(q)
+      withClue(s"$q plan:\n$p\n") {
+        p should include("ObjectHashAggregate")
+        // one Window operator (WindowGroupLimit is its pushed-down limit)
+        "Window \\[".r.findAllIn(p).size should be <= 1
+        c("cartesian") shouldBe 0
+      }
+    }
   }
 
   test("round-5 additions: bounded shuffles, no cartesian") {
