@@ -37,8 +37,19 @@ import graft.time.DateInterval
  *     5-gram spanning a scrubbed span (`<EMAIL>`/`<PHONE>`/...) could
  *     never match and a leaked eval doc containing PII-like tokens
  *     would silently undercount hits,
- *  8. assign a deterministic train/valid/test split,
- *  9. write the clean partition.
+ *  8. with `domainCol`/`maxPerDomain` set, cap each domain's document
+ *     count ([[TextAnalysis.sourceCap]] — deterministic hash-order keep,
+ *     the anti-monoculture guard against a single hot crawl host
+ *     dominating the mix),
+ *  9. with `targetMix` set, rebalance group shares to the requested ppm
+ *     composition ([[TextAnalysis.targetMixSample]] over `mixCol` — the
+ *     FineWeb-style recipe runs caps and mix HERE, after dedup (counts
+ *     must reflect surviving unique documents, not raw crawl volume) and
+ *     before the split (every kept row draws exactly one split); note
+ *     targetMixSample fails fast if a target group has no rows that day —
+ *     drop the key for sparse batches),
+ *  10. assign a deterministic train/valid/test split,
+ *  11. write the clean partition.
  *
  * Order matters and is load-bearing: normalize precedes dedup (equivalent
  * byte forms must collide), the quality gate precedes the PII scrub and
@@ -66,7 +77,11 @@ class CurationPipelineJob(
     minContaminationHits: Int = 3,
     typicalityModel: Option[Map[String, Long]] = None,
     minTypicalityPpm: Long = 0L,
-    htmlSource: Boolean = false)
+    htmlSource: Boolean = false,
+    domainCol: Option[String] = None,
+    maxPerDomain: Int = 0,
+    mixCol: String = "lang",
+    targetMix: Map[String, Int] = Map.empty)
     extends SparkJob {
 
   override def shouldRunForDate(spark: SparkSession, date: DateInterval): Boolean =
@@ -109,6 +124,15 @@ class CurationPipelineJob(
           ctx.value.toDF(), idCol, textCol, scrubbedBench, benchIdCol, textCol,
           minHits = minContaminationHits)
       }
+    }
+    capped <- Stage.transform[org.apache.spark.sql.Row, org.apache.spark.sql.Row]("domain_cap") { ctx =>
+      domainCol.filter(_ => maxPerDomain > 0).fold(ctx.value.toDF()) { dom =>
+        TextAnalysis.sourceCap(ctx.value.toDF(), dom, idCol, maxPerDomain).drop("cap_rank")
+      }
+    }
+    mixed <- Stage.transform[org.apache.spark.sql.Row, org.apache.spark.sql.Row]("target_mix") { ctx =>
+      if (targetMix.isEmpty) ctx.value.toDF()
+      else TextAnalysis.targetMixSample(ctx.value.toDF(), mixCol, idCol, targetMix)
     }
     split <- Stage.transform[org.apache.spark.sql.Row, org.apache.spark.sql.Row]("split") { ctx =>
       ctx.value.toDF().withColumn("split", TextAnalysis.hashSplit(col(idCol), weights))

@@ -109,6 +109,45 @@ class CurationPipelineJobSpec extends SparkJobSuiteBase {
     byId(7L) should not include "<" // no markup survives
   }
 
+  test("curation pipeline caps hot domains and rebalances to a target mix") {
+    // per-doc disjoint vocabularies: every doc passes the quality gate and
+    // nothing near-dedups, so cap + mix see exactly the authored supply
+    def doc(i: Long): String =
+      s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i theta$i iota$i kappa$i"
+    val rows =
+      (0L until 30L).map(i => (i, doc(i), "site-a", "en")) ++
+        (100L until 110L).map(i => (i, doc(i), "site-b", "de")) ++
+        (200L until 203L).map(i => (i, doc(i), "site-c", "de"))
+    val src = (_: DateInterval) => rows.toDF("doc_id", "text", "site", "lang")
+    val date = Day(2026, 8, 12)
+
+    // hot domains capped at 5, under-cap domain untouched; helper col dropped
+    val cleanCap = WarehouseTable(HdfsUrl(tmpDir("curation_cap")), "clean")
+    runJob(new CurationPipelineJob(src, cleanCap,
+      domainCol = Some("site"), maxPerDomain = 5), date).isSuccess shouldBe true
+    val capped = cleanCap.load(spark, date)
+    capped.columns should not contain "cap_rank"
+    val bySite = capped.groupBy("site").count().as[(String, Long)].collect().toMap
+    bySite("site-a") shouldBe 5
+    bySite("site-b") shouldBe 5
+    bySite("site-c") shouldBe 3
+
+    // target mix: de (13 docs at 50% share) binds -> kept whole; en
+    // downsamples toward the same share instead of keeping all 30
+    val cleanMix = WarehouseTable(HdfsUrl(tmpDir("curation_mix")), "clean")
+    runJob(new CurationPipelineJob(src, cleanMix,
+      targetMix = Map("en" -> 500000, "de" -> 500000)), date).isSuccess shouldBe true
+    val byLang = cleanMix.load(spark, date).groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    byLang("de") shouldBe 13
+    byLang("en") should (be > 0L and be < 30L)
+
+    // both stages skipped when unset: every authored doc survives
+    val cleanOff = WarehouseTable(HdfsUrl(tmpDir("curation_nocapmix")), "clean")
+    runJob(new CurationPipelineJob(src, cleanOff), date).isSuccess shouldBe true
+    cleanOff.load(spark, date).count() shouldBe 43
+  }
+
   test("curation pipeline with a typicality model drops atypical survivors") {
     val root = HdfsUrl(tmpDir("curation_typ"))
     val clean = WarehouseTable(root, "clean")
