@@ -196,6 +196,72 @@ object EventStreams {
     }
 
   /**
+   * The scan-speed curation verdicts on a document frame, batch OR
+   * streaming — every gate here is a pure per-row codegen expression
+   * (Gopher quality flags; optionally the CCNet-style typicality score as
+   * a literal map, [[graft.ops.TextAnalysis.typicalityScoreCol]]), so the
+   * SAME column logic produces bit-identical verdicts on a static
+   * DataFrame and on every micro-batch — no state, no watermark, no
+   * batch/stream divergence to reason about. Adds `passes` (boolean) and
+   * `reject_reason` (first failing gate in declaration order —
+   * `ok_word_count`/`ok_mean_word_len`/`ok_symbol_ratio`/
+   * `ok_distinct_ratio`/`atypical` — null when passing).
+   */
+  def curationVerdicts(
+      docs: DataFrame,
+      textCol: String = "text",
+      typicalityModel: Option[Map[String, Long]] = None,
+      minTypicalityPpm: Long = 0L): DataFrame = {
+    val flags = graft.ops.TextAnalysis.qualityFlags(col(textCol))
+    val gopherPasses = flags.collectFirst { case ("passes", c) => c }.get === 1L
+    // null score (no tokens) never reaches the typicality verdict: the
+    // word-count flag fails first, and false && null = false
+    val typicalOk = typicalityModel.fold(lit(true)) { m =>
+      graft.ops.TextAnalysis.typicalityScoreCol(col(textCol), m) >= minTypicalityPpm
+    }
+    val reasons = flags.filter(_._1 != "passes")
+      .map { case (name, c) => (name, c === 0L) } :+ ("atypical" -> !typicalOk)
+    val reason = reasons.foldRight(lit(null).cast("string")) { case ((name, failed), alt) =>
+      when(failed, lit(name)).otherwise(alt)
+    }
+    val passes = gopherPasses && typicalOk
+    docs.withColumn("passes", passes)
+      .withColumn("reject_reason", when(!passes, reason))
+  }
+
+  /**
+   * S12 — streaming curation gate with a tagged reject side-output: per
+   * micro-batch, score [[curationVerdicts]] once, land accepted rows
+   * clean (verdict columns dropped) in `accepted` and rejected rows —
+   * tagged with their `reject_reason` — in `rejected`, both as date
+   * partitions ([[warehouseSink]] semantics). The reject stream is the
+   * audit/replay half a production gate needs: quarantined documents
+   * stay queryable by reason instead of vanishing.
+   *
+   * Scale: the verdicts are exchange-free per-row expressions over the
+   * micro-batch scan; the batch is cached once so the accept/reject
+   * split does not recompute it.
+   */
+  def curationGate(
+      docs: DataFrame,
+      accepted: graft.io.WarehouseTable,
+      rejected: graft.io.WarehouseTable,
+      textCol: String = "text",
+      typicalityModel: Option[Map[String, Long]] = None,
+      minTypicalityPpm: Long = 0L,
+      date: () => graft.time.DateInterval = () => graft.time.Day.today)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val v = curationVerdicts(batch, textCol, typicalityModel, minTypicalityPpm).persist()
+      try {
+        accepted.save(v.filter(col("passes")).drop("passes", "reject_reason"),
+          date(), graft.io.Warehouse.WriteAppend)
+        rejected.save(v.filter(!col("passes")).drop("passes"),
+          date(), graft.io.Warehouse.WriteAppend)
+      } finally { v.unpersist(); () }
+    }
+
+  /**
    * Streaming ingest volume-anomaly monitor — the streaming twin of batch
    * [[graft.ops.Drift.volumeAnomalies]] (L43), same exact integer verdict:
    * a window is flagged when `n * prevWindows * 100 > prevN * factorPct`

@@ -145,6 +145,48 @@ class EventStreamsSpec extends SparkTestBase {
     table.load(spark, date).count() shouldBe 3 // appended across micro-batches
   }
 
+  test("curation gate routes accepts and tagged rejects with batch-parity verdicts") {
+    implicit val sc = spark.sqlContext
+    val model = Map("the" -> 100000L, "cat" -> 50000L, "sat" -> 50000L, "mat" -> 50000L)
+    val docs = Seq(
+      (1L, "the cat sat on the mat with the other cat today"), // passes everything
+      (2L, "!!! ### $$$ %%%"), // no words
+      (3L, "word word word word word word word word"), // degenerate repetition
+      (4L, "qqq zzz xxx vvv www yyy kkk jjj")) // tokens fine, typicality 0
+    val accepted = graft.io.WarehouseTable(graft.io.HdfsUrl(tmpDir("gate_ok")), "docs")
+    val rejected = graft.io.WarehouseTable(graft.io.HdfsUrl(tmpDir("gate_no")), "docs")
+    val date = graft.time.Day(2026, 8, 12)
+
+    val in = MemoryStream[(Long, String)]
+    val q = EventStreams.curationGate(in.toDF().toDF("doc_id", "text"),
+      accepted, rejected, typicalityModel = Some(model), minTypicalityPpm = 10000L,
+      date = () => date)
+      .option("checkpointLocation", tmpDir("gate_ckpt")).start()
+    in.addData(docs.take(2): _*)
+    q.processAllAvailable()
+    in.addData(docs.drop(2): _*) // across micro-batches
+    runToCompletion(q)
+
+    accepted.load(spark, date).select("doc_id").as[Long].collect().toSet shouldBe Set(1L)
+    val rejects = rejected.load(spark, date)
+      .select("doc_id", "reject_reason").as[(Long, String)].collect().toMap
+    rejects.keySet shouldBe Set(2L, 3L, 4L)
+    rejects(2L) shouldBe "ok_word_count" // symbols tokenize to nothing
+    rejects(3L) shouldBe "ok_distinct_ratio"
+    rejects(4L) shouldBe "atypical"
+
+    // bit-identical to the batch verdicts on the same rows — the gate is
+    // the same per-row expression, so stream == batch by construction
+    val batch = EventStreams.curationVerdicts(docs.toDF("doc_id", "text"),
+      typicalityModel = Some(model), minTypicalityPpm = 10000L)
+      .select("doc_id", "passes", "reject_reason")
+      .as[(Long, Boolean, Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    batch(1L)._1 shouldBe true
+    rejects.keySet.foreach { id => batch(id)._1 shouldBe false }
+    rejects.foreach { case (id, reason) => batch(id)._2 shouldBe Some(reason) }
+  }
+
   test("stream-stream join pairs events within the time bound only") {
     implicit val sc = spark.sqlContext
     val purchases = MemoryStream[Event]
