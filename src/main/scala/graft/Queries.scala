@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 
 import graft.etl.Stage
 import graft.io.{HdfsUrl, Warehouse, WarehouseTable}
-import graft.ops.{Bpe, Dedup, Joins, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Bpe, Dedup, Joins, Multimodal, Similarity, TextAnalysis, Web}
 import graft.time.Day
 
 /**
@@ -1607,6 +1607,91 @@ object Queries {
        FROM (SELECT doc_id, $wrapped AS wrapped FROM documents)"""
   }
 
+  /**
+   * `url_profile`: the [[Web]] URL toolkit over deterministic synthetic
+   * URLs (the word-soup corpus has no URL column) — four shapes per
+   * `doc_id % 4` exercise mixed-case schemes/hosts, default ports,
+   * co.uk-style second-level domains, tracking params, fragments,
+   * schemeless hosts and root slashes. The oracle rebuilds the same URLs
+   * and mirrors every chain stage for stage in DuckDB (RE2).
+   */
+  def urlProfile(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val id = col("doc_id").cast("string")
+    val url = when(col("doc_id") % 4 === 0,
+      concat(lit("HTTPS://WWW."), col("source"), lit(".Example.CO.UK:443/Articles/"), id,
+        lit("?utm_source=feed&ref="), col("lang"), lit("#sec2")))
+      .when(col("doc_id") % 4 === 1,
+        concat(lit("http://blog."), col("source"), lit(".com:80/post/"), id,
+          lit("?id="), id, lit("&utm_campaign=x&gclid=abc")))
+      .when(col("doc_id") % 4 === 2, concat(col("source"), lit(".org/data/"), id))
+      .otherwise(concat(lit("https://cdn."), col("source"), lit(".net/")))
+    t(dir, "documents").select(col("doc_id"), url.as("url"))
+      .select(col("doc_id"), col("url"),
+        Web.urlHost(col("url")).as("host"),
+        Web.urlDomain(col("url")).as("domain"),
+        Web.normalizeUrl(col("url")).as("norm_url"))
+  }
+
+  val urlProfileSql: String = {
+    val urlCase = "CASE doc_id % 4" +
+      " WHEN 0 THEN 'HTTPS://WWW.' || source || '.Example.CO.UK:443/Articles/' || doc_id || '?utm_source=feed&ref=' || lang || '#sec2'" +
+      " WHEN 1 THEN 'http://blog.' || source || '.com:80/post/' || doc_id || '?id=' || doc_id || '&utm_campaign=x&gclid=abc'" +
+      " WHEN 2 THEN source || '.org/data/' || doc_id" +
+      " ELSE 'https://cdn.' || source || '.net/' END"
+    val sll = graft.ops.Web.SecondLevelLabels.map(l => s"'$l'").mkString(", ")
+    s"""SELECT doc_id, url, host,
+       CASE WHEN len(labels) <= 2 THEN host
+            WHEN labels[-2] IN ($sll)
+              THEN array_to_string(list_slice(labels, len(labels) - 2, len(labels)), '.')
+            ELSE array_to_string(list_slice(labels, len(labels) - 1, len(labels)), '.') END AS domain,
+       sch || '://' || nhost || (CASE WHEN path0 = '/' THEN '' ELSE path0 END) ||
+         (CASE WHEN qc = '' THEN '' ELSE '?' || qc END) AS norm_url
+       FROM (SELECT doc_id, url, sch, host, nhost, path0, string_split(host, '.') AS labels,
+               trim(regexp_replace('&' || q0 || '&', '&(utm_[A-Za-z0-9_]*|gclid|fbclid)=[^&]*', '', 'g'), '&') AS qc
+             FROM (SELECT doc_id, url,
+                     lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+                     lower(regexp_replace(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), ':[0-9]+${"$"}', '', 'g')) AS host,
+                     lower(regexp_replace(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), ':(80|443)${"$"}', '', 'g')) AS nhost,
+                     regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
+                     regexp_extract(u, '\\?([^#]*)', 1) AS q0
+                   FROM (SELECT doc_id, url,
+                           regexp_replace(CASE WHEN regexp_matches(url, '^[A-Za-z][A-Za-z0-9+.-]*://') THEN url ELSE 'http://' || url END, '#.*', '', 'g') AS u
+                         FROM (SELECT doc_id, $urlCase AS url FROM documents))))"""
+  }
+
+  /**
+   * `domain_quality`: [[Web.domainQualityProfile]] per source — exact
+   * integer-ppm punctuation and Gopher-gate-failure shares, the
+   * measurement pass behind a domain blocklist. Oracle replays the same
+   * per-doc flags (quality_filter's inner SQL) and the same HUGEINT
+   * cross-multiplied shares.
+   */
+  def domainQuality(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    Web.domainQualityProfile(t(dir, "documents"), "source", "text")
+  }
+
+  val domainQualitySql: String =
+    s"""SELECT domain, n_docs, punct_ppm, gate_fail_ppm,
+       cast(CASE WHEN punct_ppm > 200000 OR gate_fail_ppm > 500000 THEN 1 ELSE 0 END AS BIGINT) AS low_quality
+       FROM (SELECT source AS domain, cast(count(*) AS BIGINT) AS n_docs,
+               CAST(CAST(sum(punct) AS HUGEINT) * 1000000 // greatest(sum(chars), 1) AS BIGINT) AS punct_ppm,
+               CAST(CAST(sum(1 - passes) AS HUGEINT) * 1000000 // count(*) AS BIGINT) AS gate_fail_ppm
+             FROM (SELECT source, length(text) AS chars,
+                     (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))) AS punct,
+                     (CASE WHEN len(toks) >= 5 AND len(toks) <= 100000 THEN 1 ELSE 0 END)
+                     * (CASE WHEN mean_len >= 2.0 AND mean_len <= 12.0 THEN 1 ELSE 0 END)
+                     * (CASE WHEN symbol_ratio <= 0.2 THEN 1 ELSE 0 END)
+                     * (CASE WHEN distinct_ratio >= 0.2 THEN 1 ELSE 0 END) AS passes
+                   FROM (SELECT source, text,
+                           coalesce(list_sum(list_transform(toks, t -> length(t))), 0) / cast(greatest(len(toks), 1) as double) AS mean_len,
+                           (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))) / cast(greatest(length(text), 1) as double) AS symbol_ratio,
+                           len(list_distinct(toks)) / cast(greatest(len(toks), 1) as double) AS distinct_ratio,
+                           toks
+                         FROM (SELECT source, text, $Toks AS toks FROM documents)))
+             GROUP BY source)"""
+
   val piiScrubSql: String = {
     val salted = "CASE WHEN doc_id % 5 = 0 THEN text || ' contact user' || doc_id || " +
       "'@example.com or +1 555 010 ' || doc_id || ' at 10.0.0.' || (doc_id % 255) ELSE text END"
@@ -2808,6 +2893,8 @@ object Queries {
     ("token_counts", tokenCounts _, Some(tokenCountsSql)),
     ("pii_scrub", piiScrub _, Some(piiScrubSql)),
     ("html_extract", htmlExtract _, Some(htmlExtractSql)),
+    ("url_profile", urlProfile _, Some(urlProfileSql)),
+    ("domain_quality", domainQuality _, Some(domainQualitySql)),
     ("top_ngrams", topNgrams _, Some(topNgramsSql)),
     ("contamination", contamination _, Some(contaminationSql)),
     ("quality_filter", qualityFilter _, Some(qualityFilterSql)),

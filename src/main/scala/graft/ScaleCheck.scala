@@ -113,6 +113,11 @@ object ScaleCheck {
     time("vocab_stats") {
       ops.TextAnalysis.vocabStats(bigDocs, "text")
     }
+    // one map-side-combined agg; output stays domain-cardinality-sized
+    // however large the corpus
+    time("domain_quality") {
+      ops.Web.domainQualityProfile(bigDocs, "source", "text")
+    }
     time("pack_sequences") {
       val sized = bigDocs.select(col("doc_id"), col("source"),
         ops.TextAnalysis.bpeTokenCount(col("text")).cast("long").as("n_tokens"))

@@ -1,0 +1,138 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Web-provenance operators for crawled-corpus curation — the URL side of
+ * the front-of-funnel that [[TextAnalysis.htmlToText]] opens: parse and
+ * canonicalize document URLs, reduce hosts to registrable domains, and
+ * aggregate per-domain quality statistics (the measurement that writes a
+ * domain blocklist or sizes [[TextAnalysis.sourceCap]]).
+ *
+ * Everything is a pure per-row codegen'd regexp/string chain or one
+ * map-side-combined aggregation; every expression is written to behave
+ * identically under Java regex and RE2 (no backreferences, no replacement
+ * group refs — Spark uses `$1` where RE2 uses `\1`, so replacements here
+ * use none), keeping results engine-reproducible. Parsing is a
+ * deterministic heuristic, not a full RFC 3986 parser: userinfo is left in
+ * the host, IPv6 literals and punycode pass through unsplit — the standard
+ * tradeoffs of regex URL handling, identical on every engine.
+ */
+object Web {
+
+  /** URLs without a scheme parse as http (one parse path for bare hosts). */
+  private def withScheme(url: Column): Column =
+    when(url.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), url)
+      .otherwise(concat(lit("http://"), url))
+
+  /** Everything before the fragment, scheme-forced — the parse input. */
+  private def defrag(url: Column): Column =
+    regexp_replace(withScheme(url), "#.*", "")
+
+  /** Lowercased scheme (`http` for schemeless inputs). */
+  def urlScheme(url: Column): Column =
+    lower(regexp_extract(withScheme(url), "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+
+  /** Lowercased host, any `:port` suffix stripped. */
+  def urlHost(url: Column): Column =
+    lower(regexp_replace(
+      regexp_extract(defrag(url), "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1),
+      ":[0-9]+$", ""))
+
+  /** Path component (empty for bare hosts, `/` kept verbatim). */
+  def urlPath(url: Column): Column =
+    regexp_extract(defrag(url), "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+
+  /** Query string without the `?` (empty when absent). */
+  def urlQuery(url: Column): Column =
+    regexp_extract(defrag(url), "\\?([^#]*)", 1)
+
+  /**
+   * Second-level labels under which the registrable domain takes THREE
+   * labels (`example.co.uk`) instead of two (`example.com`) — the compact
+   * public-suffix heuristic (the full PSL is thousands of rules; these
+   * cover the dominant ccTLD second-level registrations, and the two-label
+   * fallback is right for everything else).
+   */
+  val SecondLevelLabels: Seq[String] = Seq("ac", "co", "com", "edu", "gov", "net", "org")
+
+  /**
+   * Registrable domain of a (lowercased) host: the last two labels, or the
+   * last three when the second-to-last is a [[SecondLevelLabels]] entry —
+   * so `www.blog.example.co.uk` and `cdn.example.co.uk` both group as
+   * `example.co.uk`. The grouping key for domain caps, blocklists and
+   * provenance stats; hosts with at most two labels pass through.
+   */
+  def registeredDomain(host: Column): Column = {
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val take3 = n >= 3 && element_at(labels, -2).isin(SecondLevelLabels.map(x => x: Any): _*)
+    when(n <= 2, host)
+      .otherwise(when(take3, array_join(slice(labels, n - 2, lit(3)), "."))
+        .otherwise(array_join(slice(labels, n - 1, lit(2)), ".")))
+  }
+
+  /** [[registeredDomain]] straight from a URL. */
+  def urlDomain(url: Column): Column = registeredDomain(urlHost(url))
+
+  /**
+   * Canonical URL for exact-dedup and grouping: scheme and host lowercase,
+   * default ports (`:80`/`:443`) stripped, fragment dropped, tracking
+   * parameters (`utm_*`, `gclid`, `fbclid`) removed with separators
+   * repaired, and a bare `/` path folded to empty — so
+   * `HTTP://X.com:80/?utm_source=a` and `http://x.com` collide. Content
+   * parameters are KEPT in their original order (reordering changes
+   * semantics on some sites); this is C4-style URL canonicalization, not
+   * equivalence proving.
+   */
+  def normalizeUrl(url: Column): Column = {
+    val u = defrag(url)
+    val sch = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val host = lower(regexp_replace(
+      regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1), ":(80|443)$", ""))
+    val path0 = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val path = when(path0 === "/", lit("")).otherwise(path0)
+    // pad with '&' so every parameter is '&'-delimited, strip trackers
+    // globally, then trim the padding — no replacement group refs needed
+    val q = trim(regexp_replace(
+      concat(lit("&"), regexp_extract(u, "\\?([^#]*)", 1), lit("&")),
+      "&(utm_[A-Za-z0-9_]*|gclid|fbclid)=[^&]*", ""), "&")
+    concat(sch, lit("://"), host, path,
+      when(q === "", lit("")).otherwise(concat(lit("?"), q)))
+  }
+
+  /**
+   * Per-domain quality profile — the measurement pass behind a domain
+   * blocklist: document count, punctuation-character share and
+   * Gopher-gate failure share (both exact integer ppm, DECIMAL(38)
+   * cross-multiplies so sums never overflow at corpus scale), and a
+   * `low_quality` verdict when either share exceeds its threshold. Feed
+   * the flagged domains to a filter or [[TextAnalysis.sourceCap]]; at
+   * 100 TB this is ONE map-side-combined aggregation over the scan,
+   * output is domain-cardinality-sized.
+   */
+  def domainQualityProfile(
+      df: DataFrame,
+      domainCol: String,
+      textCol: String,
+      maxPunctPpm: Long = 200000L,
+      maxGateFailPpm: Long = 500000L): DataFrame = {
+    val punct = length(col(textCol)) -
+      length(regexp_replace(col(textCol), """[^a-zA-Z0-9\s]""", ""))
+    val passes = TextAnalysis.qualityFlags(col(textCol))
+      .collectFirst { case ("passes", c) => c }.get
+    df.select(col(domainCol).as("domain"),
+        length(col(textCol)).as("__chars"), punct.as("__punct"), passes.as("__passes"))
+      .groupBy(col("domain"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        expr("CAST(CAST(sum(__punct) AS DECIMAL(38,0)) * 1000000" +
+          " DIV greatest(sum(__chars), 1) AS BIGINT)").as("punct_ppm"),
+        expr("CAST(CAST(sum(CASE WHEN __passes = 0 THEN 1 ELSE 0 END) AS DECIMAL(38,0))" +
+          " * 1000000 DIV count(1) AS BIGINT)").as("gate_fail_ppm"))
+      .withColumn("low_quality",
+        when(col("punct_ppm") > maxPunctPpm || col("gate_fail_ppm") > maxGateFailPpm, 1L)
+          .otherwise(0L))
+  }
+}

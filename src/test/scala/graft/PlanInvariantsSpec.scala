@@ -65,6 +65,9 @@ class PlanInvariantsSpec extends SparkTestBase {
     check("chunk_documents", maxShuffles = 0)
     check("stratified_sample", maxShuffles = 0)
     check("html_extract", maxShuffles = 0)
+    check("url_profile", maxShuffles = 0)
+    // one map-side-combined agg, domain-cardinality output
+    check("domain_quality", maxShuffles = 1)
   }
 
   test("dedup/similarity pipelines: equi-joins only, bounded shuffles") {
