@@ -1608,6 +1608,40 @@ object Queries {
   }
 
   /**
+   * `intra_doc_dedup`: [[TextAnalysis.dedupLinesInDoc]] over a synthetic
+   * page that repeats a nav header and footer line around each document's
+   * text (the word-soup corpus is single-line) — first occurrences
+   * survive in order, repeats drop, and the removed-line count is exact.
+   * Oracle: the same first-occurrence index filter via DuckDB list
+   * lambdas (1-based there, 0-based in Spark — both compared to the
+   * 1-based first-position).
+   */
+  def intraDocDedup(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val header = concat(lit("NAV "), col("source"))
+    val page = concat_ws("\n",
+      header, col("text"), header, lit("contact us"), header, lit("contact us"))
+    t(dir, "documents").select(col("doc_id"), page.as("page"))
+      .select(col("doc_id"),
+        TextAnalysis.dedupLinesInDoc(col("page")).as("clean_text"),
+        (size(split(col("page"), "\n")) -
+          size(split(TextAnalysis.dedupLinesInDoc(col("page")), "\n"))).cast("long")
+          .as("n_removed"))
+  }
+
+  val intraDocDedupSql: String = {
+    val dedup = "list_filter(string_split(page, chr(10)), " +
+      "(l, i) -> list_position(string_split(page, chr(10)), l) = i)"
+    s"""SELECT doc_id,
+       array_to_string($dedup, chr(10)) AS clean_text,
+       CAST(len(string_split(page, chr(10))) - len($dedup) AS BIGINT) AS n_removed
+       FROM (SELECT doc_id,
+               'NAV ' || source || chr(10) || text || chr(10) || 'NAV ' || source ||
+                 chr(10) || 'contact us' || chr(10) || 'NAV ' || source || chr(10) || 'contact us' AS page
+             FROM documents)"""
+  }
+
+  /**
    * `url_profile`: the [[Web]] URL toolkit over deterministic synthetic
    * URLs (the word-soup corpus has no URL column) — four shapes per
    * `doc_id % 4` exercise mixed-case schemes/hosts, default ports,
@@ -2894,6 +2928,7 @@ object Queries {
     ("pii_scrub", piiScrub _, Some(piiScrubSql)),
     ("html_extract", htmlExtract _, Some(htmlExtractSql)),
     ("url_profile", urlProfile _, Some(urlProfileSql)),
+    ("intra_doc_dedup", intraDocDedup _, Some(intraDocDedupSql)),
     ("domain_quality", domainQuality _, Some(domainQualitySql)),
     ("top_ngrams", topNgrams _, Some(topNgramsSql)),
     ("contamination", contamination _, Some(contaminationSql)),

@@ -233,6 +233,21 @@ object TextAnalysis {
     }
 
   /**
+   * Remove repeated lines WITHIN a document, keeping each line's first
+   * occurrence in order — the intra-document sibling of the corpus-wide
+   * [[removeBoilerplateLines]]: navigation menus, cookie banners and
+   * chat-log boilerplate repeat inside a single crawled page, and
+   * per-line multiplicity is exactly what the Gopher repetition signals
+   * flag. Pure per-row higher-order functions (first-occurrence filter by
+   * index), shuffle-free, O(lines²) per document in string compares —
+   * lines per page are small; the corpus never shuffles.
+   */
+  def dedupLinesInDoc(text: Column): Column = {
+    val lines = split(text, "\n")
+    array_join(filter(lines, (l, i) => array_position(lines, l) === i + 1), "\n")
+  }
+
+  /**
    * HTML-strip patterns applied in order by [[htmlToText]], engine-portable
    * (identical semantics in Java regex and RE2 — inline `(?is)` flags, no
    * backreferences): first drop non-content blocks WITH their contents

@@ -66,6 +66,7 @@ class PlanInvariantsSpec extends SparkTestBase {
     check("stratified_sample", maxShuffles = 0)
     check("html_extract", maxShuffles = 0)
     check("url_profile", maxShuffles = 0)
+    check("intra_doc_dedup", maxShuffles = 0)
     // one map-side-combined agg, domain-cardinality output
     check("domain_quality", maxShuffles = 1)
   }

@@ -167,6 +167,17 @@ class TextAnalysisSpec extends SparkTestBase {
     again shouldBe first
   }
 
+  test("dedupLinesInDoc keeps first occurrences in order") {
+    def clean(s: String): String =
+      Seq(s).toDF("t").select(TextAnalysis.dedupLinesInDoc($"t")).as[String].head()
+    clean("nav\nbody text\nnav\nfooter\nnav") shouldBe "nav\nbody text\nfooter"
+    clean("a\nb\nc") shouldBe "a\nb\nc" // nothing repeated, nothing touched
+    clean("same\nsame\nsame") shouldBe "same"
+    clean("single line") shouldBe "single line"
+    // blank lines dedup like any other line (first blank kept)
+    clean("a\n\nb\n\nc") shouldBe "a\n\nb\nc"
+  }
+
   test("htmlToText strips markup, drops code blocks, decodes entities, folds whitespace") {
     def extract(html: String): String =
       Seq(html).toDF("h").select(TextAnalysis.htmlToText($"h")).as[String].head()
