@@ -2458,6 +2458,40 @@ object Queries {
        FROM scored
        ORDER BY typicality_ppm, doc_id LIMIT 100"""
 
+  /** The bigram upgrade of the CCNet-style filter: the 100 least-typical
+    * documents under the corpus's own capped BIGRAM model — common word
+    * ORDER now scores, not just common words. */
+  def typicalityBigramQ(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val docs = t(dir, "documents")
+    TextAnalysis.typicalityScoresN(docs, "doc_id", "text", docs, "text", n = 2, vocabSize = 4096)
+      .orderBy(col("typicality_ppm"), col("doc_id"))
+      .limit(100)
+  }
+
+  val typicalityBigramSql: String =
+    s"""WITH grams0 AS (
+         SELECT doc_id,
+           CASE WHEN len(toks) >= 2
+             THEN list_transform(range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' '))
+             ELSE CAST([] AS VARCHAR[]) END AS grams
+         FROM (SELECT doc_id, $Toks AS toks FROM documents)),
+       terms AS (
+         SELECT g AS gram, count(*) AS cnt
+         FROM (SELECT unnest(grams) AS g FROM grams0) GROUP BY g),
+       tot AS (SELECT sum(len(grams)) AS tot FROM grams0),
+       model AS (
+         SELECT gram, cast(cast(cnt as hugeint) * 1000000 // tot as bigint) AS ppm
+         FROM terms, tot ORDER BY cnt DESC, gram LIMIT 4096),
+       doc_grams AS (SELECT doc_id, unnest(grams) AS gram FROM grams0),
+       scored AS (
+         SELECT doc_id, count(*) AS n_grams, sum(coalesce(ppm, 0)) AS sum_ppm
+         FROM doc_grams LEFT JOIN model USING (gram) GROUP BY doc_id)
+       SELECT doc_id, cast(n_grams as bigint) AS n_grams,
+              cast(sum_ppm // n_grams as bigint) AS typicality_ppm
+       FROM scored
+       ORDER BY typicality_ppm, doc_id LIMIT 100"""
+
   /**
    * Mixture plan: uniform target ppm share per observed source; per source
    * the available tokens, planned budget, sampling rate and epoch
@@ -2958,6 +2992,7 @@ object Queries {
     ("bpe_pairs", bpePairsQ _, Some(bpePairsSql)),
     ("bpe_tokenize", bpeTokenize _, Some(bpeTokenizeSql)),
     ("typicality_score", typicalityScoreQ _, Some(typicalityScoreSql)),
+    ("typicality_bigram", typicalityBigramQ _, Some(typicalityBigramSql)),
     ("mix_plan", mixPlanQ _, Some(mixPlanSql)),
     ("kmeans_update", kmeansUpdateQ _, Some(kmeansUpdateSql)),
     ("snapshot_diff", snapshotDiffQ _, Some(snapshotDiffSql)),

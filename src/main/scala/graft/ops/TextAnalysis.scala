@@ -881,6 +881,84 @@ object TextAnalysis {
     when(n > 0, ((s - (s % n)) / n).cast("long"))
   }
 
+  /** Adjacent word n-grams of a token array, space-joined; empty when the
+    * document has fewer than `n` tokens (null text included). */
+  private[ops] def wordNgrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  /**
+   * [[typicalityModel]] over adjacent word n-grams (default bigrams) —
+   * one step closer to the real CCNet/KenLM recipe, whose reference model
+   * is an n-gram LM: a unigram model scores any bag of common words as
+   * typical, while the bigram model also demands common word ORDER
+   * ("the cat sat" scores; "sat the cat" mostly misses). Same exact
+   * integer ppm weighting, same capped top-V broadcastable shape — the
+   * model stays bounded at any reference-corpus scale.
+   */
+  def typicalityModelN(
+      ref: org.apache.spark.sql.DataFrame,
+      refTextCol: String,
+      n: Int = 2,
+      vocabSize: Int = 4096): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    require(n >= 1, "n must be at least 1")
+    val grams = wordNgrams(tokens(col(refTextCol)), n)
+    val total = ref.agg(sum(size(grams)).cast("long").as("__tot"))
+    ref.select(explode(grams).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+      .join(broadcast(total))
+      .withColumn("ppm",
+        expr("CAST(CAST(cnt AS DECIMAL(38,0)) * 1000000 DIV __tot AS BIGINT)"))
+      .orderBy(col("cnt").desc, col("gram"))
+      .limit(vocabSize)
+      .select(col("gram"), col("ppm"))
+  }
+
+  /**
+   * [[typicalityScores]] under the n-gram model: mean reference ppm of the
+   * document's adjacent n-grams. Documents with fewer than `n` tokens
+   * produce no row (nothing to score — the word-count quality gate is the
+   * right filter for those). Same scale shape as the unigram form:
+   * bounded broadcast model, gram stream feeds one doc-keyed agg.
+   */
+  def typicalityScoresN(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      ref: org.apache.spark.sql.DataFrame,
+      refTextCol: String,
+      n: Int = 2,
+      vocabSize: Int = 4096): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val model = typicalityModelN(ref, refTextCol, n, vocabSize)
+    df.select(col(idCol), explode(wordNgrams(tokens(col(textCol)), n)).as("gram"))
+      .join(broadcast(model), Seq("gram"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_grams"),
+        sum(coalesce(col("ppm"), lit(0L))).as("__sum_ppm"))
+      .withColumn("typicality_ppm",
+        expr("CAST(CAST(__sum_ppm AS DECIMAL(38,0)) DIV n_grams AS BIGINT)"))
+      .select(col(idCol), col("n_grams"), col("typicality_ppm"))
+  }
+
+  /**
+   * Per-row [[typicalityScoresN]] against a collected `gram -> ppm` model
+   * — the literal-map scan-speed/streaming form, like
+   * [[typicalityScoreCol]]: one fold over the gram array, no join, no
+   * shuffle, no state. Rows with fewer than `n` tokens score null.
+   */
+  def typicalityScoreColN(text: Column, model: Map[String, Long], n: Int = 2): Column = {
+    val m = typedLit(model)
+    val grams = wordNgrams(tokens(text), n)
+    val g = size(grams).cast("long")
+    val s = aggregate(grams, lit(0L),
+      (acc, t) => acc + coalesce(element_at(m, t), lit(0L)))
+    when(g > 0, ((s - (s % g)) / g).cast("long"))
+  }
+
   /**
    * Mixture plan from target shares: given documents with a stratum and a
    * token count, plus per-stratum target corpus shares (ppm) in `targets`

@@ -67,6 +67,11 @@ class PlanInvariantsSpec extends SparkTestBase {
     check("html_extract", maxShuffles = 0)
     check("url_profile", maxShuffles = 0)
     check("intra_doc_dedup", maxShuffles = 0)
+  }
+
+  test("bigram typicality: bounded broadcast model, one doc agg") {
+    // gram-count agg + capped top-V + broadcast probe + doc agg + top-100
+    check("typicality_bigram", maxShuffles = 4, maxBnlj = 1)
     // one map-side-combined agg, domain-cardinality output
     check("domain_quality", maxShuffles = 1)
   }

@@ -167,6 +167,33 @@ class TextAnalysisSpec extends SparkTestBase {
     again shouldBe first
   }
 
+  test("bigram typicality scores word order, not just word bags") {
+    val ref = Seq(
+      "the cat sat on the mat", "the cat sat by the door",
+      "the dog sat on the mat", "the cat ran to the mat").toDF("text")
+    // exact model check: "the cat" appears 3x of 20 total bigrams -> 150000 ppm
+    val model = TextAnalysis.typicalityModelN(ref, "text", n = 2, vocabSize = 100)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    model("the cat") shouldBe 150000L
+    model("sat on") shouldBe 100000L
+    // in-order text scores high; the same words scrambled mostly miss
+    val docs = Seq((1L, "the cat sat on the mat"), (2L, "mat the on sat cat the"),
+      (3L, "solo")).toDF("doc_id", "text")
+    val scored = TextAnalysis.typicalityScoresN(docs, "doc_id", "text", ref, "text",
+      n = 2, vocabSize = 100).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    scored(1L)._1 shouldBe 5L // 5 bigrams
+    scored(1L)._2 should be > scored(2L)._2
+    scored.contains(3L) shouldBe false // under n tokens -> no row
+    // literal-map form agrees with the agg form, gram for gram
+    val lit = docs.select($"doc_id",
+      TextAnalysis.typicalityScoreColN($"text", model, n = 2).as("t"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    lit(1L) shouldBe Some(scored(1L)._2)
+    lit(2L) shouldBe Some(scored(2L)._2)
+    lit(3L) shouldBe None
+  }
+
   test("dedupLinesInDoc keeps first occurrences in order") {
     def clean(s: String): String =
       Seq(s).toDF("t").select(TextAnalysis.dedupLinesInDoc($"t")).as[String].head()
