@@ -37,6 +37,11 @@ import graft.time.DateInterval
  *     5-gram spanning a scrubbed span (`<EMAIL>`/`<PHONE>`/...) could
  *     never match and a leaked eval doc containing PII-like tokens
  *     would silently undercount hits,
+ *  7a. with `domainCol`/`blockedDomains` set, drop documents from
+ *     blocklisted domains (the verdict half of
+ *     [[graft.ops.Web.domainQualityProfile]]'s measurement: profile the
+ *     corpus, feed the flagged domains back here as the blocklist; a
+ *     per-row literal `isin` — no join, the list is human-curated-sized),
  *  8. with `domainCol`/`maxPerDomain` set, cap each domain's document
  *     count ([[TextAnalysis.sourceCap]] — deterministic hash-order keep,
  *     the anti-monoculture guard against a single hot crawl host
@@ -79,6 +84,7 @@ class CurationPipelineJob(
     minTypicalityPpm: Long = 0L,
     htmlSource: Boolean = false,
     domainCol: Option[String] = None,
+    blockedDomains: Set[String] = Set.empty,
     maxPerDomain: Int = 0,
     mixCol: String = "lang",
     targetMix: Map[String, Int] = Map.empty)
@@ -123,6 +129,11 @@ class CurationPipelineJob(
         graft.ops.Decontaminate.removeContaminated(
           ctx.value.toDF(), idCol, textCol, scrubbedBench, benchIdCol, textCol,
           minHits = minContaminationHits)
+      }
+    }
+    unblocked <- Stage.transform[org.apache.spark.sql.Row, org.apache.spark.sql.Row]("domain_blocklist") { ctx =>
+      domainCol.filter(_ => blockedDomains.nonEmpty).fold(ctx.value.toDF()) { dom =>
+        ctx.value.toDF().filter(!col(dom).isin(blockedDomains.toSeq.sorted: _*))
       }
     }
     capped <- Stage.transform[org.apache.spark.sql.Row, org.apache.spark.sql.Row]("domain_cap") { ctx =>

@@ -362,6 +362,18 @@ object functions {
       (args: Seq[Expression]) => {
         require(args.length == 2, s"random_project(vec, k) takes 2 arguments, got ${args.length}")
         RandomProject(args.head, lit(args(1)))
+      }),
+    (FunctionIdentifier("collect_bottom_k"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK].getName,
+        "collect_bottom_k"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"collect_bottom_k(expr, k) takes 2 arguments, got ${args.length}")
+        val k = lit(args(1))
+        require(k >= 1, s"collect_bottom_k k must be at least 1, got $k")
+        new org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK(
+          args.head, k, reverse = true).toAggregateExpression()
       }))
 
   private def litStr(e: Expression): String = e match {

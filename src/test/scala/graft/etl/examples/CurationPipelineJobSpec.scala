@@ -132,6 +132,14 @@ class CurationPipelineJobSpec extends SparkJobSuiteBase {
     bySite("site-b") shouldBe 5
     bySite("site-c") shouldBe 3
 
+    // blocklist: site-b vanishes entirely, the rest untouched
+    val cleanBlock = WarehouseTable(HdfsUrl(tmpDir("curation_block")), "clean")
+    runJob(new CurationPipelineJob(src, cleanBlock,
+      domainCol = Some("site"), blockedDomains = Set("site-b")), date).isSuccess shouldBe true
+    val sites = cleanBlock.load(spark, date).select("site").distinct()
+      .as[String].collect().toSet
+    sites shouldBe Set("site-a", "site-c")
+
     // target mix: de (13 docs at 50% share) binds -> kept whole; en
     // downsamples toward the same share instead of keeping all 30
     val cleanMix = WarehouseTable(HdfsUrl(tmpDir("curation_mix")), "clean")

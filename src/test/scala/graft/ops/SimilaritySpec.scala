@@ -176,6 +176,18 @@ class SimilaritySpec extends SparkTestBase {
     row.getAs[Seq[Double]](4) shouldBe viaColumn
   }
 
+  test("collect_bottom_k is SQL-callable: ascending k-smallest per group") {
+    graft.functions.functions.registry.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+    Seq(("a", 5), ("a", 1), ("a", 3), ("a", 2), ("b", 9), ("b", 7))
+      .toDF("g", "v").createOrReplaceTempView("cbk_sql")
+    val got = spark.sql(
+      "SELECT g, collect_bottom_k(v, 3) AS bottom FROM cbk_sql GROUP BY g ORDER BY g")
+      .as[(String, Seq[Int])].collect()
+    got shouldBe Array(("a", Seq(1, 2, 3)), ("b", Seq(7, 9)))
+  }
+
   test("random_project rejects bad k at plan time, not mid-codegen") {
     // k = 0 would project to an empty vector whose cosine is NaN (which
     // sorts ABOVE real similarities); k < 0 an array-alloc crash inside
