@@ -229,6 +229,13 @@ object ScaleCheck {
       ops.TextAnalysis.typicalityScores(
         bigDocs, "doc_id", "text", bigDocs, "text", vocabSize = 4096)
     }
+    // the distinct-BIGRAM count is the cost driver (gram vocabulary >>
+    // word vocabulary, still Heaps-law-bounded and shared across copies);
+    // one gram-agg shuffle, model capped top-4096 after it
+    time("typicality_bigram") {
+      ops.TextAnalysis.typicalityScoresN(
+        bigDocs, "doc_id", "text", bigDocs, "text", n = 2, vocabSize = 4096)
+    }
     spark.stop()
   }
 }
