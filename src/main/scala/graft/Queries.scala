@@ -2458,6 +2458,34 @@ object Queries {
        FROM scored
        ORDER BY typicality_ppm, doc_id LIMIT 100"""
 
+  /**
+   * `sentence_stats`: [[TextAnalysis.sentences]] over synthetic punctuated
+   * pages (the word-soup corpus has no terminators) — segment count and
+   * exact integer mean segment length; multi-terminator runs (`?!`) and a
+   * trailing unterminated fragment are exercised.
+   */
+  def sentenceStats(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val page = concat(col("text"), lit(". Was that expected?! Probably. "),
+      col("source"), lit(" says: fine! trailing fragment"))
+    t(dir, "documents").select(col("doc_id"), page.as("page"))
+      .select(col("doc_id"),
+        size(TextAnalysis.sentences(col("page"))).cast("long").as("n_sentences"),
+        expr("CAST(aggregate(regexp_extract_all(page, '[^.!?]+[.!?]+|[^.!?]+$', 0), " +
+          "0L, (a, x) -> a + length(x)) DIV " +
+          "size(regexp_extract_all(page, '[^.!?]+[.!?]+|[^.!?]+$', 0)) AS BIGINT)")
+          .as("mean_sentence_chars"))
+  }
+
+  val sentenceStatsSql: String =
+    s"""SELECT doc_id,
+       cast(len(sents) as bigint) AS n_sentences,
+       cast(list_sum(list_transform(sents, x -> length(x))) // len(sents) as bigint) AS mean_sentence_chars
+       FROM (SELECT doc_id,
+               regexp_extract_all(text || '. Was that expected?! Probably. ' || source || ' says: fine! trailing fragment',
+                 '[^.!?]+[.!?]+|[^.!?]+${"$"}') AS sents
+             FROM documents)"""
+
   /** The bigram upgrade of the CCNet-style filter: the 100 least-typical
     * documents under the corpus's own capped BIGRAM model — common word
     * ORDER now scores, not just common words. */
@@ -2963,6 +2991,7 @@ object Queries {
     ("html_extract", htmlExtract _, Some(htmlExtractSql)),
     ("url_profile", urlProfile _, Some(urlProfileSql)),
     ("intra_doc_dedup", intraDocDedup _, Some(intraDocDedupSql)),
+    ("sentence_stats", sentenceStats _, Some(sentenceStatsSql)),
     ("domain_quality", domainQuality _, Some(domainQualitySql)),
     ("top_ngrams", topNgrams _, Some(topNgramsSql)),
     ("contamination", contamination _, Some(contaminationSql)),

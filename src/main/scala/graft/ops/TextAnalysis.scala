@@ -881,6 +881,18 @@ object TextAnalysis {
     when(n > 0, ((s - (s % n)) / n).cast("long"))
   }
 
+  /**
+   * Sentence segments: maximal runs ending in a `[.!?]+` terminator run,
+   * plus any trailing unterminated segment. Segments keep their leading
+   * whitespace (trim downstream where it matters). Deliberately
+   * lookbehind-free — RE2 has no lookbehind, and this split must replay
+   * identically there — so the pattern enumerates segments instead of
+   * splitting at boundaries. The primitive under sentence-aware chunking
+   * and C4-style sentence-level heuristics.
+   */
+  def sentences(text: Column): Column =
+    regexp_extract_all(text, lit("[^.!?]+[.!?]+|[^.!?]+$"), lit(0))
+
   /** Adjacent word n-grams of a token array, space-joined; empty when the
     * document has fewer than `n` tokens (null text included). */
   private[ops] def wordNgrams(toks: Column, n: Int): Column =

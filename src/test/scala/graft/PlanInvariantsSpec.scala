@@ -67,6 +67,7 @@ class PlanInvariantsSpec extends SparkTestBase {
     check("html_extract", maxShuffles = 0)
     check("url_profile", maxShuffles = 0)
     check("intra_doc_dedup", maxShuffles = 0)
+    check("sentence_stats", maxShuffles = 0)
   }
 
   test("bigram typicality: bounded broadcast model, one doc agg") {

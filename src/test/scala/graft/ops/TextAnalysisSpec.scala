@@ -167,6 +167,17 @@ class TextAnalysisSpec extends SparkTestBase {
     again shouldBe first
   }
 
+  test("sentences enumerates terminator-run segments plus a trailing fragment") {
+    def sents(s: String): Seq[String] =
+      Seq(s).toDF("t").select(TextAnalysis.sentences($"t")).as[Seq[String]].head()
+    sents("Hello world. How are you? Fine! trailing bit") shouldBe
+      Seq("Hello world.", " How are you?", " Fine!", " trailing bit")
+    sents("Really?! Yes.") shouldBe Seq("Really?!", " Yes.") // terminator runs group
+    sents("no terminators") shouldBe Seq("no terminators")
+    sents("Ends clean.") shouldBe Seq("Ends clean.")
+    sents("") shouldBe Seq.empty
+  }
+
   test("bigram typicality scores word order, not just word bags") {
     val ref = Seq(
       "the cat sat on the mat", "the cat sat by the door",
