@@ -25,6 +25,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Optional comma-separated query-name filter for local iteration
+    // (`SPARK_GRAFT_ONLY=typicality_bigram sbt "runMain graft.Bench"`).
+    // The driver never sets it, so protocol runs always time the full
+    // battery.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val battery = only match {
+      case Some(names) => Queries.all.filter { case (n, _, _) => names(n) }
+      case None        => Queries.all
+    }
     // Untimed warm pass of the FULL battery: generated code is schema- and
     // query-specific, so synthetic warm-ups keep missing paths (round 3: the
     // string-struct min_by comparator of dedup_exact billed 22 s of
@@ -33,7 +43,7 @@ object Bench {
     // executes and populates the FS/footer caches; the timed pass then
     // measures steady-state execution, which is what the protocol reports
     // (BASELINE.md).
-    Queries.all.foreach { case (name, fn, _) =>
+    battery.foreach { case (name, fn, _) =>
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] warm-up $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
@@ -44,7 +54,7 @@ object Bench {
     // 0.7 s <-> 3.4 s on lang_id between runs). The min of two passes is the
     // steady-state cost the protocol reports; systematic regressions still
     // show (they slow every pass).
-    def timedPass(): Seq[(String, Double)] = Queries.all.map { case (name, fn, _) =>
+    def timedPass(): Seq[(String, Double)] = battery.map { case (name, fn, _) =>
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()

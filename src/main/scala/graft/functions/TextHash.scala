@@ -107,6 +107,30 @@ object TextHash {
     new GenericArrayData(out)
   }
 
+  /** Adjacent space-joined word n-grams; EMPTY when the text has fewer
+    * than `n` tokens — unlike [[wordShingles]], which clamps short docs to
+    * one shingle, this matches the scorer contract where the word-count
+    * quality gate (not the gram scorer) owns short documents. Bit-identical
+    * to the composed-builtin form
+    * `transform(sequence(1, size(toks)-n+1), i -> array_join(slice(toks,i,n),' '))`
+    * over `tokens(text)` (the spec twin in TextHashSpec). */
+  def wordNgrams(text: UTF8String, n: Int): ArrayData = {
+    val toks = tokenize(text.toString)
+    val nWin = toks.length - (n - 1)
+    if (nWin <= 0) new GenericArrayData(Array.empty[AnyRef])
+    else {
+      val out = new Array[AnyRef](nWin)
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i < nWin) {
+        appendShingle(sb, toks, i, n)
+        out(i) = UTF8String.fromString(sb.toString)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
   /** Winnowing-style rolling fingerprint: min md5 over word `window`-grams. */
   def rollingFingerprint(text: UTF8String, window: Int): UTF8String = {
     val toks = tokenize(text.toString)
@@ -227,6 +251,18 @@ case class WordShingles(child: Expression, words: Int) extends TextHashExpressio
     copy(child = newChild)
 }
 
+case class WordNgrams(child: Expression, n: Int) extends TextHashExpression {
+  require(n >= 1, s"n must be at least 1, got $n")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_ngrams"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.wordNgrams(input.asInstanceOf[UTF8String], n)
+  override protected def staticCall(c: String): String =
+    s"graft.functions.TextHash$$.MODULE$$.wordNgrams($c, $n)"
+  override protected def withNewChildInternal(newChild: Expression): WordNgrams =
+    copy(child = newChild)
+}
+
 case class RollingFingerprint(child: Expression, window: Int) extends TextHashExpression {
   override def dataType: DataType = StringType
   override def prettyName: String = "rolling_fingerprint"
@@ -291,6 +327,11 @@ object functions {
     GraftExpressionBridge.column(
       WordShingles(GraftExpressionBridge.expression(text), words))
 
+  /** Adjacent word n-grams (codegen'd); empty array below `n` tokens. */
+  def word_ngrams(text: Column, n: Int = 2): Column =
+    GraftExpressionBridge.column(
+      WordNgrams(GraftExpressionBridge.expression(text), n))
+
   def rolling_fingerprint(text: Column, window: Int = 5): Column =
     GraftExpressionBridge.column(
       RollingFingerprint(GraftExpressionBridge.expression(text), window))
@@ -329,6 +370,10 @@ object functions {
       new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
       (args: Seq[Expression]) => MinHashSignature(args.head,
         if (args.length > 1) lit(args(1)) else 12, if (args.length > 2) lit(args(2)) else 5)),
+    (FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(classOf[WordNgrams].getName, "word_ngrams"),
+      (args: Seq[Expression]) => WordNgrams(args.head,
+        if (args.length > 1) lit(args(1)) else 2)),
     (FunctionIdentifier("rolling_fingerprint"),
       new ExpressionInfo(classOf[RollingFingerprint].getName, "rolling_fingerprint"),
       (args: Seq[Expression]) => RollingFingerprint(args.head,

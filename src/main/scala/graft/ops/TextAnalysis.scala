@@ -894,12 +894,25 @@ object TextAnalysis {
     regexp_extract_all(text, lit("[^.!?]+[.!?]+|[^.!?]+$"), lit(0))
 
   /** Adjacent word n-grams of a token array, space-joined; empty when the
-    * document has fewer than `n` tokens (null text included). */
+    * document has fewer than `n` tokens (null text included). This is the
+    * composed-builtin SPECIFICATION form — `sequence`/`transform`/`slice`
+    * are higher-order functions evaluated interpreted, outside whole-stage
+    * codegen, which made the bigram battery query ~7x its unigram sibling.
+    * The hot paths below call the bit-identical codegen'd kernel
+    * [[graft.functions.TextHash.wordNgrams]] instead (cross-checked in
+    * TextHashSpec); this form remains as the oracle-shaped twin. */
   private[ops] def wordNgrams(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - (n - 1)),
         i => array_join(slice(toks, i, lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
+
+  /** The codegen'd gram stream the typicality hot paths use: the
+    * [[graft.functions.WordNgrams]] kernel for n >= 2, or plain
+    * [[tokens]] for n = 1 (unigrams ARE the token stream — no join key
+    * rewrite needed, and the unigram path keeps its measured plan). */
+  private def wordNgramsFast(text: Column, n: Int): Column =
+    if (n == 1) tokens(text) else graft.functions.functions.word_ngrams(text, n)
 
   /**
    * [[typicalityModel]] over adjacent word n-grams (default bigrams) —
@@ -917,7 +930,7 @@ object TextAnalysis {
       vocabSize: Int = 4096): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.broadcast
     require(n >= 1, "n must be at least 1")
-    val grams = wordNgrams(tokens(col(refTextCol)), n)
+    val grams = wordNgramsFast(col(refTextCol), n)
     val total = ref.agg(sum(size(grams)).cast("long").as("__tot"))
     ref.select(explode(grams).as("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
@@ -946,7 +959,7 @@ object TextAnalysis {
       vocabSize: Int = 4096): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.broadcast
     val model = typicalityModelN(ref, refTextCol, n, vocabSize)
-    df.select(col(idCol), explode(wordNgrams(tokens(col(textCol)), n)).as("gram"))
+    df.select(col(idCol), explode(wordNgramsFast(col(textCol), n)).as("gram"))
       .join(broadcast(model), Seq("gram"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).cast("long").as("n_grams"),
@@ -964,7 +977,7 @@ object TextAnalysis {
    */
   def typicalityScoreColN(text: Column, model: Map[String, Long], n: Int = 2): Column = {
     val m = typedLit(model)
-    val grams = wordNgrams(tokens(text), n)
+    val grams = wordNgramsFast(text, n)
     val g = size(grams).cast("long")
     val s = aggregate(grams, lit(0L),
       (acc, t) => acc + coalesce(element_at(m, t), lit(0L)))

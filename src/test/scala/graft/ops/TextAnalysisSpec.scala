@@ -205,6 +205,29 @@ class TextAnalysisSpec extends SparkTestBase {
     lit(3L) shouldBe None
   }
 
+  test("word_ngrams kernel is bit-identical to the composed-builtin twin") {
+    // the codegen'd kernel the typicality hot path uses vs the
+    // sequence/transform/slice specification form, over edge shapes:
+    // punctuation-only, exactly n-1 tokens, exactly n, long, empty, mixed case
+    val texts = Seq("the cat sat on the mat", "solo", "two words", "",
+      "?!, .", "MiXeD Case-Tokens_42 here", "a b c d e f g h i j k l m")
+    for (n <- Seq(1, 2, 3, 5)) {
+      val rows = texts.toDF("text").select(
+        graft.functions.functions.word_ngrams($"text", n).as("fast"),
+        TextAnalysis.wordNgrams(TextAnalysis.tokens($"text"), n).as("spec"))
+        .collect()
+      rows.foreach { r =>
+        r.getSeq[String](0) shouldBe r.getSeq[String](1)
+      }
+    }
+    // null text: kernel null-propagates, twin yields empty — both produce
+    // zero rows under explode and a null score under the literal-map form,
+    // the only two consumers
+    val nullRow = Seq(Option.empty[String]).toDF("text").select(
+      explode(graft.functions.functions.word_ngrams($"text", 2))).collect()
+    nullRow shouldBe empty
+  }
+
   test("dedupLinesInDoc keeps first occurrences in order") {
     def clean(s: String): String =
       Seq(s).toDF("t").select(TextAnalysis.dedupLinesInDoc($"t")).as[String].head()
