@@ -31,6 +31,18 @@ object Bench {
     // battery.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    // A typo'd filter must not masquerade as a fast run: unknown names are
+    // fatal (exit 2 before any timing), and filtered output is marked.
+    only.foreach { names =>
+      val known = Queries.all.map(_._1).toSet
+      val unknown = (names -- known).toSeq.sorted
+      if (unknown.nonEmpty) {
+        System.err.println(
+          s"[bench] SPARK_GRAFT_ONLY names match no query: ${unknown.mkString(", ")}")
+        spark.stop()
+        sys.exit(2)
+      }
+    }
     val battery = only match {
       case Some(names) => Queries.all.filter { case (n, _, _) => names(n) }
       case None        => Queries.all
@@ -84,13 +96,16 @@ object Bench {
     // throw and the summary line — the one thing the consumer parses — would
     // never print; "none" keeps the contract in exactly the all-failed case
     val maxQ = results.filter(_._2 >= 0).maxByOption(_._2).getOrElse("none" -> 0.0)
-    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // filtered:true marks partial (SPARK_GRAFT_ONLY) runs so a filtered
+    // bench_full.json can never be mistaken for a full-battery protocol run
+    val filteredMark = if (only.isDefined) "\"filtered\":true," else ""
+    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$filteredMark"queries":$qs,"sf":"$sfDir"}"""
     System.err.println(fullLine)
     try {
       val p = java.nio.file.Paths.get("bench_full.json")
       java.nio.file.Files.write(p, (fullLine + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] could not write bench_full.json: ${e.getMessage}") }
-    val summary = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$failed,"max_query":"${maxQ._1}","max_sec":${fmt(maxQ._2)},"sf":"$sfDir"}"""
+    val summary = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$filteredMark"n":${results.size},"failed":$failed,"max_query":"${maxQ._1}","max_sec":${fmt(maxQ._2)},"sf":"$sfDir"}"""
     println(summary)
     spark.stop()
   }

@@ -1676,7 +1676,7 @@ object Queries {
     val sll = graft.ops.Web.SecondLevelLabels.map(l => s"'$l'").mkString(", ")
     s"""SELECT doc_id, url, host,
        CASE WHEN len(labels) <= 2 THEN host
-            WHEN labels[-2] IN ($sll)
+            WHEN length(labels[-1]) = 2 AND labels[-2] IN ($sll)
               THEN array_to_string(list_slice(labels, len(labels) - 2, len(labels)), '.')
             ELSE array_to_string(list_slice(labels, len(labels) - 1, len(labels)), '.') END AS domain,
        sch || '://' || nhost || (CASE WHEN path0 = '/' THEN '' ELSE path0 END) ||
@@ -1692,6 +1692,64 @@ object Queries {
                    FROM (SELECT doc_id, url,
                            regexp_replace(CASE WHEN regexp_matches(url, '^[A-Za-z][A-Za-z0-9+.-]*://') THEN url ELSE 'http://' || url END, '#.*', '', 'g') AS u
                          FROM (SELECT doc_id, $urlCase AS url FROM documents))))"""
+  }
+
+  /**
+   * `url_dedup`: [[Web.dedupByUrl]] — the cheapest dedup tier of a crawl
+   * pipeline: canonical-URL keep-first over deterministic synthetic URL
+   * variants. Docs sharing a `(site, page)` pair under variants 0-2
+   * (default port + mixed case / tracking params / schemeless + fragment)
+   * collapse to one canonical URL; variant 3 carries a real `ref=keep`
+   * param and stays its own group; `doc_id % 10 == 7` rows have NO url
+   * and pass through untouched. Oracle replays the same canonicalization
+   * chain and a `row_number` keep-first in DuckDB.
+   */
+  def urlDedup(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val site = (col("doc_id") % 5).cast("string")
+    val page = (col("doc_id") % 50).cast("string")
+    val url = when(col("doc_id") % 10 === 7, lit(null).cast("string"))
+      .when(col("doc_id") % 4 === 0,
+        concat(lit("HTTP://WWW.Site"), site, lit(".COM:80/Page/"), page))
+      .when(col("doc_id") % 4 === 1,
+        concat(lit("http://www.site"), site, lit(".com/Page/"), page,
+          lit("?utm_source=feed&utm_id=9")))
+      .when(col("doc_id") % 4 === 2,
+        concat(lit("www.site"), site, lit(".com/Page/"), page, lit("#section")))
+      .otherwise(concat(lit("http://www.site"), site, lit(".com/Page/"), page,
+        lit("?ref=keep")))
+    val docs = t(dir, "documents").select(col("doc_id"), url.as("url"))
+    Web.dedupByUrl(docs, "url", "doc_id")
+      .select(col("doc_id"), Web.normalizeUrl(col("url")).as("canon_url"))
+  }
+
+  val urlDedupSql: String = {
+    val urlCase = "CASE WHEN doc_id % 10 = 7 THEN NULL" +
+      " WHEN doc_id % 4 = 0 THEN 'HTTP://WWW.Site' || (doc_id % 5) || '.COM:80/Page/' || (doc_id % 50)" +
+      " WHEN doc_id % 4 = 1 THEN 'http://www.site' || (doc_id % 5) || '.com/Page/' || (doc_id % 50) || '?utm_source=feed&utm_id=9'" +
+      " WHEN doc_id % 4 = 2 THEN 'www.site' || (doc_id % 5) || '.com/Page/' || (doc_id % 50) || '#section'" +
+      " ELSE 'http://www.site' || (doc_id % 5) || '.com/Page/' || (doc_id % 50) || '?ref=keep' END"
+    s"""WITH urls AS (SELECT doc_id, $urlCase AS url FROM documents),
+       canon AS (
+         SELECT doc_id,
+           sch || '://' || nhost || (CASE WHEN path0 = '/' THEN '' ELSE path0 END) ||
+             (CASE WHEN qc = '' THEN '' ELSE '?' || qc END) AS canon_url
+         FROM (SELECT doc_id, sch, nhost, path0,
+                 trim(regexp_replace('&' || q0 || '&', '&(utm_[A-Za-z0-9_]*|gclid|fbclid)=[^&]*', '', 'g'), '&') AS qc
+               FROM (SELECT doc_id,
+                       lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+                       lower(regexp_replace(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), ':(80|443)${"$"}', '', 'g')) AS nhost,
+                       regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
+                       regexp_extract(u, '\\?([^#]*)', 1) AS q0
+                     FROM (SELECT doc_id,
+                             regexp_replace(CASE WHEN regexp_matches(url, '^[A-Za-z][A-Za-z0-9+.-]*://') THEN url ELSE 'http://' || url END, '#.*', '', 'g') AS u
+                           FROM urls WHERE url IS NOT NULL))))
+       SELECT doc_id, canon_url FROM (
+         SELECT doc_id, canon_url,
+                row_number() OVER (PARTITION BY canon_url ORDER BY doc_id) AS rn
+         FROM canon) WHERE rn = 1
+       UNION ALL
+       SELECT doc_id, NULL AS canon_url FROM urls WHERE url IS NULL"""
   }
 
   /**
@@ -2486,6 +2544,47 @@ object Queries {
                  '[^.!?]+[.!?]+|[^.!?]+${"$"}') AS sents
              FROM documents)"""
 
+  /**
+   * `sentence_chunks`: [[TextAnalysis.chunkBySentences]] over synthetic
+   * many-sentence pages (every word-soup token becomes a sentence via
+   * `' ' -> '. '`) — maxChars=120 / overlap=30, so chunks pack several
+   * sentences, break only at sentence boundaries, and boundary-straddling
+   * sentences repeat in the next chunk. Oracle replays the same prefix-sum
+   * offsets and offset-window membership in DuckDB.
+   */
+  def sentenceChunks(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val page = regexp_replace(col("text"), " ", ". ")
+    val docs = t(dir, "documents").select(col("doc_id"), page.as("page"))
+    TextAnalysis.chunkBySentences(docs, "doc_id", "page", maxChars = 120, overlap = 30)
+      .select(col("doc_id"), col("chunk_id"),
+        length(col("chunk_text")).cast("long").as("chunk_len"),
+        md5(col("chunk_text")).as("chunk_fp"))
+  }
+
+  val sentenceChunksSql: String =
+    s"""WITH segs AS (
+         SELECT doc_id,
+           regexp_extract_all(regexp_replace(text, ' ', '. ', 'g'),
+             '[^.!?]+[.!?]+|[^.!?]+${"$"}') AS sents
+         FROM documents),
+       w AS (
+         SELECT doc_id, sents,
+           list_transform(range(1, len(sents) + 1),
+             i -> cast(coalesce(list_sum(list_transform(sents[1:i-1], x -> length(x))), 0) as bigint)) AS starts
+         FROM segs WHERE len(sents) > 0),
+       c AS (SELECT doc_id, sents, starts,
+               unnest(range(0, starts[-1] // 90 + 1)) AS chunk_id FROM w)
+       SELECT doc_id, cast(chunk_id as bigint) AS chunk_id,
+              cast(length(chunk_text) as bigint) AS chunk_len,
+              md5(chunk_text) AS chunk_fp
+       FROM (SELECT doc_id, chunk_id,
+               array_to_string(list_transform(list_filter(range(1, len(sents) + 1),
+                 i -> starts[i] // 90 = chunk_id
+                   OR (starts[i] // 90 - 1 = chunk_id AND starts[i] % 90 < 30)),
+                 i -> sents[i]), '') AS chunk_text
+             FROM c)"""
+
   /** The bigram upgrade of the CCNet-style filter: the 100 least-typical
     * documents under the corpus's own capped BIGRAM model — common word
     * ORDER now scores, not just common words. */
@@ -2990,8 +3089,10 @@ object Queries {
     ("pii_scrub", piiScrub _, Some(piiScrubSql)),
     ("html_extract", htmlExtract _, Some(htmlExtractSql)),
     ("url_profile", urlProfile _, Some(urlProfileSql)),
+    ("url_dedup", urlDedup _, Some(urlDedupSql)),
     ("intra_doc_dedup", intraDocDedup _, Some(intraDocDedupSql)),
     ("sentence_stats", sentenceStats _, Some(sentenceStatsSql)),
+    ("sentence_chunks", sentenceChunks _, Some(sentenceChunksSql)),
     ("domain_quality", domainQuality _, Some(domainQualitySql)),
     ("top_ngrams", topNgrams _, Some(topNgramsSql)),
     ("contamination", contamination _, Some(contaminationSql)),

@@ -19,13 +19,24 @@ import graft.time.DateInterval
  *     ([[TextAnalysis.htmlToText]] — tag/script/style strip, entity
  *     decode, whitespace fold; the front gate of a C4/FineWeb-style
  *     funnel, so every later stage sees text, not markup),
+ *  1b. with `urlCol` set, collapse recrawls and tracking-param variants of
+ *     the same page by canonical URL ([[graft.ops.Web.dedupByUrl]] —
+ *     keep-first by `idCol`; rows with a null URL pass through). This is
+ *     the cheapest dedup tier (one min_by shuffle on a short string, no
+ *     shingling), so it runs FIRST: every recrawl dropped here never costs
+ *     a gate, a scrub or a MinHash signature downstream,
  *  2. Unicode-normalize the text (NFKC — composed/fullwidth/ligature forms
  *     fold BEFORE any byte-equality step sees them),
  *  3. drop documents failing the Gopher-style quality gate,
  *  4. with a `typicalityModel` supplied, drop documents scoring under
- *     `minTypicalityPpm` ([[TextAnalysis.typicalityScoreCol]] — the
+ *     `minTypicalityPpm` ([[TextAnalysis.typicalityScoreColN]] — the
  *     CCNet-style reference-LM filter, fused into the scan as a literal
- *     map; build the model once with [[TextAnalysis.typicalityModel]]),
+ *     map; `typicalityN` picks the gram order: 1 = bag-of-words, 2 =
+ *     bigrams, which also demand common word ORDER — build the matching
+ *     model once with [[TextAnalysis.typicalityModel]] /
+ *     [[TextAnalysis.typicalityModelN]]; documents with fewer than
+ *     `typicalityN` tokens score null and fail the gate, but the step-3
+ *     word-count gate has already removed them),
  *  5. scrub PII from the survivors (email/phone/IPv4/SSN -> `<KIND>`),
  *  6. remove near-duplicates (MinHash LSH -> Jaccard verify -> cluster
  *     representative; pass `checkpointDir` on real clusters),
@@ -82,7 +93,9 @@ class CurationPipelineJob(
     minContaminationHits: Int = 3,
     typicalityModel: Option[Map[String, Long]] = None,
     minTypicalityPpm: Long = 0L,
+    typicalityN: Int = 1,
     htmlSource: Boolean = false,
+    urlCol: Option[String] = None,
     domainCol: Option[String] = None,
     blockedDomains: Set[String] = Set.empty,
     maxPerDomain: Int = 0,
@@ -99,6 +112,11 @@ class CurationPipelineJob(
       if (!htmlSource) ctx.value.toDF()
       else ctx.value.toDF().withColumn(textCol, TextAnalysis.htmlToText(col(textCol)))
     }
+    urlDeduped <- Stage.transform[org.apache.spark.sql.Row, org.apache.spark.sql.Row]("url_dedup") { ctx =>
+      urlCol.fold(ctx.value.toDF()) { u =>
+        graft.ops.Web.dedupByUrl(ctx.value.toDF(), u, idCol)
+      }
+    }
     normalized <- Stage.transform[org.apache.spark.sql.Row, org.apache.spark.sql.Row]("normalize") { ctx =>
       ctx.value.toDF().withColumn(textCol,
         graft.functions.functions.unicode_normalize(col(textCol)))
@@ -111,7 +129,7 @@ class CurationPipelineJob(
     typical <- Stage.transform[org.apache.spark.sql.Row, org.apache.spark.sql.Row]("typicality_gate") { ctx =>
       typicalityModel.fold(ctx.value.toDF()) { model =>
         ctx.value.toDF().filter(
-          TextAnalysis.typicalityScoreCol(col(textCol), model) >= minTypicalityPpm)
+          TextAnalysis.typicalityScoreColN(col(textCol), model, typicalityN) >= minTypicalityPpm)
       }
     }
     scrubbed <- Stage.transform[org.apache.spark.sql.Row, org.apache.spark.sql.Row]("pii_scrub") { ctx =>

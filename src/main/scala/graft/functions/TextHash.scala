@@ -110,10 +110,14 @@ object TextHash {
   /** Adjacent space-joined word n-grams; EMPTY when the text has fewer
     * than `n` tokens — unlike [[wordShingles]], which clamps short docs to
     * one shingle, this matches the scorer contract where the word-count
-    * quality gate (not the gram scorer) owns short documents. Bit-identical
-    * to the composed-builtin form
+    * quality gate (not the gram scorer) owns short documents. NULL text
+    * null-propagates (the expression is a standard null-intolerant unary —
+    * callers get null, NOT an empty array; explode drops both and ANSI
+    * `size(null)` is null, so the current consumers agree either way).
+    * Bit-identical to the composed-builtin form
     * `transform(sequence(1, size(toks)-n+1), i -> array_join(slice(toks,i,n),' '))`
-    * over `tokens(text)` (the spec twin in TextHashSpec). */
+    * over `tokens(text)` (the spec twin cross-check lives in
+    * TextAnalysisSpec, next to the composed form). */
   def wordNgrams(text: UTF8String, n: Int): ArrayData = {
     val toks = tokenize(text.toString)
     val nWin = toks.length - (n - 1)
@@ -327,7 +331,8 @@ object functions {
     GraftExpressionBridge.column(
       WordShingles(GraftExpressionBridge.expression(text), words))
 
-  /** Adjacent word n-grams (codegen'd); empty array below `n` tokens. */
+  /** Adjacent word n-grams (codegen'd); empty array below `n` tokens;
+    * null text null-propagates (null out, not an empty array). */
   def word_ngrams(text: Column, n: Int = 2): Column =
     GraftExpressionBridge.column(
       WordNgrams(GraftExpressionBridge.expression(text), n))

@@ -893,6 +893,61 @@ object TextAnalysis {
   def sentences(text: Column): Column =
     regexp_extract_all(text, lit("[^.!?]+[.!?]+|[^.!?]+$"), lit(0))
 
+  /**
+   * Sentence-aware chunking: split documents into ~`maxChars`-character
+   * chunks that break ONLY at [[sentences]] boundaries — the upgrade over
+   * [[chunkDocuments]], which splits mid-sentence. Offsets are measured in
+   * the concatenated sentence stream; chunk `k` covers the offset window
+   * `[k*step, k*step + maxChars)` with `step = maxChars - overlap`, and a
+   * sentence joins every chunk whose window contains its START offset — so
+   * with `overlap > 0` the sentences opening a chunk's tail repeat in the
+   * next chunk (sentence-granular overlap), and with `overlap = 0` the
+   * chunks partition the document exactly. Sentences are atomic: a chunk
+   * may exceed `maxChars` by one sentence tail rather than cut one.
+   * `overlap` is capped at `maxChars/2` so a sentence joins at most two
+   * chunks.
+   *
+   * Per-row and exchange-free: sentence start offsets are ONE `aggregate`
+   * prefix-sum pass (array state, O(sentences) per row), membership is
+   * decided per (sentence, chunk) inside the row, and the only row
+   * multiplier is the explode to one output row per chunk — the same
+   * scan-speed shape as [[chunkDocuments]]. Documents with no sentences
+   * (null/empty text) yield no rows.
+   */
+  def chunkBySentences(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      maxChars: Int = 1000,
+      overlap: Int = 0): org.apache.spark.sql.DataFrame = {
+    require(maxChars > 0, "maxChars must be positive")
+    require(overlap >= 0 && overlap * 2 <= maxChars, "overlap must be in [0, maxChars/2]")
+    val step = maxChars - overlap
+    val sents = sentences(col(textCol))
+    // start offset of each sentence in the sentence stream: one-pass
+    // prefix sum — state is (offsets so far, running total)
+    val starts = aggregate(sents,
+      struct(array().cast("array<long>").as("a"), lit(0L).as("t")),
+      (acc, s) => struct(
+        concat(acc.getField("a"), array(acc.getField("t"))).as("a"),
+        (acc.getField("t") + length(s)).as("t")),
+      acc => acc.getField("a"))
+    // exact integer floor(o / step) (o - o%step is a multiple of step, so
+    // the double division is exact)
+    def bin(o: Column): Column = ((o - o % step) / step).cast("long")
+    val lastStart = element_at(col("__starts"), -1)
+    df.select(col(idCol), sents.as("__sents"), starts.as("__starts"))
+      .filter(size(col("__sents")) > 0)
+      .select(col(idCol), col("__sents"), col("__starts"),
+        explode(sequence(lit(0L), bin(lastStart))).as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        array_join(filter(col("__sents"), (_, i) => {
+          val o = element_at(col("__starts"), i + 1)
+          bin(o) === col("chunk_id") ||
+            (bin(o) - 1 === col("chunk_id") && o % step < overlap)
+        }), "").as("chunk_text"))
+  }
+
   /** Adjacent word n-grams of a token array, space-joined; empty when the
     * document has fewer than `n` tokens (null text included). This is the
     * composed-builtin SPECIFICATION form — `sequence`/`transform`/`slice`
@@ -900,7 +955,7 @@ object TextAnalysis {
     * codegen, which made the bigram battery query ~7x its unigram sibling.
     * The hot paths below call the bit-identical codegen'd kernel
     * [[graft.functions.TextHash.wordNgrams]] instead (cross-checked in
-    * TextHashSpec); this form remains as the oracle-shaped twin. */
+    * TextAnalysisSpec); this form remains as the oracle-shaped twin. */
   private[ops] def wordNgrams(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - (n - 1)),

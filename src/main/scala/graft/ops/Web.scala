@@ -52,22 +52,32 @@ object Web {
    * Second-level labels under which the registrable domain takes THREE
    * labels (`example.co.uk`) instead of two (`example.com`) — the compact
    * public-suffix heuristic (the full PSL is thousands of rules; these
-   * cover the dominant ccTLD second-level registrations, and the two-label
-   * fallback is right for everything else).
+   * cover the dominant ccTLD second-level registration labels across
+   * uk/jp/au/br/kr/in/za/nz/..., and the two-label fallback is right for
+   * everything else). The rule only fires under a TWO-LETTER top label
+   * (a ccTLD shape), so gTLD hosts that happen to end in one of these
+   * labels (`me.com`, `pe.com`) never lose their own registration.
    */
-  val SecondLevelLabels: Seq[String] = Seq("ac", "co", "com", "edu", "gov", "net", "org")
+  val SecondLevelLabels: Seq[String] = Seq(
+    "ac", "asn", "co", "com", "ed", "edu", "go", "gob", "gouv", "gov", "gr",
+    "id", "lg", "ltd", "me", "mil", "ne", "net", "nom", "or", "org", "pe",
+    "plc", "re", "res", "sch", "web")
 
   /**
    * Registrable domain of a (lowercased) host: the last two labels, or the
-   * last three when the second-to-last is a [[SecondLevelLabels]] entry —
-   * so `www.blog.example.co.uk` and `cdn.example.co.uk` both group as
-   * `example.co.uk`. The grouping key for domain caps, blocklists and
-   * provenance stats; hosts with at most two labels pass through.
+   * last three when the top label is two letters (ccTLD shape) and the
+   * second-to-last is a [[SecondLevelLabels]] entry — so
+   * `www.blog.example.co.uk` and `cdn.example.co.uk` both group as
+   * `example.co.uk`, and `shop.example.com.br` / `site.example.or.jp` /
+   * `john.id.au` each keep their three-label registration. The grouping
+   * key for domain caps, blocklists and provenance stats; hosts with at
+   * most two labels pass through.
    */
   def registeredDomain(host: Column): Column = {
     val labels = split(host, "\\.")
     val n = size(labels)
-    val take3 = n >= 3 && element_at(labels, -2).isin(SecondLevelLabels.map(x => x: Any): _*)
+    val take3 = n >= 3 && length(element_at(labels, -1)) === 2 &&
+      element_at(labels, -2).isin(SecondLevelLabels.map(x => x: Any): _*)
     when(n <= 2, host)
       .otherwise(when(take3, array_join(slice(labels, n - 2, lit(3)), "."))
         .otherwise(array_join(slice(labels, n - 1, lit(2)), ".")))
@@ -100,6 +110,27 @@ object Web {
       "&(utm_[A-Za-z0-9_]*|gclid|fbclid)=[^&]*", ""), "&")
     concat(sch, lit("://"), host, path,
       when(q === "", lit("")).otherwise(concat(lit("?"), q)))
+  }
+
+  /**
+   * URL-level exact dedup: keep ONE row per canonical URL
+   * ([[normalizeUrl]]), the one with the smallest `keyCol` — the cheapest
+   * dedup tier of a crawl pipeline (FineWeb/CC dedup by URL before any
+   * text hashing: recrawls and tracking-param variants of the same page
+   * collapse without ever shingling their bodies). Rows with a NULL URL
+   * are kept untouched (no URL != same URL). Same single partial-agg
+   * `min_by` shuffle as [[Dedup.exact]] — the arg-min combines map-side,
+   * so at 100 TB the shuffle carries one candidate row per canonical URL
+   * per map partition, never the full crawl.
+   */
+  def dedupByUrl(df: DataFrame, urlCol: String, keyCol: String): DataFrame = {
+    val cols = df.columns.toSeq
+    val row = struct(cols.map(col): _*)
+    val dups = df.filter(col(urlCol).isNotNull)
+      .groupBy(normalizeUrl(col(urlCol)).as("__canon"))
+      .agg(min_by(row, col(keyCol)).as("__row"))
+      .select(cols.map(c => col(s"__row.$c")): _*)
+    dups.unionByName(df.filter(col(urlCol).isNull))
   }
 
   /**

@@ -199,7 +199,8 @@ object EventStreams {
    * The scan-speed curation verdicts on a document frame, batch OR
    * streaming — every gate here is a pure per-row codegen expression
    * (Gopher quality flags; optionally the CCNet-style typicality score as
-   * a literal map, [[graft.ops.TextAnalysis.typicalityScoreCol]]), so the
+   * a literal map, [[graft.ops.TextAnalysis.typicalityScoreColN]] —
+   * `typicalityN` picks the gram order, 1 = bag-of-words, 2 = bigrams), so the
    * SAME column logic produces bit-identical verdicts on a static
    * DataFrame and on every micro-batch — no state, no watermark, no
    * batch/stream divergence to reason about. Adds `passes` (boolean) and
@@ -211,13 +212,14 @@ object EventStreams {
       docs: DataFrame,
       textCol: String = "text",
       typicalityModel: Option[Map[String, Long]] = None,
-      minTypicalityPpm: Long = 0L): DataFrame = {
+      minTypicalityPpm: Long = 0L,
+      typicalityN: Int = 1): DataFrame = {
     val flags = graft.ops.TextAnalysis.qualityFlags(col(textCol))
     val gopherPasses = flags.collectFirst { case ("passes", c) => c }.get === 1L
     // null score (no tokens) never reaches the typicality verdict: the
     // word-count flag fails first, and false && null = false
     val typicalOk = typicalityModel.fold(lit(true)) { m =>
-      graft.ops.TextAnalysis.typicalityScoreCol(col(textCol), m) >= minTypicalityPpm
+      graft.ops.TextAnalysis.typicalityScoreColN(col(textCol), m, typicalityN) >= minTypicalityPpm
     }
     val reasons = flags.filter(_._1 != "passes")
       .map { case (name, c) => (name, c === 0L) } :+ ("atypical" -> !typicalOk)
@@ -249,10 +251,11 @@ object EventStreams {
       textCol: String = "text",
       typicalityModel: Option[Map[String, Long]] = None,
       minTypicalityPpm: Long = 0L,
+      typicalityN: Int = 1,
       date: () => graft.time.DateInterval = () => graft.time.Day.today)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      val v = curationVerdicts(batch, textCol, typicalityModel, minTypicalityPpm).persist()
+      val v = curationVerdicts(batch, textCol, typicalityModel, minTypicalityPpm, typicalityN).persist()
       try {
         accepted.save(v.filter(col("passes")).drop("passes", "reject_reason"),
           date(), graft.io.Warehouse.WriteAppend)

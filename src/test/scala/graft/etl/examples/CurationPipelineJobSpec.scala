@@ -156,6 +156,63 @@ class CurationPipelineJobSpec extends SparkJobSuiteBase {
     cleanOff.load(spark, date).count() shouldBe 43
   }
 
+  test("curation pipeline with urlCol collapses recrawls by canonical URL first") {
+    // docs 1-3 are the SAME page crawled three ways (default port + case,
+    // tracking params, schemeless) with different bodies — URL dedup keeps
+    // the smallest doc_id before any text stage sees the others; doc 4 is
+    // a different page; doc 5 has no URL and passes through
+    def doc(i: Long): String =
+      s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i theta$i iota$i kappa$i"
+    val rows = Seq(
+      (1L, doc(1), "HTTP://X.com:80/page?utm_source=a"),
+      (2L, doc(2), "http://x.com/page"),
+      (3L, doc(3), "x.com/page#frag"),
+      (4L, doc(4), "http://x.com/other"),
+      (5L, doc(5), null.asInstanceOf[String]))
+    val src = (_: DateInterval) => rows.toDF("doc_id", "text", "url")
+    val date = Day(2026, 8, 12)
+
+    val clean = WarehouseTable(HdfsUrl(tmpDir("curation_url")), "clean")
+    runJob(new CurationPipelineJob(src, clean, urlCol = Some("url")), date)
+      .isSuccess shouldBe true
+    val ids = clean.load(spark, date).select("doc_id").as[Long].collect().toSet
+    ids shouldBe Set(1L, 4L, 5L)
+
+    // stage skipped when unset: all five distinct bodies survive
+    val cleanOff = WarehouseTable(HdfsUrl(tmpDir("curation_url_off")), "clean")
+    runJob(new CurationPipelineJob(src, cleanOff), date).isSuccess shouldBe true
+    cleanOff.load(spark, date).count() shouldBe 5
+  }
+
+  test("curation pipeline typicalityN=2 gates on word order, not word bags") {
+    // the reversed doc has base's exact unigram bag (same unigram score)
+    // but almost none of its bigrams — only the bigram gate catches it
+    val reversed = base.split(" ").reverse.mkString(" ")
+    val src = (_: DateInterval) => Seq((1L, base), (2L, reversed)).toDF("doc_id", "text")
+    val date = Day(2026, 8, 12)
+    val uniModel = graft.ops.TextAnalysis.typicalityModel(Seq(base).toDF("text"), "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val biModel = graft.ops.TextAnalysis.typicalityModelN(Seq(base).toDF("text"), "text", n = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    val cleanUni = WarehouseTable(HdfsUrl(tmpDir("curation_typ_uni")), "clean")
+    runJob(new CurationPipelineJob(src, cleanUni,
+      typicalityModel = Some(uniModel), minTypicalityPpm = 15000L), date)
+      .isSuccess shouldBe true
+    cleanUni.load(spark, date).select("doc_id").as[Long].collect().toSet shouldBe
+      Set(1L, 2L) // unigram model cannot tell them apart
+
+    val cleanBi = WarehouseTable(HdfsUrl(tmpDir("curation_typ_bi")), "clean")
+    // bigrams are mostly distinct, so the self-score sits near 1e6/n_grams
+    // (~15k) — a 5k floor keeps the original and still gates the reversed
+    // doc, whose bigram score is near zero
+    runJob(new CurationPipelineJob(src, cleanBi,
+      typicalityModel = Some(biModel), minTypicalityPpm = 5000L, typicalityN = 2), date)
+      .isSuccess shouldBe true
+    cleanBi.load(spark, date).select("doc_id").as[Long].collect().toSet shouldBe
+      Set(1L) // word order now scores: the reversed doc is gated
+  }
+
   test("curation pipeline with a typicality model drops atypical survivors") {
     val root = HdfsUrl(tmpDir("curation_typ"))
     val clean = WarehouseTable(root, "clean")

@@ -209,8 +209,13 @@ class TextAnalysisSpec extends SparkTestBase {
     // the codegen'd kernel the typicality hot path uses vs the
     // sequence/transform/slice specification form, over edge shapes:
     // punctuation-only, exactly n-1 tokens, exactly n, long, empty, mixed case
+    // non-ASCII rows pin the tokenization convention: the kernel lowercases
+    // via Locale.ROOT while the twin uses Spark lower() — they must agree
+    // on accented text and on Turkish dotted/dotless I regardless of the
+    // JVM default locale (the locale-sensitive case mapping trap)
     val texts = Seq("the cat sat on the mat", "solo", "two words", "",
-      "?!, .", "MiXeD Case-Tokens_42 here", "a b c d e f g h i j k l m")
+      "?!, .", "MiXeD Case-Tokens_42 here", "a b c d e f g h i j k l m",
+      "Крым naïve Café déjà vu", "Istanbul İstanbul DIYARBAKIR ışık")
     for (n <- Seq(1, 2, 3, 5)) {
       val rows = texts.toDF("text").select(
         graft.functions.functions.word_ngrams($"text", n).as("fast"),
@@ -364,6 +369,54 @@ class TextAnalysisSpec extends SparkTestBase {
     c1(0).takeRight(20) shouldBe c1(1).take(20)
     // a doc shorter than one chunk still yields one (whole-text) chunk
     chunks.filter(_._1 == 2L).map(_._3) shouldBe Array("short")
+  }
+
+  test("chunkBySentences breaks only at sentence boundaries and overlaps by sentence") {
+    // ten 10-char sentences -> offsets 0,10,...,90
+    val text = (0 until 10).map(i => s"sent ${i}xxx.").mkString
+    val docs = Seq((1L, text), (2L, "one tiny doc."), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+
+    // no overlap: chunks partition the document exactly, each a whole
+    // number of sentences, none splits mid-sentence
+    val exact = TextAnalysis.chunkBySentences(docs, "doc_id", "text", maxChars = 35, overlap = 0)
+      .as[(Long, Long, String)].collect().filter(_._1 == 1L).sortBy(_._2)
+    exact.map(_._3).mkString shouldBe text // full coverage, in order
+    exact.foreach { case (_, _, c) =>
+      c.length % 10 shouldBe 0 // whole sentences only
+      c should endWith(".")
+    }
+    // step=35 bins sentence starts: 0-30 / 40-60 / 70-90 -> 4+3+3 sentences
+    exact.map(_._3.length / 10) shouldBe Seq(4, 3, 3)
+
+    // with overlap: a boundary-straddling sentence repeats at the head of
+    // the next chunk; stripping each chunk's head down to the first
+    // non-repeated sentence reconstructs the document
+    val ov = TextAnalysis.chunkBySentences(docs, "doc_id", "text", maxChars = 40, overlap = 15)
+      .as[(Long, Long, String)].collect().filter(_._1 == 1L).sortBy(_._2)
+    ov.foreach { case (_, _, c) => c.length % 10 shouldBe 0 }
+    // step=25: chunk k holds starts in [25k, 25k+40); sentences in the
+    // shared 15-char band repeat — consecutive chunks overlap by a whole
+    // sentence suffix/prefix (at least one sentence)
+    ov.sliding(2).foreach {
+      case Array((_, _, a), (_, _, b)) =>
+        val shared = (10 to math.min(a.length, b.length) by 10)
+          .filter(l => a.takeRight(l) == b.take(l))
+        shared should not be empty
+      case _ => ()
+    }
+    // despite repetition, the union of sentences is still the whole doc
+    ov.flatMap(_._3.grouped(10)).toSet shouldBe text.grouped(10).toSet
+
+    // boundary invariance: every chunk is a substring of the original doc
+    // (sentences are atomic, never cut)
+    (exact ++ ov).foreach { case (_, _, c) => text should include(c) }
+
+    // single-sentence and null docs
+    val all = TextAnalysis.chunkBySentences(docs, "doc_id", "text", maxChars = 35, overlap = 0)
+      .as[(Long, Long, String)].collect()
+    all.filter(_._1 == 2L).map(_._3) shouldBe Array("one tiny doc.")
+    all.filter(_._1 == 3L) shouldBe empty // null text -> no rows
   }
 
   test("stopword hits count multiset occurrences") {

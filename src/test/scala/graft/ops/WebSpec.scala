@@ -15,7 +15,7 @@ class WebSpec extends SparkTestBase {
     run("ftp://Files.Example.NET", Web.urlHost(_)) shouldBe "files.example.net"
   }
 
-  test("registeredDomain takes two labels, three under second-level suffixes") {
+  test("registeredDomain takes two labels, three under ccTLD second-level suffixes") {
     def dom(h: String): String = run(h, Web.registeredDomain(_))
     dom("www.blog.example.co.uk") shouldBe "example.co.uk"
     dom("cdn.example.com") shouldBe "example.com"
@@ -23,6 +23,34 @@ class WebSpec extends SparkTestBase {
     dom("localhost") shouldBe "localhost"
     dom("a.b.c.d.gov.br") shouldBe "d.gov.br"
     dom("deep.sub.plain.io") shouldBe "plain.io"
+    // dominant ccTLD second-level registrations group at three labels
+    dom("shop.example.com.br") shouldBe "example.com.br"
+    dom("www.example.or.jp") shouldBe "example.or.jp"
+    dom("mail.example.ne.jp") shouldBe "example.ne.jp"
+    dom("www.john.id.au") shouldBe "john.id.au"
+    dom("news.example.co.kr") shouldBe "example.co.kr"
+    dom("portal.example.gouv.fr") shouldBe "example.gouv.fr"
+    dom("x.example.ac.in") shouldBe "example.ac.in"
+    // the rule only fires under two-letter (ccTLD-shaped) top labels: gTLD
+    // hosts ending in a listed label keep their own registration
+    dom("mail.me.com") shouldBe "me.com"
+    dom("www.pe.com") shouldBe "pe.com"
+    dom("sub.example.co.com") shouldBe "co.com"
+  }
+
+  test("dedupByUrl keeps the smallest-keyed row per canonical URL, null URLs pass") {
+    val rows = Seq(
+      (1L, "HTTP://X.com:80/a?utm_source=s"),
+      (2L, "http://x.com/a"),         // same canonical as 1 -> 1 wins
+      (3L, "x.com/a#frag"),           // schemeless + fragment, same page
+      (4L, "http://x.com/a?ref=keep"),// real param -> its own group
+      (5L, null),                     // no URL -> kept untouched
+      (6L, null),
+      (7L, "https://y.org/b"),
+      (8L, "https://y.org/b/")).toDF("id", "url") // trailing slash differs: kept
+    val kept = Web.dedupByUrl(rows, "url", "id")
+      .select($"id").as[Long].collect().sorted
+    kept shouldBe Array(1L, 4L, 5L, 6L, 7L, 8L)
   }
 
   test("normalizeUrl canonicalizes case, ports, fragments and tracking params") {

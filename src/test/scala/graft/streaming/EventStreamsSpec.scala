@@ -187,6 +187,44 @@ class EventStreamsSpec extends SparkTestBase {
     rejects.foreach { case (id, reason) => batch(id)._2 shouldBe Some(reason) }
   }
 
+  test("curation gate with a bigram model scores word order, stream == batch") {
+    implicit val sc = spark.sqlContext
+    // bigram model: "the cat" / "cat sat" / "sat on" etc. — the scrambled
+    // doc has the same words (a unigram model passes it) but no bigrams
+    val ref = Seq("the cat sat on the mat and the cat sat still")
+      .toDF("text")
+    val model = graft.ops.TextAnalysis.typicalityModelN(ref, "text", n = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val docs = Seq(
+      (1L, "the cat sat on the mat and the cat sat still"), // in order
+      (2L, "still sat cat the and mat the on sat cat the")) // scrambled
+    val accepted = graft.io.WarehouseTable(graft.io.HdfsUrl(tmpDir("bigate_ok")), "docs")
+    val rejected = graft.io.WarehouseTable(graft.io.HdfsUrl(tmpDir("bigate_no")), "docs")
+    val date = graft.time.Day(2026, 8, 13)
+
+    val in = MemoryStream[(Long, String)]
+    val q = EventStreams.curationGate(in.toDF().toDF("doc_id", "text"),
+      accepted, rejected, typicalityModel = Some(model), minTypicalityPpm = 50000L,
+      typicalityN = 2, date = () => date)
+      .option("checkpointLocation", tmpDir("bigate_ckpt")).start()
+    in.addData(docs: _*)
+    runToCompletion(q)
+
+    accepted.load(spark, date).select("doc_id").as[Long].collect().toSet shouldBe Set(1L)
+    val rejects = rejected.load(spark, date)
+      .select("doc_id", "reject_reason").as[(Long, String)].collect().toMap
+    rejects shouldBe Map(2L -> "atypical")
+
+    // verdicts bit-identical to batch scoring with the same n
+    val batch = EventStreams.curationVerdicts(docs.toDF("doc_id", "text"),
+      typicalityModel = Some(model), minTypicalityPpm = 50000L, typicalityN = 2)
+      .select("doc_id", "passes", "reject_reason")
+      .as[(Long, Boolean, Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    batch(1L) shouldBe ((true, None))
+    batch(2L) shouldBe ((false, Some("atypical")))
+  }
+
   test("stream-stream join pairs events within the time bound only") {
     implicit val sc = spark.sqlContext
     val purchases = MemoryStream[Event]
