@@ -33,14 +33,26 @@ object ScaleCheck {
         .select(df.columns.map(c =>
           (if (idCols.contains(c)) col(c) + col("__copy") * span else col(c)).as(c)): _*)
 
-    def time[T](name: String)(f: => DataFrame): Unit = {
-      val t0 = System.nanoTime()
-      f.write.format("noop").mode("overwrite").save()
-      println(f"[scale] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
-    }
+    // Optional comma-separated stage filter (same contract as Bench's
+    // SPARK_GRAFT_ONLY): re-measure one stage's 1x/20x pair without paying
+    // for the whole sweep.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    def time[T](name: String)(f: => DataFrame): Unit =
+      if (only.forall(_.contains(name))) {
+        val t0 = System.nanoTime()
+        f.write.format("noop").mode("overwrite").save()
+        println(f"[scale] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      }
 
-    val events = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    // same both-shapes handling as Queries.events: nanosAsLong surfaces a
+    // raw long only for files actually written with nano precision
+    val events0 = spark.read.parquet(s"$sfDir/events.parquet")
+    val events = events0.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        events0.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ => events0.withColumn("ts", col("ts").cast("timestamp"))
+    }
     val bigEvents = amplify(events, Seq("event_id", "user_id"), 1000000L)
       .localCheckpoint(eager = true) // time operators, not the amplification
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -217,7 +229,7 @@ object ScaleCheck {
     // incremental updates over the collected vocab on the driver. The
     // number to compare against is 256 serialized jobs (the naive loop):
     // rounds never multiply jobs, however deep the vocabulary
-    locally {
+    if (only.forall(_.contains("bpe_train_256merges"))) {
       val t0 = System.nanoTime()
       val merges = ops.Bpe.learnCollected(bigDocs, "text", numMerges = 256, minCount = 2)
       println(f"[scale] bpe_train_256merges        ${(System.nanoTime() - t0) / 1e9}%8.2f s" +

@@ -207,6 +207,42 @@ object TextHash {
   }
 
   /**
+   * Characters per Unicode-script class in ONE pass — the kernel behind
+   * [[graft.ops.TextAnalysis.languageId]]'s script pre-filter, replacing
+   * ten whole-string `regexp_replace` passes (each of which allocates a
+   * stripped copy of the document) with a single char loop. Index order is
+   * the contract with `TextAnalysis.ScriptRanges` (sorted keys): arab,
+   * cyrl, deva, grek, hang, hani, hebr, kana, latn, thai. Bit-identical to
+   * the composed form `length(text) - length(regexp_replace(text,
+   * '[range]', ''))` per range: every range lies in the BMP, so char
+   * counts equal Spark's code-point counts, and surrogate halves (the only
+   * chars where they could differ) fall in no range.
+   */
+  def scriptCounts(text: UTF8String): ArrayData = {
+    val s = text.toString
+    val counts = new Array[Long](10)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c < 0x80) {
+        if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')) counts(8) += 1 // latn
+      } else if (c >= 0x0370) {
+        if (c <= 0x03ff) counts(3) += 1                       // grek
+        else if (c <= 0x04ff) counts(1) += 1                  // cyrl
+        else if (c >= 0x0590 && c <= 0x05ff) counts(6) += 1   // hebr
+        else if (c >= 0x0600 && c <= 0x06ff) counts(0) += 1   // arab
+        else if (c >= 0x0900 && c <= 0x097f) counts(2) += 1   // deva
+        else if (c >= 0x0e00 && c <= 0x0e7f) counts(9) += 1   // thai
+        else if (c >= 0x3040 && c <= 0x30ff) counts(7) += 1   // kana
+        else if (c >= 0x4e00 && c <= 0x9fff) counts(5) += 1   // hani
+        else if (c >= 0xac00 && c <= 0xd7a3) counts(4) += 1   // hang
+      }
+      i += 1
+    }
+    new GenericArrayData(counts)
+  }
+
+  /**
    * Unicode normalization via `java.text.Normalizer` (JDK, zero deps) —
    * the canonical first pass of every text pipeline: composed vs
    * decomposed accents (NFC/NFD) and compatibility folds (NFKC/NFKD:
@@ -316,6 +352,17 @@ case class SimHash64(child: Expression) extends TextHashExpression {
     copy(child = newChild)
 }
 
+case class ScriptCounts(child: Expression) extends TextHashExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "script_counts"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.scriptCounts(input.asInstanceOf[UTF8String])
+  override protected def staticCall(c: String): String =
+    s"graft.functions.TextHash$$.MODULE$$.scriptCounts($c)"
+  override protected def withNewChildInternal(newChild: Expression): ScriptCounts =
+    copy(child = newChild)
+}
+
 /** Column-API constructors for the native expressions. */
 object functions {
   private def lit(e: Expression): Int = e match {
@@ -346,6 +393,11 @@ object functions {
 
   def simhash64(text: Column): Column =
     GraftExpressionBridge.column(SimHash64(GraftExpressionBridge.expression(text)))
+
+  /** Per-script character counts (codegen'd, one pass); index order is
+    * `TextAnalysis.ScriptRanges` sorted keys. Null text null-propagates. */
+  def script_counts(text: Column): Column =
+    GraftExpressionBridge.column(ScriptCounts(GraftExpressionBridge.expression(text)))
 
   /** Unicode normalization (NFC/NFD/NFKC/NFKD); default NFKC — the LLM-pipeline fold. */
   def unicode_normalize(text: Column, form: String = "NFKC"): Column =
@@ -389,6 +441,9 @@ object functions {
     (FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (args: Seq[Expression]) => SimHash64(args.head)),
+    (FunctionIdentifier("script_counts"),
+      new ExpressionInfo(classOf[ScriptCounts].getName, "script_counts"),
+      (args: Seq[Expression]) => ScriptCounts(args.head)),
     (FunctionIdentifier("unicode_normalize"),
       new ExpressionInfo(classOf[UnicodeNormalize].getName, "unicode_normalize"),
       (args: Seq[Expression]) => UnicodeNormalize(args.head,

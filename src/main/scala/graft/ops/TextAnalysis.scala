@@ -105,6 +105,17 @@ object TextAnalysis {
   private def scriptChars(text: Column, range: String): Column =
     length(text) - length(regexp_replace(text, s"[$range]", ""))
 
+  /** The composed-builtin SPECIFICATION form of the per-script counts —
+    * ten `regexp_replace` passes, each allocating a stripped copy of the
+    * document — kept as the oracle-shaped twin of the single-pass
+    * [[graft.functions.TextHash.scriptCounts]] kernel [[languageId]] uses
+    * (bit-identical on non-null text; cross-checked in TextAnalysisSpec).
+    * Null text: the kernel null-propagates to a null ARRAY where this form
+    * yields an array of null counts — both argmax to "und" in
+    * [[languageId]], the only consumer. */
+  private[ops] def scriptCountsComposed(text: Column): Column =
+    array(ScriptRanges.map { case (_, r) => scriptChars(text, r) }: _*)
+
   /** Alphabetical language keys — the argmax tie-break order. */
   private val StopLangs: Seq[String] = StopwordProfiles.keys.toSeq.sorted
 
@@ -168,13 +179,15 @@ object TextAnalysis {
    * Arabic to ar (ar/fa/ur likewise).
    */
   def languageId(text: Column): Column = {
-    // pack the 10 script counts (one regex pass each) and the stopword
-    // pick into a struct, then decide inside a transform lambda where the
+    // pack the 10 script counts (ONE codegen'd char pass — the kernel
+    // replaced ten per-range regexp_replace passes that each allocated a
+    // stripped copy of the document; battery query 1.68 s -> 1.0-1.3 s,
+    // the residual being the stopword fold below) and the stopword pick
+    // into a struct, then decide inside a transform lambda where the
     // struct is a BOUND VARIABLE — every count is computed exactly once
     // however many argmax branches reference it (same trick as
-    // stopwordPick's finish lambda; unbound, the references multiply the
-    // regex passes several-fold)
-    val counts = array(ScriptRanges.map { case (_, r) => scriptChars(text, r) }: _*)
+    // stopwordPick's finish lambda)
+    val counts = graft.functions.functions.script_counts(text)
     val packed = array(struct(counts.as("c"), stopwordPick(tokens(text)).as("s")))
     val kanaIdx = ScriptRanges.indexWhere(_._1 == "kana") + 1
     val haniIdx = ScriptRanges.indexWhere(_._1 == "hani") + 1

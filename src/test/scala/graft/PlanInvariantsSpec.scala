@@ -68,6 +68,20 @@ class PlanInvariantsSpec extends SparkTestBase {
     check("url_profile", maxShuffles = 0)
     check("intra_doc_dedup", maxShuffles = 0)
     check("sentence_stats", maxShuffles = 0)
+    check("sentence_chunks", maxShuffles = 0)
+    check("lang_id", maxShuffles = 0)
+  }
+
+  test("url dedup: one min_by partial-agg shuffle, no window") {
+    val (plan, counts) = shape("url_dedup")
+    withClue(s"url_dedup plan:\n$plan\n") {
+      counts("exchange") should be <= 1
+      counts("smj") shouldBe 0
+      counts("cartesian") shouldBe 0
+      // keep-first must stay an arg-min agg (map-side combining), never a
+      // row_number window (full per-URL sort at 100 TB)
+      plan should not include "Window"
+    }
   }
 
   test("bigram typicality: bounded broadcast model, one doc agg") {

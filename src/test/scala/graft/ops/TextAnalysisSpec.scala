@@ -233,6 +233,26 @@ class TextAnalysisSpec extends SparkTestBase {
     nullRow shouldBe empty
   }
 
+  test("script_counts kernel is bit-identical to the composed regex form") {
+    // one row per script plus boundary shapes: mixed scripts, chars just
+    // outside each range (é, Cyrillic-supplement, CJK-ext-A, fullwidth
+    // Latin, halfwidth katakana), astral chars (surrogate halves must fall
+    // in no range), empty and digits-only
+    val texts = Seq(
+      "Hello world", "Привет мир", "こんにちは世界", "漢字のみ文章", "안녕하세요",
+      "مرحبا بالعالم", "שלום עולם", "नमस्ते दुनिया", "Γειά σου Κόσμε", "สวัสดีชาวโลก",
+      "mixed Кир 漢 かな 123 !!!", "", "12345 .,;:", "é ѐ ԰ 㐀 Ａｚ ｱ", "🙂 astral 𝔸 🙂")
+    val rows = texts.toDF("text").select(
+      graft.functions.functions.script_counts($"text").as("fast"),
+      TextAnalysis.scriptCountsComposed($"text").cast("array<bigint>").as("spec"))
+      .collect()
+    rows.foreach(r => r.getSeq[Long](0) shouldBe r.getSeq[Long](1))
+    // null text: kernel null-propagates where the composed form yields an
+    // array of null counts — languageId (the one consumer) says "und" for both
+    Seq(Option.empty[String]).toDF("text")
+      .select(TextAnalysis.languageId($"text")).as[String].head() shouldBe "und"
+  }
+
   test("dedupLinesInDoc keeps first occurrences in order") {
     def clean(s: String): String =
       Seq(s).toDF("t").select(TextAnalysis.dedupLinesInDoc($"t")).as[String].head()
