@@ -2620,6 +2620,58 @@ object Queries {
        ORDER BY typicality_ppm, doc_id LIMIT 100"""
 
   /**
+   * `typicality_backoff`: stupid-backoff scoring — bigram model first,
+   * `40% of unigram(second word)` when the pair is unseen — over the same
+   * corpus-built capped models as `typicality_score`/`typicality_bigram`.
+   * The 100 least-typical documents; oracle rebuilds both models and the
+   * same integer backoff in DuckDB.
+   */
+  def typicalityBackoffQ(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val docs = t(dir, "documents")
+    TextAnalysis.typicalityScoresBackoff(docs, "doc_id", "text", docs, "text",
+      vocabSize = 4096, alphaPct = 40)
+      .orderBy(col("typicality_ppm"), col("doc_id"))
+      .limit(100)
+  }
+
+  val typicalityBackoffSql: String =
+    s"""WITH toks0 AS (SELECT doc_id, $Toks AS toks FROM documents),
+       grams0 AS (
+         SELECT doc_id,
+           CASE WHEN len(toks) >= 2
+             THEN list_transform(range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' '))
+             ELSE CAST([] AS VARCHAR[]) END AS grams,
+           toks
+         FROM toks0),
+       uterms AS (
+         SELECT t AS term, count(*) AS cnt
+         FROM (SELECT unnest(toks) AS t FROM toks0) GROUP BY t),
+       utot AS (SELECT sum(len(toks)) AS tot FROM toks0),
+       uni AS (
+         SELECT term, cast(cast(cnt as hugeint) * 1000000 // tot as bigint) AS uni_ppm
+         FROM uterms, utot ORDER BY cnt DESC, term LIMIT 4096),
+       bterms AS (
+         SELECT g AS gram, count(*) AS cnt
+         FROM (SELECT unnest(grams) AS g FROM grams0) GROUP BY g),
+       btot AS (SELECT sum(len(grams)) AS tot FROM grams0),
+       bi AS (
+         SELECT gram, cast(cast(cnt as hugeint) * 1000000 // tot as bigint) AS bi_ppm
+         FROM bterms, btot ORDER BY cnt DESC, gram LIMIT 4096),
+       doc_grams AS (SELECT doc_id, unnest(grams) AS gram FROM grams0),
+       scored AS (
+         SELECT doc_id, count(*) AS n_grams,
+                sum(coalesce(bi_ppm, 40 * coalesce(uni_ppm, 0) // 100)) AS sum_ppm
+         FROM doc_grams
+           LEFT JOIN bi USING (gram)
+           LEFT JOIN uni ON split_part(gram, ' ', 2) = term
+         GROUP BY doc_id)
+       SELECT doc_id, cast(n_grams as bigint) AS n_grams,
+              cast(sum_ppm // n_grams as bigint) AS typicality_ppm
+       FROM scored
+       ORDER BY typicality_ppm, doc_id LIMIT 100"""
+
+  /**
    * Mixture plan: uniform target ppm share per observed source; per source
    * the available tokens, planned budget, sampling rate and epoch
    * multiplier — all exact integer math.
@@ -3123,6 +3175,7 @@ object Queries {
     ("bpe_tokenize", bpeTokenize _, Some(bpeTokenizeSql)),
     ("typicality_score", typicalityScoreQ _, Some(typicalityScoreSql)),
     ("typicality_bigram", typicalityBigramQ _, Some(typicalityBigramSql)),
+    ("typicality_backoff", typicalityBackoffQ _, Some(typicalityBackoffSql)),
     ("mix_plan", mixPlanQ _, Some(mixPlanSql)),
     ("kmeans_update", kmeansUpdateQ _, Some(kmeansUpdateSql)),
     ("snapshot_diff", snapshotDiffQ _, Some(snapshotDiffSql)),

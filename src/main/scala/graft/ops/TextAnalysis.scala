@@ -1053,6 +1053,78 @@ object TextAnalysis {
   }
 
   /**
+   * Stupid-backoff typicality: score each adjacent bigram by the bigram
+   * model when it knows the gram, else back off to `alphaPct`% of the
+   * unigram model's weight for the gram's SECOND word — Brants et al.'s
+   * "stupid backoff", the non-normalized scheme web-scale n-gram LMs
+   * actually ship. A pure bigram model scores rare-but-well-formed text 0
+   * (every unseen pair misses entirely); backoff separates "unseen pair
+   * of common words" (partial credit via the unigram) from "gibberish
+   * words" (0 under both models) — one step closer to the CCNet/KenLM
+   * reference than either model alone.
+   *
+   * Same exact integer arithmetic as the other typicality forms (the
+   * backoff contribution is `alphaPct * uni_ppm DIV 100`, the mean an
+   * exactly-divisible quotient); documents with fewer than 2 tokens
+   * produce no row. Scale: both models are capped top-V broadcasts, the
+   * gram stream is the codegen'd [[graft.functions.WordNgrams]] kernel,
+   * and everything funnels into ONE doc-keyed agg — the same
+   * broadcast-join shape as [[typicalityScoresN]].
+   */
+  def typicalityScoresBackoff(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      ref: org.apache.spark.sql.DataFrame,
+      refTextCol: String,
+      vocabSize: Int = 4096,
+      alphaPct: Int = 40): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    require(alphaPct >= 0 && alphaPct <= 100, s"alphaPct ($alphaPct) must be in [0, 100]")
+    val uni = typicalityModel(ref, refTextCol, vocabSize)
+      .withColumnRenamed("ppm", "uni_ppm")
+    val bi = typicalityModelN(ref, refTextCol, 2, vocabSize)
+      .withColumnRenamed("ppm", "bi_ppm")
+    df.select(col(idCol), explode(wordNgramsFast(col(textCol), 2)).as("gram"))
+      .withColumn("__w2", substring_index(col("gram"), " ", -1))
+      .join(broadcast(bi), Seq("gram"), "left")
+      .join(broadcast(uni), col("__w2") === col("term"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_grams"),
+        sum(expr(s"coalesce(bi_ppm, $alphaPct * coalesce(uni_ppm, CAST(0 AS BIGINT)) DIV 100)"))
+          .as("__sum_ppm"))
+      .withColumn("typicality_ppm",
+        expr("CAST(CAST(__sum_ppm AS DECIMAL(38,0)) DIV n_grams AS BIGINT)"))
+      .select(col(idCol), col("n_grams"), col("typicality_ppm"))
+  }
+
+  /**
+   * Per-row [[typicalityScoresBackoff]] against collected `gram -> ppm` /
+   * `term -> ppm` models — the literal-map scan-speed/streaming form: one
+   * fold over the kernel's gram stream, both models fused as literal maps,
+   * no join, no shuffle, no state. Rows with fewer than 2 tokens score
+   * null.
+   */
+  def typicalityBackoffCol(
+      text: Column,
+      uniModel: Map[String, Long],
+      biModel: Map[String, Long],
+      alphaPct: Int = 40): Column = {
+    require(alphaPct >= 0 && alphaPct <= 100, s"alphaPct ($alphaPct) must be in [0, 100]")
+    val um = typedLit(uniModel)
+    val bm = typedLit(biModel)
+    val grams = wordNgramsFast(text, 2)
+    val g = size(grams).cast("long")
+    val s = aggregate(grams, lit(0L), (acc, t) => {
+      val backoff = lit(alphaPct.toLong) *
+        coalesce(element_at(um, substring_index(t, " ", -1)), lit(0L))
+      acc + coalesce(element_at(bm, t),
+        ((backoff - backoff % 100) / 100).cast("long"))
+    })
+    when(g > 0, ((s - (s % g)) / g).cast("long"))
+  }
+
+  /**
    * Mixture plan from target shares: given documents with a stratum and a
    * token count, plus per-stratum target corpus shares (ppm) in `targets`
    * (`stratumCol`, `target_ppm`), compute each stratum's available tokens,

@@ -87,6 +87,9 @@ class PlanInvariantsSpec extends SparkTestBase {
   test("bigram typicality: bounded broadcast model, one doc agg") {
     // gram-count agg + capped top-V + broadcast probe + doc agg + top-100
     check("typicality_bigram", maxShuffles = 4, maxBnlj = 1)
+    // two model aggs (uni + bi, each with a 1-row total broadcast) + the
+    // one doc agg; both model probes broadcast — never SMJ
+    check("typicality_backoff", maxShuffles = 4, maxBnlj = 2)
     // one map-side-combined agg, domain-cardinality output
     check("domain_quality", maxShuffles = 1)
   }

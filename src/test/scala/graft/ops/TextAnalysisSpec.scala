@@ -205,6 +205,38 @@ class TextAnalysisSpec extends SparkTestBase {
     lit(3L) shouldBe None
   }
 
+  test("backoff typicality gives partial credit for unseen pairs of known words") {
+    // ref: 6 tokens -> uni ppm the=333333, cat/sat/on/mat=166666;
+    //      5 distinct bigrams, each ppm 200000
+    val ref = Seq("the cat sat on the mat").toDF("text")
+    val docs = Seq(
+      (1L, "the cat sat on the mat"), // every bigram known: full credit
+      (2L, "mat on sat cat the the"), // known words, unseen pairs: backoff only
+      (3L, "qq zz pp ww rr tt"),      // gibberish: 0 under both models
+      (4L, "one")).toDF("doc_id", "text") // under 2 tokens: no row
+    val out = TextAnalysis.typicalityScoresBackoff(docs, "doc_id", "text", ref, "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    out(1L) shouldBe ((5L, 200000L))
+    // backoff per gram: 40% of uni(w2) -> on/sat/cat 66666, the 133333;
+    // mean = (3*66666 + 2*133333) DIV 5 = 93332
+    out(2L) shouldBe ((5L, 93332L))
+    out(3L) shouldBe ((5L, 0L))
+    out.contains(4L) shouldBe false
+
+    // literal-map scan form agrees gram for gram; short rows score null
+    val uniM = TextAnalysis.typicalityModel(ref, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val biM = TextAnalysis.typicalityModelN(ref, "text", n = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val lit = docs.select($"doc_id",
+      TextAnalysis.typicalityBackoffCol($"text", uniM, biM).as("t"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    lit(1L) shouldBe Some(200000L)
+    lit(2L) shouldBe Some(93332L)
+    lit(3L) shouldBe Some(0L)
+    lit(4L) shouldBe None
+  }
+
   test("word_ngrams kernel is bit-identical to the composed-builtin twin") {
     // the codegen'd kernel the typicality hot path uses vs the
     // sequence/transform/slice specification form, over edge shapes:
