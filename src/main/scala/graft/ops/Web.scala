@@ -123,12 +123,29 @@ object Web {
    * so at 100 TB the shuffle carries one candidate row per canonical URL
    * per map partition, never the full crawl.
    */
-  def dedupByUrl(df: DataFrame, urlCol: String, keyCol: String): DataFrame = {
+  def dedupByUrl(df: DataFrame, urlCol: String, keyCol: String): DataFrame =
+    dedupByUrlOrdering(df, urlCol, col(keyCol))
+
+  /**
+   * [[dedupByUrl]] keeping the BEST-scored recrawl instead of the
+   * smallest-keyed one — "of these crawls of the same page, keep the
+   * longest / most recent / highest-quality snapshot". Same null and
+   * shuffle semantics; ties (and all-null scores) fall to the smallest
+   * `keyCol`, null scores lose to any scored row (the same
+   * `(null-flag, -score, key)` arg-min as [[Dedup.exactKeepBest]]).
+   */
+  def dedupByUrlKeepBest(
+      df: DataFrame, urlCol: String, scoreCol: String, keyCol: String): DataFrame =
+    dedupByUrlOrdering(df, urlCol,
+      struct(col(scoreCol).isNull.cast("int").as("__scoreless"),
+        (-coalesce(col(scoreCol), lit(0))).as("__neg"), col(keyCol).as("__key")))
+
+  private def dedupByUrlOrdering(df: DataFrame, urlCol: String, ordering: Column): DataFrame = {
     val cols = df.columns.toSeq
     val row = struct(cols.map(col): _*)
     val dups = df.filter(col(urlCol).isNotNull)
       .groupBy(normalizeUrl(col(urlCol)).as("__canon"))
-      .agg(min_by(row, col(keyCol)).as("__row"))
+      .agg(min_by(row, ordering).as("__row"))
       .select(cols.map(c => col(s"__row.$c")): _*)
     dups.unionByName(df.filter(col(urlCol).isNull))
   }

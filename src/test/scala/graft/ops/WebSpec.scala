@@ -53,6 +53,19 @@ class WebSpec extends SparkTestBase {
     kept shouldBe Array(1L, 4L, 5L, 6L, 7L, 8L)
   }
 
+  test("dedupByUrlKeepBest keeps the best-scored recrawl, null scores lose") {
+    val rows = Seq(
+      (1L, "http://x.com/a", Some(10L)),  // same page, lower score
+      (2L, "HTTP://X.com:80/a", Some(99L)), // best score wins
+      (3L, "x.com/a#f", None),            // null score loses to any scored row
+      (4L, "http://y.com/b", None),       // all-null group: smallest id wins
+      (5L, "http://y.com/b?utm_x=1", None),
+      (6L, null, Some(1L))).toDF("id", "url", "score")
+    val kept = Web.dedupByUrlKeepBest(rows, "url", "score", "id")
+      .select($"id").as[Long].collect().sorted
+    kept shouldBe Array(2L, 4L, 6L)
+  }
+
   test("normalizeUrl canonicalizes case, ports, fragments and tracking params") {
     def norm(u: String): String = run(u, Web.normalizeUrl(_))
     norm("HTTP://X.com:80/?utm_source=a") shouldBe "http://x.com"
