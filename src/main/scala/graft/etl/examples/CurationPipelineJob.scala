@@ -34,9 +34,14 @@ import graft.time.DateInterval
  *     map; `typicalityN` picks the gram order: 1 = bag-of-words, 2 =
  *     bigrams, which also demand common word ORDER — build the matching
  *     model once with [[TextAnalysis.typicalityModel]] /
- *     [[TextAnalysis.typicalityModelN]]; documents with fewer than
- *     `typicalityN` tokens score null and fail the gate, but the step-3
- *     word-count gate has already removed them),
+ *     [[TextAnalysis.typicalityModelN]]; with `backoffUniModel` also
+ *     supplied, `typicalityModel` is the BIGRAM model and unseen pairs
+ *     earn `backoffAlphaPct`% of the second word's unigram weight —
+ *     [[TextAnalysis.typicalityBackoffCol]], the stupid-backoff scheme
+ *     that stops rare-but-well-formed text scoring like gibberish;
+ *     documents with fewer than 2 (or `typicalityN`) tokens score null
+ *     and fail the gate, but the step-3 word-count gate has already
+ *     removed them),
  *  5. scrub PII from the survivors (email/phone/IPv4/SSN -> `<KIND>`),
  *  6. remove near-duplicates (MinHash LSH -> Jaccard verify -> cluster
  *     representative; pass `checkpointDir` on real clusters),
@@ -94,6 +99,8 @@ class CurationPipelineJob(
     typicalityModel: Option[Map[String, Long]] = None,
     minTypicalityPpm: Long = 0L,
     typicalityN: Int = 1,
+    backoffUniModel: Option[Map[String, Long]] = None,
+    backoffAlphaPct: Int = 40,
     htmlSource: Boolean = false,
     urlCol: Option[String] = None,
     domainCol: Option[String] = None,
@@ -128,8 +135,12 @@ class CurationPipelineJob(
     }
     typical <- Stage.transform[org.apache.spark.sql.Row, org.apache.spark.sql.Row]("typicality_gate") { ctx =>
       typicalityModel.fold(ctx.value.toDF()) { model =>
-        ctx.value.toDF().filter(
-          TextAnalysis.typicalityScoreColN(col(textCol), model, typicalityN) >= minTypicalityPpm)
+        val score = backoffUniModel match {
+          case Some(uni) =>
+            TextAnalysis.typicalityBackoffCol(col(textCol), uni, model, backoffAlphaPct)
+          case None => TextAnalysis.typicalityScoreColN(col(textCol), model, typicalityN)
+        }
+        ctx.value.toDF().filter(score >= minTypicalityPpm)
       }
     }
     scrubbed <- Stage.transform[org.apache.spark.sql.Row, org.apache.spark.sql.Row]("pii_scrub") { ctx =>

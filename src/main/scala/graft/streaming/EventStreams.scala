@@ -213,13 +213,24 @@ object EventStreams {
       textCol: String = "text",
       typicalityModel: Option[Map[String, Long]] = None,
       minTypicalityPpm: Long = 0L,
-      typicalityN: Int = 1): DataFrame = {
+      typicalityN: Int = 1,
+      backoffUniModel: Option[Map[String, Long]] = None,
+      backoffAlphaPct: Int = 40): DataFrame = {
     val flags = graft.ops.TextAnalysis.qualityFlags(col(textCol))
     val gopherPasses = flags.collectFirst { case ("passes", c) => c }.get === 1L
     // null score (no tokens) never reaches the typicality verdict: the
     // word-count flag fails first, and false && null = false
+    // with a backoff unigram model supplied, typicalityModel is the BIGRAM
+    // model and unseen pairs earn backoffAlphaPct% of the second word's
+    // unigram weight (stupid backoff) — still one fused per-row fold
     val typicalOk = typicalityModel.fold(lit(true)) { m =>
-      graft.ops.TextAnalysis.typicalityScoreColN(col(textCol), m, typicalityN) >= minTypicalityPpm
+      val score = backoffUniModel match {
+        case Some(uni) =>
+          graft.ops.TextAnalysis.typicalityBackoffCol(col(textCol), uni, m, backoffAlphaPct)
+        case None =>
+          graft.ops.TextAnalysis.typicalityScoreColN(col(textCol), m, typicalityN)
+      }
+      score >= minTypicalityPpm
     }
     val reasons = flags.filter(_._1 != "passes")
       .map { case (name, c) => (name, c === 0L) } :+ ("atypical" -> !typicalOk)
@@ -252,10 +263,13 @@ object EventStreams {
       typicalityModel: Option[Map[String, Long]] = None,
       minTypicalityPpm: Long = 0L,
       typicalityN: Int = 1,
+      backoffUniModel: Option[Map[String, Long]] = None,
+      backoffAlphaPct: Int = 40,
       date: () => graft.time.DateInterval = () => graft.time.Day.today)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      val v = curationVerdicts(batch, textCol, typicalityModel, minTypicalityPpm, typicalityN).persist()
+      val v = curationVerdicts(batch, textCol, typicalityModel, minTypicalityPpm,
+        typicalityN, backoffUniModel, backoffAlphaPct).persist()
       try {
         accepted.save(v.filter(col("passes")).drop("passes", "reject_reason"),
           date(), graft.io.Warehouse.WriteAppend)

@@ -211,6 +211,16 @@ class CurationPipelineJobSpec extends SparkJobSuiteBase {
       .isSuccess shouldBe true
     cleanBi.load(spark, date).select("doc_id").as[Long].collect().toSet shouldBe
       Set(1L) // word order now scores: the reversed doc is gated
+
+    // stupid backoff: the reversed doc's words are all in the unigram
+    // model, so unseen pairs earn 40% unigram credit (~5.8k ppm) and it
+    // clears a 4k floor the pure bigram gate (score ~0) would fail
+    val cleanBo = WarehouseTable(HdfsUrl(tmpDir("curation_typ_bo")), "clean")
+    runJob(new CurationPipelineJob(src, cleanBo,
+      typicalityModel = Some(biModel), minTypicalityPpm = 4000L,
+      backoffUniModel = Some(uniModel)), date).isSuccess shouldBe true
+    cleanBo.load(spark, date).select("doc_id").as[Long].collect().toSet shouldBe
+      Set(1L, 2L)
   }
 
   test("curation pipeline with a typicality model drops atypical survivors") {

@@ -225,6 +225,47 @@ class EventStreamsSpec extends SparkTestBase {
     batch(2L) shouldBe ((false, Some("atypical")))
   }
 
+  test("curation gate with stupid backoff credits unseen pairs of known words") {
+    implicit val sc = spark.sqlContext
+    val ref = Seq("the cat sat on the mat").toDF("text")
+    val uni = graft.ops.TextAnalysis.typicalityModel(ref, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bi = graft.ops.TextAnalysis.typicalityModelN(ref, "text", n = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val docs = Seq(
+      (1L, "the cat sat on the mat"), // known bigrams: 200000 either way
+      (2L, "mat on sat cat the the"), // known words, unseen pairs: 0 pure / 93332 backoff
+      (3L, "qq zz pp ww rr tt"))      // gibberish: 0 both ways
+
+    // the pure bigram gate cannot tell scrambled-common from gibberish
+    val pure = EventStreams.curationVerdicts(docs.toDF("doc_id", "text"),
+      typicalityModel = Some(bi), minTypicalityPpm = 50000L, typicalityN = 2)
+      .select("doc_id", "passes").as[(Long, Boolean)].collect().toMap
+    pure shouldBe Map(1L -> true, 2L -> false, 3L -> false)
+
+    // backoff separates them: partial unigram credit saves doc 2 only
+    val bo = EventStreams.curationVerdicts(docs.toDF("doc_id", "text"),
+      typicalityModel = Some(bi), minTypicalityPpm = 50000L,
+      backoffUniModel = Some(uni))
+      .select("doc_id", "passes").as[(Long, Boolean)].collect().toMap
+    bo shouldBe Map(1L -> true, 2L -> true, 3L -> false)
+
+    // and the streaming gate lands the same backoff verdicts
+    val accepted = graft.io.WarehouseTable(graft.io.HdfsUrl(tmpDir("bogate_ok")), "docs")
+    val rejected = graft.io.WarehouseTable(graft.io.HdfsUrl(tmpDir("bogate_no")), "docs")
+    val date = graft.time.Day(2026, 8, 13)
+    val in = MemoryStream[(Long, String)]
+    val q = EventStreams.curationGate(in.toDF().toDF("doc_id", "text"),
+      accepted, rejected, typicalityModel = Some(bi), minTypicalityPpm = 50000L,
+      backoffUniModel = Some(uni), date = () => date)
+      .option("checkpointLocation", tmpDir("bogate_ckpt")).start()
+    in.addData(docs: _*)
+    runToCompletion(q)
+    accepted.load(spark, date).select("doc_id").as[Long].collect().toSet shouldBe Set(1L, 2L)
+    rejected.load(spark, date).select("doc_id", "reject_reason")
+      .as[(Long, String)].collect().toMap shouldBe Map(3L -> "atypical")
+  }
+
   test("stream-stream join pairs events within the time bound only") {
     implicit val sc = spark.sqlContext
     val purchases = MemoryStream[Event]
