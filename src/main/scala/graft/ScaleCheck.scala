@@ -248,6 +248,29 @@ object ScaleCheck {
       ops.TextAnalysis.typicalityScoresN(
         bigDocs, "doc_id", "text", bigDocs, "text", n = 2, vocabSize = 4096)
     }
+    // same gram stream plus the unigram side: two capped models, one doc agg
+    time("typicality_backoff") {
+      ops.TextAnalysis.typicalityScoresBackoff(
+        bigDocs, "doc_id", "text", bigDocs, "text", vocabSize = 4096)
+    }
+    // worst case by construction: the `factor` copies of each original doc
+    // share a canonical URL, so every group is a full recrawl pile and the
+    // min_by agg sees maximum duplicate mass
+    time("url_dedup") {
+      val orig = col("doc_id") % 1000000L
+      ops.Web.dedupByUrl(
+        bigDocs.withColumn("url", concat(lit("HTTP://Site"), orig,
+          lit(".com:80/p/"), orig, lit("?utm_source=x"))),
+        "url", "doc_id")
+    }
+    // per-row ceiling: every word becomes a sentence (the battery query's
+    // page shape), so the offsets pass and membership scan see the densest
+    // sentence stream per char
+    time("sentence_chunks") {
+      ops.TextAnalysis.chunkBySentences(
+        bigDocs.withColumn("page", regexp_replace(col("text"), " ", ". ")),
+        "doc_id", "page", maxChars = 120, overlap = 30)
+    }
     spark.stop()
   }
 }
