@@ -44,4 +44,41 @@ object TextHashProps extends Properties("TextHash") {
     forAll(Gen.listOf(Gen.alphaNumChar).map(_.mkString)) { s =>
       TextHash.tokenize(s).sameElements(TextHash.tokenize(norm(s, "NFKC")))
     }
+
+  // chars biased toward the script ranges AND their boundaries: one char
+  // inside each range, the code points just outside each edge, astral
+  // chars (surrogate pairs, in no range), and plain separators
+  private val genScriptChar: Gen[String] = Gen.frequency(
+    4 -> Gen.alphaNumChar.map(_.toString),
+    2 -> Gen.oneOf("Ж", "ش", "ह", "Ω", "한", "漢", "ש", "か", "ไ", "ÿ"),
+    1 -> Gen.oneOf("ͯ", "Ԁ", "֏", "ঀ", "㐀",
+      "䷿", "ꀀ", "꯿", "힤", "຀", "〰"),
+    1 -> Gen.oneOf("𝔸", "🙂", "𠀀"),
+    1 -> Gen.oneOf(" ", ".", "-", "０", "ｱ"))
+  private val genScriptText: Gen[String] =
+    Gen.listOf(genScriptChar).map(_.mkString)
+
+  property("scriptCounts equals the per-range regex count (code points)") =
+    forAll(genScriptText) { s =>
+      val counts = TextHash.scriptCounts(UTF8String.fromString(s))
+      graft.ops.TextAnalysis.ScriptRanges.zipWithIndex.forall { case ((_, r), i) =>
+        // the composed Spark form is length(s) - length(regexp_replace):
+        // Spark length() counts code points, so the reference does too
+        val stripped = s.replaceAll(s"[$r]", "")
+        val expected = s.codePointCount(0, s.length) -
+          stripped.codePointCount(0, stripped.length)
+        counts.getLong(i) == expected.toLong
+      }
+    }
+
+  property("wordNgrams equals sliding windows over tokenize") =
+    forAll(genText, Gen.choose(1, 4)) { (s, n) =>
+      val kernel = TextHash.wordNgrams(UTF8String.fromString(s), n)
+      val toks = TextHash.tokenize(s)
+      val expected =
+        if (toks.length < n) Seq.empty[String]
+        else toks.sliding(n).map(_.mkString(" ")).toSeq
+      kernel.numElements == expected.size &&
+        expected.indices.forall(i => kernel.getUTF8String(i).toString == expected(i))
+    }
 }
