@@ -1501,6 +1501,45 @@ object Queries {
     t(dir, "documents").select(col("doc_id") +: stats: _*)
   }
 
+  /** Fixed demo weights for the `quality_score` battery query — shaped
+    * like a trained prose-vs-junk model (reward stopwords/diversity/word
+    * length, punish punctuation and digit soup), shared with the oracle. */
+  private val QualityWeights: Seq[(String, Long)] = Seq(
+    "stopword_ppm" -> 3L, "distinct_ppm" -> 1L, "mean_word_len_x100" -> 5L,
+    "punct_ppm" -> -2L, "digit_ppm" -> -1L)
+
+  /**
+   * `quality_score`: [[TextAnalysis.qualityLinearScore]] — the serving
+   * side of a trained linear quality classifier, every feature and the
+   * score exact BIGINT so the model replays bit-identically in DuckDB.
+   */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val feats = TextAnalysis.qualityFeatures(col("text")).map { case (n, c) => c.as(n) }
+    t(dir, "documents").select(
+      (col("doc_id") +: feats) :+
+        TextAnalysis.qualityLinearScore(col("text"), QualityWeights.toMap)
+          .as("quality_score"): _*)
+  }
+
+  val qualityScoreSql: String = {
+    val stop = TextAnalysis.StopwordProfiles("en").map(w => s"'$w'").mkString(", ")
+    val terms = QualityWeights.sortBy(_._1)
+      .map { case (n, w) => s"($w) * $n" }.mkString(" + ")
+    s"""SELECT doc_id, n_chars, n_tokens, punct_ppm, digit_ppm, stopword_ppm,
+              distinct_ppm, mean_word_len_x100,
+              cast(0 + $terms as bigint) AS quality_score
+       FROM (SELECT doc_id,
+               cast(length(text) as bigint) AS n_chars,
+               cast(len(toks) as bigint) AS n_tokens,
+               cast((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))) * 1000000 // greatest(length(text), 1) as bigint) AS punct_ppm,
+               cast((length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1000000 // greatest(length(text), 1) as bigint) AS digit_ppm,
+               cast(coalesce(list_sum(list_transform(toks, t -> CASE WHEN t IN ($stop) THEN 1 ELSE 0 END)), 0) * 1000000 // greatest(len(toks), 1) as bigint) AS stopword_ppm,
+               cast(len(list_distinct(toks)) * 1000000 // greatest(len(toks), 1) as bigint) AS distinct_ppm,
+               cast(coalesce(list_sum(list_transform(toks, t -> length(t))), 0) * 100 // greatest(len(toks), 1) as bigint) AS mean_word_len_x100
+             FROM (SELECT doc_id, text, $Toks AS toks FROM documents))"""
+  }
+
   val textQualitySql: String = {
     val stop = TextAnalysis.StopwordProfiles("en").map(w => s"'$w'").mkString(", ")
     s"""SELECT doc_id,
@@ -3136,6 +3175,7 @@ object Queries {
     ("corpus_mix", corpusMix _, Some(corpusMixSql)),
     ("hash_split", hashSplitCounts _, Some(hashSplitCountsSql)),
     ("text_quality", textQuality _, Some(textQualitySql)),
+    ("quality_score", qualityScore _, Some(qualityScoreSql)),
     ("lang_id", langId _, Some(langIdSql)),
     ("token_counts", tokenCounts _, Some(tokenCountsSql)),
     ("pii_scrub", piiScrub _, Some(piiScrubSql)),

@@ -229,6 +229,64 @@ object TextAnalysis {
   }
 
   /**
+   * Exact-integer quality feature vector — the serving side of a trained
+   * linear quality classifier (the FineWeb-Edu recipe: train a small
+   * classifier offline on labeled pages, serve it as a scan-speed gate).
+   * Every feature is BIGINT ppm or x100 — no floats, so a trained model
+   * scores bit-identically on any engine:
+   *
+   *  - `n_chars`, `n_tokens` — raw sizes;
+   *  - `punct_ppm`, `digit_ppm` — character-class shares of `n_chars`;
+   *  - `stopword_ppm` — English-stopword multiset share of `n_tokens`
+   *    (the classic "looks like prose" signal);
+   *  - `distinct_ppm` — distinct-token share of `n_tokens` (low =
+   *    repetitive boilerplate);
+   *  - `mean_word_len_x100` — average token length in hundredths.
+   */
+  def qualityFeatures(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    // exact floor division on non-negative longs (numerators <= ~1e12, so
+    // the double division is exact well inside 2^53)
+    def div(a: Column, b: Column): Column = ((a - a % b) / b).cast("long")
+    val nChars = length(text).cast("long")
+    val nTokens = size(toks).cast("long")
+    val punct = (length(text) -
+      length(regexp_replace(text, """[^a-zA-Z0-9\s]""", ""))).cast("long")
+    val digits = (length(text) - length(regexp_replace(text, "[0-9]", ""))).cast("long")
+    val stopHits = stopwordHits(toks, StopwordProfiles("en")).cast("long")
+    val distinctToks = size(array_distinct(toks)).cast("long")
+    val wordChars = aggregate(toks, lit(0), (acc, t) => acc + length(t)).cast("long")
+    Seq(
+      "n_chars" -> nChars,
+      "n_tokens" -> nTokens,
+      "punct_ppm" -> div(punct * 1000000L, greatest(nChars, lit(1L))),
+      "digit_ppm" -> div(digits * 1000000L, greatest(nChars, lit(1L))),
+      "stopword_ppm" -> div(stopHits * 1000000L, greatest(nTokens, lit(1L))),
+      "distinct_ppm" -> div(distinctToks * 1000000L, greatest(nTokens, lit(1L))),
+      "mean_word_len_x100" -> div(wordChars * 100L, greatest(nTokens, lit(1L))))
+  }
+
+  /**
+   * Linear quality score over [[qualityFeatures]]:
+   * `bias + Σ weights(name) * feature(name)` — exact long arithmetic, the
+   * whole model fused into the scan as literals (no join, no UDF, no
+   * state). Train the weights offline (logistic regression / SGD on
+   * labeled pages — features are deliberately few and integer); gate with
+   * `qualityLinearScore(...) >= threshold`. Unknown feature names fail
+   * fast at plan time. Weights scale: features reach ~1e6 (ppm), so any
+   * |weight| <= ~1e9 stays far from Long overflow.
+   */
+  def qualityLinearScore(text: Column, weights: Map[String, Long], bias: Long = 0L): Column = {
+    val feats = qualityFeatures(text).toMap
+    val unknown = weights.keySet -- feats.keySet
+    require(unknown.isEmpty,
+      s"unknown quality features: ${unknown.mkString(", ")} (have: ${feats.keys.mkString(", ")})")
+    weights.toSeq.sortBy(_._1).foldLeft(lit(bias)) {
+      case (acc, (name, w)) => acc + lit(w) * feats(name)
+    }
+  }
+
+  /**
    * PII patterns, engine-portable (identical in Java regex and RE2): email,
    * international-ish phone runs, IPv4, US SSN. Conservative by design —
    * a production scrubber layers locale-specific patterns on top.

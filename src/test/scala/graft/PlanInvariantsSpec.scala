@@ -70,6 +70,7 @@ class PlanInvariantsSpec extends SparkTestBase {
     check("sentence_stats", maxShuffles = 0)
     check("sentence_chunks", maxShuffles = 0)
     check("lang_id", maxShuffles = 0)
+    check("quality_score", maxShuffles = 0)
   }
 
   test("url dedup: one min_by partial-agg shuffle, no window") {

@@ -205,6 +205,42 @@ class TextAnalysisSpec extends SparkTestBase {
     lit(3L) shouldBe None
   }
 
+  test("qualityLinearScore fuses exact integer features and literal weights") {
+    // "ab cd ab 12." : 12 chars, 4 tokens (ab, cd, ab, 12), 1 punct char,
+    // 2 digit chars, 0 stopwords, 3 distinct, word chars 8
+    val feats = Seq("ab cd ab 12.").toDF("text").select(
+      TextAnalysis.qualityFeatures($"text").map { case (n, c) => c.as(n) }: _*)
+      .collect().head.getValuesMap[Long](Seq(
+        "n_chars", "n_tokens", "punct_ppm", "digit_ppm",
+        "stopword_ppm", "distinct_ppm", "mean_word_len_x100"))
+    feats("n_chars") shouldBe 12L
+    feats("n_tokens") shouldBe 4L
+    feats("punct_ppm") shouldBe 83333L       // 1e6 DIV 12
+    feats("digit_ppm") shouldBe 166666L      // 2e6 DIV 12
+    feats("stopword_ppm") shouldBe 0L
+    feats("distinct_ppm") shouldBe 750000L   // 3e6 DIV 4
+    feats("mean_word_len_x100") shouldBe 200L // 8*100 DIV 4
+
+    // score = bias + Σ w*f, exact longs; unknown features fail fast
+    val w = Map("punct_ppm" -> -2L, "distinct_ppm" -> 1L, "mean_word_len_x100" -> 5L)
+    val score = Seq("ab cd ab 12.").toDF("text")
+      .select(TextAnalysis.qualityLinearScore($"text", w, bias = 7L)).as[Long].head()
+    score shouldBe (7L - 2L * 83333L + 750000L + 5L * 200L)
+    an[IllegalArgumentException] should be thrownBy
+      TextAnalysis.qualityLinearScore($"text", Map("nope" -> 1L))
+
+    // prose scores above symbol/digit soup under prose-shaped weights
+    val pw = Map("stopword_ppm" -> 3L, "distinct_ppm" -> 1L,
+      "punct_ppm" -> -2L, "digit_ppm" -> -1L)
+    val scored = Seq(
+      (1L, "the cat sat on the mat and the dog ran away"),
+      (2L, "!!! 123 ### 456 $$$ 789 !!! 123")).toDF("id", "text")
+      .select($"id", TextAnalysis.qualityLinearScore($"text", pw).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    scored(1L) should be > scored(2L)
+    scored(2L) should be < 0L
+  }
+
   test("backoff typicality gives partial credit for unseen pairs of known words") {
     // ref: 6 tokens -> uni ppm the=333333, cat/sat/on/mat=166666;
     //      5 distinct bigrams, each ppm 200000
