@@ -27,7 +27,11 @@ import graft.time.DateInterval
  *     a gate, a scrub or a MinHash signature downstream,
  *  2. Unicode-normalize the text (NFKC — composed/fullwidth/ligature forms
  *     fold BEFORE any byte-equality step sees them),
- *  3. drop documents failing the Gopher-style quality gate,
+ *  3. drop documents failing the Gopher-style quality gate (and, with
+ *     `qualityWeights` supplied, documents a trained linear quality
+ *     classifier scores under `minQualityScore` —
+ *     [[TextAnalysis.qualityLinearScore]], the FineWeb-Edu-style
+ *     model gate served as scan-speed literals),
  *  4. with a `typicalityModel` supplied, drop documents scoring under
  *     `minTypicalityPpm` ([[TextAnalysis.typicalityScoreColN]] — the
  *     CCNet-style reference-LM filter, fused into the scan as a literal
@@ -101,6 +105,8 @@ class CurationPipelineJob(
     typicalityN: Int = 1,
     backoffUniModel: Option[Map[String, Long]] = None,
     backoffAlphaPct: Int = 40,
+    qualityWeights: Option[Map[String, Long]] = None,
+    minQualityScore: Long = 0L,
     htmlSource: Boolean = false,
     urlCol: Option[String] = None,
     domainCol: Option[String] = None,
@@ -131,7 +137,10 @@ class CurationPipelineJob(
     gated <- Stage.transform[org.apache.spark.sql.Row, org.apache.spark.sql.Row]("quality_gate") { ctx =>
       val passes = TextAnalysis.qualityFlags(col(textCol))
         .collectFirst { case ("passes", c) => c }.get
-      ctx.value.toDF().filter(passes === 1L)
+      val modelOk = qualityWeights.fold(lit(true)) { w =>
+        TextAnalysis.qualityLinearScore(col(textCol), w) >= minQualityScore
+      }
+      ctx.value.toDF().filter(passes === 1L && modelOk)
     }
     typical <- Stage.transform[org.apache.spark.sql.Row, org.apache.spark.sql.Row]("typicality_gate") { ctx =>
       typicalityModel.fold(ctx.value.toDF()) { model =>

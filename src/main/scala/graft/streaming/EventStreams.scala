@@ -206,7 +206,10 @@ object EventStreams {
    * batch/stream divergence to reason about. Adds `passes` (boolean) and
    * `reject_reason` (first failing gate in declaration order —
    * `ok_word_count`/`ok_mean_word_len`/`ok_symbol_ratio`/
-   * `ok_distinct_ratio`/`atypical` — null when passing).
+   * `ok_distinct_ratio`/`atypical`/`low_quality_score` — null when
+   * passing). With `qualityWeights` supplied, a trained linear quality
+   * model ([[graft.ops.TextAnalysis.qualityLinearScore]]) also gates at
+   * `minQualityScore`.
    */
   def curationVerdicts(
       docs: DataFrame,
@@ -215,7 +218,9 @@ object EventStreams {
       minTypicalityPpm: Long = 0L,
       typicalityN: Int = 1,
       backoffUniModel: Option[Map[String, Long]] = None,
-      backoffAlphaPct: Int = 40): DataFrame = {
+      backoffAlphaPct: Int = 40,
+      qualityWeights: Option[Map[String, Long]] = None,
+      minQualityScore: Long = 0L): DataFrame = {
     val flags = graft.ops.TextAnalysis.qualityFlags(col(textCol))
     val gopherPasses = flags.collectFirst { case ("passes", c) => c }.get === 1L
     // null score (no tokens) never reaches the typicality verdict: the
@@ -232,12 +237,18 @@ object EventStreams {
       }
       score >= minTypicalityPpm
     }
+    // optional trained-model gate: a linear classifier served as literals
+    // (graft.ops.TextAnalysis.qualityLinearScore) — per-row like the rest
+    val modelOk = qualityWeights.fold(lit(true)) { w =>
+      graft.ops.TextAnalysis.qualityLinearScore(col(textCol), w) >= minQualityScore
+    }
     val reasons = flags.filter(_._1 != "passes")
-      .map { case (name, c) => (name, c === 0L) } :+ ("atypical" -> !typicalOk)
+      .map { case (name, c) => (name, c === 0L) } :+
+      ("atypical" -> !typicalOk) :+ ("low_quality_score" -> !modelOk)
     val reason = reasons.foldRight(lit(null).cast("string")) { case ((name, failed), alt) =>
       when(failed, lit(name)).otherwise(alt)
     }
-    val passes = gopherPasses && typicalOk
+    val passes = gopherPasses && typicalOk && modelOk
     docs.withColumn("passes", passes)
       .withColumn("reject_reason", when(!passes, reason))
   }
@@ -265,11 +276,14 @@ object EventStreams {
       typicalityN: Int = 1,
       backoffUniModel: Option[Map[String, Long]] = None,
       backoffAlphaPct: Int = 40,
+      qualityWeights: Option[Map[String, Long]] = None,
+      minQualityScore: Long = 0L,
       date: () => graft.time.DateInterval = () => graft.time.Day.today)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       val v = curationVerdicts(batch, textCol, typicalityModel, minTypicalityPpm,
-        typicalityN, backoffUniModel, backoffAlphaPct).persist()
+        typicalityN, backoffUniModel, backoffAlphaPct,
+        qualityWeights, minQualityScore).persist()
       try {
         accepted.save(v.filter(col("passes")).drop("passes", "reject_reason"),
           date(), graft.io.Warehouse.WriteAppend)

@@ -223,6 +223,29 @@ class CurationPipelineJobSpec extends SparkJobSuiteBase {
       Set(1L, 2L)
   }
 
+  test("curation pipeline with a trained quality model drops low scorers") {
+    // digit soup passes every Gopher flag (10 distinct clean tokens) but a
+    // prose-shaped linear model scores it deeply negative
+    val src = (_: DateInterval) => Seq(
+      (1L, base),
+      (2L, "1111 2222 3333 4444 5555 6666 7777 8888 9999 0000"))
+      .toDF("doc_id", "text")
+    val date = Day(2026, 8, 12)
+    val w = Map("stopword_ppm" -> 3L, "distinct_ppm" -> 1L, "digit_ppm" -> -200L)
+
+    val clean = WarehouseTable(HdfsUrl(tmpDir("curation_model")), "clean")
+    runJob(new CurationPipelineJob(src, clean,
+      qualityWeights = Some(w), minQualityScore = 100000L), date)
+      .isSuccess shouldBe true
+    clean.load(spark, date).select("doc_id").as[Long].collect().toSet shouldBe Set(1L)
+
+    // gate off when unset: the digit doc survives the Gopher flags alone
+    val cleanOff = WarehouseTable(HdfsUrl(tmpDir("curation_model_off")), "clean")
+    runJob(new CurationPipelineJob(src, cleanOff), date).isSuccess shouldBe true
+    cleanOff.load(spark, date).select("doc_id").as[Long].collect().toSet shouldBe
+      Set(1L, 2L)
+  }
+
   test("curation pipeline with a typicality model drops atypical survivors") {
     val root = HdfsUrl(tmpDir("curation_typ"))
     val clean = WarehouseTable(root, "clean")

@@ -225,6 +225,29 @@ class EventStreamsSpec extends SparkTestBase {
     batch(2L) shouldBe ((false, Some("atypical")))
   }
 
+  test("curation verdicts with a trained model gate tag low_quality_score") {
+    // prose-shaped weights: doc 1 (stopword-rich prose) scores high; doc 2
+    // passes every Gopher flag (enough distinct words, clean symbols) but
+    // has zero stopwords -> negative model score -> model gate only
+    val w = Map("stopword_ppm" -> 3L, "distinct_ppm" -> 1L,
+      "punct_ppm" -> -2L, "digit_ppm" -> -200L)
+    val docs = Seq(
+      (1L, "the cat sat on the mat and the dog ran far away"),
+      (2L, "1111 2222 3333 4444 5555 6666 7777 8888 9999 0000"))
+    val v = EventStreams.curationVerdicts(docs.toDF("doc_id", "text"),
+      qualityWeights = Some(w), minQualityScore = 100000L)
+      .select("doc_id", "passes", "reject_reason")
+      .as[(Long, Boolean, Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    v(1L) shouldBe ((true, None))
+    v(2L) shouldBe ((false, Some("low_quality_score")))
+
+    // without weights the model gate is off: both pass the Gopher flags
+    val off = EventStreams.curationVerdicts(docs.toDF("doc_id", "text"))
+      .select("doc_id", "passes").as[(Long, Boolean)].collect().toMap
+    off shouldBe Map(1L -> true, 2L -> true)
+  }
+
   test("curation gate with stupid backoff credits unseen pairs of known words") {
     implicit val sc = spark.sqlContext
     val ref = Seq("the cat sat on the mat").toDF("text")
