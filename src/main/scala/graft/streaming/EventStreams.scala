@@ -158,6 +158,39 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("fp")
 
   /**
+   * S13 — streaming URL-canonical dedup, the stream twin of
+   * [[graft.ops.Web.dedupByUrl]] (the cheapest dedup tier of a crawl
+   * funnel): canonicalize each document's URL, drop rows whose canonical
+   * URL the batch store already holds (stream-static anti-join —
+   * recrawls of known pages), then drop in-stream repeats within the
+   * watermark (`dropDuplicatesWithinWatermark` — state bounded by the
+   * horizon, never by crawl history). Rows with a NULL URL pass through
+   * both filters (no URL != same URL), matching the batch operator; the
+   * canonical URL lands as `canon_url` so the sink can append survivors
+   * back into the store, closing the incremental loop.
+   *
+   * First-seen wins within the horizon — the arrival-order analogue of
+   * the batch min_by keeper. Scale: the store side prunes to one column;
+   * streaming state keys are the canonical URLs seen inside the
+   * watermark only.
+   */
+  def dedupUrlsAgainstStore(
+      docs: DataFrame,
+      store: DataFrame,
+      urlCol: String = "url",
+      tsCol: String = "ts",
+      watermark: String = "10 minutes"): DataFrame = {
+    val withCanon = docs.withColumn("canon_url",
+      graft.ops.Web.normalizeUrl(col(urlCol)))
+    val deduped = withCanon
+      .filter(col("canon_url").isNotNull)
+      .join(store.select(col("canon_url")), Seq("canon_url"), "left_anti")
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("canon_url")
+    deduped.unionByName(withCanon.filter(col("canon_url").isNull))
+  }
+
+  /**
    * Stream-stream join within a time bound: each left event pairs with the
    * right-stream events for the same key that occurred in the `maxGap`
    * window before it (e.g. purchases matched to the clicks that preceded

@@ -131,6 +131,32 @@ class EventStreamsSpec extends SparkTestBase {
       Array(2L, 4L)
   }
 
+  test("dedupUrlsAgainstStore drops stored and in-stream canonical URL repeats") {
+    implicit val sc = spark.sqlContext
+    // the store holds the canonical form of a known page
+    val store = Seq("http://x.com/known").toDF("u")
+      .select(graft.ops.Web.normalizeUrl($"u").as("canon_url"))
+    val in = MemoryStream[Event]
+    // reuse the Event stream shape: event_type carries the URL; empty
+    // string plays the missing-URL row (nullif below)
+    val docs = asContract(in.toDF()).select($"event_id".as("doc_id"), $"ts",
+      org.apache.spark.sql.functions.expr("nullif(event_type, '')").as("url"))
+    val q = EventStreams.dedupUrlsAgainstStore(docs, store)
+      .writeStream.format("memory").queryName("url_dedup_out").outputMode("append").start()
+    in.addData(
+      Event(1, ts(1), 0, "HTTP://X.com:80/known?utm_source=a", 0.0), // stored page -> dropped
+      Event(2, ts(2), 0, "x.com/fresh", 0.0),                        // first sighting -> kept
+      Event(3, ts(3), 0, "http://x.com/fresh#frag", 0.0),            // in-stream recrawl -> dropped
+      Event(4, ts(4), 0, "", 0.0),                                   // no URL -> kept untouched
+      Event(5, ts(5), 0, "https://y.org/other", 0.0))
+    runToCompletion(q)
+    val out = spark.table("url_dedup_out")
+      .select($"doc_id", $"canon_url").as[(Long, Option[String])].collect().toMap
+    out.keySet shouldBe Set(2L, 4L, 5L)
+    out(2L) shouldBe Some("http://x.com/fresh") // canonical form for the store append
+    out(4L) shouldBe None
+  }
+
   test("warehouseSink lands micro-batches in a date partition") {
     implicit val sc = spark.sqlContext
     val table = graft.io.WarehouseTable(graft.io.HdfsUrl(tmpDir("stream_wh")), "events")
