@@ -79,6 +79,27 @@ class WebSpec extends SparkTestBase {
     norm("http://x.com:8080/p") shouldBe "http://x.com:8080/p"
   }
 
+  test("normalizeUrl and registeredDomain are idempotent over the URL shape grid") {
+    // canonical forms feed the URL dedup stores: a non-idempotent
+    // canonicalizer would stop recrawls of already-canonical URLs from
+    // matching the store. 1920 structured combinations.
+    val urls = for {
+      s <- Seq("http://", "HTTPS://", "", "ftp://")
+      h <- Seq("X.com", "www.Example.CO.UK", "a.b.c.net")
+      po <- Seq("", ":80", ":443", ":8080")
+      pa <- Seq("", "/", "/Path/Is", "/p")
+      q <- Seq("", "?a=1", "?utm_source=s", "?a=1&utm_x=2&b=3", "?utm_a=1&gclid=g")
+      f <- Seq("", "#f")
+    } yield s + h + po + pa + q + f
+    val df = urls.toDF("u")
+      .select($"u", Web.normalizeUrl($"u").as("c1"), Web.urlHost($"u").as("h1"))
+      .select($"u", $"c1", Web.normalizeUrl($"c1").as("c2"),
+        Web.registeredDomain($"h1").as("d1"))
+      .select($"u", $"c1", $"c2", $"d1", Web.registeredDomain($"d1").as("d2"))
+    df.filter($"c1" =!= $"c2").select("u", "c1", "c2").collect() shouldBe empty
+    df.filter($"d1" =!= $"d2").select("u", "d1", "d2").collect() shouldBe empty
+  }
+
   test("domainQualityProfile computes exact integer ppm shares and flags") {
     val docs = Seq(
       ("good.com", "the quick brown fox jumps over the lazy dog near the river bank"),
