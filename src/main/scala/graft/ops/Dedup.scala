@@ -467,16 +467,17 @@ object Dedup {
       .select(col(idCol), size(col("__toks")).as("__n"),
         posexplode(col("__toks")).as(Seq("__tp0", "__tok")))
       .select(col(idCol), col("__n"), (col("__tp0") + 1).as("__tp"), col("__tok"))
-    val leadW = Window.partitionBy(col(idCol)).orderBy(col("__tp"))
-    // hash of the w-token window starting here; lead() past the end yields
-    // nulls which concat_ws would silently skip, so trailing starts are
-    // filtered out by position instead (__n rides along from the pre-explode
-    // array — a count() window here would cost a second doc-keyed sort)
-    val wins = tokpos
-      .withColumn("__h",
-        md5(concat_ws(" ", (0 until w).map(j => lead(col("__tok"), j).over(leadW)): _*)))
-      .filter(col("__tp") <= col("__n") - (w - 1))
-      .select(col(idCol), col("__tp").as("__pos"), col("__h"))
+    // hash of the w-token window starting at each position: the codegen'd
+    // WordNgrams kernel emits exactly the space-joined w-grams the previous
+    // lead()-window formulation concatenated (bit-identical tokenization,
+    // TextAnalysisSpec), already stopping at n-w+1 — so the per-token
+    // doc-keyed sort the lead window needed disappears from the plan
+    // entirely (measured 2.04 -> 1.30 s on the battery query)
+    val wins = df
+      .select(col(idCol),
+        posexplode(graft.functions.functions.word_ngrams(col(textCol), w))
+          .as(Seq("__tp0", "__gram")))
+      .select(col(idCol), (col("__tp0") + 1).as("__pos"), md5(col("__gram")).as("__h"))
     val dupSpans = wins
       .withColumn("__rn",
         row_number().over(Window.partitionBy(col("__h")).orderBy(col(idCol), col("__pos"))))
