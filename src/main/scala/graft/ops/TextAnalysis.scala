@@ -287,6 +287,36 @@ object TextAnalysis {
   }
 
   /**
+   * Train the [[qualityLinearScore]] weights: logistic regression (MLlib)
+   * over the exact-integer [[qualityFeatures]] of a labeled frame
+   * (`labelCol` = 1 keep / 0 drop), with the learned float coefficients
+   * quantized to the integer serving scale — `round(w * scale)` per
+   * feature, `round(intercept * scale)` as the bias — so
+   * `qualityLinearScore(text, weights, bias) >= 0` approximates the
+   * decision boundary `margin >= 0` to `1/scale` granularity. The full
+   * train→serve loop stays in-library: fit here (distributed treeAggregate
+   * under MLlib, labeled sets are small anyway), serve as scan-speed
+   * literals with no MLlib dependency at inference.
+   */
+  def trainQualityWeights(
+      labeled: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      labelCol: String,
+      scale: Long = 1000000L): (Map[String, Long], Long) = {
+    val feats = qualityFeatures(col(textCol))
+    val assembled = labeled.select(
+      col(labelCol).cast("double").as("label"),
+      org.apache.spark.ml.functions.array_to_vector(
+        array(feats.map(_._2.cast("double")): _*)).as("features"))
+    val model = new org.apache.spark.ml.classification.LogisticRegression()
+      .setMaxIter(100)
+      .fit(assembled)
+    val weights = feats.map(_._1).zip(
+      model.coefficients.toArray.map(w => math.round(w * scale))).toMap
+    (weights, math.round(model.intercept * scale))
+  }
+
+  /**
    * PII patterns, engine-portable (identical in Java regex and RE2): email,
    * international-ish phone runs, IPv4, US SSN. Conservative by design —
    * a production scrubber layers locale-specific patterns on top.

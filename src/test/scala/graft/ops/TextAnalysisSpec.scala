@@ -241,6 +241,34 @@ class TextAnalysisSpec extends SparkTestBase {
     scored(2L) should be < 0L
   }
 
+  test("trainQualityWeights learns a gate that the integer serving path reproduces") {
+    // clearly separable: stopword-rich prose (keep=1) vs digit/symbol soup
+    // (keep=0); the learned float model, quantized to integer weights,
+    // must separate held-out examples of both registers through the
+    // scan-speed serving expression
+    val prose = Seq(
+      "the cat sat on the mat and the dog ran away for the day",
+      "it was the best of times and it was the worst of times",
+      "she walked to the river in the morning with the old dog",
+      "the rain fell on the quiet town for most of that week")
+    val soup = Seq(
+      "1111 2222 3333 4444 5555 6666 7777 8888",
+      "!!! ### 123 456 $$$ %%% 789 000",
+      "9999 8888 7777 6666 5555 4444 3333 2222",
+      "000 111 ### 222 333 $$$ 444 555")
+    val labeled = (prose.map((_, 1)) ++ soup.map((_, 0))).toDF("text", "keep")
+    val (w, bias) = TextAnalysis.trainQualityWeights(labeled, "text", "keep")
+
+    val held = Seq(
+      (1L, "the fox ran over the hill and into the woods at dusk"),
+      (2L, "4242 1337 9001 ### 555 $$$ 777 888")).toDF("doc_id", "text")
+    val scored = held.select($"doc_id",
+      TextAnalysis.qualityLinearScore($"text", w, bias).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    scored(1L) should be >= 0L // prose lands keep-side of the boundary
+    scored(2L) should be < 0L  // soup lands drop-side
+  }
+
   test("backoff typicality gives partial credit for unseen pairs of known words") {
     // ref: 6 tokens -> uni ppm the=333333, cat/sat/on/mat=166666;
     //      5 distinct bigrams, each ppm 200000
