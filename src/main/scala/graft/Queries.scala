@@ -2064,6 +2064,42 @@ object Queries {
              WHERE q.vec_id <> c.vec_id))
        WHERE rank <= 5"""
 
+  /**
+   * `hashed_tf_topk`: the no-embedding-model similarity path — hashing-
+   * trick TF vectors ([[TextAnalysis.hashedTfVector]], 64 dims) straight
+   * off document text, then the same bounded-partial brute-force cosine
+   * top-k as `ann_bruteforce_topk`. Oracle rebuilds the md5-dimension
+   * vectors with hex-digit arithmetic and replays the identical cosine
+   * and rank in DuckDB.
+   */
+  def hashedTfTopK(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val docs = t(dir, "documents").select(col("doc_id"),
+      TextAnalysis.hashedTfVector(col("text"), 64).as("vec"))
+    Similarity.bruteForceTopK(docs.filter(col("doc_id") % 97 === 0), docs, "doc_id", "vec", k = 5)
+  }
+
+  val hashedTfTopKSql: String = {
+    def digit(i: Int) = s"(strpos('0123456789abcdef', substring(md5(t), $i, 1)) - 1)"
+    val dim = s"((((${digit(1)} * 16 + ${digit(2)}) * 16 + ${digit(3)}) * 16 + ${digit(4)}) % 64)"
+    s"""WITH dimtoks AS (
+         SELECT doc_id, list_transform($Toks, t -> $dim) AS ds FROM documents),
+       vecs AS (
+         SELECT doc_id,
+           list_transform(range(0, 64), d ->
+             cast(coalesce(list_sum(list_transform(ds, x -> CASE WHEN x = d THEN 1 ELSE 0 END)), 0) as double)) AS v
+         FROM dimtoks)
+       SELECT query_id, neighbor_id, cosine, rank FROM (
+         SELECT query_id, neighbor_id, cosine,
+                row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         FROM (SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+                      $SqlCos AS cosine
+               FROM (SELECT doc_id, v AS qv FROM vecs WHERE doc_id % 97 = 0) q,
+                    (SELECT doc_id, v AS nv FROM vecs) c
+               WHERE q.doc_id <> c.doc_id))
+       WHERE rank <= 5"""
+  }
+
   /** Random-hyperplane LSH bucket histogram (the ANN scale path). */
   def annLshBuckets(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
@@ -3191,6 +3227,7 @@ object Queries {
     ("quality_filter", qualityFilter _, Some(qualityFilterSql)),
     ("doc_fingerprints", docFingerprints _, Some(docFingerprintsSql)),
     ("ann_bruteforce_topk", annBruteforceTopK _, Some(annBruteforceTopKSql)),
+    ("hashed_tf_topk", hashedTfTopK _, Some(hashedTfTopKSql)),
     ("ann_lsh_buckets", annLshBuckets _, Some(annLshBucketsSql)),
     ("ann_ivf_topk", annIvfTopK _, Some(annIvfTopKSql)),
     ("ann_multiprobe", annMultiprobe _, Some(annMultiprobeSql)),

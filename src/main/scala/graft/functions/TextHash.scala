@@ -243,6 +243,27 @@ object TextHash {
   }
 
   /**
+   * Hashing-trick term-frequency vector in ONE pass: dimension
+   * `parseInt(md5(token)[0:4], 16) % dims` accumulates 1.0 per token
+   * occurrence — the classic featurizer that turns raw text into a
+   * fixed-width vector with NO trained embedding model, so the whole
+   * similarity/ANN stack runs on corpora that never saw an encoder.
+   * Counts are small integers held in doubles (exact), and the md5-hex
+   * dimension hash replays bit-identically in any engine (the same
+   * first-16-bits-of-md5 convention as the sampling hash bucket).
+   */
+  def hashedTf(text: UTF8String, dims: Int): ArrayData = {
+    val toks = tokenize(text.toString)
+    val counts = new Array[Double](dims)
+    var i = 0
+    while (i < toks.length) {
+      counts(Integer.parseInt(md5Hex(toks(i)).substring(0, 4), 16) % dims) += 1.0
+      i += 1
+    }
+    new GenericArrayData(counts)
+  }
+
+  /**
    * Unicode normalization via `java.text.Normalizer` (JDK, zero deps) —
    * the canonical first pass of every text pipeline: composed vs
    * decomposed accents (NFC/NFD) and compatibility folds (NFKC/NFKD:
@@ -352,6 +373,18 @@ case class SimHash64(child: Expression) extends TextHashExpression {
     copy(child = newChild)
 }
 
+case class HashedTf(child: Expression, dims: Int) extends TextHashExpression {
+  require(dims >= 1 && dims <= 65536, s"dims ($dims) must be in [1, 65536]")
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.DoubleType, containsNull = false)
+  override def prettyName: String = "hashed_tf"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.hashedTf(input.asInstanceOf[UTF8String], dims)
+  override protected def staticCall(c: String): String =
+    s"graft.functions.TextHash$$.MODULE$$.hashedTf($c, $dims)"
+  override protected def withNewChildInternal(newChild: Expression): HashedTf =
+    copy(child = newChild)
+}
+
 case class ScriptCounts(child: Expression) extends TextHashExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "script_counts"
@@ -399,6 +432,10 @@ object functions {
   def script_counts(text: Column): Column =
     GraftExpressionBridge.column(ScriptCounts(GraftExpressionBridge.expression(text)))
 
+  /** Hashing-trick TF vector (codegen'd, one pass); null text null-propagates. */
+  def hashed_tf(text: Column, dims: Int = 256): Column =
+    GraftExpressionBridge.column(HashedTf(GraftExpressionBridge.expression(text), dims))
+
   /** Unicode normalization (NFC/NFD/NFKC/NFKD); default NFKC — the LLM-pipeline fold. */
   def unicode_normalize(text: Column, form: String = "NFKC"): Column =
     GraftExpressionBridge.column(
@@ -444,6 +481,10 @@ object functions {
     (FunctionIdentifier("script_counts"),
       new ExpressionInfo(classOf[ScriptCounts].getName, "script_counts"),
       (args: Seq[Expression]) => ScriptCounts(args.head)),
+    (FunctionIdentifier("hashed_tf"),
+      new ExpressionInfo(classOf[HashedTf].getName, "hashed_tf"),
+      (args: Seq[Expression]) => HashedTf(args.head,
+        if (args.length > 1) lit(args(1)) else 256)),
     (FunctionIdentifier("unicode_normalize"),
       new ExpressionInfo(classOf[UnicodeNormalize].getName, "unicode_normalize"),
       (args: Seq[Expression]) => UnicodeNormalize(args.head,

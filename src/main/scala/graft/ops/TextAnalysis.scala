@@ -1255,6 +1255,33 @@ object TextAnalysis {
       .drop("__total")
   }
 
+  /**
+   * Hashing-trick TF vector of a document
+   * ([[graft.functions.TextHash.hashedTf]] kernel, one codegen'd pass):
+   * the featurizer that makes the entire similarity stack —
+   * [[Similarity.bruteForceTopK]], LSH/IVF/projected ANN,
+   * [[Similarity.embeddingNearDupPairs]] — run on raw text with NO
+   * trained embedding model. Dimension = first 16 md5 bits of the token
+   * mod `dims` (the sampling-bucket convention, bit-identical in any
+   * engine); values are exact integer counts in doubles. Cosine over
+   * these vectors is classic bag-of-words similarity; hash collisions
+   * only ever MERGE dimensions (Johnson-Lindenstrauss-style graceful
+   * degradation as `dims` shrinks).
+   */
+  def hashedTfVector(text: Column, dims: Int = 256): Column =
+    graft.functions.functions.hashed_tf(text, dims)
+
+  /** Composed-builtin SPECIFICATION twin of [[hashedTfVector]] — the
+    * O(dims x tokens) form the DuckDB oracle mirrors (`conv` is
+    * JVM-side only; the oracle uses hex-digit arithmetic). */
+  private[ops] def hashedTfComposed(text: Column, dims: Int): Column = {
+    val toks = tokens(text)
+    transform(sequence(lit(0), lit(dims - 1)), d =>
+      size(filter(toks, t =>
+        (conv(substring(md5(t), 1, 4), 16, 10).cast("int") % dims) === d))
+        .cast("double"))
+  }
+
   /** Full-document fingerprint: md5 of the normalized text. */
   def fingerprint(text: Column): Column = md5(normalize(text))
 

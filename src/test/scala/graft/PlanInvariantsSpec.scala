@@ -73,6 +73,16 @@ class PlanInvariantsSpec extends SparkTestBase {
     check("quality_score", maxShuffles = 0)
   }
 
+  test("hashed-tf ANN: per-row vectors into the bounded-partial top-k, no window") {
+    val (plan, counts) = shape("hashed_tf_topk")
+    withClue(s"hashed_tf_topk plan:\n$plan\n") {
+      counts("cartesian") shouldBe 0
+      counts("smj") shouldBe 0
+      counts("exchange") should be <= 2
+      plan should not include "Window" // ranked via k-capped partials
+    }
+  }
+
   test("url dedup: one min_by partial-agg shuffle, no window") {
     val (plan, counts) = shape("url_dedup")
     withClue(s"url_dedup plan:\n$plan\n") {

@@ -301,6 +301,33 @@ class TextAnalysisSpec extends SparkTestBase {
     lit(4L) shouldBe None
   }
 
+  test("hashed_tf kernel is bit-identical to the composed twin and conserves mass") {
+    val texts = Seq("the cat sat on the mat", "", "MiXeD Case 42!", "solo",
+      "a a a a b b c", "Крым naïve Café déjà vu")
+    for (dims <- Seq(1, 16, 64)) {
+      val rows = texts.toDF("text").select(
+        TextAnalysis.hashedTfVector($"text", dims).as("fast"),
+        TextAnalysis.hashedTfComposed($"text", dims).as("spec"),
+        org.apache.spark.sql.functions.size(TextAnalysis.tokens($"text")).as("n"))
+        .collect()
+      rows.foreach { r =>
+        r.getSeq[Double](0) shouldBe r.getSeq[Double](1)
+        // every token lands in exactly one dimension
+        r.getSeq[Double](0).sum shouldBe r.getInt(2).toDouble
+      }
+    }
+    // cosine over hashed vectors behaves like bag-of-words similarity:
+    // shared vocabulary scores above disjoint vocabulary
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat near the mat"),
+      (3L, "quantum flux capacitors hum loudly")).toDF("doc_id", "text")
+      .select($"doc_id", TextAnalysis.hashedTfVector($"text", 64).as("vec"))
+    val top = Similarity.bruteForceTopK(docs.filter($"doc_id" === 1L), docs, "doc_id", "vec", k = 2)
+      .orderBy($"rank").select($"neighbor_id").as[Long].collect()
+    top.head shouldBe 2L
+  }
+
   test("word_ngrams kernel is bit-identical to the composed-builtin twin") {
     // the codegen'd kernel the typicality hot path uses vs the
     // sequence/transform/slice specification form, over edge shapes:
