@@ -2074,8 +2074,15 @@ object Queries {
    */
   def hashedTfTopK(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
+    // localCheckpoint: without the barrier, CollapseProject inlines the
+    // featurizer expression past the non-equi join and the corpus
+    // re-featurizes once PER QUERY row (measured 52x = 6.1 s at sf0.1);
+    // checkpointed, the vectors materialize once and the join streams
+    // them (0.76 s). Stored-embedding ANN never hits this — its vectors
+    // are table columns, not expressions.
     val docs = t(dir, "documents").select(col("doc_id"),
       TextAnalysis.hashedTfVector(col("text"), 64).as("vec"))
+      .localCheckpoint(false)
     Similarity.bruteForceTopK(docs.filter(col("doc_id") % 97 === 0), docs, "doc_id", "vec", k = 5)
   }
 
