@@ -77,7 +77,10 @@ object Queries {
     val dot = "list_sum(list_transform(range(1, len(qv) + 1), i -> cast(qv[i] as double) * cast(nv[i] as double)))"
     val nq = "sqrt(list_sum(list_transform(qv, x -> cast(x as double) * cast(x as double))))"
     val nn = "sqrt(list_sum(list_transform(nv, x -> cast(x as double) * cast(x as double))))"
-    s"round($dot / ($nq * $nn), 4)"
+    // zero-norm guard mirrors the kernel: cosine against a zero vector is 0,
+    // never NaN (NaN sorts first under DuckDB's ORDER BY DESC but last in
+    // Spark's struct min — a silent rank divergence)
+    s"round(CASE WHEN $nq * $nn = 0 THEN 0 ELSE $dot / ($nq * $nn) END, 4)"
   }
 
   /** Word 5-gram shingles over a `toks` column (twin of [[Dedup.wordShingles]]). */
@@ -1862,6 +1865,96 @@ object Queries {
                len(list_distinct(toks)) / cast(greatest(len(toks), 1) as double) AS distinct_ratio
              FROM (SELECT doc_id, text, $Toks AS toks FROM documents))"""
 
+  // Deterministic transliteration alphabets for `cjk_token_stats`: the
+  // synthetic corpus is ASCII word soup even in its "zh" rows, so the query
+  // builds REAL Han/kana/Thai pages from it with translate() — char-for-char
+  // with identical semantics in Spark and DuckDB — and the oracle replays
+  // the same mapping. 26 chars each, aligned to a-z.
+  private val CjkAz = "abcdefghijklmnopqrstuvwxyz"
+  private val CjkHan = "的一是不了人我在有他这中大来上国个到说们为子和你地出"
+  private val CjkJa = "あ学習模い型訓練う語言処理翻え訳文字列解お析構造か体"
+  private val CjkTh = "กขฃคฅฆงจฉชซฌญฎฏฐฑฒณดตถทธนบ"
+
+  /** The transliterated page: zh rows → Han, es rows → kana-laced Japanese,
+    * de rows → Thai, everything else verbatim. Word boundaries (spaces)
+    * survive translate, so segmentation runs end where words did. */
+  private def cjkPage: Column =
+    when(col("lang") === "zh", translate(col("text"), CjkAz, CjkHan))
+      .when(col("lang") === "es", translate(col("text"), CjkAz, CjkJa))
+      .when(col("lang") === "de", translate(col("text"), CjkAz, CjkTh))
+      .otherwise(col("text"))
+
+  /**
+   * `cjk_token_stats`: the script-aware tokenizer
+   * ([[TextAnalysis.scriptTokens]] — character bigrams for Han/kana/Thai,
+   * word tokens elsewhere) and the script-aware Gopher gates
+   * ([[TextAnalysis.qualityFlagsScriptAware]]) over a mixed-script corpus,
+   * aggregated per language: document/token/token-char counts, exact
+   * integer mean token length (x100), and the gate pass count. Under the
+   * ASCII tokenizer every non-Latin page here would report ZERO tokens and
+   * fail every gate; these stats prove the token ops measure CJK/Thai text.
+   * Per-row codegen'd kernels + ONE map-side-combined aggregation — scan
+   * speed at any corpus size.
+   */
+  def cjkTokenStats(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val toks = TextAnalysis.scriptTokens(cjkPage)
+    val passes = TextAnalysis.qualityFlagsScriptAware(cjkPage)
+      .collectFirst { case ("passes", c) => c }.get
+    t(dir, "documents")
+      .select(col("lang"),
+        size(toks).cast("long").as("__n_tok"),
+        aggregate(toks, lit(0L), (a, tk) => a + length(tk)).as("__tchars"),
+        passes.as("__passes"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__n_tok")).cast("long").as("n_tokens"),
+        sum(col("__tchars")).cast("long").as("token_chars"),
+        sum(col("__passes")).cast("long").as("n_pass"))
+      .withColumn("mean_token_len_x100",
+        expr("CAST(CAST(token_chars AS DECIMAL(38,0)) * 100 DIV greatest(n_tokens, 1) AS BIGINT)"))
+  }
+
+  val cjkTokenStatsSql: String = {
+    val segCls = TextAnalysis.SegScriptRanges
+    val wordCls = s"a-z0-9${TextAnalysis.NonAsciiWordRanges}"
+    val toksExpr =
+      s"""flatten(list_transform(
+         regexp_extract_all(translate(page, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', '$CjkAz'),
+           '[$wordCls]+|[$segCls]+'),
+         r -> CASE WHEN regexp_matches(r, '^[$segCls]')
+              THEN CASE WHEN length(r) = 1 THEN [r]
+                   ELSE list_transform(range(1, length(r)), i -> substring(r, i, 2)) END
+              ELSE [r] END))"""
+    s"""WITH pages AS (
+         SELECT lang,
+           CASE WHEN lang = 'zh' THEN translate(text, '$CjkAz', '$CjkHan')
+                WHEN lang = 'es' THEN translate(text, '$CjkAz', '$CjkJa')
+                WHEN lang = 'de' THEN translate(text, '$CjkAz', '$CjkTh')
+                ELSE text END AS page
+         FROM documents),
+       tok AS (SELECT lang, page, $toksExpr AS toks FROM pages),
+       feat AS (
+         SELECT lang, len(toks) AS n_tok,
+           coalesce(list_sum(list_transform(toks, t -> length(t))), 0) AS tchars,
+           (length(page) - length(regexp_replace(page, '[^a-zA-Z0-9\\s$wordCls$segCls]', '', 'g'))) / cast(greatest(length(page), 1) as double) AS symbol_ratio,
+           len(list_distinct(toks)) / cast(greatest(len(toks), 1) as double) AS distinct_ratio
+         FROM tok),
+       gated AS (
+         SELECT lang, n_tok, tchars,
+           (CASE WHEN n_tok >= 5 AND n_tok <= 100000 THEN 1 ELSE 0 END)
+           * (CASE WHEN tchars / cast(greatest(n_tok, 1) as double) >= 2.0 AND tchars / cast(greatest(n_tok, 1) as double) <= 12.0 THEN 1 ELSE 0 END)
+           * (CASE WHEN symbol_ratio <= 0.2 THEN 1 ELSE 0 END)
+           * (CASE WHEN distinct_ratio >= 0.2 THEN 1 ELSE 0 END) AS passes
+         FROM feat)
+       SELECT lang, count(*) AS n_docs,
+              cast(sum(n_tok) as bigint) AS n_tokens,
+              cast(sum(tchars) as bigint) AS token_chars,
+              cast(sum(passes) as bigint) AS n_pass,
+              cast((sum(tchars) * 100) // greatest(sum(n_tok), 1) as bigint) AS mean_token_len_x100
+       FROM gated GROUP BY lang"""
+  }
+
   /**
    * Contamination check: documents sharing word 3-grams with a probe set
    * (here: the texts of three fixed documents, playing the benchmark role).
@@ -2074,23 +2167,18 @@ object Queries {
    */
   def hashedTfTopK(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    // localCheckpoint: without the barrier, CollapseProject inlines the
-    // featurizer expression past the non-equi join and the corpus
-    // re-featurizes once PER QUERY row (measured 52x = 6.1 s at sf0.1);
-    // checkpointed, the vectors materialize once and the join streams
-    // them (0.76 s). Stored-embedding ANN never hits this — its vectors
-    // are table columns, not expressions.
-    val docs = t(dir, "documents").select(col("doc_id"),
-      TextAnalysis.hashedTfVector(col("text"), 64).as("vec"))
-      .localCheckpoint(false)
-    Similarity.bruteForceTopK(docs.filter(col("doc_id") % 97 === 0), docs, "doc_id", "vec", k = 5)
+    // the library operator owns the featurize-once barrier (local here; a
+    // real cluster passes checkpointDir) and the token-free-doc filter
+    Similarity.hashedTfTopK(t(dir, "documents"), "doc_id", "text",
+      isQuery = col("doc_id") % 97 === 0, dims = 64, k = 5)
   }
 
   val hashedTfTopKSql: String = {
     def digit(i: Int) = s"(strpos('0123456789abcdef', substring(md5(t), $i, 1)) - 1)"
     val dim = s"((((${digit(1)} * 16 + ${digit(2)}) * 16 + ${digit(3)}) * 16 + ${digit(4)}) % 64)"
     s"""WITH dimtoks AS (
-         SELECT doc_id, list_transform($Toks, t -> $dim) AS ds FROM documents),
+         SELECT doc_id, list_transform($Toks, t -> $dim) AS ds FROM documents
+         WHERE len($Toks) > 0),
        vecs AS (
          SELECT doc_id,
            list_transform(range(0, 64), d ->
@@ -2665,7 +2753,8 @@ object Queries {
                  i -> starts[i] // 90 = chunk_id
                    OR (starts[i] // 90 - 1 = chunk_id AND starts[i] % 90 < 30)),
                  i -> sents[i]), '') AS chunk_text
-             FROM c)"""
+             FROM c)
+       WHERE chunk_text <> ''"""
 
   /** The bigram upgrade of the CCNet-style filter: the 100 least-typical
     * documents under the corpus's own capped BIGRAM model — common word
@@ -3275,5 +3364,6 @@ object Queries {
     ("key_skew_profile", keySkewProfile _, Some(keySkewProfileSql)),
     ("event_transitions", eventTransitions _, Some(eventTransitionsSql)),
     ("retention_cohorts", retentionCohorts _, Some(retentionCohortsSql)),
-    ("near_dedup_keep_best", nearDedupKeepBest _, Some(nearDedupKeepBestSql)))
+    ("near_dedup_keep_best", nearDedupKeepBest _, Some(nearDedupKeepBestSql)),
+    ("cjk_token_stats", cjkTokenStats _, Some(cjkTokenStatsSql)))
 }

@@ -13,6 +13,25 @@ import org.apache.spark.sql.functions._
  * Usage: runMain graft.ScaleCheck [sfDir] [factor]
  */
 object ScaleCheck {
+
+  /**
+   * Every stage name `time(...)` may be called with — the validation set for
+   * the SPARK_GRAFT_ONLY filter. `time` itself requires membership, so a new
+   * stage that skips registration fails fast instead of silently drifting
+   * out of the filterable set.
+   */
+  val stageNames: Set[String] = Set(
+    "asof_join", "range_join", "simhash_neardup", "boilerplate_lines",
+    "exact_dedup", "doc_repetition", "tfidf_top_terms", "span_dedup",
+    "leakage_safe_split", "bloom_anti_join", "funnel", "event_transitions",
+    "retention_cohorts", "key_skew_profile", "vocab_stats", "domain_quality",
+    "pack_sequences", "semantic_dedup", "hamming_ann", "source_cap",
+    "weighted_sample", "bpe_pairs", "snapshot_diff", "kmeans_update",
+    "quantile_sketch", "lsh_salted_pairs", "contamination_hits",
+    "projected_ann", "target_mix_sample", "bpe_tokenize",
+    "bpe_train_256merges", "typicality_score", "typicality_bigram",
+    "typicality_backoff", "url_dedup", "sentence_chunks")
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = args.drop(1).headOption.map(_.toInt).getOrElse(20)
@@ -38,12 +57,27 @@ object ScaleCheck {
     // for the whole sweep.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
-    def time[T](name: String)(f: => DataFrame): Unit =
+    // Same contract as Bench: a typo'd filter (e.g. a leftover Bench query
+    // name) must not masquerade as a silent no-op sweep — unknown names are
+    // fatal before any amplification or timing.
+    only.foreach { names =>
+      val unknown = (names -- stageNames).toSeq.sorted
+      if (unknown.nonEmpty) {
+        System.err.println(
+          s"[scale] SPARK_GRAFT_ONLY names match no scale stage: ${unknown.mkString(", ")}")
+        spark.stop()
+        sys.exit(2)
+      }
+    }
+    def time[T](name: String)(f: => DataFrame): Unit = {
+      require(stageNames.contains(name),
+        s"scale stage '$name' missing from ScaleCheck.stageNames — register it")
       if (only.forall(_.contains(name))) {
         val t0 = System.nanoTime()
         f.write.format("noop").mode("overwrite").save()
         println(f"[scale] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       }
+    }
 
     // same both-shapes handling as Queries.events: nanosAsLong surfaces a
     // raw long only for files actually written with nano precision

@@ -47,6 +47,94 @@ object TextHash {
   def tokenize(text: String): Array[String] =
     text.toLowerCase(Locale.ROOT).split(tokenSplit, -1).filter(_.nonEmpty)
 
+  /**
+   * Character class for [[scriptTokenize]]: 1 = word scripts (space- or
+   * separator-delimited: ASCII alphanumerics plus Greek/Cyrillic, Hebrew,
+   * Arabic, Devanagari, Hangul — the BMP ranges of
+   * `TextAnalysis.ScriptRanges`), 2 = segmentation scripts written WITHOUT
+   * word spaces (Thai, kana, Han), 0 = separator. Surrogate halves (all
+   * supplementary-plane text) fall in no range, matching the code-point
+   * semantics of the regex twin.
+   */
+  private def scriptCharClass(c: Char): Int =
+    if (c < 0x80) {
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') ||
+        (c >= 'A' && c <= 'Z')) 1 else 0
+    } else if (c >= 0x0370 && c <= 0x04ff) 1      // grek + cyrl (contiguous)
+    else if (c >= 0x0590 && c <= 0x05ff) 1        // hebr
+    else if (c >= 0x0600 && c <= 0x06ff) 1        // arab
+    else if (c >= 0x0900 && c <= 0x097f) 1        // deva
+    else if (c >= 0xac00 && c <= 0xd7a3) 1        // hang
+    else if (c >= 0x0e00 && c <= 0x0e7f) 2        // thai
+    else if (c >= 0x3040 && c <= 0x30ff) 2        // kana
+    else if (c >= 0x4e00 && c <= 0x9fff) 2        // hani
+    else 0
+
+  /**
+   * Script-aware tokenization — the upgrade over [[tokenize]] for
+   * multilingual corpora, where the ASCII tokenizer sees NOTHING in the
+   * ~10 non-Latin scripts the language-ID routes (CJK text tokenizes to
+   * zero tokens; quality gates, shingles and TF vectors silently mis-score
+   * a third of a real crawl):
+   *
+   *  - runs of WORD-script characters (ASCII alphanumerics — uppercase
+   *    folded to lowercase — plus Greek, Cyrillic, Hebrew, Arabic,
+   *    Devanagari, Hangul) emit one token per run. Only ASCII is
+   *    case-folded: non-ASCII case law differs between engines
+   *    (final sigma, dotted I), so leaving it untouched is what keeps
+   *    results bit-identical everywhere;
+   *  - runs of SEGMENTATION-script characters (Han, kana, Thai — scripts
+   *    written without word spaces) emit overlapping CHARACTER BIGRAMS
+   *    (the standard public recipe for CJK indexing and n-gram LMs: CJK
+   *    words average ~2 chars, so bigrams approximate words without a
+   *    dictionary); a lone character emits itself. Han and kana segment as
+   *    ONE run (Japanese prose interleaves them mid-word);
+   *  - everything else separates.
+   */
+  def scriptTokenize(text: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val n = text.length
+    var start = 0
+    var cls = 0
+    def flush(end: Int): Unit =
+      if (cls == 1) {
+        val sb = new java.lang.StringBuilder(end - start)
+        var i = start
+        while (i < end) {
+          val c = text.charAt(i)
+          sb.append(if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
+          i += 1
+        }
+        out += sb.toString
+      } else if (cls == 2) {
+        if (end - start == 1) out += text.substring(start, end)
+        else {
+          var i = start
+          while (i < end - 1) {
+            out += text.substring(i, i + 2)
+            i += 1
+          }
+        }
+      }
+    var i = 0
+    while (i < n) {
+      val c = scriptCharClass(text.charAt(i))
+      if (c != cls) {
+        flush(i)
+        start = i
+        cls = c
+      }
+      i += 1
+    }
+    flush(n)
+    out.toArray
+  }
+
+  /** [[scriptTokenize]] as an array column value. */
+  def scriptTokens(text: UTF8String): ArrayData =
+    new GenericArrayData(
+      scriptTokenize(text.toString).map(UTF8String.fromString(_): AnyRef))
+
   /** Word `words`-gram shingle starting at token `i`, space-joined. */
   private def appendShingle(sb: java.lang.StringBuilder, toks: Array[String], i: Int, words: Int): Unit = {
     sb.setLength(0)
@@ -385,6 +473,17 @@ case class HashedTf(child: Expression, dims: Int) extends TextHashExpression {
     copy(child = newChild)
 }
 
+case class ScriptTokens(child: Expression) extends TextHashExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "script_tokens"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.scriptTokens(input.asInstanceOf[UTF8String])
+  override protected def staticCall(c: String): String =
+    s"graft.functions.TextHash$$.MODULE$$.scriptTokens($c)"
+  override protected def withNewChildInternal(newChild: Expression): ScriptTokens =
+    copy(child = newChild)
+}
+
 case class ScriptCounts(child: Expression) extends TextHashExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "script_counts"
@@ -431,6 +530,12 @@ object functions {
     * `TextAnalysis.ScriptRanges` sorted keys. Null text null-propagates. */
   def script_counts(text: Column): Column =
     GraftExpressionBridge.column(ScriptCounts(GraftExpressionBridge.expression(text)))
+
+  /** Script-aware tokens (codegen'd, one pass): word-script runs as word
+    * tokens, Han/kana/Thai runs as character bigrams. Null text
+    * null-propagates. */
+  def script_tokens(text: Column): Column =
+    GraftExpressionBridge.column(ScriptTokens(GraftExpressionBridge.expression(text)))
 
   /** Hashing-trick TF vector (codegen'd, one pass); null text null-propagates. */
   def hashed_tf(text: Column, dims: Int = 256): Column =
@@ -481,6 +586,9 @@ object functions {
     (FunctionIdentifier("script_counts"),
       new ExpressionInfo(classOf[ScriptCounts].getName, "script_counts"),
       (args: Seq[Expression]) => ScriptCounts(args.head)),
+    (FunctionIdentifier("script_tokens"),
+      new ExpressionInfo(classOf[ScriptTokens].getName, "script_tokens"),
+      (args: Seq[Expression]) => ScriptTokens(args.head)),
     (FunctionIdentifier("hashed_tf"),
       new ExpressionInfo(classOf[HashedTf].getName, "hashed_tf"),
       (args: Seq[Expression]) => HashedTf(args.head,

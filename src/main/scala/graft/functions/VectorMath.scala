@@ -119,7 +119,12 @@ object VectorMath {
       d += x * y; na += x * x; nb += y * y
       i += 1
     }
-    d / (math.sqrt(na) * math.sqrt(nb))
+    // a zero-norm side (empty doc, all-zero vector) defines cosine as 0,
+    // not NaN: NaN orders differently across engines (Spark sorts it last
+    // in a struct min, DuckDB's ORDER BY DESC sorts it first), so a NaN
+    // here would silently diverge ranked top-k results from the oracle
+    val den = math.sqrt(na) * math.sqrt(nb)
+    if (den == 0.0) 0.0 else d / den
   }
 }
 

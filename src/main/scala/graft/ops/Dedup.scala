@@ -43,10 +43,9 @@ object Dedup {
    * metadata"). `scoreCol` must be numeric; ties fall to the smallest
    * `keyCol` so the keeper is always deterministic. Same single
    * partial-agg shuffle as [[exact]] — the arg-min runs on a
-   * `(null-flag, -score, key)` struct, combining map-side, no window sort.
-   * (The negation means a score exactly equal to its type's MinValue is
-   * rejected by ANSI overflow checking — scores are quality metrics, so
-   * that value is pathological.)
+   * `(null-flag, -score, key)` struct, combining map-side, no window sort;
+   * integral scores negate in DECIMAL(38,0) so even MinValue orders
+   * correctly (see [[descendingScore]]).
    *
    * A row with a NULL score loses to every scored duplicate (the leading
    * null-flag sorts scored rows first — a bare `-score` would put null
@@ -56,7 +55,27 @@ object Dedup {
   def exactKeepBest(df: DataFrame, textCol: String, scoreCol: String, keyCol: String): DataFrame =
     argMinByFingerprint(df, textCol,
       struct(col(scoreCol).isNull.cast("int").as("__scoreless"),
-        (-coalesce(col(scoreCol), lit(0))).as("__neg"), col(keyCol).as("__key")))
+        descendingScore(col(scoreCol), df.schema(scoreCol).dataType).as("__neg"),
+        col(keyCol).as("__key")))
+
+  /**
+   * Overflow-safe descending-order key for an arg-MIN aggregate: integral
+   * scores negate in DECIMAL(38,0) — a raw two's-complement negation of
+   * `Long.MinValue` wraps to itself and would sort that score as the BEST
+   * row instead of the worst. Fractional and decimal ranges are symmetric,
+   * so they negate natively (keeping exact float semantics). Null scores
+   * coalesce to 0 only as a struct-field placeholder; callers gate on a
+   * leading null-flag field.
+   */
+  private[ops] def descendingScore(
+      score: Column, dt: org.apache.spark.sql.types.DataType): Column = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        -coalesce(score.cast(DecimalType(38, 0)), lit(0))
+      case _ => -coalesce(score, lit(0))
+    }
+  }
 
   /** One shared arg-min scaffold: group on the normalized-text fingerprint,
     * keep the row minimizing `ordering` (map-side partial agg, no window). */
@@ -576,7 +595,8 @@ object Dedup {
     val keepers = scored.groupBy(col("cluster_id"))
       .agg(min_by(col("id"),
         struct(col("__s").isNull.cast("int").as("__scoreless"),
-          (-coalesce(col("__s"), lit(0))).as("__neg"), col("id").as("__id"))).as("id"))
+          descendingScore(col("__s"), df.schema(scoreCol).dataType).as("__neg"),
+          col("id").as("__id"))).as("id"))
       .select(col("id"))
     val losers = clusters.select(col("id")).join(keepers, Seq("id"), "left_anti")
       .select(col("id").as(idCol))

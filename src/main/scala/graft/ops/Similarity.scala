@@ -36,7 +36,10 @@ object Similarity {
   private[graft] def cosineComposed(a: Column, b: Column): Column = {
     def dotC(x: Column, y: Column): Column =
       aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")), lit(0.0), (acc, v) => acc + v)
-    dotC(a, b) / (sqrt(dotC(a, a)) * sqrt(dotC(b, b)))
+    // zero-norm cosine is 0 by definition (matches the kernel): avoids NaN,
+    // whose sort order differs between Spark and the DuckDB oracle
+    val den = sqrt(dotC(a, a)) * sqrt(dotC(b, b))
+    when(den === 0.0, lit(0.0)).otherwise(dotC(a, b) / den)
   }
 
   /**
@@ -83,6 +86,49 @@ object Similarity {
       struct((-col("cosine")).as("__neg"), col("neighbor_id").as("neighbor_id"),
         col("cosine").as("cosine")), k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /**
+   * No-embedding-model similarity: hashing-trick TF vectors
+   * ([[TextAnalysis.hashedTfVector]]) straight off document text, then the
+   * exact brute-force cosine top-k of [[bruteForceTopK]]. `isQuery` marks
+   * the (broadcastable) query subset WITHIN the corpus, so the corpus is
+   * featurized exactly once and both join sides read the same vectors.
+   *
+   * Token-free documents (empty or null text) are excluded up front: an
+   * all-zero TF vector carries no similarity signal, and its 0/0 cosine
+   * would otherwise need a NaN-ordering contract between engines.
+   *
+   * The featurized frame is materialized behind an explicit barrier —
+   * without one, CollapseProject inlines the featurizer expression past
+   * the non-equi join and the corpus re-featurizes once PER QUERY row
+   * (measured 52x at sf0.1). With `checkpointDir` unset the barrier is a
+   * LOCAL checkpoint (executor block manager): fine single-node, but on a
+   * real cluster an executor loss kills the lineage mid-query. Set
+   * `checkpointDir` to a reliable-FS path (HDFS/S3) for fault-tolerant
+   * runs — same knob and semantics as [[Dedup.duplicateClusters]].
+   */
+  def hashedTfTopK(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      isQuery: Column,
+      dims: Int = 64,
+      k: Int = 10,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val featurized = corpus
+      .filter(size(TextAnalysis.tokens(col(textCol))) > 0)
+      .select(col(idCol), isQuery.as("__is_query"),
+        TextAnalysis.hashedTfVector(col(textCol), dims).as("__vec"))
+    val vectors = checkpointDir match {
+      case Some(dir) =>
+        featurized.sparkSession.sparkContext.setCheckpointDir(dir)
+        featurized.checkpoint(eager = false)
+      case None => featurized.localCheckpoint(eager = false)
+    }
+    bruteForceTopK(
+      vectors.filter(col("__is_query")).drop("__is_query"),
+      vectors.drop("__is_query"), idCol, "__vec", k)
   }
 
   /**

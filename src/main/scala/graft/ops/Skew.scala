@@ -12,8 +12,27 @@ import org.apache.spark.sql.functions._
  */
 object Skew {
 
-  /** A deterministic-enough salt in [0, n): spreads a hot key across n reducers. */
+  /**
+   * A cheap salt in [0, n): spreads a hot key across n reducers. Built on
+   * `monotonically_increasing_id()`, so it is PARTITION-DEPENDENT — a task
+   * retry or an AQE replan can re-salt the same row differently. Harmless
+   * for pure load-spreading aggregation (any assignment balances equally);
+   * for runs that must be reproducible row-for-row, use [[saltBy]] keyed on
+   * stable row content instead.
+   */
   def salt(n: Int): Column = pmod(hash(monotonically_increasing_id()), lit(n))
+
+  /**
+   * Deterministic salt in [0, n): a pure function of the given row columns,
+   * so retries, AQE replans, and re-runs always assign a row the same salt.
+   * Key it on a stable row id (or the full row's identifying columns), NOT
+   * on the hot grouping key itself — salting by the group key alone maps
+   * each hot key to ONE salt value and spreads nothing.
+   */
+  def saltBy(n: Int, cols: Column*): Column = {
+    require(cols.nonEmpty, "saltBy needs at least one column to hash")
+    pmod(hash(cols: _*), lit(n))
+  }
 
   /**
    * Two-phase aggregation for skewed grouping keys: phase 1 aggregates on
@@ -27,10 +46,11 @@ object Skew {
    *   "total" -> (sum(col("value")), cs => sum(cs)))
    * }}}
    */
-  def saltedAgg(df: DataFrame, keys: Seq[String], n: Int = 32)(
+  def saltedAgg(df: DataFrame, keys: Seq[String], n: Int = 32,
+      saltCol: Option[Column] = None)(
       aggs: (String, (Column, Column => Column))*): DataFrame = {
     val phase1 = df
-      .withColumn("__salt", salt(n))
+      .withColumn("__salt", saltCol.getOrElse(salt(n)))
       .groupBy((keys :+ "__salt").map(col): _*)
       .agg(aggs.head._2._1.as(s"__p_${aggs.head._1}"),
         aggs.tail.map { case (name, (partial, _)) => partial.as(s"__p_$name") }: _*)
@@ -47,8 +67,9 @@ object Skew {
    * Costs n x the small side's shuffle volume; prefer broadcast when the
    * small side fits, and AQE skew-join when splits suffice.
    */
-  def saltedJoin(big: DataFrame, small: DataFrame, key: String, n: Int = 16): DataFrame = {
-    val bigSalted = big.withColumn("__salt", salt(n))
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String, n: Int = 16,
+      saltCol: Option[Column] = None): DataFrame = {
+    val bigSalted = big.withColumn("__salt", saltCol.getOrElse(salt(n)))
     val smallReplicated = small
       .withColumn("__salt", explode(sequence(lit(0), lit(n - 1))))
     bigSalted.join(smallReplicated, Seq(key, "__salt")).drop("__salt")

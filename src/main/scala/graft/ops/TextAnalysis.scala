@@ -19,6 +19,54 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
 
+  /** Non-ASCII word-script ranges (space-delimited scripts the ASCII
+    * tokenizer drops): Greek+Cyrillic, Hebrew, Arabic, Devanagari, Hangul.
+    * `\x{...}` escapes parse identically in Java regex and RE2. */
+  private[graft] val NonAsciiWordRanges: String =
+    "\\x{0370}-\\x{04ff}\\x{0590}-\\x{05ff}\\x{0600}-\\x{06ff}" +
+      "\\x{0900}-\\x{097f}\\x{ac00}-\\x{d7a3}"
+
+  /** Segmentation-script ranges (written without word spaces): Thai, kana, Han. */
+  private[graft] val SegScriptRanges: String =
+    "\\x{0e00}-\\x{0e7f}\\x{3040}-\\x{30ff}\\x{4e00}-\\x{9fff}"
+
+  /**
+   * Script-aware tokens ([[graft.functions.TextHash.scriptTokenize]]
+   * kernel, one codegen'd pass) — what the token-based ops need on a
+   * multilingual crawl, where [[tokens]] sees NOTHING outside ASCII:
+   * word-script runs (ASCII — uppercase folded — plus Greek, Cyrillic,
+   * Hebrew, Arabic, Devanagari, Hangul) emit word tokens; Han/kana/Thai
+   * runs emit overlapping character bigrams (the standard dictionary-free
+   * CJK segmentation recipe). Deterministic and engine-portable: ASCII-only
+   * case folding, fixed BMP ranges — [[scriptTokensComposed]] is the
+   * regex-built twin the DuckDB oracle mirrors.
+   */
+  def scriptTokens(text: Column): Column =
+    graft.functions.functions.script_tokens(text)
+
+  /** Script-aware token count — the [[whitespaceTokenCount]] upgrade for
+    * corpora with CJK/Thai text (a spaceless sentence is ONE whitespace
+    * token but `chars-1` script bigrams). */
+  def scriptTokenCount(text: Column): Column = size(scriptTokens(text))
+
+  /** Composed-builtin SPECIFICATION twin of [[scriptTokens]] — the
+    * regexp/higher-order-function form the DuckDB oracle mirrors
+    * (bit-identical on any text; cross-checked in TextAnalysisSpec).
+    * `translate` folds ASCII case so non-ASCII case law never enters. */
+  private[graft] def scriptTokensComposed(text: Column): Column = {
+    val wordCls = s"a-z0-9$NonAsciiWordRanges"
+    val lowered = translate(text,
+      "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz")
+    val runs = regexp_extract_all(lowered,
+      lit(s"[$wordCls]+|[$SegScriptRanges]+"), lit(0))
+    flatten(transform(runs, r =>
+      when(r.rlike(s"^[$SegScriptRanges]"),
+        when(length(r) === 1, array(r))
+          .otherwise(transform(sequence(lit(1), length(r) - 1),
+            i => substring(r, i, lit(2)))))
+        .otherwise(array(r))))
+  }
+
   /** Whitespace-delimited token count (fast, locale-free). */
   def whitespaceTokenCount(text: Column): Column =
     size(filter(split(text, "\\s+"), t => t =!= ""))
@@ -423,12 +471,50 @@ object TextAnalysis {
       minMeanWordLen: Double = 2.0,
       maxMeanWordLen: Double = 12.0,
       maxSymbolRatio: Double = 0.2,
-      minDistinctRatio: Double = 0.2): Seq[(String, Column)] = {
-    val toks = tokens(text)
+      minDistinctRatio: Double = 0.2): Seq[(String, Column)] =
+    qualityFlagsWith(text, tokens(text), """[^a-zA-Z0-9\s]""",
+      minWords, maxWords, minMeanWordLen, maxMeanWordLen, maxSymbolRatio,
+      minDistinctRatio)
+
+  /**
+   * [[qualityFlags]] over [[scriptTokens]] — the gate a multilingual crawl
+   * needs: under the ASCII tokenizer a Chinese/Japanese/Thai page has ZERO
+   * tokens (fails the word-count gate) and every script character counts
+   * as a symbol (fails the symbol-ratio gate), so the standard gates
+   * silently reject entire languages. Here token counts come from the
+   * script-aware tokenizer (CJK bigrams average length 2, inside the
+   * default mean-word-length band) and the symbol class admits all word-
+   * and segmentation-script characters, so the gates measure what they
+   * mean — degenerate repetition, symbol soup, trivial length — in every
+   * script the language-ID routes.
+   */
+  def qualityFlagsScriptAware(
+      text: Column,
+      minWords: Int = 5,
+      maxWords: Int = 100000,
+      minMeanWordLen: Double = 2.0,
+      maxMeanWordLen: Double = 12.0,
+      maxSymbolRatio: Double = 0.2,
+      minDistinctRatio: Double = 0.2): Seq[(String, Column)] =
+    qualityFlagsWith(text, scriptTokens(text),
+      s"""[^a-zA-Z0-9\\s$NonAsciiWordRanges$SegScriptRanges]""",
+      minWords, maxWords, minMeanWordLen, maxMeanWordLen, maxSymbolRatio,
+      minDistinctRatio)
+
+  private def qualityFlagsWith(
+      text: Column,
+      toks: Column,
+      symbolPattern: String,
+      minWords: Int,
+      maxWords: Int,
+      minMeanWordLen: Double,
+      maxMeanWordLen: Double,
+      maxSymbolRatio: Double,
+      minDistinctRatio: Double): Seq[(String, Column)] = {
     val nTokens = size(toks)
     val meanLen = aggregate(toks, lit(0), (acc, t) => acc + length(t)).cast("double") /
       greatest(nTokens, lit(1))
-    val symbolRatio = (length(text) - length(regexp_replace(text, """[^a-zA-Z0-9\s]""", "")))
+    val symbolRatio = (length(text) - length(regexp_replace(text, symbolPattern, "")))
       .cast("double") / greatest(length(text), lit(1))
     val distinctRatio = size(array_distinct(toks)).cast("double") / greatest(nTokens, lit(1))
     val flags = Seq(
@@ -1006,7 +1092,10 @@ object TextAnalysis {
    * chunks partition the document exactly. Sentences are atomic: a chunk
    * may exceed `maxChars` by one sentence tail rather than cut one.
    * `overlap` is capped at `maxChars/2` so a sentence joins at most two
-   * chunks.
+   * chunks. Chunk ids may be SPARSE: a single sentence longer than
+   * `maxChars + step` (minified / legal text) spans several offset
+   * windows, and the windows containing no sentence start are dropped
+   * rather than emitted as empty chunks.
    *
    * Per-row and exchange-free: sentence start offsets are ONE `aggregate`
    * prefix-sum pass (array state, O(sentences) per row), membership is
@@ -1051,6 +1140,9 @@ object TextAnalysis {
           bin(o) === col("chunk_id") ||
             (bin(o) - 1 === col("chunk_id") && o % step < overlap)
         }), "").as("chunk_text"))
+      // offset windows with no sentence start (an over-long sentence spans
+      // them) would otherwise surface as empty-string chunks
+      .filter(col("chunk_text") =!= "")
   }
 
   /** Adjacent word n-grams of a token array, space-joined; empty when the

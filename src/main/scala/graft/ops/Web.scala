@@ -132,13 +132,15 @@ object Web {
    * longest / most recent / highest-quality snapshot". Same null and
    * shuffle semantics; ties (and all-null scores) fall to the smallest
    * `keyCol`, null scores lose to any scored row (the same
-   * `(null-flag, -score, key)` arg-min as [[Dedup.exactKeepBest]]).
+   * `(null-flag, -score, key)` arg-min as [[Dedup.exactKeepBest]], with
+   * the same overflow-safe integral negation).
    */
   def dedupByUrlKeepBest(
       df: DataFrame, urlCol: String, scoreCol: String, keyCol: String): DataFrame =
     dedupByUrlOrdering(df, urlCol,
       struct(col(scoreCol).isNull.cast("int").as("__scoreless"),
-        (-coalesce(col(scoreCol), lit(0))).as("__neg"), col(keyCol).as("__key")))
+        Dedup.descendingScore(col(scoreCol), df.schema(scoreCol).dataType).as("__neg"),
+        col(keyCol).as("__key")))
 
   private def dedupByUrlOrdering(df: DataFrame, urlCol: String, ordering: Column): DataFrame = {
     val cols = df.columns.toSeq

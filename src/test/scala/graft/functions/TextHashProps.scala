@@ -71,6 +71,46 @@ object TextHashProps extends Properties("TextHash") {
       }
     }
 
+  // pure-JVM reference for scriptTokenize: classify per code unit with
+  // regexes over one-char strings, group runs, expand seg runs to bigrams
+  private def scriptTokenizeRef(s: String): Seq[String] = {
+    val word = ("[a-zA-Z0-9\\x{0370}-\\x{04ff}\\x{0590}-\\x{05ff}" +
+      "\\x{0600}-\\x{06ff}\\x{0900}-\\x{097f}\\x{ac00}-\\x{d7a3}]").r
+    val seg = "[\\x{0e00}-\\x{0e7f}\\x{3040}-\\x{30ff}\\x{4e00}-\\x{9fff}]".r
+    def cls(c: Char): Int = {
+      val cs = c.toString
+      if (word.matches(cs)) 1 else if (seg.matches(cs)) 2 else 0
+    }
+    val runs = s.foldLeft(List.empty[(Int, StringBuilder)]) { (acc, c) =>
+      acc match {
+        case (k, sb) :: _ if k == cls(c) => sb.append(c); acc
+        case _ => (cls(c), new StringBuilder(c.toString)) :: acc
+      }
+    }.reverse
+    runs.flatMap {
+      // ASCII-only case fold, matching the kernel (non-ASCII case law is
+      // engine-specific, so the kernel leaves it untouched)
+      case (1, sb) =>
+        Seq(sb.toString.map(c => if (c >= 'A' && c <= 'Z') (c + 32).toChar else c))
+      case (2, sb) =>
+        val r = sb.toString
+        if (r.length == 1) Seq(r) else r.sliding(2).toSeq
+      case _ => Seq.empty
+    }
+  }
+
+  property("scriptTokenize equals the run-classify/bigram-expand reference") =
+    forAll(genScriptText) { s =>
+      TextHash.scriptTokenize(s).toSeq == scriptTokenizeRef(s)
+    }
+
+  property("scriptTokenize equals tokenize on pure-ASCII text") =
+    forAll(Gen.listOf(Gen.frequency(
+      5 -> Gen.alphaNumChar.map(_.toString),
+      1 -> Gen.oneOf(" ", ".", ",", "-", "_"))).map(_.mkString)) { s =>
+      TextHash.scriptTokenize(s).sameElements(TextHash.tokenize(s))
+    }
+
   property("wordNgrams equals sliding windows over tokenize") =
     forAll(genText, Gen.choose(1, 4)) { (s, n) =>
       val kernel = TextHash.wordNgrams(UTF8String.fromString(s), n)

@@ -376,6 +376,79 @@ class TextAnalysisSpec extends SparkTestBase {
       .select(TextAnalysis.languageId($"text")).as[String].head() shouldBe "und"
   }
 
+  test("scriptTokens kernel is bit-identical to the composed regex form") {
+    // one row per word script, one per segmentation script, mixed runs,
+    // boundary shapes: lone seg chars, seg runs split by spaces/ASCII,
+    // chars just outside the ranges, astral chars, case folding
+    val texts = Seq(
+      "Hello, World 42!", "Привет мир", "Γειά σου Κόσμε", "مرحبا بالعالم",
+      "שלום עולם", "नमस्ते दुनिया", "안녕하세요 세계",
+      "深度学习模型在大规模语料库上训练", "こんにちは世界",
+      "ひらがなとカタカナと漢字が混ざる文", "สวัสดีชาวโลก",
+      "mixed 漢字 and English คำไทย Кириллица",
+      "漢", "a漢b", "漢 字", "GPU で学習", "", "12345 .,;:",
+      "é ѐ ԰ 㐀 Ａｚ ｱ", "🙂 astral 𝔸 🙂")
+    val rows = texts.toDF("text").select(
+      TextAnalysis.scriptTokens($"text").as("fast"),
+      TextAnalysis.scriptTokensComposed($"text").as("spec")).collect()
+    rows.foreach(r => r.getSeq[String](0) shouldBe r.getSeq[String](1))
+    // null text null-propagates in both forms
+    Seq(Option.empty[String]).toDF("text")
+      .select(explode(TextAnalysis.scriptTokens($"text"))).collect() shouldBe empty
+  }
+
+  test("scriptTokens segments CJK/Thai as character bigrams, words elsewhere") {
+    def toksOf(s: String): Seq[String] =
+      Seq(s).toDF("t").select(TextAnalysis.scriptTokens($"t")).as[Seq[String]].head()
+    val zh = "深度学习模型在大规模语料库上训练" // one 16-char Han run
+    toksOf(zh) should have length (zh.length - 1)
+    toksOf(zh).take(2) shouldBe Seq("深度", "度学")
+    // kana and Han segment as ONE run (Japanese interleaves them mid-word)
+    toksOf("漢字かな") shouldBe Seq("漢字", "字か", "かな")
+    toksOf("漢") shouldBe Seq("漢")          // lone char emits itself
+    toksOf("漢 字") shouldBe Seq("漢", "字") // separator splits the run
+    // ASCII case-folds; seg runs bound by word runs
+    toksOf("GPU で学習") shouldBe Seq("gpu", "で学", "学習")
+    // word scripts (spaces exist) stay word tokens, no case folding outside ASCII
+    toksOf("Привет мир") shouldBe Seq("Привет", "мир")
+    // the ASCII subset matches the classic tokenizer exactly
+    val ascii = "MiXeD Case-Tokens_42 here"
+    Seq(ascii).toDF("t")
+      .select(TextAnalysis.scriptTokens($"t") === TextAnalysis.tokens($"t"))
+      .as[Boolean].head() shouldBe true
+  }
+
+  test("script-aware gates and lang-ID give sane verdicts on zh/ja/th docs") {
+    val docs = Seq(
+      ("zh", "深度学习模型在大规模语料库上训练需要高质量的数据和强大的算力支持"),
+      ("ja", "ひらがなとカタカナと漢字が混ざる日本語の文章を正しく処理する"),
+      ("th", "การประมวลผลข้อความภาษาไทยต้องแบ่งคำอย่างถูกต้อง")).toDF("want", "text")
+    // the ASCII gates reject every one of these outright (zero tokens);
+    // the script-aware gates pass them all
+    val asciiPass = TextAnalysis.qualityFlags(col("text"))
+      .collectFirst { case ("passes", c) => c }.get
+    val scriptPass = TextAnalysis.qualityFlagsScriptAware(col("text"))
+      .collectFirst { case ("passes", c) => c }.get
+    val rows = docs.select($"want", asciiPass.as("ascii"), scriptPass.as("script"),
+      TextAnalysis.languageId($"text").as("lang"),
+      TextAnalysis.scriptTokenCount($"text").as("n_tok"),
+      TextAnalysis.whitespaceTokenCount($"text").as("ws_tok")).collect()
+    rows.foreach { r =>
+      r.getAs[Long]("ascii") shouldBe 0L
+      r.getAs[Long]("script") shouldBe 1L
+      r.getAs[String]("lang") shouldBe r.getAs[String]("want")
+      // a spaceless sentence is ONE whitespace token but many script bigrams
+      r.getAs[Int]("n_tok") should be > 10
+      r.getAs[Int]("ws_tok") shouldBe 1
+    }
+    // degenerate repetition still fails the script-aware distinct gate
+    Seq("的的的的的的的的的的的的的的的的的的的的").toDF("text")
+      .select(scriptPass).as[Long].head() shouldBe 0L
+    // an English doc gets the same verdict from both gate families
+    Seq("The quick brown fox jumps over the lazy dog near the river bank today")
+      .toDF("text").select(asciiPass === scriptPass).as[Boolean].head() shouldBe true
+  }
+
   test("dedupLinesInDoc keeps first occurrences in order") {
     def clean(s: String): String =
       Seq(s).toDF("t").select(TextAnalysis.dedupLinesInDoc($"t")).as[String].head()
