@@ -1685,22 +1685,25 @@ object Queries {
 
   /**
    * `url_profile`: the [[Web]] URL toolkit over deterministic synthetic
-   * URLs (the word-soup corpus has no URL column) — four shapes per
-   * `doc_id % 4` exercise mixed-case schemes/hosts, default ports,
-   * co.uk-style second-level domains, tracking params, fragments,
-   * schemeless hosts and root slashes. The oracle rebuilds the same URLs
-   * and mirrors every chain stage for stage in DuckDB (RE2).
+   * URLs (the word-soup corpus has no URL column) — five shapes per
+   * `doc_id % 5` exercise mixed-case schemes/hosts, default ports,
+   * co.uk-style second-level domains, hosting-platform private suffixes
+   * (`<user>.blogspot.com` keeps its user label), tracking params,
+   * fragments, schemeless hosts and root slashes. The oracle rebuilds the
+   * same URLs and mirrors every chain stage for stage in DuckDB (RE2).
    */
   def urlProfile(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     val id = col("doc_id").cast("string")
-    val url = when(col("doc_id") % 4 === 0,
+    val url = when(col("doc_id") % 5 === 0,
       concat(lit("HTTPS://WWW."), col("source"), lit(".Example.CO.UK:443/Articles/"), id,
         lit("?utm_source=feed&ref="), col("lang"), lit("#sec2")))
-      .when(col("doc_id") % 4 === 1,
+      .when(col("doc_id") % 5 === 1,
         concat(lit("http://blog."), col("source"), lit(".com:80/post/"), id,
           lit("?id="), id, lit("&utm_campaign=x&gclid=abc")))
-      .when(col("doc_id") % 4 === 2, concat(col("source"), lit(".org/data/"), id))
+      .when(col("doc_id") % 5 === 2, concat(col("source"), lit(".org/data/"), id))
+      .when(col("doc_id") % 5 === 3,
+        concat(lit("https://"), col("source"), col("lang"), lit(".blogspot.com/"), id))
       .otherwise(concat(lit("https://cdn."), col("source"), lit(".net/")))
     t(dir, "documents").select(col("doc_id"), url.as("url"))
       .select(col("doc_id"), col("url"),
@@ -1710,17 +1713,24 @@ object Queries {
   }
 
   val urlProfileSql: String = {
-    val urlCase = "CASE doc_id % 4" +
+    val urlCase = "CASE doc_id % 5" +
       " WHEN 0 THEN 'HTTPS://WWW.' || source || '.Example.CO.UK:443/Articles/' || doc_id || '?utm_source=feed&ref=' || lang || '#sec2'" +
       " WHEN 1 THEN 'http://blog.' || source || '.com:80/post/' || doc_id || '?id=' || doc_id || '&utm_campaign=x&gclid=abc'" +
       " WHEN 2 THEN source || '.org/data/' || doc_id" +
+      " WHEN 3 THEN 'https://' || source || lang || '.blogspot.com/' || doc_id" +
       " ELSE 'https://cdn.' || source || '.net/' END"
     val sll = graft.ops.Web.SecondLevelLabels.map(l => s"'$l'").mkString(", ")
+    val privs = graft.ops.Web.PrivateSuffixes.map(l => s"'$l'").mkString(", ")
+    // base registrable (ccTLD-aware), then the private-suffix widening:
+    // when the base lands on a hosting platform, keep one more label
+    val baseLen = s"CASE WHEN len(labels) <= 2 THEN len(labels)" +
+      s" WHEN length(labels[-1]) = 2 AND labels[-2] IN ($sll) THEN 3 ELSE 2 END"
+    val base = s"CASE WHEN len(labels) <= 2 THEN host" +
+      s" ELSE array_to_string(list_slice(labels, len(labels) - ($baseLen) + 1, len(labels)), '.') END"
     s"""SELECT doc_id, url, host,
-       CASE WHEN len(labels) <= 2 THEN host
-            WHEN length(labels[-1]) = 2 AND labels[-2] IN ($sll)
-              THEN array_to_string(list_slice(labels, len(labels) - 2, len(labels)), '.')
-            ELSE array_to_string(list_slice(labels, len(labels) - 1, len(labels)), '.') END AS domain,
+       CASE WHEN ($base) IN ($privs) AND len(labels) > ($baseLen)
+              THEN array_to_string(list_slice(labels, len(labels) - ($baseLen), len(labels)), '.')
+            ELSE ($base) END AS domain,
        sch || '://' || nhost || (CASE WHEN path0 = '/' THEN '' ELSE path0 END) ||
          (CASE WHEN qc = '' THEN '' ELSE '?' || qc END) AS norm_url
        FROM (SELECT doc_id, url, sch, host, nhost, path0, string_split(host, '.') AS labels,

@@ -64,23 +64,48 @@ object Web {
     "plc", "re", "res", "sch", "web")
 
   /**
+   * Hosting-platform suffixes from the PUBLIC Suffix List's private
+   * section (public data; the dominant subset): registrations one level
+   * below these belong to DIFFERENT users, so grouping them as one
+   * "domain" would let a single blocklist entry or [[TextAnalysis.sourceCap]]
+   * bucket swallow an entire hosting platform (every `*.blogspot.com`
+   * blog as one source). [[registeredDomain]] widens by one label when its
+   * base result lands on one of these — which also composes with the
+   * ccTLD rule (`foo.blogspot.co.uk` → `foo.blogspot.co.uk`'s base
+   * `blogspot.co.uk` is listed, so the user label is kept).
+   */
+  val PrivateSuffixes: Seq[String] = Seq(
+    "blogspot.com", "blogspot.co.uk", "blogspot.com.au", "blogspot.com.br",
+    "blogspot.de", "blogspot.fr", "blogspot.in", "blogspot.jp",
+    "blogspot.mx", "github.io", "gitlab.io", "wordpress.com", "tumblr.com",
+    "weebly.com", "wixsite.com", "neocities.org", "readthedocs.io",
+    "netlify.app", "vercel.app", "pages.dev", "web.app", "firebaseapp.com",
+    "herokuapp.com", "appspot.com", "azurewebsites.net", "surge.sh")
+
+  /**
    * Registrable domain of a (lowercased) host: the last two labels, or the
    * last three when the top label is two letters (ccTLD shape) and the
    * second-to-last is a [[SecondLevelLabels]] entry — so
    * `www.blog.example.co.uk` and `cdn.example.co.uk` both group as
    * `example.co.uk`, and `shop.example.com.br` / `site.example.or.jp` /
-   * `john.id.au` each keep their three-label registration. The grouping
-   * key for domain caps, blocklists and provenance stats; hosts with at
-   * most two labels pass through.
+   * `john.id.au` each keep their three-label registration. When that base
+   * result is a [[PrivateSuffixes]] hosting platform, one MORE label is
+   * kept (`alice.blogspot.com` and `bob.blogspot.com` are different
+   * registrants, not one domain). The grouping key for domain caps,
+   * blocklists and provenance stats; hosts with at most two labels pass
+   * through.
    */
   def registeredDomain(host: Column): Column = {
     val labels = split(host, "\\.")
     val n = size(labels)
     val take3 = n >= 3 && length(element_at(labels, -1)) === 2 &&
       element_at(labels, -2).isin(SecondLevelLabels.map(x => x: Any): _*)
-    when(n <= 2, host)
-      .otherwise(when(take3, array_join(slice(labels, n - 2, lit(3)), "."))
-        .otherwise(array_join(slice(labels, n - 1, lit(2)), ".")))
+    val baseLen = when(take3, lit(3)).otherwise(lit(2))
+    val base = when(n <= 2, host)
+      .otherwise(array_join(slice(labels, n - baseLen + lit(1), baseLen), "."))
+    when(base.isin(PrivateSuffixes.map(x => x: Any): _*) && n > baseLen,
+      array_join(slice(labels, n - baseLen, baseLen + lit(1)), "."))
+      .otherwise(base)
   }
 
   /** [[registeredDomain]] straight from a URL. */

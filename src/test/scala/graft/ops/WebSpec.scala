@@ -38,6 +38,29 @@ class WebSpec extends SparkTestBase {
     dom("sub.example.co.com") shouldBe "co.com"
   }
 
+  test("registeredDomain keeps the user label under hosting-platform private suffixes") {
+    def dom(h: String): String = run(h, Web.registeredDomain(_))
+    // each user site is its own registrant, not one platform-wide domain
+    dom("alice.blogspot.com") shouldBe "alice.blogspot.com"
+    dom("bob.blogspot.com") shouldBe "bob.blogspot.com"
+    dom("www.alice.blogspot.com") shouldBe "alice.blogspot.com"
+    dom("alice.github.io") shouldBe "alice.github.io"
+    dom("docs.project.readthedocs.io") shouldBe "project.readthedocs.io"
+    dom("my-app.herokuapp.com") shouldBe "my-app.herokuapp.com"
+    dom("site.netlify.app") shouldBe "site.netlify.app"
+    // composes with the ccTLD rule: the base lands on blogspot.co.uk, so
+    // the user label is kept on top of the three-label suffix
+    dom("alice.blogspot.co.uk") shouldBe "alice.blogspot.co.uk"
+    dom("www.alice.blogspot.co.uk") shouldBe "alice.blogspot.co.uk"
+    dom("alice.blogspot.de") shouldBe "alice.blogspot.de"
+    // the platform apex itself (no user label) passes through unwidened
+    dom("blogspot.com") shouldBe "blogspot.com"
+    dom("github.io") shouldBe "github.io"
+    // non-listed lookalikes keep the plain two-label rule
+    dom("alice.blogspot.org") shouldBe "blogspot.org"
+    dom("x.github.com") shouldBe "github.com"
+  }
+
   test("dedupByUrl keeps the smallest-keyed row per canonical URL, null URLs pass") {
     val rows = Seq(
       (1L, "HTTP://X.com:80/a?utm_source=s"),
