@@ -382,16 +382,23 @@ object Multimodal {
    * other in cosine space; a learned encoder can replace this per-column
    * without touching any downstream operator.
    */
-  private[ops] def lumaGrid(img: java.awt.image.BufferedImage, grid: Int): Array[Double] = {
-    val out = Array.ofDim[Double](grid * grid)
+  private[ops] def lumaGrid(img: java.awt.image.BufferedImage, grid: Int): Array[Double] =
+    lumaGridRect(img, grid, grid)
+
+  /** Rectangular luma resample — [[lumaGrid]]'s general form (dHash needs
+    * the classic 9x8 patch: one extra column so every bit is a horizontal
+    * gradient). Row-major `gw` x `gh`. */
+  private[ops] def lumaGridRect(
+      img: java.awt.image.BufferedImage, gw: Int, gh: Int): Array[Double] = {
+    val out = Array.ofDim[Double](gw * gh)
     val (w, h) = (img.getWidth, img.getHeight)
     var gy = 0
-    while (gy < grid) {
+    while (gy < gh) {
       var gx = 0
-      while (gx < grid) {
+      while (gx < gw) {
         // box bounds: integer arithmetic, never empty (ceil-div guarded)
-        val x0 = gx * w / grid; val x1 = math.max((gx + 1) * w / grid, x0 + 1)
-        val y0 = gy * h / grid; val y1 = math.max((gy + 1) * h / grid, y0 + 1)
+        val x0 = gx * w / gw; val x1 = math.max((gx + 1) * w / gw, x0 + 1)
+        val y0 = gy * h / gh; val y1 = math.max((gy + 1) * h / gh, y0 + 1)
         var sum = 0.0
         var y = y0
         while (y < math.min(y1, h)) {
@@ -405,7 +412,7 @@ object Multimodal {
           }
           y += 1
         }
-        out(gy * grid + gx) = sum / ((math.min(x1, w) - x0) * (math.min(y1, h) - y0))
+        out(gy * gw + gx) = sum / ((math.min(x1, w) - x0) * (math.min(y1, h) - y0))
         gx += 1
       }
       gy += 1
@@ -464,45 +471,138 @@ object Multimodal {
    * bucketing (exact recall for Hamming <= 3, never an all-pairs compare).
    * Non-image payloads hash their md5 bytes (exact-dup detection only).
    */
-  def aHash(payload: Array[Byte]): Long = {
-    val img =
-      if (Codec.isImage(payload)) {
-        try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
-        catch { case scala.util.control.NonFatal(_) => None }
-      } else None
-    img match {
+  def aHash(payload: Array[Byte]): Long =
+    decodeImage(payload) match {
       case Some(i) =>
         val g = lumaGrid(i, 8)
         val mean = g.sum / g.length
         g.zipWithIndex.foldLeft(0L) { case (acc, (v, j)) =>
           if (v > mean) acc | (1L << j) else acc
         }
-      case None =>
-        val h = java.security.MessageDigest.getInstance("MD5").digest(payload)
-        (0 until 8).foldLeft(0L)((acc, j) => (acc << 8) | (h(j) & 0xffL))
+      case None => md5Hash64(payload)
     }
+
+  /**
+   * Perceptual difference-hash (dHash): 64-bit fingerprint from a 9x8 luma
+   * patch, bit `(row, col)` set when cell `col` is darker than cell
+   * `col + 1` — each bit is a horizontal GRADIENT sign, not an
+   * absolute-brightness vote, so dHash survives the edits aHash is
+   * weakest to (global brightness/gamma shifts move every cell AND the
+   * mean together, flipping aHash bits near the mean but leaving local
+   * gradients intact). Same fallback and Hamming-join shape as [[aHash]].
+   */
+  def dHash(payload: Array[Byte]): Long =
+    decodeImage(payload) match {
+      case Some(i) =>
+        val g = lumaGridRect(i, 9, 8)
+        var acc = 0L
+        var row = 0
+        while (row < 8) {
+          var c = 0
+          while (c < 8) {
+            if (g(row * 9 + c) < g(row * 9 + c + 1)) acc |= 1L << (row * 8 + c)
+            c += 1
+          }
+          row += 1
+        }
+        acc
+      case None => md5Hash64(payload)
+    }
+
+  /**
+   * Perceptual DCT-hash (pHash): 64-bit fingerprint from the 8x8
+   * low-frequency block of the 2D DCT-II over a 32x32 luma patch, bit set
+   * when the coefficient exceeds the block median (the classic pHash
+   * recipe). The DCT concentrates the image's large-scale structure into
+   * the low-frequency block, so pHash is the most robust of the three to
+   * recompression, mild crops and local edits — at ~10x the hash cost
+   * (still trivial next to the decode). Same fallback and Hamming-join
+   * shape as [[aHash]].
+   */
+  def pHash(payload: Array[Byte]): Long =
+    decodeImage(payload) match {
+      case Some(i) =>
+        val n = 32
+        val g = lumaGridRect(i, n, n)
+        // top-left 8x8 of the (orthonormal-scaled) 2D DCT-II, computed
+        // directly: 64 coefficients x 1024 samples is trivial per image
+        val coef = Array.ofDim[Double](64)
+        var v = 0
+        while (v < 8) {
+          var u = 0
+          while (u < 8) {
+            var sum = 0.0
+            var y = 0
+            while (y < n) {
+              val cy = math.cos((2 * y + 1) * v * math.Pi / (2 * n))
+              var x = 0
+              while (x < n) {
+                sum += g(y * n + x) * math.cos((2 * x + 1) * u * math.Pi / (2 * n)) * cy
+                x += 1
+              }
+              y += 1
+            }
+            coef(v * 8 + u) = sum
+            u += 1
+          }
+          v += 1
+        }
+        val sorted = coef.sorted
+        val median = (sorted(31) + sorted(32)) / 2
+        coef.zipWithIndex.foldLeft(0L) { case (acc, (c, j)) =>
+          if (c > median) acc | (1L << j) else acc
+        }
+      case None => md5Hash64(payload)
+    }
+
+  /** Decoded image, or None for non-image or broken payloads. */
+  private def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    if (Codec.isImage(payload)) {
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+      catch { case scala.util.control.NonFatal(_) => None }
+    } else None
+
+  /** Non-image fallback for the perceptual hashes: first 8 md5 bytes —
+    * exact-duplicate detection only, never a spurious near-match. */
+  private def md5Hash64(payload: Array[Byte]): Long = {
+    val h = java.security.MessageDigest.getInstance("MD5").digest(payload)
+    (0 until 8).foldLeft(0L)((acc, j) => (acc << 8) | (h(j) & 0xffL))
   }
 
   /**
    * Near-duplicate image pairs by banded perceptual-hash Hamming join:
-   * compute [[aHash]] per payload on executors, split the 64 bits into 4
-   * 16-bit bands, self-equi-join on `(band, value)` buckets (pigeonhole:
-   * any pair within `maxHamming <= 3` shares at least one intact band),
-   * verify with the exact Hamming distance. Output `(id_a, id_b, hamming)`
-   * with `id_a < id_b`. Identical scale shape to the text SimHash join —
-   * bucketed equi-joins only, never all-pairs.
+   * compute the chosen perceptual hash per payload on executors, split the
+   * 64 bits into 4 16-bit bands, self-equi-join on `(band, value)` buckets
+   * (pigeonhole: any pair within `maxHamming <= 3` shares at least one
+   * intact band), verify with the exact Hamming distance. Output
+   * `(id_a, id_b, hamming)` with `id_a < id_b`. Identical scale shape to
+   * the text SimHash join — bucketed equi-joins only, never all-pairs.
+   *
+   * `method` picks the hash family: `"ahash"` (mean-threshold, cheapest),
+   * `"dhash"` (gradient signs — robust to brightness/gamma shifts),
+   * `"phash"` (DCT low-frequency — most robust to recompression and local
+   * edits). All three drop into the same band join unchanged.
    */
   def imageNearDupPairs(
       df: DataFrame,
       idCol: String,
       payloadCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      method: String = "ahash"): DataFrame = {
     require(0 <= maxHamming && maxHamming <= 3,
       "4 bands guarantee recall only for maxHamming <= 3")
+    val hashFn: Array[Byte] => Long = method match {
+      case "ahash" => aHash
+      case "dhash" => dHash
+      case "phash" => pHash
+      case other =>
+        throw new IllegalArgumentException(
+          s"method must be ahash, dhash or phash, got $other")
+    }
     val spark = df.sparkSession
     import spark.implicits._
     val hashed = df.select(col(idCol).cast("long"), col(payloadCol))
-      .mapPartitions(_.map(r => (r.getLong(0), aHash(r.getAs[Array[Byte]](1)))))
+      .mapPartitions(_.map(r => (r.getLong(0), hashFn(r.getAs[Array[Byte]](1)))))
       .toDF(idCol, "__ah")
     val banded = hashed.select(col(idCol), col("__ah"),
       explode(array((0 until 4).map(b =>

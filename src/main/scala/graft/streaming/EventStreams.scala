@@ -191,6 +191,60 @@ object EventStreams {
   }
 
   /**
+   * S14 — streaming NEAR-dedup, the stream twin of
+   * [[graft.etl.examples.IncrementalNearDedupJob]]'s cross-date tier: the
+   * MinHash tier a crawl ingest needs beside the exact (S8) and URL (S13)
+   * tiers, since recrawls routinely differ by a timestamp or ad block and
+   * fingerprint/URL equality both miss them.
+   *
+   * Per row the codegen'd [[graft.functions.MinHashSignature]] kernel
+   * computes the signature and its LSH band hashes — stateless, scan-speed.
+   * Then two tiers:
+   *
+   *  1. **Store tier** — one stream-static LEFT ANTI join per band against
+   *     the batch band store (the SAME `(band, bh)` rows
+   *     [[graft.ops.Dedup.bandedIds]] writes, so batch and stream verdicts
+   *     can never drift): a document any of whose bands the store holds is
+   *     a candidate duplicate of history and is dropped. Stateless —
+   *     re-snapshotted per micro-batch, no streaming state.
+   *  2. **In-stream tier** — `dropDuplicatesWithinWatermark` per band
+   *     column: first-seen wins per band bucket inside the watermark
+   *     horizon, so near-identical documents arriving together also
+   *     collapse. State is band-hash-keyed and watermark-bounded, never
+   *     crawl-history-sized. (Chained per-band dedup checks later rows
+   *     against SURVIVORS' bands — a row dropped at band b does not leave
+   *     its other bands in state, the arrival-order analogue of batch
+   *     clustering keeping one representative per cluster.)
+   *
+   * Emits the input columns plus `band0..band{b-1}` so the sink can append
+   * survivors' bands back to the store ([[graft.io.WarehouseTable]]),
+   * closing the incremental loop exactly like the batch job.
+   */
+  def dedupNearAgainstStore(
+      docs: DataFrame,
+      store: DataFrame,
+      textCol: String = "text",
+      tsCol: String = "ts",
+      numHashes: Int = 12,
+      rowsPerBand: Int = 3,
+      watermark: String = "10 minutes"): DataFrame = {
+    require(numHashes % rowsPerBand == 0, "numHashes must divide evenly into bands")
+    val bands = numHashes / rowsPerBand
+    val banded = graft.ops.Dedup
+      .withMinhashSignature(docs, textCol, numHashes)
+      .select(docs.columns.map(col) ++
+        graft.ops.Dedup.bandHashes(numHashes, rowsPerBand): _*)
+    val unseen = (0 until bands).foldLeft(banded) { (acc, b) =>
+      acc.join(
+        store.filter(col("band") === b).select(col("bh").as(s"band$b")),
+        Seq(s"band$b"), "left_anti")
+    }
+    (0 until bands).foldLeft(unseen.withWatermark(tsCol, watermark)) {
+      (acc, b) => acc.dropDuplicatesWithinWatermark(s"band$b")
+    }
+  }
+
+  /**
    * Stream-stream join within a time bound: each left event pairs with the
    * right-stream events for the same key that occurred in the `maxGap`
    * window before it (e.g. purchases matched to the clicks that preceded

@@ -115,6 +115,34 @@ class IoSpec extends SparkTestBase {
     table.load(spark, date).count() shouldBe 3
   }
 
+  test("merge heals per-date: one date's interrupted swap survives merges on another") {
+    import spark.implicits._
+    val table = WarehouseTable(HdfsUrl(tmpDir("wh_merge2")), "t")
+    val (dA, dB) = (Day(2026, 8, 11), Day(2026, 8, 12))
+    table.merge(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dA, Seq("k"))
+    table.merge(Seq((1L, "x")).toDF("k", "v"), dB, Seq("k"))
+    // crash window on date A: partition deleted, contents stranded in tmp
+    val partA = new java.io.File(table.partitionUrl(dA).toString)
+    val tmpA = new java.io.File(
+      (table.tableUrl / s".compact-tmp-${table.partitionValue(dA)}").toString)
+    partA.renameTo(tmpA) shouldBe true
+    // an interleaved merge on date B neither trips over nor "heals" date
+    // A's stranded swap (healing is per-partition)
+    table.merge(Seq((2L, "y")).toDF("k", "v"), dB, Seq("k"))
+    tmpA.exists() shouldBe true
+    table.load(spark, dB).as[(Long, String)].collect().toSet shouldBe
+      Set((1L, "x"), (2L, "y"))
+    // date A's rerun heals FIRST, so the day's updates merge against the
+    // pre-crash rows instead of degrading to a truncate of just `updates`
+    table.merge(Seq((2L, "B2"), (3L, "c")).toDF("k", "v"), dA, Seq("k"))
+    table.load(spark, dA).as[(Long, String)].collect().toSet shouldBe
+      Set((1L, "a"), (2L, "B2"), (3L, "c"))
+    tmpA.exists() shouldBe false
+    // and the rerun of the rerun is a no-op (idempotent)
+    table.merge(Seq((2L, "B2"), (3L, "c")).toDF("k", "v"), dA, Seq("k"))
+    table.load(spark, dA).count() shouldBe 3
+  }
+
   test("compact heals an interrupted delete-before-rename swap") {
     val table = WarehouseTable(HdfsUrl(tmpDir("wh_heal")), "t")
     val date = Day(2026, 8, 12)

@@ -154,6 +154,75 @@ class MultimodalSpec extends SparkTestBase {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet shouldBe Set((10L, 11L))
   }
 
+  test("dHash survives monotone brightness edits that flip aHash bits") {
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    // 9x8 cells of constant color (4 px each) at deterministic spread-out
+    // levels: box averages equal the cell levels exactly, so a per-pixel
+    // monotone map stays monotone on the grid
+    def level(cx: Int, cy: Int): Int = (37 * (cy * 9 + cx) + 11) % 256
+    def cellPng(f: Int => Int): Array[Byte] =
+      png(36, 32) { (x, y) =>
+        val v = (f(level(x / 4, y / 4)) max 0) min 255
+        (v << 16) | (v << 8) | v
+      }
+    val base = cellPng(identity)
+    // strong gamma: strictly increasing, so every horizontal gradient sign
+    // is preserved — dHash is exactly invariant
+    val gamma = cellPng(v => math.round(255.0 * math.pow(v / 255.0, 0.35)).toInt)
+    hamming(Multimodal.dHash(base), Multimodal.dHash(gamma)) shouldBe 0
+    // the same edit moves cells across the (shifted) mean: aHash degrades
+    hamming(Multimodal.aHash(base), Multimodal.aHash(gamma)) should be > 3
+    // a genuinely different layout stays far under dHash
+    val other = cellPng(v => 255 - v)
+    hamming(Multimodal.dHash(base), Multimodal.dHash(other)) should be > 16
+  }
+
+  test("pHash survives local edits and recompression-scale noise") {
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    // 8x8 blocks at spread-out levels: spectrally RICH low-frequency
+    // content, so the 64 DCT coefficients sit far from the median and the
+    // hash has margin (a smooth two-tone scene concentrates energy in two
+    // coefficients and leaves the rest hovering at the median, where any
+    // perturbation flips bits — the synthetic analogue of a flat image)
+    def scene(noise: (Int, Int) => Int, invert: Boolean = false): Array[Byte] =
+      png(64, 64) { (x, y) =>
+        val lvl = (37 * ((y / 8) * 8 + x / 8) + 11) % 256
+        val v0 = if (invert) 255 - lvl else lvl
+        val v = ((v0 + noise(x, y)) max 0) min 255
+        (v << 16) | (v << 8) | v
+      }
+    val base = scene((_, _) => 0)
+    // checkerboard +-2: pure pixel-frequency noise, the dithery residue
+    // recompression leaves — far outside the DCT's low-frequency block
+    val speckled = scene((x, y) => ((x + y) % 2) * 4 - 2)
+    val patched = scene((x, y) => if (x < 4 && y < 4) 40 else 0) // small local edit
+    val inverted = scene((_, _) => 0, invert = true)
+    hamming(Multimodal.pHash(base), Multimodal.pHash(speckled)) should be <= 3
+    hamming(Multimodal.pHash(base), Multimodal.pHash(patched)) should be <= 3
+    hamming(Multimodal.pHash(base), Multimodal.pHash(inverted)) should be > 16
+  }
+
+  test("dhash/phash methods drop into the banded Hamming join unchanged") {
+    def cell(v: Int) = (v << 16) | (v << 8) | v
+    val base = png(36, 32)((x, y) => cell((37 * ((y / 4) * 9 + x / 4) + 11) % 256))
+    val gamma = png(36, 32) { (x, y) =>
+      val v = (37 * ((y / 4) * 9 + x / 4) + 11) % 256
+      cell(math.round(255.0 * math.pow(v / 255.0, 0.35)).toInt min 255)
+    }
+    val other = png(36, 32)((x, y) => cell(255 - (37 * ((y / 4) * 9 + x / 4) + 11) % 256))
+    val media = Seq((1L, base), (2L, gamma), (3L, other)).toDF("doc_id", "payload")
+    val dPairs = Multimodal.imageNearDupPairs(media, "doc_id", "payload",
+      maxHamming = 3, method = "dhash")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    dPairs should contain((1L, 2L))
+    dPairs.exists { case (a, b) => a == 3L || b == 3L } shouldBe false
+    // the aHash default misses the gamma recrawl the gradient hash catches
+    Multimodal.imageNearDupPairs(media, "doc_id", "payload", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet should not contain ((1L, 2L))
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.imageNearDupPairs(media, "doc_id", "payload", method = "bogus")
+  }
+
   test("decodeAudioMeta parses real WAV headers; non-audio quarantines") {
     // a genuine 1-second 8 kHz mono PCM WAV, built in memory
     val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)

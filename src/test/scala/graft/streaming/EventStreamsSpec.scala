@@ -157,6 +157,58 @@ class EventStreamsSpec extends SparkTestBase {
     out(4L) shouldBe None
   }
 
+  test("dedupNearAgainstStore drops store near-dups and in-stream near-dups, batch parity") {
+    implicit val sc = spark.sqlContext
+    // one-word-changed recrawls: fingerprint/URL equality miss both pairs
+    val stored = "the quick brown fox jumps over the lazy dog while the sun sets slowly behind the quiet hills tonight"
+    val storedVar = stored.replace("tonight", "today")
+    val freshA = "completely different content about spark structured streaming state management and watermarks in every engine version"
+    val freshAVar = freshA.replace("version", "release")
+    val distinct = "unrelated third topic entirely about cooking pasta with tomatoes basil and olive oil at home for dinner"
+
+    // self-validating preconditions: each near-dup pair shares LSH bands,
+    // no cross-pair does (the hashes are deterministic, so this is stable)
+    def bandsOf(t: String): Set[(Int, String)] =
+      graft.ops.Dedup.bandedIds(Seq((1L, t)).toDF("id", "text"), "id", "text")
+        .select($"band", $"bh").as[(Int, String)].collect().toSet
+    (bandsOf(stored) intersect bandsOf(storedVar)) should not be empty
+    (bandsOf(freshA) intersect bandsOf(freshAVar)) should not be empty
+    (bandsOf(stored) intersect bandsOf(freshA)) shouldBe empty
+    (bandsOf(freshA) intersect bandsOf(distinct)) shouldBe empty
+    (bandsOf(storedVar) intersect bandsOf(distinct)) shouldBe empty
+
+    // the band store as the batch job writes it: (band, bh) rows
+    val store = graft.ops.Dedup
+      .bandedIds(Seq((0L, stored)).toDF("id", "text"), "id", "text")
+      .select($"band", $"bh")
+
+    val in = MemoryStream[Event]
+    val docs = asContract(in.toDF()).select($"event_id".as("doc_id"), $"ts",
+      $"event_type".as("text"))
+    val q = dedupNearAgainstStore(docs, store, textCol = "text")
+      .writeStream.format("memory").queryName("near_dedup_out").outputMode("append").start()
+    in.addData(
+      Event(1, ts(1), 0, storedVar, 0.0), // near-dup of history -> dropped
+      Event(2, ts(2), 0, freshA, 0.0),    // first sighting -> kept
+      Event(3, ts(3), 0, freshAVar, 0.0), // in-stream near-dup -> dropped
+      Event(4, ts(4), 0, distinct, 0.0))  // kept
+    runToCompletion(q)
+    spark.table("near_dedup_out").select($"doc_id").as[Long].collect().sorted shouldBe
+      Array(2L, 4L)
+    // survivors carry their band columns for the store-append sink
+    spark.table("near_dedup_out").columns should contain allOf ("band0", "band1", "band2", "band3")
+
+    // batch parity: the incremental job's tiers (store semi-join + within-
+    // day near-dedup) give the same verdicts on the same day of documents
+    val day = Seq((1L, storedVar), (2L, freshA), (3L, freshAVar), (4L, distinct))
+      .toDF("doc_id", "text")
+    val hits = graft.ops.Dedup.bandedIds(day, "doc_id", "text")
+      .join(store, Seq("band", "bh"), "left_semi").select($"doc_id").distinct()
+    val afterStore = day.join(hits, Seq("doc_id"), "left_anti")
+    graft.ops.Dedup.removeNearDuplicates(afterStore, "doc_id", "text")
+      .select($"doc_id").as[Long].collect().sorted shouldBe Array(2L, 4L)
+  }
+
   test("warehouseSink lands micro-batches in a date partition") {
     implicit val sc = spark.sqlContext
     val table = graft.io.WarehouseTable(graft.io.HdfsUrl(tmpDir("stream_wh")), "events")
