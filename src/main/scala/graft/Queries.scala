@@ -1925,25 +1925,33 @@ object Queries {
         expr("CAST(CAST(token_chars AS DECIMAL(38,0)) * 100 DIV greatest(n_tokens, 1) AS BIGINT)"))
   }
 
+  /** DuckDB twin of [[TextAnalysis.scriptTokens]] over a `page` column. */
+  private def sqlScriptToks: String = {
+    val segCls = TextAnalysis.SegScriptRanges
+    val wordCls = s"a-z0-9${TextAnalysis.NonAsciiWordRanges}"
+    s"""flatten(list_transform(
+       regexp_extract_all(translate(page, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', '$CjkAz'),
+         '[$wordCls]+|[$segCls]+'),
+       r -> CASE WHEN regexp_matches(r, '^[$segCls]')
+            THEN CASE WHEN length(r) = 1 THEN [r]
+                 ELSE list_transform(range(1, length(r)), i -> substring(r, i, 2)) END
+            ELSE [r] END))"""
+  }
+
+  /** DuckDB twin of [[cjkPage]]. */
+  private def sqlCjkPage: String =
+    s"""CASE WHEN lang = 'zh' THEN translate(text, '$CjkAz', '$CjkHan')
+       WHEN lang = 'es' THEN translate(text, '$CjkAz', '$CjkJa')
+       WHEN lang = 'de' THEN translate(text, '$CjkAz', '$CjkTh')
+       ELSE text END"""
+
   val cjkTokenStatsSql: String = {
     val segCls = TextAnalysis.SegScriptRanges
     val wordCls = s"a-z0-9${TextAnalysis.NonAsciiWordRanges}"
-    val toksExpr =
-      s"""flatten(list_transform(
-         regexp_extract_all(translate(page, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', '$CjkAz'),
-           '[$wordCls]+|[$segCls]+'),
-         r -> CASE WHEN regexp_matches(r, '^[$segCls]')
-              THEN CASE WHEN length(r) = 1 THEN [r]
-                   ELSE list_transform(range(1, length(r)), i -> substring(r, i, 2)) END
-              ELSE [r] END))"""
     s"""WITH pages AS (
-         SELECT lang,
-           CASE WHEN lang = 'zh' THEN translate(text, '$CjkAz', '$CjkHan')
-                WHEN lang = 'es' THEN translate(text, '$CjkAz', '$CjkJa')
-                WHEN lang = 'de' THEN translate(text, '$CjkAz', '$CjkTh')
-                ELSE text END AS page
+         SELECT lang, $sqlCjkPage AS page
          FROM documents),
-       tok AS (SELECT lang, page, $toksExpr AS toks FROM pages),
+       tok AS (SELECT lang, page, $sqlScriptToks AS toks FROM pages),
        feat AS (
          SELECT lang, len(toks) AS n_tok,
            coalesce(list_sum(list_transform(toks, t -> length(t))), 0) AS tchars,
@@ -1963,6 +1971,57 @@ object Queries {
               cast(sum(passes) as bigint) AS n_pass,
               cast((sum(tchars) * 100) // greatest(sum(n_tok), 1) as bigint) AS mean_token_len_x100
        FROM gated GROUP BY lang"""
+  }
+
+  /**
+   * `cjk_near_dup`: the WHOLE near-dedup pipeline — script tokens →
+   * 5-gram shingles → 12-hash MinHash → 4-band LSH → exact Jaccard verify
+   * — running script-aware over the transliterated mixed-script corpus
+   * ([[cjkPage]]), against synthesized recrawls (every 13th page
+   * reappears under `doc_id + 1000000` with a short Han suffix appended).
+   * Under the ASCII tokenizer every CJK page would share ONE empty-shingle
+   * signature and the pair set would be a full cross-product of the
+   * language; script-aware, pairs are exactly the long-enough recrawls.
+   * Oracle replays tokenization, hashing, banding and verification in
+   * DuckDB. Same plan shape and scale properties as `near_dup_pairs`.
+   */
+  def cjkNearDup(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val base = t(dir, "documents").select(col("doc_id"), cjkPage.as("page"))
+    val recrawls = base.filter(col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("page"), lit(" 的数据质量很重要")).as("page"))
+    Dedup.nearDuplicatePairs(base.unionByName(recrawls), "doc_id", "page",
+      threshold = 0.8, scriptAware = true)
+  }
+
+  val cjkNearDupSql: String = {
+    val mhs = (0 until 12).map(j => s"${sqlMinhash(j)} AS mh$j").mkString(", ")
+    val bands = (0 until 4)
+      .map(b => s"md5(mh${3 * b} || '|' || mh${3 * b + 1} || '|' || mh${3 * b + 2}) AS band$b").mkString(", ")
+    val unpivot = (0 until 4)
+      .map(b => s"SELECT doc_id, $b AS band, band$b AS bh FROM banded").mkString(" UNION ALL ")
+    s"""WITH pages0 AS (SELECT doc_id, $sqlCjkPage AS page FROM documents),
+       pages AS (SELECT doc_id, page FROM pages0
+                 UNION ALL
+                 SELECT doc_id + 1000000, page || ' 的数据质量很重要'
+                 FROM pages0 WHERE doc_id % 13 = 0),
+       tok AS (SELECT doc_id, $sqlScriptToks AS toks FROM pages),
+       docs AS (SELECT doc_id, $SqlShingles AS sh FROM tok),
+       sig AS (SELECT doc_id, $mhs FROM docs),
+       banded AS (SELECT doc_id, $bands FROM sig),
+       buckets AS ($unpivot),
+       capped AS (SELECT doc_id, band, bh FROM buckets
+                  QUALIFY count(*) OVER (PARTITION BY band, bh) <= 1000),
+       cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM capped a JOIN capped b ON a.band = b.band AND a.bh = b.bh
+                WHERE a.doc_id < b.doc_id)
+       SELECT id_a, id_b, jaccard FROM (
+         SELECT id_a, id_b,
+                round(cast(len(list_filter(a.sh, x -> list_contains(b.sh, x))) as double)
+                      / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1), 4) AS jaccard
+         FROM cand JOIN docs a ON cand.id_a = a.doc_id JOIN docs b ON cand.id_b = b.doc_id)
+       WHERE jaccard >= 0.8"""
   }
 
   /**
@@ -3375,5 +3434,6 @@ object Queries {
     ("event_transitions", eventTransitions _, Some(eventTransitionsSql)),
     ("retention_cohorts", retentionCohorts _, Some(retentionCohortsSql)),
     ("near_dedup_keep_best", nearDedupKeepBest _, Some(nearDedupKeepBestSql)),
-    ("cjk_token_stats", cjkTokenStats _, Some(cjkTokenStatsSql)))
+    ("cjk_token_stats", cjkTokenStats _, Some(cjkTokenStatsSql)),
+    ("cjk_near_dup", cjkNearDup _, Some(cjkNearDupSql)))
 }

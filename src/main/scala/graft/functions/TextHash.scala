@@ -135,6 +135,18 @@ object TextHash {
     new GenericArrayData(
       scriptTokenize(text.toString).map(UTF8String.fromString(_): AnyRef))
 
+  /**
+   * Tokenizer switch shared by every hashing kernel: the ASCII [[tokenize]]
+   * by default (bit-compatible with all existing signatures and oracles),
+   * [[scriptTokenize]] when `scriptAware` — the flag multilingual corpora
+   * need, because under the ASCII tokenizer a CJK/Thai document yields ZERO
+   * tokens, so every such document gets the SAME degenerate signature
+   * (one empty shingle / an all-zero vector) and near-dedup would collapse
+   * an entire language into one duplicate cluster.
+   */
+  private def tokensOf(text: String, scriptAware: Boolean): Array[String] =
+    if (scriptAware) scriptTokenize(text) else tokenize(text)
+
   /** Word `words`-gram shingle starting at token `i`, space-joined. */
   private def appendShingle(sb: java.lang.StringBuilder, toks: Array[String], i: Int, words: Int): Unit = {
     sb.setLength(0)
@@ -152,8 +164,8 @@ object TextHash {
    * minimum of `substring(md5(shingle || ':' || j/4), (j%4)*8, 8)` — four
    * signature components per digest (see [[graft.ops.Dedup.minhash]]).
    */
-  def minhashSignature(text: UTF8String, numHashes: Int, words: Int): ArrayData = {
-    val toks = tokenize(text.toString)
+  def minhashSignature(text: UTF8String, numHashes: Int, words: Int, scriptAware: Boolean): ArrayData = {
+    val toks = tokensOf(text.toString, scriptAware)
     val nWin = math.max(toks.length - (words - 1), 1)
     val blocks = (numHashes + 3) / 4
     val mins = new Array[String](numHashes)
@@ -181,8 +193,8 @@ object TextHash {
 
   /** Word `words`-gram shingles (not deduplicated: every downstream use —
     * min, array_intersect, array_union — is multiset-safe). */
-  def wordShingles(text: UTF8String, words: Int): ArrayData = {
-    val toks = tokenize(text.toString)
+  def wordShingles(text: UTF8String, words: Int, scriptAware: Boolean): ArrayData = {
+    val toks = tokensOf(text.toString, scriptAware)
     val nWin = math.max(toks.length - (words - 1), 1)
     val out = new Array[AnyRef](nWin)
     val sb = new java.lang.StringBuilder
@@ -206,8 +218,8 @@ object TextHash {
     * `transform(sequence(1, size(toks)-n+1), i -> array_join(slice(toks,i,n),' '))`
     * over `tokens(text)` (the spec twin cross-check lives in
     * TextAnalysisSpec, next to the composed form). */
-  def wordNgrams(text: UTF8String, n: Int): ArrayData = {
-    val toks = tokenize(text.toString)
+  def wordNgrams(text: UTF8String, n: Int, scriptAware: Boolean): ArrayData = {
+    val toks = tokensOf(text.toString, scriptAware)
     val nWin = toks.length - (n - 1)
     if (nWin <= 0) new GenericArrayData(Array.empty[AnyRef])
     else {
@@ -224,8 +236,8 @@ object TextHash {
   }
 
   /** Winnowing-style rolling fingerprint: min md5 over word `window`-grams. */
-  def rollingFingerprint(text: UTF8String, window: Int): UTF8String = {
-    val toks = tokenize(text.toString)
+  def rollingFingerprint(text: UTF8String, window: Int, scriptAware: Boolean): UTF8String = {
+    val toks = tokensOf(text.toString, scriptAware)
     val nWin = math.max(toks.length - (window - 1), 1)
     var min: String = null
     val sb = new java.lang.StringBuilder
@@ -240,8 +252,8 @@ object TextHash {
   }
 
   /** 32-bit SimHash: per-bit majority vote of md5 hex-digit parities. */
-  def simhash32(text: UTF8String): Long = {
-    val toks = tokenize(text.toString)
+  def simhash32(text: UTF8String, scriptAware: Boolean): Long = {
+    val toks = tokensOf(text.toString, scriptAware)
     val votes = new Array[Int](32)
     var t = 0
     while (t < toks.length) {
@@ -272,8 +284,8 @@ object TextHash {
    * a large corpus. Bit 63 makes the value negative; Hamming distance and
    * band extraction are sign-agnostic (xor/shift/mask).
    */
-  def simhash64(text: UTF8String): Long = {
-    val toks = tokenize(text.toString)
+  def simhash64(text: UTF8String, scriptAware: Boolean): Long = {
+    val toks = tokensOf(text.toString, scriptAware)
     val votes = new Array[Int](64)
     var t = 0
     while (t < toks.length) {
@@ -340,8 +352,8 @@ object TextHash {
    * dimension hash replays bit-identically in any engine (the same
    * first-16-bits-of-md5 convention as the sampling hash bucket).
    */
-  def hashedTf(text: UTF8String, dims: Int): ArrayData = {
-    val toks = tokenize(text.toString)
+  def hashedTf(text: UTF8String, dims: Int, scriptAware: Boolean): ArrayData = {
+    val toks = tokensOf(text.toString, scriptAware)
     val counts = new Array[Double](dims)
     var i = 0
     while (i < toks.length) {
@@ -377,59 +389,64 @@ abstract class TextHashExpression extends UnaryExpression {
     defineCodeGen(ctx, ev, c => staticCall(c))
 }
 
-case class MinHashSignature(child: Expression, numHashes: Int, words: Int)
+case class MinHashSignature(child: Expression, numHashes: Int, words: Int,
+    scriptAware: Boolean = false)
     extends TextHashExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "minhash_signature"
   override protected def nullSafeEval(input: Any): Any =
-    TextHash.minhashSignature(input.asInstanceOf[UTF8String], numHashes, words)
+    TextHash.minhashSignature(input.asInstanceOf[UTF8String], numHashes, words, scriptAware)
   override protected def staticCall(c: String): String =
-    s"graft.functions.TextHash$$.MODULE$$.minhashSignature($c, $numHashes, $words)"
+    s"graft.functions.TextHash$$.MODULE$$.minhashSignature($c, $numHashes, $words, $scriptAware)"
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
     copy(child = newChild)
 }
 
-case class WordShingles(child: Expression, words: Int) extends TextHashExpression {
+case class WordShingles(child: Expression, words: Int, scriptAware: Boolean = false)
+    extends TextHashExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_shingles"
   override protected def nullSafeEval(input: Any): Any =
-    TextHash.wordShingles(input.asInstanceOf[UTF8String], words)
+    TextHash.wordShingles(input.asInstanceOf[UTF8String], words, scriptAware)
   override protected def staticCall(c: String): String =
-    s"graft.functions.TextHash$$.MODULE$$.wordShingles($c, $words)"
+    s"graft.functions.TextHash$$.MODULE$$.wordShingles($c, $words, $scriptAware)"
   override protected def withNewChildInternal(newChild: Expression): WordShingles =
     copy(child = newChild)
 }
 
-case class WordNgrams(child: Expression, n: Int) extends TextHashExpression {
+case class WordNgrams(child: Expression, n: Int, scriptAware: Boolean = false)
+    extends TextHashExpression {
   require(n >= 1, s"n must be at least 1, got $n")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_ngrams"
   override protected def nullSafeEval(input: Any): Any =
-    TextHash.wordNgrams(input.asInstanceOf[UTF8String], n)
+    TextHash.wordNgrams(input.asInstanceOf[UTF8String], n, scriptAware)
   override protected def staticCall(c: String): String =
-    s"graft.functions.TextHash$$.MODULE$$.wordNgrams($c, $n)"
+    s"graft.functions.TextHash$$.MODULE$$.wordNgrams($c, $n, $scriptAware)"
   override protected def withNewChildInternal(newChild: Expression): WordNgrams =
     copy(child = newChild)
 }
 
-case class RollingFingerprint(child: Expression, window: Int) extends TextHashExpression {
+case class RollingFingerprint(child: Expression, window: Int,
+    scriptAware: Boolean = false) extends TextHashExpression {
   override def dataType: DataType = StringType
   override def prettyName: String = "rolling_fingerprint"
   override protected def nullSafeEval(input: Any): Any =
-    TextHash.rollingFingerprint(input.asInstanceOf[UTF8String], window)
+    TextHash.rollingFingerprint(input.asInstanceOf[UTF8String], window, scriptAware)
   override protected def staticCall(c: String): String =
-    s"graft.functions.TextHash$$.MODULE$$.rollingFingerprint($c, $window)"
+    s"graft.functions.TextHash$$.MODULE$$.rollingFingerprint($c, $window, $scriptAware)"
   override protected def withNewChildInternal(newChild: Expression): RollingFingerprint =
     copy(child = newChild)
 }
 
-case class SimHash32(child: Expression) extends TextHashExpression {
+case class SimHash32(child: Expression, scriptAware: Boolean = false)
+    extends TextHashExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash32"
   override protected def nullSafeEval(input: Any): Any =
-    TextHash.simhash32(input.asInstanceOf[UTF8String])
+    TextHash.simhash32(input.asInstanceOf[UTF8String], scriptAware)
   override protected def staticCall(c: String): String =
-    s"graft.functions.TextHash$$.MODULE$$.simhash32($c)"
+    s"graft.functions.TextHash$$.MODULE$$.simhash32($c, $scriptAware)"
   override protected def withNewChildInternal(newChild: Expression): SimHash32 =
     copy(child = newChild)
 }
@@ -450,25 +467,27 @@ object UnicodeNormalize {
   val Forms: Set[String] = Set("NFC", "NFD", "NFKC", "NFKD")
 }
 
-case class SimHash64(child: Expression) extends TextHashExpression {
+case class SimHash64(child: Expression, scriptAware: Boolean = false)
+    extends TextHashExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
   override protected def nullSafeEval(input: Any): Any =
-    TextHash.simhash64(input.asInstanceOf[UTF8String])
+    TextHash.simhash64(input.asInstanceOf[UTF8String], scriptAware)
   override protected def staticCall(c: String): String =
-    s"graft.functions.TextHash$$.MODULE$$.simhash64($c)"
+    s"graft.functions.TextHash$$.MODULE$$.simhash64($c, $scriptAware)"
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
 }
 
-case class HashedTf(child: Expression, dims: Int) extends TextHashExpression {
+case class HashedTf(child: Expression, dims: Int, scriptAware: Boolean = false)
+    extends TextHashExpression {
   require(dims >= 1 && dims <= 65536, s"dims ($dims) must be in [1, 65536]")
   override def dataType: DataType = ArrayType(org.apache.spark.sql.types.DoubleType, containsNull = false)
   override def prettyName: String = "hashed_tf"
   override protected def nullSafeEval(input: Any): Any =
-    TextHash.hashedTf(input.asInstanceOf[UTF8String], dims)
+    TextHash.hashedTf(input.asInstanceOf[UTF8String], dims, scriptAware)
   override protected def staticCall(c: String): String =
-    s"graft.functions.TextHash$$.MODULE$$.hashedTf($c, $dims)"
+    s"graft.functions.TextHash$$.MODULE$$.hashedTf($c, $dims, $scriptAware)"
   override protected def withNewChildInternal(newChild: Expression): HashedTf =
     copy(child = newChild)
 }
@@ -502,29 +521,33 @@ object functions {
     case other => throw new IllegalArgumentException(s"expected integer literal, got $other")
   }
 
-  def minhash_signature(text: Column, numHashes: Int = 12, words: Int = 5): Column =
+  def minhash_signature(text: Column, numHashes: Int = 12, words: Int = 5,
+      scriptAware: Boolean = false): Column =
     GraftExpressionBridge.column(
-      MinHashSignature(GraftExpressionBridge.expression(text), numHashes, words))
+      MinHashSignature(GraftExpressionBridge.expression(text), numHashes, words, scriptAware))
 
-  def word_shingles(text: Column, words: Int = 5): Column =
+  def word_shingles(text: Column, words: Int = 5, scriptAware: Boolean = false): Column =
     GraftExpressionBridge.column(
-      WordShingles(GraftExpressionBridge.expression(text), words))
+      WordShingles(GraftExpressionBridge.expression(text), words, scriptAware))
 
   /** Adjacent word n-grams (codegen'd); empty array below `n` tokens;
     * null text null-propagates (null out, not an empty array). */
-  def word_ngrams(text: Column, n: Int = 2): Column =
+  def word_ngrams(text: Column, n: Int = 2, scriptAware: Boolean = false): Column =
     GraftExpressionBridge.column(
-      WordNgrams(GraftExpressionBridge.expression(text), n))
+      WordNgrams(GraftExpressionBridge.expression(text), n, scriptAware))
 
-  def rolling_fingerprint(text: Column, window: Int = 5): Column =
+  def rolling_fingerprint(text: Column, window: Int = 5,
+      scriptAware: Boolean = false): Column =
     GraftExpressionBridge.column(
-      RollingFingerprint(GraftExpressionBridge.expression(text), window))
+      RollingFingerprint(GraftExpressionBridge.expression(text), window, scriptAware))
 
-  def simhash32(text: Column): Column =
-    GraftExpressionBridge.column(SimHash32(GraftExpressionBridge.expression(text)))
+  def simhash32(text: Column, scriptAware: Boolean = false): Column =
+    GraftExpressionBridge.column(
+      SimHash32(GraftExpressionBridge.expression(text), scriptAware))
 
-  def simhash64(text: Column): Column =
-    GraftExpressionBridge.column(SimHash64(GraftExpressionBridge.expression(text)))
+  def simhash64(text: Column, scriptAware: Boolean = false): Column =
+    GraftExpressionBridge.column(
+      SimHash64(GraftExpressionBridge.expression(text), scriptAware))
 
   /** Per-script character counts (codegen'd, one pass); index order is
     * `TextAnalysis.ScriptRanges` sorted keys. Null text null-propagates. */
@@ -538,8 +561,9 @@ object functions {
     GraftExpressionBridge.column(ScriptTokens(GraftExpressionBridge.expression(text)))
 
   /** Hashing-trick TF vector (codegen'd, one pass); null text null-propagates. */
-  def hashed_tf(text: Column, dims: Int = 256): Column =
-    GraftExpressionBridge.column(HashedTf(GraftExpressionBridge.expression(text), dims))
+  def hashed_tf(text: Column, dims: Int = 256, scriptAware: Boolean = false): Column =
+    GraftExpressionBridge.column(
+      HashedTf(GraftExpressionBridge.expression(text), dims, scriptAware))
 
   /** Unicode normalization (NFC/NFD/NFKC/NFKD); default NFKC — the LLM-pipeline fold. */
   def unicode_normalize(text: Column, form: String = "NFKC"): Column =

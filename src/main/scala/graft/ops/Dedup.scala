@@ -101,8 +101,8 @@ object Dedup {
    * Native kernel; may contain duplicates (all downstream uses — min,
    * array_intersect, array_union — are multiset-safe).
    */
-  def wordShingles(text: Column, n: Int = 5): Column =
-    graft.functions.functions.word_shingles(text, n)
+  def wordShingles(text: Column, n: Int = 5, scriptAware: Boolean = false): Column =
+    graft.functions.functions.word_shingles(text, n, scriptAware)
 
   /** Built-in-function specification of [[wordShingles]] (spec cross-check). */
   private[graft] def wordShinglesComposed(text: Column, n: Int = 5): Column = {
@@ -135,8 +135,10 @@ object Dedup {
    * (~30x the throughput of the equivalent higher-order-function
    * formulation; bit-identical output — see [[minhash]] for the math).
    */
-  def withMinhashSignature(df: DataFrame, textCol: String, numHashes: Int = 12): DataFrame = {
-    val sig = graft.functions.functions.minhash_signature(col(textCol), numHashes)
+  def withMinhashSignature(df: DataFrame, textCol: String, numHashes: Int = 12,
+      scriptAware: Boolean = false): DataFrame = {
+    val sig = graft.functions.functions.minhash_signature(col(textCol), numHashes,
+      scriptAware = scriptAware)
     df.withColumn("__sig", sig)
       .select(col("*") +: (0 until numHashes).map(j => element_at(col("__sig"), j + 1).as(s"mh$j")): _*)
       .drop("__sig")
@@ -182,9 +184,10 @@ object Dedup {
       idCol: String,
       textCol: String,
       numHashes: Int = 12,
-      rowsPerBand: Int = 3): DataFrame = {
+      rowsPerBand: Int = 3,
+      scriptAware: Boolean = false): DataFrame = {
     val bands = numHashes / rowsPerBand
-    val sig = withMinhashSignature(df.select(idCol, textCol), textCol, numHashes)
+    val sig = withMinhashSignature(df.select(idCol, textCol), textCol, numHashes, scriptAware)
     sig
       .select(col(idCol) +: bandHashes(numHashes, rowsPerBand): _*)
       .select(col(idCol), explode(array((0 until bands).map(b =>
@@ -220,8 +223,9 @@ object Dedup {
       numHashes: Int = 12,
       rowsPerBand: Int = 3,
       maxBucket: Int = 1000,
-      saltHotBuckets: Boolean = false): DataFrame = {
-    val banded = bandedIds(df, idCol, textCol, numHashes, rowsPerBand)
+      saltHotBuckets: Boolean = false,
+      scriptAware: Boolean = false): DataFrame = {
+    val banded = bandedIds(df, idCol, textCol, numHashes, rowsPerBand, scriptAware)
       .withColumn("bucket_n", count("*").over(Window.partitionBy(col("band"), col("bh"))))
     val cold = banded.filter(col("bucket_n") <= maxBucket).drop("bucket_n")
     val a = cold.select(col("band"), col("bh"), col(idCol).as("id_a"))
@@ -266,10 +270,13 @@ object Dedup {
       numHashes: Int = 12,
       rowsPerBand: Int = 3,
       maxBucket: Int = 1000,
-      saltHotBuckets: Boolean = false): DataFrame = {
+      saltHotBuckets: Boolean = false,
+      scriptAware: Boolean = false): DataFrame = {
     val candidates =
-      lshCandidatePairs(df, idCol, textCol, numHashes, rowsPerBand, maxBucket, saltHotBuckets)
-    val docs = df.select(col(idCol), wordShingles(col(textCol)).as("sh"))
+      lshCandidatePairs(df, idCol, textCol, numHashes, rowsPerBand, maxBucket,
+        saltHotBuckets, scriptAware)
+    val docs = df.select(col(idCol),
+      wordShingles(col(textCol), scriptAware = scriptAware).as("sh"))
     candidates
       .join(docs.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(docs.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
@@ -288,7 +295,8 @@ object Dedup {
    * vote counters as an array, instead of re-hashing every token per bit
    * (which would cost 32 digests per token).
    */
-  def simhash32(text: Column): Column = graft.functions.functions.simhash32(text)
+  def simhash32(text: Column, scriptAware: Boolean = false): Column =
+    graft.functions.functions.simhash32(text, scriptAware)
 
   /**
    * The same SimHash as a composition of built-in higher-order functions —
@@ -318,7 +326,8 @@ object Dedup {
    * (65536 values each) for [[simhashNearDupPairs]]. Native kernel;
    * [[simhash64Composed]] is its executable specification.
    */
-  def simhash64(text: Column): Column = graft.functions.functions.simhash64(text)
+  def simhash64(text: Column, scriptAware: Boolean = false): Column =
+    graft.functions.functions.simhash64(text, scriptAware)
 
   /** Built-in-function specification of [[simhash64]] (spec + oracle twin). */
   private[graft] def simhash64Composed(text: Column): Column = {
@@ -358,10 +367,11 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      scriptAware: Boolean = false): DataFrame = {
     require(0 <= maxHamming && maxHamming <= 3,
       "4 bands guarantee recall only for maxHamming <= 3")
-    val sh = df.select(col(idCol), simhash64(col(textCol)).as("__sh"))
+    val sh = df.select(col(idCol), simhash64(col(textCol), scriptAware).as("__sh"))
     val banded = sh.select(col(idCol), col("__sh"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"), shiftright(col("__sh"), b * 16).bitwiseAND(lit(65535L)).as("bb"))): _*)).as("e"))
@@ -558,8 +568,10 @@ object Dedup {
       threshold: Double = 0.8,
       numHashes: Int = 12,
       rowsPerBand: Int = 3,
-      checkpointDir: Option[String] = None): DataFrame = {
-    val pairs = nearDuplicatePairs(df, idCol, textCol, threshold, numHashes, rowsPerBand)
+      checkpointDir: Option[String] = None,
+      scriptAware: Boolean = false): DataFrame = {
+    val pairs = nearDuplicatePairs(df, idCol, textCol, threshold, numHashes, rowsPerBand,
+      scriptAware = scriptAware)
     val clusters = duplicateClusters(pairs, checkpointDir = checkpointDir)
       .withColumnRenamed("id", idCol)
     df.join(clusters, Seq(idCol), "left")
@@ -587,8 +599,10 @@ object Dedup {
       threshold: Double = 0.8,
       numHashes: Int = 12,
       rowsPerBand: Int = 3,
-      checkpointDir: Option[String] = None): DataFrame = {
-    val pairs = nearDuplicatePairs(df, idCol, textCol, threshold, numHashes, rowsPerBand)
+      checkpointDir: Option[String] = None,
+      scriptAware: Boolean = false): DataFrame = {
+    val pairs = nearDuplicatePairs(df, idCol, textCol, threshold, numHashes, rowsPerBand,
+      scriptAware = scriptAware)
     val clusters = duplicateClusters(pairs, checkpointDir = checkpointDir)
     val scored = clusters.join(
       df.select(col(idCol).as("id"), col(scoreCol).as("__s")), Seq("id"))
@@ -615,8 +629,10 @@ object Dedup {
       threshold: Double = 0.8,
       numHashes: Int = 12,
       rowsPerBand: Int = 3,
-      checkpointDir: Option[String] = None): DataFrame = {
-    val pairs = nearDuplicatePairs(df, idCol, textCol, threshold, numHashes, rowsPerBand)
+      checkpointDir: Option[String] = None,
+      scriptAware: Boolean = false): DataFrame = {
+    val pairs = nearDuplicatePairs(df, idCol, textCol, threshold, numHashes, rowsPerBand,
+      scriptAware = scriptAware)
     val losers = duplicateClusters(pairs, checkpointDir = checkpointDir)
       .filter(col("id") =!= col("cluster_id"))
       .select(col("id").as(idCol))

@@ -115,11 +115,15 @@ object Similarity {
       isQuery: Column,
       dims: Int = 64,
       k: Int = 10,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      scriptAware: Boolean = false): DataFrame = {
+    val toks =
+      if (scriptAware) TextAnalysis.scriptTokens(col(textCol))
+      else TextAnalysis.tokens(col(textCol))
     val featurized = corpus
-      .filter(size(TextAnalysis.tokens(col(textCol))) > 0)
+      .filter(size(toks) > 0)
       .select(col(idCol), isQuery.as("__is_query"),
-        TextAnalysis.hashedTfVector(col(textCol), dims).as("__vec"))
+        TextAnalysis.hashedTfVector(col(textCol), dims, scriptAware).as("__vec"))
     val vectors = checkpointDir match {
       case Some(dir) =>
         featurized.sparkSession.sparkContext.setCheckpointDir(dir)

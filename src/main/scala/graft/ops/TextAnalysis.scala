@@ -1360,8 +1360,8 @@ object TextAnalysis {
    * only ever MERGE dimensions (Johnson-Lindenstrauss-style graceful
    * degradation as `dims` shrinks).
    */
-  def hashedTfVector(text: Column, dims: Int = 256): Column =
-    graft.functions.functions.hashed_tf(text, dims)
+  def hashedTfVector(text: Column, dims: Int = 256, scriptAware: Boolean = false): Column =
+    graft.functions.functions.hashed_tf(text, dims, scriptAware)
 
   /** Composed-builtin SPECIFICATION twin of [[hashedTfVector]] — the
     * O(dims x tokens) form the DuckDB oracle mirrors (`conv` is
@@ -1383,8 +1383,9 @@ object TextAnalysis {
    * full-document hash. Native single-pass kernel; [[rollingFingerprintComposed]]
    * is the built-in-function specification it is cross-checked against.
    */
-  def rollingFingerprint(text: Column, window: Int = 5): Column =
-    graft.functions.functions.rolling_fingerprint(text, window)
+  def rollingFingerprint(text: Column, window: Int = 5,
+      scriptAware: Boolean = false): Column =
+    graft.functions.functions.rolling_fingerprint(text, window, scriptAware)
 
   private[graft] def rollingFingerprintComposed(text: Column, window: Int = 5): Column = {
     val toks = tokens(text)

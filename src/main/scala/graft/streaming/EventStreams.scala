@@ -227,11 +227,12 @@ object EventStreams {
       tsCol: String = "ts",
       numHashes: Int = 12,
       rowsPerBand: Int = 3,
-      watermark: String = "10 minutes"): DataFrame = {
+      watermark: String = "10 minutes",
+      scriptAware: Boolean = false): DataFrame = {
     require(numHashes % rowsPerBand == 0, "numHashes must divide evenly into bands")
     val bands = numHashes / rowsPerBand
     val banded = graft.ops.Dedup
-      .withMinhashSignature(docs, textCol, numHashes)
+      .withMinhashSignature(docs, textCol, numHashes, scriptAware)
       .select(docs.columns.map(col) ++
         graft.ops.Dedup.bandHashes(numHashes, rowsPerBand): _*)
     val unseen = (0 until bands).foldLeft(banded) { (acc, b) =>

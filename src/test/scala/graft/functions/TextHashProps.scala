@@ -113,7 +113,7 @@ object TextHashProps extends Properties("TextHash") {
 
   property("wordNgrams equals sliding windows over tokenize") =
     forAll(genText, Gen.choose(1, 4)) { (s, n) =>
-      val kernel = TextHash.wordNgrams(UTF8String.fromString(s), n)
+      val kernel = TextHash.wordNgrams(UTF8String.fromString(s), n, scriptAware = false)
       val toks = TextHash.tokenize(s)
       val expected =
         if (toks.length < n) Seq.empty[String]

@@ -121,6 +121,37 @@ class DedupSpec extends SparkTestBase {
       .select("id").as[Long].collect().sorted shouldBe Array(1L, 4L)
   }
 
+  test("scriptAware near-dedup works on CJK text where the ASCII path would collapse everything") {
+    val zhA = "深度学习模型在大规模语料库上训练需要高质量的数据和强大的算力支持"
+    val zhB = zhA.dropRight(2) + "保障" // recrawl with the tail edited
+    val zhC = "今天天气晴朗适合在公园里散步并且观察各种花草树木的生长情况"
+    val cjk = Seq((1L, zhA), (2L, zhB), (3L, zhC)).toDF("id", "text")
+
+    // THE HAZARD: the ASCII tokenizer sees zero tokens in all three, so
+    // every document gets the same single-empty-shingle signature — the
+    // whole language would collapse into one duplicate cluster
+    Dedup.withMinhashSignature(cjk, "text")
+      .select($"mh0").distinct().count() shouldBe 1L
+
+    // script-aware shingles separate them: the recrawl pair is above the
+    // Jaccard bar, the unrelated doc far below (self-validating)
+    val sh = cjk.select($"id", Dedup.wordShingles($"text", scriptAware = true).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    def jac(a: Seq[String], b: Seq[String]): Double =
+      a.toSet.intersect(b.toSet).size.toDouble / a.toSet.union(b.toSet).size
+    jac(sh(1L), sh(2L)) should be >= 0.8
+    jac(sh(1L), sh(3L)) should be < 0.2
+
+    Dedup.removeNearDuplicates(cjk, "id", "text", threshold = 0.8, scriptAware = true)
+      .select("id").as[Long].collect().sorted shouldBe Array(1L, 3L)
+    // simhash tier: same story, same flag. SimHash majority votes need
+    // token volume to be stable — page-sized docs (the 4x repeat) put the
+    // one-edit recrawl within the Hamming band; a lone sentence would not.
+    val pages = Seq((1L, zhA * 4), (2L, zhA * 3 + zhB), (3L, zhC * 4)).toDF("id", "text")
+    Dedup.simhashNearDupPairs(pages, "id", "text", scriptAware = true)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet shouldBe Set((1L, 2L))
+  }
+
   test("leakage-safe split keeps near-duplicates in one split") {
     val out = Dedup.leakageSafeSplit(docs, "id", "text",
       Seq("train" -> 80, "valid" -> 10, "test" -> 10))
