@@ -21,7 +21,7 @@ object ScaleCheck {
    * out of the filterable set.
    */
   val stageNames: Set[String] = Set(
-    "asof_join", "range_join", "simhash_neardup", "boilerplate_lines",
+    "asof_join", "range_join", "simhash_neardup", "cjk_lsh_pairs", "boilerplate_lines",
     "exact_dedup", "doc_repetition", "tfidf_top_terms", "span_dedup",
     "leakage_safe_split", "bloom_anti_join", "funnel", "event_transitions",
     "retention_cohorts", "key_skew_profile", "vocab_stats", "domain_quality",
@@ -111,6 +111,23 @@ object ScaleCheck {
     }
     time("simhash_neardup") {
       ops.Dedup.simhashNearDupPairs(bigDocs, "doc_id", "text")
+    }
+    // the script-aware path at scale: transliterate the non-en langs to
+    // Han/kana/Thai (as the cjk battery queries do), then run LSH banding
+    // over the bigram-token kernel — every amplified copy collides with
+    // its original, so the banding join sees maximal duplicate mass
+    time("cjk_lsh_pairs") {
+      val az = "abcdefghijklmnopqrstuvwxyz"
+      val pages = bigDocs.withColumn("page",
+        when(col("lang") === "zh",
+          translate(col("text"), az, "的一是不了人我在有他这中大来上国个到说们为子和你地出"))
+          .when(col("lang") === "es",
+            translate(col("text"), az, "あ学習模い型訓練う語言処理翻え訳文字列解お析構造か体"))
+          .when(col("lang") === "de",
+            translate(col("text"), az, "กขฃคฅฆงจฉชซฌญฎฏฐฑฒณดตถทธนบ"))
+          .otherwise(col("text")))
+      ops.Dedup.lshCandidatePairs(pages, "doc_id", "page",
+        maxBucket = math.max(2, factor / 2), saltHotBuckets = true, scriptAware = true)
     }
     time("boilerplate_lines") {
       ops.TextAnalysis.removeBoilerplateLines(bigDocs, "doc_id", "text")

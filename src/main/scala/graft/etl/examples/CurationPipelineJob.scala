@@ -88,6 +88,13 @@ import graft.time.DateInterval
  * Scale: every stage is one of the library's audited shapes — per-row
  * codegen (normalize, gate, scrub, split) plus the LSH pipeline's bucketed
  * equi-joins; nothing here adds a shuffle beyond them.
+ *
+ * `scriptAware = true` runs the whole pipeline on the script-aware
+ * tokenizer (CJK/Thai character bigrams, all routed word scripts): the
+ * quality gate stops rejecting every non-Latin page, near-dedup stops
+ * collapsing a CJK corpus into one empty-shingle cluster, and the
+ * typicality gates score real grams — the switch a multilingual crawl
+ * must flip. Supply typicality/quality models BUILT with the same flag.
  */
 class CurationPipelineJob(
     source: DateInterval => DataFrame,
@@ -113,7 +120,8 @@ class CurationPipelineJob(
     blockedDomains: Set[String] = Set.empty,
     maxPerDomain: Int = 0,
     mixCol: String = "lang",
-    targetMix: Map[String, Int] = Map.empty)
+    targetMix: Map[String, Int] = Map.empty,
+    scriptAware: Boolean = false)
     extends SparkJob {
 
   override def shouldRunForDate(spark: SparkSession, date: DateInterval): Boolean =
@@ -135,8 +143,10 @@ class CurationPipelineJob(
         graft.functions.functions.unicode_normalize(col(textCol)))
     }
     gated <- Stage.transform[org.apache.spark.sql.Row, org.apache.spark.sql.Row]("quality_gate") { ctx =>
-      val passes = TextAnalysis.qualityFlags(col(textCol))
-        .collectFirst { case ("passes", c) => c }.get
+      val flags =
+        if (scriptAware) TextAnalysis.qualityFlagsScriptAware(col(textCol))
+        else TextAnalysis.qualityFlags(col(textCol))
+      val passes = flags.collectFirst { case ("passes", c) => c }.get
       val modelOk = qualityWeights.fold(lit(true)) { w =>
         TextAnalysis.qualityLinearScore(col(textCol), w) >= minQualityScore
       }
@@ -146,8 +156,10 @@ class CurationPipelineJob(
       typicalityModel.fold(ctx.value.toDF()) { model =>
         val score = backoffUniModel match {
           case Some(uni) =>
-            TextAnalysis.typicalityBackoffCol(col(textCol), uni, model, backoffAlphaPct)
-          case None => TextAnalysis.typicalityScoreColN(col(textCol), model, typicalityN)
+            TextAnalysis.typicalityBackoffCol(col(textCol), uni, model, backoffAlphaPct,
+              scriptAware)
+          case None =>
+            TextAnalysis.typicalityScoreColN(col(textCol), model, typicalityN, scriptAware)
         }
         ctx.value.toDF().filter(score >= minTypicalityPpm)
       }
@@ -157,7 +169,7 @@ class CurationPipelineJob(
     }
     deduped <- Stage.transform[org.apache.spark.sql.Row, org.apache.spark.sql.Row]("near_dedup") { ctx =>
       Dedup.removeNearDuplicates(ctx.value.toDF(), idCol, textCol, threshold,
-        checkpointDir = checkpointDir)
+        checkpointDir = checkpointDir, scriptAware = scriptAware)
     }
     decontaminated <- Stage.transform[org.apache.spark.sql.Row, org.apache.spark.sql.Row]("decontaminate") { ctx =>
       benchmark.fold(ctx.value.toDF()) { bench =>

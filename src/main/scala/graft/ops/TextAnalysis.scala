@@ -44,6 +44,10 @@ object TextAnalysis {
   def scriptTokens(text: Column): Column =
     graft.functions.functions.script_tokens(text)
 
+  /** Tokenizer switch for the ops that take a `scriptAware` flag. */
+  private def toksOf(text: Column, scriptAware: Boolean): Column =
+    if (scriptAware) scriptTokens(text) else tokens(text)
+
   /** Script-aware token count — the [[whitespaceTokenCount]] upgrade for
     * corpora with CJK/Thai text (a spaceless sentence is ONE whitespace
     * token but `chars-1` script bigrams). */
@@ -1015,11 +1019,12 @@ object TextAnalysis {
   def typicalityModel(
       ref: org.apache.spark.sql.DataFrame,
       refTextCol: String,
-      vocabSize: Int = 4096): org.apache.spark.sql.DataFrame = {
+      vocabSize: Int = 4096,
+      scriptAware: Boolean = false): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.broadcast
     val total = ref.agg(
-      sum(size(tokens(col(refTextCol))).cast("long")).as("__tot"))
-    ref.select(explode(tokens(col(refTextCol))).as("term"))
+      sum(size(toksOf(col(refTextCol), scriptAware)).cast("long")).as("__tot"))
+    ref.select(explode(toksOf(col(refTextCol), scriptAware)).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
       .join(broadcast(total))
       .withColumn("ppm",
@@ -1035,10 +1040,11 @@ object TextAnalysis {
       textCol: String,
       ref: org.apache.spark.sql.DataFrame,
       refTextCol: String,
-      vocabSize: Int = 4096): org.apache.spark.sql.DataFrame = {
+      vocabSize: Int = 4096,
+      scriptAware: Boolean = false): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.broadcast
-    val model = typicalityModel(ref, refTextCol, vocabSize)
-    df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val model = typicalityModel(ref, refTextCol, vocabSize, scriptAware)
+    df.select(col(idCol), explode(toksOf(col(textCol), scriptAware)).as("term"))
       .join(broadcast(model), Seq("term"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).cast("long").as("n_tok"),
@@ -1059,9 +1065,10 @@ object TextAnalysis {
    * computed on an exactly-divisible numerator, so the double division is
    * exact); rows with no tokens score null.
    */
-  def typicalityScoreCol(text: Column, model: Map[String, Long]): Column = {
+  def typicalityScoreCol(text: Column, model: Map[String, Long],
+      scriptAware: Boolean = false): Column = {
     val m = typedLit(model)
-    val toks = tokens(text)
+    val toks = toksOf(text, scriptAware)
     val n = size(toks).cast("long")
     val s = aggregate(toks, lit(0L),
       (acc, t) => acc + coalesce(element_at(m, t), lit(0L)))
@@ -1163,8 +1170,9 @@ object TextAnalysis {
     * [[graft.functions.WordNgrams]] kernel for n >= 2, or plain
     * [[tokens]] for n = 1 (unigrams ARE the token stream — no join key
     * rewrite needed, and the unigram path keeps its measured plan). */
-  private def wordNgramsFast(text: Column, n: Int): Column =
-    if (n == 1) tokens(text) else graft.functions.functions.word_ngrams(text, n)
+  private def wordNgramsFast(text: Column, n: Int, scriptAware: Boolean = false): Column =
+    if (n == 1) toksOf(text, scriptAware)
+    else graft.functions.functions.word_ngrams(text, n, scriptAware)
 
   /**
    * [[typicalityModel]] over adjacent word n-grams (default bigrams) —
@@ -1179,10 +1187,11 @@ object TextAnalysis {
       ref: org.apache.spark.sql.DataFrame,
       refTextCol: String,
       n: Int = 2,
-      vocabSize: Int = 4096): org.apache.spark.sql.DataFrame = {
+      vocabSize: Int = 4096,
+      scriptAware: Boolean = false): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.broadcast
     require(n >= 1, "n must be at least 1")
-    val grams = wordNgramsFast(col(refTextCol), n)
+    val grams = wordNgramsFast(col(refTextCol), n, scriptAware)
     val total = ref.agg(sum(size(grams)).cast("long").as("__tot"))
     ref.select(explode(grams).as("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
@@ -1208,10 +1217,12 @@ object TextAnalysis {
       ref: org.apache.spark.sql.DataFrame,
       refTextCol: String,
       n: Int = 2,
-      vocabSize: Int = 4096): org.apache.spark.sql.DataFrame = {
+      vocabSize: Int = 4096,
+      scriptAware: Boolean = false): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.broadcast
-    val model = typicalityModelN(ref, refTextCol, n, vocabSize)
-    df.select(col(idCol), explode(wordNgramsFast(col(textCol), n)).as("gram"))
+    val model = typicalityModelN(ref, refTextCol, n, vocabSize, scriptAware)
+    df.select(col(idCol),
+      explode(wordNgramsFast(col(textCol), n, scriptAware)).as("gram"))
       .join(broadcast(model), Seq("gram"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).cast("long").as("n_grams"),
@@ -1227,9 +1238,10 @@ object TextAnalysis {
    * [[typicalityScoreCol]]: one fold over the gram array, no join, no
    * shuffle, no state. Rows with fewer than `n` tokens score null.
    */
-  def typicalityScoreColN(text: Column, model: Map[String, Long], n: Int = 2): Column = {
+  def typicalityScoreColN(text: Column, model: Map[String, Long], n: Int = 2,
+      scriptAware: Boolean = false): Column = {
     val m = typedLit(model)
-    val grams = wordNgramsFast(text, n)
+    val grams = wordNgramsFast(text, n, scriptAware)
     val g = size(grams).cast("long")
     val s = aggregate(grams, lit(0L),
       (acc, t) => acc + coalesce(element_at(m, t), lit(0L)))
@@ -1262,14 +1274,16 @@ object TextAnalysis {
       ref: org.apache.spark.sql.DataFrame,
       refTextCol: String,
       vocabSize: Int = 4096,
-      alphaPct: Int = 40): org.apache.spark.sql.DataFrame = {
+      alphaPct: Int = 40,
+      scriptAware: Boolean = false): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.broadcast
     require(alphaPct >= 0 && alphaPct <= 100, s"alphaPct ($alphaPct) must be in [0, 100]")
-    val uni = typicalityModel(ref, refTextCol, vocabSize)
+    val uni = typicalityModel(ref, refTextCol, vocabSize, scriptAware)
       .withColumnRenamed("ppm", "uni_ppm")
-    val bi = typicalityModelN(ref, refTextCol, 2, vocabSize)
+    val bi = typicalityModelN(ref, refTextCol, 2, vocabSize, scriptAware)
       .withColumnRenamed("ppm", "bi_ppm")
-    df.select(col(idCol), explode(wordNgramsFast(col(textCol), 2)).as("gram"))
+    df.select(col(idCol),
+      explode(wordNgramsFast(col(textCol), 2, scriptAware)).as("gram"))
       .withColumn("__w2", substring_index(col("gram"), " ", -1))
       .join(broadcast(bi), Seq("gram"), "left")
       .join(broadcast(uni), col("__w2") === col("term"), "left")
@@ -1293,11 +1307,12 @@ object TextAnalysis {
       text: Column,
       uniModel: Map[String, Long],
       biModel: Map[String, Long],
-      alphaPct: Int = 40): Column = {
+      alphaPct: Int = 40,
+      scriptAware: Boolean = false): Column = {
     require(alphaPct >= 0 && alphaPct <= 100, s"alphaPct ($alphaPct) must be in [0, 100]")
     val um = typedLit(uniModel)
     val bm = typedLit(biModel)
-    val grams = wordNgramsFast(text, 2)
+    val grams = wordNgramsFast(text, 2, scriptAware)
     val g = size(grams).cast("long")
     val s = aggregate(grams, lit(0L), (acc, t) => {
       val backoff = lit(alphaPct.toLong) *

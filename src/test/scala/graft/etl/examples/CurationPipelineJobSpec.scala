@@ -264,4 +264,28 @@ class CurationPipelineJobSpec extends SparkJobSuiteBase {
     ids should not contain 4L // off-register support boilerplate gated
     ids should not contain 5L // off-register tech text gated
   }
+
+  test("scriptAware pipeline curates a CJK day the ASCII pipeline would reject wholesale") {
+    val zhA = "深度学习模型在大规模语料库上训练需要高质量的数据和强大的算力支持"
+    val zhB = zhA.dropRight(2) + "保障" // recrawl of A with an edited tail
+    val zhC = "今天天气晴朗适合在公园里散步并且观察各种花草树木的生长情况"
+    val junk = "的的的的的的的的的的的的的的的的的的的的" // degenerate repetition
+    val src = (_: DateInterval) =>
+      Seq((1L, zhA), (2L, zhB), (3L, zhC), (4L, junk)).toDF("doc_id", "text")
+    val date = Day(2026, 8, 12)
+
+    // ASCII pipeline: the quality gate sees zero tokens everywhere — the
+    // whole day is rejected (the failure mode the flag exists to fix)
+    val asciiClean = WarehouseTable(HdfsUrl(tmpDir("curation_cjk_ascii")), "clean")
+    runJob(new CurationPipelineJob(src, asciiClean), date).isSuccess shouldBe true
+    asciiClean.load(spark, date).count() shouldBe 0L
+
+    // script-aware pipeline: real pages pass the gate, the recrawl
+    // collapses onto its keeper, degenerate repetition still fails
+    val clean = WarehouseTable(HdfsUrl(tmpDir("curation_cjk")), "clean")
+    runJob(new CurationPipelineJob(src, clean, scriptAware = true), date)
+      .isSuccess shouldBe true
+    val ids = clean.load(spark, date).select("doc_id").as[Long].collect().toSet
+    ids shouldBe Set(1L, 3L)
+  }
 }
