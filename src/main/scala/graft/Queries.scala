@@ -2025,6 +2025,114 @@ object Queries {
   }
 
   /**
+   * `token_budget_cut`: [[TextAnalysis.selectTokenBudget]] — keep the
+   * highest-scored documents whose cumulative token count fits a fixed
+   * budget (the greedy fixed-compute selection every training run ends
+   * with). Score = `n_chars`, tokens = whitespace count, budget 20k.
+   * Oracle is ONE SQL cumulative sum over the same total order; the Spark
+   * side must reproduce it exactly from its range-partitioned offset
+   * arithmetic — the hash match IS the proof the distributed cut equals
+   * the single-window definition.
+   */
+  def tokenBudgetCut(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val docs = t(dir, "documents").select(col("doc_id"),
+      col("n_chars").cast("long").as("score"),
+      TextAnalysis.whitespaceTokenCount(col("text")).cast("long").as("n_tok"))
+    TextAnalysis.selectTokenBudget(docs, "score", "n_tok", "doc_id", budgetTokens = 20000L)
+      .select(col("doc_id"), col("score"), col("n_tok"), col("cum_tokens"))
+  }
+
+  val tokenBudgetCutSql: String =
+    raw"""SELECT doc_id, score, n_tok, cum_tokens FROM (
+         SELECT doc_id, score, n_tok,
+                cast(sum(n_tok) OVER (ORDER BY score DESC, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS cum_tokens
+         FROM (SELECT doc_id, cast(n_chars as bigint) AS score,
+                      cast(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) as bigint) AS n_tok
+               FROM documents))
+       WHERE cum_tokens <= 20000"""
+
+  /**
+   * `url_filter`: [[Web.urlQualityFlags]] — the C4/RefinedWeb-style
+   * pre-fetch URL heuristics over six deterministic URL shapes, one per
+   * gate: a clean page, an asset extension, an over-deep path, a
+   * parameter explosion, a blocked word, an over-long URL. Oracle mirrors
+   * every flag expression in DuckDB.
+   */
+  def urlFilter(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val id = col("doc_id").cast("string")
+    val deep = (1 to 11).map(i => s"s$i").mkString("/", "/", "/")
+    val manyParams = (1 to 10).map(i => s"p$i=$i").mkString("?", "&", "")
+    val url = when(col("doc_id") % 6 === 0,
+      concat(lit("https://"), col("source"), lit(".com/articles/"), id))
+      .when(col("doc_id") % 6 === 1,
+        concat(lit("https://"), col("source"), lit(".com/images/photo"), id, lit(".JPG")))
+      .when(col("doc_id") % 6 === 2,
+        concat(lit("https://"), col("source"), lit(s".com$deep"), id))
+      .when(col("doc_id") % 6 === 3,
+        concat(lit("https://"), col("source"), lit(s".com/p$manyParams")))
+      .when(col("doc_id") % 6 === 4,
+        concat(lit("https://"), col("source"), lit(".com/casino/bonus"), id))
+      .otherwise(concat(lit("https://"), col("source"), lit(".com/search?q="),
+        lit("x" * 600)))
+    val flags = Web.urlQualityFlags(col("url")).map { case (n, c) => c.as(n) }
+    t(dir, "documents").select(col("doc_id"), url.as("url"))
+      .select(col("doc_id") +: col("url") +: flags: _*)
+  }
+
+  val urlFilterSql: String = {
+    val deep = (1 to 11).map(i => s"s$i").mkString("/", "/", "/")
+    val manyParams = (1 to 10).map(i => s"p$i=$i").mkString("?", "&", "")
+    val longQ = "x" * 600
+    val exts = Web.NonPageExtensions.map(e => s"'$e'").mkString(", ")
+    val words = Seq("casino", "porn", "viagra", "xxx")
+      .map(w => s"contains(lower(url), '$w')").mkString(" OR ")
+    s"""WITH urls AS (
+         SELECT doc_id,
+           CASE doc_id % 6
+             WHEN 0 THEN 'https://' || source || '.com/articles/' || doc_id
+             WHEN 1 THEN 'https://' || source || '.com/images/photo' || doc_id || '.JPG'
+             WHEN 2 THEN 'https://' || source || '.com$deep' || doc_id
+             WHEN 3 THEN 'https://' || source || '.com/p$manyParams'
+             WHEN 4 THEN 'https://' || source || '.com/casino/bonus' || doc_id
+             ELSE 'https://' || source || '.com/search?q=$longQ' END AS url
+         FROM documents),
+       parsed AS (
+         SELECT doc_id, url,
+           regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
+           regexp_extract(url, '\\?([^#]*)', 1) AS q
+         FROM urls),
+       feat AS (
+         SELECT doc_id, url,
+           lower(regexp_extract(path0, '\\.([A-Za-z0-9]{1,5})${"$"}', 1)) AS ext,
+           regexp_replace(path0, '^/|/${"$"}', '', 'g') AS trimmed,
+           q
+         FROM parsed),
+       flags AS (
+         SELECT doc_id, url,
+           CASE WHEN ext = '' OR ext NOT IN ($exts) THEN 1 ELSE 0 END AS ok_extension,
+           CASE WHEN (CASE WHEN trimmed = '' THEN 0
+                 ELSE length(trimmed) - length(replace(trimmed, '/', '')) + 1 END) <= 10
+             THEN 1 ELSE 0 END AS ok_depth,
+           CASE WHEN length(url) <= 512 THEN 1 ELSE 0 END AS ok_length,
+           CASE WHEN (CASE WHEN q = '' THEN 0
+                 ELSE length(q) - length(replace(q, '&', '')) + 1 END) <= 8
+             THEN 1 ELSE 0 END AS ok_params,
+           CASE WHEN $words THEN 0 ELSE 1 END AS ok_words
+         FROM feat)
+       SELECT doc_id, url,
+              cast(ok_extension as bigint) AS ok_extension,
+              cast(ok_depth as bigint) AS ok_depth,
+              cast(ok_length as bigint) AS ok_length,
+              cast(ok_params as bigint) AS ok_params,
+              cast(ok_words as bigint) AS ok_words,
+              cast(ok_extension * ok_depth * ok_length * ok_params * ok_words as bigint) AS passes
+       FROM flags"""
+  }
+
+  /**
    * Contamination check: documents sharing word 3-grams with a probe set
    * (here: the texts of three fixed documents, playing the benchmark role).
    */
@@ -3435,5 +3543,7 @@ object Queries {
     ("retention_cohorts", retentionCohorts _, Some(retentionCohortsSql)),
     ("near_dedup_keep_best", nearDedupKeepBest _, Some(nearDedupKeepBestSql)),
     ("cjk_token_stats", cjkTokenStats _, Some(cjkTokenStatsSql)),
-    ("cjk_near_dup", cjkNearDup _, Some(cjkNearDupSql)))
+    ("cjk_near_dup", cjkNearDup _, Some(cjkNearDupSql)),
+    ("token_budget_cut", tokenBudgetCut _, Some(tokenBudgetCutSql)),
+    ("url_filter", urlFilter _, Some(urlFilterSql)))
 }

@@ -1324,6 +1324,57 @@ object TextAnalysis {
   }
 
   /**
+   * Token-budget corpus cut: keep the HIGHEST-`scoreCol` documents whose
+   * cumulative `tokensCol` stays within `budgetTokens` — the greedy
+   * "best docs until the budget is full" selection every fixed-compute
+   * training run ends with (score with the quality classifier or
+   * typicality first, then cut). The kept set is the maximal prefix of
+   * the `(score DESC, id ASC)` total order, so the result is a pure
+   * function of the data — partitioning-independent and
+   * oracle-replayable as one SQL cumulative sum.
+   *
+   * Scale: a naive `sum().over(Window.orderBy(...))` global cumulative
+   * sum collapses the corpus onto ONE reducer. Here the cut is exact
+   * without that: range-repartition by the order key (each partition
+   * holds a contiguous score range), ONE tiny per-partition token-sum agg
+   * whose running offsets are a window over partition-count rows, then a
+   * per-partition cumulative sum windowed by partition id — parallelism
+   * stays at the partition count through every step, and only
+   * partition-count rows ever meet a single-partition window.
+   */
+  def selectTokenBudget(
+      df: org.apache.spark.sql.DataFrame,
+      scoreCol: String,
+      tokensCol: String,
+      idCol: String,
+      budgetTokens: Long,
+      numPartitions: Int = 0): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.broadcast
+    require(budgetTokens >= 0, "budgetTokens must be non-negative")
+    val ranged =
+      (if (numPartitions > 0)
+        df.repartitionByRange(numPartitions, col(scoreCol).desc, col(idCol))
+      else df.repartitionByRange(col(scoreCol).desc, col(idCol)))
+        .withColumn("__pid", spark_partition_id())
+    val offsets = ranged.groupBy(col("__pid"))
+      .agg(sum(col(tokensCol)).cast("long").as("__part_tokens"))
+      .withColumn("__offset",
+        coalesce(sum(col("__part_tokens")).over(
+          Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("__pid"), col("__offset"))
+    val wCum = Window.partitionBy(col("__pid"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged.join(broadcast(offsets), Seq("__pid"))
+      .withColumn("cum_tokens",
+        (col("__offset") + sum(col(tokensCol)).over(wCum)).cast("long"))
+      .filter(col("cum_tokens") <= budgetTokens)
+      .drop("__pid", "__offset")
+  }
+
+  /**
    * Mixture plan from target shares: given documents with a stratum and a
    * token count, plus per-stratum target corpus shares (ppm) in `targets`
    * (`stratumCol`, `target_ppm`), compute each stratum's available tokens,

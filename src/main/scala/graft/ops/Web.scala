@@ -178,6 +178,70 @@ object Web {
   }
 
   /**
+   * Extensions whose URLs are not prose pages: binary/media assets and
+   * code/style resources a text crawl should skip before fetching or
+   * keep out of a text corpus after (the C4/RefinedWeb URL-filter list's
+   * dominant subset).
+   */
+  val NonPageExtensions: Seq[String] = Seq(
+    "7z", "avi", "bmp", "bz2", "css", "csv", "dmg", "doc", "docx", "exe",
+    "flv", "gif", "gz", "ico", "iso", "jpeg", "jpg", "js", "json", "mid",
+    "mov", "mp3", "mp4", "mpeg", "mpg", "ogg", "pdf", "png", "ppt", "pptx",
+    "rar", "svg", "swf", "tar", "tgz", "tif", "tiff", "wav", "webm", "webp",
+    "wmv", "xls", "xlsx", "xml", "zip")
+
+  /**
+   * URL-level quality flags — the pre-fetch/pre-corpus filter of a crawl
+   * funnel (C4/RefinedWeb recipe: cheap URL heuristics drop non-page and
+   * spam-shaped URLs before any byte of body text is paid for). Per-URL
+   * 0/1 flags plus an overall `passes` product:
+   *
+   *  - `ok_extension` — the path does not end in a [[NonPageExtensions]]
+   *    asset extension (case-insensitive);
+   *  - `ok_depth` — at most `maxDepth` path segments (deep paths are
+   *    calendars, faceted search, session trees);
+   *  - `ok_length` — the whole URL is at most `maxLength` chars (very
+   *    long URLs are tracking/session state, not content);
+   *  - `ok_params` — at most `maxParams` query parameters (parameter
+   *    explosions are faceted/search/session pages);
+   *  - `ok_words` — no `blockedWords` substring in the lowercased URL
+   *    (the adult/gambling word filter; empty set disables).
+   *
+   * Pure per-row codegen'd string/regex work, identical under Java regex
+   * and RE2 — same portability contract as the rest of [[Web]].
+   */
+  def urlQualityFlags(
+      url: Column,
+      maxDepth: Int = 10,
+      maxLength: Int = 512,
+      maxParams: Int = 8,
+      blockedWords: Seq[String] = Seq("casino", "porn", "viagra", "xxx")):
+      Seq[(String, Column)] = {
+    require(maxDepth >= 1 && maxLength >= 1 && maxParams >= 0, "bounds must be positive")
+    val path = urlPath(url)
+    val query = urlQuery(url)
+    val ext = lower(regexp_extract(path, "\\.([A-Za-z0-9]{1,5})$", 1))
+    val okExt = ext === "" || !ext.isin(NonPageExtensions.map(x => x: Any): _*)
+    // segments = '/' count of the trimmed path ("/a/b/" -> a, b)
+    val trimmed = regexp_replace(path, "^/|/$", "")
+    val depth = when(trimmed === "", lit(0))
+      .otherwise(length(trimmed) - length(regexp_replace(trimmed, "/", "")) + 1)
+    val nParams = when(query === "", lit(0))
+      .otherwise(length(query) - length(regexp_replace(query, "&", "")) + 1)
+    val lowered = lower(url)
+    val wordHit = blockedWords.foldLeft(lit(false))((acc, w) =>
+      acc || lowered.contains(w))
+    val flags = Seq(
+      "ok_extension" -> okExt,
+      "ok_depth" -> (depth <= maxDepth),
+      "ok_length" -> (length(url) <= maxLength),
+      "ok_params" -> (nParams <= maxParams),
+      "ok_words" -> !wordHit)
+    val asInts = flags.map { case (n, c) => n -> when(c, 1L).otherwise(0L) }
+    asInts :+ ("passes" -> asInts.map(_._2).reduce(_ * _))
+  }
+
+  /**
    * Per-domain quality profile — the measurement pass behind a domain
    * blocklist: document count, punctuation-character share and
    * Gopher-gate failure share (both exact integer ppm, DECIMAL(38)

@@ -73,6 +73,14 @@ class PlanInvariantsSpec extends SparkTestBase {
     check("quality_score", maxShuffles = 0)
   }
 
+  test("script-aware battery: per-row kernels, the standard LSH shape") {
+    // translate + ScriptTokens + gates are all per-row; ONE per-lang agg
+    check("cjk_token_stats", maxShuffles = 1)
+    // banding explode + bucket-cap window + pair distinct + verify joins
+    // (broadcast at this sf) — same ceilings as near_dup_pairs
+    check("cjk_near_dup", maxShuffles = 4)
+  }
+
   test("hashed-tf ANN: per-row vectors into the bounded-partial top-k, no window") {
     val (plan, counts) = shape("hashed_tf_topk")
     withClue(s"hashed_tf_topk plan:\n$plan\n") {

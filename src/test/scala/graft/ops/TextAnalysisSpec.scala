@@ -449,6 +449,30 @@ class TextAnalysisSpec extends SparkTestBase {
       .toDF("text").select(asciiPass === scriptPass).as[Boolean].head() shouldBe true
   }
 
+  test("selectTokenBudget keeps the exact greedy best-first prefix, any partitioning") {
+    // (id, score, tokens): ordered by score desc the cumulative tokens are
+    // 30, 70, 90, 140, 150 — a 100-token budget keeps exactly ids 5, 1, 4
+    val docs = Seq(
+      (1L, 80L, 40L), (2L, 50L, 50L), (3L, 40L, 10L), (4L, 70L, 20L), (5L, 90L, 30L))
+      .toDF("id", "score", "n_tok")
+    def cut(df: org.apache.spark.sql.DataFrame, budget: Long, parts: Int = 0) =
+      TextAnalysis.selectTokenBudget(df, "score", "n_tok", "id", budget, parts)
+        .select($"id", $"cum_tokens").as[(Long, Long)].collect().toMap
+    cut(docs, 100L) shouldBe Map(5L -> 30L, 1L -> 70L, 4L -> 90L)
+    // a document never splits: budget 120 still stops before id 2 (140)
+    cut(docs, 120L) shouldBe Map(5L -> 30L, 1L -> 70L, 4L -> 90L)
+    cut(docs, 150L).keySet shouldBe Set(1L, 2L, 3L, 4L, 5L)
+    cut(docs, 0L) shouldBe Map.empty
+    // exact same result under any partition count (the offset arithmetic
+    // must equal the single-window definition)
+    for (p <- Seq(1, 2, 7)) {
+      cut(docs.repartition(3), 100L, parts = p) shouldBe Map(5L -> 30L, 1L -> 70L, 4L -> 90L)
+    }
+    // ties in score resolve by id ascending
+    val tied = Seq((10L, 5L, 10L), (11L, 5L, 10L), (12L, 5L, 10L)).toDF("id", "score", "n_tok")
+    cut(tied, 20L).keySet shouldBe Set(10L, 11L)
+  }
+
   test("dedupLinesInDoc keeps first occurrences in order") {
     def clean(s: String): String =
       Seq(s).toDF("t").select(TextAnalysis.dedupLinesInDoc($"t")).as[String].head()

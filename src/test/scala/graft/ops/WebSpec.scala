@@ -123,6 +123,31 @@ class WebSpec extends SparkTestBase {
     df.filter($"d1" =!= $"d2").select("u", "d1", "d2").collect() shouldBe empty
   }
 
+  test("urlQualityFlags gate non-page, deep, long, parameter-heavy and blocked URLs") {
+    def flags(u: String): Map[String, Long] = {
+      val cols = Web.urlQualityFlags(org.apache.spark.sql.functions.col("u"))
+        .map { case (n, c) => c.as(n) }
+      Seq(u).toDF("u").select(cols: _*).collect().head.getValuesMap[Long](
+        Seq("ok_extension", "ok_depth", "ok_length", "ok_params", "ok_words", "passes"))
+    }
+    flags("https://example.com/articles/how-to-cook")("passes") shouldBe 1L
+    flags("https://example.com/a.b/page")("passes") shouldBe 1L // dot in a dir, no ext
+    flags("https://example.com/img/photo.JPG")("ok_extension") shouldBe 0L // case-folded
+    flags("https://example.com/data.tar.gz")("ok_extension") shouldBe 0L
+    flags("https://example.com/page.html")("ok_extension") shouldBe 1L // html IS a page
+    flags("https://example.com/" + (1 to 11).map("s" + _).mkString("/"))(
+      "ok_depth") shouldBe 0L
+    flags("https://example.com/" + (1 to 10).map("s" + _).mkString("/"))(
+      "ok_depth") shouldBe 1L // boundary: exactly maxDepth passes
+    flags("https://example.com/p?" + (1 to 9).map(i => s"p$i=$i").mkString("&"))(
+      "ok_params") shouldBe 0L
+    flags("https://example.com/p?" + (1 to 8).map(i => s"p$i=$i").mkString("&"))(
+      "ok_params") shouldBe 1L
+    flags("https://example.com/q?s=" + "x" * 600)("ok_length") shouldBe 0L
+    flags("https://example.com/CASINO/bonus")("ok_words") shouldBe 0L
+    flags("https://example.com/bare")("ok_params") shouldBe 1L // no query at all
+  }
+
   test("domainQualityProfile computes exact integer ppm shares and flags") {
     val docs = Seq(
       ("good.com", "the quick brown fox jumps over the lazy dog near the river bank"),
