@@ -2054,6 +2054,25 @@ object Queries {
        WHERE cum_tokens <= 20000"""
 
   /**
+   * `training_shuffle`: [[TextAnalysis.deterministicShuffle]] — the exact
+   * global md5-keyed pseudo-random permutation a training export shuffles
+   * by, computed WITHOUT a corpus-on-one-reducer window (range partition +
+   * offset arithmetic, like `token_budget_cut`). The oracle is the plain
+   * `row_number() OVER (ORDER BY md5(...))` definition — the hash match
+   * proves the distributed ranks equal it position for position.
+   */
+  def trainingShuffle(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    TextAnalysis.deterministicShuffle(
+      t(dir, "documents").select(col("doc_id"), col("lang")), "doc_id", salt = "r12")
+  }
+
+  val trainingShuffleSql: String =
+    """SELECT doc_id, lang,
+       cast(row_number() OVER (ORDER BY md5('shuffle:r12:' || doc_id), doc_id) as bigint) AS shuffle_rank
+       FROM documents"""
+
+  /**
    * `url_filter`: [[Web.urlQualityFlags]] — the C4/RefinedWeb-style
    * pre-fetch URL heuristics over six deterministic URL shapes, one per
    * gate: a clean page, an asset extension, an over-deep path, a
@@ -3545,5 +3564,6 @@ object Queries {
     ("cjk_token_stats", cjkTokenStats _, Some(cjkTokenStatsSql)),
     ("cjk_near_dup", cjkNearDup _, Some(cjkNearDupSql)),
     ("token_budget_cut", tokenBudgetCut _, Some(tokenBudgetCutSql)),
-    ("url_filter", urlFilter _, Some(urlFilterSql)))
+    ("url_filter", urlFilter _, Some(urlFilterSql)),
+    ("training_shuffle", trainingShuffle _, Some(trainingShuffleSql)))
 }

@@ -290,6 +290,89 @@ object Multimodal {
     }.toDF(idCol, "embedding")
   }
 
+  /**
+   * Perceptual AUDIO hash — the audio analogue of [[dHash]]: 64-bit
+   * fingerprint from the sign of the energy GRADIENT between 65
+   * consecutive RMS windows of the mean-removed PCM clip. Comparing
+   * adjacent window energies makes the hash exactly invariant to gain
+   * scaling and DC offset (the re-encode edits that change every sample
+   * byte without changing the sound), while clips with different energy
+   * envelopes land far apart in Hamming space. Returns None for non-PCM
+   * payloads or clips shorter than 65 samples — like [[audioFeatures]],
+   * there is deliberately NO fake fallback into an audio near-dup index.
+   */
+  def audioHash(payload: Array[Byte]): Option[Long] =
+    pcmSamples(payload) match {
+      case Some((_, samples)) if samples.length >= 65 =>
+        val n = samples.length
+        val mean = samples.sum / n
+        val rms = Array.ofDim[Double](65)
+        var w = 0
+        while (w < 65) {
+          val s0 = w * n / 65
+          val s1 = math.max((w + 1) * n / 65, s0 + 1)
+          var sumSq = 0.0
+          var j = s0
+          while (j < math.min(s1, n)) {
+            val v = samples(j) - mean
+            sumSq += v * v
+            j += 1
+          }
+          rms(w) = math.sqrt(sumSq / (math.min(s1, n) - s0))
+          w += 1
+        }
+        var acc = 0L
+        var b = 0
+        while (b < 64) {
+          if (rms(b) < rms(b + 1)) acc |= 1L << b
+          b += 1
+        }
+        Some(acc)
+      case _ => None
+    }
+
+  /**
+   * Near-duplicate AUDIO pairs by banded [[audioHash]] Hamming join — the
+   * same 4 x 16-bit pigeonhole bucketing as [[imageNearDupPairs]] (exact
+   * recall for `maxHamming <= 3`, bucketed equi-joins, never all-pairs).
+   * Non-PCM payloads are EXCLUDED (no hash, no fake fallback), so a mixed
+   * media table contributes only its decodable audio.
+   */
+  def audioNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(0 <= maxHamming && maxHamming <= 3,
+      "4 bands guarantee recall only for maxHamming <= 3")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hashed = df.select(col(idCol).cast("long"), col(payloadCol))
+      .mapPartitions(_.flatMap(r =>
+        audioHash(r.getAs[Array[Byte]](1)).map(h => (r.getLong(0), h))))
+      .toDF(idCol, "__ah")
+    bandedHammingPairs(hashed, idCol, maxHamming)
+  }
+
+  /** Shared 4 x 16-bit banded Hamming self-join over an `(id, __ah)` frame. */
+  private def bandedHammingPairs(
+      hashed: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
+    val banded = hashed.select(col(idCol), col("__ah"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("__ah"), b * 16).bitwiseAND(lit(65535L)).as("bb"))): _*)).as("e"))
+      .select(col(idCol), col("__ah"), col("e.band").as("band"), col("e.bb").as("bb"))
+    val a = banded.select(col("band"), col("bb"), col(idCol).as("id_a"), col("__ah").as("__ah_a"))
+    val b = banded.select(col("band"), col("bb"), col(idCol).as("id_b"), col("__ah").as("__ah_b"))
+    a.join(b, Seq("band", "bb"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming",
+        bit_count(col("__ah_a").bitwiseXOR(col("__ah_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .distinct()
+  }
+
   /** Typed metadata for a video payload (MP4/ISO-BMFF header parse). */
   case class VideoMeta(
       docId: Long,
@@ -604,20 +687,7 @@ object Multimodal {
     val hashed = df.select(col(idCol).cast("long"), col(payloadCol))
       .mapPartitions(_.map(r => (r.getLong(0), hashFn(r.getAs[Array[Byte]](1)))))
       .toDF(idCol, "__ah")
-    val banded = hashed.select(col(idCol), col("__ah"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"),
-          shiftright(col("__ah"), b * 16).bitwiseAND(lit(65535L)).as("bb"))): _*)).as("e"))
-      .select(col(idCol), col("__ah"), col("e.band").as("band"), col("e.bb").as("bb"))
-    val a = banded.select(col("band"), col("bb"), col(idCol).as("id_a"), col("__ah").as("__ah_a"))
-    val b = banded.select(col("band"), col("bb"), col(idCol).as("id_b"), col("__ah").as("__ah_b"))
-    a.join(b, Seq("band", "bb"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("hamming",
-        bit_count(col("__ah_a").bitwiseXOR(col("__ah_b"))).cast("long"))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
-      .distinct()
+    bandedHammingPairs(hashed, idCol, maxHamming)
   }
 
   /**

@@ -1375,6 +1375,56 @@ object TextAnalysis {
   }
 
   /**
+   * Exact global 1-based rank in `order` — `row_number() OVER (ORDER BY
+   * ...)` semantics WITHOUT its scale bug (a global window collapses the
+   * corpus onto ONE reducer): range-repartition by the order key, count
+   * rows per partition (partition-count rows — the only input any
+   * single-partition window sees), broadcast the running offsets back and
+   * add a per-partition row_number. `order` must be a TOTAL order
+   * (include a unique id as the last key) or ranks are partition-
+   * dependent.
+   */
+  def withGlobalRank(
+      df: org.apache.spark.sql.DataFrame,
+      rankCol: String,
+      order: Column*): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.broadcast
+    require(order.nonEmpty, "withGlobalRank needs at least one order column")
+    val ranged = df.repartitionByRange(order: _*).withColumn("__pid", spark_partition_id())
+    val offsets = ranged.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__offset",
+        coalesce(sum(col("__n")).over(
+          Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("__pid"), col("__offset"))
+    ranged.join(broadcast(offsets), Seq("__pid"))
+      .withColumn(rankCol,
+        (col("__offset") +
+          row_number().over(Window.partitionBy(col("__pid")).orderBy(order: _*))).cast("long"))
+      .drop("__pid", "__offset")
+  }
+
+  /**
+   * Deterministic global shuffle for training-data export: every row gets
+   * `shuffle_rank` — its exact position in the md5-keyed pseudo-random
+   * total order `md5('shuffle:<salt>:' || id)` — so "shuffle the corpus
+   * before training" becomes a pure function of the data: re-runs, the
+   * oracle, and any engine agree on the full permutation, and a different
+   * `salt` draws a fresh independent permutation. Write ordered by the
+   * rank (the range partitioning already groups contiguous rank spans per
+   * partition) and cap file sizes with `maxRecordsPerFile` for
+   * fixed-size training shards.
+   */
+  def deterministicShuffle(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      salt: String = ""): org.apache.spark.sql.DataFrame =
+    withGlobalRank(df, "shuffle_rank",
+      md5(concat(lit(s"shuffle:$salt:"), col(idCol).cast("string"))), col(idCol))
+
+  /**
    * Mixture plan from target shares: given documents with a stratum and a
    * token count, plus per-stratum target corpus shares (ppm) in `targets`
    * (`stratumCol`, `target_ppm`), compute each stratum's available tokens,

@@ -308,8 +308,11 @@ object EventStreams {
       backoffUniModel: Option[Map[String, Long]] = None,
       backoffAlphaPct: Int = 40,
       qualityWeights: Option[Map[String, Long]] = None,
-      minQualityScore: Long = 0L): DataFrame = {
-    val flags = graft.ops.TextAnalysis.qualityFlags(col(textCol))
+      minQualityScore: Long = 0L,
+      scriptAware: Boolean = false): DataFrame = {
+    val flags =
+      if (scriptAware) graft.ops.TextAnalysis.qualityFlagsScriptAware(col(textCol))
+      else graft.ops.TextAnalysis.qualityFlags(col(textCol))
     val gopherPasses = flags.collectFirst { case ("passes", c) => c }.get === 1L
     // null score (no tokens) never reaches the typicality verdict: the
     // word-count flag fails first, and false && null = false
@@ -319,9 +322,11 @@ object EventStreams {
     val typicalOk = typicalityModel.fold(lit(true)) { m =>
       val score = backoffUniModel match {
         case Some(uni) =>
-          graft.ops.TextAnalysis.typicalityBackoffCol(col(textCol), uni, m, backoffAlphaPct)
+          graft.ops.TextAnalysis.typicalityBackoffCol(col(textCol), uni, m,
+            backoffAlphaPct, scriptAware)
         case None =>
-          graft.ops.TextAnalysis.typicalityScoreColN(col(textCol), m, typicalityN)
+          graft.ops.TextAnalysis.typicalityScoreColN(col(textCol), m, typicalityN,
+            scriptAware)
       }
       score >= minTypicalityPpm
     }
@@ -366,12 +371,13 @@ object EventStreams {
       backoffAlphaPct: Int = 40,
       qualityWeights: Option[Map[String, Long]] = None,
       minQualityScore: Long = 0L,
-      date: () => graft.time.DateInterval = () => graft.time.Day.today)
+      date: () => graft.time.DateInterval = () => graft.time.Day.today,
+      scriptAware: Boolean = false)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       val v = curationVerdicts(batch, textCol, typicalityModel, minTypicalityPpm,
         typicalityN, backoffUniModel, backoffAlphaPct,
-        qualityWeights, minQualityScore).persist()
+        qualityWeights, minQualityScore, scriptAware).persist()
       try {
         accepted.save(v.filter(col("passes")).drop("passes", "reject_reason"),
           date(), graft.io.Warehouse.WriteAppend)

@@ -300,6 +300,37 @@ class MultimodalSpec extends SparkTestBase {
     rows(4L) shouldBe None
   }
 
+  test("audioHash is gain/offset-invariant; audioNearDupPairs pairs re-encodes only") {
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val rate = 8000f
+    val n = 8000
+    // an amplitude envelope with real structure across the 65 RMS windows
+    def clip(i: Int): Double =
+      (0.2 + 0.6 * math.abs(math.sin(2 * math.Pi * 3.1 * i / n))) *
+        math.sin(2 * math.Pi * 440 * i / rate)
+    val original = wavOf(rate, n)(clip)
+    val regained = wavOf(rate, n)(i => 0.35 * clip(i) + 0.04) // gain + DC shift
+    val reversed = wavOf(rate, n)(i => clip(n - 1 - i))       // mirrored envelope
+    val noise = wavOf(rate, n) { i =>
+      val h = i * 2654435761L
+      ((h >>> 33) & 0xffff).toDouble / 32768.0 - 1.0
+    }
+    val h0 = Multimodal.audioHash(original).get
+    // window-RMS gradient signs survive gain + DC re-encoding exactly
+    // (up to 16-bit requantization at near-tied windows)
+    hamming(h0, Multimodal.audioHash(regained).get) should be <= 2
+    hamming(h0, Multimodal.audioHash(reversed).get) should be > 16
+    hamming(h0, Multimodal.audioHash(noise).get) should be > 10
+    Multimodal.audioHash("not audio".getBytes("UTF-8")) shouldBe None
+
+    val media = Seq((1L, original), (2L, regained), (3L, reversed),
+      (4L, "not audio".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val pairs = Multimodal.audioNearDupPairs(media, "doc_id", "payload", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    pairs should contain((1L, 2L))
+    pairs.exists { case (a, b) => a >= 3L || b >= 3L } shouldBe false
+  }
+
   test("audioFeatures embeddings flow into the ANN index end-to-end") {
     val rate = 8000f
     val n = 4000

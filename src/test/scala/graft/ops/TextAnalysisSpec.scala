@@ -473,6 +473,30 @@ class TextAnalysisSpec extends SparkTestBase {
     cut(tied, 20L).keySet shouldBe Set(10L, 11L)
   }
 
+  test("withGlobalRank equals the single-window row_number, any partitioning") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (1L to 57L).map(i => (i, (i * 37) % 19)).toDF("id", "key")
+    val expected = df.withColumn("r",
+      row_number().over(Window.orderBy($"key", $"id")).cast("long"))
+      .select($"id", $"r").as[(Long, Long)].collect().toMap
+    for (parts <- Seq(1, 3, 8)) {
+      TextAnalysis.withGlobalRank(df.repartition(parts), "r", $"key", $"id")
+        .select($"id", $"r").as[(Long, Long)].collect().toMap shouldBe expected
+    }
+  }
+
+  test("deterministicShuffle draws a reproducible salt-keyed permutation") {
+    val df = (1L to 40L).toDF("doc_id")
+    def ranks(salt: String): Seq[Long] =
+      TextAnalysis.deterministicShuffle(df, "doc_id", salt)
+        .orderBy($"doc_id").select($"shuffle_rank").as[Long].collect().toSeq
+    val a = ranks("a")
+    a.sorted shouldBe (1L to 40L) // a full permutation, no gaps or dups
+    ranks("a") shouldBe a         // same salt -> same permutation
+    ranks("b") should not be a    // fresh salt -> independent draw
+    a should not be (1L to 40L)   // and it actually shuffles
+  }
+
   test("dedupLinesInDoc keeps first occurrences in order") {
     def clean(s: String): String =
       Seq(s).toDF("t").select(TextAnalysis.dedupLinesInDoc($"t")).as[String].head()

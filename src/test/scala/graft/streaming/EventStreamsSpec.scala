@@ -223,6 +223,22 @@ class EventStreamsSpec extends SparkTestBase {
     table.load(spark, date).count() shouldBe 3 // appended across micro-batches
   }
 
+  test("curation verdicts with scriptAware pass CJK pages the ASCII gate rejects") {
+    val docs = Seq(
+      (1L, "深度学习模型在大规模语料库上训练需要高质量的数据和强大的算力支持"),
+      (2L, "a good english sentence with many plain readable words in it today"),
+      (3L, "的的的的的的的的的的的的的的的的的的的的")).toDF("doc_id", "text")
+    def verdicts(scriptAware: Boolean): Map[Long, Boolean] =
+      curationVerdicts(docs, scriptAware = scriptAware)
+        .select($"doc_id", $"passes").as[(Long, Boolean)].collect().toMap
+    val ascii = verdicts(scriptAware = false)
+    val script = verdicts(scriptAware = true)
+    ascii(1L) shouldBe false  // zero ASCII tokens -> whole language rejected
+    script(1L) shouldBe true  // bigram tokens -> real verdict
+    ascii(2L) shouldBe script(2L) // English unchanged by the flag
+    script(3L) shouldBe false // degenerate repetition still fails
+  }
+
   test("curation gate routes accepts and tagged rejects with batch-parity verdicts") {
     implicit val sc = spark.sqlContext
     val model = Map("the" -> 100000L, "cat" -> 50000L, "sat" -> 50000L, "mat" -> 50000L)
