@@ -2391,6 +2391,39 @@ object Queries {
        WHERE rank <= 5"""
   }
 
+  /**
+   * `ann_quantized_topk`: brute-force cosine top-k over INT8-quantized
+   * embeddings ([[Similarity.quantizeInt8]] → dequantize → the same
+   * bounded-partial top-k) — the 4x-smaller-memory ANN tier. Quantization
+   * uses half-up `floor(x + 0.5)` codes and a shared double scale, so the
+   * oracle replays every code and every dequantized product bit-for-bit;
+   * the hash match proves the whole quantize→dequantize→rank path is
+   * engine-exact, not just approximately close.
+   */
+  def annQuantizedTopK(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val emb = t(dir, "embeddings").select(col("vec_id"),
+      Similarity.dequantizeInt8(Similarity.quantizeInt8(col("embedding"))).as("qvec"))
+    Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5), emb, "vec_id", "qvec", k = 5)
+  }
+
+  val annQuantizedTopKSql: String = {
+    val scale = "(list_max(list_transform(embedding, v -> abs(cast(v as double)))) / 127.0)"
+    val qvec = s"""CASE WHEN $scale = 0
+         THEN list_transform(embedding, v -> cast(0 as double))
+         ELSE list_transform(embedding, v -> cast(floor(cast(v as double) / $scale + 0.5) as int) * $scale) END"""
+    s"""WITH vecs AS (SELECT vec_id, $qvec AS v FROM embeddings)
+       SELECT query_id, neighbor_id, cosine, rank FROM (
+         SELECT query_id, neighbor_id, cosine,
+                row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                      $SqlCos AS cosine
+               FROM (SELECT vec_id, v AS qv FROM vecs WHERE vec_id < 5) q,
+                    (SELECT vec_id, v AS nv FROM vecs) c
+               WHERE q.vec_id <> c.vec_id))
+       WHERE rank <= 5"""
+  }
+
   /** Random-hyperplane LSH bucket histogram (the ANN scale path). */
   def annLshBuckets(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
@@ -3565,5 +3598,6 @@ object Queries {
     ("cjk_near_dup", cjkNearDup _, Some(cjkNearDupSql)),
     ("token_budget_cut", tokenBudgetCut _, Some(tokenBudgetCutSql)),
     ("url_filter", urlFilter _, Some(urlFilterSql)),
-    ("training_shuffle", trainingShuffle _, Some(trainingShuffleSql)))
+    ("training_shuffle", trainingShuffle _, Some(trainingShuffleSql)),
+    ("ann_quantized_topk", annQuantizedTopK _, Some(annQuantizedTopKSql)))
 }

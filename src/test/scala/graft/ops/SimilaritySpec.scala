@@ -27,6 +27,35 @@ class SimilaritySpec extends SparkTestBase {
     rows.toDF("vec_id", "cluster", "embedding")
   }
 
+  test("int8 quantization: exact codes, tight cosine error, top-k recall") {
+    // exact code math on a known vector: scale = 10/127, codes round half-up
+    val one = Seq((1L, Array(10.0f, -10.0f, 5.0f, 0.0f, 0.04f))).toDF("vec_id", "embedding")
+    val q = one.select(Similarity.quantizeInt8($"embedding").as("s"))
+      .select($"s.scale", $"s.q").as[(Double, Seq[Int])].head()
+    q._1 shouldBe (10.0 / 127) +- 1e-12
+    q._2 shouldBe Seq(127, -127, 64, 0, 1) // 5/10*127 = 63.5 -> half-up 64
+    // an all-zero vector quantizes to zero codes, never NaN
+    Seq((2L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding")
+      .select(Similarity.quantizeInt8($"embedding").as("s"))
+      .select($"s.scale", $"s.q").as[(Double, Seq[Int])].head() shouldBe ((0.0, Seq(0, 0)))
+
+    // corpus-wide: dequantized cosine stays within 1e-2 of exact, and the
+    // quantized brute-force top-5 keeps >= 0.9 recall vs full precision
+    val deq = corpus.select($"vec_id", $"cluster",
+      Similarity.dequantizeInt8(Similarity.quantizeInt8($"embedding")).as("qvec"))
+    val errs = corpus.join(deq.select($"vec_id", $"qvec"), "vec_id")
+      .select(abs(Similarity.cosine($"embedding", $"qvec") - 1.0))
+      .as[Double].collect()
+    all(errs) should be < 1e-2
+    val queries = corpus.filter($"vec_id" < 8)
+    val exact = Similarity.bruteForceTopK(queries, corpus, "vec_id", "embedding", k = 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val qQueries = deq.filter($"vec_id" < 8)
+    val quant = Similarity.bruteForceTopK(qQueries, deq, "vec_id", "qvec", k = 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    (exact intersect quant).size.toDouble / exact.size should be >= 0.9
+  }
+
   test("dot, norm and cosine on known vectors") {
     val df = spark.sql("SELECT array(1.0, 0.0) AS a, array(0.0, 1.0) AS b, array(2.0, 0.0) AS c")
     df.select(Similarity.dot($"a", $"c")).as[Double].head() shouldBe 2.0
