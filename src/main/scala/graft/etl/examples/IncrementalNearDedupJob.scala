@@ -36,7 +36,8 @@ class IncrementalNearDedupJob(
     threshold: Double = 0.8,
     textCol: String = "text",
     idCol: String = "doc_id",
-    checkpointDir: Option[String] = None)
+    checkpointDir: Option[String] = None,
+    scriptAware: Boolean = false)
     extends SparkJob {
 
   override def shouldRunForDate(spark: SparkSession, date: DateInterval): Boolean =
@@ -45,7 +46,7 @@ class IncrementalNearDedupJob(
   /** `(id, band, bh)` rows for every document in `df` (same builder as the
     * within-day pass, so cross-date and within-day hashes can never drift). */
   private def bandRows(df: DataFrame): DataFrame =
-    Dedup.bandedIds(df, idCol, textCol, numHashes, rowsPerBand)
+    Dedup.bandedIds(df, idCol, textCol, numHashes, rowsPerBand, scriptAware)
 
   /**
    * Bands from partitions strictly BEFORE `date`: a rerun after a crash
@@ -81,7 +82,7 @@ class IncrementalNearDedupJob(
         // shingle/minhash/verify pipeline — without it each sink recomputes
         ctx =>
           val d = Dedup.removeNearDuplicates(ctx.value.toDF(), idCol, textCol, threshold,
-            numHashes, rowsPerBand, checkpointDir).persist()
+            numHashes, rowsPerBand, checkpointDir, scriptAware).persist()
           cached += d
           d
       }

@@ -79,10 +79,16 @@ private[monitoring] object Json {
 }
 
 object MessagingSystem {
-  /** Pick an implementation from config; only the print transport ships (no Kafka jar in this env). */
+  /** Pick an implementation from config. `file` (with `messaging.dir`) is
+    * the durable zero-dependency transport; a Kafka transport stays
+    * deliberately unshipped — no client jar in this environment, and the
+    * seam (this factory + `publish`) is exactly where one plugs in. */
   def create(config: GraftConfig): MessagingSystem =
     config.get("messaging.transport") match {
       case Some("memory") => new InMemoryMessagingSystem
+      case Some("file") =>
+        new FileMessagingSystem(config.get("messaging.dir").getOrElse(
+          sys.error("messaging.transport=file needs messaging.dir")))
       case _ => new PrintMessagingSystem
     }
 
@@ -155,6 +161,41 @@ abstract class MessagingSystem {
 class PrintMessagingSystem extends MessagingSystem with Logging {
   override def publish(topic: String, message: String): Unit =
     logger.info(s"[$topic] $message")
+}
+
+/**
+ * Durable zero-dependency transport: appends each event as one JSON line
+ * to `<dir>/<topic>.jsonl` — the events land as machine-readable history a
+ * Spark job (or `spark.read.json`) can query directly, which makes this
+ * the real replacement for a message bus on single-writer deployments
+ * (the reference's Kafka transport needs a client jar this environment
+ * lacks; the `publish` seam is unchanged, so swapping one in later
+ * touches nothing else). Appends are synchronized and flushed per event:
+ * a crash loses at most the in-flight line, and concurrent stages within
+ * one runner never interleave bytes.
+ */
+class FileMessagingSystem(dir: String) extends MessagingSystem with Logging {
+  private val root = java.nio.file.Paths.get(dir)
+  java.nio.file.Files.createDirectories(root)
+  private val writers = scala.collection.mutable.Map.empty[String, java.io.Writer]
+
+  override def publish(topic: String, message: String): Unit = synchronized {
+    val w = writers.getOrElseUpdate(topic, java.nio.file.Files.newBufferedWriter(
+      root.resolve(s"$topic.jsonl"),
+      java.nio.charset.StandardCharsets.UTF_8,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND))
+    w.write(message)
+    w.write("\n")
+    w.flush()
+  }
+
+  override def stop(): Unit = synchronized {
+    writers.values.foreach { w =>
+      try w.close() catch { case scala.util.control.NonFatal(_) => () }
+    }
+    writers.clear()
+  }
 }
 
 /** Captures events in memory for assertions in tests. */

@@ -19,6 +19,34 @@ class MonitoringSpec extends AnyFunSuite with Matchers {
     MessagingSystem.create(GraftConfig("messaging.transport" -> "memory")) shouldBe
       an[InMemoryMessagingSystem]
     MessagingSystem.create(GraftConfig.empty) shouldBe a[PrintMessagingSystem]
+    val dir = java.nio.file.Files.createTempDirectory("msg").toString
+    MessagingSystem.create(GraftConfig(
+      "messaging.transport" -> "file", "messaging.dir" -> dir)) shouldBe
+      a[FileMessagingSystem]
+    a[RuntimeException] should be thrownBy
+      MessagingSystem.create(GraftConfig("messaging.transport" -> "file"))
+  }
+
+  test("file transport lands one JSON line per event, per topic, append-safe") {
+    val dir = java.nio.file.Files.createTempDirectory("msgfile")
+    val m = new FileMessagingSystem(dir.toString)
+    m.publishProcessStarting(ctx)
+    m.publishStageComplete(ctx, "clean")
+    m.publishMetrics(ctx, "clean", Map("rows" -> 7.0))
+    m.publishProcessComplete(ctx)
+    m.stop()
+    def lines(topic: String): Seq[String] =
+      java.nio.file.Files.readAllLines(dir.resolve(s"$topic.jsonl"))
+        .toArray(Array.empty[String]).toSeq
+    lines("jobs") should have size 2
+    lines("stages") should have size 1
+    lines("metrics").head should include("\"rows\":7.0")
+    all(lines("jobs")) should (startWith("{") and endWith("}"))
+    // a second system appends to the same history instead of truncating it
+    val m2 = new FileMessagingSystem(dir.toString)
+    m2.publishProcessStarting(ctx)
+    m2.stop()
+    lines("jobs") should have size 3
   }
 
   test("run events carry state, date, and duration only on completion") {
