@@ -31,6 +31,8 @@ object PlanAudit {
         println(s"== $name: bhj=${n("BroadcastHashJoin")} smj=${n("SortMergeJoin")} " +
           s"shj=${n("ShuffledHashJoin")} bnlj=${n("BroadcastNestedLoopJoin")} " +
           s"cartesian=${n("CartesianProduct")} exchange=${n("Exchange hashpartitioning")} " +
+          s"rangeExchange=${n("Exchange rangepartitioning")} " +
+          s"singleExchange=${n("Exchange SinglePartition")} " +
           s"reused=${n("ReusedExchange")} codegenSpans=${n("WholeStageCodegen")}")
         pushed.foreach(p => println(s"   $p"))
       } catch {

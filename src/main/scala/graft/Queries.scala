@@ -1154,6 +1154,52 @@ object Queries {
        GROUP BY 1, 2
        HAVING count(*) >= 3"""
 
+  /**
+   * `decontaminate_sentences`: surgical decontamination
+   * ([[graft.ops.Decontaminate.redactContaminatedSentences]]) over
+   * two-sentence pages (`text || '. ' || reverse(text)` — the second,
+   * char-reversed sentence never matches the probes, so the oracle
+   * proves SENTENCE-level surgery: leaked docs lose exactly their first
+   * sentence, not the document). Probes are docs 7/77/177 as in
+   * `contamination`.
+   */
+  def decontaminateSentences(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val docs = t(dir, "documents")
+    val pages = docs.select(col("doc_id"),
+      concat(col("text"), lit(". "), reverse(col("text"))).as("page"))
+    val probes = docs.filter(col("doc_id").isin(7L, 77L, 177L)).select(col("text"))
+    graft.ops.Decontaminate
+      .redactContaminatedSentences(pages, "doc_id", "page", probes, "text", n = 3)
+      .select(col("doc_id"), col("n_sentences"), col("n_redacted"),
+        md5(col("clean_text")).as("clean_fp"))
+  }
+
+  val decontaminateSentencesSql: String = {
+    def stoks(s: String) =
+      s"list_filter(string_split_regex(lower($s), '[^a-z0-9]+'), x -> x <> '')"
+    def sh3(s: String) =
+      s"list_distinct(list_transform(range(1, greatest(len(${stoks(s)}) - 2, 1) + 1), i -> array_to_string(${stoks(s)}[i:i+2], ' ')))"
+    s"""WITH pg AS (SELECT list(DISTINCT g) AS pg FROM (
+           SELECT unnest(${sh3("text")}) AS g
+           FROM documents WHERE doc_id IN (7, 77, 177))),
+       pages AS (SELECT doc_id, text || '. ' || reverse(text) AS page FROM documents),
+       marked AS (
+         SELECT doc_id,
+           regexp_extract_all(page, '[^.!?]+[.!?]+|[^.!?]+${"$"}') AS sents,
+           list_transform(regexp_extract_all(page, '[^.!?]+[.!?]+|[^.!?]+${"$"}'),
+             s -> CASE WHEN list_has_any(${sh3("s")}, pg)
+                  THEN 1 ELSE 0 END) AS hits
+         FROM pages, pg)
+       SELECT doc_id,
+         cast(len(sents) as bigint) AS n_sentences,
+         cast(coalesce(list_sum(hits), 0) as bigint) AS n_redacted,
+         md5(array_to_string(
+           list_transform(list_filter(range(1, len(sents) + 1), i -> hits[i] = 0),
+             i -> sents[i]), '')) AS clean_fp
+       FROM marked"""
+  }
+
   /** The corpus after decontamination: flagged docs anti-joined away. */
   def decontaminatedDocs(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(dir, "documents")(spark)
@@ -3599,5 +3645,6 @@ object Queries {
     ("token_budget_cut", tokenBudgetCut _, Some(tokenBudgetCutSql)),
     ("url_filter", urlFilter _, Some(urlFilterSql)),
     ("training_shuffle", trainingShuffle _, Some(trainingShuffleSql)),
-    ("ann_quantized_topk", annQuantizedTopK _, Some(annQuantizedTopKSql)))
+    ("ann_quantized_topk", annQuantizedTopK _, Some(annQuantizedTopKSql)),
+    ("decontaminate_sentences", decontaminateSentences _, Some(decontaminateSentencesSql)))
 }

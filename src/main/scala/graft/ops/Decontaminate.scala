@@ -58,6 +58,58 @@ object Decontaminate {
   }
 
   /**
+   * SURGICAL decontamination: instead of dropping whole documents, redact
+   * only the SENTENCES that share any word `n`-gram with the benchmark —
+   * the published middle ground when a long legitimate document quotes a
+   * few eval lines (dropping it wastes the 99% that never leaked; keeping
+   * it verbatim ships the leak). Returns one row per input document:
+   * `clean_text` (the surviving sentences, in order), `n_sentences` and
+   * `n_redacted`. Documents with nothing redacted keep their full
+   * sentence stream; `clean_text` is the SENTENCE rebuild (leading
+   * orphan terminators, which [[TextAnalysis.sentences]] assigns to no
+   * sentence, do not survive — the same stream every sentence-level
+   * consumer sees).
+   *
+   * Scale: sentence explode (row multiplier bounded by sentence count),
+   * gram matching against the BROADCAST benchmark gram set (the corpus
+   * gram stream never shuffles), one doc-keyed rebuild agg whose state is
+   * the document's own sentences. Flagging is per (doc, sentence) — a
+   * sentence is redacted if ANY of its grams hits any benchmark.
+   */
+  def redactContaminatedSentences(
+      docs: DataFrame,
+      docId: String,
+      docText: String,
+      bench: DataFrame,
+      benchText: String,
+      n: Int = 5,
+      broadcastBench: Boolean = true): DataFrame = {
+    require(n >= 1, "n must be at least 1")
+    val benchGrams0 = bench
+      .select(explode(Dedup.wordShingles(col(benchText), n)).as("__gram")).distinct()
+    val benchGrams = if (broadcastBench) broadcast(benchGrams0) else benchGrams0
+    val sents = docs.select(col(docId),
+      posexplode(TextAnalysis.sentences(col(docText))).as(Seq("__pos", "__sent")))
+    val flagged = sents
+      .select(col(docId), col("__pos"),
+        explode(Dedup.wordShingles(col("__sent"), n)).as("__gram"))
+      .join(benchGrams, Seq("__gram"), "left_semi")
+      .select(col(docId), col("__pos")).distinct()
+    sents
+      .join(flagged.withColumn("__hit", lit(1)), Seq(docId, "__pos"), "left")
+      .groupBy(col(docId))
+      .agg(
+        count(lit(1)).cast("long").as("n_sentences"),
+        sum(when(col("__hit").isNotNull, 1L).otherwise(0L)).cast("long").as("n_redacted"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("__hit").isNull, struct(col("__pos"), col("__sent"))))),
+            e => e.getField("__sent")),
+          "").as("clean_text"))
+  }
+
+  /**
    * The corpus with every contaminated document removed: one anti equi-join
    * on the flagged ids from [[contaminationHits]]. Keep the report too —
    * audits want to know WHAT was dropped and against WHICH benchmark.

@@ -1340,7 +1340,12 @@ object TextAnalysis {
    * whose running offsets are a window over partition-count rows, then a
    * per-partition cumulative sum windowed by partition id — parallelism
    * stays at the partition count through every step, and only
-   * partition-count rows ever meet a single-partition window.
+   * partition-count rows ever meet a single-partition window. The range
+   * exchange feeds both the offset branch and the main branch: AQE stage
+   * reuse executes it ONCE (verified on the post-execution plan —
+   * `ReusedExchange`), and even without reuse the sampled boundaries are
+   * deterministic per input, so the two branches could never disagree on
+   * partition membership.
    */
   def selectTokenBudget(
       df: org.apache.spark.sql.DataFrame,

@@ -36,6 +36,27 @@ class DecontaminateSpec extends SparkTestBase {
     clean shouldBe Array(3L, 4L)
   }
 
+  test("redactContaminatedSentences removes only the leaked sentences, in order") {
+    val doc = "a perfectly clean opening sentence about cooking pasta at home. " +
+      eval + ". a clean closing thought about gardens and quiet rain"
+    val docs = Seq(
+      (1L, doc),                                   // middle sentence leaked
+      (2L, "totally clean text with no overlap."), // untouched
+      (3L, eval)                                   // single-sentence doc, fully leaked
+    ).toDF("doc_id", "text")
+    val out = Decontaminate
+      .redactContaminatedSentences(docs, "doc_id", "text", bench, "text", n = 5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_sentences"), r.getAs[Long]("n_redacted"),
+          r.getAs[String]("clean_text")))).toMap
+    out(1L)._1 shouldBe 3L
+    out(1L)._2 shouldBe 1L // the eval sentence alone is redacted
+    out(1L)._3 shouldBe "a perfectly clean opening sentence about cooking pasta at home." +
+      " a clean closing thought about gardens and quiet rain"
+    out(2L) shouldBe ((1L, 0L, "totally clean text with no overlap."))
+    out(3L) shouldBe ((1L, 1L, "")) // nothing survives a fully-leaked doc
+  }
+
   test("the benchmark side broadcasts; nothing cartesians") {
     val plan = Decontaminate.contaminationHits(
       corpus, "doc_id", "text", bench, "eval_id", "text")
