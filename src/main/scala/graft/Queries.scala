@@ -2962,6 +2962,51 @@ object Queries {
        ORDER BY typicality_ppm, doc_id LIMIT 100"""
 
   /**
+   * `ccnet_buckets`: [[TextAnalysis.typicalityTerciles]] — the corpus
+   * split into exact head/middle/tail typicality terciles (the CCNet
+   * recipe's final step), aggregated per bucket with exact integer
+   * min/max/mean ppm. The oracle reruns the whole model + scoring chain
+   * and the plain one-window rank/tercile definition; the hash match
+   * proves the distributed bucketing equals it.
+   */
+  def ccnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val docs = t(dir, "documents")
+    TextAnalysis.typicalityTerciles(docs, "doc_id", "text", docs, "text")
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("typicality_ppm")).cast("long").as("min_ppm"),
+        max(col("typicality_ppm")).cast("long").as("max_ppm"),
+        expr("CAST(CAST(sum(typicality_ppm) AS DECIMAL(38,0)) DIV count(1) AS BIGINT)")
+          .as("mean_ppm"))
+  }
+
+  val ccnetBucketsSql: String =
+    s"""WITH terms AS (
+         SELECT t AS term, count(*) AS cnt
+         FROM (SELECT unnest($Toks) AS t FROM documents) GROUP BY t),
+       tot AS (SELECT sum(len($Toks)) AS tot FROM documents),
+       model AS (
+         SELECT term, cast(cast(cnt as hugeint) * 1000000 // tot as bigint) AS ppm
+         FROM terms, tot ORDER BY cnt DESC, term LIMIT 4096),
+       doc_terms AS (SELECT doc_id, unnest($Toks) AS term FROM documents),
+       scored AS (
+         SELECT doc_id, count(*) AS n_tok, sum(coalesce(ppm, 0)) AS sum_ppm
+         FROM doc_terms LEFT JOIN model USING (term) GROUP BY doc_id),
+       ranked AS (
+         SELECT doc_id, cast(sum_ppm // n_tok as bigint) AS typicality_ppm,
+                row_number() OVER (ORDER BY cast(sum_ppm // n_tok as bigint) DESC, doc_id) AS r,
+                count(*) OVER () AS total
+         FROM scored)
+       SELECT CASE ((r - 1) * 3) // total WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+              count(*) AS n_docs,
+              cast(min(typicality_ppm) as bigint) AS min_ppm,
+              cast(max(typicality_ppm) as bigint) AS max_ppm,
+              cast(sum(typicality_ppm) // count(*) as bigint) AS mean_ppm
+       FROM ranked GROUP BY 1"""
+
+  /**
    * `sentence_stats`: [[TextAnalysis.sentences]] over synthetic punctuated
    * pages (the word-soup corpus has no terminators) — segment count and
    * exact integer mean segment length; multi-terminator runs (`?!`) and a
@@ -3646,5 +3691,6 @@ object Queries {
     ("url_filter", urlFilter _, Some(urlFilterSql)),
     ("training_shuffle", trainingShuffle _, Some(trainingShuffleSql)),
     ("ann_quantized_topk", annQuantizedTopK _, Some(annQuantizedTopKSql)),
-    ("decontaminate_sentences", decontaminateSentences _, Some(decontaminateSentencesSql)))
+    ("decontaminate_sentences", decontaminateSentences _, Some(decontaminateSentencesSql)),
+    ("ccnet_buckets", ccnetBuckets _, Some(ccnetBucketsSql)))
 }

@@ -1055,6 +1055,39 @@ object TextAnalysis {
   }
 
   /**
+   * CCNet head/middle/tail bucketing — the final step of the CCNet recipe
+   * the typicality scorers feed: rank every document by its reference-
+   * model typicality and split the corpus into exact TERCILES (`head` =
+   * most typical third, `tail` = least). CCNet trains on head+middle and
+   * inspects tail; the buckets are also the standard strata for
+   * quality-vs-quantity ablations. Ranks come from [[withGlobalRank]]
+   * (never a corpus-on-one-reducer window), the tercile is exact integer
+   * math (`(rank - 1) * 3 DIV total`), and ties rank deterministically by
+   * id — so the assignment is a pure function of the data. Documents
+   * with no tokens produce no row (nothing to score), matching
+   * [[typicalityScores]].
+   */
+  def typicalityTerciles(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      ref: org.apache.spark.sql.DataFrame,
+      refTextCol: String,
+      vocabSize: Int = 4096,
+      scriptAware: Boolean = false): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val scores = typicalityScores(df, idCol, textCol, ref, refTextCol, vocabSize, scriptAware)
+    val ranked = withGlobalRank(scores, "__rank", col("typicality_ppm").desc, col(idCol))
+    val total = broadcast(scores.agg(count(lit(1)).cast("long").as("__total")))
+    ranked.join(total)
+      .withColumn("bucket",
+        when(expr("((__rank - 1) * 3) DIV __total") === 0, lit("head"))
+          .when(expr("((__rank - 1) * 3) DIV __total") === 1, lit("middle"))
+          .otherwise(lit("tail")))
+      .drop("__rank", "__total")
+  }
+
+  /**
    * Per-row [[typicalityScores]] against an already-materialized model
    * (`term -> ppm`, e.g. `typicalityModel(...).collect()` — O(vocabSize),
    * bounded): the model becomes ONE literal map inside the expression, so

@@ -473,6 +473,32 @@ class TextAnalysisSpec extends SparkTestBase {
     cut(tied, 20L).keySet shouldBe Set(10L, 11L)
   }
 
+  test("typicalityTerciles equals the one-window rank/tercile definition") {
+    import org.apache.spark.sql.expressions.Window
+    // 9 docs over a shared vocabulary with graded amounts of HAPAX filler
+    // (each filler token appears once in the whole corpus, so its model
+    // weight is minimal): typicality strictly decreases with id
+    val common = "the cat sat on the mat and the dog ran"
+    val docs = (1 to 9).map { i =>
+      (i.toLong, common + (1 to i).map(j => s" zz${i}x$j").mkString)
+    }.toDF("doc_id", "text")
+    val out = TextAnalysis.typicalityTerciles(docs.repartition(4), "doc_id", "text", docs, "text")
+      .select($"doc_id", $"bucket").as[(Long, String)].collect().toMap
+    out.filter(_._2 == "head").keySet shouldBe Set(1L, 2L, 3L)
+    out.filter(_._2 == "middle").keySet shouldBe Set(4L, 5L, 6L)
+    out.filter(_._2 == "tail").keySet shouldBe Set(7L, 8L, 9L)
+    // and in general it must equal the plain single-window definition
+    val scores = TextAnalysis.typicalityScores(docs, "doc_id", "text", docs, "text")
+    val n = scores.count()
+    val expected = scores.withColumn("r",
+      row_number().over(Window.orderBy($"typicality_ppm".desc, $"doc_id")))
+      .withColumn("bucket",
+        when(($"r" - 1) * 3 / n < 1, "head")
+          .when(($"r" - 1) * 3 / n < 2, "middle").otherwise("tail"))
+      .select($"doc_id", $"bucket").as[(Long, String)].collect().toMap
+    out shouldBe expected
+  }
+
   test("withGlobalRank equals the single-window row_number, any partitioning") {
     import org.apache.spark.sql.expressions.Window
     val df = (1L to 57L).map(i => (i, (i * 37) % 19)).toDF("id", "key")
