@@ -22,6 +22,7 @@ object ScaleCheck {
    */
   val stageNames: Set[String] = Set(
     "asof_join", "range_join", "simhash_neardup", "cjk_lsh_pairs", "boilerplate_lines",
+    "token_budget_cut", "training_shuffle", "ccnet_buckets", "sentence_redact",
     "exact_dedup", "doc_repetition", "tfidf_top_terms", "span_dedup",
     "leakage_safe_split", "bloom_anti_join", "funnel", "event_transitions",
     "retention_cohorts", "key_skew_profile", "vocab_stats", "domain_quality",
@@ -140,6 +141,31 @@ object ScaleCheck {
     }
     time("tfidf_top_terms") {
       ops.TextAnalysis.tfidfTopTerms(bigDocs, "doc_id", "text")
+    }
+    // the no-one-reducer global-order primitives: the range exchange and
+    // the pid-keyed window must scale with partitions, not collapse
+    time("token_budget_cut") {
+      val sized = bigDocs.select(col("doc_id"), col("n_chars").cast("long").as("score"),
+        ops.TextAnalysis.whitespaceTokenCount(col("text")).cast("long").as("n_tok"))
+      ops.TextAnalysis.selectTokenBudget(sized, "score", "n_tok", "doc_id",
+        budgetTokens = 1000000L)
+    }
+    time("training_shuffle") {
+      ops.TextAnalysis.deterministicShuffle(bigDocs.select(col("doc_id")), "doc_id")
+    }
+    // scoring + rank + terciles: per-doc rows past the scoring aggs
+    time("ccnet_buckets") {
+      ops.TextAnalysis.typicalityTerciles(bigDocs, "doc_id", "text", bigDocs, "text")
+    }
+    // bench side stays original-sized (eval suites don't grow with the
+    // corpus); worst case by construction: every word becomes a sentence
+    // (max sentence density) AND word-level grams hit the bench vocabulary
+    // everywhere, so the flag/rebuild path carries maximal redaction load
+    time("sentence_redact") {
+      val bench = docs.filter(col("doc_id") % 17 === 0).select(col("text"))
+      ops.Decontaminate.redactContaminatedSentences(
+        bigDocs.withColumn("page", regexp_replace(col("text"), " ", ". ")),
+        "doc_id", "page", bench, "text", n = 1)
     }
     // worst case by construction: every amplified copy repeats every window
     // of its original, so ALL duplicate spans are found and stripped
