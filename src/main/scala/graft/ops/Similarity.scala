@@ -55,10 +55,17 @@ object Similarity {
    */
   def quantizeInt8(vec: Column): Column = {
     val scale = aggregate(vec, lit(0.0), (m, v) => greatest(m, abs(v.cast("double")))) / 127.0
-    val q = transform(vec, v =>
-      when(scale === 0.0, lit(0))
-        .otherwise(floor(v.cast("double") / scale + 0.5).cast("int")))
-    struct(scale.as("scale"), q.as("q"))
+    // pack (scale, vec) into a 1-element array and code inside the lambda,
+    // where scale is a BOUND VARIABLE: the max-abs fold runs once per row,
+    // not once per element (O(d) per row, not O(d^2) — the difference is
+    // real at 768-dim embeddings; same trick as languageId's packed struct)
+    element_at(transform(array(struct(scale.as("s"), vec.as("v"))), p => {
+      val s = p.getField("s")
+      struct(s.as("scale"),
+        transform(p.getField("v"), x =>
+          when(s === 0.0, lit(0))
+            .otherwise(floor(x.cast("double") / s + 0.5).cast("int"))).as("q"))
+    }), 1)
   }
 
   /** Inverse of [[quantizeInt8]]: `q_i * scale` as doubles — exact products
