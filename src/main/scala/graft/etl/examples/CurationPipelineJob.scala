@@ -19,6 +19,11 @@ import graft.time.DateInterval
  *     ([[TextAnalysis.htmlToText]] — tag/script/style strip, entity
  *     decode, whitespace fold; the front gate of a C4/FineWeb-style
  *     funnel, so every later stage sees text, not markup),
+ *  1a'. with `urlCol` + `urlQualityGate` set, drop rows whose URL fails
+ *     the C4/RefinedWeb pre-fetch heuristics ([[graft.ops.Web.urlQualityFlags]]
+ *     — asset extensions, path depth, length, parameter count, blocked
+ *     words): the cheapest gate in the whole pipeline, so it runs before
+ *     anything touches the text,
  *  1b. with `urlCol` set, collapse recrawls and tracking-param variants of
  *     the same page by canonical URL ([[graft.ops.Web.dedupByUrl]] —
  *     keep-first by `idCol`; rows with a null URL pass through). This is
@@ -121,7 +126,8 @@ class CurationPipelineJob(
     maxPerDomain: Int = 0,
     mixCol: String = "lang",
     targetMix: Map[String, Int] = Map.empty,
-    scriptAware: Boolean = false)
+    scriptAware: Boolean = false,
+    urlQualityGate: Boolean = false)
     extends SparkJob {
 
   override def shouldRunForDate(spark: SparkSession, date: DateInterval): Boolean =
@@ -132,6 +138,18 @@ class CurationPipelineJob(
     extracted <- Stage.transform[org.apache.spark.sql.Row, org.apache.spark.sql.Row]("html_extract") { ctx =>
       if (!htmlSource) ctx.value.toDF()
       else ctx.value.toDF().withColumn(textCol, TextAnalysis.htmlToText(col(textCol)))
+    }
+    urlGated <- Stage.transform[org.apache.spark.sql.Row, org.apache.spark.sql.Row]("url_filter") { ctx =>
+      // cheapest gate of all: pure URL heuristics (asset extensions, path
+      // depth, parameter explosions, blocked words) — rows dropped here
+      // never cost a canonicalization, a gate, a scrub or a signature
+      urlCol.filter(_ => urlQualityGate).fold(ctx.value.toDF()) { u =>
+        val passes = graft.ops.Web.urlQualityFlags(col(u))
+          .collectFirst { case ("passes", c) => c }.get
+        // null-URL rows pass through, like every URL stage here: a gate
+        // cannot judge a URL it does not have
+        ctx.value.toDF().filter(col(u).isNull || passes === 1L)
+      }
     }
     urlDeduped <- Stage.transform[org.apache.spark.sql.Row, org.apache.spark.sql.Row]("url_dedup") { ctx =>
       urlCol.fold(ctx.value.toDF()) { u =>

@@ -62,10 +62,11 @@ object Decontaminate {
    * only the SENTENCES that share any word `n`-gram with the benchmark —
    * the published middle ground when a long legitimate document quotes a
    * few eval lines (dropping it wastes the 99% that never leaked; keeping
-   * it verbatim ships the leak). Returns one row per input document:
-   * `clean_text` (the surviving sentences, in order), `n_sentences` and
-   * `n_redacted`. Documents with nothing redacted keep their full
-   * sentence stream; `clean_text` is the SENTENCE rebuild (leading
+   * it verbatim ships the leak). Returns one row per document WITH at
+   * least one sentence (null/empty text has nothing to redact and yields
+   * no row): `clean_text` (the surviving sentences, in order),
+   * `n_sentences` and `n_redacted`. Documents with nothing redacted keep
+   * their full sentence stream; `clean_text` is the SENTENCE rebuild (leading
    * orphan terminators, which [[TextAnalysis.sentences]] assigns to no
    * sentence, do not survive — the same stream every sentence-level
    * consumer sees).

@@ -184,6 +184,29 @@ class CurationPipelineJobSpec extends SparkJobSuiteBase {
     cleanOff.load(spark, date).count() shouldBe 5
   }
 
+  test("curation pipeline urlQualityGate drops asset/spam URLs before any text stage") {
+    def doc(i: Long): String =
+      s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i theta$i iota$i kappa$i"
+    val rows = Seq(
+      (1L, doc(1), "http://x.com/articles/good-page"),
+      (2L, doc(2), "http://x.com/images/photo.jpg"),   // asset extension
+      (3L, doc(3), "http://x.com/casino/free-bonus"),  // blocked word
+      (4L, doc(4), "http://x.com/other"),
+      (5L, doc(5), null.asInstanceOf[String]))          // no URL: passes through
+    val src = (_: DateInterval) => rows.toDF("doc_id", "text", "url")
+    val date = Day(2026, 8, 12)
+    val clean = WarehouseTable(HdfsUrl(tmpDir("curation_urlgate")), "clean")
+    runJob(new CurationPipelineJob(src, clean,
+      urlCol = Some("url"), urlQualityGate = true), date).isSuccess shouldBe true
+    clean.load(spark, date).select("doc_id").as[Long].collect().toSet shouldBe
+      Set(1L, 4L, 5L)
+    // gate off (the default): only URL dedup applies, nothing else dropped
+    val cleanOff = WarehouseTable(HdfsUrl(tmpDir("curation_urlgate_off")), "clean")
+    runJob(new CurationPipelineJob(src, cleanOff, urlCol = Some("url")), date)
+      .isSuccess shouldBe true
+    cleanOff.load(spark, date).count() shouldBe 5
+  }
+
   test("curation pipeline typicalityN=2 gates on word order, not word bags") {
     // the reversed doc has base's exact unigram bag (same unigram score)
     // but almost none of its bigrams — only the bigram gate catches it
