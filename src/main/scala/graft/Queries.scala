@@ -3436,6 +3436,50 @@ object Queries {
        FROM s"""
 
   /**
+   * `embedding_drift`: [[graft.ops.Drift.embeddingDriftFromMeans]] over
+   * even/odd snapshot slices of the embeddings table, the odd slice
+   * re-encoded with a synthetic 1.1x scale regression — the centroid
+   * cosine stays near 1 (direction unchanged) while the norm ratio
+   * surfaces the scale drift cosine is blind to. All mean/dot/norm sums
+   * are exact e6 fixed-point longs, so the verdict hash-matches.
+   */
+  def embeddingDrift(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val emb = t(dir, "embeddings")
+    val old = emb.filter(col("vec_id") % 2 === 0).select(col("embedding").as("e"))
+    val cur = emb.filter(col("vec_id") % 2 === 1)
+      .select(transform(col("embedding"), x => x.cast("double") * 1.1).as("e"))
+    graft.ops.Drift.embeddingDriftFromMeans(
+      graft.ops.Drift.meanVector(old, "e"), graft.ops.Drift.meanVector(cur, "e"))
+  }
+
+  val embeddingDriftSql: String = {
+    def means(where: String, xform: String) =
+      s"""SELECT dim, count(*) AS n,
+         cast(sum(v_e6) as hugeint) AS s
+         FROM (SELECT unnest(range(0, len(embedding))) AS dim,
+                      unnest(list_transform(embedding, x -> cast(round($xform * 1000000, 0) as bigint))) AS v_e6
+               FROM embeddings WHERE $where)
+         GROUP BY dim"""
+    s"""WITH om0 AS (${means("vec_id % 2 = 0", "cast(x as double)")}),
+       nm0 AS (${means("vec_id % 2 = 1", "cast(x as double) * 1.1")}),
+       om AS (SELECT dim, n, cast((s - ((s % n) + n) % n) // n as bigint) AS m FROM om0),
+       nm AS (SELECT dim, n, cast((s - ((s % n) + n) % n) // n as bigint) AS m FROM nm0),
+       agg AS (
+         SELECT min(o.n) AS n_old, min(c.n) AS n_new,
+                sum(cast(o.m as hugeint) * c.m) AS dot,
+                sum(cast(o.m as hugeint) * o.m) AS qo,
+                sum(cast(c.m as hugeint) * c.m) AS qc
+         FROM om o JOIN nm c USING (dim))
+       SELECT cast(n_old as bigint) AS n_old, cast(n_new as bigint) AS n_new,
+              round(CASE WHEN qo = 0 OR qc = 0 THEN 0
+                    ELSE cast(dot as double) / (sqrt(cast(qo as double)) * sqrt(cast(qc as double))) END, 4) AS mean_cosine,
+              CASE WHEN qo = 0 THEN NULL
+                   ELSE cast(floor(sqrt(cast(qc as double)) / sqrt(cast(qo as double)) * 10000) as bigint) END AS norm_ratio_x10000
+       FROM agg"""
+  }
+
+  /**
    * Token-distribution drift between corpus snapshots: the same old/cur
    * slices as `snapshot_diff` (doc_id % 7 / % 5, with the % 11 "v2" text
    * rewrite in cur), every term's exact integer-ppm frequency both sides,
@@ -3692,5 +3736,6 @@ object Queries {
     ("training_shuffle", trainingShuffle _, Some(trainingShuffleSql)),
     ("ann_quantized_topk", annQuantizedTopK _, Some(annQuantizedTopKSql)),
     ("decontaminate_sentences", decontaminateSentences _, Some(decontaminateSentencesSql)),
-    ("ccnet_buckets", ccnetBuckets _, Some(ccnetBucketsSql)))
+    ("ccnet_buckets", ccnetBuckets _, Some(ccnetBucketsSql)),
+    ("embedding_drift", embeddingDrift _, Some(embeddingDriftSql)))
 }

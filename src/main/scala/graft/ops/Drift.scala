@@ -108,4 +108,62 @@ object Drift {
         col("n") * col("prev_days") * 100 > col("prev_n") * factorPct)
       .select(col(keyCol), col("day"), col("n"), col("prev_n"), col("prev_days"))
   }
+
+  /**
+   * Per-dimension MEAN vector of an embedding column in exact e6
+   * fixed-point (the [[Similarity.kmeansUpdate]] convention: values
+   * quantize to micro-units BEFORE summing, so the integer sums are
+   * associative and results hash-match across engines and partitionings)
+   * — the snapshot to persist for embedding-drift monitoring (one
+   * `(dim, n, mean_e6)` row per dimension, dimension-sized output however
+   * large the corpus; the embedding sibling of [[termCounts]]).
+   * Posexplode + one dim-keyed agg with map-side partials — never a
+   * driver-side vector fold.
+   */
+  def meanVector(df: DataFrame, vecCol: String): DataFrame =
+    df.select(posexplode(col(vecCol)).as(Seq("dim", "__v")))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("__v").cast("double") * 1000000, 0).cast("long")).as("__sum_e6"))
+      // portable floor division for signed sums (see kmeansUpdate)
+      .withColumn("mean_e6",
+        expr("(__sum_e6 - ((__sum_e6 % n) + n) % n) DIV n").cast("long"))
+      .select(col("dim").cast("long").as("dim"), col("n").cast("long").as("n"),
+        col("mean_e6"))
+
+  /**
+   * Embedding drift between two [[meanVector]] snapshots — the
+   * encoder-health check a continuously embedded corpus runs between
+   * refreshes: a changed encoder version, a normalization bug or a scale
+   * regression moves the corpus CENTROID long before any per-document
+   * check fires. One row: both counts, the cosine between the two mean
+   * vectors (rounded 4 dp; a healthy refresh sits at ~1.0) and the
+   * centroid L2-norm ratio x10000 (catches pure scale drift, which
+   * cosine is blind to; null when the old centroid is zero). The dot and
+   * norm sums run in exact LONG arithmetic over the e6 means (bounded:
+   * |mean_e6| < ~3e9 x 1000 dims fits), so the verdict is a pure
+   * function of the snapshots. The join is dim-keyed and every fold runs
+   * over dimension-count rows — embeddings are never re-read.
+   */
+  def embeddingDriftFromMeans(old: DataFrame, cur: DataFrame): DataFrame = {
+    val joined = old.select(col("dim"), col("mean_e6").as("__mo"), col("n").as("__no"))
+      .join(cur.select(col("dim"), col("mean_e6").as("__mc"), col("n").as("__nc")), Seq("dim"))
+    joined.agg(
+      // n is constant across dims (every vector has every dimension):
+      // min() makes that deterministic without trusting row order
+      min(col("__no")).cast("long").as("n_old"),
+      min(col("__nc")).cast("long").as("n_new"),
+      sum(col("__mo") * col("__mc")).as("__dot"),
+      sum(col("__mo") * col("__mo")).as("__qo"),
+      sum(col("__mc") * col("__mc")).as("__qc"))
+      .select(col("n_old"), col("n_new"),
+        round(when(col("__qo") === 0L || col("__qc") === 0L, lit(0.0))
+          .otherwise(col("__dot").cast("double") /
+            (sqrt(col("__qo").cast("double")) * sqrt(col("__qc").cast("double")))), 4)
+          .as("mean_cosine"),
+        when(col("__qo") === 0L, lit(null).cast("long"))
+          .otherwise(floor(sqrt(col("__qc").cast("double")) /
+            sqrt(col("__qo").cast("double")) * 10000).cast("long"))
+          .as("norm_ratio_x10000"))
+  }
 }

@@ -54,6 +54,28 @@ class DriftSpec extends SparkTestBase {
     flagged shouldBe Array(("a", "2026-01-10", 16L, 70L, 7L))
   }
 
+  test("embeddingDrift: exact centroid cosine and norm ratio from e6 means") {
+    import org.apache.spark.sql.Row
+    def snap(vecs: Seq[Array[Float]]) =
+      Drift.meanVector(vecs.map(Tuple1(_)).toDF("e"), "e")
+    // old centroid (2, 0); cur centroid (0, 3): orthogonal, 1.5x the norm
+    val old = snap(Seq(Array(1f, 0f), Array(3f, 0f)))
+    val cur = snap(Seq(Array(0f, 2f), Array(0f, 4f)))
+    Drift.embeddingDriftFromMeans(old, cur).collect().head shouldBe
+      Row(2L, 2L, 0.0, 15000L)
+    // identical snapshots: cosine exactly 1, ratio exactly 10000
+    Drift.embeddingDriftFromMeans(old, old).collect().head shouldBe
+      Row(2L, 2L, 1.0, 10000L)
+    // a zero old centroid: cosine 0 by the zero-norm rule, ratio null
+    val zero = snap(Seq(Array(0f, 0f)))
+    val r = Drift.embeddingDriftFromMeans(zero, cur).collect().head
+    r.getDouble(2) shouldBe 0.0
+    r.isNullAt(3) shouldBe true
+    // meanVector snapshots are exact integers: floor((1+3)/2)*1e6 etc.
+    old.orderBy($"dim").select($"mean_e6").as[Long].collect() shouldBe
+      Array(2000000L, 0L)
+  }
+
   test("volumeAnomalies is invariant to input partitioning") {
     val rows = (1 to 8).flatMap(d => Seq.fill(d * d)(("a", f"2026-02-$d%02d")))
     val df = rows.toDF("k", "d")
