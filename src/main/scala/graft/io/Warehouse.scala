@@ -212,6 +212,20 @@ case class WarehouseTable(
     loadAll(spark).filter(col("date").cast("string") < partitionValue(date))
   }
 
+  /**
+   * Read partitions in the half-open range `[from, until)` — partition-
+   * pruned like [[loadBefore]] (the predicate is on the partition column,
+   * so files outside the range are never listed into the scan). The
+   * backfill/report shape: "this week's partitions" without touching the
+   * table's full history.
+   */
+  def loadBetween(spark: SparkSession, from: DateInterval, until: DateInterval): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    loadAll(spark).filter(
+      col("date").cast("string") >= partitionValue(from) &&
+        col("date").cast("string") < partitionValue(until))
+  }
+
   def exists(spark: SparkSession, date: DateInterval): Boolean = partitionUrl(date).exists(spark)
 
   /**

@@ -47,7 +47,8 @@ object Joins {
       keys: Seq[String],
       tsCol: String,
       direction: String = "backward",
-      tolerance: Long = Long.MaxValue): DataFrame = {
+      tolerance: Long = Long.MaxValue,
+      allowExactMatches: Boolean = true): DataFrame = {
     require(direction == "backward" || direction == "forward",
       s"direction must be backward or forward, got $direction")
     require(tolerance >= 0, "tolerance must be non-negative")
@@ -74,13 +75,17 @@ object Joins {
           Seq(struct(payload.map(col): _*).as("__asof")): _*)
     // backward walks time ascending, forward descending: either way the
     // right row "seen last" in the walk is the nearest eligible match, and
-    // ordering the right side (0) first at equal timestamps makes the
-    // boundary inclusive. Nulls order FIRST in both walks so a left row
-    // with no timestamp sees no right row and keeps null payloads.
+    // the tie order at EQUAL timestamps decides the boundary: right side
+    // (0) first = inclusive (a trade at the quote's instant matches it),
+    // left first = strict (`allowExactMatches = false`, pandas-style — the
+    // quote must be strictly before/after). Nulls order FIRST in both
+    // walks so a left row with no timestamp sees no right row and keeps
+    // null payloads.
     val ord = if (direction == "backward") col(tsCol).asc_nulls_first
       else col(tsCol).desc_nulls_first
+    val tie = if (allowExactMatches) col("__side").asc else col("__side").desc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(ord, col("__side"))
+      .orderBy(ord, tie)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // the matched timestamp is only consulted by a staleness bound, so with
     // unbounded tolerance the window carries just the payload struct — the

@@ -81,6 +81,23 @@ class PlanInvariantsSpec extends SparkTestBase {
     check("cjk_near_dup", maxShuffles = 4)
   }
 
+  test("round-12 additions: no corpus-on-one-reducer windows, scan-speed gates") {
+    // the global-order primitives: hash exchanges only for the offset agg
+    // + pid window; the corpus rides range exchanges (AQE stage-reused)
+    check("token_budget_cut", maxShuffles = 2)
+    check("training_shuffle", maxShuffles = 2)
+    // per-row URL parsing + flags fused into the scan
+    check("url_filter", maxShuffles = 0)
+    // quantize/dequantize per-row into the bounded-partial top-k (the
+    // BNLJ is the deliberate broadcast query-set x corpus scan)
+    check("ann_quantized_topk", maxShuffles = 1, maxBnlj = 1)
+    // sentence/gram streams + broadcast bench probe + doc-keyed rebuild
+    check("decontaminate_sentences", maxShuffles = 3)
+    // dim-keyed snapshot aggs + dim join (SMJ over dim-count rows is the
+    // at-scale plan: dimension-sized, not corpus-sized) + 1-row fold
+    check("embedding_drift", maxShuffles = 4, maxSmj = 1)
+  }
+
   test("hashed-tf ANN: per-row vectors into the bounded-partial top-k, no window") {
     val (plan, counts) = shape("hashed_tf_topk")
     withClue(s"hashed_tf_topk plan:\n$plan\n") {

@@ -182,6 +182,16 @@ class IoSpec extends SparkTestBase {
     table.loadBefore(spark, Day(2026, 8, 11)).count() shouldBe 0
     table.loadBefore(spark, Day(2026, 8, 13)).count() shouldBe 5
   }
+
+  test("loadBetween reads the half-open partition range") {
+    val table = WarehouseTable(HdfsUrl(tmpDir("wh_between")), "t")
+    table.save(spark.range(1).toDF("n"), Day(2026, 8, 10))
+    table.save(spark.range(2).toDF("n"), Day(2026, 8, 11))
+    table.save(spark.range(4).toDF("n"), Day(2026, 8, 12))
+    table.loadBetween(spark, Day(2026, 8, 11), Day(2026, 8, 12)).count() shouldBe 2
+    table.loadBetween(spark, Day(2026, 8, 10), Day(2026, 8, 13)).count() shouldBe 7
+    table.loadBetween(spark, Day(2026, 8, 12), Day(2026, 8, 12)).count() shouldBe 0
+  }
 }
 
 object IoSpec {

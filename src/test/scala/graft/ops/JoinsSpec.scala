@@ -28,6 +28,25 @@ class JoinsSpec extends SparkTestBase {
       5L -> Some(200.0))
   }
 
+  test("asOf allowExactMatches=false demands a strictly earlier/later match") {
+    val trades = Seq(("A", 10L, 1L), ("A", 30L, 2L), ("A", 31L, 3L)).toDF("sym", "ts", "trade_id")
+    val quotes = Seq(("A", 10L, 100.0), ("A", 30L, 102.0)).toDF("sym", "ts", "px")
+    Joins.asOf(trades, quotes, Seq("sym"), "ts", allowExactMatches = false)
+      .select($"trade_id", $"asof_px").as[(Long, Option[Double])].collect().toMap shouldBe
+      Map(1L -> None,          // the 10-quote is simultaneous, not earlier
+        2L -> Some(100.0),     // the 30-quote is excluded; falls back to 10
+        3L -> Some(102.0))     // strictly-after-30 trade sees the 30 quote
+    // dense naive parity for the strict backward walk
+    val left = (0L until 200L).map(i => (i % 5, i, i)).toDF("k", "ts", "lid")
+    val right = (0L until 60L).map(j => (j % 5, j * 3, j * 1.5)).toDF("k", "ts", "v")
+    val r = right.as[(Long, Long, Double)].collect()
+    val expected = left.as[(Long, Long, Long)].collect().map { case (k, ts, lid) =>
+      lid -> r.filter(q => q._1 == k && q._2 < ts).sortBy(_._2).lastOption.map(_._3)
+    }.toMap
+    Joins.asOf(left, right, Seq("k"), "ts", allowExactMatches = false)
+      .select($"lid", $"asof_v").as[(Long, Option[Double])].collect().toMap shouldBe expected
+  }
+
   test("asOf matches a naive per-row lookup on a dense case") {
     val left = (0L until 200L).map(i => (i % 5, i, i)).toDF("k", "ts", "lid")
     val right = (0L until 60L).map(j => (j % 5, j * 3, j * 1.5)).toDF("k", "ts", "v")
