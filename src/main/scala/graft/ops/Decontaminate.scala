@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -76,6 +76,13 @@ object Decontaminate {
    * gram stream never shuffles), one doc-keyed rebuild agg whose state is
    * the document's own sentences. Flagging is per (doc, sentence) — a
    * sentence is redacted if ANY of its grams hits any benchmark.
+   *
+   * Both gram streams keep only FULL `n`-grams: [[Dedup.wordShingles]]
+   * pads short inputs to one (short) shingle and a token-free input to
+   * the empty-string shingle, and without the filter an empty benchmark
+   * row would match — and redact — every punctuation-only sentence
+   * corpus-wide. Sentences shorter than `n` tokens are therefore never
+   * redacted (they cannot contain a full benchmark n-gram).
    */
   def redactContaminatedSentences(
       docs: DataFrame,
@@ -86,14 +93,19 @@ object Decontaminate {
       n: Int = 5,
       broadcastBench: Boolean = true): DataFrame = {
     require(n >= 1, "n must be at least 1")
+    // a full n-gram is exactly n tokens joined by single spaces; the padded
+    // short/empty shingles wordShingles emits for < n-token inputs have
+    // fewer — drop them on BOTH sides before any matching
+    def fullGrams(text: Column): Column =
+      filter(Dedup.wordShingles(text, n), g => size(split(g, " ")) === n && g =!= "")
     val benchGrams0 = bench
-      .select(explode(Dedup.wordShingles(col(benchText), n)).as("__gram")).distinct()
+      .select(explode(fullGrams(col(benchText))).as("__gram")).distinct()
     val benchGrams = if (broadcastBench) broadcast(benchGrams0) else benchGrams0
     val sents = docs.select(col(docId),
       posexplode(TextAnalysis.sentences(col(docText))).as(Seq("__pos", "__sent")))
     val flagged = sents
       .select(col(docId), col("__pos"),
-        explode(Dedup.wordShingles(col("__sent"), n)).as("__gram"))
+        explode(fullGrams(col("__sent"))).as("__gram"))
       .join(benchGrams, Seq("__gram"), "left_semi")
       .select(col(docId), col("__pos")).distinct()
     sents

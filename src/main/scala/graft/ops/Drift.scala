@@ -140,14 +140,17 @@ object Drift {
    * vectors (rounded 4 dp; a healthy refresh sits at ~1.0) and the
    * centroid L2-norm ratio x10000 (catches pure scale drift, which
    * cosine is blind to; null when the old centroid is zero). The dot and
-   * norm sums run in exact LONG arithmetic over the e6 means (bounded:
-   * |mean_e6| < ~3e9 x 1000 dims fits), so the verdict is a pure
+   * norm sums run in exact DECIMAL(38,0) arithmetic over the e6 means
+   * (mirroring the oracle's hugeint — a LONG sum overflows already at
+   * |mean_e6| ~ 3e9 for a single squared term), so the verdict is a pure
    * function of the snapshots. The join is dim-keyed and every fold runs
    * over dimension-count rows — embeddings are never re-read.
    */
   def embeddingDriftFromMeans(old: DataFrame, cur: DataFrame): DataFrame = {
-    val joined = old.select(col("dim"), col("mean_e6").as("__mo"), col("n").as("__no"))
-      .join(cur.select(col("dim"), col("mean_e6").as("__mc"), col("n").as("__nc")), Seq("dim"))
+    val joined = old.select(col("dim"),
+        col("mean_e6").cast("decimal(38,0)").as("__mo"), col("n").as("__no"))
+      .join(cur.select(col("dim"),
+        col("mean_e6").cast("decimal(38,0)").as("__mc"), col("n").as("__nc")), Seq("dim"))
     joined.agg(
       // n is constant across dims (every vector has every dimension):
       // min() makes that deterministic without trusting row order

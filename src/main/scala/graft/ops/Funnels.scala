@@ -29,13 +29,23 @@ object Funnels {
    * Default RANGE frames make running minima include all timestamp ties,
    * so results are independent of tie order (strict `>` excludes same-
    * instant progressions either way).
+   *
+   * `maxGap` (optional) adds the CONVERSION WINDOW every real funnel
+   * analysis bounds progress with: step `i` counts only when it lands
+   * within `maxGap` of `t(i-1)` — the FIRST qualifying occurrence of the
+   * previous step (`ts > t(i-1) AND ts <= t(i-1) + maxGap`). Pass any
+   * interval expression (`expr("INTERVAL 30 MINUTES")`) or a numeric
+   * delta matching the timestamp column's type. The bound is one extra
+   * predicate on the same running minimum — still ONE user-keyed
+   * exchange at any step count.
    */
   def funnel(
       events: DataFrame,
       userCol: String,
       tsCol: String,
       typeCol: String,
-      steps: Seq[String]): DataFrame = {
+      steps: Seq[String],
+      maxGap: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol))
@@ -46,8 +56,9 @@ object Funnels {
       stepEvents.withColumn("__c1", when(col(typeCol) === steps.head, col(tsCol)))) {
       (acc, i) =>
         val running = min(col(s"__c${i - 1}")).over(w)
+        val within = maxGap.fold(lit(true))(g => col(tsCol) <= running + g)
         acc.withColumn(s"__c$i",
-          when(col(typeCol) === steps(i - 1) && col(tsCol) > running, col(tsCol)))
+          when(col(typeCol) === steps(i - 1) && col(tsCol) > running && within, col(tsCol)))
     }
     val firsts = qualified.groupBy(col(userCol))
       .agg(min(col("__c1")).as("t1"),
@@ -72,8 +83,9 @@ object Funnels {
       userCol: String,
       tsCol: String,
       typeCol: String,
-      steps: Seq[String]): DataFrame =
-    funnel(events, userCol, tsCol, typeCol, steps)
+      steps: Seq[String],
+      maxGap: Option[org.apache.spark.sql.Column] = None): DataFrame =
+    funnel(events, userCol, tsCol, typeCol, steps, maxGap)
       .groupBy(col("steps_reached"))
       .agg(count(lit(1)).as("n_users"))
 

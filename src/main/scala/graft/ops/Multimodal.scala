@@ -595,12 +595,16 @@ object Multimodal {
   /**
    * Perceptual DCT-hash (pHash): 64-bit fingerprint from the 8x8
    * low-frequency block of the 2D DCT-II over a 32x32 luma patch, bit set
-   * when the coefficient exceeds the block median (the classic pHash
-   * recipe). The DCT concentrates the image's large-scale structure into
-   * the low-frequency block, so pHash is the most robust of the three to
-   * recompression, mild crops and local edits — at ~10x the hash cost
-   * (still trivial next to the decode). Same fallback and Hamming-join
-   * shape as [[aHash]].
+   * when the coefficient exceeds the median of the 63 AC coefficients —
+   * the DC term (u=0, v=0, the patch's total brightness) is excluded from
+   * BOTH the median and the bit vote, as in the classic pHash recipe: its
+   * magnitude dwarfs every AC term, so including it would pin one
+   * near-constant bit and skew the median upward, costing discrimination.
+   * Bit 0 is therefore always 0. The DCT concentrates the image's
+   * large-scale structure into the low-frequency block, so pHash is the
+   * most robust of the three to recompression, mild crops and local edits
+   * — at ~10x the hash cost (still trivial next to the decode). Same
+   * fallback and Hamming-join shape as [[aHash]].
    */
   def pHash(payload: Array[Byte]): Long =
     decodeImage(payload) match {
@@ -630,10 +634,12 @@ object Multimodal {
           }
           v += 1
         }
-        val sorted = coef.sorted
-        val median = (sorted(31) + sorted(32)) / 2
-        coef.zipWithIndex.foldLeft(0L) { case (acc, (c, j)) =>
-          if (c > median) acc | (1L << j) else acc
+        // DC excluded: median over the 63 AC coefficients (odd count — the
+        // middle element), vote over AC bits only
+        val sorted = coef.drop(1).sorted
+        val median = sorted(31)
+        (1 until 64).foldLeft(0L) { (acc, j) =>
+          if (coef(j) > median) acc | (1L << j) else acc
         }
       case None => md5Hash64(payload)
     }

@@ -1373,12 +1373,18 @@ object TextAnalysis {
    * whose running offsets are a window over partition-count rows, then a
    * per-partition cumulative sum windowed by partition id — parallelism
    * stays at the partition count through every step, and only
-   * partition-count rows ever meet a single-partition window. The range
-   * exchange feeds both the offset branch and the main branch: AQE stage
-   * reuse executes it ONCE (verified on the post-execution plan —
-   * `ReusedExchange`), and even without reuse the sampled boundaries are
-   * deterministic per input, so the two branches could never disagree on
-   * partition membership.
+   * partition-count rows ever meet a single-partition window.
+   *
+   * The ranged data is MATERIALIZED (eager `localCheckpoint`) before the
+   * offset branch and the main branch both derive from it — the standard
+   * two-pass prefix-sum structure. Without it the two branches each embed
+   * their own range exchange, and although AQE stage reuse normally
+   * executes it once, `RangePartitioner` seeds its boundary sample from
+   * the RDD id: with exchange reuse disabled (or the subtrees ceasing to
+   * canonicalize equal) the branches could draw DIFFERENT boundaries and
+   * silently disagree on `__pid` near partition edges. One extra
+   * write+read of the ranged rows buys partition assignments that are
+   * physically frozen, whatever the optimizer does.
    */
   def selectTokenBudget(
       df: org.apache.spark.sql.DataFrame,
@@ -1395,6 +1401,7 @@ object TextAnalysis {
         df.repartitionByRange(numPartitions, col(scoreCol).desc, col(idCol))
       else df.repartitionByRange(col(scoreCol).desc, col(idCol)))
         .withColumn("__pid", spark_partition_id())
+        .localCheckpoint(true)
     val offsets = ranged.groupBy(col("__pid"))
       .agg(sum(col(tokensCol)).cast("long").as("__part_tokens"))
       .withColumn("__offset",
@@ -1420,7 +1427,10 @@ object TextAnalysis {
    * single-partition window sees), broadcast the running offsets back and
    * add a per-partition row_number. `order` must be a TOTAL order
    * (include a unique id as the last key) or ranks are partition-
-   * dependent.
+   * dependent. As in [[selectTokenBudget]], the ranged data is eagerly
+   * `localCheckpoint`ed before the two branches derive from it, so the
+   * sampled range boundaries — and with them every `__pid` — are
+   * physically frozen rather than trusted to exchange reuse.
    */
   def withGlobalRank(
       df: org.apache.spark.sql.DataFrame,
@@ -1430,6 +1440,7 @@ object TextAnalysis {
     import org.apache.spark.sql.functions.broadcast
     require(order.nonEmpty, "withGlobalRank needs at least one order column")
     val ranged = df.repartitionByRange(order: _*).withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
     val offsets = ranged.groupBy(col("__pid"))
       .agg(count(lit(1)).as("__n"))
       .withColumn("__offset",

@@ -203,10 +203,22 @@ object EventStreams {
    *
    *  1. **Store tier** — one stream-static LEFT ANTI join per band against
    *     the batch band store (the SAME `(band, bh)` rows
-   *     [[graft.ops.Dedup.bandedIds]] writes, so batch and stream verdicts
-   *     can never drift): a document any of whose bands the store holds is
-   *     a candidate duplicate of history and is dropped. Stateless —
-   *     re-snapshotted per micro-batch, no streaming state.
+   *     [[graft.ops.Dedup.bandedIds]] writes, so batch and stream band
+   *     hashes can never drift): a document any of whose bands the store
+   *     holds is a candidate duplicate of history and is dropped.
+   *     Stateless — re-snapshotted per micro-batch, no streaming state.
+   *     **Precision tradeoff, by design**: candidates are dropped
+   *     UNVERIFIED — unlike the batch tier, no exact-Jaccard check runs
+   *     (it would need the stored documents' shingles, i.e. state), so a
+   *     document sharing even ONE band with any stored document is gone
+   *     permanently. At rows-per-band r = 3 a pair with true similarity s
+   *     collides per band with probability s^3 (~41% across 4 bands at
+   *     s = 0.5), so this tier is strictly MORE aggressive than batch
+   *     [[graft.ops.Dedup.removeNearDuplicates]], which keeps sub-threshold
+   *     candidates; the two verdicts agree on clear dups and clear
+   *     non-dups but diverge in the gray zone. Route streams through the
+   *     batch job instead when that precision matters more than
+   *     statelessness.
    *  2. **In-stream tier** — `dropDuplicatesWithinWatermark` per band
    *     column: first-seen wins per band bucket inside the watermark
    *     horizon, so near-identical documents arriving together also

@@ -177,6 +177,9 @@ class PlanInvariantsSpec extends SparkTestBase {
     // reuses the window's partitioning) + the tiny final histogram agg —
     // at any funnel step count
     check("funnel_steps", maxShuffles = 2)
+    // the conversion window is one extra predicate on the same running
+    // minimum — the bound must not cost an exchange
+    check("funnel_window", maxShuffles = 2)
     check("vocab_stats", maxShuffles = 2)
   }
 
