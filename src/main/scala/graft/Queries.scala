@@ -1698,6 +1698,67 @@ object Queries {
   }
 
   /**
+   * `main_content`: [[TextAnalysis.mainContentBlocks]] over a nav-heavy
+   * page built around each document's text — a linky nav menu, a
+   * link-saturated sidebar that clears the word floor (link density must
+   * kill it), a plain 3-word share bar (the word floor must kill it), the
+   * article body, a tag cloud and a linky footer. Only the article text
+   * may survive; the oracle replays the same block-split / link-density /
+   * word-floor chain in DuckDB (RE2).
+   */
+  private val NavHead: String =
+    "<html><head><title>T</title><style>a { color: red; }</style></head><body>" +
+      "<nav><ul><li><a href=\"/\">Home</a></li><li><a href=\"/about\">About us</a></li>" +
+      "<li><a href=\"/contact\">Contact</a></li></ul></nav>" +
+      "<div id=\"side\"><a href=\"/r1\">Related article one</a> <a href=\"/r2\">Related two</a></div>" +
+      "<p>Share this page</p><article><p class=\"body\">"
+  private val NavTail: String =
+    "</p></article><div class=\"tags\"><a href=\"/t/a\">alpha</a> <a href=\"/t/b\">beta</a>" +
+      " <a href=\"/t/c\">gamma</a></div>" +
+      "<footer><a href=\"/tos\">Terms of service</a> | <a href=\"/priv\">Privacy policy</a>" +
+      " &copy; 2026 Example</footer></body></html>"
+
+  def mainContentQuery(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val page = concat(lit(NavHead), col("text"), lit(NavTail))
+    t(dir, "documents").select(col("doc_id"),
+      size(TextAnalysis.mainContentBlocks(page)).cast("long").as("n_kept"),
+      md5(TextAnalysis.mainContent(page)).as("main_fp"))
+  }
+
+  val mainContentSql: String = {
+    def q(s: String) = s.replace("'", "''")
+    val wrapped = s"'${q(NavHead)}' || text || '${q(NavTail)}'"
+    val pre = TextAnalysis.HtmlStripPatterns.dropRight(1).foldLeft("page") { (c, p) =>
+      s"regexp_replace($c, '${q(p)}', ' ', 'g')"
+    }
+    def clean(e: String) = {
+      val untag = s"regexp_replace($e, '<[^>]*>', ' ', 'g')"
+      val dec = TextAnalysis.HtmlEntities.foldLeft(untag) { case (c, (en, r)) =>
+        s"replace($c, '${q(en)}', '${q(r)}')"
+      }
+      s"trim(regexp_replace($dec, '${q(TextAnalysis.HtmlWhitespacePattern)}', ' ', 'g'))"
+    }
+    val words = s"len(list_filter(string_split(${clean("b")}, ' '), w -> w <> ''))"
+    // coalesce: DuckDB's array_to_string returns NULL (not '') for an
+    // empty extract list inside a lambda — an anchor-free block must score
+    // link length 0, as Spark's array_join does
+    val linkText = clean(
+      s"coalesce(array_to_string(regexp_extract_all(b, '${q(TextAnalysis.AnchorPattern)}', 1), ' '), '')")
+    s"""WITH pages AS (SELECT doc_id, $wrapped AS page FROM documents),
+       blocks AS (SELECT doc_id,
+           string_split_regex($pre, '${q(TextAnalysis.BlockTagPattern)}') AS bs
+         FROM pages),
+       kept AS (SELECT doc_id,
+           list_filter(bs, b ->
+             $words >= 5 AND len($linkText) * 100 <= len(${clean("b")}) * 33) AS ks
+         FROM blocks)
+       SELECT doc_id, cast(len(ks) as bigint) AS n_kept,
+         md5(array_to_string(list_transform(ks, b -> ${clean("b")}), chr(10))) AS main_fp
+       FROM kept"""
+  }
+
+  /**
    * `intra_doc_dedup`: [[TextAnalysis.dedupLinesInDoc]] over a synthetic
    * page that repeats a nav header and footer line around each document's
    * text (the word-soup corpus is single-line) — first occurrences
@@ -3371,6 +3432,39 @@ object Queries {
        LEFT JOIN s s2 ON s2.user_id = p.user_id AND s2.ts_us = m.m_ts"""
 
   /**
+   * `asof_nearest`: for each purchase, the CLOSEST signup-aggregate in
+   * absolute time, either side, ties backward ([[Joins.asOf]] with
+   * `direction = "nearest"` — the last pandas `merge_asof` direction).
+   * The oracle is the naive definition: rank all (purchase, signup)
+   * pairs per purchase by `(abs distance, signup ts)` and keep rank 1 —
+   * the `signup ts` tiebreak IS the backward preference (at equal
+   * distance the earlier row is the backward one).
+   */
+  def asofNearest(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val ev = events(dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), micros(col("ts")).as("ts_us"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"), micros(col("ts")).as("ts_us"))
+      .agg(round(max(col("value")), 4).as("signup_value"))
+    Joins.asOf(purchases, signups, Seq("user_id"), "ts_us", direction = "nearest")
+  }
+
+  val asofNearestSql: String =
+    """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+                WHERE event_type = 'purchase'),
+       s AS (SELECT user_id, epoch_us(ts) AS ts_us, round(max(value), 4) AS signup_value
+             FROM events WHERE event_type = 'signup' GROUP BY 1, 2),
+       d AS (SELECT p.event_id, p.user_id, p.ts_us, s.ts_us AS s_ts, s.signup_value,
+                    abs(p.ts_us - s.ts_us) AS dist
+             FROM p LEFT JOIN s ON p.user_id = s.user_id),
+       r AS (SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY dist, s_ts) AS rn
+             FROM d)
+       SELECT user_id, ts_us, event_id, signup_value AS asof_signup_value
+       FROM r WHERE rn = 1"""
+
+  /**
    * Keep-best exact dedup: of identical normalized texts, keep the
    * highest-scored document (ties: smallest doc_id) — the curation-flavored
    * keeper. The corpus is unioned with an uppercased, higher-scored copy of
@@ -3714,6 +3808,7 @@ object Queries {
     ("token_counts", tokenCounts _, Some(tokenCountsSql)),
     ("pii_scrub", piiScrub _, Some(piiScrubSql)),
     ("html_extract", htmlExtract _, Some(htmlExtractSql)),
+    ("main_content", mainContentQuery _, Some(mainContentSql)),
     ("url_profile", urlProfile _, Some(urlProfileSql)),
     ("url_dedup", urlDedup _, Some(urlDedupSql)),
     ("intra_doc_dedup", intraDocDedup _, Some(intraDocDedupSql)),
@@ -3757,6 +3852,7 @@ object Queries {
     ("snapshot_diff", snapshotDiffQ _, Some(snapshotDiffSql)),
     ("embedding_outliers", embeddingOutliers _, Some(embeddingOutliersSql)),
     ("asof_forward", asofForward _, Some(asofForwardSql)),
+    ("asof_nearest", asofNearest _, Some(asofNearestSql)),
     ("dedup_keep_best", dedupKeepBest _, Some(dedupKeepBestSql)),
     ("distinct_users_sketch", distinctUsersSketch _, None),
     ("distinct_users_exact", distinctUsersExact _, Some(distinctUsersExactSql)),

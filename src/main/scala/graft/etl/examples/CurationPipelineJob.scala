@@ -18,7 +18,13 @@ import graft.time.DateInterval
  *  1a. with `htmlSource = true`, extract text from crawled HTML first
  *     ([[TextAnalysis.htmlToText]] — tag/script/style strip, entity
  *     decode, whitespace fold; the front gate of a C4/FineWeb-style
- *     funnel, so every later stage sees text, not markup),
+ *     funnel, so every later stage sees text, not markup). With
+ *     `mainContentOnly = true` the extraction is boilerplate-aware
+ *     instead ([[TextAnalysis.mainContent]] — text-density block
+ *     filtering: nav menus, sidebars, tag clouds and footers die here,
+ *     per row, by word floor + link density, so they never reach the
+ *     gates or cost a MinHash signature; tune with
+ *     `mainContentMinWords` / `mainContentMaxLinkPct`),
  *  1a'. with `urlCol` + `urlQualityGate` set, drop rows whose URL fails
  *     the C4/RefinedWeb pre-fetch heuristics ([[graft.ops.Web.urlQualityFlags]]
  *     — asset extensions, path depth, length, parameter count, blocked
@@ -120,6 +126,9 @@ class CurationPipelineJob(
     qualityWeights: Option[Map[String, Long]] = None,
     minQualityScore: Long = 0L,
     htmlSource: Boolean = false,
+    mainContentOnly: Boolean = false,
+    mainContentMinWords: Int = 5,
+    mainContentMaxLinkPct: Int = 33,
     urlCol: Option[String] = None,
     domainCol: Option[String] = None,
     blockedDomains: Set[String] = Set.empty,
@@ -137,6 +146,8 @@ class CurationPipelineJob(
     raw <- "read_docs".source(ctx => source(ctx.date))
     extracted <- Stage.transform[org.apache.spark.sql.Row, org.apache.spark.sql.Row]("html_extract") { ctx =>
       if (!htmlSource) ctx.value.toDF()
+      else if (mainContentOnly) ctx.value.toDF().withColumn(textCol,
+        TextAnalysis.mainContent(col(textCol), mainContentMinWords, mainContentMaxLinkPct))
       else ctx.value.toDF().withColumn(textCol, TextAnalysis.htmlToText(col(textCol)))
     }
     urlGated <- Stage.transform[org.apache.spark.sql.Row, org.apache.spark.sql.Row]("url_filter") { ctx =>

@@ -35,11 +35,17 @@ object Joins {
    *
    * `direction` picks the match side: `"backward"` (default) takes the
    * latest right row at-or-before the left timestamp; `"forward"` the
-   * earliest at-or-after ("next quote", "first event following signup").
-   * `tolerance` (same units as `tsCol`, default unbounded) nulls the
-   * payload when the matched row is further than that from the left
-   * timestamp — the feature-store staleness bound, applied per row after
-   * the match so it costs nothing extra.
+   * earliest at-or-after ("next quote", "first event following signup");
+   * `"nearest"` whichever of those two is closer in absolute distance,
+   * ties resolving BACKWARD (the pandas `merge_asof` direction set,
+   * completed). Nearest runs both walks as two windows over the SAME
+   * key partitioning — still one shuffle, two sorts — and picks per
+   * row; it requires a numeric `tsCol` (epoch micros/days...), as the
+   * distance compare is plain subtraction. `tolerance` (same units as
+   * `tsCol`, default unbounded) nulls the payload when the matched row
+   * is further than that from the left timestamp — the feature-store
+   * staleness bound, applied per row after the match so it costs
+   * nothing extra.
    */
   def asOf(
       left: DataFrame,
@@ -49,30 +55,12 @@ object Joins {
       direction: String = "backward",
       tolerance: Long = Long.MaxValue,
       allowExactMatches: Boolean = true): DataFrame = {
-    require(direction == "backward" || direction == "forward",
-      s"direction must be backward or forward, got $direction")
+    require(Set("backward", "forward", "nearest")(direction),
+      s"direction must be backward, forward or nearest, got $direction")
     require(tolerance >= 0, "tolerance must be non-negative")
-    val payload = right.columns.filterNot(c => keys.contains(c) || c == tsCol).toSeq
-    val leftRest = left.columns.filterNot(c => keys.contains(c) || c == tsCol).toSeq
-    val l = left.select(
-      keys.map(col) ++ Seq(col(tsCol), lit(1).as("__side")) ++
-        leftRest.map(col) ++
-        Seq(lit(null)
-          .cast(org.apache.spark.sql.types.StructType(
-            right.schema.fields.filter(f => payload.contains(f.name))))
-          .as("__asof")): _*)
-    // the matched row travels as ONE struct (its ts + payload columns), so
-    // the nearest row's payload is returned even when some of its fields
-    // are null — per-column last(ignoreNulls) would skip past a null field
-    // to an older/farther row's value, silently mixing rows
-    val r = right
-      // a right row with no timestamp can never be "at or before/after"
-      // anything: drop it, as the SQL comparison semantics would
-      .filter(col(tsCol).isNotNull)
-      .select(
-        keys.map(col) ++ Seq(col(tsCol), lit(0).as("__side")) ++
-          leftRest.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-          Seq(struct(payload.map(col): _*).as("__asof")): _*)
+    if (direction == "nearest")
+      return asOfNearest(left, right, keys, tsCol, tolerance, allowExactMatches)
+    val (l, r, payload, leftRest) = taggedSides(left, right, keys, tsCol)
     // backward walks time ascending, forward descending: either way the
     // right row "seen last" in the walk is the nearest eligible match, and
     // the tie order at EQUAL timestamps decides the boundary: right side
@@ -108,6 +96,81 @@ object Joins {
     matched.select(
       keys.map(col) ++ Seq(col(tsCol)) ++ leftRest.map(col) ++
         payload.map(c => when(inRange, payloadOf(c)).as(s"asof_$c")): _*)
+  }
+
+  /** Shared tagged-union construction: left rows as `__side = 1` with a
+    * null payload struct, right rows as `__side = 0` carrying their payload
+    * as ONE struct (so the matched row's fields travel together — a
+    * per-column last(ignoreNulls) would skip past a null field to an
+    * older/farther row's value, silently mixing rows). Right rows with a
+    * null timestamp can never be "at or before/after" anything and are
+    * dropped, as the SQL comparison semantics would. */
+  private def taggedSides(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      tsCol: String): (DataFrame, DataFrame, Seq[String], Seq[String]) = {
+    val payload = right.columns.filterNot(c => keys.contains(c) || c == tsCol).toSeq
+    val leftRest = left.columns.filterNot(c => keys.contains(c) || c == tsCol).toSeq
+    val l = left.select(
+      keys.map(col) ++ Seq(col(tsCol), lit(1).as("__side")) ++
+        leftRest.map(col) ++
+        Seq(lit(null)
+          .cast(org.apache.spark.sql.types.StructType(
+            right.schema.fields.filter(f => payload.contains(f.name))))
+          .as("__asof")): _*)
+    val r = right
+      .filter(col(tsCol).isNotNull)
+      .select(
+        keys.map(col) ++ Seq(col(tsCol), lit(0).as("__side")) ++
+          leftRest.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+          Seq(struct(payload.map(col): _*).as("__asof")): _*)
+    (l, r, payload, leftRest)
+  }
+
+  /**
+   * `direction = "nearest"`: the backward and forward walks run as TWO
+   * running `last(ignoreNulls)` windows over the SAME key partitioning
+   * (one exchange, two in-partition sorts), each carrying the candidate's
+   * `(ts, payload)` struct; per left row the closer candidate wins,
+   * absolute-distance ties resolving backward (the earlier right row).
+   * `allowExactMatches = false` excludes same-instant right rows from
+   * BOTH walks via the tie order, exactly as in the single-direction
+   * form.
+   */
+  private def asOfNearest(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      tolerance: Long,
+      allowExactMatches: Boolean): DataFrame = {
+    val (l, r, payload, leftRest) = taggedSides(left, right, keys, tsCol)
+    val tie = if (allowExactMatches) col("__side").asc else col("__side").desc
+    def walk(ord: Column) = Window.partitionBy(keys.map(col): _*)
+      .orderBy(ord, tie)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = struct(col(tsCol).as("__ts"), col("__asof"))
+    val cand = last(when(col("__side") === 0, carried), ignoreNulls = true)
+    val matched = l.unionByName(r)
+      .select(
+        keys.map(col) ++ Seq(col(tsCol), col("__side")) ++ leftRest.map(col) ++ Seq(
+          cand.over(walk(col(tsCol).asc_nulls_first)).as("__mb"),
+          cand.over(walk(col(tsCol).desc_nulls_first)).as("__mf")): _*)
+      .filter(col("__side") === 1)
+      .drop("__side")
+    // distances are non-negative by construction (each walk only sees its
+    // own side of the left timestamp); tie -> backward via <=
+    val useBackward = col("__mb").isNotNull &&
+      (col("__mf").isNull ||
+        col(tsCol) - col("__mb.__ts") <= col("__mf.__ts") - col(tsCol))
+    val chosen = when(useBackward, col("__mb")).otherwise(col("__mf"))
+    val inRange = chosen.isNotNull &&
+      abs(col(tsCol) - chosen.getField("__ts")) <= tolerance
+    matched.select(
+      keys.map(col) ++ Seq(col(tsCol)) ++ leftRest.map(col) ++
+        payload.map(c =>
+          when(inRange, chosen.getField("__asof").getField(c)).as(s"asof_$c")): _*)
   }
 
   /**

@@ -458,6 +458,78 @@ object TextAnalysis {
     trim(regexp_replace(decoded, HtmlWhitespacePattern, " "))
   }
 
+  /**
+   * Block-level tag boundary for [[mainContentBlocks]] — any opening or
+   * closing occurrence of the HTML block elements splits the page into
+   * candidate text blocks (inline tags like `<a>`/`<span>`/`<b>` stay
+   * inside their block, which is what lets per-block link density be
+   * measured). Engine-portable: inline `(?i)`, no backreferences, no `\s`.
+   */
+  private[graft] val BlockTagPattern: String =
+    "(?i)</?(p|div|h[1-6]|li|ul|ol|dl|dt|dd|table|thead|tbody|tr|td|th|" +
+      "section|article|aside|header|footer|nav|form|fieldset|blockquote|" +
+      "pre|figure|figcaption|main|hr|br)\\b[^>]*>"
+
+  /** Anchor-content extractor for link density: group 1 is the anchor's
+    * inner HTML. Explicit whitespace class (no `\s` — see
+    * [[HtmlWhitespacePattern]]); non-greedy body, RE2-compatible. */
+  private[graft] val AnchorPattern: String =
+    "(?is)<a\\b[^>]*>(.*?)</a[ \\t\\n\\r\\f]*>"
+
+  /** Per-block text cleanup shared by [[mainContentBlocks]]'s measure and
+    * output: strip remaining (inline) tags, decode entities, fold
+    * whitespace, trim — the tail of [[htmlToText]] without the block
+    * strip. */
+  private def blockText(c: Column): Column = {
+    val untagged = regexp_replace(c, "<[^>]*>", " ")
+    val decoded = HtmlEntities.foldLeft(untagged) { case (acc, (e, r)) =>
+      replace(acc, lit(e), lit(r))
+    }
+    trim(regexp_replace(decoded, HtmlWhitespacePattern, " "))
+  }
+
+  /**
+   * MAIN-CONTENT extraction — the boilerpipe/trafilatura-style text-density
+   * heuristic [[htmlToText]] deliberately does not attempt: split the page
+   * into blocks at block-level tag boundaries ([[BlockTagPattern]]) and
+   * keep only blocks that read like body text — at least `minWords` words
+   * AND anchor-text share at most `maxLinkPct`% of the block's characters
+   * (`link chars x 100 <= text chars x maxLinkPct`, exact integer math).
+   * Navigation menus, sidebars, tag clouds and footers are short and/or
+   * link-saturated, so they die PER ROW at extraction time instead of
+   * hoping corpus-wide line dedup ([[removeBoilerplateLines]]) catches
+   * them later; those two are complementary (this one also kills unique
+   * boilerplate, that one also kills repeated plain-text disclaimers).
+   *
+   * `script`/`style`/`noscript`/`template` blocks and comments are dropped
+   * with their contents first (as in [[htmlToText]]); each surviving
+   * block's text is tag-stripped, entity-decoded and whitespace-folded.
+   * Returns the kept blocks' texts in document order. The whole chain is
+   * per-row higher-order-function string math — shuffle-free, codegen'd,
+   * and every step replays identically in RE2, so a SQL oracle can verify
+   * it bit-for-bit (the standard regex-not-parser tradeoffs of
+   * [[htmlToText]] apply).
+   */
+  def mainContentBlocks(html: Column, minWords: Int = 5, maxLinkPct: Int = 33): Column = {
+    require(minWords >= 1, "minWords must be at least 1")
+    require(maxLinkPct >= 0 && maxLinkPct <= 100, "maxLinkPct must be in [0, 100]")
+    val pre = HtmlStripPatterns.dropRight(1).foldLeft(html)((c, p) => regexp_replace(c, p, " "))
+    val kept = filter(split(pre, BlockTagPattern), b => {
+      val text = blockText(b)
+      val words = size(filter(split(text, " "), w => w =!= ""))
+      val linkText = blockText(array_join(
+        regexp_extract_all(b, lit(AnchorPattern), lit(1)), " "))
+      words >= minWords && length(linkText) * 100 <= length(text) * maxLinkPct
+    })
+    transform(kept, b => blockText(b))
+  }
+
+  /** [[mainContentBlocks]] joined back into one newline-separated text —
+    * the drop-in for [[htmlToText]] when boilerplate-aware extraction is
+    * wanted at the front gate of a curation funnel. */
+  def mainContent(html: Column, minWords: Int = 5, maxLinkPct: Int = 33): Column =
+    array_join(mainContentBlocks(html, minWords, maxLinkPct), "\n")
+
   /** 1 when any PII pattern matches, else 0. */
   def hasPii(text: Column): Column =
     PiiPatterns.map { case (_, p) => when(regexp_like(text, lit(p)), 1).otherwise(0) }

@@ -109,6 +109,26 @@ class CurationPipelineJobSpec extends SparkJobSuiteBase {
     byId(7L) should not include "<" // no markup survives
   }
 
+  test("curation pipeline mainContentOnly keeps the article, drops nav/footer boilerplate") {
+    // the same crawled page wrapped in a nav menu and a linky footer: plain
+    // htmlToText would keep "Home About us ... Terms of service" glued to the
+    // article; the main-content gate must drop those blocks per row
+    val page = "<html><body><nav><ul><li><a href=\"/\">Home</a></li>" +
+      "<li><a href=\"/about\">About us</a></li></ul></nav>" +
+      "<article><p>" + base + "</p></article>" +
+      "<footer><a href=\"/tos\">Terms of service</a> | <a href=\"/p\">Privacy policy</a></footer>" +
+      "</body></html>"
+    val src = (_: DateInterval) => Seq((8L, page)).toDF("doc_id", "text")
+    val clean = WarehouseTable(HdfsUrl(tmpDir("curation_main")), "clean")
+    val job = new CurationPipelineJob(src, clean, htmlSource = true, mainContentOnly = true)
+    val date = Day(2026, 8, 12)
+    runJob(job, date).isSuccess shouldBe true
+
+    val text = clean.load(spark, date).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap.apply(8L)
+    text shouldBe base // exactly the article — no nav, no footer, no markup
+  }
+
   test("curation pipeline caps hot domains and rebalances to a target mix") {
     // per-doc disjoint vocabularies: every doc passes the quality gate and
     // nothing near-dedups, so cap + mix see exactly the authored supply

@@ -103,10 +103,42 @@ class JoinsSpec extends SparkTestBase {
       .select($"asof_v").as[Option[Double]].head() shouldBe Some(7.0)
   }
 
+  test("asOf nearest matches the naive min-abs-distance lookup, ties backward") {
+    val left = (0L until 200L).map(i => (i % 5, i, i)).toDF("k", "ts", "lid")
+    val right = (0L until 60L).map(j => (j % 5, j * 3, j * 1.5)).toDF("k", "ts", "v")
+    val r = right.as[(Long, Long, Double)].collect()
+    val expected = left.as[(Long, Long, Long)].collect().map { case (k, ts, lid) =>
+      // naive: minimize |ts - qts|; at equal distance take the EARLIER row
+      val m = r.filter(_._1 == k)
+        .sortBy(q => (math.abs(q._2 - ts), q._2)).headOption.map(_._3)
+      lid -> m
+    }.toMap
+    val actual = Joins.asOf(left, right, Seq("k"), "ts", direction = "nearest")
+      .select($"lid", $"asof_v").as[(Long, Option[Double])].collect().toMap
+    actual shouldBe expected
+  }
+
+  test("asOf nearest: explicit tie goes backward, tolerance and strict matching apply") {
+    // left at 20, right at 10 and 30: both distance 10 -> backward (10) wins
+    val left = Seq(("A", 20L, 1L)).toDF("k", "ts", "lid")
+    val right = Seq(("A", 10L, 1.0), ("A", 30L, 3.0)).toDF("k", "ts", "v")
+    Joins.asOf(left, right, Seq("k"), "ts", "nearest")
+      .select($"asof_v").as[Option[Double]].head() shouldBe Some(1.0)
+    // tolerance 5: both candidates are 10 away -> null payload
+    Joins.asOf(left, right, Seq("k"), "ts", "nearest", tolerance = 5L)
+      .select($"asof_v").as[Option[Double]].head() shouldBe None
+    // exact match preferred when allowed, skipped when strict
+    val right2 = Seq(("A", 20L, 2.0), ("A", 19L, 1.9)).toDF("k", "ts", "v")
+    Joins.asOf(left, right2, Seq("k"), "ts", "nearest")
+      .select($"asof_v").as[Option[Double]].head() shouldBe Some(2.0)
+    Joins.asOf(left, right2, Seq("k"), "ts", "nearest", allowExactMatches = false)
+      .select($"asof_v").as[Option[Double]].head() shouldBe Some(1.9)
+  }
+
   test("asOf null timestamps match nothing on either side") {
     val left = Seq((1L, Option(50L), 1L), (1L, Option.empty[Long], 2L)).toDF("k", "ts", "lid")
     val right = Seq((1L, Option(10L), 1.0), (1L, Option.empty[Long], 99.0)).toDF("k", "ts", "v")
-    for (dir <- Seq("backward", "forward")) {
+    for (dir <- Seq("backward", "forward", "nearest")) {
       val out = Joins.asOf(left, right, Seq("k"), "ts", dir)
         .select($"lid", $"asof_v").as[(Long, Option[Double])].collect().toMap
       withClue(dir) {

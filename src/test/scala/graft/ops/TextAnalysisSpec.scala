@@ -553,6 +553,38 @@ class TextAnalysisSpec extends SparkTestBase {
     extract("") shouldBe ""
   }
 
+  test("mainContent keeps body text, drops nav/sidebar/footer and short blocks") {
+    def extract(html: String): String =
+      Seq(html).toDF("h").select(TextAnalysis.mainContent($"h")).as[String].head()
+
+    val article = "the quick brown fox jumps over the lazy dog again and again today"
+    val page =
+      "<html><head><style>a { x > y }</style></head><body>" +
+        "<nav><ul><li><a href=\"/\">Home</a></li><li><a href=\"/a\">About us</a></li></ul></nav>" +
+        // sidebar: clears the 5-word floor, must die by LINK DENSITY alone
+        "<div id=\"s\"><a href=\"/r1\">Related article one</a> <a href=\"/r2\">Related two</a></div>" +
+        // short plain block: link-free, must die by the WORD FLOOR alone
+        "<p>Share this page</p>" +
+        s"<article><p>$article</p></article>" +
+        "<footer><a href=\"/t\">Terms of service</a> | <a href=\"/p\">Privacy policy</a> x</footer>" +
+        "</body></html>"
+    extract(page) shouldBe article
+
+    // a long body paragraph with a FEW inline links stays (density under the bar)
+    val linked = s"<p>$article <a href=\"/ref\">source</a></p>"
+    extract(linked) shouldBe s"$article source"
+    // two body blocks survive in document order, newline-joined
+    extract(s"<p>$article</p><p>$article</p>") shouldBe s"$article\n$article"
+    // entity decode + script drop inside kept blocks
+    extract(s"<script>1 < 2</script><p>Tom &amp; Jerry $article</p>") shouldBe
+      s"Tom & Jerry $article"
+    // all-boilerplate page -> empty extraction, not a crash
+    extract("<nav><a href=\"/\">Home</a></nav><p>too short</p>") shouldBe ""
+    // null-safe
+    Seq(Option.empty[String]).toDF("h")
+      .select(TextAnalysis.mainContent($"h")).as[Option[String]].head() shouldBe None
+  }
+
   test("all text operators are null-safe") {
     val df = Seq((1L, Some("real text here")), (2L, None)).toDF("doc_id", "text")
     val out = df.select($"doc_id",
