@@ -3568,6 +3568,39 @@ object Queries {
        FROM s"""
 
   /**
+   * `heavy_hitters_sketch`: the full Misra-Gries pipeline — DAILY
+   * heavy-hitter summaries over user_id per event type
+   * ([[graft.ops.Sketches.heavyHittersRollup]]), MERGED to all-time
+   * ([[reRollupHeavyHitters]]), top 10 reported. Capacity 4096 covers
+   * every distinct user at any test SF, so the sketch runs in its EXACT
+   * regime and the whole daily-merge-report chain hash-matches plain SQL
+   * counts — the same L38/L38b anchoring idea with the anchor fused into
+   * the query itself; SketchesSpec separately pins the approximate-regime
+   * error bound and merge invariance, which no SQL oracle can express.
+   */
+  def heavyHittersSketch(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val ev = events(dir).select(col("event_type"),
+      to_date(col("ts").cast("timestamp")).as("day"), col("user_id"))
+    val daily = graft.ops.Sketches.heavyHittersRollup(
+      ev, Seq("event_type", "day"), "user_id", capacity = 4096)
+    val total = graft.ops.Sketches.reRollupHeavyHitters(daily, Seq("event_type"), capacity = 4096)
+    graft.ops.Sketches.topHeavyHitters(total, k = 10)
+  }
+
+  val heavyHittersSketchSql: String =
+    """WITH counts AS (
+         SELECT event_type, cast(user_id AS varchar) AS key, count(*) AS cnt
+         FROM events GROUP BY 1, 2),
+       ranked AS (
+         SELECT event_type, key, cnt,
+                row_number() OVER (
+                  PARTITION BY event_type ORDER BY cnt DESC, key) AS rank
+         FROM counts)
+       SELECT event_type, key, cnt, cast(rank AS bigint) AS rank
+       FROM ranked WHERE rank <= 10"""
+
+  /**
    * `embedding_drift`: [[graft.ops.Drift.embeddingDriftFromMeans]] over
    * even/odd snapshot slices of the embeddings table, the odd slice
    * re-encoded with a synthetic 1.1x scale regression — the centroid
@@ -3857,6 +3890,7 @@ object Queries {
     ("distinct_users_sketch", distinctUsersSketch _, None),
     ("distinct_users_exact", distinctUsersExact _, Some(distinctUsersExactSql)),
     ("value_quantiles_sketch", valueQuantilesSketch _, Some(valueQuantilesSketchSql)),
+    ("heavy_hitters_sketch", heavyHittersSketch _, Some(heavyHittersSketchSql)),
     ("leakage_safe_split", leakageSafeSplitQ _, Some(leakageSafeSplitSql)),
     ("vocab_drift", vocabDriftQ _, Some(vocabDriftSql)),
     ("ingest_anomalies", ingestAnomalies _, Some(ingestAnomaliesSql)),

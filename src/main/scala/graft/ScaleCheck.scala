@@ -31,7 +31,8 @@ object ScaleCheck {
     "quantile_sketch", "lsh_salted_pairs", "contamination_hits",
     "projected_ann", "target_mix_sample", "bpe_tokenize",
     "bpe_train_256merges", "typicality_score", "typicality_bigram",
-    "typicality_backoff", "url_dedup", "sentence_chunks")
+    "typicality_backoff", "url_dedup", "sentence_chunks",
+    "funnel_window", "asof_nearest", "heavy_hitters", "main_content")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -187,6 +188,37 @@ object ScaleCheck {
     time("funnel") {
       ops.Funnels.funnelCounts(bigEvents, "user_id", "ts", "event_type",
         Seq("view", "click", "purchase"))
+    }
+    // the conversion window is one extra predicate on the same running
+    // minimum — cost must track plain funnel, not add a shuffle
+    time("funnel_window") {
+      ops.Funnels.funnelCounts(bigEvents, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), maxGap = Some(expr("INTERVAL 12 HOURS")))
+    }
+    // nearest = two sorts over ONE user-keyed exchange; must track asof_join
+    time("asof_nearest") {
+      val purchases = bigEvents.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      val signups = bigEvents.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+        .agg(max(col("value")).as("signup_value"))
+      ops.Joins.asOf(purchases, signups, Seq("user_id"), "ts_us", direction = "nearest")
+    }
+    // capacity-bounded summaries through the exchange, never raw keys
+    time("heavy_hitters") {
+      val daily = ops.Sketches.heavyHittersRollup(
+        bigEvents.withColumn("day", to_date(col("ts"))),
+        Seq("event_type", "day"), "user_id", capacity = 256)
+      ops.Sketches.reRollupHeavyHitters(daily, Seq("event_type"), capacity = 256)
+    }
+    // per-row regex block math; zero exchanges — linear by construction
+    time("main_content") {
+      bigDocs.select(col("doc_id"),
+        ops.TextAnalysis.mainContent(
+          concat(lit("<nav><a href=\"/\">Home</a> <a href=\"/a\">About us</a></nav><p>"),
+            col("text"),
+            lit("</p><footer><a href=\"/t\">Terms</a> | <a href=\"/p\">Privacy</a></footer>")))
+          .as("main"))
     }
     // the user-key lead window is the cost driver: same shape as sessionize
     time("event_transitions") {

@@ -587,6 +587,21 @@ object functions {
         GraftExpressionBridge.expression(e), k, reverse = true).toAggregateExpression())
   }
 
+  /** Misra-Gries heavy-hitters aggregate over a STRING key: at most
+    * `capacity` counters, output sorted `(cnt DESC, key)` as
+    * `array<struct<key,cnt>>`; exact when `capacity >= distinct keys`,
+    * else `est <= true <= est + n/(capacity+1)` (see
+    * [[graft.functions.MisraGries]]). */
+  def misra_gries(e: Column, capacity: Int): Column =
+    GraftExpressionBridge.column(
+      MisraGries(GraftExpressionBridge.expression(e), capacity).toAggregateExpression())
+
+  /** Merge aggregate over [[misra_gries]] summaries — the daily-to-all-time
+    * re-rollup path, never re-reading raw keys. */
+  def misra_gries_merge(e: Column, capacity: Int): Column =
+    GraftExpressionBridge.column(
+      MisraGriesMerge(GraftExpressionBridge.expression(e), capacity).toAggregateExpression())
+
   /** SQL registration, for `spark.sql.extensions=graft.functions.GraftExtensions`. */
   val registry: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("minhash_signature"),
@@ -652,6 +667,20 @@ object functions {
         require(k >= 1, s"collect_bottom_k k must be at least 1, got $k")
         new org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK(
           args.head, k, reverse = true).toAggregateExpression()
+      }),
+    (FunctionIdentifier("misra_gries"),
+      new ExpressionInfo(classOf[MisraGries].getName, "misra_gries"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"misra_gries(key, capacity) takes 2 arguments, got ${args.length}")
+        MisraGries(args.head, lit(args(1))).toAggregateExpression()
+      }),
+    (FunctionIdentifier("misra_gries_merge"),
+      new ExpressionInfo(classOf[MisraGriesMerge].getName, "misra_gries_merge"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"misra_gries_merge(summary, capacity) takes 2 arguments, got ${args.length}")
+        MisraGriesMerge(args.head, lit(args(1))).toAggregateExpression()
       }))
 
   private def litStr(e: Expression): String = e match {

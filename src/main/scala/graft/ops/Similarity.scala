@@ -436,14 +436,46 @@ object Similarity {
     val centroids = broadcast(seeds
       .withColumn("__rk", row_number().over(Window.partitionBy(lit(0)).orderBy(col(idCol))))
       .select((col("__rk") - 1).as("centroid_id"), col(vecCol).as("centroid")))
+    (assignToCentroids(corpus, idCol, vecCol, centroids), centroids)
+  }
+
+  /**
+   * Nearest-centroid assignment against an EXISTING centroid table
+   * (`centroid_id`, `centroid`) — the piece that makes an IVF index
+   * incremental: new batches assign against the STORED centroids, so cell
+   * membership never drifts between runs. Same deterministic rule as
+   * [[ivfAssignSeeded]] (4-dp-rounded cosine, centroid-id tiebreak);
+   * centroids broadcast, the per-id window sees k rows.
+   */
+  def assignToCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame): DataFrame = {
     val assignW = Window.partitionBy(col(idCol)).orderBy(col("__cos").desc, col("centroid_id"))
-    val assigned = corpus
-      .join(centroids, lit(true))
+    corpus
+      .join(broadcast(centroids), lit(true))
       .withColumn("__cos", round(cosine(col(vecCol), col("centroid")), 4))
       .withColumn("__rn", row_number().over(assignW))
       .filter(col("__rn") === 1)
       .drop("__cos", "__rn", "centroid")
-    (assigned, centroids)
+  }
+
+  /**
+   * Literal-centroid nearest-cell assignment: the centroid table collapsed
+   * into the expression itself (k x dim floats — a few KB), so assignment
+   * is pure per-row math with NO join and NO window: the form a STREAMING
+   * tier needs (windows are unsupported on streams) and the fastest batch
+   * form when k is small. Same rule bit-for-bit: 4-dp-rounded cosine,
+   * smallest-centroid-id tiebreak.
+   */
+  def nearestCentroidCol(vec: Column, centroids: Seq[(Int, Seq[Float])]): Column = {
+    require(centroids.nonEmpty, "centroids must be non-empty")
+    // max over (cosine, -id) structs == highest cosine, then smallest id
+    val scored = array(centroids.map { case (cid, c) =>
+      struct(round(cosine(vec, typedLit(c)), 4).as("c"), lit(-cid).as("nid"))
+    }: _*)
+    (-array_max(scored).getField("nid")).cast("int")
   }
 
   /**
@@ -519,15 +551,41 @@ object Similarity {
       k: Int = 16,
       threshold: Double = 0.9): DataFrame = {
     val (assigned, _) = ivfAssignSeeded(corpus, idCol, vecCol, k)
+    // anti-join against the RAW corpus scan (not the assigned frame): same
+    // result, and the assignment lineage is not re-evaluated a third time
+    corpus.join(semanticDropIds(assigned, idCol, vecCol, threshold), Seq(idCol), "left_anti")
+  }
+
+  /** Ids losing the within-cell smaller-id cosine contest — the shared core
+    * of [[semanticDedup]] and [[semanticDedupAssigned]]. */
+  private def semanticDropIds(
+      assigned: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
     val slim = assigned.select(col("centroid_id"), col(idCol), col(vecCol))
-    val dropped = slim.select(col("centroid_id"), col(idCol), col(vecCol).as("__v_b"))
+    slim.select(col("centroid_id"), col(idCol), col(vecCol).as("__v_b"))
       .join(slim.select(col("centroid_id"), col(idCol).as("__id_a"), col(vecCol).as("__v_a")),
         Seq("centroid_id"))
       .filter(col("__id_a") < col(idCol))
       .filter(round(cosine(col("__v_a"), col("__v_b")), 4) >= threshold)
       .select(col(idCol)).distinct()
-    corpus.join(dropped, Seq(idCol), "left_anti")
   }
+
+  /**
+   * The within-cell half of [[semanticDedup]] over an ALREADY-ASSIGNED
+   * frame (a `centroid_id` column present — from [[ivfAssignSeeded]],
+   * [[assignToCentroids]] or a persisted assignment): drop every row whose
+   * 4-dp cosine to a smaller-id cell-mate reaches `threshold`, keeping the
+   * assignment column in the output. This is the piece an incremental job
+   * reuses per batch once the centroids are pinned in a store.
+   */
+  def semanticDedupAssigned(
+      assigned: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double = 0.9): DataFrame =
+    assigned.join(semanticDropIds(assigned, idCol, vecCol, threshold), Seq(idCol), "left_anti")
 
   /**
    * Embedding-hygiene check: flag vectors whose L2 norm is a Tukey outlier

@@ -115,4 +115,55 @@ object Sketches {
       transform(filter(sample, e => e.getField("v").isNotNull), e => e.getField("v")))
     element_at(values, greatest(ceil(lit(q) * size(values)), lit(1)).cast("int"))
   }
+
+  // ---- heavy hitters (Misra-Gries) -------------------------------------
+
+  /**
+   * Per-bucket HEAVY-HITTERS rollup — the top-k-frequency member of the
+   * sketch family ([[distinctRollup]] counts distincts, [[quantileSketch]]
+   * ranks values, this one finds the dominating keys: hot domains, hot
+   * terms, hot users): one row per `bucketCols` group with `hh_summary`,
+   * a bounded Misra-Gries counter summary
+   * ([[graft.functions.MisraGries]] — at most `capacity` `(key, cnt)`
+   * entries, sorted `(cnt DESC, key)`). Exact when `capacity` covers the
+   * group's distinct keys; otherwise every count sits within
+   * `n/(capacity+1)` below truth and every key above that share is
+   * guaranteed present. ObjectHashAggregate with map-side partials — one
+   * shuffle of capacity-bounded summaries, never a raw key shuffle.
+   */
+  def heavyHittersRollup(
+      df: DataFrame,
+      bucketCols: Seq[String],
+      keyCol: String,
+      capacity: Int = 256): DataFrame =
+    df.groupBy(bucketCols.map(col): _*)
+      .agg(graft.functions.functions
+        .misra_gries(col(keyCol).cast("string"), capacity).as("hh_summary"))
+
+  /**
+   * Re-aggregate [[heavyHittersRollup]] summaries to coarser buckets
+   * ([[graft.functions.MisraGriesMerge]]) — daily to weekly to all-time
+   * without re-reading events; the mergeable-summaries truncation keeps
+   * the n/(capacity+1) bound additive across any merge tree. Same output
+   * shape, so rollups chain.
+   */
+  def reRollupHeavyHitters(
+      rollup: DataFrame,
+      bucketCols: Seq[String],
+      capacity: Int = 256): DataFrame =
+    rollup.groupBy(bucketCols.map(col): _*)
+      .agg(graft.functions.functions
+        .misra_gries_merge(col("hh_summary"), capacity).as("hh_summary"))
+
+  /** Explode a summary to `(key, cnt, rank)` rows, rank 1 = heaviest —
+    * the reporting end of the heavy-hitters pipeline. */
+  def topHeavyHitters(rollup: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    rollup
+      .select(rollup.columns.filterNot(_ == "hh_summary").map(col) :+
+        posexplode(slice(col("hh_summary"), 1, k)).as(Seq("__pos", "__e")): _*)
+      .select(rollup.columns.filterNot(_ == "hh_summary").map(col) ++ Seq(
+        col("__e.key").as("key"), col("__e.cnt").as("cnt"),
+        (col("__pos") + 1).cast("long").as("rank")): _*)
+  }
 }

@@ -121,6 +121,30 @@ object EventStreams {
           array(quantiles.map(lit): _*), lit(accuracy)).as("value_quantiles")))
 
   /**
+   * Windowed HEAVY-HITTERS rollup with the mergeable Misra-Gries summary
+   * ([[graft.functions.MisraGries]] — the streaming twin of
+   * [[graft.ops.Sketches.heavyHittersRollup]]): exact streaming top-key
+   * counting needs per-window state proportional to the key universe; the
+   * summary keeps at most `capacity` counters per (window, event_type)
+   * that merge across partitions and micro-batches with the
+   * n/(capacity+1) bound intact. Emits the summary column itself
+   * (`hh_summary`, sorted `(cnt DESC, key)`), so a sink can both report
+   * top keys and re-roll windows to coarser horizons later
+   * ([[graft.ops.Sketches.reRollupHeavyHitters]]) — hot-domain / hot-user
+   * monitoring that survives 100 TB/day.
+   */
+  def heavyHittersRollup(
+      events: DataFrame,
+      keyCol: String = "user_id",
+      windowLength: String = "1 hour",
+      watermark: String = "10 minutes",
+      capacity: Int = 256): DataFrame =
+    windowedAgg(events, windowLength, watermark,
+      Seq(count(lit(1)).as("n"),
+        graft.functions.functions
+          .misra_gries(col(keyCol).cast("string"), capacity).as("hh_summary")))
+
+  /**
    * Streaming exact dedup on `idCol`: duplicates arriving within the
    * watermark horizon are dropped; the watermark bounds the id-set state.
    */
@@ -255,6 +279,66 @@ object EventStreams {
     (0 until bands).foldLeft(unseen.withWatermark(tsCol, watermark)) {
       (acc, b) => acc.dropDuplicatesWithinWatermark(s"band$b")
     }
+  }
+
+  /**
+   * S15 — streaming SEMANTIC dedup, the stream twin of
+   * [[graft.etl.examples.IncrementalSemanticDedupJob]]: the embedding-space
+   * tier beside exact (S8), URL (S13) and MinHash (S14), for paraphrases
+   * and re-renders that share no n-grams. Reads the SAME two stores the
+   * batch job maintains.
+   *
+   * Per row, [[graft.ops.Similarity.nearestCentroidCol]] assigns the IVF
+   * cell with the centroid table fused into the expression (k x dim floats
+   * — no join, no window, which streams could not run anyway; `centroids`
+   * is collected ONCE at query definition, correct because the batch job
+   * pins centroids forever). Then two tiers:
+   *
+   *  1. **Store tier** — one stream-static LEFT ANTI join against the
+   *     keeper store on `centroid_id` equality plus the SAME 4-dp cosine
+   *     threshold the batch job applies: a document duplicating any stored
+   *     keeper is dropped, with full verification (unlike S14's band-only
+   *     drop, the cosine IS the batch predicate — batch and stream agree
+   *     exactly on this tier). Stateless, re-snapshotted per micro-batch.
+   *  2. **In-stream tier** — `dropDuplicatesWithinWatermark` on a
+   *     `sketchBits`-bit sign sketch of the vector
+   *     ([[graft.ops.Similarity.signSketch]]). **Precision tradeoff, by
+   *     design**: in-flight near-dups collapse only when they share the
+   *     whole sketch (a near-dup pair straddling one hyperplane is KEPT —
+   *     the batch job would drop it; they reconcile when the batch store
+   *     catches up), and unrelated vectors sharing a sketch are DROPPED
+   *     unverified (probability ~2^-sketchBits for random pairs). State is
+   *     sketch-keyed and watermark-bounded.
+   *
+   * Emits the input columns plus `centroid_id` and `sem_sketch`, so the
+   * sink can append survivors `(centroid_id, id, vec)` back to the keeper
+   * store, closing the incremental loop exactly like the batch job.
+   */
+  def dedupSemanticAgainstStore(
+      docs: DataFrame,
+      keepers: DataFrame,
+      centroids: DataFrame,
+      vecCol: String = "embedding",
+      tsCol: String = "ts",
+      threshold: Double = 0.9,
+      watermark: String = "10 minutes",
+      sketchBits: Int = 24): DataFrame = {
+    import graft.ops.Similarity
+    val cents = centroids.select(col("centroid_id").cast("int"), col("centroid"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1))
+      .toSeq.sortBy(_._1)
+    val assigned = docs.withColumn("centroid_id",
+      Similarity.nearestCentroidCol(col(vecCol), cents))
+    val k = keepers.select(col("centroid_id").as("__kcid"), col(vecCol).as("__kvec"))
+    val unseen = assigned.join(k,
+      assigned("centroid_id") === k("__kcid") &&
+        round(Similarity.cosine(col(vecCol), col("__kvec")), 4) >= threshold,
+      "left_anti")
+    unseen
+      .withColumn("sem_sketch", Similarity.signSketch(col(vecCol), sketchBits))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("sem_sketch")
   }
 
   /**

@@ -233,6 +233,9 @@ class PlanInvariantsSpec extends SparkTestBase {
     check("embedding_outliers", maxShuffles = 2)
     // signup pre-agg + the tagged-union window on user_id — no join operator
     check("asof_forward", maxShuffles = 2)
+    // nearest: BOTH walks ride the same user_id partitioning (two sorts,
+    // one window exchange) — same ceiling as the single-direction forms
+    check("asof_nearest", maxShuffles = 2)
     // same single min_by agg shuffle as dedup_exact
     check("dedup_keep_best", maxShuffles = 1)
   }
@@ -242,6 +245,11 @@ class PlanInvariantsSpec extends SparkTestBase {
     check("distinct_users_exact", maxShuffles = 2)
     // daily bottom-k agg + re-rollup agg: k-row sketches through both
     check("value_quantiles_sketch", maxShuffles = 2)
+    // daily Misra-Gries agg + merge agg: capacity-bounded summaries through
+    // both exchanges, never raw keys
+    check("heavy_hitters_sketch", maxShuffles = 2)
+    // per-row block split/score/join — fused into the scan
+    check("main_content", maxShuffles = 0)
   }
 
   test("round-7 additions: bounded shuffles, no cartesian") {

@@ -92,4 +92,90 @@ class SketchesSpec extends SparkTestBase {
         .map("%02x".format(_)).mkString).sorted.take(7)
     hashes shouldBe expected
   }
+
+  // Zipf-ish stream: key k appears ~ 600/k times for k in 1..60 (heavy head,
+  // long tail), shuffled deterministically so arrival order is adversarial
+  private lazy val zipf = (1 to 60).flatMap(k => Seq.fill(600 / k)(s"k$k"))
+    .sortBy(_.hashCode)
+
+  private def mgTop(capacity: Int, partitions: Int): Map[String, Long] = {
+    val df = zipf.zipWithIndex.map { case (k, i) => (i.toLong, k) }
+      .toDF("i", "key").repartition(partitions)
+    df.groupBy(lit(1).as("g"))
+      .agg(graft.functions.functions.misra_gries($"key", capacity).as("hh_summary"))
+      .select(explode($"hh_summary").as("e")).select($"e.key", $"e.cnt")
+      .as[(String, Long)].collect().toMap
+  }
+
+  test("misra-gries exact regime equals plain counts, any partitioning") {
+    val exact = zipf.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // capacity >= distinct keys: no decrement can ever fire
+    mgTop(64, 1) shouldBe exact
+    mgTop(64, 13) shouldBe exact // partition-invariant in the exact regime
+  }
+
+  test("misra-gries approximate regime honors the n/(capacity+1) bound and presence guarantee") {
+    val exact = zipf.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = zipf.size.toLong
+    for (capacity <- Seq(8, 16, 32); parts <- Seq(1, 7)) {
+      val est = mgTop(capacity, parts)
+      val slack = n / (capacity + 1)
+      withClue(s"capacity=$capacity parts=$parts: ") {
+        est.size should be <= capacity
+        // underestimate only, by at most n/(capacity+1)
+        est.foreach { case (k, c) =>
+          c should be <= exact(k)
+          (exact(k) - c) should be <= slack
+        }
+        // any key heavier than the slack MUST be present
+        exact.filter(_._2 > slack).keySet.foreach { k => est.keySet should contain(k) }
+      }
+    }
+  }
+
+  test("misra-gries daily summaries re-roll to all-time within the same bound") {
+    // 3 'days' with disjoint-ish tails, shared heavy head
+    val days = (0 until 3).flatMap { d =>
+      (1 to 40).flatMap(k => Seq.fill(400 / k)((d, s"k$k"))) ++
+        Seq.fill(30)((d, s"only$d"))
+    }
+    val df = days.toDF("day", "key")
+    val exact = days.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val n = days.size.toLong
+    val capacity = 24
+    val daily = Sketches.heavyHittersRollup(df, Seq("day"), "key", capacity)
+    daily.count() shouldBe 3
+    val merged = Sketches.reRollupHeavyHitters(
+      daily.withColumn("all", lit(1)), Seq("all"), capacity)
+    val est = merged.select(explode($"hh_summary").as("e"))
+      .select($"e.key", $"e.cnt").as[(String, Long)].collect().toMap
+    val slack = n / (capacity + 1)
+    est.foreach { case (k, c) =>
+      c should be <= exact(k)
+      (exact(k) - c) should be <= slack
+    }
+    exact.filter(_._2 > slack).keySet.foreach { k => est.keySet should contain(k) }
+    // exact regime re-rollup reproduces plain counts exactly
+    val wide = Sketches.reRollupHeavyHitters(
+      Sketches.heavyHittersRollup(df, Seq("day"), "key", 256)
+        .withColumn("all", lit(1)), Seq("all"), 256)
+    val ew = wide.select(explode($"hh_summary").as("e"))
+      .select($"e.key", $"e.cnt").as[(String, Long)].collect().toMap
+    ew shouldBe exact
+    // topHeavyHitters reports rank 1 = heaviest with the (cnt DESC, key) tie order
+    val top = Sketches.topHeavyHitters(wide, 3)
+      .select($"key", $"cnt", $"rank").as[(String, Long, Long)].collect()
+    top.map(_._3).toSeq shouldBe Seq(1L, 2L, 3L)
+    top.head._1 shouldBe "k1"
+    top.head._2 shouldBe 1200L // 3 days x 400
+  }
+
+  test("misra-gries summary output is sorted (cnt DESC, key) and null keys are skipped") {
+    val df = Seq(Some("b"), Some("b"), Some("a"), Some("a"), Some("c"), None)
+      .toDF("key")
+    val s = df.agg(graft.functions.functions.misra_gries($"key", 10).as("s"))
+      .select($"s").collect().head.getSeq[org.apache.spark.sql.Row](0)
+    s.map(r => (r.getString(0), r.getLong(1))).toSeq shouldBe
+      Seq(("a", 2L), ("b", 2L), ("c", 1L)) // ties break by key, nulls contribute nothing
+  }
 }

@@ -7,6 +7,9 @@ import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.testkit.SparkTestBase
 
+/** Embedding-bearing stream row for the S15 semantic-dedup test. */
+case class VecDoc(docId: Long, ts: Timestamp, embedding: Seq[Float])
+
 class EventStreamsSpec extends SparkTestBase {
   import EventStreams._
   import spark.implicits._
@@ -80,6 +83,32 @@ class EventStreamsSpec extends SparkTestBase {
       .collect().toSet
     // small windows fit entirely in the summary -> exact quantiles
     out shouldBe Set(("click", 3L, Seq(2.0, 3.0)), ("view", 1L, Seq(5.0, 5.0)))
+  }
+
+  test("heavy-hitters rollup tracks per-window top keys via mergeable Misra-Gries summary") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = heavyHittersRollup(asContract(in.toDF()), keyCol = "user_id",
+      windowLength = "10 minutes", watermark = "5 minutes", capacity = 8)
+      .writeStream.format("memory").queryName("hh_out").outputMode("append").start()
+    in.addData(
+      Event(1, ts(1), 10, "click", 1.0),
+      Event(2, ts(2), 10, "click", 1.0),
+      Event(3, ts(3), 10, "click", 1.0),
+      Event(4, ts(4), 11, "click", 1.0),
+      Event(5, ts(5), 12, "view", 1.0))
+    q.processAllAvailable()
+    in.addData(Event(99, ts(60), 13, "click", 0.0)) // advance watermark
+    runToCompletion(q)
+    val out = spark.table("hh_out")
+      .select($"event_type", $"n",
+        org.apache.spark.sql.functions.expr(
+          "transform(hh_summary, e -> concat(e.key, ':', e.cnt))"))
+      .as[(String, Long, Seq[String])].collect().toSet
+    // capacity 8 >> distinct keys: exact counts, sorted (cnt DESC, key)
+    out shouldBe Set(
+      ("click", 4L, Seq("10:3", "11:1")),
+      ("view", 1L, Seq("12:1")))
   }
 
   test("streaming dedup drops duplicate ids within the watermark") {
@@ -207,6 +236,48 @@ class EventStreamsSpec extends SparkTestBase {
     val afterStore = day.join(hits, Seq("doc_id"), "left_anti")
     graft.ops.Dedup.removeNearDuplicates(afterStore, "doc_id", "text")
       .select($"doc_id").as[Long].collect().sorted shouldBe Array(2L, 4L)
+  }
+
+  test("dedupSemanticAgainstStore drops stored dups verified and in-stream sketch dups, batch parity") {
+    implicit val sc = spark.sqlContext
+    // the stores as IncrementalSemanticDedupJob writes them
+    val centroids = Seq((0, Seq(1f, 0f, 0f, 0f)), (1, Seq(0f, 1f, 0f, 0f)))
+      .toDF("centroid_id", "centroid")
+    val keepers = Seq((0, 1L, Seq(1f, 0f, 0f, 0f)), (1, 2L, Seq(0f, 1f, 0f, 0f)))
+      .toDF("centroid_id", "vec_id", "embedding")
+
+    val storedDup = Seq(0.98f, 0.2f, 0f, 0f)   // cos ~0.98 to keeper 1 -> store drop
+    val fresh = Seq(0f, 0f, 1f, 0f)            // new direction -> kept
+    val freshCopy = Seq(0f, 0f, 1f, 0f)        // identical in-stream repeat -> sketch drop
+    val other = Seq(0f, 0f, 0f, 1f)            // distinct new direction -> kept
+
+    val in = MemoryStream[VecDoc]
+    val q = dedupSemanticAgainstStore(in.toDF(), keepers, centroids, threshold = 0.95)
+      .writeStream.format("memory").queryName("sem_dedup_out").outputMode("append").start()
+    in.addData(
+      VecDoc(10L, ts(1), storedDup),
+      VecDoc(11L, ts(2), fresh),
+      VecDoc(12L, ts(3), freshCopy),
+      VecDoc(13L, ts(4), other))
+    runToCompletion(q)
+    spark.table("sem_dedup_out").select($"docId").as[Long].collect().sorted shouldBe
+      Array(11L, 13L)
+    // survivors carry centroid_id for the keeper-store-append sink
+    spark.table("sem_dedup_out").columns should contain allOf ("centroid_id", "sem_sketch")
+
+    // batch parity: assign-to-stored-centroids + keeper cosine drop + within-
+    // day dedup gives the same verdicts on the same batch of documents
+    val day = Seq((10L, storedDup), (11L, fresh), (12L, freshCopy), (13L, other))
+      .toDF("vec_id", "embedding")
+    val assigned = graft.ops.Similarity.assignToCentroids(day, "vec_id", "embedding", centroids)
+    val hits = assigned
+      .join(keepers.select($"centroid_id", $"embedding".as("__kv")), Seq("centroid_id"))
+      .filter(org.apache.spark.sql.functions.round(
+        graft.ops.Similarity.cosine($"embedding", $"__kv"), 4) >= 0.95)
+      .select($"vec_id").distinct()
+    graft.ops.Similarity.semanticDedupAssigned(
+      assigned.join(hits, Seq("vec_id"), "left_anti"), "vec_id", "embedding", 0.95)
+      .select($"vec_id").as[Long].collect().sorted shouldBe Array(11L, 13L)
   }
 
   test("warehouseSink lands micro-batches in a date partition") {
