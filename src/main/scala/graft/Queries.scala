@@ -2163,6 +2163,37 @@ object Queries {
        WHERE cum_tokens <= 20000"""
 
   /**
+   * `token_budget_per_group`: [[TextAnalysis.selectTokenBudgetPerGroup]] —
+   * the per-language budget cut behind real mixing decisions. en/de/zh get
+   * budgets below their full token mass (every listed group's cut is
+   * exercised); es/fr are absent from the map and must vanish entirely.
+   * Oracle: one per-group SQL cumulative sum + a CASE budget lookup —
+   * the hash match proves the distributed per-group cut equals the
+   * single-window-per-group definition.
+   */
+  def tokenBudgetPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val docs = t(dir, "documents").select(col("doc_id"), col("lang"),
+      col("n_chars").cast("long").as("score"),
+      TextAnalysis.whitespaceTokenCount(col("text")).cast("long").as("n_tok"))
+    TextAnalysis.selectTokenBudgetPerGroup(docs, "lang", "score", "n_tok", "doc_id",
+      budgets = Map("en" -> 6000L, "de" -> 2000L, "zh" -> 2000L))
+      .select(col("doc_id"), col("lang"), col("score"), col("n_tok"), col("cum_tokens"))
+  }
+
+  val tokenBudgetPerGroupSql: String =
+    raw"""SELECT doc_id, lang, score, n_tok, cum_tokens FROM (
+         SELECT doc_id, lang, score, n_tok,
+                cast(sum(n_tok) OVER (PARTITION BY lang ORDER BY score DESC, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS cum_tokens
+         FROM (SELECT doc_id, lang, cast(n_chars as bigint) AS score,
+                      cast(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) as bigint) AS n_tok
+               FROM documents))
+       WHERE cum_tokens <= CASE lang WHEN 'en' THEN 6000
+                                     WHEN 'de' THEN 2000
+                                     WHEN 'zh' THEN 2000 END"""
+
+  /**
    * `training_shuffle`: [[TextAnalysis.deterministicShuffle]] — the exact
    * global md5-keyed pseudo-random permutation a training export shuffles
    * by, computed WITHOUT a corpus-on-one-reducer window (range partition +
@@ -3901,6 +3932,7 @@ object Queries {
     ("cjk_token_stats", cjkTokenStats _, Some(cjkTokenStatsSql)),
     ("cjk_near_dup", cjkNearDup _, Some(cjkNearDupSql)),
     ("token_budget_cut", tokenBudgetCut _, Some(tokenBudgetCutSql)),
+    ("token_budget_per_group", tokenBudgetPerGroup _, Some(tokenBudgetPerGroupSql)),
     ("url_filter", urlFilter _, Some(urlFilterSql)),
     ("training_shuffle", trainingShuffle _, Some(trainingShuffleSql)),
     ("ann_quantized_topk", annQuantizedTopK _, Some(annQuantizedTopKSql)),

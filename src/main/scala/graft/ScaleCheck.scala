@@ -32,7 +32,8 @@ object ScaleCheck {
     "projected_ann", "target_mix_sample", "bpe_tokenize",
     "bpe_train_256merges", "typicality_score", "typicality_bigram",
     "typicality_backoff", "url_dedup", "sentence_chunks",
-    "funnel_window", "asof_nearest", "heavy_hitters", "main_content")
+    "funnel_window", "asof_nearest", "heavy_hitters", "main_content",
+    "token_budget_per_group")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -153,6 +154,16 @@ object ScaleCheck {
     }
     time("training_shuffle") {
       ops.TextAnalysis.deterministicShuffle(bigDocs.select(col("doc_id")), "doc_id")
+    }
+    // per-group budgets: same recipe keyed (group, score, id) — a hot
+    // group spreads over contiguous partitions, never one reducer
+    time("token_budget_per_group") {
+      val sized = bigDocs.select(col("doc_id"), col("lang"),
+        col("n_chars").cast("long").as("score"),
+        ops.TextAnalysis.whitespaceTokenCount(col("text")).cast("long").as("n_tok"))
+      ops.TextAnalysis.selectTokenBudgetPerGroup(sized, "lang", "score", "n_tok", "doc_id",
+        budgets = Map("en" -> 500000L, "de" -> 100000L, "zh" -> 100000L,
+          "es" -> 100000L, "fr" -> 100000L))
     }
     // scoring + rank + terciles: per-doc rows past the scoring aggs
     time("ccnet_buckets") {

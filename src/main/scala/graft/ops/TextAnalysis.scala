@@ -1492,6 +1492,66 @@ object TextAnalysis {
   }
 
   /**
+   * PER-GROUP token-budget cut — [[selectTokenBudget]] with one budget per
+   * stratum (tokens per language / domain / source bucket), the selection
+   * primitive behind "200B tokens of English, 40B of German" mixing
+   * decisions: within each group, keep the highest-`scoreCol` rows whose
+   * group-cumulative `tokensCol` fits that group's budget. Groups ABSENT
+   * from `budgets` are dropped entirely (no budget = no tokens — list a
+   * group explicitly to keep any of it). `budgets` is a literal map
+   * (strata are human-curated-sized, as in [[targetMixSample]]); keys
+   * match `groupCol` cast to string.
+   *
+   * Scale: the same no-one-reducer recipe as [[selectTokenBudget]] — one
+   * range exchange on `(group, score DESC, id)` (eagerly localCheckpointed
+   * so both branches share frozen boundaries), per-(group, partition)
+   * token sums whose running offsets are windows over partition-count
+   * rows, then per-(group, partition) cumulative windows. A group hotter
+   * than one partition spreads across several (contiguous) partitions —
+   * no group ever collapses onto one reducer, which a plain
+   * `Window.partitionBy(group)` cumulative sum would force on a
+   * one-language-dominated corpus.
+   */
+  def selectTokenBudgetPerGroup(
+      df: org.apache.spark.sql.DataFrame,
+      groupCol: String,
+      scoreCol: String,
+      tokensCol: String,
+      idCol: String,
+      budgets: Map[String, Long],
+      numPartitions: Int = 0): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.broadcast
+    require(budgets.nonEmpty, "budgets must name at least one group")
+    require(budgets.values.forall(_ >= 0), "budgets must be non-negative")
+    val keys = Seq(col(groupCol), col(scoreCol).desc, col(idCol))
+    val ranged =
+      (if (numPartitions > 0) df.repartitionByRange(numPartitions, keys: _*)
+      else df.repartitionByRange(keys: _*))
+        .withColumn("__pid", spark_partition_id())
+        .localCheckpoint(true)
+    val offsets = ranged.groupBy(col(groupCol), col("__pid"))
+      .agg(sum(col(tokensCol)).cast("long").as("__part_tokens"))
+      .withColumn("__offset",
+        coalesce(sum(col("__part_tokens")).over(
+          Window.partitionBy(col(groupCol)).orderBy(col("__pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col(groupCol), col("__pid"), col("__offset"))
+    val wCum = Window.partitionBy(col(groupCol), col("__pid"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // a group missing from the map gets a null budget; `cum <= null` is
+    // null and the filter drops the row — exactly the "absent = 0" rule
+    val budget = element_at(typedLit(budgets), col(groupCol).cast("string"))
+    ranged.join(broadcast(offsets), Seq(groupCol, "__pid"))
+      .withColumn("cum_tokens",
+        (col("__offset") + sum(col(tokensCol)).over(wCum)).cast("long"))
+      .filter(col("cum_tokens") <= budget)
+      .drop("__pid", "__offset")
+  }
+
+  /**
    * Exact global 1-based rank in `order` — `row_number() OVER (ORDER BY
    * ...)` semantics WITHOUT its scale bug (a global window collapses the
    * corpus onto ONE reducer): range-repartition by the order key, count

@@ -85,6 +85,12 @@ class PlanInvariantsSpec extends SparkTestBase {
     // the global-order primitives: hash exchanges only for the offset agg
     // + pid window; the corpus rides range exchanges (AQE stage-reused)
     check("token_budget_cut", maxShuffles = 2)
+    // per-group budgets ride the same checkpointed range exchange + a
+    // (group, pid) offset agg, a group-keyed running window over those
+    // partition-count-sized offsets (the global form's SinglePartition
+    // window becomes a hash exchange here — still offset-row-sized), and
+    // the (group, pid) window exchange for the full data
+    check("token_budget_per_group", maxShuffles = 3)
     check("training_shuffle", maxShuffles = 2)
     // per-row URL parsing + flags fused into the scan
     check("url_filter", maxShuffles = 0)

@@ -473,6 +473,31 @@ class TextAnalysisSpec extends SparkTestBase {
     cut(tied, 20L).keySet shouldBe Set(10L, 11L)
   }
 
+  test("selectTokenBudgetPerGroup cuts each group at its own budget, any partitioning") {
+    // en cum by score desc: 30, 70, 90...; de cum: 40, 60; absent fr drops
+    val docs = Seq(
+      (1L, "en", 80L, 40L), (2L, "en", 50L, 50L), (3L, "en", 40L, 10L),
+      (4L, "en", 70L, 20L), (5L, "en", 90L, 30L),
+      (6L, "de", 60L, 40L), (7L, "de", 30L, 20L), (8L, "de", 20L, 50L),
+      (9L, "fr", 99L, 5L))
+      .toDF("id", "lang", "score", "n_tok")
+    def cut(budgets: Map[String, Long], parts: Int = 0) =
+      TextAnalysis.selectTokenBudgetPerGroup(
+        docs.repartition(3), "lang", "score", "n_tok", "id", budgets, parts)
+        .select($"id", $"cum_tokens").as[(Long, Long)].collect().toMap
+    val expected = Map(5L -> 30L, 1L -> 70L, 4L -> 90L, // en budget 100
+      6L -> 40L, 7L -> 60L) // de budget 60; fr absent -> id 9 gone
+    cut(Map("en" -> 100L, "de" -> 60L)) shouldBe expected
+    // exact same result under any partition count — per-group offsets must
+    // equal the per-group single-window definition even when a group spans
+    // several range partitions
+    for (p <- Seq(1, 2, 7)) {
+      cut(Map("en" -> 100L, "de" -> 60L), parts = p) shouldBe expected
+    }
+    // zero budget keeps nothing of that group but leaves the others alone
+    cut(Map("en" -> 0L, "de" -> 60L)) shouldBe Map(6L -> 40L, 7L -> 60L)
+  }
+
   test("typicalityTerciles equals the one-window rank/tercile definition") {
     import org.apache.spark.sql.expressions.Window
     // 9 docs over a shared vocabulary with graded amounts of HAPAX filler
