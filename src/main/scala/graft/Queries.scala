@@ -3806,6 +3806,119 @@ object Queries {
        FROM bucketed JOIN cohorts USING (user_id)
        GROUP BY 1, 2"""
 
+  /**
+   * Deterministic synthetic HTML page per document for the link-graph
+   * queries (the word-soup corpus has no HTML): three outlinks to hosts
+   * `h<(7*doc_id + 13*i) % 250>.example` plus two anchors the extractor
+   * must SKIP by design — one whose text contains nested markup
+   * (`read <b>more</b>`, excluded by the `[^<]*` text class) and one with
+   * a single-quoted href. Shared by `extract_links` and `host_pagerank`;
+   * the oracles rebuild the identical page in DuckDB.
+   */
+  private def linkPageHtml: Column = {
+    val id = col("doc_id")
+    def host(i: Int): Column =
+      concat(lit("h"), ((id * 7 + lit(i * 13)) % 250).cast("string"), lit(".example"))
+    concat(
+      lit("<html><body><div class=\"nav\"><a href=\"https://"), host(0),
+      lit("/p/"), id.cast("string"), lit("?x=1\">home</a></div><p>"),
+      substring(col("text"), 1, 40),
+      lit(" <a id=\"l1\" href=\"https://"), host(1),
+      lit("/q\">read <b>more</b></a></p>"),
+      lit("<a href='https://skip.example/s'>skipme</a>"),
+      lit("<a href=\"https://"), host(2), lit("/r\">next page</a></body></html>"))
+  }
+
+  private val sqlLinkPages: String =
+    """pages AS (
+         SELECT doc_id,
+           '<html><body><div class="nav"><a href="https://h' || ((doc_id * 7) % 250) ||
+           '.example/p/' || doc_id || '?x=1">home</a></div><p>' ||
+           substring(text, 1, 40) ||
+           ' <a id="l1" href="https://h' || ((doc_id * 7 + 13) % 250) ||
+           '.example/q">read <b>more</b></a></p>' ||
+           '<a href=''https://skip.example/s''>skipme</a>' ||
+           '<a href="https://h' || ((doc_id * 7 + 26) % 250) ||
+           '.example/r">next page</a></body></html>' AS html
+         FROM documents)"""
+
+  private val sqlAnchorPat = """(?i)<a\s[^>]*href="([^"]+)"[^>]*>([^<]*)</a>"""
+
+  /**
+   * `extract_links`: [[Web.extractLinks]] over the synthetic pages — one
+   * row per anchor element with aligned href/anchor text. The two
+   * skip-by-design anchors (nested markup, single-quoted href) must NOT
+   * appear, so positions are 0 (nav "home") and 1 ("next page") on every
+   * page; the oracle replays the identical RE2 pattern and a positional
+   * unnest zip in DuckDB.
+   */
+  def extractLinksQ(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val pages = t(dir, "documents").select(col("doc_id"), linkPageHtml.as("html"))
+    Web.extractLinks(pages, "doc_id", "html")
+  }
+
+  val extractLinksSql: String =
+    s"""WITH $sqlLinkPages,
+       ex AS (
+         SELECT doc_id,
+           regexp_extract_all(html, '$sqlAnchorPat', 1) AS hrefs,
+           regexp_extract_all(html, '$sqlAnchorPat', 2) AS anchors
+         FROM pages)
+       SELECT doc_id, CAST(unnest(range(1, len(hrefs) + 1)) - 1 AS BIGINT) AS link_pos,
+              unnest(hrefs) AS href, unnest(anchors) AS anchor
+       FROM ex"""
+
+  /**
+   * `host_pagerank`: the full link-graph chain — synthetic pages →
+   * [[Web.extractLinks]] → [[Web.urlHost]] → distinct host edges (page's
+   * own host `h<doc_id % 250>.example` → each outlink host) →
+   * [[graft.ops.Graphs.pageRank]], 5 exact fixed-point iterations at
+   * damping 85. The oracle rebuilds the pages, replays the extraction and
+   * host parse, and unrolls the 5 iterations as CTEs in the identical
+   * integer arithmetic (`//` truncation = Spark `DIV`), so every rank
+   * digit hash-matches.
+   */
+  def hostPagerank(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val pages = t(dir, "documents").select(col("doc_id"), linkPageHtml.as("html"))
+    val links = Web.extractLinks(pages, "doc_id", "html")
+    val edges = links.select(
+      concat(lit("h"), (col("doc_id") % 250).cast("string"), lit(".example")).as("src"),
+      Web.urlHost(col("href")).as("dst"))
+    graft.ops.Graphs.pageRank(edges, iterations = 5)
+      .select(col("id").as("host"), col("rank").as("rank_fp"))
+  }
+
+  val hostPagerankSql: String = {
+    val n = "(SELECT count(*) FROM nodes)"
+    val teleport = s"(((100 - 85) * (1000000000000 // $n)) // 100)"
+    val rounds = (1 to 5).map { k =>
+      s"""r$k AS (
+           SELECT nd.id,
+             CAST($teleport + (85 * coalesce(c.inbound, 0)) // 100 AS BIGINT) AS rank
+           FROM nodes nd LEFT JOIN (
+             SELECT e.dst AS id, CAST(sum(s.rank // d.deg) AS BIGINT) AS inbound
+             FROM edges e JOIN r${k - 1} s ON e.src = s.id JOIN deg d ON e.src = d.id
+             GROUP BY e.dst) c ON nd.id = c.id)"""
+    }.mkString(",\n       ")
+    s"""WITH $sqlLinkPages,
+       ex AS (SELECT doc_id, regexp_extract_all(html, '$sqlAnchorPat', 1) AS hrefs FROM pages),
+       links AS (SELECT doc_id, unnest(hrefs) AS href FROM ex),
+       rawe AS (
+         SELECT 'h' || (doc_id % 250) || '.example' AS src,
+           lower(regexp_replace(regexp_extract(regexp_replace(href, '#.*', '', 'g'),
+             '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), ':[0-9]+$$', '', 'g')) AS dst
+         FROM links),
+       edges AS (SELECT DISTINCT src, dst FROM rawe
+                 WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst),
+       nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+       deg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY src),
+       r0 AS (SELECT id, CAST(1000000000000 // $n AS BIGINT) AS rank FROM nodes),
+       $rounds
+       SELECT id AS host, rank AS rank_fp FROM r5"""
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -3938,5 +4051,7 @@ object Queries {
     ("ann_quantized_topk", annQuantizedTopK _, Some(annQuantizedTopKSql)),
     ("decontaminate_sentences", decontaminateSentences _, Some(decontaminateSentencesSql)),
     ("ccnet_buckets", ccnetBuckets _, Some(ccnetBucketsSql)),
-    ("embedding_drift", embeddingDrift _, Some(embeddingDriftSql)))
+    ("embedding_drift", embeddingDrift _, Some(embeddingDriftSql)),
+    ("extract_links", extractLinksQ _, Some(extractLinksSql)),
+    ("host_pagerank", hostPagerank _, Some(hostPagerankSql)))
 }

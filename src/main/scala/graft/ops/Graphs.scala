@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Link-graph operators for web-corpus curation. Crawl pipelines rank hosts
+ * by link centrality (the Common-Crawl host-graph recipe) and use the rank
+ * as a per-domain quality prior next to [[Web.domainQualityProfile]]'s
+ * content statistics: a domain nobody links to is a much weaker training
+ * source than its byte count suggests.
+ *
+ * Everything here is exact integer fixed-point arithmetic (`DIV`, never
+ * float division), so ranks are a pure function of the graph and reproduce
+ * bit-for-bit on any engine — the same cross-engine determinism rule as the
+ * rest of the library (SURVEY.md §6).
+ */
+object Graphs {
+
+  /**
+   * PageRank with a FIXED number of iterations in exact integer
+   * fixed-point — the host-quality prior of web curation (Page et al.
+   * 1999, the public formulation), made engine-reproducible:
+   *
+   *  - ranks are integers scaled by `scale` (default 1e12); the initial
+   *    rank of every node is `scale DIV n`;
+   *  - one iteration: each node with out-degree `deg` sends
+   *    `rank DIV deg` along every out-edge, and every node's next rank is
+   *    `teleport + (dampingPct * inboundSum) DIV 100` with
+   *    `teleport = ((100 - dampingPct) * (scale DIV n)) DIV 100`;
+   *  - every division is integer `DIV` (truncation), so each iteration is
+   *    a pure integer function of the previous one — an unrolled SQL twin
+   *    reproduces the exact digits (the `host_pagerank` oracle does).
+   *
+   * Deliberate simplifications, both standard and both documented because
+   * they change digits, not ordering quality: dangling nodes (no
+   * out-edges) leak their mass instead of redistributing it, and the
+   * floor in `rank DIV deg` discards at most `deg - 1` units per node per
+   * round — total mass decays slightly, relative ranking is unaffected.
+   * Fixed iteration count instead of a convergence test keeps the oracle
+   * unrollable; 5-10 rounds is where web-graph ordering stabilizes.
+   *
+   * Scale: edges are deduplicated and materialized ONCE (they are
+   * re-joined every round and their lineage may be an expensive
+   * extraction pipeline); each round is one `src` equi-join plus one
+   * `dst` aggregation — two bounded shuffles over edge-sized data, with
+   * rank/degree frames only node-sized (hosts, not pages). Each round's
+   * result is materialized (localCheckpoint, or reliable checkpoint under
+   * `checkpointDir`) so lineage stays flat and an executor loss on a real
+   * cluster never replays the whole iteration chain.
+   *
+   * Input: any DataFrame with `srcCol`/`dstCol` node columns (self-loops
+   * and duplicate edges are dropped; null endpoints are dropped).
+   * Output: `(id, rank)` — every node, rank in `scale` fixed-point units.
+   */
+  def pageRank(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      iterations: Int = 5,
+      dampingPct: Int = 85,
+      scale: Long = 1000000000000L,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(dampingPct >= 0 && dampingPct <= 100, s"dampingPct must be in [0,100], got $dampingPct")
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    def materialize(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
+
+    val e = materialize(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+        .distinct())
+    val nodes = materialize(
+      e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct())
+    // driver-side count of the node frame: one value off a host-sized table
+    // (the same bounded-collect class as Bpe's vocab guard)
+    val n = nodes.count()
+    require(n > 0, "pageRank needs at least one edge")
+    val base = scale / n
+    val teleport = (100L - dampingPct) * base / 100L
+    val outDeg = materialize(e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg")))
+
+    var ranks = nodes.withColumn("rank", lit(base))
+    for (_ <- 1 to iterations) {
+      val shares = ranks.join(outDeg, "id")
+        .select(col("id").as("src"), expr("rank DIV deg").as("share"))
+      val contrib = e.join(shares, "src")
+        .groupBy(col("dst").as("id")).agg(sum(col("share")).as("inbound"))
+      ranks = materialize(nodes.join(contrib, Seq("id"), "left").select(
+        col("id"),
+        (lit(teleport) + expr(s"($dampingPct * coalesce(inbound, 0L)) DIV 100")).as("rank")))
+    }
+    ranks
+  }
+}

@@ -274,4 +274,42 @@ object Web {
         when(col("punct_ppm") > maxPunctPpm || col("gate_fail_ppm") > maxGateFailPpm, 1L)
           .otherwise(0L))
   }
+
+  /**
+   * Anchor elements (`<a ... href="...">text</a>`) of an HTML column, as
+   * two aligned arrays — the extraction step under outlink counting and
+   * the host link graph [[Graphs.pageRank]] ranks. One pattern produces
+   * BOTH arrays (href = group 1, anchor text = group 2), so they are
+   * always index-aligned; anchors whose text contains nested markup
+   * (`<a..><b>x</b></a>`) are skipped by the `[^<]*` text class — the
+   * deliberate tradeoff that keeps the pattern single-pass, non-greedy-free
+   * and identical under Java regex and RE2 (same contract as
+   * [[TextAnalysis.htmlToText]]). Unquoted or single-quoted href values
+   * are skipped too (rare in modern markup; a second pattern would double
+   * the scan cost for them).
+   */
+  private val AnchorPattern = "(?i)<a\\s[^>]*href=\"([^\"]+)\"[^>]*>([^<]*)</a>"
+
+  /** Index-aligned href values of [[AnchorPattern]] matches. */
+  def linkHrefs(html: Column): Column =
+    regexp_extract_all(html, lit(AnchorPattern), lit(1))
+
+  /** Index-aligned anchor texts of [[AnchorPattern]] matches. */
+  def linkAnchors(html: Column): Column =
+    regexp_extract_all(html, lit(AnchorPattern), lit(2))
+
+  /**
+   * One row per extracted link: `(idCol, link_pos, href, anchor)` with
+   * `link_pos` the 0-based position of the link in the page. Pure per-row
+   * regexp work plus one exchange-free `posexplode`; pages without links
+   * (or null html) produce no rows. Feed `urlHost`/`registeredDomain`
+   * over `href` to build the host graph for [[Graphs.pageRank]].
+   */
+  def extractLinks(df: DataFrame, idCol: String, htmlCol: String): DataFrame =
+    df.select(col(idCol),
+        arrays_zip(linkHrefs(col(htmlCol)).as("href"),
+          linkAnchors(col(htmlCol)).as("anchor")).as("__links"))
+      .select(col(idCol), posexplode(col("__links")).as(Seq("link_pos", "__l")))
+      .select(col(idCol), col("link_pos").cast("long").as("link_pos"),
+        col("__l.href").as("href"), col("__l.anchor").as("anchor"))
 }
