@@ -3919,6 +3919,45 @@ object Queries {
        SELECT id AS host, rank AS rank_fp FROM r5"""
   }
 
+  /**
+   * `fuzzy_join`: [[graft.ops.Joins.editDistanceJoin]] — the exact
+   * Levenshtein-threshold self-join over deterministic variant strings
+   * (customer keys grouped in families of 4: a 10-hex-char md5 base, with
+   * variants 1-3 substituting `z` at positions 3/6/9, so intra-family
+   * distances are exactly 1 or 2 and every family yields its 6 pairs at
+   * `maxDist = 2`). The Spark side runs the segment-blocked PassJoin-style
+   * plan; the oracle is the NAIVE all-pairs `levenshtein(a, b) <= 2`
+   * definition in DuckDB — the hash-match IS the blocked-equals-naive
+   * exactness proof.
+   */
+  def fuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val base = substring(md5(concat(lit("fz:"), expr("c_custkey DIV 4").cast("string"))), 1, 10)
+    val str = expr(
+      """CASE WHEN c_custkey % 4 = 0 THEN __base
+         ELSE concat(substring(__base, 1, CAST((c_custkey % 4) * 3 - 1 AS INT)), 'z',
+           substring(__base, CAST((c_custkey % 4) * 3 + 1 AS INT),
+             CAST(10 - (c_custkey % 4) * 3 AS INT))) END""")
+    val strs = t(dir, "customer").withColumn("__base", base)
+      .select(col("c_custkey").as("id"), str.as("str"))
+    graft.ops.Joins.editDistanceJoin(strs, "id", "str", strs, "id", "str", maxDist = 2)
+      .where(col("id_a") < col("id_b"))
+  }
+
+  val fuzzyJoinSql: String =
+    """WITH s AS (
+         SELECT c_custkey AS id,
+           CASE WHEN c_custkey % 4 = 0 THEN base
+                ELSE substring(base, 1, (c_custkey % 4) * 3 - 1) || 'z' ||
+                     substring(base, (c_custkey % 4) * 3 + 1, 10 - (c_custkey % 4) * 3) END AS str
+         FROM (SELECT c_custkey,
+                 substring(md5('fz:' || (c_custkey // 4)), 1, 10) AS base
+               FROM customer))
+       SELECT a.id AS id_a, b.id AS id_b,
+              CAST(levenshtein(a.str, b.str) AS BIGINT) AS dist
+       FROM s a JOIN s b ON a.id < b.id
+       WHERE levenshtein(a.str, b.str) <= 2"""
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -4053,5 +4092,6 @@ object Queries {
     ("ccnet_buckets", ccnetBuckets _, Some(ccnetBucketsSql)),
     ("embedding_drift", embeddingDrift _, Some(embeddingDriftSql)),
     ("extract_links", extractLinksQ _, Some(extractLinksSql)),
-    ("host_pagerank", hostPagerank _, Some(hostPagerankSql)))
+    ("host_pagerank", hostPagerank _, Some(hostPagerankSql)),
+    ("fuzzy_join", fuzzyJoin _, Some(fuzzyJoinSql)))
 }

@@ -240,4 +240,99 @@ object Joins {
         bucketOf(greatest(col(leftLo), col(rightLo))) === col("__bucket"))
       .drop("__bucket")
   }
+
+  /**
+   * EXACT edit-distance (Levenshtein) join: all `(id_a, id_b, dist)` with
+   * `dist <= maxDist` — the record-linkage / fuzzy-match primitive
+   * (product titles, names, OCR noise, recrawled URLs).
+   *
+   * Never all-pairs: PassJoin-style segment blocking (Li, Deng, Feng 2011,
+   * the public pass-join recipe — their tighter position windows are
+   * replaced by the simpler ±maxDist superset, which keeps the candidate
+   * rule one filter). Each left string of length `l >= maxDist + 1` is cut
+   * into `maxDist + 1` even segments. In any alignment with at most
+   * `maxDist` edits, each edit touches at most one segment, so by
+   * pigeonhole at least one segment survives UNEDITED and appears verbatim
+   * in the right string, shifted by at most `maxDist` positions (the net
+   * insertions minus deletions before it). The right side therefore
+   * enumerates every substring a surviving segment could be — for each
+   * left length within `±maxDist` of its own, each segment index, each
+   * shift in `[-maxDist, maxDist]` — and candidates come from ONE
+   * `(segment index, left length, substring)` equi-join, then verify with
+   * a threshold-bounded `levenshtein` (early-exit band DP). Strings
+   * shorter than `maxDist + 1` cannot be segmented and fall into one
+   * shared short-block key (they only pair with right strings of length
+   * `<= 2 * maxDist` — a bounded set by construction).
+   *
+   * The probe enumeration is `O((2d+1)^2 * (d+1))` substrings per row
+   * (d = `maxDist`, deduplicated before the join) — per-row codegen'd
+   * higher-order functions, no shuffle until the candidate equi-join.
+   * Degenerate blocks (every row sharing a constant prefix segment) are
+   * data-inherent, the same hazard as LSH hot buckets; profile with
+   * [[Skew.skewProfile]] on the segment key and salt or cap upstream if a
+   * corpus concentrates.
+   *
+   * `ids` must be unique per side (they key the verify re-join). Null
+   * strings never match. Output: `(id_a, id_b, dist)`, `dist` exact.
+   */
+  def editDistanceJoin(
+      left: DataFrame,
+      leftId: String,
+      leftStr: String,
+      right: DataFrame,
+      rightId: String,
+      rightStr: String,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val d = maxDist
+    val k = d + 1
+    val la = left.select(col(leftId).as("id_a"), col(leftStr).as("__sa"))
+      .where(col("__sa").isNotNull)
+    val rb = right.select(col(rightId).as("id_b"), col(rightStr).as("__sb"))
+      .where(col("__sb").isNotNull)
+
+    // build side: (segment index, own length, segment text) per row —
+    // short strings (< k chars) take the single shared short-block key
+    val segs = la
+      .withColumn("__l", length(col("__sa")))
+      .withColumn("__seg", explode(expr(
+        s"""CASE WHEN __l < $k THEN array(struct(-1 AS i, '' AS seg))
+            ELSE transform(sequence(0, $d), i -> struct(
+              i AS i,
+              substring(__sa, CAST(i * __l DIV $k AS INT) + 1,
+                CAST((i + 1) * __l DIV $k - i * __l DIV $k AS INT)) AS seg)) END""")))
+      .select(col("id_a"), col("__seg.i").as("i"),
+        col("__l").as("l"), col("__seg.seg").as("seg"))
+
+    // probe side: every substring a surviving segment could be, for every
+    // compatible left length — guarded so `sequence` never runs backwards
+    val probeKeys = rb
+      .withColumn("__m", length(col("__sb")))
+      .withColumn("__key", explode(expr(
+        s"""array_distinct(concat(
+            CASE WHEN __m + $d >= greatest(__m - $d, $k) THEN
+              flatten(flatten(transform(sequence(greatest(__m - $d, $k), __m + $d), l ->
+                transform(sequence(0, $d), i ->
+                  filter(transform(sequence(-$d, $d), sh ->
+                    CASE WHEN i * l DIV $k + sh >= 0
+                          AND i * l DIV $k + sh + ((i + 1) * l DIV $k - i * l DIV $k) <= __m
+                         THEN struct(i AS i, l AS l,
+                           substring(__sb, CAST(i * l DIV $k + sh AS INT) + 1,
+                             CAST((i + 1) * l DIV $k - i * l DIV $k AS INT)) AS seg)
+                         ELSE NULL END), x -> x IS NOT NULL)))))
+            ELSE array() END,
+            CASE WHEN least($d, __m + $d) >= greatest(__m - $d, 0) THEN
+              transform(sequence(greatest(__m - $d, 0), least($d, __m + $d)), l ->
+                struct(-1 AS i, l AS l, '' AS seg))
+            ELSE array() END))""")))
+      .select(col("id_b"), col("__key.i").as("i"),
+        col("__key.l").as("l"), col("__key.seg").as("seg"))
+
+    val cands = segs.join(probeKeys, Seq("i", "l", "seg"))
+      .select(col("id_a"), col("id_b")).distinct()
+    cands.join(la, "id_a").join(rb, "id_b")
+      .withColumn("dist", levenshtein(col("__sa"), col("__sb"), d).cast("long"))
+      .where(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
 }

@@ -196,4 +196,59 @@ class JoinsSpec extends SparkTestBase {
     // [0,5) does not overlap [5,9) (half-open); [7,7) is empty
     out shouldBe Set(1L -> 11L)
   }
+
+  /** Insert/delete/substitute mutations of a word list — the shapes the
+    * segment blocking must survive (shifted positions, changed lengths). */
+  private def fuzzyCorpus: Seq[(Long, String)] = {
+    val words = Seq("spark", "shark", "sparks", "park", "sprk", "query",
+      "queery", "quarry", "table", "cable", "tale", "stable", "",
+      "a", "ab", "scan", "scans", "plan", "xyzzy", "window", "windows",
+      "widow", "shuffle", "shuffel", "shuffles")
+    words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+  }
+
+  test("editDistanceJoin equals the naive levenshtein join at every threshold") {
+    val df = fuzzyCorpus.toDF("id", "s")
+    val naive = df.as("a").crossJoin(df.as("b"))
+      .where($"a.id" < $"b.id")
+      .select($"a.id", $"b.id",
+        org.apache.spark.sql.functions.levenshtein($"a.s", $"b.s").cast("long"))
+      .as[(Long, Long, Long)].collect()
+    for (d <- 0 to 3) {
+      val expected = naive.filter(_._3 <= d).toSet
+      val blocked = Joins.editDistanceJoin(df, "id", "s", df, "id", "s", d)
+        .where($"id_a" < $"id_b")
+        .as[(Long, Long, Long)].collect().toSet
+      withClue(s"maxDist=$d") { blocked shouldBe expected }
+    }
+  }
+
+  test("editDistanceJoin: short and empty strings take the shared short block") {
+    val left = Seq((1L, ""), (2L, "a"), (3L, "ab")).toDF("id", "s")
+    val right = Seq((10L, ""), (11L, "b"), (12L, "abcd")).toDF("id", "s")
+    val out = Joins.editDistanceJoin(left, "id", "s", right, "id", "s", 2)
+      .as[(Long, Long, Long)].collect().toSet
+    // naive truth: ED("", "")=0, ("","b")=1, ("a","")=1, ("a","b")=1,
+    // ("ab","")=2, ("ab","b")=1, ("ab","abcd")=2
+    out shouldBe Set((1L, 10L, 0L), (1L, 11L, 1L), (2L, 10L, 1L), (2L, 11L, 1L),
+      (3L, 10L, 2L), (3L, 11L, 1L), (3L, 12L, 2L))
+  }
+
+  test("editDistanceJoin: null strings never match; maxDist=0 is exact equality") {
+    val df = Seq((1L, Option("dup")), (2L, Option("dup")), (3L, Option.empty[String]))
+      .toDF("id", "s")
+    val out = Joins.editDistanceJoin(df, "id", "s", df, "id", "s", 0)
+      .where($"id_a" < $"id_b").as[(Long, Long, Long)].collect().toSet
+    out shouldBe Set((1L, 2L, 0L))
+  }
+
+  test("editDistanceJoin result is partitioning-independent") {
+    val df = fuzzyCorpus.toDF("id", "s")
+    val a = Joins.editDistanceJoin(df, "id", "s", df, "id", "s", 2)
+      .as[(Long, Long, Long)].collect().toSet
+    val b = Joins.editDistanceJoin(df.repartition(13), "id", "s",
+      df.repartition(3), "id", "s", 2)
+      .as[(Long, Long, Long)].collect().toSet
+    a shouldBe b
+  }
 }
