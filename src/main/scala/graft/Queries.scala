@@ -3958,6 +3958,49 @@ object Queries {
        FROM s a JOIN s b ON a.id < b.id
        WHERE levenshtein(a.str, b.str) <= 2"""
 
+  /**
+   * `containment_pairs`: [[Dedup.containmentPairs]] — Broder containment
+   * (`|S(A) ∩ S(B)| / |S(A)|`, exact integer ppm) over an augmented
+   * corpus where every `doc_id % 5 == 2` document contributes a
+   * 120-char-prefix "quote" twin (id + 1e6). The quote's shingles are a
+   * near-subset of its source's (minus the windows touching the cut
+   * token), so quote → source pairs clear the 60% gate while the reverse
+   * direction (source → quote) is denominator-diluted and mostly does
+   * not — the asymmetry Jaccard-based near-dup can never express. The
+   * oracle replays tokenization, shingling, the df <= 50 boilerplate cap,
+   * the inverted join and the integer division in DuckDB.
+   */
+  def containmentPairsQ(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val docs = t(dir, "documents")
+    val corpus = docs.select(col("doc_id").as("id"), col("text"))
+      .unionAll(docs.filter(col("doc_id") % 5 === 2)
+        .select((col("doc_id") + 1000000L).as("id"),
+          substring(col("text"), 1, 120).as("text")))
+    Dedup.containmentPairs(corpus, "id", "text",
+      minContainPpm = 600000L, maxShingleDf = 50)
+  }
+
+  val containmentPairsSql: String =
+    s"""WITH corpus AS (
+         SELECT doc_id AS id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 1000000 AS id, substring(text, 1, 120) AS text
+         FROM documents WHERE doc_id % 5 = 2),
+       tok AS (SELECT id, $Toks AS toks FROM corpus),
+       shd AS (SELECT id, $SqlShingles AS sh FROM tok),
+       sizes AS (SELECT id, CAST(len(sh) AS BIGINT) AS size_a FROM shd),
+       ex AS (SELECT id, unnest(sh) AS g FROM shd),
+       rare AS (SELECT g FROM ex GROUP BY g HAVING count(*) <= 50),
+       r AS (SELECT e.id, e.g FROM ex e JOIN rare USING (g)),
+       inter AS (
+         SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+         FROM r a JOIN r b ON a.g = b.g AND a.id <> b.id GROUP BY 1, 2)
+       SELECT id_a, id_b, inter, s.size_a,
+              CAST((inter * 1000000) // s.size_a AS BIGINT) AS contain_ppm
+       FROM inter JOIN sizes s ON s.id = id_a
+       WHERE (inter * 1000000) // s.size_a >= 600000"""
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -4093,5 +4136,6 @@ object Queries {
     ("embedding_drift", embeddingDrift _, Some(embeddingDriftSql)),
     ("extract_links", extractLinksQ _, Some(extractLinksSql)),
     ("host_pagerank", hostPagerank _, Some(hostPagerankSql)),
-    ("fuzzy_join", fuzzyJoin _, Some(fuzzyJoinSql)))
+    ("fuzzy_join", fuzzyJoin _, Some(fuzzyJoinSql)),
+    ("containment_pairs", containmentPairsQ _, Some(containmentPairsSql)))
 }

@@ -638,4 +638,61 @@ object Dedup {
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
   }
+
+  /**
+   * ASYMMETRIC containment pairs: `(id_a, id_b)` where at least
+   * `minContainPpm` of A's distinct word shingles also occur in B —
+   * Broder's containment coefficient `|S(A) ∩ S(B)| / |S(A)|`, the
+   * quote/subset detector Jaccard near-dup cannot be: a short document
+   * wholly quoted inside a long one has containment ~1 but Jaccard
+   * ~|A|/|B| (far below any near-dup threshold), so MinHash banding —
+   * which estimates JACCARD — never surfaces the pair.
+   *
+   * Candidates come from the exact inverted shingle equi-join, not LSH:
+   * docs sharing at least one rare shingle pair up, the shared-shingle
+   * count is the exact intersection, and `contain_ppm` is exact integer
+   * arithmetic (`inter * 1e6 DIV |S(A)|`). Shingles occurring in more
+   * than `maxShingleDf` documents are EXCLUDED from candidates and
+   * intersection counts — the boilerplate-shingle cap that bounds the
+   * self-join (per-key fan-out <= maxShingleDf^2; without it one hot
+   * boilerplate shingle pairs the whole corpus). Same measured-tradeoff
+   * pattern as [[lshCandidatePairs]]'s `maxBucket`: an intersection
+   * counted over rare shingles only UNDERCOUNTS pairs whose overlap is
+   * mostly boilerplate — which is usually the point (two pages sharing
+   * only a cookie banner are not a quote relation); the denominator
+   * `|S(A)|` stays uncapped. Output has BOTH directions of every
+   * qualifying pair (containment is directional).
+   *
+   * Scale: explode is linear in corpus tokens; the per-shingle groups are
+   * capped, so the candidate join's output is bounded by
+   * `sum_g df(g)^2 <= maxShingleDf * sum_g df(g)` — linear in corpus
+   * size with a constant-factor cap, never quadratic.
+   */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minContainPpm: Long = 500000L,
+      maxShingleDf: Int = 100,
+      shingleSize: Int = 5,
+      scriptAware: Boolean = false): DataFrame = {
+    require(minContainPpm >= 0 && minContainPpm <= 1000000L,
+      s"minContainPpm must be in [0, 1e6], got $minContainPpm")
+    require(maxShingleDf >= 2, s"maxShingleDf must be >= 2, got $maxShingleDf")
+    val base = df.select(col(idCol).as("id"),
+      wordShingles(col(textCol), shingleSize, scriptAware).as("__sh"))
+    val sizes = base.select(col("id"), size(col("__sh")).cast("long").as("size_a"))
+    val ex = base.select(col("id"), explode(col("__sh")).as("g"))
+    val rare = ex.groupBy("g").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxShingleDf).select("g")
+    val r = ex.join(rare, "g")
+    val inter = r.select(col("g"), col("id").as("id_a"))
+      .join(r.select(col("g"), col("id").as("id_b")), "g")
+      .where(col("id_a") =!= col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter.join(sizes.withColumnRenamed("id", "id_a"), "id_a")
+      .withColumn("contain_ppm", expr("(inter * 1000000) DIV size_a"))
+      .filter(col("contain_ppm") >= minContainPpm)
+      .select("id_a", "id_b", "inter", "size_a", "contain_ppm")
+  }
 }

@@ -413,4 +413,47 @@ class DedupSpec extends SparkTestBase {
     val many = Dedup.removeDuplicateSpans(df.repartition(7), "id", "text", w = 5).collect().toSet
     one shouldBe many
   }
+
+  test("containment is asymmetric: the quote clears the gate, the host does not") {
+    val quote = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val host = s"intro words here $quote and a very long tail " +
+      "k1 k2 k3 k4 k5 k6 k7 k8 k9 k10 k11 k12 k13 k14 k15 k16 k17 k18 k19 k20"
+    val df = Seq((1L, quote), (2L, host)).toDF("id", "text")
+    val out = Dedup.containmentPairs(df, "id", "text", minContainPpm = 900000L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    out shouldBe Set((1L, 2L)) // quote ⊂ host at ~100%; host → quote is diluted
+  }
+
+  test("containment ppm is the exact integer intersection over |S(A)|") {
+    // 6 tokens -> 2 distinct 5-gram shingles each; docs share exactly 1
+    val a = "w1 w2 w3 w4 w5 w6"     // shingles: {w1..w5, w2..w6}
+    val b = "w2 w3 w4 w5 w6 w7"     // shingles: {w2..w6, w3..w7}
+    val df = Seq((1L, a), (2L, b)).toDF("id", "text")
+    val rows = Dedup.containmentPairs(df, "id", "text", minContainPpm = 0L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    rows shouldBe Set((1L, 2L, 1L, 2L, 500000L), (2L, 1L, 1L, 2L, 500000L))
+  }
+
+  test("the df cap drops boilerplate shingles from candidates and counts") {
+    // the same banner shingle on every doc; unique content otherwise
+    val docs = (1L to 8L).map(i => (i, s"the same cookie banner here c${i}a c${i}b c${i}c c${i}d c${i}e"))
+    val df = docs.toDF("id", "text")
+    // cap below the banner's df=8: banner shingles can't pair anyone
+    Dedup.containmentPairs(df, "id", "text", minContainPpm = 1L, maxShingleDf = 7)
+      .count() shouldBe 0L
+    // cap at 8: every doc pairs with every other through the banner
+    Dedup.containmentPairs(df, "id", "text", minContainPpm = 1L, maxShingleDf = 8)
+      .count() shouldBe 8L * 7L
+  }
+
+  test("containment pairs are partitioning-independent and null-safe") {
+    val df = Seq((1L, Option("a b c d e f g")), (2L, Option("a b c d e f g h")),
+      (3L, Option.empty[String])).toDF("id", "text")
+    val one = Dedup.containmentPairs(df.coalesce(1), "id", "text", minContainPpm = 0L)
+      .collect().map(_.toSeq).toSet
+    val many = Dedup.containmentPairs(df.repartition(5), "id", "text", minContainPpm = 0L)
+      .collect().map(_.toSeq).toSet
+    one shouldBe many
+    one.map(_.head) should not contain 3L // null text never pairs
+  }
 }
