@@ -4001,6 +4001,75 @@ object Queries {
        FROM inter JOIN sizes s ON s.id = id_a
        WHERE (inter * 1000000) // s.size_a >= 600000"""
 
+  /**
+   * `pii_luhn`: Luhn-validated card scrubbing
+   * ([[TextAnalysis.cardCandidates]] / [[TextAnalysis.luhnValid]] /
+   * [[TextAnalysis.scrubCardNumbers]]) — per customer, a synthetic page
+   * carries one space-grouped 16-digit run and one plain run, both
+   * deterministic functions of `c_custkey`, so validity varies
+   * data-dependently (~1 in 10 passes the checksum). Only checksum-passing
+   * runs are masked; the oracle replays the candidate regex, the
+   * reversed-digit double-and-fold sum, and the literal replaces in
+   * DuckDB.
+   */
+  def piiLuhn(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val base = t(dir, "customer").selectExpr("c_custkey AS id",
+      "concat(lpad(CAST((c_custkey * 7919 + 11) % 100000000 AS STRING), 8, '0')," +
+        " lpad(CAST((c_custkey * 104729 + 97) % 100000000 AS STRING), 8, '0')) AS n1",
+      "concat(lpad(CAST((c_custkey * 4973 + 3) % 100000000 AS STRING), 8, '0')," +
+        " lpad(CAST((c_custkey * 31337 + 29) % 100000000 AS STRING), 8, '0')) AS n2")
+      .withColumn("n1g", expr("concat(substring(n1, 1, 4), ' ', substring(n1, 5, 4)," +
+        " ' ', substring(n1, 9, 4), ' ', substring(n1, 13, 4))"))
+      .withColumn("text", expr("concat('user ', id, ' card ', n1g, ' alt ', n2, ' ok')"))
+    base.select(col("id"),
+      size(TextAnalysis.cardCandidates(col("text"))).cast("long").as("n_candidates"),
+      size(TextAnalysis.validCardNumbers(col("text"))).cast("long").as("n_valid"),
+      TextAnalysis.scrubCardNumbers(col("text")).as("scrubbed"))
+  }
+
+  val piiLuhnSql: String = {
+    // separator-stripped reversed-digit Luhn sum of one candidate `cd`
+    val strip = "regexp_replace(cd, '[ -]', '', 'g')"
+    val digit = s"CAST(substring(reverse($strip), i, 1) AS INT)"
+    val luhn = s"length($strip) BETWEEN 13 AND 19 AND " +
+      s"list_sum(list_transform(range(1, length($strip) + 1), i -> " +
+      s"CASE WHEN i % 2 = 0 THEN CASE WHEN 2 * $digit > 9 THEN 2 * $digit - 9 " +
+      s"ELSE 2 * $digit END ELSE $digit END)) % 10 = 0"
+    s"""WITH base AS (
+         SELECT c_custkey AS id,
+           lpad(CAST((c_custkey * 7919 + 11) % 100000000 AS VARCHAR), 8, '0') ||
+             lpad(CAST((c_custkey * 104729 + 97) % 100000000 AS VARCHAR), 8, '0') AS n1,
+           lpad(CAST((c_custkey * 4973 + 3) % 100000000 AS VARCHAR), 8, '0') ||
+             lpad(CAST((c_custkey * 31337 + 29) % 100000000 AS VARCHAR), 8, '0') AS n2
+         FROM customer),
+       txt AS (
+         SELECT id, n1, n2,
+           substring(n1, 1, 4) || ' ' || substring(n1, 5, 4) || ' ' ||
+             substring(n1, 9, 4) || ' ' || substring(n1, 13, 4) AS n1g
+         FROM base),
+       pages AS (
+         SELECT id, n1g, n2,
+           'user ' || id || ' card ' || n1g || ' alt ' || n2 || ' ok' AS text
+         FROM txt),
+       cand AS (
+         SELECT id, n1g, n2, text,
+           regexp_extract_all(text, '(^|[^0-9-])((?:[0-9][ -]?){12,18}[0-9])([^0-9-]|$$)', 2) AS cands
+         FROM pages),
+       v AS (
+         SELECT id, n1g, n2, text, cands,
+           list_filter(cands, cd -> $luhn) AS valid
+         FROM cand)
+       SELECT id, CAST(len(cands) AS BIGINT) AS n_candidates,
+              CAST(len(valid) AS BIGINT) AS n_valid,
+              CASE WHEN list_contains(valid, n2) THEN
+                replace(CASE WHEN list_contains(valid, n1g)
+                  THEN replace(text, n1g, '<CARD>') ELSE text END, n2, '<CARD>')
+              ELSE CASE WHEN list_contains(valid, n1g)
+                THEN replace(text, n1g, '<CARD>') ELSE text END END AS scrubbed
+       FROM v"""
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -4137,5 +4206,6 @@ object Queries {
     ("extract_links", extractLinksQ _, Some(extractLinksSql)),
     ("host_pagerank", hostPagerank _, Some(hostPagerankSql)),
     ("fuzzy_join", fuzzyJoin _, Some(fuzzyJoinSql)),
-    ("containment_pairs", containmentPairsQ _, Some(containmentPairsSql)))
+    ("containment_pairs", containmentPairsQ _, Some(containmentPairsSql)),
+    ("pii_luhn", piiLuhn _, Some(piiLuhnSql)))
 }

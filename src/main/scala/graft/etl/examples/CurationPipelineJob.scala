@@ -57,7 +57,10 @@ import graft.time.DateInterval
  *     documents with fewer than 2 (or `typicalityN`) tokens score null
  *     and fail the gate, but the step-3 word-count gate has already
  *     removed them),
- *  5. scrub PII from the survivors (email/phone/IPv4/SSN -> `<KIND>`),
+ *  5. scrub PII from the survivors (email/phone/IPv4/SSN -> `<KIND>`;
+ *     with `scrubCards` set, Luhn-validated payment-card runs mask to
+ *     `<CARD>` FIRST — [[TextAnalysis.scrubCardNumbers]] — since the
+ *     generic phone pattern would otherwise consume card digits),
  *  6. remove near-duplicates (MinHash LSH -> Jaccard verify -> cluster
  *     representative; pass `checkpointDir` on real clusters),
  *  7. with a `benchmark` set supplied, drop documents contaminated
@@ -136,7 +139,8 @@ class CurationPipelineJob(
     mixCol: String = "lang",
     targetMix: Map[String, Int] = Map.empty,
     scriptAware: Boolean = false,
-    urlQualityGate: Boolean = false)
+    urlQualityGate: Boolean = false,
+    scrubCards: Boolean = false)
     extends SparkJob {
 
   override def shouldRunForDate(spark: SparkSession, date: DateInterval): Boolean =
@@ -194,7 +198,13 @@ class CurationPipelineJob(
       }
     }
     scrubbed <- Stage.transform[org.apache.spark.sql.Row, org.apache.spark.sql.Row]("pii_scrub") { ctx =>
-      ctx.value.toDF().withColumn(textCol, TextAnalysis.scrubPii(col(textCol)))
+      // cards first: scrubPii's phone pattern can consume card digits, so
+      // the Luhn check must see the text before the generic patterns do
+      val carded =
+        if (scrubCards)
+          ctx.value.toDF().withColumn(textCol, TextAnalysis.scrubCardNumbers(col(textCol)))
+        else ctx.value.toDF()
+      carded.withColumn(textCol, TextAnalysis.scrubPii(col(textCol)))
     }
     deduped <- Stage.transform[org.apache.spark.sql.Row, org.apache.spark.sql.Row]("near_dedup") { ctx =>
       Dedup.removeNearDuplicates(ctx.value.toDF(), idCol, textCol, threshold,
@@ -204,7 +214,10 @@ class CurationPipelineJob(
       benchmark.fold(ctx.value.toDF()) { bench =>
         // scrub the bench side too — the corpus is already scrubbed, and
         // gram overlap must compare like with like (see scaladoc step 7)
-        val scrubbedBench = bench.withColumn(textCol, TextAnalysis.scrubPii(col(textCol)))
+        val cardedBench =
+          if (scrubCards) bench.withColumn(textCol, TextAnalysis.scrubCardNumbers(col(textCol)))
+          else bench
+        val scrubbedBench = cardedBench.withColumn(textCol, TextAnalysis.scrubPii(col(textCol)))
         graft.ops.Decontaminate.removeContaminated(
           ctx.value.toDF(), idCol, textCol, scrubbedBench, benchIdCol, textCol,
           minHits = minContaminationHits)

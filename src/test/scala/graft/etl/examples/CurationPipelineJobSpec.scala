@@ -331,4 +331,21 @@ class CurationPipelineJobSpec extends SparkJobSuiteBase {
     val ids = clean.load(spark, date).select("doc_id").as[Long].collect().toSet
     ids shouldBe Set(1L, 3L)
   }
+
+  test("curation pipeline scrubCards masks Luhn-valid runs, leaves order ids alone") {
+    val src = (_: DateInterval) => Seq(
+      (1L, base + " paid with card 4111 1111 1111 1111 yesterday"),
+      (2L, base + " order number 4111 1111 1111 1112 shipped today"))
+      .toDF("doc_id", "text")
+    val clean = WarehouseTable(HdfsUrl(tmpDir("curation_cards")), "clean")
+    runJob(new CurationPipelineJob(src, clean, threshold = 0.95, scrubCards = true),
+      Day(2026, 8, 12)).isSuccess shouldBe true
+    val byId = clean.load(spark, Day(2026, 8, 12)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    byId(1L) should include("<CARD>")
+    byId(1L) should not include "4111 1111 1111 1111"
+    // checksum-failing run: NOT a card; the generic phone pattern must not
+    // have eaten it either (it requires a leading +)
+    byId(2L) should include("4111 1111 1111 1112")
+  }
 }

@@ -917,4 +917,45 @@ class TextAnalysisSpec extends SparkTestBase {
     perRow shouldBe Map(
       "d1" -> Some(406250L), "d2" -> Some(250000L), "d3" -> Some(0L), "d4" -> None)
   }
+
+  test("luhnValid accepts the canonical test PANs and rejects off-by-one digits") {
+    val cases = Seq(
+      ("4111 1111 1111 1111", true),  // classic Visa test number, spaced
+      ("4111111111111111", true),     // same, plain
+      ("5500-0000-0000-0004", true),  // Mastercard test number, dashed
+      ("4111 1111 1111 1112", false), // checksum broken by one digit
+      ("378282246310005", true),      // 15-digit Amex test number
+      ("1234567890123", false))       // 13 digits, fails the checksum
+    val df = cases.map(_._1).zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "cand")
+    val out = df.select($"id", TextAnalysis.luhnValid($"cand").as("v"))
+      .as[(Long, Boolean)].collect().toMap
+    cases.zipWithIndex.foreach { case ((cand, expected), i) =>
+      withClue(cand) { out(i.toLong) shouldBe expected }
+    }
+  }
+
+  test("card candidates respect digit-run boundaries and the 13-19 length band") {
+    val text = "order 123456789012 then 4111 1111 1111 1111 and ip 12345678901234567890x"
+    val cands = spark.range(1).select(
+      TextAnalysis.cardCandidates(org.apache.spark.sql.functions.lit(text)).as("c"))
+      .as[Seq[String]].head()
+    // 12 digits: below the band. 20 digits: NO window fits — any suffix
+    // start has a digit on its left boundary, so over-long runs (which are
+    // never PANs) are wholly rejected, not partially matched.
+    cands shouldBe Seq("4111 1111 1111 1111")
+  }
+
+  test("scrubCardNumbers masks only checksum-passing runs") {
+    val df = Seq(
+      (1L, "pay 4111 1111 1111 1111 ref 4111 1111 1111 1112 done"),
+      (2L, "no cards here, just words"),
+      (3L, "two: 4111111111111111 and 5500-0000-0000-0004."))
+      .toDF("id", "text")
+    val out = df.select($"id", TextAnalysis.scrubCardNumbers($"text").as("t"))
+      .as[(Long, String)].collect().toMap
+    out(1L) shouldBe "pay <CARD> ref 4111 1111 1111 1112 done"
+    out(2L) shouldBe "no cards here, just words"
+    out(3L) shouldBe "two: <CARD> and <CARD>."
+  }
 }
