@@ -4070,6 +4070,149 @@ object Queries {
        FROM v"""
   }
 
+  /**
+   * `bm25_topk`: [[graft.ops.Retrieval.bm25TopK]] — three keyword queries
+   * over the documents corpus, top-10 each by the exact fixed-point
+   * BM25-style score (RSJ odds idf x1e6, saturating tf, length
+   * normalization cross-multiplied by total tokens — every product in
+   * DECIMAL(38,0)/HUGEINT, every division integer). The oracle replays
+   * tokenization, the query-vocabulary semi-join, tf/df/corpus stats and
+   * the full scoring arithmetic in DuckDB, ranking with the same
+   * `(score desc, doc_id)` total order.
+   */
+  def bm25TopKQ(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val qs = Seq(("q1", "table scan merge"), ("q2", "slow query filter"),
+      ("q3", "stream window customer")).toDF("query_id", "qtext")
+    graft.ops.Retrieval.bm25TopK(t(dir, "documents"), "doc_id", "text",
+      qs, "query_id", "qtext", k = 10)
+  }
+
+  val bm25TopKSql: String = {
+    val qtoks = "list_filter(string_split_regex(lower(qtext), '[^a-z0-9]+'), x -> x <> '')"
+    s"""WITH qs(query_id, qtext) AS (VALUES
+         ('q1', 'table scan merge'), ('q2', 'slow query filter'),
+         ('q3', 'stream window customer')),
+       tok AS (SELECT doc_id, $Toks AS toks FROM documents),
+       terms AS (SELECT doc_id, unnest(toks) AS term,
+                        CAST(len(toks) AS BIGINT) AS dl FROM tok),
+       qt AS (SELECT query_id, unnest(list_distinct($qtoks)) AS term FROM qs),
+       stats AS (SELECT count(*) AS n, CAST(sum(len(toks)) AS BIGINT) AS t FROM tok),
+       qdoc AS (SELECT tr.* FROM terms tr
+                JOIN (SELECT DISTINCT term FROM qt) q USING (term)),
+       tf AS (SELECT doc_id, term, count(*) AS tf, min(dl) AS dl
+              FROM qdoc GROUP BY 1, 2),
+       dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM qdoc GROUP BY 1),
+       ts AS (SELECT q.query_id, f.doc_id,
+                CAST((CAST(((s.n - d.df) * 2 + 1) AS HUGEINT) * 1000000 // (2 * d.df + 1))
+                     * f.tf * 2200 * s.t //
+                     (CAST(1000 AS HUGEINT) * f.tf * s.t +
+                      12 * (CAST(25 AS HUGEINT) * s.t + 75 * f.dl * s.n))
+                  AS BIGINT) AS s
+              FROM tf f JOIN dfq d USING (term) JOIN qt q USING (term)
+              CROSS JOIN stats s),
+       sc AS (SELECT query_id, doc_id, CAST(sum(s) AS BIGINT) AS score_fp
+              FROM ts GROUP BY 1, 2)
+       SELECT query_id, doc_id, score_fp, rank FROM (
+         SELECT query_id, doc_id, score_fp,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score_fp DESC, doc_id) AS rank
+         FROM sc)
+       WHERE rank <= 10"""
+  }
+
+  /**
+   * `anchor_text_profile`: [[Web.anchorTextProfile]] — top-3 anchor terms
+   * per target host over a deterministic link frame (host from the
+   * `host_pagerank` arithmetic, anchor text a 25-char prefix of the
+   * linking page). The oracle replays tokenization, the (host, term)
+   * count and a `(n desc, term)` row_number in DuckDB; the Spark side
+   * ranks through the k-capped bounded partial, and the hash-match proves
+   * the two agree.
+   */
+  def anchorTextProfileQ(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val links = t(dir, "documents").select(
+      concat(lit("h"), ((col("doc_id") * 7 + 13) % 250).cast("string"),
+        lit(".example")).as("host"),
+      substring(col("text"), 1, 25).as("anchor"))
+    Web.anchorTextProfile(links, "host", "anchor", k = 3)
+  }
+
+  val anchorTextProfileSql: String = {
+    val atoks = "list_filter(string_split_regex(lower(anchor), '[^a-z0-9]+'), x -> x <> '')"
+    s"""WITH links AS (
+         SELECT 'h' || ((doc_id * 7 + 13) % 250) || '.example' AS host,
+                substring(text, 1, 25) AS anchor
+         FROM documents),
+       terms AS (SELECT host, unnest($atoks) AS term FROM links),
+       counts AS (SELECT host, term, count(*) AS n FROM terms GROUP BY 1, 2)
+       SELECT host, term, n, rank FROM (
+         SELECT host, term, n,
+                row_number() OVER (PARTITION BY host ORDER BY n DESC, term) AS rank
+         FROM counts)
+       WHERE rank <= 3"""
+  }
+
+  /**
+   * `inverted_index`: [[graft.ops.Retrieval.invertedIndex]] — exact df per
+   * term plus the 10 smallest posting doc ids (the deterministic,
+   * partitioning-independent cap rule of the bounded `collect_bottom_k`
+   * aggregate). Oracle: per-doc distinct terms, a plain count, and an
+   * ordered-list slice in DuckDB.
+   */
+  def invertedIndexQ(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    graft.ops.Retrieval.invertedIndex(t(dir, "documents"), "doc_id", "text",
+      maxPostings = 10)
+  }
+
+  val invertedIndexSql: String =
+    s"""WITH dt AS (SELECT doc_id, unnest(list_distinct($Toks)) AS term FROM documents)
+       SELECT term, CAST(count(*) AS BIGINT) AS df,
+              list_slice(list(doc_id ORDER BY doc_id), 1, 10) AS postings
+       FROM dt GROUP BY term"""
+
+  /**
+   * `readability`: [[TextAnalysis.readabilityStats]] — word/sentence/
+   * vowel-group-syllable counts and the x1000 fixed-point Flesch reading
+   * ease over synthetic multi-sentence pages (the corpus text carries no
+   * terminators, so the page adds them deterministically). Every count
+   * and the floored-DIV score replay exactly in DuckDB.
+   */
+  def readabilityQ(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val page = concat(col("text"), lit(". "), substring(col("text"), 1, 60),
+      lit("! "), substring(col("text"), 61, 40), lit("?"))
+    val stats = TextAnalysis.readabilityStats(page)
+    t(dir, "documents").select(
+      col("doc_id") +: stats.map { case (n, c) => c.as(n) }: _*)
+  }
+
+  val readabilitySql: String = {
+    val ptoks = "list_filter(string_split_regex(lower(page), '[^a-z0-9]+'), x -> x <> '')"
+    s"""WITH pages AS (
+         SELECT doc_id,
+           text || '. ' || substring(text, 1, 60) || '! ' ||
+             substring(text, 61, 40) || '?' AS page
+         FROM documents),
+       counted AS (
+         SELECT doc_id,
+           CAST(len($ptoks) AS BIGINT) AS n_words,
+           CAST(len(regexp_extract_all(page, '[^.!?]+[.!?]+|[^.!?]+$$', 0)) AS BIGINT)
+             AS n_sentences,
+           CAST(length(regexp_replace(regexp_replace(lower(page), '[aeiouy]+', 'V', 'g'),
+             '[^V]', '', 'g')) AS BIGINT) AS n_syllables
+         FROM pages)
+       SELECT doc_id, n_words, n_sentences, n_syllables,
+              CASE WHEN n_words > 0 AND n_sentences > 0 THEN
+                206835 - (1015 * n_words) // n_sentences
+                       - (84600 * n_syllables) // n_words
+              END AS flesch_fp
+       FROM counted"""
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -4207,5 +4350,9 @@ object Queries {
     ("host_pagerank", hostPagerank _, Some(hostPagerankSql)),
     ("fuzzy_join", fuzzyJoin _, Some(fuzzyJoinSql)),
     ("containment_pairs", containmentPairsQ _, Some(containmentPairsSql)),
-    ("pii_luhn", piiLuhn _, Some(piiLuhnSql)))
+    ("pii_luhn", piiLuhn _, Some(piiLuhnSql)),
+    ("bm25_topk", bm25TopKQ _, Some(bm25TopKSql)),
+    ("anchor_text_profile", anchorTextProfileQ _, Some(anchorTextProfileSql)),
+    ("inverted_index", invertedIndexQ _, Some(invertedIndexSql)),
+    ("readability", readabilityQ _, Some(readabilitySql)))
 }

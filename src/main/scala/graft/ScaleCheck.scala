@@ -33,7 +33,7 @@ object ScaleCheck {
     "bpe_train_256merges", "typicality_score", "typicality_bigram",
     "typicality_backoff", "url_dedup", "sentence_chunks",
     "funnel_window", "asof_nearest", "heavy_hitters", "main_content",
-    "token_budget_per_group")
+    "token_budget_per_group", "fuzzy_join", "containment_pairs", "host_pagerank")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -390,6 +390,41 @@ object ScaleCheck {
       ops.TextAnalysis.chunkBySentences(
         bigDocs.withColumn("page", regexp_replace(col("text"), " ", ". ")),
         "doc_id", "page", maxChars = 120, overlap = 30)
+    }
+    // segment-blocked exact Levenshtein self-join over variant families
+    // (the battery query's shape): candidate volume scales with family
+    // count, not corpus²; families grow with the amplified id space
+    time("fuzzy_join") {
+      val strs = bigDocs.selectExpr("doc_id AS id",
+        "substring(md5(concat('fz:', CAST(doc_id DIV 4 AS STRING))), 1, 10) AS b")
+        .selectExpr("id",
+          """CASE WHEN id % 4 = 0 THEN b
+             ELSE concat(substring(b, 1, CAST((id % 4) * 3 - 1 AS INT)), 'z',
+               substring(b, CAST((id % 4) * 3 + 1 AS INT),
+                 CAST(10 - (id % 4) * 3 AS INT))) END AS s""")
+      ops.Joins.editDistanceJoin(strs, "id", "s", strs, "id", "s", maxDist = 2)
+        .filter(col("id_a") < col("id_b"))
+    }
+    // worst case by construction: the factor copies of each doc are EXACT
+    // text duplicates under distinct ids, so every copy-group is an
+    // all-pairs containment clique — output itself is quadratic in factor
+    // (the inter-join stays df-capped and linear per shingle)
+    time("containment_pairs") {
+      ops.Dedup.containmentPairs(bigDocs, "doc_id", "text",
+        minContainPpm = 600000L, maxShingleDf = 100)
+    }
+    // node count scales with the corpus (hosts = ids mod 250*factor), edge
+    // count is 3x docs; 5 rank iterations = 10 bounded shuffles over
+    // edge-sized frames with node-sized ranks
+    time("host_pagerank") {
+      val links = bigDocs.select(
+        concat(lit("h"), (col("doc_id") % (250L * factor)).cast("string")).as("src"),
+        explode(array(
+          concat(lit("h"), ((col("doc_id") * 7 + 13) % (250L * factor)).cast("string")),
+          concat(lit("h"), ((col("doc_id") * 7 + 26) % (250L * factor)).cast("string")),
+          concat(lit("h"), ((col("doc_id") * 7 + 39) % (250L * factor)).cast("string"))))
+          .as("dst"))
+      ops.Graphs.pageRank(links, iterations = 5)
     }
     spark.stop()
   }

@@ -292,7 +292,10 @@ object Joins {
       .where(col("__sb").isNotNull)
 
     // build side: (segment index, own length, segment text) per row —
-    // short strings (< k chars) take the single shared short-block key
+    // short strings (< k chars) take the single shared short-block key.
+    // The string itself rides along: linkage keys are short (names,
+    // titles, URLs), so carrying them through the candidate join is
+    // cheaper than two id-keyed re-joins before the verify.
     val segs = la
       .withColumn("__l", length(col("__sa")))
       .withColumn("__seg", explode(expr(
@@ -301,7 +304,7 @@ object Joins {
               i AS i,
               substring(__sa, CAST(i * __l DIV $k AS INT) + 1,
                 CAST((i + 1) * __l DIV $k - i * __l DIV $k AS INT)) AS seg)) END""")))
-      .select(col("id_a"), col("__seg.i").as("i"),
+      .select(col("id_a"), col("__sa"), col("__seg.i").as("i"),
         col("__l").as("l"), col("__seg.seg").as("seg"))
 
     // probe side: every substring a surviving segment could be, for every
@@ -325,12 +328,13 @@ object Joins {
               transform(sequence(greatest(__m - $d, 0), least($d, __m + $d)), l ->
                 struct(-1 AS i, l AS l, '' AS seg))
             ELSE array() END))""")))
-      .select(col("id_b"), col("__key.i").as("i"),
+      .select(col("id_b"), col("__sb"), col("__key.i").as("i"),
         col("__key.l").as("l"), col("__key.seg").as("seg"))
 
-    val cands = segs.join(probeKeys, Seq("i", "l", "seg"))
-      .select(col("id_a"), col("id_b")).distinct()
-    cands.join(la, "id_a").join(rb, "id_b")
+    // distinct BEFORE verify: a pair found through several surviving
+    // segments must pay the levenshtein DP once, not once per segment
+    segs.join(probeKeys, Seq("i", "l", "seg"))
+      .select(col("id_a"), col("id_b"), col("__sa"), col("__sb")).distinct()
       .withColumn("dist", levenshtein(col("__sa"), col("__sb"), d).cast("long"))
       .where(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("dist"))

@@ -1,0 +1,127 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Keyword-retrieval scoring over a document corpus — the "find the docs
+ * about X" primitive a curation team runs constantly (inspect a topic,
+ * pull ablation slices, spot-check a filter's victims) without an
+ * embedding model in sight.
+ *
+ * All scores are exact fixed-point integer arithmetic (DECIMAL(38,0)
+ * cross-multiplies, integer `DIV`), so rankings are a pure function of
+ * the corpus and reproduce digit-for-digit on any engine — the library's
+ * standard determinism contract (SURVEY.md §6).
+ */
+object Retrieval {
+
+  /**
+   * BM25-style top-`k` documents per query (Robertson-Sparck Jones /
+   * Okapi BM25, the public formulation) with one deliberate,
+   * cross-engine-exactness-driven substitution: the idf is the raw RSJ
+   * odds ratio `(N - df + 0.5) / (df + 0.5)` in exact fixed-point
+   * (x1e6), NOT its logarithm (no libm in the determinism contract — the
+   * same substitution [[TextAnalysis.tfidfTopTerms]] makes). The odds
+   * ratio is a monotone transform of the classic idf, so single-term
+   * rankings are identical; multi-term sums weight rare terms more
+   * sharply than log-BM25 would — documented behavior, not an
+   * approximation error.
+   *
+   * Per term: `score = idf_x1e6 * tf * (k1+1) * T DIV
+   * (tf * T + k1 * ((1-b) * T + b * dl * N))` — the classic saturating
+   * tf with length normalization, cross-multiplied by `T` (total corpus
+   * tokens) so `avgdl = T/N` never divides early; `k1`/`b` arrive as
+   * integer tenths/hundredths. Per-term scores floor before the per-doc
+   * sum (deterministic, like the typicality family). Intermediates ride
+   * DECIMAL(38,0): at web scale (N ~ 1e10 docs, T ~ 1e13 tokens) the
+   * largest product is ~1e35 — inside DECIMAL(38) headroom.
+   *
+   * Plan shape: doc terms explode off the scan; df/tf aggregate AFTER a
+   * broadcast semi-join to the query vocabulary (queries are
+   * human-sized), so the aggregations only ever see query-term rows; the
+   * 1-row corpus stats frame broadcasts; the final top-k is the
+   * k-capped bounded-partial aggregation (`collect_bottom_k`) per query
+   * — never a corpus-wide window. Scored rows cross ONE exchange
+   * (the per-(query, doc) sum).
+   *
+   * Output: `(query_id, doc_id, score_fp, rank)`, `score_fp` the x1e6
+   * fixed-point BM25-style score, rank 1-based by `(score desc, doc)`.
+   */
+  def bm25TopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryTextCol: String,
+      k: Int = 10,
+      k1X10: Int = 12,
+      bX100: Int = 75): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(k1X10 >= 0, s"k1X10 must be >= 0, got $k1X10")
+    require(bX100 >= 0 && bX100 <= 100, s"bX100 must be in [0,100], got $bX100")
+    val terms = docs.select(col(idCol).as("doc_id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("term"),
+      size(TextAnalysis.tokens(col(textCol))).cast("long").as("dl"))
+    val qterms = broadcast(queries.select(col(queryIdCol).as("query_id"),
+      explode(array_distinct(TextAnalysis.tokens(col(queryTextCol)))).as("term")))
+    // stats: one row (N docs, T tokens), broadcast everywhere
+    val stats = broadcast(docs.agg(
+      count(lit(1)).as("__n"),
+      sum(size(TextAnalysis.tokens(col(textCol)))).cast("long").as("__t")))
+    // only query-vocabulary terms survive into the tf/df aggregations
+    val qdocTerms = terms.join(broadcast(qterms.select("term").distinct()), "term")
+    val tf = qdocTerms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    val dfreq = qdocTerms.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val termScore = tf.join(broadcast(dfreq), "term").join(qterms, "term")
+      .join(stats)
+      .withColumn("__idf",
+        expr("CAST(((__n - df) * 2 + 1) AS DECIMAL(38,0)) * 1000000 DIV (2 * df + 1)"))
+      .withColumn("__s", expr(
+        s"""CAST(CAST(__idf AS DECIMAL(38,0)) * tf * ${(k1X10 + 10) * 100} * __t DIV
+            (CAST(1000 AS DECIMAL(38,0)) * tf * __t +
+             $k1X10 * (CAST(${100 - bX100} AS DECIMAL(38,0)) * __t + $bX100 * dl * __n))
+            AS BIGINT)"""))
+    val scored = termScore.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("__s")).as("score_fp"))
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.functions.collect_bottom_k(
+        struct((-col("score_fp")).as("__neg"), col("doc_id").as("doc_id"),
+          col("score_fp").as("score_fp")), k).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col("query_id"), col("__e.doc_id").as("doc_id"),
+        col("__e.score_fp").as("score_fp"), (col("__pos") + 1).cast("long").as("rank"))
+  }
+
+  /**
+   * Inverted index: `(term, df, postings)` per corpus term — `df` the
+   * EXACT document frequency, `postings` the `maxPostings` SMALLEST doc
+   * ids containing the term, ascending. The posting cap rides the same
+   * bounded `collect_bottom_k` aggregate as every top-k here (map-side
+   * k-capped partials — a hot stopword's postings never materialize
+   * beyond `maxPostings` per partition, so the term row stays bounded
+   * however large the corpus; `df` is a plain count and stays exact).
+   * Smallest-ids is a deterministic, partitioning-independent cap rule —
+   * re-building the index on a reshuffled corpus yields byte-identical
+   * rows. One distinct + one term-keyed aggregation; the lookup side of
+   * [[bm25TopK]] when the corpus is indexed once and queried often.
+   */
+  def invertedIndex(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxPostings: Int = 1000): DataFrame = {
+    require(maxPostings >= 1, s"maxPostings must be >= 1, got $maxPostings")
+    docs.select(col(idCol).as("doc_id"),
+        explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        graft.functions.functions.collect_bottom_k(
+          struct(col("doc_id").as("doc_id")), maxPostings).as("__p"))
+      .select(col("term"), col("df"),
+        transform(col("__p"), p => p.getField("doc_id")).as("postings"))
+  }
+}

@@ -1246,6 +1246,42 @@ object TextAnalysis {
     regexp_extract_all(text, lit("[^.!?]+[.!?]+|[^.!?]+$"), lit(0))
 
   /**
+   * Flesch reading-ease in exact integer fixed-point (x1000) with its
+   * three ingredient counts — the classic complexity signal next to the
+   * Gopher gates (a corpus slice whose reading ease collapses is
+   * table-soup or legalese; a slice near the top is children's text).
+   * Syllables are vowel-group runs (`[aeiouy]+` of the lowercased text —
+   * the standard regex approximation, off-by-a-bit on silent e's but
+   * DETERMINISTIC and engine-identical, which the exactness contract
+   * prizes over linguistic nicety). Sentences come from [[sentences]],
+   * words from [[tokens]].
+   *
+   * `flesch_fp = 206835 - 1015 * words DIV sentences
+   *            - 84600 * syllables DIV words` — integer `DIV` floors, so
+   * the score replays digit-for-digit in SQL; word-free documents score
+   * null (both ratios undefined). Pure per-row codegen'd regexp/HOF
+   * work, exchange-free.
+   */
+  def readabilityStats(text: Column): Seq[(String, Column)] = {
+    // exact integer division for non-negative longs without an expr()
+    // name dependency: a - (a mod b) is an exact multiple of b, and
+    // dividing exact multiples is exact in double well past these sizes
+    def udiv(a: Column, b: Column): Column = ((a - pmod(a, b)) / b).cast("long")
+    val words = size(tokens(text)).cast("long")
+    val sents = size(sentences(text)).cast("long")
+    val syllables = length(
+      regexp_replace(regexp_replace(lower(text), "[aeiouy]+", "V"), "[^V]", ""))
+      .cast("long")
+    val flesch = when(words > 0 && sents > 0,
+      lit(206835L) - udiv(lit(1015L) * words, sents) - udiv(lit(84600L) * syllables, words))
+    Seq(
+      "n_words" -> words,
+      "n_sentences" -> sents,
+      "n_syllables" -> syllables,
+      "flesch_fp" -> flesch)
+  }
+
+  /**
    * Sentence-aware chunking: split documents into ~`maxChars`-character
    * chunks that break ONLY at [[sentences]] boundaries — the upgrade over
    * [[chunkDocuments]], which splits mid-sentence. Offsets are measured in

@@ -312,4 +312,33 @@ object Web {
       .select(col(idCol), posexplode(col("__links")).as(Seq("link_pos", "__l")))
       .select(col(idCol), col("link_pos").cast("long").as("link_pos"),
         col("__l.href").as("href"), col("__l.anchor").as("anchor"))
+
+  /**
+   * Anchor-text profile: the top-`k` terms OTHER pages use when linking
+   * to each host — the classic off-page relevance signal (how the web
+   * describes a site beats how the site describes itself), and a cheap
+   * domain labeler next to [[domainQualityProfile]]'s quality stats.
+   * Input is [[extractLinks]] output (or any `(host, anchor)` frame);
+   * terms explode off the scan, ONE `(host, term)` count aggregation,
+   * then the k-capped `collect_bottom_k` partial per host — no window,
+   * no per-host sort of the full term list. Rank is 1-based by
+   * `(count desc, term)`.
+   */
+  def anchorTextProfile(
+      links: DataFrame,
+      hostCol: String,
+      anchorCol: String,
+      k: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    links.select(col(hostCol).as("host"),
+        explode(TextAnalysis.tokens(col(anchorCol))).as("term"))
+      .groupBy(col("host"), col("term")).agg(count(lit(1)).as("n"))
+      .groupBy(col("host"))
+      .agg(graft.functions.functions.collect_bottom_k(
+        struct((-col("n")).as("__neg"), col("term").as("term"), col("n").as("n")), k)
+        .as("__top"))
+      .select(col("host"), posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col("host"), col("__e.term").as("term"), col("__e.n").as("n"),
+        (col("__pos") + 1).cast("long").as("rank"))
+  }
 }

@@ -258,6 +258,31 @@ class PlanInvariantsSpec extends SparkTestBase {
     check("main_content", maxShuffles = 0)
   }
 
+  test("round-13 additions: link graph, fuzzy join, containment — bounded shuffles") {
+    // per-row regexp extraction + posexplode, never an exchange
+    check("extract_links", maxShuffles = 0)
+    // final-round frame only: prior iterations live behind checkpoints, the
+    // last join/agg pair is node-sized and broadcasts at this scale
+    check("host_pagerank", maxShuffles = 2)
+    // ONE candidate equi-join + the pair distinct; verify is per-row — the
+    // naive form would be a cartesian, which stays banned here
+    check("fuzzy_join", maxShuffles = 4)
+    // shingle df agg + capped inverted self-join + pair agg + size join
+    check("containment_pairs", maxShuffles = 6)
+    // candidate regex + Luhn fold + replace fold: pure per-row codegen
+    check("pii_luhn", maxShuffles = 0)
+    // only THREE exchanges carry data-sized frames (q-term tf agg, per-
+    // (query,doc) sum, k-capped top-k partials); the rest move the tiny
+    // query vocabulary, and the single BNLJ is the 1-row stats broadcast
+    check("bm25_topk", maxShuffles = 8, maxBnlj = 1)
+    // (host, term) count agg + k-capped bounded partial per host — no window
+    check("anchor_text_profile", maxShuffles = 2)
+    // one term-keyed agg: exact df + capped smallest-id postings together
+    check("inverted_index", maxShuffles = 1)
+    // counts + floored-DIV score fused into the scan
+    check("readability", maxShuffles = 0)
+  }
+
   test("round-7 additions: bounded shuffles, no cartesian") {
     // two vocab-sized term aggs (each feeding the join AND its 1-row total),
     // a full-outer join on term (SMJ is the at-scale plan; both sides are

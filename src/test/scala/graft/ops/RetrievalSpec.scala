@@ -1,0 +1,97 @@
+package graft.ops
+
+import graft.testkit.SparkTestBase
+
+class RetrievalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def q(s: String) = Seq(("q", s)).toDF("qid", "qtext")
+
+  test("one-term, uniform-length corpus matches the hand-computed recipe") {
+    // 4 docs of 4 tokens each: N=4, T=16, dl=4, so dl*N = T and the length
+    // normalizer is exactly 1. "cat" appears once in doc 1, twice in doc 2.
+    val docs = Seq(
+      (1L, "cat aa bb cc"), (2L, "cat cat dd ee"),
+      (3L, "ff gg hh ii"), (4L, "jj kk ll mm")).toDF("id", "text")
+    val out = Retrieval.bm25TopK(docs, "id", "text", q("cat"), "qid", "qtext")
+      .select("doc_id", "score_fp", "rank").as[(Long, Long, Long)].collect().toSet
+    // idf_x1e6 = ((4-2)*2+1)*1e6 DIV (2*2+1) = 1_000_000
+    // tf=1: 1e6*1*2200*16 DIV (1000*1*16 + 12*(25*16 + 75*4*4)) = 1_169_097
+    // tf=2: 1e6*2*2200*16 DIV (1000*2*16 + 12*(25*16 + 75*4*4)) = 1_679_537
+    val idf = ((4L - 2) * 2 + 1) * 1000000L / (2 * 2 + 1)
+    def s(tf: Long) = idf * tf * 2200 * 16 / (1000 * tf * 16 + 12 * (25 * 16 + 75 * 4 * 4))
+    out shouldBe Set((2L, s(2), 1L), (1L, s(1), 2L))
+  }
+
+  test("tf saturates: 10 repeats score less than 10x one occurrence") {
+    val docs = Seq(
+      (1L, ("cat " * 10).trim + " " + ("pad " * 10).trim),
+      (2L, "cat " + ("pad " * 19).trim),
+      (3L, ("pad " * 20).trim)).toDF("id", "text")
+    val scores = Retrieval.bm25TopK(docs, "id", "text", q("cat"), "qid", "qtext")
+      .select("doc_id", "score_fp").as[(Long, Long)].collect().toMap
+    scores(1L) should be > scores(2L)
+    scores(1L).toDouble should be < 10.0 * scores(2L)
+  }
+
+  test("length normalization: same tf, shorter doc wins") {
+    val docs = Seq(
+      (1L, "cat " + ("pad " * 4).trim),
+      (2L, "cat " + ("pad " * 40).trim)).toDF("id", "text")
+    val scores = Retrieval.bm25TopK(docs, "id", "text", q("cat"), "qid", "qtext")
+      .select("doc_id", "score_fp").as[(Long, Long)].collect().toMap
+    scores(1L) should be > scores(2L)
+    // b=0 disables length normalization entirely: scores tie
+    val flat = Retrieval.bm25TopK(docs, "id", "text", q("cat"), "qid", "qtext", bX100 = 0)
+      .select("doc_id", "score_fp").as[(Long, Long)].collect().toMap
+    flat(1L) shouldBe flat(2L)
+  }
+
+  test("rare terms outweigh common ones in multi-term queries") {
+    val docs = (1L to 10L).map { i =>
+      (i, if (i == 1) "rare common filler words here" else "common filler words here pad")
+    }.toDF("id", "text")
+    val top = Retrieval.bm25TopK(docs, "id", "text", q("rare common"), "qid", "qtext")
+      .filter($"rank" === 1).select("doc_id").as[Long].head()
+    top shouldBe 1L
+  }
+
+  test("k caps per query, ties break by doc id, unmatched queries vanish") {
+    val docs = (1L to 6L).map(i => (i, "cat pad pad pad")).toDF("id", "text")
+    val qs = Seq(("hit", "cat"), ("miss", "zebra")).toDF("qid", "qtext")
+    val out = Retrieval.bm25TopK(docs, "id", "text", qs, "qid", "qtext", k = 3)
+      .as[(String, Long, Long, Long)].collect()
+    out.map(_._1).toSet shouldBe Set("hit") // no rows for the unmatched query
+    out.sortBy(_._4).map(_._2).toSeq shouldBe Seq(1L, 2L, 3L) // id ties ascending
+  }
+
+  test("ranking is partitioning-independent") {
+    val docs = (1L to 40L).map(i =>
+      (i, s"w${i % 7} w${i % 5} w${i % 3} pad pad")).toDF("id", "text")
+    val a = Retrieval.bm25TopK(docs.coalesce(1), "id", "text", q("w1 w2"), "qid", "qtext")
+      .collect().map(_.toSeq).toSet
+    val b = Retrieval.bm25TopK(docs.repartition(11), "id", "text", q("w1 w2"), "qid", "qtext")
+      .collect().map(_.toSeq).toSet
+    a shouldBe b
+  }
+
+  test("invertedIndex: exact df, smallest-id postings cap, repeated tokens count once") {
+    val docs = Seq(
+      (5L, "cat cat dog"), (1L, "cat fish"), (9L, "cat dog"), (3L, "cat"))
+      .toDF("id", "text")
+    val out = Retrieval.invertedIndex(docs, "id", "text", maxPostings = 3)
+      .as[(String, Long, Seq[Long])].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    out("cat") shouldBe ((4L, Seq(1L, 3L, 5L)))  // df exact, 3 smallest ids asc
+    out("dog") shouldBe ((2L, Seq(5L, 9L)))
+    out("fish") shouldBe ((1L, Seq(1L)))
+  }
+
+  test("invertedIndex is partitioning-independent (the cap rule is deterministic)") {
+    val docs = (1L to 50L).map(i => (i, s"t${i % 4} shared")).toDF("id", "text")
+    val a = Retrieval.invertedIndex(docs.coalesce(1), "id", "text", maxPostings = 5)
+      .collect().map(_.toSeq).toSet
+    val b = Retrieval.invertedIndex(docs.repartition(13), "id", "text", maxPostings = 5)
+      .collect().map(_.toSeq).toSet
+    a shouldBe b
+  }
+}

@@ -946,6 +946,34 @@ class TextAnalysisSpec extends SparkTestBase {
     cands shouldBe Seq("4111 1111 1111 1111")
   }
 
+  test("readabilityStats: exact counts and the floored fixed-point Flesch score") {
+    val df = Seq(
+      (1L, "The cat sat. The dog ran!"),  // 6 words, 2 sentences, 6 vowel groups
+      (2L, ""),                            // word-free: flesch null
+      (3L, "no terminators here"))         // trailing fragment = 1 sentence
+      .toDF("id", "text")
+    val out = df.select(col("id") +:
+        TextAnalysis.readabilityStats(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .as[(Long, Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // flesch = 206835 - (1015*6 DIV 2) - (84600*6 DIV 6) = 206835 - 3045 - 84600
+    out(1L) shouldBe ((6L, 2L, 6L, Some(206835L - 3045L - 84600L)))
+    out(2L) shouldBe ((0L, 0L, 0L, None))
+    out(3L)._2 shouldBe 1L // "no terminators here" is one fragment sentence
+  }
+
+  test("flesch orders simple text above polysyllabic legalese") {
+    val simple = "The cat sat on the mat. The dog ran to the tree. We like it."
+    val dense = "Notwithstanding aforementioned considerations, heterogeneous " +
+      "organizational infrastructures necessitate comprehensive recalibration."
+    val df = Seq((1L, simple), (2L, dense)).toDF("id", "text")
+    val scores = df.select(col("id"),
+        TextAnalysis.readabilityStats(col("text"))
+          .collectFirst { case ("flesch_fp", c) => c }.get.as("f"))
+      .as[(Long, Long)].collect().toMap
+    scores(1L) should be > scores(2L)
+  }
+
   test("scrubCardNumbers masks only checksum-passing runs") {
     val df = Seq(
       (1L, "pay 4111 1111 1111 1111 ref 4111 1111 1111 1112 done"),

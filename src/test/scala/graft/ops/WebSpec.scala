@@ -164,4 +164,18 @@ class WebSpec extends SparkTestBase {
     out("spam.net").getAs[Long]("gate_fail_ppm") shouldBe 1000000L
     out("spam.net").getAs[Long]("low_quality") shouldBe 1L
   }
+
+  test("anchorTextProfile ranks terms per host by count, ties by term, capped at k") {
+    import spark.implicits._
+    val links = Seq(
+      ("a.com", "best spark guide"), ("a.com", "spark tutorial"),
+      ("a.com", "spark guide here"), ("a.com", "also tutorial"),
+      ("b.org", "cheap pills")).toDF("host", "anchor")
+    val out = Web.anchorTextProfile(links, "host", "anchor", k = 2)
+      .as[(String, String, Long, Long)].collect().toSet
+    // a.com: spark x3, guide x2 = tutorial x2 -> tie breaks alphabetically
+    out shouldBe Set(
+      ("a.com", "spark", 3L, 1L), ("a.com", "guide", 2L, 2L),
+      ("b.org", "cheap", 1L, 1L), ("b.org", "pills", 1L, 2L))
+  }
 }
