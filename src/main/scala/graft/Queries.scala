@@ -3879,14 +3879,31 @@ object Queries {
    * integer arithmetic (`//` truncation = Spark `DIV`), so every rank
    * digit hash-matches.
    */
-  def hostPagerank(spark: SparkSession, dir: String): DataFrame = {
+  /** The synthetic host edge frame shared by the link-graph queries. */
+  private def linkHostEdges(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     val pages = t(dir, "documents").select(col("doc_id"), linkPageHtml.as("html"))
     val links = Web.extractLinks(pages, "doc_id", "html")
-    val edges = links.select(
+    links.select(
       concat(lit("h"), (col("doc_id") % 250).cast("string"), lit(".example")).as("src"),
       Web.urlHost(col("href")).as("dst"))
-    graft.ops.Graphs.pageRank(edges, iterations = 5)
+  }
+
+  /** DuckDB twin of [[linkHostEdges]]: CTE chain ending in `edges(src, dst)`. */
+  private val sqlHostEdgesCtes: String =
+    s"""$sqlLinkPages,
+       ex AS (SELECT doc_id, regexp_extract_all(html, '$sqlAnchorPat', 1) AS hrefs FROM pages),
+       links AS (SELECT doc_id, unnest(hrefs) AS href FROM ex),
+       rawe AS (
+         SELECT 'h' || (doc_id % 250) || '.example' AS src,
+           lower(regexp_replace(regexp_extract(regexp_replace(href, '#.*', '', 'g'),
+             '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), ':[0-9]+$$', '', 'g')) AS dst
+         FROM links),
+       edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM rawe
+                 WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst)"""
+
+  def hostPagerank(spark: SparkSession, dir: String): DataFrame = {
+    graft.ops.Graphs.pageRank(linkHostEdges(spark, dir), iterations = 5)
       .select(col("id").as("host"), col("rank").as("rank_fp"))
   }
 
@@ -3902,22 +3919,79 @@ object Queries {
              FROM edges e JOIN r${k - 1} s ON e.src = s.id JOIN deg d ON e.src = d.id
              GROUP BY e.dst) c ON nd.id = c.id)"""
     }.mkString(",\n       ")
-    s"""WITH $sqlLinkPages,
-       ex AS (SELECT doc_id, regexp_extract_all(html, '$sqlAnchorPat', 1) AS hrefs FROM pages),
-       links AS (SELECT doc_id, unnest(hrefs) AS href FROM ex),
-       rawe AS (
-         SELECT 'h' || (doc_id % 250) || '.example' AS src,
-           lower(regexp_replace(regexp_extract(regexp_replace(href, '#.*', '', 'g'),
-             '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), ':[0-9]+$$', '', 'g')) AS dst
-         FROM links),
-       edges AS (SELECT DISTINCT src, dst FROM rawe
-                 WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst),
+    s"""WITH $sqlHostEdgesCtes,
        nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
        deg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY src),
        r0 AS (SELECT id, CAST(1000000000000 // $n AS BIGINT) AS rank FROM nodes),
        $rounds
        SELECT id AS host, rank AS rank_fp FROM r5"""
   }
+
+  /**
+   * `host_hits`: [[graft.ops.Graphs.hits]] over the same host edges — 5
+   * exact fixed-point iterations, each round's authority and hub vectors
+   * max-normalized to 1e6 via a scalar-max join. The oracle unrolls all
+   * ten agg/normalize steps as CTEs with scalar subqueries in identical
+   * integer arithmetic.
+   */
+  def hostHits(spark: SparkSession, dir: String): DataFrame = {
+    graft.ops.Graphs.hits(linkHostEdges(spark, dir), iterations = 5)
+      .select(col("id").as("host"), col("hub"), col("authority"))
+  }
+
+  val hostHitsSql: String = {
+    // AS MATERIALIZED throughout: every frame here is referenced more than
+    // once (the scalar max + the next step), and an INLINED 10-step unroll
+    // re-evaluates the whole chain per reference — exponential in rounds
+    def norm(from: String, to: String): String =
+      s"""$to AS MATERIALIZED (SELECT id, CAST(CAST(v AS HUGEINT) * 1000000 //
+            greatest((SELECT max(v) FROM $from), 1) AS BIGINT) AS v FROM $from)"""
+    val rounds = (1 to 5).map { r =>
+      s"""a${r}f AS MATERIALIZED (
+           SELECT n.id, coalesce(x.v, 0) AS v FROM nodes n LEFT JOIN (
+             SELECT e.dst AS id, CAST(sum(h.v) AS BIGINT) AS v
+             FROM edges e JOIN h${r - 1} h ON e.src = h.id GROUP BY e.dst) x
+           ON n.id = x.id),
+         ${norm(s"a${r}f", s"a$r")},
+         h${r}f AS MATERIALIZED (
+           SELECT n.id, coalesce(x.v, 0) AS v FROM nodes n LEFT JOIN (
+             SELECT e.src AS id, CAST(sum(a.v) AS BIGINT) AS v
+             FROM edges e JOIN a$r a ON e.dst = a.id GROUP BY e.src) x
+           ON n.id = x.id),
+         ${norm(s"h${r}f", s"h$r")}"""
+    }.mkString(",\n       ")
+    s"""WITH $sqlHostEdgesCtes,
+       nodes AS MATERIALIZED (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+       h0 AS MATERIALIZED (SELECT id, CAST(1000000 AS BIGINT) AS v FROM nodes),
+       $rounds
+       SELECT h5.id AS host, h5.v AS hub, a5.v AS authority
+       FROM h5 JOIN a5 ON h5.id = a5.id"""
+  }
+
+  /**
+   * `host_degrees`: [[graft.ops.Graphs.degreeStats]] — out/in degree and
+   * reciprocated-edge counts per host over the same edge frame.
+   */
+  def hostDegrees(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Graphs.degreeStats(linkHostEdges(spark, dir))
+      .select(col("id").as("host"), col("out_deg"), col("in_deg"), col("reciprocal"))
+
+  val hostDegreesSql: String =
+    s"""WITH $sqlHostEdgesCtes,
+       outd AS (SELECT src AS id, count(*) AS out_deg FROM edges GROUP BY src),
+       ind AS (SELECT dst AS id, count(*) AS in_deg FROM edges GROUP BY dst),
+       recip AS (
+         SELECT e.src AS id, count(*) AS reciprocal
+         FROM edges e JOIN edges r ON e.src = r.dst AND e.dst = r.src
+         GROUP BY e.src),
+       ids AS (SELECT id FROM outd UNION SELECT id FROM ind)
+       SELECT i.id AS host,
+              coalesce(o.out_deg, 0) AS out_deg,
+              coalesce(n.in_deg, 0) AS in_deg,
+              coalesce(r.reciprocal, 0) AS reciprocal
+       FROM ids i LEFT JOIN outd o ON i.id = o.id
+       LEFT JOIN ind n ON i.id = n.id
+       LEFT JOIN recip r ON i.id = r.id"""
 
   /**
    * `fuzzy_join`: [[graft.ops.Joins.editDistanceJoin]] — the exact
@@ -4354,5 +4428,7 @@ object Queries {
     ("bm25_topk", bm25TopKQ _, Some(bm25TopKSql)),
     ("anchor_text_profile", anchorTextProfileQ _, Some(anchorTextProfileSql)),
     ("inverted_index", invertedIndexQ _, Some(invertedIndexSql)),
-    ("readability", readabilityQ _, Some(readabilitySql)))
+    ("readability", readabilityQ _, Some(readabilitySql)),
+    ("host_hits", hostHits _, Some(hostHitsSql)),
+    ("host_degrees", hostDegrees _, Some(hostDegreesSql)))
 }

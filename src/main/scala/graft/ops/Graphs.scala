@@ -94,4 +94,104 @@ object Graphs {
     }
     ranks
   }
+
+  /**
+   * HITS hubs and authorities (Kleinberg 1999, the public formulation)
+   * with a FIXED iteration count in exact integer fixed-point — the
+   * complement of [[pageRank]]: authorities are pages good links POINT
+   * TO, hubs are pages that point to good authorities (directory/index
+   * pages), the split that matters for crawl seeding where PageRank's
+   * single score conflates the two roles.
+   *
+   * Exact-arithmetic recipe, one iteration: `auth'(v) = sum of hub(u)
+   * over in-edges`, then normalize so the maximum authority is exactly
+   * `scale` (`a * scale DIV max` — DECIMAL(38,0) cross-multiply, integer
+   * DIV); `hub'(u) = sum of auth'(v) over out-edges`, normalized the same
+   * way. The per-round max lives in a 1-row aggregated frame joined back
+   * in (a broadcast, and a scalar subquery in the SQL twin) — no driver
+   * round-trips, and the whole computation unrolls into CTEs that replay
+   * every digit. Nodes with no in-edges (resp. out-edges) hold authority
+   * (resp. hub) 0, exactly as the definition says.
+   *
+   * Scale: identical shape to [[pageRank]] — two edge-sized equi-join +
+   * aggregation pairs per round over the once-materialized edge list,
+   * node-sized score frames, per-round materialization for flat lineage.
+   *
+   * Output: `(id, hub, authority)` for every node, both in `scale`
+   * fixed-point units (max element of each = `scale` when any edge
+   * exists).
+   */
+  def hits(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      iterations: Int = 5,
+      scale: Long = 1000000L,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    def materialize(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
+
+    val e = materialize(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+        .distinct())
+    val nodes = materialize(
+      e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct())
+
+    // normalize a (id, v) frame so its max value is exactly `scale`
+    def normalized(scored: DataFrame): DataFrame = {
+      val m = scored.agg(max(col("v")).as("__max"))
+      scored.join(broadcast(m))
+        .select(col("id"),
+          expr(s"CAST(CAST(v AS DECIMAL(38,0)) * $scale DIV greatest(__max, 1) AS BIGINT)")
+            .as("v"))
+    }
+
+    var hubs = nodes.withColumn("v", lit(scale))
+    var auths: DataFrame = null
+    for (_ <- 1 to iterations) {
+      val authRaw = e.join(hubs.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(sum(col("v")).as("v"))
+      auths = materialize(normalized(
+        nodes.join(authRaw, Seq("id"), "left")
+          .select(col("id"), coalesce(col("v"), lit(0L)).as("v"))))
+      val hubRaw = e.join(auths.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id")).agg(sum(col("v")).as("v"))
+      hubs = materialize(normalized(
+        nodes.join(hubRaw, Seq("id"), "left")
+          .select(col("id"), coalesce(col("v"), lit(0L)).as("v"))))
+    }
+    hubs.withColumnRenamed("v", "hub")
+      .join(auths.withColumnRenamed("v", "authority"), "id")
+  }
+
+  /**
+   * Per-node degree profile of a directed edge list: out-degree,
+   * in-degree, and the count of RECIPROCATED out-edges (u→v with v→u —
+   * high reciprocity separates social/link-exchange structure from
+   * editorial linking). Edges dedup first; two degree aggs + one
+   * self-equi-join on the reversed pair, all hash-partitionable.
+   */
+  def degreeStats(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+      .distinct()
+    val out = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("out_deg"))
+    val in = e.groupBy(col("dst").as("id")).agg(count(lit(1)).as("in_deg"))
+    val recip = e.join(e.select(col("dst").as("src"), col("src").as("dst")),
+        Seq("src", "dst"))
+      .groupBy(col("src").as("id")).agg(count(lit(1)).as("reciprocal"))
+    out.join(in, Seq("id"), "full")
+      .join(recip, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+        coalesce(col("reciprocal"), lit(0L)).as("reciprocal"))
+  }
 }

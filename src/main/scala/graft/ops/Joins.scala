@@ -308,7 +308,13 @@ object Joins {
         col("__l").as("l"), col("__seg.seg").as("seg"))
 
     // probe side: every substring a surviving segment could be, for every
-    // compatible left length — guarded so `sequence` never runs backwards
+    // compatible left length — guarded so `sequence` never runs backwards.
+    // The shift window is the multi-match-aware bound: with e_pre edits
+    // before the surviving segment and e_post after, shift = net prefix
+    // length change (|shift| <= e_pre), delta - shift = net suffix change
+    // (|delta - shift| <= e_post), and e_pre + e_post <= maxDist — so only
+    // shifts with |shift| + |delta - shift| <= maxDist can occur (for
+    // equal lengths that's |shift| <= maxDist/2, not maxDist)
     val probeKeys = rb
       .withColumn("__m", length(col("__sb")))
       .withColumn("__key", explode(expr(
@@ -317,7 +323,8 @@ object Joins {
               flatten(flatten(transform(sequence(greatest(__m - $d, $k), __m + $d), l ->
                 transform(sequence(0, $d), i ->
                   filter(transform(sequence(-$d, $d), sh ->
-                    CASE WHEN i * l DIV $k + sh >= 0
+                    CASE WHEN abs(sh) + abs((__m - l) - sh) <= $d
+                          AND i * l DIV $k + sh >= 0
                           AND i * l DIV $k + sh + ((i + 1) * l DIV $k - i * l DIV $k) <= __m
                          THEN struct(i AS i, l AS l,
                            substring(__sb, CAST(i * l DIV $k + sh AS INT) + 1,

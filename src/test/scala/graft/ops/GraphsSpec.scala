@@ -100,4 +100,43 @@ class GraphsSpec extends SparkTestBase {
       .toDF("id", "html")
     Web.extractLinks(df, "id", "html").count() shouldBe 0L
   }
+
+  test("hits: the linked-to node is the top authority, the pointers are the top hubs") {
+    val out = Graphs.hits(star).as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    out("hub")._2 shouldBe 1000000L        // max authority, exactly scale
+    out("leaf2")._1 shouldBe 1000000L      // pure hubs normalize to scale
+    out("leaf3") shouldBe out("leaf2")     // symmetric nodes tie exactly
+    out("leaf2")._2 shouldBe 0L            // nothing links to a leaf
+    out("hub")._1 should be < out("leaf2")._1 // hub's one outlink targets a weak authority
+    out("leaf1")._2 should be > 0L         // hub's backlink gives leaf1 some authority
+  }
+
+  test("hits first round matches the hand-computed normalize-by-max recipe") {
+    // a -> b, c -> b, b -> a: auth1 raw = (b: 2e6, a: 1e6); norm: b=1e6, a=500000
+    // hub1 raw = (a: auth(b)=1e6, c: 1e6, b: auth(a)=500000); norm: a=c=1e6, b=500000
+    val g = Seq(("a", "b"), ("c", "b"), ("b", "a")).toDF("src", "dst")
+    val out = Graphs.hits(g, iterations = 1).as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    out("b") shouldBe ((500000L, 1000000L))
+    out("a") shouldBe ((1000000L, 500000L))
+    out("c") shouldBe ((1000000L, 0L))
+  }
+
+  test("hits is partitioning-independent") {
+    val g = (1L to 30L).map(i => (s"n${i % 9}", s"n${(i * 5 + 2) % 9}")).toDF("src", "dst")
+    val a = Graphs.hits(g).collect().map(_.toSeq).toSet
+    val b = Graphs.hits(g.repartition(7)).collect().map(_.toSeq).toSet
+    a shouldBe b
+  }
+
+  test("degreeStats counts out/in/reciprocal, dedups edges, covers all nodes") {
+    val g = Seq(("a", "b"), ("a", "b"), ("b", "a"), ("a", "c"), ("c", "c"))
+      .toDF("src", "dst")
+    val out = Graphs.degreeStats(g).as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    out("a") shouldBe ((2L, 1L, 1L)) // a->b reciprocated, a->c not; self-loop dropped
+    out("b") shouldBe ((1L, 1L, 1L))
+    out("c") shouldBe ((0L, 1L, 0L)) // in-only node still reported
+  }
 }
