@@ -4287,6 +4287,78 @@ object Queries {
        FROM counted"""
   }
 
+  /**
+   * `domain_dedup_profile`: [[Web.domainDedupProfile]] — per-domain
+   * exact-duplicate pressure over 40-char text prefixes (the full
+   * word-soup texts rarely collide; prefixes collide realistically, so
+   * `dup_ppm` varies per domain). The measurement that tells a curation
+   * team where its dedup budget goes.
+   */
+  def domainDedupProfileQ(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    Web.domainDedupProfile(
+      t(dir, "documents").withColumn("t40", substring(col("text"), 1, 40)),
+      "source", "t40")
+  }
+
+  val domainDedupProfileSql: String =
+    """WITH f AS (SELECT source AS domain, md5(substring(text, 1, 40)) AS fp
+                  FROM documents),
+       g AS (SELECT domain, fp, count(*) AS n FROM f GROUP BY 1, 2)
+       SELECT domain, CAST(sum(n) AS BIGINT) AS n_docs,
+              CAST(count(*) AS BIGINT) AS n_unique,
+              ((CAST(sum(n) AS BIGINT) - count(*)) * 1000000)
+                // CAST(sum(n) AS BIGINT) AS dup_ppm
+       FROM g GROUP BY domain"""
+
+  /**
+   * `lang_confusion`: the language-ID audit matrix — labeled `lang` vs
+   * [[TextAnalysis.languageId]] prediction, counted. The oracle reuses
+   * the full generated lang-ID SQL twin as a CTE, so the same constants
+   * drive both sides.
+   */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    t(dir, "documents")
+      .select(col("lang"), TextAnalysis.languageId(col("text")).as("lang_pred"))
+      .groupBy(col("lang"), col("lang_pred")).agg(count(lit(1)).as("n"))
+  }
+
+  val langConfusionSql: String =
+    s"""WITH pred AS ($langIdSql)
+       SELECT d.lang, p.lang_pred, count(*) AS n
+       FROM documents d JOIN pred p USING (doc_id)
+       GROUP BY 1, 2"""
+
+  /** The fixed vocabulary of the `vocab_coverage` query (both engines). */
+  private val CoverageVocab = Seq("the", "fast", "key", "order", "sort", "table",
+    "scan", "merge", "part", "spark", "group", "query", "row", "data", "filter",
+    "customer", "join", "window", "stream", "slow")
+
+  /**
+   * `vocab_coverage`: [[TextAnalysis.vocabCoverage]] — per-document OOV
+   * rate against a fixed 20-term vocabulary (broadcast anti-join on the
+   * Spark side, inline NOT IN on the oracle side — same set, exact
+   * integer ppm).
+   */
+  def vocabCoverageQ(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    TextAnalysis.vocabCoverage(t(dir, "documents"), "doc_id", "text",
+      CoverageVocab.toDF("term"), "term")
+  }
+
+  val vocabCoverageSql: String = {
+    val set = CoverageVocab.map(w => s"'$w'").mkString(", ")
+    s"""WITH tok AS (SELECT doc_id, $Toks AS toks FROM documents),
+       c AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(len(list_filter(toks, t -> t NOT IN ($set))) AS BIGINT) AS n_oov
+             FROM tok)
+       SELECT doc_id, n_tokens, n_oov,
+              CASE WHEN n_tokens > 0 THEN (n_oov * 1000000) // n_tokens END AS oov_ppm
+       FROM c"""
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -4430,5 +4502,8 @@ object Queries {
     ("inverted_index", invertedIndexQ _, Some(invertedIndexSql)),
     ("readability", readabilityQ _, Some(readabilitySql)),
     ("host_hits", hostHits _, Some(hostHitsSql)),
-    ("host_degrees", hostDegrees _, Some(hostDegreesSql)))
+    ("host_degrees", hostDegrees _, Some(hostDegreesSql)),
+    ("domain_dedup_profile", domainDedupProfileQ _, Some(domainDedupProfileSql)),
+    ("lang_confusion", langConfusion _, Some(langConfusionSql)),
+    ("vocab_coverage", vocabCoverageQ _, Some(vocabCoverageSql)))
 }

@@ -1282,6 +1282,36 @@ object TextAnalysis {
   }
 
   /**
+   * Tokenizer-vocabulary coverage: per document, token count, OOV token
+   * count and `oov_ppm` (exact integer) against a vocabulary frame — the
+   * pre-training check that a tokenizer actually covers the corpus it
+   * will serve (a language or domain slice with collapsing coverage
+   * trains as `<unk>` soup). The vocabulary joins as a BROADCAST
+   * left-anti (tokenizer vocabularies are bounded by construction), so
+   * the scan never shuffles: explode → anti-join → one doc-keyed count.
+   * Token-free documents report `oov_ppm` null.
+   */
+  def vocabCoverage(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      vocab: org.apache.spark.sql.DataFrame,
+      termCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("__t"))
+    val counts = df.select(col(idCol),
+      size(tokens(col(textCol))).cast("long").as("n_tokens"))
+    val oov = toks.join(broadcast(vocab.select(col(termCol).as("__t")).distinct()),
+        Seq("__t"), "left_anti")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("__oov"))
+    counts.join(oov, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("__oov"), lit(0L)).as("n_oov"),
+        when(col("n_tokens") > 0,
+          expr("(coalesce(__oov, 0L) * 1000000) DIV n_tokens")).as("oov_ppm"))
+  }
+
+  /**
    * Sentence-aware chunking: split documents into ~`maxChars`-character
    * chunks that break ONLY at [[sentences]] boundaries — the upgrade over
    * [[chunkDocuments]], which splits mid-sentence. Offsets are measured in

@@ -276,6 +276,28 @@ object Web {
   }
 
   /**
+   * Per-domain dedup pressure: how much of each domain's crawl volume is
+   * exact-duplicate text — `(domain, n_docs, n_unique, dup_ppm)` with
+   * `dup_ppm = (n_docs - n_unique) * 1e6 DIV n_docs` in exact integers.
+   * High-pressure domains are mirrors, boilerplate farms or scraper
+   * loops; feed them to [[TextAnalysis.sourceCap]] or the blocklist —
+   * this is the MEASUREMENT pass that tells a curation team where its
+   * dedup budget actually goes. One map-side-combined aggregation over
+   * `(domain, md5(text))`, then a domain-sized rollup; normalization of
+   * the text (NFKC etc.) is the caller's job, same as the dedup tiers.
+   */
+  def domainDedupProfile(
+      df: DataFrame,
+      domainCol: String,
+      textCol: String): DataFrame =
+    df.select(col(domainCol).as("domain"), md5(col(textCol)).as("__fp"))
+      .groupBy(col("domain"), col("__fp")).agg(count(lit(1)).as("__n"))
+      .groupBy(col("domain"))
+      .agg(sum(col("__n")).as("n_docs"), count(lit(1)).as("n_unique"))
+      .withColumn("dup_ppm",
+        expr("((n_docs - n_unique) * 1000000) DIV n_docs"))
+
+  /**
    * Anchor elements (`<a ... href="...">text</a>`) of an HTML column, as
    * two aligned arrays — the extraction step under outlink counting and
    * the host link graph [[Graphs.pageRank]] ranks. One pattern produces

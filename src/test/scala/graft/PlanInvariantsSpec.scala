@@ -290,6 +290,12 @@ class PlanInvariantsSpec extends SparkTestBase {
     // two degree aggs + the reversed-pair self-join + node-sized assembly
     // outer joins (same checkpoint-blind SMJ allowance as host_hits)
     check("host_degrees", maxShuffles = 8, maxSmj = 3)
+    // (domain, fp) agg + domain rollup — two map-side-combined exchanges
+    check("domain_dedup_profile", maxShuffles = 2)
+    // per-row lang-ID kernel + one (lang, pred) count agg
+    check("lang_confusion", maxShuffles = 1)
+    // broadcast anti-join (no shuffle) + doc-keyed count + assembly join
+    check("vocab_coverage", maxShuffles = 3)
   }
 
   test("round-7 additions: bounded shuffles, no cartesian") {

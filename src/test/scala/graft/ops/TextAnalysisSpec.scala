@@ -962,6 +962,21 @@ class TextAnalysisSpec extends SparkTestBase {
     out(3L)._2 shouldBe 1L // "no terminators here" is one fragment sentence
   }
 
+  test("vocabCoverage: exact OOV ppm, full coverage, token-free null") {
+    val vocab = Seq("the", "cat", "dog").toDF("term")
+    val docs = Seq(
+      (1L, "the cat saw the dog run"), // 6 tokens, 2 OOV (saw, run)
+      (2L, "the cat"),                  // fully covered
+      (3L, "???"))                      // token-free
+      .toDF("id", "text")
+    val out = TextAnalysis.vocabCoverage(docs, "id", "text", vocab, "term")
+      .as[(Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    out(1L) shouldBe ((6L, 2L, Some(333333L)))
+    out(2L) shouldBe ((2L, 0L, Some(0L)))
+    out(3L) shouldBe ((0L, 0L, None))
+  }
+
   test("flesch orders simple text above polysyllabic legalese") {
     val simple = "The cat sat on the mat. The dog ran to the tree. We like it."
     val dense = "Notwithstanding aforementioned considerations, heterogeneous " +

@@ -165,6 +165,18 @@ class WebSpec extends SparkTestBase {
     out("spam.net").getAs[Long]("low_quality") shouldBe 1L
   }
 
+  test("domainDedupProfile: exact dup pressure per domain, zero for all-unique") {
+    import spark.implicits._
+    val docs = Seq(
+      ("a.com", "same page"), ("a.com", "same page"), ("a.com", "same page"),
+      ("a.com", "other page"),
+      ("b.org", "x"), ("b.org", "y")).toDF("domain", "text")
+    val out = Web.domainDedupProfile(docs, "domain", "text")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    out("a.com") shouldBe ((4L, 2L, 500000L)) // 2 of 4 docs are copies
+    out("b.org") shouldBe ((2L, 2L, 0L))
+  }
+
   test("anchorTextProfile ranks terms per host by count, ties by term, capped at k") {
     import spark.implicits._
     val links = Seq(
