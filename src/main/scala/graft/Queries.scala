@@ -4359,6 +4359,40 @@ object Queries {
        FROM c"""
   }
 
+  /**
+   * `collocations`: [[TextAnalysis.collocations]] — top-20 adjacent word
+   * pairs by exact fixed-point PMI ratio (`n_pair * N * 1e6 DIV
+   * (n_w1 * n_w2)`, min pair count 5). The oracle replays the bigram
+   * kernel's gram definition, both count aggregations and the HUGEINT
+   * arithmetic, ranking with the identical `(score desc, w1, w2)` total
+   * order.
+   */
+  def collocationsQ(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    TextAnalysis.collocations(t(dir, "documents"), "text", k = 20, minPairCount = 5)
+  }
+
+  val collocationsSql: String =
+    s"""WITH tok AS (SELECT $Toks AS toks FROM documents),
+       uni AS (SELECT w, count(*) AS n_w
+               FROM (SELECT unnest(toks) AS w FROM tok) GROUP BY w),
+       tot AS (SELECT CAST(sum(n_w) AS BIGINT) AS n FROM uni),
+       pairs AS (
+         SELECT pair, count(*) AS n_pair FROM (
+           SELECT unnest(list_transform(range(1, len(toks)),
+             i -> toks[i] || ' ' || toks[i + 1])) AS pair
+           FROM tok)
+         GROUP BY pair HAVING count(*) >= 5),
+       sc AS (SELECT string_split(pair, ' ')[1] AS w1,
+                     string_split(pair, ' ')[2] AS w2, n_pair FROM pairs),
+       j AS (SELECT s.w1, s.w2, s.n_pair,
+               CAST(CAST(s.n_pair AS HUGEINT) * t.n * 1000000 //
+                 (CAST(u1.n_w AS HUGEINT) * u2.n_w) AS BIGINT) AS score_fp
+             FROM sc s JOIN uni u1 ON s.w1 = u1.w JOIN uni u2 ON s.w2 = u2.w
+             CROSS JOIN tot t)
+       SELECT w1, w2, n_pair, score_fp FROM j
+       ORDER BY score_fp DESC, w1, w2 LIMIT 20"""
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -4505,5 +4539,6 @@ object Queries {
     ("host_degrees", hostDegrees _, Some(hostDegreesSql)),
     ("domain_dedup_profile", domainDedupProfileQ _, Some(domainDedupProfileSql)),
     ("lang_confusion", langConfusion _, Some(langConfusionSql)),
-    ("vocab_coverage", vocabCoverageQ _, Some(vocabCoverageSql)))
+    ("vocab_coverage", vocabCoverageQ _, Some(vocabCoverageSql)),
+    ("collocations", collocationsQ _, Some(collocationsSql)))
 }

@@ -1399,6 +1399,54 @@ object TextAnalysis {
     else graft.functions.functions.word_ngrams(text, n, scriptAware)
 
   /**
+   * Collocation mining: the top-`k` adjacent word pairs by PMI-style
+   * association in exact fixed-point —
+   * `score_fp = n_pair * N * 1e6 DIV (n_w1 * n_w2)` (the PMI argument
+   * without the log, which is monotone, so the RANKING is PMI's ranking —
+   * the same no-libm substitution as tfidf/BM25). The phrase-discovery
+   * pass before tokenizer training or n-gram feature design: pairs that
+   * co-occur far above chance ("new york", "machine learning") surface,
+   * chance-level neighbors don't. `minPairCount` suppresses noise pairs
+   * whose tiny unigram counts would otherwise dominate the ratio.
+   *
+   * Plan: two corpus-token aggregations (unigrams via the token kernel,
+   * pairs via the codegen'd [[graft.functions.WordNgrams]] bigram
+   * kernel), vocab-sized equi-joins, a 1-row total broadcast and a
+   * bounded global `TakeOrdered` — never a corpus-sized sort.
+   * Intermediates ride DECIMAL(38,0) (`n_pair * N * 1e6` at web scale
+   * ~1e32, inside headroom).
+   */
+  def collocations(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      k: Int = 20,
+      minPairCount: Long = 5,
+      scriptAware: Boolean = false): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(minPairCount >= 1, s"minPairCount must be >= 1, got $minPairCount")
+    val uni = df.select(explode(toksOf(col(textCol), scriptAware)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+    val total = uni.agg(sum(col("n_w")).as("__n"))
+    val pairs = df.select(
+        explode(wordNgramsFast(col(textCol), 2, scriptAware)).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minPairCount)
+      .withColumn("w1", substring_index(col("pair"), " ", 1))
+      .withColumn("w2", substring_index(col("pair"), " ", -1))
+    pairs
+      .join(uni.select(col("w").as("w1"), col("n_w").as("n_w1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("n_w").as("n_w2")), "w2")
+      .join(broadcast(total))
+      .withColumn("score_fp", expr(
+        "CAST(CAST(n_pair AS DECIMAL(38,0)) * __n * 1000000" +
+          " DIV (CAST(n_w1 AS DECIMAL(38,0)) * n_w2) AS BIGINT)"))
+      .orderBy(col("score_fp").desc, col("w1"), col("w2"))
+      .limit(k)
+      .select(col("w1"), col("w2"), col("n_pair"), col("score_fp"))
+  }
+
+  /**
    * [[typicalityModel]] over adjacent word n-grams (default bigrams) —
    * one step closer to the real CCNet/KenLM recipe, whose reference model
    * is an n-gram LM: a unigram model scores any bag of common words as

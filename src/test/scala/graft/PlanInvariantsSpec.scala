@@ -296,6 +296,8 @@ class PlanInvariantsSpec extends SparkTestBase {
     check("lang_confusion", maxShuffles = 1)
     // broadcast anti-join (no shuffle) + doc-keyed count + assembly join
     check("vocab_coverage", maxShuffles = 3)
+    // two token aggs + vocab-sized joins + 1-row total BNLJ + TakeOrdered
+    check("collocations", maxShuffles = 6, maxBnlj = 1)
   }
 
   test("round-7 additions: bounded shuffles, no cartesian") {

@@ -977,6 +977,33 @@ class TextAnalysisSpec extends SparkTestBase {
     out(3L) shouldBe ((0L, 0L, None))
   }
 
+  test("collocations: exact PMI-ratio fixed point, ties by pair, min-count gate") {
+    val docs = (Seq.fill(4)("alpha beta") ++ Seq.fill(4)("alpha gamma delta"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    // unigrams: alpha 8, beta 4, gamma 4, delta 4; N=20
+    // pairs (x4 each): alpha beta 4*20/(8*4)=2.5; alpha gamma 2.5; gamma delta 5
+    val out = TextAnalysis.collocations(docs, "text", k = 2, minPairCount = 4)
+      .as[(String, String, Long, Long)].collect().toSeq
+    out shouldBe Seq(
+      ("gamma", "delta", 4L, 5000000L),
+      ("alpha", "beta", 4L, 2500000L)) // score tie vs (alpha, gamma): w2 decides
+    // raising the gate above the pair counts empties the result
+    TextAnalysis.collocations(docs, "text", k = 2, minPairCount = 5).count() shouldBe 0L
+  }
+
+  test("collocations surface the engineered phrase above chance neighbors") {
+    // filler words stride differently per doc, so filler ADJACENCIES never
+    // repeat across docs (pair counts stay under the gate) while the
+    // phrase repeats verbatim in every doc
+    val docs = (1L to 10L).map { i =>
+      val filler = (1 to 40).map(j => s"f${(i * j) % 41}").mkString(" ")
+      (i, s"machine learning $filler")
+    }.toDF("id", "text")
+    val top = TextAnalysis.collocations(docs, "text", k = 1, minPairCount = 5)
+      .as[(String, String, Long, Long)].head()
+    (top._1, top._2) shouldBe (("machine", "learning"))
+  }
+
   test("flesch orders simple text above polysyllabic legalese") {
     val simple = "The cat sat on the mat. The dog ran to the tree. We like it."
     val dense = "Notwithstanding aforementioned considerations, heterogeneous " +
