@@ -4393,6 +4393,32 @@ object Queries {
        SELECT w1, w2, n_pair, score_fp FROM j
        ORDER BY score_fp DESC, w1, w2 LIMIT 20"""
 
+  /**
+   * `exact_percentiles`: [[graft.ops.Sketches.exactPercentiles]] — exact
+   * nearest-rank p50/p90/p99 of event values (in exact cents) per event
+   * type, computed with the no-one-reducer range-partition recipe. The
+   * oracle replays the nearest-rank definition (`ceil(n*p/100)` via a
+   * per-group row_number) in DuckDB; the hash-match is the
+   * distributed-equals-definition proof, same as the global-order family.
+   */
+  def exactPercentilesQ(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val v = events(dir).select(col("event_type"), cents(col("value")).as("cents"))
+    graft.ops.Sketches.exactPercentiles(v, "event_type", "cents", Seq(50, 90, 99))
+  }
+
+  val exactPercentilesSql: String =
+    """WITH v AS (SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS c
+                  FROM events WHERE value IS NOT NULL),
+       n AS (SELECT event_type, count(*) AS n FROM v GROUP BY 1),
+       r AS (SELECT event_type, c,
+               row_number() OVER (PARTITION BY event_type ORDER BY c) AS rk
+             FROM v),
+       t AS (SELECT event_type, p, (n * p + 99) // 100 AS target
+             FROM n CROSS JOIN (SELECT unnest([50, 90, 99]) AS p))
+       SELECT t.event_type, CAST(t.p AS BIGINT) AS pct, r.c AS cents
+       FROM t JOIN r ON r.event_type = t.event_type AND r.rk = t.target"""
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -4540,5 +4566,6 @@ object Queries {
     ("domain_dedup_profile", domainDedupProfileQ _, Some(domainDedupProfileSql)),
     ("lang_confusion", langConfusion _, Some(langConfusionSql)),
     ("vocab_coverage", vocabCoverageQ _, Some(vocabCoverageSql)),
-    ("collocations", collocationsQ _, Some(collocationsSql)))
+    ("collocations", collocationsQ _, Some(collocationsSql)),
+    ("exact_percentiles", exactPercentilesQ _, Some(exactPercentilesSql)))
 }

@@ -298,6 +298,10 @@ class PlanInvariantsSpec extends SparkTestBase {
     check("vocab_coverage", maxShuffles = 3)
     // two token aggs + vocab-sized joins + 1-row total BNLJ + TakeOrdered
     check("collocations", maxShuffles = 6, maxBnlj = 1)
+    // range exchange lives behind the checkpoint; data crosses the
+    // (group, pid) window exchange once; counts/offsets/targets frames
+    // are groups x partitions sized
+    check("exact_percentiles", maxShuffles = 5)
   }
 
   test("round-7 additions: bounded shuffles, no cartesian") {

@@ -178,4 +178,34 @@ class SketchesSpec extends SparkTestBase {
     s.map(r => (r.getString(0), r.getLong(1))).toSeq shouldBe
       Seq(("a", 2L), ("b", 2L), ("c", 1L)) // ties break by key, nulls contribute nothing
   }
+
+  test("exactPercentiles matches the nearest-rank definition under any partitioning") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 500).map(_ => ("g" + rnd.nextInt(3), rnd.nextInt(1000).toLong)) ++
+      Seq(("gnull", 5L)) // a 1-row group: every percentile is its only value
+    val df = rows.toDF("g", "v")
+    val pcts = Seq(1, 50, 90, 100)
+    def naive: Set[(String, Long, Long)] = rows.groupBy(_._1).flatMap { case (g, vs) =>
+      val sorted = vs.map(_._2).sorted
+      pcts.map { p =>
+        val target = (sorted.size.toLong * p + 99) / 100
+        (g, p.toLong, sorted((target - 1).toInt))
+      }
+    }.toSet
+    for (parts <- Seq(1, 4, 23)) {
+      val out = Sketches.exactPercentiles(df.repartition(parts), "g", "v", pcts,
+        numPartitions = parts)
+        .as[(String, Long, Long)].collect().toSet
+      withClue(s"parts=$parts") { out shouldBe naive }
+    }
+  }
+
+  test("exactPercentiles drops nulls before ranking; duplicate values are fine") {
+    val df = Seq(("g", Some(10L)), ("g", Some(10L)), ("g", Some(10L)),
+      ("g", Some(20L)), ("g", Option.empty[Long])).toDF("g", "v")
+    val out = Sketches.exactPercentiles(df, "g", "v", Seq(50, 100))
+      .as[(String, Long, Long)].collect().toSet
+    // 4 non-null values: p50 target ceil(2.0)=2 -> 10; p100 target 4 -> 20
+    out shouldBe Set(("g", 50L, 10L), ("g", 100L, 20L))
+  }
 }
