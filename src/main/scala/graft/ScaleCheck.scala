@@ -33,7 +33,8 @@ object ScaleCheck {
     "bpe_train_256merges", "typicality_score", "typicality_bigram",
     "typicality_backoff", "url_dedup", "sentence_chunks",
     "funnel_window", "asof_nearest", "heavy_hitters", "main_content",
-    "token_budget_per_group", "fuzzy_join", "containment_pairs", "host_pagerank")
+    "token_budget_per_group", "fuzzy_join", "containment_pairs", "host_pagerank",
+    "bm25_topk", "collocations", "exact_percentiles")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -412,6 +413,26 @@ object ScaleCheck {
     time("containment_pairs") {
       ops.Dedup.containmentPairs(bigDocs, "doc_id", "text",
         minContainPpm = 600000L, maxShingleDf = 100)
+    }
+    // corpus tokenizes once; the tf agg sees only query-term rows and the
+    // df frame derives from it (one reused exchange subtree)
+    time("bm25_topk") {
+      val qs = spark.createDataFrame(Seq(
+        ("q1", "table scan merge"), ("q2", "slow query filter"),
+        ("q3", "stream window customer"))).toDF("query_id", "qtext")
+      ops.Retrieval.bm25TopK(bigDocs, "doc_id", "text", qs, "query_id", "qtext", k = 10)
+    }
+    // gram streams grow linearly; the pair/unigram vocabularies are
+    // Heaps-law-bounded and shared across the amplified copies
+    time("collocations") {
+      ops.TextAnalysis.collocations(bigDocs, "text", k = 20, minPairCount = 5)
+    }
+    // the no-one-reducer exact percentile: range exchange + one
+    // (group, pid) window exchange over the values, offsets tiny
+    time("exact_percentiles") {
+      val v = bigEvents.select(col("event_type"),
+        expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+      ops.Sketches.exactPercentiles(v, "event_type", "cents", Seq(50, 90, 99))
     }
     // node count scales with the corpus (hosts = ids mod 250*factor), edge
     // count is 3x docs; 5 rank iterations = 10 bounded shuffles over
