@@ -4419,6 +4419,45 @@ object Queries {
        SELECT t.event_type, CAST(t.p AS BIGINT) AS pct, r.c AS cents
        FROM t JOIN r ON r.event_type = t.event_type AND r.rk = t.target"""
 
+  /**
+   * `value_outliers`: [[graft.ops.Drift.robustValueProfile]] — per-type
+   * median/MAD/outlier profile of event values in exact cents (both
+   * medians are exact nearest-rank percentiles through the no-one-reducer
+   * recipe; outlier test `|v - med| * 100 > 300 * mad`). Oracle replays
+   * both nearest-rank medians, the deviation join and the counts in
+   * DuckDB.
+   */
+  def valueOutliers(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val v = events(dir).select(col("event_type"), cents(col("value")).as("cents"))
+    graft.ops.Drift.robustValueProfile(v, "event_type", "cents", kX100 = 300L)
+  }
+
+  val valueOutliersSql: String =
+    """WITH v AS (SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS c
+                  FROM events WHERE value IS NOT NULL),
+       n AS (SELECT event_type, count(*) AS n FROM v GROUP BY 1),
+       r AS (SELECT event_type, c,
+               row_number() OVER (PARTITION BY event_type ORDER BY c) AS rk FROM v),
+       med AS (SELECT n.event_type, r.c AS median
+               FROM n JOIN r ON r.event_type = n.event_type
+                 AND r.rk = (n.n * 50 + 99) // 100),
+       d AS (SELECT v.event_type, v.c, abs(v.c - m.median) AS dev, m.median
+             FROM v JOIN med m USING (event_type)),
+       dn AS (SELECT event_type, count(*) AS n FROM d GROUP BY 1),
+       dr AS (SELECT event_type, dev,
+                row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rk FROM d),
+       mad AS (SELECT dn.event_type, dr.dev AS mad
+               FROM dn JOIN dr ON dr.event_type = dn.event_type
+                 AND dr.rk = (dn.n * 50 + 99) // 100)
+       SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
+              min(d.median) AS median, min(mad.mad) AS mad,
+              CAST(sum(CASE WHEN d.dev * 100 > 300 * mad.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+              (CAST(sum(CASE WHEN d.dev * 100 > 300 * mad.mad THEN 1 ELSE 0 END)
+                AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT) AS outlier_ppm
+       FROM d JOIN mad USING (event_type) GROUP BY d.event_type"""
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -4567,5 +4606,6 @@ object Queries {
     ("lang_confusion", langConfusion _, Some(langConfusionSql)),
     ("vocab_coverage", vocabCoverageQ _, Some(vocabCoverageSql)),
     ("collocations", collocationsQ _, Some(collocationsSql)),
-    ("exact_percentiles", exactPercentilesQ _, Some(exactPercentilesSql)))
+    ("exact_percentiles", exactPercentilesQ _, Some(exactPercentilesSql)),
+    ("value_outliers", valueOutliers _, Some(valueOutliersSql)))
 }

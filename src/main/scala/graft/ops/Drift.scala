@@ -169,4 +169,54 @@ object Drift {
             sqrt(col("__qo").cast("double")) * 10000).cast("long"))
           .as("norm_ratio_x10000"))
   }
+
+  /**
+   * Robust per-group value profile — median, MAD (median absolute
+   * deviation) and outlier counts in exact integers, the VALUE-level
+   * sibling of [[dailyVolumeAnomalies]]'s row-count alarms: a payments
+   * feed whose amounts suddenly include scraper garbage, a sensor whose
+   * scale flipped, a currency bug — mean/stddev miss them (the outliers
+   * drag the mean), MAD does not. A row is an outlier when
+   * `|value - median| * 100 > kX100 * mad` (k = `kX100`/100; the classic
+   * robust z-score test without doubles — values should arrive as exact
+   * integers, e.g. cents).
+   *
+   * Both the median and the MAD are EXACT nearest-rank percentiles via
+   * [[Sketches.exactPercentiles]] — no percentile-aggregate value buffer
+   * on one reducer, so the profile holds at any group size. Degenerate
+   * groups where over half the values equal the median have `mad = 0`,
+   * and EVERY deviating row flags — the standard MAD caveat, surfaced
+   * rather than hidden (a constant-valued feed with one bad row should
+   * alarm).
+   *
+   * Output: `(groupCol, n, median, mad, n_outliers, outlier_ppm)`.
+   */
+  def robustValueProfile(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      kX100: Long = 300L): DataFrame = {
+    require(kX100 >= 0, s"kX100 must be >= 0, got $kX100")
+    val vals = df.select(col(groupCol), col(valueCol))
+      .where(col(valueCol).isNotNull)
+    val med = Sketches.exactPercentiles(vals, groupCol, valueCol, Seq(50))
+      .select(col(groupCol), col(valueCol).as("median"))
+    // materialized once: BOTH consumers (the MAD percentile pass and the
+    // final profile aggregation) read it, and its lineage is the full
+    // median computation joined back over the data
+    val dev = vals.join(med, groupCol)
+      .withColumn("__dev", abs(col(valueCol) - col("median")))
+      .localCheckpoint(true)
+    val mad = Sketches.exactPercentiles(
+      dev.select(col(groupCol), col("__dev")), groupCol, "__dev", Seq(50))
+      .select(col(groupCol), col("__dev").as("mad"))
+    dev.join(mad, groupCol)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        first(col("median")).as("median"),
+        first(col("mad")).as("mad"),
+        sum(when(col("__dev") * 100 > lit(kX100) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .withColumn("outlier_ppm", expr("(n_outliers * 1000000) DIV n"))
+  }
 }

@@ -302,6 +302,11 @@ class PlanInvariantsSpec extends SparkTestBase {
     // (group, pid) window exchange once; counts/offsets/targets frames
     // are groups x partitions sized
     check("exact_percentiles", maxShuffles = 5)
+    // two exactPercentiles passes (the deviation frame materializes once
+    // behind a checkpoint) + the deviation join + one profile agg; the
+    // group-sized mad join pins as SMJ pre-AQE (checkpoint-blind sizes,
+    // same allowance as host_hits — AQE broadcasts it at runtime)
+    check("value_outliers", maxShuffles = 9, maxSmj = 2)
   }
 
   test("round-7 additions: bounded shuffles, no cartesian") {

@@ -86,4 +86,32 @@ class DriftSpec extends SparkTestBase {
     one shouldBe many
     one should not be empty // quadratic growth trips the 115% bar
   }
+
+  test("robustValueProfile: hand-computed median/MAD, outliers flagged, mean-immunity") {
+    // g: values 10,12,14,16,1000 -> median 14 (rank ceil(2.5)=3), devs
+    // 4,2,0,2,986 sorted 0,2,2,4,986 -> mad 2 (rank 3); only 1000 deviates
+    // past 3*mad — the huge outlier does NOT drag the center (mean would be 210)
+    val df = Seq(("g", 10L), ("g", 12L), ("g", 14L), ("g", 16L), ("g", 1000L))
+      .toDF("k", "v")
+    val out = Drift.robustValueProfile(df, "k", "v", kX100 = 300L)
+      .as[(String, Long, Long, Long, Long, Long)].collect().head
+    out shouldBe (("g", 5L, 14L, 2L, 1L, 200000L))
+  }
+
+  test("robustValueProfile: a constant feed with one bad row alarms (mad = 0)") {
+    val df = (Seq.fill(9)(50L) :+ 51L).map(("c", _)).toDF("k", "v")
+    val out = Drift.robustValueProfile(df, "k", "v")
+      .as[(String, Long, Long, Long, Long, Long)].collect().head
+    out._4 shouldBe 0L // degenerate MAD
+    out._5 shouldBe 1L // ...and the single deviating row still flags
+  }
+
+  test("robustValueProfile ignores nulls and is partitioning-independent") {
+    val df = Seq(("a", Some(1L)), ("a", Some(2L)), ("a", Some(3L)),
+      ("a", Option.empty[Long]), ("b", Some(7L))).toDF("k", "v")
+    val one = Drift.robustValueProfile(df.coalesce(1), "k", "v").collect().map(_.toSeq).toSet
+    val many = Drift.robustValueProfile(df.repartition(5), "k", "v").collect().map(_.toSeq).toSet
+    one shouldBe many
+    one.map(r => (r.head, r(1))) shouldBe Set(("a", 3L), ("b", 1L)) // null dropped
+  }
 }
