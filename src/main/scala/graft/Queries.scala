@@ -4458,6 +4458,58 @@ object Queries {
                 AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT) AS outlier_ppm
        FROM d JOIN mad USING (event_type) GROUP BY d.event_type"""
 
+  /**
+   * `percolate`: [[graft.ops.Retrieval.percolate]] — three standing
+   * keyword queries matched against every document at a 60%
+   * minimum-should-match. Oracle replays distinct-term explode, the
+   * query-term join and the threshold arithmetic in DuckDB.
+   */
+  def percolateQ(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val qs = Seq(("alerts_scan", "table scan merge sort"),
+      ("alerts_perf", "slow query filter"),
+      ("alerts_user", "customer stream window")).toDF("query_id", "qtext")
+    graft.ops.Retrieval.percolate(t(dir, "documents"), "doc_id", "text",
+      qs, "query_id", "qtext", minMatchPct = 60)
+  }
+
+  val percolateSql: String = {
+    val qtoks = "list_filter(string_split_regex(lower(qtext), '[^a-z0-9]+'), x -> x <> '')"
+    s"""WITH qs(query_id, qtext) AS (VALUES
+         ('alerts_scan', 'table scan merge sort'), ('alerts_perf', 'slow query filter'),
+         ('alerts_user', 'customer stream window')),
+       qt AS (SELECT query_id, unnest(list_distinct($qtoks)) AS term FROM qs),
+       qn AS (SELECT query_id, count(*) AS n_terms FROM qt GROUP BY 1),
+       dt AS (SELECT doc_id, unnest(list_distinct($Toks)) AS term FROM documents),
+       m AS (SELECT d.doc_id, q.query_id, count(*) AS n_matched
+             FROM dt d JOIN qt q USING (term) GROUP BY 1, 2)
+       SELECT m.doc_id, m.query_id, m.n_matched, qn.n_terms
+       FROM m JOIN qn USING (query_id)
+       WHERE m.n_matched * 100 >= qn.n_terms * 60"""
+  }
+
+  /**
+   * `cluster_sizes`: the near-dup cluster size histogram — how much of
+   * the duplicate mass sits in pairs vs large families (the shape that
+   * decides whether keep-first vs keep-best matters and how hot the LSH
+   * buckets run). Cluster labels from [[Dedup.duplicateClusters]]; the
+   * oracle inherits [[OracleLabelPropRounds]] via [[dupClusterCtes]].
+   */
+  def clusterSizes(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    dupClusters(spark, dir)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("__size"))
+      .groupBy(col("__size").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+  }
+
+  val clusterSizesSql: String =
+    s"""WITH $dupClusterCtes,
+       sizes AS (SELECT cluster_id, count(*) AS cluster_size
+                 FROM l$OracleLabelPropRounds GROUP BY cluster_id)
+       SELECT cluster_size, count(*) AS n_clusters FROM sizes GROUP BY cluster_size"""
+
   // =====================================================================
   // Registry
   // =====================================================================
@@ -4607,5 +4659,7 @@ object Queries {
     ("vocab_coverage", vocabCoverageQ _, Some(vocabCoverageSql)),
     ("collocations", collocationsQ _, Some(collocationsSql)),
     ("exact_percentiles", exactPercentilesQ _, Some(exactPercentilesSql)),
-    ("value_outliers", valueOutliers _, Some(valueOutliersSql)))
+    ("value_outliers", valueOutliers _, Some(valueOutliersSql)),
+    ("percolate", percolateQ _, Some(percolateSql)),
+    ("cluster_sizes", clusterSizes _, Some(clusterSizesSql)))
 }

@@ -116,6 +116,45 @@ object Retrieval {
    * rows. One distinct + one term-keyed aggregation; the lookup side of
    * [[bm25TopK]] when the corpus is indexed once and queried often.
    */
+  /**
+   * Percolation — reverse search: match every document against a
+   * REGISTERED set of keyword queries (topic routing, corpus alerting,
+   * "tell me when crawl batches mention X"). A document matches a query
+   * when at least `minMatchPct`% of the query's distinct terms occur in
+   * it (100 = all terms, the AND semantics; 50 = half, the
+   * minimum-should-match relaxation).
+   *
+   * The query set broadcasts (it is human-curated-sized); per document
+   * the work is one distinct-term explode, a broadcast equi-join and one
+   * `(doc, query)` count — a single data-sized exchange, no scoring
+   * state. The companion of [[bm25TopK]]: that ranks a corpus for one
+   * ad-hoc query, this streams a corpus past many standing ones.
+   *
+   * Output: `(doc_id, query_id, n_matched, n_terms)` for matching pairs.
+   */
+  def percolate(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryTextCol: String,
+      minMatchPct: Int = 100): DataFrame = {
+    require(minMatchPct >= 1 && minMatchPct <= 100,
+      s"minMatchPct must be in [1,100], got $minMatchPct")
+    val qterms = queries.select(col(queryIdCol).as("query_id"),
+      explode(array_distinct(TextAnalysis.tokens(col(queryTextCol)))).as("term"))
+    val qsizes = qterms.groupBy(col("query_id")).agg(count(lit(1)).as("n_terms"))
+    val docTerms = docs.select(col(idCol).as("doc_id"),
+      explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("term"))
+    docTerms.join(broadcast(qterms), "term")
+      .groupBy(col("doc_id"), col("query_id"))
+      .agg(count(lit(1)).as("n_matched"))
+      .join(broadcast(qsizes), "query_id")
+      .where(col("n_matched") * 100 >= col("n_terms") * minMatchPct)
+      .select(col("doc_id"), col("query_id"), col("n_matched"), col("n_terms"))
+  }
+
   def invertedIndex(
       docs: DataFrame,
       idCol: String,

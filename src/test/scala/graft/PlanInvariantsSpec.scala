@@ -307,6 +307,10 @@ class PlanInvariantsSpec extends SparkTestBase {
     // group-sized mad join pins as SMJ pre-AQE (checkpoint-blind sizes,
     // same allowance as host_hits — AQE broadcasts it at runtime)
     check("value_outliers", maxShuffles = 9, maxSmj = 2)
+    // broadcast query terms, ONE data-sized (doc, query) count exchange
+    check("percolate", maxShuffles = 3)
+    // the dup-cluster machinery + two bounded histogram aggs
+    check("cluster_sizes", maxShuffles = 8)
   }
 
   test("round-7 additions: bounded shuffles, no cartesian") {

@@ -86,6 +86,29 @@ class RetrievalSpec extends SparkTestBase {
     out("fish") shouldBe ((1L, Seq(1L)))
   }
 
+  test("percolate: AND at 100%, minimum-should-match relaxation, no phantom matches") {
+    val docs = Seq(
+      (1L, "spark shuffle join plan"),
+      (2L, "spark shuffle only here"),
+      (3L, "nothing relevant at all")).toDF("id", "text")
+    val qs = Seq(("q_all", "spark shuffle join"), ("q_none", "zebra unicorn"))
+      .toDF("qid", "qtext")
+    val strict = Retrieval.percolate(docs, "id", "text", qs, "qid", "qtext", 100)
+      .select("doc_id", "query_id").as[(Long, String)].collect().toSet
+    strict shouldBe Set((1L, "q_all")) // doc 2 misses "join"
+    val relaxed = Retrieval.percolate(docs, "id", "text", qs, "qid", "qtext", 60)
+      .select("doc_id", "query_id", "n_matched").as[(Long, String, Long)].collect().toSet
+    relaxed shouldBe Set((1L, "q_all", 3L), (2L, "q_all", 2L)) // 2/3 = 66% >= 60
+  }
+
+  test("percolate counts distinct terms once and a token-free query never matches") {
+    val docs = Seq((1L, "spark spark spark plan")).toDF("id", "text")
+    val qs = Seq(("q", "spark spark plan"), ("empty", "!!!")).toDF("qid", "qtext")
+    val out = Retrieval.percolate(docs, "id", "text", qs, "qid", "qtext", 100)
+      .as[(Long, String, Long, Long)].collect().toSet
+    out shouldBe Set((1L, "q", 2L, 2L)) // repeated terms collapse both sides
+  }
+
   test("invertedIndex is partitioning-independent (the cap rule is deterministic)") {
     val docs = (1L to 50L).map(i => (i, s"t${i % 4} shared")).toDF("id", "text")
     val a = Retrieval.invertedIndex(docs.coalesce(1), "id", "text", maxPostings = 5)
