@@ -606,4 +606,51 @@ object EventStreams {
           }
       }
   }
+
+  /**
+   * S17 — streaming percolation: every arriving document matched against
+   * a REGISTERED standing-query set with
+   * [[graft.ops.Retrieval.percolate]]'s verdict semantics — "page
+   * mentioning X entered the crawl" alerting, topic routing into
+   * per-subject sinks. The batch operator's `(doc, query)` count is a
+   * streaming AGGREGATION (state, watermark, output-mode friction), so
+   * the stream tier takes the literal-map road the curation gates take
+   * ([[graft.ops.TextAnalysis.typicalityScoreCol]] pattern): the
+   * human-sized query set arrives as a LITERAL `query_id -> text` map,
+   * fuses into the scan as per-row array intersections against the
+   * document's distinct tokens, and emits matches with NO state, no
+   * watermark, append-safe. Verdicts are bit-identical to the batch
+   * operator (same tokenizer, same distinct-term counting — the parity
+   * spec holds them together). Emits
+   * `(docs.columns..., query_id, n_matched, n_terms)`.
+   */
+  def percolateStream(
+      docs: DataFrame,
+      queries: Map[String, String],
+      textCol: String = "text",
+      minMatchPct: Int = 100): DataFrame = {
+    require(queries.nonEmpty, "need at least one standing query")
+    require(minMatchPct >= 1 && minMatchPct <= 100,
+      s"minMatchPct must be in [1,100], got $minMatchPct")
+    // deterministic literal order; token sets precomputed on the driver
+    // with the SAME tokenizer rule the batch operator applies
+    val qs = queries.toSeq.sortBy(_._1).map { case (qid, qtext) =>
+      (qid, qtext.toLowerCase(java.util.Locale.ROOT)
+        .split("[^a-z0-9]+").filter(_.nonEmpty).distinct.toSeq)
+    }.filter(_._2.nonEmpty)
+    val qlit = array(qs.map { case (qid, terms) =>
+      struct(lit(qid).as("query_id"),
+        array(terms.map(lit): _*).as("terms"),
+        lit(terms.size.toLong).as("n_terms"))
+    }: _*)
+    docs
+      .withColumn("__q", explode(qlit))
+      .withColumn("n_matched",
+        size(array_intersect(
+          array_distinct(graft.ops.TextAnalysis.tokens(col(textCol))),
+          col("__q.terms"))).cast("long"))
+      .where(col("n_matched") * 100 >= col("__q.n_terms") * minMatchPct)
+      .select(docs.columns.map(col) ++ Seq(col("__q.query_id").as("query_id"),
+        col("n_matched"), col("__q.n_terms").as("n_terms")): _*)
+  }
 }

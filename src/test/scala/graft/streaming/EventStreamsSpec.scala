@@ -627,4 +627,34 @@ class EventStreamsSpec extends SparkTestBase {
     sessions should contain((11L, ts(2).getTime, ts(2).getTime, 1L))
     sessions should contain((10L, ts(90).getTime, ts(90).getTime, 1L)) // second session
   }
+
+  test("S17 percolation matches standing queries statelessly, stream == batch") {
+    implicit val sc = spark.sqlContext
+    val queries = Map(
+      "q_all" -> "spark shuffle join",
+      "q_none" -> "zebra unicorn",
+      "q_blank" -> "!!!") // token-free standing query: can never fire
+    val docs = Seq(
+      (1L, "spark shuffle join plan today"),
+      (2L, "spark shuffle only here"),
+      (3L, "nothing relevant at all"))
+
+    val in = MemoryStream[(Long, String)]
+    val q = EventStreams.percolateStream(in.toDF().toDF("doc_id", "text"),
+      queries, minMatchPct = 60)
+      .writeStream.format("memory").queryName("percolate_out").outputMode("append").start()
+    in.addData(docs: _*)
+    runToCompletion(q)
+    val streamed = spark.table("percolate_out")
+      .select($"doc_id", $"query_id", $"n_matched", $"n_terms")
+      .as[(Long, String, Long, Long)].collect().toSet
+    streamed shouldBe Set((1L, "q_all", 3L, 3L), (2L, "q_all", 2L, 3L))
+
+    // bit-identical to the batch operator's verdicts on the same frame
+    val qdf = queries.toSeq.toDF("qid", "qtext")
+    val batch = graft.ops.Retrieval.percolate(docs.toDF("doc_id", "text"),
+      "doc_id", "text", qdf, "qid", "qtext", minMatchPct = 60)
+      .as[(Long, String, Long, Long)].collect().toSet
+    batch shouldBe streamed
+  }
 }
