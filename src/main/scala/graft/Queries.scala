@@ -4076,6 +4076,55 @@ object Queries {
        WHERE (inter * 1000000) // s.size_a >= 600000"""
 
   /**
+   * `jaccard_join`: exact Jaccard set-similarity self-join
+   * ([[Dedup.jaccardPairsExact]] — AllPairs/PPJoin prefix filtering) over
+   * document word-5-shingle sets, against the NAIVE all-pairs oracle:
+   * DuckDB cross-joins every id pair and intersects the full distinct
+   * shingle lists, so the hash match proves the prefix + length filters
+   * are lossless, not just self-consistent. A third of the docs gain an
+   * appended-5-token near-copy (J = (n-4)/(n+1) for an n-token doc —
+   * above the 0.7 gate from ~16 tokens up), so the result is the exact
+   * near-dup pair set. Shingle sets are the PPJoin sweet spot (almost
+   * every element is rare → tiny prefixes); tiny-vocabulary token sets
+   * (e.g. part-name colors) have no rare elements for ANY exact
+   * algorithm to exploit and belong on the LSH tier instead.
+   */
+  def jaccardJoinQ(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val docs = t(dir, "documents")
+    val corpus = docs.select(col("doc_id").as("id"), col("text"))
+      .unionAll(docs.filter(col("doc_id") % 3 === 1)
+        .select((col("doc_id") + 1000000L).as("id"),
+          concat(col("text"), lit(" zz0 zz1 zz2 zz3 zz4")).as("text")))
+    Dedup.jaccardPairsExact(
+      corpus.withColumn("toks", Dedup.wordShingles(col("text"), 5)),
+      "id", "toks", minJaccardPpm = 700000L)
+  }
+
+  val jaccardJoinSql: String =
+    s"""WITH corpus AS (
+         SELECT doc_id AS id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 1000000 AS id,
+                concat(text, ' zz0 zz1 zz2 zz3 zz4') AS text
+         FROM documents WHERE doc_id % 3 = 1),
+       tok AS (SELECT id, $Toks AS toks FROM corpus),
+       base AS (
+         SELECT id, $SqlShingles AS sh FROM tok
+         WHERE len($SqlShingles) > 0),
+       pairs AS (
+         SELECT a.id AS id_a, b.id AS id_b,
+                CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+                CAST(len(a.sh) AS BIGINT) AS size_a,
+                CAST(len(b.sh) AS BIGINT) AS size_b
+         FROM base a JOIN base b ON a.id < b.id)
+       SELECT id_a, id_b, inter, size_a, size_b,
+              CAST((inter * 1000000) // (size_a + size_b - inter) AS BIGINT)
+                AS jaccard_ppm
+       FROM pairs
+       WHERE inter * 1000000 >= 700000 * (size_a + size_b - inter)"""
+
+  /**
    * `pii_luhn`: Luhn-validated card scrubbing
    * ([[TextAnalysis.cardCandidates]] / [[TextAnalysis.luhnValid]] /
    * [[TextAnalysis.scrubCardNumbers]]) — per customer, a synthetic page
@@ -4647,6 +4696,7 @@ object Queries {
     ("host_pagerank", hostPagerank _, Some(hostPagerankSql)),
     ("fuzzy_join", fuzzyJoin _, Some(fuzzyJoinSql)),
     ("containment_pairs", containmentPairsQ _, Some(containmentPairsSql)),
+    ("jaccard_join", jaccardJoinQ _, Some(jaccardJoinSql)),
     ("pii_luhn", piiLuhn _, Some(piiLuhnSql)),
     ("bm25_topk", bm25TopKQ _, Some(bm25TopKSql)),
     ("anchor_text_profile", anchorTextProfileQ _, Some(anchorTextProfileSql)),

@@ -695,4 +695,79 @@ object Dedup {
       .filter(col("contain_ppm") >= minContainPpm)
       .select("id_a", "id_b", "inter", "size_a", "contain_ppm")
   }
+
+  /**
+   * EXACT Jaccard set-similarity self-join via prefix filtering — the
+   * AllPairs/PPJoin recipe (Bayardo et al. WWW'07; Xiao et al. WWW'08):
+   * every unordered pair `(id_a < id_b)` of rows whose distinct-element
+   * sets satisfy `|A ∩ B| / |A ∪ B| >= t`, with NO approximation — the
+   * result is identical to the naive all-pairs definition, which is what
+   * the oracle replays. The exact tier of the similarity-join family:
+   * MinHash+LSH ([[lshCandidatePairs]]) trades recall for speed,
+   * [[containmentPairs]] answers the asymmetric question; this answers
+   * the symmetric one exactly.
+   *
+   * How it avoids the quadratic scan: elements get a global "rare-first"
+   * total order (document frequency asc, element asc). If `J(A,B) >= t`
+   * then `|A ∩ B| >= ceil(t·|A|)`, so A's first `|A| - ceil(t·|A|) + 1`
+   * elements in that order (its PREFIX) must share at least one element
+   * with B's prefix — pairs are generated only from an equi-join on
+   * prefix elements, then length-filtered (`t·|B| <= |A| <= |B|/t`,
+   * exact cross-multiplied integers) and verified with the true
+   * intersection. Rare-first ordering makes prefixes hit the lowest-df
+   * elements, so the per-element join fan-out is the smallest the data
+   * allows; the filter is provably lossless, so unlike `maxBucket`
+   * capping there is no recall knob to tune.
+   *
+   * Scale: explode is linear in total set elements; every join is
+   * equi-keyed (element, then id) — never a cross product; candidate
+   * volume is `sum_g prefixdf(g)^2` over prefix-element groups, the
+   * published bound that makes exact similarity join feasible on
+   * web-scale corpora. Threshold is ppm integer arithmetic end-to-end so
+   * every engine agrees on boundary pairs.
+   *
+   * Input sets are de-duplicated internally; rows with empty sets are
+   * dropped (Jaccard is undefined on them). Output: both ids, the exact
+   * intersection and set sizes, and `jaccard_ppm = inter·1e6 DIV union`.
+   */
+  def jaccardPairsExact(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      minJaccardPpm: Long = 500000L): DataFrame = {
+    require(minJaccardPpm > 0 && minJaccardPpm <= 1000000L,
+      s"minJaccardPpm must be in (0, 1e6], got $minJaccardPpm")
+    val base = df.select(col(idCol).as("id"), array_distinct(col(tokensCol)).as("__set"))
+      .filter(size(col("__set")) > 0)
+    val ex = base.select(col("id"), size(col("__set")).cast("long").as("sz"),
+      explode(col("__set")).as("tok"))
+    // global rare-first order: (df asc, element asc) is a total order on
+    // elements (df is a function of the element), shared by every set
+    val dfreq = ex.groupBy("tok").agg(count(lit(1)).as("__df"))
+    val prefix = ex.join(dfreq, "tok")
+      .withColumn("__pos", row_number().over(
+        Window.partitionBy("id").orderBy(col("__df"), col("tok"))))
+      // prefix length |A| - ceil(t·|A|) + 1, ceil in exact integer ppm
+      .filter(col("__pos") <=
+        col("sz") - expr(s"(sz * ${minJaccardPpm}L + 999999) DIV 1000000") + 1)
+      .select(col("tok"), col("id"), col("sz"))
+    val cand = prefix.select(col("tok"), col("id").as("id_a"), col("sz").as("sza"))
+      .join(prefix.select(col("tok"), col("id").as("id_b"), col("sz").as("szb")), "tok")
+      .where(col("id_a") < col("id_b"))
+      // length filter: J >= t forces t·|B| <= |A| and t·|A| <= |B|
+      .where(col("sza") * 1000000L >= col("szb") * minJaccardPpm &&
+        col("szb") * 1000000L >= col("sza") * minJaccardPpm)
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(base.select(col("id").as("id_a"), col("__set").as("__sa")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("__set").as("__sb")), "id_b")
+      .withColumn("inter", size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
+      .withColumn("size_a", size(col("__sa")).cast("long"))
+      .withColumn("size_b", size(col("__sb")).cast("long"))
+      .withColumn("__union", col("size_a") + col("size_b") - col("inter"))
+      // boundary pairs decided by exact cross-multiplication, not division
+      .filter(col("inter") * 1000000L >= col("__union") * minJaccardPpm)
+      .select(col("id_a"), col("id_b"), col("inter"), col("size_a"), col("size_b"),
+        expr("(inter * 1000000) DIV __union").as("jaccard_ppm"))
+  }
 }

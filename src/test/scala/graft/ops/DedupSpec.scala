@@ -456,4 +456,54 @@ class DedupSpec extends SparkTestBase {
     one shouldBe many
     one.map(_.head) should not contain 3L // null text never pairs
   }
+
+  test("jaccardPairsExact equals the naive all-pairs definition") {
+    // deterministic overlapping sets, sizes 3..7, some duplicate tokens
+    val rows = (1L to 40L).map { i =>
+      val toks = (0 until (3 + (i % 5)).toInt)
+        .map(k => s"t${(i * 7 + k * 13) % 23}")
+      (i, toks)
+    }
+    val df = rows.toDF("id", "toks")
+    val t = 400000L
+    val got = Dedup.jaccardPairsExact(df, "id", "toks", t)
+      .select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard_ppm")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    // naive reference: every pair, full distinct sets, exact integer math
+    val sets = rows.map { case (i, ts) => i -> ts.distinct.toSet }.toMap
+    val want = (for {
+      a <- rows.map(_._1); b <- rows.map(_._1) if a < b
+      sa = sets(a); sb = sets(b)
+      inter = (sa & sb).size.toLong
+      union = sa.size + sb.size - inter
+      if inter * 1000000L >= union * t
+    } yield (a, b, inter, sa.size.toLong, sb.size.toLong, inter * 1000000L / union)).toSet
+    got shouldBe want
+    want should not be empty // the fixture must actually exercise the join
+  }
+
+  test("jaccardPairsExact boundary pairs and degenerate sets") {
+    val df = Seq(
+      (1L, Seq("a", "b", "c", "d")),      // vs 2: inter 2, union 4 -> exactly 0.5
+      (2L, Seq("a", "b")),
+      (3L, Seq[String]()),                // empty: dropped, pairs no one
+      (4L, Seq("a", "a", "b"))            // dupes collapse to {a,b} == set 2
+    ).toDF("id", "toks")
+    val out = Dedup.jaccardPairsExact(df, "id", "toks", 500000L)
+      .select("id_a", "id_b", "jaccard_ppm").as[(Long, Long, Long)].collect().toSet
+    out shouldBe Set((1L, 2L, 500000L), (2L, 4L, 1000000L), (1L, 4L, 500000L))
+    // a hair above the boundary excludes the 0.5 pairs
+    Dedup.jaccardPairsExact(df, "id", "toks", 500001L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet shouldBe Set((2L, 4L))
+  }
+
+  test("jaccardPairsExact is partitioning-independent") {
+    val df = (1L to 20L).map(i =>
+      (i, (0 until 4).map(k => s"x${(i + k * 3) % 11}"))).toDF("id", "toks")
+    val one = Dedup.jaccardPairsExact(df.coalesce(1), "id", "toks", 300000L)
+      .collect().map(_.toSeq).toSet
+    val many = Dedup.jaccardPairsExact(df.repartition(7), "id", "toks", 300000L)
+      .collect().map(_.toSeq).toSet
+    one shouldBe many
+  }
 }
