@@ -3402,6 +3402,48 @@ object Queries {
        FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id"""
 
   /**
+   * `scd2_history`: SCD Type-2 dimension build
+   * ([[graft.ops.Snapshots.scd2FromChangeLog]]) — each user's event_type
+   * stream collapsed to versioned validity intervals (gaps-and-islands).
+   * One user-keyed shuffle; the island filter preserves partitioning and
+   * sort so the lead/version window reuses the exchange. Total order is
+   * `(ts, event_id)` on both engines, so version numbering is
+   * deterministic even under timestamp collisions.
+   */
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val ev = events(dir).select(
+      col("user_id"), col("event_type"), col("ts"), col("event_id"))
+    graft.ops.Snapshots
+      .scd2FromChangeLog(ev, "user_id", Seq("event_type"), "ts", Seq("event_id"))
+      .select(col("user_id"), col("event_type"),
+        micros(col("valid_from")).as("valid_from_us"),
+        micros(col("valid_to")).as("valid_to_us"),
+        col("version"), col("is_current"))
+  }
+
+  val scd2HistorySql: String =
+    """WITH ordered AS (
+         SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+                lag(event_type) OVER (
+                  PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+         FROM events),
+       starts AS (
+         SELECT user_id, event_type, ts_us, event_id FROM ordered
+         WHERE prev IS NULL OR prev <> event_type),
+       v AS (
+         SELECT user_id, event_type, ts_us AS valid_from_us,
+                lead(ts_us) OVER (
+                  PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_to_us,
+                row_number() OVER (
+                  PARTITION BY user_id ORDER BY ts_us, event_id) AS version
+         FROM starts)
+       SELECT user_id, event_type, valid_from_us, valid_to_us,
+              cast(version AS bigint) AS version,
+              (valid_to_us IS NULL) AS is_current
+       FROM v"""
+
+  /**
    * Embedding norm-outlier flags per label (Tukey fences over exact
    * fixed-point norms, discrete quartiles — bit-portable end to end).
    */
@@ -4667,6 +4709,7 @@ object Queries {
     ("mix_plan", mixPlanQ _, Some(mixPlanSql)),
     ("kmeans_update", kmeansUpdateQ _, Some(kmeansUpdateSql)),
     ("snapshot_diff", snapshotDiffQ _, Some(snapshotDiffSql)),
+    ("scd2_history", scd2History _, Some(scd2HistorySql)),
     ("embedding_outliers", embeddingOutliers _, Some(embeddingOutliersSql)),
     ("asof_forward", asofForward _, Some(asofForwardSql)),
     ("asof_nearest", asofNearest _, Some(asofNearestSql)),
