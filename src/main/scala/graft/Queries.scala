@@ -3761,6 +3761,84 @@ object Queries {
        ORDER BY abs(ppm_cur - ppm_old) DESC, term LIMIT 20"""
 
   /**
+   * `dq_checks`: a [[graft.ops.DataQuality.check]] constraint suite over
+   * orders — null gates, a price range, an accepted-status set, a priority
+   * shape regex, key/attribute uniqueness and referential integrity
+   * against customer. All row-level gates fold into ONE aggregate over a
+   * single scan; the two uniqueness gates are count-per-key shuffles; the
+   * FK is a broadcast anti-join. Mixed pass/fail by construction (P-status
+   * rows and >400k prices exist; o_custkey is deliberately non-unique).
+   */
+  def dqChecks(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import graft.ops.DataQuality._
+    check(t(dir, "orders"), Seq(
+      NotNull("o_custkey"),
+      NotNull("o_orderdate"),
+      inRange("o_totalprice", 0, 400000),
+      Accepted("o_orderstatus", Seq("F", "O")),
+      Satisfies("priority_shape", col("o_orderpriority").rlike("^[1-5]-")),
+      Unique(Seq("o_orderkey")),
+      Unique(Seq("o_custkey")),
+      ForeignKey("o_custkey", t(dir, "customer"), "c_custkey")))
+  }
+
+  val dqChecksSql: String =
+    """WITH v AS (
+         SELECT 'not_null(o_custkey)' AS constraint,
+                count(*) FILTER (WHERE o_custkey IS NULL) AS violations FROM orders
+         UNION ALL
+         SELECT 'not_null(o_orderdate)',
+                count(*) FILTER (WHERE o_orderdate IS NULL) FROM orders
+         UNION ALL
+         SELECT 'in_range(o_totalprice)',
+                count(*) FILTER (WHERE o_totalprice IS NULL
+                  OR NOT (o_totalprice BETWEEN 0 AND 400000)) FROM orders
+         UNION ALL
+         SELECT 'accepted(o_orderstatus)',
+                count(*) FILTER (WHERE o_orderstatus IS NULL
+                  OR o_orderstatus NOT IN ('F', 'O')) FROM orders
+         UNION ALL
+         SELECT 'priority_shape',
+                count(*) FILTER (WHERE o_orderpriority IS NULL
+                  OR NOT regexp_matches(o_orderpriority, '^[1-5]-')) FROM orders
+         UNION ALL
+         SELECT 'unique(o_orderkey)', coalesce(sum(n - 1), 0) FROM (
+           SELECT count(*) AS n FROM orders GROUP BY o_orderkey) g WHERE n > 1
+         UNION ALL
+         SELECT 'unique(o_custkey)', coalesce(sum(n - 1), 0) FROM (
+           SELECT count(*) AS n FROM orders GROUP BY o_custkey) g WHERE n > 1
+         UNION ALL
+         SELECT 'foreign_key(o_custkey)', count(*) FROM orders o
+         WHERE o.o_custkey IS NOT NULL AND NOT EXISTS (
+           SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+       SELECT "constraint", cast(violations AS bigint) AS violations,
+              CASE WHEN violations = 0 THEN 'pass' ELSE 'fail' END AS status
+       FROM v"""
+
+  /**
+   * `dq_profile`: [[graft.ops.DataQuality.profile]] over four event
+   * columns — rows / non-null / EXACT distinct / completeness ppm per
+   * column, computed in one aggregate (Catalyst expands the multi-distinct
+   * into one Expand + two-phase agg with map-side dedup).
+   */
+  def dqProfile(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    graft.ops.DataQuality.profile(
+      events(dir), Seq("user_id", "event_type", "value", "props"))
+  }
+
+  val dqProfileSql: String = {
+    def one(c: String) =
+      s"""SELECT '$c' AS column, count(*) AS rows, count($c) AS non_null,
+            count(DISTINCT $c) AS n_distinct,
+            count($c) * 1000000 // count(*) AS completeness_ppm
+          FROM events"""
+    Seq("user_id", "event_type", "value", "props").map(one)
+      .mkString("\nUNION ALL\n")
+  }
+
+  /**
    * Daily ingest volume anomalies: a `(event_type, day)` bucket is flagged
    * when its count exceeds 115% of its trailing 7-observed-day average —
    * exact integer cross-multiply, no float division
@@ -4720,6 +4798,8 @@ object Queries {
     ("heavy_hitters_sketch", heavyHittersSketch _, Some(heavyHittersSketchSql)),
     ("leakage_safe_split", leakageSafeSplitQ _, Some(leakageSafeSplitSql)),
     ("vocab_drift", vocabDriftQ _, Some(vocabDriftSql)),
+    ("dq_checks", dqChecks _, Some(dqChecksSql)),
+    ("dq_profile", dqProfile _, Some(dqProfileSql)),
     ("ingest_anomalies", ingestAnomalies _, Some(ingestAnomaliesSql)),
     ("key_skew_profile", keySkewProfile _, Some(keySkewProfileSql)),
     ("event_transitions", eventTransitions _, Some(eventTransitionsSql)),

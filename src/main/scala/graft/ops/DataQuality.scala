@@ -1,0 +1,138 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Declarative data-quality gates for ingestion pipelines (the public
+ * Deequ/Great-Expectations recipe, re-expressed as plain aggregations): a
+ * constraint suite is DATA — a list of named predicates — and evaluation is
+ * a handful of Spark aggregations, so a 100 TB table is validated in one
+ * scan plus one shuffle per uniqueness key and one broadcast anti-join per
+ * foreign key, never a per-constraint pass.
+ *
+ * Two surfaces:
+ *  - [[profile]] — per-column observability numbers (rows, nulls, exact
+ *    distincts, completeness) to watch over time;
+ *  - [[check]] — hard pass/fail constraints wired in front of a load (a
+ *    failed verdict should abort the
+ *    [[graft.io.Warehouse]] write, not quietly publish bad data).
+ */
+object DataQuality {
+
+  /** One named constraint: `violations` counts the offending rows. */
+  sealed trait Constraint { def name: String }
+
+  /** `col` must never be null. */
+  final case class NotNull(col: String) extends Constraint {
+    val name = s"not_null($col)"
+  }
+
+  /** Row-level predicate (the general form — range gates, regex shape
+    * gates, cross-column implications). Null predicate results count as
+    * violations: an un-evaluable gate is a failing gate. */
+  final case class Satisfies(name: String, predicate: Column) extends Constraint
+
+  /** `col` must take only the listed values (nulls violate). */
+  final case class Accepted(col: String, values: Seq[String]) extends Constraint {
+    val name = s"accepted($col)"
+  }
+
+  /** The column tuple must be unique across the table. */
+  final case class Unique(cols: Seq[String]) extends Constraint {
+    val name = s"unique(${cols.mkString(",")})"
+  }
+
+  /** Every non-null `col` must exist in `dim.dimCol` (referential
+    * integrity; the dimension is broadcast — dims are small by design). */
+  final case class ForeignKey(col: String, dim: DataFrame, dimCol: String)
+      extends Constraint {
+    val name = s"foreign_key($col)"
+  }
+
+  /** Range gate in the numeric domain, inclusive on both ends. */
+  def inRange(col: String, lo: Double, hi: Double): Satisfies =
+    Satisfies(s"in_range($col)",
+      org.apache.spark.sql.functions.col(col).between(lo, hi))
+
+  /**
+   * Evaluate a constraint suite: one row per constraint with `constraint`,
+   * `violations` and `status` ('pass' / 'fail').
+   *
+   * Evaluation cost is the point: every row-level constraint (NotNull,
+   * Satisfies, Accepted) folds into ONE conditional-sum aggregate over a
+   * single scan; each [[Unique]] adds one count-per-key shuffle (map-side
+   * partials); each [[ForeignKey]] adds one broadcast LEFT ANTI count.
+   * Nothing is quadratic, nothing re-reads the table per constraint.
+   */
+  def check(df: DataFrame, constraints: Seq[Constraint]): DataFrame = {
+    require(constraints.nonEmpty, "need at least one constraint")
+    val spark = df.sparkSession
+    val rowLevel: Seq[(String, Column)] = constraints.collect {
+      case NotNull(c)      => (s"not_null($c)", col(c).isNull)
+      case s: Satisfies    => (s.name, coalesce(not(s.predicate), lit(true)))
+      case Accepted(c, vs) => (s"accepted($c)", not(col(c).isin(vs: _*)) || col(c).isNull)
+    }
+    val rowLevelDf: Option[DataFrame] =
+      if (rowLevel.isEmpty) None
+      else Some {
+        val sums = rowLevel.map { case (n, bad) =>
+          // coalesce: sum over an empty table is null, not 0
+          coalesce(sum(when(bad, 1L).otherwise(0L)), lit(0L)).as(n)
+        }
+        val wide = df.agg(sums.head, sums.tail: _*)
+        // unpivot the single wide row to (constraint, violations)
+        wide.select(explode(map(
+          rowLevel.flatMap { case (n, _) => Seq(lit(n), col(n)) }: _*))
+          .as(Seq("constraint", "violations")))
+      }
+    val uniques = constraints.collect { case Unique(cols) =>
+      df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__n"))
+        .where(col("__n") > 1)
+        .agg(coalesce(sum(col("__n") - 1), lit(0L)).as("violations"))
+        .select(lit(s"unique(${cols.mkString(",")})").as("constraint"),
+          col("violations"))
+    }
+    val fks = constraints.collect { case ForeignKey(c, dim, dc) =>
+      df.where(col(c).isNotNull)
+        .join(broadcast(dim.select(col(dc).as(c)).distinct()), Seq(c), "left_anti")
+        .agg(count(lit(1)).as("violations"))
+        .select(lit(s"foreign_key($c)").as("constraint"), col("violations"))
+    }
+    (rowLevelDf.toSeq ++ uniques ++ fks)
+      .reduce(_ unionByName _)
+      .withColumn("status", when(col("violations") === 0, lit("pass"))
+        .otherwise(lit("fail")))
+  }
+
+  /**
+   * Per-column profile: `(column, rows, non_null, n_distinct,
+   * completeness_ppm)` — exact integers only, so snapshots diff cleanly
+   * and cross-engine checks hash-match. Distincts are EXACT multi-column
+   * count-distincts: Catalyst rewrites them into one Expand (k-way row
+   * replication, one replica per profiled column) feeding a two-phase
+   * aggregate whose partial step dedups map-side — one shuffle of
+   * per-partition distinct values, not k table scans. Profile the columns
+   * you monitor, not all of them: cost scales with k.
+   */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val aggs = Seq(count(lit(1)).as("__rows")) ++
+      cols.flatMap { c =>
+        Seq(coalesce(sum(when(col(c).isNotNull, 1L).otherwise(0L)), lit(0L)).as(s"__nn_$c"),
+          count_distinct(col(c)).as(s"__nd_$c"))
+      }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val entries = cols.flatMap { c =>
+      Seq(lit(c), struct(col("__rows").as("rows"), col(s"__nn_$c").as("non_null"),
+        col(s"__nd_$c").as("n_distinct")))
+    }
+    wide.select(explode(map(entries: _*)).as(Seq("column", "__s")))
+      .select(col("column"), col("__s.rows").as("rows"),
+        col("__s.non_null").as("non_null"),
+        col("__s.n_distinct").as("n_distinct"))
+      .withColumn("completeness_ppm",
+        when(col("rows") === 0, lit(1000000L))
+          .otherwise(expr("non_null * 1000000 DIV rows")))
+  }
+}

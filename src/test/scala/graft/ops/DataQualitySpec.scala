@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.functions.col
+
+import graft.testkit.SparkTestBase
+
+class DataQualitySpec extends SparkTestBase {
+  import spark.implicits._
+  import DataQuality._
+
+  private def checksMap(df: org.apache.spark.sql.DataFrame, cs: Seq[Constraint]) =
+    DataQuality.check(df, cs)
+      .as[(String, Long, String)].collect()
+      .map { case (n, v, s) => n -> ((v, s)) }.toMap
+
+  test("row-level constraints count violations and nulls fail gates") {
+    val df = Seq(
+      (Option(1L), Option("a"), 10.0),
+      (Option(2L), Option.empty[String], -5.0),
+      (Option.empty[Long], Option("z"), 50.0))
+      .toDF("id", "status", "amount")
+    val out = checksMap(df, Seq(
+      NotNull("id"),
+      Accepted("status", Seq("a", "b")),
+      inRange("amount", 0, 100),
+      Satisfies("amount_not_null_positive", col("amount") > 0)))
+    out("not_null(id)") shouldBe ((1L, "fail"))
+    // null status AND the unlisted "z" both violate
+    out("accepted(status)") shouldBe ((2L, "fail"))
+    out("in_range(amount)") shouldBe ((1L, "fail"))
+    out("amount_not_null_positive") shouldBe ((1L, "fail"))
+  }
+
+  test("satisfies counts an un-evaluable (null) predicate as a violation") {
+    val df = Seq(Option(5.0), Option.empty[Double]).toDF("x")
+    val out = checksMap(df, Seq(Satisfies("x_pos", col("x") > 0)))
+    out("x_pos") shouldBe ((1L, "fail"))
+  }
+
+  test("unique counts extra rows per duplicated key tuple") {
+    val df = Seq((1L, "a"), (1L, "a"), (1L, "b"), (2L, "c"), (2L, "c"), (2L, "c"))
+      .toDF("k", "v")
+    val out = checksMap(df, Seq(Unique(Seq("k")), Unique(Seq("k", "v"))))
+    out("unique(k)") shouldBe ((4L, "fail"))     // k=1: 3 rows (2 extra); k=2: 3 rows (2 extra)
+    out("unique(k,v)") shouldBe ((3L, "fail"))   // (1,a) x2: 1 extra; (2,c) x3: 2 extra
+  }
+
+  test("foreign key counts rows whose key misses the dimension; nulls exempt") {
+    val facts = Seq(Option(1L), Option(2L), Option(9L), Option.empty[Long]).toDF("k")
+    val dim = Seq(1L, 2L, 3L).toDF("id")
+    val out = checksMap(facts, Seq(ForeignKey("k", dim, "id")))
+    out("foreign_key(k)") shouldBe ((1L, "fail"))
+  }
+
+  test("an all-pass suite reports pass everywhere") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val dim = Seq(1L, 2L).toDF("id")
+    val out = checksMap(df, Seq(
+      NotNull("k"), Unique(Seq("k")), Accepted("v", Seq("a", "b")),
+      ForeignKey("k", dim, "id")))
+    out.values.foreach { case (v, s) => v shouldBe 0L; s shouldBe "pass" }
+  }
+
+  test("profile reports rows, non-null, exact distincts and completeness ppm") {
+    val df = Seq(
+      (Option(1L), Option("a")), (Option(1L), Option("b")),
+      (Option(2L), Option.empty[String]), (Option.empty[Long], Option("b")))
+      .toDF("id", "tag")
+    val out = DataQuality.profile(df, Seq("id", "tag"))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    out("id") shouldBe ((4L, 3L, 2L, 750000L))
+    out("tag") shouldBe ((4L, 3L, 2L, 750000L))
+  }
+
+  test("profile of an empty frame is fully complete with zero distincts") {
+    val df = Seq.empty[(Option[Long], Option[String])].toDF("id", "tag")
+    val out = DataQuality.profile(df, Seq("id"))
+      .as[(String, Long, Long, Long, Long)].collect()
+    out.toSeq shouldBe Seq(("id", 0L, 0L, 0L, 1000000L))
+  }
+}
