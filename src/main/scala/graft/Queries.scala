@@ -3674,6 +3674,33 @@ object Queries {
        FROM ranked WHERE rank <= 10"""
 
   /**
+   * `cms_counts`: the full count-min pipeline — DAILY sketches of
+   * event_type ([[graft.ops.Sketches.cmsRollup]]), merged to all-time by
+   * EXACT element-wise addition ([[reRollupCms]]), then point estimates
+   * for every observed type against the single merged grid. With ~20
+   * distinct types in a 1024-wide, depth-4 grid the probability of any
+   * type colliding with another in ALL 4 hash rows is ~1e-12, so the
+   * sketch runs in its exact regime and the whole build-merge-estimate
+   * chain hash-matches plain SQL counts (the L38/L38b anchoring pattern);
+   * SketchesSpec pins the collision-regime overestimate bound and the
+   * bit-exact merge, which no SQL oracle can express.
+   */
+  def cmsCounts(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val ev = events(dir).select(col("event_type"),
+      to_date(col("ts").cast("timestamp")).as("day"))
+    val daily = graft.ops.Sketches.cmsRollup(ev, Seq("day"), "event_type")
+    val total = graft.ops.Sketches.reRollupCms(daily, Seq.empty)
+    ev.select(col("event_type")).distinct()
+      .crossJoin(broadcast(total))
+      .select(col("event_type"),
+        graft.ops.Sketches.cmsEstimate(col("cms"), col("event_type")).as("est"))
+  }
+
+  val cmsCountsSql: String =
+    """SELECT event_type, count(*) AS est FROM events GROUP BY event_type"""
+
+  /**
    * `embedding_drift`: [[graft.ops.Drift.embeddingDriftFromMeans]] over
    * even/odd snapshot slices of the embeddings table, the odd slice
    * re-encoded with a synthetic 1.1x scale regression — the centroid
@@ -4796,6 +4823,7 @@ object Queries {
     ("distinct_users_exact", distinctUsersExact _, Some(distinctUsersExactSql)),
     ("value_quantiles_sketch", valueQuantilesSketch _, Some(valueQuantilesSketchSql)),
     ("heavy_hitters_sketch", heavyHittersSketch _, Some(heavyHittersSketchSql)),
+    ("cms_counts", cmsCounts _, Some(cmsCountsSql)),
     ("leakage_safe_split", leakageSafeSplitQ _, Some(leakageSafeSplitSql)),
     ("vocab_drift", vocabDriftQ _, Some(vocabDriftSql)),
     ("dq_checks", dqChecks _, Some(dqChecksSql)),

@@ -602,6 +602,25 @@ object functions {
     GraftExpressionBridge.column(
       MisraGriesMerge(GraftExpressionBridge.expression(e), capacity).toAggregateExpression())
 
+  /** Count-min sketch aggregate over a STRING key: a `depth x width` grid
+    * of counters as `array<long>`; `true <= est <= true + 2n/width` w.p.
+    * `1 - 2^-depth`, EXACT element-wise merge (see
+    * [[graft.functions.CountMinSketch]]). */
+  def count_min(e: Column, width: Int = 1024, depth: Int = 4): Column =
+    GraftExpressionBridge.column(
+      CountMinSketch(GraftExpressionBridge.expression(e), width, depth).toAggregateExpression())
+
+  /** Merge aggregate over [[count_min]] grids — exact element-wise sum. */
+  def count_min_merge(e: Column, width: Int = 1024, depth: Int = 4): Column =
+    GraftExpressionBridge.column(
+      CountMinMerge(GraftExpressionBridge.expression(e), width, depth).toAggregateExpression())
+
+  /** Point-frequency estimate of `key` from a [[count_min]] grid. */
+  def cms_estimate(sketch: Column, key: Column, width: Int = 1024, depth: Int = 4): Column =
+    GraftExpressionBridge.column(CmsEstimate(
+      GraftExpressionBridge.expression(sketch),
+      GraftExpressionBridge.expression(key), width, depth))
+
   /** SQL registration, for `spark.sql.extensions=graft.functions.GraftExtensions`. */
   val registry: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("minhash_signature"),

@@ -167,6 +167,52 @@ object Sketches {
         (col("__pos") + 1).cast("long").as("rank")): _*)
   }
 
+  // ---- point frequencies (count-min) -----------------------------------
+
+  /**
+   * Per-bucket COUNT-MIN rollup — the point-frequency member of the sketch
+   * family ([[distinctRollup]] counts distincts, [[quantileSketch]] ranks
+   * values, [[heavyHittersRollup]] finds dominators, this one answers "how
+   * often did THIS key occur" for ANY key, not just the heavy ones): one
+   * row per `bucketCols` group with `cms`, a `depth x width` counter grid
+   * ([[graft.functions.CountMinSketch]]). Estimates overshoot by at most
+   * `2n/width` w.p. `1 - 2^-depth`; never undershoot. ObjectHashAggregate
+   * with map-side partials — one shuffle of fixed-size grids, never raw
+   * keys, regardless of key cardinality.
+   */
+  def cmsRollup(
+      df: DataFrame,
+      bucketCols: Seq[String],
+      keyCol: String,
+      width: Int = 1024,
+      depth: Int = 4): DataFrame = {
+    val agg = graft.functions.functions
+      .count_min(col(keyCol).cast("string"), width, depth).as("cms")
+    if (bucketCols.isEmpty) df.agg(agg)
+    else df.groupBy(bucketCols.map(col): _*).agg(agg)
+  }
+
+  /**
+   * Re-aggregate [[cmsRollup]] grids to coarser buckets by element-wise
+   * addition — EXACT (unlike Misra-Gries truncation): re-rolled sketches
+   * equal the sketch built directly from the union, bit for bit. Same
+   * output shape, so rollups chain daily -> weekly -> all-time.
+   */
+  def reRollupCms(
+      rollup: DataFrame,
+      bucketCols: Seq[String],
+      width: Int = 1024,
+      depth: Int = 4): DataFrame = {
+    val agg = graft.functions.functions
+      .count_min_merge(col("cms"), width, depth).as("cms")
+    if (bucketCols.isEmpty) rollup.agg(agg)
+    else rollup.groupBy(bucketCols.map(col): _*).agg(agg)
+  }
+
+  /** Point-frequency estimate column for a key against a sketch column. */
+  def cmsEstimate(sketch: Column, key: Column, width: Int = 1024, depth: Int = 4): Column =
+    graft.functions.functions.cms_estimate(sketch, key.cast("string"), width, depth)
+
   /**
    * EXACT per-group percentiles at any scale — the no-one-reducer twin of
    * both [[quantileSketch]] (approximate, mergeable) and Spark's

@@ -208,4 +208,64 @@ class SketchesSpec extends SparkTestBase {
     // 4 non-null values: p50 target ceil(2.0)=2 -> 10; p100 target 4 -> 20
     out shouldBe Set(("g", 50L, 10L), ("g", 100L, 20L))
   }
+
+  // ---- count-min --------------------------------------------------------
+
+  private def zipfKeys: Seq[String] =
+    (1 to 60).flatMap(k => Seq.fill(600 / k)(s"k$k"))
+
+  private def cmsEstimates(df: org.apache.spark.sql.DataFrame,
+      width: Int, depth: Int): Map[String, Long] = {
+    val sk = Sketches.cmsRollup(df, Seq.empty, "key", width, depth)
+    df.select($"key").distinct()
+      .crossJoin(org.apache.spark.sql.functions.broadcast(sk))
+      .select($"key", Sketches.cmsEstimate($"cms", $"key", width, depth).as("est"))
+      .as[(String, Long)].collect().toMap
+  }
+
+  test("count-min wide grid equals plain counts under any partitioning") {
+    val truth = zipfKeys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    for (parts <- Seq(1, 7)) {
+      val df = zipfKeys.toDF("key").repartition(parts)
+      withClue(s"parts=$parts") { cmsEstimates(df, 4096, 4) shouldBe truth }
+    }
+  }
+
+  test("count-min never undershoots and honors the 2n/width bound in the collision regime") {
+    val truth = zipfKeys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = zipfKeys.size
+    val width = 16 // 60 keys in 16 cells: collisions guaranteed
+    val est = cmsEstimates(zipfKeys.toDF("key"), width, 6)
+    est.keySet shouldBe truth.keySet
+    est.foreach { case (k, e) =>
+      withClue(k) {
+        e should be >= truth(k)
+        e should be <= truth(k) + 2L * n / width
+      }
+    }
+  }
+
+  test("count-min daily sketches merge EXACTLY to the all-time sketch") {
+    val rows = zipfKeys.zipWithIndex.map { case (k, i) => (s"d${i % 3}", k) }
+    val df = rows.toDF("day", "key")
+    val direct = Sketches.cmsRollup(df, Seq.empty, "key", 64, 4)
+      .as[Seq[Long]].head()
+    val rerolled = Sketches.reRollupCms(
+      Sketches.cmsRollup(df, Seq("day"), "key", 64, 4), Seq.empty, 64, 4)
+      .as[Seq[Long]].head()
+    rerolled shouldBe direct
+    // grid conservation: every hash row sums to n
+    direct.grouped(64).map(_.sum).toSeq shouldBe Seq.fill(4)(rows.size.toLong)
+  }
+
+  test("count-min ignores null keys and rejects shape mismatches on merge") {
+    val df = Seq(Some("a"), None, Some("a"), Some("b")).toDF("key")
+    val sk = Sketches.cmsRollup(df, Seq.empty, "key", 32, 2)
+    sk.select(Sketches.cmsEstimate($"cms", org.apache.spark.sql.functions.lit("a"), 32, 2))
+      .as[Long].head() shouldBe 2L
+    val bad = Sketches.cmsRollup(df, Seq.empty, "key", 16, 2)
+    intercept[Exception] {
+      Sketches.reRollupCms(sk.union(bad), Seq.empty, 32, 2).collect()
+    }
+  }
 }
