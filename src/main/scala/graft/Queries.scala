@@ -4393,6 +4393,84 @@ object Queries {
   }
 
   /**
+   * `rrf_fusion`: hybrid retrieval — the BM25 lexical ranking and a
+   * term-overlap ranking ([[graft.ops.Retrieval.percolate]] match counts
+   * through [[toRanking]]'s k-capped partial top-k) fused per query by
+   * reciprocal-rank fusion ([[graft.ops.Retrieval.rrfFuse]], exact
+   * `1e12 DIV (60 + rank)` fixed point). The oracle replays both
+   * retrievers AND the fusion digit-for-digit; ranks, not scores, cross
+   * the fusion boundary, so the two retrievers' incomparable score units
+   * never meet.
+   */
+  def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val qs = Seq(("q1", "table scan merge"), ("q2", "slow query filter"),
+      ("q3", "stream window customer")).toDF("query_id", "qtext")
+    val docs = t(dir, "documents")
+    val lex = graft.ops.Retrieval
+      .bm25TopK(docs, "doc_id", "text", qs, "query_id", "qtext", k = 20)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val overlap = graft.ops.Retrieval.toRanking(
+      graft.ops.Retrieval
+        .percolate(docs, "doc_id", "text", qs, "query_id", "qtext", minMatchPct = 1)
+        .select(col("query_id"), col("doc_id"), col("n_matched")),
+      "n_matched", k = 20)
+    graft.ops.Retrieval.rrfFuse(Seq(lex, overlap), k0 = 60, k = 10)
+  }
+
+  val rrfFusionSql: String = {
+    val qtoks = "list_filter(string_split_regex(lower(qtext), '[^a-z0-9]+'), x -> x <> '')"
+    s"""WITH qs(query_id, qtext) AS (VALUES
+         ('q1', 'table scan merge'), ('q2', 'slow query filter'),
+         ('q3', 'stream window customer')),
+       tok AS (SELECT doc_id, $Toks AS toks FROM documents),
+       terms AS (SELECT doc_id, unnest(toks) AS term,
+                        CAST(len(toks) AS BIGINT) AS dl FROM tok),
+       qt AS (SELECT query_id, unnest(list_distinct($qtoks)) AS term FROM qs),
+       stats AS (SELECT count(*) AS n, CAST(sum(len(toks)) AS BIGINT) AS t FROM tok),
+       qdoc AS (SELECT tr.* FROM terms tr
+                JOIN (SELECT DISTINCT term FROM qt) q USING (term)),
+       tf AS (SELECT doc_id, term, count(*) AS tf, min(dl) AS dl
+              FROM qdoc GROUP BY 1, 2),
+       dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM qdoc GROUP BY 1),
+       ts AS (SELECT q.query_id, f.doc_id,
+                CAST((CAST(((s.n - d.df) * 2 + 1) AS HUGEINT) * 1000000 // (2 * d.df + 1))
+                     * f.tf * 2200 * s.t //
+                     (CAST(1000 AS HUGEINT) * f.tf * s.t +
+                      12 * (CAST(25 AS HUGEINT) * s.t + 75 * f.dl * s.n))
+                  AS BIGINT) AS s
+              FROM tf f JOIN dfq d USING (term) JOIN qt q USING (term)
+              CROSS JOIN stats s),
+       sc AS (SELECT query_id, doc_id, CAST(sum(s) AS BIGINT) AS score_fp
+              FROM ts GROUP BY 1, 2),
+       lex AS (SELECT query_id, doc_id, rank FROM (
+                 SELECT query_id, doc_id,
+                        row_number() OVER (PARTITION BY query_id
+                                           ORDER BY score_fp DESC, doc_id) AS rank
+                 FROM sc) WHERE rank <= 20),
+       dt AS (SELECT doc_id, unnest(list_distinct(toks)) AS term FROM tok),
+       m AS (SELECT d.doc_id, q.query_id, count(*) AS n_matched
+             FROM dt d JOIN qt q USING (term) GROUP BY 1, 2),
+       ov AS (SELECT query_id, doc_id, rank FROM (
+                SELECT query_id, doc_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY n_matched DESC, doc_id) AS rank
+                FROM m) WHERE rank <= 20),
+       u AS (SELECT * FROM lex UNION ALL SELECT * FROM ov),
+       f AS (SELECT query_id, doc_id,
+                    CAST(sum(1000000000000 // (60 + rank)) AS BIGINT) AS rrf_fp,
+                    count(*) AS n_rankers
+             FROM u GROUP BY 1, 2)
+       SELECT query_id, doc_id, rrf_fp, n_rankers, cast(rank AS bigint) AS rank
+       FROM (SELECT query_id, doc_id, rrf_fp, n_rankers,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY rrf_fp DESC, doc_id) AS rank
+             FROM f)
+       WHERE rank <= 10"""
+  }
+
+  /**
    * `anchor_text_profile`: [[Web.anchorTextProfile]] — top-3 anchor terms
    * per target host over a deterministic link frame (host from the
    * `host_pagerank` arithmetic, anchor text a 25-char prefix of the
@@ -4850,6 +4928,7 @@ object Queries {
     ("jaccard_join", jaccardJoinQ _, Some(jaccardJoinSql)),
     ("pii_luhn", piiLuhn _, Some(piiLuhnSql)),
     ("bm25_topk", bm25TopKQ _, Some(bm25TopKSql)),
+    ("rrf_fusion", rrfFusion _, Some(rrfFusionSql)),
     ("anchor_text_profile", anchorTextProfileQ _, Some(anchorTextProfileSql)),
     ("inverted_index", invertedIndexQ _, Some(invertedIndexSql)),
     ("readability", readabilityQ _, Some(readabilitySql)),

@@ -170,4 +170,62 @@ object Retrieval {
       .select(col("term"), col("df"),
         transform(col("__p"), p => p.getField("doc_id")).as("postings"))
   }
+
+  /**
+   * Turn per-(query, doc) scores into a dense 1-based ranking — top `k`
+   * by `(score DESC, doc_id)` per query — via the k-capped
+   * `collect_bottom_k` partial aggregate, never a corpus-wide window:
+   * each partial buffer holds at most `k` candidates per query, so a
+   * retriever scoring millions of docs per query shuffles k rows of it.
+   * Output: `(query_id, doc_id, rank)`.
+   */
+  def toRanking(scored: DataFrame, scoreCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.functions.collect_bottom_k(
+        struct((-col(scoreCol)).as("__neg"), col("doc_id").as("doc_id")), k).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col("query_id"), col("__e.doc_id").as("doc_id"),
+        (col("__pos") + 1).cast("long").as("rank"))
+  }
+
+  /**
+   * Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009): the
+   * standard hybrid-retrieval combiner — each ranker contributes
+   * `1/(k0 + rank)` per document, summed across rankers, no score
+   * calibration needed (ranks, not scores, so a BM25 ranker and a
+   * cosine ranker fuse without comparable units). Computed in exact
+   * fixed-point (`1e12 DIV (k0 + rank)`, floored) so the fusion
+   * replays digit-for-digit in any engine.
+   *
+   * Inputs are `(query_id, doc_id, rank)` frames ([[toRanking]] /
+   * [[bm25TopK]] output shape). Each input is assumed deduplicated per
+   * (query, doc) — rankings are. One union + one (query, doc) sum + the
+   * k-capped top-k partial per query; the fused lists are
+   * human-consumption-sized, so this costs one small shuffle at any
+   * corpus scale.
+   *
+   * Output: `(query_id, doc_id, rrf_fp, n_rankers, rank)` — `rrf_fp` the
+   * x1e12 fused score, `n_rankers` how many input rankings carried the
+   * doc, rank 1-based by `(rrf_fp DESC, doc_id)`.
+   */
+  def rrfFuse(rankings: Seq[DataFrame], k0: Int = 60, k: Int = 10): DataFrame = {
+    require(rankings.size >= 2, s"fusion needs >= 2 rankings, got ${rankings.size}")
+    require(k0 >= 0, s"k0 must be >= 0, got $k0")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val union = rankings
+      .map(_.select(col("query_id"), col("doc_id"), col("rank")))
+      .reduce(_ unionByName _)
+      .withColumn("__c", expr(s"1000000000000 DIV ($k0 + rank)"))
+    val fused = union.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("__c")).as("rrf_fp"), count(lit(1)).as("n_rankers"))
+    fused.groupBy(col("query_id"))
+      .agg(graft.functions.functions.collect_bottom_k(
+        struct((-col("rrf_fp")).as("__neg"), col("doc_id").as("doc_id"),
+          col("rrf_fp").as("rrf_fp"), col("n_rankers").as("n_rankers")), k).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col("query_id"), col("__e.doc_id").as("doc_id"),
+        col("__e.rrf_fp").as("rrf_fp"), col("__e.n_rankers").as("n_rankers"),
+        (col("__pos") + 1).cast("long").as("rank"))
+  }
 }

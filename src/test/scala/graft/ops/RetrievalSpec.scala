@@ -117,4 +117,35 @@ class RetrievalSpec extends SparkTestBase {
       .collect().map(_.toSeq).toSet
     a shouldBe b
   }
+
+  test("toRanking ranks by (score desc, doc) with a hard k cap") {
+    val scored = Seq(("q", 10L, 5L), ("q", 20L, 9L), ("q", 30L, 9L), ("q", 40L, 1L))
+      .toDF("query_id", "doc_id", "s")
+    val out = Retrieval.toRanking(scored, "s", k = 3)
+      .as[(String, Long, Long)].collect().toSet
+    // score 9 tie broken by doc_id; doc 40 (score 1) cut by k=3
+    out shouldBe Set(("q", 20L, 1L), ("q", 30L, 2L), ("q", 10L, 3L))
+  }
+
+  test("rrfFuse matches the hand-computed fixed-point fusion") {
+    val r1 = Seq(("q", 1L, 1L), ("q", 2L, 2L)).toDF("query_id", "doc_id", "rank")
+    val r2 = Seq(("q", 2L, 1L), ("q", 3L, 2L)).toDF("query_id", "doc_id", "rank")
+    val out = Retrieval.rrfFuse(Seq(r1, r2), k0 = 60, k = 10)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._2 -> ((r._3, r._4, r._5))).toMap
+    val c1 = 1000000000000L / 61  // rank 1
+    val c2 = 1000000000000L / 62  // rank 2
+    out(2L) shouldBe ((c1 + c2, 2L, 1L)) // in both rankings -> fused top
+    out(1L) shouldBe ((c1, 1L, 2L))      // rank-1 single beats rank-2 single
+    out(3L) shouldBe ((c2, 1L, 3L))
+  }
+
+  test("rrfFuse breaks exact score ties by doc_id and respects k") {
+    val r1 = Seq(("q", 5L, 1L), ("q", 7L, 2L)).toDF("query_id", "doc_id", "rank")
+    val r2 = Seq(("q", 7L, 1L), ("q", 5L, 2L)).toDF("query_id", "doc_id", "rank")
+    val out = Retrieval.rrfFuse(Seq(r1, r2), k0 = 60, k = 1)
+      .as[(String, Long, Long, Long, Long)].collect()
+    out.length shouldBe 1
+    out.head._2 shouldBe 5L // identical fused scores: smaller doc_id wins
+  }
 }
