@@ -4180,6 +4180,44 @@ object Queries {
        WHERE levenshtein(a.str, b.str) <= 2"""
 
   /**
+   * `damerau_pairs`: typo-metric fuzzy scoring — part-name pairs blocked
+   * on the shared last word, scored with the
+   * [[graft.functions.StringDistanceOps unrestricted Damerau-Levenshtein]]
+   * kernel (transposition costs 1 where Levenshtein charges 2). Blocking
+   * is an equi-join (never all-pairs); only block-mates pay the DP. The
+   * names are ASCII, where the kernel's code-point semantics and DuckDB's
+   * byte-based `damerau_levenshtein` coincide — the oracle replays the
+   * block join and every distance digit.
+   */
+  def damerauPairs(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val parts = t(dir, "part").select(col("p_partkey").as("id"),
+      col("p_name").as("name"),
+      element_at(split(col("p_name"), " "), -1).as("block"))
+    val a = parts.where(col("id") % 7 === 1)
+      .select(col("block"), col("id").as("id_a"), col("name").as("__na"))
+    val b = parts.where(col("id") % 7 === 2)
+      .select(col("block"), col("id").as("id_b"), col("name").as("__nb"))
+    a.join(b, "block")
+      .withColumn("dist",
+        graft.functions.functions.damerau_levenshtein(col("__na"), col("__nb"))
+          .cast("long"))
+      .where(col("dist") <= 4)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
+  val damerauPairsSql: String =
+    """WITH p AS (
+         SELECT p_partkey AS id, p_name AS name,
+                list_extract(string_split(p_name, ' '), len(string_split(p_name, ' '))) AS block
+         FROM part)
+       SELECT a.id AS id_a, b.id AS id_b,
+              CAST(damerau_levenshtein(a.name, b.name) AS BIGINT) AS dist
+       FROM (SELECT * FROM p WHERE id % 7 = 1) a
+       JOIN (SELECT * FROM p WHERE id % 7 = 2) b USING (block)
+       WHERE damerau_levenshtein(a.name, b.name) <= 4"""
+
+  /**
    * `containment_pairs`: [[Dedup.containmentPairs]] — Broder containment
    * (`|S(A) ∩ S(B)| / |S(A)|`, exact integer ppm) over an augmented
    * corpus where every `doc_id % 5 == 2` document contributes a
@@ -4924,6 +4962,7 @@ object Queries {
     ("extract_links", extractLinksQ _, Some(extractLinksSql)),
     ("host_pagerank", hostPagerank _, Some(hostPagerankSql)),
     ("fuzzy_join", fuzzyJoin _, Some(fuzzyJoinSql)),
+    ("damerau_pairs", damerauPairs _, Some(damerauPairsSql)),
     ("containment_pairs", containmentPairsQ _, Some(containmentPairsSql)),
     ("jaccard_join", jaccardJoinQ _, Some(jaccardJoinSql)),
     ("pii_luhn", piiLuhn _, Some(piiLuhnSql)),

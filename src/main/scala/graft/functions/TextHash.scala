@@ -621,6 +621,12 @@ object functions {
       GraftExpressionBridge.expression(sketch),
       GraftExpressionBridge.expression(key), width, depth))
 
+  /** Unrestricted Damerau-Levenshtein distance over code points
+    * (codegen'd; see [[graft.functions.StringDistanceOps]]). */
+  def damerau_levenshtein(a: Column, b: Column): Column =
+    GraftExpressionBridge.column(DamerauLevenshtein(
+      GraftExpressionBridge.expression(a), GraftExpressionBridge.expression(b)))
+
   /** SQL registration, for `spark.sql.extensions=graft.functions.GraftExtensions`. */
   val registry: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("minhash_signature"),
