@@ -3788,6 +3788,81 @@ object Queries {
        ORDER BY abs(ppm_cur - ppm_old) DESC, term LIMIT 20"""
 
   /**
+   * `attribution_last`: last-touch conversion attribution
+   * ([[graft.ops.Attribution.lastTouch]]) — purchases credited to the
+   * latest click/view at-or-before them within a 3-day lookback, ONE
+   * user-keyed exchange (running last-non-null window), unattributed
+   * conversions surfaced with a null channel. The oracle replays the
+   * identical window in DuckDB.
+   */
+  def attributionLast(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    graft.ops.Attribution.lastTouch(events(dir), "user_id", "event_id", "ts",
+        isConversion = col("event_type") === "purchase",
+        isTouch = col("event_type").isin("click", "view"),
+        channel = col("event_type"),
+        lookbackUs = 3L * 86400 * 1000000)
+      .select(col("user_id"), col("conversion_id"),
+        micros(col("conv_ts")).as("conv_ts_us"), col("channel"),
+        micros(col("touch_ts")).as("touch_ts_us"))
+  }
+
+  val attributionLastSql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events),
+       w AS (SELECT *,
+          last_value(CASE WHEN event_type IN ('click','view') THEN ts_us END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                  ROWS UNBOUNDED PRECEDING) AS last_ts,
+          last_value(CASE WHEN event_type IN ('click','view') THEN event_type END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                  ROWS UNBOUNDED PRECEDING) AS last_ch
+          FROM e)
+       SELECT event_id AS conversion_id, user_id, ts_us AS conv_ts_us,
+              CASE WHEN last_ts >= ts_us - 259200000000 THEN last_ch END AS channel,
+              CASE WHEN last_ts >= ts_us - 259200000000 THEN last_ts END AS touch_ts_us
+       FROM w WHERE event_type = 'purchase'"""
+
+  /**
+   * `attribution_linear`: linear multi-touch attribution
+   * ([[graft.ops.Attribution.linear]]) — every click/view in the 3-day
+   * window shares the purchase's credit in exact ppm, division remainder
+   * to the latest touch so each conversion's credit sums to exactly 1e6.
+   * Conversions join touches on the USER key only (no range join); the
+   * oracle replays the pairing, the `(ts, id)` tie rule and the
+   * remainder arithmetic.
+   */
+  def attributionLinear(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    graft.ops.Attribution.linear(events(dir), "user_id", "event_id", "ts",
+      isConversion = col("event_type") === "purchase",
+      isTouch = col("event_type").isin("click", "view"),
+      channel = col("event_type"),
+      lookbackUs = 3L * 86400 * 1000000)
+  }
+
+  val attributionLinearSql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events),
+       c AS (SELECT user_id, event_id AS conversion_id, ts_us AS cts FROM e
+             WHERE event_type = 'purchase'),
+       t AS (SELECT user_id, event_id AS tid, ts_us AS tts, event_type AS channel FROM e
+             WHERE event_type IN ('click','view')),
+       pairs AS (
+         SELECT c.user_id, c.conversion_id, t.tid, t.tts, t.channel
+         FROM c JOIN t USING (user_id)
+         WHERE (t.tts < c.cts OR (t.tts = c.cts AND t.tid <= c.conversion_id))
+           AND t.tts >= c.cts - 259200000000),
+       ranked AS (
+         SELECT *, row_number() OVER (PARTITION BY conversion_id
+                                      ORDER BY tts DESC, tid DESC) AS rk,
+                   count(*) OVER (PARTITION BY conversion_id) AS n
+         FROM pairs)
+       SELECT user_id, conversion_id, channel,
+              CAST(sum(CASE WHEN rk = 1 THEN 1000000 - (n - 1) * (1000000 // n)
+                            ELSE 1000000 // n END) AS BIGINT) AS credit_ppm,
+              count(*) AS n_touches
+       FROM ranked GROUP BY 1, 2, 3"""
+
+  /**
    * `dq_checks`: a [[graft.ops.DataQuality.check]] constraint suite over
    * orders — null gates, a price range, an accepted-status set, a priority
    * shape regex, key/attribute uniqueness and referential integrity
@@ -4942,6 +5017,8 @@ object Queries {
     ("cms_counts", cmsCounts _, Some(cmsCountsSql)),
     ("leakage_safe_split", leakageSafeSplitQ _, Some(leakageSafeSplitSql)),
     ("vocab_drift", vocabDriftQ _, Some(vocabDriftSql)),
+    ("attribution_last", attributionLast _, Some(attributionLastSql)),
+    ("attribution_linear", attributionLinear _, Some(attributionLinearSql)),
     ("dq_checks", dqChecks _, Some(dqChecksSql)),
     ("dq_profile", dqProfile _, Some(dqProfileSql)),
     ("ingest_anomalies", ingestAnomalies _, Some(ingestAnomaliesSql)),
