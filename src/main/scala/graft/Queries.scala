@@ -3863,6 +3863,86 @@ object Queries {
        FROM ranked GROUP BY 1, 2, 3"""
 
   /**
+   * `attribution_first`: first-touch (acquisition) attribution
+   * ([[graft.ops.Attribution.firstTouch]]) — the EARLIEST in-window
+   * click/view takes the purchase's credit, computed with a
+   * range-bounded min-struct window (no join, one user-keyed exchange).
+   * The oracle takes the rank-1 ascending pair per conversion.
+   */
+  def attributionFirst(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    graft.ops.Attribution.firstTouch(events(dir), "user_id", "event_id", "ts",
+        isConversion = col("event_type") === "purchase",
+        isTouch = col("event_type").isin("click", "view"),
+        channel = col("event_type"),
+        lookbackUs = 3L * 86400 * 1000000)
+      .withColumnRenamed("conv_ts", "conv_ts_us")
+      .withColumnRenamed("touch_ts", "touch_ts_us")
+  }
+
+  val attributionFirstSql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events),
+       c AS (SELECT user_id, event_id AS conversion_id, ts_us AS cts FROM e
+             WHERE event_type = 'purchase'),
+       t AS (SELECT user_id, event_id AS tid, ts_us AS tts, event_type AS channel FROM e
+             WHERE event_type IN ('click','view')),
+       pairs AS (
+         SELECT c.conversion_id, t.tid, t.tts, t.channel
+         FROM c JOIN t USING (user_id)
+         WHERE (t.tts < c.cts OR (t.tts = c.cts AND t.tid <= c.conversion_id))
+           AND t.tts >= c.cts - 259200000000),
+       firsts AS (
+         SELECT * FROM (
+           SELECT *, row_number() OVER (PARTITION BY conversion_id
+                                        ORDER BY tts ASC, tid ASC) AS rk
+           FROM pairs) WHERE rk = 1)
+       SELECT c.user_id, c.conversion_id, c.cts AS conv_ts_us,
+              f.channel, f.tts AS touch_ts_us
+       FROM c LEFT JOIN firsts f USING (conversion_id)"""
+
+  /**
+   * `attribution_position`: U-shaped (40/40/20) multi-touch attribution
+   * ([[graft.ops.Attribution.positionBased]]) — first and last in-window
+   * touch take 400,000 ppm each, middles share 200,000 with the
+   * remainder on the last touch; 1-touch takes all, 2-touch splits
+   * 500k/500k. Credit conserves to exactly 1e6 per conversion on both
+   * engines.
+   */
+  def attributionPosition(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    graft.ops.Attribution.positionBased(events(dir), "user_id", "event_id", "ts",
+      isConversion = col("event_type") === "purchase",
+      isTouch = col("event_type").isin("click", "view"),
+      channel = col("event_type"),
+      lookbackUs = 3L * 86400 * 1000000, edgePct = 40)
+  }
+
+  val attributionPositionSql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events),
+       c AS (SELECT user_id, event_id AS conversion_id, ts_us AS cts FROM e
+             WHERE event_type = 'purchase'),
+       t AS (SELECT user_id, event_id AS tid, ts_us AS tts, event_type AS channel FROM e
+             WHERE event_type IN ('click','view')),
+       pairs AS (
+         SELECT c.user_id, c.conversion_id, t.tid, t.tts, t.channel
+         FROM c JOIN t USING (user_id)
+         WHERE (t.tts < c.cts OR (t.tts = c.cts AND t.tid <= c.conversion_id))
+           AND t.tts >= c.cts - 259200000000),
+       ranked AS (
+         SELECT *, row_number() OVER (PARTITION BY conversion_id
+                                      ORDER BY tts DESC, tid DESC) AS rk,
+                   count(*) OVER (PARTITION BY conversion_id) AS n
+         FROM pairs)
+       SELECT user_id, conversion_id, channel,
+              CAST(sum(CASE WHEN n = 1 THEN 1000000
+                            WHEN n = 2 THEN 500000
+                            WHEN rk = n THEN 400000
+                            WHEN rk = 1 THEN 600000 - (n - 2) * (200000 // (n - 2))
+                            ELSE 200000 // (n - 2) END) AS BIGINT) AS credit_ppm,
+              count(*) AS n_touches
+       FROM ranked GROUP BY 1, 2, 3"""
+
+  /**
    * `dq_checks`: a [[graft.ops.DataQuality.check]] constraint suite over
    * orders — null gates, a price range, an accepted-status set, a priority
    * shape regex, key/attribute uniqueness and referential integrity
@@ -5018,7 +5098,9 @@ object Queries {
     ("leakage_safe_split", leakageSafeSplitQ _, Some(leakageSafeSplitSql)),
     ("vocab_drift", vocabDriftQ _, Some(vocabDriftSql)),
     ("attribution_last", attributionLast _, Some(attributionLastSql)),
+    ("attribution_first", attributionFirst _, Some(attributionFirstSql)),
     ("attribution_linear", attributionLinear _, Some(attributionLinearSql)),
+    ("attribution_position", attributionPosition _, Some(attributionPositionSql)),
     ("dq_checks", dqChecks _, Some(dqChecksSql)),
     ("dq_profile", dqProfile _, Some(dqProfileSql)),
     ("ingest_anomalies", ingestAnomalies _, Some(ingestAnomaliesSql)),
