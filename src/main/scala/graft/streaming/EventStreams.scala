@@ -145,6 +145,30 @@ object EventStreams {
           .misra_gries(col(keyCol).cast("string"), capacity).as("hh_summary")))
 
   /**
+   * S18 — windowed COUNT-MIN rollup ([[graft.functions.CountMinSketch]],
+   * the streaming twin of [[graft.ops.Sketches.cmsRollup]]): per
+   * (window, event_type) a fixed `depth x width` counter grid answering
+   * "how often did THIS key occur" for ANY key — the point-frequency
+   * complement of the Misra-Gries tier (which only retains dominators).
+   * The grid merges EXACTLY (element-wise add) across partitions and
+   * micro-batches, and emitted windows re-roll to coarser horizons later
+   * ([[graft.ops.Sketches.reRollupCms]]) bit-identically to a sketch
+   * built from the union — state per window is the 32 KB grid however
+   * many distinct keys flow through.
+   */
+  def cmsRollup(
+      events: DataFrame,
+      keyCol: String = "user_id",
+      windowLength: String = "1 hour",
+      watermark: String = "10 minutes",
+      width: Int = 1024,
+      depth: Int = 4): DataFrame =
+    windowedAgg(events, windowLength, watermark,
+      Seq(count(lit(1)).as("n"),
+        graft.functions.functions
+          .count_min(col(keyCol).cast("string"), width, depth).as("cms")))
+
+  /**
    * Streaming exact dedup on `idCol`: duplicates arriving within the
    * watermark horizon are dropped; the watermark bounds the id-set state.
    */

@@ -111,6 +111,38 @@ class EventStreamsSpec extends SparkTestBase {
       ("view", 1L, Seq("12:1")))
   }
 
+  test("count-min rollup estimates per-window key frequencies and re-rolls exactly") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = cmsRollup(asContract(in.toDF()), keyCol = "user_id",
+      windowLength = "10 minutes", watermark = "5 minutes", width = 64, depth = 4)
+      .writeStream.format("memory").queryName("cms_out").outputMode("append").start()
+    in.addData(
+      Event(1, ts(1), 10, "click", 1.0),
+      Event(2, ts(2), 10, "click", 1.0),
+      Event(3, ts(3), 10, "click", 1.0),
+      Event(4, ts(4), 11, "click", 1.0),
+      Event(5, ts(15), 10, "click", 1.0)) // second window
+    q.processAllAvailable()
+    in.addData(Event(99, ts(60), 13, "click", 0.0)) // advance watermark
+    runToCompletion(q)
+    val windows = spark.table("cms_out").where($"event_type" === "click")
+    // per-window point estimates are exact at this width
+    val est = windows
+      .select($"window_start", graft.ops.Sketches.cmsEstimate(
+        $"cms", org.apache.spark.sql.functions.lit("10"), 64, 4).as("e"))
+      .as[(Timestamp, Long)].collect().toMap
+    est.values.toSeq.sorted shouldBe Seq(1L, 3L)
+    // emitted windows re-roll to the all-time sketch EXACTLY: estimate over
+    // the merged grid equals the total across windows
+    val total = graft.ops.Sketches.reRollupCms(
+      windows.select($"cms"), Seq.empty, 64, 4)
+      .select(graft.ops.Sketches.cmsEstimate(
+        $"cms", org.apache.spark.sql.functions.lit("10"), 64, 4))
+      .as[Long].head()
+    total shouldBe 4L
+  }
+
   test("streaming dedup drops duplicate ids within the watermark") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Event]
