@@ -150,22 +150,27 @@ object Graphs {
             .as("v"))
     }
 
-    var hubs = nodes.withColumn("v", lit(scale))
+    // the loop carries only EDGE-ACTIVE scores: a node with no in-edges has
+    // authority 0 and feeds no hub sum (and vice versa), so zero rows are
+    // dead weight inside the iteration — they re-attach once at the end.
+    // Scores start at `scale` for every edge source (the all-ones init
+    // restricted to rows the first join would keep anyway).
+    var hubs = materialize(e.select(col("src").as("id")).distinct()
+      .withColumn("v", lit(scale)))
     var auths: DataFrame = null
     for (_ <- 1 to iterations) {
       val authRaw = e.join(hubs.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id")).agg(sum(col("v")).as("v"))
-      auths = materialize(normalized(
-        nodes.join(authRaw, Seq("id"), "left")
-          .select(col("id"), coalesce(col("v"), lit(0L)).as("v"))))
+      auths = materialize(normalized(authRaw))
       val hubRaw = e.join(auths.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id")).agg(sum(col("v")).as("v"))
-      hubs = materialize(normalized(
-        nodes.join(hubRaw, Seq("id"), "left")
-          .select(col("id"), coalesce(col("v"), lit(0L)).as("v"))))
+      hubs = materialize(normalized(hubRaw))
     }
-    hubs.withColumnRenamed("v", "hub")
-      .join(auths.withColumnRenamed("v", "authority"), "id")
+    nodes
+      .join(hubs.withColumnRenamed("v", "hub"), Seq("id"), "left")
+      .join(auths.withColumnRenamed("v", "authority"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("hub"), lit(0L)).as("hub"),
+        coalesce(col("authority"), lit(0L)).as("authority"))
   }
 
   /**
