@@ -3788,6 +3788,34 @@ object Queries {
        ORDER BY abs(ppm_cur - ppm_old) DESC, term LIMIT 20"""
 
   /**
+   * `concurrency_profile`: sweep-line interval analytics
+   * ([[graft.ops.Intervals.concurrency]]) — orders as 7-day validity
+   * windows, one row per boundary with the EXACT number of concurrently
+   * open orders after it. The running sum is the no-one-reducer global
+   * scan (range repartition + per-partition offsets); the oracle is the
+   * naive single-window running sum — the hash match IS the
+   * distributed-equals-definition proof, same as the global-rank family.
+   */
+  def concurrencyProfile(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val us = unix_micros(col("o_orderdate").cast("timestamp"))
+    val iv = t(dir, "orders").select(col("o_orderkey").as("id"),
+      us.as("start_us"), (us + 7L * 86400 * 1000000).as("end_us"))
+    graft.ops.Intervals.concurrency(iv, "start_us", "end_us", "id")
+      .select(col("ts").as("ts_us"), col("delta"), col("id"), col("active"))
+  }
+
+  val concurrencyProfileSql: String =
+    """WITH b AS (
+         SELECT epoch_us(o_orderdate) AS ts_us, 1 AS delta, o_orderkey AS id FROM orders
+         UNION ALL
+         SELECT epoch_us(o_orderdate) + 604800000000, -1, o_orderkey FROM orders)
+       SELECT ts_us, CAST(delta AS BIGINT) AS delta, id,
+              CAST(sum(delta) OVER (ORDER BY ts_us, delta, id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS active
+       FROM b"""
+
+  /**
    * `attribution_last`: last-touch conversion attribution
    * ([[graft.ops.Attribution.lastTouch]]) — purchases credited to the
    * latest click/view at-or-before them within a 3-day lookback, ONE
@@ -5097,6 +5125,7 @@ object Queries {
     ("cms_counts", cmsCounts _, Some(cmsCountsSql)),
     ("leakage_safe_split", leakageSafeSplitQ _, Some(leakageSafeSplitSql)),
     ("vocab_drift", vocabDriftQ _, Some(vocabDriftSql)),
+    ("concurrency_profile", concurrencyProfile _, Some(concurrencyProfileSql)),
     ("attribution_last", attributionLast _, Some(attributionLastSql)),
     ("attribution_first", attributionFirst _, Some(attributionFirstSql)),
     ("attribution_linear", attributionLinear _, Some(attributionLinearSql)),
