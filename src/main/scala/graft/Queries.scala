@@ -4363,6 +4363,47 @@ object Queries {
        WHERE levenshtein(a.str, b.str) <= 2"""
 
   /**
+   * `sorted_neighborhood`: the Hernandez-Stolfo sorted-neighborhood
+   * method over the same perturbed-string corpus as `fuzzy_join` —
+   * global sort order (no-one-reducer rank), pair rows within 10
+   * positions, verify with Levenshtein <= 2
+   * ([[graft.ops.Dedup.sortedNeighborhoodPairs]]). Same verifier as
+   * PassJoin but different blocking, so the two queries expose the
+   * recall trade directly; the oracle replays rank, window pairing and
+   * distances.
+   */
+  def sortedNeighborhood(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val base = substring(md5(concat(lit("fz:"), expr("c_custkey DIV 4").cast("string"))), 1, 10)
+    val str = expr(
+      """CASE WHEN c_custkey % 4 = 0 THEN __base
+         ELSE concat(substring(__base, 1, CAST((c_custkey % 4) * 3 - 1 AS INT)), 'z',
+           substring(__base, CAST((c_custkey % 4) * 3 + 1 AS INT),
+             CAST(10 - (c_custkey % 4) * 3 AS INT))) END""")
+    val strs = t(dir, "customer").withColumn("__base", base)
+      .select(col("c_custkey").as("id"), str.as("str"))
+    graft.ops.Dedup.sortedNeighborhoodPairs(strs, "id", "str", window = 10)
+      .withColumn("dist", levenshtein(col("value_a"), col("value_b")).cast("long"))
+      .where(col("dist") <= 2)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
+  val sortedNeighborhoodSql: String =
+    """WITH s AS (
+         SELECT c_custkey AS id,
+           CASE WHEN c_custkey % 4 = 0 THEN base
+                ELSE substring(base, 1, (c_custkey % 4) * 3 - 1) || 'z' ||
+                     substring(base, (c_custkey % 4) * 3 + 1, 10 - (c_custkey % 4) * 3) END AS str
+         FROM (SELECT c_custkey,
+                 substring(md5('fz:' || (c_custkey // 4)), 1, 10) AS base
+               FROM customer)),
+       r AS (SELECT id, str, row_number() OVER (ORDER BY str, id) AS rank FROM s)
+       SELECT a.id AS id_a, b.id AS id_b,
+              CAST(levenshtein(a.str, b.str) AS BIGINT) AS dist
+       FROM r a JOIN r b ON b.rank > a.rank AND b.rank - a.rank < 10
+       WHERE levenshtein(a.str, b.str) <= 2"""
+
+  /**
    * `damerau_pairs`: typo-metric fuzzy scoring — part-name pairs blocked
    * on the shared last word, scored with the
    * [[graft.functions.StringDistanceOps unrestricted Damerau-Levenshtein]]
@@ -5151,6 +5192,7 @@ object Queries {
     ("host_pagerank", hostPagerank _, Some(hostPagerankSql)),
     ("fuzzy_join", fuzzyJoin _, Some(fuzzyJoinSql)),
     ("damerau_pairs", damerauPairs _, Some(damerauPairsSql)),
+    ("sorted_neighborhood", sortedNeighborhood _, Some(sortedNeighborhoodSql)),
     ("containment_pairs", containmentPairsQ _, Some(containmentPairsSql)),
     ("jaccard_join", jaccardJoinQ _, Some(jaccardJoinSql)),
     ("pii_luhn", piiLuhn _, Some(piiLuhnSql)),

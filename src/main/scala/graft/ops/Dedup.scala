@@ -770,4 +770,47 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("inter"), col("size_a"), col("size_b"),
         expr("(inter * 1000000) DIV __union").as("jaccard_ppm"))
   }
+
+  /**
+   * Sorted-neighborhood candidate pairs (Hernandez & Stolfo, SIGMOD 1995
+   * — the classic record-linkage blocking): order the corpus by a sort
+   * key and pair every two rows within `window` positions. The
+   * complement of segment blocking ([[graft.ops.Joins.editDistanceJoin]])
+   * and LSH banding: one cheap global order instead of per-row keys,
+   * recall bounded by the window (near-pairs far apart in the sort order
+   * are missed — the documented trade; multi-pass with different keys is
+   * the standard recovery).
+   *
+   * Distributed shape: the global position comes from the no-one-reducer
+   * rank recipe ([[TextAnalysis.withGlobalRank]]); pairing is an
+   * equi-join on the `rank DIV (window-1)` block (the left side keyed by
+   * its block, the right exploded to its own and the previous block), so
+   * every qualifying pair `0 < rank_b - rank_a < window` matches exactly
+   * once and nothing is quadratic beyond the window itself.
+   *
+   * Output: `(id_a, value_a, rank_a, id_b, value_b, rank_b)` with
+   * `rank_a < rank_b` — feed a verifier (edit distance, Jaccard) next.
+   */
+  def sortedNeighborhoodPairs(
+      df: DataFrame,
+      idCol: String,
+      valueCol: String,
+      window: Int = 10): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    val span = (window - 1).toLong
+    val ranked = TextAnalysis
+      .withGlobalRank(df.select(col(idCol), col(valueCol)), "__rank",
+        col(valueCol), col(idCol))
+      .withColumn("__blk", expr(s"__rank DIV $span"))
+    val left = ranked.select(col("__blk"), col(idCol).as("id_a"),
+      col(valueCol).as("value_a"), col("__rank").as("rank_a"))
+    val right = ranked
+      .withColumn("__blk", explode(array(col("__blk"), col("__blk") - 1)))
+      .select(col("__blk"), col(idCol).as("id_b"),
+        col(valueCol).as("value_b"), col("__rank").as("rank_b"))
+    left.join(right, "__blk")
+      .where(col("rank_b") > col("rank_a") && col("rank_b") - col("rank_a") < window)
+      .select(col("id_a"), col("value_a"), col("rank_a"),
+        col("id_b"), col("value_b"), col("rank_b"))
+  }
 }

@@ -506,4 +506,31 @@ class DedupSpec extends SparkTestBase {
       .collect().map(_.toSeq).toSet
     one shouldBe many
   }
+
+  test("sortedNeighborhoodPairs emits exactly the pairs within the window, once each") {
+    val df = (1L to 30L).map(i => (i, f"s$i%03d")).toDF("id", "v")
+    val out = Dedup.sortedNeighborhoodPairs(df, "id", "v", window = 4)
+      .select("rank_a", "rank_b").as[(Long, Long)].collect()
+    val expected = for (a <- 1L to 30L; b <- a + 1 to math.min(a + 3, 30L)) yield (a, b)
+    out.toSet shouldBe expected.toSet
+    out.length shouldBe expected.length // no duplicate emissions across blocks
+  }
+
+  test("sortedNeighborhoodPairs orders by the value key so near-strings meet") {
+    val df = Seq((10L, "apple"), (99L, "apple!"), (50L, "zebra"), (51L, "zebrb"))
+      .toDF("id", "v")
+    val pairs = Dedup.sortedNeighborhoodPairs(df, "id", "v", window = 2)
+      .select("value_a", "value_b").as[(String, String)].collect().toSet
+    // window 2 = adjacent-in-order only
+    pairs shouldBe Set(("apple", "apple!"), ("apple!", "zebra"), ("zebra", "zebrb"))
+  }
+
+  test("sortedNeighborhoodPairs is partitioning-independent") {
+    val df = (1L to 40L).map(i => (i, s"v${i * 7 % 19}")).toDF("id", "v")
+    val one = Dedup.sortedNeighborhoodPairs(df.coalesce(1), "id", "v", 5)
+      .collect().map(_.toSeq).toSet
+    val many = Dedup.sortedNeighborhoodPairs(df.repartition(11), "id", "v", 5)
+      .collect().map(_.toSeq).toSet
+    one shouldBe many
+  }
 }
