@@ -166,11 +166,14 @@ object Graphs {
         .groupBy(col("src").as("id")).agg(sum(col("v")).as("v"))
       hubs = materialize(normalized(hubRaw))
     }
-    nodes
-      .join(hubs.withColumnRenamed("v", "hub"), Seq("id"), "left")
-      .join(auths.withColumnRenamed("v", "authority"), Seq("id"), "left")
-      .select(col("id"), coalesce(col("hub"), lit(0L)).as("hub"),
-        coalesce(col("authority"), lit(0L)).as("authority"))
+    // re-attach the zero rows with ONE union + id-keyed aggregation instead
+    // of two node-sized outer joins: each id contributes at most one hub row
+    // and one authority row, so the sums ARE the scores (0 where absent)
+    nodes.select(col("id"), lit(0L).as("hub"), lit(0L).as("authority"))
+      .union(hubs.select(col("id"), col("v").as("hub"), lit(0L).as("authority")))
+      .union(auths.select(col("id"), lit(0L).as("hub"), col("v").as("authority")))
+      .groupBy("id")
+      .agg(sum(col("hub")).as("hub"), sum(col("authority")).as("authority"))
   }
 
   /**

@@ -281,12 +281,9 @@ class PlanInvariantsSpec extends SparkTestBase {
     check("inverted_index", maxShuffles = 1)
     // counts + floored-DIV score fused into the scan
     check("readability", maxShuffles = 0)
-    // final-frame view like host_pagerank: rounds live behind checkpoints.
-    // The assembly joins sit on checkpointed RDDs whose sizes the STATIC
-    // plan can't see, so they pin as SMJ pre-AQE; both sides are
-    // node-sized and AQE converts them at runtime — the SMJ allowance is
-    // deliberate, not a data-sized sort concession
-    check("host_hits", maxShuffles = 4, maxSmj = 1)
+    // final-frame view like host_pagerank: rounds live behind checkpoints;
+    // the zero-row re-attach is ONE union + id-keyed agg — no joins at all
+    check("host_hits", maxShuffles = 1, maxSmj = 0)
     // two degree aggs + the reversed-pair self-join + node-sized assembly
     // outer joins (same checkpoint-blind SMJ allowance as host_hits)
     check("host_degrees", maxShuffles = 8, maxSmj = 3)
