@@ -4258,6 +4258,37 @@ object Queries {
   }
 
   /**
+   * `host_triangles`: exact triangle counts + local clustering coefficient
+   * over the undirected host graph ([[graft.ops.Graphs.triangleCounts]] —
+   * degree-ordered O(m^1.5) counting, every node's wedge fan-out bounded
+   * by sqrt(m) regardless of hub skew). The oracle is the NAIVE
+   * definition — three-way canonical edge self-join `(a<b<c)` + corner
+   * unnest — so the hash match proves the orientation trick is lossless,
+   * not just self-consistent.
+   */
+  def hostTriangles(spark: SparkSession, dir: String): DataFrame = {
+    graft.ops.Graphs.triangleCounts(linkHostEdges(spark, dir))
+      .select(col("id").as("host"), col("degree"), col("triangles"), col("lcc_ppm"))
+  }
+
+  val hostTrianglesSql: String =
+    s"""WITH $sqlHostEdgesCtes,
+       und AS (SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi FROM edges),
+       deg AS (SELECT id, count(*) AS degree
+               FROM (SELECT lo AS id FROM und UNION ALL SELECT hi FROM und) GROUP BY id),
+       tri AS (SELECT ab.lo AS a, ab.hi AS b, bc.hi AS c
+               FROM und ab JOIN und bc ON ab.hi = bc.lo
+               JOIN und ac ON ac.lo = ab.lo AND ac.hi = bc.hi),
+       pern AS (SELECT id, count(*) AS triangles
+                FROM (SELECT unnest([a, b, c]) AS id FROM tri) GROUP BY id)
+       SELECT d.id AS host, d.degree,
+              CAST(coalesce(p.triangles, 0) AS BIGINT) AS triangles,
+              CAST(CASE WHEN d.degree < 2 THEN 0
+                   ELSE 2 * coalesce(p.triangles, 0) * 1000000
+                        // (d.degree * (d.degree - 1)) END AS BIGINT) AS lcc_ppm
+       FROM deg d LEFT JOIN pern p ON d.id = p.id"""
+
+  /**
    * `host_hits`: [[graft.ops.Graphs.hits]] over the same host edges — 5
    * exact fixed-point iterations, each round's authority and hub vectors
    * max-normalized to 1e6 via a scalar-max join. The oracle unrolls all
@@ -5190,6 +5221,7 @@ object Queries {
     ("embedding_drift", embeddingDrift _, Some(embeddingDriftSql)),
     ("extract_links", extractLinksQ _, Some(extractLinksSql)),
     ("host_pagerank", hostPagerank _, Some(hostPagerankSql)),
+    ("host_triangles", hostTriangles _, Some(hostTrianglesSql)),
     ("fuzzy_join", fuzzyJoin _, Some(fuzzyJoinSql)),
     ("damerau_pairs", damerauPairs _, Some(damerauPairsSql)),
     ("sorted_neighborhood", sortedNeighborhood _, Some(sortedNeighborhoodSql)),

@@ -139,4 +139,47 @@ class GraphsSpec extends SparkTestBase {
     out("b") shouldBe ((1L, 1L, 1L))
     out("c") shouldBe ((0L, 1L, 0L)) // in-only node still reported
   }
+
+  private def triMap(df: org.apache.spark.sql.DataFrame) =
+    df.as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+  test("triangleCounts: hand-computed diamond (K4 minus one edge)") {
+    // a-b, a-c, a-d, b-c, c-d: triangles {a,b,c} and {a,c,d}
+    val g = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("c", "d"))
+      .toDF("src", "dst")
+    val out = triMap(Graphs.triangleCounts(g))
+    out("a") shouldBe ((3L, 2L, 2L * 2 * 1000000 / (3 * 2))) // deg 3, 2 tris
+    out("c") shouldBe ((3L, 2L, 666666L))
+    out("b") shouldBe ((2L, 1L, 1000000L)) // both neighbours linked
+    out("d") shouldBe ((2L, 1L, 1000000L))
+  }
+
+  test("triangleCounts: a star has no triangles however big the hub") {
+    val g = (1 to 40).map(i => ("hub", s"leaf$i")).toDF("src", "dst")
+    val out = triMap(Graphs.triangleCounts(g))
+    out.values.map(_._2).sum shouldBe 0L
+    out("hub")._1 shouldBe 40L
+    out("hub")._3 shouldBe 0L
+  }
+
+  test("triangleCounts: direction, duplicates, self-loops and nulls are hygiene, not data") {
+    // the same triangle written with reversed/duplicated edges + junk rows
+    val g = Seq(Some("a") -> Some("b"), Some("b") -> Some("a"),
+      Some("b") -> Some("c"), Some("c") -> Some("a"), Some("c") -> Some("a"),
+      Some("a") -> Some("a"), None -> Some("b"), Some("c") -> None)
+      .toDF("src", "dst")
+    val out = triMap(Graphs.triangleCounts(g))
+    out("a") shouldBe ((2L, 1L, 1000000L))
+    out("b") shouldBe ((2L, 1L, 1000000L))
+    out("c") shouldBe ((2L, 1L, 1000000L))
+  }
+
+  test("triangleCounts is partitioning-independent") {
+    val g = (1L to 60L).map(i => (s"n${i % 11}", s"n${(i * 7 + 3) % 11}")).toDF("src", "dst")
+    val a = Graphs.triangleCounts(g).collect().map(_.toSeq).toSet
+    val b = Graphs.triangleCounts(g.repartition(7)).collect().map(_.toSeq).toSet
+    a shouldBe b
+    a.nonEmpty shouldBe true
+  }
 }
