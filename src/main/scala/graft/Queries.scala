@@ -351,6 +351,56 @@ object Queries {
                  FROM events)))
        GROUP BY user_id, session_id"""
 
+  /**
+   * `session_paths`: top-20 full event-type paths per 30-minute-gap
+   * session — the path-mining read on top of `sessionize_events` ("what
+   * do users actually do in a visit"). Each session's path is its
+   * event types joined in (ts, event_id) order: one user-keyed window
+   * exchange (shared with sessionization), an order-free path build
+   * (sort_array over collected (ts, id, type) structs — deterministic
+   * under any partitioning), a map-side-combined path count, and a
+   * bounded TakeOrdered(20) — never a global sort. Oracle: DuckDB's
+   * ordered string_agg over the identical session definition.
+   */
+  def sessionPaths(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val gapUs = 30L * 60 * 1000000
+    events(dir)
+      .withColumn("ts_us", micros(col("ts")))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("ts_us"), col("event_id"), col("event_type")))),
+          x => x.getField("event_type")),
+        ">").as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path")).limit(20)
+  }
+
+  val sessionPathsSql: String =
+    """WITH sess AS (
+         SELECT user_id, event_id, ts_us, event_type,
+                cast(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS session_id
+         FROM (
+           SELECT user_id, event_id, ts_us, event_type,
+                  CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_sess
+           FROM (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+                        lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+                 FROM events))),
+       paths AS (
+         SELECT user_id, session_id,
+                string_agg(event_type, '>' ORDER BY ts_us, event_id) AS path
+         FROM sess GROUP BY user_id, session_id)
+       SELECT path, count(*) AS n_sessions FROM paths
+       GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20"""
+
   private val Priorities =
     Seq("1-URGENT" -> "p1_urgent", "2-HIGH" -> "p2_high", "3-MEDIUM" -> "p3_medium",
       "4-NOT SPECIFIED" -> "p4_not_specified", "5-LOW" -> "p5_low")
@@ -649,6 +699,44 @@ object Queries {
        count(*) AS n,
        round(cast(sum(${sqlCents("o_totalprice")}) as bigint) / 100.0, 2) AS total
        FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)"""
+
+  /**
+   * `cube_revenue`: full CUBE over (nation, order year) with explicit
+   * `grouping()` markers — all four aggregation levels (cell, per-nation,
+   * per-year, grand total) in ONE shuffle (Spark expands the grouping
+   * sets map-side; no union of four scans), and the g_* flags
+   * disambiguate "subtotal row" from a genuine null group the way the
+   * ROLLUP query's 'ALL' sentinel cannot. The other dims stay coalesced
+   * sentinels so no nullable-int column reaches the compare.
+   */
+  def cubeRevenue(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    t(dir, "orders")
+      .join(t(dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .withColumn("yr", year(col("o_orderdate")).cast("long"))
+      .cube(col("n_name"), col("yr"))
+      .agg(grouping(col("n_name")).cast("long").as("g_nation"),
+        grouping(col("yr")).cast("long").as("g_year"),
+        count(lit(1)).as("n"),
+        round(sum(cents(col("o_totalprice"))) / 100.0, 2).as("revenue"))
+      .select(coalesce(col("n_name"), lit("")).as("nation"),
+        coalesce(col("yr"), lit(0L)).as("yr"),
+        col("g_nation"), col("g_year"), col("n"), col("revenue"))
+  }
+
+  val cubeRevenueSql: String =
+    s"""SELECT coalesce(n_name, '') AS nation,
+       CAST(coalesce(yr, 0) AS BIGINT) AS yr,
+       CAST(GROUPING(n_name) AS BIGINT) AS g_nation,
+       CAST(GROUPING(yr) AS BIGINT) AS g_year,
+       count(*) AS n,
+       round(cast(sum(cents) as bigint) / 100.0, 2) AS revenue
+       FROM (SELECT n_name, year(cast(o_orderdate as date)) AS yr,
+                    ${sqlCents("o_totalprice")} AS cents
+             FROM orders JOIN customer ON o_custkey = c_custkey
+                         JOIN nation ON c_nationkey = n_nationkey)
+       GROUP BY CUBE(n_name, yr)"""
 
   /** TPC-H Q13 shape: histogram of customers by order count (outer join). */
   def q13CustDist(spark: SparkSession, dir: String): DataFrame = {
@@ -4289,6 +4377,62 @@ object Queries {
        FROM deg d LEFT JOIN pern p ON d.id = p.id"""
 
   /**
+   * `ols_trend`: per-nation revenue trend — exact-ppm least-squares fit
+   * ([[graft.ops.Stats.olsFit]]) of daily revenue cents against the day
+   * index. ONE sufficient-statistics aggregation (six DECIMAL(38,0) sums,
+   * map-side combined) + closed-form integer arithmetic; r² composes the
+   * two already-truncated slopes so no covariance is ever squared
+   * (mathematically bounded by 1e12, so the product can't overflow). The
+   * oracle replays every sum and every truncated division in HUGEINT —
+   * both engines truncate integer division toward zero, so negative
+   * slopes match digit-for-digit too.
+   */
+  def olsTrend(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val daily = t(dir, "orders")
+      .join(t(dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"),
+        datediff(col("o_orderdate").cast("date"), lit("1992-01-01").cast("date"))
+          .as("day_x"))
+      .agg(sum(cents(col("o_totalprice"))).as("rev_cents"))
+    graft.ops.Stats.olsFit(daily, Seq("n_name"), "day_x", "rev_cents")
+  }
+
+  val olsTrendSql: String =
+    s"""WITH daily AS (
+         SELECT n_name,
+                datediff('day', DATE '1992-01-01', cast(o_orderdate as date)) AS day_x,
+                sum(${sqlCents("o_totalprice")}) AS rev_cents
+         FROM orders JOIN customer ON o_custkey = c_custkey
+                     JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY 1, 2),
+       s AS (
+         SELECT n_name, CAST(count(*) AS HUGEINT) AS n,
+                CAST(sum(CAST(day_x AS HUGEINT)) AS HUGEINT) AS sx,
+                CAST(sum(CAST(rev_cents AS HUGEINT)) AS HUGEINT) AS sy,
+                CAST(sum(CAST(day_x AS HUGEINT) * rev_cents) AS HUGEINT) AS sxy,
+                CAST(sum(CAST(day_x AS HUGEINT) * day_x) AS HUGEINT) AS sxx,
+                CAST(sum(CAST(rev_cents AS HUGEINT) * rev_cents) AS HUGEINT) AS syy
+         FROM daily GROUP BY n_name),
+       d AS (
+         SELECT n_name, n, sx, sy,
+                n * sxx - sx * sx AS dxx,
+                n * sxy - sx * sy AS dxy,
+                n * syy - sy * sy AS dyy
+         FROM s)
+       SELECT n_name, CAST(n AS BIGINT) AS n,
+         CAST(CASE WHEN dxx = 0 THEN NULL
+              ELSE dxy * 1000000 // dxx END AS BIGINT) AS slope_ppm,
+         CAST(CASE WHEN dxx = 0 THEN NULL
+              ELSE (sy * 1000000 - (dxy * 1000000 // dxx) * sx) // n
+              END AS BIGINT) AS intercept_ppm,
+         CAST(CASE WHEN dxx = 0 OR dyy = 0 THEN NULL
+              ELSE (dxy * 1000000 // dxx) * (dxy * 1000000 // dyy) // 1000000
+              END AS BIGINT) AS r2_ppm
+       FROM d"""
+
+  /**
    * `host_hits`: [[graft.ops.Graphs.hits]] over the same host edges — 5
    * exact fixed-point iterations, each round's authority and hub vectors
    * max-normalized to 1e6 via a scalar-max join. The oracle unrolls all
@@ -5093,6 +5237,7 @@ object Queries {
     ("stage_pipeline", stagePipeline _, Some(stagePipelineSql)),
     ("warehouse_roundtrip", warehouseRoundtrip _, Some(warehouseRoundtripSql)),
     ("sessionize_events", sessionizeEvents _, Some(sessionizeEventsSql)),
+    ("session_paths", sessionPaths _, Some(sessionPathsSql)),
     ("orders_pivot", ordersPivot _, Some(ordersPivotSql)),
     ("q14_promo_revenue", q14PromoRevenue _, Some(q14Sql)),
     ("q7_nation_volume", q7NationVolume _, Some(q7Sql)),
@@ -5116,6 +5261,7 @@ object Queries {
     ("q18_large_orders", q18LargeOrders _, Some(q18Sql)),
     ("cheapest_supplier", cheapestSupplier _, Some(cheapestSupplierSql)),
     ("rollup_orders", rollupOrders _, Some(rollupOrdersSql)),
+    ("cube_revenue", cubeRevenue _, Some(cubeRevenueSql)),
     ("q13_custdist", q13CustDist _, Some(q13Sql)),
     ("q22_acctbal", q22AcctBal _, Some(q22Sql)),
     ("percentile_values", percentileValues _, Some(percentileValuesSql)),
@@ -5222,6 +5368,7 @@ object Queries {
     ("extract_links", extractLinksQ _, Some(extractLinksSql)),
     ("host_pagerank", hostPagerank _, Some(hostPagerankSql)),
     ("host_triangles", hostTriangles _, Some(hostTrianglesSql)),
+    ("ols_trend", olsTrend _, Some(olsTrendSql)),
     ("fuzzy_join", fuzzyJoin _, Some(fuzzyJoinSql)),
     ("damerau_pairs", damerauPairs _, Some(damerauPairsSql)),
     ("sorted_neighborhood", sortedNeighborhood _, Some(sortedNeighborhoodSql)),

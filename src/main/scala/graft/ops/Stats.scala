@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Exact-integer statistical fits over grouped data — trend detection for
+ * monitoring ("is daily volume drifting?"), feature screening ("does
+ * quality score move with document length?"), and the per-slice
+ * regression summaries a corpus report tables out.
+ *
+ * Everything is closed-form over SUFFICIENT STATISTICS: one aggregation
+ * pass computes per-group `(n, Σx, Σy, Σxy, Σx², Σy²)` in DECIMAL(38,0)
+ * (map-side partial aggregation, ONE exchange however many rows), and
+ * slope/intercept/fit-quality derive from those sums with integer `DIV`
+ * only — no libm, no floats, so results are a pure function of the data
+ * and replay digit-for-digit in any engine (SURVEY.md §6). At 100 TB the
+ * shape is the same: the sums frame is group-sized, never row-sized.
+ */
+object Stats {
+
+  /**
+   * Per-group simple (one-feature) least-squares fit of `y = a + b*x` in
+   * exact parts-per-million fixed point.
+   *
+   * Definitions (standard OLS closed form, integer-truncated):
+   *  - `sxx = n*Σx² - (Σx)²`, `sxy = n*Σxy - Σx*Σy`, `syy = n*Σy² - (Σy)²`
+   *  - `slope_ppm     = sxy * 1e6 DIV sxx` (null when `sxx = 0`: constant x)
+   *  - `intercept_ppm = (Σy * 1e6 - slope_ppm * Σx) DIV n` — y units x 1e6
+   *  - `r2_ppm        = slope_ppm * (sxy * 1e6 DIV syy) DIV 1e6`, i.e. the
+   *    product of the y-on-x and x-on-y slopes — algebraically identical
+   *    to `sxy²/(sxx*syy)`, but composed from two already-truncated
+   *    divisions so no intermediate ever SQUARES a covariance (the naive
+   *    `sxy² * 1e6` overflows DECIMAL(38,0) for |sxy| > ~1e16, which real
+   *    cents-scale data reaches). Truncation bias vs the exact ratio is
+   *    bounded by ~2 ppm; null when `syy = 0` (constant y).
+   *
+   * Overflow window (documented, not checked): `|sxy| * 1e6` and
+   * `|sxx| * 1e6` must fit 38 digits — satisfied whenever
+   * `n * max|x| * max|y| < ~1e31`, e.g. a billion rows of cents-scale y
+   * against day-index x with room to spare.
+   *
+   * Output: group columns + `(n, slope_ppm, intercept_ppm, r2_ppm)`.
+   */
+  def olsFit(
+      df: DataFrame,
+      groupCols: Seq[String],
+      xCol: String,
+      yCol: String): DataFrame =
+    olsFromSums(olsSums(df, groupCols, xCol, yCol), groupCols)
+
+  /**
+   * The raw per-group sufficient statistics `(n, Σx, Σy, Σxy, Σx², Σy²)`
+   * as DECIMAL(38,0) columns — the mergeable form: partial sums from
+   * disjoint data slices ADD exactly, so daily statistic rows roll up to
+   * any horizon without re-reading rows ([[olsFromSums]] finishes the
+   * fit). The incremental/warehouse-friendly half of [[olsFit]].
+   */
+  def olsSums(
+      df: DataFrame,
+      groupCols: Seq[String],
+      xCol: String,
+      yCol: String): DataFrame = {
+    val d38 = "DECIMAL(38,0)"
+    val x = col(xCol).cast(d38)
+    val y = col(yCol).cast(d38)
+    df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).cast(d38).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+  }
+
+  /** Re-aggregate [[olsSums]] rows to coarser groups (exact: sums add). */
+  def mergeOlsSums(sums: DataFrame, groupCols: Seq[String]): DataFrame =
+    sums.groupBy(groupCols.map(col): _*)
+      .agg(sum("n").as("n"), sum("sx").as("sx"), sum("sy").as("sy"),
+        sum("sxy").as("sxy"), sum("sxx").as("sxx"), sum("syy").as("syy"))
+
+  /** Finish [[olsFit]]'s arithmetic from an [[olsSums]]-shaped frame. */
+  def olsFromSums(sums: DataFrame, groupCols: Seq[String]): DataFrame =
+    sums
+      .withColumn("__dxx", expr("n * sxx - sx * sx"))
+      .withColumn("__dxy", expr("n * sxy - sx * sy"))
+      .withColumn("__dyy", expr("n * syy - sy * sy"))
+      .withColumn("slope_ppm",
+        expr("CAST(CASE WHEN __dxx = 0 THEN NULL " +
+          "ELSE __dxy * 1000000 DIV __dxx END AS BIGINT)"))
+      .withColumn("intercept_ppm",
+        expr("CAST(CASE WHEN __dxx = 0 THEN NULL " +
+          "ELSE (sy * 1000000 - (__dxy * 1000000 DIV __dxx) * sx) DIV n " +
+          "END AS BIGINT)"))
+      .withColumn("r2_ppm",
+        expr("CAST(CASE WHEN __dxx = 0 OR __dyy = 0 THEN NULL " +
+          "ELSE (__dxy * 1000000 DIV __dxx) * (__dxy * 1000000 DIV __dyy) " +
+          "DIV 1000000 END AS BIGINT)"))
+      .select(groupCols.map(col) ++ Seq(
+        col("n").cast("long").as("n"),
+        col("slope_ppm"), col("intercept_ppm"), col("r2_ppm")): _*)
+}

@@ -1,0 +1,69 @@
+package graft.ops
+
+import graft.testkit.SparkTestBase
+
+class StatsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def fit(rows: Seq[(String, Long, Long)]) =
+    Stats.olsFit(rows.toDF("g", "x", "y"), Seq("g"), "x", "y")
+      .as[(String, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+
+  test("a perfect line recovers exact slope, intercept and r2 = 1e6") {
+    val out = fit(Seq(("a", 0L, 1L), ("a", 1L, 3L), ("a", 2L, 5L)))
+    out("a") shouldBe ((3L, Some(2000000L), Some(1000000L), Some(1000000L)))
+  }
+
+  test("negative slopes truncate toward zero like the oracle") {
+    val out = fit(Seq(("a", 0L, 5L), ("a", 1L, 3L), ("a", 2L, 1L)))
+    out("a") shouldBe ((3L, Some(-2000000L), Some(5000000L), Some(1000000L)))
+  }
+
+  test("imperfect fit: hand-computed truncated digits, r2 = 750000 ppm") {
+    val out = fit(Seq(("a", 0L, 0L), ("a", 1L, 1L), ("a", 2L, 1L)))
+    // dxx=6 dxy=3 dyy=2: slope 3e6/6, intercept (2e6-1.5e6)/3, r2 9/12
+    out("a") shouldBe ((3L, Some(500000L), Some(166666L), Some(750000L)))
+  }
+
+  test("constant x yields null slope; constant y yields zero slope, null r2") {
+    val out = fit(Seq(
+      ("cx", 5L, 1L), ("cx", 5L, 9L),
+      ("cy", 1L, 7L), ("cy", 2L, 7L), ("cy", 3L, 7L)))
+    out("cx") shouldBe ((2L, None, None, None))
+    out("cy") shouldBe ((3L, Some(0L), Some(7000000L), None))
+  }
+
+  test("null x or y rows are excluded before the sums") {
+    val df = Seq(
+      ("a", Some(0L), Some(1L)), ("a", Some(1L), Some(3L)), ("a", Some(2L), Some(5L)),
+      ("a", None, Some(99L)), ("a", Some(9L), None)).toDF("g", "x", "y")
+    val out = Stats.olsFit(df, Seq("g"), "x", "y")
+      .as[(String, Long, Option[Long], Option[Long], Option[Long])].collect()
+    out.head._2 shouldBe 3L
+    out.head._3 shouldBe Some(2000000L)
+  }
+
+  test("daily sums merge to the identical fit (the incremental path)") {
+    val day1 = Seq(("a", 0L, 1L), ("a", 1L, 3L)).toDF("g", "x", "y")
+    val day2 = Seq(("a", 2L, 5L), ("a", 3L, 6L)).toDF("g", "x", "y")
+    val whole = day1.unionByName(day2)
+    val direct = Stats.olsFit(whole, Seq("g"), "x", "y").collect().map(_.toSeq).toSet
+    val merged = Stats.olsFromSums(
+      Stats.mergeOlsSums(
+        Stats.olsSums(day1, Seq("g"), "x", "y")
+          .unionByName(Stats.olsSums(day2, Seq("g"), "x", "y")),
+        Seq("g")),
+      Seq("g")).collect().map(_.toSeq).toSet
+    merged shouldBe direct
+  }
+
+  test("fit is a pure function of the data, not its partitioning") {
+    val rows = (1L to 200L).map(i => ("g" + (i % 3), i, i * i % 97))
+    val a = fit(rows)
+    val b = Stats.olsFit(rows.toDF("g", "x", "y").repartition(13), Seq("g"), "x", "y")
+      .as[(String, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    a shouldBe b
+  }
+}
