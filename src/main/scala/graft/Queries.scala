@@ -4377,6 +4377,92 @@ object Queries {
        FROM deg d LEFT JOIN pern p ON d.id = p.id"""
 
   /**
+   * `benford_profile`: first-significant-digit distribution of order
+   * totals in exact cents ([[graft.ops.DataQuality.benfordProfile]]) —
+   * the Benford fabrication screen as a DQ pass. Digits come from the
+   * canonical integer rendering (never float formatting), shares in
+   * exact ppm against a 1-row broadcast total.
+   */
+  def benfordPrices(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    graft.ops.DataQuality.benfordProfile(
+      t(dir, "orders").select(cents(col("o_totalprice")).as("v")), "v")
+  }
+
+  val benfordPricesSql: String =
+    s"""WITH d AS (
+         SELECT CASE WHEN c IS NOT NULL AND c > 0
+                THEN substring(CAST(c AS VARCHAR), 1, 1) ELSE '-' END AS digit
+         FROM (SELECT ${sqlCents("o_totalprice")} AS c FROM orders)),
+       g AS (SELECT digit, count(*) AS n FROM d GROUP BY digit)
+       SELECT digit, n,
+              CAST(n * 1000000 // (SELECT sum(n) FROM g) AS BIGINT) AS share_ppm
+       FROM g"""
+
+  /**
+   * `cumulative_users`: exact cumulative distinct users per day — the
+   * audience-growth curve. "Distinct so far" is normally the scale
+   * killer (state ∝ id universe per cut-off); first-touch decomposition
+   * makes it exact AND distributed: a user counts on exactly the day of
+   * their first event, so cumulative distinct = running total of daily
+   * first-touches — one user-keyed min agg, one day-sized count, and the
+   * no-one-reducer running sum ([[graft.ops.Intervals.withRunningTotal]]).
+   * The oracle is the plain one-window definition.
+   */
+  def cumulativeUsers(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val firstDay = events(dir)
+      .groupBy(col("user_id"))
+      .agg(min(date_format(col("ts"), "yyyy-MM-dd")).as("day"))
+    val perDay = firstDay.groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+    graft.ops.Intervals.withRunningTotal(perDay, "cum_users", "new_users", col("day"))
+  }
+
+  val cumulativeUsersSql: String =
+    """WITH fd AS (SELECT user_id, min(strftime(ts, '%Y-%m-%d')) AS day FROM events GROUP BY user_id),
+       pd AS (SELECT day, count(*) AS new_users FROM fd GROUP BY day)
+       SELECT day, new_users,
+              cast(sum(new_users) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS cum_users
+       FROM pd"""
+
+  /**
+   * `ab_test`: per-event-type 2x2 experiment readout
+   * ([[graft.ops.Stats.chiSquare2x2]]) — exposure = even user id (the
+   * deterministic stand-in for a variant assignment), outcome =
+   * value > 50. One conditional-count aggregation + exact staged-integer
+   * chi-squared and lift arithmetic; the oracle replays the cells and
+   * every truncated division in HUGEINT.
+   */
+  def abTest(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val ev = events(dir)
+      .withColumn("exposure", col("user_id") % 2 === 0)
+      .withColumn("outcome", col("value") > 50)
+    graft.ops.Stats.chiSquare2x2(ev, Seq("event_type"), "exposure", "outcome")
+  }
+
+  val abTestSql: String =
+    """WITH cells AS (
+         SELECT event_type,
+           CAST(sum(CASE WHEN user_id % 2 = 0 AND value > 50 THEN 1 ELSE 0 END) AS HUGEINT) AS a,
+           CAST(sum(CASE WHEN user_id % 2 = 0 AND NOT (value > 50) THEN 1 ELSE 0 END) AS HUGEINT) AS b,
+           CAST(sum(CASE WHEN NOT (user_id % 2 = 0) AND value > 50 THEN 1 ELSE 0 END) AS HUGEINT) AS c,
+           CAST(sum(CASE WHEN NOT (user_id % 2 = 0) AND NOT (value > 50) THEN 1 ELSE 0 END) AS HUGEINT) AS d
+         FROM events GROUP BY event_type)
+       SELECT event_type,
+         CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+         CAST(c AS BIGINT) AS c, CAST(d AS BIGINT) AS d,
+         CAST(CASE WHEN a + b = 0 OR c + d = 0 THEN NULL
+              ELSE a * 1000000 // (a + b) - c * 1000000 // (c + d)
+              END AS BIGINT) AS lift_ppm,
+         CAST(CASE WHEN a + b = 0 OR c + d = 0 OR a + c = 0 OR b + d = 0 THEN NULL
+              ELSE ((a * d - b * c) * (a * d - b * c) * 1000 // ((a + b) * (c + d)))
+                   * (a + b + c + d) * 1000 // ((a + c) * (b + d))
+              END AS BIGINT) AS chi2_micro
+       FROM cells"""
+
+  /**
    * `ols_trend`: per-nation revenue trend — exact-ppm least-squares fit
    * ([[graft.ops.Stats.olsFit]]) of daily revenue cents against the day
    * index. ONE sufficient-statistics aggregation (six DECIMAL(38,0) sums,
@@ -5369,6 +5455,9 @@ object Queries {
     ("host_pagerank", hostPagerank _, Some(hostPagerankSql)),
     ("host_triangles", hostTriangles _, Some(hostTrianglesSql)),
     ("ols_trend", olsTrend _, Some(olsTrendSql)),
+    ("ab_test", abTest _, Some(abTestSql)),
+    ("cumulative_users", cumulativeUsers _, Some(cumulativeUsersSql)),
+    ("benford_profile", benfordPrices _, Some(benfordPricesSql)),
     ("fuzzy_join", fuzzyJoin _, Some(fuzzyJoinSql)),
     ("damerau_pairs", damerauPairs _, Some(damerauPairsSql)),
     ("sorted_neighborhood", sortedNeighborhood _, Some(sortedNeighborhoodSql)),

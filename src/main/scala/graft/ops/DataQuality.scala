@@ -135,4 +135,31 @@ object DataQuality {
         when(col("rows") === 0, lit(1000000L))
           .otherwise(expr("non_null * 1000000 DIV rows")))
   }
+
+  /**
+   * First-significant-digit distribution of an INTEGER-valued column (pass
+   * money as exact cents) — the Benford's-law fraud/fabrication screen:
+   * naturally-occurring magnitudes put ~30.1% of leading digits at 1,
+   * fabricated or constrained values don't. Emits exact
+   * `(digit, n, share_ppm)`; the caller compares against the Benford
+   * expectation table (a 9-row lookup — no logarithms here, and none
+   * needed). The leading digit comes from the canonical integer decimal
+   * rendering, identical across engines, never from float formatting
+   * (fractional inputs ROUND half-up under the decimal cast first — pass
+   * exact integer units if that matters);
+   * null and non-positive values (no leading significant digit) are
+   * excluded and reported under digit '-'. One count aggregation + a
+   * 1-row total broadcast: scan-bound at any scale.
+   */
+  def benfordProfile(df: DataFrame, valueCol: String): DataFrame = {
+    val d = df.select(
+      when(col(valueCol).isNotNull && col(valueCol) > 0,
+        substring(col(valueCol).cast("decimal(38,0)").cast("string"), 1, 1))
+        .otherwise(lit("-")).as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val total = d.agg(sum(col("n")).as("__total"))
+    d.join(broadcast(total))
+      .withColumn("share_ppm", expr("CAST(n * 1000000 DIV __total AS BIGINT)"))
+      .drop("__total")
+  }
 }

@@ -78,6 +78,61 @@ object Stats {
       .agg(sum("n").as("n"), sum("sx").as("sx"), sum("sy").as("sy"),
         sum("sxy").as("sxy"), sum("sxx").as("sxx"), sum("syy").as("syy"))
 
+  /**
+   * Per-group 2x2 contingency analysis of two boolean columns — the A/B
+   * experiment readout (exposure x outcome), in ONE conditional-count
+   * aggregation pass + exact integer arithmetic.
+   *
+   * Output per group: the four cell counts
+   * `a` (exposure & outcome), `b` (exposure only), `c` (outcome only),
+   * `d` (neither), the conversion-rate difference
+   * `lift_ppm = a*1e6 DIV (a+b) - c*1e6 DIV (c+d)`, and the chi-squared
+   * independence statistic in micro units,
+   * `chi2_micro ~= n * (ad - bc)^2 * 1e6 / (m1*m2*m3*m4)` with the four
+   * margins `m1=a+b, m2=c+d, m3=a+c, m4=b+d` — computed in the STAGED
+   * truncated form `((ad-bc)^2 * 1e3 DIV (m1*m2)) * n * 1e3 DIV (m3*m4)`
+   * so no intermediate exceeds DECIMAL(38,0) up to a billion rows per
+   * group ((ad-bc)^2 * 1e3 <= ~6e37 at n = 1e9; the one-shot form
+   * overflows at n ~ 3e7). The staged floor differs from the exact
+   * rational by at most `n*1e3/(m3*m4) + 1` micro units — sub-ppm for
+   * any group large enough to test — and is a pure integer function of
+   * the counts, so it replays digit-for-digit in the oracle. Null when
+   * any margin is zero (chi-squared is undefined); `lift_ppm` null when
+   * either exposure arm is empty.
+   *
+   * Significance thresholds are the caller's lookup (3.84e6 micro =
+   * p<0.05 at 1 dof) — no p-value interpolation, no libm.
+   */
+  def chiSquare2x2(
+      df: DataFrame,
+      groupCols: Seq[String],
+      exposureCol: String,
+      outcomeCol: String): DataFrame = {
+    val e = col(exposureCol)
+    val o = col(outcomeCol)
+    def cell(p: org.apache.spark.sql.Column) =
+      sum(when(p, 1L).otherwise(0L)).cast("DECIMAL(38,0)")
+    df.where(e.isNotNull && o.isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(cell(e && o).as("__a"), cell(e && !o).as("__b"),
+        cell(!e && o).as("__c"), cell(!e && !o).as("__d"))
+      .withColumn("lift_ppm",
+        expr("CAST(CASE WHEN __a + __b = 0 OR __c + __d = 0 THEN NULL " +
+          "ELSE __a * 1000000 DIV (__a + __b) - __c * 1000000 DIV (__c + __d) " +
+          "END AS BIGINT)"))
+      .withColumn("chi2_micro",
+        expr("CAST(CASE WHEN __a + __b = 0 OR __c + __d = 0 " +
+          "OR __a + __c = 0 OR __b + __d = 0 THEN NULL " +
+          "ELSE ((__a * __d - __b * __c) * (__a * __d - __b * __c) * 1000 " +
+          "DIV ((__a + __b) * (__c + __d))) " +
+          "* (__a + __b + __c + __d) * 1000 DIV ((__a + __c) * (__b + __d)) " +
+          "END AS BIGINT)"))
+      .select(groupCols.map(col) ++ Seq(
+        col("__a").cast("long").as("a"), col("__b").cast("long").as("b"),
+        col("__c").cast("long").as("c"), col("__d").cast("long").as("d"),
+        col("lift_ppm"), col("chi2_micro")): _*)
+  }
+
   /** Finish [[olsFit]]'s arithmetic from an [[olsSums]]-shaped frame. */
   def olsFromSums(sums: DataFrame, groupCols: Seq[String]): DataFrame =
     sums

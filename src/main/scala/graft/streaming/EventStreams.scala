@@ -121,6 +121,33 @@ object EventStreams {
           array(quantiles.map(lit): _*), lit(accuracy)).as("value_quantiles")))
 
   /**
+   * S19 — windowed OLS trend rollup (the streaming twin of
+   * [[graft.ops.Stats.olsSums]]): per (window, event_type) the six
+   * DECIMAL(38,0) sufficient statistics `(n, Σx, Σy, Σxy, Σx², Σy²)` of
+   * `value` against epoch-second time, with x kept GLOBAL (seconds since
+   * epoch, not window-relative) so emitted window rows merge across any
+   * horizon ([[graft.ops.Stats.mergeOlsSums]]) and finish into the exact
+   * fit over the union ([[graft.ops.Stats.olsFromSums]]) — "is this
+   * metric drifting, per hour and per month" from ONE pass of bounded
+   * per-window state (seven numbers), the same daily→all-time shape as
+   * the sketch rollups. Fractional `value`s truncate under the decimal
+   * cast exactly as the batch operator's cast does, so batch and stream
+   * sums are bit-identical by construction.
+   */
+  def olsTrendRollup(
+      events: DataFrame,
+      windowLength: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val x = unix_timestamp(col("ts")).cast(d38)
+    val y = col("value").cast(d38)
+    windowedAgg(events, windowLength, watermark,
+      Seq(count(lit(1)).cast(d38).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy")))
+  }
+
+  /**
    * Windowed HEAVY-HITTERS rollup with the mergeable Misra-Gries summary
    * ([[graft.functions.MisraGries]] — the streaming twin of
    * [[graft.ops.Sketches.heavyHittersRollup]]): exact streaming top-key

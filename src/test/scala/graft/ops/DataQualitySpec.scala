@@ -79,4 +79,22 @@ class DataQualitySpec extends SparkTestBase {
       .as[(String, Long, Long, Long, Long)].collect()
     out.toSeq shouldBe Seq(("id", 0L, 0L, 0L, 1000000L))
   }
+
+  test("benfordProfile: canonical leading digits, exact ppm shares, junk under '-'") {
+    val df = Seq(Some(123L), Some(19L), Some(1L), Some(950L),
+      Some(0L), Some(-42L), None).toDF("v")
+    val out = DataQuality.benfordProfile(df, "v")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    out("1") shouldBe ((3L, 3L * 1000000 / 7))   // 428571
+    out("9") shouldBe ((1L, 142857L))
+    out("-") shouldBe ((3L, 428571L))            // zero, negative, null
+    out.values.map(_._1).sum shouldBe 7L
+  }
+
+  test("benfordProfile: fractional values round to an integer before the digit") {
+    val df = Seq(7.9, 81.4).toDF("v") // decimal(38,0) cast rounds half-up: 8, 81
+    val out = DataQuality.benfordProfile(df, "v")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    out shouldBe Map("8" -> 2L)
+  }
 }

@@ -58,6 +58,38 @@ class StatsSpec extends SparkTestBase {
     merged shouldBe direct
   }
 
+  private def chi(rows: Seq[(String, Boolean, Boolean)]) =
+    Stats.chiSquare2x2(rows.toDF("g", "e", "o"), Seq("g"), "e", "o")
+      .as[(String, Long, Long, Long, Long, Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+
+  test("chiSquare2x2: independence scores zero, perfect association scores n") {
+    val indep = Seq.fill(5)(Seq(("i", true, true), ("i", true, false),
+      ("i", false, true), ("i", false, false))).flatten
+    // a=d=20, b=c=0: chi2 = n = 40 exactly
+    val perfect = (1 to 20).flatMap(_ => Seq(("p", true, true), ("p", false, false)))
+    val out = chi(indep ++ perfect)
+    out("i") shouldBe ((5L, 5L, 5L, 5L, Some(0L), Some(0L)))
+    out("p") shouldBe ((20L, 0L, 0L, 20L, Some(1000000L), Some(40000000L)))
+  }
+
+  test("chiSquare2x2: hand-computed staged digits on an unbalanced table") {
+    // a=6 b=2 c=2 d=6: ad-bc=32, m1m2=64, m3m4=64, n=16
+    // q1 = 32*32*1000 DIV 64 = 16000; chi2 = 16000*16*1000 DIV 64 = 4_000_000
+    val rows = (1 to 6).map(_ => ("u", true, true)) ++
+      (1 to 2).map(_ => ("u", true, false)) ++
+      (1 to 2).map(_ => ("u", false, true)) ++
+      (1 to 6).map(_ => ("u", false, false))
+    val out = chi(rows)
+    // lift: 6e6 DIV 8 - 2e6 DIV 8 = 750000 - 250000
+    out("u") shouldBe ((6L, 2L, 2L, 6L, Some(500000L), Some(4000000L)))
+  }
+
+  test("chiSquare2x2: zero margins null the statistic, empty arm nulls the lift") {
+    val out = chi(Seq(("z", true, true), ("z", true, true))) // only exposed+converted
+    out("z") shouldBe ((2L, 0L, 0L, 0L, None, None))
+  }
+
   test("fit is a pure function of the data, not its partitioning") {
     val rows = (1L to 200L).map(i => ("g" + (i % 3), i, i * i % 97))
     val a = fit(rows)

@@ -689,4 +689,40 @@ class EventStreamsSpec extends SparkTestBase {
       .as[(Long, String, Long, Long)].collect().toSet
     batch shouldBe streamed
   }
+
+  test("S19 OLS rollup: window sums merge to the exact all-time fit, batch parity") {
+    implicit val sc = spark.sqlContext
+    def xSec(minute: Int): Long = ts(minute).getTime / 1000
+    // value on the exact line y = 2x + 5 against epoch seconds
+    def ev(id: Long, minute: Int) =
+      Event(id, ts(minute), 10, "m", (2L * xSec(minute) + 5).toDouble)
+    val in = MemoryStream[Event]
+    val q = olsTrendRollup(asContract(in.toDF()),
+      windowLength = "10 minutes", watermark = "5 minutes")
+      .writeStream.format("memory").queryName("ols_out").outputMode("append").start()
+    in.addData(ev(1, 1), ev(2, 2), ev(3, 4), ev(4, 15), ev(5, 16))
+    q.processAllAvailable()
+    in.addData(Event(99, ts(60), 12, "other", 0.0)) // advance watermark
+    runToCompletion(q)
+    val windows = spark.table("ols_out").where($"event_type" === "m")
+    windows.count() shouldBe 2 // two emitted windows, seven numbers each
+
+    val merged = graft.ops.Stats.olsFromSums(
+      graft.ops.Stats.mergeOlsSums(
+        windows.select($"n", $"sx", $"sy", $"sxy", $"sxx", $"syy"), Seq.empty),
+      Seq.empty)
+      .as[(Long, Option[Long], Option[Long], Option[Long])].head()
+    merged._1 shouldBe 5L
+    merged._2 shouldBe Some(2000000L) // exact slope in ppm
+    merged._3 shouldBe Some(5000000L) // exact intercept
+    merged._4 shouldBe Some(1000000L) // perfect fit
+
+    // bit-identical to the batch operator over the same rows
+    val batchDf = Seq(ev(1, 1), ev(2, 2), ev(3, 4), ev(4, 15), ev(5, 16))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .select(org.apache.spark.sql.functions.unix_timestamp($"ts").as("x"), $"value".as("y"))
+    val batch = graft.ops.Stats.olsFit(batchDf, Seq.empty, "x", "y")
+      .as[(Long, Option[Long], Option[Long], Option[Long])].head()
+    batch shouldBe merged
+  }
 }
