@@ -4463,6 +4463,37 @@ object Queries {
        FROM cells"""
 
   /**
+   * `host_communities`: synchronous label-propagation communities over
+   * the host graph ([[graft.ops.Graphs.labelPropagation]], 4 fixed
+   * rounds, smallest-label ties) — the oracle unrolls all four rounds as
+   * CTEs with the identical `(cnt DESC, label)` argmax, so every final
+   * label is replayed exactly, the same unrolled-fixed-point pattern as
+   * `host_pagerank`/`host_hits`.
+   */
+  def hostCommunities(spark: SparkSession, dir: String): DataFrame = {
+    graft.ops.Graphs.labelPropagation(linkHostEdges(spark, dir), iterations = 4)
+      .select(col("id").as("host"), col("community"))
+  }
+
+  val hostCommunitiesSql: String = {
+    val rounds = (1 to 4).map { k =>
+      s"""c$k AS (
+           SELECT e.u AS id, r.lbl AS lbl, count(*) AS cnt
+           FROM bidir e JOIN r${k - 1} r ON e.v = r.id GROUP BY 1, 2),
+         r$k AS (
+           SELECT id, lbl FROM (
+             SELECT id, lbl,
+                    row_number() OVER (PARTITION BY id ORDER BY cnt DESC, lbl) AS rn
+             FROM c$k) WHERE rn = 1)"""
+    }.mkString(",\n       ")
+    s"""WITH $sqlHostEdgesCtes,
+       bidir AS (SELECT src AS u, dst AS v FROM edges UNION SELECT dst, src FROM edges),
+       r0 AS (SELECT DISTINCT u AS id, u AS lbl FROM bidir),
+       $rounds
+       SELECT id AS host, lbl AS community FROM r4"""
+  }
+
+  /**
    * `ols_trend`: per-nation revenue trend — exact-ppm least-squares fit
    * ([[graft.ops.Stats.olsFit]]) of daily revenue cents against the day
    * index. ONE sufficient-statistics aggregation (six DECIMAL(38,0) sums,
@@ -5454,6 +5485,7 @@ object Queries {
     ("extract_links", extractLinksQ _, Some(extractLinksSql)),
     ("host_pagerank", hostPagerank _, Some(hostPagerankSql)),
     ("host_triangles", hostTriangles _, Some(hostTrianglesSql)),
+    ("host_communities", hostCommunities _, Some(hostCommunitiesSql)),
     ("ols_trend", olsTrend _, Some(olsTrendSql)),
     ("ab_test", abTest _, Some(abTestSql)),
     ("cumulative_users", cumulativeUsers _, Some(cumulativeUsersSql)),

@@ -177,6 +177,55 @@ object Graphs {
   }
 
   /**
+   * Synchronous label-propagation community detection (Raghavan et al.
+   * 2007) over the undirected edge view, with a FIXED iteration count and
+   * a deterministic tie law — communities for topic/mirror-cluster
+   * discovery where connected components (which merge everything
+   * touching) are too coarse.
+   *
+   * Every node starts labelled with its own id; each round, every node
+   * adopts the most frequent label among its neighbours, ties broken by
+   * the SMALLEST label — so the result is a pure function of the graph
+   * (plain async LPA is run-order-dependent; this sync+tie-law variant
+   * replays in an unrolled SQL twin). Fixed rounds also mean the known
+   * sync-LPA oscillation on bipartite structure is bounded and
+   * reproducible rather than non-terminating.
+   *
+   * Scale: per round, one edge-sized equi-join (neighbour label lookup),
+   * one map-side-combined (node, label) count, one node-keyed argmax via
+   * `min(struct(-cnt, label))` — no windows, no all-pairs; per-round
+   * materialization keeps lineage flat (reliable `checkpointDir` on real
+   * clusters). Output: `(id, community)`.
+   */
+  def labelPropagation(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      iterations: Int = 4,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    def materialize(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
+
+    val fwd = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+    val bidir = materialize(fwd.union(fwd.select(col("v"), col("u"))).distinct())
+    var labels = materialize(
+      bidir.select(col("u").as("id")).distinct().withColumn("lbl", col("id")))
+    for (_ <- 1 to iterations) {
+      val counts = bidir.join(labels.withColumnRenamed("id", "v"), "v")
+        .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("cnt"))
+      labels = materialize(counts
+        .groupBy(col("u").as("id"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("lbl").as("l"))).as("__m"))
+        .select(col("id"), col("__m.l").as("lbl")))
+    }
+    labels.select(col("id"), col("lbl").as("community"))
+  }
+
+  /**
    * Exact per-node triangle counts + local clustering coefficient over the
    * UNDIRECTED view of an edge list — the community-density signal next to
    * [[degreeStats]]: link farms show high degree with near-zero triangle

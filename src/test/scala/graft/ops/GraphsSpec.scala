@@ -175,6 +175,35 @@ class GraphsSpec extends SparkTestBase {
     out("c") shouldBe ((2L, 1L, 1000000L))
   }
 
+  test("labelPropagation: two cliques joined by one bridge edge settle into two communities") {
+    // clique {a1,a2,a3} + clique {b1,b2,b3}, bridge a3-b1
+    def clique(p: String) = Seq((s"${p}1", s"${p}2"), (s"${p}1", s"${p}3"), (s"${p}2", s"${p}3"))
+    val g = (clique("a") ++ clique("b") :+ ("a3", "b1")).toDF("src", "dst")
+    val out = Graphs.labelPropagation(g).as[(String, String)].collect().toMap
+    // labels may leak across the bridge (b's community ends up labelled "a3"
+    // here) — what must hold is the PARTITION: each clique uniform, cliques apart
+    Set(out("a1"), out("a2"), out("a3")).size shouldBe 1
+    Set(out("b1"), out("b2"), out("b3")).size shouldBe 1
+    out("a1") should not be out("b1")
+  }
+
+  test("labelPropagation: one round adopts the min neighbour label (hand-computed)") {
+    // path x-y-z: after 1 round, y sees {x,z} (tie -> x); x sees {y}; z sees {y}
+    val g = Seq(("x", "y"), ("y", "z")).toDF("src", "dst")
+    val out = Graphs.labelPropagation(g, iterations = 1).as[(String, String)].collect().toMap
+    out shouldBe Map("x" -> "y", "y" -> "x", "z" -> "y")
+  }
+
+  test("labelPropagation is partitioning-independent and direction-blind") {
+    val g = (1L to 60L).map(i => (s"n${i % 13}", s"n${(i * 7 + 3) % 13}")).toDF("src", "dst")
+    val rev = g.select($"dst".as("src"), $"src".as("dst"))
+    val a = Graphs.labelPropagation(g).collect().map(_.toSeq).toSet
+    val b = Graphs.labelPropagation(g.repartition(7)).collect().map(_.toSeq).toSet
+    val c = Graphs.labelPropagation(rev).collect().map(_.toSeq).toSet
+    a shouldBe b
+    a shouldBe c
+  }
+
   test("triangleCounts is partitioning-independent") {
     val g = (1L to 60L).map(i => (s"n${i % 11}", s"n${(i * 7 + 3) % 11}")).toDF("src", "dst")
     val a = Graphs.triangleCounts(g).collect().map(_.toSeq).toSet
