@@ -34,7 +34,9 @@ object ScaleCheck {
     "typicality_backoff", "url_dedup", "sentence_chunks",
     "funnel_window", "asof_nearest", "heavy_hitters", "main_content",
     "token_budget_per_group", "fuzzy_join", "containment_pairs", "host_pagerank",
-    "bm25_topk", "collocations", "exact_percentiles")
+    "bm25_topk", "collocations", "exact_percentiles",
+    "triangles", "label_prop", "jaccard_join", "sorted_neighborhood",
+    "running_total")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -446,6 +448,40 @@ object ScaleCheck {
           concat(lit("h"), ((col("doc_id") * 7 + 39) % (250L * factor)).cast("string"))))
           .as("dst"))
       ops.Graphs.pageRank(links, iterations = 5)
+    }
+    // same amplified link graph: host count scales with factor, so these
+    // measure graph-size growth, not densification of a fixed 250 hosts
+    def bigLinks = bigDocs.select(
+      concat(lit("h"), (col("doc_id") % (250L * factor)).cast("string")).as("src"),
+      explode(array(
+        concat(lit("h"), ((col("doc_id") * 7 + 13) % (250L * factor)).cast("string")),
+        concat(lit("h"), ((col("doc_id") * 7 + 26) % (250L * factor)).cast("string")),
+        concat(lit("h"), ((col("doc_id") * 7 + 39) % (250L * factor)).cast("string"))))
+        .as("dst"))
+    time("triangles") {
+      ops.Graphs.triangleCounts(bigLinks)
+    }
+    time("label_prop") {
+      ops.Graphs.labelPropagation(bigLinks)
+    }
+    time("jaccard_join") {
+      ops.Dedup.jaccardPairsExact(
+        bigDocs.select(col("doc_id").as("id"),
+          ops.Dedup.wordShingles(col("text"), 5).as("toks")),
+        "id", "toks", minJaccardPpm = 700000L)
+    }
+    time("sorted_neighborhood") {
+      ops.Dedup.sortedNeighborhoodPairs(
+        bigDocs.select(col("doc_id").as("id"),
+          substring(md5(col("doc_id").cast("string")), 1, 10).as("v")),
+        "id", "v", window = 10)
+    }
+    time("running_total") {
+      ops.Intervals.concurrency(
+        bigEvents.select(col("event_id").as("id"),
+          unix_micros(col("ts")).as("s"),
+          (unix_micros(col("ts")) + 3600000000L).as("e")),
+        "s", "e", "id")
     }
     spark.stop()
   }

@@ -254,16 +254,24 @@ object Graphs {
   def triangleCounts(
       edges: DataFrame,
       srcCol: String = "src",
-      dstCol: String = "dst"): DataFrame = {
-    // undirected distinct edge set as canonical (lo, hi) pairs
-    val und = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      dstCol: String = "dst",
+      checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    def materialize(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
+    // undirected distinct edge set as canonical (lo, hi) pairs; materialized
+    // because deg + orientation both read it (same once-built-edges rule as
+    // pageRank/hits — without the barrier each consumer re-runs the dedup)
+    val und = materialize(edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("lo"), greatest(col("a"), col("b")).as("hi"))
-      .distinct()
+      .distinct())
     val deg = und.select(col("lo").as("id")).union(und.select(col("hi").as("id")))
       .groupBy("id").agg(count(lit(1)).as("degree"))
-    // orient by (degree, id): out-degree bounded by O(sqrt(m))
-    val oriented = und
+    // orient by (degree, id): out-degree bounded by O(sqrt(m)); materialized
+    // because the wedge join reads it twice and the closing join a third time
+    val oriented = materialize(und
       .join(deg.select(col("id").as("lo"), col("degree").as("dlo")), Seq("lo"))
       .join(deg.select(col("id").as("hi"), col("degree").as("dhi")), Seq("hi"))
       .select(
@@ -272,7 +280,7 @@ object Graphs {
           .otherwise(col("hi")).as("u"),
         when(col("dlo") < col("dhi") ||
              (col("dlo") === col("dhi") && col("lo") < col("hi")), col("hi"))
-          .otherwise(col("lo")).as("v"))
+          .otherwise(col("lo")).as("v")))
     // wedges (u; v, w) with v before w in orientation order close into a
     // triangle iff the oriented edge v -> w exists. Ordering the pair by
     // plain (id) works because the closing edge is looked up in BOTH

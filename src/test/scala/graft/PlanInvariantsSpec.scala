@@ -310,6 +310,29 @@ class PlanInvariantsSpec extends SparkTestBase {
     check("cluster_sizes", maxShuffles = 8)
   }
 
+  test("round-13 closing additions: stats, paths, cube, graphs — bounded shuffles") {
+    // daily agg + ONE six-sum sufficient-statistics agg; dims broadcast
+    check("ols_trend", maxShuffles = 2)
+    // one conditional-count agg exchange, arithmetic is per-group projection
+    check("ab_test", maxShuffles = 1)
+    // digit count agg + total agg; the 1-row total joins back as a BNLJ broadcast
+    check("benford_profile", maxShuffles = 2, maxBnlj = 1)
+    // grouping-sets expansion is map-side: all four CUBE levels in ONE exchange
+    check("cube_revenue", maxShuffles = 1)
+    // sessionization window + path agg reuse the user_id partitioning;
+    // path-count agg + bounded TakeOrdered
+    check("session_paths", maxShuffles = 2)
+    // first-touch min agg + day count; the running total's range exchange and
+    // partition-count offset frame are not hash exchanges
+    check("cumulative_users", maxShuffles = 2)
+    // und + oriented live behind checkpoints: visible plan is the wedge join
+    // + closing join + corner agg; the node-sized deg join pins as SMJ
+    // pre-AQE (checkpoint-blind sizes, same allowance as value_outliers)
+    check("host_triangles", maxShuffles = 4, maxSmj = 2)
+    // final-round frame only: all LPA rounds live behind checkpoints
+    check("host_communities", maxShuffles = 1)
+  }
+
   test("round-7 additions: bounded shuffles, no cartesian") {
     // two vocab-sized term aggs (each feeding the join AND its 1-row total),
     // a full-outer join on term (SMJ is the at-scale plan; both sides are
