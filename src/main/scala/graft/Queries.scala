@@ -4463,6 +4463,67 @@ object Queries {
        FROM cells"""
 
   /**
+   * `host_kcore`: fixed-round 4-core peeling of the host graph
+   * ([[graft.ops.Graphs.kCore]], 4 rounds) — at sf0.01 the cascade is
+   * caught MID-PEEL (~82 of 250 hosts survive round 4; round 6 would
+   * empty it), so the oracle exercises both the alive-set filters and
+   * the bounded-round law, not a fixed point; every peel round unrolls
+   * as CTEs so the surviving set and every in-core degree replay
+   * exactly.
+   */
+  def hostKcore(spark: SparkSession, dir: String): DataFrame = {
+    graft.ops.Graphs.kCore(linkHostEdges(spark, dir), k = 4, rounds = 4)
+      .select(col("id").as("host"), col("degree"))
+  }
+
+  val hostKcoreSql: String = {
+    val rounds = (2 to 4).map { r =>
+      s"""e$r AS (SELECT lo, hi FROM und
+            WHERE lo IN (SELECT id FROM a${r - 1}) AND hi IN (SELECT id FROM a${r - 1})),
+         d$r AS (SELECT id, count(*) AS degree
+                 FROM (SELECT lo AS id FROM e$r UNION ALL SELECT hi FROM e$r) GROUP BY id),
+         a$r AS (SELECT id FROM d$r WHERE degree >= 4)"""
+    }.mkString(",\n       ")
+    s"""WITH $sqlHostEdgesCtes,
+       und AS (SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi FROM edges),
+       d1 AS (SELECT id, count(*) AS degree
+              FROM (SELECT lo AS id FROM und UNION ALL SELECT hi FROM und) GROUP BY id),
+       a1 AS (SELECT id FROM d1 WHERE degree >= 4),
+       $rounds,
+       ef AS (SELECT lo, hi FROM und
+              WHERE lo IN (SELECT id FROM a4) AND hi IN (SELECT id FROM a4)),
+       df AS (SELECT id, count(*) AS degree
+              FROM (SELECT lo AS id FROM ef UNION ALL SELECT hi FROM ef) GROUP BY id)
+       SELECT id AS host, degree FROM df WHERE id IN (SELECT id FROM a4)"""
+  }
+
+  /**
+   * `host_reach`: exact BFS hop distances within 4 hops of the seed host
+   * `h0.example` over the directed host graph
+   * ([[graft.ops.Graphs.bfsDistances]]) — reach analysis; the oracle
+   * unrolls the four frontier-min rounds.
+   */
+  def hostReach(spark: SparkSession, dir: String): DataFrame = {
+    graft.ops.Graphs.bfsDistances(linkHostEdges(spark, dir), Seq("h0.example"), maxDepth = 4)
+      .select(col("id").as("host"), col("dist"))
+  }
+
+  val hostReachSql: String = {
+    val rounds = (1 to 4).map { r =>
+      s"""r$r AS (
+           SELECT id, min(dist) AS dist FROM (
+             SELECT id, dist FROM r${r - 1}
+             UNION ALL
+             SELECT e.dst AS id, rr.dist + 1 AS dist
+             FROM edges e JOIN r${r - 1} rr ON e.src = rr.id) GROUP BY id)"""
+    }.mkString(",\n       ")
+    s"""WITH $sqlHostEdgesCtes,
+       r0 AS (SELECT 'h0.example' AS id, 0 AS dist),
+       $rounds
+       SELECT id AS host, CAST(dist AS BIGINT) AS dist FROM r4"""
+  }
+
+  /**
    * `host_communities`: synchronous label-propagation communities over
    * the host graph ([[graft.ops.Graphs.labelPropagation]], 4 fixed
    * rounds, smallest-label ties) — the oracle unrolls all four rounds as
@@ -5486,6 +5547,8 @@ object Queries {
     ("host_pagerank", hostPagerank _, Some(hostPagerankSql)),
     ("host_triangles", hostTriangles _, Some(hostTrianglesSql)),
     ("host_communities", hostCommunities _, Some(hostCommunitiesSql)),
+    ("host_kcore", hostKcore _, Some(hostKcoreSql)),
+    ("host_reach", hostReach _, Some(hostReachSql)),
     ("ols_trend", olsTrend _, Some(olsTrendSql)),
     ("ab_test", abTest _, Some(abTestSql)),
     ("cumulative_users", cumulativeUsers _, Some(cumulativeUsersSql)),

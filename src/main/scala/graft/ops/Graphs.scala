@@ -304,6 +304,103 @@ object Graphs {
   }
 
   /**
+   * Fixed-round k-core peeling over the undirected edge view: repeatedly
+   * remove nodes whose CURRENT degree (within the surviving subgraph) is
+   * below `k` — the standard dense-subgraph extractor (a high-k core is a
+   * tightly knit cluster; spam rings and genuine topic hubs both surface
+   * here, which is why it pairs with [[triangleCounts]]' clustering
+   * coefficient for telling them apart).
+   *
+   * `rounds` bounds the peel cascade instead of a driver-side
+   * convergence loop — the same oracle-replayable fixed-iteration law as
+   * [[pageRank]]/[[hits]]/[[labelPropagation]]; a cascade deeper than
+   * `rounds` leaves some sub-k nodes unpeeled (documented, and a larger
+   * `rounds` only removes more). Each round is two alive-set semi-joins
+   * (edge-sized) + one degree agg (node-sized), all hash-partitionable;
+   * rounds materialize for flat lineage.
+   *
+   * Output: `(id, degree)` for surviving nodes — degree measured INSIDE
+   * the surviving subgraph after the last round.
+   */
+  def kCore(
+      edges: DataFrame,
+      k: Int,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      rounds: Int = 4,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    def materialize(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
+    val und = materialize(edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("lo"), greatest(col("a"), col("b")).as("hi"))
+      .distinct())
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("lo").as("id")).union(e.select(col("hi").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("degree"))
+    var alive = materialize(degrees(und).where(col("degree") >= k).select("id"))
+    for (_ <- 2 to rounds) {
+      val sub = und
+        .join(alive.withColumnRenamed("id", "lo"), Seq("lo"), "left_semi")
+        .join(alive.withColumnRenamed("id", "hi"), Seq("hi"), "left_semi")
+      alive = materialize(degrees(sub).where(col("degree") >= k).select("id"))
+    }
+    val finalSub = und
+      .join(alive.withColumnRenamed("id", "lo"), Seq("lo"), "left_semi")
+      .join(alive.withColumnRenamed("id", "hi"), Seq("hi"), "left_semi")
+    degrees(finalSub)
+      .join(alive, Seq("id"), "left_semi")
+  }
+
+  /**
+   * Bounded-depth BFS distances from a seed set over the DIRECTED edge
+   * list: every node reachable within `maxDepth` hops gets its exact
+   * shortest-path hop count — reach/diffusion analysis ("what does this
+   * hub feed within 3 clicks"), crawl-frontier budgeting, and the
+   * distance feature link-spam classifiers use.
+   *
+   * Per round one frontier-edge equi-join + one min agg, both
+   * edge/node-sized and hash-partitionable; `maxDepth` rounds replay as
+   * unrolled CTEs (exact min is associative, so the oracle's
+   * round-by-round min matches regardless of partitioning). Nodes not
+   * reached within `maxDepth` are absent from the output — at web scale
+   * that's almost everything, so the result stays reach-sized, not
+   * graph-sized.
+   *
+   * Output: `(id, dist)` with `dist = 0` for the seeds themselves.
+   */
+  def bfsDistances(
+      edges: DataFrame,
+      sources: Seq[String],
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      maxDepth: Int = 4,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(sources.nonEmpty, "need at least one source node")
+    require(maxDepth >= 1, s"maxDepth must be >= 1, got $maxDepth")
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    def materialize(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = materialize(edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+      .distinct())
+    var dist = materialize(sources.distinct.toDF("id").withColumn("dist", lit(0L)))
+    for (_ <- 1 to maxDepth) {
+      val step = e.join(dist.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), (col("dist") + 1L).as("dist"))
+      dist = materialize(dist.union(step).groupBy("id").agg(min(col("dist")).as("dist")))
+    }
+    dist
+  }
+
+  /**
    * Per-node degree profile of a directed edge list: out-degree,
    * in-degree, and the count of RECIPROCATED out-edges (u→v with v→u —
    * high reciprocity separates social/link-exchange structure from

@@ -204,6 +204,47 @@ class GraphsSpec extends SparkTestBase {
     a shouldBe c
   }
 
+  test("kCore: peeling cascades — a tail hanging off a triangle dies in order") {
+    // triangle {a,b,c} + path c-d-e: 2-core should peel e (deg 1), then d
+    val g = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e"))
+      .toDF("src", "dst")
+    val out = Graphs.kCore(g, k = 2).as[(String, Long)].collect().toMap
+    out shouldBe Map("a" -> 2L, "b" -> 2L, "c" -> 2L)
+  }
+
+  test("kCore: a bounded round count leaves a deeper cascade unpeeled (documented law)") {
+    // chain t1-t2-...-t5 off a triangle: each 2-core round peels ONE tail node
+    val chain = Seq(("c", "t1"), ("t1", "t2"), ("t2", "t3"), ("t3", "t4"), ("t4", "t5"))
+    val g = (Seq(("a", "b"), ("b", "c"), ("a", "c")) ++ chain).toDF("src", "dst")
+    val two = Graphs.kCore(g, k = 2, rounds = 2).as[(String, Long)].collect().toMap
+    two.keySet should contain allOf ("t1", "t2", "t3") // only t5, t4 peeled so far
+    val deep = Graphs.kCore(g, k = 2, rounds = 8).as[(String, Long)].collect().toMap
+    deep.keySet shouldBe Set("a", "b", "c") // enough rounds: whole tail gone
+  }
+
+  test("kCore is partitioning-independent") {
+    val g = (1L to 80L).map(i => (s"n${i % 17}", s"n${(i * 5 + 2) % 17}")).toDF("src", "dst")
+    val a = Graphs.kCore(g, k = 4).collect().map(_.toSeq).toSet
+    val b = Graphs.kCore(g.repartition(7), k = 4).collect().map(_.toSeq).toSet
+    a shouldBe b
+  }
+
+  test("bfsDistances: exact hop counts, direction respected, horizon enforced") {
+    val g = Seq(("s", "a"), ("a", "b"), ("b", "c"), ("c", "d"), ("x", "s"), ("b", "a"))
+      .toDF("src", "dst")
+    val out = Graphs.bfsDistances(g, Seq("s"), maxDepth = 3)
+      .as[(String, Long)].collect().toMap
+    out shouldBe Map("s" -> 0L, "a" -> 1L, "b" -> 2L, "c" -> 3L)
+    // d is 4 hops (beyond horizon); x only REACHES s, never reached from it
+  }
+
+  test("bfsDistances: multiple seeds take the minimum, shortcuts win over long walks") {
+    val g = Seq(("s1", "m"), ("m", "z"), ("s2", "z")).toDF("src", "dst")
+    val out = Graphs.bfsDistances(g, Seq("s1", "s2"), maxDepth = 4)
+      .as[(String, Long)].collect().toMap
+    out shouldBe Map("s1" -> 0L, "s2" -> 0L, "m" -> 1L, "z" -> 1L)
+  }
+
   test("triangleCounts is partitioning-independent") {
     val g = (1L to 60L).map(i => (s"n${i % 11}", s"n${(i * 7 + 3) % 11}")).toDF("src", "dst")
     val a = Graphs.triangleCounts(g).collect().map(_.toSeq).toSet
