@@ -36,7 +36,7 @@ object ScaleCheck {
     "token_budget_per_group", "fuzzy_join", "containment_pairs", "host_pagerank",
     "bm25_topk", "collocations", "exact_percentiles",
     "triangles", "label_prop", "jaccard_join", "sorted_neighborhood",
-    "running_total")
+    "running_total", "kcore", "bfs_reach")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -463,6 +463,12 @@ object ScaleCheck {
     }
     time("label_prop") {
       ops.Graphs.labelPropagation(bigLinks)
+    }
+    time("kcore") {
+      ops.Graphs.kCore(bigLinks, k = 4)
+    }
+    time("bfs_reach") {
+      ops.Graphs.bfsDistances(bigLinks, Seq("h13"), maxDepth = 4)
     }
     time("jaccard_join") {
       ops.Dedup.jaccardPairsExact(

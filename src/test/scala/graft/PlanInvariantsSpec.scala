@@ -331,6 +331,10 @@ class PlanInvariantsSpec extends SparkTestBase {
     check("host_triangles", maxShuffles = 4, maxSmj = 2)
     // final-round frame only: all LPA rounds live behind checkpoints
     check("host_communities", maxShuffles = 1)
+    // peel rounds behind checkpoints; visible plan = final subgraph degree agg
+    check("host_kcore", maxShuffles = 2)
+    // frontier rounds behind checkpoints; final min-agg frame is reach-sized
+    check("host_reach", maxShuffles = 1)
   }
 
   test("round-7 additions: bounded shuffles, no cartesian") {
