@@ -3904,6 +3904,48 @@ object Queries {
        FROM b"""
 
   /**
+   * `time_weighted_load`: the exact daily integral of open-order
+   * concurrency ([[graft.ops.Intervals.timeWeightedDaily]]) over the same
+   * 7-day validity windows as `concurrency_profile` — average open orders
+   * per UTC day in exact thousandths. Segments split at midnight, so the
+   * oracle (one running-sum window + lead + generate_series day split)
+   * replays every sub-day overlap digit-for-digit.
+   */
+  def timeWeightedLoad(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val us = unix_micros(col("o_orderdate").cast("timestamp"))
+    val iv = t(dir, "orders").select(col("o_orderkey").as("id"),
+      us.as("start_us"), (us + 7L * 86400 * 1000000).as("end_us"))
+    graft.ops.Intervals.timeWeightedDaily(iv, "start_us", "end_us", "id")
+  }
+
+  val timeWeightedLoadSql: String =
+    """WITH b AS (
+         SELECT epoch_us(o_orderdate) AS ts, 1 AS delta, o_orderkey AS id FROM orders
+         UNION ALL
+         SELECT epoch_us(o_orderdate) + 604800000000, -1, o_orderkey FROM orders),
+       r AS (
+         SELECT ts, CAST(sum(delta) OVER (ORDER BY ts, delta, id
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS active,
+                row_number() OVER (ORDER BY ts, delta, id) AS rk
+         FROM b),
+       seg AS (
+         SELECT r1.ts AS s, r2.ts AS e, r1.active
+         FROM r r1 JOIN r r2 ON r2.rk = r1.rk + 1
+         WHERE r2.ts > r1.ts AND r1.active > 0),
+       d AS (
+         SELECT s, e, active,
+                unnest(generate_series(s // 86400000000, (e - 1) // 86400000000)) AS day_idx
+         FROM seg)
+       SELECT day_idx,
+              CAST(sum(active * (least(e, (day_idx + 1) * 86400000000)
+                   - greatest(s, day_idx * 86400000000))) AS BIGINT) AS active_us,
+              CAST(CAST(sum(active * (least(e, (day_idx + 1) * 86400000000)
+                   - greatest(s, day_idx * 86400000000))) AS HUGEINT)
+                   * 1000 // 86400000000 AS BIGINT) AS avg_milli
+       FROM d GROUP BY day_idx"""
+
+  /**
    * `attribution_last`: last-touch conversion attribution
    * ([[graft.ops.Attribution.lastTouch]]) — purchases credited to the
    * latest click/view at-or-before them within a 3-day lookback, ONE
@@ -5522,6 +5564,7 @@ object Queries {
     ("leakage_safe_split", leakageSafeSplitQ _, Some(leakageSafeSplitSql)),
     ("vocab_drift", vocabDriftQ _, Some(vocabDriftSql)),
     ("concurrency_profile", concurrencyProfile _, Some(concurrencyProfileSql)),
+    ("time_weighted_load", timeWeightedLoad _, Some(timeWeightedLoadSql)),
     ("attribution_last", attributionLast _, Some(attributionLastSql)),
     ("attribution_first", attributionFirst _, Some(attributionFirstSql)),
     ("attribution_linear", attributionLinear _, Some(attributionLinearSql)),

@@ -75,4 +75,54 @@ object Intervals {
     withRunningTotal(opens.unionByName(closes), "active", "delta",
       col("ts"), col("delta"), col("id"))
   }
+
+  /**
+   * EXACT time-weighted daily load from `[startCol, endCol)` microsecond
+   * intervals: for every UTC day index (`ts DIV 86400e6`), the integral of
+   * the concurrency curve over that day (`active_us`, in count x
+   * microseconds) and the time-weighted average in thousandths
+   * (`avg_milli = active_us * 1000 DIV 86_400_000_000`) — "how many
+   * orders/sessions were open on average each day", the capacity metric a
+   * peak-only profile ([[concurrency]]) misses.
+   *
+   * Exactness comes from segment SPLITTING, not left-endpoint
+   * attribution: each constant-`active` segment between consecutive
+   * boundaries explodes into the days it spans (`sequence` generator) and
+   * contributes `active * overlap_us` to each — a segment crossing
+   * midnight lands in both days with the exact sub-day overlap. Idle
+   * segments (`active = 0`) and zero-length segments (tied boundaries)
+   * drop early, so days nothing was open produce no row.
+   *
+   * Plan: the [[concurrency]] running total, a global rank over the same
+   * boundary order, ONE rank-shifted self-equi-join to attach each
+   * boundary's successor (the distributed `lead()` — no one-reducer
+   * window), the day explode, and one day-keyed aggregation — every stage
+   * hash- or range-partitionable at any scale.
+   */
+  def timeWeightedDaily(
+      intervals: DataFrame,
+      startCol: String,
+      endCol: String,
+      idCol: String): DataFrame = {
+    val dayUs = 86400000000L
+    val prof = concurrency(intervals, startCol, endCol, idCol)
+    val ranked = TextAnalysis.withGlobalRank(prof, "__rank",
+      col("ts"), col("delta"), col("id"))
+    val segs = ranked.select(col("ts").as("s"), col("active"), col("__rank"))
+      .join(ranked.select((col("__rank") - 1L).as("__rank"), col("ts").as("e")),
+        Seq("__rank"))
+      .where(col("e") > col("s") && col("active") > 0)
+    segs
+      .select(col("s"), col("e"), col("active"),
+        explode(sequence(expr(s"s DIV ${dayUs}L"), expr(s"(e - 1) DIV ${dayUs}L")))
+          .as("day_idx"))
+      .withColumn("__overlap",
+        least(col("e"), (col("day_idx") + 1L) * dayUs) -
+          greatest(col("s"), col("day_idx") * dayUs))
+      .groupBy("day_idx")
+      .agg(sum(col("active") * col("__overlap")).as("active_us"))
+      .select(col("day_idx"), col("active_us").cast("long").as("active_us"))
+      .withColumn("avg_milli",
+        expr(s"CAST(CAST(active_us AS DECIMAL(38,0)) * 1000 DIV ${dayUs}L AS BIGINT)"))
+  }
 }

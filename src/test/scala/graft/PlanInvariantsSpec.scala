@@ -335,6 +335,9 @@ class PlanInvariantsSpec extends SparkTestBase {
     check("host_kcore", maxShuffles = 2)
     // frontier rounds behind checkpoints; final min-agg frame is reach-sized
     check("host_reach", maxShuffles = 1)
+    // running total (behind checkpoint) + rank-shifted successor self-join
+    // (the distributed lead) + day explode + ONE day-keyed agg
+    check("time_weighted_load", maxShuffles = 5)
   }
 
   test("round-7 additions: bounded shuffles, no cartesian") {

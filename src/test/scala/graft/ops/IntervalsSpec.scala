@@ -51,4 +51,44 @@ class IntervalsSpec extends SparkTestBase {
     val brute = (0L to 1101L).map(t => rows.count(r => r._2 <= t && t < r._3)).max
     prof.max shouldBe brute.toLong
   }
+
+  private val DayUs = 86400000000L
+
+  test("timeWeightedDaily: hand-computed integral, midnight split exact") {
+    // one interval covering half of day 0 and a quarter of day 1, plus a
+    // second interval overlapping the first for 6h inside day 0
+    val iv = Seq(
+      (1L, DayUs / 2, DayUs + DayUs / 4),          // 12h of day0 + 6h of day1
+      (2L, DayUs * 3 / 4, DayUs)                   // last 6h of day0
+    ).toDF("id", "s", "e")
+    val out = Intervals.timeWeightedDaily(iv, "s", "e", "id")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // day0: 6h at active=1 + 6h at active=2 = 18h weighted
+    out(0L) shouldBe ((DayUs / 4 + DayUs / 4 * 2, 750L))
+    // day1: 6h at active=1
+    out(1L) shouldBe ((DayUs / 4, 250L))
+  }
+
+  test("timeWeightedDaily: idle days produce no rows, zero-length intervals nothing") {
+    val iv = Seq(
+      (1L, 0L, DayUs),             // all of day 0
+      (2L, 5L * DayUs, 5L * DayUs) // zero-length: contributes nothing
+    ).toDF("id", "s", "e")
+    val out = Intervals.timeWeightedDaily(iv, "s", "e", "id")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    out shouldBe Map(0L -> ((DayUs, 1000L)))
+  }
+
+  test("timeWeightedDaily is partitioning-independent") {
+    val rnd = new scala.util.Random(11)
+    val iv = (1 to 300).map { i =>
+      val s = rnd.nextInt(10 * 86400).toLong * 1000000
+      (i.toLong, s, s + (1 + rnd.nextInt(3 * 86400)).toLong * 1000000)
+    }.toDF("id", "s", "e")
+    val a = Intervals.timeWeightedDaily(iv, "s", "e", "id").collect().map(_.toSeq).toSet
+    val b = Intervals.timeWeightedDaily(iv.repartition(13), "s", "e", "id")
+      .collect().map(_.toSeq).toSet
+    a shouldBe b
+    a.nonEmpty shouldBe true
+  }
 }
