@@ -3904,6 +3904,122 @@ object Queries {
        FROM b"""
 
   /**
+   * `rfm_segments`: classic RFM (recency / frequency / monetary)
+   * customer segmentation with EXACT tercile buckets — one customer agg,
+   * then three independent global ranks through the no-one-reducer
+   * range-partition recipe ([[graft.ops.TextAnalysis.withGlobalRank]]),
+   * bucket = `(rank - 1) * 3 DIV n` with ties broken by customer key (a
+   * pure function of the data — `ntile` leaves tie placement
+   * implementation-defined, so the oracle replays row_number with the
+   * same total order instead). Segment string "rfm" concatenates the
+   * three digits, 2 = top tercile.
+   */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val base = t(dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(
+        max(datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date")))
+          .cast("long").as("rec"),
+        count(lit(1)).as("freq"),
+        sum(cents(col("o_totalprice"))).as("mon"))
+    val total = base.agg(count(lit(1)).as("__n"))
+    var out = base.join(broadcast(total))
+    for ((c, b) <- Seq(("rec", "r_bucket"), ("freq", "f_bucket"), ("mon", "m_bucket"))) {
+      out = graft.ops.TextAnalysis
+        .withGlobalRank(out, "__rk", col(c), col("o_custkey"))
+        .withColumn(b, expr("(__rk - 1) * 3 DIV __n"))
+        .drop("__rk")
+    }
+    out.drop("__n")
+      .withColumn("segment",
+        concat(col("r_bucket").cast("string"), col("f_bucket").cast("string"),
+          col("m_bucket").cast("string")))
+  }
+
+  val rfmSegmentsSql: String =
+    s"""WITH base AS (
+         SELECT o_custkey,
+                CAST(max(datediff('day', DATE '1970-01-01', cast(o_orderdate as date))) AS BIGINT) AS rec,
+                count(*) AS freq,
+                sum(${sqlCents("o_totalprice")}) AS mon
+         FROM orders GROUP BY o_custkey),
+       t AS (SELECT count(*) AS n FROM base),
+       r AS (
+         SELECT o_custkey, rec, freq, mon,
+                row_number() OVER (ORDER BY rec, o_custkey) AS rk_r,
+                row_number() OVER (ORDER BY freq, o_custkey) AS rk_f,
+                row_number() OVER (ORDER BY mon, o_custkey) AS rk_m
+         FROM base)
+       SELECT o_custkey, rec, freq, CAST(mon AS BIGINT) AS mon,
+              CAST((rk_r - 1) * 3 // n AS BIGINT) AS r_bucket,
+              CAST((rk_f - 1) * 3 // n AS BIGINT) AS f_bucket,
+              CAST((rk_m - 1) * 3 // n AS BIGINT) AS m_bucket,
+              CAST((rk_r - 1) * 3 // n AS VARCHAR) ||
+              CAST((rk_f - 1) * 3 // n AS VARCHAR) ||
+              CAST((rk_m - 1) * 3 // n AS VARCHAR) AS segment
+       FROM r CROSS JOIN t"""
+
+  /**
+   * `basket_lift`: market-basket brand affinity — for every pair of part
+   * brands co-occurring in an order, exact support / confidence / lift in
+   * ppm. The pair expansion is a self-equi-join ON THE ORDER KEY of the
+   * per-order DISTINCT brand set, so fan-out is bounded by
+   * (brands-per-order)², never corpus-sized; brand marginals and the
+   * 1-row order total broadcast back. Lift > 1e6 = brands bought together
+   * more than independence predicts. All divisions truncated integer ppm,
+   * replayed in HUGEINT.
+   */
+  def basketLift(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    // (order, brand) distinct is read FOUR times (both pair sides, the
+    // marginals, the total) — materialize once instead of re-running the
+    // lineitem scan + distinct per consumer
+    val ob = t(dir, "lineitem")
+      .join(broadcast(t(dir, "part")), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
+      .distinct()
+      .localCheckpoint(true)
+    val pairs = ob.select(col("ok"), col("brand").as("brand_a"))
+      .join(ob.select(col("ok"), col("brand").as("brand_b")), Seq("ok"))
+      .where(col("brand_a") < col("brand_b"))
+      .groupBy("brand_a", "brand_b").agg(count(lit(1)).as("n_ab"))
+    // brand marginals are brand-cardinality-sized — broadcast by definition
+    val marg = ob.groupBy(col("brand")).agg(count(lit(1)).as("n"))
+    val total = ob.select(countDistinct(col("ok")).as("n_orders"))
+    pairs
+      .join(broadcast(marg.select(col("brand").as("brand_a"), col("n").as("n_a"))),
+        Seq("brand_a"))
+      .join(broadcast(marg.select(col("brand").as("brand_b"), col("n").as("n_b"))),
+        Seq("brand_b"))
+      .join(broadcast(total))
+      .select(col("brand_a"), col("brand_b"), col("n_ab"),
+        expr("CAST(n_ab * 1000000 DIV n_orders AS BIGINT)").as("support_ppm"),
+        expr("CAST(n_ab * 1000000 DIV n_a AS BIGINT)").as("confidence_ppm"),
+        expr("CAST(CAST(n_ab AS DECIMAL(38,0)) * n_orders * 1000000 DIV (n_a * n_b) AS BIGINT)")
+          .as("lift_ppm"))
+  }
+
+  val basketLiftSql: String =
+    """WITH ob AS (
+         SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
+         FROM lineitem JOIN part ON l_partkey = p_partkey),
+       pairs AS (
+         SELECT a.brand AS brand_a, b.brand AS brand_b, count(*) AS n_ab
+         FROM ob a JOIN ob b ON a.ok = b.ok AND a.brand < b.brand
+         GROUP BY 1, 2),
+       marg AS (SELECT brand, count(*) AS n FROM ob GROUP BY brand),
+       tot AS (SELECT count(DISTINCT ok) AS n_orders FROM ob)
+       SELECT brand_a, brand_b, n_ab,
+              CAST(n_ab * 1000000 // n_orders AS BIGINT) AS support_ppm,
+              CAST(n_ab * 1000000 // n_a AS BIGINT) AS confidence_ppm,
+              CAST(CAST(n_ab AS HUGEINT) * n_orders * 1000000 // (n_a * n_b) AS BIGINT) AS lift_ppm
+       FROM pairs
+       JOIN (SELECT brand AS brand_a, n AS n_a FROM marg) USING (brand_a)
+       JOIN (SELECT brand AS brand_b, n AS n_b FROM marg) USING (brand_b)
+       CROSS JOIN tot"""
+
+  /**
    * `time_weighted_load`: the exact daily integral of open-order
    * concurrency ([[graft.ops.Intervals.timeWeightedDaily]]) over the same
    * 7-day validity windows as `concurrency_profile` — average open orders
@@ -5565,6 +5681,8 @@ object Queries {
     ("vocab_drift", vocabDriftQ _, Some(vocabDriftSql)),
     ("concurrency_profile", concurrencyProfile _, Some(concurrencyProfileSql)),
     ("time_weighted_load", timeWeightedLoad _, Some(timeWeightedLoadSql)),
+    ("basket_lift", basketLift _, Some(basketLiftSql)),
+    ("rfm_segments", rfmSegments _, Some(rfmSegmentsSql)),
     ("attribution_last", attributionLast _, Some(attributionLastSql)),
     ("attribution_first", attributionFirst _, Some(attributionFirstSql)),
     ("attribution_linear", attributionLinear _, Some(attributionLinearSql)),

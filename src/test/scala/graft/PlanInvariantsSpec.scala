@@ -338,6 +338,12 @@ class PlanInvariantsSpec extends SparkTestBase {
     // running total (behind checkpoint) + rank-shifted successor self-join
     // (the distributed lead) + day explode + ONE day-keyed agg
     check("time_weighted_load", maxShuffles = 5)
+    // (order, brand) distinct behind a checkpoint; order-keyed pair self-join
+    // (checkpoint-blind SMJ pre-AQE) + pair agg; marginals/total broadcast
+    check("basket_lift", maxShuffles = 6, maxSmj = 1, maxBnlj = 1)
+    // one customer agg; the three tercile ranks ride range exchanges +
+    // broadcast offsets, not hash exchanges
+    check("rfm_segments", maxShuffles = 2)
   }
 
   test("round-7 additions: bounded shuffles, no cartesian") {
