@@ -3904,6 +3904,35 @@ object Queries {
        FROM b"""
 
   /**
+   * `pareto_parts`: the 2-D Pareto front of PROMO parts — biggest size
+   * for the lowest price ([[graft.ops.Stats.paretoFront2D]], price
+   * negated to minimize). The oracle is the NAIVE all-pairs dominance
+   * NOT EXISTS over the same slice, so the hash match proves the sweep
+   * (group-best + exclusive running max over size descending) IS the
+   * skyline definition — the no-all-pairs form survives any scale, the
+   * naive form is the proof.
+   */
+  def paretoParts(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val parts = t(dir, "part").filter(col("p_type").startsWith("PROMO"))
+      .select(col("p_partkey"), col("p_size").cast("long").as("size"),
+        cents(col("p_retailprice")).as("price_cents"))
+      .withColumn("__negp", -col("price_cents"))
+    graft.ops.Stats.paretoFront2D(parts, "size", "__negp").drop("__negp")
+  }
+
+  val paretoPartsSql: String =
+    s"""WITH p AS (
+         SELECT p_partkey, CAST(p_size AS BIGINT) AS size,
+                ${sqlCents("p_retailprice")} AS price_cents
+         FROM part WHERE p_type LIKE 'PROMO%')
+       SELECT p_partkey, size, price_cents FROM p a
+       WHERE NOT EXISTS (
+         SELECT 1 FROM p b
+         WHERE b.size >= a.size AND b.price_cents <= a.price_cents
+           AND (b.size > a.size OR b.price_cents < a.price_cents))"""
+
+  /**
    * `rfm_segments`: classic RFM (recency / frequency / monetary)
    * customer segmentation with EXACT tercile buckets — one customer agg,
    * then three independent global ranks through the no-one-reducer
@@ -5683,6 +5712,7 @@ object Queries {
     ("time_weighted_load", timeWeightedLoad _, Some(timeWeightedLoadSql)),
     ("basket_lift", basketLift _, Some(basketLiftSql)),
     ("rfm_segments", rfmSegments _, Some(rfmSegmentsSql)),
+    ("pareto_parts", paretoParts _, Some(paretoPartsSql)),
     ("attribution_last", attributionLast _, Some(attributionLastSql)),
     ("attribution_first", attributionFirst _, Some(attributionFirstSql)),
     ("attribution_linear", attributionLinear _, Some(attributionLinearSql)),

@@ -51,6 +51,42 @@ object Intervals {
   }
 
   /**
+   * Exact global EXCLUSIVE running maximum of `valueCol` in the total
+   * order given by `order`: each row gets `maxCol` = max of `valueCol`
+   * over all rows STRICTLY before it (null for the first row) — the
+   * "best seen so far" primitive under skyline/frontier queries
+   * ([[Stats.paretoFront2D]]) and record-tracking analytics, built on the
+   * same range-repartition + per-partition-offset recipe as
+   * [[withRunningTotal]] (max is associative, so per-partition maxima
+   * compose exactly; only the partition-count offset frame ever meets a
+   * single-partition window).
+   */
+  def withRunningMaxBefore(
+      df: DataFrame,
+      maxCol: String,
+      valueCol: String,
+      order: Column*): DataFrame = {
+    require(order.nonEmpty, "withRunningMaxBefore needs at least one order column")
+    val ranged = df.repartitionByRange(order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val offsets = ranged.groupBy(col("__pid"))
+      .agg(max(col(valueCol)).as("__m"))
+      .withColumn("__offset",
+        max(col("__m")).over(
+          Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("__pid"), col("__offset"))
+    ranged.join(broadcast(offsets), Seq("__pid"))
+      .withColumn(maxCol,
+        greatest(
+          col("__offset"),
+          max(col(valueCol)).over(
+            Window.partitionBy(col("__pid")).orderBy(order: _*)
+              .rowsBetween(Window.unboundedPreceding, -1))))
+      .drop("__pid", "__offset")
+  }
+
+  /**
    * Sweep-line concurrency profile of `[startCol, endCol)` intervals: one
    * row per interval BOUNDARY with `delta` (+1 open, -1 close) and
    * `active`, the number of intervals live immediately after it. Ends are

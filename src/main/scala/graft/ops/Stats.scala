@@ -133,6 +133,36 @@ object Stats {
         col("lift_ppm"), col("chi2_micro")): _*)
   }
 
+  /**
+   * Exact 2-D Pareto front (skyline), MAXIMIZING both columns: rows kept
+   * iff no other row is >= in both dimensions and strictly greater in at
+   * least one — "cheapest-for-its-size" style frontier queries (negate a
+   * column to minimize it). Equal (x, y) twins are mutually non-dominating
+   * and both survive.
+   *
+   * The naive form is an all-pairs dominance anti-join; this one is the
+   * classic sweep: per-x-group maxima (a row must be its group's best y —
+   * an equal-x row with greater y dominates it), then an exclusive
+   * running max of group-best y over x DESCENDING
+   * ([[Intervals.withRunningMaxBefore]] — the no-one-reducer global
+   * scan), and a row survives iff its y strictly beats everything seen at
+   * strictly greater x. One x-keyed agg + the range-partition scan + one
+   * x-keyed join: no all-pairs anywhere, at any scale.
+   */
+  def paretoFront2D(
+      df: DataFrame,
+      xCol: String,
+      yCol: String): DataFrame = {
+    val rows = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+    val groups = rows.groupBy(col(xCol)).agg(max(col(yCol)).as("__ymax"))
+    val scanned = Intervals.withRunningMaxBefore(groups, "__m1", "__ymax",
+      col(xCol).desc)
+    rows.join(scanned, Seq(xCol))
+      .where(col(yCol) === col("__ymax") &&
+        (col("__m1").isNull || col(yCol) > col("__m1")))
+      .select(rows.columns.map(col): _*) // the key-join reorders; restore
+  }
+
   /** Finish [[olsFit]]'s arithmetic from an [[olsSums]]-shaped frame. */
   def olsFromSums(sums: DataFrame, groupCols: Seq[String]): DataFrame =
     sums

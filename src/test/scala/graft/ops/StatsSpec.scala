@@ -90,6 +90,34 @@ class StatsSpec extends SparkTestBase {
     out("z") shouldBe ((2L, 0L, 0L, 0L, None, None))
   }
 
+  test("withRunningMaxBefore: exclusive best-so-far, null first row, any partitioning") {
+    val df = Seq((1L, 5L), (2L, 3L), (3L, 9L), (4L, 9L), (5L, 1L)).toDF("k", "v")
+    val out = Intervals.withRunningMaxBefore(df.repartition(3), "m", "v", $"k")
+      .as[(Long, Long, Option[Long])].collect().sortBy(_._1)
+    out.map(_._3) shouldBe Seq(None, Some(5L), Some(5L), Some(9L), Some(9L))
+  }
+
+  test("paretoFront2D matches the brute-force dominance filter") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 400L).map(i => (i, rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+    val front = Stats.paretoFront2D(rows.toDF("id", "x", "y"), "x", "y")
+      .as[(Long, Long, Long)].collect().toSet
+    val brute = rows.filter { case (_, x, y) =>
+      !rows.exists { case (_, x2, y2) =>
+        x2 >= x && y2 >= y && (x2 > x || y2 > y) }
+    }.map(t => (t._1, t._2, t._3)).toSet
+    front.map(r => (r._2, r._3)) shouldBe brute.map(r => (r._2, r._3))
+    front shouldBe brute // equal-(x,y) twins both survive
+  }
+
+  test("paretoFront2D: a single totally-dominating point leaves a one-row front") {
+    val front = Stats.paretoFront2D(
+      Seq((1L, 1L, 1L), (2L, 9L, 9L), (3L, 9L, 2L), (4L, 2L, 9L))
+        .toDF("id", "x", "y"), "x", "y")
+      .as[(Long, Long, Long)].collect().toSet
+    front shouldBe Set((2L, 9L, 9L))
+  }
+
   test("fit is a pure function of the data, not its partitioning") {
     val rows = (1L to 200L).map(i => ("g" + (i % 3), i, i * i % 97))
     val a = fit(rows)
