@@ -3904,6 +3904,35 @@ object Queries {
        FROM b"""
 
   /**
+   * `record_days`: record-breaking revenue days — days whose total
+   * strictly exceeds EVERY earlier day, with the previous best attached
+   * ([[graft.ops.Intervals.withRunningMaxBefore]] — the exclusive
+   * best-so-far scan with no one-reducer window). The first day is a
+   * record by definition (null previous best).
+   */
+  def recordDays(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val daily = t(dir, "orders")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+      .agg(sum(cents(col("o_totalprice"))).as("rev_cents"))
+    graft.ops.Intervals.withRunningMaxBefore(daily, "prev_best", "rev_cents", col("day"))
+      .where(col("prev_best").isNull || col("rev_cents") > col("prev_best"))
+  }
+
+  val recordDaysSql: String =
+    s"""WITH daily AS (
+         SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+                sum(${sqlCents("o_totalprice")}) AS rev_cents
+         FROM orders GROUP BY 1),
+       scanned AS (
+         SELECT day, CAST(rev_cents AS BIGINT) AS rev_cents,
+                CAST(max(rev_cents) OVER (ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT) AS prev_best
+         FROM daily)
+       SELECT day, rev_cents, prev_best FROM scanned
+       WHERE prev_best IS NULL OR rev_cents > prev_best"""
+
+  /**
    * `pareto_parts`: the 2-D Pareto front of PROMO parts — biggest size
    * for the lowest price ([[graft.ops.Stats.paretoFront2D]], price
    * negated to minimize). The oracle is the NAIVE all-pairs dominance
@@ -5713,6 +5742,7 @@ object Queries {
     ("basket_lift", basketLift _, Some(basketLiftSql)),
     ("rfm_segments", rfmSegments _, Some(rfmSegmentsSql)),
     ("pareto_parts", paretoParts _, Some(paretoPartsSql)),
+    ("record_days", recordDays _, Some(recordDaysSql)),
     ("attribution_last", attributionLast _, Some(attributionLastSql)),
     ("attribution_first", attributionFirst _, Some(attributionFirstSql)),
     ("attribution_linear", attributionLinear _, Some(attributionLinearSql)),

@@ -112,10 +112,27 @@ object Stats {
     val o = col(outcomeCol)
     def cell(p: org.apache.spark.sql.Column) =
       sum(when(p, 1L).otherwise(0L)).cast("DECIMAL(38,0)")
-    df.where(e.isNotNull && o.isNotNull)
-      .groupBy(groupCols.map(col): _*)
-      .agg(cell(e && o).as("__a"), cell(e && !o).as("__b"),
-        cell(!e && o).as("__c"), cell(!e && !o).as("__d"))
+    chi2FromCells(
+      df.where(e.isNotNull && o.isNotNull)
+        .groupBy(groupCols.map(col): _*)
+        .agg(cell(e && o).as("a"), cell(e && !o).as("b"),
+          cell(!e && o).as("c"), cell(!e && !o).as("d")),
+      groupCols)
+  }
+
+  /**
+   * Finish the 2x2 arithmetic from an `(a, b, c, d)`-cells frame — the
+   * mergeable half of [[chiSquare2x2]]: cells from disjoint slices ADD
+   * (daily or windowed cell rows re-aggregate to any horizon before
+   * finishing), the same incremental shape as [[olsFromSums]]. Same
+   * staged truncated-integer statistic and null laws.
+   */
+  def chi2FromCells(cells: DataFrame, groupCols: Seq[String]): DataFrame =
+    cells
+      .withColumn("__a", col("a").cast("DECIMAL(38,0)"))
+      .withColumn("__b", col("b").cast("DECIMAL(38,0)"))
+      .withColumn("__c", col("c").cast("DECIMAL(38,0)"))
+      .withColumn("__d", col("d").cast("DECIMAL(38,0)"))
       .withColumn("lift_ppm",
         expr("CAST(CASE WHEN __a + __b = 0 OR __c + __d = 0 THEN NULL " +
           "ELSE __a * 1000000 DIV (__a + __b) - __c * 1000000 DIV (__c + __d) " +
@@ -131,7 +148,6 @@ object Stats {
         col("__a").cast("long").as("a"), col("__b").cast("long").as("b"),
         col("__c").cast("long").as("c"), col("__d").cast("long").as("d"),
         col("lift_ppm"), col("chi2_micro")): _*)
-  }
 
   /**
    * Exact 2-D Pareto front (skyline), MAXIMIZING both columns: rows kept

@@ -148,6 +148,31 @@ object EventStreams {
   }
 
   /**
+   * S20 — windowed A/B cells rollup (the stream twin of
+   * [[graft.ops.Stats.chiSquare2x2]]): per (window, event_type) the four
+   * 2x2 contingency cells of `exposureExpr` x `outcomeExpr` (SQL boolean
+   * expressions evaluated per row — fused into the scan, no state beyond
+   * the four counters per window). Cells ADD across windows, so emitted
+   * rows re-aggregate to any horizon and finish into the exact staged
+   * chi-squared/lift via [[graft.ops.Stats.chi2FromCells]] — live
+   * experiment monitoring per hour AND per campaign from one pass.
+   */
+  def abCellsRollup(
+      events: DataFrame,
+      exposureExpr: String,
+      outcomeExpr: String,
+      windowLength: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame = {
+    def cell(p: org.apache.spark.sql.Column) =
+      sum(when(p, 1L).otherwise(0L))
+    val e = expr(exposureExpr)
+    val o = expr(outcomeExpr)
+    windowedAgg(events.where(e.isNotNull && o.isNotNull), windowLength, watermark,
+      Seq(cell(e && o).as("a"), cell(e && !o).as("b"),
+        cell(!e && o).as("c"), cell(!e && !o).as("d")))
+  }
+
+  /**
    * Windowed HEAVY-HITTERS rollup with the mergeable Misra-Gries summary
    * ([[graft.functions.MisraGries]] — the streaming twin of
    * [[graft.ops.Sketches.heavyHittersRollup]]): exact streaming top-key

@@ -690,6 +690,42 @@ class EventStreamsSpec extends SparkTestBase {
     batch shouldBe streamed
   }
 
+  test("S20 A/B cells rollup: windows add to the exact batch chi-squared") {
+    implicit val sc = spark.sqlContext
+    // exposure = even user, outcome = value > 10; engineered association
+    def ev(id: Long, minute: Int, uid: Long, v: Double) = Event(id, ts(minute), uid, "m", v)
+    val rows = Seq(
+      ev(1, 1, 2, 20.0), ev(2, 2, 4, 30.0), ev(3, 3, 6, 5.0),   // window 1
+      ev(4, 15, 1, 2.0), ev(5, 16, 3, 1.0), ev(6, 17, 8, 50.0)) // window 2
+    val in = MemoryStream[Event]
+    val q = abCellsRollup(asContract(in.toDF()),
+      "user_id % 2 = 0", "value > 10",
+      windowLength = "10 minutes", watermark = "5 minutes")
+      .writeStream.format("memory").queryName("ab_out").outputMode("append").start()
+    in.addData(rows: _*)
+    q.processAllAvailable()
+    in.addData(ev(99, 60, 12, 0.0)) // advance watermark
+    runToCompletion(q)
+    val windows = spark.table("ab_out").where($"event_type" === "m")
+    windows.count() shouldBe 2
+
+    val merged = graft.ops.Stats.chi2FromCells(
+      windows.groupBy().agg(
+        org.apache.spark.sql.functions.sum($"a").as("a"),
+        org.apache.spark.sql.functions.sum($"b").as("b"),
+        org.apache.spark.sql.functions.sum($"c").as("c"),
+        org.apache.spark.sql.functions.sum($"d").as("d")),
+      Seq.empty)
+      .as[(Long, Long, Long, Long, Option[Long], Option[Long])].head()
+
+    val batch = graft.ops.Stats.chiSquare2x2(
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .selectExpr("user_id % 2 = 0 AS e", "value > 10 AS o"),
+      Seq.empty, "e", "o")
+      .as[(Long, Long, Long, Long, Option[Long], Option[Long])].head()
+    merged shouldBe batch
+  }
+
   test("S19 OLS rollup: window sums merge to the exact all-time fit, batch parity") {
     implicit val sc = spark.sqlContext
     def xSec(minute: Int): Long = ts(minute).getTime / 1000
