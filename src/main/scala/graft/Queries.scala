@@ -3932,6 +3932,187 @@ object Queries {
        SELECT day, rev_cents, prev_best FROM scanned
        WHERE prev_best IS NULL OR rev_cents > prev_best"""
 
+  /** Shared per-nation daily-revenue frame for the series operators. */
+  private def nationDaily(dir: String)(implicit spark: SparkSession): DataFrame =
+    t(dir, "orders")
+      .join(t(dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"),
+        datediff(col("o_orderdate").cast("date"), lit("1992-01-01").cast("date"))
+          .cast("long").as("day_idx"))
+      .agg(sum(cents(col("o_totalprice"))).as("rev_cents"))
+
+  private val sqlNationDaily: String =
+    s"""SELECT n_name,
+              CAST(datediff('day', DATE '1992-01-01', cast(o_orderdate as date)) AS BIGINT) AS day_idx,
+              CAST(sum(${sqlCents("o_totalprice")}) AS BIGINT) AS rev_cents
+       FROM orders JOIN customer ON o_custkey = c_custkey
+                   JOIN nation ON c_nationkey = n_nationkey
+       GROUP BY 1, 2"""
+
+  /**
+   * `gap_fill`: per-nation daily revenue DENSIFIED over each nation's
+   * observed span with last-observation-carried-forward
+   * ([[graft.ops.Timeseries.gapFill]]) — the calendar completion every
+   * downstream window/report assumes; ~3 in 4 nation-days at sf0.01 are
+   * gaps, so the explode and the carry are both genuinely exercised.
+   * Per-KEY ordered windows only (one hash exchange on the nation);
+   * nothing global.
+   */
+  def gapFillRevenue(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    graft.ops.Timeseries.gapFill(nationDaily(dir), Seq("n_name"), "day_idx",
+      Seq("rev_cents"))
+  }
+
+  val gapFillRevenueSql: String =
+    s"""WITH daily AS ($sqlNationDaily),
+       spans AS (SELECT n_name, min(day_idx) AS d0, max(day_idx) AS d1
+                 FROM daily GROUP BY 1),
+       cal AS (SELECT n_name, unnest(generate_series(d0, d1)) AS day_idx FROM spans),
+       j AS (SELECT c.n_name, c.day_idx, d.rev_cents,
+                    d.rev_cents IS NULL AS was_gap
+             FROM cal c LEFT JOIN daily d
+               ON c.n_name = d.n_name AND c.day_idx = d.day_idx)
+       SELECT n_name, day_idx, rev_cents,
+              last_value(rev_cents IGNORE NULLS) OVER (
+                PARTITION BY n_name ORDER BY day_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rev_cents_filled,
+              was_gap
+       FROM j"""
+
+  /**
+   * `ewma_revenue`: alpha = 1/2 EWMA of per-nation daily revenue,
+   * truncated at 7 calendar lags in EXACT fixed point
+   * ([[graft.ops.Timeseries.truncatedEwma]] — power-of-two weights, so
+   * every term is an integer and the whole smoothing replays
+   * digit-for-digit in the oracle's naive windowed self-join). Bounded
+   * 8x fan-out + ONE (nation, day) aggregation; no windows at all.
+   */
+  def ewmaRevenue(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    graft.ops.Timeseries.truncatedEwma(nationDaily(dir), Seq("n_name"),
+      "day_idx", "rev_cents", lags = 7)
+  }
+
+  val ewmaRevenueSql: String =
+    s"""WITH daily AS ($sqlNationDaily)
+       SELECT t.n_name, t.day_idx, t.rev_cents,
+              CAST(sum(CAST(1 << (7 - (t.day_idx - s.day_idx)) AS HUGEINT) * s.rev_cents) * 1000
+                   // sum(CAST(1 << (7 - (t.day_idx - s.day_idx)) AS HUGEINT)) AS BIGINT) AS ewma_milli
+       FROM daily t JOIN daily s
+         ON t.n_name = s.n_name AND s.day_idx BETWEEN t.day_idx - 7 AND t.day_idx
+       GROUP BY 1, 2, 3"""
+
+  /**
+   * `lag_correlation`: lead/lag screen between the daily `view` and
+   * `purchase` event-count series — for each lag 0..7, the exact-ppm OLS
+   * fit of purchases(day + lag) on views(day)
+   * ([[graft.ops.Timeseries.lagCorrelation]], finishing through
+   * [[graft.ops.Stats.olsFromSums]]'s staged integer arithmetic). The
+   * raw events collapse to day-sized frames BEFORE the 8x lag fan-out
+   * and the one join — at 100 TB the fan-out rides thousands of rows,
+   * not billions.
+   */
+  def lagCorrelation(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val daily = events(dir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000").as("day_idx"))
+      .agg(count(lit(1)).as("cnt"))
+    val views = daily.where(col("event_type") === "view")
+      .select(col("day_idx"), col("cnt").as("views"))
+    val purchases = daily.where(col("event_type") === "purchase")
+      .select(col("day_idx"), col("cnt").as("purchases"))
+    graft.ops.Timeseries.lagCorrelation(views, purchases, "day_idx",
+      "views", "purchases", maxLag = 7)
+  }
+
+  val lagCorrelationSql: String =
+    """WITH daily AS (
+         SELECT event_type, epoch_us(ts) // 86400000000 AS day_idx, count(*) AS cnt
+         FROM events GROUP BY 1, 2),
+       v AS (SELECT day_idx, cnt AS x FROM daily WHERE event_type = 'view'),
+       p AS (SELECT day_idx, cnt AS y FROM daily WHERE event_type = 'purchase'),
+       lags AS (SELECT unnest(generate_series(0, 7)) AS lag),
+       j AS (SELECT l.lag, v.x, p.y
+             FROM v CROSS JOIN lags l JOIN p ON v.day_idx + l.lag = p.day_idx),
+       s AS (SELECT lag, CAST(count(*) AS HUGEINT) AS n,
+                    CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+                    CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+                    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+                    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+                    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+             FROM j GROUP BY lag),
+       d AS (SELECT lag, n, sx, sy,
+                    n * sxx - sx * sx AS dxx,
+                    n * sxy - sx * sy AS dxy,
+                    n * syy - sy * sy AS dyy
+             FROM s)
+       SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n,
+         CAST(CASE WHEN dxx = 0 THEN NULL
+              ELSE dxy * 1000000 // dxx END AS BIGINT) AS slope_ppm,
+         CAST(CASE WHEN dxx = 0 THEN NULL
+              ELSE (sy * 1000000 - (dxy * 1000000 // dxx) * sx) // n
+              END AS BIGINT) AS intercept_ppm,
+         CAST(CASE WHEN dxx = 0 OR dyy = 0 THEN NULL
+              ELSE (dxy * 1000000 // dxx) * (dxy * 1000000 // dyy) // 1000000
+              END AS BIGINT) AS r2_ppm
+       FROM d"""
+
+  /**
+   * `zorder_parts`: the Z-order (Morton) layout key over part
+   * (size, retail cents) ([[graft.ops.Layout.zOrderKey]], 8 bits per
+   * dimension, equi-depth cells from exact global ranks) — sort-and-write
+   * by this key and per-file min/max statistics prune 2-D selective
+   * scans. The oracle replays rank, bucket and every interleaved bit, so
+   * the hash match pins the full curve byte-for-byte.
+   */
+  def zorderParts(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val parts = t(dir, "part").select(col("p_partkey"),
+      col("p_size").cast("long").as("size"),
+      cents(col("p_retailprice")).as("price_cents"))
+    graft.ops.Layout.zOrderKey(parts, Seq("size", "price_cents"), bits = 8,
+      tie = Seq(col("p_partkey")))
+  }
+
+  val zorderPartsSql: String = {
+    val interleave = (0 until 8).flatMap(i => Seq(
+      s"(((b0 >> $i) & 1) << ${2 * i + 1})",
+      s"(((b1 >> $i) & 1) << ${2 * i})")).mkString(" + ")
+    s"""WITH p AS (
+         SELECT p_partkey, CAST(p_size AS BIGINT) AS size,
+                ${sqlCents("p_retailprice")} AS price_cents
+         FROM part),
+       r AS (SELECT *, row_number() OVER (ORDER BY size, p_partkey) AS r0,
+                    row_number() OVER (ORDER BY price_cents, p_partkey) AS r1,
+                    count(*) OVER () AS n FROM p),
+       b AS (SELECT p_partkey, size, price_cents,
+                    (r0 - 1) * 256 // n AS b0, (r1 - 1) * 256 // n AS b1 FROM r)
+       SELECT p_partkey, size, price_cents, CAST($interleave AS BIGINT) AS z_key
+       FROM b"""
+  }
+
+  /**
+   * `type_diversity`: per-user Gini-Simpson diversity of event types in
+   * exact ppm ([[graft.ops.DataQuality.giniDiversity]]) — the
+   * no-logarithm concentration screen (0 = single-type user, toward 8e5
+   * as the five types even out). Two map-side-combined aggregations.
+   */
+  def typeDiversity(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    graft.ops.DataQuality.giniDiversity(events(dir), Seq("user_id"), "event_type")
+  }
+
+  val typeDiversitySql: String =
+    """WITH c AS (SELECT user_id, event_type, CAST(count(*) AS HUGEINT) AS cnt
+                  FROM events GROUP BY 1, 2),
+       g AS (SELECT user_id, sum(cnt * cnt) AS ss, sum(cnt) AS n FROM c GROUP BY 1)
+       SELECT user_id, CAST(n AS BIGINT) AS n,
+              CAST(1000000 - ss * 1000000 // (n * n) AS BIGINT) AS diversity_ppm
+       FROM g"""
+
   /**
    * `pareto_parts`: the 2-D Pareto front of PROMO parts — biggest size
    * for the lowest price ([[graft.ops.Stats.paretoFront2D]], price
@@ -5743,6 +5924,11 @@ object Queries {
     ("rfm_segments", rfmSegments _, Some(rfmSegmentsSql)),
     ("pareto_parts", paretoParts _, Some(paretoPartsSql)),
     ("record_days", recordDays _, Some(recordDaysSql)),
+    ("gap_fill", gapFillRevenue _, Some(gapFillRevenueSql)),
+    ("ewma_revenue", ewmaRevenue _, Some(ewmaRevenueSql)),
+    ("lag_correlation", lagCorrelation _, Some(lagCorrelationSql)),
+    ("zorder_parts", zorderParts _, Some(zorderPartsSql)),
+    ("type_diversity", typeDiversity _, Some(typeDiversitySql)),
     ("attribution_last", attributionLast _, Some(attributionLastSql)),
     ("attribution_first", attributionFirst _, Some(attributionFirstSql)),
     ("attribution_linear", attributionLinear _, Some(attributionLinearSql)),

@@ -162,4 +162,36 @@ object DataQuality {
       .withColumn("share_ppm", expr("CAST(n * 1000000 DIV __total AS BIGINT)"))
       .drop("__total")
   }
+
+  /**
+   * Per-group Gini-Simpson diversity of a categorical column in exact
+   * ppm: `1e6 - sum(cnt_k^2) * 1e6 DIV n^2` — the probability (x 1e6)
+   * that two independent draws from the group differ in category. 0 =
+   * single-category group, -> 1e6 as categories even out. The
+   * concentration/diversity screen with NO logarithms (Shannon entropy
+   * is irrational and engine-divergent; Gini-Simpson carries the same
+   * monitoring signal in exact integers) — per-user behavioral
+   * diversity, per-domain topic spread, per-source language mix.
+   *
+   * Null categories count as a real category (a group of all-null is
+   * concentration, not absence). Two aggregations — (group, category)
+   * counts then group sums, both map-side combined; the squared sums run
+   * in DECIMAL(38,0) so `n` up to ~1e15 rows per group cannot overflow.
+   */
+  def giniDiversity(
+      df: DataFrame,
+      groupCols: Seq[String],
+      categoryCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "giniDiversity needs at least one group column")
+    val d38 = "DECIMAL(38,0)"
+    df.groupBy((groupCols :+ categoryCol).map(col): _*)
+      .agg(count(lit(1)).cast(d38).as("__cnt"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("__cnt") * col("__cnt")).as("__ss"),
+        sum(col("__cnt")).as("__n"))
+      .withColumn("n", col("__n").cast("long"))
+      .withColumn("diversity_ppm",
+        expr("CAST(1000000 - __ss * 1000000 DIV (__n * __n) AS BIGINT)"))
+      .drop("__ss", "__n")
+  }
 }

@@ -1,0 +1,142 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Calendar-keyed series operators: densification, smoothing and lagged
+ * cross-correlation over per-key daily metrics — the reporting layer on
+ * top of the exact daily aggregates everything else here produces
+ * (ingest volumes, revenue, drift counts).
+ *
+ * All operators key the work by the SERIES key: a series lives in one
+ * partition for its window pass, so the scale unit is series-count x
+ * span, never total rows — right for the "many keys, calendar-bounded
+ * span" shape daily metrics have (a 30-year daily series is 11k rows;
+ * what grows at 100 TB is the number of series, which is exactly the
+ * partitioning key). Nothing here ever runs an un-partitioned window.
+ *
+ * Days are LONG day indexes (e.g. `datediff(day, '1970-01-01')`), never
+ * dates: integer arithmetic is engine-portable and `sequence` over longs
+ * is exact.
+ */
+object Timeseries {
+
+  /**
+   * Densify a per-(key, day) frame over each key's full observed span
+   * `[min(day), max(day)]`, carrying the last observation forward (LOCF)
+   * into the inserted days: one row per (key, day) in the span, with for
+   * each value column `v` the original `v` (null on inserted days) and
+   * `v_filled` (last non-null at-or-before the day — null only before a
+   * key's first observation of `v`), plus `was_gap` (no source row for
+   * that day).
+   *
+   * `df` must hold at most one row per (key, day) — it is the OUTPUT of
+   * a daily aggregation, not raw events (enforce upstream; duplicate
+   * days would densify ambiguously).
+   *
+   * Plan: one key agg for spans, a `sequence` day explode, one left
+   * equi-join back to the observations, and per-KEY ordered windows for
+   * the carry — one hash exchange on the key, no global window anywhere.
+   */
+  def gapFill(
+      df: DataFrame,
+      keyCols: Seq[String],
+      dayCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "gapFill needs at least one key column")
+    val keys = keyCols.map(col)
+    val spans = df.groupBy(keys: _*)
+      .agg(min(col(dayCol)).as("__d0"), max(col(dayCol)).as("__d1"))
+    val calendar = spans
+      .select(keys :+ explode(sequence(col("__d0"), col("__d1"))).as(dayCol): _*)
+    val marked = df.withColumn("__present", lit(true))
+    val joined = calendar.join(marked, keyCols :+ dayCol, "left")
+    val w = Window.partitionBy(keys: _*).orderBy(col(dayCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = valueCols.foldLeft(joined) { (acc, v) =>
+      acc.withColumn(s"${v}_filled", last(col(v), ignoreNulls = true).over(w))
+    }
+    filled
+      .withColumn("was_gap", col("__present").isNull)
+      .drop("__present")
+  }
+
+  /**
+   * Truncated exponentially-weighted moving average in EXACT fixed
+   * point: at each observed (key, day) row, the alpha = 1/2 EWMA over
+   * the trailing `lags + 1` CALENDAR days,
+   *
+   *   `ewma_milli = 1000 * sum(2^(lags - (day - d)) * v(d))
+   *                      DIV sum(2^(lags - (day - d)))`
+   *
+   * summed over the key's observed days `d` in `[day - lags, day]`. The
+   * geometric weights are the alpha = 1/2 EWMA recurrence truncated at
+   * `lags` steps (weight beyond the horizon < 2^-lags of the total —
+   * under 1% at the default 7); weighting by CALENDAR distance means
+   * missing days decay the average instead of silently stretching the
+   * window, and the head of a series renormalizes over the weights
+   * actually present (the standard bias-corrected form). Powers of two
+   * keep every term an integer — the result is a pure integer function
+   * of the data, replayable digit-for-digit in any engine.
+   *
+   * Plan: each observation explodes into the `lags + 1` target days it
+   * can influence (bounded fan-out), ONE (key, day) aggregation builds
+   * the weighted sums map-side, and an inner equi-join back to the
+   * observed days keeps evaluation at observation times only. No
+   * windows at all — the op is insensitive to per-key history length.
+   */
+  def truncatedEwma(
+      df: DataFrame,
+      keyCols: Seq[String],
+      dayCol: String,
+      valueCol: String,
+      lags: Int = 7): DataFrame = {
+    require(lags >= 0 && lags <= 62, s"lags must be in [0, 62], got $lags")
+    val d38 = "DECIMAL(38,0)"
+    val contrib = df
+      .where(col(valueCol).isNotNull)
+      .select((keyCols.map(col) :+ col(dayCol).as("__src") :+ col(valueCol).as("__v")): _*)
+      .withColumn(dayCol, explode(sequence(col("__src"), col("__src") + lags)))
+      .withColumn("__w",
+        expr(s"shiftleft(1L, CAST($lags - (`$dayCol` - __src) AS INT))"))
+      .groupBy((keyCols :+ dayCol).map(col): _*)
+      .agg(sum(col("__w").cast(d38) * col("__v").cast(d38)).as("__wx"),
+        sum(col("__w").cast(d38)).as("__wsum"))
+    df.join(contrib, keyCols :+ dayCol)
+      .withColumn("ewma_milli",
+        expr("CAST(__wx * 1000 DIV __wsum AS BIGINT)"))
+      .drop("__wx", "__wsum")
+  }
+
+  /**
+   * Lagged cross-correlation between two daily series: for every lag in
+   * `[0, maxLag]`, the exact-ppm OLS fit of `y(day + lag)` against
+   * `x(day)` ([[Stats.olsFromSums]] — slope, intercept, r² as truncated
+   * integer ppm). The lead/lag screen — "do purchases follow views, and
+   * at what horizon?" — read off the lag with the highest `r2_ppm`.
+   *
+   * Only days present in BOTH frames at the shifted alignment
+   * contribute (inner join); rows per lag may therefore differ — `n` is
+   * part of the output for exactly that reason.
+   *
+   * Plan: the x frame explodes into `maxLag + 1` lag copies (bounded
+   * fan-out over the DAY-sized frame, not the raw events), one
+   * day-keyed equi-join against y, one six-sum aggregation per lag.
+   */
+  def lagCorrelation(
+      xs: DataFrame,
+      ys: DataFrame,
+      dayCol: String,
+      xCol: String,
+      yCol: String,
+      maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 0, s"maxLag must be >= 0, got $maxLag")
+    val lagged = xs.select(col(dayCol).as("__xday"), col(xCol))
+      .withColumn("lag", explode(sequence(lit(0L), lit(maxLag.toLong))))
+      .withColumn(dayCol, col("__xday") + col("lag"))
+    val joined = lagged.join(ys.select(col(dayCol), col(yCol)), Seq(dayCol))
+    Stats.olsFromSums(Stats.olsSums(joined, Seq("lag"), xCol, yCol), Seq("lag"))
+  }
+}

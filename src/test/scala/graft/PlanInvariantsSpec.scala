@@ -344,6 +344,25 @@ class PlanInvariantsSpec extends SparkTestBase {
     // one customer agg; the three tercile ranks ride range exchanges +
     // broadcast offsets, not hash exchanges
     check("rfm_segments", maxShuffles = 2)
+    // group-best agg + the checkpointed running-max range scan + one
+    // x-keyed join back (broadcastable group-best side)
+    check("pareto_parts", maxShuffles = 3)
+    // one day agg; the exclusive running-max offsets ride a range exchange
+    // + a partition-count broadcast
+    check("record_days", maxShuffles = 2)
+    // daily agg + span agg + calendar-observation join on (key, day) +
+    // per-KEY carry window; the join is SMJ at scale (both sides row-sized)
+    check("gap_fill", maxShuffles = 5, maxSmj = 2)
+    // daily agg + ONE (key, day) contribution agg + the join back to
+    // observed days — no windows anywhere
+    check("ewma_revenue", maxShuffles = 4, maxSmj = 2)
+    // two day-sized count aggs + the day equi-join + one six-sum agg per lag
+    check("lag_correlation", maxShuffles = 4, maxSmj = 1)
+    // two rank passes (range exchanges + partition-count offset aggs) + the
+    // 1-row count broadcast (the deliberate BNLJ); bit math is projection
+    check("zorder_parts", maxShuffles = 3, maxBnlj = 1)
+    // (group, category) counts then group sums — two map-side-combined aggs
+    check("type_diversity", maxShuffles = 2)
   }
 
   test("round-7 additions: bounded shuffles, no cartesian") {

@@ -97,4 +97,26 @@ class DataQualitySpec extends SparkTestBase {
       .as[(String, Long, Long)].collect().map(r => r._1 -> r._2).toMap
     out shouldBe Map("8" -> 2L)
   }
+
+  test("giniDiversity: hand-computed ppm, single-category 0, even split high") {
+    val df = Seq(
+      ("u1", "a"), ("u1", "a"), ("u1", "a"),              // all one type -> 0
+      ("u2", "a"), ("u2", "b"),                           // 1 - 2/4 = 500000
+      ("u3", "a"), ("u3", "a"), ("u3", "b"), ("u3", "c")) // 1 - 6/16 = 625000
+      .toDF("u", "t")
+    val out = DataQuality.giniDiversity(df, Seq("u"), "t")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    out("u1") shouldBe ((3L, 0L))
+    out("u2") shouldBe ((2L, 500000L))
+    out("u3") shouldBe ((4L, 625000L))
+  }
+
+  test("giniDiversity: nulls are a real category, not dropped") {
+    val df = Seq(("u", Option("a")), ("u", Option.empty[String]))
+      .toDF("u", "t")
+    val out = DataQuality.giniDiversity(df, Seq("u"), "t")
+      .as[(String, Long, Long)].collect()
+    out.toSeq shouldBe Seq(("u", 2L, 500000L))
+  }
 }

@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.testkit.SparkTestBase
+
+class TimeseriesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("gapFill densifies each key's span with carry-forward and gap flags") {
+    val df = Seq(
+      ("a", 10L, 100L), ("a", 13L, 130L), ("a", 14L, 140L),
+      ("b", 5L, 50L)).toDF("k", "day", "v")
+    val out = Timeseries.gapFill(df, Seq("k"), "day", Seq("v"))
+      .select($"k", $"day", $"v", $"v_filled", $"was_gap")
+      .as[(String, Long, Option[Long], Option[Long], Boolean)]
+      .collect().sortBy(r => (r._1, r._2))
+    out shouldBe Array(
+      ("a", 10L, Some(100L), Some(100L), false),
+      ("a", 11L, None, Some(100L), true),
+      ("a", 12L, None, Some(100L), true),
+      ("a", 13L, Some(130L), Some(130L), false),
+      ("a", 14L, Some(140L), Some(140L), false),
+      ("b", 5L, Some(50L), Some(50L), false))
+  }
+
+  test("gapFill is insensitive to input partitioning") {
+    val rnd = new scala.util.Random(7)
+    val rows = for (k <- Seq("x", "y", "z"); d <- 0 to 50 if rnd.nextBoolean())
+      yield (k, d.toLong, rnd.nextInt(1000).toLong)
+    val expected = Timeseries.gapFill(
+      rows.toDF("k", "day", "v").repartition(1), Seq("k"), "day", Seq("v"))
+      .select($"k", $"day", $"v_filled", $"was_gap")
+      .as[(String, Long, Long, Boolean)].collect().sorted
+    for (parts <- Seq(3, 13)) {
+      val got = Timeseries.gapFill(
+        rows.toDF("k", "day", "v").repartition(parts), Seq("k"), "day", Seq("v"))
+        .select($"k", $"day", $"v_filled", $"was_gap")
+        .as[(String, Long, Long, Boolean)].collect().sorted
+      withClue(s"parts=$parts") { got shouldBe expected }
+    }
+  }
+
+  test("truncatedEwma matches the hand-computed calendar-weighted average") {
+    // key a: days 0, 1, 3 with values 8, 16, 32; lags = 2 so weights are
+    // 2^(2 - distance). At day 3: day 0 is out of range, day 1 is at
+    // distance 2 (w=1), day 3 at distance 0 (w=4)
+    val df = Seq(("a", 0L, 8L), ("a", 1L, 16L), ("a", 3L, 32L))
+      .toDF("k", "day", "v")
+    val out = Timeseries.truncatedEwma(df, Seq("k"), "day", "v", lags = 2)
+      .select($"day", $"ewma_milli").as[(Long, Long)].collect().toMap
+    out(0L) shouldBe 8000L                      // only itself: 8 * 1000
+    out(1L) shouldBe (2L * 8 + 4 * 16) * 1000 / 6 // days 0 (w=2) + 1 (w=4)
+    out(3L) shouldBe (1L * 16 + 4 * 32) * 1000 / 5
+  }
+
+  test("truncatedEwma evaluates only at observed days and ignores other keys") {
+    val df = Seq(("a", 0L, 10L), ("a", 5L, 20L), ("b", 5L, 999L))
+      .toDF("k", "day", "v")
+    val out = Timeseries.truncatedEwma(df, Seq("k"), "day", "v", lags = 3)
+    out.count() shouldBe 3
+    // a's day-5 row is beyond lags of day 0: pure self-average, b untouched
+    out.where($"k" === "a" && $"day" === 5).select($"ewma_milli")
+      .as[Long].head() shouldBe 20000L
+    out.where($"k" === "b").select($"ewma_milli").as[Long].head() shouldBe 999000L
+  }
+
+  test("lagCorrelation finds the planted lag with a perfect fit") {
+    // y(t) = 2 * x(t - 3) exactly: lag 3 must fit r2 = 1e6, slope 2e6
+    val xs = (0L to 40L).map(d => (d, d % 7 + 1)).toDF("day", "x")
+    val ys = (0L to 43L).map(d => (d, if (d >= 3) 2 * ((d - 3) % 7 + 1) else 0L))
+      .toDF("day", "y")
+    val out = Timeseries.lagCorrelation(xs, ys, "day", "x", "y", maxLag = 5)
+      .select($"lag", $"slope_ppm", $"r2_ppm").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    out(3L) shouldBe ((2000000L, 1000000L))
+    // other lags see the shuffled phase: strictly worse fit
+    for (l <- Seq(0L, 1L, 2L, 4L, 5L))
+      withClue(s"lag=$l") { out(l)._2 should be < 1000000L }
+  }
+
+  test("lagCorrelation n reflects the shifted overlap per lag") {
+    val xs = (0L to 9L).map(d => (d, d + 1)).toDF("day", "x")
+    val ys = (0L to 9L).map(d => (d, d * 2 + 1)).toDF("day", "y")
+    val n = Timeseries.lagCorrelation(xs, ys, "day", "x", "y", maxLag = 3)
+      .select($"lag", $"n").as[(Long, Long)].collect().toMap
+    n shouldBe Map(0L -> 10L, 1L -> 9L, 2L -> 8L, 3L -> 7L)
+  }
+}
