@@ -4114,6 +4114,86 @@ object Queries {
        FROM g"""
 
   /**
+   * `cusum_revenue`: Page's CUSUM change-point regime over the
+   * ZERO-FILLED per-nation daily revenue series
+   * ([[graft.ops.Timeseries.cusum]] on [[graft.ops.Timeseries.gapFill]]
+   * output — calendar gaps are genuinely zero-revenue days, so they
+   * count against the drift allowance). Allowance and threshold are
+   * integer multiples of the global calendar-day mean (computed exactly,
+   * broadcast as one row), so the test is scale-free: 2x mean per day
+   * tolerated, alarm when the cumulative excess tops 30 mean-days. The
+   * exact distributed form is `S = P - min(0, running min of P)` — two
+   * per-KEY windows, no sequential state.
+   */
+  def cusumRevenue(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    // densified frame feeds the mean agg AND the cusum branch: materialize
+    // so the gapFill join/window chain runs once, not per consumer
+    val filled = graft.ops.Timeseries.gapFill(nationDaily(dir), Seq("n_name"),
+        "day_idx", Seq("rev_cents"))
+      .select(col("n_name"), col("day_idx"),
+        coalesce(col("rev_cents"), lit(0L)).as("rev"))
+      .localCheckpoint(true)
+    val mean = filled.agg(
+      expr("CAST(sum(rev) DIV count(*) AS BIGINT)").as("__mean"))
+    graft.ops.Timeseries.cusum(filled.crossJoin(broadcast(mean)),
+        Seq("n_name"), "day_idx", "rev",
+        col("__mean") * 2, col("__mean") * 30)
+      .drop("__mean")
+  }
+
+  val cusumRevenueSql: String =
+    s"""WITH daily AS ($sqlNationDaily),
+       spans AS (SELECT n_name, min(day_idx) AS d0, max(day_idx) AS d1
+                 FROM daily GROUP BY 1),
+       cal AS (SELECT n_name, unnest(generate_series(d0, d1)) AS day_idx FROM spans),
+       j AS (SELECT c.n_name, c.day_idx, coalesce(d.rev_cents, 0) AS rev
+             FROM cal c LEFT JOIN daily d
+               ON c.n_name = d.n_name AND c.day_idx = d.day_idx),
+       m AS (SELECT sum(rev) // count(*) AS mean FROM j),
+       p AS (SELECT n_name, day_idx, rev, mean,
+                    sum(rev - 2 * mean) OVER (
+                      PARTITION BY n_name ORDER BY day_idx
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp
+             FROM j CROSS JOIN m),
+       sline AS (SELECT n_name, day_idx, rev, mean,
+                    CAST(pp - least(0, min(pp) OVER (
+                      PARTITION BY n_name ORDER BY day_idx
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS BIGINT) AS cusum
+             FROM p)
+       SELECT n_name, day_idx, rev, cusum, cusum > 30 * mean AS alarm
+       FROM sline"""
+
+  /**
+   * `dow_profile`: exact day-of-week seasonal index of per-nation
+   * revenue ([[graft.ops.Timeseries.seasonalIndex]], period 7 over the
+   * 1992-01-01-relative day index) — the cross-multiplied integer form
+   * `sum_phase * n_total * 1e6 DIV (n_phase * sum_total)` never divides
+   * early, so the index replays digit-for-digit. Phase/key-sized frames
+   * only; scan-bound at any scale.
+   */
+  def dowProfile(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    graft.ops.Timeseries.seasonalIndex(nationDaily(dir), Seq("n_name"),
+      "day_idx", "rev_cents", period = 7)
+  }
+
+  val dowProfileSql: String =
+    s"""WITH daily AS ($sqlNationDaily),
+       phased AS (
+         SELECT n_name, day_idx % 7 AS phase,
+                CAST(count(*) AS HUGEINT) AS np,
+                CAST(sum(CAST(rev_cents AS HUGEINT)) AS HUGEINT) AS sp
+         FROM daily GROUP BY 1, 2),
+       totals AS (SELECT n_name, sum(np) AS nt, sum(sp) AS st
+                  FROM phased GROUP BY 1)
+       SELECT p.n_name, p.phase, CAST(np AS BIGINT) AS n,
+              CAST(sp AS BIGINT) AS value_sum,
+              CAST(CASE WHEN st = 0 THEN NULL
+                   ELSE sp * nt * 1000000 // (np * st) END AS BIGINT) AS idx_ppm
+       FROM phased p JOIN totals t ON p.n_name = t.n_name"""
+
+  /**
    * `pareto_parts`: the 2-D Pareto front of PROMO parts — biggest size
    * for the lowest price ([[graft.ops.Stats.paretoFront2D]], price
    * negated to minimize). The oracle is the NAIVE all-pairs dominance
@@ -5929,6 +6009,8 @@ object Queries {
     ("lag_correlation", lagCorrelation _, Some(lagCorrelationSql)),
     ("zorder_parts", zorderParts _, Some(zorderPartsSql)),
     ("type_diversity", typeDiversity _, Some(typeDiversitySql)),
+    ("cusum_revenue", cusumRevenue _, Some(cusumRevenueSql)),
+    ("dow_profile", dowProfile _, Some(dowProfileSql)),
     ("attribution_last", attributionLast _, Some(attributionLastSql)),
     ("attribution_first", attributionFirst _, Some(attributionFirstSql)),
     ("attribution_linear", attributionLinear _, Some(attributionLinearSql)),

@@ -183,9 +183,30 @@ object DataQuality {
       groupCols: Seq[String],
       categoryCol: String): DataFrame = {
     require(groupCols.nonEmpty, "giniDiversity needs at least one group column")
+    giniFromCounts(
+      df.groupBy((groupCols :+ categoryCol).map(col): _*)
+        .agg(count(lit(1)).as("cnt")),
+      groupCols, categoryCol)
+  }
+
+  /**
+   * Finish the diversity arithmetic from a per-(group, category) COUNTS
+   * frame — the mergeable half of [[giniDiversity]]: counts from disjoint
+   * slices (days, streaming windows — `EventStreams.windowedRollup`'s
+   * `n` column is exactly this cell shape) ADD per category before
+   * finishing, the same incremental pattern as [[Stats.chi2FromCells]].
+   * Re-aggregates `countCol` by (group, category) first, so callers can
+   * pass window-sliced cells directly.
+   */
+  def giniFromCounts(
+      counts: DataFrame,
+      groupCols: Seq[String],
+      categoryCol: String,
+      countCol: String = "cnt"): DataFrame = {
     val d38 = "DECIMAL(38,0)"
-    df.groupBy((groupCols :+ categoryCol).map(col): _*)
-      .agg(count(lit(1)).cast(d38).as("__cnt"))
+    counts
+      .groupBy((groupCols :+ categoryCol).map(col): _*)
+      .agg(sum(col(countCol)).cast(d38).as("__cnt"))
       .groupBy(groupCols.map(col): _*)
       .agg(sum(col("__cnt") * col("__cnt")).as("__ss"),
         sum(col("__cnt")).as("__n"))

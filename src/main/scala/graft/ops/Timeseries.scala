@@ -139,4 +139,98 @@ object Timeseries {
     val joined = lagged.join(ys.select(col(dayCol), col(yCol)), Seq(dayCol))
     Stats.olsFromSums(Stats.olsSums(joined, Seq("lag"), xCol, yCol), Seq("lag"))
   }
+
+  /**
+   * Page's one-sided CUSUM drift detector per key, EXACTLY and without
+   * the sequential recurrence: the textbook form
+   * `S_t = max(0, S_{t-1} + (x_t - drift))` unrolls to
+   * `S_t = P_t - min(0, min_{j<=t} P_j)` where `P` is the plain running
+   * sum of `(x - drift)` — so two ordered per-KEY windows (a running sum
+   * and a running min) compute the exact recurrence with no row-at-a-time
+   * state. `S` accumulates only sustained excess over `drift` (the
+   * allowance per row) and resets through the min whenever the series
+   * dips; `alarm = S > threshold` flags the CHANGE-POINT REGIME, not
+   * single spikes — the sequential drift test a trailing-average anomaly
+   * screen ([[Drift.volumeAnomalies]]) cannot express. Detect downward
+   * drift by negating the value and drift.
+   *
+   * Rows are consumed in `(orderCol)` order per key AS GIVEN — run it on
+   * a densified frame ([[gapFill]], zero- or carry-filled) when calendar
+   * gaps should count against the drift allowance.
+   *
+   * All integer arithmetic; one hash exchange on the key, series-count
+   * parallelism (same scale shape as [[gapFill]]).
+   */
+  def cusum(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCol: String,
+      valueCol: String,
+      drift: Column,
+      threshold: Column): DataFrame = {
+    require(keyCols.nonEmpty, "cusum needs at least one key column")
+    val keys = keyCols.map(col)
+    val w = Window.partitionBy(keys: _*).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__p",
+        sum(col(valueCol).cast("long") - drift.cast("long")).over(w))
+      .withColumn("cusum",
+        (col("__p") - least(lit(0L), min(col("__p")).over(w))).cast("long"))
+      .withColumn("alarm", col("cusum") > threshold.cast("long"))
+      .drop("__p")
+  }
+
+  /** [[cusum]] with constant allowance and threshold. Pass Columns (e.g. a
+    * broadcast multiple of the global mean) to make the test scale-free. */
+  def cusum(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCol: String,
+      valueCol: String,
+      drift: Long,
+      threshold: Long): DataFrame =
+    cusum(df, keyCols, orderCol, valueCol, lit(drift), lit(threshold))
+
+  /**
+   * Exact seasonal index per key and phase (`pmod(day, period)` — day of
+   * week at the default 7): how each phase's average compares to the
+   * key's overall average, in ppm:
+   *
+   *   `idx_ppm = (sum_phase * n_total * 1e6) DIV (n_phase * sum_total)`
+   *
+   * (1e6 = exactly the key average, 2e6 = twice it). The cross-multiplied
+   * integer form never divides early, so the index replays
+   * digit-for-digit; null when the key's total is zero. Phases are
+   * relative to the epoch of the day index — label them downstream if
+   * weekday names matter.
+   *
+   * One (key, phase) aggregation + a key-sized rollup joined back: both
+   * frames are phase/key-sized, so the op is scan-bound at any scale.
+   */
+  def seasonalIndex(
+      df: DataFrame,
+      keyCols: Seq[String],
+      dayCol: String,
+      valueCol: String,
+      period: Int = 7): DataFrame = {
+    require(period >= 1, s"period must be >= 1, got $period")
+    require(keyCols.nonEmpty, "seasonalIndex needs at least one key column")
+    val d38 = "DECIMAL(38,0)"
+    // phase/key-sized and consumed twice (totals + join back): materialize
+    // so the raw scan + agg run once, not per consumer
+    val phased = df
+      .groupBy((keyCols.map(col) :+ pmod(col(dayCol), lit(period.toLong)).as("phase")): _*)
+      .agg(count(lit(1)).cast(d38).as("__np"),
+        sum(col(valueCol)).cast(d38).as("__sp"))
+      .localCheckpoint(true)
+    val totals = phased.groupBy(keyCols.map(col): _*)
+      .agg(sum(col("__np")).as("__nt"), sum(col("__sp")).as("__st"))
+    phased.join(totals, keyCols)
+      .withColumn("n", col("__np").cast("long"))
+      .withColumn("value_sum", col("__sp").cast("long"))
+      .withColumn("idx_ppm",
+        expr("CAST(CASE WHEN __st = 0 THEN NULL " +
+          "ELSE __sp * __nt * 1000000 DIV (__np * __st) END AS BIGINT)"))
+      .drop("__np", "__sp", "__nt", "__st")
+  }
 }

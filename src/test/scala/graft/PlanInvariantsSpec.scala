@@ -363,6 +363,12 @@ class PlanInvariantsSpec extends SparkTestBase {
     check("zorder_parts", maxShuffles = 3, maxBnlj = 1)
     // (group, category) counts then group sums — two map-side-combined aggs
     check("type_diversity", maxShuffles = 2)
+    // gapFill chain behind a checkpoint (two consumers: mean + cusum);
+    // visible plan = 1-row mean broadcast (the BNLJ) + ONE key window
+    check("cusum_revenue", maxShuffles = 1, maxBnlj = 1)
+    // checkpointed (key, phase) agg + key totals agg + the key-sized join
+    // back (checkpoint-blind SMJ pre-AQE)
+    check("dow_profile", maxShuffles = 2, maxSmj = 1)
   }
 
   test("round-7 additions: bounded shuffles, no cartesian") {

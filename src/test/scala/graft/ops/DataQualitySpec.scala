@@ -119,4 +119,19 @@ class DataQualitySpec extends SparkTestBase {
       .as[(String, Long, Long)].collect()
     out.toSeq shouldBe Seq(("u", 2L, 500000L))
   }
+
+  test("giniFromCounts: sliced cells merge to the exact whole-data diversity") {
+    val rnd = new scala.util.Random(5)
+    val rows = (1 to 500).map(_ => ("g", "cat" + rnd.nextInt(6)))
+    val whole = DataQuality.giniDiversity(rows.toDF("g", "t"), Seq("g"), "t")
+      .as[(String, Long, Long)].collect().toSeq
+    // slice into 3 disjoint days, count per slice, merge through the finisher
+    val sliced = rows.zipWithIndex.map { case ((g, t), i) => (i % 3, g, t) }
+      .toDF("day", "g", "t")
+      .groupBy($"day", $"g", $"t").count()
+      .withColumnRenamed("count", "cnt")
+    val merged = DataQuality.giniFromCounts(sliced, Seq("g"), "t")
+      .as[(String, Long, Long)].collect().toSeq
+    merged shouldBe whole
+  }
 }

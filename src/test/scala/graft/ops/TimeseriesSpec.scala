@@ -86,4 +86,55 @@ class TimeseriesSpec extends SparkTestBase {
       .select($"lag", $"n").as[(Long, Long)].collect().toMap
     n shouldBe Map(0L -> 10L, 1L -> 9L, 2L -> 8L, 3L -> 7L)
   }
+
+  test("cusum equals the sequential max(0, S + (x - k)) recurrence") {
+    val rnd = new scala.util.Random(21)
+    val rows = for (k <- Seq("a", "b"); d <- 0L to 300L)
+      yield (k, d, rnd.nextInt(20).toLong)
+    val naive = rows.groupBy(_._1).flatMap { case (k, rs) =>
+      var s = 0L
+      rs.sortBy(_._2).map { case (_, d, v) => s = math.max(0L, s + v - 9L); (k, d) -> s }
+    }
+    for (parts <- Seq(1, 13)) {
+      val out = Timeseries.cusum(
+        rows.toDF("k", "day", "v").repartition(parts), Seq("k"), "day", "v",
+        drift = 9L, threshold = 50L)
+        .select($"k", $"day", $"cusum").as[(String, Long, Long)]
+        .collect().map(r => (r._1, r._2) -> r._3).toMap
+      withClue(s"parts=$parts") { out shouldBe naive }
+    }
+  }
+
+  test("cusum alarms on a sustained shift, stays silent on a single spike") {
+    // baseline 10 with allowance 12: a lone spike of 50 adds 38, below the
+    // 60 threshold and decaying 2/day; a shift to 20 accumulates 8/day
+    val spiky = (0L to 30L).map(d => ("s", d, if (d == 5) 50L else 10L))
+    val shifted = (0L to 30L).map(d => ("d", d, if (d >= 10) 20L else 10L))
+    val out = Timeseries.cusum((spiky ++ shifted).toDF("k", "day", "v"),
+      Seq("k"), "day", "v", drift = 12L, threshold = 60L)
+    out.where($"k" === "s" && $"alarm").count() shouldBe 0
+    val alarms = out.where($"k" === "d" && $"alarm").select($"day").as[Long].collect()
+    alarms.min shouldBe 17L // 8/day from day 10: S(17) = 64 first tops 60
+    alarms.max shouldBe 30L
+  }
+
+  test("seasonalIndex: hand-computed cross-multiplied ppm") {
+    // key a: phase 0 days {0, 2(->phase 2), ...} build explicitly:
+    // days 0,7 value 30 each (phase 0); days 1,8 value 10 each (phase 1)
+    // total = 80 over 4 days; phase 0 avg 30 vs overall 20 -> 1.5e6
+    val df = Seq(("a", 0L, 30L), ("a", 7L, 30L), ("a", 1L, 10L), ("a", 8L, 10L))
+      .toDF("k", "day", "v")
+    val out = Timeseries.seasonalIndex(df, Seq("k"), "day", "v", period = 7)
+      .select($"phase", $"n", $"value_sum", $"idx_ppm")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    out(0L) shouldBe ((0L, 2L, 60L, 1500000L))
+    out(1L) shouldBe ((1L, 2L, 20L, 500000L))
+  }
+
+  test("seasonalIndex: zero key total yields null index, not a crash") {
+    val df = Seq(("z", 0L, 0L), ("z", 1L, 0L)).toDF("k", "day", "v")
+    val out = Timeseries.seasonalIndex(df, Seq("k"), "day", "v")
+      .select($"idx_ppm").as[Option[Long]].collect()
+    out.toSeq shouldBe Seq(None, None)
+  }
 }

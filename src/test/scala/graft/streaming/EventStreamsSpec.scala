@@ -726,6 +726,39 @@ class EventStreamsSpec extends SparkTestBase {
     merged shouldBe batch
   }
 
+  test("windowed rollup cells finish into the exact whole-stream Gini diversity") {
+    implicit val sc = spark.sqlContext
+    // two windows, type mix 3xclick / 2xview / 1xerror across them
+    val rows = Seq(
+      Event(1, ts(1), 1, "click", 1.0), Event(2, ts(2), 1, "view", 1.0),
+      Event(3, ts(3), 1, "click", 1.0),
+      Event(4, ts(15), 1, "click", 1.0), Event(5, ts(16), 1, "view", 1.0),
+      Event(6, ts(17), 1, "error", 1.0))
+    val in = MemoryStream[Event]
+    val q = windowedRollup(asContract(in.toDF()),
+      windowLength = "10 minutes", watermark = "5 minutes")
+      .writeStream.format("memory").queryName("gini_out").outputMode("append").start()
+    in.addData(rows: _*)
+    q.processAllAvailable()
+    in.addData(Event(99, ts(60), 2, "late-marker", 0.0)) // advance watermark
+    runToCompletion(q)
+    val cells = spark.table("gini_out").where($"event_type" =!= "late-marker")
+    cells.select($"window_start").distinct().count() shouldBe 2
+
+    val streamed = graft.ops.DataQuality
+      .giniFromCounts(cells, Seq.empty, "event_type", "n")
+      .as[(Long, Long)].head()
+    val batch = graft.ops.DataQuality
+      .giniDiversity(
+        rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+          .withColumn("g", org.apache.spark.sql.functions.lit(1)),
+        Seq("g"), "event_type")
+      .select($"n", $"diversity_ppm").as[(Long, Long)].head()
+    streamed shouldBe batch
+    // hand check: counts 3/2/1 of 6 -> 1e6 - 14e6/36 = 611112
+    streamed shouldBe ((6L, 1000000L - 14L * 1000000 / 36))
+  }
+
   test("S19 OLS rollup: window sums merge to the exact all-time fit, batch parity") {
     implicit val sc = spark.sqlContext
     def xSec(minute: Int): Long = ts(minute).getTime / 1000
