@@ -4194,6 +4194,109 @@ object Queries {
        FROM phased p JOIN totals t ON p.n_name = t.n_name"""
 
   /**
+   * `trailing_revenue`: trailing-7-CALENDAR-day revenue per nation
+   * ([[graft.ops.Timeseries.trailing]] — a RANGE window on the day
+   * index, so the ~75% missing nation-days genuinely shrink the trailing
+   * set instead of being silently stretched over by a ROWS frame). Sum,
+   * count and the exact-milli average per observed day; one key
+   * exchange.
+   */
+  def trailingRevenue(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    graft.ops.Timeseries.trailing(nationDaily(dir), Seq("n_name"),
+      "day_idx", "rev_cents", window = 7)
+  }
+
+  val trailingRevenueSql: String =
+    s"""WITH daily AS ($sqlNationDaily)
+       SELECT n_name, day_idx, rev_cents,
+              CAST(sum(rev_cents) OVER w AS BIGINT) AS trailing_sum,
+              CAST(count(rev_cents) OVER w AS BIGINT) AS trailing_n,
+              CAST(sum(CAST(rev_cents AS HUGEINT)) OVER w * 1000
+                   // count(rev_cents) OVER w AS BIGINT) AS trailing_avg_milli
+       FROM daily
+       WINDOW w AS (PARTITION BY n_name ORDER BY day_idx
+                    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)"""
+
+  /**
+   * `value_histogram`: exact equal-width 20-bin histogram of order value
+   * cents ([[graft.ops.DataQuality.histogram]]) — integer bucket edges
+   * from the observed min/max, so the shape profile replays
+   * digit-for-digit (a float-width histogram cannot). One 1-row min/max
+   * broadcast + one <=20-key count agg: scan-bound at any scale.
+   */
+  def valueHistogram(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    graft.ops.DataQuality.histogram(
+      t(dir, "orders").select(cents(col("o_totalprice")).as("v")), "v", bins = 20)
+  }
+
+  val valueHistogramSql: String =
+    s"""WITH vals AS (
+         SELECT ${sqlCents("o_totalprice")} AS v FROM orders
+         WHERE o_totalprice IS NOT NULL),
+       e AS (SELECT min(v) AS mn, (max(v) - min(v) + 20) // 20 AS w FROM vals),
+       g AS (SELECT (v - mn) // w AS bin, count(*) AS n
+             FROM vals CROSS JOIN e GROUP BY 1)
+       SELECT bin, CAST(mn + bin * w AS BIGINT) AS bin_lo,
+              CAST(mn + bin * w + w - 1 AS BIGINT) AS bin_hi, n
+       FROM g CROSS JOIN e"""
+
+  /**
+   * `anchor_texts`: the anchor-text corpus per target host — for each
+   * link-graph destination, total inlink count and the MODE anchor text
+   * with its count ([[graft.ops.Stats.modeBy]] — deterministic tie law:
+   * highest count, then largest anchor in binary order; `max_by` alone
+   * would be tie-nondeterministic and hash-diverge). What anchors say
+   * about a page is a classic relevance/quality signal
+   * (Common-Crawl-style); the whole chain — extraction, host parse,
+   * counts, argmax — is host/anchor-sized after the scan.
+   */
+  def anchorTexts(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val pages = t(dir, "documents").select(col("doc_id"), linkPageHtml.as("html"))
+    val pairs = Web.extractLinks(pages, "doc_id", "html")
+      .select(Web.urlHost(col("href")).as("host"), col("anchor"))
+      .where(col("host").isNotNull)
+    // ONE scan: the (host, anchor) counts feed both totals and the argmax
+    // (host/anchor-sized, checkpointed for its two consumers)
+    val counts = pairs.groupBy(col("host"), col("anchor"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val totals = counts.groupBy(col("host"))
+      .agg(sum(col("cnt")).cast("long").as("n_links"))
+    graft.ops.Stats.modeFromCounts(counts, Seq("host"), "anchor")
+      .withColumnRenamed("mode", "top_anchor")
+      .withColumnRenamed("mode_n", "top_anchor_n")
+      .join(totals, Seq("host"))
+  }
+
+  /** Lazy: references `sqlLinkPages`/`sqlAnchorPat`, declared LATER in this
+    * object — an eager val here would interpolate them as null (init order). */
+  lazy val anchorTextsSql: String =
+    s"""WITH $sqlLinkPages,
+       ex AS (
+         SELECT doc_id,
+           regexp_extract_all(html, '$sqlAnchorPat', 1) AS hrefs,
+           regexp_extract_all(html, '$sqlAnchorPat', 2) AS anchors
+         FROM pages),
+       l AS (SELECT unnest(hrefs) AS href, unnest(anchors) AS anchor FROM ex),
+       h AS (
+         SELECT lower(regexp_replace(regexp_extract(regexp_replace(href, '#.*', '', 'g'),
+             '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), ':[0-9]+$$', '', 'g')) AS host,
+           anchor
+         FROM l),
+       c AS (SELECT host, anchor, count(*) AS cnt FROM h
+             WHERE host IS NOT NULL GROUP BY 1, 2),
+       m AS (SELECT host, anchor, cnt,
+                    row_number() OVER (PARTITION BY host
+                      ORDER BY cnt DESC, anchor DESC) AS rk FROM c),
+       t AS (SELECT host, CAST(sum(cnt) AS BIGINT) AS n_links FROM c GROUP BY 1)
+       SELECT t.host, m.anchor AS top_anchor, CAST(m.cnt AS BIGINT) AS top_anchor_n,
+              n_links
+       FROM t JOIN m ON t.host = m.host AND m.rk = 1"""
+
+  /**
    * `pareto_parts`: the 2-D Pareto front of PROMO parts — biggest size
    * for the lowest price ([[graft.ops.Stats.paretoFront2D]], price
    * negated to minimize). The oracle is the NAIVE all-pairs dominance
@@ -6011,6 +6114,9 @@ object Queries {
     ("type_diversity", typeDiversity _, Some(typeDiversitySql)),
     ("cusum_revenue", cusumRevenue _, Some(cusumRevenueSql)),
     ("dow_profile", dowProfile _, Some(dowProfileSql)),
+    ("trailing_revenue", trailingRevenue _, Some(trailingRevenueSql)),
+    ("value_histogram", valueHistogram _, Some(valueHistogramSql)),
+    ("anchor_texts", anchorTexts _, Some(anchorTextsSql)),
     ("attribution_last", attributionLast _, Some(attributionLastSql)),
     ("attribution_first", attributionFirst _, Some(attributionFirstSql)),
     ("attribution_linear", attributionLinear _, Some(attributionLinearSql)),

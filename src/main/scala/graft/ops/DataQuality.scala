@@ -198,6 +198,41 @@ object DataQuality {
    * Re-aggregates `countCol` by (group, category) first, so callers can
    * pass window-sliced cells directly.
    */
+  /**
+   * Exact equal-width histogram of an INTEGER-valued column: `bins`
+   * buckets of width `ceil((max - min + 1) / bins)` anchored at the
+   * observed min, each emitted with its inclusive integer bounds and
+   * exact count. Integer arithmetic end to end — bucket edges are a pure
+   * function of (min, max, bins), so the histogram replays
+   * digit-for-digit in any engine (a float-width histogram cannot: edge
+   * rounding diverges). Nulls are excluded; a constant column lands in
+   * one bin of width 1. Empty input yields no rows.
+   *
+   * One 1-row min/max aggregation broadcast + one count aggregation over
+   * at most `bins` keys — scan-bound at any scale. The profiling
+   * complement of [[profile]] (which reports counts, not shape) and of
+   * the equi-DEPTH story ([[graft.ops.Sketches.exactPercentiles]]).
+   */
+  def histogram(df: DataFrame, valueCol: String, bins: Int): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    val v = col(valueCol).cast("long")
+    val edges = df.where(v.isNotNull)
+      .agg(min(v).as("__min"), max(v).as("__max"))
+      .where(col("__min").isNotNull)
+      .withColumn("__width",
+        expr(s"(__max - __min + $bins) DIV $bins"))
+    df.where(v.isNotNull)
+      .select(v.as("__v"))
+      .join(broadcast(edges))
+      .withColumn("bin", expr("(__v - __min) DIV __width"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        first(col("__min")).as("__min"), first(col("__width")).as("__width"))
+      .withColumn("bin_lo", (col("__min") + col("bin") * col("__width")).cast("long"))
+      .withColumn("bin_hi", (col("bin_lo") + col("__width") - 1L).cast("long"))
+      .select(col("bin"), col("bin_lo"), col("bin_hi"), col("n"))
+  }
+
   def giniFromCounts(
       counts: DataFrame,
       groupCols: Seq[String],

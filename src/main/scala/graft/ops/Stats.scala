@@ -199,4 +199,48 @@ object Stats {
       .select(groupCols.map(col) ++ Seq(
         col("n").cast("long").as("n"),
         col("slope_ppm"), col("intercept_ppm"), col("r2_ppm")): _*)
+
+  /**
+   * Exact per-group MODE of a column with a deterministic tie law: the
+   * value with the highest count, ties to the LARGEST value (numeric or
+   * binary-collation string order — a total order, so the result is a
+   * pure function of the data where a bare `max_by` would be
+   * tie-nondeterministic). Output: group columns + `mode` + `mode_n`.
+   *
+   * Two map-side-combined aggregations ((group, value) counts, then a
+   * per-group struct-max argmax) — never a window, never a sort; the
+   * intermediate frame is distinct-value-sized. For top-K (not top-1)
+   * dominators at unbounded cardinality, use the Misra-Gries sketch
+   * ([[Sketches.heavyHittersRollup]]).
+   */
+  def modeBy(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String): DataFrame =
+    modeFromCounts(
+      df.groupBy((groupCols :+ valueCol).map(col): _*)
+        .agg(count(lit(1)).as("cnt")),
+      groupCols, valueCol)
+
+  /**
+   * Finish the argmax from a per-(group, value) COUNTS frame — the
+   * mergeable half of [[modeBy]] (counts from disjoint slices ADD per
+   * value before finishing, like [[chi2FromCells]]); also the
+   * shared-scan form: when a query needs both per-group totals AND the
+   * mode, aggregate counts ONCE and feed this plus a sum — not two
+   * passes over the raw data.
+   */
+  def modeFromCounts(
+      counts: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      countCol: String = "cnt"): DataFrame =
+    counts
+      .groupBy((groupCols :+ valueCol).map(col): _*)
+      .agg(sum(col(countCol)).as("__cnt"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(max(struct(col("__cnt"), col(valueCol))).as("__best"))
+      .select(groupCols.map(col) ++ Seq(
+        col(s"__best.$valueCol").as("mode"),
+        col("__best.__cnt").cast("long").as("mode_n")): _*)
 }

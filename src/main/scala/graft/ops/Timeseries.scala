@@ -192,6 +192,37 @@ object Timeseries {
     cusum(df, keyCols, orderCol, valueCol, lit(drift), lit(threshold))
 
   /**
+   * Trailing CALENDAR-window aggregates per key: for each observed
+   * (key, day) row, the sum/count/exact-milli average of `valueCol` over
+   * the key's rows with day in `[day - window + 1, day]` — a RANGE
+   * window on the day index, so calendar gaps genuinely shrink the
+   * trailing set (a ROWS window would silently stretch over them; on a
+   * densified [[gapFill]] frame the two coincide). The rolling-report
+   * primitive: trailing-7-day revenue, trailing-30-day actives.
+   *
+   * One hash exchange on the key; series-count parallelism, same scale
+   * shape as [[gapFill]].
+   */
+  def trailing(
+      df: DataFrame,
+      keyCols: Seq[String],
+      dayCol: String,
+      valueCol: String,
+      window: Int = 7): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(keyCols.nonEmpty, "trailing needs at least one key column")
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(dayCol))
+      .rangeBetween(-(window - 1).toLong, 0L)
+    df.withColumn("__tsum", sum(col(valueCol).cast("long")).over(w))
+      .withColumn("__tn", count(col(valueCol)).over(w))
+      .withColumn("trailing_sum", col("__tsum").cast("long"))
+      .withColumn("trailing_n", col("__tn").cast("long"))
+      .withColumn("trailing_avg_milli",
+        expr("CAST(CAST(__tsum AS DECIMAL(38,0)) * 1000 DIV __tn AS BIGINT)"))
+      .drop("__tsum", "__tn")
+  }
+
+  /**
    * Exact seasonal index per key and phase (`pmod(day, period)` — day of
    * week at the default 7): how each phase's average compares to the
    * key's overall average, in ppm:

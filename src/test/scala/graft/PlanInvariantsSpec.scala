@@ -369,6 +369,13 @@ class PlanInvariantsSpec extends SparkTestBase {
     // checkpointed (key, phase) agg + key totals agg + the key-sized join
     // back (checkpoint-blind SMJ pre-AQE)
     check("dow_profile", maxShuffles = 2, maxSmj = 1)
+    // daily agg + ONE key RANGE window (calendar-correct trailing frame)
+    check("trailing_revenue", maxShuffles = 2)
+    // 1-row min/max broadcast (the BNLJ) + one <=bins-key count agg
+    check("value_histogram", maxShuffles = 1, maxBnlj = 1)
+    // ONE raw scan into checkpointed (host, anchor) counts; totals +
+    // argmax + join are host/anchor-sized
+    check("anchor_texts", maxShuffles = 3, maxSmj = 1)
   }
 
   test("round-7 additions: bounded shuffles, no cartesian") {

@@ -120,6 +120,32 @@ class DataQualitySpec extends SparkTestBase {
     out.toSeq shouldBe Seq(("u", 2L, 500000L))
   }
 
+  test("histogram: exact integer edges, every row binned, nulls excluded") {
+    // values 0..99 in 10 bins: width (99 - 0 + 10) DIV 10 = 10, bins 0..9
+    val df = ((0L to 99L).map(Option(_)) :+ Option.empty[Long]).toDF("v")
+    val out = DataQuality.histogram(df, "v", bins = 10)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    out.length shouldBe 10
+    out.map(_._4).sum shouldBe 100L
+    out.head shouldBe ((0L, 0L, 9L, 10L))
+    out.last shouldBe ((9L, 90L, 99L, 10L))
+  }
+
+  test("histogram: constant column lands in one width-1 bin; empty input empty") {
+    val one = DataQuality.histogram(Seq(5L, 5L, 5L).toDF("v"), "v", bins = 4)
+      .as[(Long, Long, Long, Long)].collect()
+    one.toSeq shouldBe Seq((0L, 5L, 5L, 3L))
+    DataQuality.histogram(Seq.empty[Long].toDF("v"), "v", bins = 4)
+      .count() shouldBe 0L
+  }
+
+  test("histogram handles negative ranges with exact edges") {
+    val out = DataQuality.histogram(Seq(-10L, -1L, 0L, 9L).toDF("v"), "v", bins = 2)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // width = (9 - -10 + 2) DIV 2 = 10; bins [-10,-1] and [0,9]
+    out.toSeq shouldBe Seq((0L, -10L, -1L, 2L), (1L, 0L, 9L, 2L))
+  }
+
   test("giniFromCounts: sliced cells merge to the exact whole-data diversity") {
     val rnd = new scala.util.Random(5)
     val rows = (1 to 500).map(_ => ("g", "cat" + rnd.nextInt(6)))

@@ -126,4 +126,41 @@ class StatsSpec extends SparkTestBase {
       .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
     a shouldBe b
   }
+
+  test("modeBy: highest count wins, count ties go to the largest value") {
+    val df = Seq(
+      ("g1", "b"), ("g1", "b"), ("g1", "a"),        // clear winner b
+      ("g2", "x"), ("g2", "y"),                     // tie -> larger value y
+      ("g3", "q")).toDF("g", "v")
+    val out = Stats.modeBy(df, Seq("g"), "v")
+      .as[(String, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    out shouldBe Map("g1" -> (("b", 2L)), "g2" -> (("y", 1L)), "g3" -> (("q", 1L)))
+  }
+
+  test("modeBy is deterministic under any partitioning, numeric values too") {
+    val rnd = new scala.util.Random(13)
+    val rows = (1 to 1000).map(_ => ("g" + rnd.nextInt(5), rnd.nextInt(8).toLong))
+    val expected = rows.groupBy(_._1).map { case (g, rs) =>
+      val counts = rs.groupBy(_._2).map { case (v, vs) => (v, vs.size.toLong) }
+      // same tie law: (count, value) max
+      g -> counts.maxBy { case (v, c) => (c, v) }
+    }
+    for (parts <- Seq(1, 17)) {
+      val out = Stats.modeBy(rows.toDF("g", "v").repartition(parts), Seq("g"), "v")
+        .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      withClue(s"parts=$parts") { out shouldBe expected }
+    }
+  }
+
+  test("modeFromCounts: sliced counts merge to the exact whole-data mode") {
+    val rnd = new scala.util.Random(17)
+    val rows = (1 to 600).map(i => (i % 4, "g" + (i % 3), "v" + rnd.nextInt(5)))
+    val whole = Stats.modeBy(rows.map(r => (r._2, r._3)).toDF("g", "v"), Seq("g"), "v")
+      .as[(String, String, Long)].collect().toSet
+    val sliced = rows.toDF("day", "g", "v")
+      .groupBy($"day", $"g", $"v").count().withColumnRenamed("count", "cnt")
+    val merged = Stats.modeFromCounts(sliced, Seq("g"), "v")
+      .as[(String, String, Long)].collect().toSet
+    merged shouldBe whole
+  }
 }

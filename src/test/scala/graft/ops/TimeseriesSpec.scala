@@ -131,6 +131,26 @@ class TimeseriesSpec extends SparkTestBase {
     out(1L) shouldBe ((1L, 2L, 20L, 500000L))
   }
 
+  test("trailing: RANGE frame shrinks over calendar gaps, ROWS would not") {
+    // days 0,1,9: at day 9 the trailing-7 set is {9} alone (days 0,1 are
+    // out of calendar range even though they are the 2 preceding ROWS)
+    val df = Seq(("a", 0L, 10L), ("a", 1L, 20L), ("a", 9L, 40L))
+      .toDF("k", "day", "v")
+    val out = Timeseries.trailing(df, Seq("k"), "day", "v", window = 7)
+      .select($"day", $"trailing_sum", $"trailing_n", $"trailing_avg_milli")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    out(0L) shouldBe ((0L, 10L, 1L, 10000L))
+    out(1L) shouldBe ((1L, 30L, 2L, 15000L))
+    out(9L) shouldBe ((9L, 40L, 1L, 40000L))
+  }
+
+  test("trailing is keyed: other keys never leak into the frame") {
+    val df = Seq(("a", 5L, 100L), ("b", 5L, 999L)).toDF("k", "day", "v")
+    val out = Timeseries.trailing(df, Seq("k"), "day", "v", window = 7)
+      .select($"k", $"trailing_sum").as[(String, Long)].collect().toMap
+    out shouldBe Map("a" -> 100L, "b" -> 999L)
+  }
+
   test("seasonalIndex: zero key total yields null index, not a crash") {
     val df = Seq(("z", 0L, 0L), ("z", 1L, 0L)).toDF("k", "day", "v")
     val out = Timeseries.seasonalIndex(df, Seq("k"), "day", "v")
