@@ -36,7 +36,8 @@ object ScaleCheck {
     "token_budget_per_group", "fuzzy_join", "containment_pairs", "host_pagerank",
     "bm25_topk", "collocations", "exact_percentiles",
     "triangles", "label_prop", "jaccard_join", "sorted_neighborhood",
-    "running_total", "kcore", "bfs_reach")
+    "running_total", "kcore", "bfs_reach",
+    "gap_fill", "cusum", "trailing", "zorder")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -488,6 +489,30 @@ object ScaleCheck {
           unix_micros(col("ts")).as("s"),
           (unix_micros(col("ts")) + 3600000000L).as("e")),
         "s", "e", "id")
+    }
+    // per-key daily series: the key cardinality scales with factor (the
+    // scale axis of the calendar operators is SERIES COUNT, spans stay
+    // calendar-bounded), so 20x = 20x more series, not longer ones
+    val bigDaily = bigEvents
+      .groupBy((col("user_id") % (500L * factor)).as("k"),
+        expr("unix_micros(ts) DIV 86400000000").as("day_idx"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = true)
+    time("gap_fill") {
+      ops.Timeseries.gapFill(bigDaily, Seq("k"), "day_idx", Seq("cnt"))
+    }
+    time("cusum") {
+      ops.Timeseries.cusum(bigDaily, Seq("k"), "day_idx", "cnt",
+        drift = 1L, threshold = 10L)
+    }
+    time("trailing") {
+      ops.Timeseries.trailing(bigDaily, Seq("k"), "day_idx", "cnt", window = 7)
+    }
+    time("zorder") {
+      ops.Layout.zOrderKey(
+        bigEvents.select(col("event_id"), col("user_id"),
+          (col("value") * 100).cast("long").as("vc")),
+        Seq("user_id", "vc"), bits = 8, tie = Seq(col("event_id")))
     }
     spark.stop()
   }
