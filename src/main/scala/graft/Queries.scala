@@ -4056,7 +4056,7 @@ object Queries {
               ELSE (sy * 1000000 - (dxy * 1000000 // dxx) * sx) // n
               END AS BIGINT) AS intercept_ppm,
          CAST(CASE WHEN dxx = 0 OR dyy = 0 THEN NULL
-              ELSE (dxy * 1000000 // dxx) * (dxy * 1000000 // dyy) // 1000000
+              ELSE (dxy * 1000000 // dxx) * (dxy * 1000000000 // dyy) // 1000000000
               END AS BIGINT) AS r2_ppm
        FROM d"""
 
@@ -4961,7 +4961,9 @@ object Queries {
    * totals in exact cents ([[graft.ops.DataQuality.benfordProfile]]) —
    * the Benford fabrication screen as a DQ pass. Digits come from the
    * canonical integer rendering (never float formatting), shares in
-   * exact ppm against a 1-row broadcast total.
+   * exact ppm against the POSITIVE-row total only (the '-' junk bucket
+   * keeps its count but a NULL share, so digit shares compare directly
+   * against the Benford expectation table).
    */
   def benfordPrices(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
@@ -4976,7 +4978,9 @@ object Queries {
          FROM (SELECT ${sqlCents("o_totalprice")} AS c FROM orders)),
        g AS (SELECT digit, count(*) AS n FROM d GROUP BY digit)
        SELECT digit, n,
-              CAST(n * 1000000 // (SELECT sum(n) FROM g) AS BIGINT) AS share_ppm
+              CAST(CASE WHEN digit = '-' THEN NULL
+                   ELSE n * 1000000 // (SELECT sum(n) FROM g WHERE digit <> '-')
+                   END AS BIGINT) AS share_ppm
        FROM g"""
 
   /**
@@ -5186,7 +5190,7 @@ object Queries {
               ELSE (sy * 1000000 - (dxy * 1000000 // dxx) * sx) // n
               END AS BIGINT) AS intercept_ppm,
          CAST(CASE WHEN dxx = 0 OR dyy = 0 THEN NULL
-              ELSE (dxy * 1000000 // dxx) * (dxy * 1000000 // dyy) // 1000000
+              ELSE (dxy * 1000000 // dxx) * (dxy * 1000000000 // dyy) // 1000000000
               END AS BIGINT) AS r2_ppm
        FROM d"""
 
@@ -5703,18 +5707,25 @@ object Queries {
    * term plus the 10 smallest posting doc ids (the deterministic,
    * partitioning-independent cap rule of the bounded `collect_bottom_k`
    * aggregate). Oracle: per-doc distinct terms, a plain count, and an
-   * ordered-list slice in DuckDB.
+   * ordered-list slice in DuckDB. The array postings are joined to a
+   * comma-separated string on BOTH engines: the harness compare sorts
+   * result columns with pandas, which cannot hash/sort array cells, so
+   * the query surface must stay scalar-typed even though the operator
+   * API keeps the array.
    */
   def invertedIndexQ(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     graft.ops.Retrieval.invertedIndex(t(dir, "documents"), "doc_id", "text",
-      maxPostings = 10)
+        maxPostings = 10)
+      .select(col("term"), col("df"),
+        array_join(transform(col("postings"), _.cast("string")), ",")
+          .as("postings_csv"))
   }
 
   val invertedIndexSql: String =
     s"""WITH dt AS (SELECT doc_id, unnest(list_distinct($Toks)) AS term FROM documents)
        SELECT term, CAST(count(*) AS BIGINT) AS df,
-              list_slice(list(doc_id ORDER BY doc_id), 1, 10) AS postings
+              array_to_string(list_slice(list(doc_id ORDER BY doc_id), 1, 10), ',') AS postings_csv
        FROM dt GROUP BY term"""
 
   /**

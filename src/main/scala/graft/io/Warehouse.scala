@@ -37,6 +37,33 @@ object Warehouse {
       extends Exception(s"partition $date of $table is not empty (WRITE_EMPTY)")
   case class TableNotFoundException(table: String)
       extends Exception(s"table root $table does not exist (CREATE_NEVER)")
+
+  /**
+   * What an APPEND may do when its schema differs from what the partition
+   * already holds — the policy a long-lived table needs the first time a
+   * producer adds or drops a column (the reference's BigQuery load-job
+   * path tolerated this via warehouse-side schema union; a plain-file
+   * warehouse must define it explicitly or the behavior is whatever the
+   * reader's footer-sampling happens to pick):
+   *
+   *  - [[SchemaEvolve]] (default): additive evolution — appends may ADD
+   *    or OMIT columns (readers reconcile via parquet `mergeSchema`;
+   *    missing columns read as null), but a column PRESENT ON BOTH SIDES
+   *    must keep its exact type — a silent `int`→`string` flip would
+   *    poison every future ranged read.
+   *  - [[SchemaStrict]]: appends must match the existing partition
+   *    schema exactly (names and types, order-insensitive) — the
+   *    fail-fast contract for tables whose consumers pin a schema.
+   *
+   * Either way a violation throws [[SchemaMismatchException]] BEFORE any
+   * file lands, so a misconfigured producer cannot corrupt a partition.
+   */
+  sealed trait SchemaPolicy
+  case object SchemaEvolve extends SchemaPolicy
+  case object SchemaStrict extends SchemaPolicy
+
+  case class SchemaMismatchException(table: String, detail: String)
+      extends Exception(s"schema mismatch appending to $table: $detail")
 }
 
 case class WarehouseTable(
@@ -44,7 +71,8 @@ case class WarehouseTable(
     name: String,
     partitioning: Warehouse.PartitionStrategy = Warehouse.PartitionByDay,
     format: String = "parquet",
-    maxRecordsPerFile: Option[Long] = None)
+    maxRecordsPerFile: Option[Long] = None,
+    schemaPolicy: Warehouse.SchemaPolicy = Warehouse.SchemaEvolve)
     extends Logging {
   import Warehouse._
 
@@ -65,7 +93,9 @@ case class WarehouseTable(
     val target = partitionUrl(date)
     val mode = writeDisposition match {
       case WriteTruncate => SaveMode.Overwrite
-      case WriteAppend => SaveMode.Append
+      case WriteAppend =>
+        checkAppendSchema(spark, date, ds.toDF().schema)
+        SaveMode.Append
       case WriteEmpty =>
         if (target.exists(spark)) throw TableExistsException(tableUrl.toString, date)
         SaveMode.ErrorIfExists
@@ -75,6 +105,77 @@ case class WarehouseTable(
     // caps file size from wide tasks; small-file merging is compact()'s job
     maxRecordsPerFile.fold(writer)(n => writer.option("maxRecordsPerFile", n))
       .save(target.toString)
+  }
+
+  /**
+   * EXACTLY-ONCE micro-batch append for streaming sinks: the
+   * `foreachBatch` contract is at-least-once (a crash between a partial
+   * write and the checkpoint commit replays the batch), so a plain
+   * `WriteAppend` double-appends on retry. This write is keyed on
+   * `batchId` — Structured Streaming's replay identity — and commits with
+   * a marker protocol that makes any replay a no-op:
+   *
+   *  1. marker `_graft_batch-<id>` present → the batch fully committed on
+   *     a previous attempt; return without writing (the retry path).
+   *  2. Delete any `b<id>-*` files in the partition (partials from an
+   *     attempt that crashed mid-promote).
+   *  3. Write the batch to a tmp sibling directory (task-level retries
+   *     are contained there by Spark's own output committer).
+   *  4. Promote each data file into the partition under the
+   *     batch-identifying name `b<id>-<file>` (HDFS renames — metadata
+   *     ops, no data copy).
+   *  5. Create the marker (readers ignore `_`-prefixed files), drop tmp.
+   *
+   * A crash at any point either leaves the marker absent (replay scrubs
+   * and rewrites — no duplicates) or present after a complete promote
+   * (replay skips — no loss). Mid-promote readers can observe a PREFIX of
+   * the batch's files — micro-batch visibility is not atomic for
+   * concurrent readers, only the retry semantics are exact; batch jobs
+   * reading completed dates are unaffected.
+   *
+   * The caller's `date` must be STABLE across a batch's retries: derive
+   * it from the job's run date or event time, not a wall clock mid-roll —
+   * a retry that lands on a new day would commit under a different
+   * partition's marker and the crashed partial in yesterday's partition
+   * would survive (degrading to at-least-once for exactly the
+   * midnight-crash batch).
+   */
+  def saveStreamBatch(batch: DataFrame, date: DateInterval, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val hTarget = new org.apache.hadoop.fs.Path(partitionUrl(date).toString)
+    val fs = hTarget.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(hTarget, s"_graft_batch-$batchId")
+    if (fs.exists(marker)) {
+      logger.info(s"$name/$date batch $batchId already committed; skipping replay")
+      return
+    }
+    if (fs.exists(hTarget))
+      fs.listStatus(hTarget).toSeq
+        .filter(_.getPath.getName.startsWith(s"b$batchId-"))
+        .foreach { st =>
+          logger.warn(s"scrubbing partial ${st.getPath} from interrupted batch $batchId")
+          fs.delete(st.getPath, false)
+        }
+    checkAppendSchema(spark, date, batch.schema)
+    val tmp = new org.apache.hadoop.fs.Path(
+      (tableUrl / s".stream-tmp-${partitionValue(date)}-$batchId").toString)
+    fs.delete(tmp, true)
+    val writer = batch.write.mode(SaveMode.Overwrite).format(format)
+    maxRecordsPerFile.fold(writer)(n => writer.option("maxRecordsPerFile", n))
+      .save(tmp.toString)
+    fs.mkdirs(hTarget)
+    fs.listStatus(tmp).toSeq
+      .filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+      .foreach { st =>
+        val dest = new org.apache.hadoop.fs.Path(hTarget, s"b$batchId-${st.getPath.getName}")
+        if (!fs.rename(st.getPath, dest))
+          throw new java.io.IOException(s"stream batch promote ${st.getPath} -> $dest failed")
+      }
+    fs.create(marker, true).close()
+    fs.delete(tmp, true)
   }
 
   /**
@@ -184,14 +285,62 @@ case class WarehouseTable(
     }
   }
 
-  /** Read one date partition. */
-  def load(spark: SparkSession, date: DateInterval): DataFrame =
-    spark.read.format(format).load(partitionUrl(date).toString)
+  /**
+   * Enforce [[Warehouse.SchemaPolicy]] before an append lands (no-op on a
+   * partition with no data yet — the first write defines the schema).
+   * Against the partition's CURRENT merged read schema, so evolved
+   * partitions validate against their union, not one sampled footer.
+   */
+  private def checkAppendSchema(
+      spark: SparkSession,
+      date: DateInterval,
+      incoming: org.apache.spark.sql.types.StructType): Unit = {
+    if (!hasDataForDate(spark, date)) return
+    val existing = load(spark, date).schema
+    def typesOf(s: org.apache.spark.sql.types.StructType) =
+      s.fields.map(f => f.name -> f.dataType).toMap
+    val (ex, in) = (typesOf(existing), typesOf(incoming))
+    val flipped = ex.keySet.intersect(in.keySet)
+      .filter(c => ex(c) != in(c))
+    if (flipped.nonEmpty)
+      throw SchemaMismatchException(s"$name/$date", flipped.toSeq.sorted.map(c =>
+        s"$c: ${ex(c).simpleString} -> ${in(c).simpleString}").mkString(
+        "type change on shared column(s) ", ", ", ""))
+    schemaPolicy match {
+      case SchemaEvolve => // additive add/omit allowed; readers mergeSchema
+      case SchemaStrict =>
+        val only = (ex.keySet -- in.keySet).map("-" + _) ++
+          (in.keySet -- ex.keySet).map("+" + _)
+        if (only.nonEmpty)
+          throw SchemaMismatchException(s"$name/$date",
+            only.toSeq.sorted.mkString("column set differs (SchemaStrict): ", ", ", ""))
+    }
+  }
 
-  /** Read the whole table; `date` comes back as a partition column via the path layout. */
+  /**
+   * Read one date partition. `mergeSchema` unions the footers, so a
+   * partition whose appends EVOLVED (column added mid-day under
+   * [[Warehouse.SchemaEvolve]]) reads with the full column set, missing
+   * values null — Spark's default footer sampling would silently drop the
+   * new column whenever an old file is sampled first. Footer-union cost
+   * is bounded and policy-checked appends guarantee it succeeds.
+   */
+  def load(spark: SparkSession, date: DateInterval): DataFrame =
+    spark.read.format(format).option("mergeSchema", "true")
+      .load(partitionUrl(date).toString)
+
+  /**
+   * Read the whole table; `date` comes back as a partition column via the
+   * path layout. `mergeSchema` makes ranged reads schema-evolution-safe:
+   * a column added on day N reads as null for days < N instead of
+   * vanishing or failing depending on which partition's footer Spark
+   * sampled (the plain-file analogue of the reference warehouse's
+   * load-job schema tolerance, ref bigquery/package.scala:24-199).
+   */
   def loadAll(spark: SparkSession): DataFrame =
     spark.read
       .format(format)
+      .option("mergeSchema", "true")
       .option("basePath", tableUrl.toString)
       .load(tableUrl.toString + "/date=*")
 

@@ -148,8 +148,13 @@ object DataQuality {
    * (fractional inputs ROUND half-up under the decimal cast first — pass
    * exact integer units if that matters);
    * null and non-positive values (no leading significant digit) are
-   * excluded and reported under digit '-'. One count aggregation + a
-   * 1-row total broadcast: scan-bound at any scale.
+   * excluded from the shares and reported under digit '-' with a NULL
+   * `share_ppm`: digit shares are normalized by the POSITIVE-row total
+   * only, so they compare against the Benford expectation table directly
+   * even when the column carries nulls or refunds (a total that included
+   * the '-' bucket would bias every digit share low and blunt the
+   * screen). One count aggregation + a 1-row total broadcast: scan-bound
+   * at any scale.
    */
   def benfordProfile(df: DataFrame, valueCol: String): DataFrame = {
     val d = df.select(
@@ -157,9 +162,12 @@ object DataQuality {
         substring(col(valueCol).cast("decimal(38,0)").cast("string"), 1, 1))
         .otherwise(lit("-")).as("digit"))
       .groupBy("digit").agg(count(lit(1)).as("n"))
-    val total = d.agg(sum(col("n")).as("__total"))
+    val total = d.where(col("digit") =!= "-")
+      .agg(sum(col("n")).as("__total"))
     d.join(broadcast(total))
-      .withColumn("share_ppm", expr("CAST(n * 1000000 DIV __total AS BIGINT)"))
+      .withColumn("share_ppm",
+        expr("CAST(CASE WHEN digit = '-' THEN NULL " +
+          "ELSE n * 1000000 DIV __total END AS BIGINT)"))
       .drop("__total")
   }
 
@@ -189,15 +197,6 @@ object DataQuality {
       groupCols, categoryCol)
   }
 
-  /**
-   * Finish the diversity arithmetic from a per-(group, category) COUNTS
-   * frame — the mergeable half of [[giniDiversity]]: counts from disjoint
-   * slices (days, streaming windows — `EventStreams.windowedRollup`'s
-   * `n` column is exactly this cell shape) ADD per category before
-   * finishing, the same incremental pattern as [[Stats.chi2FromCells]].
-   * Re-aggregates `countCol` by (group, category) first, so callers can
-   * pass window-sliced cells directly.
-   */
   /**
    * Exact equal-width histogram of an INTEGER-valued column: `bins`
    * buckets of width `ceil((max - min + 1) / bins)` anchored at the
@@ -233,6 +232,15 @@ object DataQuality {
       .select(col("bin"), col("bin_lo"), col("bin_hi"), col("n"))
   }
 
+  /**
+   * Finish the diversity arithmetic from a per-(group, category) COUNTS
+   * frame — the mergeable half of [[giniDiversity]]: counts from disjoint
+   * slices (days, streaming windows — `EventStreams.windowedRollup`'s
+   * `n` column is exactly this cell shape) ADD per category before
+   * finishing, the same incremental pattern as [[Stats.chi2FromCells]].
+   * Re-aggregates `countCol` by (group, category) first, so callers can
+   * pass window-sliced cells directly.
+   */
   def giniFromCounts(
       counts: DataFrame,
       groupCols: Seq[String],

@@ -156,7 +156,12 @@ object Intervals {
         least(col("e"), (col("day_idx") + 1L) * dayUs) -
           greatest(col("s"), col("day_idx") * dayUs))
       .groupBy("day_idx")
-      .agg(sum(col("active") * col("__overlap")).as("active_us"))
+      // DECIMAL(38,0) multiply-sum: a single segment-day term reaches
+      // active * 8.64e10, so a LongType product would silently wrap in
+      // non-ANSI mode once concurrency passes ~1e8 — the same overflow
+      // discipline as the drift/OLS folds.
+      .agg(sum(col("active").cast("decimal(38,0)") *
+        col("__overlap").cast("decimal(38,0)")).as("active_us"))
       .select(col("day_idx"), col("active_us").cast("long").as("active_us"))
       .withColumn("avg_milli",
         expr(s"CAST(CAST(active_us AS DECIMAL(38,0)) * 1000 DIV ${dayUs}L AS BIGINT)"))

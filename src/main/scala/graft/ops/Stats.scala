@@ -27,18 +27,25 @@ object Stats {
    *  - `sxx = n*Σx² - (Σx)²`, `sxy = n*Σxy - Σx*Σy`, `syy = n*Σy² - (Σy)²`
    *  - `slope_ppm     = sxy * 1e6 DIV sxx` (null when `sxx = 0`: constant x)
    *  - `intercept_ppm = (Σy * 1e6 - slope_ppm * Σx) DIV n` — y units x 1e6
-   *  - `r2_ppm        = slope_ppm * (sxy * 1e6 DIV syy) DIV 1e6`, i.e. the
-   *    product of the y-on-x and x-on-y slopes — algebraically identical
-   *    to `sxy²/(sxx*syy)`, but composed from two already-truncated
-   *    divisions so no intermediate ever SQUARES a covariance (the naive
-   *    `sxy² * 1e6` overflows DECIMAL(38,0) for |sxy| > ~1e16, which real
-   *    cents-scale data reaches). Truncation bias vs the exact ratio is
-   *    bounded by ~2 ppm; null when `syy = 0` (constant y).
+   *  - `r2_ppm        = slope_ppm * (sxy * 1e9 DIV syy) DIV 1e9`, i.e. the
+   *    product of the y-on-x slope (ppm) and the x-on-y slope (held at
+   *    PPB scale) — algebraically `sxy²/(sxx*syy)`, but composed from two
+   *    already-truncated divisions so no intermediate ever SQUARES a
+   *    covariance (the naive `sxy² * 1e6` overflows DECIMAL(38,0) for
+   *    |sxy| > ~1e16, which real cents-scale data reaches). The x-on-y
+   *    factor is tiny exactly when y-on-x is steep (revenue cents against
+   *    a day index — the headline use case), so it is the factor held at
+   *    the finer 1e9 scale: at ppm it would truncate to 0 whenever
+   *    `|sxy| * 1e6 < syy` and r2 would read 0 despite high correlation.
+   *    Truncation bias vs the exact ratio is SLOPE-DEPENDENT, not a
+   *    flat ~2 ppm: |error| <= |b_xy| + |b_yx|/1e3 + 1 ppm where
+   *    b_yx = sxy/sxx and b_xy = sxy/syy (e.g. a cents-vs-day-index fit
+   *    with b_yx ~ 1e6 reads true to ~1e3 ppm — 0.1% of the statistic).
+   *    Null when `syy = 0` (constant y).
    *
-   * Overflow window (documented, not checked): `|sxy| * 1e6` and
-   * `|sxx| * 1e6` must fit 38 digits — satisfied whenever
-   * `n * max|x| * max|y| < ~1e31`, e.g. a billion rows of cents-scale y
-   * against day-index x with room to spare.
+   * Overflow window (documented, not checked): `|sxy| * 1e9` must fit 38
+   * digits — satisfied whenever `n² * max|x| * max|y| < ~1e29`, e.g. a
+   * hundred million rows of cents-scale y against day-index x.
    *
    * Output: group columns + `(n, slope_ppm, intercept_ppm, r2_ppm)`.
    */
@@ -194,8 +201,8 @@ object Stats {
           "END AS BIGINT)"))
       .withColumn("r2_ppm",
         expr("CAST(CASE WHEN __dxx = 0 OR __dyy = 0 THEN NULL " +
-          "ELSE (__dxy * 1000000 DIV __dxx) * (__dxy * 1000000 DIV __dyy) " +
-          "DIV 1000000 END AS BIGINT)"))
+          "ELSE (__dxy * 1000000 DIV __dxx) * (__dxy * 1000000000 DIV __dyy) " +
+          "DIV 1000000000 END AS BIGINT)"))
       .select(groupCols.map(col) ++ Seq(
         col("n").cast("long").as("n"),
         col("slope_ppm"), col("intercept_ppm"), col("r2_ppm")): _*)

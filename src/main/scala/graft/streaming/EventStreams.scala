@@ -132,7 +132,10 @@ object EventStreams {
    * per-window state (seven numbers), the same daily→all-time shape as
    * the sketch rollups. Fractional `value`s truncate under the decimal
    * cast exactly as the batch operator's cast does, so batch and stream
-   * sums are bit-identical by construction.
+   * sums are bit-identical by construction. Rows with null `ts` or
+   * `value` are dropped BEFORE aggregation to match the batch
+   * operator's `where(x.isNotNull && y.isNotNull)` — otherwise `n`
+   * would count rows the sums skip and the merged fit would diverge.
    */
   def olsTrendRollup(
       events: DataFrame,
@@ -141,7 +144,8 @@ object EventStreams {
     val d38 = "decimal(38,0)"
     val x = unix_timestamp(col("ts")).cast(d38)
     val y = col("value").cast(d38)
-    windowedAgg(events, windowLength, watermark,
+    windowedAgg(events.where(col("ts").isNotNull && col("value").isNotNull),
+      windowLength, watermark,
       Seq(count(lit(1)).cast(d38).as("n"),
         sum(x).as("sx"), sum(y).as("sy"),
         sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy")))
@@ -441,18 +445,27 @@ object EventStreams {
   }
 
   /**
-   * Stream into a date-partitioned [[WarehouseTable]] via `foreachBatch`:
-   * each micro-batch appends to the partition of its processing date, so
-   * downstream batch jobs (and `shouldRunForDate` gates) see streaming
-   * output exactly like batch output.
+   * S6 — stream into a date-partitioned [[WarehouseTable]] via
+   * `foreachBatch`: each micro-batch appends to the partition of its
+   * processing date, so downstream batch jobs (and `shouldRunForDate`
+   * gates) see streaming output exactly like batch output.
+   *
+   * EXACTLY-ONCE, not at-least-once: the batch lands through
+   * [[graft.io.WarehouseTable.saveStreamBatch]], which keys the append on
+   * the `foreachBatch` batchId with a marker-commit protocol — a
+   * micro-batch replayed after a partial write scrubs its own partials
+   * and a replay after a completed commit is a no-op, matching the
+   * crash-safe discipline of the batch MERGE path. `date()` should be
+   * stable across a batch's retries (see `saveStreamBatch`'s scaladoc for
+   * the midnight-roll caveat of a wall-clock date).
    */
   def warehouseSink(
       events: DataFrame,
       table: graft.io.WarehouseTable,
       date: () => graft.time.DateInterval = () => graft.time.Day.today)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      table.save(batch, date(), graft.io.Warehouse.WriteAppend)
+    events.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      table.saveStreamBatch(batch, date(), batchId)
     }
 
   /**

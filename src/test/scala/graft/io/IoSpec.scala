@@ -58,6 +58,86 @@ class IoSpec extends SparkTestBase {
       table.save(spark.range(1).toDF("n"), date, Warehouse.WriteEmpty)
   }
 
+  test("schema evolution: a column added between date partitions survives ranged loads") {
+    val table = WarehouseTable(HdfsUrl(tmpDir("wh_evolve")), "t")
+    table.save(Seq((1L, "a")).toDF("id", "v"), Day(2026, 8, 10))
+    // day 11 adds `score`; day 12 drops `v`
+    table.save(Seq((2L, "b", 9L)).toDF("id", "v", "score"), Day(2026, 8, 11))
+    table.save(Seq((3L, 7L)).toDF("id", "score"), Day(2026, 8, 12))
+    val all = table.loadBetween(spark, Day(2026, 8, 10), Day(2026, 8, 13))
+    all.columns.toSet shouldBe Set("id", "v", "score", "date")
+    all.select($"id", $"v", $"score").as[(Long, Option[String], Option[Long])]
+      .collect().sortBy(_._1) shouldBe
+      Array((1L, Some("a"), None), (2L, Some("b"), Some(9L)), (3L, None, Some(7L)))
+  }
+
+  test("schema evolution: mid-partition additive append reads as the union") {
+    val table = WarehouseTable(HdfsUrl(tmpDir("wh_evolve_mid")), "t")
+    val date = Day(2026, 8, 12)
+    table.save(Seq((1L, "a")).toDF("id", "v"), date)
+    table.save(Seq((2L, "b", 5L)).toDF("id", "v", "extra"), date, Warehouse.WriteAppend)
+    val out = table.load(spark, date)
+    out.columns.toSet shouldBe Set("id", "v", "extra")
+    out.select($"id", $"extra").as[(Long, Option[Long])].collect().sortBy(_._1) shouldBe
+      Array((1L, None), (2L, Some(5L)))
+  }
+
+  test("schema policy: type change on a shared column is rejected under BOTH policies") {
+    for (policy <- Seq(Warehouse.SchemaEvolve, Warehouse.SchemaStrict)) {
+      val table = WarehouseTable(HdfsUrl(tmpDir(s"wh_flip_$policy")), "t",
+        schemaPolicy = policy)
+      val date = Day(2026, 8, 12)
+      table.save(Seq((1L, 10L)).toDF("id", "v"), date)
+      a[Warehouse.SchemaMismatchException] should be thrownBy
+        table.save(Seq((2L, "oops")).toDF("id", "v"), date, Warehouse.WriteAppend)
+      table.load(spark, date).count() shouldBe 1 // nothing landed
+    }
+  }
+
+  test("schema policy: SchemaStrict rejects added/omitted columns, SchemaEvolve allows") {
+    val date = Day(2026, 8, 12)
+    val strict = WarehouseTable(HdfsUrl(tmpDir("wh_strict")), "t",
+      schemaPolicy = Warehouse.SchemaStrict)
+    strict.save(Seq((1L, "a")).toDF("id", "v"), date)
+    a[Warehouse.SchemaMismatchException] should be thrownBy
+      strict.save(Seq((2L, "b", 5L)).toDF("id", "v", "extra"), date, Warehouse.WriteAppend)
+    a[Warehouse.SchemaMismatchException] should be thrownBy
+      strict.save(Seq(Tuple1(2L)).toDF("id"), date, Warehouse.WriteAppend)
+    // same-column append is fine, order-insensitive
+    strict.save(Seq(("c", 3L)).toDF("v", "id"), date, Warehouse.WriteAppend)
+    strict.load(spark, date).count() shouldBe 2
+    // the streaming path enforces the same policy
+    a[Warehouse.SchemaMismatchException] should be thrownBy
+      strict.saveStreamBatch(Seq((9L, "z", 1L)).toDF("id", "v", "extra"), date, 0L)
+  }
+
+  test("saveStreamBatch: a replayed batch commits exactly once") {
+    val table = WarehouseTable(HdfsUrl(tmpDir("wh_stream")), "t")
+    val date = Day(2026, 8, 12)
+    table.saveStreamBatch(spark.range(5).toDF("n"), date, batchId = 0L)
+    table.saveStreamBatch(spark.range(3).toDF("n"), date, batchId = 1L)
+    table.load(spark, date).count() shouldBe 8 // distinct batches append
+    // the at-least-once replay: same batchId again must be a no-op
+    table.saveStreamBatch(spark.range(5).toDF("n"), date, batchId = 0L)
+    table.saveStreamBatch(spark.range(3).toDF("n"), date, batchId = 1L)
+    table.load(spark, date).count() shouldBe 8
+  }
+
+  test("saveStreamBatch: replay after a partial (uncommitted) write scrubs, no dupes") {
+    val table = WarehouseTable(HdfsUrl(tmpDir("wh_stream_partial")), "t")
+    val date = Day(2026, 8, 12)
+    table.saveStreamBatch(spark.range(4).toDF("n"), date, batchId = 7L)
+    // forge the crash-mid-promote state: strip the marker, leaving the
+    // batch's data files behind as uncommitted partials
+    val part = new org.apache.hadoop.fs.Path(table.partitionUrl(date).toString)
+    val fs = part.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(part, "_graft_batch-7"), false) shouldBe true
+    // the replay must scrub the stale b7-* files and land the batch once
+    table.saveStreamBatch(spark.range(4).toDF("n"), date, batchId = 7L)
+    table.load(spark, date).count() shouldBe 4
+    table.load(spark, date).as[Long].collect().sorted shouldBe (0L until 4L).toArray
+  }
+
   test("warehouse maxRecordsPerFile caps files; compact merges them back") {
     def dataFiles(table: WarehouseTable, date: graft.time.DateInterval): Int =
       new java.io.File(table.partitionUrl(date).toString)

@@ -80,14 +80,16 @@ class DataQualitySpec extends SparkTestBase {
     out.toSeq shouldBe Seq(("id", 0L, 0L, 0L, 1000000L))
   }
 
-  test("benfordProfile: canonical leading digits, exact ppm shares, junk under '-'") {
+  test("benfordProfile: canonical leading digits, positive-total shares, junk under '-'") {
     val df = Seq(Some(123L), Some(19L), Some(1L), Some(950L),
       Some(0L), Some(-42L), None).toDF("v")
     val out = DataQuality.benfordProfile(df, "v")
-      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
-    out("1") shouldBe ((3L, 3L * 1000000 / 7))   // 428571
-    out("9") shouldBe ((1L, 142857L))
-    out("-") shouldBe ((3L, 428571L))            // zero, negative, null
+      .as[(String, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // shares normalize by the 4 POSITIVE rows, not all 7
+    out("1") shouldBe ((3L, Some(750000L)))
+    out("9") shouldBe ((1L, Some(250000L)))
+    out("-") shouldBe ((3L, None))               // zero, negative, null
     out.values.map(_._1).sum shouldBe 7L
   }
 

@@ -326,6 +326,25 @@ class EventStreamsSpec extends SparkTestBase {
     table.load(spark, date).count() shouldBe 3 // appended across micro-batches
   }
 
+  test("warehouseSink replay: a re-delivered micro-batch does not double-append") {
+    implicit val sc = spark.sqlContext
+    val table = graft.io.WarehouseTable(graft.io.HdfsUrl(tmpDir("stream_wh_replay")), "events")
+    val date = graft.time.Day(2026, 8, 12)
+    val in = MemoryStream[Event]
+    val q = warehouseSink(asContract(in.toDF()), table, () => date)
+      .option("checkpointLocation", tmpDir("stream_wh_replay_ckpt")).start()
+    in.addData(Event(1, ts(1), 10, "click", 1.0), Event(2, ts(2), 11, "view", 2.0))
+    runToCompletion(q)
+    table.load(spark, date).count() shouldBe 2
+    // simulate the at-least-once foreachBatch contract: a crash between a
+    // completed write and the checkpoint commit re-invokes the handler with
+    // the SAME (batch, batchId) — re-run the sink body for batch 0 verbatim
+    val replayed = Seq(Event(1, ts(1), 10, "click", 1.0), Event(2, ts(2), 11, "view", 2.0))
+      .toDF()
+    table.saveStreamBatch(asContract(replayed), date, batchId = 0L)
+    table.load(spark, date).count() shouldBe 2 // exactly-once held
+  }
+
   test("curation verdicts with scriptAware pass CJK pages the ASCII gate rejects") {
     val docs = Seq(
       (1L, "深度学习模型在大规模语料库上训练需要高质量的数据和强大的算力支持"),
