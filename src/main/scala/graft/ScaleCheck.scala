@@ -37,7 +37,9 @@ object ScaleCheck {
     "bm25_topk", "collocations", "exact_percentiles",
     "triangles", "label_prop", "jaccard_join", "sorted_neighborhood",
     "running_total", "kcore", "bfs_reach",
-    "gap_fill", "cusum", "trailing", "zorder")
+    "gap_fill", "cusum", "trailing", "zorder",
+    "basket_lift", "time_weighted_load", "damerau_pairs", "rrf_fusion",
+    "attribution_linear")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -513,6 +515,98 @@ object ScaleCheck {
         bigEvents.select(col("event_id"), col("user_id"),
           (col("value") * 100).cast("long").as("vc")),
         Seq("user_id", "vc"), bits = 8, tie = Seq(col("event_id")))
+    }
+    // the TPC-H-shaped heavies: orders/lineitem/part amplified with the
+    // same disjoint-range re-keying (l_partkey shares part's span so each
+    // copy joins its own parts — the brand universe stays 25 brands)
+    val keySpan = 10000000L
+    val bigOrders = amplify(spark.read.parquet(s"$sfDir/orders.parquet"),
+      Seq("o_orderkey"), keySpan).localCheckpoint(eager = true)
+    val bigLineitem = amplify(spark.read.parquet(s"$sfDir/lineitem.parquet"),
+      Seq("l_orderkey", "l_partkey"), keySpan).localCheckpoint(eager = true)
+    val bigPart = amplify(spark.read.parquet(s"$sfDir/part.parquet"),
+      Seq("p_partkey"), keySpan).localCheckpoint(eager = true)
+    // pair fan-out bounded by (brands-per-order)² per order — order count
+    // grows 20x, brands-per-order is data-constant, so pairs grow linearly;
+    // the 25-brand marginals/total stay broadcast-sized at any factor
+    time("basket_lift") {
+      val ob = bigLineitem
+        .join(broadcast(bigPart.select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
+        .distinct()
+        .localCheckpoint(true)
+      val pairs = ob.select(col("ok"), col("brand").as("brand_a"))
+        .join(ob.select(col("ok"), col("brand").as("brand_b")), Seq("ok"))
+        .where(col("brand_a") < col("brand_b"))
+        .groupBy("brand_a", "brand_b").agg(count(lit(1)).as("n_ab"))
+      val marg = ob.groupBy(col("brand")).agg(count(lit(1)).as("n"))
+      val total = ob.select(countDistinct(col("ok")).as("n_orders"))
+      pairs
+        .join(broadcast(marg.select(col("brand").as("brand_a"), col("n").as("n_a"))),
+          Seq("brand_a"))
+        .join(broadcast(marg.select(col("brand").as("brand_b"), col("n").as("n_b"))),
+          Seq("brand_b"))
+        .join(broadcast(total))
+        .select(col("brand_a"), col("brand_b"), col("n_ab"),
+          expr("CAST(CAST(n_ab AS DECIMAL(38,0)) * n_orders * 1000000 DIV (n_a * n_b) AS BIGINT)")
+            .as("lift_ppm"))
+    }
+    // the date span is data-constant, so 20x intervals means 20x boundary
+    // rows through the range exchange and 20x concurrency per day — the
+    // day-split explode and day agg stay calendar-bounded
+    time("time_weighted_load") {
+      val us = unix_micros(col("o_orderdate").cast("timestamp"))
+      val iv = bigOrders.select(col("o_orderkey").as("id"),
+        us.as("start_us"), (us + 7L * 86400 * 1000000).as("end_us"))
+      ops.Intervals.timeWeightedDaily(iv, "start_us", "end_us", "id")
+    }
+    // block families stay data-sized (copies get disjoint blocks via the
+    // copy index, as fuzzy_join's families do): a bigger corpus means MORE
+    // blocks, not denser ones — the honest entity-resolution scale model;
+    // per-block verify cost is bounded by block size at any factor
+    time("damerau_pairs") {
+      val parts = bigPart.select(col("p_partkey").as("id"),
+        col("p_name").as("name"),
+        concat(element_at(split(col("p_name"), " "), -1), lit("-"),
+          (col("p_partkey") / keySpan).cast("long").cast("string")).as("block"))
+      val a = parts.where(col("id") % 7 === 1)
+        .select(col("block"), col("id").as("id_a"), col("name").as("__na"))
+      val b = parts.where(col("id") % 7 === 2)
+        .select(col("block"), col("id").as("id_b"), col("name").as("__nb"))
+      a.join(b, "block")
+        .withColumn("dist",
+          graft.functions.functions.damerau_levenshtein(col("__na"), col("__nb"))
+            .cast("long"))
+        .where(col("dist") <= 4)
+        .select(col("id_a"), col("id_b"), col("dist"))
+    }
+    // both retriever legs scan the amplified corpus once; ranks (not
+    // corpus rows) cross into the fusion, which is (queries x k)-sized
+    time("rrf_fusion") {
+      val qs = spark.createDataFrame(Seq(
+        ("q1", "table scan merge"), ("q2", "slow query filter"),
+        ("q3", "stream window customer"))).toDF("query_id", "qtext")
+      val lex = ops.Retrieval
+        .bm25TopK(bigDocs, "doc_id", "text", qs, "query_id", "qtext", k = 20)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val overlap = ops.Retrieval.toRanking(
+        ops.Retrieval
+          .percolate(bigDocs, "doc_id", "text", qs, "query_id", "qtext",
+            minMatchPct = 1)
+          .select(col("query_id"), col("doc_id"), col("n_matched")),
+        "n_matched", k = 20)
+      ops.Retrieval.rrfFuse(Seq(lex, overlap), k0 = 60, k = 10)
+    }
+    // users grow 20x (re-keyed), per-user history is data-constant: the
+    // ONE user-keyed exchange carries 20x rows over 20x keys, per-key
+    // window work unchanged
+    time("attribution_linear") {
+      ops.Attribution.linear(bigEvents, "user_id", "event_id", "ts",
+        isConversion = col("event_type") === "purchase",
+        isTouch = col("event_type").isin("click", "view"),
+        channel = col("event_type"),
+        lookbackUs = 3L * 86400 * 1000000)
     }
     spark.stop()
   }

@@ -311,18 +311,29 @@ object EventStreams {
    *     hashes can never drift): a document any of whose bands the store
    *     holds is a candidate duplicate of history and is dropped.
    *     Stateless — re-snapshotted per micro-batch, no streaming state.
-   *     **Precision tradeoff, by design**: candidates are dropped
-   *     UNVERIFIED — unlike the batch tier, no exact-Jaccard check runs
-   *     (it would need the stored documents' shingles, i.e. state), so a
-   *     document sharing even ONE band with any stored document is gone
-   *     permanently. At rows-per-band r = 3 a pair with true similarity s
-   *     collides per band with probability s^3 (~41% across 4 bands at
-   *     s = 0.5), so this tier is strictly MORE aggressive than batch
+   *     **Precision tradeoff, by default**: candidates are dropped
+   *     UNVERIFIED — a document sharing even ONE band with any stored
+   *     document is gone permanently. At rows-per-band r = 3 a pair with
+   *     true similarity s collides per band with probability s^3 (~41%
+   *     across 4 bands at s = 0.5), so this tier is strictly MORE
+   *     aggressive than batch
    *     [[graft.ops.Dedup.removeNearDuplicates]], which keeps sub-threshold
    *     candidates; the two verdicts agree on clear dups and clear
-   *     non-dups but diverge in the gray zone. Route streams through the
-   *     batch job instead when that precision matters more than
-   *     statelessness.
+   *     non-dups but diverge in the gray zone.
+   *     **Opt-in exact verify** — pass `verifyDocs` (the stored documents'
+   *     `(id, text)`, the corpus the band store was built from) and the
+   *     store tier trades that precision back: each band collision joins
+   *     the colliding stored document's word shingles and a row is dropped
+   *     only when the exact shingle Jaccard (the IDENTICAL
+   *     [[graft.ops.Dedup.jaccard]] expression batch verification uses)
+   *     clears `verifyThreshold` — a below-threshold band collision now
+   *     SURVIVES, matching the batch verdict on the store tier. Still
+   *     stateless: the verify is a residual predicate on the same
+   *     stream-static band equi-join (shingles ride the static side,
+   *     re-snapshotted per micro-batch; the stream side shingles are
+   *     per-row codegen). Cost: the anti-join becomes band-equal pairs x
+   *     one array-intersect each — bounded by band-collision count, the
+   *     same verify cost the batch tier pays.
    *  2. **In-stream tier** — `dropDuplicatesWithinWatermark` per band
    *     column: first-seen wins per band bucket inside the watermark
    *     horizon, so near-identical documents arriving together also
@@ -344,17 +355,49 @@ object EventStreams {
       numHashes: Int = 12,
       rowsPerBand: Int = 3,
       watermark: String = "10 minutes",
-      scriptAware: Boolean = false): DataFrame = {
+      scriptAware: Boolean = false,
+      verifyDocs: Option[DataFrame] = None,
+      verifyIdCol: String = "id",
+      verifyTextCol: String = "text",
+      verifyThreshold: Double = 0.8): DataFrame = {
     require(numHashes % rowsPerBand == 0, "numHashes must divide evenly into bands")
     val bands = numHashes / rowsPerBand
     val banded = graft.ops.Dedup
       .withMinhashSignature(docs, textCol, numHashes, scriptAware)
       .select(docs.columns.map(col) ++
         graft.ops.Dedup.bandHashes(numHashes, rowsPerBand): _*)
-    val unseen = (0 until bands).foldLeft(banded) { (acc, b) =>
-      acc.join(
-        store.filter(col("band") === b).select(col("bh").as(s"band$b")),
-        Seq(s"band$b"), "left_anti")
+    val unseen = verifyDocs match {
+      case None =>
+        (0 until bands).foldLeft(banded) { (acc, b) =>
+          acc.join(
+            store.filter(col("band") === b).select(col("bh").as(s"band$b")),
+            Seq(s"band$b"), "left_anti")
+        }
+      case Some(stored) =>
+        // verified store tier: re-band the stored docs (bit-identical to
+        // the store rows by construction — same bandedIds recipe) and keep
+        // their shingles beside each (band, bh) row; a stream row is
+        // dropped only when a band-equal stored doc ALSO clears the exact
+        // Jaccard, evaluated as a residual on the hash equi-join
+        val storedSh = graft.ops.Dedup
+          .bandedIds(stored, verifyIdCol, verifyTextCol, numHashes,
+            rowsPerBand, scriptAware)
+          .join(
+            stored.select(col(verifyIdCol),
+              graft.ops.Dedup.wordShingles(col(verifyTextCol),
+                scriptAware = scriptAware).as("__vsh")),
+            verifyIdCol)
+        val withSh = banded.withColumn("__ssh",
+          graft.ops.Dedup.wordShingles(col(textCol), scriptAware = scriptAware))
+        (0 until bands).foldLeft(withSh) { (acc, b) =>
+          val side = storedSh.filter(col("band") === b)
+            .select(col("bh").as(s"__vbh$b"), col("__vsh"))
+          acc.join(side,
+            acc(s"band$b") === side(s"__vbh$b") &&
+              graft.ops.Dedup.jaccard(acc("__ssh"), side("__vsh"))
+                >= verifyThreshold,
+            "left_anti")
+        }.drop("__ssh")
     }
     (0 until bands).foldLeft(unseen.withWatermark(tsCol, watermark)) {
       (acc, b) => acc.dropDuplicatesWithinWatermark(s"band$b")

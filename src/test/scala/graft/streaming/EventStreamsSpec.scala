@@ -270,6 +270,62 @@ class EventStreamsSpec extends SparkTestBase {
       .select($"doc_id").as[Long].collect().sorted shouldBe Array(2L, 4L)
   }
 
+  test("dedupNearAgainstStore opt-in verify keeps below-threshold band collisions") {
+    implicit val sc = spark.sqlContext
+    val stored = "the quick brown fox jumps over the lazy dog while the sun sets slowly behind the quiet hills tonight"
+    val storedVar = stored.replace("tonight", "today")
+    val distinct = "unrelated third topic entirely about cooking pasta with tomatoes basil and olive oil at home for dinner"
+
+    val storedDocs = Seq((0L, stored)).toDF("id", "text")
+    val store = graft.ops.Dedup.bandedIds(storedDocs, "id", "text")
+      .select($"band", $"bh")
+
+    // preconditions: the recrawl collides with the stored doc's bands, and
+    // its exact Jaccard (one changed word of 19 -> 14/16 = 0.875) sits
+    // between the two thresholds the test exercises
+    def bandsOf(t: String): Set[(Int, String)] =
+      graft.ops.Dedup.bandedIds(Seq((1L, t)).toDF("id", "text"), "id", "text")
+        .select($"band", $"bh").as[(Int, String)].collect().toSet
+    (bandsOf(stored) intersect bandsOf(storedVar)) should not be empty
+    val jac = Seq((stored, storedVar)).toDF("a", "b")
+      .select(graft.ops.Dedup.jaccard(
+        graft.ops.Dedup.wordShingles($"a"), graft.ops.Dedup.wordShingles($"b")))
+      .as[Double].collect().head
+    jac shouldBe 0.875
+
+    // strict threshold: the band collision FAILS verify -> the gray-zone
+    // recrawl survives (the unverified tier would have dropped it); the
+    // exact copy (Jaccard 1.0) still verifies and drops
+    val in = MemoryStream[Event]
+    val docs = asContract(in.toDF()).select($"event_id".as("doc_id"), $"ts",
+      $"event_type".as("text"))
+    val q = dedupNearAgainstStore(docs, store, textCol = "text",
+      verifyDocs = Some(storedDocs), verifyThreshold = 0.99)
+      .writeStream.format("memory").queryName("near_verify_out").outputMode("append").start()
+    in.addData(
+      Event(1, ts(1), 0, storedVar, 0.0), // band collision, 0.875 < 0.99 -> SURVIVES
+      Event(2, ts(2), 0, stored, 0.0),    // exact copy, 1.0 -> verified drop
+      Event(3, ts(3), 0, distinct, 0.0))  // no collision -> kept
+    runToCompletion(q)
+    spark.table("near_verify_out").select($"doc_id").as[Long].collect().sorted shouldBe
+      Array(1L, 3L)
+
+    // batch threshold (default 0.8): the same recrawl IS a verified dup —
+    // the verified tier agrees with the unverified drop on true near-dups
+    val in2 = MemoryStream[Event]
+    val docs2 = asContract(in2.toDF()).select($"event_id".as("doc_id"), $"ts",
+      $"event_type".as("text"))
+    val q2 = dedupNearAgainstStore(docs2, store, textCol = "text",
+      verifyDocs = Some(storedDocs))
+      .writeStream.format("memory").queryName("near_verify_out2").outputMode("append").start()
+    in2.addData(
+      Event(1, ts(1), 0, storedVar, 0.0), // 0.875 >= 0.8 -> verified drop
+      Event(2, ts(2), 0, distinct, 0.0))
+    runToCompletion(q2)
+    spark.table("near_verify_out2").select($"doc_id").as[Long].collect().sorted shouldBe
+      Array(2L)
+  }
+
   test("dedupSemanticAgainstStore drops stored dups verified and in-stream sketch dups, batch parity") {
     implicit val sc = spark.sqlContext
     // the stores as IncrementalSemanticDedupJob writes them
