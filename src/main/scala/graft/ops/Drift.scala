@@ -219,4 +219,199 @@ object Drift {
           .as("n_outliers"))
       .withColumn("outlier_ppm", expr("(n_outliers * 1000000) DIV n"))
   }
+
+  /**
+   * Shared scaffold of the two-sample rank tests: collapse rows to
+   * per-(group, value) counts of each sample, then per-GROUP ordered
+   * cumulative counts over the DISTINCT-VALUE frame. The scale unit after
+   * the first aggregation is distinct values per group, never rows — the
+   * same frame-size law as the calendar operators; for unbounded-
+   * cardinality values, pre-round (cents, buckets) before testing, as any
+   * exact ECDF comparison must. The per-group totals ride the same
+   * partitioning as the running sums (one exchange for both windows).
+   */
+  private def cumCounts(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      inA: Column): DataFrame = {
+    val counts = df
+      .where(col(valueCol).isNotNull && inA.isNotNull)
+      .groupBy((groupCols.map(col) :+ col(valueCol)): _*)
+      .agg(
+        sum(when(inA, 1L).otherwise(0L)).cast("DECIMAL(38,0)").as("ca"),
+        sum(when(!inA, 1L).otherwise(0L)).cast("DECIMAL(38,0)").as("cb"))
+    val byGroup = Window.partitionBy(groupCols.map(col): _*)
+    val ordered = byGroup.orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .withColumn("cuma", sum(col("ca")).over(ordered))
+      .withColumn("cumb", sum(col("cb")).over(ordered))
+      .withColumn("n_a", sum(col("ca")).over(byGroup))
+      .withColumn("n_b", sum(col("cb")).over(byGroup))
+  }
+
+  /**
+   * Exact two-sample Kolmogorov–Smirnov distance per group — the
+   * distribution-shift screen for NUMERIC columns between two slices
+   * (last week vs this week, source A vs source B): did the whole shape
+   * move, not just the mean ([[Timeseries.cusum]]) or the tails
+   * ([[robustValueProfile]])?
+   *
+   * `inA` labels each row's sample (true = A, false = B; null rows and
+   * null values are excluded). The statistic is the classic
+   * `D = max_v |F_A(v) - F_B(v)|` over the pooled value set, computed
+   * EXACTLY in cross-multiplied integers:
+   * `d_ppm = max_v |cumA(v)*n_b - cumB(v)*n_a| * 1e6 DIV (n_a*n_b)` —
+   * one truncated division at the very end, so the result is a pure
+   * integer function of the data and replays digit-for-digit in any
+   * engine. Null when either sample is empty. Caller-side significance:
+   * reject at level α when `d_ppm > c(α)*sqrt((n_a+n_b)/(n_a*n_b))*1e6`
+   * with the standard c table (1.358 at α=0.05) — a per-group lookup,
+   * no libm in the operator.
+   *
+   * Plan: one (group, value) count aggregation (map-side combined), one
+   * group-keyed window exchange over the distinct-value frame, one final
+   * max aggregation.
+   */
+  def ksTest(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      inA: Column): DataFrame =
+    cumCounts(df, groupCols, valueCol, inA)
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        max(col("n_a")).cast("long").as("n_a"),
+        max(col("n_b")).cast("long").as("n_b"),
+        max(abs(col("cuma") * col("n_b") - col("cumb") * col("n_a")))
+          .as("__dnum"))
+      .withColumn("d_ppm",
+        expr("CAST(CASE WHEN n_a = 0 OR n_b = 0 THEN NULL " +
+          "ELSE __dnum * 1000000 DIV (CAST(n_a AS DECIMAL(38,0)) * n_b) " +
+          "END AS BIGINT)"))
+      .drop("__dnum")
+
+  /**
+   * Exact Mann–Whitney U (Wilcoxon rank-sum) per group — the
+   * nonparametric location-shift test beside [[ksTest]]'s shape test:
+   * "are A's values systematically larger than B's?", robust to outliers
+   * a mean comparison drowns in.
+   *
+   * Tie-corrected midranks with NO fractions: ranks are carried DOUBLED
+   * (a tied block occupying positions `[s+1, s+c]` has midrank
+   * `s + (c+1)/2`, i.e. doubled midrank `2s + c + 1` — always an
+   * integer), so `u2 = 2*U_A = Σ_v ca(v)*(2*cumBefore(v) + c(v) + 1)
+   * - n_a*(n_a+1)` is exact. The effect size
+   * `auc_ppm = U_A/(n_a*n_b) * 1e6 = u2 * 1e6 DIV (2*n_a*n_b)` is the
+   * probability (ppm) that a random A value exceeds a random B value
+   * (ties counted half) — 500000 = no shift, the caller's alarm axis;
+   * one truncated division at the end. Null when either sample is empty.
+   *
+   * Same plan and distinct-value scale law as [[ksTest]] (shared
+   * scaffold).
+   */
+  def mannWhitney(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      inA: Column): DataFrame =
+    cumCounts(df, groupCols, valueCol, inA)
+      .withColumn("__tot", col("cuma") + col("cumb"))
+      .withColumn("__before", col("__tot") - col("ca") - col("cb"))
+      .withColumn("__mid2", col("__before") * 2 + col("ca") + col("cb") + 1)
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        max(col("n_a")).cast("long").as("n_a"),
+        max(col("n_b")).cast("long").as("n_b"),
+        sum(col("ca") * col("__mid2")).as("__r2a"))
+      .withColumn("u2",
+        expr("CAST(CASE WHEN n_a = 0 OR n_b = 0 THEN NULL " +
+          "ELSE __r2a - CAST(n_a AS DECIMAL(38,0)) * (n_a + 1) END AS BIGINT)"))
+      .withColumn("auc_ppm",
+        expr("CAST(CASE WHEN n_a = 0 OR n_b = 0 THEN NULL " +
+          "ELSE CAST(u2 AS DECIMAL(38,0)) * 1000000 " +
+          "DIV (2 * CAST(n_a AS DECIMAL(38,0)) * n_b) END AS BIGINT)"))
+      .drop("__r2a")
+
+  /**
+   * Per-(group, category) two-sample cells `(a, b)` — the mergeable half
+   * of [[chiSquareKx2]], the k-row generalization of
+   * [[Stats.chiSquare2x2]]'s four cells: counts from disjoint slices
+   * (days, streaming windows) ADD per category before finishing. A
+   * `(group, category, n)`-shaped frame per side (e.g. two
+   * [[termCounts]] snapshots, or `EventStreams.windowedRollup` windows)
+   * is already this cell shape with one side zero.
+   */
+  def kx2Cells(
+      df: DataFrame,
+      groupCols: Seq[String],
+      categoryCol: String,
+      inA: Column): DataFrame =
+    df.where(inA.isNotNull)
+      .groupBy((groupCols.map(col) :+ col(categoryCol)): _*)
+      .agg(
+        sum(when(inA, 1L).otherwise(0L)).as("a"),
+        sum(when(!inA, 1L).otherwise(0L)).as("b"))
+
+  /**
+   * k×2 chi-squared homogeneity between two CATEGORICAL distributions per
+   * group — "did the event-type / language / source mix shift between
+   * slice A and slice B?" — the categorical complement of [[ksTest]].
+   *
+   * With per-category counts `a_i, b_i` and totals `N_a, N_b`, the
+   * classic homogeneity statistic reduces to
+   * `χ² = Σ_i (a_i*N_b - b_i*N_a)² / (N_a*N_b*(a_i+b_i))` — computed in
+   * micro units via the STAGED truncated form
+   * `(D_i² * 1e3 DIV (N_a*N_b)) * 1e3 DIV t_i` (the
+   * [[Stats.chiSquare2x2]] discipline): no intermediate exceeds
+   * DECIMAL(38,0) up to ~5e8 rows per sample, and each category's term
+   * floors within `1e3/t_i + 1` micro of exact, so the sum is within
+   * `k` micro units — a pure integer function of the counts that
+   * replays digit-for-digit. Null when either sample is empty.
+   * Significance is the caller's χ²(k-1) lookup.
+   *
+   * Output per group: `n_a, n_b, k` (category count) and `chi2_micro`.
+   * One cell aggregation + one group-sized finish; cells are
+   * category-frame-sized, never row-sized.
+   */
+  def chiSquareKx2(
+      df: DataFrame,
+      groupCols: Seq[String],
+      categoryCol: String,
+      inA: Column): DataFrame =
+    chi2FromKx2Cells(kx2Cells(df, groupCols, categoryCol, inA), groupCols)
+
+  /** Finish the k×2 arithmetic from an `(a, b)`-cells frame (mergeable —
+    * re-aggregates by category first, so sliced cells can be passed
+    * directly; same staged statistic and null law as [[chiSquareKx2]]). */
+  def chi2FromKx2Cells(
+      cells: DataFrame,
+      groupCols: Seq[String],
+      categoryCol: String = "",
+      aCol: String = "a",
+      bCol: String = "b"): DataFrame = {
+    val catCols = if (categoryCol.nonEmpty) Seq(col(categoryCol))
+      else cells.columns.filterNot(c => (groupCols :+ aCol :+ bCol).contains(c))
+        .map(col).toSeq
+    val d38 = "DECIMAL(38,0)"
+    val merged = cells
+      .groupBy((groupCols.map(col) ++ catCols): _*)
+      .agg(sum(col(aCol)).cast(d38).as("__a"), sum(col(bCol)).cast(d38).as("__b"))
+    val byGroup = Window.partitionBy(groupCols.map(col): _*)
+    merged
+      .withColumn("__na", sum(col("__a")).over(byGroup))
+      .withColumn("__nb", sum(col("__b")).over(byGroup))
+      .withColumn("__d", col("__a") * col("__nb") - col("__b") * col("__na"))
+      .withColumn("__t", col("__a") + col("__b"))
+      .withColumn("__term",
+        expr("CASE WHEN __na = 0 OR __nb = 0 THEN NULL WHEN __t = 0 THEN 0 " +
+          "ELSE (__d * __d * 1000 DIV (__na * __nb)) * 1000 DIV __t END"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        max(col("__na")).cast("long").as("n_a"),
+        max(col("__nb")).cast("long").as("n_b"),
+        sum(when(col("__t") > 0, 1L).otherwise(0L)).as("k"),
+        sum(col("__term")).cast("long").as("chi2_micro"))
+  }
 }

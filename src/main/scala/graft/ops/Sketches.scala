@@ -273,4 +273,54 @@ object Sketches {
         col(groupCol) === col("__g") && col("__rank") === col("__target"))
       .select(col(groupCol), col("pct"), col(valueCol))
   }
+
+  /**
+   * EXACT per-group WEIGHTED percentiles — "the median document length
+   * weighted by token count", "the p90 load order weighted by quantity":
+   * each row counts `weight` times, so the answer reflects mass, not row
+   * count. The weighted generalization of [[exactPercentiles]]'s
+   * nearest-rank law: the reported value is the smallest `v` whose
+   * cumulative weight reaches `ceil(totalWeight * pct / 100)`, decided by
+   * the CROSS-MULTIPLIED comparison `cumw * 100 >= total * pct` — no
+   * division anywhere, a pure integer function of the data. Weights must
+   * be integral (token counts, cents, quantities — the exactness contract
+   * needs exact addition); null values, null weights and non-positive
+   * weights are dropped.
+   *
+   * Plan: rows collapse to per-(group, value) weight sums FIRST (one
+   * map-side-combined exchange), so the ordered windows run over the
+   * DISTINCT-VALUE frame, never raw rows — the affordable shape when
+   * values are bounded-cardinality (cents, lengths, scores). For
+   * unbounded value domains at extreme scale, pre-round or use
+   * [[exactPercentiles]]'s range-partition recipe on replicated rows.
+   * The totals window shares the running-sum window's exchange.
+   */
+  def weightedPercentiles(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      weightCol: String,
+      percentiles: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(percentiles.nonEmpty, "need at least one percentile")
+    require(percentiles.forall(p => p >= 1 && p <= 100),
+      s"percentiles must be in [1,100], got $percentiles")
+    require(percentiles.distinct.size == percentiles.size, "duplicate percentiles")
+    val d38 = "DECIMAL(38,0)"
+    val counts = df
+      .where(col(valueCol).isNotNull && col(weightCol).isNotNull &&
+        col(weightCol) > 0)
+      .groupBy(col(groupCol), col(valueCol))
+      .agg(sum(col(weightCol).cast(d38)).as("__w"))
+    val byGroup = Window.partitionBy(col(groupCol))
+    val ordered = byGroup.orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .withColumn("__cumw", sum(col("__w")).over(ordered))
+      .withColumn("__total", sum(col("__w")).over(byGroup))
+      .withColumn("pct", explode(typedLit(percentiles.map(_.toLong))))
+      .where(col("__cumw") * 100 >= col("__total") * col("pct"))
+      .groupBy(col(groupCol), col("pct"))
+      .agg(min(col(valueCol)).as(valueCol))
+  }
 }

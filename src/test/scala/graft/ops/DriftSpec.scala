@@ -114,4 +114,131 @@ class DriftSpec extends SparkTestBase {
     one shouldBe many
     one.map(r => (r.head, r(1))) shouldBe Set(("a", 3L), ("b", 1L)) // null dropped
   }
+
+  import org.apache.spark.sql.functions.col
+
+  test("ksTest: hand-computed D, degenerate and disjoint samples") {
+    // A = [1,2,3], B = [2,3,4]: D = 1/3 at every value below 4
+    val df = Seq(("g", 1L, true), ("g", 2L, true), ("g", 3L, true),
+      ("g", 2L, false), ("g", 3L, false), ("g", 4L, false)).toDF("g", "v", "a")
+    Drift.ksTest(df, Seq("g"), "v", col("a"))
+      .as[(String, Long, Long, Long)].collect().head shouldBe (("g", 3L, 3L, 333333L))
+    // identical samples: D = 0
+    val same = Seq(("g", 1L, true), ("g", 2L, true), ("g", 1L, false), ("g", 2L, false))
+      .toDF("g", "v", "a")
+    Drift.ksTest(same, Seq("g"), "v", col("a"))
+      .as[(String, Long, Long, Long)].collect().head._4 shouldBe 0L
+    // disjoint supports: D = 1
+    val disj = Seq(("g", 1L, true), ("g", 2L, true), ("g", 8L, false), ("g", 9L, false))
+      .toDF("g", "v", "a")
+    Drift.ksTest(disj, Seq("g"), "v", col("a"))
+      .as[(String, Long, Long, Long)].collect().head._4 shouldBe 1000000L
+  }
+
+  test("ksTest: null on an empty sample; nulls dropped; matches naive ECDF on random data") {
+    val oneSided = Seq(("g", 1L, true), ("g", 2L, true)).toDF("g", "v", "a")
+    val r = Drift.ksTest(oneSided, Seq("g"), "v", col("a")).collect().head
+    r.getLong(2) shouldBe 0L
+    r.isNullAt(3) shouldBe true
+
+    val rnd = new scala.util.Random(42)
+    val rows = Seq.fill(400)(("g", rnd.nextInt(30).toLong + (if (rnd.nextBoolean()) 3 else 0),
+      rnd.nextBoolean()))
+    val got = Drift.ksTest(rows.toDF("g", "v", "a").repartition(7), Seq("g"), "v", col("a"))
+      .as[(String, Long, Long, Long)].collect().head
+    // naive reference: max over pooled values of |F_A - F_B| in exact integers
+    val as = rows.filter(_._3).map(_._2)
+    val bs = rows.filterNot(_._3).map(_._2)
+    val naive = rows.map(_._2).distinct.map { v =>
+      math.abs(as.count(_ <= v).toLong * bs.size - bs.count(_ <= v).toLong * as.size)
+    }.max * 1000000L / (as.size.toLong * bs.size)
+    got shouldBe (("g", as.size.toLong, bs.size.toLong, naive))
+  }
+
+  test("mannWhitney: hand-computed doubled-midrank U with ties") {
+    // A = [1,2,2], B = [2,3]: U_A = 1.0 (two half-ties), u2 = 2
+    val df = Seq(("g", 1L, true), ("g", 2L, true), ("g", 2L, true),
+      ("g", 2L, false), ("g", 3L, false)).toDF("g", "v", "a")
+    Drift.mannWhitney(df, Seq("g"), "v", col("a"))
+      .as[(String, Long, Long, Long, Long)].collect().head shouldBe
+      (("g", 3L, 2L, 2L, 166666L))
+    // identical samples: AUC exactly 1/2
+    val same = Seq(("g", 1L, true), ("g", 3L, true), ("g", 1L, false), ("g", 3L, false))
+      .toDF("g", "v", "a")
+    Drift.mannWhitney(same, Seq("g"), "v", col("a"))
+      .as[(String, Long, Long, Long, Long)].collect().head._5 shouldBe 500000L
+  }
+
+  test("mannWhitney matches the naive all-pairs count on random data") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(300)(("g", rnd.nextInt(12).toLong, rnd.nextBoolean()))
+    val got = Drift.mannWhitney(rows.toDF("g", "v", "a").repartition(5),
+      Seq("g"), "v", col("a"))
+      .as[(String, Long, Long, Long, Long)].collect().head
+    val as = rows.filter(_._3).map(_._2)
+    val bs = rows.filterNot(_._3).map(_._2)
+    val u2 = as.map(a => 2L * bs.count(a > _) + bs.count(a == _)).sum
+    got._4 shouldBe u2
+    got._5 shouldBe u2 * 1000000L / (2L * as.size * bs.size)
+  }
+
+  test("chiSquareKx2: zero under homogeneity, hand-computed shift, merge parity") {
+    // identical mixes -> every cross-product cancels
+    val same = (Seq.fill(10)(("g", "x", true)) ++ Seq.fill(20)(("g", "y", true)) ++
+      Seq.fill(10)(("g", "x", false)) ++ Seq.fill(20)(("g", "y", false)))
+      .toDF("g", "c", "a")
+    Drift.chiSquareKx2(same, Seq("g"), "c", col("a"))
+      .as[(String, Long, Long, Long, Long)].collect().head shouldBe
+      (("g", 30L, 30L, 2L, 0L))
+    // x: a=3,b=1; y: a=1,b=3 -> chi2 = 2.0 exactly
+    val shifted = (Seq.fill(3)(("g", "x", true)) ++ Seq(("g", "y", true)) ++
+      Seq(("g", "x", false)) ++ Seq.fill(3)(("g", "y", false))).toDF("g", "c", "a")
+    Drift.chiSquareKx2(shifted, Seq("g"), "c", col("a"))
+      .as[(String, Long, Long, Long, Long)].collect().head shouldBe
+      (("g", 4L, 4L, 2L, 2000000L))
+    // mergeable: per-slice cells ADD, then finish == whole-data statistic
+    val slice1 = shifted.where(col("c") === "x")
+    val slice2 = shifted.where(col("c") =!= "x")
+    val cells = Drift.kx2Cells(slice1, Seq("g"), "c", col("a"))
+      .unionByName(Drift.kx2Cells(slice2, Seq("g"), "c", col("a")))
+    Drift.chi2FromKx2Cells(cells, Seq("g"), "c").collect().map(_.toSeq).toSet shouldBe
+      Drift.chiSquareKx2(shifted, Seq("g"), "c", col("a")).collect().map(_.toSeq).toSet
+  }
+
+  test("chiSquareKx2: empty side nulls, within-k-micro of the double reference") {
+    val oneSided = Seq(("g", "x", true), ("g", "y", true)).toDF("g", "c", "a")
+    val r = Drift.chiSquareKx2(oneSided, Seq("g"), "c", col("a")).collect().head
+    r.isNullAt(4) shouldBe true
+
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(500)(("g", "c" + rnd.nextInt(6), rnd.nextInt(3) > 0))
+    val got = Drift.chiSquareKx2(rows.toDF("g", "c", "a").repartition(9),
+      Seq("g"), "c", col("a"))
+      .as[(String, Long, Long, Long, Long)].collect().head
+    val cats = rows.map(_._2).distinct
+    val na = rows.count(_._3).toDouble
+    val nb = rows.size - na
+    val ref = cats.map { c =>
+      val a = rows.count(r => r._2 == c && r._3).toDouble
+      val b = rows.count(r => r._2 == c && !r._3).toDouble
+      val d = a * nb - b * na
+      d * d / (na * nb * (a + b))
+    }.sum
+    got._4 shouldBe cats.size.toLong
+    // staged truncation: each category floors within 1e3/t + 1 micro
+    math.abs(got._5 - math.round(ref * 1e6)) should be <= (cats.size * 1001L)
+  }
+
+  test("ksTest and chiSquareKx2 are partitioning-independent") {
+    val rnd = new scala.util.Random(3)
+    val rows = Seq.fill(200)((("g" + rnd.nextInt(3)), rnd.nextInt(9).toLong, rnd.nextBoolean()))
+    val df = rows.toDF("g", "v", "a")
+    Drift.ksTest(df.coalesce(1), Seq("g"), "v", col("a")).collect().map(_.toSeq).toSet shouldBe
+      Drift.ksTest(df.repartition(13), Seq("g"), "v", col("a")).collect().map(_.toSeq).toSet
+    val cdf = rows.map(r => (r._1, "c" + r._2, r._3)).toDF("g", "c", "a")
+    Drift.chiSquareKx2(cdf.coalesce(1), Seq("g"), "c", col("a"))
+      .collect().map(_.toSeq).toSet shouldBe
+      Drift.chiSquareKx2(cdf.repartition(13), Seq("g"), "c", col("a"))
+        .collect().map(_.toSeq).toSet
+  }
 }

@@ -268,4 +268,41 @@ class SketchesSpec extends SparkTestBase {
       Sketches.reRollupCms(sk.union(bad), Seq.empty, 32, 2).collect()
     }
   }
+
+  test("weightedPercentiles: hand-computed mass cuts under the ceil nearest-rank law") {
+    // weights 1,2,3,4 over values 1..4 (total 10): cum = 1,3,6,10
+    val df = Seq(("g", 1L, 1L), ("g", 2L, 2L), ("g", 3L, 3L), ("g", 4L, 4L))
+      .toDF("g", "v", "w")
+    val out = Sketches.weightedPercentiles(df, "g", "v", "w", Seq(1, 10, 50, 90, 100))
+      .as[(String, Long, Long)].collect().map(r => r._2 -> r._3).toMap
+    out shouldBe Map(1L -> 1L, 10L -> 1L, 50L -> 3L, 90L -> 4L, 100L -> 4L)
+  }
+
+  test("weightedPercentiles with unit weights equals exactPercentiles") {
+    val rnd = new scala.util.Random(23)
+    val rows = Seq.fill(500)(("g" + rnd.nextInt(3), rnd.nextInt(40).toLong))
+    val df = rows.toDF("g", "v")
+    val exact = Sketches.exactPercentiles(df, "g", "v", Seq(25, 50, 99))
+      .collect().map(_.toSeq).toSet
+    val weighted = Sketches.weightedPercentiles(
+      df.withColumn("w", org.apache.spark.sql.functions.lit(1L)),
+      "g", "v", "w", Seq(25, 50, 99)).collect().map(_.toSeq).toSet
+    weighted shouldBe exact
+  }
+
+  test("weightedPercentiles drops null/non-positive weights; partitioning-independent") {
+    val df = Seq(("g", Some(1L), Some(0L)), ("g", Some(2L), Some(5L)),
+      ("g", Some(9L), Option.empty[Long]), ("g", Option.empty[Long], Some(3L)),
+      ("g", Some(7L), Some(-2L))).toDF("g", "v", "w")
+    // only (2, w=5) survives the hygiene filters
+    Sketches.weightedPercentiles(df, "g", "v", "w", Seq(50, 100))
+      .as[(String, Long, Long)].collect().map(_._3).toSet shouldBe Set(2L)
+    val rnd = new scala.util.Random(31)
+    val big = Seq.fill(300)(("g" + rnd.nextInt(2), rnd.nextInt(25).toLong,
+      rnd.nextInt(9).toLong + 1)).toDF("g", "v", "w")
+    Sketches.weightedPercentiles(big.coalesce(1), "g", "v", "w", Seq(50, 90))
+      .collect().map(_.toSeq).toSet shouldBe
+      Sketches.weightedPercentiles(big.repartition(11), "g", "v", "w", Seq(50, 90))
+        .collect().map(_.toSeq).toSet
+  }
 }
