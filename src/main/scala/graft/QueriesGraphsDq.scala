@@ -1,0 +1,749 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.etl.Stage
+import graft.io.{HdfsUrl, Warehouse, WarehouseTable}
+import graft.ops.{Bpe, Dedup, Joins, Multimodal, Similarity, TextAnalysis, Web}
+import graft.time.Day
+
+/**
+ * Data-quality screens, anomaly/skew/transition/cohort profiles, the
+ * host-graph six-pack, A/B + OLS exact statistics.
+ *
+ * One battery family of [[Queries]] — split out for maintainability; the
+ * query set and every definition are unchanged.
+ */
+private[graft] trait QueriesGraphsDq extends QueryHelpers { this: QueryBattery =>
+  /**
+   * `dq_checks`: a [[graft.ops.DataQuality.check]] constraint suite over
+   * orders — null gates, a price range, an accepted-status set, a priority
+   * shape regex, key/attribute uniqueness and referential integrity
+   * against customer. All row-level gates fold into ONE aggregate over a
+   * single scan; the two uniqueness gates are count-per-key shuffles; the
+   * FK is a broadcast anti-join. Mixed pass/fail by construction (P-status
+   * rows and >400k prices exist; o_custkey is deliberately non-unique).
+   */
+  def dqChecks(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import graft.ops.DataQuality._
+    check(t(dir, "orders"), Seq(
+      NotNull("o_custkey"),
+      NotNull("o_orderdate"),
+      inRange("o_totalprice", 0, 400000),
+      Accepted("o_orderstatus", Seq("F", "O")),
+      Satisfies("priority_shape", col("o_orderpriority").rlike("^[1-5]-")),
+      Unique(Seq("o_orderkey")),
+      Unique(Seq("o_custkey")),
+      ForeignKey("o_custkey", t(dir, "customer"), "c_custkey")))
+  }
+
+  val dqChecksSql: String =
+    """WITH v AS (
+         SELECT 'not_null(o_custkey)' AS constraint,
+                count(*) FILTER (WHERE o_custkey IS NULL) AS violations FROM orders
+         UNION ALL
+         SELECT 'not_null(o_orderdate)',
+                count(*) FILTER (WHERE o_orderdate IS NULL) FROM orders
+         UNION ALL
+         SELECT 'in_range(o_totalprice)',
+                count(*) FILTER (WHERE o_totalprice IS NULL
+                  OR NOT (o_totalprice BETWEEN 0 AND 400000)) FROM orders
+         UNION ALL
+         SELECT 'accepted(o_orderstatus)',
+                count(*) FILTER (WHERE o_orderstatus IS NULL
+                  OR o_orderstatus NOT IN ('F', 'O')) FROM orders
+         UNION ALL
+         SELECT 'priority_shape',
+                count(*) FILTER (WHERE o_orderpriority IS NULL
+                  OR NOT regexp_matches(o_orderpriority, '^[1-5]-')) FROM orders
+         UNION ALL
+         SELECT 'unique(o_orderkey)', coalesce(sum(n - 1), 0) FROM (
+           SELECT count(*) AS n FROM orders GROUP BY o_orderkey) g WHERE n > 1
+         UNION ALL
+         SELECT 'unique(o_custkey)', coalesce(sum(n - 1), 0) FROM (
+           SELECT count(*) AS n FROM orders GROUP BY o_custkey) g WHERE n > 1
+         UNION ALL
+         SELECT 'foreign_key(o_custkey)', count(*) FROM orders o
+         WHERE o.o_custkey IS NOT NULL AND NOT EXISTS (
+           SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+       SELECT "constraint", cast(violations AS bigint) AS violations,
+              CASE WHEN violations = 0 THEN 'pass' ELSE 'fail' END AS status
+       FROM v"""
+
+  /**
+   * `dq_profile`: [[graft.ops.DataQuality.profile]] over four event
+   * columns — rows / non-null / EXACT distinct / completeness ppm per
+   * column, computed in one aggregate (Catalyst expands the multi-distinct
+   * into one Expand + two-phase agg with map-side dedup).
+   */
+  def dqProfile(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    graft.ops.DataQuality.profile(
+      events(dir), Seq("user_id", "event_type", "value", "props"))
+  }
+
+  val dqProfileSql: String = {
+    def one(c: String) =
+      s"""SELECT '$c' AS column, count(*) AS rows, count($c) AS non_null,
+            count(DISTINCT $c) AS n_distinct,
+            count($c) * 1000000 // count(*) AS completeness_ppm
+          FROM events"""
+    Seq("user_id", "event_type", "value", "props").map(one)
+      .mkString("\nUNION ALL\n")
+  }
+
+  /**
+   * Daily ingest volume anomalies: a `(event_type, day)` bucket is flagged
+   * when its count exceeds 115% of its trailing 7-observed-day average —
+   * exact integer cross-multiply, no float division
+   * ([[graft.ops.Drift.volumeAnomalies]]).
+   */
+  def ingestAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    graft.ops.Drift.volumeAnomalies(
+      events(dir), "event_type", date_format(col("ts"), "yyyy-MM-dd"),
+      trailing = 7, factorPct = 115, minPrevDays = 3)
+  }
+
+  val ingestAnomaliesSql: String =
+    """WITH daily AS (
+         SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n
+         FROM events GROUP BY 1, 2),
+       w AS (
+         SELECT event_type, day, n,
+                CAST(coalesce(sum(n) OVER (PARTITION BY event_type ORDER BY day
+                  ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev_n,
+                count(n) OVER (PARTITION BY event_type ORDER BY day
+                  ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS prev_days
+         FROM daily)
+       SELECT event_type, day, n, prev_n, prev_days
+       FROM w WHERE prev_days >= 3 AND n * prev_days * 100 > prev_n * 115"""
+
+  /**
+   * Key-skew profile of the event stream's user key: top 10 hottest users
+   * by exact count with integer-ppm share ([[graft.ops.Skew.skewProfile]]) —
+   * the measurement that sizes a salting factor before a user-keyed shuffle.
+   */
+  def keySkewProfile(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    graft.ops.Skew.skewProfile(events(dir), "user_id", k = 10)
+  }
+
+  val keySkewProfileSql: String =
+    """WITH counts AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+       tot AS (SELECT sum(n) AS t FROM counts)
+       SELECT user_id, n,
+              cast(cast(n AS hugeint) * 1000000 // t AS bigint) AS share_ppm
+       FROM counts, tot
+       ORDER BY n DESC, user_id LIMIT 10"""
+
+  /**
+   * First-order event-type transition matrix over per-user sequences
+   * ([[graft.ops.Funnels.transitionCounts]]): exact pair counts + integer
+   * ppm share, (ts, event_id) total order so engines pair identically.
+   */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    graft.ops.Funnels.transitionCounts(events(dir), "user_id", "ts", "event_type", "event_id")
+  }
+
+  val eventTransitionsSql: String =
+    """WITH seq AS (
+         SELECT event_type AS from_type,
+                lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+         FROM events),
+       pairs AS (
+         SELECT from_type, to_type, count(*) AS n FROM seq
+         WHERE to_type IS NOT NULL GROUP BY 1, 2),
+       tot AS (SELECT sum(n) AS t FROM pairs)
+       SELECT from_type, to_type, n,
+              cast(cast(n AS hugeint) * 1000000 // t AS bigint) AS share_ppm
+       FROM pairs, tot"""
+
+  /**
+   * Weekly retention cohorts over the event stream
+   * ([[graft.ops.Funnels.retentionCohorts]]): users keyed to their first
+   * ISO week, counted once per week they return.
+   */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    graft.ops.Funnels.retentionCohorts(events(dir), "user_id",
+      date_format(date_trunc("week", col("ts")), "yyyy-MM-dd"))
+  }
+
+  val retentionCohortsSql: String =
+    """WITH bucketed AS (
+         SELECT DISTINCT user_id, strftime(date_trunc('week', ts), '%Y-%m-%d') AS bucket
+         FROM events),
+       cohorts AS (SELECT user_id, min(bucket) AS cohort FROM bucketed GROUP BY user_id)
+       SELECT cohort, bucket, count(*) AS n_users
+       FROM bucketed JOIN cohorts USING (user_id)
+       GROUP BY 1, 2"""
+
+  /**
+   * Deterministic synthetic HTML page per document for the link-graph
+   * queries (the word-soup corpus has no HTML): three outlinks to hosts
+   * `h<(7*doc_id + 13*i) % 250>.example` plus two anchors the extractor
+   * must SKIP by design — one whose text contains nested markup
+   * (`read <b>more</b>`, excluded by the `[^<]*` text class) and one with
+   * a single-quoted href. Shared by `extract_links` and `host_pagerank`;
+   * the oracles rebuild the identical page in DuckDB.
+   */
+  private[graft] def linkPageHtml: Column = {
+    val id = col("doc_id")
+    def host(i: Int): Column =
+      concat(lit("h"), ((id * 7 + lit(i * 13)) % 250).cast("string"), lit(".example"))
+    concat(
+      lit("<html><body><div class=\"nav\"><a href=\"https://"), host(0),
+      lit("/p/"), id.cast("string"), lit("?x=1\">home</a></div><p>"),
+      substring(col("text"), 1, 40),
+      lit(" <a id=\"l1\" href=\"https://"), host(1),
+      lit("/q\">read <b>more</b></a></p>"),
+      lit("<a href='https://skip.example/s'>skipme</a>"),
+      lit("<a href=\"https://"), host(2), lit("/r\">next page</a></body></html>"))
+  }
+
+  private[graft] val sqlLinkPages: String =
+    """pages AS (
+         SELECT doc_id,
+           '<html><body><div class="nav"><a href="https://h' || ((doc_id * 7) % 250) ||
+           '.example/p/' || doc_id || '?x=1">home</a></div><p>' ||
+           substring(text, 1, 40) ||
+           ' <a id="l1" href="https://h' || ((doc_id * 7 + 13) % 250) ||
+           '.example/q">read <b>more</b></a></p>' ||
+           '<a href=''https://skip.example/s''>skipme</a>' ||
+           '<a href="https://h' || ((doc_id * 7 + 26) % 250) ||
+           '.example/r">next page</a></body></html>' AS html
+         FROM documents)"""
+
+  private[graft] val sqlAnchorPat = """(?i)<a\s[^>]*href="([^"]+)"[^>]*>([^<]*)</a>"""
+
+  /**
+   * `extract_links`: [[Web.extractLinks]] over the synthetic pages — one
+   * row per anchor element with aligned href/anchor text. The two
+   * skip-by-design anchors (nested markup, single-quoted href) must NOT
+   * appear, so positions are 0 (nav "home") and 1 ("next page") on every
+   * page; the oracle replays the identical RE2 pattern and a positional
+   * unnest zip in DuckDB.
+   */
+  def extractLinksQ(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val pages = t(dir, "documents").select(col("doc_id"), linkPageHtml.as("html"))
+    Web.extractLinks(pages, "doc_id", "html")
+  }
+
+  val extractLinksSql: String =
+    s"""WITH $sqlLinkPages,
+       ex AS (
+         SELECT doc_id,
+           regexp_extract_all(html, '$sqlAnchorPat', 1) AS hrefs,
+           regexp_extract_all(html, '$sqlAnchorPat', 2) AS anchors
+         FROM pages)
+       SELECT doc_id, CAST(unnest(range(1, len(hrefs) + 1)) - 1 AS BIGINT) AS link_pos,
+              unnest(hrefs) AS href, unnest(anchors) AS anchor
+       FROM ex"""
+
+  /**
+   * `host_pagerank`: the full link-graph chain — synthetic pages →
+   * [[Web.extractLinks]] → [[Web.urlHost]] → distinct host edges (page's
+   * own host `h<doc_id % 250>.example` → each outlink host) →
+   * [[graft.ops.Graphs.pageRank]], 5 exact fixed-point iterations at
+   * damping 85. The oracle rebuilds the pages, replays the extraction and
+   * host parse, and unrolls the 5 iterations as CTEs in the identical
+   * integer arithmetic (`//` truncation = Spark `DIV`), so every rank
+   * digit hash-matches.
+   */
+  /** The synthetic host edge frame shared by the link-graph queries. */
+  private[graft] def linkHostEdges(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val pages = t(dir, "documents").select(col("doc_id"), linkPageHtml.as("html"))
+    val links = Web.extractLinks(pages, "doc_id", "html")
+    links.select(
+      concat(lit("h"), (col("doc_id") % 250).cast("string"), lit(".example")).as("src"),
+      Web.urlHost(col("href")).as("dst"))
+  }
+
+  /** DuckDB twin of [[linkHostEdges]]: CTE chain ending in `edges(src, dst)`. */
+  private[graft] val sqlHostEdgesCtes: String =
+    s"""$sqlLinkPages,
+       ex AS (SELECT doc_id, regexp_extract_all(html, '$sqlAnchorPat', 1) AS hrefs FROM pages),
+       links AS (SELECT doc_id, unnest(hrefs) AS href FROM ex),
+       rawe AS (
+         SELECT 'h' || (doc_id % 250) || '.example' AS src,
+           lower(regexp_replace(regexp_extract(regexp_replace(href, '#.*', '', 'g'),
+             '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), ':[0-9]+$$', '', 'g')) AS dst
+         FROM links),
+       edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM rawe
+                 WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst)"""
+
+  def hostPagerank(spark: SparkSession, dir: String): DataFrame = {
+    graft.ops.Graphs.pageRank(linkHostEdges(spark, dir), iterations = 5)
+      .select(col("id").as("host"), col("rank").as("rank_fp"))
+  }
+
+  val hostPagerankSql: String = {
+    val n = "(SELECT count(*) FROM nodes)"
+    val teleport = s"(((100 - 85) * (1000000000000 // $n)) // 100)"
+    val rounds = (1 to 5).map { k =>
+      s"""r$k AS (
+           SELECT nd.id,
+             CAST($teleport + (85 * coalesce(c.inbound, 0)) // 100 AS BIGINT) AS rank
+           FROM nodes nd LEFT JOIN (
+             SELECT e.dst AS id, CAST(sum(s.rank // d.deg) AS BIGINT) AS inbound
+             FROM edges e JOIN r${k - 1} s ON e.src = s.id JOIN deg d ON e.src = d.id
+             GROUP BY e.dst) c ON nd.id = c.id)"""
+    }.mkString(",\n       ")
+    s"""WITH $sqlHostEdgesCtes,
+       nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+       deg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY src),
+       r0 AS (SELECT id, CAST(1000000000000 // $n AS BIGINT) AS rank FROM nodes),
+       $rounds
+       SELECT id AS host, rank AS rank_fp FROM r5"""
+  }
+
+  /**
+   * `host_triangles`: exact triangle counts + local clustering coefficient
+   * over the undirected host graph ([[graft.ops.Graphs.triangleCounts]] —
+   * degree-ordered O(m^1.5) counting, every node's wedge fan-out bounded
+   * by sqrt(m) regardless of hub skew). The oracle is the NAIVE
+   * definition — three-way canonical edge self-join `(a<b<c)` + corner
+   * unnest — so the hash match proves the orientation trick is lossless,
+   * not just self-consistent.
+   */
+  def hostTriangles(spark: SparkSession, dir: String): DataFrame = {
+    graft.ops.Graphs.triangleCounts(linkHostEdges(spark, dir))
+      .select(col("id").as("host"), col("degree"), col("triangles"), col("lcc_ppm"))
+  }
+
+  val hostTrianglesSql: String =
+    s"""WITH $sqlHostEdgesCtes,
+       und AS (SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi FROM edges),
+       deg AS (SELECT id, count(*) AS degree
+               FROM (SELECT lo AS id FROM und UNION ALL SELECT hi FROM und) GROUP BY id),
+       tri AS (SELECT ab.lo AS a, ab.hi AS b, bc.hi AS c
+               FROM und ab JOIN und bc ON ab.hi = bc.lo
+               JOIN und ac ON ac.lo = ab.lo AND ac.hi = bc.hi),
+       pern AS (SELECT id, count(*) AS triangles
+                FROM (SELECT unnest([a, b, c]) AS id FROM tri) GROUP BY id)
+       SELECT d.id AS host, d.degree,
+              CAST(coalesce(p.triangles, 0) AS BIGINT) AS triangles,
+              CAST(CASE WHEN d.degree < 2 THEN 0
+                   ELSE 2 * coalesce(p.triangles, 0) * 1000000
+                        // (d.degree * (d.degree - 1)) END AS BIGINT) AS lcc_ppm
+       FROM deg d LEFT JOIN pern p ON d.id = p.id"""
+
+  /**
+   * `benford_profile`: first-significant-digit distribution of order
+   * totals in exact cents ([[graft.ops.DataQuality.benfordProfile]]) —
+   * the Benford fabrication screen as a DQ pass. Digits come from the
+   * canonical integer rendering (never float formatting), shares in
+   * exact ppm against the POSITIVE-row total only (the '-' junk bucket
+   * keeps its count but a NULL share, so digit shares compare directly
+   * against the Benford expectation table).
+   */
+  def benfordPrices(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    graft.ops.DataQuality.benfordProfile(
+      t(dir, "orders").select(cents(col("o_totalprice")).as("v")), "v")
+  }
+
+  val benfordPricesSql: String =
+    s"""WITH d AS (
+         SELECT CASE WHEN c IS NOT NULL AND c > 0
+                THEN substring(CAST(c AS VARCHAR), 1, 1) ELSE '-' END AS digit
+         FROM (SELECT ${sqlCents("o_totalprice")} AS c FROM orders)),
+       g AS (SELECT digit, count(*) AS n FROM d GROUP BY digit)
+       SELECT digit, n,
+              CAST(CASE WHEN digit = '-' THEN NULL
+                   ELSE n * 1000000 // (SELECT sum(n) FROM g WHERE digit <> '-')
+                   END AS BIGINT) AS share_ppm
+       FROM g"""
+
+  /**
+   * `cumulative_users`: exact cumulative distinct users per day — the
+   * audience-growth curve. "Distinct so far" is normally the scale
+   * killer (state ∝ id universe per cut-off); first-touch decomposition
+   * makes it exact AND distributed: a user counts on exactly the day of
+   * their first event, so cumulative distinct = running total of daily
+   * first-touches — one user-keyed min agg, one day-sized count, and the
+   * no-one-reducer running sum ([[graft.ops.Intervals.withRunningTotal]]).
+   * The oracle is the plain one-window definition.
+   */
+  def cumulativeUsers(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val firstDay = events(dir)
+      .groupBy(col("user_id"))
+      .agg(min(date_format(col("ts"), "yyyy-MM-dd")).as("day"))
+    val perDay = firstDay.groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+    graft.ops.Intervals.withRunningTotal(perDay, "cum_users", "new_users", col("day"))
+  }
+
+  val cumulativeUsersSql: String =
+    """WITH fd AS (SELECT user_id, min(strftime(ts, '%Y-%m-%d')) AS day FROM events GROUP BY user_id),
+       pd AS (SELECT day, count(*) AS new_users FROM fd GROUP BY day)
+       SELECT day, new_users,
+              cast(sum(new_users) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS cum_users
+       FROM pd"""
+
+  /**
+   * `ab_test`: per-event-type 2x2 experiment readout
+   * ([[graft.ops.Stats.chiSquare2x2]]) — exposure = even user id (the
+   * deterministic stand-in for a variant assignment), outcome =
+   * value > 50. One conditional-count aggregation + exact staged-integer
+   * chi-squared and lift arithmetic; the oracle replays the cells and
+   * every truncated division in HUGEINT.
+   */
+  def abTest(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val ev = events(dir)
+      .withColumn("exposure", col("user_id") % 2 === 0)
+      .withColumn("outcome", col("value") > 50)
+    graft.ops.Stats.chiSquare2x2(ev, Seq("event_type"), "exposure", "outcome")
+  }
+
+  val abTestSql: String =
+    """WITH cells AS (
+         SELECT event_type,
+           CAST(sum(CASE WHEN user_id % 2 = 0 AND value > 50 THEN 1 ELSE 0 END) AS HUGEINT) AS a,
+           CAST(sum(CASE WHEN user_id % 2 = 0 AND NOT (value > 50) THEN 1 ELSE 0 END) AS HUGEINT) AS b,
+           CAST(sum(CASE WHEN NOT (user_id % 2 = 0) AND value > 50 THEN 1 ELSE 0 END) AS HUGEINT) AS c,
+           CAST(sum(CASE WHEN NOT (user_id % 2 = 0) AND NOT (value > 50) THEN 1 ELSE 0 END) AS HUGEINT) AS d
+         FROM events GROUP BY event_type)
+       SELECT event_type,
+         CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+         CAST(c AS BIGINT) AS c, CAST(d AS BIGINT) AS d,
+         CAST(CASE WHEN a + b = 0 OR c + d = 0 THEN NULL
+              ELSE a * 1000000 // (a + b) - c * 1000000 // (c + d)
+              END AS BIGINT) AS lift_ppm,
+         CAST(CASE WHEN a + b = 0 OR c + d = 0 OR a + c = 0 OR b + d = 0 THEN NULL
+              ELSE ((a * d - b * c) * (a * d - b * c) * 1000 // ((a + b) * (c + d)))
+                   * (a + b + c + d) * 1000 // ((a + c) * (b + d))
+              END AS BIGINT) AS chi2_micro
+       FROM cells"""
+
+  /**
+   * `host_kcore`: fixed-round 4-core peeling of the host graph
+   * ([[graft.ops.Graphs.kCore]], 4 rounds) — at sf0.01 the cascade is
+   * caught MID-PEEL (~82 of 250 hosts survive round 4; round 6 would
+   * empty it), so the oracle exercises both the alive-set filters and
+   * the bounded-round law, not a fixed point; every peel round unrolls
+   * as CTEs so the surviving set and every in-core degree replay
+   * exactly.
+   */
+  def hostKcore(spark: SparkSession, dir: String): DataFrame = {
+    graft.ops.Graphs.kCore(linkHostEdges(spark, dir), k = 4, rounds = 4)
+      .select(col("id").as("host"), col("degree"))
+  }
+
+  val hostKcoreSql: String = {
+    val rounds = (2 to 4).map { r =>
+      s"""e$r AS (SELECT lo, hi FROM und
+            WHERE lo IN (SELECT id FROM a${r - 1}) AND hi IN (SELECT id FROM a${r - 1})),
+         d$r AS (SELECT id, count(*) AS degree
+                 FROM (SELECT lo AS id FROM e$r UNION ALL SELECT hi FROM e$r) GROUP BY id),
+         a$r AS (SELECT id FROM d$r WHERE degree >= 4)"""
+    }.mkString(",\n       ")
+    s"""WITH $sqlHostEdgesCtes,
+       und AS (SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi FROM edges),
+       d1 AS (SELECT id, count(*) AS degree
+              FROM (SELECT lo AS id FROM und UNION ALL SELECT hi FROM und) GROUP BY id),
+       a1 AS (SELECT id FROM d1 WHERE degree >= 4),
+       $rounds,
+       ef AS (SELECT lo, hi FROM und
+              WHERE lo IN (SELECT id FROM a4) AND hi IN (SELECT id FROM a4)),
+       df AS (SELECT id, count(*) AS degree
+              FROM (SELECT lo AS id FROM ef UNION ALL SELECT hi FROM ef) GROUP BY id)
+       SELECT id AS host, degree FROM df WHERE id IN (SELECT id FROM a4)"""
+  }
+
+  /**
+   * `host_reach`: exact BFS hop distances within 4 hops of the seed host
+   * `h0.example` over the directed host graph
+   * ([[graft.ops.Graphs.bfsDistances]]) — reach analysis; the oracle
+   * unrolls the four frontier-min rounds.
+   */
+  def hostReach(spark: SparkSession, dir: String): DataFrame = {
+    graft.ops.Graphs.bfsDistances(linkHostEdges(spark, dir), Seq("h0.example"), maxDepth = 4)
+      .select(col("id").as("host"), col("dist"))
+  }
+
+  val hostReachSql: String = {
+    val rounds = (1 to 4).map { r =>
+      s"""r$r AS (
+           SELECT id, min(dist) AS dist FROM (
+             SELECT id, dist FROM r${r - 1}
+             UNION ALL
+             SELECT e.dst AS id, rr.dist + 1 AS dist
+             FROM edges e JOIN r${r - 1} rr ON e.src = rr.id) GROUP BY id)"""
+    }.mkString(",\n       ")
+    s"""WITH $sqlHostEdgesCtes,
+       r0 AS (SELECT 'h0.example' AS id, 0 AS dist),
+       $rounds
+       SELECT id AS host, CAST(dist AS BIGINT) AS dist FROM r4"""
+  }
+
+  /**
+   * `host_communities`: synchronous label-propagation communities over
+   * the host graph ([[graft.ops.Graphs.labelPropagation]], 4 fixed
+   * rounds, smallest-label ties) — the oracle unrolls all four rounds as
+   * CTEs with the identical `(cnt DESC, label)` argmax, so every final
+   * label is replayed exactly, the same unrolled-fixed-point pattern as
+   * `host_pagerank`/`host_hits`.
+   */
+  def hostCommunities(spark: SparkSession, dir: String): DataFrame = {
+    graft.ops.Graphs.labelPropagation(linkHostEdges(spark, dir), iterations = 4)
+      .select(col("id").as("host"), col("community"))
+  }
+
+  val hostCommunitiesSql: String = {
+    val rounds = (1 to 4).map { k =>
+      s"""c$k AS (
+           SELECT e.u AS id, r.lbl AS lbl, count(*) AS cnt
+           FROM bidir e JOIN r${k - 1} r ON e.v = r.id GROUP BY 1, 2),
+         r$k AS (
+           SELECT id, lbl FROM (
+             SELECT id, lbl,
+                    row_number() OVER (PARTITION BY id ORDER BY cnt DESC, lbl) AS rn
+             FROM c$k) WHERE rn = 1)"""
+    }.mkString(",\n       ")
+    s"""WITH $sqlHostEdgesCtes,
+       bidir AS (SELECT src AS u, dst AS v FROM edges UNION SELECT dst, src FROM edges),
+       r0 AS (SELECT DISTINCT u AS id, u AS lbl FROM bidir),
+       $rounds
+       SELECT id AS host, lbl AS community FROM r4"""
+  }
+
+  /**
+   * `ols_trend`: per-nation revenue trend — exact-ppm least-squares fit
+   * ([[graft.ops.Stats.olsFit]]) of daily revenue cents against the day
+   * index. ONE sufficient-statistics aggregation (six DECIMAL(38,0) sums,
+   * map-side combined) + closed-form integer arithmetic; r² composes the
+   * two already-truncated slopes so no covariance is ever squared
+   * (mathematically bounded by 1e12, so the product can't overflow). The
+   * oracle replays every sum and every truncated division in HUGEINT —
+   * both engines truncate integer division toward zero, so negative
+   * slopes match digit-for-digit too.
+   */
+  def olsTrend(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val daily = t(dir, "orders")
+      .join(t(dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"),
+        datediff(col("o_orderdate").cast("date"), lit("1992-01-01").cast("date"))
+          .as("day_x"))
+      .agg(sum(cents(col("o_totalprice"))).as("rev_cents"))
+    graft.ops.Stats.olsFit(daily, Seq("n_name"), "day_x", "rev_cents")
+  }
+
+  val olsTrendSql: String =
+    s"""WITH daily AS (
+         SELECT n_name,
+                datediff('day', DATE '1992-01-01', cast(o_orderdate as date)) AS day_x,
+                sum(${sqlCents("o_totalprice")}) AS rev_cents
+         FROM orders JOIN customer ON o_custkey = c_custkey
+                     JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY 1, 2),
+       s AS (
+         SELECT n_name, CAST(count(*) AS HUGEINT) AS n,
+                CAST(sum(CAST(day_x AS HUGEINT)) AS HUGEINT) AS sx,
+                CAST(sum(CAST(rev_cents AS HUGEINT)) AS HUGEINT) AS sy,
+                CAST(sum(CAST(day_x AS HUGEINT) * rev_cents) AS HUGEINT) AS sxy,
+                CAST(sum(CAST(day_x AS HUGEINT) * day_x) AS HUGEINT) AS sxx,
+                CAST(sum(CAST(rev_cents AS HUGEINT) * rev_cents) AS HUGEINT) AS syy
+         FROM daily GROUP BY n_name),
+       d AS (
+         SELECT n_name, n, sx, sy,
+                n * sxx - sx * sx AS dxx,
+                n * sxy - sx * sy AS dxy,
+                n * syy - sy * sy AS dyy
+         FROM s)
+       SELECT n_name, CAST(n AS BIGINT) AS n,
+         CAST(CASE WHEN dxx = 0 THEN NULL
+              ELSE dxy * 1000000 // dxx END AS BIGINT) AS slope_ppm,
+         CAST(CASE WHEN dxx = 0 THEN NULL
+              ELSE (sy * 1000000 - (dxy * 1000000 // dxx) * sx) // n
+              END AS BIGINT) AS intercept_ppm,
+         CAST(CASE WHEN dxx = 0 OR dyy = 0 THEN NULL
+              ELSE (dxy * 1000000 // dxx) * (dxy * 1000000000 // dyy) // 1000000000
+              END AS BIGINT) AS r2_ppm
+       FROM d"""
+
+  /**
+   * `host_hits`: [[graft.ops.Graphs.hits]] over the same host edges — 5
+   * exact fixed-point iterations, each round's authority and hub vectors
+   * max-normalized to 1e6 via a scalar-max join. The oracle unrolls all
+   * ten agg/normalize steps as CTEs with scalar subqueries in identical
+   * integer arithmetic.
+   */
+  def hostHits(spark: SparkSession, dir: String): DataFrame = {
+    graft.ops.Graphs.hits(linkHostEdges(spark, dir), iterations = 5)
+      .select(col("id").as("host"), col("hub"), col("authority"))
+  }
+
+  val hostHitsSql: String = {
+    // AS MATERIALIZED throughout: every frame here is referenced more than
+    // once (the scalar max + the next step), and an INLINED 10-step unroll
+    // re-evaluates the whole chain per reference — exponential in rounds
+    def norm(from: String, to: String): String =
+      s"""$to AS MATERIALIZED (SELECT id, CAST(CAST(v AS HUGEINT) * 1000000 //
+            greatest((SELECT max(v) FROM $from), 1) AS BIGINT) AS v FROM $from)"""
+    val rounds = (1 to 5).map { r =>
+      s"""a${r}f AS MATERIALIZED (
+           SELECT n.id, coalesce(x.v, 0) AS v FROM nodes n LEFT JOIN (
+             SELECT e.dst AS id, CAST(sum(h.v) AS BIGINT) AS v
+             FROM edges e JOIN h${r - 1} h ON e.src = h.id GROUP BY e.dst) x
+           ON n.id = x.id),
+         ${norm(s"a${r}f", s"a$r")},
+         h${r}f AS MATERIALIZED (
+           SELECT n.id, coalesce(x.v, 0) AS v FROM nodes n LEFT JOIN (
+             SELECT e.src AS id, CAST(sum(a.v) AS BIGINT) AS v
+             FROM edges e JOIN a$r a ON e.dst = a.id GROUP BY e.src) x
+           ON n.id = x.id),
+         ${norm(s"h${r}f", s"h$r")}"""
+    }.mkString(",\n       ")
+    s"""WITH $sqlHostEdgesCtes,
+       nodes AS MATERIALIZED (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+       h0 AS MATERIALIZED (SELECT id, CAST(1000000 AS BIGINT) AS v FROM nodes),
+       $rounds
+       SELECT h5.id AS host, h5.v AS hub, a5.v AS authority
+       FROM h5 JOIN a5 ON h5.id = a5.id"""
+  }
+
+  /**
+   * `host_degrees`: [[graft.ops.Graphs.degreeStats]] — out/in degree and
+   * reciprocated-edge counts per host over the same edge frame.
+   */
+  def hostDegrees(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Graphs.degreeStats(linkHostEdges(spark, dir))
+      .select(col("id").as("host"), col("out_deg"), col("in_deg"), col("reciprocal"))
+
+  val hostDegreesSql: String =
+    s"""WITH $sqlHostEdgesCtes,
+       outd AS (SELECT src AS id, count(*) AS out_deg FROM edges GROUP BY src),
+       ind AS (SELECT dst AS id, count(*) AS in_deg FROM edges GROUP BY dst),
+       recip AS (
+         SELECT e.src AS id, count(*) AS reciprocal
+         FROM edges e JOIN edges r ON e.src = r.dst AND e.dst = r.src
+         GROUP BY e.src),
+       ids AS (SELECT id FROM outd UNION SELECT id FROM ind)
+       SELECT i.id AS host,
+              coalesce(o.out_deg, 0) AS out_deg,
+              coalesce(n.in_deg, 0) AS in_deg,
+              coalesce(r.reciprocal, 0) AS reciprocal
+       FROM ids i LEFT JOIN outd o ON i.id = o.id
+       LEFT JOIN ind n ON i.id = n.id
+       LEFT JOIN recip r ON i.id = r.id"""
+
+  /**
+   * `ks_drift`: exact two-sample Kolmogorov–Smirnov distance per event
+   * type ([[graft.ops.Drift.ksTest]]) between the even- and odd-user
+   * halves of the value distribution (cents) — the deterministic stand-in
+   * for a before/after snapshot split. Cross-multiplied integer D with
+   * ONE truncated division; the oracle replays the pooled-ECDF maximum
+   * digit-for-digit.
+   */
+  def ksDrift(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val ev = events(dir).select(col("event_type"), cents(col("value")).as("cents"),
+      (col("user_id") % 2 === 0).as("in_a"))
+    graft.ops.Drift.ksTest(ev, Seq("event_type"), "cents", col("in_a"))
+  }
+
+  val ksDriftSql: String =
+    """WITH e AS (SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS cents,
+                  user_id % 2 = 0 AS in_a FROM events WHERE value IS NOT NULL),
+       c AS (SELECT event_type, cents,
+               CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS HUGEINT) AS ca,
+               CAST(sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS HUGEINT) AS cb
+             FROM e GROUP BY 1, 2),
+       cum AS (SELECT event_type, cents,
+                sum(ca) OVER (PARTITION BY event_type ORDER BY cents) AS cuma,
+                sum(cb) OVER (PARTITION BY event_type ORDER BY cents) AS cumb,
+                sum(ca) OVER (PARTITION BY event_type) AS na,
+                sum(cb) OVER (PARTITION BY event_type) AS nb
+              FROM c)
+       SELECT event_type, CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+              CAST(CASE WHEN max(na) = 0 OR max(nb) = 0 THEN NULL
+                   ELSE max(abs(cuma * nb - cumb * na)) * 1000000 // (max(na) * max(nb))
+                   END AS BIGINT) AS d_ppm
+       FROM cum GROUP BY 1"""
+
+  /**
+   * `mw_drift`: exact Mann–Whitney U per event type
+   * ([[graft.ops.Drift.mannWhitney]]) on the same even/odd-user value
+   * split — tie-corrected DOUBLED midranks so `u2 = 2*U_A` and the AUC
+   * effect size are pure integer functions of the data; the oracle
+   * replays the midrank sum and both truncated divisions in HUGEINT.
+   */
+  def mwDrift(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val ev = events(dir).select(col("event_type"), cents(col("value")).as("cents"),
+      (col("user_id") % 2 === 0).as("in_a"))
+    graft.ops.Drift.mannWhitney(ev, Seq("event_type"), "cents", col("in_a"))
+  }
+
+  val mwDriftSql: String =
+    """WITH e AS (SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS cents,
+                  user_id % 2 = 0 AS in_a FROM events WHERE value IS NOT NULL),
+       c AS (SELECT event_type, cents,
+               CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS HUGEINT) AS ca,
+               CAST(sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS HUGEINT) AS cb
+             FROM e GROUP BY 1, 2),
+       cum AS (SELECT event_type, cents, ca, cb,
+                sum(ca + cb) OVER (PARTITION BY event_type ORDER BY cents) - ca - cb AS bef,
+                sum(ca) OVER (PARTITION BY event_type) AS na,
+                sum(cb) OVER (PARTITION BY event_type) AS nb
+              FROM c),
+       agg AS (SELECT event_type, max(na) AS na, max(nb) AS nb,
+                 sum(ca * (2 * bef + ca + cb + 1)) AS r2a
+               FROM cum GROUP BY 1)
+       SELECT event_type, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+              CAST(CASE WHEN na = 0 OR nb = 0 THEN NULL
+                   ELSE r2a - na * (na + 1) END AS BIGINT) AS u2,
+              CAST(CASE WHEN na = 0 OR nb = 0 THEN NULL
+                   ELSE (r2a - na * (na + 1)) * 1000000 // (2 * na * nb)
+                   END AS BIGINT) AS auc_ppm
+       FROM agg"""
+
+  /**
+   * `category_drift`: k×2 chi-squared homogeneity of the event-type mix
+   * ([[graft.ops.Drift.chiSquareKx2]]) between the even- and odd-user
+   * cohorts, grouped by `user_id % 3` — "did the behavioral mix shift
+   * between slices?". The staged truncated statistic
+   * `(D² * 1e3 DIV (Na*Nb)) * 1e3 DIV t` replays digit-for-digit in
+   * HUGEINT.
+   */
+  def categoryDrift(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val ev = events(dir).select((col("user_id") % 3).cast("long").as("cohort"),
+      col("event_type"), (col("user_id") % 2 === 0).as("in_a"))
+    graft.ops.Drift.chiSquareKx2(ev, Seq("cohort"), "event_type", col("in_a"))
+  }
+
+  val categoryDriftSql: String =
+    """WITH cells AS (
+         SELECT CAST(user_id % 3 AS BIGINT) AS cohort, event_type,
+           CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS a,
+           CAST(sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS HUGEINT) AS b
+         FROM events GROUP BY 1, 2),
+       tot AS (SELECT cohort, event_type, a, b,
+                 sum(a) OVER (PARTITION BY cohort) AS na,
+                 sum(b) OVER (PARTITION BY cohort) AS nb
+               FROM cells),
+       terms AS (SELECT cohort, na, nb, a + b AS t,
+                   CASE WHEN na = 0 OR nb = 0 THEN NULL WHEN a + b = 0 THEN 0
+                        ELSE ((a * nb - b * na) * (a * nb - b * na) * 1000 // (na * nb))
+                             * 1000 // (a + b) END AS term
+                 FROM tot)
+       SELECT cohort, CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+              CAST(sum(CASE WHEN t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS k,
+              CAST(sum(term) AS BIGINT) AS chi2_micro
+       FROM terms GROUP BY 1"""
+}

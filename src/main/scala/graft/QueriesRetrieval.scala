@@ -1,0 +1,787 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.etl.Stage
+import graft.io.{HdfsUrl, Warehouse, WarehouseTable}
+import graft.ops.{Bpe, Dedup, Joins, Multimodal, Similarity, TextAnalysis, Web}
+import graft.time.Day
+
+/**
+ * String-similarity joins (edit distance, containment, Jaccard), PII,
+ * BM25/RRF retrieval, readability, collocations, exact percentiles,
+ * percolation.
+ *
+ * One battery family of [[Queries]] — split out for maintainability; the
+ * query set and every definition are unchanged.
+ */
+private[graft] trait QueriesRetrieval extends QueryHelpers { this: QueryBattery =>
+  /**
+   * `fuzzy_join`: [[graft.ops.Joins.editDistanceJoin]] — the exact
+   * Levenshtein-threshold self-join over deterministic variant strings
+   * (customer keys grouped in families of 4: a 10-hex-char md5 base, with
+   * variants 1-3 substituting `z` at positions 3/6/9, so intra-family
+   * distances are exactly 1 or 2 and every family yields its 6 pairs at
+   * `maxDist = 2`). The Spark side runs the segment-blocked PassJoin-style
+   * plan; the oracle is the NAIVE all-pairs `levenshtein(a, b) <= 2`
+   * definition in DuckDB — the hash-match IS the blocked-equals-naive
+   * exactness proof.
+   */
+  def fuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val base = substring(md5(concat(lit("fz:"), expr("c_custkey DIV 4").cast("string"))), 1, 10)
+    val str = expr(
+      """CASE WHEN c_custkey % 4 = 0 THEN __base
+         ELSE concat(substring(__base, 1, CAST((c_custkey % 4) * 3 - 1 AS INT)), 'z',
+           substring(__base, CAST((c_custkey % 4) * 3 + 1 AS INT),
+             CAST(10 - (c_custkey % 4) * 3 AS INT))) END""")
+    val strs = t(dir, "customer").withColumn("__base", base)
+      .select(col("c_custkey").as("id"), str.as("str"))
+    graft.ops.Joins.editDistanceJoin(strs, "id", "str", strs, "id", "str", maxDist = 2)
+      .where(col("id_a") < col("id_b"))
+  }
+
+  val fuzzyJoinSql: String =
+    """WITH s AS (
+         SELECT c_custkey AS id,
+           CASE WHEN c_custkey % 4 = 0 THEN base
+                ELSE substring(base, 1, (c_custkey % 4) * 3 - 1) || 'z' ||
+                     substring(base, (c_custkey % 4) * 3 + 1, 10 - (c_custkey % 4) * 3) END AS str
+         FROM (SELECT c_custkey,
+                 substring(md5('fz:' || (c_custkey // 4)), 1, 10) AS base
+               FROM customer))
+       SELECT a.id AS id_a, b.id AS id_b,
+              CAST(levenshtein(a.str, b.str) AS BIGINT) AS dist
+       FROM s a JOIN s b ON a.id < b.id
+       WHERE levenshtein(a.str, b.str) <= 2"""
+
+  /**
+   * `sorted_neighborhood`: the Hernandez-Stolfo sorted-neighborhood
+   * method over the same perturbed-string corpus as `fuzzy_join` —
+   * global sort order (no-one-reducer rank), pair rows within 10
+   * positions, verify with Levenshtein <= 2
+   * ([[graft.ops.Dedup.sortedNeighborhoodPairs]]). Same verifier as
+   * PassJoin but different blocking, so the two queries expose the
+   * recall trade directly; the oracle replays rank, window pairing and
+   * distances.
+   */
+  def sortedNeighborhood(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val base = substring(md5(concat(lit("fz:"), expr("c_custkey DIV 4").cast("string"))), 1, 10)
+    val str = expr(
+      """CASE WHEN c_custkey % 4 = 0 THEN __base
+         ELSE concat(substring(__base, 1, CAST((c_custkey % 4) * 3 - 1 AS INT)), 'z',
+           substring(__base, CAST((c_custkey % 4) * 3 + 1 AS INT),
+             CAST(10 - (c_custkey % 4) * 3 AS INT))) END""")
+    val strs = t(dir, "customer").withColumn("__base", base)
+      .select(col("c_custkey").as("id"), str.as("str"))
+    graft.ops.Dedup.sortedNeighborhoodPairs(strs, "id", "str", window = 10)
+      .withColumn("dist", levenshtein(col("value_a"), col("value_b")).cast("long"))
+      .where(col("dist") <= 2)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
+  val sortedNeighborhoodSql: String =
+    """WITH s AS (
+         SELECT c_custkey AS id,
+           CASE WHEN c_custkey % 4 = 0 THEN base
+                ELSE substring(base, 1, (c_custkey % 4) * 3 - 1) || 'z' ||
+                     substring(base, (c_custkey % 4) * 3 + 1, 10 - (c_custkey % 4) * 3) END AS str
+         FROM (SELECT c_custkey,
+                 substring(md5('fz:' || (c_custkey // 4)), 1, 10) AS base
+               FROM customer)),
+       r AS (SELECT id, str, row_number() OVER (ORDER BY str, id) AS rank FROM s)
+       SELECT a.id AS id_a, b.id AS id_b,
+              CAST(levenshtein(a.str, b.str) AS BIGINT) AS dist
+       FROM r a JOIN r b ON b.rank > a.rank AND b.rank - a.rank < 10
+       WHERE levenshtein(a.str, b.str) <= 2"""
+
+  /**
+   * `damerau_pairs`: typo-metric fuzzy scoring — part-name pairs blocked
+   * on the shared last word, scored with the
+   * [[graft.functions.StringDistanceOps unrestricted Damerau-Levenshtein]]
+   * kernel (transposition costs 1 where Levenshtein charges 2). Blocking
+   * is an equi-join (never all-pairs); only block-mates pay the DP. The
+   * names are ASCII, where the kernel's code-point semantics and DuckDB's
+   * byte-based `damerau_levenshtein` coincide — the oracle replays the
+   * block join and every distance digit.
+   */
+  def damerauPairs(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val parts = t(dir, "part").select(col("p_partkey").as("id"),
+      col("p_name").as("name"),
+      element_at(split(col("p_name"), " "), -1).as("block"))
+    val a = parts.where(col("id") % 7 === 1)
+      .select(col("block"), col("id").as("id_a"), col("name").as("__na"))
+    val b = parts.where(col("id") % 7 === 2)
+      .select(col("block"), col("id").as("id_b"), col("name").as("__nb"))
+    a.join(b, "block")
+      .withColumn("dist",
+        graft.functions.functions.damerau_levenshtein(col("__na"), col("__nb"))
+          .cast("long"))
+      .where(col("dist") <= 4)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
+  val damerauPairsSql: String =
+    """WITH p AS (
+         SELECT p_partkey AS id, p_name AS name,
+                list_extract(string_split(p_name, ' '), len(string_split(p_name, ' '))) AS block
+         FROM part)
+       SELECT a.id AS id_a, b.id AS id_b,
+              CAST(damerau_levenshtein(a.name, b.name) AS BIGINT) AS dist
+       FROM (SELECT * FROM p WHERE id % 7 = 1) a
+       JOIN (SELECT * FROM p WHERE id % 7 = 2) b USING (block)
+       WHERE damerau_levenshtein(a.name, b.name) <= 4"""
+
+  /**
+   * `containment_pairs`: [[Dedup.containmentPairs]] — Broder containment
+   * (`|S(A) ∩ S(B)| / |S(A)|`, exact integer ppm) over an augmented
+   * corpus where every `doc_id % 5 == 2` document contributes a
+   * 120-char-prefix "quote" twin (id + 1e6). The quote's shingles are a
+   * near-subset of its source's (minus the windows touching the cut
+   * token), so quote → source pairs clear the 60% gate while the reverse
+   * direction (source → quote) is denominator-diluted and mostly does
+   * not — the asymmetry Jaccard-based near-dup can never express. The
+   * oracle replays tokenization, shingling, the df <= 50 boilerplate cap,
+   * the inverted join and the integer division in DuckDB.
+   */
+  def containmentPairsQ(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val docs = t(dir, "documents")
+    val corpus = docs.select(col("doc_id").as("id"), col("text"))
+      .unionAll(docs.filter(col("doc_id") % 5 === 2)
+        .select((col("doc_id") + 1000000L).as("id"),
+          substring(col("text"), 1, 120).as("text")))
+    Dedup.containmentPairs(corpus, "id", "text",
+      minContainPpm = 600000L, maxShingleDf = 50)
+  }
+
+  val containmentPairsSql: String =
+    s"""WITH corpus AS (
+         SELECT doc_id AS id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 1000000 AS id, substring(text, 1, 120) AS text
+         FROM documents WHERE doc_id % 5 = 2),
+       tok AS (SELECT id, $Toks AS toks FROM corpus),
+       shd AS (SELECT id, $SqlShingles AS sh FROM tok),
+       sizes AS (SELECT id, CAST(len(sh) AS BIGINT) AS size_a FROM shd),
+       ex AS (SELECT id, unnest(sh) AS g FROM shd),
+       rare AS (SELECT g FROM ex GROUP BY g HAVING count(*) <= 50),
+       r AS (SELECT e.id, e.g FROM ex e JOIN rare USING (g)),
+       inter AS (
+         SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+         FROM r a JOIN r b ON a.g = b.g AND a.id <> b.id GROUP BY 1, 2)
+       SELECT id_a, id_b, inter, s.size_a,
+              CAST((inter * 1000000) // s.size_a AS BIGINT) AS contain_ppm
+       FROM inter JOIN sizes s ON s.id = id_a
+       WHERE (inter * 1000000) // s.size_a >= 600000"""
+
+  /**
+   * `jaccard_join`: exact Jaccard set-similarity self-join
+   * ([[Dedup.jaccardPairsExact]] — AllPairs/PPJoin prefix filtering) over
+   * document word-5-shingle sets, against the NAIVE all-pairs oracle:
+   * DuckDB cross-joins every id pair and intersects the full distinct
+   * shingle lists, so the hash match proves the prefix + length filters
+   * are lossless, not just self-consistent. A third of the docs gain an
+   * appended-5-token near-copy (J = (n-4)/(n+1) for an n-token doc —
+   * above the 0.7 gate from ~16 tokens up), so the result is the exact
+   * near-dup pair set. Shingle sets are the PPJoin sweet spot (almost
+   * every element is rare → tiny prefixes); tiny-vocabulary token sets
+   * (e.g. part-name colors) have no rare elements for ANY exact
+   * algorithm to exploit and belong on the LSH tier instead.
+   */
+  def jaccardJoinQ(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val docs = t(dir, "documents")
+    val corpus = docs.select(col("doc_id").as("id"), col("text"))
+      .unionAll(docs.filter(col("doc_id") % 3 === 1)
+        .select((col("doc_id") + 1000000L).as("id"),
+          concat(col("text"), lit(" zz0 zz1 zz2 zz3 zz4")).as("text")))
+    Dedup.jaccardPairsExact(
+      corpus.withColumn("toks", Dedup.wordShingles(col("text"), 5)),
+      "id", "toks", minJaccardPpm = 700000L)
+  }
+
+  val jaccardJoinSql: String =
+    s"""WITH corpus AS (
+         SELECT doc_id AS id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 1000000 AS id,
+                concat(text, ' zz0 zz1 zz2 zz3 zz4') AS text
+         FROM documents WHERE doc_id % 3 = 1),
+       tok AS (SELECT id, $Toks AS toks FROM corpus),
+       base AS (
+         SELECT id, $SqlShingles AS sh FROM tok
+         WHERE len($SqlShingles) > 0),
+       pairs AS (
+         SELECT a.id AS id_a, b.id AS id_b,
+                CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+                CAST(len(a.sh) AS BIGINT) AS size_a,
+                CAST(len(b.sh) AS BIGINT) AS size_b
+         FROM base a JOIN base b ON a.id < b.id)
+       SELECT id_a, id_b, inter, size_a, size_b,
+              CAST((inter * 1000000) // (size_a + size_b - inter) AS BIGINT)
+                AS jaccard_ppm
+       FROM pairs
+       WHERE inter * 1000000 >= 700000 * (size_a + size_b - inter)"""
+
+  /**
+   * `pii_luhn`: Luhn-validated card scrubbing
+   * ([[TextAnalysis.cardCandidates]] / [[TextAnalysis.luhnValid]] /
+   * [[TextAnalysis.scrubCardNumbers]]) — per customer, a synthetic page
+   * carries one space-grouped 16-digit run and one plain run, both
+   * deterministic functions of `c_custkey`, so validity varies
+   * data-dependently (~1 in 10 passes the checksum). Only checksum-passing
+   * runs are masked; the oracle replays the candidate regex, the
+   * reversed-digit double-and-fold sum, and the literal replaces in
+   * DuckDB.
+   */
+  def piiLuhn(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val base = t(dir, "customer").selectExpr("c_custkey AS id",
+      "concat(lpad(CAST((c_custkey * 7919 + 11) % 100000000 AS STRING), 8, '0')," +
+        " lpad(CAST((c_custkey * 104729 + 97) % 100000000 AS STRING), 8, '0')) AS n1",
+      "concat(lpad(CAST((c_custkey * 4973 + 3) % 100000000 AS STRING), 8, '0')," +
+        " lpad(CAST((c_custkey * 31337 + 29) % 100000000 AS STRING), 8, '0')) AS n2")
+      .withColumn("n1g", expr("concat(substring(n1, 1, 4), ' ', substring(n1, 5, 4)," +
+        " ' ', substring(n1, 9, 4), ' ', substring(n1, 13, 4))"))
+      .withColumn("text", expr("concat('user ', id, ' card ', n1g, ' alt ', n2, ' ok')"))
+    base.select(col("id"),
+      size(TextAnalysis.cardCandidates(col("text"))).cast("long").as("n_candidates"),
+      size(TextAnalysis.validCardNumbers(col("text"))).cast("long").as("n_valid"),
+      TextAnalysis.scrubCardNumbers(col("text")).as("scrubbed"))
+  }
+
+  val piiLuhnSql: String = {
+    // separator-stripped reversed-digit Luhn sum of one candidate `cd`
+    val strip = "regexp_replace(cd, '[ -]', '', 'g')"
+    val digit = s"CAST(substring(reverse($strip), i, 1) AS INT)"
+    val luhn = s"length($strip) BETWEEN 13 AND 19 AND " +
+      s"list_sum(list_transform(range(1, length($strip) + 1), i -> " +
+      s"CASE WHEN i % 2 = 0 THEN CASE WHEN 2 * $digit > 9 THEN 2 * $digit - 9 " +
+      s"ELSE 2 * $digit END ELSE $digit END)) % 10 = 0"
+    s"""WITH base AS (
+         SELECT c_custkey AS id,
+           lpad(CAST((c_custkey * 7919 + 11) % 100000000 AS VARCHAR), 8, '0') ||
+             lpad(CAST((c_custkey * 104729 + 97) % 100000000 AS VARCHAR), 8, '0') AS n1,
+           lpad(CAST((c_custkey * 4973 + 3) % 100000000 AS VARCHAR), 8, '0') ||
+             lpad(CAST((c_custkey * 31337 + 29) % 100000000 AS VARCHAR), 8, '0') AS n2
+         FROM customer),
+       txt AS (
+         SELECT id, n1, n2,
+           substring(n1, 1, 4) || ' ' || substring(n1, 5, 4) || ' ' ||
+             substring(n1, 9, 4) || ' ' || substring(n1, 13, 4) AS n1g
+         FROM base),
+       pages AS (
+         SELECT id, n1g, n2,
+           'user ' || id || ' card ' || n1g || ' alt ' || n2 || ' ok' AS text
+         FROM txt),
+       cand AS (
+         SELECT id, n1g, n2, text,
+           regexp_extract_all(text, '(^|[^0-9-])((?:[0-9][ -]?){12,18}[0-9])([^0-9-]|$$)', 2) AS cands
+         FROM pages),
+       v AS (
+         SELECT id, n1g, n2, text, cands,
+           list_filter(cands, cd -> $luhn) AS valid
+         FROM cand)
+       SELECT id, CAST(len(cands) AS BIGINT) AS n_candidates,
+              CAST(len(valid) AS BIGINT) AS n_valid,
+              CASE WHEN list_contains(valid, n2) THEN
+                replace(CASE WHEN list_contains(valid, n1g)
+                  THEN replace(text, n1g, '<CARD>') ELSE text END, n2, '<CARD>')
+              ELSE CASE WHEN list_contains(valid, n1g)
+                THEN replace(text, n1g, '<CARD>') ELSE text END END AS scrubbed
+       FROM v"""
+  }
+
+  /**
+   * `bm25_topk`: [[graft.ops.Retrieval.bm25TopK]] — three keyword queries
+   * over the documents corpus, top-10 each by the exact fixed-point
+   * BM25-style score (RSJ odds idf x1e6, saturating tf, length
+   * normalization cross-multiplied by total tokens — every product in
+   * DECIMAL(38,0)/HUGEINT, every division integer). The oracle replays
+   * tokenization, the query-vocabulary semi-join, tf/df/corpus stats and
+   * the full scoring arithmetic in DuckDB, ranking with the same
+   * `(score desc, doc_id)` total order.
+   */
+  def bm25TopKQ(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val qs = Seq(("q1", "table scan merge"), ("q2", "slow query filter"),
+      ("q3", "stream window customer")).toDF("query_id", "qtext")
+    graft.ops.Retrieval.bm25TopK(t(dir, "documents"), "doc_id", "text",
+      qs, "query_id", "qtext", k = 10)
+  }
+
+  val bm25TopKSql: String = {
+    val qtoks = "list_filter(string_split_regex(lower(qtext), '[^a-z0-9]+'), x -> x <> '')"
+    s"""WITH qs(query_id, qtext) AS (VALUES
+         ('q1', 'table scan merge'), ('q2', 'slow query filter'),
+         ('q3', 'stream window customer')),
+       tok AS (SELECT doc_id, $Toks AS toks FROM documents),
+       terms AS (SELECT doc_id, unnest(toks) AS term,
+                        CAST(len(toks) AS BIGINT) AS dl FROM tok),
+       qt AS (SELECT query_id, unnest(list_distinct($qtoks)) AS term FROM qs),
+       stats AS (SELECT count(*) AS n, CAST(sum(len(toks)) AS BIGINT) AS t FROM tok),
+       qdoc AS (SELECT tr.* FROM terms tr
+                JOIN (SELECT DISTINCT term FROM qt) q USING (term)),
+       tf AS (SELECT doc_id, term, count(*) AS tf, min(dl) AS dl
+              FROM qdoc GROUP BY 1, 2),
+       dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM qdoc GROUP BY 1),
+       ts AS (SELECT q.query_id, f.doc_id,
+                CAST((CAST(((s.n - d.df) * 2 + 1) AS HUGEINT) * 1000000 // (2 * d.df + 1))
+                     * f.tf * 2200 * s.t //
+                     (CAST(1000 AS HUGEINT) * f.tf * s.t +
+                      12 * (CAST(25 AS HUGEINT) * s.t + 75 * f.dl * s.n))
+                  AS BIGINT) AS s
+              FROM tf f JOIN dfq d USING (term) JOIN qt q USING (term)
+              CROSS JOIN stats s),
+       sc AS (SELECT query_id, doc_id, CAST(sum(s) AS BIGINT) AS score_fp
+              FROM ts GROUP BY 1, 2)
+       SELECT query_id, doc_id, score_fp, rank FROM (
+         SELECT query_id, doc_id, score_fp,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score_fp DESC, doc_id) AS rank
+         FROM sc)
+       WHERE rank <= 10"""
+  }
+
+  /**
+   * `rrf_fusion`: hybrid retrieval — the BM25 lexical ranking and a
+   * term-overlap ranking ([[graft.ops.Retrieval.percolate]] match counts
+   * through [[toRanking]]'s k-capped partial top-k) fused per query by
+   * reciprocal-rank fusion ([[graft.ops.Retrieval.rrfFuse]], exact
+   * `1e12 DIV (60 + rank)` fixed point). The oracle replays both
+   * retrievers AND the fusion digit-for-digit; ranks, not scores, cross
+   * the fusion boundary, so the two retrievers' incomparable score units
+   * never meet.
+   */
+  def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val qs = Seq(("q1", "table scan merge"), ("q2", "slow query filter"),
+      ("q3", "stream window customer")).toDF("query_id", "qtext")
+    val docs = t(dir, "documents")
+    val lex = graft.ops.Retrieval
+      .bm25TopK(docs, "doc_id", "text", qs, "query_id", "qtext", k = 20)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val overlap = graft.ops.Retrieval.toRanking(
+      graft.ops.Retrieval
+        .percolate(docs, "doc_id", "text", qs, "query_id", "qtext", minMatchPct = 1)
+        .select(col("query_id"), col("doc_id"), col("n_matched")),
+      "n_matched", k = 20)
+    graft.ops.Retrieval.rrfFuse(Seq(lex, overlap), k0 = 60, k = 10)
+  }
+
+  val rrfFusionSql: String = {
+    val qtoks = "list_filter(string_split_regex(lower(qtext), '[^a-z0-9]+'), x -> x <> '')"
+    s"""WITH qs(query_id, qtext) AS (VALUES
+         ('q1', 'table scan merge'), ('q2', 'slow query filter'),
+         ('q3', 'stream window customer')),
+       tok AS (SELECT doc_id, $Toks AS toks FROM documents),
+       terms AS (SELECT doc_id, unnest(toks) AS term,
+                        CAST(len(toks) AS BIGINT) AS dl FROM tok),
+       qt AS (SELECT query_id, unnest(list_distinct($qtoks)) AS term FROM qs),
+       stats AS (SELECT count(*) AS n, CAST(sum(len(toks)) AS BIGINT) AS t FROM tok),
+       qdoc AS (SELECT tr.* FROM terms tr
+                JOIN (SELECT DISTINCT term FROM qt) q USING (term)),
+       tf AS (SELECT doc_id, term, count(*) AS tf, min(dl) AS dl
+              FROM qdoc GROUP BY 1, 2),
+       dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM qdoc GROUP BY 1),
+       ts AS (SELECT q.query_id, f.doc_id,
+                CAST((CAST(((s.n - d.df) * 2 + 1) AS HUGEINT) * 1000000 // (2 * d.df + 1))
+                     * f.tf * 2200 * s.t //
+                     (CAST(1000 AS HUGEINT) * f.tf * s.t +
+                      12 * (CAST(25 AS HUGEINT) * s.t + 75 * f.dl * s.n))
+                  AS BIGINT) AS s
+              FROM tf f JOIN dfq d USING (term) JOIN qt q USING (term)
+              CROSS JOIN stats s),
+       sc AS (SELECT query_id, doc_id, CAST(sum(s) AS BIGINT) AS score_fp
+              FROM ts GROUP BY 1, 2),
+       lex AS (SELECT query_id, doc_id, rank FROM (
+                 SELECT query_id, doc_id,
+                        row_number() OVER (PARTITION BY query_id
+                                           ORDER BY score_fp DESC, doc_id) AS rank
+                 FROM sc) WHERE rank <= 20),
+       dt AS (SELECT doc_id, unnest(list_distinct(toks)) AS term FROM tok),
+       m AS (SELECT d.doc_id, q.query_id, count(*) AS n_matched
+             FROM dt d JOIN qt q USING (term) GROUP BY 1, 2),
+       ov AS (SELECT query_id, doc_id, rank FROM (
+                SELECT query_id, doc_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY n_matched DESC, doc_id) AS rank
+                FROM m) WHERE rank <= 20),
+       u AS (SELECT * FROM lex UNION ALL SELECT * FROM ov),
+       f AS (SELECT query_id, doc_id,
+                    CAST(sum(1000000000000 // (60 + rank)) AS BIGINT) AS rrf_fp,
+                    count(*) AS n_rankers
+             FROM u GROUP BY 1, 2)
+       SELECT query_id, doc_id, rrf_fp, n_rankers, cast(rank AS bigint) AS rank
+       FROM (SELECT query_id, doc_id, rrf_fp, n_rankers,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY rrf_fp DESC, doc_id) AS rank
+             FROM f)
+       WHERE rank <= 10"""
+  }
+
+  /**
+   * `anchor_text_profile`: [[Web.anchorTextProfile]] — top-3 anchor terms
+   * per target host over a deterministic link frame (host from the
+   * `host_pagerank` arithmetic, anchor text a 25-char prefix of the
+   * linking page). The oracle replays tokenization, the (host, term)
+   * count and a `(n desc, term)` row_number in DuckDB; the Spark side
+   * ranks through the k-capped bounded partial, and the hash-match proves
+   * the two agree.
+   */
+  def anchorTextProfileQ(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val links = t(dir, "documents").select(
+      concat(lit("h"), ((col("doc_id") * 7 + 13) % 250).cast("string"),
+        lit(".example")).as("host"),
+      substring(col("text"), 1, 25).as("anchor"))
+    Web.anchorTextProfile(links, "host", "anchor", k = 3)
+  }
+
+  val anchorTextProfileSql: String = {
+    val atoks = "list_filter(string_split_regex(lower(anchor), '[^a-z0-9]+'), x -> x <> '')"
+    s"""WITH links AS (
+         SELECT 'h' || ((doc_id * 7 + 13) % 250) || '.example' AS host,
+                substring(text, 1, 25) AS anchor
+         FROM documents),
+       terms AS (SELECT host, unnest($atoks) AS term FROM links),
+       counts AS (SELECT host, term, count(*) AS n FROM terms GROUP BY 1, 2)
+       SELECT host, term, n, rank FROM (
+         SELECT host, term, n,
+                row_number() OVER (PARTITION BY host ORDER BY n DESC, term) AS rank
+         FROM counts)
+       WHERE rank <= 3"""
+  }
+
+  /**
+   * `inverted_index`: [[graft.ops.Retrieval.invertedIndex]] — exact df per
+   * term plus the 10 smallest posting doc ids (the deterministic,
+   * partitioning-independent cap rule of the bounded `collect_bottom_k`
+   * aggregate). Oracle: per-doc distinct terms, a plain count, and an
+   * ordered-list slice in DuckDB. The array postings are joined to a
+   * comma-separated string on BOTH engines: the harness compare sorts
+   * result columns with pandas, which cannot hash/sort array cells, so
+   * the query surface must stay scalar-typed even though the operator
+   * API keeps the array.
+   */
+  def invertedIndexQ(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    graft.ops.Retrieval.invertedIndex(t(dir, "documents"), "doc_id", "text",
+        maxPostings = 10)
+      .select(col("term"), col("df"),
+        array_join(transform(col("postings"), _.cast("string")), ",")
+          .as("postings_csv"))
+  }
+
+  val invertedIndexSql: String =
+    s"""WITH dt AS (SELECT doc_id, unnest(list_distinct($Toks)) AS term FROM documents)
+       SELECT term, CAST(count(*) AS BIGINT) AS df,
+              array_to_string(list_slice(list(doc_id ORDER BY doc_id), 1, 10), ',') AS postings_csv
+       FROM dt GROUP BY term"""
+
+  /**
+   * `readability`: [[TextAnalysis.readabilityStats]] — word/sentence/
+   * vowel-group-syllable counts and the x1000 fixed-point Flesch reading
+   * ease over synthetic multi-sentence pages (the corpus text carries no
+   * terminators, so the page adds them deterministically). Every count
+   * and the floored-DIV score replay exactly in DuckDB.
+   */
+  def readabilityQ(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val page = concat(col("text"), lit(". "), substring(col("text"), 1, 60),
+      lit("! "), substring(col("text"), 61, 40), lit("?"))
+    val stats = TextAnalysis.readabilityStats(page)
+    t(dir, "documents").select(
+      col("doc_id") +: stats.map { case (n, c) => c.as(n) }: _*)
+  }
+
+  val readabilitySql: String = {
+    val ptoks = "list_filter(string_split_regex(lower(page), '[^a-z0-9]+'), x -> x <> '')"
+    s"""WITH pages AS (
+         SELECT doc_id,
+           text || '. ' || substring(text, 1, 60) || '! ' ||
+             substring(text, 61, 40) || '?' AS page
+         FROM documents),
+       counted AS (
+         SELECT doc_id,
+           CAST(len($ptoks) AS BIGINT) AS n_words,
+           CAST(len(regexp_extract_all(page, '[^.!?]+[.!?]+|[^.!?]+$$', 0)) AS BIGINT)
+             AS n_sentences,
+           CAST(length(regexp_replace(regexp_replace(lower(page), '[aeiouy]+', 'V', 'g'),
+             '[^V]', '', 'g')) AS BIGINT) AS n_syllables
+         FROM pages)
+       SELECT doc_id, n_words, n_sentences, n_syllables,
+              CASE WHEN n_words > 0 AND n_sentences > 0 THEN
+                206835 - (1015 * n_words) // n_sentences
+                       - (84600 * n_syllables) // n_words
+              END AS flesch_fp
+       FROM counted"""
+  }
+
+  /**
+   * `domain_dedup_profile`: [[Web.domainDedupProfile]] — per-domain
+   * exact-duplicate pressure over 40-char text prefixes (the full
+   * word-soup texts rarely collide; prefixes collide realistically, so
+   * `dup_ppm` varies per domain). The measurement that tells a curation
+   * team where its dedup budget goes.
+   */
+  def domainDedupProfileQ(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    Web.domainDedupProfile(
+      t(dir, "documents").withColumn("t40", substring(col("text"), 1, 40)),
+      "source", "t40")
+  }
+
+  val domainDedupProfileSql: String =
+    """WITH f AS (SELECT source AS domain, md5(substring(text, 1, 40)) AS fp
+                  FROM documents),
+       g AS (SELECT domain, fp, count(*) AS n FROM f GROUP BY 1, 2)
+       SELECT domain, CAST(sum(n) AS BIGINT) AS n_docs,
+              CAST(count(*) AS BIGINT) AS n_unique,
+              ((CAST(sum(n) AS BIGINT) - count(*)) * 1000000)
+                // CAST(sum(n) AS BIGINT) AS dup_ppm
+       FROM g GROUP BY domain"""
+
+  /**
+   * `lang_confusion`: the language-ID audit matrix — labeled `lang` vs
+   * [[TextAnalysis.languageId]] prediction, counted. The oracle reuses
+   * the full generated lang-ID SQL twin as a CTE, so the same constants
+   * drive both sides.
+   */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    t(dir, "documents")
+      .select(col("lang"), TextAnalysis.languageId(col("text")).as("lang_pred"))
+      .groupBy(col("lang"), col("lang_pred")).agg(count(lit(1)).as("n"))
+  }
+
+  val langConfusionSql: String =
+    s"""WITH pred AS ($langIdSql)
+       SELECT d.lang, p.lang_pred, count(*) AS n
+       FROM documents d JOIN pred p USING (doc_id)
+       GROUP BY 1, 2"""
+
+  /** The fixed vocabulary of the `vocab_coverage` query (both engines). */
+  private[graft] val CoverageVocab = Seq("the", "fast", "key", "order", "sort", "table",
+    "scan", "merge", "part", "spark", "group", "query", "row", "data", "filter",
+    "customer", "join", "window", "stream", "slow")
+
+  /**
+   * `vocab_coverage`: [[TextAnalysis.vocabCoverage]] — per-document OOV
+   * rate against a fixed 20-term vocabulary (broadcast anti-join on the
+   * Spark side, inline NOT IN on the oracle side — same set, exact
+   * integer ppm).
+   */
+  def vocabCoverageQ(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    TextAnalysis.vocabCoverage(t(dir, "documents"), "doc_id", "text",
+      CoverageVocab.toDF("term"), "term")
+  }
+
+  val vocabCoverageSql: String = {
+    val set = CoverageVocab.map(w => s"'$w'").mkString(", ")
+    s"""WITH tok AS (SELECT doc_id, $Toks AS toks FROM documents),
+       c AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(len(list_filter(toks, t -> t NOT IN ($set))) AS BIGINT) AS n_oov
+             FROM tok)
+       SELECT doc_id, n_tokens, n_oov,
+              CASE WHEN n_tokens > 0 THEN (n_oov * 1000000) // n_tokens END AS oov_ppm
+       FROM c"""
+  }
+
+  /**
+   * `collocations`: [[TextAnalysis.collocations]] — top-20 adjacent word
+   * pairs by exact fixed-point PMI ratio (`n_pair * N * 1e6 DIV
+   * (n_w1 * n_w2)`, min pair count 5). The oracle replays the bigram
+   * kernel's gram definition, both count aggregations and the HUGEINT
+   * arithmetic, ranking with the identical `(score desc, w1, w2)` total
+   * order.
+   */
+  def collocationsQ(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    TextAnalysis.collocations(t(dir, "documents"), "text", k = 20, minPairCount = 5)
+  }
+
+  val collocationsSql: String =
+    s"""WITH tok AS (SELECT $Toks AS toks FROM documents),
+       uni AS (SELECT w, count(*) AS n_w
+               FROM (SELECT unnest(toks) AS w FROM tok) GROUP BY w),
+       tot AS (SELECT CAST(sum(n_w) AS BIGINT) AS n FROM uni),
+       pairs AS (
+         SELECT pair, count(*) AS n_pair FROM (
+           SELECT unnest(list_transform(range(1, len(toks)),
+             i -> toks[i] || ' ' || toks[i + 1])) AS pair
+           FROM tok)
+         GROUP BY pair HAVING count(*) >= 5),
+       sc AS (SELECT string_split(pair, ' ')[1] AS w1,
+                     string_split(pair, ' ')[2] AS w2, n_pair FROM pairs),
+       j AS (SELECT s.w1, s.w2, s.n_pair,
+               CAST(CAST(s.n_pair AS HUGEINT) * t.n * 1000000 //
+                 (CAST(u1.n_w AS HUGEINT) * u2.n_w) AS BIGINT) AS score_fp
+             FROM sc s JOIN uni u1 ON s.w1 = u1.w JOIN uni u2 ON s.w2 = u2.w
+             CROSS JOIN tot t)
+       SELECT w1, w2, n_pair, score_fp FROM j
+       ORDER BY score_fp DESC, w1, w2 LIMIT 20"""
+
+  /**
+   * `exact_percentiles`: [[graft.ops.Sketches.exactPercentiles]] — exact
+   * nearest-rank p50/p90/p99 of event values (in exact cents) per event
+   * type, computed with the no-one-reducer range-partition recipe. The
+   * oracle replays the nearest-rank definition (`ceil(n*p/100)` via a
+   * per-group row_number) in DuckDB; the hash-match is the
+   * distributed-equals-definition proof, same as the global-order family.
+   */
+  def exactPercentilesQ(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val v = events(dir).select(col("event_type"), cents(col("value")).as("cents"))
+    graft.ops.Sketches.exactPercentiles(v, "event_type", "cents", Seq(50, 90, 99))
+  }
+
+  val exactPercentilesSql: String =
+    """WITH v AS (SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS c
+                  FROM events WHERE value IS NOT NULL),
+       n AS (SELECT event_type, count(*) AS n FROM v GROUP BY 1),
+       r AS (SELECT event_type, c,
+               row_number() OVER (PARTITION BY event_type ORDER BY c) AS rk
+             FROM v),
+       t AS (SELECT event_type, p, (n * p + 99) // 100 AS target
+             FROM n CROSS JOIN (SELECT unnest([50, 90, 99]) AS p))
+       SELECT t.event_type, CAST(t.p AS BIGINT) AS pct, r.c AS cents
+       FROM t JOIN r ON r.event_type = t.event_type AND r.rk = t.target"""
+
+  /**
+   * `weighted_pctl`: exact WEIGHTED percentiles
+   * ([[graft.ops.Sketches.weightedPercentiles]]) — per return flag, the
+   * extended-price cents where 25/50/90% of shipped QUANTITY sits (each
+   * row counts `l_quantity` times). The ceil nearest-rank law decided by
+   * the cross-multiplied comparison `cumw * 100 >= total * pct` — no
+   * division anywhere; the oracle replays the weight collapse, running
+   * sums and the min-over-qualifying-values pick.
+   */
+  def weightedPctl(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val v = t(dir, "lineitem").select(col("l_returnflag"),
+      cents(col("l_extendedprice")).as("cents"),
+      col("l_quantity").cast("long").as("qty"))
+    graft.ops.Sketches.weightedPercentiles(v, "l_returnflag", "cents", "qty",
+      Seq(25, 50, 90))
+  }
+
+  val weightedPctlSql: String =
+    """WITH c AS (SELECT l_returnflag, CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+                  CAST(sum(CAST(l_quantity AS BIGINT)) AS HUGEINT) AS w
+                  FROM lineitem WHERE l_quantity > 0 GROUP BY 1, 2),
+       cum AS (SELECT l_returnflag, cents,
+                sum(w) OVER (PARTITION BY l_returnflag ORDER BY cents) AS cumw,
+                sum(w) OVER (PARTITION BY l_returnflag) AS total
+              FROM c),
+       p AS (SELECT cum.*, pct FROM cum
+             CROSS JOIN (SELECT CAST(unnest([25, 50, 90]) AS BIGINT) AS pct))
+       SELECT l_returnflag, pct, min(cents) AS cents
+       FROM p WHERE cumw * 100 >= total * pct GROUP BY 1, 2"""
+
+  /**
+   * `value_outliers`: [[graft.ops.Drift.robustValueProfile]] — per-type
+   * median/MAD/outlier profile of event values in exact cents (both
+   * medians are exact nearest-rank percentiles through the no-one-reducer
+   * recipe; outlier test `|v - med| * 100 > 300 * mad`). Oracle replays
+   * both nearest-rank medians, the deviation join and the counts in
+   * DuckDB.
+   */
+  def valueOutliers(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val v = events(dir).select(col("event_type"), cents(col("value")).as("cents"))
+    graft.ops.Drift.robustValueProfile(v, "event_type", "cents", kX100 = 300L)
+  }
+
+  val valueOutliersSql: String =
+    """WITH v AS (SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS c
+                  FROM events WHERE value IS NOT NULL),
+       n AS (SELECT event_type, count(*) AS n FROM v GROUP BY 1),
+       r AS (SELECT event_type, c,
+               row_number() OVER (PARTITION BY event_type ORDER BY c) AS rk FROM v),
+       med AS (SELECT n.event_type, r.c AS median
+               FROM n JOIN r ON r.event_type = n.event_type
+                 AND r.rk = (n.n * 50 + 99) // 100),
+       d AS (SELECT v.event_type, v.c, abs(v.c - m.median) AS dev, m.median
+             FROM v JOIN med m USING (event_type)),
+       dn AS (SELECT event_type, count(*) AS n FROM d GROUP BY 1),
+       dr AS (SELECT event_type, dev,
+                row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rk FROM d),
+       mad AS (SELECT dn.event_type, dr.dev AS mad
+               FROM dn JOIN dr ON dr.event_type = dn.event_type
+                 AND dr.rk = (dn.n * 50 + 99) // 100)
+       SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
+              min(d.median) AS median, min(mad.mad) AS mad,
+              CAST(sum(CASE WHEN d.dev * 100 > 300 * mad.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+              (CAST(sum(CASE WHEN d.dev * 100 > 300 * mad.mad THEN 1 ELSE 0 END)
+                AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT) AS outlier_ppm
+       FROM d JOIN mad USING (event_type) GROUP BY d.event_type"""
+
+  /**
+   * `percolate`: [[graft.ops.Retrieval.percolate]] — three standing
+   * keyword queries matched against every document at a 60%
+   * minimum-should-match. Oracle replays distinct-term explode, the
+   * query-term join and the threshold arithmetic in DuckDB.
+   */
+  def percolateQ(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val qs = Seq(("alerts_scan", "table scan merge sort"),
+      ("alerts_perf", "slow query filter"),
+      ("alerts_user", "customer stream window")).toDF("query_id", "qtext")
+    graft.ops.Retrieval.percolate(t(dir, "documents"), "doc_id", "text",
+      qs, "query_id", "qtext", minMatchPct = 60)
+  }
+
+  val percolateSql: String = {
+    val qtoks = "list_filter(string_split_regex(lower(qtext), '[^a-z0-9]+'), x -> x <> '')"
+    s"""WITH qs(query_id, qtext) AS (VALUES
+         ('alerts_scan', 'table scan merge sort'), ('alerts_perf', 'slow query filter'),
+         ('alerts_user', 'customer stream window')),
+       qt AS (SELECT query_id, unnest(list_distinct($qtoks)) AS term FROM qs),
+       qn AS (SELECT query_id, count(*) AS n_terms FROM qt GROUP BY 1),
+       dt AS (SELECT doc_id, unnest(list_distinct($Toks)) AS term FROM documents),
+       m AS (SELECT d.doc_id, q.query_id, count(*) AS n_matched
+             FROM dt d JOIN qt q USING (term) GROUP BY 1, 2)
+       SELECT m.doc_id, m.query_id, m.n_matched, qn.n_terms
+       FROM m JOIN qn USING (query_id)
+       WHERE m.n_matched * 100 >= qn.n_terms * 60"""
+  }
+
+  /**
+   * `cluster_sizes`: the near-dup cluster size histogram — how much of
+   * the duplicate mass sits in pairs vs large families (the shape that
+   * decides whether keep-first vs keep-best matters and how hot the LSH
+   * buckets run). Cluster labels from [[Dedup.duplicateClusters]]; the
+   * oracle inherits [[OracleLabelPropRounds]] via [[dupClusterCtes]].
+   */
+  def clusterSizes(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    dupClusters(spark, dir)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("__size"))
+      .groupBy(col("__size").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+  }
+
+  val clusterSizesSql: String =
+    s"""WITH $dupClusterCtes,
+       sizes AS (SELECT cluster_id, count(*) AS cluster_size
+                 FROM l$OracleLabelPropRounds GROUP BY cluster_id)
+       SELECT cluster_size, count(*) AS n_clusters FROM sizes GROUP BY cluster_size"""
+
+  // =====================================================================
+  // Registry
+  // =====================================================================
+}
