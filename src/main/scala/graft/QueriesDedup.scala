@@ -1313,4 +1313,32 @@ private[graft] trait QueriesDedup extends QueryHelpers { this: QueryBattery =>
        cast(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) as bigint) AS ws_tokens,
        cast(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]')) as bigint) AS bpe_tokens
        FROM documents"""
+
+  /**
+   * `blocklist_hits`: the Aho–Corasick blocklist screen
+   * ([[graft.ops.TextAnalysis.blocklistHits]] over the
+   * [[graft.functions.MultiMatch]] kernel) — per banned phrase, how many
+   * documents contain it. ONE text pass per document however many
+   * phrases are listed (the oracle's `list_filter(contains)` is the
+   * O(phrases x text) definition the kernel is proven against); the
+   * never-matching phrase exercises the negative path. Per-row codegen +
+   * one term-sized count aggregation — scan-speed at any scale.
+   */
+  def blocklistHitsQ(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val pats = Seq("slow fast", "table value", "stream window", "merge batch",
+      "key agg row", "quantum leap")
+    TextAnalysis.blocklistHits(t(dir, "documents"), "text", pats)
+      .select(explode(col("matched_terms")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n_docs"))
+  }
+
+  val blocklistHitsSql: String =
+    """SELECT term, count(*) AS n_docs FROM (
+         SELECT unnest(list_filter(
+           ['slow fast', 'table value', 'stream window', 'merge batch',
+            'key agg row', 'quantum leap'],
+           p -> contains(lower(text), p))) AS term
+         FROM documents WHERE text IS NOT NULL)
+       GROUP BY term"""
 }

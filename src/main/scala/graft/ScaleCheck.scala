@@ -39,7 +39,7 @@ object ScaleCheck {
     "running_total", "kcore", "bfs_reach",
     "gap_fill", "cusum", "trailing", "zorder",
     "basket_lift", "time_weighted_load", "damerau_pairs", "rrf_fusion",
-    "attribution_linear")
+    "attribution_linear", "blocklist")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -515,6 +515,16 @@ object ScaleCheck {
         bigEvents.select(col("event_id"), col("user_id"),
           (col("value") * 100).cast("long").as("vc")),
         Seq("user_id", "vc"), bits = 8, tie = Seq(col("event_id")))
+    }
+    // 2000-phrase blocklist through the Aho-Corasick kernel: per-row
+    // codegen, zero exchanges — the point is that pattern count does NOT
+    // multiply the scan (the composed contains() form would re-walk the
+    // text 2000x); a handful of phrases genuinely match the synthetic text
+    time("blocklist") {
+      val pats = (0 until 2000).map(i => s"zq${java.lang.Integer.toString(i, 36)}x") ++
+        Seq("slow fast", "table value", "stream window", "merge batch")
+      ops.TextAnalysis.blocklistHits(bigDocs, "text", pats)
+        .select(col("doc_id"), col("n_matched"))
     }
     // the TPC-H-shaped heavies: orders/lineitem/part amplified with the
     // same disjoint-range re-keying (l_partkey shares part's span so each

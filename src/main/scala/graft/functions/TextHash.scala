@@ -627,6 +627,12 @@ object functions {
     GraftExpressionBridge.column(DamerauLevenshtein(
       GraftExpressionBridge.expression(a), GraftExpressionBridge.expression(b)))
 
+  /** Aho–Corasick multi-pattern search: distinct matched patterns in
+    * binary-sorted order (codegen'd, ONE text pass however many patterns);
+    * empty array on no match, null text null-propagates. */
+  def multi_match(text: Column, patterns: Seq[String]): Column =
+    MultiMatch.column(text, patterns)
+
   /** SQL registration, for `spark.sql.extensions=graft.functions.GraftExtensions`. */
   val registry: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("minhash_signature"),
