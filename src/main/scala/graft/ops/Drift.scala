@@ -382,6 +382,29 @@ object Drift {
       inA: Column): DataFrame =
     chi2FromKx2Cells(kx2Cells(df, groupCols, categoryCol, inA), groupCols)
 
+  /**
+   * Chi-squared drift between two HISTOGRAMS — `(bin, count)` frames from
+   * [[DataQuality.histogram]], [[EventStreams.histogramCellsRollup]]
+   * windows (re-aggregated to any horizon first: cells add), or any
+   * binned profile. Bins are categories, so this is [[chiSquareKx2]]'s
+   * statistic with no join anywhere: the two sides stack via union with a
+   * zero-filled opposite cell and [[chi2FromKx2Cells]] re-aggregates —
+   * bins present on only one side are genuine drift mass, not an error.
+   * Both frames must share the SAME edges (the streaming rollup's fixed
+   * `(lo, width, bins)` contract guarantees it). Output: one row —
+   * `n_a` (current), `n_b` (reference), `k` non-empty bins, `chi2_micro`.
+   */
+  def histogramDrift(
+      cur: DataFrame,
+      ref: DataFrame,
+      binCol: String = "bin",
+      countCol: String = "n"): DataFrame =
+    chi2FromKx2Cells(
+      cur.select(col(binCol), col(countCol).as("a"), lit(0L).as("b"))
+        .unionByName(
+          ref.select(col(binCol), lit(0L).as("a"), col(countCol).as("b"))),
+      Seq.empty, binCol)
+
   /** Finish the k×2 arithmetic from an `(a, b)`-cells frame (mergeable —
     * re-aggregates by category first, so sliced cells can be passed
     * directly; same staged statistic and null law as [[chiSquareKx2]]). */

@@ -225,6 +225,45 @@ object EventStreams {
           .count_min(col(keyCol).cast("string"), width, depth).as("cms")))
 
   /**
+   * S21 — windowed HISTOGRAM cells, the streaming feed of the
+   * distribution-drift suite ([[graft.ops.Drift.histogramDrift]] /
+   * [[graft.ops.Drift.chi2FromKx2Cells]]): per (window, event_type, bin)
+   * an exact count over FIXED caller-supplied integer edges
+   * (`bin = clamp((v - lo) DIV width, 0, bins-1)` — a stream cannot scan
+   * for min/max the way batch [[graft.ops.DataQuality.histogram]] does;
+   * out-of-range values CLAMP into the edge bins so mass is conserved and
+   * totals stay comparable). Cells are trivially mergeable (counts add
+   * per bin), so emitted windows re-aggregate to any horizon and finish
+   * against a reference histogram with the exact staged chi-squared —
+   * live distribution-shift monitoring per hour AND per campaign from at
+   * most `bins` counters per (window, type). Null values are dropped
+   * (count them separately if absence is the signal).
+   */
+  def histogramCellsRollup(
+      events: DataFrame,
+      valueCol: String = "value",
+      lo: Long = 0L,
+      width: Long = 10L,
+      bins: Int = 20,
+      windowLength: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame = {
+    require(width > 0, s"width must be positive, got $width")
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    val v = col(valueCol).cast("long")
+    val bin = least(greatest(
+      expr(s"(CAST($valueCol AS BIGINT) - ${lo}L) DIV ${width}L"), lit(0L)),
+      lit((bins - 1).toLong))
+    val agged = events
+      .where(v.isNotNull)
+      .withColumn("bin", bin)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength), col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+    agged.select(col("window.start").as("window_start") +:
+      agged.columns.filterNot(_ == "window").map(col): _*)
+  }
+
+  /**
    * Streaming exact dedup on `idCol`: duplicates arriving within the
    * watermark horizon are dropped; the watermark bounds the id-set state.
    */

@@ -143,6 +143,43 @@ class EventStreamsSpec extends SparkTestBase {
     total shouldBe 4L
   }
 
+  test("S21 histogram cells: exact fixed-edge counts, clamping, drift finish parity") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Event]
+    // edges: lo=0, width=10, bins=3 -> [0,10) [10,20) [20,inf clamped)
+    val q = histogramCellsRollup(asContract(in.toDF()), lo = 0L, width = 10L, bins = 3,
+      windowLength = "10 minutes", watermark = "5 minutes")
+      .writeStream.format("memory").queryName("hist_out").outputMode("append").start()
+    in.addData(
+      Event(1, ts(1), 10, "click", 3.0),
+      Event(2, ts(2), 10, "click", 12.0),
+      Event(3, ts(3), 10, "click", 14.0),
+      Event(4, ts(4), 10, "click", 99.0),  // clamps into bin 2
+      Event(5, ts(6), 10, "click", -7.0),  // clamps into bin 0
+      Event(6, ts(15), 10, "click", 11.0)) // second window
+    q.processAllAvailable()
+    in.addData(Event(99, ts(60), 13, "click", 0.0)) // advance watermark
+    runToCompletion(q)
+    val cells = spark.table("hist_out").where($"event_type" === "click")
+    // per-window exact cells with the clamp law
+    cells.groupBy($"bin").sum("n").as[(Long, Long)].collect().toMap shouldBe
+      Map(0L -> 2L, 1L -> 3L, 2L -> 1L)
+    cells.select($"window_start").distinct().count() shouldBe 2L
+
+    // windows re-aggregate (cells add) and finish against a reference with
+    // the exact staged chi-squared — bit-identical to the batch finisher
+    val merged = cells.groupBy($"bin").agg(
+      org.apache.spark.sql.functions.sum($"n").as("n"))
+    val ref = Seq((0L, 2L), (1L, 3L), (2L, 1L)).toDF("bin", "n")
+    val drift = graft.ops.Drift.histogramDrift(merged, ref)
+      .as[(Long, Long, Long, Long)].collect().head
+    drift shouldBe ((6L, 6L, 3L, 0L)) // identical shape -> exactly zero
+    // and a genuinely shifted reference flags a positive statistic
+    val shifted = Seq((0L, 6L), (1L, 0L), (2L, 0L)).toDF("bin", "n")
+    graft.ops.Drift.histogramDrift(merged, shifted)
+      .as[(Long, Long, Long, Long)].collect().head._4 should be > 0L
+  }
+
   test("streaming dedup drops duplicate ids within the watermark") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Event]
