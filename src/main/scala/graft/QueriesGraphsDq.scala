@@ -746,4 +746,41 @@ private[graft] trait QueriesGraphsDq extends QueryHelpers { this: QueryBattery =
               CAST(sum(CASE WHEN t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS k,
               CAST(sum(term) AS BIGINT) AS chi2_micro
        FROM terms GROUP BY 1"""
+
+  /**
+   * `spearman_corr`: exact Spearman rank correlation (ppm) per event type
+   * ([[graft.ops.Stats.spearman]]) between value (cents) and event time
+   * (epoch micros) — "does spend RANK drift over time?", the monotone
+   * screen beside `ols_trend`'s linear one. Both rank passes are
+   * `row_number` under the total orders `(cents, event_id)` /
+   * `(us, event_id)` (the deterministic tie law), ridden on the
+   * distributed range-rank recipe, so the oracle's one-window ranks
+   * replay digit-for-digit; the closed form is one truncated division in
+   * DECIMAL(38,0)/HUGEINT.
+   */
+  def spearmanCorr(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val ev = events(dir).select(col("event_type"), cents(col("value")).as("cents"),
+      micros(col("ts")).as("us"), col("event_id"))
+    graft.ops.Stats.spearman(ev, Seq("event_type"), "cents", "us", "event_id")
+  }
+
+  val spearmanCorrSql: String =
+    """WITH e AS (SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS cents,
+                  epoch_us(ts) AS us, event_id
+           FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+       r AS (SELECT event_type,
+               CAST(row_number() OVER (
+                 PARTITION BY event_type ORDER BY cents, event_id) AS HUGEINT) AS rx,
+               CAST(row_number() OVER (
+                 PARTITION BY event_type ORDER BY us, event_id) AS HUGEINT) AS ry
+             FROM e),
+       a AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+               sum((rx - ry) * (rx - ry)) AS sd2
+             FROM r GROUP BY 1)
+       SELECT event_type, CAST(n AS BIGINT) AS n,
+              CAST(CASE WHEN n < 2 THEN NULL
+                   ELSE 1000000 - sd2 * 6000000 // (n * (n * n - 1))
+                   END AS BIGINT) AS rho_ppm
+       FROM a"""
 }

@@ -157,6 +157,59 @@ object Stats {
         col("lift_ppm"), col("chi2_micro")): _*)
 
   /**
+   * Exact Spearman rank correlation per group, in ppm — the MONOTONE
+   * association screen beside [[olsFit]]'s linear one: robust to any
+   * monotone transform and to outliers that leverage a least-squares
+   * slope ("does quality rank track length rank?", "does spend rank
+   * drift with tenure rank?").
+   *
+   * Ranks are `row_number` under the TOTAL order `(value, tieCol)` —
+   * a deterministic tie law (the same discipline as the RFM terciles:
+   * fractional midranks would leave integer arithmetic; an
+   * implementation-defined tie order would hash-diverge). With ranks
+   * being exact permutations, the classic closed form is EXACT:
+   * `rho_ppm = 1e6 - 6·Σd²·1e6 DIV (n·(n²-1))`, d = rank_x - rank_y —
+   * one truncated division, DECIMAL(38,0) sums (Σd² < n³ keeps 38
+   * digits to ~3e11 rows per group). Ties-broken-by-id Spearman equals
+   * textbook Spearman whenever values are distinct; under heavy ties it
+   * is the documented id-consistent variant (both axes break ties by
+   * the SAME id, so a constant column yields rho depending only on the
+   * id order — screen such columns out with [[DataQuality.profile]]).
+   * Null when n < 2; null x/y rows are dropped.
+   *
+   * Scale: two [[TextAnalysis.withGroupRank]] passes (range exchange +
+   * partition-count offset windows each — no group ever collapses onto
+   * one reducer) + one final aggregation. Output: group cols +
+   * `(n, rho_ppm)`.
+   */
+  def spearman(
+      df: DataFrame,
+      groupCols: Seq[String],
+      xCol: String,
+      yCol: String,
+      tieCol: String): DataFrame = {
+    val base = df
+      .where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select((groupCols :+ xCol :+ yCol :+ tieCol).distinct.map(col): _*)
+    val rx = TextAnalysis.withGroupRank(base, "__rx", groupCols,
+      col(xCol), col(tieCol))
+    val rxy = TextAnalysis.withGroupRank(rx, "__ry", groupCols,
+      col(yCol), col(tieCol))
+    rxy
+      .withColumn("__d", (col("__rx") - col("__ry")).cast("DECIMAL(38,0)"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).cast("DECIMAL(38,0)").as("__n"),
+        sum(col("__d") * col("__d")).as("__sd2"))
+      .withColumn("n", col("__n").cast("long"))
+      .withColumn("rho_ppm",
+        expr("CAST(CASE WHEN __n < 2 THEN NULL " +
+          "ELSE 1000000 - __sd2 * 6000000 DIV (__n * (__n * __n - 1)) " +
+          "END AS BIGINT)"))
+      .drop("__rx", "__ry", "__d", "__n", "__sd2")
+      .select((groupCols :+ "n" :+ "rho_ppm").map(col): _*)
+  }
+
+  /**
    * Exact 2-D Pareto front (skyline), MAXIMIZING both columns: rows kept
    * iff no other row is >= in both dimensions and strictly greater in at
    * least one — "cheapest-for-its-size" style frontier queries (negate a

@@ -1755,6 +1755,46 @@ object TextAnalysis {
   }
 
   /**
+   * Exact PER-GROUP 1-based rank in `order` — `row_number() OVER
+   * (PARTITION BY group ORDER BY ...)` semantics without forcing a hot
+   * group onto one reducer: the [[withGlobalRank]] recipe keyed
+   * `(group, order...)` (the [[selectTokenBudgetPerGroup]] pattern —
+   * range-repartition, per-(group, partition) counts, group-keyed
+   * running offsets over partition-count rows, per-(group, partition)
+   * row_number). A group hotter than one partition spreads across
+   * contiguous partitions. `order` must totally order rows WITHIN a
+   * group (end with a unique id) or ranks are partition-dependent.
+   */
+  def withGroupRank(
+      df: org.apache.spark.sql.DataFrame,
+      rankCol: String,
+      groupCols: Seq[String],
+      order: Column*): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.broadcast
+    require(groupCols.nonEmpty, "withGroupRank needs group columns (see withGlobalRank)")
+    require(order.nonEmpty, "withGroupRank needs at least one order column")
+    val keys = groupCols.map(col) ++ order
+    val ranged = df.repartitionByRange(keys: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val offsets = ranged.groupBy((groupCols.map(col) :+ col("__pid")): _*)
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__offset",
+        coalesce(sum(col("__n")).over(
+          Window.partitionBy(groupCols.map(col): _*).orderBy(col("__pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select((groupCols.map(col) :+ col("__pid") :+ col("__offset")): _*)
+    ranged.join(broadcast(offsets), groupCols :+ "__pid")
+      .withColumn(rankCol,
+        (col("__offset") + row_number().over(
+          Window.partitionBy((groupCols.map(col) :+ col("__pid")): _*)
+            .orderBy(order: _*))).cast("long"))
+      .drop("__pid", "__offset")
+  }
+
+  /**
    * Deterministic global shuffle for training-data export: every row gets
    * `shuffle_rank` — its exact position in the md5-keyed pseudo-random
    * total order `md5('shuffle:<salt>:' || id)` — so "shuffle the corpus

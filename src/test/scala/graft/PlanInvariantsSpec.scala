@@ -399,6 +399,25 @@ class PlanInvariantsSpec extends SparkTestBase {
     check("near_dedup_keep_best", maxShuffles = 4, maxSmj = 2)
   }
 
+  test("round-14 additions: drift tests, blocklist, spearman") {
+    // each drift test is ONE (group, value/category) count agg + ONE
+    // group-level finisher agg; ECDF/midrank windows ride the first
+    // exchange's partitioning (value-count-sized frames, never raw rows)
+    check("ks_drift", maxShuffles = 2)
+    check("mw_drift", maxShuffles = 2)
+    check("category_drift", maxShuffles = 2)
+    // (group, value) weight agg + running-weight scan + target probe
+    check("weighted_pctl", maxShuffles = 2)
+    // Aho-Corasick kernel is per-row codegen: the 2000-phrase automaton
+    // broadcasts as a literal, the scan walks each text ONCE — the only
+    // exchange is the output count agg
+    check("blocklist_hits", maxShuffles = 1)
+    // two withGroupRank passes (range exchanges hide behind checkpoints;
+    // each pass shows its offsets agg + its (group, pid) window exchange
+    // riding broadcast offsets) + the final sum-of-d² agg
+    check("spearman_corr", maxShuffles = 4)
+  }
+
   test("leakage-safe split: outer join is equi, split is per-row") {
     // the cluster ITERATION hides behind checkpoints (audited under
     // dup_clusters); what the final plan must show is docs equi-joined to

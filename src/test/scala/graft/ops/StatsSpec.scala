@@ -163,4 +163,52 @@ class StatsSpec extends SparkTestBase {
       .as[(String, String, Long)].collect().toSet
     merged shouldBe whole
   }
+
+  private def rho(rows: Seq[(String, Long, Long, Long)], parts: Int = 4) =
+    Stats.spearman(rows.toDF("g", "x", "y", "id").repartition(parts),
+        Seq("g"), "x", "y", "id")
+      .as[(String, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+  test("spearman: perfect monotone agreement is 1e6, reversal is -1e6") {
+    val up = (1L to 9L).map(i => ("up", i, i * i, i)) // monotone, not linear
+    val dn = (1L to 8L).map(i => ("dn", i, 100L - 3 * i, i))
+    val out = rho(up ++ dn)
+    out("up") shouldBe ((9L, Some(1000000L)))
+    out("dn") shouldBe ((8L, Some(-1000000L)))
+  }
+
+  test("spearman: hand-computed truncated digits on a mid case") {
+    // ranks x (1,2,3), y (2,1,3): sum d^2 = 2; 1e6 - 12e6 DIV 24 = 500000
+    val out = rho(Seq(("a", 10L, 20L, 1L), ("a", 20L, 10L, 2L), ("a", 30L, 30L, 3L)))
+    out("a") shouldBe ((3L, Some(500000L)))
+  }
+
+  test("spearman: ties break by the id column on BOTH axes") {
+    // x all equal: rank_x = id order; y = reverse id order -> exact -1e6
+    val out = rho(Seq(("t", 5L, 30L, 1L), ("t", 5L, 20L, 2L), ("t", 5L, 10L, 3L)))
+    out("t") shouldBe ((3L, Some(-1000000L)))
+  }
+
+  test("spearman: null x/y rows drop; singleton groups yield null rho") {
+    val df = Seq(
+      ("a", Some(1L), Some(1L), 1L), ("a", Some(2L), Some(2L), 2L),
+      ("a", None, Some(9L), 3L), ("a", Some(9L), None, 4L),
+      ("s", Some(7L), Some(7L), 5L)).toDF("g", "x", "y", "id")
+    val out = Stats.spearman(df, Seq("g"), "x", "y", "id")
+      .as[(String, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    out("a") shouldBe ((2L, Some(1000000L)))
+    out("s") shouldBe ((1L, None))
+  }
+
+  test("spearman is a pure function of the data, not its partitioning") {
+    val rnd = new scala.util.Random(41)
+    val rows = (1 to 500).map(i =>
+      ("g" + (i % 3), rnd.nextInt(40).toLong, rnd.nextInt(40).toLong, i.toLong))
+    val expected = rho(rows, parts = 1)
+    for (parts <- Seq(3, 16)) {
+      withClue(s"parts=$parts") { rho(rows, parts) shouldBe expected }
+    }
+  }
 }

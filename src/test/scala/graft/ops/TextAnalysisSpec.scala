@@ -536,6 +536,18 @@ class TextAnalysisSpec extends SparkTestBase {
     }
   }
 
+  test("withGroupRank equals the per-group row_number, any partitioning") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (1L to 83L).map(i => (i, "g" + (i % 4), (i * 37) % 19)).toDF("id", "g", "key")
+    val expected = df.withColumn("r",
+      row_number().over(Window.partitionBy($"g").orderBy($"key", $"id")).cast("long"))
+      .select($"id", $"r").as[(Long, Long)].collect().toMap
+    for (parts <- Seq(1, 3, 8)) {
+      TextAnalysis.withGroupRank(df.repartition(parts), "r", Seq("g"), $"key", $"id")
+        .select($"id", $"r").as[(Long, Long)].collect().toMap shouldBe expected
+    }
+  }
+
   test("deterministicShuffle draws a reproducible salt-keyed permutation") {
     val df = (1L to 40L).toDF("doc_id")
     def ranks(salt: String): Seq[Long] =
