@@ -754,6 +754,38 @@ private[graft] trait QueriesCuration extends QueryHelpers { this: QueryBattery =
     """SELECT event_type, count(*) AS est FROM events GROUP BY event_type"""
 
   /**
+   * `join_size_cms`: [[graft.ops.Sketches.cmsJoinSize]] — the equi-join
+   * output size of the even- vs odd-user event halves on event_type,
+   * estimated purely from merged daily CMS grids (the pre-flight
+   * shuffle-size check: no scan of either side at estimate time). At
+   * event-type cardinality the 1024-cell rows are collision-free, so the
+   * inner product replays the EXACT join size and the oracle
+   * hash-matches the plain count-join — the same exactness regime
+   * `cms_counts` pins; the collision-regime upper bound is spec'd in
+   * SketchesSpec.
+   */
+  def joinSizeCms(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val ev = events(dir).select(col("event_type"),
+      to_date(col("ts").cast("timestamp")).as("day"),
+      (col("user_id") % 2 === 0).as("in_a"))
+    def side(f: Column, as: String) = graft.ops.Sketches.reRollupCms(
+      graft.ops.Sketches.cmsRollup(ev.where(f), Seq("day"), "event_type"), Seq.empty)
+      .withColumnRenamed("cms", as)
+    side(col("in_a"), "ca").crossJoin(broadcast(side(!col("in_a"), "cb")))
+      .select(graft.ops.Sketches.cmsJoinSize(col("ca"), col("cb"))
+        .as("est_join_size"))
+  }
+
+  val joinSizeCmsSql: String =
+    """SELECT CAST(sum(a.n * b.n) AS BIGINT) AS est_join_size
+       FROM (SELECT event_type, count(*) AS n FROM events
+             WHERE user_id % 2 = 0 GROUP BY 1) a
+       JOIN (SELECT event_type, count(*) AS n FROM events
+             WHERE user_id % 2 <> 0 GROUP BY 1) b
+       USING (event_type)"""
+
+  /**
    * `embedding_drift`: [[graft.ops.Drift.embeddingDriftFromMeans]] over
    * even/odd snapshot slices of the embeddings table, the odd slice
    * re-encoded with a synthetic 1.1x scale regression — the centroid

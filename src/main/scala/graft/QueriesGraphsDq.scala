@@ -783,4 +783,105 @@ private[graft] trait QueriesGraphsDq extends QueryHelpers { this: QueryBattery =
                    ELSE 1000000 - sd2 * 6000000 // (n * (n * n - 1))
                    END AS BIGINT) AS rho_ppm
        FROM a"""
+
+  /**
+   * `label_agreement`: exact Cohen's kappa per event type
+   * ([[graft.ops.Stats.cohenKappa]]) between two deterministic value-tier
+   * "raters" with shifted cut points — the chance-corrected
+   * label-agreement audit (two classifier versions, human-vs-model
+   * labels). The single-division form `(n·agree − S)·1e6 DIV (n² − S)`
+   * replays digit-for-digit in HUGEINT.
+   */
+  def labelAgreement(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    def tier(lo: Long, hi: Long) =
+      when(col("cents") < lo, "low").when(col("cents") < hi, "mid").otherwise("high")
+    val ev = events(dir).where(col("value").isNotNull)
+      .select(col("event_type"), cents(col("value")).as("cents"))
+      .select(col("event_type"), tier(2000, 6000).as("ra"), tier(2500, 5500).as("rb"))
+    graft.ops.Stats.cohenKappa(ev, Seq("event_type"), "ra", "rb")
+  }
+
+  val labelAgreementSql: String =
+    """WITH e AS (SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS cents
+                  FROM events WHERE value IS NOT NULL),
+       r AS (SELECT event_type,
+               CASE WHEN cents < 2000 THEN 'low' WHEN cents < 6000 THEN 'mid'
+                    ELSE 'high' END AS a,
+               CASE WHEN cents < 2500 THEN 'low' WHEN cents < 5500 THEN 'mid'
+                    ELSE 'high' END AS b
+             FROM e),
+       agg AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+                 CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS HUGEINT) AS agree
+               FROM r GROUP BY 1),
+       na AS (SELECT event_type, a AS label, CAST(count(*) AS HUGEINT) AS na
+              FROM r GROUP BY 1, 2),
+       nb AS (SELECT event_type, b AS label, CAST(count(*) AS HUGEINT) AS nb
+              FROM r GROUP BY 1, 2),
+       s AS (SELECT event_type, sum(na * nb) AS s
+             FROM na JOIN nb USING (event_type, label) GROUP BY 1)
+       SELECT event_type, CAST(n AS BIGINT) AS n,
+              CAST(agree * 1000000 // n AS BIGINT) AS po_ppm,
+              CAST(s * 1000000 // (n * n) AS BIGINT) AS pe_ppm,
+              CAST(CASE WHEN n * n = s THEN NULL
+                   ELSE (n * agree - s) * 1000000 // (n * n - s)
+                   END AS BIGINT) AS kappa_ppm
+       FROM agg JOIN s USING (event_type)"""
+
+  /** Shared Spark frame for the two calibration queries: spend cents as a
+    * [0, 1e6] "confidence" score, a user-keyed boolean as the outcome. */
+  private def calibrationInput(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    events(dir).where(col("value").isNotNull)
+      .select(col("event_type"),
+        least(cents(col("value")), lit(1000000L)).as("score_ppm"),
+        (col("user_id") % 3 === 0).as("good"))
+  }
+
+  /** Shared DuckDB CTEs replaying [[calibrationInput]] + the bin rows. */
+  private val sqlCalibrationCells: String =
+    """e AS (SELECT event_type,
+             least(CAST(round(value * 100, 0) AS BIGINT), 1000000) AS score,
+             user_id % 3 = 0 AS good
+           FROM events WHERE value IS NOT NULL),
+       c AS (SELECT event_type,
+               CAST(least(greatest(score * 10 // 1000000, 0), 9) AS BIGINT) AS bin,
+               count(*) AS n,
+               CAST(sum(CAST(score AS HUGEINT)) // count(*) AS BIGINT) AS mean_score_ppm,
+               CAST(CAST(sum(CASE WHEN good THEN 1 ELSE 0 END) AS HUGEINT) * 1000000
+                    // count(*) AS BIGINT) AS pos_rate_ppm
+             FROM e GROUP BY 1, 2)"""
+
+  /**
+   * `score_calibration`: reliability-diagram rows per event type
+   * ([[graft.ops.Stats.calibrationBins]]) — spend cents clamped to the
+   * ppm domain as a stand-in confidence score, fixed-width bins so
+   * slices re-aggregate bin-for-bin; every truncated mean/rate replays.
+   */
+  def scoreCalibration(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.calibrationBins(calibrationInput(spark, dir),
+      Seq("event_type"), "score_ppm", "good", bins = 10)
+
+  val scoreCalibrationSql: String =
+    s"""WITH $sqlCalibrationCells
+       SELECT event_type, bin, n, mean_score_ppm, pos_rate_ppm FROM c"""
+
+  /**
+   * `calibration_ece`: the one-number finisher over the same bins
+   * ([[graft.ops.Stats.eceFromBins]]) — bin-mass-weighted
+   * |pos_rate − mean_score|, the gate a classifier-drift alarm watches.
+   */
+  def calibrationEce(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.eceFromBins(
+      graft.ops.Stats.calibrationBins(calibrationInput(spark, dir),
+        Seq("event_type"), "score_ppm", "good", bins = 10),
+      Seq("event_type"))
+
+  val calibrationEceSql: String =
+    s"""WITH $sqlCalibrationCells
+       SELECT event_type, CAST(sum(n) AS BIGINT) AS n,
+              CAST(CASE WHEN sum(n) = 0 THEN NULL
+                   ELSE sum(CAST(n AS HUGEINT) * abs(pos_rate_ppm - mean_score_ppm))
+                        // sum(n) END AS BIGINT) AS ece_ppm
+       FROM c GROUP BY 1"""
 }

@@ -39,7 +39,7 @@ object ScaleCheck {
     "running_total", "kcore", "bfs_reach",
     "gap_fill", "cusum", "trailing", "zorder",
     "basket_lift", "time_weighted_load", "damerau_pairs", "rrf_fusion",
-    "attribution_linear", "blocklist")
+    "attribution_linear", "blocklist", "spearman")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -607,6 +607,17 @@ object ScaleCheck {
           .select(col("query_id"), col("doc_id"), col("n_matched")),
         "n_matched", k = 20)
       ops.Retrieval.rrfFuse(Seq(lex, overlap), k0 = 60, k = 10)
+    }
+    // groups stay 5 event types while rows grow 20x — each group FAR
+    // exceeds one partition at 20x, which is exactly the case the
+    // withGroupRank range recipe exists for (a hash-window formulation
+    // would put 400k-row groups on single reducers)
+    time("spearman") {
+      ops.Stats.spearman(
+        bigEvents.select(col("event_type"),
+          (col("value") * 100).cast("long").as("cents"),
+          unix_micros(col("ts")).as("us"), col("event_id")),
+        Seq("event_type"), "cents", "us", "event_id")
     }
     // users grow 20x (re-keyed), per-user history is data-constant: the
     // ONE user-keyed exchange carries 20x rows over 20x keys, per-key

@@ -214,6 +214,35 @@ object Sketches {
     graft.functions.functions.cms_estimate(sketch, key.cast("string"), width, depth)
 
   /**
+   * Estimated EQUI-JOIN OUTPUT SIZE between the two multisets the grids
+   * summarize (Cormode & Muthukrishnan's inner-product estimate): per
+   * depth row, the dot product of the two count rows; the estimate is the
+   * MIN over rows. Each row's dot product >= the true join size
+   * `sum_k a_k * b_k` (collisions only add), so the estimate is a
+   * deterministic upper bound, within `2 * n_a * n_b / width` with
+   * probability `1 - (1/2)^depth`.
+   *
+   * This is the pre-flight shuffle-size check at 100 TB: both sides'
+   * daily [[cmsRollup]] grids already exist for frequency monitoring, so
+   * "how many rows would `A join B on k` emit" costs a few KB of
+   * arithmetic — no scan, no shuffle, and it composes with [[reRollupCms]]
+   * (merge days first, then estimate the quarter join). Products
+   * accumulate in DECIMAL(38,0): two 1e12-row sides can meet in one cell
+   * before a LongType sum would wrap.
+   *
+   * Both grids must share `width`/`depth` (and the builds' key casts).
+   */
+  def cmsJoinSize(a: Column, b: Column, width: Int = 1024, depth: Int = 4): Column = {
+    val rowDots = (0 until depth).map { d =>
+      aggregate(
+        zip_with(slice(a, d * width + 1, width), slice(b, d * width + 1, width),
+          (x, y) => x.cast("decimal(38,0)") * y),
+        lit(0L).cast("decimal(38,0)"), (acc, v) => acc + v)
+    }
+    least(rowDots: _*).cast("long")
+  }
+
+  /**
    * EXACT per-group percentiles at any scale — the no-one-reducer twin of
    * both [[quantileSketch]] (approximate, mergeable) and Spark's
    * `percentile` aggregate (exact, but its buffer COLLECTS every value of

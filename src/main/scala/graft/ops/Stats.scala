@@ -210,6 +210,122 @@ object Stats {
   }
 
   /**
+   * Exact Cohen's kappa per group, in ppm — chance-corrected agreement
+   * between two CATEGORICAL labelings of the same rows: two annotators,
+   * two versions of a quality classifier, model-vs-human labels. Raw
+   * percent-agree rewards skewed label distributions; kappa subtracts the
+   * agreement two independent raters with these marginals would reach by
+   * luck ("both say 'good' 95% of the time" scores near 0, not 0.9).
+   *
+   * Single-division exact form (no composed truncations):
+   * `kappa_ppm = (n*agree - S) * 1e6 DIV (n² - S)` where
+   * `S = Σ_label n_a(label) * n_b(label)` — algebraically
+   * `(po - pe) / (1 - pe)` with `po = agree/n`, `pe = S/n²`. The
+   * companion `po_ppm`/`pe_ppm` surface the ingredients (each one
+   * truncated division). Null kappa when `n² = S` (both raters constant
+   * and identical — chance explains everything) or `n = 0`; rows with a
+   * null label on either side are dropped first. DECIMAL(38,0) holds
+   * `n² * 1e6` to ~3e15 rows per group.
+   *
+   * Scale: ONE agree/count agg over the rows + ONE (group, label) count
+   * agg over the two-sided label union (map-side combined; the union
+   * reads the grouped frame twice, label frames are label-sized) + a
+   * group-sized join. Output: group cols + `(n, po_ppm, pe_ppm,
+   * kappa_ppm)`.
+   */
+  def cohenKappa(
+      df: DataFrame,
+      groupCols: Seq[String],
+      aCol: String,
+      bCol: String): DataFrame = {
+    val base = df.where(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select((groupCols.map(col) :+ col(aCol).as("__a") :+ col(bCol).as("__b")): _*)
+    val gkey = groupCols.map(col)
+    val agree = base.groupBy(gkey: _*)
+      .agg(count(lit(1)).cast("DECIMAL(38,0)").as("__n"),
+        sum(when(col("__a") === col("__b"), 1L).otherwise(0L))
+          .cast("DECIMAL(38,0)").as("__agree"))
+    val labels = base.select((gkey :+ col("__a").as("__label") :+ lit(1L).as("__isa")): _*)
+      .unionByName(base.select((gkey :+ col("__b").as("__label") :+ lit(0L).as("__isa")): _*))
+      .groupBy((gkey :+ col("__label")): _*)
+      .agg(sum(col("__isa")).cast("DECIMAL(38,0)").as("__na"),
+        sum(lit(1L) - col("__isa")).cast("DECIMAL(38,0)").as("__nb"))
+      .groupBy(gkey: _*)
+      .agg(sum(col("__na") * col("__nb")).as("__s"))
+    agree.join(labels, groupCols)
+      .withColumn("n", col("__n").cast("long"))
+      .withColumn("po_ppm",
+        expr("CAST(CASE WHEN __n = 0 THEN NULL " +
+          "ELSE __agree * 1000000 DIV __n END AS BIGINT)"))
+      .withColumn("pe_ppm",
+        expr("CAST(CASE WHEN __n = 0 THEN NULL " +
+          "ELSE __s * 1000000 DIV (__n * __n) END AS BIGINT)"))
+      .withColumn("kappa_ppm",
+        expr("CAST(CASE WHEN __n = 0 OR __n * __n = __s THEN NULL " +
+          "ELSE (__n * __agree - __s) * 1000000 DIV (__n * __n - __s) " +
+          "END AS BIGINT)"))
+      .select((groupCols.map(col) ++ Seq(col("n"), col("po_ppm"),
+        col("pe_ppm"), col("kappa_ppm"))): _*)
+  }
+
+  /**
+   * Exact calibration table for a [0, 1e6]-ppm score against a boolean
+   * outcome — "when the quality classifier says 700k, is the doc good
+   * ~70% of the time?". Equal-width bins over the FIXED ppm domain
+   * (`bin = least(score * bins DIV 1e6, bins - 1)`; fixed edges, not
+   * quantiles, so slices/days re-aggregate bin-for-bin and replay
+   * digit-for-digit). Per (group, bin): `n`, `mean_score_ppm`
+   * (truncated), `pos_rate_ppm` — the reliability-diagram rows. Scores
+   * outside [0, 1e6] are a caller bug: clamped into the edge bins so
+   * mass is conserved (same law as the streaming histogram cells).
+   *
+   * ONE (group, bin) agg, map-side combined; output is bins-sized.
+   */
+  def calibrationBins(
+      df: DataFrame,
+      groupCols: Seq[String],
+      scorePpmCol: String,
+      outcomeCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins > 0, "calibrationBins needs at least one bin")
+    df.where(col(scorePpmCol).isNotNull && col(outcomeCol).isNotNull)
+      .withColumn("bin",
+        least(greatest(expr(s"$scorePpmCol * $bins DIV 1000000"), lit(0L)),
+          lit(bins - 1L)).cast("long"))
+      .groupBy((groupCols.map(col) :+ col("bin")): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col(scorePpmCol).cast("DECIMAL(38,0)")).as("__sum_score"),
+        sum(when(col(outcomeCol), 1L).otherwise(0L)).cast("DECIMAL(38,0)").as("__pos"))
+      .withColumn("mean_score_ppm",
+        expr("CAST(__sum_score DIV n AS BIGINT)"))
+      .withColumn("pos_rate_ppm",
+        expr("CAST(__pos * 1000000 DIV n AS BIGINT)"))
+      .select((groupCols.map(col) ++ Seq(col("bin"), col("n"),
+        col("mean_score_ppm"), col("pos_rate_ppm"))): _*)
+  }
+
+  /**
+   * Expected calibration error from a [[calibrationBins]] frame:
+   * `ece_ppm = Σ_bin n_bin * |pos_rate - mean_score| DIV n` — the
+   * bin-mass-weighted gap between claimed confidence and observed rate,
+   * the one-number summary a classifier gate alarms on. Mergeable the
+   * same way the bins are: re-aggregate bin rows across slices first
+   * (sum `n`, recompute rates from re-summed numerators is the EXACT
+   * path — or call this on the whole-data bins as built). Output: group
+   * cols + `(n, ece_ppm)`.
+   */
+  def eceFromBins(binsDf: DataFrame, groupCols: Seq[String]): DataFrame =
+    binsDf
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("n")).cast("DECIMAL(38,0)").as("__n"),
+        sum(col("n").cast("DECIMAL(38,0)") *
+          abs(col("pos_rate_ppm") - col("mean_score_ppm"))).as("__w"))
+      .withColumn("n", col("__n").cast("long"))
+      .withColumn("ece_ppm",
+        expr("CAST(CASE WHEN __n = 0 THEN NULL ELSE __w DIV __n END AS BIGINT)"))
+      .select((groupCols.map(col) ++ Seq(col("n"), col("ece_ppm"))): _*)
+
+  /**
    * Exact 2-D Pareto front (skyline), MAXIMIZING both columns: rows kept
    * iff no other row is >= in both dimensions and strictly greater in at
    * least one — "cheapest-for-its-size" style frontier queries (negate a

@@ -305,4 +305,47 @@ class SketchesSpec extends SparkTestBase {
       Sketches.weightedPercentiles(big.repartition(11), "g", "v", "w", Seq(50, 90))
         .collect().map(_.toSeq).toSet
   }
+
+  private def joinSizeEst(a: Seq[String], b: Seq[String], width: Int, depth: Int): Long = {
+    val sa = Sketches.cmsRollup(a.toDF("key"), Seq.empty, "key", width, depth)
+      .withColumnRenamed("cms", "ca")
+    val sb = Sketches.cmsRollup(b.toDF("key"), Seq.empty, "key", width, depth)
+      .withColumnRenamed("cms", "cb")
+    sa.crossJoin(sb).select(Sketches.cmsJoinSize($"ca", $"cb", width, depth))
+      .as[Long].head()
+  }
+
+  test("cms join size: exact inner product in the wide-grid regime, 0 when disjoint") {
+    val a = Seq("x", "x", "x", "y", "z", "z")
+    val b = Seq("x", "y", "y", "y", "w")
+    // true join size = 3*1 + 1*3 = 6
+    joinSizeEst(a, b, 4096, 4) shouldBe 6L
+    joinSizeEst(a, Seq("p", "q", "q"), 4096, 4) shouldBe 0L
+  }
+
+  test("cms join size never undershoots the true size in the collision regime") {
+    val rnd = new scala.util.Random(7)
+    val a = Seq.fill(500)("k" + rnd.nextInt(120))
+    val b = Seq.fill(400)("k" + rnd.nextInt(120))
+    val truth = a.groupBy(identity).map { case (k, xs) =>
+      xs.size.toLong * b.count(_ == k) }.sum
+    val est = joinSizeEst(a, b, 16, 4) // heavy collisions at width 16
+    est should be >= truth
+    est should be <= truth + 2L * a.size * b.size / 16
+  }
+
+  test("cms join size composes with the merge path: re-rolled days == direct build") {
+    val rnd = new scala.util.Random(13)
+    val rows = Seq.fill(300)((rnd.nextInt(3), "k" + rnd.nextInt(40)))
+    val probe = Sketches.cmsRollup(Seq.fill(50)("k" + 7).toDF("key"),
+      Seq.empty, "key", 64, 4).withColumnRenamed("cms", "cb")
+    def est(skA: org.apache.spark.sql.DataFrame): Long =
+      skA.withColumnRenamed("cms", "ca").crossJoin(probe)
+        .select(Sketches.cmsJoinSize($"ca", $"cb", 64, 4)).as[Long].head()
+    val direct = est(Sketches.cmsRollup(rows.toDF("day", "key"), Seq.empty, "key", 64, 4))
+    val merged = est(Sketches.reRollupCms(
+      Sketches.cmsRollup(rows.toDF("day", "key"), Seq("day"), "key", 64, 4),
+      Seq.empty, 64, 4))
+    merged shouldBe direct
+  }
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.testkit.SparkTestBase
+import org.apache.spark.sql.functions._
 
 class StatsSpec extends SparkTestBase {
   import spark.implicits._
@@ -200,6 +201,88 @@ class StatsSpec extends SparkTestBase {
       .map(r => r._1 -> ((r._2, r._3))).toMap
     out("a") shouldBe ((2L, Some(1000000L)))
     out("s") shouldBe ((1L, None))
+  }
+
+  private def kappa(rows: Seq[(String, String, String)], parts: Int = 4) =
+    Stats.cohenKappa(rows.toDF("g", "a", "b").repartition(parts), Seq("g"), "a", "b")
+      .as[(String, Long, Option[Long], Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+
+  test("cohenKappa: hand-computed digits; perfect = 1e6, anti-agreement = -1e6") {
+    // n=4 agree=3, na(x)=2 na(y)=2, nb(x)=1 nb(y)=3, S=8:
+    // po=750000 pe=500000 kappa=(12-8)e6 DIV 8 = 500000
+    val out = kappa(Seq(
+      ("m", "x", "x"), ("m", "x", "y"), ("m", "y", "y"), ("m", "y", "y"),
+      ("p", "x", "x"), ("p", "y", "y"),
+      ("n", "x", "y"), ("n", "y", "x")))
+    out("m") shouldBe ((4L, Some(750000L), Some(500000L), Some(500000L)))
+    out("p") shouldBe ((2L, Some(1000000L), Some(500000L), Some(1000000L)))
+    out("n") shouldBe ((2L, Some(0L), Some(500000L), Some(-1000000L)))
+  }
+
+  test("cohenKappa: identical constant raters null out (chance explains all)") {
+    val out = kappa(Seq(("c", "x", "x"), ("c", "x", "x"), ("c", "x", "x")))
+    out("c") shouldBe ((3L, Some(1000000L), Some(1000000L), None))
+  }
+
+  test("cohenKappa: null labels drop; one-sided labels contribute zero to S") {
+    val df = Seq(
+      ("g", Some("x"), Some("x")), ("g", Some("z"), Some("w")),
+      ("g", None, Some("x")), ("g", Some("x"), None)).toDF("g", "a", "b")
+    // n=2 agree=1; na: x=1,z=1; nb: x=1,w=1; S = 1 (only x on both sides)
+    // po=500000 pe=250000 kappa=(2-1)e6 DIV (4-1)=333333
+    Stats.cohenKappa(df, Seq("g"), "a", "b")
+      .as[(String, Long, Option[Long], Option[Long], Option[Long])].collect()
+      .head shouldBe (("g", 2L, Some(500000L), Some(250000L), Some(333333L)))
+  }
+
+  test("cohenKappa is a pure function of the data, not its partitioning") {
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 400).map(_ =>
+      ("g" + rnd.nextInt(3), "l" + rnd.nextInt(4), "l" + rnd.nextInt(4)))
+    val expected = kappa(rows, parts = 1)
+    for (parts <- Seq(5, 16)) {
+      withClue(s"parts=$parts") { kappa(rows, parts) shouldBe expected }
+    }
+  }
+
+  test("calibrationBins + eceFromBins: hand-computed bins, clamps, weighted gap") {
+    val df = Seq(
+      (100000L, false), (200000L, true),           // bin 0 of 4
+      (600000L, true), (700000L, true), (650000L, false), // bin 2
+      (1000000L, true)                             // 4 -> clamped to bin 3
+    ).map { case (s, o) => ("g", s, o) }.toDF("g", "score", "good")
+    val bins = Stats.calibrationBins(df, Seq("g"), "score", "good", bins = 4)
+    bins.as[(String, Long, Long, Long, Long)].collect().toSet shouldBe Set(
+      ("g", 0L, 2L, 150000L, 500000L),
+      ("g", 2L, 3L, 650000L, 666666L),
+      ("g", 3L, 1L, 1000000L, 1000000L))
+    // ECE = (2*350000 + 3*16666 + 1*0) DIV 6 = 749998 DIV 6 = 124999
+    Stats.eceFromBins(bins, Seq("g")).as[(String, Long, Option[Long])]
+      .collect().head shouldBe (("g", 6L, Some(124999L)))
+  }
+
+  test("calibration bins re-aggregate across slices to the whole-data ECE") {
+    val rnd = new scala.util.Random(29)
+    val rows = (1 to 600).map(i =>
+      (i % 3, "g" + (i % 2), rnd.nextInt(1000001).toLong, rnd.nextBoolean()))
+    val whole = Stats.eceFromBins(
+      Stats.calibrationBins(rows.map(r => (r._2, r._3, r._4)).toDF("g", "s", "o"),
+        Seq("g"), "s", "o"), Seq("g"))
+      .as[(String, Long, Option[Long])].collect().toSet
+    // slice by day, re-sum the bin NUMERATORS, then finish — the exact path
+    val daily = rows.toDF("day", "g", "s", "o")
+      .groupBy($"day", $"g",
+        least(greatest(expr("s * 10 DIV 1000000"), lit(0L)), lit(9L)).as("bin"))
+      .agg(count(lit(1)).as("n"), sum($"s").as("sum_s"),
+        sum(when($"o", 1L).otherwise(0L)).as("pos"))
+    val merged = daily.groupBy($"g", $"bin")
+      .agg(sum($"n").as("n"), sum($"sum_s").as("sum_s"), sum($"pos").as("pos"))
+      .withColumn("mean_score_ppm", expr("CAST(sum_s DIV n AS BIGINT)"))
+      .withColumn("pos_rate_ppm",
+        expr("CAST(CAST(pos AS DECIMAL(38,0)) * 1000000 DIV n AS BIGINT)"))
+    Stats.eceFromBins(merged, Seq("g")).as[(String, Long, Option[Long])]
+      .collect().toSet shouldBe whole
   }
 
   test("spearman is a pure function of the data, not its partitioning") {
