@@ -642,4 +642,30 @@ private[graft] trait QueriesAnnCorpus extends QueryHelpers { this: QueryBattery 
   }
 
   // ---- round 5: curation planning + incremental corpus ops ------------
+
+  /**
+   * `vocab_growth`: [[graft.ops.TextAnalysis.vocabGrowth]] — the exact
+   * Heaps'-law curve over 50-doc slabs in doc_id order: new word types
+   * per slab plus running token/type totals, the marginal-vocabulary
+   * read a mixing decision wants beside `vocab_stats`. The oracle
+   * replays debut slabs (min doc_id DIV 50 per type) and both running
+   * sums with the shared tokenizer.
+   */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    TextAnalysis.vocabGrowth(t(dir, "documents"), "doc_id", "text", bucketSize = 50)
+  }
+
+  val vocabGrowthSql: String =
+    s"""WITH tok AS (SELECT doc_id // 50 AS b, unnest($Toks) AS t FROM documents),
+       pb AS (SELECT doc_id // 50 AS b, count(*) AS n_docs,
+                COALESCE(CAST(sum(len($Toks)) AS BIGINT), 0) AS n_tokens
+              FROM documents GROUP BY 1),
+       de AS (SELECT t, min(b) AS b FROM tok GROUP BY 1),
+       nt AS (SELECT b, count(*) AS new_types FROM de GROUP BY 1)
+       SELECT pb.b AS bucket, n_docs, n_tokens,
+              COALESCE(new_types, 0) AS new_types,
+              CAST(sum(n_tokens) OVER (ORDER BY pb.b) AS BIGINT) AS cum_tokens,
+              CAST(sum(COALESCE(new_types, 0)) OVER (ORDER BY pb.b) AS BIGINT) AS cum_types
+       FROM pb LEFT JOIN nt ON pb.b = nt.b"""
 }

@@ -1341,4 +1341,28 @@ private[graft] trait QueriesDedup extends QueryHelpers { this: QueryBattery =>
            p -> contains(lower(text), p))) AS term
          FROM documents WHERE text IS NOT NULL)
        GROUP BY term"""
+
+  /**
+   * `path_rollup`: [[Web.pathRollup]] over synthetic two-segment site
+   * URLs (`https://<source>.example.com/<lang>/p<doc_id%7>/<doc_id>`,
+   * depth-capped at 2) — the site-map rollup that prices crawl sections.
+   * The oracle rebuilds each URL's segment prefixes directly and counts;
+   * host parsing itself is hash-checked under `url_profile`.
+   */
+  def pathRollupQ(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val url = concat(lit("https://"), col("source"), lit(".example.com/"),
+      col("lang"), lit("/p"), (col("doc_id") % 7).cast("string"),
+      lit("/"), col("doc_id").cast("string"))
+    Web.pathRollup(t(dir, "documents").select(url.as("url")), "url", maxDepth = 2)
+  }
+
+  val pathRollupSql: String =
+    """WITH u AS (SELECT source || '.example.com' AS host, lang,
+                  'p' || CAST(doc_id % 7 AS VARCHAR) AS seg2 FROM documents),
+       p AS (SELECT host, CAST(1 AS BIGINT) AS depth, '/' || lang AS prefix FROM u
+             UNION ALL
+             SELECT host, CAST(2 AS BIGINT), '/' || lang || '/' || seg2 FROM u)
+       SELECT host, depth, prefix, count(*) AS n_urls
+       FROM p GROUP BY 1, 2, 3"""
 }

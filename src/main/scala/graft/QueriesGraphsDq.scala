@@ -884,4 +884,133 @@ private[graft] trait QueriesGraphsDq extends QueryHelpers { this: QueryBattery =
                    ELSE sum(CAST(n AS HUGEINT) * abs(pos_rate_ppm - mean_score_ppm))
                         // sum(n) END AS BIGINT) AS ece_ppm
        FROM c GROUP BY 1"""
+
+  /**
+   * `k_anonymity`: [[graft.ops.DataQuality.kAnonymity]] over the
+   * (event_type, exact-cents) quasi-identifier pair — the
+   * re-identifiability summary a release gate reads before shipping
+   * (exact spend amounts are notorious quasi-identifiers). Null values
+   * form a real class; every count and the one truncated ppm replay.
+   */
+  def kAnonymityQ(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    graft.ops.DataQuality.kAnonymity(
+      events(dir).select(col("event_type"), cents(col("value")).as("cents")),
+      Seq("event_type", "cents"), k = 5)
+  }
+
+  val kAnonymitySql: String =
+    """WITH c AS (SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS cents,
+                  count(*) AS cnt
+                FROM events GROUP BY 1, 2)
+       SELECT CAST(sum(cnt) AS BIGINT) AS n, count(*) AS n_classes,
+              min(cnt) AS min_class_size,
+              CAST(sum(CASE WHEN cnt < 5 THEN 1 ELSE 0 END) AS BIGINT) AS violating_classes,
+              CAST(sum(CASE WHEN cnt < 5 THEN cnt ELSE 0 END) AS BIGINT) AS violating_rows,
+              CAST(CAST(sum(CASE WHEN cnt < 5 THEN cnt ELSE 0 END) AS HUGEINT) * 1000000
+                   // sum(cnt) AS BIGINT) AS violating_rows_ppm
+       FROM c"""
+
+  /**
+   * `l_diversity`: [[graft.ops.DataQuality.lDiversity]] per
+   * (event_type, spend band) class with a user bucket as the sensitive
+   * value — the uniform-class screen k-anonymity alone misses. The
+   * oracle replays the two-level distinct collapse (null-safe, unlike a
+   * bare `count(DISTINCT ...)`).
+   */
+  def lDiversityQ(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    graft.ops.DataQuality.lDiversity(
+      events(dir).select(col("event_type"),
+        expr("CAST(round(value * 100, 0) AS BIGINT) DIV 1000").as("band"),
+        (col("user_id") % 7).as("bucket")),
+      Seq("event_type", "band"), "bucket", l = 5)
+  }
+
+  val lDiversitySql: String =
+    """WITH e AS (SELECT event_type,
+                  CAST(round(value * 100, 0) AS BIGINT) // 1000 AS band,
+                  user_id % 7 AS bucket FROM events),
+       c AS (SELECT event_type, band, bucket, count(*) AS cnt
+             FROM e GROUP BY 1, 2, 3)
+       SELECT event_type, band, CAST(sum(cnt) AS BIGINT) AS class_size,
+              count(*) AS n_sensitive, count(*) >= 5 AS diverse
+       FROM c GROUP BY 1, 2"""
+
+  /**
+   * `fd_violations`: [[graft.ops.DataQuality.fdViolations]] for the
+   * candidate rule source → lang — the g3 audit (minimum rows to delete
+   * for the FD to hold). The modal pick's null-first-then-smallest tie
+   * law replays as an explicit window order in the oracle.
+   */
+  def fdViolationsQ(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    graft.ops.DataQuality.fdViolations(t(dir, "documents"), "source", "lang")
+  }
+
+  val fdViolationsSql: String =
+    """WITH c AS (SELECT source, lang, count(*) AS cnt FROM documents GROUP BY 1, 2),
+       r AS (SELECT source, lang, cnt, row_number() OVER (
+               PARTITION BY source
+               ORDER BY cnt DESC, (lang IS NOT NULL), lang) AS rk FROM c),
+       a AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n, count(*) AS n_dep,
+               CAST(max(cnt) AS BIGINT) AS top_n FROM c GROUP BY 1)
+       SELECT a.source, a.n, a.n_dep, r.lang AS top_dep,
+              a.n - a.top_n AS violations,
+              CAST(CAST(a.n - a.top_n AS HUGEINT) * 1000000 // a.n AS BIGINT)
+                AS violation_ppm
+       FROM a JOIN r ON a.source = r.source AND r.rk = 1"""
+
+  /**
+   * `fleiss_kappa`: [[graft.ops.Stats.fleissKappa]] per lang over a
+   * balanced three-rater panel — three deterministic length-tier
+   * "raters" with shifted cut points label every document, the
+   * multi-rater generalization of `label_agreement`. Every subject has
+   * exactly 3 ratings by construction (the oracle still replays the
+   * balanced-panel exclusion); the single-division kappa replays
+   * digit-for-digit in HUGEINT.
+   */
+  def fleissKappaQ(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    def tier(lo: Long, hi: Long) =
+      when(col("n_chars") < lo, "low").when(col("n_chars") < hi, "mid")
+        .otherwise("high")
+    val ratings = t(dir, "documents").select(col("lang"), col("doc_id"),
+      explode(array(tier(150, 350), tier(180, 320), tier(200, 300))).as("cat"))
+    graft.ops.Stats.fleissKappa(ratings, Seq("lang"), "doc_id", "cat", 3)
+  }
+
+  val fleissKappaSql: String =
+    """WITH r AS (
+         SELECT lang, doc_id, CASE WHEN n_chars < 150 THEN 'low'
+                WHEN n_chars < 350 THEN 'mid' ELSE 'high' END AS cat FROM documents
+         UNION ALL
+         SELECT lang, doc_id, CASE WHEN n_chars < 180 THEN 'low'
+                WHEN n_chars < 320 THEN 'mid' ELSE 'high' END FROM documents
+         UNION ALL
+         SELECT lang, doc_id, CASE WHEN n_chars < 200 THEN 'low'
+                WHEN n_chars < 300 THEN 'mid' ELSE 'high' END FROM documents),
+       sc AS (SELECT lang, doc_id, cat, CAST(count(*) AS HUGEINT) AS cnt
+              FROM r GROUP BY 1, 2, 3),
+       subj AS (SELECT lang, doc_id, sum(cnt) AS tot, sum(cnt * (cnt - 1)) AS po
+                FROM sc GROUP BY 1, 2),
+       pg AS (SELECT lang,
+                sum(CASE WHEN tot = 3 THEN 1 ELSE 0 END) AS nsub,
+                sum(CASE WHEN tot <> 3 THEN 1 ELSE 0 END) AS nexc,
+                sum(CASE WHEN tot = 3 THEN po ELSE 0 END) AS po_num
+              FROM subj GROUP BY 1),
+       ct AS (SELECT sc.lang, sc.cat, sum(sc.cnt) AS cj
+              FROM sc JOIN subj ON sc.lang = subj.lang AND sc.doc_id = subj.doc_id
+              WHERE subj.tot = 3 GROUP BY 1, 2),
+       s AS (SELECT lang, sum(cj * cj) AS s FROM ct GROUP BY 1)
+       SELECT pg.lang, CAST(nsub AS BIGINT) AS n_subjects,
+              CAST(nexc AS BIGINT) AS n_excluded,
+              CAST(CASE WHEN nsub = 0 THEN NULL
+                   ELSE po_num * 1000000 // (nsub * 3 * 2) END AS BIGINT) AS po_ppm,
+              CAST(CASE WHEN nsub = 0 THEN NULL
+                   ELSE s.s * 1000000 // (nsub * 3 * nsub * 3) END AS BIGINT) AS pe_ppm,
+              CAST(CASE WHEN nsub = 0 OR nsub * 3 * nsub * 3 = s.s THEN NULL
+                   ELSE (po_num * nsub * 3 - 2 * s.s) * 1000000
+                        // (2 * (nsub * 3 * nsub * 3 - s.s)) END AS BIGINT) AS kappa_ppm
+       FROM pg LEFT JOIN s ON pg.lang = s.lang"""
 }

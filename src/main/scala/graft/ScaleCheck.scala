@@ -39,7 +39,7 @@ object ScaleCheck {
     "running_total", "kcore", "bfs_reach",
     "gap_fill", "cusum", "trailing", "zorder",
     "basket_lift", "time_weighted_load", "damerau_pairs", "rrf_fusion",
-    "attribution_linear", "blocklist", "spearman")
+    "attribution_linear", "blocklist", "spearman", "fleiss", "vocab_growth")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -618,6 +618,25 @@ object ScaleCheck {
           (col("value") * 100).cast("long").as("cents"),
           unix_micros(col("ts")).as("us"), col("event_id")),
         Seq("event_type"), "cents", "us", "event_id")
+    }
+    // subjects (re-keyed docs) grow 20x, groups stay 5 langs: the one
+    // row-sized exchange carries 20x (subject, category) rows over 20x
+    // keys; the cat/group finishers stay category-sized
+    time("fleiss") {
+      def tier(lo: Long, hi: Long) =
+        when(col("n_chars") < lo, "low").when(col("n_chars") < hi, "mid")
+          .otherwise("high")
+      ops.Stats.fleissKappa(
+        bigDocs.select(col("lang"), col("doc_id"),
+          explode(array(tier(150, 350), tier(180, 320), tier(200, 300))).as("cat")),
+        Seq("lang"), "doc_id", "cat", 3)
+    }
+    // docs and slabs grow 20x (disjoint re-keyed id ranges -> disjoint
+    // slabs); the vocabulary is data-constant, so the type-debut agg's
+    // OUTPUT stays fixed while its input grows 20x — map-side combine
+    // absorbs the growth, the slab window stays slab-sized
+    time("vocab_growth") {
+      ops.TextAnalysis.vocabGrowth(bigDocs, "doc_id", "text", bucketSize = 50)
     }
     // users grow 20x (re-keyed), per-user history is data-constant: the
     // ONE user-keyed exchange carries 20x rows over 20x keys, per-key

@@ -258,4 +258,106 @@ object DataQuality {
         expr("CAST(1000000 - __ss * 1000000 DIV (__n * __n) AS BIGINT)"))
       .drop("__ss", "__n")
   }
+
+  /**
+   * k-anonymity audit over a set of quasi-identifier columns (Sweeney
+   * 2002): every row whose quasi-identifier combination is shared by
+   * fewer than `k` rows is re-identifiable by joining those columns
+   * against an outside dataset — the privacy screen a training-data
+   * release runs BEFORE shipping, next to the PII scrubbers. Emits one
+   * summary row: `n` rows audited, `n_classes` distinct combinations,
+   * `min_class_size` (the table's actual k-anonymity level),
+   * `violating_classes` / `violating_rows` below `k`, and
+   * `violating_rows_ppm`. Null quasi-identifier values form real classes
+   * (null zip + null age is still a signature).
+   *
+   * ONE (quasi-id) count aggregation (map-side combined) + a class-sized
+   * summary agg: scan-bound at any scale, and the class frame is the
+   * natural input to a suppression/generalization pass.
+   */
+  def kAnonymity(df: DataFrame, quasiIdCols: Seq[String], k: Long): DataFrame = {
+    require(quasiIdCols.nonEmpty, "kAnonymity needs at least one quasi-identifier")
+    require(k >= 1, s"k must be >= 1, got $k")
+    df.groupBy(quasiIdCols.map(col): _*)
+      .agg(count(lit(1)).as("__cnt"))
+      .agg(sum(col("__cnt")).cast("DECIMAL(38,0)").as("__n"),
+        count(lit(1)).as("n_classes"),
+        min(col("__cnt")).as("min_class_size"),
+        sum(when(col("__cnt") < k, 1L).otherwise(0L)).as("violating_classes"),
+        sum(when(col("__cnt") < k, col("__cnt")).otherwise(0L))
+          .cast("DECIMAL(38,0)").as("__vr"))
+      .withColumn("n", col("__n").cast("long"))
+      .withColumn("violating_rows", col("__vr").cast("long"))
+      .withColumn("violating_rows_ppm",
+        expr("CAST(CASE WHEN __n = 0 THEN NULL " +
+          "ELSE __vr * 1000000 DIV __n END AS BIGINT)"))
+      .select(col("n"), col("n_classes"), col("min_class_size"),
+        col("violating_classes"), col("violating_rows"),
+        col("violating_rows_ppm"))
+  }
+
+  /**
+   * Distinct l-diversity audit (Machanavajjhala 2007) — k-anonymity's
+   * necessary complement: a class of 50 rows that all share ONE sensitive
+   * value discloses that value to anyone who can place a person in the
+   * class, however large the class is. Per quasi-identifier class:
+   * `class_size`, `n_sensitive` distinct sensitive values (nulls count —
+   * "sensitive value withheld" is itself a value), and `diverse` =
+   * whether the class meets `l`. Classes below `l` are the rows to
+   * suppress or generalize; feed this frame's failures back into the
+   * release gate beside [[kAnonymity]]'s summary.
+   *
+   * ONE (quasi-id, sensitive) dedup-count aggregation + one class agg,
+   * both map-side combined — the distinct collapses before the exchange,
+   * so a skewed sensitive column cannot flood the shuffle.
+   */
+  def lDiversity(
+      df: DataFrame,
+      quasiIdCols: Seq[String],
+      sensitiveCol: String,
+      l: Long): DataFrame = {
+    require(quasiIdCols.nonEmpty, "lDiversity needs at least one quasi-identifier")
+    require(l >= 1, s"l must be >= 1, got $l")
+    val qids = quasiIdCols.map(col)
+    df.groupBy((qids :+ col(sensitiveCol).as("__sv")): _*)
+      .agg(count(lit(1)).as("__cnt"))
+      .groupBy(qids: _*)
+      .agg(sum(col("__cnt")).cast("long").as("class_size"),
+        count(lit(1)).as("n_sensitive"))
+      .withColumn("diverse", col("n_sensitive") >= l)
+  }
+
+  /**
+   * Approximate-functional-dependency audit for a candidate rule
+   * `detCol -> depCol` ("source determines lang", "zip determines
+   * state"): per determinant value, the rows that DISAGREE with the
+   * modal dependent value are the violations — `g3` in the FD-discovery
+   * literature (the minimum rows to delete for the FD to hold exactly).
+   * Emits per-determinant rows: `n`, `n_dep` distinct dependent values,
+   * the modal value `top_dep` (count ties broken null-first then by
+   * smallest value — a total order, so the pick replays in any engine),
+   * `violations`
+   * `= n - top_n`, and `violation_ppm`. Sum `violations` across the
+   * frame for the table-level g3; a clean FD is all-zeros. Null
+   * dependent values are a real (modal-eligible) value; null
+   * determinants form a real class.
+   *
+   * ONE (det, dep) count aggregation, then a det-sized max_by/sum agg
+   * riding the same partitioning (Catalyst collapses the pair into two
+   * map-side-combined exchanges over VALUE frames, never rows).
+   */
+  def fdViolations(df: DataFrame, detCol: String, depCol: String): DataFrame =
+    df.groupBy(col(detCol), col(depCol).as("__dep"))
+      .agg(count(lit(1)).as("__cnt"))
+      .groupBy(col(detCol))
+      .agg(sum(col("__cnt")).cast("long").as("n"),
+        count(lit(1)).as("n_dep"),
+        min_by(col("__dep"), struct((-col("__cnt")).as("nc"),
+          when(col("__dep").isNull, 0L).otherwise(1L).as("nullity"),
+          col("__dep").as("d"))).as("top_dep"),
+        max(col("__cnt")).cast("long").as("__top_n"))
+      .withColumn("violations", col("n") - col("__top_n"))
+      .withColumn("violation_ppm",
+        expr("CAST(CAST(violations AS DECIMAL(38,0)) * 1000000 DIV n AS BIGINT)"))
+      .drop("__top_n")
 }

@@ -269,6 +269,87 @@ object Stats {
   }
 
   /**
+   * Exact Fleiss' kappa per group — [[cohenKappa]]'s generalization to
+   * ANY fixed number of raters: `ratingsPerSubject` categorical ratings
+   * per subject (3 annotators per document, 5 model votes per prompt),
+   * rater identity irrelevant. Input is LONG form: one row per rating
+   * `(group, subject, category)`. Subjects whose rating count differs
+   * from `ratingsPerSubject` are excluded (Fleiss' statistic is only
+   * defined on a balanced panel) and surfaced in `n_excluded` — an
+   * unexpectedly large value means the upstream join dropped ratings.
+   *
+   * With `N` kept subjects, `n = ratingsPerSubject`, per-subject
+   * category counts `n_ij`, category totals `C_j` and `S = Σ_j C_j²`:
+   * `P̄o = Σ_ij n_ij(n_ij−1) / (N·n·(n−1))`, `P̄e = S / (N·n)²`, and the
+   * single-division exact form used here is
+   * `kappa_ppm = (Po_num·N·n − (n−1)·S) · 1e6 DIV ((n−1)·((N·n)² − S))`
+   * — algebraically `(P̄o − P̄e)/(1 − P̄e)` with every intermediate an
+   * integer. Null when every rating lands in one category (`S = (N·n)²`
+   * — chance explains everything) or `N = 0`. Null categories are a
+   * real category. DECIMAL(38,0) holds `(N·n)²·1e6` to ~3e15 ratings
+   * per group.
+   *
+   * Shape: ONE linear pipeline of four map-side-combined aggregations —
+   * (group, subject, category) counts (the only row-sized exchange),
+   * (group, subject) with the subject's per-category counts collected
+   * (bounded by `n` entries), a posexplode whose position-0 row carries
+   * the subject-level stats so the (group, category) agg accumulates
+   * subject AND category sums in one pass, and a group-sized finisher.
+   * No join, no branch that would recompute the row-sized agg. Output:
+   * group cols + `(n_subjects, n_excluded, po_ppm, pe_ppm, kappa_ppm)`.
+   */
+  def fleissKappa(
+      df: DataFrame,
+      groupCols: Seq[String],
+      subjectCol: String,
+      categoryCol: String,
+      ratingsPerSubject: Int): DataFrame = {
+    require(ratingsPerSubject >= 2,
+      s"fleissKappa needs >= 2 ratings per subject, got $ratingsPerSubject")
+    val n = ratingsPerSubject.toLong
+    val g = groupCols.map(col)
+    val sc = df.groupBy((g :+ col(subjectCol).as("__subj") :+
+        col(categoryCol).as("__cat")): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    val subj = sc.groupBy((g :+ col("__subj")): _*)
+      .agg(sum(col("__cnt")).as("__tot"),
+        sum(col("__cnt") * (col("__cnt") - 1L)).as("__po"),
+        collect_list(struct(col("__cat").as("c"), col("__cnt").as("k")))
+          .as("__cats"))
+    val exploded = subj.select((g :+ col("__tot") :+ col("__po") :+
+      posexplode(col("__cats")).as(Seq("__pos", "__e"))): _*)
+    val byCat = exploded
+      .groupBy((g :+ col("__e.c").as("__cat")): _*)
+      .agg(sum(when(col("__tot") === n, col("__e.k")).otherwise(0L))
+          .cast("DECIMAL(38,0)").as("__cj"),
+        sum(when(col("__pos") === 0 && col("__tot") === n, 1L).otherwise(0L))
+          .as("__ns"),
+        sum(when(col("__pos") === 0 && col("__tot") =!= n, 1L).otherwise(0L))
+          .as("__ne"),
+        sum(when(col("__pos") === 0 && col("__tot") === n, col("__po"))
+          .otherwise(0L)).as("__pop"))
+    byCat.groupBy(g: _*)
+      .agg(sum(col("__cj") * col("__cj")).as("__s"),
+        sum(col("__ns")).as("n_subjects"),
+        sum(col("__ne")).as("n_excluded"),
+        sum(col("__pop")).cast("DECIMAL(38,0)").as("__po_num"))
+      .withColumn("__nn",
+        (col("n_subjects") * n).cast("DECIMAL(38,0)"))
+      .withColumn("po_ppm",
+        expr(s"CAST(CASE WHEN n_subjects = 0 THEN NULL " +
+          s"ELSE __po_num * 1000000 DIV (__nn * ${n - 1}L) END AS BIGINT)"))
+      .withColumn("pe_ppm",
+        expr("CAST(CASE WHEN n_subjects = 0 THEN NULL " +
+          "ELSE __s * 1000000 DIV (__nn * __nn) END AS BIGINT)"))
+      .withColumn("kappa_ppm",
+        expr(s"CAST(CASE WHEN n_subjects = 0 OR __nn * __nn = __s THEN NULL " +
+          s"ELSE (__po_num * __nn - ${n - 1}L * __s) * 1000000 " +
+          s"DIV (${n - 1}L * (__nn * __nn - __s)) END AS BIGINT)"))
+      .select((groupCols.map(col) ++ Seq(col("n_subjects"), col("n_excluded"),
+        col("po_ppm"), col("pe_ppm"), col("kappa_ppm"))): _*)
+  }
+
+  /**
    * Exact calibration table for a [0, 1e6]-ppm score against a boolean
    * outcome — "when the quality classifier says 700k, is the doc good
    * ~70% of the time?". Equal-width bins over the FIXED ppm domain

@@ -993,6 +993,53 @@ object TextAnalysis {
         expr("CAST(CAST(hapax_terms AS DECIMAL(38,0)) * 1000000 DIV n_terms AS BIGINT)"))
 
   /**
+   * Exact vocabulary-growth (Heaps'-law) curve: how many NEW word types
+   * each successive slab of the corpus contributes, in the canonical
+   * document order given by `idCol`. Emits one row per occupied slab of
+   * `bucketSize` consecutive ids — `(bucket, n_docs, n_tokens,
+   * new_types, cum_tokens, cum_types)` — the curve whose flattening
+   * says "more of this source adds volume, not vocabulary" (the
+   * marginal-value read a data-mixing decision wants beside
+   * [[vocabStats]]'s hapax share). A type's debut slab is
+   * `min(id) DIV bucketSize` over the docs containing it, so the curve
+   * is a pure function of the data and replays digit-for-digit.
+   *
+   * Shape: one explode + (type) min-agg — the vocabulary-sized exchange
+   * [[vocabStats]] already pays — plus two slab-sized count aggs; the
+   * running sums ride ONE unpartitioned window over the SLAB frame,
+   * which has `id_range / bucketSize` rows by construction: size
+   * `bucketSize` so that stays thousands (1e9 docs / 1e6 per slab =
+   * 1000 rows), never row- or type-sized.
+   */
+  def vocabGrowth(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      bucketSize: Long): org.apache.spark.sql.DataFrame = {
+    require(bucketSize >= 1, s"bucketSize must be >= 1, got $bucketSize")
+    import org.apache.spark.sql.expressions.Window
+    val bucket = expr(s"CAST($idCol AS BIGINT) DIV ${bucketSize}L")
+    val base = df.where(col(idCol).isNotNull)
+    val toks = base
+      .select(bucket.as("__b"), explode(tokens(col(textCol))).as("__t"))
+    val perBucket = base
+      .select(bucket.as("__b"),
+        greatest(coalesce(size(tokens(col(textCol))), lit(0)), lit(0))
+          .cast("long").as("__nt"))
+      .groupBy(col("__b"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("n_tokens"))
+    val debuts = toks.groupBy(col("__t")).agg(min(col("__b")).as("__b"))
+      .groupBy(col("__b")).agg(count(lit(1)).as("new_types"))
+    val w = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket.join(debuts, Seq("__b"), "left")
+      .withColumn("new_types", coalesce(col("new_types"), lit(0L)))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("cum_types", sum(col("new_types")).over(w))
+      .withColumnRenamed("__b", "bucket")
+  }
+
+  /**
    * Per-stratum document cap (the "domain cap" step of web-corpus curation:
    * no single domain may dominate the training mix): keep at most `maxDocs`
    * documents per stratum, chosen by hashed-id order so the kept set is an

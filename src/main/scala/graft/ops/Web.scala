@@ -363,4 +363,37 @@ object Web {
       .select(col("host"), col("__e.term").as("term"), col("__e.n").as("n"),
         (col("__pos") + 1).cast("long").as("rank"))
   }
+
+  /**
+   * Hierarchical URL-path rollup: every URL contributes a count to EACH
+   * of its path prefixes up to `maxDepth` segments deep — the site-map
+   * view of a crawl (`/docs` 1.2M pages, `/docs/api` 800k, ...) that
+   * drives per-section crawl budgeting and template detection (a prefix
+   * whose count ≈ one template's page count is a section, not content).
+   * Emits `(host, depth, prefix, n_urls)` with `prefix` =
+   * `/seg1/.../segd`; bare hosts and root paths contribute only to
+   * downstream host totals (no segments → no rows), empty segments from
+   * `//` collapse. Hosts are lowercased, ports stripped ([[urlHost]]);
+   * fragments and queries never count ([[urlPath]]).
+   *
+   * Per-row fan-out is `min(segments, maxDepth)` — row-linear × depth —
+   * into ONE (host, prefix) count agg, map-side combined; hot prefixes
+   * partial-aggregate before the exchange, so a template flood compacts
+   * in the map phase. Depth recomputes from the prefix, not a second
+   * shuffle key.
+   */
+  def pathRollup(df: DataFrame, urlCol: String, maxDepth: Int = 4): DataFrame = {
+    require(maxDepth >= 1, s"maxDepth must be >= 1, got $maxDepth")
+    val segs = filter(split(urlPath(col(urlCol)), "/"), s => s =!= "")
+    // sequence(1, 0) would DESCEND, not empty out — guard the bare-host case
+    val prefixes = when(size(segs) >= 1, transform(
+      sequence(lit(1), least(size(segs), lit(maxDepth))),
+      d => concat(lit("/"), array_join(slice(segs, lit(1), d), "/"))))
+      .otherwise(array().cast("array<string>"))
+    df.select(urlHost(col(urlCol)).as("host"), explode(prefixes).as("prefix"))
+      .groupBy(col("host"), col("prefix"))
+      .agg(count(lit(1)).as("n_urls"))
+      .withColumn("depth", (size(split(col("prefix"), "/")) - 1).cast("long"))
+      .select(col("host"), col("depth"), col("prefix"), col("n_urls"))
+  }
 }

@@ -418,6 +418,31 @@ class PlanInvariantsSpec extends SparkTestBase {
     check("spearman_corr", maxShuffles = 4)
   }
 
+  test("round-14 additions: agreement, calibration, privacy and web audits") {
+    // rows agg + two-sided label-union agg + group agg + group-sized join
+    check("label_agreement", maxShuffles = 3)
+    // ONE linear 4-agg pipeline: (g,subj,cat) counts -> subject collect ->
+    // posexplode -> (g,cat) -> g; no join, only the first is row-sized
+    check("fleiss_kappa", maxShuffles = 4)
+    // ONE (group, bin) agg; the ECE finisher adds the group-sized agg
+    check("score_calibration", maxShuffles = 1)
+    check("calibration_ece", maxShuffles = 2)
+    // two daily CMS rollups (1 agg each) meeting in a deliberate 1-row
+    // broadcast cross — the estimate never scans either side's rows
+    check("join_size_cms", maxShuffles = 2, maxBnlj = 1)
+    // ONE quasi-id count agg + 1-row summary; class frame, never rows
+    check("k_anonymity", maxShuffles = 1)
+    // (class, sensitive) distinct collapse + class agg
+    check("l_diversity", maxShuffles = 2)
+    // (det, dep) counts + det-sized modal agg riding a value frame
+    check("fd_violations", maxShuffles = 2)
+    // type-debut agg (the vocab-sized exchange) + slab aggs; the running
+    // window rides the SLAB frame (id_range/bucketSize rows)
+    check("vocab_growth", maxShuffles = 3)
+    // per-row prefix fan-out into ONE (host, prefix) count agg
+    check("path_rollup", maxShuffles = 1)
+  }
+
   test("leakage-safe split: outer join is equi, split is per-row") {
     // the cluster ITERATION hides behind checkpoints (audited under
     // dup_clusters); what the final plan must show is docs equi-joined to

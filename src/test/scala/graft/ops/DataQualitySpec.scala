@@ -162,4 +162,77 @@ class DataQualitySpec extends SparkTestBase {
       .as[(String, Long, Long)].collect().toSeq
     merged shouldBe whole
   }
+
+  test("kAnonymity: hand-computed classes, violations and ppm") {
+    val df = Seq(
+      ("90210", 30), ("90210", 30), ("90210", 30), // class of 3
+      ("10001", 40), ("10001", 40),                // class of 2 — violates k=3
+      ("60601", 50)                                // class of 1 — violates
+    ).toDF("zip", "age")
+    val out = DataQuality.kAnonymity(df, Seq("zip", "age"), k = 3)
+      .as[(Long, Long, Long, Long, Long, Option[Long])].collect().head
+    // 6 rows, 3 classes, min class 1, 2 violating classes, 3 violating rows
+    out shouldBe ((6L, 3L, 1L, 2L, 3L, Some(500000L)))
+  }
+
+  test("kAnonymity: null quasi-identifiers form real classes; k=1 never violates") {
+    val df = Seq((Some("a"), 1), (None, 1), (None, 1)).toDF("zip", "age")
+    val out = DataQuality.kAnonymity(df, Seq("zip", "age"), k = 2)
+      .as[(Long, Long, Long, Long, Long, Option[Long])].collect().head
+    out shouldBe ((3L, 2L, 1L, 1L, 1L, Some(333333L)))
+    DataQuality.kAnonymity(df, Seq("zip", "age"), k = 1)
+      .as[(Long, Long, Long, Long, Long, Option[Long])].collect()
+      .head._4 shouldBe 0L
+  }
+
+  test("lDiversity: per-class distinct sensitive values, nulls count") {
+    val df = Seq(
+      ("a", Some("flu")), ("a", Some("flu")), ("a", Some("cold")),
+      ("b", Some("flu")), ("b", Some("flu")),
+      ("c", None), ("c", Some("flu"))).toDF("zip", "diag")
+    val out = DataQuality.lDiversity(df, Seq("zip"), "diag", l = 2)
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    out("a") shouldBe ((3L, 2L, true))
+    out("b") shouldBe ((2L, 1L, false)) // uniform class: size 2 but l = 1
+    out("c") shouldBe ((2L, 2L, true)) // null is a distinct sensitive value
+  }
+
+  test("fdViolations: clean FD is all zeros; g3 counts the minority rows") {
+    val df = Seq(
+      ("90210", "CA"), ("90210", "CA"), ("90210", "NV"), // 1 violation
+      ("10001", "NY"), ("10001", "NY"),                  // clean
+      ("60601", "IL")).toDF("zip", "state")
+    val out = DataQuality.fdViolations(df, "zip", "state")
+      .as[(String, Long, Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    out("90210") shouldBe ((3L, 2L, "CA", 1L, 333333L))
+    out("10001") shouldBe ((2L, 1L, "NY", 0L, 0L))
+    out("60601") shouldBe ((1L, 1L, "IL", 0L, 0L))
+  }
+
+  test("fdViolations: modal ties break null-first then smallest value") {
+    val df = Seq(
+      ("t", Some("b")), ("t", Some("a")),       // tie a/b -> a
+      ("u", None), ("u", Some("a"))).toDF("x", "y") // tie null/a -> null
+    val out = DataQuality.fdViolations(df, "x", "y")
+      .as[(String, Long, Long, Option[String], Long, Long)].collect()
+      .map(r => r._1 -> r._4).toMap
+    out("t") shouldBe Some("a")
+    out("u") shouldBe None
+  }
+
+  test("privacy + FD audits are pure functions of the data, not partitioning") {
+    val rnd = new scala.util.Random(31)
+    val rows = (1 to 400).map(_ =>
+      ("z" + rnd.nextInt(20), rnd.nextInt(4), "s" + rnd.nextInt(5)))
+    def all(parts: Int) = {
+      val df = rows.toDF("zip", "age", "diag").repartition(parts)
+      (DataQuality.kAnonymity(df, Seq("zip", "age"), 5).collect().map(_.toSeq).toSeq,
+        DataQuality.lDiversity(df, Seq("zip", "age"), "diag", 3)
+          .collect().map(_.toSeq).toSet,
+        DataQuality.fdViolations(df, "zip", "diag").collect().map(_.toSeq).toSet)
+    }
+    all(1) shouldBe all(13)
+  }
 }

@@ -246,6 +246,53 @@ class StatsSpec extends SparkTestBase {
     }
   }
 
+  private def fleiss(rows: Seq[(String, Long, String)], n: Int, parts: Int = 4) =
+    Stats.fleissKappa(rows.toDF("g", "subj", "cat").repartition(parts),
+        Seq("g"), "subj", "cat", n)
+      .as[(String, Long, Long, Option[Long], Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+
+  test("fleissKappa: hand-computed digits, perfect panel, chance-only null") {
+    // mid: subj1 (x,x), subj2 (x,y): Po_num=2, Nn=4, S=3²+1=10
+    // po=500000 pe=625000 kappa=(2*4-10)e6 DIV (16-10) = -333333
+    val out = fleiss(Seq(
+      ("m", 1L, "x"), ("m", 1L, "x"), ("m", 2L, "x"), ("m", 2L, "y"),
+      ("p", 1L, "x"), ("p", 1L, "x"), ("p", 2L, "y"), ("p", 2L, "y"),
+      ("c", 1L, "x"), ("c", 1L, "x"), ("c", 2L, "x"), ("c", 2L, "x")), n = 2)
+    out("m") shouldBe ((2L, 0L, Some(500000L), Some(625000L), Some(-333333L)))
+    // perfect: subj1 xx, subj2 yy -> po 1e6, pe 500000, kappa 1e6
+    out("p") shouldBe ((2L, 0L, Some(1000000L), Some(500000L), Some(1000000L)))
+    // all ratings one category: S = (Nn)² -> chance explains everything
+    out("c") shouldBe ((2L, 0L, Some(1000000L), Some(1000000L), None))
+  }
+
+  test("fleissKappa: three raters, unbalanced subjects excluded and counted") {
+    // kept: subj1 xxx, subj2 yyy (Po_num=12, Nn=6, S=18 -> kappa=1e6)
+    // subj3 has 2 ratings, subj4 has 4 -> both excluded
+    val rows = Seq(
+      ("g", 1L, "x"), ("g", 1L, "x"), ("g", 1L, "x"),
+      ("g", 2L, "y"), ("g", 2L, "y"), ("g", 2L, "y"),
+      ("g", 3L, "x"), ("g", 3L, "y"),
+      ("g", 4L, "x"), ("g", 4L, "x"), ("g", 4L, "y"), ("g", 4L, "y"))
+    fleiss(rows, n = 3)("g") shouldBe
+      ((2L, 2L, Some(1000000L), Some(500000L), Some(1000000L)))
+  }
+
+  test("fleissKappa: all subjects excluded yields zero-subject nulls") {
+    fleiss(Seq(("g", 1L, "x"), ("g", 1L, "y")), n = 3)("g") shouldBe
+      ((0L, 1L, None, None, None))
+  }
+
+  test("fleissKappa is a pure function of the data, not its partitioning") {
+    val rnd = new scala.util.Random(37)
+    val rows = (1 to 200).flatMap(s => (1 to 3).map(_ =>
+      ("g" + s % 2, s.toLong, "c" + rnd.nextInt(4))))
+    val expected = fleiss(rows, n = 3, parts = 1)
+    for (parts <- Seq(5, 16)) {
+      withClue(s"parts=$parts") { fleiss(rows, n = 3, parts) shouldBe expected }
+    }
+  }
+
   test("calibrationBins + eceFromBins: hand-computed bins, clamps, weighted gap") {
     val df = Seq(
       (100000L, false), (200000L, true),           // bin 0 of 4

@@ -1040,4 +1040,36 @@ class TextAnalysisSpec extends SparkTestBase {
     out(2L) shouldBe "no cards here, just words"
     out(3L) shouldBe "two: <CARD> and <CARD>."
   }
+
+  test("vocabGrowth: hand-computed slabs, debuts, cumulative sums") {
+    val df = Seq(
+      (0L, "a b"), (1L, "b c"),    // slab 0: 2 docs, 4 tokens, debuts a b c
+      (2L, "c d d"),               // slab 1: 1 doc, 3 tokens, debut d
+      (5L, "a e")                  // slab 2 (5 DIV 2): 2 tokens, debut e
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabGrowth(df, "doc_id", "text", bucketSize = 2)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    out.toSeq shouldBe Seq(
+      (0L, 2L, 4L, 3L, 4L, 3L),
+      (1L, 1L, 3L, 1L, 7L, 4L),
+      (2L, 1L, 2L, 1L, 9L, 5L))
+  }
+
+  test("vocabGrowth: tokenless and null-text docs count as docs, not tokens") {
+    val out = TextAnalysis.vocabGrowth(
+      Seq((0L, Some("x y")), (1L, Some("!!!")), (2L, None))
+        .toDF("doc_id", "text"), "doc_id", "text", bucketSize = 10)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    out.head shouldBe ((0L, 3L, 2L, 2L, 2L, 2L))
+  }
+
+  test("vocabGrowth is a pure function of the data, not its partitioning") {
+    val rnd = new scala.util.Random(43)
+    val rows = (0L until 300L).map(i =>
+      (i, (1 to 8).map(_ => "w" + rnd.nextInt(120)).mkString(" ")))
+    def run(parts: Int) =
+      TextAnalysis.vocabGrowth(rows.toDF("doc_id", "text").repartition(parts),
+        "doc_id", "text", bucketSize = 25).collect().map(_.toSeq).toSet
+    run(1) shouldBe run(16)
+  }
 }

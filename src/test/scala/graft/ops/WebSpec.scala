@@ -190,4 +190,36 @@ class WebSpec extends SparkTestBase {
       ("a.com", "spark", 3L, 1L), ("a.com", "guide", 2L, 2L),
       ("b.org", "cheap", 1L, 1L), ("b.org", "pills", 1L, 2L))
   }
+
+  test("pathRollup: prefixes up to maxDepth, host normalization, bare hosts") {
+    import spark.implicits._
+    val urls = Seq(
+      "https://Ex.COM:443/a/b/c?q=1#frag",
+      "http://ex.com/a//b/",          // empty segment collapses
+      "ex.com/a/x",                   // schemeless
+      "https://ex.com",               // bare host: no rows
+      "https://other.net/z/w/v/u/t"   // depth-capped at 3
+    ).toDF("url")
+    val out = Web.pathRollup(urls, "url", maxDepth = 3)
+      .as[(String, Long, String, Long)].collect().toSet
+    out shouldBe Set(
+      ("ex.com", 1L, "/a", 3L),
+      ("ex.com", 2L, "/a/b", 2L),
+      ("ex.com", 3L, "/a/b/c", 1L),
+      ("ex.com", 2L, "/a/x", 1L),
+      ("other.net", 1L, "/z", 1L),
+      ("other.net", 2L, "/z/w", 1L),
+      ("other.net", 3L, "/z/w/v", 1L))
+  }
+
+  test("pathRollup counts are a pure function of the data, not partitioning") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    val urls = (1 to 300).map(_ => "https://h" + rnd.nextInt(5) + ".com/" +
+      (1 to (1 + rnd.nextInt(5))).map(_ => "s" + rnd.nextInt(4)).mkString("/"))
+    def run(parts: Int) =
+      Web.pathRollup(urls.toDF("url").repartition(parts), "url", 4)
+        .collect().map(_.toSeq).toSet
+    run(1) shouldBe run(11)
+  }
 }
