@@ -60,6 +60,33 @@ private[graft] trait QueriesRetrieval extends QueryHelpers { this: QueryBattery 
        WHERE levenshtein(a.str, b.str) <= 2"""
 
   /**
+   * `mutual_best`: [[graft.ops.Joins.mutualBest]] over (user bucket,
+   * event type) affinity counts — the reciprocal-argmax acceptance rule
+   * of entity resolution (a pair survives iff each side is the other's
+   * highest-scoring partner, ties to the smallest partner). The oracle
+   * replays both argmax sides as rank-1 windows under the same total
+   * order.
+   */
+  def mutualBestQ(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val pairs = events(dir)
+      .select((col("user_id") % 20).as("ua"), col("event_type"))
+      .groupBy(col("ua"), col("event_type")).agg(count(lit(1)).as("score"))
+    graft.ops.Joins.mutualBest(pairs, "ua", "event_type", "score")
+  }
+
+  val mutualBestSql: String =
+    """WITH p AS (SELECT user_id % 20 AS ua, event_type, count(*) AS score
+                FROM events GROUP BY 1, 2),
+       ba AS (SELECT ua, event_type, score, row_number() OVER (
+                PARTITION BY ua ORDER BY score DESC, event_type) AS rk FROM p),
+       bb AS (SELECT ua, event_type, row_number() OVER (
+                PARTITION BY event_type ORDER BY score DESC, ua) AS rk FROM p)
+       SELECT ba.ua, ba.event_type, ba.score
+       FROM ba JOIN bb ON ba.ua = bb.ua AND ba.event_type = bb.event_type
+       WHERE ba.rk = 1 AND bb.rk = 1"""
+
+  /**
    * `sorted_neighborhood`: the Hernandez-Stolfo sorted-neighborhood
    * method over the same perturbed-string corpus as `fuzzy_join` —
    * global sort order (no-one-reducer rank), pair rows within 10

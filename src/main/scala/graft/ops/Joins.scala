@@ -346,4 +346,41 @@ object Joins {
       .where(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
+
+  /**
+   * Mutual-best (reciprocal) matching over a scored candidate-pair frame
+   * — the entity-resolution acceptance rule that stops one hub record
+   * from absorbing everything: a pair survives iff `b` is `a`'s
+   * highest-scoring partner AND `a` is `b`'s. Run it downstream of any
+   * pair generator here or in [[Dedup]] (edit-distance, LSH, containment)
+   * with an integer score (ppm similarity, negated distance). Ties break
+   * by SMALLEST partner on each side — a total order, so the verdict is
+   * a pure function of the pair frame (an arbitrary-tie argmax would
+   * make matches flap run to run). Duplicate (a, b) rows are fine (the
+   * argmax sees the pair once per row at the same score). Output:
+   * `(aCol, bCol, scoreCol)` for the surviving pairs.
+   *
+   * Two map-side-combined argmax aggs (one per side) + ONE equi-join of
+   * the two best-partner frames, each at most one row per key — never a
+   * self-join of the pair frame. At 100 TB of candidate pairs the aggs
+   * collapse to key-sized frames before the join.
+   */
+  def mutualBest(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      scoreCol: String): DataFrame = {
+    val s = col(scoreCol).cast("long")
+    def bestFor(keyCol: String, partnerCol: String) =
+      pairs.where(col(keyCol).isNotNull && col(partnerCol).isNotNull && s.isNotNull)
+        .groupBy(col(keyCol))
+        .agg(min_by(struct(col(partnerCol).as("p"), s.as("s")),
+          struct((-s).as("ns"), col(partnerCol).as("p"))).as("__best"))
+        .select(col(keyCol), col("__best.p").as(s"__best_$keyCol"),
+          col("__best.s").as(s"__s_$keyCol"))
+    bestFor(aCol, bCol)
+      .join(bestFor(bCol, aCol),
+        col(s"__best_$aCol") === col(bCol) && col(s"__best_$bCol") === col(aCol))
+      .select(col(aCol), col(bCol), col(s"__s_$aCol").as(scoreCol))
+  }
 }

@@ -386,6 +386,56 @@ object Stats {
   }
 
   /**
+   * The NUMERATOR cells behind [[calibrationBins]] — per (group, bin):
+   * `n`, `sum_score` and `pos` — the form that merges EXACTLY across
+   * slices/days/streams (sum the three columns per bin, then finish with
+   * [[calibrationFromCells]]; re-aggregating the truncated rates of
+   * [[calibrationBins]] directly would compose truncations). This is
+   * what a daily calibration-monitor job should persist, and what the
+   * S22 streaming rollup emits per window. Same fixed-edge bin law and
+   * null hygiene as [[calibrationBins]]. ONE map-side-combined agg.
+   */
+  def calibrationCells(
+      df: DataFrame,
+      groupCols: Seq[String],
+      scorePpmCol: String,
+      outcomeCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins > 0, "calibrationCells needs at least one bin")
+    df.where(col(scorePpmCol).isNotNull && col(outcomeCol).isNotNull)
+      .withColumn("bin",
+        least(greatest(expr(s"$scorePpmCol * $bins DIV 1000000"), lit(0L)),
+          lit(bins - 1L)).cast("long"))
+      .groupBy((groupCols.map(col) :+ col("bin")): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col(scorePpmCol).cast("DECIMAL(38,0)")).as("sum_score"),
+        sum(when(col(outcomeCol), 1L).otherwise(0L))
+          .cast("DECIMAL(38,0)").as("pos"))
+  }
+
+  /**
+   * Finish re-aggregated [[calibrationCells]] into the
+   * [[calibrationBins]] schema (`n`, `mean_score_ppm`, `pos_rate_ppm`
+   * per (group, bin)) — the EXACT merge path: summing cells then
+   * finishing here equals building the bins over the whole data, so
+   * daily cells roll up to any horizon digit-for-digit (then
+   * [[eceFromBins]] for the one-number gate). One (group, bin) agg that
+   * rides the cells' partitioning when they were just built.
+   */
+  def calibrationFromCells(cells: DataFrame, groupCols: Seq[String]): DataFrame =
+    cells
+      .groupBy((groupCols.map(col) :+ col("bin")): _*)
+      .agg(sum(col("n")).cast("DECIMAL(38,0)").as("__n"),
+        sum(col("sum_score").cast("DECIMAL(38,0)")).as("__ss"),
+        sum(col("pos").cast("DECIMAL(38,0)")).as("__pos"))
+      .withColumn("n", col("__n").cast("long"))
+      .withColumn("mean_score_ppm", expr("CAST(__ss DIV __n AS BIGINT)"))
+      .withColumn("pos_rate_ppm",
+        expr("CAST(__pos * 1000000 DIV __n AS BIGINT)"))
+      .select((groupCols.map(col) ++ Seq(col("bin"), col("n"),
+        col("mean_score_ppm"), col("pos_rate_ppm"))): _*)
+
+  /**
    * Expected calibration error from a [[calibrationBins]] frame:
    * `ece_ppm = Σ_bin n_bin * |pos_rate - mean_score| DIV n` — the
    * bin-mass-weighted gap between claimed confidence and observed rate,

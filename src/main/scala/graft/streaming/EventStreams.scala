@@ -264,6 +264,44 @@ object EventStreams {
   }
 
   /**
+   * S22 — windowed CALIBRATION cells, the streaming feed of the
+   * classifier-calibration gate ([[graft.ops.Stats.calibrationFromCells]]
+   * → [[graft.ops.Stats.eceFromBins]]): per (window, event_type, bin) the
+   * exact NUMERATORS `(n, sum_score, pos)` over the fixed [0, 1e6]-ppm
+   * bin edges — numerators, not rates, because numerators merge
+   * digit-for-digit across windows and days while truncated rates would
+   * compose truncations. Same bin-clamp and null hygiene as the batch
+   * [[graft.ops.Stats.calibrationCells]] (rows with null ts, score or
+   * outcome are skipped on BOTH sides, so stream cells re-aggregate to
+   * the batch bins bit-identically). At most `bins` counters per
+   * (window, type) — a 100 TB/day stream reduces to KBs of state.
+   */
+  def calibrationCellsRollup(
+      events: DataFrame,
+      scorePpmCol: String,
+      outcomeCol: String,
+      bins: Int = 10,
+      windowLength: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame = {
+    require(bins > 0, "calibrationCellsRollup needs at least one bin")
+    val bin = least(greatest(
+      expr(s"$scorePpmCol * $bins DIV 1000000"), lit(0L)),
+      lit(bins - 1L)).cast("long")
+    val agged = events
+      .where(col("ts").isNotNull && col(scorePpmCol).isNotNull &&
+        col(outcomeCol).isNotNull)
+      .withColumn("bin", bin)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength), col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(scorePpmCol).cast("DECIMAL(38,0)")).as("sum_score"),
+        sum(when(col(outcomeCol), 1L).otherwise(0L))
+          .cast("DECIMAL(38,0)").as("pos"))
+    agged.select(col("window.start").as("window_start") +:
+      agged.columns.filterNot(_ == "window").map(col): _*)
+  }
+
+  /**
    * Streaming exact dedup on `idCol`: duplicates arriving within the
    * watermark horizon are dropped; the watermark bounds the id-set state.
    */

@@ -251,4 +251,46 @@ class JoinsSpec extends SparkTestBase {
       .as[(Long, Long, Long)].collect().toSet
     a shouldBe b
   }
+
+  test("mutualBest keeps only reciprocal argmax pairs; hubs absorb nothing extra") {
+    val pairs = Seq(
+      ("a1", "b1", 90L), ("a1", "b2", 80L), // a1's best is b1
+      ("a2", "b1", 95L),                    // b1's best is a2 -> a1-b1 dies
+      ("a2", "b3", 99L),                    // but a2's best is b3
+      ("a3", "b2", 70L)                     // reciprocal by default
+    ).toDF("a", "b", "s")
+    Joins.mutualBest(pairs, "a", "b", "s")
+      .as[(String, String, Long)].collect().toSet shouldBe Set(
+      ("a2", "b3", 99L), ("a3", "b2", 70L))
+  }
+
+  test("mutualBest ties break by smallest partner on BOTH sides") {
+    val pairs = Seq(
+      ("a1", "b1", 50L), ("a1", "b2", 50L), // a1 picks b1 (smallest)
+      ("a2", "b1", 50L)                     // b1 picks a1 (smallest) -> a1-b1
+    ).toDF("a", "b", "s")
+    Joins.mutualBest(pairs, "a", "b", "s")
+      .as[(String, String, Long)].collect().toSet shouldBe Set(("a1", "b1", 50L))
+  }
+
+  test("mutualBest ignores null keys/scores and tolerates duplicate pair rows") {
+    val pairs = Seq(
+      (Some("a1"), Some("b1"), Some(10L)),
+      (Some("a1"), Some("b1"), Some(10L)), // duplicate row, same score
+      (None, Some("b9"), Some(99L)),
+      (Some("a9"), None, Some(99L)),
+      (Some("a1"), Some("b2"), None)).toDF("a", "b", "s")
+    Joins.mutualBest(pairs, "a", "b", "s")
+      .as[(String, String, Long)].collect().toSet shouldBe Set(("a1", "b1", 10L))
+  }
+
+  test("mutualBest is a pure function of the pairs, not their partitioning") {
+    val rnd = new scala.util.Random(59)
+    val pairs = (1 to 600).map(_ =>
+      ("a" + rnd.nextInt(40), "b" + rnd.nextInt(40), rnd.nextInt(100).toLong))
+    def run(parts: Int) =
+      Joins.mutualBest(pairs.toDF("a", "b", "s").repartition(parts), "a", "b", "s")
+        .collect().map(_.toSeq).toSet
+    run(1) shouldBe run(17)
+  }
 }

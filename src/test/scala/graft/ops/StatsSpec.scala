@@ -309,6 +309,21 @@ class StatsSpec extends SparkTestBase {
       .collect().head shouldBe (("g", 6L, Some(124999L)))
   }
 
+  test("calibrationCells + calibrationFromCells: sliced cells == whole-data bins") {
+    val rnd = new scala.util.Random(53)
+    val rows = (1 to 500).map(i =>
+      (i % 4, "g" + (i % 2), rnd.nextInt(1000001).toLong, rnd.nextBoolean()))
+    val whole = Stats.calibrationBins(
+      rows.map(r => (r._2, r._3, r._4)).toDF("g", "s", "o"), Seq("g"), "s", "o")
+      .collect().map(_.toSeq).toSet
+    val daily = Stats.calibrationCells(rows.toDF("day", "g", "s", "o"),
+      Seq("day", "g"), "s", "o")
+    val merged = Stats.calibrationFromCells(
+      daily.groupBy($"g", $"bin").agg(sum($"n").as("n"),
+        sum($"sum_score").as("sum_score"), sum($"pos").as("pos")), Seq("g"))
+    merged.collect().map(_.toSeq).toSet shouldBe whole
+  }
+
   test("calibration bins re-aggregate across slices to the whole-data ECE") {
     val rnd = new scala.util.Random(29)
     val rows = (1 to 600).map(i =>

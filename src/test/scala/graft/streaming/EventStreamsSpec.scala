@@ -180,6 +180,45 @@ class EventStreamsSpec extends SparkTestBase {
       .as[(Long, Long, Long, Long)].collect().head._4 should be > 0L
   }
 
+  test("S22 calibration cells: stream numerators finish to the batch bins and ECE") {
+    import org.apache.spark.sql.functions.{expr, sum}
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Event]
+    val scored = asContract(in.toDF())
+      .withColumn("score_ppm", expr("CAST(round(value * 100, 0) AS BIGINT)"))
+      .withColumn("good", $"user_id" % 2 === 0)
+    val q = calibrationCellsRollup(scored, "score_ppm", "good", bins = 4,
+      windowLength = "10 minutes", watermark = "5 minutes")
+      .writeStream.format("memory").queryName("cal_out").outputMode("append").start()
+    in.addData(
+      Event(1, ts(1), 10, "click", 1000.0),  // 100000 ppm -> bin 0, good
+      Event(2, ts(2), 11, "click", 3000.0),  // 300000 -> bin 1, bad
+      Event(3, ts(3), 12, "click", 3200.0),  // 320000 -> bin 1, good
+      Event(4, ts(4), 13, "click", 9999.0),  // 999900 -> bin 3, bad
+      Event(5, ts(15), 14, "click", 2600.0)) // second window: bin 1, good
+    q.processAllAvailable()
+    in.addData(Event(99, ts(60), 13, "view", 0.0)) // advance watermark
+    runToCompletion(q)
+    val cells = spark.table("cal_out").where($"event_type" === "click")
+    cells.select($"window_start").distinct().count() shouldBe 2L
+    // bin 1 spans both windows: merged numerators finish EXACTLY to the
+    // batch bins + ECE over the same rows (rates would compose truncations)
+    val merged = graft.ops.Stats.calibrationFromCells(
+      cells.groupBy($"event_type", $"bin").agg(sum($"n").as("n"),
+        sum($"sum_score").as("sum_score"), sum($"pos").as("pos")),
+      Seq("event_type"))
+    val batch = graft.ops.Stats.calibrationBins(
+      Seq((100000L, true), (300000L, false), (320000L, true),
+        (999900L, false), (260000L, true))
+        .map { case (s, g) => ("click", s, g) }
+        .toDF("event_type", "score_ppm", "good"),
+      Seq("event_type"), "score_ppm", "good", bins = 4)
+    merged.collect().map(_.toSeq).toSet shouldBe batch.collect().map(_.toSeq).toSet
+    graft.ops.Stats.eceFromBins(merged, Seq("event_type"))
+      .collect().map(_.toSeq) shouldBe
+      graft.ops.Stats.eceFromBins(batch, Seq("event_type")).collect().map(_.toSeq)
+  }
+
   test("streaming dedup drops duplicate ids within the watermark") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Event]
