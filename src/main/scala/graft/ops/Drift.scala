@@ -222,13 +222,12 @@ object Drift {
 
   /**
    * Shared scaffold of the two-sample rank tests: collapse rows to
-   * per-(group, value) counts of each sample, then per-GROUP ordered
-   * cumulative counts over the DISTINCT-VALUE frame. The scale unit after
-   * the first aggregation is distinct values per group, never rows — the
-   * same frame-size law as the calendar operators; for unbounded-
-   * cardinality values, pre-round (cents, buckets) before testing, as any
-   * exact ECDF comparison must. The per-group totals ride the same
-   * partitioning as the running sums (one exchange for both windows).
+   * per-(group, value) counts of each sample, then per-group running
+   * counts over the distinct-value frame via
+   * [[Sketches.rangedCumSums]] — the range-partition + broadcast-offset
+   * recipe, so a CONTINUOUS value column (distinct-value frame ≈ the
+   * rows themselves) spreads over every shard instead of one reducer
+   * per group. The per-group totals ride the same offset frame.
    */
   private def cumCounts(
       df: DataFrame,
@@ -241,14 +240,9 @@ object Drift {
       .agg(
         sum(when(inA, 1L).otherwise(0L)).cast("DECIMAL(38,0)").as("ca"),
         sum(when(!inA, 1L).otherwise(0L)).cast("DECIMAL(38,0)").as("cb"))
-    val byGroup = Window.partitionBy(groupCols.map(col): _*)
-    val ordered = byGroup.orderBy(col(valueCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    counts
-      .withColumn("cuma", sum(col("ca")).over(ordered))
-      .withColumn("cumb", sum(col("cb")).over(ordered))
-      .withColumn("n_a", sum(col("ca")).over(byGroup))
-      .withColumn("n_b", sum(col("cb")).over(byGroup))
+    Sketches.rangedCumSums(counts, groupCols, Seq(col(valueCol)),
+      cums = Seq("ca" -> "cuma", "cb" -> "cumb"),
+      totals = Seq("ca" -> "n_a", "cb" -> "n_b"))
   }
 
   /**

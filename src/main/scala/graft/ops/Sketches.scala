@@ -304,6 +304,63 @@ object Sketches {
   }
 
   /**
+   * Distributed per-group prefix sums — the range-partition + offset
+   * recipe behind [[exactPercentiles]] and `withGroupRank`, generalized
+   * from ranks to running SUMS so the cumulative-distribution operators
+   * ([[weightedPercentiles]], [[Drift.ksTest]], [[Drift.mannWhitney]])
+   * scale past any single reducer. Adds, for each `(src -> name)` in
+   * `cums`, the running per-group sum of `src` in `order`-order
+   * (inclusive of the current row), and for each `(src -> name)` in
+   * `totals`, the per-group grand total.
+   *
+   * Plan: the global per-group order is sharded by `repartitionByRange`
+   * over `(group, order)`; each shard computes a local running sum, and
+   * a broadcast per-shard offset frame (O(groups × shards) rows — the
+   * per-(group, shard) partial sums, scanned once) shifts the local sums
+   * to global. NO `Window.partitionBy(group).orderBy(value)` over the
+   * full frame anywhere, so a group with a billion distinct values costs
+   * a billion rows spread over every shard, not one reducer. The
+   * checkpoint pins the shard ids so both passes see the same placement.
+   *
+   * `order` must be unique within each group (collapse to per-(group,
+   * value) rows first, as every caller here does) so the running sums
+   * are a pure function of the data, not the shard layout. Sum columns
+   * should already be overflow-proof (the callers carry DECIMAL(38,0)).
+   */
+  def rangedCumSums(
+      df: DataFrame,
+      groupCols: Seq[String],
+      order: Seq[Column],
+      cums: Seq[(String, String)],
+      totals: Seq[(String, String)] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(order.nonEmpty, "rangedCumSums needs order columns")
+    require(cums.nonEmpty, "rangedCumSums needs at least one running-sum column")
+    val gCols = groupCols.map(col)
+    val ranged = df.repartitionByRange((gCols ++ order): _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val srcs = (cums.map(_._1) ++ totals.map(_._1)).distinct
+    val partials = ranged.groupBy((gCols :+ col("__pid")): _*)
+      .agg(sum(col(srcs.head)).as(s"__p_${srcs.head}"),
+        srcs.tail.map(s => sum(col(s)).as(s"__p_$s")): _*)
+    val wPrev = Window.partitionBy(gCols: _*).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(gCols: _*)
+    val offsets = partials.select((gCols :+ col("__pid")) ++
+      cums.map { case (s, n) =>
+        coalesce(sum(col(s"__p_$s")).over(wPrev), lit(0)).as(s"__off_$n") } ++
+      totals.map { case (s, n) => sum(col(s"__p_$s")).over(wAll).as(n) }: _*)
+    val wRun = Window.partitionBy((gCols :+ col("__pid")): _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val joined = ranged.join(broadcast(offsets), groupCols :+ "__pid")
+    cums.foldLeft(joined) { case (d, (s, n)) =>
+        d.withColumn(n, col(s"__off_$n") + sum(col(s)).over(wRun))
+      }
+      .drop(("__pid" +: cums.map { case (_, n) => s"__off_$n" }): _*)
+  }
+
+  /**
    * EXACT per-group WEIGHTED percentiles — "the median document length
    * weighted by token count", "the p90 load order weighted by quantity":
    * each row counts `weight` times, so the answer reflects mass, not row
@@ -317,12 +374,13 @@ object Sketches {
    * weights are dropped.
    *
    * Plan: rows collapse to per-(group, value) weight sums FIRST (one
-   * map-side-combined exchange), so the ordered windows run over the
-   * DISTINCT-VALUE frame, never raw rows — the affordable shape when
-   * values are bounded-cardinality (cents, lengths, scores). For
-   * unbounded value domains at extreme scale, pre-round or use
-   * [[exactPercentiles]]'s range-partition recipe on replicated rows.
-   * The totals window shares the running-sum window's exchange.
+   * map-side-combined exchange), then the running weight comes from
+   * [[rangedCumSums]] — the global value order is SHARDED by range
+   * partition, with a broadcast per-shard offset frame shifting local
+   * running sums to global. No per-group ordered window over the full
+   * distinct-value frame, so an unbounded value domain (raw scores,
+   * cents × huge corpora) spreads over every shard instead of landing
+   * on one reducer.
    */
   def weightedPercentiles(
       df: DataFrame,
@@ -330,7 +388,6 @@ object Sketches {
       valueCol: String,
       weightCol: String,
       percentiles: Seq[Int]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(percentiles.nonEmpty, "need at least one percentile")
     require(percentiles.forall(p => p >= 1 && p <= 100),
       s"percentiles must be in [1,100], got $percentiles")
@@ -341,12 +398,8 @@ object Sketches {
         col(weightCol) > 0)
       .groupBy(col(groupCol), col(valueCol))
       .agg(sum(col(weightCol).cast(d38)).as("__w"))
-    val byGroup = Window.partitionBy(col(groupCol))
-    val ordered = byGroup.orderBy(col(valueCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    counts
-      .withColumn("__cumw", sum(col("__w")).over(ordered))
-      .withColumn("__total", sum(col("__w")).over(byGroup))
+    rangedCumSums(counts, Seq(groupCol), Seq(col(valueCol)),
+      cums = Seq("__w" -> "__cumw"), totals = Seq("__w" -> "__total"))
       .withColumn("pct", explode(typedLit(percentiles.map(_.toLong))))
       .where(col("__cumw") * 100 >= col("__total") * col("pct"))
       .groupBy(col(groupCol), col("pct"))

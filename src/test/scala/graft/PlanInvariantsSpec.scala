@@ -400,14 +400,22 @@ class PlanInvariantsSpec extends SparkTestBase {
   }
 
   test("round-14 additions: drift tests, blocklist, spearman") {
-    // each drift test is ONE (group, value/category) count agg + ONE
-    // group-level finisher agg; ECDF/midrank windows ride the first
-    // exchange's partitioning (value-count-sized frames, never raw rows)
-    check("ks_drift", maxShuffles = 2)
-    check("mw_drift", maxShuffles = 2)
+    // each drift test: ONE (group, value) count agg, then the
+    // rangedCumSums recipe — (group, shard) partials agg + the tiny
+    // offsets-window exchange (O(groups x shards) rows) + the
+    // (group, shard) running-sum window exchange — + the finisher agg
+    // (AQE reuses the last exchange). NO per-group ordered window over
+    // the full distinct-value frame anywhere: a continuous value column
+    // spreads over every shard, never one reducer.
+    check("ks_drift", maxShuffles = 4)
+    check("mw_drift", maxShuffles = 4)
     check("category_drift", maxShuffles = 2)
-    // (group, value) weight agg + running-weight scan + target probe
-    check("weighted_pctl", maxShuffles = 2)
+    // (group, value) weight agg + the same rangedCumSums shape + probe
+    check("weighted_pctl", maxShuffles = 4)
+    // two key-sized argmax aggs + one shuffled equi-join of the two
+    // best-partner frames (one row per key each side -> both exchanges
+    // are key-sized); never a self-join of the raw pair frame
+    check("mutual_best", maxShuffles = 4)
     // Aho-Corasick kernel is per-row codegen: the 2000-phrase automaton
     // broadcasts as a literal, the scan walks each text ONCE — the only
     // exchange is the output count agg

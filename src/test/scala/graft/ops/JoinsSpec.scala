@@ -256,12 +256,13 @@ class JoinsSpec extends SparkTestBase {
     val pairs = Seq(
       ("a1", "b1", 90L), ("a1", "b2", 80L), // a1's best is b1
       ("a2", "b1", 95L),                    // b1's best is a2 -> a1-b1 dies
-      ("a2", "b3", 99L),                    // but a2's best is b3
-      ("a3", "b2", 70L)                     // reciprocal by default
+      ("a2", "b3", 99L),                    // but a2's best is b3 -> a2-b3 lives
+      ("a3", "b2", 70L),                    // b2's best is a1 (80) -> a3-b2 dies
+      ("a3", "b4", 75L)                     // best for a3 AND for b4 -> lives
     ).toDF("a", "b", "s")
     Joins.mutualBest(pairs, "a", "b", "s")
       .as[(String, String, Long)].collect().toSet shouldBe Set(
-      ("a2", "b3", 99L), ("a3", "b2", 70L))
+      ("a2", "b3", 99L), ("a3", "b4", 75L))
   }
 
   test("mutualBest ties break by smallest partner on BOTH sides") {
