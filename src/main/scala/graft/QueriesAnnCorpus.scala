@@ -614,6 +614,70 @@ private[graft] trait QueriesAnnCorpus extends QueryHelpers { this: QueryBattery 
   }
 
   /**
+   * `kfold_split`: [[TextAnalysis.kfoldAssign]] — deterministic
+   * group-consistent k-fold assignment for cross-validation: the fold is
+   * a pure function of the GROUP key (here the 4-document families
+   * `doc_id DIV 4`, standing in for a dedup-cluster id), so sibling
+   * documents can never straddle train/eval folds — the CV twin of
+   * `leakage_safe_split`'s whole-cluster routing. Oracle replays the
+   * shared 16-bit hash-bucket law scaled to [0, k).
+   */
+  def kfoldSplit(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    t(dir, "documents")
+      .withColumn("group_id", expr("doc_id DIV 4"))
+      .withColumn("fold", TextAnalysis.kfoldAssign(col("group_id"), k = 5))
+      .select(col("doc_id"), col("group_id"), col("fold"))
+  }
+
+  val kfoldSplitSql: String = {
+    val bucket = sqlHashBucket("(doc_id // 4)")
+    s"""SELECT doc_id, doc_id // 4 AS group_id,
+              ($bucket * 5) // 65536 AS fold
+       FROM documents"""
+  }
+
+  /**
+   * `embedding_gram`: [[Similarity.gramSums]] → [[Similarity
+   * .covarianceFromGram]] — the one-pass per-label Gram/mean sufficient
+   * statistics of the embedding corpus, exploded to per-(i, j)
+   * covariance numerators. The kernel micro-truncates every per-row product
+   * (`floor(x_i·x_j·1e6)` in IEEE doubles) and accumulates the longs
+   * EXACTLY, so the d²-summary is order-independent and the oracle
+   * replays it digit-for-digit from a double-unnest in DuckDB; the
+   * covariance numerator `n·gram_ij·1e6 − s_i·s_j` is exact integer
+   * arithmetic on top. This is PCA-whitening/OPQ prep at 100 TB: one
+   * scan, only d²-sized grids cross the wire, daily grams re-roll
+   * bit-identically (`gram_merge`).
+   */
+  def embeddingGram(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val g = Similarity.gramSums(t(dir, "embeddings"), Seq("label"), "embedding", dim = 64)
+    Similarity.covarianceFromGram(g, Seq("label"), dim = 64)
+      .withColumn("cov_num", col("cov_num").cast("long"))
+  }
+
+  val embeddingGramSql: String =
+    """WITH pr AS (
+         SELECT label, i, j,
+           CAST(floor(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE) *
+                      CAST(embedding[CAST(j AS INT) + 1] AS DOUBLE) * 1000000) AS BIGINT) AS g,
+           CAST(floor(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE) * 1000000) AS BIGINT) AS xi,
+           CAST(floor(CAST(embedding[CAST(j AS INT) + 1] AS DOUBLE) * 1000000) AS BIGINT) AS xj
+         FROM embeddings, range(0, 64) r1(i), range(0, 64) r2(j)
+         WHERE embedding IS NOT NULL),
+       cells AS (
+         SELECT label, i, j, count(*) AS n, sum(g) AS gram_micro,
+                sum(xi) AS si_micro, sum(xj) AS sj_micro
+         FROM pr GROUP BY 1, 2, 3)
+       SELECT label, i, j, n,
+              CAST(gram_micro AS BIGINT) AS gram_micro,
+              CAST(si_micro AS BIGINT) AS si_micro,
+              CAST(sj_micro AS BIGINT) AS sj_micro,
+              CAST(n * gram_micro * 1000000 - si_micro * sj_micro AS BIGINT) AS cov_num
+       FROM cells"""
+
+  /**
    * Data-driven target-mix rebalancing ([[TextAnalysis.targetMixSample]]):
    * make the corpus 40% en / 20% de / 20% fr / 20% zh (es drops). Rates
    * derive from the actual group counts in exact integer math — the

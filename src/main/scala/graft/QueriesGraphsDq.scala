@@ -1013,4 +1013,40 @@ private[graft] trait QueriesGraphsDq extends QueryHelpers { this: QueryBattery =
                    ELSE (po_num * nsub * 3 - 2 * s.s) * 1000000
                         // (2 * (nsub * 3 * nsub * 3 - s.s)) END AS BIGINT) AS kappa_ppm
        FROM pg LEFT JOIN s ON pg.lang = s.lang"""
+
+  /**
+   * `label_balance`: [[graft.ops.Stats.labelBalance]] — per-source class
+   * balance of the language labels: `n`, distinct labels `k`, the
+   * majority label and its ppm share, and the EXACT integer Gini
+   * impurity `1e6 − Σc²·1e6 DIV n²` (0 = one class, uniform → 1e6·(1−1/k))
+   * — the curation readout before training on a labeled slice (entropy
+   * would need logs that never replay digit-for-digit; Gini is rational).
+   * Majority ties break to the LARGEST label string (struct-max law, a
+   * total order). Oracle replays counts, the argmax and both truncated
+   * divisions.
+   */
+  def labelBalanceQ(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    graft.ops.Stats.labelBalance(t(dir, "documents"), Seq("source"), "lang")
+  }
+
+  val labelBalanceSql: String =
+    """WITH c AS (SELECT source, lang, count(*) AS cnt FROM documents GROUP BY 1, 2),
+       g AS (SELECT source,
+               sum(CASE WHEN lang IS NOT NULL THEN cnt ELSE 0 END) AS n,
+               sum(CASE WHEN lang IS NULL THEN cnt ELSE 0 END) AS n_null,
+               count(CASE WHEN lang IS NOT NULL THEN 1 END) AS k,
+               max(CASE WHEN lang IS NOT NULL THEN cnt END) AS maxc,
+               sum(CASE WHEN lang IS NOT NULL THEN CAST(cnt AS HUGEINT) * cnt ELSE 0 END) AS ss
+             FROM c GROUP BY 1),
+       m AS (SELECT source, max(lang) AS majority FROM c
+             WHERE lang IS NOT NULL
+               AND cnt = (SELECT max(c2.cnt) FROM c c2
+                          WHERE c2.source = c.source AND c2.lang IS NOT NULL)
+             GROUP BY 1)
+       SELECT g.source, CAST(n AS BIGINT) AS n, CAST(n_null AS BIGINT) AS n_null,
+              k, m.majority,
+              CAST(CASE WHEN n > 0 THEN maxc * 1000000 // n END AS BIGINT) AS majority_ppm,
+              CAST(CASE WHEN n > 0 THEN 1000000 - ss * 1000000 // (CAST(n AS HUGEINT) * n) END AS BIGINT) AS gini_ppm
+       FROM g LEFT JOIN m ON g.source = m.source"""
 }

@@ -87,6 +87,58 @@ private[graft] trait QueriesRetrieval extends QueryHelpers { this: QueryBattery 
        WHERE ba.rk = 1 AND bb.rk = 1"""
 
   /**
+   * `entity_resolution`: the END-TO-END record-linkage pipeline —
+   * [[graft.ops.Joins.editDistanceJoin]] generates scored candidate
+   * pairs between two "sources" (the perturbed-string families split by
+   * variant parity: variants 0-1 are source A, 2-3 source B, so
+   * intra-family cross-source distances are 1 or 2), then
+   * [[graft.ops.Joins.mutualBest]] is the acceptance rule: a link
+   * survives only if each record is the other's best match
+   * (`score = 2 - dist`, ties to the smallest partner). Reciprocity is
+   * doing real work here — every family offers 4 candidate links and
+   * exactly one (v0-v2) is mutual, so the hub-absorption failure mode
+   * the rule exists for is exercised, not just plumbed. The oracle
+   * replays the naive all-pairs join and both rank-1 argmax sides.
+   */
+  def entityResolution(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val base = substring(md5(concat(lit("fz:"), expr("c_custkey DIV 4").cast("string"))), 1, 10)
+    val str = expr(
+      """CASE WHEN c_custkey % 4 = 0 THEN __base
+         ELSE concat(substring(__base, 1, CAST((c_custkey % 4) * 3 - 1 AS INT)), 'z',
+           substring(__base, CAST((c_custkey % 4) * 3 + 1 AS INT),
+             CAST(10 - (c_custkey % 4) * 3 AS INT))) END""")
+    val strs = t(dir, "customer").withColumn("__base", base)
+      .select(col("c_custkey").as("id"), str.as("str"))
+    val a = strs.where(col("id") % 4 < 2)
+    val b = strs.where(col("id") % 4 >= 2)
+    val pairs = graft.ops.Joins.editDistanceJoin(a, "id", "str", b, "id", "str", maxDist = 2)
+      .withColumn("score", lit(2L) - col("dist"))
+    graft.ops.Joins.mutualBest(pairs, "id_a", "id_b", "score")
+  }
+
+  val entityResolutionSql: String =
+    """WITH s AS (
+         SELECT c_custkey AS id,
+           CASE WHEN c_custkey % 4 = 0 THEN base
+                ELSE substring(base, 1, (c_custkey % 4) * 3 - 1) || 'z' ||
+                     substring(base, (c_custkey % 4) * 3 + 1, 10 - (c_custkey % 4) * 3) END AS str
+         FROM (SELECT c_custkey,
+                 substring(md5('fz:' || (c_custkey // 4)), 1, 10) AS base
+               FROM customer)),
+       p AS (SELECT a.id AS id_a, b.id AS id_b,
+               CAST(2 - levenshtein(a.str, b.str) AS BIGINT) AS score
+             FROM s a JOIN s b ON a.id % 4 < 2 AND b.id % 4 >= 2
+             WHERE levenshtein(a.str, b.str) <= 2),
+       ba AS (SELECT id_a, id_b, score, row_number() OVER (
+                PARTITION BY id_a ORDER BY score DESC, id_b) AS rk FROM p),
+       bb AS (SELECT id_a, id_b, row_number() OVER (
+                PARTITION BY id_b ORDER BY score DESC, id_a) AS rk FROM p)
+       SELECT ba.id_a, ba.id_b, ba.score
+       FROM ba JOIN bb ON ba.id_a = bb.id_a AND ba.id_b = bb.id_b
+       WHERE ba.rk = 1 AND bb.rk = 1"""
+
+  /**
    * `sorted_neighborhood`: the Hernandez-Stolfo sorted-neighborhood
    * method over the same perturbed-string corpus as `fuzzy_join` —
    * global sort order (no-one-reducer rank), pair rows within 10

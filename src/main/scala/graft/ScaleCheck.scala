@@ -39,7 +39,8 @@ object ScaleCheck {
     "running_total", "kcore", "bfs_reach",
     "gap_fill", "cusum", "trailing", "zorder",
     "basket_lift", "time_weighted_load", "damerau_pairs", "rrf_fusion",
-    "attribution_linear", "blocklist", "spearman", "fleiss", "vocab_growth")
+    "attribution_linear", "blocklist", "spearman", "fleiss", "vocab_growth",
+    "ks_drift", "mw_drift", "weighted_pctl", "entity_resolution", "gram_matrix")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -411,6 +412,30 @@ object ScaleCheck {
       ops.Joins.editDistanceJoin(strs, "id", "s", strs, "id", "s", maxDist = 2)
         .filter(col("id_a") < col("id_b"))
     }
+    // the full record-linkage pipeline: the same variant-family generator
+    // A/B-split by parity, then the mutualBest acceptance rule — pair
+    // volume grows with family count, the argmax aggs collapse to
+    // key-sized frames before their join
+    time("entity_resolution") {
+      val strs = bigDocs.selectExpr("doc_id AS id",
+        "substring(md5(concat('fz:', CAST(doc_id DIV 4 AS STRING))), 1, 10) AS b")
+        .selectExpr("id",
+          """CASE WHEN id % 4 = 0 THEN b
+             ELSE concat(substring(b, 1, CAST((id % 4) * 3 - 1 AS INT)), 'z',
+               substring(b, CAST((id % 4) * 3 + 1 AS INT),
+                 CAST(10 - (id % 4) * 3 AS INT))) END AS s""")
+      val pairs = ops.Joins.editDistanceJoin(
+        strs.where(col("id") % 4 < 2), "id", "s",
+        strs.where(col("id") % 4 >= 2), "id", "s", maxDist = 2)
+        .withColumn("score", lit(2L) - col("dist"))
+      ops.Joins.mutualBest(pairs, "id_a", "id_b", "score")
+    }
+    // one-pass gram sufficient statistics: 20x vectors through the ONE
+    // ObjectHashAggregate; only label-keyed d²-grids cross the wire, so
+    // growth must be scan-bound (map-side partials absorb the fan-in)
+    time("gram_matrix") {
+      ops.Similarity.gramSums(bigEmb, Seq("label"), "embedding", dim = 64)
+    }
     // worst case by construction: the factor copies of each doc are EXACT
     // text duplicates under distinct ids, so every copy-group is an
     // all-pairs containment clique — output itself is quadratic in factor
@@ -637,6 +662,33 @@ object ScaleCheck {
     // absorbs the growth, the slab window stays slab-sized
     time("vocab_growth") {
       ops.TextAnalysis.vocabGrowth(bigDocs, "doc_id", "text", bucketSize = 50)
+    }
+    // the rank tests on a CONTINUOUS column (unix micros — essentially
+    // unique per row, so the distinct-value frame IS the row frame):
+    // exactly the case the old hash-window formulation put on one
+    // reducer per group. Groups stay 5 event types while rows grow 20x;
+    // rangedCumSums spreads each group's 400k+ values over every range
+    // shard, so growth must track rows, not largest-group size
+    time("ks_drift") {
+      ops.Drift.ksTest(
+        bigEvents.select(col("event_type"), unix_micros(col("ts")).as("us"),
+          col("user_id")),
+        Seq("event_type"), "us", col("user_id") % 2 === 0)
+    }
+    time("mw_drift") {
+      ops.Drift.mannWhitney(
+        bigEvents.select(col("event_type"), unix_micros(col("ts")).as("us"),
+          col("user_id")),
+        Seq("event_type"), "us", col("user_id") % 2 === 0)
+    }
+    // weighted percentiles over the same continuous value axis, cents
+    // as mass: per-(group, value) collapse buys nothing here (values
+    // unique), so the running-weight scan carries the full 20x frame
+    time("weighted_pctl") {
+      ops.Sketches.weightedPercentiles(
+        bigEvents.select(col("event_type"), unix_micros(col("ts")).as("us"),
+          (col("value") * 100).cast("long").as("cents")),
+        "event_type", "us", "cents", Seq(50, 90, 99))
     }
     // users grow 20x (re-keyed), per-user history is data-constant: the
     // ONE user-keyed exchange carries 20x rows over 20x keys, per-key

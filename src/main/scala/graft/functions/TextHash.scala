@@ -621,6 +621,21 @@ object functions {
       GraftExpressionBridge.expression(sketch),
       GraftExpressionBridge.expression(key), width, depth))
 
+  /** Gram-matrix / mean-vector sufficient-statistics aggregate over a
+    * numeric-array column: the packed `[n | Σx_i | Σx_i*x_j]` micro-unit
+    * summary as `array<long>` (see [[graft.functions.GramMatrix]]);
+    * per-row micro-truncate then exact integer accumulate, so the result
+    * is order-independent and engine-replayable. */
+  def gram_matrix(vec: Column, dim: Int): Column =
+    GraftExpressionBridge.column(
+      GramMatrix(GraftExpressionBridge.expression(vec), dim).toAggregateExpression())
+
+  /** Merge aggregate over [[gram_matrix]] summaries — exact element-wise
+    * sum, the daily-to-all-time re-rollup path. */
+  def gram_merge(vec: Column, dim: Int): Column =
+    GraftExpressionBridge.column(
+      GramMerge(GraftExpressionBridge.expression(vec), dim).toAggregateExpression())
+
   /** Unrestricted Damerau-Levenshtein distance over code points
     * (codegen'd; see [[graft.functions.StringDistanceOps]]). */
   def damerau_levenshtein(a: Column, b: Column): Column =

@@ -64,6 +64,22 @@ object Warehouse {
 
   case class SchemaMismatchException(table: String, detail: String)
       extends Exception(s"schema mismatch appending to $table: $detail")
+
+  /**
+   * Per-JVM cache of append schemas already validated against a
+   * partition (key = partition url | policy | incoming-schema
+   * fingerprint): a streaming sink appends every micro-batch with the
+   * SAME schema, and without this the policy check re-reads the
+   * partition's merged footer union each time — an O(existing files)
+   * Spark job per micro-batch, quadratic footer reads over a day. Sound
+   * under the documented single-writer-per-partition contract: a cached
+   * fingerprint was valid against a schema this writer can only have
+   * grown additively since (SchemaEvolve) or not at all (SchemaStrict).
+   * TRUNCATE/compact/merge rewrites drop the partition's entries, since
+   * a rewrite may redefine the schema the cache validated against.
+   */
+  private[io] val validatedAppendSchemas =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 }
 
 case class WarehouseTable(
@@ -92,7 +108,9 @@ case class WarehouseTable(
 
     val target = partitionUrl(date)
     val mode = writeDisposition match {
-      case WriteTruncate => SaveMode.Overwrite
+      case WriteTruncate =>
+        invalidateSchemaCache(date) // the rewrite may redefine the schema
+        SaveMode.Overwrite
       case WriteAppend =>
         checkAppendSchema(spark, date, ds.toDF().schema)
         SaveMode.Append
@@ -139,26 +157,45 @@ case class WarehouseTable(
    * partition's marker and the crashed partial in yesterday's partition
    * would survive (degrading to at-least-once for exactly the
    * midnight-crash batch).
+   *
+   * `runId` namespaces the marker and file prefix per QUERY (pass the
+   * streaming query's stable name, as [[graft.streaming.EventStreams
+   * .warehouseSink]] does): batchIds are only unique within one
+   * checkpoint lineage, so without it a second query writing the same
+   * partition — or the same query after a CHECKPOINT RESET (batchIds
+   * restart at 0) — finds a stale `_graft_batch-<id>` marker from the
+   * other lineage and silently no-ops a new, different batch (data
+   * loss). With distinct runIds the lineages commit independently. A
+   * reset that REUSES the same runId must clear that runId's markers
+   * (`_graft_batch-<runId>-*`) from unfinished partitions first.
    */
-  def saveStreamBatch(batch: DataFrame, date: DateInterval, batchId: Long): Unit = {
+  def saveStreamBatch(
+      batch: DataFrame,
+      date: DateInterval,
+      batchId: Long,
+      runId: String = ""): Unit = {
     val spark = batch.sparkSession
+    val runTag = runId.replaceAll("[^A-Za-z0-9_-]", "_") match {
+      case "" => s"$batchId"
+      case r => s"$r-$batchId"
+    }
     val hTarget = new org.apache.hadoop.fs.Path(partitionUrl(date).toString)
     val fs = hTarget.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val marker = new org.apache.hadoop.fs.Path(hTarget, s"_graft_batch-$batchId")
+    val marker = new org.apache.hadoop.fs.Path(hTarget, s"_graft_batch-$runTag")
     if (fs.exists(marker)) {
-      logger.info(s"$name/$date batch $batchId already committed; skipping replay")
+      logger.info(s"$name/$date batch $runTag already committed; skipping replay")
       return
     }
     if (fs.exists(hTarget))
       fs.listStatus(hTarget).toSeq
-        .filter(_.getPath.getName.startsWith(s"b$batchId-"))
+        .filter(_.getPath.getName.startsWith(s"b$runTag-"))
         .foreach { st =>
-          logger.warn(s"scrubbing partial ${st.getPath} from interrupted batch $batchId")
+          logger.warn(s"scrubbing partial ${st.getPath} from interrupted batch $runTag")
           fs.delete(st.getPath, false)
         }
     checkAppendSchema(spark, date, batch.schema)
     val tmp = new org.apache.hadoop.fs.Path(
-      (tableUrl / s".stream-tmp-${partitionValue(date)}-$batchId").toString)
+      (tableUrl / s".stream-tmp-${partitionValue(date)}-$runTag").toString)
     fs.delete(tmp, true)
     val writer = batch.write.mode(SaveMode.Overwrite).format(format)
     maxRecordsPerFile.fold(writer)(n => writer.option("maxRecordsPerFile", n))
@@ -170,7 +207,7 @@ case class WarehouseTable(
         st.isFile && !n.startsWith("_") && !n.startsWith(".")
       }
       .foreach { st =>
-        val dest = new org.apache.hadoop.fs.Path(hTarget, s"b$batchId-${st.getPath.getName}")
+        val dest = new org.apache.hadoop.fs.Path(hTarget, s"b$runTag-${st.getPath.getName}")
         if (!fs.rename(st.getPath, dest))
           throw new java.io.IOException(s"stream batch promote ${st.getPath} -> $dest failed")
       }
@@ -260,6 +297,7 @@ case class WarehouseTable(
     val hTmp = new org.apache.hadoop.fs.Path(tmp.toString)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     healSwap(spark, date)
+    invalidateSchemaCache(date) // the rewrite may redefine the schema
     write(load(spark, date), tmp.toString)
     fs.delete(hPath, true)
     if (!fs.rename(hTmp, hPath))
@@ -295,6 +333,12 @@ case class WarehouseTable(
       spark: SparkSession,
       date: DateInterval,
       incoming: org.apache.spark.sql.types.StructType): Unit = {
+    // fingerprint skip FIRST (before even the hasDataForDate listing):
+    // the steady state of a streaming sink is "same schema as the last
+    // micro-batch", which must not cost a partition read per batch
+    val cacheKey = s"${partitionUrl(date)}|$schemaPolicy|" +
+      incoming.fields.map(f => s"${f.name}:${f.dataType.sql}").sorted.mkString(",")
+    if (Warehouse.validatedAppendSchemas.contains(cacheKey)) return
     if (!hasDataForDate(spark, date)) return
     val existing = load(spark, date).schema
     def typesOf(s: org.apache.spark.sql.types.StructType) =
@@ -315,6 +359,15 @@ case class WarehouseTable(
           throw SchemaMismatchException(s"$name/$date",
             only.toSeq.sorted.mkString("column set differs (SchemaStrict): ", ", ", ""))
     }
+    Warehouse.validatedAppendSchemas.add(cacheKey)
+  }
+
+  /** Drop the partition's validated-append-schema cache entries — a
+    * rewrite (truncate, compact, merge) may redefine the schema they
+    * validated against. */
+  private def invalidateSchemaCache(date: DateInterval): Unit = {
+    val prefix = s"${partitionUrl(date)}|"
+    Warehouse.validatedAppendSchemas.removeIf(_.startsWith(prefix))
   }
 
   /**

@@ -654,4 +654,97 @@ object Similarity {
       .withColumn("centroid_e6",
         expr("(sum_e6 - ((sum_e6 % n_members) + n_members) % n_members) DIV n_members").cast("long"))
       .withColumn("dim", col("dim").cast("long"))
+
+  /**
+   * One-pass per-group Gram/mean sufficient statistics of an embedding
+   * column ([[graft.functions.GramMatrix]] kernel): per group one row
+   * `(n, sums_micro[d], gram_micro[d*d] row-major)` — everything
+   * covariance, PCA whitening or OPQ rotation training needs, reduced
+   * from N vectors to a d²-sized summary in ONE map-side-combined
+   * ObjectHashAggregate (no vector ever crosses the wire un-reduced).
+   * Per-row contributions are micro-truncated (`floor(x_i*x_j*1e6)` in
+   * IEEE doubles) then summed EXACTLY, so the summary is a pure function
+   * of the vector multiset — engine-replayable, partition-independent —
+   * and summaries from slices merge to the whole-data summary
+   * bit-identically (`gram_merge`, the daily→all-time path).
+   */
+  def gramSums(
+      df: DataFrame,
+      groupCols: Seq[String],
+      vecCol: String,
+      dim: Int): DataFrame = {
+    val packed = df.where(col(vecCol).isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(graft.functions.functions.gram_matrix(col(vecCol), dim).as("__packed"))
+    packed.select((groupCols.map(col) :+
+      element_at(col("__packed"), 1).as("n") :+
+      slice(col("__packed"), 2, dim).as("sums_micro") :+
+      slice(col("__packed"), 2 + dim, dim * dim).as("gram_micro")): _*)
+  }
+
+  /**
+   * Finish [[gramSums]] rows into exploded covariance entries: one row
+   * per (group, i, j) with the EXACT integer numerator
+   * `cov_num = n * gram_ij * 1e6 - s_i * s_j` over the implied
+   * denominator `n² * 1e12` (population covariance; callers divide —
+   * keeping the quotient symbolic preserves exactness and lets DECIMAL
+   * carry magnitudes a double would round). Output also carries
+   * `gram_micro`, `si_micro`, `sj_micro` and `n` so the reliability of
+   * each entry is auditable. d² rows per group — driver-safe to collect
+   * for the eigen step ([[principalDirection]]).
+   */
+  def covarianceFromGram(gram: DataFrame, groupCols: Seq[String], dim: Int): DataFrame =
+    gram
+      .select((groupCols.map(col) :+ col("n") :+ col("sums_micro") :+
+        posexplode(col("gram_micro")).as(Seq("__pos", "gram_micro"))): _*)
+      .withColumn("i", (col("__pos") / dim).cast("long"))
+      .withColumn("j", pmod(col("__pos"), lit(dim)).cast("long"))
+      .withColumn("si_micro", element_at(col("sums_micro"), (col("i") + 1).cast("int")))
+      .withColumn("sj_micro", element_at(col("sums_micro"), (col("j") + 1).cast("int")))
+      .withColumn("cov_num",
+        (col("n").cast("DECIMAL(38,0)") * col("gram_micro") * lit(1000000L)
+          - col("si_micro").cast("DECIMAL(38,0)") * col("sj_micro")))
+      .select((groupCols.map(col) ++ Seq(col("i"), col("j"), col("n"),
+        col("gram_micro"), col("si_micro"), col("sj_micro"), col("cov_num"))): _*)
+
+  /**
+   * Dominant eigenvector of the covariance implied by ONE collected
+   * [[gramSums]] row — the driver-side finisher (the d×d matrix is KBs;
+   * the cluster's job ended when the gram was reduced): deterministic
+   * power iteration from the all-ones start, `iters` fixed rounds, final
+   * vector L2-normalized with a sign convention (first nonzero component
+   * positive) so the answer is reproducible run to run. Returns null-free
+   * `Array[Double]` of length d; callers wanting more components deflate
+   * and re-call.
+   */
+  def principalDirection(
+      n: Long,
+      sumsMicro: Array[Long],
+      gramMicro: Array[Long],
+      iters: Int = 50): Array[Double] = {
+    val d = sumsMicro.length
+    require(gramMicro.length == d * d, s"gram length ${gramMicro.length} != $d^2")
+    require(n > 0, "principalDirection needs a non-empty gram")
+    // cov_ij in double from the exact integers: (n*gram_ij*1e6 - s_i*s_j) / (n²·1e12)
+    val nn = n.toDouble * n.toDouble * 1e12
+    val cov = Array.tabulate(d, d) { (i, j) =>
+      (n.toDouble * gramMicro(i * d + j) * 1e6 - sumsMicro(i).toDouble * sumsMicro(j)) / nn
+    }
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    var it = 0
+    while (it < iters) {
+      val w = Array.tabulate(d) { i =>
+        var acc = 0.0
+        var j = 0
+        while (j < d) { acc += cov(i)(j) * v(j); j += 1 }
+        acc
+      }
+      val norm = math.sqrt(w.map(x => x * x).sum)
+      if (norm == 0) return v // degenerate (zero covariance): any direction
+      v = w.map(_ / norm)
+      it += 1
+    }
+    val firstNonzero = v.find(math.abs(_) > 1e-12).getOrElse(1.0)
+    if (firstNonzero < 0) v.map(-_) else v
+  }
 }

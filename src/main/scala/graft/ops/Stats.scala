@@ -362,6 +362,21 @@ object Stats {
    *
    * ONE (group, bin) agg, map-side combined; output is bins-sized.
    */
+  /**
+   * The shared fixed-edge bin law `least(score * bins DIV 1e6, bins-1)`
+   * clamped at 0, in pure Column API: DECIMAL(38,0) multiply before the
+   * divide (an IntegerType score column would overflow a 32-bit
+   * `score * bins` for large bins under the old `expr` splice) and
+   * `floor` on the exact decimal quotient. Post-clamp this equals
+   * truncating DIV for every input (negatives land <= 0 either way and
+   * clamp to bin 0). Column-API throughout, so score columns needing
+   * backticks work like everywhere else.
+   */
+  private[graft] def calBin(scorePpmCol: String, bins: Int) =
+    least(greatest(
+      floor(col(scorePpmCol).cast("DECIMAL(38,0)") * bins / lit(1000000)),
+      lit(0L)), lit(bins - 1L)).cast("long")
+
   def calibrationBins(
       df: DataFrame,
       groupCols: Seq[String],
@@ -370,9 +385,7 @@ object Stats {
       bins: Int = 10): DataFrame = {
     require(bins > 0, "calibrationBins needs at least one bin")
     df.where(col(scorePpmCol).isNotNull && col(outcomeCol).isNotNull)
-      .withColumn("bin",
-        least(greatest(expr(s"$scorePpmCol * $bins DIV 1000000"), lit(0L)),
-          lit(bins - 1L)).cast("long"))
+      .withColumn("bin", calBin(scorePpmCol, bins))
       .groupBy((groupCols.map(col) :+ col("bin")): _*)
       .agg(count(lit(1)).as("n"),
         sum(col(scorePpmCol).cast("DECIMAL(38,0)")).as("__sum_score"),
@@ -403,9 +416,7 @@ object Stats {
       bins: Int = 10): DataFrame = {
     require(bins > 0, "calibrationCells needs at least one bin")
     df.where(col(scorePpmCol).isNotNull && col(outcomeCol).isNotNull)
-      .withColumn("bin",
-        least(greatest(expr(s"$scorePpmCol * $bins DIV 1000000"), lit(0L)),
-          lit(bins - 1L)).cast("long"))
+      .withColumn("bin", calBin(scorePpmCol, bins))
       .groupBy((groupCols.map(col) :+ col("bin")): _*)
       .agg(count(lit(1)).as("n"),
         sum(col(scorePpmCol).cast("DECIMAL(38,0)")).as("sum_score"),
@@ -520,6 +531,47 @@ object Stats {
    * dominators at unbounded cardinality, use the Misra-Gries sketch
    * ([[Sketches.heavyHittersRollup]]).
    */
+  /**
+   * Class-balance audit of a label column per group — the
+   * dataset-curation readout before training on labeled (or
+   * pseudo-labeled) data: `n`, `k` (distinct labels), `majority` and its
+   * share `majority_ppm`, and the Gini impurity
+   * `gini_ppm = 1e6 - Σ c_i² · 1e6 DIV n²` — an EXACT integer
+   * (0 = one class, → 1e6·(1−1/k) = uniform), unlike entropy whose
+   * logarithms would never replay digit-for-digit across engines. Null
+   * labels are excluded from the distribution but surfaced as `n_null`
+   * (silently folding them in would flatter balance).
+   *
+   * One (group, label) count agg + one group finisher, both
+   * map-side-combined; the intermediate frame is label-vocabulary-sized.
+   * DECIMAL(38,0) squares keep `Σc²` exact past 1e9-row classes.
+   */
+  def labelBalance(
+      df: DataFrame,
+      groupCols: Seq[String],
+      labelCol: String): DataFrame = {
+    val d38 = "DECIMAL(38,0)"
+    df.groupBy((groupCols :+ labelCol).map(col): _*)
+      .agg(count(lit(1)).cast(d38).as("__c"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        sum(when(col(labelCol).isNotNull, col("__c"))).as("__n"),
+        sum(when(col(labelCol).isNull, col("__c"))).as("__nn"),
+        count(when(col(labelCol).isNotNull, lit(1))).as("k"),
+        max(when(col(labelCol).isNotNull,
+          struct(col("__c").as("c"), col(labelCol).cast("string").as("lbl")))).as("__best"),
+        sum(when(col(labelCol).isNotNull, col("__c") * col("__c"))).as("__ss"))
+      .withColumn("n", coalesce(col("__n"), lit(0)).cast("long"))
+      .withColumn("n_null", coalesce(col("__nn"), lit(0)).cast("long"))
+      .withColumn("majority", col("__best.lbl"))
+      .withColumn("majority_ppm",
+        expr("CAST(CASE WHEN __n > 0 THEN __best.c * 1000000 DIV __n END AS BIGINT)"))
+      .withColumn("gini_ppm",
+        expr("CAST(CASE WHEN __n > 0 THEN 1000000 - __ss * 1000000 DIV (__n * __n) END AS BIGINT)"))
+      .select((groupCols.map(col) ++ Seq(col("n"), col("n_null"), col("k"),
+        col("majority"), col("majority_ppm"), col("gini_ppm"))): _*)
+  }
+
   def modeBy(
       df: DataFrame,
       groupCols: Seq[String],

@@ -862,6 +862,22 @@ object TextAnalysis {
     conv(substring(md5(concat(lit(salt), lit(":"), id.cast("string"))), 1, 4), 16, 10)
       .cast("long")
 
+  /**
+   * Deterministic GROUP-CONSISTENT k-fold assignment for cross-validation:
+   * `fold = (hashBucket(groupKey) * k) >> 16`, a uniform value in [0, k).
+   * Every row sharing `groupKey` lands in the SAME fold — the leakage-safe
+   * law for CV over web data (a near-duplicate family, a user's sessions,
+   * a host's pages must never straddle train/eval folds; pass the dedup
+   * cluster id / user id / host as the key, exactly like
+   * [[graft.ops.Dedup.leakageSafeSplit]] routes whole clusters). Pure
+   * per-row integer math on the shared [[hashBucket]] primitive —
+   * reproducible across engines, runs and cluster sizes, no shuffle.
+   */
+  def kfoldAssign(groupKey: Column, k: Int, salt: String = "graft"): Column = {
+    require(k >= 2 && k <= 65536, s"k must be in [2, 65536], got $k")
+    shiftright(hashBucket(groupKey, salt) * k, 16)
+  }
+
   def hashSplit(id: Column, weights: Seq[(String, Int)], salt: String = "graft"): Column = {
     require(weights.nonEmpty && weights.forall(_._2 > 0), "weights must be positive")
     val total = weights.map(_._2).sum

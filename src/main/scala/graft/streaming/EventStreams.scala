@@ -284,9 +284,7 @@ object EventStreams {
       windowLength: String = "1 hour",
       watermark: String = "10 minutes"): DataFrame = {
     require(bins > 0, "calibrationCellsRollup needs at least one bin")
-    val bin = least(greatest(
-      expr(s"$scorePpmCol * $bins DIV 1000000"), lit(0L)),
-      lit(bins - 1L)).cast("long")
+    val bin = graft.ops.Stats.calBin(scorePpmCol, bins)
     val agged = events
       .where(col("ts").isNotNull && col(scorePpmCol).isNotNull &&
         col(outcomeCol).isNotNull)
@@ -297,6 +295,37 @@ object EventStreams {
         sum(col(scorePpmCol).cast("DECIMAL(38,0)")).as("sum_score"),
         sum(when(col(outcomeCol), 1L).otherwise(0L))
           .cast("DECIMAL(38,0)").as("pos"))
+    agged.select(col("window.start").as("window_start") +:
+      agged.columns.filterNot(_ == "window").map(col): _*)
+  }
+
+  /**
+   * S23 — windowed k×2 CELLS, the streaming feed of the CATEGORICAL
+   * drift gate ([[graft.ops.Drift.chi2FromKx2Cells]], the finisher
+   * behind `category_drift`): per (window, category) the exact
+   * two-sample counts `(a, b)` with `inA` labeling each event's sample
+   * (deploy ring, cohort, traffic split; rows with null `inA` or null
+   * `ts` are skipped, null categories count as a category — the batch
+   * [[graft.ops.Drift.kx2Cells]] law). Counts ADD per category, so
+   * emitted windows re-aggregate to any horizon and finish to the exact
+   * staged chi-squared — the same windowed-merge treatment the numeric
+   * suite gets from S21's histogram cells, for the event-type/language/
+   * source MIX instead of a value distribution. State per window is one
+   * `(a, b)` pair per live category.
+   */
+  def kx2CellsRollup(
+      events: DataFrame,
+      categoryCol: String = "event_type",
+      inA: org.apache.spark.sql.Column = col("user_id") % 2 === 0,
+      windowLength: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame = {
+    val agged = events
+      .where(col("ts").isNotNull && inA.isNotNull)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength), col(categoryCol))
+      .agg(
+        sum(when(inA, 1L).otherwise(0L)).as("a"),
+        sum(when(!inA, 1L).otherwise(0L)).as("b"))
     agged.select(col("window.start").as("window_start") +:
       agged.columns.filterNot(_ == "window").map(col): _*)
   }
@@ -578,14 +607,23 @@ object EventStreams {
    * crash-safe discipline of the batch MERGE path. `date()` should be
    * stable across a batch's retries (see `saveStreamBatch`'s scaladoc for
    * the midnight-roll caveat of a wall-clock date).
+   *
+   * `sinkId` namespaces the commit markers per query lineage — REQUIRED
+   * the moment a partition can see more than one writer lineage (two
+   * queries sharing a table, or a checkpoint reset restarting batchIds
+   * at 0, whose replayed ids would otherwise hit the old lineage's
+   * markers and silently drop new batches). Use the query's stable name;
+   * keep it in lockstep with `checkpointLocation` (new checkpoint → new
+   * sinkId, or clear the old sinkId's `_graft_batch-*` markers).
    */
   def warehouseSink(
       events: DataFrame,
       table: graft.io.WarehouseTable,
-      date: () => graft.time.DateInterval = () => graft.time.Day.today)
+      date: () => graft.time.DateInterval = () => graft.time.Day.today,
+      sinkId: String = "")
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     events.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      table.saveStreamBatch(batch, date(), batchId)
+      table.saveStreamBatch(batch, date(), batchId, sinkId)
     }
 
   /**

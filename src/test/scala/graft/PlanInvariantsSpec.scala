@@ -426,6 +426,21 @@ class PlanInvariantsSpec extends SparkTestBase {
     check("spearman_corr", maxShuffles = 4)
   }
 
+  test("round-15 additions: entity resolution, gram, kfold, balance") {
+    // editDistanceJoin generator (segment-index equi-join; its range/
+    // checkpoint internals hide) + the mutualBest acceptance shape:
+    // two key-sized argmax aggs + their key-sized equi-join
+    check("entity_resolution", maxShuffles = 4)
+    // pure per-row hash math — NO exchange at any scale
+    check("kfold_split", maxShuffles = 0)
+    // ONE ObjectHashAggregate pass (map-side gram partials -> merge on
+    // the label key): only d²-sized grids cross the wire, vectors never
+    // do; the covariance explode is projection on the label-sized output
+    check("embedding_gram", maxShuffles = 1)
+    // (source, lang) count agg + source finisher, both map-side combined
+    check("label_balance", maxShuffles = 2)
+  }
+
   test("round-14 additions: agreement, calibration, privacy and web audits") {
     // rows agg + two-sided label-union agg + group agg + group-sized join
     check("label_agreement", maxShuffles = 3)

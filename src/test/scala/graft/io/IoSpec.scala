@@ -123,6 +123,34 @@ class IoSpec extends SparkTestBase {
     table.load(spark, date).count() shouldBe 8
   }
 
+  test("saveStreamBatch: runId separates lineages sharing a batchId; replays stay per-lineage") {
+    val table = WarehouseTable(HdfsUrl(tmpDir("wh_stream_runid")), "t")
+    val date = Day(2026, 8, 12)
+    // two queries (or pre/post checkpoint-reset lineages) both at batch 0:
+    // without the namespace the second would no-op on the first's marker
+    table.saveStreamBatch(spark.range(5).toDF("n"), date, batchId = 0L, runId = "qa")
+    table.saveStreamBatch(spark.range(3).toDF("n"), date, batchId = 0L, runId = "qb")
+    table.load(spark, date).count() shouldBe 8
+    // replays are still exactly-once WITHIN each lineage
+    table.saveStreamBatch(spark.range(5).toDF("n"), date, batchId = 0L, runId = "qa")
+    table.saveStreamBatch(spark.range(3).toDF("n"), date, batchId = 0L, runId = "qb")
+    table.load(spark, date).count() shouldBe 8
+  }
+
+  test("append schema cache: a truncate redefining the schema still fails the next append") {
+    val table = WarehouseTable(HdfsUrl(tmpDir("wh_schema_cache")), "t",
+      schemaPolicy = Warehouse.SchemaStrict)
+    val date = Day(2026, 8, 12)
+    table.save(Seq((1L, "a")).toDF("id", "v"), date)
+    // validates and caches the (id long, v string) fingerprint
+    table.save(Seq((2L, "b")).toDF("id", "v"), date, Warehouse.WriteAppend)
+    // truncate flips v's type — the cached fingerprint must not leak through
+    table.save(Seq((1L, 10L)).toDF("id", "v"), date)
+    a[Warehouse.SchemaMismatchException] should be thrownBy
+      table.save(Seq((2L, "b")).toDF("id", "v"), date, Warehouse.WriteAppend)
+    table.load(spark, date).count() shouldBe 1
+  }
+
   test("saveStreamBatch: replay after a partial (uncommitted) write scrubs, no dupes") {
     val table = WarehouseTable(HdfsUrl(tmpDir("wh_stream_partial")), "t")
     val date = Day(2026, 8, 12)

@@ -386,4 +386,90 @@ class SimilaritySpec extends SparkTestBase {
     // every cell's member count is constant across its dims
     a.groupBy(_._1).values.foreach(rows => rows.map(_._3).toSet.size shouldBe 1)
   }
+
+  test("gramSums: hand-computed micro-truncated sums on a tiny frame") {
+    val df = Seq(
+      (0, Array(1.0f, -0.5f)),
+      (0, Array(0.25f, 2.0f)),
+      (1, Array(-1.0f, 0.0f))).toDF("g", "v")
+    val out = Similarity.gramSums(df, Seq("g"), "v", dim = 2)
+      .as[(Int, Long, Seq[Long], Seq[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // g=0: sums = floor(1e6)+floor(0.25e6), floor(-0.5e6)+floor(2e6)
+    val (n0, s0, m0) = (out(0)._1, out(0)._2, out(0)._3)
+    n0 shouldBe 2L
+    s0 shouldBe Seq(1250000L, 1500000L)
+    // gram row-major: [x0x0, x0x1, x1x0, x1x1] summed over the two rows
+    m0 shouldBe Seq(
+      math.floor(1.0 * 1.0 * 1e6).toLong + math.floor(0.25 * 0.25 * 1e6).toLong,
+      math.floor(1.0 * -0.5 * 1e6).toLong + math.floor(0.25 * 2.0 * 1e6).toLong,
+      math.floor(-0.5 * 1.0 * 1e6).toLong + math.floor(2.0 * 0.25 * 1e6).toLong,
+      math.floor(-0.5 * -0.5 * 1e6).toLong + math.floor(2.0 * 2.0 * 1e6).toLong)
+    out(1)._1 shouldBe 1L
+    out(1)._2 shouldBe Seq(-1000000L, 0L)
+  }
+
+  test("gram summaries merge bit-identically to the whole-data gram") {
+    val whole = Similarity.gramSums(corpus, Seq.empty, "embedding", dim = 16)
+      .select($"n", $"sums_micro", $"gram_micro")
+      .as[(Long, Seq[Long], Seq[Long])].head()
+    // slice by cluster, then re-roll the per-slice summaries with gram_merge
+    val sliced = Similarity.gramSums(corpus, Seq("cluster"), "embedding", dim = 16)
+      .select(concat(
+        array($"n"), $"sums_micro", $"gram_micro").as("packed"))
+      .agg(graft.functions.functions.gram_merge($"packed", 16).as("m"))
+      .select($"m").as[Seq[Long]].head()
+    sliced.head shouldBe whole._1
+    sliced.slice(1, 17) shouldBe whole._2
+    sliced.drop(17) shouldBe whole._3
+  }
+
+  test("gramSums is partitioning-independent (truncate-then-accumulate law)") {
+    def run(parts: Int) =
+      Similarity.gramSums(corpus.repartition(parts), Seq.empty, "embedding", 16)
+        .select($"n", $"sums_micro", $"gram_micro")
+        .as[(Long, Seq[Long], Seq[Long])].head()
+    run(1) shouldBe run(13)
+  }
+
+  test("gramSums fails loudly on a wrong-dimension vector") {
+    val bad = Seq((0, Array(1.0f, 2.0f, 3.0f))).toDF("g", "v")
+    val ex = intercept[org.apache.spark.SparkException] {
+      Similarity.gramSums(bad, Seq("g"), "v", dim = 2).collect()
+    }
+    ex.getMessage should include("dimension mismatch")
+  }
+
+  test("covarianceFromGram: exact integer numerators, diagonal positive") {
+    val g = Similarity.gramSums(corpus, Seq("cluster"), "embedding", dim = 16)
+    val cov = Similarity.covarianceFromGram(g, Seq("cluster"), dim = 16)
+    val rows = cov.where($"cluster" === 0)
+      .select($"i", $"j", $"n", $"gram_micro", $"si_micro", $"sj_micro",
+        $"cov_num".cast("long"))
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    rows.length shouldBe 256
+    rows.foreach { case (_, _, n, gm, si, sj, num) =>
+      num shouldBe n * gm * 1000000L - si * sj
+    }
+    // variances (i == j) are positive for the noisy coordinates
+    rows.filter(r => r._1 == r._2).map(_._7).count(_ > 0) should be >= 15
+  }
+
+  test("principalDirection recovers the dominant axis of a stretched cloud") {
+    // points spread along dim 3 (variance >> others): x3 = ±10 + noise
+    val rows = (0 until 200).map { i =>
+      val sign = if (i % 2 == 0) 1.0 else -1.0
+      Array.tabulate(8)(d =>
+        (if (d == 3) sign * 10.0 + math.sin(i * 13 + d) * 0.1
+         else math.sin(i * 29 + d * 7) * 0.5).toFloat)
+    }
+    val df = rows.map(Tuple1(_)).toDF("v")
+    val (n, sums, gram) = Similarity.gramSums(df, Seq.empty, "v", dim = 8)
+      .select($"n", $"sums_micro", $"gram_micro")
+      .as[(Long, Seq[Long], Seq[Long])].head()
+    val dir = Similarity.principalDirection(n, sums.toArray, gram.toArray)
+    math.abs(dir(3)) should be > 0.99
+    // sign convention: first nonzero component positive -> reproducible
+    dir.find(math.abs(_) > 1e-12).get should be > 0.0
+  }
 }

@@ -356,4 +356,31 @@ class StatsSpec extends SparkTestBase {
       withClue(s"parts=$parts") { rho(rows, parts) shouldBe expected }
     }
   }
+
+  test("labelBalance: hand-computed gini/majority, null accounting, tie law") {
+    val df = Seq(
+      ("a", Some("en")), ("a", Some("en")), ("a", Some("en")), ("a", Some("de")),
+      ("b", Some("x")), ("b", Some("y")), // tie -> majority = largest label
+      ("c", Some("zz")), ("c", None)
+    ).toDF("g", "lbl")
+    val out = Stats.labelBalance(df, Seq("g"), "lbl")
+      .as[(String, Long, Long, Long, String, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // a: n=4, counts {en:3, de:1}: majority en 750000, gini = 1e6 - (9+1)*1e6/16
+    out("a") shouldBe (("a", 4L, 0L, 2L, "en", 750000L, 1000000L - 10L * 1000000L / 16L))
+    // b: 2 labels tied at 1 -> majority 'y' (largest), gini = 1e6 - 2*1e6/4
+    out("b") shouldBe (("b", 2L, 0L, 2L, "y", 500000L, 500000L))
+    // c: one non-null label -> gini 0; the null row surfaces in n_null
+    out("c") shouldBe (("c", 1L, 1L, 1L, "zz", 1000000L, 0L))
+  }
+
+  test("labelBalance is a pure function of the data, not its partitioning") {
+    val rnd = new scala.util.Random(41)
+    val rows = (1 to 2000).map(_ =>
+      ("s" + rnd.nextInt(3), if (rnd.nextInt(10) == 0) None else Some("l" + rnd.nextInt(6))))
+    def run(parts: Int) =
+      Stats.labelBalance(rows.toDF("g", "lbl").repartition(parts), Seq("g"), "lbl")
+        .collect().map(_.toSeq).toSet
+    run(1) shouldBe run(17)
+  }
 }

@@ -167,6 +167,27 @@ class TextAnalysisSpec extends SparkTestBase {
     again shouldBe first
   }
 
+  test("kfoldAssign: folds in range, group-consistent, roughly uniform, k bounds enforced") {
+    val df = spark.range(10000).toDF("id")
+      .withColumn("grp", expr("id DIV 4"))
+    val folds = df.select($"id", $"grp",
+      TextAnalysis.kfoldAssign($"grp", k = 5).as("fold"))
+      .as[(Long, Long, Long)].collect()
+    folds.map(_._3).toSet.subsetOf((0L until 5L).toSet) shouldBe true
+    // every group's rows share ONE fold — the leakage-safe CV law
+    folds.groupBy(_._2).values.foreach(rows => rows.map(_._3).toSet.size shouldBe 1)
+    // roughly uniform across folds (2000 rows/fold expected)
+    val counts = folds.groupBy(_._3).view.mapValues(_.size).toMap
+    counts.size shouldBe 5
+    counts.values.foreach(_.toDouble shouldBe 2000.0 +- 300.0)
+    // pure per-row math: partitioning cannot change assignments
+    val again = df.repartition(13)
+      .select($"id", TextAnalysis.kfoldAssign($"grp", 5).as("fold"))
+      .as[(Long, Long)].collect().toMap
+    again shouldBe folds.map(r => r._1 -> r._3).toMap
+    an[IllegalArgumentException] should be thrownBy TextAnalysis.kfoldAssign($"grp", 1)
+  }
+
   test("sentences enumerates terminator-run segments plus a trailing fragment") {
     def sents(s: String): Seq[String] =
       Seq(s).toDF("t").select(TextAnalysis.sentences($"t")).as[Seq[String]].head()

@@ -143,6 +143,36 @@ class EventStreamsSpec extends SparkTestBase {
     total shouldBe 4L
   }
 
+  test("S23 kx2 cells: windowed two-sample counts merge to the exact batch chi-squared") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = kx2CellsRollup(asContract(in.toDF()), "event_type", $"user_id" % 2 === 0,
+      windowLength = "10 minutes", watermark = "5 minutes")
+      .writeStream.format("memory").queryName("kx2_out").outputMode("append").start()
+    val rows = Seq(
+      Event(1, ts(1), 10, "click", 0.0), // even -> a
+      Event(2, ts(2), 11, "click", 0.0), // odd  -> b
+      Event(3, ts(3), 12, "view", 0.0),
+      Event(4, ts(4), 13, "view", 0.0),
+      Event(5, ts(15), 14, "click", 0.0), // second window, even
+      Event(6, ts(16), 15, "view", 0.0))  // second window, odd
+    in.addData(rows: _*)
+    q.processAllAvailable()
+    in.addData(Event(99, ts(60), 13, "purchase", 0.0)) // advance watermark
+    runToCompletion(q)
+    val cells = spark.table("kx2_out").where($"event_type" =!= "purchase")
+    cells.select($"window_start").distinct().count() shouldBe 2L
+    // categories span both windows: merged cells finish EXACTLY to the
+    // batch statistic over the same rows (counts add per category)
+    val streamed = graft.ops.Drift.chi2FromKx2Cells(
+      cells.select($"event_type", $"a", $"b"), Seq.empty, "event_type")
+    val batch = graft.ops.Drift.chiSquareKx2(
+      rows.map(e => (e.eventId, e.userId, e.eventType))
+        .toDF("event_id", "user_id", "event_type"),
+      Seq.empty, "event_type", $"user_id" % 2 === 0)
+    streamed.collect().map(_.toSeq) shouldBe batch.collect().map(_.toSeq)
+  }
+
   test("S21 histogram cells: exact fixed-edge counts, clamping, drift finish parity") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Event]
