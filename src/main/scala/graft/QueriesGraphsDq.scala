@@ -496,6 +496,67 @@ private[graft] trait QueriesGraphsDq extends QueryHelpers { this: QueryBattery =
    * label is replayed exactly, the same unrolled-fixed-point pattern as
    * `host_pagerank`/`host_hits`.
    */
+  /**
+   * `host_components`: EXACT connected components of the undirected host
+   * graph ([[graft.ops.Graphs.connectedComponents]] — min-label
+   * propagation with pointer jumping, run to the true fixpoint), every
+   * host labeled with the smallest host id it can reach. The oracle is a
+   * DuckDB recursive CTE computing min-reachable-id directly — fixpoint
+   * vs fixpoint, so the hash match proves the iterate+compress loop
+   * lands on the true components, not an iteration-count artifact.
+   */
+  def hostComponents(spark: SparkSession, dir: String): DataFrame = {
+    graft.ops.Graphs.connectedComponents(linkHostEdges(spark, dir))
+      .select(col("id").as("host"), col("component"))
+  }
+
+  val hostComponentsSql: String =
+    s"""WITH RECURSIVE $sqlHostEdgesCtes,
+       und AS (SELECT src AS u, dst AS v FROM edges
+               UNION SELECT dst, src FROM edges),
+       reach(id, lbl) AS (
+         SELECT u, u FROM und
+         UNION
+         SELECT e.v, r.lbl FROM reach r JOIN und e ON e.u = r.id)
+       SELECT id AS host, min(lbl) AS component FROM reach GROUP BY 1"""
+
+  /**
+   * `lang_source_assoc`: [[graft.ops.Stats.cramersV]] — k×k chi-squared
+   * association between `source` and `lang` over the documents (does the
+   * source determine the language mix?), with Cramér's V² in ppm via the
+   * observed-cell identity `χ² = n·(Σ o²/(r·c) − 1)` — one truncated
+   * division per cell, the absent-cell mass folded into the exact `−n`
+   * term. Oracle replays the cell frame, every per-cell division and the
+   * clamp in HUGEINT.
+   */
+  def langSourceAssoc(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    graft.ops.Stats.cramersV(t(dir, "documents"), Seq.empty, "source", "lang")
+  }
+
+  val langSourceAssocSql: String =
+    """WITH cells AS (
+         SELECT source, lang, CAST(count(*) AS HUGEINT) AS o FROM documents
+         WHERE source IS NOT NULL AND lang IS NOT NULL GROUP BY 1, 2),
+       marg AS (
+         SELECT source, lang, o,
+                sum(o) OVER (PARTITION BY source) AS r,
+                sum(o) OVER (PARTITION BY lang) AS c,
+                sum(o) OVER () AS n FROM cells),
+       terms AS (
+         SELECT o, r, c, n, o * o * n * 1000000 // (r * c) AS term FROM marg),
+       fin AS (
+         SELECT max(n) AS n,
+                (SELECT count(DISTINCT source) FROM cells) AS r,
+                (SELECT count(DISTINCT lang) FROM cells) AS c,
+                greatest(0, sum(term) - max(n) * 1000000) AS chi2
+         FROM terms)
+       SELECT CAST(n AS BIGINT) AS n, CAST(r AS BIGINT) AS r, CAST(c AS BIGINT) AS c,
+              CAST(CASE WHEN r >= 2 AND c >= 2 THEN chi2 END AS BIGINT) AS chi2_micro,
+              CAST(CASE WHEN r >= 2 AND c >= 2
+                   THEN chi2 // (n * least(r - 1, c - 1)) END AS BIGINT) AS v2_ppm
+       FROM fin"""
+
   def hostCommunities(spark: SparkSession, dir: String): DataFrame = {
     graft.ops.Graphs.labelPropagation(linkHostEdges(spark, dir), iterations = 4)
       .select(col("id").as("host"), col("community"))

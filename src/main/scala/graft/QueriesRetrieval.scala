@@ -397,6 +397,85 @@ private[graft] trait QueriesRetrieval extends QueryHelpers { this: QueryBattery 
       qs, "query_id", "qtext", k = 10)
   }
 
+  /**
+   * `retrieval_eval`: [[graft.ops.Retrieval.rankingMetrics]] — exact
+   * per-query MRR / P@k / R@k of the BM25 run against a conjunctive
+   * relevance set (docs containing ALL the query's distinct terms —
+   * [[graft.ops.Retrieval.percolate]] at 100%): the offline eval readout
+   * a retrieval regression suite alarms on, all truncated-integer ppm.
+   * The oracle replays the full BM25 scoring chain, the conjunctive
+   * qrels, and every metric division.
+   */
+  def retrievalEval(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val qs = Seq(("q1", "table scan merge"), ("q2", "slow query filter"),
+      ("q3", "stream window customer")).toDF("query_id", "qtext")
+    val run = graft.ops.Retrieval.bm25TopK(t(dir, "documents"), "doc_id", "text",
+      qs, "query_id", "qtext", k = 10)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val qrels = graft.ops.Retrieval.percolate(t(dir, "documents"), "doc_id", "text",
+      qs, "query_id", "qtext", minMatchPct = 100)
+      .select(col("query_id"), col("doc_id"))
+    graft.ops.Retrieval.rankingMetrics(run, qrels, k = 10)
+  }
+
+  val retrievalEvalSql: String = {
+    val qtoks = "list_filter(string_split_regex(lower(qtext), '[^a-z0-9]+'), x -> x <> '')"
+    s"""WITH qs(query_id, qtext) AS (VALUES
+         ('q1', 'table scan merge'), ('q2', 'slow query filter'),
+         ('q3', 'stream window customer')),
+       tok AS (SELECT doc_id, $Toks AS toks FROM documents),
+       terms AS (SELECT doc_id, unnest(toks) AS term,
+                        CAST(len(toks) AS BIGINT) AS dl FROM tok),
+       qt AS (SELECT query_id, unnest(list_distinct($qtoks)) AS term FROM qs),
+       stats AS (SELECT count(*) AS n, CAST(sum(len(toks)) AS BIGINT) AS t FROM tok),
+       qdoc AS (SELECT tr.* FROM terms tr
+                JOIN (SELECT DISTINCT term FROM qt) q USING (term)),
+       tf AS (SELECT doc_id, term, count(*) AS tf, min(dl) AS dl
+              FROM qdoc GROUP BY 1, 2),
+       dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM qdoc GROUP BY 1),
+       ts AS (SELECT q.query_id, f.doc_id,
+                CAST((CAST(((s.n - d.df) * 2 + 1) AS HUGEINT) * 1000000 // (2 * d.df + 1))
+                     * f.tf * 2200 * s.t //
+                     (CAST(1000 AS HUGEINT) * f.tf * s.t +
+                      12 * (CAST(25 AS HUGEINT) * s.t + 75 * f.dl * s.n))
+                  AS BIGINT) AS s
+              FROM tf f JOIN dfq d USING (term) JOIN qt q USING (term)
+              CROSS JOIN stats s),
+       sc AS (SELECT query_id, doc_id, CAST(sum(s) AS BIGINT) AS score_fp
+              FROM ts GROUP BY 1, 2),
+       run AS (SELECT query_id, doc_id, rank FROM (
+                 SELECT query_id, doc_id,
+                        row_number() OVER (PARTITION BY query_id
+                                           ORDER BY score_fp DESC, doc_id) AS rank
+                 FROM sc)
+               WHERE rank <= 10),
+       nq AS (SELECT query_id, count(*) AS n_terms FROM qt GROUP BY 1),
+       qrels AS (SELECT m.query_id, m.doc_id FROM (
+                   SELECT d.query_id, t2.doc_id, count(DISTINCT t2.term) AS nm
+                   FROM (SELECT DISTINCT query_id, term FROM qt) d
+                   JOIN (SELECT DISTINCT doc_id, term FROM terms) t2 USING (term)
+                   GROUP BY 1, 2) m
+                 JOIN nq USING (query_id) WHERE m.nm = nq.n_terms),
+       relc AS (SELECT query_id, count(*) AS n_rel FROM qrels GROUP BY 1),
+       j AS (SELECT r.query_id, r.rank,
+                    CASE WHEN q.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+             FROM run r LEFT JOIN qrels q
+               ON r.query_id = q.query_id AND r.doc_id = q.doc_id),
+       agg AS (SELECT query_id, count(*) AS n_results,
+                      CAST(sum(rel) AS BIGINT) AS hits,
+                      CAST(min(CASE WHEN rel = 1 THEN rank END) AS BIGINT) AS first_rel_rank
+               FROM j GROUP BY 1)
+       SELECT a.query_id, a.n_results, coalesce(r.n_rel, 0) AS n_rel, a.hits,
+              a.first_rel_rank,
+              CAST(1000000 // a.first_rel_rank AS BIGINT) AS rr_ppm,
+              CAST(a.hits * 1000000 // 10 AS BIGINT) AS p_at_k_ppm,
+              CAST(CASE WHEN coalesce(r.n_rel, 0) > 0
+                   THEN a.hits * 1000000 // r.n_rel END AS BIGINT) AS r_at_k_ppm
+       FROM agg a LEFT JOIN relc r USING (query_id)"""
+  }
+
   val bm25TopKSql: String = {
     val qtoks = "list_filter(string_split_regex(lower(qtext), '[^a-z0-9]+'), x -> x <> '')"
     s"""WITH qs(query_id, qtext) AS (VALUES

@@ -40,7 +40,8 @@ object ScaleCheck {
     "gap_fill", "cusum", "trailing", "zorder",
     "basket_lift", "time_weighted_load", "damerau_pairs", "rrf_fusion",
     "attribution_linear", "blocklist", "spearman", "fleiss", "vocab_growth",
-    "ks_drift", "mw_drift", "weighted_pctl", "entity_resolution", "gram_matrix")
+    "ks_drift", "mw_drift", "weighted_pctl", "entity_resolution", "gram_matrix",
+    "connected_components")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -494,6 +495,11 @@ object ScaleCheck {
     }
     time("kcore") {
       ops.Graphs.kCore(bigLinks, k = 4)
+    }
+    // fixpoint components with pointer jumping: node count scales with
+    // factor; rounds stay O(log diameter), each round edge-sized joins
+    time("connected_components") {
+      ops.Graphs.connectedComponents(bigLinks)
     }
     time("bfs_reach") {
       ops.Graphs.bfsDistances(bigLinks, Seq("h13"), maxDepth = 4)

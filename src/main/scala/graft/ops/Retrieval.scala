@@ -228,4 +228,55 @@ object Retrieval {
         col("__e.rrf_fp").as("rrf_fp"), col("__e.n_rankers").as("n_rankers"),
         (col("__pos") + 1).cast("long").as("rank"))
   }
+
+  /**
+   * EXACT ranking-quality metrics per query — the offline retrieval-eval
+   * readout (search regression suites, RAG retriever comparisons): given
+   * a ranked RUN (`query_id, doc_id, rank` with ranks 1..k, as
+   * [[bm25TopK]]/[[toRanking]]/[[rrfFuse]] emit) and a relevance set
+   * QRELS (`query_id, doc_id`, duplicates tolerated), per query:
+   *
+   *  - `n_results`, `n_rel` (relevance-set size; 0 when the query has no
+   *    qrels), `hits` (relevant results retrieved);
+   *  - `first_rel_rank` and the reciprocal rank
+   *    `rr_ppm = 1e6 DIV first_rel_rank` (null when nothing relevant was
+   *    retrieved — average over queries for MRR);
+   *  - `p_at_k_ppm = hits·1e6 DIV k` and
+   *    `r_at_k_ppm = hits·1e6 DIV n_rel` (null when `n_rel = 0`).
+   *
+   * Truncated integers only — MRR/P@k/R@k are the RATIONAL core of
+   * ranking eval; nDCG's `1/log2(rank+1)` discount is irrational and out
+   * of the exactness contract (a caller with fixed k can table scaled
+   * discounts and reuse the same join). Queries present in qrels but
+   * absent from the run don't appear — count them separately when
+   * averaging (their RR/recall is 0 by convention, not null).
+   *
+   * Plan: qrels dedup + per-query qrel count (both query-keyed,
+   * broadcastable — qrels are human-sized), ONE equi-join onto the run,
+   * one per-query agg. Nothing scans the corpus; cost is run-sized.
+   */
+  def rankingMetrics(
+      run: DataFrame,
+      qrels: DataFrame,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val rel = qrels.select(col("query_id"), col("doc_id")).distinct()
+      .withColumn("__rel", lit(1L))
+    val relCounts = rel.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_rel"))
+    run.join(broadcast(rel), Seq("query_id", "doc_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(
+        count(lit(1)).as("n_results"),
+        sum(coalesce(col("__rel"), lit(0L))).as("hits"),
+        min(when(col("__rel") === 1L, col("rank"))).cast("long").as("first_rel_rank"))
+      .join(broadcast(relCounts), Seq("query_id"), "left")
+      .na.fill(0L, Seq("n_rel"))
+      .withColumn("rr_ppm", expr("CAST(1000000 DIV first_rel_rank AS BIGINT)"))
+      .withColumn("p_at_k_ppm", expr(s"CAST(hits * 1000000 DIV $k AS BIGINT)"))
+      .withColumn("r_at_k_ppm",
+        expr("CAST(CASE WHEN n_rel > 0 THEN hits * 1000000 DIV n_rel END AS BIGINT)"))
+      .select(col("query_id"), col("n_results"), col("n_rel"), col("hits"),
+        col("first_rel_rank"), col("rr_ppm"), col("p_at_k_ppm"), col("r_at_k_ppm"))
+  }
 }

@@ -532,6 +532,75 @@ object Stats {
    * ([[Sketches.heavyHittersRollup]]).
    */
   /**
+   * k×k chi-squared ASSOCIATION between two categorical columns per group
+   * + Cramér's V² — the feature-association / leakage screen ("does
+   * `source` determine `lang`? is the split column secretly correlated
+   * with the label?") beside [[graft.ops.Drift.chiSquareKx2]]'s
+   * two-SAMPLE homogeneity: this one crosses two columns of the SAME
+   * rows. With cell counts `o_ij`, row totals `r_i`, column totals
+   * `c_j`, total `n`, the classic statistic reduces by the identity
+   * `χ² = n·(Σ_ij o_ij²/(r_i·c_j) − 1)` — the form where ABSENT cells
+   * genuinely vanish (in the textbook `(o−e)²/e` sum an empty cell
+   * still contributes `r_i·c_j/n`; the identity folds all of those into
+   * the `−n` term, so the observed-cell frame is sufficient). Computed
+   * in micro units with ONE truncated division per cell:
+   * `term = o²·n·1e6 DIV (r_i·c_j)` (each floors within 1 micro; the
+   * k²-cell sum is within k² micro; `o²·n·1e6` stays inside
+   * DECIMAL(38,0) up to ~4e10 rows per group), then
+   * `χ²_micro = max(0, Σ term − n·1e6)` — the clamp absorbs the
+   * flooring on an exactly-independent table. The effect size is
+   * reported SQUARED:
+   * `v2_ppm = χ²_micro DIV (n · min(R−1, C−1))` so everything stays a
+   * pure integer function of the counts (`V = sqrt(v2_ppm / 1e6)` is
+   * the caller's one irrational step). Null in either column drops the
+   * row; null when the table is degenerate (R < 2 or C < 2).
+   *
+   * Plan: ONE (group, x, y) count agg collapses rows to the
+   * category-pair frame; marginals ride windows over that bounded frame
+   * (never raw rows — pre-bucket an unbounded "category" first, as any
+   * k×k test must); one group finisher. Output per group:
+   * `n, r, c, chi2_micro, v2_ppm`.
+   */
+  def cramersV(
+      df: DataFrame,
+      groupCols: Seq[String],
+      xCol: String,
+      yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "DECIMAL(38,0)"
+    val cells = df
+      .where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy((groupCols.map(col) ++ Seq(col(xCol), col(yCol))): _*)
+      .agg(count(lit(1)).cast(d38).as("__o"))
+    val byGroup = Window.partitionBy(groupCols.map(col): _*)
+    val byRow = Window.partitionBy((groupCols.map(col) :+ col(xCol)): _*)
+    val byCol = Window.partitionBy((groupCols.map(col) :+ col(yCol)): _*)
+    cells
+      .withColumn("__r", sum(col("__o")).over(byRow))
+      .withColumn("__c", sum(col("__o")).over(byCol))
+      .withColumn("__n", sum(col("__o")).over(byGroup))
+      .withColumn("__nr", size(collect_set(col(xCol)).over(byGroup)))
+      .withColumn("__nc", size(collect_set(col(yCol)).over(byGroup)))
+      .withColumn("__term",
+        expr("__o * __o * __n * 1000000 DIV (__r * __c)"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        max(col("__n")).cast("long").as("n"),
+        max(col("__nr")).cast("long").as("r"),
+        max(col("__nc")).cast("long").as("c"),
+        sum(col("__term")).as("__t"))
+      .withColumn("__chi2",
+        expr(s"greatest(CAST(0 AS DECIMAL(38,0)), __t - CAST(n AS DECIMAL(38,0)) * 1000000)"))
+      .withColumn("chi2_micro",
+        expr("CAST(CASE WHEN r >= 2 AND c >= 2 THEN __chi2 END AS BIGINT)"))
+      .withColumn("v2_ppm",
+        expr("CAST(CASE WHEN r >= 2 AND c >= 2 THEN " +
+          "__chi2 DIV (CAST(n AS DECIMAL(38,0)) * least(r - 1, c - 1)) " +
+          "END AS BIGINT)"))
+      .drop("__chi2", "__t")
+  }
+
+  /**
    * Class-balance audit of a label column per group — the
    * dataset-curation readout before training on labeled (or
    * pseudo-labeled) data: `n`, `k` (distinct labels), `majority` and its

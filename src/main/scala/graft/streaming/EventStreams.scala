@@ -331,6 +331,37 @@ object EventStreams {
   }
 
   /**
+   * S24 — windowed GRAM-MATRIX rollup over an embedding stream, the
+   * streaming twin of [[graft.ops.Similarity.gramSums]]: per
+   * (window, label) the packed `[n | Σx_i | Σx_i·x_j]` micro-unit
+   * summary ([[graft.functions.GramMatrix]] — per-row truncate then
+   * exact long accumulate, so cells are a pure function of the vector
+   * multiset). Summaries merge EXACTLY (`gram_merge` element-wise add)
+   * across windows, partitions and days, so hourly emissions re-roll to
+   * the all-time covariance/PCA statistics bit-identically to a batch
+   * gram over the union — live embedding-drift and whitening-stats
+   * maintenance from `1 + d + d²` longs of state per (window, label),
+   * however many vectors flow through. Null vectors are skipped;
+   * wrong-dimension vectors fail loudly (a silent skip would bias the
+   * statistics).
+   */
+  def gramCellsRollup(
+      vecs: DataFrame,
+      vecCol: String = "embedding",
+      labelCol: String = "label",
+      dim: Int = 64,
+      windowLength: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame = {
+    val agged = vecs
+      .where(col("ts").isNotNull && col(vecCol).isNotNull)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength), col(labelCol))
+      .agg(graft.functions.functions.gram_matrix(col(vecCol), dim).as("gram"))
+    agged.select(col("window.start").as("window_start") +:
+      agged.columns.filterNot(_ == "window").map(col): _*)
+  }
+
+  /**
    * Streaming exact dedup on `idCol`: duplicates arriving within the
    * watermark horizon are dropped; the watermark bounds the id-set state.
    */

@@ -439,6 +439,18 @@ class PlanInvariantsSpec extends SparkTestBase {
     check("embedding_gram", maxShuffles = 1)
     // (source, lang) count agg + source finisher, both map-side combined
     check("label_balance", maxShuffles = 2)
+    // fixpoint loop materializes every round (localCheckpoint), so the
+    // executed plan is the final node-sized projection; per-round cost is
+    // two edge-sized equi-joins + one min agg, asserted by GraphsSpec's
+    // 12-round chain bound instead of a plan string
+    check("host_components", maxShuffles = 0)
+    // ONE (x, y) cell agg; marginal windows + finisher ride the bounded
+    // category-pair frame (single-partition exchanges, not hash)
+    check("lang_source_assoc", maxShuffles = 1)
+    // the bm25 run (8 exchanges, pinned above) + the percolate qrels leg
+    // (doc-term agg reruns under a different filter) + run-sized metric
+    // joins/aggs; qrels/counts broadcast, BNLJ = bm25's 1-row stats
+    check("retrieval_eval", maxShuffles = 12, maxBnlj = 1)
   }
 
   test("round-14 additions: agreement, calibration, privacy and web audits") {

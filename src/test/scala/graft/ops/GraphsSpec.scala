@@ -252,4 +252,48 @@ class GraphsSpec extends SparkTestBase {
     a shouldBe b
     a.nonEmpty shouldBe true
   }
+
+  test("connectedComponents labels every node with its component's min id") {
+    // two components {1,2,3,4} (star + tail) and {10,11}, direction ignored
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (11L, 10L)).toDF("src", "dst")
+    Graphs.connectedComponents(edges).as[(Long, Long)].collect().toMap shouldBe
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L)
+  }
+
+  test("connectedComponents converges on a long chain (pointer jumping)") {
+    // a 200-node chain has diameter 199; the compress step must close it
+    // in far fewer rounds than maxIterations allows
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("src", "dst")
+    val labels = Graphs.connectedComponents(chain, maxIterations = 12)
+      .as[(Long, Long)].collect()
+    labels.length shouldBe 200
+    labels.map(_._2).toSet shouldBe Set(0L)
+  }
+
+  test("connectedComponents drops self-loops/nulls and ignores duplicate edges") {
+    val edges = Seq(
+      (Some(1L), Some(1L)),   // self-loop: contributes nothing
+      (Some(1L), Some(2L)), (Some(1L), Some(2L)), // duplicate
+      (None, Some(9L)), (Some(8L), None)          // null endpoints
+    ).toDF("src", "dst")
+    Graphs.connectedComponents(edges).as[(Long, Long)].collect().toMap shouldBe
+      Map(1L -> 1L, 2L -> 1L)
+  }
+
+  test("connectedComponents is a pure function of the graph, not its partitioning") {
+    val rnd = new scala.util.Random(17)
+    val edges = (1 to 300).map(_ => (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+    def run(parts: Int) =
+      Graphs.connectedComponents(edges.toDF("src", "dst").repartition(parts))
+        .collect().map(_.toSeq).toSet
+    run(1) shouldBe run(13)
+  }
+
+  test("connectedComponents clusters dedup pairs into families") {
+    // the intended composition: pair-generator output -> families
+    val pairs = Seq((100L, 200L), (200L, 300L), (500L, 600L)).toDF("id_a", "id_b")
+    val fams = Graphs.connectedComponents(pairs, "id_a", "id_b")
+      .groupBy($"component").count().as[(Long, Long)].collect().toMap
+    fams shouldBe Map(100L -> 3L, 500L -> 2L)
+  }
 }

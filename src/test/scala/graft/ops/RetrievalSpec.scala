@@ -148,4 +148,35 @@ class RetrievalSpec extends SparkTestBase {
     out.length shouldBe 1
     out.head._2 shouldBe 5L // identical fused scores: smaller doc_id wins
   }
+
+  test("rankingMetrics: hand-computed MRR/P@k/R@k, empty-qrel and miss laws") {
+    val run = Seq(
+      ("q1", 10L, 1L), ("q1", 11L, 2L), ("q1", 12L, 3L), ("q1", 13L, 4L), ("q1", 14L, 5L),
+      ("q2", 20L, 1L), ("q2", 21L, 2L),
+      ("q3", 30L, 1L)).toDF("query_id", "doc_id", "rank")
+    val qrels = Seq(
+      ("q1", 11L), ("q1", 13L), ("q1", 99L), ("q1", 11L), // dup tolerated
+      ("q2", 77L)                                          // never retrieved
+    ).toDF("query_id", "doc_id")
+    val out = Retrieval.rankingMetrics(run, qrels, k = 5)
+      .as[(String, Long, Long, Long, Option[Long], Option[Long], Long, Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    // q1: hits {11@2, 13@4}; rr = 1e6 DIV 2; p = 2e6 DIV 5; r = 2e6 DIV 3
+    out("q1") shouldBe (("q1", 5L, 3L, 2L, Some(2L), Some(500000L), 400000L, Some(666666L)))
+    // q2: qrels exist but nothing relevant retrieved
+    out("q2") shouldBe (("q2", 2L, 1L, 0L, None, None, 0L, Some(0L)))
+    // q3: no qrels at all -> recall null, precision 0
+    out("q3") shouldBe (("q3", 1L, 0L, 0L, None, None, 0L, None))
+  }
+
+  test("rankingMetrics is a pure function of the frames, not their partitioning") {
+    val rnd = new scala.util.Random(7)
+    val run = (for (q <- 1 to 20; r <- 1 to 10)
+      yield (s"q$q", rnd.nextInt(200).toLong, r.toLong)).toDF("query_id", "doc_id", "rank")
+    val qrels = (1 to 150).map(_ => (s"q${rnd.nextInt(20) + 1}", rnd.nextInt(200).toLong))
+      .toDF("query_id", "doc_id")
+    def go(p: Int) = Retrieval.rankingMetrics(run.repartition(p), qrels.repartition(p), 10)
+      .collect().map(_.toSeq).toSet
+    go(1) shouldBe go(13)
+  }
 }

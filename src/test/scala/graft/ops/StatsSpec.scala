@@ -357,6 +357,60 @@ class StatsSpec extends SparkTestBase {
     }
   }
 
+  test("cramersV: perfect association hits 1e6, independence clamps to 0") {
+    // x == y on 2x2 -> chi2 = n, V² = 1
+    val perfect = Seq(("a", "a"), ("a", "a"), ("b", "b"), ("b", "b")).toDF("x", "y")
+    val p = Stats.cramersV(perfect, Seq.empty, "x", "y")
+      .select($"n", $"r", $"c", $"chi2_micro", $"v2_ppm")
+      .as[(Long, Long, Long, Long, Long)].head()
+    p._1 shouldBe 4L
+    p._4 shouldBe 4000000L // n * 1e6
+    p._5 shouldBe 1000000L
+    // exactly independent 2x2 (all four cells equal): chi2 floors to 0
+    val indep = Seq(("a", "u"), ("a", "v"), ("b", "u"), ("b", "v")).toDF("x", "y")
+    val i = Stats.cramersV(indep, Seq.empty, "x", "y")
+      .select($"chi2_micro", $"v2_ppm").as[(Long, Long)].head()
+    i shouldBe ((0L, 0L))
+  }
+
+  test("cramersV: hand-computed mid table via the observed-cell identity") {
+    // cells: (a,u)=3 (a,v)=1 (b,u)=1 (b,v)=3; r=c=(4,4), n=8
+    // sum o²n·1e6/(rc): two cells of 9*8e6/16 = 4500000, two of 1*8e6/16=500000
+    // chi2 = 10000000 - 8000000 = 2000000 micro (exact: chi2 = 2)
+    val df = (Seq.fill(3)(("a", "u")) ++ Seq(("a", "v")) ++
+      Seq(("b", "u")) ++ Seq.fill(3)(("b", "v"))).toDF("x", "y")
+    val out = Stats.cramersV(df, Seq.empty, "x", "y")
+      .select($"n", $"chi2_micro", $"v2_ppm").as[(Long, Long, Long)].head()
+    out shouldBe ((8L, 2000000L, 250000L)) // V² = 2/8 = 0.25
+  }
+
+  test("cramersV: degenerate tables null out, nulls drop, grouping works") {
+    val df = Seq(
+      ("g1", Some("a"), Some("u")), ("g1", Some("a"), Some("v")),
+      ("g1", Some("b"), Some("u")), ("g1", Some("b"), Some("v")),
+      ("g1", None, Some("u")), ("g1", Some("a"), None), // dropped rows
+      ("g2", Some("a"), Some("u")), ("g2", Some("a"), Some("v")) // 1 row cat
+    ).toDF("g", "x", "y")
+    val out = Stats.cramersV(df, Seq("g"), "x", "y")
+      .select($"g", $"n", $"r", $"c", $"chi2_micro", $"v2_ppm")
+      .as[(String, Long, Long, Long, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    out("g1")._2 shouldBe 4L // null rows dropped
+    out("g1")._5 shouldBe Some(0L)
+    out("g2")._3 shouldBe 1L // r < 2 -> null statistic
+    out("g2")._5 shouldBe None
+    out("g2")._6 shouldBe None
+  }
+
+  test("cramersV is a pure function of the data, not its partitioning") {
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 3000).map(_ => ("x" + rnd.nextInt(5), "y" + rnd.nextInt(4)))
+    def run(parts: Int) =
+      Stats.cramersV(rows.toDF("x", "y").repartition(parts), Seq.empty, "x", "y")
+        .collect().map(_.toSeq).toSet
+    run(1) shouldBe run(17)
+  }
+
   test("labelBalance: hand-computed gini/majority, null accounting, tie law") {
     val df = Seq(
       ("a", Some("en")), ("a", Some("en")), ("a", Some("en")), ("a", Some("de")),

@@ -173,6 +173,40 @@ class EventStreamsSpec extends SparkTestBase {
     streamed.collect().map(_.toSeq) shouldBe batch.collect().map(_.toSeq)
   }
 
+  test("S24 gram cells: windowed summaries merge bit-identically to the batch gram") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[VecDoc]
+    val vecs = (0 until 6).map(i =>
+      Array.tabulate(4)(d => (math.sin(i * 13 + d * 7) * 2).toFloat))
+    val stream = in.toDF()
+      .withColumn("label", ($"docId" % 2).cast("int"))
+      .withColumnRenamed("ts", "ts")
+    val q = EventStreams.gramCellsRollup(stream, "embedding", "label", dim = 4,
+      windowLength = "10 minutes", watermark = "5 minutes")
+      .writeStream.format("memory").queryName("gram_out").outputMode("append").start()
+    in.addData(
+      VecDoc(0L, ts(1), vecs(0)), VecDoc(1L, ts(2), vecs(1)),
+      VecDoc(2L, ts(3), vecs(2)), VecDoc(3L, ts(4), vecs(3)),
+      VecDoc(4L, ts(15), vecs(4)), VecDoc(5L, ts(16), vecs(5))) // 2nd window
+    q.processAllAvailable()
+    in.addData(VecDoc(99L, ts(60), vecs(0))) // advance watermark
+    runToCompletion(q)
+    val cells = spark.table("gram_out").where($"window_start" < ts(50))
+    cells.select($"window_start").distinct().count() shouldBe 2L
+    // merge across windows == batch gramSums over the same rows, bit for bit
+    val merged = cells.groupBy($"label")
+      .agg(graft.functions.functions.gram_merge($"gram", 4).as("m"))
+      .as[(Int, Seq[Long])].collect().toMap
+    val batch = graft.ops.Similarity.gramSums(
+      vecs.zipWithIndex.map { case (v, i) => (i % 2, v) }.toDF("label", "embedding"),
+      Seq("label"), "embedding", dim = 4)
+    batch.select($"label",
+      org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.array($"n"), $"sums_micro", $"gram_micro")
+        .as("packed"))
+      .as[(Int, Seq[Long])].collect().toMap shouldBe merged
+  }
+
   test("S21 histogram cells: exact fixed-edge counts, clamping, drift finish parity") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Event]
