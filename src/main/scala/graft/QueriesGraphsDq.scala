@@ -710,6 +710,35 @@ private[graft] trait QueriesGraphsDq extends QueryHelpers { this: QueryBattery =
    * ONE truncated division; the oracle replays the pooled-ECDF maximum
    * digit-for-digit.
    */
+  /**
+   * `rank_normalize`: [[graft.ops.Stats.rankNormalize]] — per-event-type
+   * mid-rank quantiles of the cent values under the `(cents, event_id)`
+   * total order, rolled up to decile counts (the compact proof that the
+   * whole quantile axis is exercised: every rank in every group lands
+   * in exactly the decile the oracle's window rank says). The ranks ride
+   * the range-partition recipe, never a one-reducer group window.
+   */
+  def rankNormalize(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val ev = events(dir).select(col("event_type"), cents(col("value")).as("cents"),
+      col("event_id"))
+    graft.ops.Stats.rankNormalize(ev, Seq("event_type"), "cents", "event_id")
+      .groupBy(col("event_type"), expr("q_ppm DIV 100000").as("decile"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val rankNormalizeSql: String =
+    """WITH e AS (SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS cents,
+                  event_id FROM events WHERE value IS NOT NULL),
+       r AS (SELECT event_type,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY cents, event_id) AS rk,
+               count(*) OVER (PARTITION BY event_type) AS n
+             FROM e)
+       SELECT event_type, (2 * rk - 1) * 1000000 // (2 * n) // 100000 AS decile,
+              count(*) AS n
+       FROM r GROUP BY 1, 2"""
+
   def ksDrift(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     val ev = events(dir).select(col("event_type"), cents(col("value")).as("cents"),

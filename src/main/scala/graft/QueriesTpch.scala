@@ -30,8 +30,8 @@ private[graft] trait QueriesTpch extends QueryHelpers { this: QueryBattery =>
       .agg(
         sum(col("l_quantity")).as("sum_qty"),
         round(sum(cents(col("l_extendedprice"))) / 100.0, 2).as("sum_base_price"),
-        round(sum(cents(col("l_extendedprice")) * disc) / 10000.0, 2).as("sum_disc_price"),
-        round(sum(cents(col("l_extendedprice")) * disc * tax) / 1000000.0, 2).as("sum_charge"),
+        money2(sum(cents(col("l_extendedprice")) * disc)).as("sum_disc_price"),
+        money2(sum(cents(col("l_extendedprice")) * disc * tax), perCent = 10000L).as("sum_charge"),
         round(avg(col("l_quantity")), 4).as("avg_qty"),
         round(sum(cents(col("l_extendedprice"))) / 100.0 / count(lit(1)), 4).as("avg_price"),
         round(sum(pct(col("l_discount"))) / 100.0 / count(lit(1)), 4).as("avg_disc"),
@@ -45,8 +45,8 @@ private[graft] trait QueriesTpch extends QueryHelpers { this: QueryBattery =>
     s"""SELECT l_returnflag, l_linestatus,
        sum(l_quantity) AS sum_qty,
        round(cast(sum($c) as bigint) / 100.0, 2) AS sum_base_price,
-       round(cast(sum($c * $d) as bigint) / 10000.0, 2) AS sum_disc_price,
-       round(cast(sum($c * $d * $x) as bigint) / 1000000.0, 2) AS sum_charge,
+       ${sqlMoney2(s"cast(sum($c * $d) as bigint)")} AS sum_disc_price,
+       ${sqlMoney2(s"cast(sum($c * $d * $x) as bigint)", perCent = 10000L)} AS sum_charge,
        round(avg(l_quantity), 4) AS avg_qty,
        round(cast(sum($c) as bigint) / 100.0 / count(*), 4) AS avg_price,
        round(cast(sum(${sqlCents("l_discount")}) as bigint) / 100.0 / count(*), 4) AS avg_disc,
@@ -64,7 +64,7 @@ private[graft] trait QueriesTpch extends QueryHelpers { this: QueryBattery =>
     li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
-      .agg(round(sum(cents(col("l_extendedprice")) * (lit(100L) - pct(col("l_discount")))) / 10000.0, 2)
+      .agg(money2(sum(cents(col("l_extendedprice")) * (lit(100L) - pct(col("l_discount")))))
         .as("revenue"))
       .select(col("l_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
         col("revenue"))
@@ -73,7 +73,7 @@ private[graft] trait QueriesTpch extends QueryHelpers { this: QueryBattery =>
   }
 
   val q3Sql: String = {
-    val rev = s"round(cast(sum(${sqlCents("l_extendedprice")} * (100 - ${sqlCents("l_discount")})) as bigint) / 10000.0, 2)"
+    val rev = s"${sqlMoney2(s"cast(sum(${sqlCents("l_extendedprice")} * (100 - ${sqlCents("l_discount")})) as bigint)")}"
     s"""SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, revenue FROM (
        SELECT l_orderkey, o_orderdate, $rev AS revenue
        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -99,13 +99,13 @@ private[graft] trait QueriesTpch extends QueryHelpers { this: QueryBattery =>
         col("l_orderkey") === col("o_orderkey"))
       .join(dims, col("o_custkey") === col("c_custkey") && col("s_nationkey") === col("c_nationkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(cents(col("l_extendedprice")) * (lit(100L) - pct(col("l_discount")))) / 10000.0, 2)
+      .agg(money2(sum(cents(col("l_extendedprice")) * (lit(100L) - pct(col("l_discount")))))
         .as("revenue"))
   }
 
   val q5Sql: String =
     s"""SELECT n_name,
-       round(cast(sum(${sqlCents("l_extendedprice")} * (100 - ${sqlCents("l_discount")})) as bigint) / 10000.0, 2) AS revenue
+       ${sqlMoney2(s"cast(sum(${sqlCents("l_extendedprice")} * (100 - ${sqlCents("l_discount")})) as bigint)")} AS revenue
        FROM lineitem
        JOIN supplier ON l_suppkey = s_suppkey
        JOIN orders ON l_orderkey = o_orderkey
@@ -355,16 +355,16 @@ private[graft] trait QueriesTpch extends QueryHelpers { this: QueryBattery =>
       .filter(col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1997-04-01"))
       .join(broadcast(t(dir, "part")), col("l_partkey") === col("p_partkey"))
       .agg(
-        round(sum(when(col("p_type").startsWith("PROMO"), rev).otherwise(lit(0L))) / 10000.0, 2)
+        money2(sum(when(col("p_type").startsWith("PROMO"), rev).otherwise(lit(0L))))
           .as("promo_revenue"),
-        round(sum(rev) / 10000.0, 2).as("total_revenue"))
+        money2(sum(rev)).as("total_revenue"))
   }
 
   val q14Sql: String = {
     val rev = s"${sqlCents("l_extendedprice")} * (100 - ${sqlCents("l_discount")})"
     s"""SELECT
-       round(cast(sum(CASE WHEN p_type LIKE 'PROMO%' THEN $rev ELSE 0 END) as bigint) / 10000.0, 2) AS promo_revenue,
-       round(cast(sum($rev) as bigint) / 10000.0, 2) AS total_revenue
+       ${sqlMoney2(s"cast(sum(CASE WHEN p_type LIKE 'PROMO%' THEN $rev ELSE 0 END) as bigint)")} AS promo_revenue,
+       ${sqlMoney2(s"cast(sum($rev) as bigint)")} AS total_revenue
        FROM lineitem JOIN part ON l_partkey = p_partkey
        WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'"""
   }
@@ -406,14 +406,14 @@ private[graft] trait QueriesTpch extends QueryHelpers { this: QueryBattery =>
       .filter(col("supp_nation").isin("NATION_3", "NATION_7") &&
         col("cust_nation").isin("NATION_3", "NATION_7"))
       .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).cast("long").as("l_year"))
-      .agg(round(sum(cents(col("l_extendedprice")) * (lit(100L) - pct(col("l_discount")))) / 10000.0, 2)
+      .agg(money2(sum(cents(col("l_extendedprice")) * (lit(100L) - pct(col("l_discount")))))
         .as("revenue"))
   }
 
   val q7Sql: String =
     s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        cast(year(l_shipdate) as bigint) AS l_year,
-       round(cast(sum(${sqlCents("l_extendedprice")} * (100 - ${sqlCents("l_discount")})) as bigint) / 10000.0, 2) AS revenue
+       ${sqlMoney2(s"cast(sum(${sqlCents("l_extendedprice")} * (100 - ${sqlCents("l_discount")})) as bigint)")} AS revenue
        FROM lineitem
        JOIN supplier ON l_suppkey = s_suppkey
        JOIN orders ON l_orderkey = o_orderkey
@@ -761,12 +761,12 @@ private[graft] trait QueriesTpch extends QueryHelpers { this: QueryBattery =>
     t(dir, "lineitem")
       .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01") &&
         col("l_discount") >= 0.05 && col("l_discount") <= 0.07 && col("l_quantity") < 24)
-      .agg(round(sum(cents(col("l_extendedprice")) * pct(col("l_discount"))) / 10000.0, 2)
+      .agg(money2(sum(cents(col("l_extendedprice")) * pct(col("l_discount"))))
         .as("revenue"))
   }
 
   val q6Sql: String =
-    s"""SELECT round(cast(sum(${sqlCents("l_extendedprice")} * ${sqlCents("l_discount")}) as bigint) / 10000.0, 2) AS revenue
+    s"""SELECT ${sqlMoney2(s"cast(sum(${sqlCents("l_extendedprice")} * ${sqlCents("l_discount")}) as bigint)")} AS revenue
        FROM lineitem
        WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
          AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"""
@@ -788,14 +788,14 @@ private[graft] trait QueriesTpch extends QueryHelpers { this: QueryBattery =>
       .join(broadcast(t(dir, "nation")), col("s_nationkey") === col("n_nationkey"))
       .join(t(dir, "orders"), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("o_year"))
-      .agg(round(sum(amount) / 10000.0, 2).as("sum_profit"))
+      .agg(money2(sum(amount)).as("sum_profit"))
   }
 
   val q9Sql: String = {
     val amount = s"${sqlCents("l_extendedprice")} * (100 - ${sqlCents("l_discount")}) - " +
       s"${sqlCents("p_retailprice")} * cast(l_quantity as bigint) * 100"
     s"""SELECT n_name, cast(year(o_orderdate) as bigint) AS o_year,
-       round(cast(sum($amount) as bigint) / 10000.0, 2) AS sum_profit
+       ${sqlMoney2(s"cast(sum($amount) as bigint)")} AS sum_profit
        FROM lineitem
        JOIN part ON l_partkey = p_partkey
        JOIN supplier ON l_suppkey = s_suppkey
@@ -815,14 +815,14 @@ private[graft] trait QueriesTpch extends QueryHelpers { this: QueryBattery =>
       .join(broadcast(t(dir, "customer")), col("o_custkey") === col("c_custkey"))
       .join(broadcast(t(dir, "nation")), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
-      .agg(round(sum(cents(col("l_extendedprice")) * (lit(100L) - pct(col("l_discount")))) / 10000.0, 2)
+      .agg(money2(sum(cents(col("l_extendedprice")) * (lit(100L) - pct(col("l_discount")))))
         .as("revenue"))
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(20)
   }
 
   val q10Sql: String = {
-    val rev = s"round(cast(sum(${sqlCents("l_extendedprice")} * (100 - ${sqlCents("l_discount")})) as bigint) / 10000.0, 2)"
+    val rev = s"${sqlMoney2(s"cast(sum(${sqlCents("l_extendedprice")} * (100 - ${sqlCents("l_discount")})) as bigint)")}"
     s"""SELECT c_custkey, c_name, c_acctbal, n_name, revenue FROM (
        SELECT c_custkey, c_name, c_acctbal, n_name, $rev AS revenue
        FROM lineitem
@@ -897,7 +897,7 @@ private[graft] trait QueriesTpch extends QueryHelpers { this: QueryBattery =>
     rev.join(broadcast(top))
       .filter(col("rev_c") === col("max_c"))
       .join(broadcast(t(dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
-      .select(col("s_suppkey"), col("s_name"), round(col("rev_c") / 10000.0, 2).as("total_revenue"))
+      .select(col("s_suppkey"), col("s_name"), money2(col("rev_c")).as("total_revenue"))
   }
 
   val q15Sql: String =
@@ -906,7 +906,7 @@ private[graft] trait QueriesTpch extends QueryHelpers { this: QueryBattery =>
          FROM lineitem
          WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
          GROUP BY l_suppkey)
-       SELECT s_suppkey, s_name, round(cast(rev_c as bigint) / 10000.0, 2) AS total_revenue
+       SELECT s_suppkey, s_name, ${sqlMoney2(s"cast(rev_c as bigint)")} AS total_revenue
        FROM rev JOIN supplier ON l_suppkey = s_suppkey,
             (SELECT max(rev_c) AS max_c FROM rev) t
        WHERE rev_c = max_c"""
@@ -971,12 +971,12 @@ private[graft] trait QueriesTpch extends QueryHelpers { this: QueryBattery =>
     t(dir, "lineitem")
       .join(broadcast(t(dir, "part")), col("l_partkey") === col("p_partkey"))
       .filter(cond)
-      .agg(round(sum(cents(col("l_extendedprice")) * (lit(100L) - pct(col("l_discount")))) / 10000.0, 2)
+      .agg(money2(sum(cents(col("l_extendedprice")) * (lit(100L) - pct(col("l_discount")))))
         .as("revenue"))
   }
 
   val q19Sql: String =
-    s"""SELECT round(cast(sum(${sqlCents("l_extendedprice")} * (100 - ${sqlCents("l_discount")})) as bigint) / 10000.0, 2) AS revenue
+    s"""SELECT ${sqlMoney2(s"cast(sum(${sqlCents("l_extendedprice")} * (100 - ${sqlCents("l_discount")})) as bigint)")} AS revenue
        FROM lineitem JOIN part ON l_partkey = p_partkey
        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)

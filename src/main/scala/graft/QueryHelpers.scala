@@ -48,9 +48,33 @@ private[graft] trait QueryHelpers {
   /** `ts` columns may load as TIMESTAMP_NTZ; normalize (UTC session). */
   private[graft] def micros(c: Column): Column = unix_micros(c.cast("timestamp"))
 
+  /**
+   * A 1e-4-dollar integer amount rounded HALF-UP to whole cents in exact
+   * integer arithmetic, then ONE shared double division to dollars.
+   * Replaces `round(x / 10000.0, 2)`, whose double round-half is
+   * engine-divergent: when a sum lands exactly on x.xx5 the binary
+   * double is just below it, Spark's round (shortest-decimal via
+   * BigDecimal.valueOf) says .x(x+1) while DuckDB (binary value) says
+   * .xx — a one-penny hash mismatch (q9 at sf0.001 hit it). Integer
+   * half-up has no representability boundary, and the final `/100.0`
+   * is a single IEEE op on the SAME integer both engines — bit-identical.
+   */
+  private[graft] def money2(c: Column, perCent: Long = 100L): Column = {
+    val l = c.cast("decimal(38,0)")
+    val half = lit(perCent / 2)
+    val centsHalfUp = when(l >= 0, floor((l + half) / perCent))
+      .otherwise(-floor((-l + half) / perCent))
+    (centsHalfUp.cast("double") / 100.0)
+  }
+
   // ---- portable helpers (DuckDB side) ---------------------------------
 
   private[graft] def sqlCents(c: String) = s"cast(round($c * 100, 0) as bigint)"
+
+  /** DuckDB twin of [[money2]] (`e` must already be an integer type). */
+  private[graft] def sqlMoney2(e: String, perCent: Long = 100L): String =
+    s"CAST(CASE WHEN ($e) >= 0 THEN (($e) + ${perCent / 2}) // $perCent " +
+      s"ELSE -((-($e) + ${perCent / 2}) // $perCent) END AS DOUBLE) / 100"
 
   /** DuckDB twin of `TextAnalysis.hashBucket`: first-16-bit md5 bucket of
     * `salt:id` in [0, 65536) — one definition for every sampling oracle. */

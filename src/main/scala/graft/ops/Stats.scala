@@ -532,6 +532,43 @@ object Stats {
    * ([[Sketches.heavyHittersRollup]]).
    */
   /**
+   * Rank (quantile) normalization of a numeric column per group — the
+   * scale-free feature transform of dataset curation ("where does this
+   * document's length sit within its SOURCE?", "this score within its
+   * model version?"): each row gets its mid-rank quantile
+   * `q_ppm = (2·rank − 1)·1e6 DIV (2·n)` under the TOTAL order
+   * `(value, tieCol)` — exact integers, uniform on (0, 1e6), directly
+   * comparable across groups and features of any scale, robust to any
+   * monotone transform of the raw values (the same rank law
+   * [[spearman]] is built on). The tie column (an id) makes the
+   * quantile a pure function of the data, not the partitioning.
+   *
+   * Ranks ride `TextAnalysis.withGroupRank`'s range-partition + offset
+   * recipe, so a billion-row group spreads over every shard (no
+   * one-reducer group window); sizes are one broadcastable group-sized
+   * agg. Null values pass through with null `q_ppm` (dropping rows
+   * would surprise a feature pipeline).
+   */
+  def rankNormalize(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      tieCol: String,
+      outCol: String = "q_ppm"): DataFrame = {
+    val present = df.where(col(valueCol).isNotNull)
+    val ranked = graft.ops.TextAnalysis.withGroupRank(
+      present, "__rank", groupCols, col(valueCol), col(tieCol))
+    val sizes = present.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+    val normalized = ranked.join(broadcast(sizes), groupCols)
+      .withColumn(outCol, expr("(2 * __rank - 1) * 1000000 DIV (2 * __n)"))
+      .drop("__rank", "__n")
+    df.where(col(valueCol).isNull)
+      .withColumn(outCol, lit(null).cast("long"))
+      .unionByName(normalized)
+  }
+
+  /**
    * k×k chi-squared ASSOCIATION between two categorical columns per group
    * + Cramér's V² — the feature-association / leakage screen ("does
    * `source` determine `lang`? is the split column secretly correlated

@@ -451,6 +451,11 @@ class PlanInvariantsSpec extends SparkTestBase {
     // (doc-term agg reruns under a different filter) + run-sized metric
     // joins/aggs; qrels/counts broadcast, BNLJ = bm25's 1-row stats
     check("retrieval_eval", maxShuffles = 12, maxBnlj = 1)
+    // withGroupRank pass (offsets agg + (group, pid) window exchange,
+    // range exchange checkpoint-hidden) + group-size agg (broadcast
+    // join) + null-branch union + final decile agg — no one-reducer
+    // group window at any value cardinality
+    check("rank_normalize", maxShuffles = 5)
   }
 
   test("round-14 additions: agreement, calibration, privacy and web audits") {

@@ -357,6 +357,33 @@ class StatsSpec extends SparkTestBase {
     }
   }
 
+  test("rankNormalize: mid-rank quantiles, id-tie law, null passthrough") {
+    val df = Seq(
+      ("g", Some(30L), 1L), ("g", Some(10L), 2L), ("g", Some(20L), 3L),
+      ("g", Some(10L), 4L), // value tie -> id breaks it
+      ("g", None, 5L),      // null value -> null quantile, row kept
+      ("h", Some(7L), 6L)   // single-row group -> median 500000
+    ).toDF("g", "v", "id")
+    val out = Stats.rankNormalize(df, Seq("g"), "v", "id")
+      .select($"id", $"q_ppm").as[(Long, Option[Long])].collect().toMap
+    // g ranks under (v, id): 10@2 -> 1, 10@4 -> 2, 20@3 -> 3, 30@1 -> 4; n=4
+    out(2L) shouldBe Some(125000L)
+    out(4L) shouldBe Some(375000L)
+    out(3L) shouldBe Some(625000L)
+    out(1L) shouldBe Some(875000L)
+    out(5L) shouldBe None
+    out(6L) shouldBe Some(500000L)
+  }
+
+  test("rankNormalize is a pure function of the data, not its partitioning") {
+    val rnd = new scala.util.Random(29)
+    val rows = (1 to 4000).map(i => ("g" + rnd.nextInt(3), rnd.nextInt(50).toLong, i.toLong))
+    def run(parts: Int) =
+      Stats.rankNormalize(rows.toDF("g", "v", "id").repartition(parts), Seq("g"), "v", "id")
+        .collect().map(_.toSeq).toSet
+    run(1) shouldBe run(17)
+  }
+
   test("cramersV: perfect association hits 1e6, independence clamps to 0") {
     // x == y on 2x2 -> chi2 = n, V² = 1
     val perfect = Seq(("a", "a"), ("a", "a"), ("b", "b"), ("b", "b")).toDF("x", "y")
