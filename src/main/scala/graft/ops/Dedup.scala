@@ -409,49 +409,11 @@ object Dedup {
   def duplicateClusters(
       pairs: DataFrame,
       maxIterations: Int = 10,
-      checkpointDir: Option[String] = None): DataFrame = {
-    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
-    def materialize(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(eager = true)
-      else df.localCheckpoint(eager = true)
-    // materialize the edge list once: it is re-joined every round, and its
-    // lineage is the whole (expensive) candidate-pair pipeline
-    val edges = materialize(
-      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster_id", col("id"))
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIterations) {
-      // each node adopts the min label among itself and its neighbors
-      val neighborLabels = edges
-        .join(labels.withColumnRenamed("id", "dst"), "dst")
-        .select(col("src").as("id"), col("cluster_id"))
-      // materialize before the self-join: a self-join over the live
-      // union+groupBy plan trips analyzer attribute dedup, and the probe +
-      // next round reuse the materialized result anyway
-      val propagated = materialize(
-        labels.select(col("id"), col("cluster_id"))
-          .union(neighborLabels)
-          .groupBy("id").agg(min("cluster_id").as("cluster_id")))
-      // pointer jumping: adopt the label of your label, halving the distance
-      // to the component minimum — O(log diameter) rounds instead of O(diameter)
-      val updated = materialize(propagated
-        .join(propagated.select(col("id").as("b_id"), col("cluster_id").as("b_cluster")),
-          col("cluster_id") === col("b_id"), "left")
-        .select(col("id"),
-          least(col("cluster_id"), coalesce(col("b_cluster"), col("cluster_id"))).as("cluster_id")))
-      val changes = updated.as("u")
-        .join(labels.as("l"), "id")
-        .filter(col("u.cluster_id") =!= col("l.cluster_id"))
-        .limit(1).count()
-      labels = updated
-      converged = changes == 0
-      i += 1
-    }
-    labels
-  }
+      checkpointDir: Option[String] = None): DataFrame =
+    // the dedup-facing face of the shared fixpoint-components primitive
+    // (min-label propagation + pointer jumping, Graphs.connectedComponents)
+    Graphs.connectedComponents(pairs, "id_a", "id_b", maxIterations, checkpointDir)
+      .select(col("id"), col("component").as("cluster_id"))
 
   /**
    * Span-level exact substring deduplication — the "dedup the repeated

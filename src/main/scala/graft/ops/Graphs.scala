@@ -283,8 +283,9 @@ object Graphs {
         .join(stepped.select(col("id").as("lbl"), col("lbl").as("__ll")), Seq("lbl"), "left")
         .select(col("id"), coalesce(col("__ll"), col("lbl")).as("lbl"))
       val next = materialize(jumped)
+      // limit(1): the probe needs existence, not the change count
       changed = next.join(labels.withColumnRenamed("lbl", "__old"), "id")
-        .where(col("lbl") =!= col("__old")).count()
+        .where(col("lbl") =!= col("__old")).limit(1).count()
       labels = next
       it += 1
     }

@@ -315,6 +315,38 @@ class SketchesSpec extends SparkTestBase {
       .as[Long].head()
   }
 
+  test("rangedCumSums equals the naive one-reducer window on random data") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(31)
+    // unique (g, v) per group (the recipe's order-uniqueness contract)
+    val rows = (for (g <- 0 until 4; v <- 0 until 500)
+      yield ("g" + g, v.toLong, rnd.nextInt(100).toLong, rnd.nextInt(50).toLong))
+    val df = rows.toDF("g", "v", "a", "b").repartition(13)
+    val recipe = Sketches.rangedCumSums(df, Seq("g"), Seq($"v"),
+      cums = Seq("a" -> "cuma", "b" -> "cumb"),
+      totals = Seq("a" -> "ta", "b" -> "tb"))
+      .select($"g", $"v", $"cuma", $"cumb", $"ta", $"tb")
+      .collect().map(_.toSeq.map(String.valueOf)).toSet
+    val w = Window.partitionBy($"g").orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy($"g")
+    val naive = df
+      .withColumn("cuma", sum($"a").over(w)).withColumn("cumb", sum($"b").over(w))
+      .withColumn("ta", sum($"a").over(wAll)).withColumn("tb", sum($"b").over(wAll))
+      .select($"g", $"v", $"cuma", $"cumb", $"ta", $"tb")
+      .collect().map(_.toSeq.map(String.valueOf)).toSet
+    recipe shouldBe naive
+  }
+
+  test("rangedCumSums with empty group columns shards a single global order") {
+    val df = (0 until 1000).map(i => (i.toLong, 1L)).toDF("v", "one").repartition(7)
+    val out = Sketches.rangedCumSums(df, Seq.empty, Seq($"v"),
+      cums = Seq("one" -> "rank"), totals = Seq("one" -> "n"))
+      .select($"v", $"rank", $"n").as[(Long, Long, Long)].collect()
+    out.length shouldBe 1000
+    out.foreach { case (v, rank, n) => rank shouldBe v + 1; n shouldBe 1000L }
+  }
+
   test("cms join size: exact inner product in the wide-grid regime, 0 when disjoint") {
     val a = Seq("x", "x", "x", "y", "z", "z")
     val b = Seq("x", "y", "y", "y", "w")
