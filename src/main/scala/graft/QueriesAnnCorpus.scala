@@ -441,6 +441,32 @@ private[graft] trait QueriesAnnCorpus extends QueryHelpers { this: QueryBattery 
          FROM (SELECT query_id, neighbor_id, $SqlCos AS cosine FROM cand))
        WHERE rank <= 5"""
 
+  /**
+   * `ann_recall`: [[Similarity.annRecall]] — recall@5 of the IVF
+   * probe-and-rerank run (`ann_ivf_topk`, nprobe=2 of 8 cells) against the
+   * exact brute-force ground truth (`ann_bruteforce_topk`), per query:
+   * `n_truth`, `hits`, `recall_ppm`. THE measurement that chooses nprobe at
+   * 100 TB — run on a broadcastable query sample, the eval join is
+   * |queries|·k rows however big the corpus. The oracle composes both
+   * already-verified run oracles verbatim (CTE-in-subquery) and replays
+   * the set intersection and the truncated division.
+   */
+  def annRecallQ(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Similarity.annRecall(
+      annBruteforceTopK(spark, dir), annIvfTopK(spark, dir))
+
+  val annRecallSql: String =
+    s"""SELECT query_id, n_truth, hits,
+              CAST(hits * 1000000 // n_truth AS BIGINT) AS recall_ppm
+       FROM (
+         SELECT t.query_id, CAST(count(*) AS BIGINT) AS n_truth,
+                CAST(count(a.neighbor_id) AS BIGINT) AS hits
+         FROM ($annBruteforceTopKSql) t
+         LEFT JOIN (SELECT DISTINCT query_id, neighbor_id
+                    FROM ($annIvfTopKSql)) a
+           ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+         GROUP BY t.query_id)"""
+
   /** Multimodal: opaque binary payloads + SQL-side metadata. */
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark

@@ -754,6 +754,68 @@ private[graft] trait QueriesCuration extends QueryHelpers { this: QueryBattery =
     """SELECT event_type, count(*) AS est FROM events GROUP BY event_type"""
 
   /**
+   * `audience_overlap`: the KMV set-sketch pipeline
+   * ([[graft.ops.Sketches.kmvSetSketch]] → [[graft.ops.Sketches
+   * .kmvSetOps]]) — per epoch-day-mod-7 bucket, how many users do the
+   * click and view audiences share, estimated purely from two 128-hash
+   * sketches: distinct sizes, union, overlap count, intersection and
+   * Jaccard, every step deterministic integer arithmetic on md5
+   * prefixes. The oracle replays the distinct-hash collapse, both
+   * bottom-128 samples, the 60-bit prefix conversion and every truncated
+   * division digit-for-digit — the determinism no randomized sample
+   * allows. At 100 TB the overlap question joins KB-sized sketch rows,
+   * never the raw user sets.
+   */
+  def audienceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val ev = events(dir).select(col("event_type"),
+      expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000 % 7").as("dow"),
+      col("user_id"))
+    val a = graft.ops.Sketches.kmvSetSketch(
+      ev.where(col("event_type") === "click"), Seq("dow"), "user_id", k = 128)
+    val b = graft.ops.Sketches.kmvSetSketch(
+      ev.where(col("event_type") === "view"), Seq("dow"), "user_id", k = 128)
+    graft.ops.Sketches.kmvSetOps(a, b, Seq("dow"), k = 128)
+  }
+
+  val audienceOverlapSql: String = {
+    def hexVal(h: String): String =
+      (1 to 15).map(i => s"(strpos('0123456789abcdef', substring($h, $i, 1)) - 1)")
+        .reduce((acc, d) => s"($acc * 16 + $d)")
+    val est = (kmv: String, kth: String) =>
+      s"CASE WHEN len($kmv) < 128 THEN len($kmv) " +
+        s"ELSE CAST(127 AS HUGEINT) * 1152921504606846976 // ${hexVal(kth)} END"
+    s"""WITH ev AS (SELECT event_type, epoch_us(ts) // 86400000000 % 7 AS dow, user_id
+                  FROM events),
+       ha AS (SELECT DISTINCT dow, md5(CAST(user_id AS VARCHAR)) AS h
+              FROM ev WHERE event_type = 'click' AND user_id IS NOT NULL),
+       hb AS (SELECT DISTINCT dow, md5(CAST(user_id AS VARCHAR)) AS h
+              FROM ev WHERE event_type = 'view' AND user_id IS NOT NULL),
+       sa AS (SELECT dow, list_slice(list_sort(list(h)), 1, 128) AS ka FROM ha GROUP BY 1),
+       sb AS (SELECT dow, list_slice(list_sort(list(h)), 1, 128) AS kb FROM hb GROUP BY 1),
+       j AS (SELECT sa.dow, ka, kb,
+               list_slice(list_sort(list_distinct(ka || kb)), 1, 128) AS u
+             FROM sa JOIN sb ON sa.dow = sb.dow),
+       m AS (SELECT dow, ka, kb, u, u[len(u)] AS mx,
+               CAST(len(list_filter(list_intersect(ka, kb), x -> x <= u[len(u)]))
+                 AS BIGINT) AS overlap_k
+             FROM j),
+       e AS (SELECT dow, overlap_k, len(u) AS ulen,
+               ${est("ka", "ka[128]")} AS n_a_est,
+               ${est("kb", "kb[128]")} AS n_b_est,
+               ${est("u", "mx")} AS union_est
+             FROM m)
+       SELECT dow, CAST(n_a_est AS BIGINT) AS n_a_est,
+              CAST(n_b_est AS BIGINT) AS n_b_est,
+              CAST(union_est AS BIGINT) AS union_est, overlap_k,
+              CAST(CASE WHEN ulen = 0 THEN 0
+                   ELSE overlap_k * union_est // ulen END AS BIGINT) AS inter_est,
+              CAST(CASE WHEN ulen = 0 THEN 0
+                   ELSE overlap_k * 1000000 // ulen END AS BIGINT) AS jaccard_ppm
+       FROM e"""
+  }
+
+  /**
    * `join_size_cms`: [[graft.ops.Sketches.cmsJoinSize]] — the equi-join
    * output size of the even- vs odd-user event halves on event_type,
    * estimated purely from merged daily CMS grids (the pre-flight

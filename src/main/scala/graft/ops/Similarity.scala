@@ -513,6 +513,36 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /**
+   * Recall@k of an approximate ANN run against exact ground truth — the
+   * index-quality measurement behind every `nprobe`/`nbits`/`candidates`
+   * knob: per query, how many of the TRUE top-k neighbors the approximate
+   * shortlist recovered. Both inputs are `(query_id, neighbor_id, ...)`
+   * run frames (any of [[bruteForceTopK]] / [[ivfTopK]] / [[annTopK]] /
+   * [[annTopKMultiprobe]] / [[hammingTopK]] / [[projectedTopK]]); extra
+   * columns are ignored, duplicate pairs collapse. Output per query:
+   * `n_truth`, `hits` (|truth ∩ approx|), and the exact integer
+   * `recall_ppm = hits·1e6 DIV n_truth`.
+   *
+   * Scale: run frames are |queries|·k rows HOWEVER big the corpus, so
+   * this eval join is run-sized — at 100 TB the nprobe/recall trade is
+   * measured on a broadcastable query sample (truth from one
+   * [[bruteForceTopK]] pass over that sample) with no second corpus scan,
+   * and the two k-capped runs stay the only distributed work.
+   */
+  def annRecall(truth: DataFrame, approx: DataFrame): DataFrame = {
+    val t = truth.select(col("query_id"), col("neighbor_id")).distinct()
+    // the approx run is |queries|*k rows by construction — broadcast it,
+    // so the eval join never shuffles the (equally small) truth side
+    val a = broadcast(approx.select(col("query_id"), col("neighbor_id")).distinct()
+      .withColumn("__hit", lit(1L)))
+    t.join(a, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("__hit"), lit(0L))).as("hits"))
+      .withColumn("recall_ppm", expr("hits * 1000000 DIV n_truth"))
+  }
+
   /** Embedding-based near-duplicate pairs: same-bucket pairs above a cosine threshold. */
   def embeddingNearDupPairs(
       df: DataFrame,

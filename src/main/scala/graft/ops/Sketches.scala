@@ -303,6 +303,103 @@ object Sketches {
       .select(col(groupCol), col("pct"), col(valueCol))
   }
 
+  // ---- bottom-k (KMV) SET sketches: intersection / Jaccard --------------
+
+  /**
+   * Bottom-k DISTINCT-hash (KMV) set sketch per group — the member of the
+   * sketch family that answers SET questions HLL cannot: "how many users
+   * did clicks and purchases SHARE", "what's the Jaccard overlap of two
+   * audiences" (Beyer et al. 2007, the public KMV estimator). Per group,
+   * the `k` smallest `md5(key)` hashes of the DISTINCT key set — a
+   * deterministic uniform sample of the set, a pure function of the key
+   * multiset (no randomized state, so oracles replay it digit-for-digit,
+   * which no randomized sample allows). Merges EXACTLY like the quantile
+   * sketch (bottom-k of a union lives inside the union of bottom-ks).
+   *
+   * Plan: one (group, hash) distinct collapse (map-side combined — the
+   * one exchange, row-sized but compacting), then the k-capped
+   * ObjectHashAggregate; only k-row sketches cross the wire after that.
+   * Output: `(bucketCols..., kmv: array<string> sorted ascending)`.
+   */
+  def kmvSetSketch(
+      df: DataFrame,
+      bucketCols: Seq[String],
+      keyCol: String,
+      k: Int = 128): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val hashed = df.where(col(keyCol).isNotNull)
+      .select((bucketCols.map(col) :+
+        md5(col(keyCol).cast("string")).as("__h")): _*)
+      .distinct()
+    hashed.groupBy(bucketCols.map(col): _*)
+      .agg(graft.functions.functions
+        .collect_bottom_k(struct(col("__h").as("h")), k).as("__s"))
+      .select((bucketCols.map(col) :+
+        transform(col("__s"), e => e.getField("h")).as("kmv")): _*)
+  }
+
+  /**
+   * Set-operation estimates from two [[kmvSetSketch]] frames joined on
+   * `joinCols` (each carrying its `kmv` column): per joined group,
+   *
+   *  - `n_a_est` / `n_b_est` — distinct sizes (`(k−1)·2^60 DIV h_k` over
+   *    the 60-bit prefix of the k-th hash; EXACT when the sketch holds
+   *    fewer than k hashes — the sketch IS the set);
+   *  - `union_est` — same law over the union's bottom-k;
+   *  - `overlap_k` — common hashes within the union's k-th minimum: the
+   *    intersection's share of the union sample;
+   *  - `inter_est = overlap_k · union_est DIV s` and
+   *    `jaccard_ppm = overlap_k · 1e6 DIV s` with `s` the union SAMPLE
+   *    size (k in the estimator regime, ±~1/sqrt(k) relative; the whole
+   *    union below k, where both collapse to the EXACT intersection and
+   *    the exact Jaccard).
+   *
+   * Every step is deterministic integer arithmetic on md5 prefixes, so
+   * the whole estimate replays in any engine — and at 100 TB the
+   * audience-overlap question costs a join of KB-sized sketch rows,
+   * never a join of the raw key sets.
+   */
+  def kmvSetOps(
+      a: DataFrame,
+      b: DataFrame,
+      joinCols: Seq[String],
+      k: Int = 128): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    // 60-bit hash prefix as a long (exact; the estimator scale constant)
+    def hexVal(c: Column): Column = conv(substring(c, 1, 15), 16, 10).cast("long")
+    val H = 1L << 60
+    // est = (k-1)*2^60 DIV h_k — integral DIV on DECIMAL(38,0), exact;
+    // when the sketch holds < k hashes it IS the set: size is exact
+    def est(kmvName: String, hName: String): Column =
+      expr(s"CAST(CASE WHEN size($kmvName) < $k THEN size($kmvName) " +
+        s"ELSE CAST(${k - 1} AS DECIMAL(38,0)) * $H DIV $hName END AS BIGINT)")
+    val joined = a.select((joinCols.map(col) :+ col("kmv").as("__ka")): _*)
+      .join(b.select((joinCols.map(col) :+ col("kmv").as("__kb")): _*), joinCols)
+      .withColumn("__u", slice(array_sort(array_union(col("__ka"), col("__kb"))), 1, k))
+      .withColumn("__m", get(col("__u"), size(col("__u")) - 1))
+      .withColumn("__ha", hexVal(get(col("__ka"), lit(k - 1))))
+      .withColumn("__hb", hexVal(get(col("__kb"), lit(k - 1))))
+      .withColumn("__hu", hexVal(col("__m")))
+      .withColumn("overlap_k",
+        size(filter(array_intersect(col("__ka"), col("__kb")),
+          x => x <= col("__m"))).cast("long"))
+      .withColumn("n_a_est", est("__ka", "__ha"))
+      .withColumn("n_b_est", est("__kb", "__hb"))
+      .withColumn("union_est", est("__u", "__hu"))
+      // scale by the UNION SAMPLE SIZE (= k in the estimator regime, the
+      // whole union below it — where these become the exact intersection
+      // and the exact Jaccard), never by k unconditionally
+      .withColumn("inter_est",
+        expr("CAST(CASE WHEN size(__u) = 0 THEN 0 " +
+          "ELSE overlap_k * union_est DIV size(__u) END AS BIGINT)"))
+      .withColumn("jaccard_ppm",
+        expr("CAST(CASE WHEN size(__u) = 0 THEN 0 " +
+          "ELSE overlap_k * 1000000 DIV size(__u) END AS BIGINT)"))
+    joined.select((joinCols.map(col) ++ Seq(col("n_a_est"), col("n_b_est"),
+      col("union_est"), col("overlap_k"), col("inter_est"),
+      col("jaccard_ppm"))): _*)
+  }
+
   /**
    * Distributed per-group prefix sums — the range-partition + offset
    * recipe behind [[exactPercentiles]] and `withGroupRank`, generalized

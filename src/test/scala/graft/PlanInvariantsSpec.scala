@@ -456,6 +456,19 @@ class PlanInvariantsSpec extends SparkTestBase {
     // join) + null-branch union + final decile agg — no one-reducer
     // group window at any value cardinality
     check("rank_normalize", maxShuffles = 5)
+    // per side: ONE (bucket, hash) distinct collapse (map-side combined,
+    // compacting) + ONE k-capped ObjectHashAggregate — 2 exchanges x 2
+    // sides; the set-ops join meets two bucket-sized sketch frames (k-row
+    // payloads), so its exchanges are sketch-sized however big the raw
+    // key sets; estimator math is per-row array/integer code after that
+    check("audience_overlap", maxShuffles = 6)
+    // the two runs themselves: brute force = its pinned 1-exchange bounded
+    // agg + deliberate broadcast queries x corpus BNLJ; IVF = broadcast
+    // query x centroid probe cross (BNLJ) + cell equi-join + rerank
+    // window. The recall eval on top is |Q|*k-row frames only: the pair
+    // join broadcasts (its non-equi null-safe form is the 3rd BNLJ), the
+    // per-query agg is the one extra exchange
+    check("ann_recall", maxShuffles = 6, maxBnlj = 3)
   }
 
   test("round-14 additions: agreement, calibration, privacy and web audits") {

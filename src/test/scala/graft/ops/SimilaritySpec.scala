@@ -472,4 +472,33 @@ class SimilaritySpec extends SparkTestBase {
     // sign convention: first nonzero component positive -> reproducible
     dir.find(math.abs(_) > 1e-12).get should be > 0.0
   }
+
+  test("annRecall: hand-computed hits, perfect and partial recall, dup collapse") {
+    val truth = Seq(
+      ("q1", 10L), ("q1", 11L), ("q1", 12L), ("q1", 13L),
+      ("q2", 20L), ("q2", 21L)).toDF("query_id", "neighbor_id")
+    val approx = Seq(
+      ("q1", 11L), ("q1", 13L), ("q1", 99L), ("q1", 11L), // dup pair collapses
+      ("q2", 20L), ("q2", 21L), ("q2", 22L)).toDF("query_id", "neighbor_id")
+    val out = Similarity.annRecall(truth, approx)
+      .orderBy($"query_id").as[(String, Long, Long, Long)].collect().toSeq
+    out shouldBe Seq(
+      ("q1", 4L, 2L, 2L * 1000000L / 4L), // 11,13 hit; 10,12 missed; 99 ignored
+      ("q2", 2L, 2L, 1000000L))           // perfect recall
+  }
+
+  test("annRecall on the clustered corpus: ivf nprobe=2 recovers most of truth") {
+    val queries = corpus.filter($"vec_id" < 4)
+    val truth = Similarity.bruteForceTopK(queries, corpus, "vec_id", "embedding", k = 5)
+    val (assigned, cents) = Similarity.ivfAssignSeeded(corpus, "vec_id", "embedding", k = 4)
+    val approx = Similarity.ivfTopK(queries, assigned, cents, "vec_id", "embedding",
+      k = 5, nprobe = 2)
+    val rec = Similarity.annRecall(truth, approx)
+    rec.count() shouldBe 4
+    // every query's truth set has 5 entries; recall_ppm consistent with hits
+    rec.select(max($"n_truth")).as[Long].head() shouldBe 5L
+    rec.filter(expr("recall_ppm <> hits * 1000000 DIV n_truth")).count() shouldBe 0
+    // clustered data, 2 of 4 cells probed: macro recall comfortably high
+    rec.agg(sum($"hits") * 1000000 / sum($"n_truth")).as[Double].head() should be >= 600000.0
+  }
 }

@@ -315,6 +315,46 @@ class SketchesSpec extends SparkTestBase {
       .as[Long].head()
   }
 
+  test("kmv set ops: sub-k regime is EXACT sizes, intersection and Jaccard") {
+    // A = {0..59}, B = {40..119}: |A|=60 |B|=80 |A∩B|=20 |A∪B|=120, k=128
+    val a = (0L until 60L).map(("g", _)).toDF("g", "id")
+    val b = (40L until 120L).map(("g", _)).toDF("g", "id")
+    val out = Sketches.kmvSetOps(
+      Sketches.kmvSetSketch(a, Seq("g"), "id", k = 128),
+      Sketches.kmvSetSketch(b, Seq("g"), "id", k = 128), Seq("g"), k = 128)
+      .as[(String, Long, Long, Long, Long, Long, Long)].head()
+    out shouldBe (("g", 60L, 80L, 120L, 20L, 20L, 20L * 1000000L / 120L))
+  }
+
+  test("kmv set ops: estimator regime lands within ~3/sqrt(k) of truth") {
+    // A = {0..9999}, B = {5000..14999}: true inter 5000, union 15000, J=1/3
+    val a = (0L until 10000L).map(("g", _)).toDF("g", "id")
+    val b = (5000L until 15000L).map(("g", _)).toDF("g", "id")
+    val k = 256
+    val out = Sketches.kmvSetOps(
+      Sketches.kmvSetSketch(a, Seq("g"), "id", k),
+      Sketches.kmvSetSketch(b, Seq("g"), "id", k), Seq("g"), k)
+      .as[(String, Long, Long, Long, Long, Long, Long)].head()
+    val tol = 3.0 / math.sqrt(k) // ~19%
+    math.abs(out._2 - 10000.0) / 10000.0 should be < tol
+    math.abs(out._3 - 10000.0) / 10000.0 should be < tol
+    math.abs(out._4 - 15000.0) / 15000.0 should be < tol
+    math.abs(out._6 - 5000.0) / 5000.0 should be < (2 * tol)
+    math.abs(out._7 - 333333.0) / 333333.0 should be < (2 * tol)
+  }
+
+  test("kmv set sketch is deterministic: dedup of keys, partitioning-independent") {
+    val rows = (0L until 3000L).map(i => ("g", i % 500)) // heavy key repeats
+    def sk(parts: Int) =
+      Sketches.kmvSetSketch(rows.toDF("g", "id").repartition(parts), Seq("g"), "id", 64)
+        .select($"kmv").as[Seq[String]].head()
+    val s1 = sk(1)
+    s1.length shouldBe 64
+    s1 shouldBe s1.sorted
+    s1.distinct.length shouldBe 64 // distinct collapse before bottom-k
+    sk(13) shouldBe s1
+  }
+
   test("rangedCumSums equals the naive one-reducer window on random data") {
     import org.apache.spark.sql.expressions.Window
     val rnd = new scala.util.Random(31)
