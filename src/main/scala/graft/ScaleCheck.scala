@@ -41,7 +41,7 @@ object ScaleCheck {
     "basket_lift", "time_weighted_load", "damerau_pairs", "rrf_fusion",
     "attribution_linear", "blocklist", "spearman", "fleiss", "vocab_growth",
     "ks_drift", "mw_drift", "weighted_pctl", "entity_resolution", "gram_matrix",
-    "connected_components")
+    "connected_components", "audience_overlap")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -705,6 +705,19 @@ object ScaleCheck {
         isTouch = col("event_type").isin("click", "view"),
         channel = col("event_type"),
         lookbackUs = 3L * 86400 * 1000000)
+    }
+    // distinct users grow 20x (re-keyed): the (bucket, hash) distinct
+    // collapse carries 20x rows, the bottom-k agg still ships k-row
+    // sketches — sketch-side work is scale-constant by construction
+    time("audience_overlap") {
+      val ev = bigEvents.select(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000 % 7").as("dow"), col("user_id"))
+      ops.Sketches.kmvSetOps(
+        ops.Sketches.kmvSetSketch(
+          ev.where(col("event_type") === "click"), Seq("dow"), "user_id", k = 128),
+        ops.Sketches.kmvSetSketch(
+          ev.where(col("event_type") === "view"), Seq("dow"), "user_id", k = 128),
+        Seq("dow"), k = 128)
     }
     spark.stop()
   }

@@ -587,6 +587,15 @@ object functions {
         GraftExpressionBridge.expression(e), k, reverse = true).toAggregateExpression())
   }
 
+  /** Bounded bottom-k DISTINCT aggregate over a STRING column: the `k`
+    * smallest distinct values as an ascending array — the one-pass KMV
+    * SET-sketch engine (dedup lives inside the O(k) buffer, so only
+    * k-entry partials ever cross an exchange; see
+    * [[graft.functions.BottomKDistinct]]). */
+  def bottom_k_distinct(e: Column, k: Int): Column =
+    GraftExpressionBridge.column(
+      BottomKDistinct(GraftExpressionBridge.expression(e), k).toAggregateExpression())
+
   /** Misra-Gries heavy-hitters aggregate over a STRING key: at most
     * `capacity` counters, output sorted `(cnt DESC, key)` as
     * `array<struct<key,cnt>>`; exact when `capacity >= distinct keys`,
@@ -713,6 +722,13 @@ object functions {
         require(k >= 1, s"collect_bottom_k k must be at least 1, got $k")
         new org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK(
           args.head, k, reverse = true).toAggregateExpression()
+      }),
+    (FunctionIdentifier("bottom_k_distinct"),
+      new ExpressionInfo(classOf[BottomKDistinct].getName, "bottom_k_distinct"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"bottom_k_distinct(expr, k) takes 2 arguments, got ${args.length}")
+        BottomKDistinct(args.head, lit(args(1))).toAggregateExpression()
       }),
     (FunctionIdentifier("misra_gries"),
       new ExpressionInfo(classOf[MisraGries].getName, "misra_gries"),

@@ -316,27 +316,22 @@ object Sketches {
    * which no randomized sample allows). Merges EXACTLY like the quantile
    * sketch (bottom-k of a union lives inside the union of bottom-ks).
    *
-   * Plan: one (group, hash) distinct collapse (map-side combined — the
-   * one exchange, row-sized but compacting), then the k-capped
-   * ObjectHashAggregate; only k-row sketches cross the wire after that.
+   * Plan: ONE k-capped ObjectHashAggregate — the dedup lives inside the
+   * [[graft.functions.BottomKDistinct]] buffer, so a key seen a billion
+   * times contributes one hash to an O(k) partial and only k-entry
+   * buffers ever cross the exchange (no row-sized distinct collapse).
    * Output: `(bucketCols..., kmv: array<string> sorted ascending)`.
    */
   def kmvSetSketch(
       df: DataFrame,
       bucketCols: Seq[String],
       keyCol: String,
-      k: Int = 128): DataFrame = {
-    require(k >= 2, s"k must be >= 2, got $k")
-    val hashed = df.where(col(keyCol).isNotNull)
+      k: Int = 128): DataFrame =
+    df.where(col(keyCol).isNotNull)
       .select((bucketCols.map(col) :+
         md5(col(keyCol).cast("string")).as("__h")): _*)
-      .distinct()
-    hashed.groupBy(bucketCols.map(col): _*)
-      .agg(graft.functions.functions
-        .collect_bottom_k(struct(col("__h").as("h")), k).as("__s"))
-      .select((bucketCols.map(col) :+
-        transform(col("__s"), e => e.getField("h")).as("kmv")): _*)
-  }
+      .groupBy(bucketCols.map(col): _*)
+      .agg(graft.functions.functions.bottom_k_distinct(col("__h"), k).as("kmv"))
 
   /**
    * Set-operation estimates from two [[kmvSetSketch]] frames joined on
@@ -399,6 +394,21 @@ object Sketches {
       col("union_est"), col("overlap_k"), col("inter_est"),
       col("jaccard_ppm"))): _*)
   }
+
+  /**
+   * Merge finer-grained [[kmvSetSketch]] rows (daily) to a coarser horizon
+   * (weekly/all-time) EXACTLY: the k smallest distinct hashes of a union
+   * live inside the union of the per-slice bottom-ks, so re-rolled
+   * sketches are bit-identical to sketches built directly from the union
+   * — the same law as [[reRollupQuantileSketch]], plus the
+   * `array_distinct` a SET sketch needs (one key seen on many days
+   * contributes ONE hash). Slices per group are calendar-bounded, so the
+   * collect is days x k entries, never data-sized.
+   */
+  def reRollupKmvSetSketch(rollup: DataFrame, bucketCols: Seq[String], k: Int = 128): DataFrame =
+    rollup.groupBy(bucketCols.map(col): _*)
+      .agg(slice(array_sort(array_distinct(flatten(collect_list(col("kmv"))))), 1, k)
+        .as("kmv"))
 
   /**
    * Distributed per-group prefix sums — the range-partition + offset

@@ -362,6 +362,30 @@ object EventStreams {
   }
 
   /**
+   * S25 — windowed KMV SET-sketch rollup, the streaming twin of
+   * [[graft.ops.Sketches.kmvSetSketch]]: per (window, event_type) the
+   * `k` smallest distinct `md5(key)` hashes
+   * ([[graft.functions.BottomKDistinct]] — dedup inside the O(k)
+   * buffer, the only way a per-window DISTINCT sample is expressible in
+   * a streaming aggregation). Emitted window sketches merge EXACTLY
+   * ([[graft.ops.Sketches.reRollupKmvSetSketch]]: bottom-k-distinct of
+   * a union lives inside the union of bottom-k-distincts) to any
+   * horizon, then answer audience INTERSECTION/Jaccard between types or
+   * days via [[graft.ops.Sketches.kmvSetOps]] — the set-overlap
+   * question HLL's distinct counter (S2) cannot, from k strings of
+   * state per (window, type). Null keys are skipped (the batch law).
+   */
+  def kmvSetCellsRollup(
+      events: DataFrame,
+      keyCol: String = "user_id",
+      windowLength: String = "1 hour",
+      watermark: String = "10 minutes",
+      k: Int = 128): DataFrame =
+    windowedAgg(events.where(col(keyCol).isNotNull), windowLength, watermark,
+      Seq(graft.functions.functions
+        .bottom_k_distinct(md5(col(keyCol).cast("string")), k).as("kmv")))
+
+  /**
    * Streaming exact dedup on `idCol`: duplicates arriving within the
    * watermark horizon are dropped; the watermark bounds the id-set state.
    */

@@ -456,12 +456,12 @@ class PlanInvariantsSpec extends SparkTestBase {
     // join) + null-branch union + final decile agg — no one-reducer
     // group window at any value cardinality
     check("rank_normalize", maxShuffles = 5)
-    // per side: ONE (bucket, hash) distinct collapse (map-side combined,
-    // compacting) + ONE k-capped ObjectHashAggregate — 2 exchanges x 2
-    // sides; the set-ops join meets two bucket-sized sketch frames (k-row
-    // payloads), so its exchanges are sketch-sized however big the raw
-    // key sets; estimator math is per-row array/integer code after that
-    check("audience_overlap", maxShuffles = 6)
+    // ONE bottom_k_distinct ObjectHashAggregate per side (dedup inside
+    // the O(k) buffer — no row-sized distinct exchange) + the set-ops
+    // join of two bucket-sized sketch frames (k-row payloads), so every
+    // exchange past the two aggs is sketch-sized however big the raw key
+    // sets; estimator math is per-row array/integer code after that
+    check("audience_overlap", maxShuffles = 4)
     // the two runs themselves: brute force = its pinned 1-exchange bounded
     // agg + deliberate broadcast queries x corpus BNLJ; IVF = broadcast
     // query x centroid probe cross (BNLJ) + cell equi-join + rerank

@@ -355,6 +355,37 @@ class SketchesSpec extends SparkTestBase {
     sk(13) shouldBe s1
   }
 
+  test("bottom_k_distinct: dedup, cap, null skip, ascending order, SQL registration") {
+    val df = Seq(Some("c"), Some("a"), Some("c"), Some("b"), None, Some("a"), Some("d"))
+      .toDF("v")
+    df.agg(graft.functions.functions.bottom_k_distinct($"v", 3).as("s"))
+      .as[Seq[String]].head() shouldBe Seq("a", "b", "c") // d evicted, dups once, null skipped
+    // over-capacity k returns the whole distinct set
+    df.agg(graft.functions.functions.bottom_k_distinct($"v", 10).as("s"))
+      .as[Seq[String]].head() shouldBe Seq("a", "b", "c", "d")
+    // SQL-registered spelling agrees (and exercises serialize/deserialize
+    // through the exchange when the input is repartitioned)
+    graft.functions.functions.registry.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+    df.repartition(7).createOrReplaceTempView("bkd_sql")
+    spark.sql("SELECT bottom_k_distinct(v, 3) FROM bkd_sql")
+      .as[Seq[String]].head() shouldBe Seq("a", "b", "c")
+  }
+
+  test("kmv set sketches re-roll bit-identically to the direct whole-data sketch") {
+    // 3 "days" with overlapping key sets: the same key on many days must
+    // contribute ONE hash after the merge (the set-sketch distinct law)
+    val rows = (0 until 3).flatMap(d => (d * 300L until d * 300L + 700L).map(("g", d, _)))
+    val df = rows.toDF("g", "day", "id")
+    val daily = Sketches.kmvSetSketch(df, Seq("g", "day"), "id", k = 64)
+    val rerolled = Sketches.reRollupKmvSetSketch(daily, Seq("g"), k = 64)
+      .select($"kmv").as[Seq[String]].head()
+    val direct = Sketches.kmvSetSketch(df, Seq("g"), "id", k = 64)
+      .select($"kmv").as[Seq[String]].head()
+    rerolled shouldBe direct
+  }
+
   test("rangedCumSums equals the naive one-reducer window on random data") {
     import org.apache.spark.sql.expressions.Window
     val rnd = new scala.util.Random(31)

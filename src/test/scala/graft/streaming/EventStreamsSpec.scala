@@ -207,6 +207,43 @@ class EventStreamsSpec extends SparkTestBase {
       .as[(Int, Seq[Long])].collect().toMap shouldBe merged
   }
 
+  test("S25 KMV set cells: window sketches re-roll bit-identically to batch, ops finish") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = kmvSetCellsRollup(asContract(in.toDF()), keyCol = "user_id",
+      windowLength = "10 minutes", watermark = "5 minutes", k = 8)
+      .writeStream.format("memory").queryName("kmv_out").outputMode("append").start()
+    // users overlap across windows AND repeat within one (the distinct law)
+    val evs = Seq(
+      Event(1, ts(1), 10, "click", 1.0), Event(2, ts(2), 10, "click", 1.0),
+      Event(3, ts(3), 11, "click", 1.0), Event(4, ts(4), 12, "click", 1.0),
+      Event(5, ts(5), 13, "view", 1.0), Event(6, ts(6), 11, "view", 1.0),
+      Event(7, ts(15), 11, "click", 1.0), Event(8, ts(16), 14, "click", 1.0),
+      Event(9, ts(17), 14, "view", 1.0))
+    in.addData(evs: _*)
+    q.processAllAvailable()
+    in.addData(Event(99, ts(60), 99, "purchase", 0.0)) // advance watermark
+    runToCompletion(q)
+    val cells = spark.table("kmv_out").where($"window_start" < ts(50))
+    cells.select($"window_start").distinct().count() shouldBe 2L
+    // merge across windows == batch sketch over the same rows, bit for bit
+    val merged = graft.ops.Sketches.reRollupKmvSetSketch(cells, Seq("event_type"), k = 8)
+    val batchDf = evs.map(e => (e.eventType, e.userId)).toDF("event_type", "uid")
+    val batch = graft.ops.Sketches.kmvSetSketch(batchDf, Seq("event_type"), "uid", k = 8)
+    merged.as[(String, Seq[String])].collect().toMap shouldBe
+      batch.as[(String, Seq[String])].collect().toMap
+    // and the merged sketches finish into set ops: click={10,11,12,14},
+    // view={13,11,14} -> sub-k regime, EXACT inter=2, union=5
+    val out = graft.ops.Sketches.kmvSetOps(
+      merged.where($"event_type" === "click")
+        .select(org.apache.spark.sql.functions.lit(1).as("g"), $"kmv"),
+      merged.where($"event_type" === "view")
+        .select(org.apache.spark.sql.functions.lit(1).as("g"), $"kmv"),
+      Seq("g"), k = 8)
+      .as[(Int, Long, Long, Long, Long, Long, Long)].head()
+    out shouldBe ((1, 4L, 3L, 5L, 2L, 2L, 2L * 1000000L / 5L))
+  }
+
   test("S21 histogram cells: exact fixed-edge counts, clamping, drift finish parity") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Event]
