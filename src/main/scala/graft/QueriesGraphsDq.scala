@@ -727,6 +727,45 @@ private[graft] trait QueriesGraphsDq extends QueryHelpers { this: QueryBattery =
       .agg(count(lit(1)).as("n"))
   }
 
+  /**
+   * `winsorize`: [[graft.ops.Stats.winsorize]] — per-event-type clamp of
+   * the cent values into the exact nearest-rank [p5, p95] caps, rolled to
+   * per-type `(n, sum_w, n_lo, n_hi)`: the clipped SUM only matches if
+   * every row clamped to exactly the oracle's caps, and the clip counts
+   * pin both tails. Caps ride the range-partition percentile recipe; the
+   * transform is a broadcast caps join + per-row least/greatest — rows
+   * never shuffle for the clamp itself.
+   */
+  def winsorizeQ(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val ev = events(dir).select(col("event_type"), cents(col("value")).as("cents"))
+    graft.ops.Stats.winsorize(ev, "event_type", "cents", 5, 95, "w")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("w")).as("sum_w"),
+        sum(when(col("clipped_lo"), 1L).otherwise(0L)).as("n_lo"),
+        sum(when(col("clipped_hi"), 1L).otherwise(0L)).as("n_hi"))
+  }
+
+  val winsorizeSql: String =
+    """WITH e AS (SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS cents
+                  FROM events),
+       v AS (SELECT event_type, cents FROM e WHERE cents IS NOT NULL),
+       cnt AS (SELECT event_type, count(*) AS nn FROM v GROUP BY 1),
+       r AS (SELECT event_type, cents,
+               row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rk
+             FROM v),
+       caps AS (SELECT c.event_type,
+                  max(CASE WHEN rk = (nn * 5 + 99) // 100 THEN cents END) AS lo,
+                  max(CASE WHEN rk = (nn * 95 + 99) // 100 THEN cents END) AS hi
+                FROM cnt c JOIN r ON r.event_type = c.event_type GROUP BY 1)
+       SELECT e.event_type, count(*) AS n,
+              CAST(sum(CASE WHEN e.cents IS NULL THEN NULL
+                   ELSE least(greatest(e.cents, caps.lo), caps.hi) END) AS BIGINT) AS sum_w,
+              CAST(sum(CASE WHEN e.cents < caps.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+              CAST(sum(CASE WHEN e.cents > caps.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi
+       FROM e JOIN caps ON e.event_type = caps.event_type
+       GROUP BY e.event_type"""
+
   val rankNormalizeSql: String =
     """WITH e AS (SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS cents,
                   event_id FROM events WHERE value IS NOT NULL),

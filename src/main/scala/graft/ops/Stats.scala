@@ -569,6 +569,43 @@ object Stats {
   }
 
   /**
+   * Per-group winsorization — clamp `valueCol` into its group's
+   * `[loPct, hiPct]` EXACT nearest-rank percentile caps: the robust
+   * outlier treatment of feature pipelines (cap transaction cents at
+   * p99 before a mean, tame doc-length tails before a quality model)
+   * that, unlike dropping rows, keeps n intact. Caps come from
+   * [[graft.ops.Sketches.exactPercentiles]]'s range-partition recipe
+   * (exact integers, no one-reducer group window at any cardinality);
+   * the transform itself is a BROADCAST join of the group-sized caps
+   * frame + a per-row `least/greatest` — rows never shuffle. Null
+   * values pass through null with null flags (a feature pipeline must
+   * not lose rows). Adds `outCol` (the clamped value), `clipped_lo`,
+   * `clipped_hi`.
+   */
+  def winsorize(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      loPct: Int = 5,
+      hiPct: Int = 95,
+      outCol: String = "winsorized"): DataFrame = {
+    require(1 <= loPct && loPct < hiPct && hiPct <= 100,
+      s"need 1 <= loPct < hiPct <= 100, got [$loPct, $hiPct]")
+    val caps = graft.ops.Sketches.exactPercentiles(df, groupCol, valueCol, Seq(loPct, hiPct))
+      .groupBy(col(groupCol))
+      .agg(min(when(col("pct") === loPct, col(valueCol))).as("__lo"),
+        min(when(col("pct") === hiPct, col(valueCol))).as("__hi"))
+    df.join(broadcast(caps), Seq(groupCol), "left")
+      // Spark's least/greatest SKIP nulls (a null value would clamp to the
+      // cap instead of passing through) — guard the null branch explicitly
+      .withColumn(outCol, when(col(valueCol).isNull, lit(null))
+        .otherwise(least(greatest(col(valueCol), col("__lo")), col("__hi"))))
+      .withColumn("clipped_lo", col(valueCol) < col("__lo"))
+      .withColumn("clipped_hi", col(valueCol) > col("__hi"))
+      .drop("__lo", "__hi")
+  }
+
+  /**
    * k×k chi-squared ASSOCIATION between two categorical columns per group
    * + Cramér's V² — the feature-association / leakage screen ("does
    * `source` determine `lang`? is the split column secretly correlated

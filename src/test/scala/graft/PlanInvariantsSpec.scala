@@ -469,6 +469,12 @@ class PlanInvariantsSpec extends SparkTestBase {
     // join broadcasts (its non-equi null-safe form is the 3rd BNLJ), the
     // per-query agg is the one extra exchange
     check("ann_recall", maxShuffles = 6, maxBnlj = 3)
+    // the exactPercentiles recipe (pinned <=5 standalone; range exchange
+    // checkpoint-hidden, offsets agg + running-sum window + target join)
+    // computing the TWO caps in one pass, the group-sized caps pivot agg,
+    // the broadcast caps join (no exchange) + the final per-type rollup
+    // agg — every exchange past the recipe is group-sized or type-sized
+    check("winsorize", maxShuffles = 7)
   }
 
   test("round-14 additions: agreement, calibration, privacy and web audits") {

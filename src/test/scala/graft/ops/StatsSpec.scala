@@ -375,6 +375,41 @@ class StatsSpec extends SparkTestBase {
     out(6L) shouldBe Some(500000L)
   }
 
+  test("winsorize: exact nearest-rank caps, both tails clip, null passthrough") {
+    // g: values 1..10 -> p20 cap = ceil(10*20/100)=rank 2 -> 2; p80 -> rank 8 -> 8
+    val df = ((1L to 10L).map(v => ("g", Some(v))) :+ (("g", None: Option[Long])))
+      .toDF("g", "v")
+    val out = Stats.winsorize(df, "g", "v", loPct = 20, hiPct = 80, outCol = "w")
+      .select($"v", $"w", $"clipped_lo", $"clipped_hi")
+      .as[(Option[Long], Option[Long], Option[Boolean], Option[Boolean])].collect().toSet
+    out should contain((Some(1L), Some(2L), Some(true), Some(false)))   // clamped up
+    out should contain((Some(2L), Some(2L), Some(false), Some(false)))  // at the cap
+    out should contain((Some(5L), Some(5L), Some(false), Some(false)))  // untouched
+    out should contain((Some(9L), Some(8L), Some(false), Some(true)))   // clamped down
+    out should contain((None, None, None, None))                        // null passthrough
+    // row count preserved: winsorizing never drops rows
+    Stats.winsorize(df, "g", "v").count() shouldBe 11
+  }
+
+  test("winsorize equals the naive per-group clamp under any partitioning") {
+    val rnd = new scala.util.Random(41)
+    val rows = (1 to 3000).map(i => ("g" + rnd.nextInt(3), rnd.nextInt(10000).toLong))
+    def naive: Map[String, (Long, Long)] = rows.groupBy(_._1).map { case (g, vs) =>
+      val sorted = vs.map(_._2).sorted
+      def cap(p: Int) = sorted(((sorted.size * p + 99) / 100 - 1).toInt)
+      g -> (cap(5), cap(95))
+    }
+    val expected = rows.map { case (g, v) =>
+      val (lo, hi) = naive(g); (g, v, math.min(math.max(v, lo), hi))
+    }.groupBy(x => x).view.mapValues(_.size).toMap
+    def run(parts: Int) =
+      Stats.winsorize(rows.toDF("g", "v").repartition(parts), "g", "v", 5, 95, "w")
+        .select($"g", $"v", $"w").as[(String, Long, Long)]
+        .collect().toSeq.groupBy(x => x).view.mapValues(_.size).toMap
+    run(1) shouldBe expected
+    run(13) shouldBe expected
+  }
+
   test("rankNormalize is a pure function of the data, not its partitioning") {
     val rnd = new scala.util.Random(29)
     val rows = (1 to 4000).map(i => ("g" + rnd.nextInt(3), rnd.nextInt(50).toLong, i.toLong))
