@@ -877,6 +877,39 @@ private[graft] trait QueriesGraphsDq extends QueryHelpers { this: QueryBattery =
        FROM terms GROUP BY 1"""
 
   /**
+   * `tv_drift`: total-variation distance (ppm) of the event-type mix
+   * ([[graft.ops.Drift.tvDrift]]) between the even- and odd-user cohorts
+   * on the same `user_id % 3` grouping as `category_drift` — the
+   * bounded-[0, 1e6] effect size beside the χ² significance readout,
+   * finishing from the SAME mergeable k×2 cells (so S23 streaming
+   * windows re-aggregate into it too). Non-negative cross-multiplied
+   * numerator + ONE truncated division replays digit-for-digit.
+   */
+  def tvDrift(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val ev = events(dir).select((col("user_id") % 3).cast("long").as("cohort"),
+      col("event_type"), (col("user_id") % 2 === 0).as("in_a"))
+    graft.ops.Drift.tvDrift(ev, Seq("cohort"), "event_type", col("in_a"))
+  }
+
+  val tvDriftSql: String =
+    """WITH cells AS (
+         SELECT CAST(user_id % 3 AS BIGINT) AS cohort, event_type,
+           CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS a,
+           CAST(sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS HUGEINT) AS b
+         FROM events GROUP BY 1, 2),
+       tot AS (SELECT cohort, event_type, a, b,
+                 sum(a) OVER (PARTITION BY cohort) AS na,
+                 sum(b) OVER (PARTITION BY cohort) AS nb
+               FROM cells)
+       SELECT cohort, CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+              CAST(sum(CASE WHEN a + b > 0 THEN 1 ELSE 0 END) AS BIGINT) AS k,
+              CAST(CASE WHEN max(na) = 0 OR max(nb) = 0 THEN NULL
+                   ELSE sum(abs(a * nb - b * na)) * 1000000
+                        // (2 * max(na) * max(nb)) END AS BIGINT) AS tv_ppm
+       FROM tot GROUP BY 1"""
+
+  /**
    * `spearman_corr`: exact Spearman rank correlation (ppm) per event type
    * ([[graft.ops.Stats.spearman]]) between value (cents) and event time
    * (epoch micros) — "does spend RANK drift over time?", the monotone
@@ -980,6 +1013,88 @@ private[graft] trait QueriesGraphsDq extends QueryHelpers { this: QueryBattery =
                CAST(CAST(sum(CASE WHEN good THEN 1 ELSE 0 END) AS HUGEINT) * 1000000
                     // count(*) AS BIGINT) AS pos_rate_ppm
              FROM e GROUP BY 1, 2)"""
+
+  /**
+   * `pr_curve`: exact precision/recall/F1 at EVERY observed score
+   * threshold per event type ([[graft.ops.Stats.prSweep]]) on the
+   * calibration fixture (clamped spend cents as the score, `user_id % 3`
+   * as the label) — the operating-point sweep a quality-classifier gate
+   * reads its cutoff off. Confusion counts come from the ranged
+   * cumulative-count scaffold (no one-reducer score window); each rate
+   * is ONE truncated division of non-negative integers.
+   */
+  def prCurve(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.prSweep(calibrationInput(spark, dir),
+      Seq("event_type"), "score_ppm", col("good"))
+
+  val prCurveSql: String =
+    """WITH e AS (SELECT event_type,
+             least(CAST(round(value * 100, 0) AS BIGINT), 1000000) AS score_ppm,
+             user_id % 3 = 0 AS good
+           FROM events WHERE value IS NOT NULL),
+       c AS (SELECT event_type, score_ppm,
+               CAST(sum(CASE WHEN good THEN 1 ELSE 0 END) AS HUGEINT) AS ca,
+               CAST(sum(CASE WHEN NOT good THEN 1 ELSE 0 END) AS HUGEINT) AS cb
+             FROM e GROUP BY 1, 2),
+       cum AS (SELECT event_type, score_ppm, ca, cb,
+                sum(ca) OVER (PARTITION BY event_type ORDER BY score_ppm) AS cuma,
+                sum(cb) OVER (PARTITION BY event_type ORDER BY score_ppm) AS cumb,
+                sum(ca) OVER (PARTITION BY event_type) AS na,
+                sum(cb) OVER (PARTITION BY event_type) AS nb
+              FROM c),
+       k AS (SELECT event_type, score_ppm, na, nb,
+               na - cuma + ca AS tp, nb - cumb + cb AS fp, cuma - ca AS fn
+             FROM cum)
+       SELECT event_type, score_ppm,
+              CAST(na AS BIGINT) AS n_pos, CAST(nb AS BIGINT) AS n_neg,
+              CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+              CAST(fn AS BIGINT) AS fn,
+              CAST(CASE WHEN tp + fp = 0 THEN NULL
+                   ELSE tp * 1000000 // (tp + fp) END AS BIGINT) AS precision_ppm,
+              CAST(CASE WHEN na = 0 THEN NULL
+                   ELSE tp * 1000000 // na END AS BIGINT) AS recall_ppm,
+              CAST(CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+                   ELSE tp * 2000000 // (2 * tp + fp + fn) END AS BIGINT) AS f1_ppm
+       FROM k"""
+
+  /**
+   * `score_auc`: exact ROC-AUC (ppm) of the same score/label fixture per
+   * event type via the rank-sum identity — [[graft.ops.Drift.mannWhitney]]
+   * with the POSITIVE label as sample A: `auc_ppm` is the probability a
+   * random positive outscores a random negative (ties half), the
+   * one-number ranking-quality readout beside `pr_curve`'s sweep and
+   * `calibration_ece`'s probability-quality gate. Doubled tie-corrected
+   * midranks keep it a pure integer function of the data.
+   */
+  def scoreAuc(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Drift.mannWhitney(calibrationInput(spark, dir),
+      Seq("event_type"), "score_ppm", col("good"))
+
+  val scoreAucSql: String =
+    """WITH e AS (SELECT event_type,
+             least(CAST(round(value * 100, 0) AS BIGINT), 1000000) AS score_ppm,
+             user_id % 3 = 0 AS good
+           FROM events WHERE value IS NOT NULL),
+       c AS (SELECT event_type, score_ppm,
+               CAST(sum(CASE WHEN good THEN 1 ELSE 0 END) AS HUGEINT) AS ca,
+               CAST(sum(CASE WHEN NOT good THEN 1 ELSE 0 END) AS HUGEINT) AS cb
+             FROM e GROUP BY 1, 2),
+       cum AS (SELECT event_type, score_ppm, ca, cb,
+                sum(ca + cb) OVER (PARTITION BY event_type ORDER BY score_ppm)
+                  - ca - cb AS bef,
+                sum(ca) OVER (PARTITION BY event_type) AS na,
+                sum(cb) OVER (PARTITION BY event_type) AS nb
+              FROM c),
+       agg AS (SELECT event_type, max(na) AS na, max(nb) AS nb,
+                 sum(ca * (2 * bef + ca + cb + 1)) AS r2a
+               FROM cum GROUP BY 1)
+       SELECT event_type, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+              CAST(CASE WHEN na = 0 OR nb = 0 THEN NULL
+                   ELSE r2a - na * (na + 1) END AS BIGINT) AS u2,
+              CAST(CASE WHEN na = 0 OR nb = 0 THEN NULL
+                   ELSE (r2a - na * (na + 1)) * 1000000 // (2 * na * nb)
+                   END AS BIGINT) AS auc_ppm
+       FROM agg"""
 
   /**
    * `score_calibration`: reliability-diagram rows per event type

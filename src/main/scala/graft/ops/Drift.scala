@@ -229,7 +229,7 @@ object Drift {
    * rows themselves) spreads over every shard instead of one reducer
    * per group. The per-group totals ride the same offset frame.
    */
-  private def cumCounts(
+  private[ops] def cumCounts(
       df: DataFrame,
       groupCols: Seq[String],
       valueCol: String,
@@ -398,6 +398,62 @@ object Drift {
         .unionByName(
           ref.select(col(binCol), lit(0L).as("a"), col(countCol).as("b"))),
       Seq.empty, binCol)
+
+  /**
+   * Total-variation distance between two CATEGORICAL distributions per
+   * group, in ppm — the EFFECT-SIZE companion to [[chiSquareKx2]]'s
+   * significance statistic: `TV = ½ Σ_i |a_i/N_a - b_i/N_b|` is the
+   * largest probability mass any event set can disagree by, on a fixed
+   * [0, 1e6] axis a dashboard can threshold directly ("the source mix
+   * moved 4.2% of its mass") where χ² grows with sample size and needs a
+   * k-dependent lookup. Computed EXACTLY in cross-multiplied integers:
+   * `tv_ppm = (Σ_i |a_i*N_b - b_i*N_a|) * 1e6 DIV (2*N_a*N_b)` — the
+   * numerator is non-negative so truncation agrees across engines, and
+   * the single final division makes the result a pure integer function
+   * of the counts. Null when either sample is empty.
+   */
+  def tvDrift(
+      df: DataFrame,
+      groupCols: Seq[String],
+      categoryCol: String,
+      inA: Column): DataFrame =
+    tvFromKx2Cells(kx2Cells(df, groupCols, categoryCol, inA), groupCols)
+
+  /** Finish [[tvDrift]]'s arithmetic from an `(a, b)`-cells frame — the
+    * same mergeable cells [[chi2FromKx2Cells]] and the S23 streaming
+    * rollup emit (re-aggregates by category first, so sliced/windowed
+    * cells pass straight through). Output per group: `n_a, n_b, k`
+    * (non-empty categories) and `tv_ppm`. */
+  def tvFromKx2Cells(
+      cells: DataFrame,
+      groupCols: Seq[String],
+      categoryCol: String = "",
+      aCol: String = "a",
+      bCol: String = "b"): DataFrame = {
+    val catCols = if (categoryCol.nonEmpty) Seq(col(categoryCol))
+      else cells.columns.filterNot(c => (groupCols :+ aCol :+ bCol).contains(c))
+        .map(col).toSeq
+    val d38 = "DECIMAL(38,0)"
+    val merged = cells
+      .groupBy((groupCols.map(col) ++ catCols): _*)
+      .agg(sum(col(aCol)).cast(d38).as("__a"), sum(col(bCol)).cast(d38).as("__b"))
+    val byGroup = Window.partitionBy(groupCols.map(col): _*)
+    merged
+      .withColumn("__na", sum(col("__a")).over(byGroup))
+      .withColumn("__nb", sum(col("__b")).over(byGroup))
+      .withColumn("__d", abs(col("__a") * col("__nb") - col("__b") * col("__na")))
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        max(col("__na")).cast("long").as("n_a"),
+        max(col("__nb")).cast("long").as("n_b"),
+        sum(when(col("__a") + col("__b") > 0, 1L).otherwise(0L)).as("k"),
+        sum(col("__d")).as("__dsum"))
+      .withColumn("tv_ppm",
+        expr("CAST(CASE WHEN n_a = 0 OR n_b = 0 THEN NULL " +
+          "ELSE __dsum * 1000000 DIV (2 * CAST(n_a AS DECIMAL(38,0)) * n_b) " +
+          "END AS BIGINT)"))
+      .drop("__dsum")
+  }
 
   /** Finish the k×2 arithmetic from an `(a, b)`-cells frame (mergeable —
     * re-aggregates by category first, so sliced cells can be passed

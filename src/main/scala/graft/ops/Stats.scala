@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -466,6 +466,53 @@ object Stats {
       .withColumn("ece_ppm",
         expr("CAST(CASE WHEN __n = 0 THEN NULL ELSE __w DIV __n END AS BIGINT)"))
       .select((groupCols.map(col) ++ Seq(col("n"), col("ece_ppm"))): _*)
+
+  /**
+   * Exact precision/recall/F1 sweep over EVERY observed score threshold
+   * per group — the operating-point picker behind a quality-classifier
+   * gate ("which cutoff keeps 95% of the good docs?") and the exact PR
+   * curve behind average-precision eyeballing. For each distinct score
+   * `v` in the group, the row reports the confusion counts of the rule
+   * "predict positive when score >= v": `tp = P - cumPos(<v)`,
+   * `fp = N - cumNeg(<v)`, `fn = P - tp`, plus `precision_ppm`,
+   * `recall_ppm` and `f1_ppm` — each ONE truncated division of
+   * non-negative integers, so every row replays digit-for-digit in any
+   * engine. `positive` labels each row (null labels and null scores are
+   * excluded). The threshold column keeps the score column's name.
+   *
+   * ROC-AUC needs no sweep at all: it is [[Drift.mannWhitney]]'s
+   * `auc_ppm` with `inA = positive` (rank-sum identity, ties half).
+   *
+   * Plan: the [[Drift.ksTest]] scaffold — ONE (group, score) count agg
+   * collapses the rows, then [[Sketches.rangedCumSums]] spreads the
+   * running sums over range partitions (no one-reducer-per-group
+   * ordered window however many distinct scores), then per-row
+   * arithmetic. Output is distinct-score-frame-sized.
+   */
+  def prSweep(
+      df: DataFrame,
+      groupCols: Seq[String],
+      scoreCol: String,
+      positive: Column): DataFrame = {
+    val d38 = "DECIMAL(38,0)"
+    Drift.cumCounts(df, groupCols, scoreCol, positive)
+      .withColumn("tp", (col("n_a") - col("cuma") + col("ca")).cast("long"))
+      .withColumn("fp", (col("n_b") - col("cumb") + col("cb")).cast("long"))
+      .withColumn("fn", (col("cuma") - col("ca")).cast("long"))
+      .withColumn("precision_ppm",
+        expr(s"CAST(CASE WHEN tp + fp = 0 THEN NULL " +
+          s"ELSE CAST(tp AS $d38) * 1000000 DIV (tp + fp) END AS BIGINT)"))
+      .withColumn("recall_ppm",
+        expr(s"CAST(CASE WHEN n_a = 0 THEN NULL " +
+          s"ELSE CAST(tp AS $d38) * 1000000 DIV n_a END AS BIGINT)"))
+      .withColumn("f1_ppm",
+        expr(s"CAST(CASE WHEN 2 * tp + fp + fn = 0 THEN NULL " +
+          s"ELSE CAST(tp AS $d38) * 2000000 DIV (2 * tp + fp + fn) END AS BIGINT)"))
+      .select((groupCols.map(col) ++ Seq(col(scoreCol),
+        col("n_a").cast("long").as("n_pos"), col("n_b").cast("long").as("n_neg"),
+        col("tp"), col("fp"), col("fn"),
+        col("precision_ppm"), col("recall_ppm"), col("f1_ppm"))): _*)
+  }
 
   /**
    * Exact 2-D Pareto front (skyline), MAXIMIZING both columns: rows kept

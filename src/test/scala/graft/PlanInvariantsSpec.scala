@@ -475,6 +475,17 @@ class PlanInvariantsSpec extends SparkTestBase {
     // the broadcast caps join (no exchange) + the final per-type rollup
     // agg — every exchange past the recipe is group-sized or type-sized
     check("winsorize", maxShuffles = 7)
+    // TV rides the category_drift cell shape exactly: (group, category)
+    // cell agg + the group finisher over the category-sized frame
+    check("tv_drift", maxShuffles = 2)
+    // the ks_drift scaffold verbatim — (group, score) count agg +
+    // rangedCumSums ((group, shard) partials, tiny offsets window,
+    // running-sum window) — then pure per-row confusion arithmetic:
+    // NO extra exchange for the sweep itself, no one-reducer score
+    // window at any distinct-score cardinality
+    check("pr_curve", maxShuffles = 4)
+    // mannWhitney on the label split: same scaffold + the finisher agg
+    check("score_auc", maxShuffles = 4)
   }
 
   test("round-14 additions: agreement, calibration, privacy and web audits") {

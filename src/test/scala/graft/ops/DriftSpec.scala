@@ -241,4 +241,54 @@ class DriftSpec extends SparkTestBase {
       Drift.chiSquareKx2(cdf.repartition(13), Seq("g"), "c", col("a"))
         .collect().map(_.toSeq).toSet
   }
+
+  test("tvDrift: zero under homogeneity, hand-computed shift, empty side nulls") {
+    // identical mixes -> no mass moved
+    val same = (Seq.fill(10)(("g", "x", true)) ++ Seq.fill(20)(("g", "y", true)) ++
+      Seq.fill(10)(("g", "x", false)) ++ Seq.fill(20)(("g", "y", false)))
+      .toDF("g", "c", "a")
+    Drift.tvDrift(same, Seq("g"), "c", col("a"))
+      .as[(String, Long, Long, Long, Long)].collect().head shouldBe
+      (("g", 30L, 30L, 2L, 0L))
+    // x: a=3/4, b=1/4; y: a=1/4, b=3/4 -> TV = ½(|3/4-1/4| + |1/4-3/4|) = 1/2
+    val shifted = (Seq.fill(3)(("g", "x", true)) ++ Seq(("g", "y", true)) ++
+      Seq(("g", "x", false)) ++ Seq.fill(3)(("g", "y", false))).toDF("g", "c", "a")
+    Drift.tvDrift(shifted, Seq("g"), "c", col("a"))
+      .as[(String, Long, Long, Long, Long)].collect().head shouldBe
+      (("g", 4L, 4L, 2L, 500000L))
+    // disjoint supports -> ALL mass moved (the [0, 1e6] ceiling)
+    val disjoint = Seq(("g", "x", true), ("g", "y", false)).toDF("g", "c", "a")
+    Drift.tvDrift(disjoint, Seq("g"), "c", col("a"))
+      .as[(String, Long, Long, Long, Long)].collect().head shouldBe
+      (("g", 1L, 1L, 2L, 1000000L))
+    // one-sided sample -> null statistic, same law as chi2
+    val oneSided = Seq(("g", "x", true), ("g", "y", true)).toDF("g", "c", "a")
+    Drift.tvDrift(oneSided, Seq("g"), "c", col("a")).collect().head
+      .isNullAt(4) shouldBe true
+  }
+
+  test("tvDrift cells merge: sliced kx2Cells finish to the whole-data TV") {
+    val rnd = new scala.util.Random(17)
+    val rows = Seq.fill(400)(("g" + rnd.nextInt(2), "c" + rnd.nextInt(5),
+      rnd.nextInt(3) > 0))
+    val df = rows.toDF("g", "c", "a").repartition(7)
+    val slice1 = df.where(col("c").isin("c0", "c1"))
+    val slice2 = df.where(!col("c").isin("c0", "c1"))
+    val cells = Drift.kx2Cells(slice1, Seq("g"), "c", col("a"))
+      .unionByName(Drift.kx2Cells(slice2, Seq("g"), "c", col("a")))
+    Drift.tvFromKx2Cells(cells, Seq("g"), "c").collect().map(_.toSeq).toSet shouldBe
+      Drift.tvDrift(df, Seq("g"), "c", col("a")).collect().map(_.toSeq).toSet
+    // and the truncated ppm sits within 1 of the double reference
+    val got = Drift.tvDrift(df, Seq("g"), "c", col("a"))
+      .as[(String, Long, Long, Long, Long)].collect()
+    got.foreach { case (g, na, nb, _, tv) =>
+      val in = rows.filter(_._1 == g)
+      val ref = in.map(_._2).distinct.map { c =>
+        val a = in.count(r => r._2 == c && r._3).toDouble / na
+        val b = in.count(r => r._2 == c && !r._3).toDouble / nb
+        math.abs(a - b)
+      }.sum / 2
+      math.abs(tv - ref * 1e6) should be <= 1.0
+    }
+  }
 }

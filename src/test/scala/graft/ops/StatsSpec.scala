@@ -499,4 +499,54 @@ class StatsSpec extends SparkTestBase {
         .collect().map(_.toSeq).toSet
     run(1) shouldBe run(17)
   }
+
+  test("prSweep: hand-computed confusion counts at every threshold") {
+    // scores: pos at 10, 30, 30; neg at 20, 30  (thresholds 10, 20, 30)
+    val df = Seq(("g", 10L, true), ("g", 30L, true), ("g", 30L, true),
+      ("g", 20L, false), ("g", 30L, false)).toDF("g", "s", "pos")
+    val rows = Stats.prSweep(df, Seq("g"), "s", col("pos"))
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._2 -> r).toMap
+    // threshold 10 (>= 10 -> everything positive): tp=3 fp=2 fn=0
+    rows(10L) shouldBe (("g", 10L, 3L, 2L, 3L, 2L, 0L, 600000L, 1000000L, 750000L))
+    // threshold 20: tp=2 (the two 30s) fp=2 fn=1
+    rows(20L) shouldBe (("g", 20L, 3L, 2L, 2L, 2L, 1L, 500000L, 666666L, 571428L))
+    // threshold 30: tp=2 fp=1 fn=1
+    rows(30L) shouldBe (("g", 30L, 3L, 2L, 2L, 1L, 1L, 666666L, 666666L, 666666L))
+  }
+
+  test("prSweep: no positives nulls recall, null scores/labels drop, partition-pure") {
+    val noPos = Seq(("g", 5L, false), ("g", 7L, false)).toDF("g", "s", "pos")
+    val r = Stats.prSweep(noPos, Seq("g"), "s", col("pos")).collect()
+    r.foreach { row =>
+      row.isNullAt(row.fieldIndex("recall_ppm")) shouldBe true
+      row.getLong(row.fieldIndex("precision_ppm")) shouldBe 0L
+    }
+    val withNulls = Seq((Some(5L), Some(true)), (None, Some(true)),
+      (Some(6L), None)).map { case (s, p) => ("g", s, p) }.toDF("g", "s", "pos")
+    Stats.prSweep(withNulls, Seq("g"), "s", col("pos")).count() shouldBe 1L
+
+    val rnd = new scala.util.Random(23)
+    val big = Seq.fill(500)(("g" + rnd.nextInt(2), rnd.nextInt(40).toLong,
+      rnd.nextBoolean())).toDF("g", "s", "pos")
+    Stats.prSweep(big.coalesce(1), Seq("g"), "s", col("pos"))
+      .collect().map(_.toSeq).toSet shouldBe
+      Stats.prSweep(big.repartition(13), Seq("g"), "s", col("pos"))
+        .collect().map(_.toSeq).toSet
+  }
+
+  test("prSweep matches the naive per-threshold filter on random data") {
+    val rnd = new scala.util.Random(41)
+    val data = Seq.fill(300)((rnd.nextInt(25).toLong, rnd.nextInt(3) == 0))
+    val got = Stats.prSweep(data.toDF("s", "pos").withColumn("g", lit("g"))
+        .repartition(9), Seq("g"), "s", col("pos"))
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._2 -> ((r._5, r._6, r._7))).toMap
+    val pTot = data.count(_._2)
+    data.map(_._1).distinct.foreach { t =>
+      val tp = data.count(d => d._1 >= t && d._2)
+      val fp = data.count(d => d._1 >= t && !d._2)
+      got(t) shouldBe ((tp.toLong, fp.toLong, (pTot - tp).toLong))
+    }
+  }
 }
