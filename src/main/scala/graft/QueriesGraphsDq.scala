@@ -428,6 +428,62 @@ private[graft] trait QueriesGraphsDq extends QueryHelpers { this: QueryBattery =
        FROM cells"""
 
   /**
+   * `cuped_adjust`: CUPED variance-reduced A/B means readout
+   * ([[graft.ops.Stats.cupedAdjust]]) — per-user spend split at
+   * 2024-01-16 into a pre-experiment covariate `x_cents` and an
+   * experiment metric `y_cents`, arms by even/odd user id, cohorts by
+   * `user_id % 3`; θ fits POOLED across arms per cohort and every
+   * composed truncated division (means, θ, the adjustment) replays
+   * digit-for-digit in HUGEINT.
+   */
+  def cupedAdjust(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val cut = to_timestamp(lit("2024-01-16"))
+    val perUser = events(dir).where(col("value").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(
+        coalesce(sum(when(col("ts") < cut, cents(col("value")))), lit(0L))
+          .as("x_cents"),
+        coalesce(sum(when(col("ts") >= cut, cents(col("value")))), lit(0L))
+          .as("y_cents"))
+      .withColumn("cohort", (col("user_id") % 3).cast("long"))
+      .withColumn("arm", (col("user_id") % 2).cast("long"))
+    graft.ops.Stats.cupedAdjust(perUser, Seq("cohort"), "arm",
+      "y_cents", "x_cents")
+  }
+
+  val cupedAdjustSql: String =
+    """WITH u AS (
+         SELECT user_id,
+           CAST(coalesce(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                  THEN CAST(round(value * 100, 0) AS BIGINT) END), 0) AS HUGEINT) AS x,
+           CAST(coalesce(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                  THEN CAST(round(value * 100, 0) AS BIGINT) END), 0) AS HUGEINT) AS y
+         FROM events WHERE value IS NOT NULL GROUP BY 1),
+       a AS (
+         SELECT CAST(user_id % 3 AS BIGINT) AS cohort,
+                CAST(user_id % 2 AS BIGINT) AS arm,
+                CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx, sum(y) AS sy,
+                sum(x * y) AS sxy, sum(x * x) AS sxx
+         FROM u GROUP BY 1, 2),
+       p AS (
+         SELECT cohort, arm, n, sx, sy,
+                sum(n) OVER w AS tn, sum(sx) OVER w AS tx, sum(sy) OVER w AS ty,
+                sum(sxy) OVER w AS txy, sum(sxx) OVER w AS txx
+         FROM a WINDOW w AS (PARTITION BY cohort))
+       SELECT cohort, arm, CAST(n AS BIGINT) AS n,
+         CAST(sy * 1000000 // n AS BIGINT) AS mean_y_micro,
+         CAST(CASE WHEN tn * txx - tx * tx = 0 THEN NULL
+              ELSE (tn * txy - tx * ty) * 1000000 // (tn * txx - tx * tx)
+              END AS BIGINT) AS theta_ppm,
+         CAST(CASE WHEN tn * txx - tx * tx = 0 THEN sy * 1000000 // n
+              ELSE sy * 1000000 // n
+                   - ((tn * txy - tx * ty) * 1000000 // (tn * txx - tx * tx))
+                     * (sx * 1000000 // n - tx * 1000000 // tn) // 1000000
+              END AS BIGINT) AS adj_mean_y_micro
+       FROM p"""
+
+  /**
    * `host_kcore`: fixed-round 4-core peeling of the host graph
    * ([[graft.ops.Graphs.kCore]], 4 rounds) — at sf0.01 the cascade is
    * caught MID-PEEL (~82 of 250 hosts survive round 4; round 6 would

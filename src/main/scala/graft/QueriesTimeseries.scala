@@ -149,6 +149,44 @@ private[graft] trait QueriesTimeseries extends QueryHelpers { this: QueryBattery
        GROUP BY 1, 2, 3"""
 
   /**
+   * `holt_forecast`: Holt linear-trend double smoothing + 3-step
+   * forecast of each nation's daily revenue
+   * ([[graft.ops.Timeseries.holtForecast]], alpha = beta = 1/2) — the
+   * level+trend recurrence in exact milli fixed point, seeded
+   * `l_1 = y_1*1000, b_1 = 0`, truncating division toward zero at every
+   * step so the ~2,400-step-per-nation recurrence replays
+   * digit-for-digit in the oracle's recursive CTE (negative trend steps
+   * included). One key agg + a linear per-key fold — keys parallelize,
+   * state is the day-sized series.
+   */
+  def holtForecast(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    graft.ops.Timeseries.holtForecast(nationDaily(dir), Seq("n_name"),
+      "day_idx", "rev_cents", horizon = 3)
+  }
+
+  val holtForecastSql: String =
+    s"""WITH RECURSIVE daily AS ($sqlNationDaily),
+       ord AS (SELECT n_name, rev_cents,
+                 row_number() OVER (PARTITION BY n_name ORDER BY day_idx) AS rk,
+                 count(*) OVER (PARTITION BY n_name) AS n
+               FROM daily),
+       rec AS (
+         SELECT n_name, rk, n,
+                CAST(rev_cents AS HUGEINT) * 1000 AS l, CAST(0 AS HUGEINT) AS b
+         FROM ord WHERE rk = 1
+         UNION ALL
+         SELECT o.n_name, o.rk, o.n,
+                (CAST(o.rev_cents AS HUGEINT) * 1000 + r.l + r.b) // 2 AS l,
+                ((CAST(o.rev_cents AS HUGEINT) * 1000 + r.l + r.b) // 2
+                  - r.l + r.b) // 2 AS b
+         FROM rec r JOIN ord o ON o.n_name = r.n_name AND o.rk = r.rk + 1)
+       SELECT n_name, CAST(n AS BIGINT) AS n_days, CAST(l AS BIGINT) AS level_milli,
+              CAST(b AS BIGINT) AS trend_milli,
+              CAST(l + 3 * b AS BIGINT) AS forecast_milli
+       FROM rec WHERE rk = n"""
+
+  /**
    * `lag_correlation`: lead/lag screen between the daily `view` and
    * `purchase` event-count series — for each lag 0..7, the exact-ppm OLS
    * fit of purchases(day + lag) on views(day)
@@ -385,6 +423,36 @@ private[graft] trait QueriesTimeseries extends QueryHelpers { this: QueryBattery
        SELECT bin, CAST(mn + bin * w AS BIGINT) AS bin_lo,
               CAST(mn + bin * w + w - 1 AS BIGINT) AS bin_hi, n
        FROM g CROSS JOIN e"""
+
+  /**
+   * `log2_histogram`: power-of-two histogram of event spend cents per
+   * event type ([[graft.ops.DataQuality.log2Histogram]]) — the long-tail
+   * profiling shape equal-width bins waste: bin `b` holds `[2^b, 2^(b+1))`
+   * via BIT LENGTH (no log, no data-dependent edges, so slices share
+   * bins and ADD); zeros/negatives surface in bin -1 instead of
+   * silently dropping. ONE <=64-bins-per-type count agg, scan-bound.
+   */
+  def log2Histogram(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    graft.ops.DataQuality.log2Histogram(
+      events(dir).where(col("value").isNotNull)
+        .select(col("event_type"), cents(col("value")).as("v")),
+      Seq("event_type"), "v")
+  }
+
+  val log2HistogramSql: String =
+    s"""WITH vals AS (
+         SELECT event_type, ${sqlCents("value")} AS v FROM events
+         WHERE value IS NOT NULL)
+       SELECT event_type,
+              CAST(CASE WHEN v <= 0 THEN -1
+                   ELSE length(bin(v)) - 1 END AS BIGINT) AS bin,
+              CAST(CASE WHEN v <= 0 THEN NULL
+                   ELSE 1 << (length(bin(v)) - 1) END AS BIGINT) AS bin_lo,
+              CAST(CASE WHEN v <= 0 THEN NULL
+                   ELSE (1 << length(bin(v))) - 1 END AS BIGINT) AS bin_hi,
+              count(*) AS n
+       FROM vals GROUP BY 1, 2, 3, 4"""
 
   /**
    * `anchor_texts`: the anchor-text corpus per target host — for each

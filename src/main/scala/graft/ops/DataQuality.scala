@@ -233,6 +233,46 @@ object DataQuality {
   }
 
   /**
+   * Exact power-of-two (log2) histogram of an INTEGER-valued column per
+   * group — the long-tail profiling shape [[histogram]]'s equal-width
+   * bins waste (one bin swallows the head, the tail spreads over empty
+   * buckets): bin `b >= 0` holds values in `[2^b, 2^(b+1))`, computed as
+   * the BIT LENGTH of the value minus one — pure integer structure, no
+   * log (and no libm), no data-dependent edges, so histograms of any two
+   * slices share bins and ADD (the [[Stats.chi2FromCells]] mergeable
+   * discipline), and the same value lands in the same bin in any engine.
+   * Non-positive values land in bin -1 (out-of-domain mass is REPORTED,
+   * not dropped — a DQ profile that silently drops zeros lies about
+   * doc-length or spend distributions); nulls are excluded. Output per
+   * (group, bin): inclusive `bin_lo`/`bin_hi` (null for bin -1) and `n`.
+   *
+   * ONE count aggregation over at most 64 bins per group (map-side
+   * combined) — scan-bound at any scale.
+   */
+  def log2Histogram(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("long")
+    df.where(v.isNotNull)
+      .withColumn("bin",
+        when(v <= 0, lit(-1L)).otherwise(length(bin(v)).cast("long") - 1L))
+      .groupBy((groupCols.map(col) :+ col("bin")): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("bin_lo",
+        when(col("bin") < 0, lit(null).cast("long"))
+          .otherwise(expr("shiftleft(1L, CAST(bin AS INT))")))
+      .withColumn("bin_hi",
+        // 2^(b+1)-1 staged as (2^b - 1) + 2^b: bin 62's hi is Long.MaxValue
+        // and the naive shiftleft(1, 63) - 1 would overflow under ANSI
+        when(col("bin") < 0, lit(null).cast("long"))
+          .otherwise(expr("shiftleft(1L, CAST(bin AS INT)) - 1 " +
+            "+ shiftleft(1L, CAST(bin AS INT))")))
+      .select((groupCols.map(col) ++ Seq(col("bin"), col("bin_lo"),
+        col("bin_hi"), col("n"))): _*)
+  }
+
+  /**
    * Finish the diversity arithmetic from a per-(group, category) COUNTS
    * frame — the mergeable half of [[giniDiversity]]: counts from disjoint
    * slices (days, streaming windows — `EventStreams.windowedRollup`'s

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -512,6 +513,73 @@ object Stats {
         col("n_a").cast("long").as("n_pos"), col("n_b").cast("long").as("n_neg"),
         col("tp"), col("fp"), col("fn"),
         col("precision_ppm"), col("recall_ppm"), col("f1_ppm"))): _*)
+  }
+
+  /**
+   * CUPED variance-reduced A/B readout (Deng, Xu, Kohavi & Walker 2013,
+   * "Improving the Sensitivity of Online Controlled Experiments by
+   * Utilizing Pre-Experiment Data") — the experimentation-platform
+   * standard for shrinking metric variance WITHOUT more traffic: each
+   * unit's metric `y` is adjusted by its pre-experiment covariate `x`
+   * (same metric, earlier window), `ŷ = y − θ·(x − x̄)`, where
+   * `θ = Cov(x,y)/Var(x)` is fit POOLED across arms per group (fitting
+   * per-arm would bias the contrast; the pooled θ leaves the expected
+   * lift untouched while cancelling the pre-existing between-user
+   * spread — typically 40-60% variance cut on revenue metrics).
+   *
+   * Exact integer arithmetic end-to-end: per-(group, arm) sums
+   * `n, Σx, Σy, Σxy, Σx²` aggregate exactly in DECIMAL(38,0); with the
+   * pooled totals,
+   * `theta_ppm = (N·ΣXY − ΣX·ΣY) * 1e6 DIV (N·ΣXX − ΣX²)` and each
+   * arm's `adj_mean_y_micro = mean_y_micro − theta_ppm *
+   * (mean_x_micro − pooled_mean_x_micro) DIV 1e6` (means are
+   * `Σ·1e6 DIV n`). Both engines truncate integer division toward zero,
+   * so every composed step replays digit-for-digit. `theta_ppm` is null
+   * (and the adjustment a no-op) when the covariate is constant; rows
+   * with a null arm/x/y are excluded. The A/B contrast is the caller's
+   * subtraction of two output rows — exactly the readout
+   * [[chiSquare2x2]] gives for rates, for MEANS.
+   *
+   * Plan: ONE (group, arm) five-sum aggregation (map-side combined)
+   * collapses the rows; pooled totals ride a group window over the
+   * ARM-sized frame; everything after is per-row integer math. Output
+   * per (group, arm): `n, mean_y_micro, theta_ppm, adj_mean_y_micro`.
+   */
+  def cupedAdjust(
+      df: DataFrame,
+      groupCols: Seq[String],
+      armCol: String,
+      yCol: String,
+      xCol: String): DataFrame = {
+    val d38 = "DECIMAL(38,0)"
+    def s(c: String) = col(c).cast(d38)
+    val arms = df
+      .where(col(armCol).isNotNull && col(yCol).isNotNull && col(xCol).isNotNull)
+      .groupBy((groupCols.map(col) :+ col(armCol)): _*)
+      .agg(count(lit(1)).cast(d38).as("__n"),
+        sum(s(xCol)).as("__sx"), sum(s(yCol)).as("__sy"),
+        sum(s(xCol) * s(yCol)).as("__sxy"), sum(s(xCol) * s(xCol)).as("__sxx"))
+    val byGroup = Window.partitionBy(groupCols.map(col): _*)
+    arms
+      .withColumn("__tn", sum(col("__n")).over(byGroup))
+      .withColumn("__tx", sum(col("__sx")).over(byGroup))
+      .withColumn("__ty", sum(col("__sy")).over(byGroup))
+      .withColumn("__txy", sum(col("__sxy")).over(byGroup))
+      .withColumn("__txx", sum(col("__sxx")).over(byGroup))
+      .withColumn("theta_ppm",
+        expr("CAST(CASE WHEN __tn * __txx - __tx * __tx = 0 THEN NULL " +
+          "ELSE (__tn * __txy - __tx * __ty) * 1000000 " +
+          "DIV (__tn * __txx - __tx * __tx) END AS BIGINT)"))
+      .withColumn("mean_y_micro",
+        expr("CAST(__sy * 1000000 DIV __n AS BIGINT)"))
+      .withColumn("adj_mean_y_micro",
+        expr("CAST(CASE WHEN theta_ppm IS NULL THEN __sy * 1000000 DIV __n " +
+          "ELSE __sy * 1000000 DIV __n - CAST(theta_ppm AS DECIMAL(38,0)) * " +
+          "(__sx * 1000000 DIV __n - __tx * 1000000 DIV __tn) DIV 1000000 " +
+          "END AS BIGINT)"))
+      .withColumn("n", col("__n").cast("long"))
+      .select((groupCols.map(col) ++ Seq(col(armCol), col("n"),
+        col("mean_y_micro"), col("theta_ppm"), col("adj_mean_y_micro"))): _*)
   }
 
   /**

@@ -111,6 +111,62 @@ object Timeseries {
   }
 
   /**
+   * Holt linear-trend (double exponential) smoothing + h-step forecast
+   * per key, in EXACT fixed point — the level-AND-trend upgrade of
+   * [[truncatedEwma]] (which tracks level only and lags a trending
+   * series by construction): the classic recurrence (Holt 1957;
+   * Hyndman & Athanasopoulos, "Forecasting: Principles and Practice")
+   * with alpha = beta = 1/2 so every step is integer,
+   *
+   *   `l_t = (y_t*1000 + l_{t-1} + b_{t-1}) DIV 2`
+   *   `b_t = (l_t - l_{t-1} + b_{t-1}) DIV 2`
+   *
+   * seeded `l_1 = y_1*1000, b_1 = 0`, forecast
+   * `f = l_n + horizon * b_n`. Truncating division toward zero is
+   * identical in Spark and DuckDB, so the whole recurrence — declining
+   * (negative-trend) series included — replays digit-for-digit. The
+   * recurrence runs over the key's OBSERVED days in day order (gaps
+   * neither decay nor stretch anything — calendar-aware gap handling is
+   * [[gapFill]] upstream); `dayCol` must be unique per key (a daily
+   * rollup frame).
+   *
+   * A recurrence is inherently sequential PER KEY, so this evaluates as
+   * ONE key aggregation collecting the day-sized series + a linear
+   * `aggregate` fold per key — the [[truncatedEwma]] scale argument:
+   * keys parallelize across the cluster, each key's state is its
+   * calendar-bounded day frame (thousands of entries), never raw rows.
+   * Output: key cols + `(n_days, level_milli, trend_milli,
+   * forecast_milli)`.
+   */
+  def holtForecast(
+      df: DataFrame,
+      keyCols: Seq[String],
+      dayCol: String,
+      valueCol: String,
+      horizon: Int = 1): DataFrame = {
+    require(horizon >= 0, s"horizon must be >= 0, got $horizon")
+    df.where(col(valueCol).isNotNull && col(dayCol).isNotNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sort_array(collect_list(struct(col(dayCol).as("d"),
+        col(valueCol).cast("long").as("v")))).as("__s"))
+      .withColumn("__st", expr(
+        """aggregate(
+             slice(__s, 2, size(__s) - 1),
+             struct(CAST(element_at(__s, 1).v * 1000 AS BIGINT) AS l,
+                    CAST(0 AS BIGINT) AS b),
+             (acc, x) -> struct(
+               CAST((x.v * 1000 + acc.l + acc.b) DIV 2 AS BIGINT) AS l,
+               CAST(((x.v * 1000 + acc.l + acc.b) DIV 2 - acc.l + acc.b) DIV 2
+                 AS BIGINT) AS b))"""))
+      .select((keyCols.map(col) ++ Seq(
+        size(col("__s")).cast("long").as("n_days"),
+        col("__st.l").as("level_milli"),
+        col("__st.b").as("trend_milli"),
+        (col("__st.l") + lit(horizon.toLong) * col("__st.b"))
+          .as("forecast_milli"))): _*)
+  }
+
+  /**
    * Lagged cross-correlation between two daily series: for every lag in
    * `[0, maxLag]`, the exact-ppm OLS fit of `y(day + lag)` against
    * `x(day)` ([[Stats.olsFromSums]] — slope, intercept, r² as truncated

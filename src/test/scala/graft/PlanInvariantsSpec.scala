@@ -486,6 +486,17 @@ class PlanInvariantsSpec extends SparkTestBase {
     check("pr_curve", maxShuffles = 4)
     // mannWhitney on the label split: same scaffold + the finisher agg
     check("score_auc", maxShuffles = 4)
+    // per-user pre/post split agg (user-keyed exchange) + the (cohort,
+    // arm) five-sum agg + pooled-total window over the ARM-sized frame;
+    // everything after is per-row integer math
+    check("cuped_adjust", maxShuffles = 3)
+    // bit-length bin is per-row projection; ONE <=64-bins-per-type agg
+    check("log2_histogram", maxShuffles = 1)
+    // nationDaily (broadcast dims + one (nation, day) agg) + ONE key agg
+    // collecting the day-sized series; the Holt fold is per-row code on
+    // the key-sized frame — a recurrence is sequential per key, keys
+    // parallelize
+    check("holt_forecast", maxShuffles = 2, maxSmj = 2)
   }
 
   test("round-14 additions: agreement, calibration, privacy and web audits") {

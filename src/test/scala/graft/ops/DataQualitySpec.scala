@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, sum}
 
 import graft.testkit.SparkTestBase
 
@@ -234,5 +234,41 @@ class DataQualitySpec extends SparkTestBase {
         DataQuality.fdViolations(df, "zip", "diag").collect().map(_.toSeq).toSet)
     }
     all(1) shouldBe all(13)
+  }
+
+  test("log2Histogram: bit-length bins, inclusive bounds, bin -1 holds v <= 0") {
+    val df = Seq(("g", Some(1L)), ("g", Some(2L)), ("g", Some(3L)),
+      ("g", Some(4L)), ("g", Some(7L)), ("g", Some(8L)),
+      ("g", Some(0L)), ("g", Some(-5L)), ("g", None))
+      .toDF("g", "v")
+    val out = DataQuality.log2Histogram(df, Seq("g"), "v")
+      .as[(String, Long, Option[Long], Option[Long], Long)]
+      .collect().map(r => r._2 -> ((r._3, r._4, r._5))).toMap
+    out(-1L) shouldBe ((None, None, 2L))              // 0 and -5
+    out(0L) shouldBe ((Some(1L), Some(1L), 1L))       // [1, 1]
+    out(1L) shouldBe ((Some(2L), Some(3L), 2L))       // [2, 3]
+    out(2L) shouldBe ((Some(4L), Some(7L), 2L))       // [4, 7]
+    out(3L) shouldBe ((Some(8L), Some(15L), 1L))      // [8, 15]
+    out.size shouldBe 5 // the null row vanished
+  }
+
+  test("log2Histogram: slices ADD bin-for-bin; Long.MaxValue lands in bin 62") {
+    val rnd = new scala.util.Random(29)
+    val rows = Seq.fill(500)(("g" + rnd.nextInt(2),
+      math.abs(rnd.nextLong()) % 1000000 + 1))
+    val df = rows.toDF("g", "v")
+    val whole = DataQuality.log2Histogram(df, Seq("g"), "v")
+      .collect().map(_.toSeq).toSet
+    val sliced = DataQuality.log2Histogram(df.where($"v" % 2 === 0), Seq("g"), "v")
+      .unionByName(DataQuality.log2Histogram(df.where($"v" % 2 =!= 0), Seq("g"), "v"))
+      .groupBy($"g", $"bin", $"bin_lo", $"bin_hi").agg(sum($"n").as("n"))
+      .select($"g", $"bin", $"bin_lo", $"bin_hi", $"n")
+      .collect().map(_.toSeq).toSet
+    sliced shouldBe whole
+    val top = DataQuality.log2Histogram(
+      Seq(("g", Long.MaxValue)).toDF("g", "v"), Seq("g"), "v")
+      .as[(String, Long, Option[Long], Option[Long], Long)].collect().head
+    top._2 shouldBe 62L
+    top._3 shouldBe Some(1L << 62)
   }
 }

@@ -535,6 +535,49 @@ class StatsSpec extends SparkTestBase {
         .collect().map(_.toSeq).toSet
   }
 
+  test("cupedAdjust: hand-computed pooled theta moves both arm means") {
+    // arm0 units (x,y): (0,10),(10,30); arm1: (20,30),(30,50)
+    // pooled: N=4 SX=60 SY=120 SXX=1400 SXY=2400
+    // dxx = 4*1400-3600 = 2000; dxy = 4*2400-7200 = 2400 -> theta = 1.2
+    // arm0: mean_y=20e6, mean_x=5e6, pooled_x=15e6 -> adj = 20e6 + 12e6
+    // arm1: mean_y=40e6, mean_x=25e6            -> adj = 40e6 - 12e6
+    // raw lift +20e6 becomes -4e6: the covariate explained it and more
+    val df = Seq(("g", 0L, 0L, 10L), ("g", 0L, 10L, 30L),
+      ("g", 1L, 20L, 30L), ("g", 1L, 30L, 50L)).toDF("g", "arm", "x", "y")
+    val out = Stats.cupedAdjust(df, Seq("g"), "arm", "y", "x")
+      .as[(String, Long, Long, Long, Option[Long], Long)]
+      .collect().map(r => r._2 -> ((r._3, r._4, r._5, r._6))).toMap
+    out(0L) shouldBe ((2L, 20000000L, Some(1200000L), 32000000L))
+    out(1L) shouldBe ((2L, 40000000L, Some(1200000L), 28000000L))
+  }
+
+  test("cupedAdjust: constant covariate nulls theta and leaves means; nulls drop") {
+    val flat = Seq(("g", 0L, 7L, 10L), ("g", 0L, 7L, 20L),
+      ("g", 1L, 7L, 30L)).toDF("g", "arm", "x", "y")
+    val out = Stats.cupedAdjust(flat, Seq("g"), "arm", "y", "x")
+      .as[(String, Long, Long, Long, Option[Long], Long)]
+      .collect().map(r => r._2 -> ((r._4, r._5, r._6))).toMap
+    out(0L) shouldBe ((15000000L, None, 15000000L))
+    out(1L) shouldBe ((30000000L, None, 30000000L))
+
+    val withNulls = Seq(
+      (Some(0L), Some(1L), Some(2L)), (None, Some(1L), Some(2L)),
+      (Some(0L), None, Some(2L)), (Some(0L), Some(1L), None))
+      .map { case (a, x, y) => ("g", a, x, y) }.toDF("g", "arm", "x", "y")
+    Stats.cupedAdjust(withNulls, Seq("g"), "arm", "y", "x")
+      .agg(sum(col("n"))).as[Long].collect().head shouldBe 1L
+  }
+
+  test("cupedAdjust is a pure function of the data, not its partitioning") {
+    val rnd = new scala.util.Random(37)
+    val rows = Seq.fill(400)(("g" + rnd.nextInt(2), rnd.nextInt(2).toLong,
+      rnd.nextInt(100).toLong, rnd.nextInt(100).toLong - 30L))
+    def run(parts: Int) =
+      Stats.cupedAdjust(rows.toDF("g", "arm", "x", "y").repartition(parts),
+        Seq("g"), "arm", "y", "x").collect().map(_.toSeq).toSet
+    run(1) shouldBe run(13)
+  }
+
   test("prSweep matches the naive per-threshold filter on random data") {
     val rnd = new scala.util.Random(41)
     val data = Seq.fill(300)((rnd.nextInt(25).toLong, rnd.nextInt(3) == 0))

@@ -157,4 +157,60 @@ class TimeseriesSpec extends SparkTestBase {
       .select($"idx_ppm").as[Option[Long]].collect()
     out.toSeq shouldBe Seq(None, None)
   }
+
+  test("holtForecast: hand-replayed recurrence digits, rising series") {
+    // y = 10, 20, 30, 40 (milli: x1000), l1 = 10000, b1 = 0
+    // t2: l = 15000, b = 2500; t3: l = 23750, b = 5625
+    // t4: l = (40000 + 23750 + 5625) DIV 2 = 34687 (truncated .5)
+    //     b = (34687 - 23750 + 5625) DIV 2 = 8281
+    val df = Seq(("k", 1L, 10L), ("k", 2L, 20L), ("k", 3L, 30L), ("k", 4L, 40L))
+      .toDF("k", "day", "v")
+    Timeseries.holtForecast(df, Seq("k"), "day", "v", horizon = 2)
+      .as[(String, Long, Long, Long, Long)].collect().head shouldBe
+      (("k", 4L, 34687L, 8281L, 51249L))
+  }
+
+  test("holtForecast: negative trend truncates toward zero; single day; nulls") {
+    // y = 40, 30: l2 = 35000, b2 = (35000 - 40000) DIV 2 = -2500
+    val falling = Seq(("k", 1L, 40L), ("k", 2L, 30L)).toDF("k", "day", "v")
+    Timeseries.holtForecast(falling, Seq("k"), "day", "v", horizon = 1)
+      .as[(String, Long, Long, Long, Long)].collect().head shouldBe
+      (("k", 2L, 35000L, -2500L, 32500L))
+    // a single observation is its own level, zero trend
+    val one = Seq(("k", 7L, 5L)).toDF("k", "day", "v")
+    Timeseries.holtForecast(one, Seq("k"), "day", "v", horizon = 9)
+      .as[(String, Long, Long, Long, Long)].collect().head shouldBe
+      (("k", 1L, 5000L, 0L, 5000L))
+    // null values and null days drop before the fold
+    val nulls = Seq(("k", Some(1L), Some(10L)), ("k", None, Some(99L)),
+      ("k", Some(2L), None)).toDF("k", "day", "v")
+    Timeseries.holtForecast(nulls, Seq("k"), "day", "v")
+      .as[(String, Long, Long, Long, Long)].collect().head shouldBe
+      (("k", 1L, 10000L, 0L, 10000L))
+  }
+
+  test("holtForecast is order- and partitioning-independent") {
+    val rnd = new scala.util.Random(31)
+    val rows = (1 to 3).flatMap(k => (1L to 300L).map(d =>
+      ("k" + k, d, rnd.nextInt(2000).toLong - 500L)))
+    val df = rows.toDF("k", "day", "v")
+    val a = Timeseries.holtForecast(df.orderBy(rand(7)).repartition(13),
+      Seq("k"), "day", "v", horizon = 3).collect().map(_.toSeq).toSet
+    val b = Timeseries.holtForecast(df.coalesce(1), Seq("k"), "day", "v",
+      horizon = 3).collect().map(_.toSeq).toSet
+    a shouldBe b
+    // and it replays the driver-side fold exactly
+    val expected = rows.groupBy(_._1).map { case (k, rs) =>
+      val ys = rs.sortBy(_._2).map(_._3 * 1000L)
+      val (l, bb) = ys.tail.foldLeft((ys.head, 0L)) { case ((pl, pb), y) =>
+        val nl = (y + pl + pb) / 2 // JVM / truncates toward zero like DIV
+        (nl, (nl - pl + pb) / 2)
+      }
+      k -> ((l, bb, l + 3 * bb))
+    }
+    val got = Timeseries.holtForecast(df, Seq("k"), "day", "v", horizon = 3)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._3, r._4, r._5))).toMap
+    got shouldBe expected
+  }
 }
