@@ -484,6 +484,47 @@ private[graft] trait QueriesGraphsDq extends QueryHelpers { this: QueryBattery =
        FROM p"""
 
   /**
+   * `gini_concentration`: Gini + Herfindahl concentration of customer
+   * spend per nation ([[graft.ops.Stats.giniConcentration]]) — "how
+   * top-heavy is each market": the Lorenz-rank identity with ranks on
+   * the range-partition recipe and the one-division HHI; every digit
+   * replays against the oracle's window-rank formulation.
+   */
+  def giniConcentration(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val perCust = t(dir, "orders")
+      .join(t(dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("c_custkey"))
+      .agg(sum(cents(col("o_totalprice"))).as("spend_cents"))
+    graft.ops.Stats.giniConcentration(perCust, Seq("n_name"),
+      "spend_cents", "c_custkey")
+  }
+
+  val giniConcentrationSql: String =
+    s"""WITH pc AS (
+         SELECT n_name, c_custkey,
+                CAST(sum(${sqlCents("o_totalprice")}) AS HUGEINT) AS spend
+         FROM orders JOIN customer ON o_custkey = c_custkey
+                     JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY 1, 2),
+       r AS (SELECT n_name, spend,
+               row_number() OVER (PARTITION BY n_name
+                                  ORDER BY spend, c_custkey) AS rk
+             FROM pc),
+       agg AS (SELECT n_name, CAST(count(*) AS HUGEINT) AS n,
+                 sum(spend) AS sx, sum(spend * spend) AS sxx,
+                 sum(CAST(rk AS HUGEINT) * spend) AS srx
+               FROM r GROUP BY 1)
+       SELECT n_name, CAST(n AS BIGINT) AS n, CAST(sx AS BIGINT) AS sum_v,
+              CAST(CASE WHEN sx = 0 THEN NULL
+                   ELSE (2 * srx - (n + 1) * sx) * 1000000 // (n * sx)
+                   END AS BIGINT) AS gini_ppm,
+              CAST(CASE WHEN sx = 0 THEN NULL
+                   ELSE sxx * 1000000 // (sx * sx) END AS BIGINT) AS hhi_ppm
+       FROM agg"""
+
+  /**
    * `host_kcore`: fixed-round 4-core peeling of the host graph
    * ([[graft.ops.Graphs.kCore]], 4 rounds) — at sf0.01 the cascade is
    * caught MID-PEEL (~82 of 250 hosts survive round 4; round 6 would

@@ -187,6 +187,41 @@ private[graft] trait QueriesTimeseries extends QueryHelpers { this: QueryBattery
        FROM rec WHERE rk = n"""
 
   /**
+   * `theil_sen`: robust daily-volume trend per event type
+   * ([[graft.ops.Timeseries.theilSen]]) — the exact nearest-rank median
+   * of all pairwise slopes of the 30-day count series, each slope ONE
+   * truncated micro division; the median rides the range-partition
+   * percentile recipe and the oracle replays every pair and the rank
+   * law digit-for-digit. Pair fan-out is calendar-bounded (days², never
+   * raw events).
+   */
+  def theilSen(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val daily = events(dir).groupBy(col("event_type"),
+      expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000").as("day_idx"))
+      .agg(count(lit(1)).as("cnt"))
+    graft.ops.Timeseries.theilSen(daily, "event_type", "day_idx", "cnt")
+  }
+
+  val theilSenSql: String =
+    """WITH daily AS (
+         SELECT event_type, epoch_us(ts) // 86400000000 AS day_idx, count(*) AS cnt
+         FROM events GROUP BY 1, 2),
+       p AS (SELECT a.event_type,
+               CAST(b.cnt - a.cnt AS HUGEINT) * 1000000 // (b.day_idx - a.day_idx)
+                 AS slope
+             FROM daily a JOIN daily b ON a.event_type = b.event_type
+               AND b.day_idx > a.day_idx),
+       r AS (SELECT event_type, slope,
+               row_number() OVER (PARTITION BY event_type ORDER BY slope) AS rk,
+               count(*) OVER (PARTITION BY event_type) AS m
+             FROM p)
+       SELECT event_type, CAST(max(m) AS BIGINT) AS n_pairs,
+              CAST(max(CASE WHEN rk = (m * 50 + 99) // 100 THEN slope END)
+                   AS BIGINT) AS slope_micro
+       FROM r GROUP BY 1"""
+
+  /**
    * `lag_correlation`: lead/lag screen between the daily `view` and
    * `purchase` event-count series — for each lag 0..7, the exact-ppm OLS
    * fit of purchases(day + lag) on views(day)

@@ -583,6 +583,60 @@ object Stats {
   }
 
   /**
+   * Exact Gini + Herfindahl–Hirschman concentration of a non-negative
+   * quantity per group — "how unequal is spend across customers / token
+   * mass across sources / traffic across hosts": the source-diversity
+   * readout a curation pipeline watches before a head source swamps the
+   * mix (the ECONOMIC twin of [[DataQuality.giniDiversity]]'s
+   * category-entropy shape). Two classic axes at once:
+   *
+   *  - `gini_ppm`: the Lorenz-curve Gini via the sorted-rank identity
+   *    `G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx)` — 0 = everyone equal,
+   *    →1e6 = one unit owns everything. The rank-weighted sum is
+   *    invariant under any ordering of equal values (a tied block
+   *    contributes `x·Σi` regardless of internal order), and ranks ride
+   *    [[TextAnalysis.withGroupRank]]'s range-partition recipe — no
+   *    one-reducer group window at any cardinality.
+   *  - `hhi_ppm = Σx² · 1e6 DIV (Σx)²`: the Herfindahl index (sum of
+   *    squared shares) in ONE division — 1e6/n = perfect spread,
+   *    1e6 = monopoly; the mergeable-sums axis (Σx, Σx² add across
+   *    slices) beside Gini's rank-exact one.
+   *
+   * Both null when `Σx = 0`. Negative values are the caller's contract
+   * violation (a Lorenz curve is defined on non-negative mass); null
+   * values drop. One ranked pass + ONE final aggregation. Output per
+   * group: `n, sum_v, gini_ppm, hhi_ppm`.
+   */
+  def giniConcentration(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      tieCol: String): DataFrame = {
+    val d38 = "DECIMAL(38,0)"
+    val ranked = TextAnalysis.withGroupRank(
+      df.where(col(valueCol).isNotNull)
+        .select((groupCols :+ valueCol :+ tieCol).distinct.map(col): _*),
+      "__rk", groupCols, col(valueCol), col(tieCol))
+    ranked
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).cast(d38).as("__n"),
+        sum(col(valueCol).cast(d38)).as("__sx"),
+        sum(col(valueCol).cast(d38) * col(valueCol).cast(d38)).as("__sxx"),
+        sum(col("__rk").cast(d38) * col(valueCol).cast(d38)).as("__srx"))
+      .withColumn("n", col("__n").cast("long"))
+      .withColumn("sum_v", col("__sx").cast("long"))
+      .withColumn("gini_ppm",
+        expr("CAST(CASE WHEN __sx = 0 THEN NULL " +
+          "ELSE (2 * __srx - (__n + 1) * __sx) * 1000000 DIV (__n * __sx) " +
+          "END AS BIGINT)"))
+      .withColumn("hhi_ppm",
+        expr("CAST(CASE WHEN __sx = 0 THEN NULL " +
+          "ELSE __sxx * 1000000 DIV (__sx * __sx) END AS BIGINT)"))
+      .select((groupCols.map(col) ++ Seq(col("n"), col("sum_v"),
+        col("gini_ppm"), col("hhi_ppm"))): _*)
+  }
+
+  /**
    * Exact 2-D Pareto front (skyline), MAXIMIZING both columns: rows kept
    * iff no other row is >= in both dimensions and strictly greater in at
    * least one — "cheapest-for-its-size" style frontier queries (negate a

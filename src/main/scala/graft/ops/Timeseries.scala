@@ -167,6 +167,50 @@ object Timeseries {
   }
 
   /**
+   * Theil–Sen robust trend per key — the MEDIAN of all pairwise slopes
+   * `(y_j − y_i)/(d_j − d_i)` over the key's daily series (Theil 1950,
+   * Sen 1968): the trend readout that shrugs off the outliers an OLS
+   * fit ([[Stats.olsFit]]) chases (up to ~29% contamination), the
+   * standard robust alternative for noisy ingest-volume and spend
+   * series. Each slope is truncated once to micro units
+   * (`(Δy·1e6) DIV Δd` — both engines truncate toward zero, negative
+   * slopes included); the median is the exact nearest-rank p50 of those
+   * integers via [[Sketches.exactPercentiles]]' range-partition recipe,
+   * so the whole statistic replays digit-for-digit. Output per key:
+   * `n_pairs, slope_micro`.
+   *
+   * The pair fan-out is O(days²) per key BY CONSTRUCTION — run it on
+   * the calendar-bounded daily rollup (the [[lagCorrelation]] rule:
+   * thousands of days → millions of pairs per key, never raw events);
+   * keys parallelize, and the median rides the ranged recipe rather
+   * than any one-reducer sort.
+   */
+  def theilSen(
+      df: DataFrame,
+      keyCol: String,
+      dayCol: String,
+      valueCol: String): DataFrame = {
+    val pts = df.where(col(valueCol).isNotNull && col(dayCol).isNotNull)
+      .select(col(keyCol), col(dayCol).cast("long").as("__d"),
+        col(valueCol).cast("long").as("__v"))
+    // materialize the pair frame once: three consumers (count, the
+    // recipe's offsets, the rank pass) would otherwise re-run the
+    // self-join each — the withGroupRank checkpoint discipline
+    val slopes = pts
+      .join(pts.select(col(keyCol), col("__d").as("__d2"),
+        col("__v").as("__v2")), Seq(keyCol))
+      .where(col("__d2") > col("__d"))
+      .withColumn("slope_micro",
+        expr("CAST(CAST(__v2 - __v AS DECIMAL(38,0)) * 1000000 " +
+          "DIV (__d2 - __d) AS BIGINT)"))
+      .localCheckpoint(true)
+    val medians = Sketches.exactPercentiles(slopes, keyCol, "slope_micro",
+      percentiles = Seq(50))
+    slopes.groupBy(col(keyCol)).agg(count(lit(1)).as("n_pairs"))
+      .join(medians.select(col(keyCol), col("slope_micro")), Seq(keyCol))
+  }
+
+  /**
    * Lagged cross-correlation between two daily series: for every lag in
    * `[0, maxLag]`, the exact-ppm OLS fit of `y(day + lag)` against
    * `x(day)` ([[Stats.olsFromSums]] — slope, intercept, r² as truncated

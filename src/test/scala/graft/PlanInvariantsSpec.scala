@@ -497,6 +497,16 @@ class PlanInvariantsSpec extends SparkTestBase {
     // the key-sized frame — a recurrence is sequential per key, keys
     // parallelize
     check("holt_forecast", maxShuffles = 2, maxSmj = 2)
+    // the pair frame materializes ONCE (checkpoint hides the daily agg +
+    // key-equi self-join — the only row-heavy movement); every visible
+    // exchange is key- or (key, shard)-sized: n_pairs agg, the
+    // exactPercentiles recipe's offsets/targets aggs + rank window
+    // (range exchange checkpoint-hidden), and the key-sized median join
+    check("theil_sen", maxShuffles = 8, maxSmj = 2)
+    // per-customer rollup + withGroupRank (offsets agg + (group, pid)
+    // window exchange over the checkpoint-hidden range partitioning)
+    // + ONE final four-sum agg
+    check("gini_concentration", maxShuffles = 5, maxSmj = 2)
   }
 
   test("round-14 additions: agreement, calibration, privacy and web audits") {

@@ -578,6 +578,31 @@ class StatsSpec extends SparkTestBase {
     run(1) shouldBe run(13)
   }
 
+  test("giniConcentration: equality 0, near-monopoly (n-1)/n, exact HHI") {
+    val df = Seq(("eq", 1L, 1L), ("eq", 2L, 1L), ("eq", 3L, 1L), ("eq", 4L, 1L),
+      ("mono", 1L, 0L), ("mono", 2L, 0L), ("mono", 3L, 0L), ("mono", 4L, 10L),
+      ("pair", 1L, 5L), ("pair", 2L, 5L)).toDF("g", "id", "v")
+    val out = Stats.giniConcentration(df, Seq("g"), "v", "id")
+      .as[(String, Long, Long, Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    out("eq") shouldBe ((4L, 4L, Some(0L), Some(250000L)))
+    out("mono") shouldBe ((4L, 10L, Some(750000L), Some(1000000L)))
+    out("pair") shouldBe ((2L, 10L, Some(0L), Some(500000L)))
+  }
+
+  test("giniConcentration: zero mass nulls both axes; partition-pure") {
+    val zero = Seq(("z", 1L, 0L), ("z", 2L, 0L)).toDF("g", "id", "v")
+    Stats.giniConcentration(zero, Seq("g"), "v", "id")
+      .as[(String, Long, Long, Option[Long], Option[Long])]
+      .collect().head shouldBe (("z", 2L, 0L, None, None))
+    val rnd = new scala.util.Random(43)
+    val rows = (1L to 500L).map(i => ("g" + (i % 3), i, rnd.nextInt(1000).toLong))
+    def run(parts: Int) =
+      Stats.giniConcentration(rows.toDF("g", "id", "v").repartition(parts),
+        Seq("g"), "v", "id").collect().map(_.toSeq).toSet
+    run(1) shouldBe run(13)
+  }
+
   test("prSweep matches the naive per-threshold filter on random data") {
     val rnd = new scala.util.Random(41)
     val data = Seq.fill(300)((rnd.nextInt(25).toLong, rnd.nextInt(3) == 0))

@@ -189,6 +189,36 @@ class TimeseriesSpec extends SparkTestBase {
       (("k", 1L, 10000L, 0L, 10000L))
   }
 
+  test("theilSen: hand-computed slope median; one outlier can't move it") {
+    // days 1..3, values 10, 20, 60: slopes 10e6, 25e6, 40e6 -> median 25e6
+    val df = Seq(("k", 1L, 10L), ("k", 2L, 20L), ("k", 3L, 60L))
+      .toDF("k", "day", "v")
+    Timeseries.theilSen(df, "k", "day", "v")
+      .as[(String, Long, Long)].collect().head shouldBe (("k", 3L, 25000000L))
+    // a clean +10/day line with one wild endpoint: 6 of 10 pair slopes are
+    // exactly 10e6, so the median stays 10e6 (OLS would chase the spike)
+    val spiked = Seq(("k", 1L, 10L), ("k", 2L, 20L), ("k", 3L, 30L),
+      ("k", 4L, 40L), ("k", 5L, 1000L)).toDF("k", "day", "v")
+    Timeseries.theilSen(spiked, "k", "day", "v")
+      .as[(String, Long, Long)].collect().head shouldBe (("k", 10L, 10000000L))
+  }
+
+  test("theilSen: negative slopes truncate toward zero; partition purity") {
+    val down = Seq(("k", 0L, 10L), ("k", 3L, 0L)).toDF("k", "day", "v")
+    Timeseries.theilSen(down, "k", "day", "v")
+      .as[(String, Long, Long)].collect().head shouldBe (("k", 1L, -3333333L))
+    val up = Seq(("k", 0L, 0L), ("k", 3L, 10L)).toDF("k", "day", "v")
+    Timeseries.theilSen(up, "k", "day", "v")
+      .as[(String, Long, Long)].collect().head shouldBe (("k", 1L, 3333333L))
+    val rnd = new scala.util.Random(47)
+    val rows = (1 to 2).flatMap(k => (1L to 40L).map(d =>
+      ("k" + k, d, rnd.nextInt(500).toLong)))
+    def run(parts: Int) =
+      Timeseries.theilSen(rows.toDF("k", "day", "v").repartition(parts),
+        "k", "day", "v").collect().map(_.toSeq).toSet
+    run(1) shouldBe run(11)
+  }
+
   test("holtForecast is order- and partitioning-independent") {
     val rnd = new scala.util.Random(31)
     val rows = (1 to 3).flatMap(k => (1L to 300L).map(d =>

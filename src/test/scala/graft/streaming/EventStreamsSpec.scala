@@ -171,6 +171,15 @@ class EventStreamsSpec extends SparkTestBase {
         .toDF("event_id", "user_id", "event_type"),
       Seq.empty, "event_type", $"user_id" % 2 === 0)
     streamed.collect().map(_.toSeq) shouldBe batch.collect().map(_.toSeq)
+    // and the SAME window cells finish to the batch total-variation
+    // effect size too — one rollup feeds both drift finishers
+    val tvStream = graft.ops.Drift.tvFromKx2Cells(
+      cells.select($"event_type", $"a", $"b"), Seq.empty, "event_type")
+    val tvBatch = graft.ops.Drift.tvDrift(
+      rows.map(e => (e.eventId, e.userId, e.eventType))
+        .toDF("event_id", "user_id", "event_type"),
+      Seq.empty, "event_type", $"user_id" % 2 === 0)
+    tvStream.collect().map(_.toSeq) shouldBe tvBatch.collect().map(_.toSeq)
   }
 
   test("S24 gram cells: windowed summaries merge bit-identically to the batch gram") {
