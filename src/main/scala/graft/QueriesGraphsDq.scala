@@ -484,6 +484,59 @@ private[graft] trait QueriesGraphsDq extends QueryHelpers { this: QueryBattery =
        FROM p"""
 
   /**
+   * `kaplan_meier`: censoring-aware user-retention survival curve per
+   * cohort ([[graft.ops.Stats.kaplanMeier]]) — duration = hours between a
+   * user's first and last event, churn observed only when the last event
+   * predates the 2024-01-25 horizon (later users are CENSORED: they
+   * leave the risk set without moving the curve — the distinction a
+   * naive alive-fraction gets wrong). Each step is ONE truncated
+   * `S·(n−d) DIV n`; the oracle's recursive CTE replays the whole
+   * product sequence digit-for-digit.
+   */
+  def kaplanMeier(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val perUser = events(dir).groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+      .select((col("user_id") % 3).cast("long").as("cohort"),
+        expr("(unix_micros(CAST(last_ts AS TIMESTAMP)) - " +
+          "unix_micros(CAST(first_ts AS TIMESTAMP))) DIV 3600000000").as("hours"),
+        (col("last_ts") < to_timestamp(lit("2024-01-25"))).as("churned"))
+    graft.ops.Stats.kaplanMeier(perUser, Seq("cohort"), "hours", col("churned"))
+  }
+
+  val kaplanMeierSql: String =
+    """WITH RECURSIVE u AS (
+         SELECT user_id, min(ts) AS f, max(ts) AS l FROM events GROUP BY 1),
+       pu AS (SELECT CAST(user_id % 3 AS BIGINT) AS cohort,
+                (epoch_us(l) - epoch_us(f)) // 3600000000 AS hours,
+                l < TIMESTAMP '2024-01-25' AS churned
+              FROM u),
+       counts AS (SELECT cohort, hours,
+                    CAST(sum(CASE WHEN churned THEN 1 ELSE 0 END) AS HUGEINT) AS d,
+                    CAST(sum(CASE WHEN NOT churned THEN 1 ELSE 0 END) AS HUGEINT) AS c
+                  FROM pu GROUP BY 1, 2),
+       ord AS (SELECT cohort, hours, d, c,
+                 row_number() OVER (PARTITION BY cohort ORDER BY hours) AS rk
+               FROM counts),
+       tot AS (SELECT cohort, sum(d + c) AS n FROM counts GROUP BY 1),
+       rec AS (
+         SELECT o.cohort, o.rk, o.hours, o.d, o.c, t.n AS n_risk,
+                CASE WHEN o.d > 0 THEN CAST(1000000 AS HUGEINT) * (t.n - o.d) // t.n
+                     ELSE CAST(1000000 AS HUGEINT) END AS surv,
+                t.n - o.d - o.c AS nxt
+         FROM ord o JOIN tot t ON o.cohort = t.cohort WHERE o.rk = 1
+         UNION ALL
+         SELECT o.cohort, o.rk, o.hours, o.d, o.c, r.nxt AS n_risk,
+                CASE WHEN o.d > 0 THEN r.surv * (r.nxt - o.d) // r.nxt
+                     ELSE r.surv END AS surv,
+                r.nxt - o.d - o.c AS nxt
+         FROM rec r JOIN ord o ON o.cohort = r.cohort AND o.rk = r.rk + 1)
+       SELECT cohort, hours, CAST(n_risk AS BIGINT) AS n_risk,
+              CAST(d AS BIGINT) AS d, CAST(c AS BIGINT) AS c,
+              CAST(surv AS BIGINT) AS surv_ppm
+       FROM rec"""
+
+  /**
    * `gini_concentration`: Gini + Herfindahl concentration of customer
    * spend per nation ([[graft.ops.Stats.giniConcentration]]) — "how
    * top-heavy is each market": the Lorenz-rank identity with ranks on

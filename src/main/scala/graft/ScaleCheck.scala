@@ -41,7 +41,9 @@ object ScaleCheck {
     "basket_lift", "time_weighted_load", "damerau_pairs", "rrf_fusion",
     "attribution_linear", "blocklist", "spearman", "fleiss", "vocab_growth",
     "ks_drift", "mw_drift", "weighted_pctl", "entity_resolution", "gram_matrix",
-    "connected_components", "audience_overlap")
+    "connected_components", "audience_overlap",
+    "pr_curve", "cuped_adjust", "gini_concentration", "theil_sen",
+    "holt_forecast")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -718,6 +720,60 @@ object ScaleCheck {
         ops.Sketches.kmvSetSketch(
           ev.where(col("event_type") === "view"), Seq("dow"), "user_id", k = 128),
         Seq("dow"), k = 128)
+    }
+    // the PR sweep on a CONTINUOUS score (unix micros — distinct-score
+    // frame IS the row frame): the ks_drift scaffold must spread each
+    // group's 400k+ thresholds across every range shard, and the
+    // confusion arithmetic is per-row after that — growth tracks rows
+    time("pr_curve") {
+      ops.Stats.prSweep(
+        bigEvents.select(col("event_type"), unix_micros(col("ts")).as("us"),
+          col("user_id")),
+        Seq("event_type"), "us", col("user_id") % 3 === 0)
+    }
+    // users grow 20x (re-keyed): the per-user pre/post rollup — the one
+    // row-sized exchange — carries 20x rows over 20x keys; the (cohort,
+    // arm) frame and the pooled window stay arm-sized
+    time("cuped_adjust") {
+      val cut = expr("TIMESTAMP '2024-01-16'")
+      val perUser = bigEvents.where(col("value").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(
+          coalesce(sum(when(col("ts") < cut,
+            (col("value") * 100).cast("long"))), lit(0L)).as("x_cents"),
+          coalesce(sum(when(col("ts") >= cut,
+            (col("value") * 100).cast("long"))), lit(0L)).as("y_cents"))
+        .withColumn("cohort", (col("user_id") % 3).cast("long"))
+        .withColumn("arm", (col("user_id") % 2).cast("long"))
+      ops.Stats.cupedAdjust(perUser, Seq("cohort"), "arm", "y_cents", "x_cents")
+    }
+    // units (re-keyed users) grow 20x on an essentially-unique value
+    // axis: the Lorenz rank pass must spread each group's frame across
+    // range shards (no one-reducer window), the four-sum agg collapses
+    time("gini_concentration") {
+      val perUser = bigEvents.where(col("value").isNotNull)
+        .groupBy((col("user_id") % 5).as("cohort"), col("user_id"))
+        .agg(sum((col("value") * 100).cast("long")).as("spend_cents"))
+      ops.Stats.giniConcentration(perUser, Seq("cohort"), "spend_cents",
+        "user_id")
+    }
+    // keys (re-keyed user ranges) grow 20x, each key's daily series stays
+    // calendar-bounded (<=30 days -> <=435 pairs per key): pair volume
+    // grows with KEYS, never days² x rows — the honest Theil-Sen model
+    time("theil_sen") {
+      val daily = bigEvents.groupBy(expr("user_id DIV 1000").as("grp"),
+        expr("unix_micros(ts) DIV 86400000000").as("day_idx"))
+        .agg(count(lit(1)).as("cnt"))
+      ops.Timeseries.theilSen(daily, "grp", "day_idx", "cnt")
+    }
+    // same 20x key growth, day-sized fold state per key: the key agg
+    // collects <=30-entry arrays however many raw rows fed the rollup
+    time("holt_forecast") {
+      val daily = bigEvents.groupBy(expr("user_id DIV 1000").as("grp"),
+        expr("unix_micros(ts) DIV 86400000000").as("day_idx"))
+        .agg(sum((col("value") * 100).cast("long")).as("cents"))
+      ops.Timeseries.holtForecast(daily, Seq("grp"), "day_idx", "cents",
+        horizon = 3)
     }
     spark.stop()
   }

@@ -583,6 +583,68 @@ object Stats {
   }
 
   /**
+   * Kaplan–Meier survival curve per group, in exact ppm — the
+   * censoring-aware retention/churn readout (Kaplan & Meier 1958) that a
+   * naive "fraction still alive at day t" gets WRONG the moment
+   * observation windows differ (users who joined last week aren't
+   * churned, they're CENSORED): at each duration `t` with `d_t` events
+   * among `n_t` still at risk, `S(t) = S(t⁻)·(n_t − d_t)/n_t`, and
+   * censored units leave the risk set without moving the curve.
+   *
+   * Exact integer replay: survival is carried in ppm and each step is
+   * ONE truncated multiply-divide `S' = S·(n − d) DIV n` — the composed
+   * truncation is the CONTRACT (both engines replay the same sequence
+   * digit-for-digit; each step floors by < 1 ppm, so the curve sits
+   * within #event-times ppm of the real-valued one). A cumulative
+   * product is inherently sequential per group, so it evaluates as ONE
+   * (group, duration) count aggregation + a per-group linear fold over
+   * the collected duration-bounded frame (the [[Timeseries.holtForecast]]
+   * discipline: groups parallelize, raw units never enter the fold —
+   * only distinct durations do). Null durations/flags drop. Output: one
+   * row per (group, observed duration): `n_risk, d, c, surv_ppm`.
+   */
+  def kaplanMeier(
+      df: DataFrame,
+      groupCols: Seq[String],
+      durationCol: String,
+      eventCol: Column): DataFrame = {
+    val counts = df
+      .where(col(durationCol).isNotNull && eventCol.isNotNull)
+      .groupBy((groupCols.map(col) :+ col(durationCol).cast("long").as("__t")): _*)
+      .agg(sum(when(eventCol, 1L).otherwise(0L)).as("__d"),
+        sum(when(!eventCol, 1L).otherwise(0L)).as("__c"))
+    counts
+      .groupBy(groupCols.map(col): _*)
+      .agg(sort_array(collect_list(struct(col("__t"), col("__d"), col("__c"))))
+          .as("__s"),
+        sum(col("__d") + col("__c")).as("__n"))
+      .withColumn("__rows", expr(
+        """aggregate(
+             __s,
+             struct(CAST(__n AS BIGINT) AS at_risk,
+                    CAST(1000000 AS BIGINT) AS surv,
+                    CAST(array() AS
+                      ARRAY<STRUCT<t: BIGINT, n_risk: BIGINT, d: BIGINT,
+                                   c: BIGINT, surv: BIGINT>>) AS out),
+             (acc, x) -> struct(
+               acc.at_risk - x.__d - x.__c AS at_risk,
+               CASE WHEN x.__d > 0
+                 THEN acc.surv * (acc.at_risk - x.__d) DIV acc.at_risk
+                 ELSE acc.surv END AS surv,
+               concat(acc.out, array(struct(
+                 x.__t AS t, acc.at_risk AS n_risk, x.__d AS d, x.__c AS c,
+                 CASE WHEN x.__d > 0
+                   THEN acc.surv * (acc.at_risk - x.__d) DIV acc.at_risk
+                   ELSE acc.surv END AS surv))) AS out),
+             acc -> acc.out)"""))
+      .select((groupCols.map(col) :+ explode(col("__rows")).as("__r")): _*)
+      .select((groupCols.map(col) ++ Seq(
+        col("__r.t").as(durationCol), col("__r.n_risk").as("n_risk"),
+        col("__r.d").as("d"), col("__r.c").as("c"),
+        col("__r.surv").as("surv_ppm"))): _*)
+  }
+
+  /**
    * Exact Gini + Herfindahl–Hirschman concentration of a non-negative
    * quantity per group — "how unequal is spend across customers / token
    * mass across sources / traffic across hosts": the source-diversity

@@ -507,6 +507,10 @@ class PlanInvariantsSpec extends SparkTestBase {
     // window exchange over the checkpoint-hidden range partitioning)
     // + ONE final four-sum agg
     check("gini_concentration", maxShuffles = 5, maxSmj = 2)
+    // per-user first/last rollup (the one row-sized exchange) +
+    // (cohort, duration) count agg + the cohort collect agg; the
+    // survival fold is per-row code on duration-bounded arrays
+    check("kaplan_meier", maxShuffles = 3)
   }
 
   test("round-14 additions: agreement, calibration, privacy and web audits") {

@@ -578,6 +578,50 @@ class StatsSpec extends SparkTestBase {
     run(1) shouldBe run(13)
   }
 
+  test("kaplanMeier: hand-replayed curve — censoring shrinks risk, not survival") {
+    // durations: 1 event, 2 censored, 3 event x2, 4 censored (N = 5)
+    // t=1: S = 1e6*4 DIV 5 = 800000; t=2 censored only: S unchanged;
+    // t=3: S = 800000*(3-2) DIV 3 = 266666 (truncated); t=4: unchanged
+    val df = Seq(("g", 1L, true), ("g", 2L, false), ("g", 3L, true),
+      ("g", 3L, true), ("g", 4L, false)).toDF("g", "t", "ev")
+    val out = Stats.kaplanMeier(df, Seq("g"), "t", col("ev"))
+      .as[(String, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._2 -> ((r._3, r._4, r._5, r._6))).toMap
+    out(1L) shouldBe ((5L, 1L, 0L, 800000L))
+    out(2L) shouldBe ((4L, 0L, 1L, 800000L))
+    out(3L) shouldBe ((3L, 2L, 0L, 266666L))
+    out(4L) shouldBe ((1L, 0L, 1L, 266666L))
+  }
+
+  test("kaplanMeier: all-censored stays at 1e6; matches a driver fold; partition-pure") {
+    val cens = Seq(("g", 1L, false), ("g", 5L, false)).toDF("g", "t", "ev")
+    Stats.kaplanMeier(cens, Seq("g"), "t", col("ev"))
+      .select(col("surv_ppm")).as[Long].collect().toSet shouldBe Set(1000000L)
+
+    val rnd = new scala.util.Random(53)
+    val rows = Seq.fill(600)(("g" + rnd.nextInt(2), rnd.nextInt(20).toLong + 1,
+      rnd.nextInt(3) > 0))
+    val expected = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      var atRisk = rs.size.toLong
+      var surv = 1000000L
+      rs.groupBy(_._2).toSeq.sortBy(_._1).map { case (t, ts) =>
+        val d = ts.count(_._3).toLong
+        val c = ts.size - d
+        if (d > 0) surv = surv * (atRisk - d) / atRisk
+        val row = (g, t) -> ((atRisk, d, c, surv))
+        atRisk -= d + c
+        row
+      }
+    }
+    def run(parts: Int) =
+      Stats.kaplanMeier(rows.toDF("g", "t", "ev").repartition(parts),
+        Seq("g"), "t", col("ev"))
+        .as[(String, Long, Long, Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    run(1) shouldBe expected
+    run(13) shouldBe expected
+  }
+
   test("giniConcentration: equality 0, near-monopoly (n-1)/n, exact HHI") {
     val df = Seq(("eq", 1L, 1L), ("eq", 2L, 1L), ("eq", 3L, 1L), ("eq", 4L, 1L),
       ("mono", 1L, 0L), ("mono", 2L, 0L), ("mono", 3L, 0L), ("mono", 4L, 10L),
