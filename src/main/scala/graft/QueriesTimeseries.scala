@@ -222,6 +222,44 @@ private[graft] trait QueriesTimeseries extends QueryHelpers { this: QueryBattery
        FROM r GROUP BY 1"""
 
   /**
+   * `mann_kendall`: monotonic-trend significance per event type
+   * ([[graft.ops.Timeseries.mannKendall]]) on the same 30-day volume
+   * series as `theil_sen` — the sign-sum S statistic plus the
+   * tie-corrected 18×variance, both pure integers, so the caller's z²
+   * test needs no libm anywhere.
+   */
+  def mannKendall(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val daily = events(dir).groupBy(col("event_type"),
+      expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000").as("day_idx"))
+      .agg(count(lit(1)).as("cnt"))
+    graft.ops.Timeseries.mannKendall(daily, "event_type", "day_idx", "cnt")
+  }
+
+  val mannKendallSql: String =
+    """WITH daily AS (
+         SELECT event_type, epoch_us(ts) // 86400000000 AS day_idx,
+                CAST(count(*) AS BIGINT) AS cnt
+         FROM events GROUP BY 1, 2),
+       p AS (SELECT a.event_type, count(*) AS n_pairs,
+               CAST(sum(CASE WHEN b.cnt > a.cnt THEN 1
+                             WHEN b.cnt < a.cnt THEN -1 ELSE 0 END)
+                    AS BIGINT) AS s_stat
+             FROM daily a JOIN daily b ON a.event_type = b.event_type
+               AND b.day_idx > a.day_idx
+             GROUP BY 1),
+       tg AS (SELECT event_type, cnt, CAST(count(*) AS HUGEINT) AS t
+              FROM daily GROUP BY 1, 2),
+       v AS (SELECT event_type, CAST(sum(t) AS HUGEINT) AS n,
+               sum(t * (t - 1) * (2 * t + 5)) AS tie_term
+             FROM tg GROUP BY 1)
+       SELECT v.event_type, CAST(v.n AS BIGINT) AS n_days, p.n_pairs,
+              p.s_stat,
+              CAST(v.n * (v.n - 1) * (2 * v.n + 5) - v.tie_term
+                   AS BIGINT) AS var18
+       FROM v JOIN p ON v.event_type = p.event_type"""
+
+  /**
    * `lag_correlation`: lead/lag screen between the daily `view` and
    * `purchase` event-count series — for each lag 0..7, the exact-ppm OLS
    * fit of purchases(day + lag) on views(day)

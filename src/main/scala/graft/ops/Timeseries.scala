@@ -211,6 +211,56 @@ object Timeseries {
   }
 
   /**
+   * Mann–Kendall trend test per key — the SIGNIFICANCE companion to
+   * [[theilSen]]'s slope estimate (Mann 1945 / Kendall 1975, the
+   * standard pairing in environmental/ops monitoring): is there a
+   * monotonic trend at all, before asking how steep?
+   * `S = Σ_{i<j} sgn(y_j − y_i)` over the key's day-ordered series —
+   * pure integer, robust to outliers and any monotone transform.
+   *
+   * Significance WITHOUT libm: alongside `s_stat` the op emits
+   * `var18 = n(n−1)(2n+5) − Σ_ties t(t−1)(2t+5)` (18× the tie-corrected
+   * variance of S — kept ×18 so it stays integer); the caller's normal
+   * test is `z² ≈ 18·(|S|−1)² / var18`, a per-row lookup against z²
+   * thresholds (3.84 at α=0.05). Null values drop; `var18` is 0 for
+   * n < 2 or an all-tied series (no test possible — `s_stat` is 0
+   * there too).
+   *
+   * Same calendar-bounded pair fan-out and scale law as [[theilSen]]
+   * (run on the daily rollup; keys parallelize): one key-equi self-join
+   * + ONE count-sum agg, plus a (key, value) tie agg for the
+   * correction — every exchange key- or tie-group-sized.
+   */
+  def mannKendall(
+      df: DataFrame,
+      keyCol: String,
+      dayCol: String,
+      valueCol: String): DataFrame = {
+    val pts = df.where(col(valueCol).isNotNull && col(dayCol).isNotNull)
+      .select(col(keyCol), col(dayCol).cast("long").as("__d"),
+        col(valueCol).cast("long").as("__v"))
+    val pairs = pts
+      .join(pts.select(col(keyCol), col("__d").as("__d2"),
+        col("__v").as("__v2")), Seq(keyCol))
+      .where(col("__d2") > col("__d"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(signum(col("__v2") - col("__v")).cast("long")).as("s_stat"))
+    val ties = pts.groupBy(col(keyCol), col("__v"))
+      .agg(count(lit(1)).as("__t"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).cast("long").as("__distinct"),
+        sum(col("__t")).cast("long").as("__n"),
+        sum(expr("__t * (__t - 1) * (2 * __t + 5)")).as("__tieTerm"))
+      .withColumn("var18",
+        expr("CAST(__n * (__n - 1) * (2 * __n + 5) - __tieTerm AS BIGINT)"))
+      .select(col(keyCol), col("__n").as("n_days"), col("var18"))
+    ties.join(pairs, Seq(keyCol))
+      .select(col(keyCol), col("n_days"), col("n_pairs"), col("s_stat"),
+        col("var18"))
+  }
+
+  /**
    * Lagged cross-correlation between two daily series: for every lag in
    * `[0, maxLag]`, the exact-ppm OLS fit of `y(day + lag)` against
    * `x(day)` ([[Stats.olsFromSums]] — slope, intercept, r² as truncated

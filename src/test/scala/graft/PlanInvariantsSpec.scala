@@ -511,6 +511,10 @@ class PlanInvariantsSpec extends SparkTestBase {
     // (cohort, duration) count agg + the cohort collect agg; the
     // survival fold is per-row code on duration-bounded arrays
     check("kaplan_meier", maxShuffles = 3)
+    // daily rollup + key-equi pair self-join (day-sized both sides) +
+    // sign-sum agg + the (key, value) tie agg and key join — all
+    // post-rollup frames calendar- or key-sized
+    check("mann_kendall", maxShuffles = 6, maxSmj = 2)
   }
 
   test("round-14 additions: agreement, calibration, privacy and web audits") {

@@ -219,6 +219,41 @@ class TimeseriesSpec extends SparkTestBase {
     run(1) shouldBe run(11)
   }
 
+  test("mannKendall: sign sum, tie-corrected var18, degenerate zero") {
+    val df = Seq(
+      ("up", 1L, 1L), ("up", 2L, 2L), ("up", 3L, 3L),       // S=3
+      ("tie", 1L, 1L), ("tie", 2L, 2L), ("tie", 3L, 2L),    // S=2, one 2-tie
+      ("flat", 1L, 7L), ("flat", 2L, 7L), ("flat", 3L, 7L), // all tied
+      ("down", 1L, 3L), ("down", 2L, 2L), ("down", 3L, 1L)) // S=-3
+      .toDF("k", "day", "v")
+    val out = Timeseries.mannKendall(df, "k", "day", "v")
+      .as[(String, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    out("up") shouldBe ((3L, 3L, 3L, 66L))    // var18 = 3*2*11
+    out("tie") shouldBe ((3L, 3L, 2L, 48L))   // 66 - 2*1*9
+    out("flat") shouldBe ((3L, 3L, 0L, 0L))   // no test possible
+    out("down") shouldBe ((3L, 3L, -3L, 66L))
+  }
+
+  test("mannKendall matches the naive pair count and is partition-pure") {
+    val rnd = new scala.util.Random(59)
+    val rows = (1 to 2).flatMap(k => (1L to 50L).map(d =>
+      ("k" + k, d, rnd.nextInt(8).toLong)))
+    val expected = rows.groupBy(_._1).map { case (k, rs) =>
+      val s = (for {
+        a <- rs; b <- rs if b._2 > a._2
+      } yield java.lang.Long.signum(b._3 - a._3).toLong).sum
+      k -> s
+    }
+    def run(parts: Int) =
+      Timeseries.mannKendall(rows.toDF("k", "day", "v").repartition(parts),
+        "k", "day", "v")
+        .as[(String, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> r._4).toMap
+    run(1) shouldBe expected
+    run(11) shouldBe expected
+  }
+
   test("holtForecast is order- and partitioning-independent") {
     val rnd = new scala.util.Random(31)
     val rows = (1 to 3).flatMap(k => (1L to 300L).map(d =>
