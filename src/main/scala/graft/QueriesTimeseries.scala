@@ -222,6 +222,45 @@ private[graft] trait QueriesTimeseries extends QueryHelpers { this: QueryBattery
        FROM r GROUP BY 1"""
 
   /**
+   * `changepoint_detect`: single-changepoint localization of each event
+   * type's daily volume ([[graft.ops.Timeseries.changepoint]]) — the
+   * cross-scaled CUSUM deviation `|n·cum_k − k·S|` argmax with a
+   * smallest-day tie law, all integers; the oracle replays the window
+   * scan and the rank-1 pick digit-for-digit.
+   */
+  def changepointDetect(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val daily = events(dir).groupBy(col("event_type"),
+      expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000").as("day_idx"))
+      .agg(count(lit(1)).as("cnt"))
+    graft.ops.Timeseries.changepoint(daily, Seq("event_type"), "day_idx", "cnt")
+  }
+
+  val changepointDetectSql: String =
+    """WITH daily AS (
+         SELECT event_type, epoch_us(ts) // 86400000000 AS day_idx,
+                CAST(count(*) AS BIGINT) AS cnt
+         FROM events GROUP BY 1, 2),
+       t AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(cnt) AS HUGEINT) AS s
+             FROM daily GROUP BY 1),
+       c AS (SELECT event_type, day_idx,
+               CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY day_idx)
+                    AS HUGEINT) AS cum,
+               CAST(row_number() OVER (PARTITION BY event_type ORDER BY day_idx)
+                    AS HUGEINT) AS k
+             FROM daily),
+       dev AS (SELECT c.event_type, c.day_idx,
+                 abs(t.n * c.cum - c.k * t.s) AS dv, t.n, t.s
+               FROM c JOIN t ON c.event_type = t.event_type),
+       r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                         ORDER BY dv DESC, day_idx ASC) AS rk
+             FROM dev)
+       SELECT event_type, CAST(n AS BIGINT) AS n_days, CAST(s AS BIGINT) AS total,
+              day_idx AS cp_day, CAST(dv AS BIGINT) AS abs_dev
+       FROM r WHERE rk = 1"""
+
+  /**
    * `mann_kendall`: monotonic-trend significance per event type
    * ([[graft.ops.Timeseries.mannKendall]]) on the same 30-day volume
    * series as `theil_sen` — the sign-sum S statistic plus the

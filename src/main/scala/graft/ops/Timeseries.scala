@@ -330,6 +330,51 @@ object Timeseries {
       .drop("__p")
   }
 
+  /**
+   * Single-changepoint localization per key — WHERE did the level shift,
+   * after [[cusum]] said THAT it shifted: the classic
+   * binary-segmentation step (the argmax a CUSUM/E-Divisive splitter
+   * recurses on). For the key's day-ordered values the cumulative
+   * deviation from a flat series is `D_k = n·cum_k − k·S` (cross-scaled
+   * by the count so it stays integer: `cum_k/k` vs `S/n` without a
+   * division); the changepoint is the day maximizing `|D_k|`, ties to
+   * the SMALLEST day (a total order — the verdict is a pure function of
+   * the data). Output per key: `n_days, total, cp_day, abs_dev` (the
+   * raw `|D|`; callers normalize or threshold against a permutation
+   * scale of their choosing — no libm here).
+   *
+   * One key agg for `(n, S)` (broadcast) + ONE per-key ordered window
+   * over the day-sized frame + a key argmax — the [[cusum]]/[[trailing]]
+   * scale shape: raw events collapse at the daily rollup first.
+   */
+  def changepoint(
+      df: DataFrame,
+      keyCols: Seq[String],
+      dayCol: String,
+      valueCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val d38 = "DECIMAL(38,0)"
+    val totals = df.where(col(valueCol).isNotNull)
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).cast(d38).as("__n"),
+        sum(col(valueCol).cast(d38)).as("__s"))
+    val w = Window.partitionBy(keys: _*).orderBy(col(dayCol))
+    df.where(col(valueCol).isNotNull)
+      .withColumn("__cum", sum(col(valueCol).cast(d38))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__k", row_number().over(w).cast(d38))
+      .join(broadcast(totals), keyCols)
+      .withColumn("__dev", abs(col("__n") * col("__cum") - col("__k") * col("__s")))
+      .groupBy(keys: _*)
+      .agg(max(col("__n")).cast("long").as("n_days"),
+        max(col("__s")).cast("long").as("total"),
+        min_by(struct(col(dayCol).as("d"), col("__dev").as("v")),
+          struct((-col("__dev")).as("nd"), col(dayCol).as("d"))).as("__best"))
+      .withColumn("cp_day", col("__best.d"))
+      .withColumn("abs_dev", col("__best.v").cast("long"))
+      .drop("__best")
+  }
+
   /** [[cusum]] with constant allowance and threshold. Pass Columns (e.g. a
     * broadcast multiple of the global mean) to make the test scale-free. */
   def cusum(

@@ -515,6 +515,9 @@ class PlanInvariantsSpec extends SparkTestBase {
     // sign-sum agg + the (key, value) tie agg and key join — all
     // post-rollup frames calendar- or key-sized
     check("mann_kendall", maxShuffles = 6, maxSmj = 2)
+    // daily rollup + totals agg (broadcast) + ONE per-key ordered window
+    // over the day-sized frame + the key argmax agg
+    check("changepoint_detect", maxShuffles = 4)
   }
 
   test("round-14 additions: agreement, calibration, privacy and web audits") {

@@ -254,6 +254,40 @@ class TimeseriesSpec extends SparkTestBase {
     run(11) shouldBe expected
   }
 
+  test("changepoint: the level-shift day wins; flat series ties to day one") {
+    // 10,10,20,20: D = -20,-40,-20,0 -> |D| peaks at day 2 (the shift point)
+    val step = Seq(("k", 1L, 10L), ("k", 2L, 10L), ("k", 3L, 20L), ("k", 4L, 20L))
+      .toDF("k", "day", "v")
+    Timeseries.changepoint(step, Seq("k"), "day", "v")
+      .as[(String, Long, Long, Long, Long)].collect().head shouldBe
+      (("k", 4L, 60L, 2L, 40L))
+    // flat: every deviation 0, tie law picks the smallest day
+    val flat = Seq(("k", 1L, 5L), ("k", 2L, 5L), ("k", 3L, 5L)).toDF("k", "day", "v")
+    Timeseries.changepoint(flat, Seq("k"), "day", "v")
+      .as[(String, Long, Long, Long, Long)].collect().head shouldBe
+      (("k", 3L, 15L, 1L, 0L))
+    // symmetric bump: |D| = 10 at days 1 AND 2 -> smallest day wins
+    val bump = Seq(("k", 1L, 10L), ("k", 2L, 20L), ("k", 3L, 10L)).toDF("k", "day", "v")
+    Timeseries.changepoint(bump, Seq("k"), "day", "v")
+      .as[(String, Long, Long, Long, Long)].collect().head shouldBe
+      (("k", 3L, 40L, 1L, 10L))
+  }
+
+  test("changepoint recovers a planted shift and is partition-pure") {
+    val rnd = new scala.util.Random(61)
+    // 60-day series, level jumps 100 -> 200 after day 40 (noise ±5)
+    val rows = (1L to 60L).map(d =>
+      ("k", d, (if (d <= 40) 100L else 200L) + rnd.nextInt(11) - 5))
+    val got = Timeseries.changepoint(rows.toDF("k", "day", "v"),
+      Seq("k"), "day", "v")
+      .as[(String, Long, Long, Long, Long)].collect().head
+    got._4 shouldBe 40L +- 1L
+    def run(parts: Int) =
+      Timeseries.changepoint(rows.toDF("k", "day", "v").repartition(parts),
+        Seq("k"), "day", "v").collect().map(_.toSeq).toSet
+    run(1) shouldBe run(7)
+  }
+
   test("holtForecast is order- and partitioning-independent") {
     val rnd = new scala.util.Random(31)
     val rows = (1 to 3).flatMap(k => (1L to 300L).map(d =>
