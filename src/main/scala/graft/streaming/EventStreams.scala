@@ -264,6 +264,37 @@ object EventStreams {
   }
 
   /**
+   * S26 — windowed POWER-OF-TWO histogram cells, the streaming twin of
+   * [[graft.ops.DataQuality.log2Histogram]] (L149) for LONG-TAILED value
+   * streams: per (window, event_type, bin) the exact count with
+   * `bin = bit-length(v) − 1` (non-positive values in bin −1, nulls
+   * dropped) — the bins are a pure function of the VALUE, never of
+   * observed min/max, so unlike S21's fixed-edge cells nothing has to be
+   * tuned up front and a spend column that grows 100× next month still
+   * lands in comparable bins. Cells ADD across windows/partitions/days
+   * (bit-identical to a batch log2Histogram over the same rows) and
+   * finish against any reference through [[graft.ops.Drift.histogramDrift]]
+   * or [[graft.ops.Drift.tvFromKx2Cells]]; at most 65 counters per
+   * (window, type).
+   */
+  def log2CellsRollup(
+      events: DataFrame,
+      valueCol: String = "value",
+      windowLength: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame = {
+    val v = col(valueCol).cast("long")
+    val agged = events
+      .where(col("ts").isNotNull && v.isNotNull)
+      .withColumn("bin",
+        when(v <= 0, lit(-1L)).otherwise(length(bin(v)).cast("long") - 1L))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength), col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+    agged.select(col("window.start").as("window_start") +:
+      agged.columns.filterNot(_ == "window").map(col): _*)
+  }
+
+  /**
    * S22 — windowed CALIBRATION cells, the streaming feed of the
    * classifier-calibration gate ([[graft.ops.Stats.calibrationFromCells]]
    * → [[graft.ops.Stats.eceFromBins]]): per (window, event_type, bin) the

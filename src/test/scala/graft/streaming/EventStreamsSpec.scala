@@ -182,6 +182,35 @@ class EventStreamsSpec extends SparkTestBase {
     tvStream.collect().map(_.toSeq) shouldBe tvBatch.collect().map(_.toSeq)
   }
 
+  test("S26 log2 cells: windowed bit-length bins merge to the batch histogram") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.log2CellsRollup(asContract(in.toDF()),
+      windowLength = "10 minutes", watermark = "5 minutes")
+      .writeStream.format("memory").queryName("log2_out").outputMode("append").start()
+    val rows = Seq(
+      Event(1, ts(1), 10, "click", 1.0),   // bin 0
+      Event(2, ts(2), 11, "click", 3.0),   // bin 1
+      Event(3, ts(3), 12, "click", 0.0),   // bin -1 (non-positive)
+      Event(4, ts(15), 13, "click", 2.0),  // second window, bin 1
+      Event(5, ts(16), 14, "click", 9.0))  // second window, bin 3
+    in.addData(rows: _*)
+    q.processAllAvailable()
+    in.addData(Event(99, ts(60), 13, "purchase", 1.0)) // advance watermark
+    runToCompletion(q)
+    val cells = spark.table("log2_out").where($"event_type" === "click")
+    cells.select($"window_start").distinct().count() shouldBe 2L
+    // merged window cells == batch log2Histogram over the same values
+    val merged = cells.groupBy($"bin")
+      .agg(org.apache.spark.sql.functions.sum($"n").as("n"))
+      .as[(Long, Long)].collect().toMap
+    val batch = graft.ops.DataQuality.log2Histogram(
+      rows.map(e => ("click", e.value.toLong)).toDF("t", "v"), Seq("t"), "v")
+      .select($"bin", $"n").as[(Long, Long)].collect().toMap
+    merged shouldBe batch
+    merged(-1L) shouldBe 1L // the zero landed in the out-of-domain bin
+  }
+
   test("S24 gram cells: windowed summaries merge bit-identically to the batch gram") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[VecDoc]
