@@ -484,6 +484,75 @@ private[graft] trait QueriesGraphsDq extends QueryHelpers { this: QueryBattery =
        FROM p"""
 
   /**
+   * `srm_check`: sample-ratio-mismatch guardrail per event type
+   * ([[graft.ops.Stats.srmCheck]]) — the equal-split goodness-of-fit on
+   * the even/odd-user arm counts, single-division exact
+   * `Σ(k·o − n)²·1e6 DIV (n·k)`: the test every A/B readout must pass
+   * before its metrics are believed.
+   */
+  def srmCheck(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val ev = events(dir).select(col("event_type"),
+      (col("user_id") % 2).cast("long").as("arm"))
+    graft.ops.Stats.srmCheck(ev, Seq("event_type"), "arm")
+  }
+
+  val srmCheckSql: String =
+    """WITH a AS (SELECT event_type, user_id % 2 AS arm,
+             CAST(count(*) AS HUGEINT) AS o
+           FROM events GROUP BY 1, 2),
+       g AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS k,
+               sum(o) AS n, sum(o * o) AS oo
+             FROM a GROUP BY 1)
+       SELECT event_type, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+              CAST(CASE WHEN n = 0 THEN NULL
+                   ELSE (k * k * oo - k * n * n) * 1000000 // (n * k)
+                   END AS BIGINT) AS chi2_micro
+       FROM g"""
+
+  /**
+   * `decile_shift`: WHERE in the distribution did the cohorts diverge —
+   * the exact nearest-rank value at every decile of the even- and
+   * odd-user spend distributions per event type
+   * ([[graft.ops.Sketches.exactPercentiles]] twice, joined), with the
+   * per-decile delta: the drift DIAGNOSTIC beside `ks_drift`'s
+   * one-number alarm (a KS rejection says it moved; this says the p90
+   * moved 40 cents while the median held). Both percentile passes ride
+   * the range-partition recipe.
+   */
+  def decileShift(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val ev = events(dir).where(col("value").isNotNull)
+      .select(col("event_type"), cents(col("value")).as("cents"),
+        (col("user_id") % 2 === 0).as("in_a"))
+    val pcts = (10 to 90 by 10)
+    val a = graft.ops.Sketches.exactPercentiles(ev.where(col("in_a")),
+      "event_type", "cents", pcts).withColumnRenamed("cents", "cents_a")
+    val b = graft.ops.Sketches.exactPercentiles(ev.where(!col("in_a")),
+      "event_type", "cents", pcts).withColumnRenamed("cents", "cents_b")
+    a.join(b, Seq("event_type", "pct"))
+      .withColumn("delta", col("cents_a") - col("cents_b"))
+  }
+
+  val decileShiftSql: String =
+    """WITH e AS (SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS cents,
+             user_id % 2 = 0 AS in_a
+           FROM events WHERE value IS NOT NULL),
+       r AS (SELECT event_type, in_a, cents,
+               row_number() OVER (PARTITION BY event_type, in_a
+                                  ORDER BY cents) AS rk,
+               count(*) OVER (PARTITION BY event_type, in_a) AS n
+             FROM e),
+       p AS (SELECT unnest(generate_series(10, 90, 10)) AS pct),
+       v AS (SELECT r.event_type, r.in_a, p.pct,
+               max(CASE WHEN rk = (n * pct + 99) // 100 THEN cents END) AS v
+             FROM r CROSS JOIN p GROUP BY 1, 2, 3)
+       SELECT a.event_type, CAST(a.pct AS BIGINT) AS pct,
+              a.v AS cents_a, b.v AS cents_b, a.v - b.v AS delta
+       FROM v a JOIN v b ON a.event_type = b.event_type AND a.pct = b.pct
+         AND a.in_a AND NOT b.in_a"""
+
+  /**
    * `kaplan_meier`: censoring-aware user-retention survival curve per
    * cohort ([[graft.ops.Stats.kaplanMeier]]) — duration = hours between a
    * user's first and last event, churn observed only when the last event

@@ -583,6 +583,44 @@ object Stats {
   }
 
   /**
+   * Sample-ratio-mismatch (SRM) check per group — the experimentation
+   * guardrail that MUST run before any A/B readout is believed: if the
+   * arm sizes deviate from the intended equal split more than chance
+   * allows, the assignment is broken (bot filtering one arm, a crash in
+   * one variant's logging) and every downstream metric is garbage. The
+   * equal-split goodness-of-fit statistic reduces to the single-division
+   * exact form `chi2_micro = Σ_i (k·o_i − n)² · 1e6 DIV (n·k)` over the
+   * k observed arms (algebraically `Σ(o − n/k)²/(n/k)` with no fraction
+   * ever materialized). Callers compare against χ²(k−1) — SRM alarms are
+   * typically held to α = 0.001 (10.83 at k = 2) because the test runs
+   * on every experiment every day. Null arms drop; `chi2_micro` is null
+   * for an empty group. One (group, arm) count agg + a group finisher
+   * over the arm-sized frame.
+   */
+  def srmCheck(
+      df: DataFrame,
+      groupCols: Seq[String],
+      armCol: String): DataFrame = {
+    val d38 = "DECIMAL(38,0)"
+    df.where(col(armCol).isNotNull)
+      .groupBy((groupCols.map(col) :+ col(armCol)): _*)
+      .agg(count(lit(1)).cast(d38).as("__o"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).cast(d38).as("__k"),
+        sum(col("__o")).as("__n"),
+        sum(col("__o") * col("__o")).as("__oo"))
+      // Σ(k·o − n)² = k²·Σo² − 2kn·Σo + k·n² = k²·Σo² − k·n²  (Σo = n)
+      .withColumn("chi2_micro",
+        expr("CAST(CASE WHEN __n = 0 THEN NULL " +
+          "ELSE (__k * __k * __oo - __k * __n * __n) * 1000000 " +
+          "DIV (__n * __k) END AS BIGINT)"))
+      .withColumn("n", col("__n").cast("long"))
+      .withColumn("k", col("__k").cast("long"))
+      .select((groupCols.map(col) ++ Seq(col("n"), col("k"),
+        col("chi2_micro"))): _*)
+  }
+
+  /**
    * Kaplan–Meier survival curve per group, in exact ppm — the
    * censoring-aware retention/churn readout (Kaplan & Meier 1958) that a
    * naive "fraction still alive at day t" gets WRONG the moment

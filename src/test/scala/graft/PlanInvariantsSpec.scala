@@ -518,6 +518,13 @@ class PlanInvariantsSpec extends SparkTestBase {
     // daily rollup + totals agg (broadcast) + ONE per-key ordered window
     // over the day-sized frame + the key argmax agg
     check("changepoint_detect", maxShuffles = 4)
+    // ONE (group, arm) count agg + the arm-sized group finisher
+    check("srm_check", maxShuffles = 2)
+    // two exactPercentiles passes (each: range exchange checkpoint-
+    // hidden; visible = offsets agg + offsets window + targets agg +
+    // rank window, all groups-x-shards sized) + the decile-frame
+    // equi-join of two 45-row results — no row-sized exchange anywhere
+    check("decile_shift", maxShuffles = 12, maxSmj = 2)
   }
 
   test("round-14 additions: agreement, calibration, privacy and web audits") {

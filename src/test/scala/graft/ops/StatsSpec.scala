@@ -578,6 +578,33 @@ class StatsSpec extends SparkTestBase {
     run(1) shouldBe run(13)
   }
 
+  test("srmCheck: textbook chi-squared digits; balanced splits score zero") {
+    // 60/40 on n=100: chi2 = (10²/50)*2 = 4 -> 4,000,000 micro
+    val df = (Seq.fill(60)(("g", 0L)) ++ Seq.fill(40)(("g", 1L)) ++
+      Seq.fill(50)(("ok", 0L)) ++ Seq.fill(50)(("ok", 1L)) ++
+      Seq.fill(10)(("k3", 0L)) ++ Seq.fill(10)(("k3", 1L)) ++
+      Seq.fill(40)(("k3", 2L))).toDF("g", "arm")
+    val out = Stats.srmCheck(df, Seq("g"), "arm")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    out("g") shouldBe ((100L, 2L, 4000000L))
+    out("ok") shouldBe ((100L, 2L, 0L))
+    // (10,10,40): sum(3o-60)² = 5400, /(60*3) = 30
+    out("k3") shouldBe ((60L, 3L, 30000000L))
+  }
+
+  test("srmCheck: null arms drop, single arm scores zero, partition-pure") {
+    val df = Seq(("g", Some(0L)), ("g", Some(0L)), ("g", None)).toDF("g", "arm")
+    Stats.srmCheck(df, Seq("g"), "arm")
+      .as[(String, Long, Long, Long)].collect().head shouldBe (("g", 2L, 1L, 0L))
+    val rnd = new scala.util.Random(67)
+    val rows = Seq.fill(800)(("g" + rnd.nextInt(3), rnd.nextInt(4).toLong))
+    def run(parts: Int) =
+      Stats.srmCheck(rows.toDF("g", "arm").repartition(parts), Seq("g"), "arm")
+        .collect().map(_.toSeq).toSet
+    run(1) shouldBe run(13)
+  }
+
   test("kaplanMeier: hand-replayed curve — censoring shrinks risk, not survival") {
     // durations: 1 event, 2 censored, 3 event x2, 4 censored (N = 5)
     // t=1: S = 1e6*4 DIV 5 = 800000; t=2 censored only: S unchanged;
