@@ -553,6 +553,55 @@ private[graft] trait QueriesGraphsDq extends QueryHelpers { this: QueryBattery =
          AND a.in_a AND NOT b.in_a"""
 
   /**
+   * `did_readout`: difference-in-differences effect estimate per event
+   * type ([[graft.ops.Stats.diffInDiff]]) — treated = even user id,
+   * post = the 2024-01-16 split, y = spend cents: the four cell means in
+   * exact micro (one truncated division each) and the contrast that
+   * cancels the control arm's time trend. ONE fused conditional-sum agg.
+   */
+  def didReadout(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val ev = events(dir).select(col("event_type"), cents(col("value")).as("cents"),
+      (col("user_id") % 2 === 0).as("treated"),
+      (col("ts") >= to_timestamp(lit("2024-01-16"))).as("post"))
+    graft.ops.Stats.diffInDiff(ev, Seq("event_type"), col("treated"),
+      col("post"), "cents")
+  }
+
+  val didReadoutSql: String =
+    """WITH e AS (SELECT event_type, user_id % 2 = 0 AS t,
+             ts >= TIMESTAMP '2024-01-16' AS p,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents
+           FROM events WHERE value IS NOT NULL),
+       c AS (SELECT event_type,
+               CAST(sum(CASE WHEN t AND NOT p THEN 1 ELSE 0 END) AS HUGEINT) AS nt0,
+               CAST(sum(CASE WHEN t AND NOT p THEN cents ELSE 0 END) AS HUGEINT) AS st0,
+               CAST(sum(CASE WHEN t AND p THEN 1 ELSE 0 END) AS HUGEINT) AS ntp,
+               CAST(sum(CASE WHEN t AND p THEN cents ELSE 0 END) AS HUGEINT) AS stp,
+               CAST(sum(CASE WHEN NOT t AND NOT p THEN 1 ELSE 0 END) AS HUGEINT) AS nc0,
+               CAST(sum(CASE WHEN NOT t AND NOT p THEN cents ELSE 0 END) AS HUGEINT) AS sc0,
+               CAST(sum(CASE WHEN NOT t AND p THEN 1 ELSE 0 END) AS HUGEINT) AS ncp,
+               CAST(sum(CASE WHEN NOT t AND p THEN cents ELSE 0 END) AS HUGEINT) AS scp
+             FROM e GROUP BY 1),
+       m AS (SELECT event_type,
+               CAST(nt0 AS BIGINT) AS n_treated_pre,
+               CAST(ntp AS BIGINT) AS n_treated_post,
+               CAST(nc0 AS BIGINT) AS n_control_pre,
+               CAST(ncp AS BIGINT) AS n_control_post,
+               CAST(CASE WHEN nt0 = 0 THEN NULL
+                    ELSE st0 * 1000000 // nt0 END AS BIGINT) AS mean_t0_micro,
+               CAST(CASE WHEN ntp = 0 THEN NULL
+                    ELSE stp * 1000000 // ntp END AS BIGINT) AS mean_tp_micro,
+               CAST(CASE WHEN nc0 = 0 THEN NULL
+                    ELSE sc0 * 1000000 // nc0 END AS BIGINT) AS mean_c0_micro,
+               CAST(CASE WHEN ncp = 0 THEN NULL
+                    ELSE scp * 1000000 // ncp END AS BIGINT) AS mean_cp_micro
+             FROM c)
+       SELECT m.*, mean_tp_micro - mean_t0_micro
+                   - (mean_cp_micro - mean_c0_micro) AS did_micro
+       FROM m"""
+
+  /**
    * `kaplan_meier`: censoring-aware user-retention survival curve per
    * cohort ([[graft.ops.Stats.kaplanMeier]]) — duration = hours between a
    * user's first and last event, churn observed only when the last event

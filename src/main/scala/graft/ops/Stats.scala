@@ -600,11 +600,28 @@ object Stats {
   def srmCheck(
       df: DataFrame,
       groupCols: Seq[String],
-      armCol: String): DataFrame = {
+      armCol: String): DataFrame =
+    srmFromCounts(
+      df.where(col(armCol).isNotNull)
+        .groupBy((groupCols.map(col) :+ col(armCol)): _*)
+        .agg(count(lit(1)).as("__cnt")),
+      groupCols, armCol, "__cnt")
+
+  /** Finish [[srmCheck]]'s arithmetic from a per-(group, arm) COUNTS
+    * frame — the mergeable half: counts from disjoint slices (days,
+    * `EventStreams.windowedRollup` windows) ADD per arm before
+    * finishing, so a streaming assignment log gets the same guardrail
+    * from per-window cells. Re-aggregates by arm first, so sliced cells
+    * pass straight through. */
+  def srmFromCounts(
+      counts: DataFrame,
+      groupCols: Seq[String],
+      armCol: String,
+      countCol: String): DataFrame = {
     val d38 = "DECIMAL(38,0)"
-    df.where(col(armCol).isNotNull)
+    counts
       .groupBy((groupCols.map(col) :+ col(armCol)): _*)
-      .agg(count(lit(1)).cast(d38).as("__o"))
+      .agg(sum(col(countCol)).cast(d38).as("__o"))
       .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).cast(d38).as("__k"),
         sum(col("__o")).as("__n"),
@@ -618,6 +635,59 @@ object Stats {
       .withColumn("k", col("__k").cast("long"))
       .select((groupCols.map(col) ++ Seq(col("n"), col("k"),
         col("chi2_micro"))): _*)
+  }
+
+  /**
+   * Difference-in-differences readout per group — the quasi-experimental
+   * contrast when there was no randomization (a feature shipped to one
+   * market, a policy hit one source): with per-unit metric rows labeled
+   * `treated` and `post`, the effect estimate is
+   * `DiD = (ȳ_t,post − ȳ_t,pre) − (ȳ_c,post − ȳ_c,pre)` — the control
+   * arm's time trend cancels out of the treated arm's change (the
+   * parallel-trends assumption made computable). Exact micro means via
+   * one truncated division per cell, the contrast pure subtraction; any
+   * empty cell nulls the estimate (a DiD without all four cells is a
+   * different design, not a zero). One conditional-sum aggregation pass
+   * — four count/sum pairs fused into a single group agg, the
+   * [[chiSquare2x2]] cell discipline for MEANS. Output per group: the
+   * four cell `(n, mean_micro)` pairs and `did_micro`.
+   */
+  def diffInDiff(
+      df: DataFrame,
+      groupCols: Seq[String],
+      treatedCol: Column,
+      postCol: Column,
+      yCol: String): DataFrame = {
+    val d38 = "DECIMAL(38,0)"
+    val y = col(yCol).cast(d38)
+    def cell(p: Column, tag: String) = Seq(
+      sum(when(p, 1L).otherwise(0L)).cast(d38).as(s"__n_$tag"),
+      sum(when(p, y).otherwise(lit(0L).cast(d38))).as(s"__s_$tag"))
+    val aggs =
+      cell(treatedCol && postCol, "tp") ++ cell(treatedCol && !postCol, "t0") ++
+      cell(!treatedCol && postCol, "cp") ++ cell(!treatedCol && !postCol, "c0")
+    def mean(tag: String) =
+      expr(s"CAST(CASE WHEN __n_$tag = 0 THEN NULL " +
+        s"ELSE __s_$tag * 1000000 DIV __n_$tag END AS BIGINT)")
+    df.where(treatedCol.isNotNull && postCol.isNotNull && col(yCol).isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("n_treated_post", col("__n_tp").cast("long"))
+      .withColumn("n_treated_pre", col("__n_t0").cast("long"))
+      .withColumn("n_control_post", col("__n_cp").cast("long"))
+      .withColumn("n_control_pre", col("__n_c0").cast("long"))
+      .withColumn("mean_tp_micro", mean("tp"))
+      .withColumn("mean_t0_micro", mean("t0"))
+      .withColumn("mean_cp_micro", mean("cp"))
+      .withColumn("mean_c0_micro", mean("c0"))
+      .withColumn("did_micro",
+        col("mean_tp_micro") - col("mean_t0_micro") -
+          (col("mean_cp_micro") - col("mean_c0_micro")))
+      .select((groupCols.map(col) ++ Seq(
+        col("n_treated_pre"), col("n_treated_post"),
+        col("n_control_pre"), col("n_control_post"),
+        col("mean_t0_micro"), col("mean_tp_micro"),
+        col("mean_c0_micro"), col("mean_cp_micro"), col("did_micro"))): _*)
   }
 
   /**

@@ -520,6 +520,8 @@ class PlanInvariantsSpec extends SparkTestBase {
     check("changepoint_detect", maxShuffles = 4)
     // ONE (group, arm) count agg + the arm-sized group finisher
     check("srm_check", maxShuffles = 2)
+    // ONE fused conditional-sum agg; the contrast is projection
+    check("did_readout", maxShuffles = 1)
     // two exactPercentiles passes (each: range exchange checkpoint-
     // hidden; visible = offsets agg + offsets window + targets agg +
     // rank window, all groups-x-shards sized) + the decile-frame

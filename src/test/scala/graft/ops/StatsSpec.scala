@@ -605,6 +605,34 @@ class StatsSpec extends SparkTestBase {
     run(1) shouldBe run(13)
   }
 
+  test("diffInDiff: control trend cancels; an empty cell nulls the estimate") {
+    // treated pre 10,20 (mean 15); treated post 30; control pre 5; post 10
+    // DiD = (30 - 15) - (10 - 5) = 10 (micro x1e6)
+    val df = Seq(("g", true, false, 10L), ("g", true, false, 20L),
+      ("g", true, true, 30L), ("g", false, false, 5L), ("g", false, true, 10L))
+      .toDF("g", "t", "p", "y")
+    val r = Stats.diffInDiff(df, Seq("g"), col("t"), col("p"), "y").collect().head
+    r.getLong(r.fieldIndex("mean_t0_micro")) shouldBe 15000000L
+    r.getLong(r.fieldIndex("did_micro")) shouldBe 10000000L
+    // no control-post rows -> the whole estimate is null, not zero
+    val missing = df.where(!(col("t") === false && col("p") === true))
+    val r2 = Stats.diffInDiff(missing, Seq("g"), col("t"), col("p"), "y")
+      .collect().head
+    r2.isNullAt(r2.fieldIndex("mean_cp_micro")) shouldBe true
+    r2.isNullAt(r2.fieldIndex("did_micro")) shouldBe true
+  }
+
+  test("srmFromCounts: sliced counts merge to the whole-data guardrail") {
+    val rnd = new scala.util.Random(71)
+    val rows = Seq.fill(500)(("g" + rnd.nextInt(2), rnd.nextInt(3).toLong,
+      rnd.nextInt(4).toLong)) // (group, arm, day-slice)
+    val df = rows.toDF("g", "arm", "day")
+    val whole = Stats.srmCheck(df, Seq("g"), "arm").collect().map(_.toSeq).toSet
+    val sliced = df.groupBy($"day", $"g", $"arm").count()
+    Stats.srmFromCounts(sliced, Seq("g"), "arm", "count")
+      .collect().map(_.toSeq).toSet shouldBe whole
+  }
+
   test("kaplanMeier: hand-replayed curve — censoring shrinks risk, not survival") {
     // durations: 1 event, 2 censored, 3 event x2, 4 censored (N = 5)
     // t=1: S = 1e6*4 DIV 5 = 800000; t=2 censored only: S unchanged;
