@@ -43,7 +43,7 @@ object ScaleCheck {
     "ks_drift", "mw_drift", "weighted_pctl", "entity_resolution", "gram_matrix",
     "connected_components", "audience_overlap",
     "pr_curve", "cuped_adjust", "gini_concentration", "theil_sen",
-    "holt_forecast")
+    "holt_forecast", "kaplan_meier", "mann_kendall", "changepoint")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -774,6 +774,32 @@ object ScaleCheck {
         .agg(sum((col("value") * 100).cast("long")).as("cents"))
       ops.Timeseries.holtForecast(daily, Seq("grp"), "day_idx", "cents",
         horizon = 3)
+    }
+    // units (re-keyed users) grow 20x through the one per-user rollup;
+    // the survival fold state is the distinct-duration frame (hour
+    // domain, calendar-bounded) per cohort
+    time("kaplan_meier") {
+      val perUser = bigEvents.groupBy(col("user_id"))
+        .agg(min(unix_micros(col("ts"))).as("f"), max(unix_micros(col("ts"))).as("l"))
+        .select((col("user_id") % 3).cast("long").as("cohort"),
+          expr("(l - f) DIV 3600000000").as("hours"),
+          (col("l") < lit(1705881600000000L)).as("churned"))
+      ops.Stats.kaplanMeier(perUser, Seq("cohort"), "hours", col("churned"))
+    }
+    // keys grow 20x, pair fan-out calendar-bounded per key — the
+    // theil_sen law for the sign-sum statistic
+    time("mann_kendall") {
+      val daily = bigEvents.groupBy(expr("user_id DIV 1000").as("grp"),
+        expr("unix_micros(ts) DIV 86400000000").as("day_idx"))
+        .agg(count(lit(1)).as("cnt"))
+      ops.Timeseries.mannKendall(daily, "grp", "day_idx", "cnt")
+    }
+    // keys grow 20x, day-sized window frames per key; totals broadcast
+    time("changepoint") {
+      val daily = bigEvents.groupBy(expr("user_id DIV 1000").as("grp"),
+        expr("unix_micros(ts) DIV 86400000000").as("day_idx"))
+        .agg(count(lit(1)).as("cnt"))
+      ops.Timeseries.changepoint(daily, Seq("grp"), "day_idx", "cnt")
     }
     spark.stop()
   }
