@@ -553,6 +553,114 @@ private[graft] trait QueriesGraphsDq extends QueryHelpers { this: QueryBattery =
          AND a.in_a AND NOT b.in_a"""
 
   /**
+   * `experiment_readout`: the END-TO-END experiment analysis in one
+   * frame per event type — the order an experimentation platform
+   * actually runs: (1) the [[graft.ops.Stats.srmCheck]] guardrail on the
+   * arm split (believe nothing downstream if it fires), (2) the
+   * [[graft.ops.Stats.chiSquare2x2]] conversion readout (cells, lift,
+   * significance), (3) the [[graft.ops.Stats.cupedAdjust]]
+   * variance-reduced spend means with the adjusted lift. Three
+   * group-frame joins of three already-verified components — the same
+   * composition story as `entity_resolution` for the experimentation
+   * suite; every digit replays because each leg already does.
+   */
+  def experimentReadout(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val ev = events(dir)
+    val srm = graft.ops.Stats.srmCheck(
+      ev.select(col("event_type"), (col("user_id") % 2).cast("long").as("arm")),
+      Seq("event_type"), "arm")
+      .select(col("event_type"), col("n"), col("chi2_micro").as("srm_chi2_micro"))
+    val ab = graft.ops.Stats.chiSquare2x2(
+      ev.withColumn("exposure", col("user_id") % 2 === 0)
+        .withColumn("outcome", col("value") > 50),
+      Seq("event_type"), "exposure", "outcome")
+      .select(col("event_type"), col("lift_ppm"),
+        col("chi2_micro").as("ab_chi2_micro"))
+    val cut = to_timestamp(lit("2024-01-16"))
+    val perUser = ev.where(col("value").isNotNull)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(
+        coalesce(sum(when(col("ts") < cut, cents(col("value")))), lit(0L))
+          .as("x_cents"),
+        coalesce(sum(when(col("ts") >= cut, cents(col("value")))), lit(0L))
+          .as("y_cents"))
+      .withColumn("arm", (col("user_id") % 2).cast("long"))
+    val cuped = graft.ops.Stats.cupedAdjust(perUser, Seq("event_type"), "arm",
+      "y_cents", "x_cents")
+    val adjLift = cuped.groupBy(col("event_type"))
+      .agg((max(when(col("arm") === 0, col("adj_mean_y_micro")))
+        - max(when(col("arm") === 1, col("adj_mean_y_micro"))))
+        .as("adj_lift_micro"))
+    srm.join(ab, Seq("event_type")).join(adjLift, Seq("event_type"))
+  }
+
+  val experimentReadoutSql: String =
+    """WITH srm0 AS (
+         SELECT event_type, CAST(count(*) AS HUGEINT) AS k,
+                sum(o) AS n, sum(o * o) AS oo
+         FROM (SELECT event_type, user_id % 2 AS arm,
+                 CAST(count(*) AS HUGEINT) AS o
+               FROM events GROUP BY 1, 2)
+         GROUP BY 1),
+       srm AS (
+         SELECT event_type, CAST(n AS BIGINT) AS n,
+                CAST((k * k * oo - k * n * n) * 1000000 // (n * k)
+                     AS BIGINT) AS srm_chi2_micro
+         FROM srm0),
+       cells AS (
+         SELECT event_type,
+           CAST(sum(CASE WHEN user_id % 2 = 0 AND value > 50 THEN 1 ELSE 0 END) AS HUGEINT) AS a,
+           CAST(sum(CASE WHEN user_id % 2 = 0 AND NOT (value > 50) THEN 1 ELSE 0 END) AS HUGEINT) AS b,
+           CAST(sum(CASE WHEN NOT (user_id % 2 = 0) AND value > 50 THEN 1 ELSE 0 END) AS HUGEINT) AS c,
+           CAST(sum(CASE WHEN NOT (user_id % 2 = 0) AND NOT (value > 50) THEN 1 ELSE 0 END) AS HUGEINT) AS d
+         FROM events GROUP BY event_type),
+       ab AS (
+         SELECT event_type,
+           CAST(CASE WHEN a + b = 0 OR c + d = 0 THEN NULL
+                ELSE a * 1000000 // (a + b) - c * 1000000 // (c + d)
+                END AS BIGINT) AS lift_ppm,
+           CAST(CASE WHEN a + b = 0 OR c + d = 0 OR a + c = 0 OR b + d = 0 THEN NULL
+                ELSE ((a * d - b * c) * (a * d - b * c) * 1000 // ((a + b) * (c + d)))
+                     * (a + b + c + d) * 1000 // ((a + c) * (b + d))
+                END AS BIGINT) AS ab_chi2_micro
+         FROM cells),
+       u AS (SELECT event_type, user_id,
+               CAST(coalesce(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                      THEN CAST(round(value * 100, 0) AS BIGINT) END), 0) AS HUGEINT) AS x,
+               CAST(coalesce(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                      THEN CAST(round(value * 100, 0) AS BIGINT) END), 0) AS HUGEINT) AS y
+             FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+       arms AS (
+         SELECT event_type, CAST(user_id % 2 AS BIGINT) AS arm,
+                CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx, sum(y) AS sy,
+                sum(x * y) AS sxy, sum(x * x) AS sxx
+         FROM u GROUP BY 1, 2),
+       pooled AS (
+         SELECT event_type, arm, n, sx, sy,
+                sum(n) OVER w AS tn, sum(sx) OVER w AS tx, sum(sy) OVER w AS ty,
+                sum(sxy) OVER w AS txy, sum(sxx) OVER w AS txx
+         FROM arms WINDOW w AS (PARTITION BY event_type)),
+       adj AS (
+         SELECT event_type, arm,
+           CASE WHEN tn * txx - tx * tx = 0 THEN sy * 1000000 // n
+                ELSE sy * 1000000 // n
+                     - ((tn * txy - tx * ty) * 1000000 // (tn * txx - tx * tx))
+                       * (sx * 1000000 // n - tx * 1000000 // tn) // 1000000
+                END AS adj_mean
+         FROM pooled),
+       lift AS (
+         SELECT event_type,
+                CAST(max(CASE WHEN arm = 0 THEN adj_mean END)
+                     - max(CASE WHEN arm = 1 THEN adj_mean END)
+                     AS BIGINT) AS adj_lift_micro
+         FROM adj GROUP BY 1)
+       SELECT s.event_type, s.n, s.srm_chi2_micro, ab.lift_ppm,
+              ab.ab_chi2_micro, lift.adj_lift_micro
+       FROM srm s JOIN ab ON s.event_type = ab.event_type
+                  JOIN lift ON s.event_type = lift.event_type"""
+
+  /**
    * `did_readout`: difference-in-differences effect estimate per event
    * type ([[graft.ops.Stats.diffInDiff]]) — treated = even user id,
    * post = the 2024-01-16 split, y = spend cents: the four cell means in
