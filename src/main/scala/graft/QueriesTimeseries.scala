@@ -261,6 +261,91 @@ private[graft] trait QueriesTimeseries extends QueryHelpers { this: QueryBattery
        FROM r WHERE rk = 1"""
 
   /**
+   * `forecast_backtest`: does the L150 Holt forecast actually beat the
+   * seasonal-naive baseline? Per event type: fit on days < 25 of the
+   * daily volume series, forecast each held-out day `h` steps ahead
+   * (`l + h·b`), and score BOTH the model and the lag-7 seasonal-naive
+   * against the actuals in exact milli MAE; `skill_ppm = mae_model·1e6
+   * DIV mae_naive` (< 1e6 = the model earns its keep — the MASE-style
+   * readout, one truncated division). Backtesting is the honest half of
+   * shipping a forecaster; every digit replays.
+   */
+  def forecastBacktest(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val daily = events(dir).groupBy(col("event_type"),
+      expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000").as("day_idx"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val cut = daily.agg(min(col("day_idx"))).head().getLong(0) + 24
+    val fit = graft.ops.Timeseries.holtForecast(
+      daily.where(col("day_idx") < cut), Seq("event_type"),
+      "day_idx", "cnt", horizon = 0)
+      .select(col("event_type"), col("level_milli"), col("trend_milli"))
+    val naive = daily.select(col("event_type"),
+      (col("day_idx") + 7).as("day_idx"), col("cnt").as("naive_cnt"))
+    daily.where(col("day_idx") >= cut)
+      .withColumn("h", col("day_idx") - cut + 1)
+      .join(fit, Seq("event_type"))
+      .join(naive, Seq("event_type", "day_idx"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_held_out"),
+        sum(abs(col("cnt") * 1000 - (col("level_milli")
+          + col("h") * col("trend_milli")))).as("mae_model_milli"),
+        sum(abs(col("cnt") * 1000 - col("naive_cnt") * 1000))
+          .as("mae_naive_milli"))
+      .withColumn("skill_ppm",
+        expr("CAST(CASE WHEN mae_naive_milli = 0 THEN NULL " +
+          "ELSE CAST(mae_model_milli AS DECIMAL(38,0)) * 1000000 " +
+          "DIV mae_naive_milli END AS BIGINT)"))
+  }
+
+  val forecastBacktestSql: String =
+    """WITH RECURSIVE daily AS (
+         SELECT event_type, epoch_us(ts) // 86400000000 AS day_idx,
+                CAST(count(*) AS BIGINT) AS cnt
+         FROM events GROUP BY 1, 2),
+       cut AS (SELECT min(day_idx) + 24 AS c FROM daily),
+       ord AS (SELECT d.event_type, d.cnt,
+                 row_number() OVER (PARTITION BY d.event_type
+                                    ORDER BY d.day_idx) AS rk,
+                 count(*) OVER (PARTITION BY d.event_type) AS n
+               FROM daily d CROSS JOIN cut WHERE d.day_idx < cut.c),
+       rec AS (
+         SELECT event_type, rk, n,
+                CAST(cnt AS HUGEINT) * 1000 AS l, CAST(0 AS HUGEINT) AS b
+         FROM ord WHERE rk = 1
+         UNION ALL
+         SELECT o.event_type, o.rk, o.n,
+                (CAST(o.cnt AS HUGEINT) * 1000 + r.l + r.b) // 2 AS l,
+                ((CAST(o.cnt AS HUGEINT) * 1000 + r.l + r.b) // 2
+                  - r.l + r.b) // 2 AS b
+         FROM rec r JOIN ord o ON o.event_type = r.event_type
+           AND o.rk = r.rk + 1),
+       fit AS (SELECT event_type, l, b FROM rec WHERE rk = n),
+       held AS (SELECT d.event_type, d.day_idx, d.cnt,
+                  d.day_idx - cut.c + 1 AS h
+                FROM daily d CROSS JOIN cut WHERE d.day_idx >= cut.c),
+       nv AS (SELECT event_type, day_idx + 7 AS day_idx, cnt AS naive_cnt
+              FROM daily)
+       SELECT h.event_type, count(*) AS n_held_out,
+              CAST(sum(abs(CAST(h.cnt AS HUGEINT) * 1000
+                   - (f.l + h.h * f.b))) AS BIGINT) AS mae_model_milli,
+              CAST(sum(abs(CAST(h.cnt AS HUGEINT) * 1000
+                   - CAST(nv.naive_cnt AS HUGEINT) * 1000))
+                   AS BIGINT) AS mae_naive_milli,
+              CAST(CASE WHEN sum(abs(CAST(h.cnt AS HUGEINT) * 1000
+                        - CAST(nv.naive_cnt AS HUGEINT) * 1000)) = 0 THEN NULL
+                   ELSE sum(abs(CAST(h.cnt AS HUGEINT) * 1000
+                        - (f.l + h.h * f.b))) * 1000000
+                        // sum(abs(CAST(h.cnt AS HUGEINT) * 1000
+                           - CAST(nv.naive_cnt AS HUGEINT) * 1000))
+                   END AS BIGINT) AS skill_ppm
+       FROM held h JOIN fit f ON h.event_type = f.event_type
+                   JOIN nv ON h.event_type = nv.event_type
+                     AND h.day_idx = nv.day_idx
+       GROUP BY 1"""
+
+  /**
    * `mann_kendall`: monotonic-trend significance per event type
    * ([[graft.ops.Timeseries.mannKendall]]) on the same 30-day volume
    * series as `theil_sen` — the sign-sum S statistic plus the

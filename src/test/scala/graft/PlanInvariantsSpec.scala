@@ -526,6 +526,10 @@ class PlanInvariantsSpec extends SparkTestBase {
     // the per-user rollup + (type, arm) five-sum agg + pooled window +
     // adj-lift agg, then type-sized joins of three 5-row frames
     check("experiment_readout", maxShuffles = 10, maxSmj = 3)
+    // the daily frame materializes once (checkpoint); visible = the
+    // holt fit agg over the train split + the (type, day) naive join +
+    // the type join of the 5-row fit + the final MAE agg
+    check("forecast_backtest", maxShuffles = 6, maxSmj = 2)
     // two exactPercentiles passes (each: range exchange checkpoint-
     // hidden; visible = offsets agg + offsets window + targets agg +
     // rank window, all groups-x-shards sized) + the decile-frame
