@@ -484,6 +484,34 @@ private[graft] trait QueriesGraphsDq extends QueryHelpers { this: QueryBattery =
        FROM p"""
 
   /**
+   * `sample_ess`: Kish effective sample size of the spend-weighted event
+   * sample per event type ([[graft.ops.Stats.effectiveSampleSize]]) —
+   * the diagnostic every weighted sampling step owes its consumer: how
+   * many EFFECTIVE rows survive the weighting. `(Σw)²·1e6 DIV Σw²` and
+   * the per-row share, one truncated division each.
+   */
+  def sampleEss(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val ev = events(dir).where(col("value").isNotNull)
+      .select(col("event_type"), cents(col("value")).as("w"))
+    graft.ops.Stats.effectiveSampleSize(ev, Seq("event_type"), "w")
+  }
+
+  val sampleEssSql: String =
+    """WITH e AS (SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS w
+           FROM events WHERE value IS NOT NULL),
+       g AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(CAST(w AS HUGEINT)) AS HUGEINT) AS sw,
+               CAST(sum(CAST(w AS HUGEINT) * w) AS HUGEINT) AS sww
+             FROM e GROUP BY 1)
+       SELECT event_type, CAST(n AS BIGINT) AS n,
+              CAST(CASE WHEN sww = 0 THEN NULL
+                   ELSE sw * sw * 1000000 // sww END AS BIGINT) AS ess_scaled,
+              CAST(CASE WHEN sww = 0 THEN NULL
+                   ELSE sw * sw * 1000000 // (n * sww) END AS BIGINT) AS ess_ppm
+       FROM g"""
+
+  /**
    * `srm_check`: sample-ratio-mismatch guardrail per event type
    * ([[graft.ops.Stats.srmCheck]]) — the equal-split goodness-of-fit on
    * the even/odd-user arm counts, single-division exact

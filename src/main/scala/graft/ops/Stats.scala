@@ -583,6 +583,40 @@ object Stats {
   }
 
   /**
+   * Effective sample size of a weighted sample per group — Kish's
+   * `ESS = (Σw)² / Σw²`, the diagnostic every weighted/importance
+   * sampling step owes its consumer: 1e6 ppm of n means the weights are
+   * flat (weighting cost nothing), a collapsing `ess_ppm` means a few
+   * heavy weights dominate and downstream statistics are running on far
+   * fewer effective rows than the row count claims (the quiet failure
+   * mode of temperature-mixed corpora and importance-weighted evals).
+   * Exact: `ess_scaled = (Σw)²·1e6 DIV Σw²` (ESS ×1e6) and
+   * `ess_ppm = (Σw)²·1e6 DIV (n·Σw²)` — one truncated division each,
+   * null at zero weight mass. Null weights drop; negative weights are a
+   * caller contract violation. ONE map-side-combined aggregation.
+   */
+  def effectiveSampleSize(
+      df: DataFrame,
+      groupCols: Seq[String],
+      weightCol: String): DataFrame = {
+    val d38 = "DECIMAL(38,0)"
+    val w = col(weightCol).cast(d38)
+    df.where(col(weightCol).isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).cast(d38).as("__n"),
+        sum(w).as("__sw"), sum(w * w).as("__sww"))
+      .withColumn("n", col("__n").cast("long"))
+      .withColumn("ess_scaled",
+        expr("CAST(CASE WHEN __sww = 0 THEN NULL " +
+          "ELSE __sw * __sw * 1000000 DIV __sww END AS BIGINT)"))
+      .withColumn("ess_ppm",
+        expr("CAST(CASE WHEN __sww = 0 THEN NULL " +
+          "ELSE __sw * __sw * 1000000 DIV (__n * __sww) END AS BIGINT)"))
+      .select((groupCols.map(col) ++ Seq(col("n"), col("ess_scaled"),
+        col("ess_ppm"))): _*)
+  }
+
+  /**
    * Sample-ratio-mismatch (SRM) check per group — the experimentation
    * guardrail that MUST run before any A/B readout is believed: if the
    * arm sizes deviate from the intended equal split more than chance

@@ -522,6 +522,8 @@ class PlanInvariantsSpec extends SparkTestBase {
     check("srm_check", maxShuffles = 2)
     // ONE fused conditional-sum agg; the contrast is projection
     check("did_readout", maxShuffles = 1)
+    // ONE three-sum agg; both ESS divisions are projection
+    check("sample_ess", maxShuffles = 1)
     // three verified legs composed: srm's two aggs + the 2x2 cell agg +
     // the per-user rollup + (type, arm) five-sum agg + pooled window +
     // adj-lift agg, then type-sized joins of three 5-row frames

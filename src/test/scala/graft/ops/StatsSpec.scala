@@ -605,6 +605,20 @@ class StatsSpec extends SparkTestBase {
     run(1) shouldBe run(13)
   }
 
+  test("effectiveSampleSize: flat weights keep every row, a heavy weight collapses it") {
+    val df = Seq(("flat", 1L), ("flat", 1L), ("flat", 1L), ("flat", 1L),
+      ("mono", 10L), ("mono", 0L),
+      ("skew", 3L), ("skew", 1L),
+      ("zero", 0L), ("zero", 0L)).toDF("g", "w")
+    val out = Stats.effectiveSampleSize(df, Seq("g"), "w")
+      .as[(String, Long, Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    out("flat") shouldBe ((4L, Some(4000000L), Some(1000000L)))
+    out("mono") shouldBe ((2L, Some(1000000L), Some(500000L)))
+    out("skew") shouldBe ((2L, Some(1600000L), Some(800000L))) // 16/10
+    out("zero") shouldBe ((2L, None, None))
+  }
+
   test("diffInDiff: control trend cancels; an empty cell nulls the estimate") {
     // treated pre 10,20 (mean 15); treated post 30; control pre 5; post 10
     // DiD = (30 - 15) - (10 - 5) = 10 (micro x1e6)
