@@ -180,6 +180,18 @@ class EventStreamsSpec extends SparkTestBase {
         .toDF("event_id", "user_id", "event_type"),
       Seq.empty, "event_type", $"user_id" % 2 === 0)
     tvStream.collect().map(_.toSeq) shouldBe tvBatch.collect().map(_.toSeq)
+    // and unpivoted into per-arm counts, the windows feed the SRM
+    // guardrail's mergeable finisher — assignment monitoring from the
+    // same cells, no extra streaming state
+    val armCounts = cells.select($"event_type", org.apache.spark.sql.functions.lit(0L).as("arm"), $"a".as("cnt"))
+      .unionByName(cells.select($"event_type", org.apache.spark.sql.functions.lit(1L).as("arm"), $"b".as("cnt")))
+    val srmStream = graft.ops.Stats.srmFromCounts(armCounts,
+      Seq("event_type"), "arm", "cnt")
+    val srmBatch = graft.ops.Stats.srmCheck(
+      rows.map(e => (e.eventType, e.userId % 2)).toDF("event_type", "arm"),
+      Seq("event_type"), "arm")
+    srmStream.collect().map(_.toSeq).toSet shouldBe
+      srmBatch.collect().map(_.toSeq).toSet
   }
 
   test("S26 log2 cells: windowed bit-length bins merge to the batch histogram") {
