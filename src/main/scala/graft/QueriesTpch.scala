@@ -664,6 +664,39 @@ private[graft] trait QueriesTpch extends QueryHelpers { this: QueryBattery =>
                          JOIN nation ON c_nationkey = n_nationkey)
        GROUP BY CUBE(n_name, yr)"""
 
+  /**
+   * `grouping_sets_revenue`: explicit GROUPING SETS — the general form
+   * ROLLUP/CUBE are sugar for: exactly the (status, priority), (status)
+   * and () levels WITHOUT the (priority) level a CUBE would force (the
+   * shape a report wants when one dimension is primary), disambiguated
+   * by `grouping_id()`. Spark expands the sets map-side — one shuffle,
+   * never a union of three scans.
+   */
+  def groupingSetsRevenue(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    t(dir, "orders").createOrReplaceTempView("__gs_orders")
+    spark.sql(
+      s"""SELECT coalesce(o_orderstatus, '') AS status,
+              coalesce(o_orderpriority, '') AS priority,
+              CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+              count(*) AS n,
+              round(CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) / 100.0, 2) AS revenue
+       FROM __gs_orders
+       GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                               (o_orderstatus), ())""")
+  }
+
+  val groupingSetsRevenueSql: String =
+    s"""SELECT coalesce(o_orderstatus, '') AS status,
+       coalesce(o_orderpriority, '') AS priority,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+       count(*) AS n,
+       round(cast(sum(${sqlCents("o_totalprice")}) as bigint) / 100.0, 2) AS revenue
+       FROM orders
+       GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                               (o_orderstatus), ())"""
+
   /** TPC-H Q13 shape: histogram of customers by order count (outer join). */
   def q13CustDist(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark

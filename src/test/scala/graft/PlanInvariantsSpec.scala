@@ -524,6 +524,9 @@ class PlanInvariantsSpec extends SparkTestBase {
     check("did_readout", maxShuffles = 1)
     // ONE three-sum agg; both ESS divisions are projection
     check("sample_ess", maxShuffles = 1)
+    // Spark expands the three sets map-side: ONE expand + ONE shuffle,
+    // never a union of three scans
+    check("grouping_sets_revenue", maxShuffles = 1)
     // three verified legs composed: srm's two aggs + the 2x2 cell agg +
     // the per-user rollup + (type, arm) five-sum agg + pooled window +
     // adj-lift agg, then type-sized joins of three 5-row frames
