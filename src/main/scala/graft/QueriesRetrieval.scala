@@ -728,6 +728,45 @@ private[graft] trait QueriesRetrieval extends QueryHelpers { this: QueryBattery 
        FROM documents d JOIN pred p USING (doc_id)
        GROUP BY 1, 2"""
 
+  /**
+   * `class_f1`: per-class precision/recall/F1 of the language-ID
+   * classifier from the `lang_confusion` cells
+   * ([[graft.ops.Stats.f1FromConfusion]]) — the multi-class eval
+   * finisher: diagonal tp, off-diagonal row/column masses, three ppm
+   * rates each ONE truncated division; classes predicted-but-never-true
+   * still get their (damning) precision row.
+   */
+  def classF1(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.f1FromConfusion(langConfusion(spark, dir), Seq.empty,
+      "lang", "lang_pred", "n")
+
+  val classF1Sql: String =
+    s"""WITH pred AS ($langIdSql),
+       cells AS (SELECT d.lang, p.lang_pred, CAST(count(*) AS HUGEINT) AS n
+                 FROM documents d JOIN pred p USING (doc_id)
+                 GROUP BY 1, 2),
+       bt AS (SELECT lang AS clazz,
+                sum(CASE WHEN lang = lang_pred THEN n ELSE 0 END) AS tp,
+                sum(CASE WHEN lang <> lang_pred THEN n ELSE 0 END) AS fn
+              FROM cells GROUP BY 1),
+       bp AS (SELECT lang_pred AS clazz,
+                sum(CASE WHEN lang <> lang_pred THEN n ELSE 0 END) AS fp
+              FROM cells GROUP BY 1),
+       j AS (SELECT coalesce(bt.clazz, bp.clazz) AS clazz,
+               coalesce(tp, 0) AS tp, coalesce(fn, 0) AS fn,
+               coalesce(fp, 0) AS fp
+             FROM bt FULL OUTER JOIN bp ON bt.clazz = bp.clazz)
+       SELECT clazz, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+              CAST(fn AS BIGINT) AS fn,
+              CAST(CASE WHEN tp + fp = 0 THEN NULL
+                   ELSE tp * 1000000 // (tp + fp) END AS BIGINT) AS precision_ppm,
+              CAST(CASE WHEN tp + fn = 0 THEN NULL
+                   ELSE tp * 1000000 // (tp + fn) END AS BIGINT) AS recall_ppm,
+              CAST(CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+                   ELSE tp * 2000000 // (2 * tp + fp + fn)
+                   END AS BIGINT) AS f1_ppm
+       FROM j"""
+
   /** The fixed vocabulary of the `vocab_coverage` query (both engines). */
   private[graft] val CoverageVocab = Seq("the", "fast", "key", "order", "sort", "table",
     "scan", "merge", "part", "spark", "group", "query", "row", "data", "filter",

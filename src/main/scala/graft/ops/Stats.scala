@@ -583,6 +583,56 @@ object Stats {
   }
 
   /**
+   * Per-class precision/recall/F1 from a CONFUSION-COUNTS frame — the
+   * multi-class evaluation finisher over the `(true, pred, n)` cells a
+   * confusion query (e.g. `lang_confusion`) already produces: per TRUE
+   * class, `tp` (diagonal), `fn` (row mass off the diagonal), `fp`
+   * (column mass off the diagonal), and the three ppm rates, each ONE
+   * truncated division of non-negative integers. Classes that only ever
+   * appear as predictions (never as truth) still get a row — their
+   * precision is the damning number. Mergeable by construction: cells
+   * from disjoint slices ADD before finishing (the [[chi2FromCells]]
+   * discipline). Macro-F1 is the caller's one-line average over the
+   * output; micro-F1 over single-label data is plain accuracy. Two
+   * cell-frame-sized aggs + one full-outer class join — nothing here
+   * ever rescans rows.
+   */
+  def f1FromConfusion(
+      cells: DataFrame,
+      groupCols: Seq[String],
+      trueCol: String,
+      predCol: String,
+      nCol: String): DataFrame = {
+    val d38 = "DECIMAL(38,0)"
+    val n = col(nCol).cast(d38)
+    val byTrue = cells.groupBy((groupCols.map(col) :+
+        col(trueCol).as("clazz")): _*)
+      .agg(sum(when(col(trueCol) === col(predCol), n).otherwise(lit(0L).cast(d38)))
+          .as("__tp"),
+        sum(when(col(trueCol) =!= col(predCol), n).otherwise(lit(0L).cast(d38)))
+          .as("__fn"))
+    val byPred = cells.groupBy((groupCols.map(col) :+
+        col(predCol).as("clazz")): _*)
+      .agg(sum(when(col(trueCol) =!= col(predCol), n).otherwise(lit(0L).cast(d38)))
+          .as("__fp"))
+    byTrue.join(byPred, groupCols :+ "clazz", "full_outer")
+      .withColumn("tp", coalesce(col("__tp"), lit(0L).cast(d38)).cast("long"))
+      .withColumn("fn", coalesce(col("__fn"), lit(0L).cast(d38)).cast("long"))
+      .withColumn("fp", coalesce(col("__fp"), lit(0L).cast(d38)).cast("long"))
+      .withColumn("precision_ppm",
+        expr(s"CAST(CASE WHEN tp + fp = 0 THEN NULL " +
+          s"ELSE CAST(tp AS $d38) * 1000000 DIV (tp + fp) END AS BIGINT)"))
+      .withColumn("recall_ppm",
+        expr(s"CAST(CASE WHEN tp + fn = 0 THEN NULL " +
+          s"ELSE CAST(tp AS $d38) * 1000000 DIV (tp + fn) END AS BIGINT)"))
+      .withColumn("f1_ppm",
+        expr(s"CAST(CASE WHEN 2 * tp + fp + fn = 0 THEN NULL " +
+          s"ELSE CAST(tp AS $d38) * 2000000 DIV (2 * tp + fp + fn) END AS BIGINT)"))
+      .select((groupCols.map(col) ++ Seq(col("clazz"), col("tp"), col("fp"),
+        col("fn"), col("precision_ppm"), col("recall_ppm"), col("f1_ppm"))): _*)
+  }
+
+  /**
    * Effective sample size of a weighted sample per group — Kish's
    * `ESS = (Σw)² / Σw²`, the diagnostic every weighted/importance
    * sampling step owes its consumer: 1e6 ppm of n means the weights are

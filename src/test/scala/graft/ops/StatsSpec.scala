@@ -605,6 +605,35 @@ class StatsSpec extends SparkTestBase {
     run(1) shouldBe run(13)
   }
 
+  test("f1FromConfusion: hand digits; never-true and never-predicted classes both appear") {
+    val cells = Seq(("a", "a", 8L), ("a", "b", 2L), ("b", "b", 3L),
+      ("b", "a", 1L), ("c", "a", 1L), ("a", "d", 1L)).toDF("t", "p", "n")
+    val out = Stats.f1FromConfusion(cells, Seq.empty, "t", "p", "n")
+      .as[(String, Long, Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+    out("a") shouldBe ((8L, 2L, 3L, Some(800000L), Some(727272L), Some(761904L)))
+    out("b") shouldBe ((3L, 2L, 1L, Some(600000L), Some(750000L), Some(666666L)))
+    // c is true-only: no predictions ever -> precision null, recall 0
+    out("c") shouldBe ((0L, 0L, 1L, None, Some(0L), Some(0L)))
+    // d is predicted-only: the damning 0 precision, recall undefined
+    out("d") shouldBe ((0L, 1L, 0L, Some(0L), None, Some(0L)))
+  }
+
+  test("f1FromConfusion: sliced cells merge to the whole-data readout") {
+    val rnd = new scala.util.Random(73)
+    val rows = Seq.fill(400)(("g" + rnd.nextInt(2), "c" + rnd.nextInt(4),
+      "c" + rnd.nextInt(4)))
+    def toCells(rs: Seq[(String, String, String)]) =
+      rs.toDF("g", "t", "p").groupBy($"g", $"t", $"p")
+        .agg(count(lit(1)).as("n"))
+    val whole = Stats.f1FromConfusion(toCells(rows), Seq("g"), "t", "p", "n")
+      .collect().map(_.toSeq).toSet
+    // two row slices produce DUPLICATE (g, t, p) cells — they must ADD
+    val sliced = toCells(rows.take(200)).unionByName(toCells(rows.drop(200)))
+    Stats.f1FromConfusion(sliced, Seq("g"), "t", "p", "n")
+      .collect().map(_.toSeq).toSet shouldBe whole
+  }
+
   test("effectiveSampleSize: flat weights keep every row, a heavy weight collapses it") {
     val df = Seq(("flat", 1L), ("flat", 1L), ("flat", 1L), ("flat", 1L),
       ("mono", 10L), ("mono", 0L),
