@@ -1501,6 +1501,33 @@ private[graft] trait QueriesGraphsDq extends QueryHelpers { this: QueryBattery =
        FROM agg"""
 
   /**
+   * `brier_score`: the proper scoring rule on the calibration fixture
+   * ([[graft.ops.Stats.brierScore]]) — exact ppm² squared errors summed
+   * in DECIMAL(38,0), one truncated division back to micro; the
+   * un-gameable companion to `calibration_ece`'s binned gap and
+   * `score_auc`'s ranking quality.
+   */
+  def brierScoreQ(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.brierScore(calibrationInput(spark, dir),
+      Seq("event_type"), "score_ppm", "good")
+
+  val brierScoreSql: String =
+    """WITH e AS (SELECT event_type,
+             least(CAST(round(value * 100, 0) AS BIGINT), 1000000) AS score_ppm,
+             user_id % 3 = 0 AS good
+           FROM events WHERE value IS NOT NULL),
+       g AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+               sum((CAST(score_ppm AS HUGEINT)
+                    - CASE WHEN good THEN 1000000 ELSE 0 END)
+                   * (CAST(score_ppm AS HUGEINT)
+                    - CASE WHEN good THEN 1000000 ELSE 0 END)) AS se
+             FROM e GROUP BY 1)
+       SELECT event_type, CAST(n AS BIGINT) AS n,
+              CAST(CASE WHEN n = 0 THEN NULL
+                   ELSE se // (n * 1000000) END AS BIGINT) AS brier_micro
+       FROM g"""
+
+  /**
    * `score_calibration`: reliability-diagram rows per event type
    * ([[graft.ops.Stats.calibrationBins]]) — spend cents clamped to the
    * ppm domain as a stand-in confidence score, fixed-width bins so

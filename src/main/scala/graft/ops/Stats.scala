@@ -583,6 +583,36 @@ object Stats {
   }
 
   /**
+   * Exact Brier score per group — the PROPER scoring rule beside
+   * [[eceFromBins]]'s binned calibration gap: `mean((p − y)²)` over ppm
+   * scores and boolean outcomes, computed as
+   * `brier_micro = Σ(score_ppm − y·1e6)² DIV (n·1e6)` — the squared
+   * errors are exact integers (ppm² summed in DECIMAL(38,0)), ONE
+   * truncated division scales back to micro units (0 = oracle,
+   * 250000 = the 0.25 of always-saying-half). Unlike ECE it cannot be
+   * gamed by coarse bins, and unlike AUC it punishes miscalibration,
+   * not just misranking — the three belong on the same dashboard. Null
+   * scores/outcomes drop; ONE map-side-combined aggregation.
+   */
+  def brierScore(
+      df: DataFrame,
+      groupCols: Seq[String],
+      scorePpmCol: String,
+      outcomeCol: String): DataFrame = {
+    val d38 = "DECIMAL(38,0)"
+    val err = (col(scorePpmCol).cast(d38) -
+      when(col(outcomeCol), lit(1000000L)).otherwise(lit(0L)).cast(d38))
+    df.where(col(scorePpmCol).isNotNull && col(outcomeCol).isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).cast(d38).as("__n"), sum(err * err).as("__se"))
+      .withColumn("n", col("__n").cast("long"))
+      .withColumn("brier_micro",
+        expr("CAST(CASE WHEN __n = 0 THEN NULL " +
+          "ELSE __se DIV (__n * 1000000) END AS BIGINT)"))
+      .select((groupCols.map(col) ++ Seq(col("n"), col("brier_micro"))): _*)
+  }
+
+  /**
    * Per-class precision/recall/F1 from a CONFUSION-COUNTS frame — the
    * multi-class evaluation finisher over the `(true, pred, n)` cells a
    * confusion query (e.g. `lang_confusion`) already produces: per TRUE

@@ -530,6 +530,8 @@ class PlanInvariantsSpec extends SparkTestBase {
     // the confusion cell agg + two cell-frame-sized class aggs + the
     // class full-outer join (class-frame SMJ is the at-scale plan)
     check("class_f1", maxShuffles = 5, maxSmj = 1)
+    // ONE map-side-combined squared-error agg; the division is projection
+    check("brier_score", maxShuffles = 1)
     // three verified legs composed: srm's two aggs + the 2x2 cell agg +
     // the per-user rollup + (type, arm) five-sum agg + pooled window +
     // adj-lift agg, then type-sized joins of three 5-row frames

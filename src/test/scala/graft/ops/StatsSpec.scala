@@ -605,6 +605,25 @@ class StatsSpec extends SparkTestBase {
     run(1) shouldBe run(13)
   }
 
+  test("brierScore: oracle 0, always-half 250000, hand digits, null laws") {
+    val df = Seq(
+      ("oracle", 1000000L, true), ("oracle", 0L, false),
+      ("half", 500000L, true), ("half", 500000L, false),
+      // (0.8, y=1) -> 0.04; (0.4, y=0) -> 0.16; mean = 0.10
+      ("hand", 800000L, true), ("hand", 400000L, false))
+      .toDF("g", "score", "y")
+    val out = Stats.brierScore(df, Seq("g"), "score", "y")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    out("oracle") shouldBe 0L
+    out("half") shouldBe 250000L
+    out("hand") shouldBe 100000L
+    // null scores/outcomes drop before the mean
+    val nulls = Seq(("g", Some(500000L), Some(true)), ("g", None, Some(true)),
+      ("g", Some(1L), None)).toDF("g", "score", "y")
+    Stats.brierScore(nulls, Seq("g"), "score", "y")
+      .as[(String, Long, Long)].collect().head._2 shouldBe 1L
+  }
+
   test("f1FromConfusion: hand digits; never-true and never-predicted classes both appear") {
     val cells = Seq(("a", "a", 8L), ("a", "b", 2L), ("b", "b", 3L),
       ("b", "a", 1L), ("c", "a", 1L), ("a", "d", 1L)).toDF("t", "p", "n")
