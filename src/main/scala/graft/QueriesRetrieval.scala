@@ -767,6 +767,38 @@ private[graft] trait QueriesRetrieval extends QueryHelpers { this: QueryBattery 
                    END AS BIGINT) AS f1_ppm
        FROM j"""
 
+  /**
+   * `mcnemar_test`: paired comparison of the lang-ID classifier against
+   * the majority-class baseline (always 'en') on the SAME documents
+   * ([[graft.ops.Stats.mcnemar]]) — only the disagreement cells carry
+   * information; `(b − c)²·1e6 DIV (b + c)` replays exactly.
+   */
+  def mcnemarTest(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val scored = t(dir, "documents")
+      .select(col("lang"),
+        (TextAnalysis.languageId(col("text")) === col("lang")).as("a_right"),
+        (col("lang") === "en").as("b_right"))
+    graft.ops.Stats.mcnemar(scored, Seq.empty, col("a_right"), col("b_right"))
+  }
+
+  val mcnemarTestSql: String =
+    s"""WITH pred AS ($langIdSql),
+       s AS (SELECT d.lang = p.lang_pred AS ar, d.lang = 'en' AS br
+             FROM documents d JOIN pred p USING (doc_id)),
+       g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN ar AND br THEN 1 ELSE 0 END) AS BIGINT) AS both_right,
+               CAST(sum(CASE WHEN NOT ar AND NOT br THEN 1 ELSE 0 END) AS BIGINT) AS both_wrong,
+               CAST(sum(CASE WHEN ar AND NOT br THEN 1 ELSE 0 END) AS HUGEINT) AS b,
+               CAST(sum(CASE WHEN NOT ar AND br THEN 1 ELSE 0 END) AS HUGEINT) AS c
+             FROM s)
+       SELECT n, both_right, both_wrong, CAST(b AS BIGINT) AS b,
+              CAST(c AS BIGINT) AS c,
+              CAST(CASE WHEN b + c = 0 THEN NULL
+                   ELSE (b - c) * (b - c) * 1000000 // (b + c)
+                   END AS BIGINT) AS mcnemar_micro
+       FROM g"""
+
   /** The fixed vocabulary of the `vocab_coverage` query (both engines). */
   private[graft] val CoverageVocab = Seq("the", "fast", "key", "order", "sort", "table",
     "scan", "merge", "part", "spark", "group", "query", "row", "data", "filter",

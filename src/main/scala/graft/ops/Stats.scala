@@ -583,6 +583,38 @@ object Stats {
   }
 
   /**
+   * McNemar's test per group — THE comparison for two classifiers scored
+   * on the SAME rows (new quality model vs old, lang-ID v2 vs v1):
+   * accuracy deltas ignore that the models share the rows, so they
+   * overstate noise; McNemar looks only at the DISAGREEMENT cells —
+   * `b` (A right, B wrong) vs `c` (A wrong, B right) — and asks whether
+   * the flips favor one side beyond chance:
+   * `mcnemar_micro = (b − c)²·1e6 DIV (b + c)`, exact integers, one
+   * truncated division, compared against χ²(1) (3.84 at α = 0.05).
+   * Null when the models never disagree (`b + c = 0` — no information).
+   * Output per group: `n, both_right, both_wrong, b, c, mcnemar_micro`.
+   * ONE conditional-count aggregation pass.
+   */
+  def mcnemar(
+      df: DataFrame,
+      groupCols: Seq[String],
+      aCorrect: Column,
+      bCorrect: Column): DataFrame = {
+    val d38 = "DECIMAL(38,0)"
+    df.where(aCorrect.isNotNull && bCorrect.isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(aCorrect && bCorrect, 1L).otherwise(0L)).as("both_right"),
+        sum(when(!aCorrect && !bCorrect, 1L).otherwise(0L)).as("both_wrong"),
+        sum(when(aCorrect && !bCorrect, 1L).otherwise(0L)).as("b"),
+        sum(when(!aCorrect && bCorrect, 1L).otherwise(0L)).as("c"))
+      .withColumn("mcnemar_micro",
+        expr(s"CAST(CASE WHEN b + c = 0 THEN NULL " +
+          s"ELSE CAST(b - c AS $d38) * (b - c) * 1000000 DIV (b + c) " +
+          s"END AS BIGINT)"))
+  }
+
+  /**
    * Exact Brier score per group — the PROPER scoring rule beside
    * [[eceFromBins]]'s binned calibration gap: `mean((p − y)²)` over ppm
    * scores and boolean outcomes, computed as

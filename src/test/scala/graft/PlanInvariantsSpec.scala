@@ -532,6 +532,8 @@ class PlanInvariantsSpec extends SparkTestBase {
     check("class_f1", maxShuffles = 5, maxSmj = 1)
     // ONE map-side-combined squared-error agg; the division is projection
     check("brier_score", maxShuffles = 1)
+    // ONE conditional-count agg over the paired verdicts
+    check("mcnemar_test", maxShuffles = 1)
     // three verified legs composed: srm's two aggs + the 2x2 cell agg +
     // the per-user rollup + (type, arm) five-sum agg + pooled window +
     // adj-lift agg, then type-sized joins of three 5-row frames

@@ -605,6 +605,24 @@ class StatsSpec extends SparkTestBase {
     run(1) shouldBe run(13)
   }
 
+  test("mcnemar: only disagreements count; agreement-only groups are null") {
+    // b = 6 (A right, B wrong), c = 2: chi2 = 16/8 = 2 -> 2,000,000 micro
+    val df = (Seq.fill(10)(("g", true, true)) ++ Seq.fill(5)(("g", false, false)) ++
+      Seq.fill(6)(("g", true, false)) ++ Seq.fill(2)(("g", false, true)))
+      .toDF("g", "a", "b")
+    val r = Stats.mcnemar(df, Seq("g"), col("a"), col("b")).collect().head
+    (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) shouldBe
+      ((23L, 10L, 5L, 6L, 2L))
+    r.getLong(r.fieldIndex("mcnemar_micro")) shouldBe 2000000L
+    // models that never disagree carry no information -> null, not 0
+    val agree = Seq(("g", true, true), ("g", false, false)).toDF("g", "a", "b")
+    val ag = Stats.mcnemar(agree, Seq("g"), col("a"), col("b")).collect().head
+    ag.isNullAt(ag.fieldIndex("mcnemar_micro")) shouldBe true
+    // sign symmetry: swapping the models leaves the statistic unchanged
+    val swapped = Stats.mcnemar(df, Seq("g"), col("b"), col("a")).collect().head
+    swapped.getLong(swapped.fieldIndex("mcnemar_micro")) shouldBe 2000000L
+  }
+
   test("brierScore: oracle 0, always-half 250000, hand digits, null laws") {
     val df = Seq(
       ("oracle", 1000000L, true), ("oracle", 0L, false),
