@@ -331,6 +331,37 @@ object EventStreams {
   }
 
   /**
+   * S27 — windowed BRIER numerators, the streaming twin of
+   * [[graft.ops.Stats.brierScore]] (L164): per (window, event_type) the
+   * exact pair `(n, se)` with `se = Σ(score_ppm − y·1e6)²` in
+   * DECIMAL(38,0) — numerators, not the finished score, because
+   * numerators ADD digit-for-digit across windows/days while truncated
+   * scores would compose truncations (the S22 discipline); any horizon
+   * finishes with the batch division `se DIV (n·1e6)`. Same null
+   * hygiene as batch (null ts/score/outcome rows skipped), TWO longs of
+   * state per (window, type) — proper-scoring-rule monitoring of a live
+   * classifier at any stream volume.
+   */
+  def brierCellsRollup(
+      events: DataFrame,
+      scorePpmCol: String,
+      outcomeCol: String,
+      windowLength: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame = {
+    val d38 = "DECIMAL(38,0)"
+    val err = (col(scorePpmCol).cast(d38) -
+      when(col(outcomeCol), lit(1000000L)).otherwise(lit(0L)).cast(d38))
+    val agged = events
+      .where(col("ts").isNotNull && col(scorePpmCol).isNotNull &&
+        col(outcomeCol).isNotNull)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(err * err).as("se"))
+    agged.select(col("window.start").as("window_start") +:
+      agged.columns.filterNot(_ == "window").map(col): _*)
+  }
+
+  /**
    * S23 — windowed k×2 CELLS, the streaming feed of the CATEGORICAL
    * drift gate ([[graft.ops.Drift.chi2FromKx2Cells]], the finisher
    * behind `category_drift`): per (window, category) the exact

@@ -194,6 +194,44 @@ class EventStreamsSpec extends SparkTestBase {
       srmBatch.collect().map(_.toSeq).toSet
   }
 
+  test("S27 brier cells: windowed numerators finish to the batch score exactly") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Event]
+    val stream = asContract(in.toDF())
+      .withColumn("score_ppm",
+        org.apache.spark.sql.functions.least(
+          (org.apache.spark.sql.functions.col("value") * 10000).cast("long"),
+          org.apache.spark.sql.functions.lit(1000000L)))
+      .withColumn("good", $"user_id" % 2 === 0)
+    val q = EventStreams.brierCellsRollup(stream, "score_ppm", "good",
+      windowLength = "10 minutes", watermark = "5 minutes")
+      .writeStream.format("memory").queryName("brier_out").outputMode("append").start()
+    val rows = Seq(
+      Event(1, ts(1), 10, "click", 80.0),  // 800000 ppm, good
+      Event(2, ts(2), 11, "click", 40.0),  // 400000 ppm, not good
+      Event(3, ts(15), 12, "click", 90.0), // second window, good
+      Event(4, ts(16), 13, "click", 10.0)) // second window, not good
+    in.addData(rows: _*)
+    q.processAllAvailable()
+    in.addData(Event(99, ts(60), 13, "purchase", 1.0)) // advance watermark
+    runToCompletion(q)
+    val cells = spark.table("brier_out").where($"event_type" === "click")
+    cells.select($"window_start").distinct().count() shouldBe 2L
+    // merged numerators finish with the batch division to the batch score
+    val merged = cells.agg(
+      org.apache.spark.sql.functions.sum($"n").as("n"),
+      org.apache.spark.sql.functions.sum($"se").as("se"))
+      .selectExpr("CAST(se DIV (n * 1000000) AS BIGINT)").as[Long].head()
+    val batch = graft.ops.Stats.brierScore(
+      rows.map(e => ("click", (e.value * 10000).toLong min 1000000L,
+        e.userId % 2 == 0)).toDF("t", "score_ppm", "good"),
+      Seq("t"), "score_ppm", "good")
+      .select($"brier_micro").as[Long].head()
+    merged shouldBe batch
+    // hand check: errors 0.2, 0.4, 0.1, 0.1 -> mean sq = 0.055 -> 55000
+    batch shouldBe 55000L
+  }
+
   test("S26 log2 cells: windowed bit-length bins merge to the batch histogram") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Event]
