@@ -785,7 +785,9 @@ private[graft] trait QueriesRetrieval extends QueryHelpers { this: QueryBattery 
   val mcnemarTestSql: String =
     s"""WITH pred AS ($langIdSql),
        s AS (SELECT d.lang = p.lang_pred AS ar, d.lang = 'en' AS br
-             FROM documents d JOIN pred p USING (doc_id)),
+             FROM documents d JOIN pred p USING (doc_id)
+             WHERE (d.lang = p.lang_pred) IS NOT NULL
+               AND (d.lang = 'en') IS NOT NULL),
        g AS (SELECT CAST(count(*) AS BIGINT) AS n,
                CAST(sum(CASE WHEN ar AND br THEN 1 ELSE 0 END) AS BIGINT) AS both_right,
                CAST(sum(CASE WHEN NOT ar AND NOT br THEN 1 ELSE 0 END) AS BIGINT) AS both_wrong,

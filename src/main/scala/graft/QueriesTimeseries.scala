@@ -276,15 +276,20 @@ private[graft] trait QueriesTimeseries extends QueryHelpers { this: QueryBattery
       expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000").as("day_idx"))
       .agg(count(lit(1)).as("cnt"))
       .localCheckpoint(true)
-    val cut = daily.agg(min(col("day_idx"))).head().getLong(0) + 24
+    // The cut date rides a broadcast 1-row frame instead of a driver
+    // `.head()` scalar — no Action before the final collect, and the
+    // whole backtest stays one lazily-planned DAG (VERDICT r15 item 5).
+    val cutDf = daily.agg((min(col("day_idx")) + 24L).as("__cut"))
+    val withCut = daily.join(broadcast(cutDf))
     val fit = graft.ops.Timeseries.holtForecast(
-      daily.where(col("day_idx") < cut), Seq("event_type"),
-      "day_idx", "cnt", horizon = 0)
+      withCut.where(col("day_idx") < col("__cut")).drop("__cut"),
+      Seq("event_type"), "day_idx", "cnt", horizon = 0)
       .select(col("event_type"), col("level_milli"), col("trend_milli"))
     val naive = daily.select(col("event_type"),
       (col("day_idx") + 7).as("day_idx"), col("cnt").as("naive_cnt"))
-    daily.where(col("day_idx") >= cut)
-      .withColumn("h", col("day_idx") - cut + 1)
+    withCut.where(col("day_idx") >= col("__cut"))
+      .withColumn("h", col("day_idx") - col("__cut") + 1)
+      .drop("__cut")
       .join(fit, Seq("event_type"))
       .join(naive, Seq("event_type", "day_idx"))
       .groupBy(col("event_type"))
@@ -377,11 +382,12 @@ private[graft] trait QueriesTimeseries extends QueryHelpers { this: QueryBattery
        v AS (SELECT event_type, CAST(sum(t) AS HUGEINT) AS n,
                sum(t * (t - 1) * (2 * t + 5)) AS tie_term
              FROM tg GROUP BY 1)
-       SELECT v.event_type, CAST(v.n AS BIGINT) AS n_days, p.n_pairs,
-              p.s_stat,
+       SELECT v.event_type, CAST(v.n AS BIGINT) AS n_days,
+              CAST(coalesce(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+              CAST(coalesce(p.s_stat, 0) AS BIGINT) AS s_stat,
               CAST(v.n * (v.n - 1) * (2 * v.n + 5) - v.tie_term
                    AS BIGINT) AS var18
-       FROM v JOIN p ON v.event_type = p.event_type"""
+       FROM v LEFT JOIN p ON v.event_type = p.event_type"""
 
   /**
    * `lag_correlation`: lead/lag screen between the daily `view` and
@@ -645,9 +651,14 @@ private[graft] trait QueriesTimeseries extends QueryHelpers { this: QueryBattery
               CAST(CASE WHEN v <= 0 THEN -1
                    ELSE length(bin(v)) - 1 END AS BIGINT) AS bin,
               CAST(CASE WHEN v <= 0 THEN NULL
-                   ELSE 1 << (length(bin(v)) - 1) END AS BIGINT) AS bin_lo,
+                   ELSE CAST(1 AS BIGINT) << (length(bin(v)) - 1)
+                   END AS BIGINT) AS bin_lo,
+              -- 2^(b+1)-1 staged as (2^b - 1) + 2^b, mirroring the Spark
+              -- side: bin 62's hi is Long.MaxValue without overflow
               CAST(CASE WHEN v <= 0 THEN NULL
-                   ELSE (1 << length(bin(v))) - 1 END AS BIGINT) AS bin_hi,
+                   ELSE (CAST(1 AS BIGINT) << (length(bin(v)) - 1)) - 1
+                        + (CAST(1 AS BIGINT) << (length(bin(v)) - 1))
+                   END AS BIGINT) AS bin_hi,
               count(*) AS n
        FROM vals GROUP BY 1, 2, 3, 4"""
 

@@ -674,17 +674,21 @@ private[graft] trait QueriesTpch extends QueryHelpers { this: QueryBattery =>
    */
   def groupingSetsRevenue(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    t(dir, "orders").createOrReplaceTempView("__gs_orders")
-    spark.sql(
-      s"""SELECT coalesce(o_orderstatus, '') AS status,
-              coalesce(o_orderpriority, '') AS priority,
-              CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
-              count(*) AS n,
-              round(CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
-                    AS BIGINT) / 100.0, 2) AS revenue
-       FROM __gs_orders
-       GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
-                               (o_orderstatus), ())""")
+    // Column API (Spark 4 Dataset.groupingSets) + the money2 integer-cents
+    // law: the earlier SQL-string form's `/ 100.0` literal parsed as
+    // DECIMAL(3,1), yielding a DECIMAL(24,2) revenue that serialized with
+    // a trailing zero the DOUBLE oracle lacks (round-15 hash red).
+    val status = col("o_orderstatus")
+    val priority = col("o_orderpriority")
+    t(dir, "orders")
+      .groupingSets(Seq(Seq(status, priority), Seq(status), Seq.empty),
+                    status, priority)
+      .agg(grouping_id(status, priority).cast("long").as("gid"),
+           count(lit(1)).as("n"),
+           money2(sum(cents(col("o_totalprice"))), perCent = 1L).as("revenue"))
+      .select(coalesce(status, lit("")).as("status"),
+              coalesce(priority, lit("")).as("priority"),
+              col("gid"), col("n"), col("revenue"))
   }
 
   val groupingSetsRevenueSql: String =
@@ -692,7 +696,7 @@ private[graft] trait QueriesTpch extends QueryHelpers { this: QueryBattery =>
        coalesce(o_orderpriority, '') AS priority,
        CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
        count(*) AS n,
-       round(cast(sum(${sqlCents("o_totalprice")}) as bigint) / 100.0, 2) AS revenue
+       ${sqlMoney2(s"sum(${sqlCents("o_totalprice")})", 1L)} AS revenue
        FROM orders
        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
                                (o_orderstatus), ())"""

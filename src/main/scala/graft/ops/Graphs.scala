@@ -278,9 +278,17 @@ object Graphs {
         .groupBy(col("u").as("id")).agg(min(col("lbl")).as("__nl"))
       val stepped = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"), least(col("lbl"), coalesce(col("__nl"), col("lbl"))).as("lbl"))
-      // pointer jump: compress lbl to its label's label
-      val jumped = stepped
+      // pointer jump ×2: compress lbl to its label's label, twice — the
+      // second hop squares the compression per materialized round (labels
+      // are node ids and monotonically non-increasing, so each hop stays a
+      // total, valid relabeling and the fixpoint is unchanged), roughly
+      // halving rounds — and driver convergence probes — on long-diameter
+      // graphs for the price of one extra label-keyed equi-join per round.
+      val jumped1 = stepped
         .join(stepped.select(col("id").as("lbl"), col("lbl").as("__ll")), Seq("lbl"), "left")
+        .select(col("id"), coalesce(col("__ll"), col("lbl")).as("lbl"))
+      val jumped = jumped1
+        .join(jumped1.select(col("id").as("lbl"), col("lbl").as("__ll")), Seq("lbl"), "left")
         .select(col("id"), coalesce(col("__ll"), col("lbl")).as("lbl"))
       val next = materialize(jumped)
       // limit(1): the probe needs existence, not the change count

@@ -255,8 +255,12 @@ object Timeseries {
       .withColumn("var18",
         expr("CAST(__n * (__n - 1) * (2 * __n + 5) - __tieTerm AS BIGINT)"))
       .select(col(keyCol), col("__n").as("n_days"), col("var18"))
-    ties.join(pairs, Seq(keyCol))
-      .select(col(keyCol), col("n_days"), col("n_pairs"), col("s_stat"),
+    // LEFT join: a single-observation key has zero pairs, but the scaladoc
+    // promises n < 2 yields s_stat = 0 / var18 = 0 — don't drop it.
+    ties.join(pairs, Seq(keyCol), "left")
+      .select(col(keyCol), col("n_days"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("s_stat"), lit(0L)).as("s_stat"),
         col("var18"))
   }
 

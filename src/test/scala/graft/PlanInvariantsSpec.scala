@@ -541,7 +541,9 @@ class PlanInvariantsSpec extends SparkTestBase {
     // the daily frame materializes once (checkpoint); visible = the
     // holt fit agg over the train split + the (type, day) naive join +
     // the type join of the 5-row fit + the final MAE agg
-    check("forecast_backtest", maxShuffles = 6, maxSmj = 2)
+    // maxBnlj=2: the cut date rides a broadcast 1-row frame into both the
+    // fit and held-out legs (round 16 — replaced the driver-side .head())
+    check("forecast_backtest", maxShuffles = 6, maxSmj = 2, maxBnlj = 2)
     // two exactPercentiles passes (each: range exchange checkpoint-
     // hidden; visible = offsets agg + offsets window + targets agg +
     // rank window, all groups-x-shards sized) + the decile-frame
