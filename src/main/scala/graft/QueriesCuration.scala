@@ -933,4 +933,46 @@ private[graft] trait QueriesCuration extends QueryHelpers { this: QueryBattery =
                 cast(cast(cnt_cur AS hugeint) * 1000000 // tot_cur AS bigint) AS ppm_cur
          FROM j, tot)
        ORDER BY abs(ppm_cur - ppm_old) DESC, term LIMIT 20"""
+
+  /**
+   * `zipf_slope`: the corpus's Zipf rank-frequency law in one fit
+   * ([[TextAnalysis.zipfSlope]]) — floor-log2 frequency against
+   * floor-log2 rank (integer bit lengths, libm-free) through the exact
+   * integer-ppm OLS; natural text sits near slope −1e6, and a flattened
+   * head or amputated tail flags boilerplate-stamped or over-deduped
+   * corpora. Rank rides the range-partition recipe; the fit is ONE
+   * six-sum agg over the vocabulary.
+   */
+  def zipfSlopeQ(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    TextAnalysis.zipfSlope(t(dir, "documents"), "text")
+  }
+
+  val zipfSlopeSql: String =
+    s"""WITH tc AS (
+         SELECT t AS term, CAST(count(*) AS BIGINT) AS cnt
+         FROM (SELECT unnest($Toks) AS t FROM documents) GROUP BY 1),
+       r AS (SELECT cnt,
+               row_number() OVER (ORDER BY cnt DESC, term ASC) AS rank
+             FROM tc),
+       l AS (SELECT CAST(length(bin(rank)) - 1 AS HUGEINT) AS x,
+                    CAST(length(bin(cnt)) - 1 AS HUGEINT) AS y
+             FROM r),
+       s AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx, sum(y) AS sy,
+                    sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+             FROM l),
+       d AS (SELECT n, sx, sy,
+                    n * sxx - sx * sx AS dxx, n * sxy - sx * sy AS dxy,
+                    n * syy - sy * sy AS dyy
+             FROM s)
+       SELECT CAST(n AS BIGINT) AS n,
+         CAST(CASE WHEN dxx = 0 THEN NULL
+              ELSE dxy * 1000000 // dxx END AS BIGINT) AS slope_ppm,
+         CAST(CASE WHEN dxx = 0 THEN NULL
+              ELSE (sy * 1000000 - (dxy * 1000000 // dxx) * sx) // n
+              END AS BIGINT) AS intercept_ppm,
+         CAST(CASE WHEN dxx = 0 OR dyy = 0 THEN NULL
+              ELSE (dxy * 1000000 // dxx) * (dxy * 1000000000 // dyy) // 1000000000
+              END AS BIGINT) AS r2_ppm
+       FROM d"""
 }

@@ -738,6 +738,63 @@ private[graft] trait QueriesGraphsDq extends QueryHelpers { this: QueryBattery =
        FROM m"""
 
   /**
+   * `mantel_haenszel`: day-stratified pooled conversion readout per event
+   * type ([[graft.ops.Stats.mantelHaenszel]]) — exposure = even user id,
+   * outcome = value > 50, strata = calendar day. The Simpson's-paradox-
+   * proof companion to `experiment_readout`'s pooled 2×2: the MH common
+   * odds ratio pools WITHIN-day comparisons (truncated milli terms, one
+   * final division) and the CMH chi-squared reads significance off the
+   * same cells; day-confounded traffic mix can no longer fake or mask a
+   * lift. Cells are (type, day)-sized; everything after is a finish.
+   */
+  def mantelHaenszelQ(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val ev = events(dir)
+      .where(col("value").isNotNull && col("user_id").isNotNull)
+      .select(col("event_type"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000").as("stratum"),
+        (col("user_id") % 2 === 0).as("x"), (col("value") > 50).as("o"))
+    graft.ops.Stats.mantelHaenszel(ev, Seq("event_type"), "stratum", "x", "o")
+  }
+
+  val mantelHaenszelSql: String =
+    """WITH e AS (
+         SELECT event_type, epoch_us(ts) // 86400000000 AS stratum,
+                user_id % 2 = 0 AS x, value > 50 AS o
+         FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+       cells AS (
+         SELECT event_type, stratum,
+           CAST(sum(CASE WHEN x AND o THEN 1 ELSE 0 END) AS HUGEINT) AS a,
+           CAST(sum(CASE WHEN x AND NOT o THEN 1 ELSE 0 END) AS HUGEINT) AS b,
+           CAST(sum(CASE WHEN NOT x AND o THEN 1 ELSE 0 END) AS HUGEINT) AS c,
+           CAST(sum(CASE WHEN NOT x AND NOT o THEN 1 ELSE 0 END) AS HUGEINT) AS d
+         FROM e GROUP BY 1, 2),
+       m AS (
+         SELECT event_type, a, b, c, d,
+                a + b + c + d AS n, a + b AS m1, c + d AS m2,
+                a + c AS m3, b + d AS m4,
+                (a + b + c + d >= 2 AND a + b > 0 AND c + d > 0
+                 AND a + c > 0 AND b + d > 0) AS ok
+         FROM cells),
+       g AS (
+         SELECT event_type, count(*) AS n_strata, sum(n) AS n,
+           sum(CASE WHEN n = 0 THEN 0 ELSE a * d * 1000 // n END) AS r,
+           sum(CASE WHEN n = 0 THEN 0 ELSE b * c * 1000 // n END) AS s,
+           sum(CASE WHEN ok THEN a * 1000 - m1 * m3 * 1000 // n
+                    ELSE 0 END) AS dev,
+           sum(CASE WHEN ok THEN (m1 * m2 * 1000 // n)
+                    * (m3 * m4 * 1000 // n) // (n - 1)
+                    ELSE 0 END) AS var
+         FROM m GROUP BY 1)
+       SELECT event_type, CAST(n_strata AS BIGINT) AS n_strata,
+              CAST(n AS BIGINT) AS n,
+              CAST(CASE WHEN s = 0 THEN NULL
+                   ELSE r * 1000000 // s END AS BIGINT) AS or_mh_ppm,
+              CAST(CASE WHEN var = 0 THEN NULL
+                   ELSE dev * dev * 1000000 // var END AS BIGINT) AS cmh_chi2_micro
+       FROM g"""
+
+  /**
    * `kaplan_meier`: censoring-aware user-retention survival curve per
    * cohort ([[graft.ops.Stats.kaplanMeier]]) — duration = hours between a
    * user's first and last event, churn observed only when the last event

@@ -1012,6 +1012,42 @@ private[graft] trait QueriesRetrieval extends QueryHelpers { this: QueryBattery 
                  FROM l$OracleLabelPropRounds GROUP BY cluster_id)
        SELECT cluster_size, count(*) AS n_clusters FROM sizes GROUP BY cluster_size"""
 
+  /**
+   * `negative_samples`: deterministic contrastive negatives over the
+   * document corpus ([[graft.ops.Retrieval.negativeSamples]]) — 3 md5-
+   * drawn negatives per doc_id through 32 hash buckets, a pure function
+   * of the ids (the oracle replays bucket, draw and argmin tie law
+   * digit-for-digit). The (anchor, positive, NEGATIVE) triple builder an
+   * embedding/reranker training set needs without `rand()` anywhere.
+   */
+  def negativeSamplesQ(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    graft.ops.Retrieval.negativeSamples(t(dir, "documents"), "doc_id",
+      k = 3, buckets = 32)
+  }
+
+  val negativeSamplesSql: String = {
+    val candB = sqlHashBucket("anchor", "neg")
+    val drawB = sqlHashBucket("anchor || ':' || j", "neg")
+    s"""WITH ids AS (
+         SELECT DISTINCT doc_id AS anchor FROM documents
+         WHERE doc_id IS NOT NULL),
+       cands AS (SELECT anchor AS cand, $candB % 32 AS b
+                 FROM (SELECT anchor FROM ids)),
+       draws AS (SELECT anchor, j, $drawB % 32 AS b
+                 FROM ids CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)),
+       scored AS (
+         SELECT anchor, j, cand,
+                md5('neg:' || anchor || ':' || j || ':' || cand) AS score
+         FROM draws JOIN cands USING (b) WHERE cand <> anchor),
+       r AS (SELECT anchor, j, cand,
+               row_number() OVER (PARTITION BY anchor, j
+                                  ORDER BY score, cand) AS rk
+             FROM scored)
+       SELECT anchor, CAST(j AS BIGINT) AS j, cand AS negative
+       FROM r WHERE rk = 1"""
+  }
+
   // =====================================================================
   // Registry
   // =====================================================================

@@ -1057,4 +1057,41 @@ private[graft] trait QueriesTimeseries extends QueryHelpers { this: QueryBattery
                             ELSE 200000 // (n - 2) END) AS BIGINT) AS credit_ppm,
               count(*) AS n_touches
        FROM ranked GROUP BY 1, 2, 3"""
+
+  /**
+   * `dow_strength`: seasonality strength per event type as the
+   * correlation ratio η² ([[graft.ops.Stats.etaSquared]]) — how much of
+   * per-event spend variance the day-of-week (epoch-day mod 7, engine-
+   * portable) explains, in exact ppm. The "is this series weekly enough
+   * to model?" screen beside `dow_profile`'s means: ONE (type, dow)
+   * three-sum cell agg + one type-sized finish, cells ADD across slices.
+   */
+  def dowStrength(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val ev = events(dir).where(col("value").isNotNull)
+      .select(col("event_type"),
+        (expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000") % 7).as("dow"),
+        cents(col("value")).as("cents"))
+    graft.ops.Stats.etaSquared(ev, Seq("event_type"), "dow", "cents")
+  }
+
+  val dowStrengthSql: String =
+    """WITH e AS (
+         SELECT event_type, (epoch_us(ts) // 86400000000) % 7 AS dow,
+                CAST(round(value * 100, 0) AS BIGINT) AS v
+         FROM events WHERE value IS NOT NULL),
+       c AS (SELECT event_type, dow, CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(CAST(v AS HUGEINT)) AS HUGEINT) AS s,
+               CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS ss
+             FROM e GROUP BY 1, 2),
+       t AS (SELECT event_type, n, s, ss, s * s // n AS t FROM c),
+       g AS (SELECT event_type, count(*) AS k, sum(n) AS nn, sum(s) AS ss1,
+               sum(ss) AS ss2, sum(t) AS st
+             FROM t GROUP BY 1)
+       SELECT event_type, CAST(nn AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+              CAST(CASE WHEN nn * ss2 - ss1 * ss1 <= 0 THEN NULL
+                   ELSE greatest(CAST(0 AS HUGEINT), nn * st - ss1 * ss1)
+                        * 1000000 // (nn * ss2 - ss1 * ss1)
+                   END AS BIGINT) AS eta2_ppm
+       FROM g"""
 }

@@ -43,7 +43,8 @@ object ScaleCheck {
     "ks_drift", "mw_drift", "weighted_pctl", "entity_resolution", "gram_matrix",
     "connected_components", "audience_overlap",
     "pr_curve", "cuped_adjust", "gini_concentration", "theil_sen",
-    "holt_forecast", "kaplan_meier", "mann_kendall", "changepoint")
+    "holt_forecast", "kaplan_meier", "mann_kendall", "changepoint",
+    "mantel_haenszel", "zipf_slope", "negative_samples")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -800,6 +801,29 @@ object ScaleCheck {
         expr("unix_micros(ts) DIV 86400000000").as("day_idx"))
         .agg(count(lit(1)).as("cnt"))
       ops.Timeseries.changepoint(daily, Seq("grp"), "day_idx", "cnt")
+    }
+    // rows grow 20x into the ONE (type, stratum) cell agg (map-side
+    // combined); the MH/CMH finish runs over the strata frame only
+    time("mantel_haenszel") {
+      ops.Stats.mantelHaenszel(
+        bigEvents.where(col("value").isNotNull && col("user_id").isNotNull)
+          .select(col("event_type"),
+            expr("unix_micros(ts) DIV 86400000000").as("stratum"),
+            (col("user_id") % 2 === 0).as("x"), (col("value") > 50).as("o")),
+        Seq("event_type"), "stratum", "x", "o")
+    }
+    // tokens grow 20x into the vocab-sized count agg; the rank pass
+    // range-shards the vocabulary, the OLS finish is one global agg
+    time("zipf_slope") {
+      ops.TextAnalysis.zipfSlope(bigDocs, "text")
+    }
+    // corpus grows 20x with buckets scaled to hold ~64 ids each, so the
+    // bucket join's per-anchor fan-out stays constant — the honest model
+    // (a fixed bucket count would quadratically inflate the join)
+    time("negative_samples") {
+      val n = bigDocs.count()
+      ops.Retrieval.negativeSamples(bigDocs.select(col("doc_id")), "doc_id",
+        k = 3, buckets = math.max(1L, n / 64L).toInt)
     }
     spark.stop()
   }

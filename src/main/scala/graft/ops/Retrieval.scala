@@ -279,4 +279,64 @@ object Retrieval {
       .select(col("query_id"), col("n_results"), col("n_rel"), col("hits"),
         col("first_rel_rank"), col("rr_ppm"), col("p_at_k_ppm"), col("r_at_k_ppm"))
   }
+
+  /**
+   * Deterministic negative sampling for contrastive training — for every
+   * anchor id, `k` pseudo-random OTHER ids from the same frame, a pure
+   * function of the ids (md5 all the way down): the (anchor, positive,
+   * negative) triple builder every embedding/reranker training set needs,
+   * reproducible across runs, engines and partitionings — no
+   * `rand()`, no driver-side sampling.
+   *
+   * Recipe: every candidate lands in one of `buckets` md5 buckets; each
+   * (anchor, j < k) draw targets bucket `md5(anchor:j) % buckets` and
+   * takes, among that bucket's candidates ≠ anchor, the one minimizing
+   * `md5(anchor:j:cand)` (tie law: then smallest cand — a total order).
+   * Distinct draws hit independent buckets, so the k negatives are
+   * spread corpus-wide; a draw whose bucket holds only the anchor
+   * itself yields no row (starved draw — size `buckets` ≪ corpus so
+   * every bucket is populated). Optional `positives` (anchor, cand)
+   * pairs are excluded BEFORE the argmin, so a known positive can never
+   * be drawn as a negative (the leakage law).
+   *
+   * Plan: ONE bucket equi-join (anchors×k rows against corpus/buckets-
+   * sized buckets — per-anchor work is k·(N/buckets), constant when
+   * `buckets` scales with the corpus) + optional positive anti-join +
+   * ONE (anchor, j) argmin agg (map-side combined). Never all-pairs; at
+   * 100 TB pick buckets ≈ N/64 and the fan-out stays 64·k per anchor.
+   */
+  def negativeSamples(
+      df: DataFrame,
+      idCol: String,
+      k: Int,
+      buckets: Int,
+      positives: Option[DataFrame] = None,
+      salt: String = "neg"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val ids = df.select(col(idCol).as("anchor")).where(col("anchor").isNotNull)
+      .distinct()
+    val cands = ids.select(col("anchor").as("cand"))
+      .withColumn("__b", TextAnalysis.hashBucket(col("cand"), salt) % buckets)
+    val draws = ids
+      .withColumn("j", explode(typedLit((0 until k).map(_.toLong))))
+      .withColumn("__b",
+        TextAnalysis.hashBucket(
+          concat(col("anchor").cast("string"), lit(":"), col("j")), salt) % buckets)
+    val joined = draws.join(cands, Seq("__b"))
+      .where(col("cand") =!= col("anchor"))
+    val filtered = positives.fold(joined) { pos =>
+      joined.join(
+        pos.select(col(pos.columns(0)).as("anchor"), col(pos.columns(1)).as("cand"))
+          .distinct(),
+        Seq("anchor", "cand"), "left_anti")
+    }
+    filtered
+      .withColumn("__score",
+        md5(concat(lit(salt), lit(":"), col("anchor").cast("string"), lit(":"),
+          col("j"), lit(":"), col("cand").cast("string"))))
+      .groupBy(col("anchor"), col("j"))
+      .agg(min(struct(col("__score"), col("cand"))).as("__m"))
+      .select(col("anchor"), col("j"), col("__m.cand").as("negative"))
+  }
 }

@@ -837,6 +837,166 @@ object Stats {
   }
 
   /**
+   * Mantel–Haenszel pooled 2×2 readout across strata per group — the
+   * Simpson's-paradox-proof experiment analysis: when exposure is
+   * confounded with a stratifying variable (day, country, device), the
+   * naive pooled 2×2 can reverse the true per-stratum effect; MH pools
+   * WITHIN-stratum comparisons instead. Two classics in one pass:
+   *
+   *  - `or_mh_ppm`: the Mantel–Haenszel common odds ratio
+   *    `OR = Σ_i(a_i·d_i/n_i) / Σ_i(b_i·c_i/n_i)` in ppm (1e6 = no
+   *    effect). Per-stratum terms are carried in truncated MILLI units
+   *    (`a·d·1000 DIV n` — each floors < 1 milli, both engines replay
+   *    the identical DIV), one truncated division at the end.
+   *  - `cmh_chi2_micro`: the Cochran–Mantel–Haenszel statistic
+   *    `(Σ(a_i − E_i))² / ΣVar_i` with `E_i = m1·m3/n`,
+   *    `Var_i = m1·m2·m3·m4/(n²(n−1))` (margins m1=a+b, m2=c+d, m3=a+c,
+   *    m4=b+d), staged so nothing exceeds DECIMAL(38,0) at a billion
+   *    rows per stratum: E in milli; Var via
+   *    `(m1·m2·1000 DIV n)·(m3·m4·1000 DIV n) DIV (n−1)` (micro units,
+   *    each factor ≤ n·1e3, product ≤ 1e24). Compared against χ²(1) —
+   *    3.84e6 micro at α = 0.05. Null when every stratum is degenerate
+   *    (zero variance: a zero margin, or n < 2).
+   *
+   * Cells from disjoint slices ADD per stratum before finishing
+   * ([[chi2FromCells]] discipline), so daily snapshot stores and
+   * streaming windows feed it directly. One (group, stratum) cell agg +
+   * one group-sized finish; the strata frame is the scale unit.
+   */
+  def mantelHaenszel(
+      df: DataFrame,
+      groupCols: Seq[String],
+      stratumCol: String,
+      exposureCol: String,
+      outcomeCol: String): DataFrame = {
+    val e = col(exposureCol)
+    val o = col(outcomeCol)
+    def cell(p: Column) = sum(when(p, 1L).otherwise(0L)).cast("DECIMAL(38,0)")
+    mantelHaenszelFromCells(
+      df.where(e.isNotNull && o.isNotNull)
+        .groupBy((groupCols.map(col) :+ col(stratumCol)): _*)
+        .agg(cell(e && o).as("a"), cell(e && !o).as("b"),
+          cell(!e && o).as("c"), cell(!e && !o).as("d")),
+      groupCols)
+  }
+
+  /** Finish [[mantelHaenszel]] from per-(group, stratum) `(a, b, c, d)`
+    * cells — the mergeable half (cells ADD per stratum across days /
+    * windows before finishing). Strata with n < 2 or a zero margin
+    * contribute nothing to either statistic (their E and Var are
+    * degenerate), matching the classical treatment. */
+  def mantelHaenszelFromCells(cells: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val d38 = "DECIMAL(38,0)"
+    def c38(n: String) = col(n).cast(d38)
+    cells
+      .withColumn("__n", c38("a") + c38("b") + c38("c") + c38("d"))
+      .withColumn("__m1", c38("a") + c38("b"))
+      .withColumn("__m2", c38("c") + c38("d"))
+      .withColumn("__m3", c38("a") + c38("c"))
+      .withColumn("__m4", c38("b") + c38("d"))
+      // degenerate strata (n<2 or any zero margin) carry no information
+      .withColumn("__ok", col("__n") >= 2 && col("__m1") > 0 && col("__m2") > 0 &&
+        col("__m3") > 0 && col("__m4") > 0)
+      .withColumn("__r_milli",
+        expr(s"CASE WHEN __n = 0 THEN CAST(0 AS $d38) " +
+          s"ELSE CAST(a AS $d38) * d * 1000 DIV __n END"))
+      .withColumn("__s_milli",
+        expr(s"CASE WHEN __n = 0 THEN CAST(0 AS $d38) " +
+          s"ELSE CAST(b AS $d38) * c * 1000 DIV __n END"))
+      .withColumn("__e_milli",
+        expr(s"CASE WHEN __ok THEN __m1 * __m3 * 1000 DIV __n " +
+          s"ELSE CAST(0 AS $d38) END"))
+      .withColumn("__a_milli",
+        expr(s"CASE WHEN __ok THEN CAST(a AS $d38) * 1000 " +
+          s"ELSE CAST(0 AS $d38) END"))
+      .withColumn("__var_micro",
+        expr(s"CASE WHEN __ok THEN (__m1 * __m2 * 1000 DIV __n) " +
+          s"* (__m3 * __m4 * 1000 DIV __n) DIV (__n - 1) " +
+          s"ELSE CAST(0 AS $d38) END"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_strata"),
+        sum(col("__n")).cast("long").as("n"),
+        sum(col("__r_milli")).as("__r"),
+        sum(col("__s_milli")).as("__s"),
+        sum(col("__a_milli") - col("__e_milli")).as("__dev_milli"),
+        sum(col("__var_micro")).as("__var"))
+      .withColumn("or_mh_ppm",
+        expr("CAST(CASE WHEN __s = 0 THEN NULL " +
+          "ELSE __r * 1000000 DIV __s END AS BIGINT)"))
+      .withColumn("cmh_chi2_micro",
+        // dev_milli² = dev²·1e6, __var = Var·1e6 → ·1e6 DIV __var = χ²·1e6
+        expr("CAST(CASE WHEN __var = 0 THEN NULL " +
+          "ELSE __dev_milli * __dev_milli * 1000000 DIV __var " +
+          "END AS BIGINT)"))
+      .select((groupCols.map(col) ++ Seq(col("n_strata"), col("n"),
+        col("or_mh_ppm"), col("cmh_chi2_micro"))): _*)
+  }
+
+  /**
+   * Correlation ratio η² (one-way ANOVA effect size) per group — how much
+   * of a numeric column's variance a CATEGORICAL column explains:
+   * `η² = SS_between / SS_total` in exact integer ppm. Two readings the
+   * same cells serve: seasonality strength (category = day-of-week —
+   * "is this series weekly-periodic enough to model?") and
+   * feature-target association audits (category = source/lang/model —
+   * the screen before anyone ships a feature). 0 = the category tells
+   * you nothing; 1e6 = the category determines the value.
+   *
+   * Exact staging: per category `t_c = s_c² DIV n_c` (each floors < 1
+   * unit, ≤ k units total — both engines replay the identical DIV), then
+   * `eta2_ppm = max(0, N·Σt_c − S²) · 1e6 DIV (N·Σv² − S²)` — one final
+   * truncated division; the max(0,·) clamps the ≤ k-unit truncation dip
+   * when the true η² is ~0. Null when the value is constant (zero total
+   * variance — no variance to explain). Overflow-safe in DECIMAL(38,0)
+   * to ~1e9 rows of ~1e7-unit values. Null values/categories drop.
+   *
+   * ONE (group, category) three-sum agg (map-side combined) + ONE
+   * group-sized finish — cells ADD across slices before finishing, the
+   * [[chi2FromCells]] discipline for variance decomposition.
+   */
+  def etaSquared(
+      df: DataFrame,
+      groupCols: Seq[String],
+      categoryCol: String,
+      valueCol: String): DataFrame = {
+    val d38 = "DECIMAL(38,0)"
+    val v = col(valueCol).cast(d38)
+    etaSquaredFromCells(
+      df.where(col(valueCol).isNotNull && col(categoryCol).isNotNull)
+        .groupBy((groupCols.map(col) :+ col(categoryCol)): _*)
+        .agg(count(lit(1)).cast(d38).as("n"), sum(v).as("s"),
+          sum(v * v).as("ss")),
+      groupCols)
+  }
+
+  /** Finish [[etaSquared]] from per-(group, category) `(n, s, ss)` sum
+    * cells — the mergeable half: cells from disjoint slices (days,
+    * `EventStreams.etaCellsRollup` windows) ADD element-wise per
+    * category before finishing. One row per (group, category) in; the
+    * per-category `s² DIV n` staging happens HERE, after the merge, so
+    * re-rolled horizons replay the batch digits exactly. */
+  def etaSquaredFromCells(cells: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val d38 = "DECIMAL(38,0)"
+    cells
+      .withColumn("__n", col("n").cast(d38))
+      .withColumn("__s", col("s").cast(d38))
+      .withColumn("__ss", col("ss").cast(d38))
+      .withColumn("__t", expr("__s * __s DIV __n"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("k"),
+        sum(col("__n")).as("__N"), sum(col("__s")).as("__S"),
+        sum(col("__ss")).as("__SS"), sum(col("__t")).as("__T"))
+      .withColumn("eta2_ppm",
+        expr("CAST(CASE WHEN __N * __SS - __S * __S <= 0 THEN NULL " +
+          "ELSE greatest(CAST(0 AS DECIMAL(38,0)), __N * __T - __S * __S) " +
+          "* 1000000 DIV (__N * __SS - __S * __S) END AS BIGINT)"))
+      .withColumn("n", col("__N").cast("long"))
+      .select((groupCols.map(col) ++ Seq(col("n"), col("k"),
+        col("eta2_ppm"))): _*)
+  }
+
+  /**
    * Kaplan–Meier survival curve per group, in exact ppm — the
    * censoring-aware retention/churn readout (Kaplan & Meier 1958) that a
    * naive "fraction still alive at day t" gets WRONG the moment

@@ -858,7 +858,7 @@ object TextAnalysis {
    * `Queries.sqlHashBucket`). Changing salt format or digit width here
    * changes every sampling op in lockstep, never one of them silently.
    */
-  private def hashBucket(id: Column, salt: String): Column =
+  private[ops] def hashBucket(id: Column, salt: String): Column =
     conv(substring(md5(concat(lit(salt), lit(":"), id.cast("string"))), 1, 4), 16, 10)
       .cast("long")
 
@@ -1995,4 +1995,31 @@ object TextAnalysis {
     array_sort(filter(
       array_distinct(typedLit(phrases.map(_.toLowerCase(java.util.Locale.ROOT)))),
       p => contains(lower(text), p)))
+
+  /**
+   * Zipf rank-frequency slope of the corpus vocabulary — the OLS fit of
+   * `floor(log2 freq)` against `floor(log2 rank)` over the term-frequency
+   * table, in exact integer ppm ([[Stats.olsFromSums]]): natural language
+   * sits near slope −1e6 (Zipf's law); boilerplate-stamped, deduplicated
+   * or synthetic corpora flatten the head or amputate the tail, and the
+   * slope + `r2_ppm` read it off corpus-wide in one number. Both "logs"
+   * are INTEGER BIT LENGTHS (`length(bin(x)) - 1` — floor-log2, the
+   * [[graft.ops.DataQuality.log2Histogram]] law), so every engine replays
+   * the fit digit-for-digit; libm never enters.
+   *
+   * Plan: vocab-sized term counts (map-side combined), the global
+   * frequency rank via [[withGlobalRank]]'s range-partition recipe (total
+   * order: count desc, term asc — NEVER a one-reducer window), then ONE
+   * six-sum OLS agg. Scale unit: the vocabulary.
+   */
+  def zipfSlope(df: DataFrame, textCol: String): DataFrame = {
+    val counts = df
+      .select(explode(tokens(col(textCol))).as("__term"))
+      .groupBy(col("__term")).agg(count(lit(1)).as("__cnt"))
+    val ranked = withGlobalRank(counts, "__rank", col("__cnt").desc, col("__term").asc)
+      .withColumn("__lr", length(bin(col("__rank"))).cast("long") - 1L)
+      .withColumn("__lf", length(bin(col("__cnt"))).cast("long") - 1L)
+    graft.ops.Stats.olsFromSums(
+      graft.ops.Stats.olsSums(ranked, Seq.empty, "__lr", "__lf"), Seq.empty)
+  }
 }

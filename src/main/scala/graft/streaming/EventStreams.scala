@@ -448,6 +448,66 @@ object EventStreams {
         .bottom_k_distinct(md5(col(keyCol).cast("string")), k).as("kmv")))
 
   /**
+   * S28 — windowed CONFUSION-cells rollup, the streaming twin of the
+   * [[graft.ops.Stats.f1FromConfusion]] feed: per (window, true, pred)
+   * label pair, the count cell of a live classifier's scoring stream.
+   * Cells from disjoint windows/partitions/days ADD per (true, pred)
+   * before finishing (the same mergeable-cells law as S23's k×2 drift
+   * cells), so hourly emissions re-roll to the all-time confusion matrix
+   * bit-identically to a batch count over the union — live per-class
+   * precision/recall/F1 monitoring from one long of state per live
+   * (window, true, pred) cell, however many predictions flow through.
+   * Null labels on either side drop (the batch law: an unlabeled or
+   * unscored row carries no confusion information).
+   */
+  def confusionCellsRollup(
+      scored: DataFrame,
+      trueCol: String = "label",
+      predCol: String = "pred",
+      windowLength: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame = {
+    val agged = scored
+      .where(col("ts").isNotNull && col(trueCol).isNotNull && col(predCol).isNotNull)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength), col(trueCol), col(predCol))
+      .agg(count(lit(1)).as("n"))
+    agged.select(col("window.start").as("window_start") +:
+      agged.columns.filterNot(_ == "window").map(col): _*)
+  }
+
+  /**
+   * S29 — windowed VARIANCE-DECOMPOSITION cells, the streaming twin of
+   * [[graft.ops.Stats.etaSquared]]'s feed: per (window, group, category)
+   * the exact `(n, s, ss)` sum triple in DECIMAL(38,0) — sufficient
+   * statistics, not the finished ratio, so cells ADD element-wise across
+   * windows/partitions/days (the S22/S27 numerator discipline) and any
+   * horizon finishes through [[graft.ops.Stats.etaSquaredFromCells]]
+   * bit-identically to a batch η² over the union: live seasonality-
+   * strength / feature-association monitoring from THREE longs of state
+   * per (window, group, category). Null values/categories drop (the
+   * batch law). `valueCol` must be integral (cents, counts — the
+   * exactness contract).
+   */
+  def etaCellsRollup(
+      events: DataFrame,
+      groupCol: String = "event_type",
+      categoryCol: String = "category",
+      valueCol: String = "value_units",
+      windowLength: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame = {
+    val d38 = "DECIMAL(38,0)"
+    val v = col(valueCol).cast(d38)
+    val agged = events
+      .where(col("ts").isNotNull && col(valueCol).isNotNull &&
+        col(categoryCol).isNotNull)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength), col(groupCol), col(categoryCol))
+      .agg(count(lit(1)).cast(d38).as("n"), sum(v).as("s"), sum(v * v).as("ss"))
+    agged.select(col("window.start").as("window_start") +:
+      agged.columns.filterNot(_ == "window").map(col): _*)
+  }
+
+  /**
    * Streaming exact dedup on `idCol`: duplicates arriving within the
    * watermark horizon are dropped; the watermark bounds the id-set state.
    */

@@ -551,6 +551,19 @@ class PlanInvariantsSpec extends SparkTestBase {
     check("decile_shift", maxShuffles = 12, maxSmj = 2)
   }
 
+  test("round-16 additions: stratified MH readout, zipf slope") {
+    // ONE (type, stratum) cell agg + ONE type-sized finish agg — the
+    // strata frame is the scale unit, nothing rescans rows past the cells
+    check("mantel_haenszel", maxShuffles = 2)
+    // vocab-sized term counts + the withGlobalRank offsets agg (range
+    // exchange checkpoint-hidden); the OLS finish is one global agg
+    check("zipf_slope", maxShuffles = 2)
+    // ONE (type, dow) three-sum cell agg + the type-sized eta^2 finish
+    check("dow_strength", maxShuffles = 2)
+    // ids distinct + bucket equi-join + (anchor, j) argmin agg
+    check("negative_samples", maxShuffles = 4)
+  }
+
   test("round-14 additions: agreement, calibration, privacy and web audits") {
     // rows agg + two-sided label-union agg + group agg + group-sized join
     check("label_agreement", maxShuffles = 3)

@@ -179,4 +179,31 @@ class RetrievalSpec extends SparkTestBase {
       .collect().map(_.toSeq).toSet
     go(1) shouldBe go(13)
   }
+
+  test("negativeSamples: k draws per anchor, never self, pure function of the ids") {
+    val ids = (0L until 200L).toDF("id")
+    def go(p: Int) = Retrieval.negativeSamples(ids.repartition(p), "id",
+      k = 3, buckets = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val out = go(1)
+    out shouldBe go(16) // partition purity
+    // every (anchor, j) draw lands (16 buckets over 200 ids: none starve)
+    out.size shouldBe 600
+    out.foreach { case (a, _, n) => n should not be a }
+    // j-indexed draws are independent: some anchor gets distinct negatives
+    out.groupBy(_._1).values.exists(_.map(_._3).size > 1) shouldBe true
+  }
+
+  test("negativeSamples: known positives can never be drawn as negatives") {
+    val ids = (0L until 120L).toDF("id")
+    val first = Retrieval.negativeSamples(ids, "id", k = 2, buckets = 8)
+    val positives = first.select($"anchor", $"negative")
+    val second = Retrieval.negativeSamples(ids, "id", k = 2, buckets = 8,
+      positives = Some(positives))
+    // re-running with the first round's picks excluded yields a DISJOINT
+    // pair set (draws whose bucket offers no alternative simply starve)
+    second.select("anchor", "negative")
+      .join(positives, Seq("anchor", "negative"), "left_semi")
+      .count() shouldBe 0L
+  }
 }

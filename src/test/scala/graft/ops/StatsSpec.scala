@@ -713,6 +713,89 @@ class StatsSpec extends SparkTestBase {
       .collect().map(_.toSeq).toSet shouldBe whole
   }
 
+  test("mantelHaenszel: hand digits across two strata; degenerate strata carry nothing") {
+    def stratum(s: Long, a: Int, b: Int, c: Int, d: Int) =
+      Seq.fill(a)(("g", s, true, true)) ++ Seq.fill(b)(("g", s, true, false)) ++
+        Seq.fill(c)(("g", s, false, true)) ++ Seq.fill(d)(("g", s, false, false))
+    // s1: (8,2,3,2) n=15  r=floor(16000/15)=1066  s=floor(6000/15)=400
+    //     E=floor(10*11*1000/15)=7333 dev=8000-7333=667
+    //     var=(50000 DIV 15)*(44000 DIV 15) DIV 14 = 3333*2933 DIV 14 = 698263
+    // s2: (2,8,1,9) n=20  r=900  s=400  E=1500 dev=500
+    //     var=5000*2550 DIV 19 = 671052
+    // or = (1066+900)*1e6 DIV 800 = 2457500
+    // chi2 = 1167^2 * 1e6 DIV 1369315 = 994576
+    val df = (stratum(1, 8, 2, 3, 2) ++ stratum(2, 2, 8, 1, 9)).toDF("g", "s", "x", "o")
+    val r = Stats.mantelHaenszel(df, Seq("g"), "s", "x", "o").collect().head
+    r.getLong(r.fieldIndex("n_strata")) shouldBe 2L
+    r.getLong(r.fieldIndex("n")) shouldBe 35L
+    r.getLong(r.fieldIndex("or_mh_ppm")) shouldBe 2457500L
+    r.getLong(r.fieldIndex("cmh_chi2_micro")) shouldBe 994576L
+    // an all-exposed stratum (zero !x margin) moves NEITHER statistic:
+    // its cross-products are 0 and its E/Var are excluded as degenerate
+    val df2 = (stratum(1, 8, 2, 3, 2) ++ stratum(2, 2, 8, 1, 9) ++
+      stratum(3, 5, 5, 0, 0)).toDF("g", "s", "x", "o")
+    val r2 = Stats.mantelHaenszel(df2, Seq("g"), "s", "x", "o").collect().head
+    r2.getLong(r2.fieldIndex("n_strata")) shouldBe 3L
+    r2.getLong(r2.fieldIndex("or_mh_ppm")) shouldBe 2457500L
+    r2.getLong(r2.fieldIndex("cmh_chi2_micro")) shouldBe 994576L
+    // every stratum degenerate -> both statistics null, not zero
+    val r3 = Stats.mantelHaenszel(stratum(1, 5, 5, 0, 0).toDF("g", "s", "x", "o"),
+      Seq("g"), "s", "x", "o").collect().head
+    r3.isNullAt(r3.fieldIndex("or_mh_ppm")) shouldBe true
+    r3.isNullAt(r3.fieldIndex("cmh_chi2_micro")) shouldBe true
+  }
+
+  test("etaSquared: hand digits, perfect separation, no-signal zero, constant null") {
+    // A:(2,4) B:(10,12): t=18+242=260, num=4*260-784=256, den=4*264-784=272
+    val df = Seq(("g", "A", 2L), ("g", "A", 4L), ("g", "B", 10L), ("g", "B", 12L))
+      .toDF("g", "c", "v")
+    val r = Stats.etaSquared(df, Seq("g"), "c", "v").collect().head
+    r.getLong(r.fieldIndex("n")) shouldBe 4L
+    r.getLong(r.fieldIndex("k")) shouldBe 2L
+    r.getLong(r.fieldIndex("eta2_ppm")) shouldBe 941176L // 256e6 DIV 272
+    // category determines the value exactly -> 1e6
+    val perfect = Seq(("g", "A", 5L), ("g", "A", 5L), ("g", "B", 9L), ("g", "B", 9L))
+      .toDF("g", "c", "v")
+    Stats.etaSquared(perfect, Seq("g"), "c", "v")
+      .select($"eta2_ppm").as[Long].head() shouldBe 1000000L
+    // identical distributions per category -> 0
+    val flat = Seq(("g", "A", 3L), ("g", "A", 7L), ("g", "B", 3L), ("g", "B", 7L))
+      .toDF("g", "c", "v")
+    Stats.etaSquared(flat, Seq("g"), "c", "v")
+      .select($"eta2_ppm").as[Long].head() shouldBe 0L
+    // constant value: zero total variance -> null, not zero
+    val const = Seq(("g", "A", 5L), ("g", "B", 5L)).toDF("g", "c", "v")
+    val rc = Stats.etaSquared(const, Seq("g"), "c", "v").collect().head
+    rc.isNullAt(rc.fieldIndex("eta2_ppm")) shouldBe true
+  }
+
+  test("etaSquared: sliced cells' union equals whole-data; partition-pure") {
+    val rnd = new scala.util.Random(19)
+    val rows = Seq.fill(400)(("g" + rnd.nextInt(2), rnd.nextInt(7).toString,
+      rnd.nextInt(1000).toLong))
+    def go(p: Int) = Stats.etaSquared(rows.toDF("g", "c", "v").repartition(p),
+      Seq("g"), "c", "v").collect().map(_.toSeq).toSet
+    go(1) shouldBe go(16)
+  }
+
+  test("mantelHaenszel: day-sliced cells merge to the whole-data readout") {
+    val rnd = new scala.util.Random(73)
+    val rows = Seq.fill(600)(("g" + rnd.nextInt(2), rnd.nextInt(4).toLong,
+      rnd.nextBoolean(), rnd.nextBoolean(), rnd.nextInt(3)))
+    val df = rows.toDF("g", "s", "x", "o", "day")
+    val whole = Stats.mantelHaenszel(df, Seq("g"), "s", "x", "o")
+      .collect().map(_.toSeq).toSet
+    // daily cells ADD per (group, stratum) before finishing
+    def cell(p: org.apache.spark.sql.Column) = sum(when(p, 1L).otherwise(0L))
+    val daily = df.groupBy($"day", $"g", $"s")
+      .agg(cell($"x" && $"o").as("a"), cell($"x" && !$"o").as("b"),
+        cell(!$"x" && $"o").as("c"), cell(!$"x" && !$"o").as("d"))
+    val merged = daily.groupBy($"g", $"s")
+      .agg(sum($"a").as("a"), sum($"b").as("b"), sum($"c").as("c"), sum($"d").as("d"))
+    Stats.mantelHaenszelFromCells(merged, Seq("g"))
+      .collect().map(_.toSeq).toSet shouldBe whole
+  }
+
   test("kaplanMeier: hand-replayed curve — censoring shrinks risk, not survival") {
     // durations: 1 event, 2 censored, 3 event x2, 4 censored (N = 5)
     // t=1: S = 1e6*4 DIV 5 = 800000; t=2 censored only: S unchanged;

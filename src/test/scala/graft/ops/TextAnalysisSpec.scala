@@ -1093,4 +1093,32 @@ class TextAnalysisSpec extends SparkTestBase {
         "doc_id", "text", bucketSize = 25).collect().map(_.toSeq).toSet
     run(1) shouldBe run(16)
   }
+
+  test("zipfSlope: hand OLS over bit-length logs of a planted distribution") {
+    // counts 8,4,2,1 -> (lr, lf) points (0,3),(1,2),(1,1),(2,0):
+    // dxx=8 dxy=-12 dyy=20 -> slope -1500000, intercept 3000000, r2 900000
+    val df = Seq((1L, "a a a a a a a a b b b b c c d")).toDF("doc_id", "text")
+    val r = TextAnalysis.zipfSlope(df, "text").collect().head
+    r.getLong(r.fieldIndex("n")) shouldBe 4L
+    r.getLong(r.fieldIndex("slope_ppm")) shouldBe -1500000L
+    r.getLong(r.fieldIndex("intercept_ppm")) shouldBe 3000000L
+    r.getLong(r.fieldIndex("r2_ppm")) shouldBe 900000L
+  }
+
+  test("zipfSlope is a pure function of the data, not its partitioning") {
+    val rnd = new scala.util.Random(91)
+    // Zipf-ish synthetic: term w_k appears ~N/k times
+    val words = (1 to 60).flatMap(k => Seq.fill(240 / k)("w" + k))
+    val shuffled = rnd.shuffle(words)
+    val rows = shuffled.grouped(12).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+    def run(parts: Int) =
+      TextAnalysis.zipfSlope(rows.toDF("doc_id", "text").repartition(parts), "text")
+        .collect().map(_.toSeq).toSet
+    val one = run(1)
+    one shouldBe run(16)
+    // the planted 1/k law reads back as a steep negative fit
+    val slope = one.head(1).asInstanceOf[Long]
+    slope should be < -500000L
+  }
 }

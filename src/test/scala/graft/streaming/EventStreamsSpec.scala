@@ -232,6 +232,89 @@ class EventStreamsSpec extends SparkTestBase {
     batch shouldBe 55000L
   }
 
+  test("S28 confusion cells: windowed (true, pred) counts merge to the batch F1") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Event]
+    // true label = event_type; "prediction" = a deterministic function of
+    // user_id so the confusion matrix has real off-diagonal mass
+    val stream = asContract(in.toDF())
+      .withColumn("pred",
+        org.apache.spark.sql.functions.when($"user_id" % 3 === 0, "click")
+          .otherwise($"event_type"))
+    val q = EventStreams.confusionCellsRollup(stream, "event_type", "pred",
+      windowLength = "10 minutes", watermark = "5 minutes")
+      .writeStream.format("memory").queryName("conf_out").outputMode("append").start()
+    val rows = Seq(
+      Event(1, ts(1), 10, "click", 0.0),  // pred click (tp)
+      Event(2, ts(2), 11, "view", 0.0),   // pred view (tp)
+      Event(3, ts(3), 12, "view", 0.0),   // user 12 % 3 = 0 -> pred click (miss)
+      Event(4, ts(15), 13, "click", 0.0), // second window, pred click (tp)
+      Event(5, ts(16), 15, "view", 0.0),  // user 15 % 3 = 0 -> pred click (miss)
+      Event(6, ts(17), 16, "view", 0.0))  // pred view (tp)
+    in.addData(rows: _*)
+    q.processAllAvailable()
+    in.addData(Event(99, ts(60), 14, "purchase", 0.0)) // advance watermark
+    runToCompletion(q)
+    val cells = spark.table("conf_out").where($"event_type" =!= "purchase")
+    cells.select($"window_start").distinct().count() shouldBe 2L
+    // cells ADD per (true, pred) across windows, then finish EXACTLY to
+    // the batch per-class F1 over the same rows
+    val streamed = graft.ops.Stats.f1FromConfusion(
+      cells.groupBy($"event_type", $"pred")
+        .agg(org.apache.spark.sql.functions.sum($"n").as("n")),
+      Seq.empty, "event_type", "pred", "n")
+      .orderBy($"clazz")
+    val batch = graft.ops.Stats.f1FromConfusion(
+      rows.map(e => (e.eventType,
+          if (e.userId % 3 == 0) "click" else e.eventType))
+        .toDF("event_type", "pred")
+        .groupBy($"event_type", $"pred")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n")),
+      Seq.empty, "event_type", "pred", "n")
+      .orderBy($"clazz")
+    streamed.collect().map(_.toSeq) shouldBe batch.collect().map(_.toSeq)
+    // hand check: view recall = 2/4 -> 500000 ppm recall
+    streamed.where($"clazz" === "view")
+      .select($"recall_ppm").as[Long].head() shouldBe 500000L
+  }
+
+  test("S29 eta cells: windowed sum triples merge to the batch eta-squared") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Event]
+    val stream = asContract(in.toDF())
+      .withColumn("category", ($"user_id" % 2).cast("string"))
+      .withColumn("value_units", ($"value" * 100).cast("long"))
+    val q = EventStreams.etaCellsRollup(stream, "event_type", "category",
+      "value_units", windowLength = "10 minutes", watermark = "5 minutes")
+      .writeStream.format("memory").queryName("eta_out").outputMode("append").start()
+    val rows = Seq(
+      Event(1, ts(1), 10, "click", 2.0),  // cat 0
+      Event(2, ts(2), 11, "click", 10.0), // cat 1
+      Event(3, ts(3), 12, "click", 4.0),  // cat 0
+      Event(4, ts(15), 13, "click", 12.0), // second window, cat 1
+      Event(5, ts(16), 14, "click", 3.0))  // second window, cat 0
+    in.addData(rows: _*)
+    q.processAllAvailable()
+    in.addData(Event(99, ts(60), 15, "purchase", 1.0)) // advance watermark
+    runToCompletion(q)
+    val cells = spark.table("eta_out").where($"event_type" === "click")
+    cells.select($"window_start").distinct().count() shouldBe 2L
+    // cells ADD per (group, category) across windows, then finish to the
+    // batch statistic digit-for-digit
+    val streamed = graft.ops.Stats.etaSquaredFromCells(
+      cells.groupBy($"event_type", $"category")
+        .agg(org.apache.spark.sql.functions.sum($"n").as("n"),
+          org.apache.spark.sql.functions.sum($"s").as("s"),
+          org.apache.spark.sql.functions.sum($"ss").as("ss")),
+      Seq("event_type"))
+    val batch = graft.ops.Stats.etaSquared(
+      rows.map(e => ("click", (e.userId % 2).toString, (e.value * 100).toLong))
+        .toDF("event_type", "category", "value_units"),
+      Seq("event_type"), "category", "value_units")
+    streamed.collect().map(_.toSeq) shouldBe batch.collect().map(_.toSeq)
+  }
+
   test("S26 log2 cells: windowed bit-length bins merge to the batch histogram") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Event]
