@@ -421,7 +421,12 @@ object Sketches {
    * `totals`, the per-group grand total.
    *
    * Plan: the global per-group order is sharded by `repartitionByRange`
-   * over `(group, order)`; each shard computes a local running sum, and
+   * over `(group, order)` and sorted within shards; each shard computes
+   * its local running sums with ONE linear scan (a `mapPartitions` pass —
+   * each physical partition holds exactly one `__pid`, a truth Catalyst
+   * cannot see, so the declarative alternative
+   * `Window.partitionBy(group, __pid)` would re-shuffle the whole frame
+   * a second time just to re-create the clustering it already has), and
    * a broadcast per-shard offset frame (O(groups × shards) rows — the
    * per-(group, shard) partial sums, scanned once) shifts the local sums
    * to global. NO `Window.partitionBy(group).orderBy(value)` over the
@@ -432,7 +437,10 @@ object Sketches {
    * `order` must be unique within each group (collapse to per-(group,
    * value) rows first, as every caller here does) so the running sums
    * are a pure function of the data, not the shard layout. Sum columns
-   * should already be overflow-proof (the callers carry DECIMAL(38,0)).
+   * must be DECIMAL or integral; DECIMAL sources come back DECIMAL(38,0)
+   * (the scan accumulates in BigDecimal — exact, no overflow), integral
+   * sources come back LONG (so callers must pre-cast to DECIMAL(38,0)
+   * themselves when a long running sum could overflow, as all do).
    */
   def rangedCumSums(
       df: DataFrame,
@@ -441,10 +449,13 @@ object Sketches {
       cums: Seq[(String, String)],
       totals: Seq[(String, String)] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{DecimalType, StructField, StructType}
+    import org.apache.spark.sql.{Encoders, Row}
     require(order.nonEmpty, "rangedCumSums needs order columns")
     require(cums.nonEmpty, "rangedCumSums needs at least one running-sum column")
     val gCols = groupCols.map(col)
     val ranged = df.repartitionByRange((gCols ++ order): _*)
+      .sortWithinPartitions((gCols ++ order): _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(true)
     val srcs = (cums.map(_._1) ++ totals.map(_._1)).distinct
@@ -454,17 +465,53 @@ object Sketches {
     val wPrev = Window.partitionBy(gCols: _*).orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val wAll = Window.partitionBy(gCols: _*)
+    val d380 = DecimalType(38, 0)
+    // per-source result type: DECIMAL in -> DECIMAL(38,0) out, integral in
+    // -> LONG out (what the former window-sum formulation produced)
+    def outType(s: String) = ranged.schema(s).dataType match {
+      case _: DecimalType => d380
+      case _              => org.apache.spark.sql.types.LongType
+    }
     val offsets = partials.select((gCols :+ col("__pid")) ++
       cums.map { case (s, n) =>
-        coalesce(sum(col(s"__p_$s")).over(wPrev), lit(0)).as(s"__off_$n") } ++
-      totals.map { case (s, n) => sum(col(s"__p_$s")).over(wAll).as(n) }: _*)
-    val wRun = Window.partitionBy((gCols :+ col("__pid")): _*).orderBy(order: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val joined = ranged.join(broadcast(offsets), groupCols :+ "__pid")
-    cums.foldLeft(joined) { case (d, (s, n)) =>
-        d.withColumn(n, col(s"__off_$n") + sum(col(s)).over(wRun))
+        coalesce(sum(col(s"__p_$s")).over(wPrev), lit(0)).cast(d380).as(s"__off_$n") } ++
+      totals.map { case (s, n) => sum(col(s"__p_$s")).over(wAll).cast(outType(s)).as(n) }: _*)
+    // per-shard linear scan: rows arrive (group, order)-sorted, so group
+    // changes are contiguous — reset the accumulators on each new key
+    val schema = ranged.schema
+    val gIdx = groupCols.map(schema.fieldIndex)
+    val srcIdx = cums.map { case (s, _) => schema.fieldIndex(s) }.toArray
+    val locSchema = StructType(schema.fields ++
+      cums.map { case (_, n) => StructField(s"__loc_$n", d380, nullable = false) })
+    val withLocal = ranged.mapPartitions { it =>
+      var curKey: Seq[Any] = null
+      var acc: Array[java.math.BigDecimal] = null
+      it.map { r =>
+        val key = gIdx.map(i => r.get(i))
+        if (curKey == null || key != curKey) {
+          curKey = key
+          acc = Array.fill(srcIdx.length)(java.math.BigDecimal.ZERO)
+        }
+        var i = 0
+        while (i < srcIdx.length) {
+          val v = r.get(srcIdx(i)) match {
+            case null                        => java.math.BigDecimal.ZERO
+            case d: java.math.BigDecimal     => d
+            case d: scala.math.BigDecimal    => d.bigDecimal
+            case x: java.lang.Number         => java.math.BigDecimal.valueOf(x.longValue())
+          }
+          acc(i) = acc(i).add(v)
+          i += 1
+        }
+        Row.fromSeq(r.toSeq ++ acc.toSeq)
       }
-      .drop(("__pid" +: cums.map { case (_, n) => s"__off_$n" }): _*)
+    }(Encoders.row(locSchema))
+    val joined = withLocal.join(broadcast(offsets), groupCols :+ "__pid")
+    cums.foldLeft(joined) { case (d, (s, n)) =>
+        d.withColumn(n, (col(s"__off_$n") + col(s"__loc_$n")).cast(outType(s)))
+      }
+      .drop(("__pid" +: (cums.map { case (_, n) => s"__off_$n" } ++
+        cums.map { case (_, n) => s"__loc_$n" })): _*)
   }
 
   /**
