@@ -1781,4 +1781,78 @@ private[graft] trait QueriesGraphsDq extends QueryHelpers { this: QueryBattery =
               CAST(CASE WHEN n > 0 THEN maxc * 1000000 // n END AS BIGINT) AS majority_ppm,
               CAST(CASE WHEN n > 0 THEN 1000000 - ss * 1000000 // (CAST(n AS HUGEINT) * n) END AS BIGINT) AS gini_ppm
        FROM g LEFT JOIN m ON g.source = m.source"""
+
+  /**
+   * `link_prediction`: [[graft.ops.Graphs.linkPrediction]] over the
+   * synthetic host graph — the top-100 non-adjacent host pairs by
+   * common-neighbor count with exact Jaccard ppm and preferential
+   * attachment, under the `(cn DESC, u, v)` total order. The oracle
+   * replays the undirected dedup, the capped wedge join (the 1000-degree
+   * cap never binds on the 250-host graph, but it is part of the
+   * operator's definition so both sides apply it), the existing-edge
+   * anti-join and the truncated Jaccard division.
+   */
+  def linkPredictionQ(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Graphs.linkPrediction(linkHostEdges(spark, dir))
+      .orderBy(col("cn").desc, col("u"), col("v")).limit(100)
+
+  val linkPredictionSql: String =
+    s"""WITH $sqlHostEdgesCtes,
+       und AS (SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi FROM edges),
+       adj AS (SELECT lo AS ctr, hi AS nbr FROM und UNION ALL SELECT hi, lo FROM und),
+       deg AS (SELECT ctr AS id, count(*) AS degree FROM adj GROUP BY 1),
+       ctrs AS (SELECT a.ctr, a.nbr FROM adj a JOIN deg d ON a.ctr = d.id AND d.degree <= 1000),
+       cn AS (SELECT w1.nbr AS u, w2.nbr AS v, CAST(count(*) AS HUGEINT) AS cn
+              FROM ctrs w1 JOIN ctrs w2 ON w1.ctr = w2.ctr AND w1.nbr < w2.nbr
+              GROUP BY 1, 2),
+       cand AS (SELECT cn.u, cn.v, cn.cn FROM cn
+                LEFT JOIN und ON cn.u = und.lo AND cn.v = und.hi
+                WHERE und.lo IS NULL)
+       SELECT u, v, CAST(cn AS BIGINT) AS cn,
+              CAST(du.degree AS BIGINT) AS deg_u, CAST(dv.degree AS BIGINT) AS deg_v,
+              CAST(cn * 1000000 // (du.degree + dv.degree - cn) AS BIGINT) AS jaccard_ppm,
+              CAST(du.degree * dv.degree AS BIGINT) AS pa
+       FROM cand JOIN deg du ON cand.u = du.id JOIN deg dv ON cand.v = dv.id
+       ORDER BY cn DESC, u, v LIMIT 100"""
+
+  /**
+   * `krippendorff_alpha`: [[graft.ops.Stats.krippendorffAlpha]] over an
+   * UNBALANCED synthetic panel — every 5 consecutive doc_ids form one
+   * rated unit, each document contributing its `lang` as one anonymous
+   * rating (trailing units naturally have fewer ratings, the irregular
+   * overlap shape Fleiss cannot score), grouped into three panels by
+   * `unit % 3`. The oracle replays the per-unit staged truncated terms
+   * and the single final division in HUGEINT.
+   */
+  def krippendorffAlphaQ(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val ratings = t(dir, "documents").select(
+      expr("doc_id DIV 5").as("unit"),
+      expr("(doc_id DIV 5) % 3").as("panel"),
+      col("lang"))
+    graft.ops.Stats.krippendorffAlpha(ratings, Seq("panel"), "unit", "lang")
+  }
+
+  val krippendorffAlphaSql: String =
+    """WITH r AS (SELECT doc_id // 5 AS unit, (doc_id // 5) % 3 AS panel, lang FROM documents),
+       uc AS (SELECT panel, unit, lang, CAST(count(*) AS HUGEINT) AS k
+              FROM r GROUP BY 1, 2, 3),
+       u AS (SELECT panel, unit, sum(k) AS nu, sum(k * k) AS s2 FROM uc GROUP BY 1, 2),
+       t AS (SELECT panel,
+               sum(CASE WHEN nu >= 2 THEN (nu * nu - s2) * 1000000 // (nu - 1) ELSE 0 END) AS don,
+               sum(CASE WHEN nu >= 2 THEN nu ELSE 0 END) AS n,
+               sum(CASE WHEN nu >= 2 THEN 1 ELSE 0 END) AS n_units,
+               sum(CASE WHEN nu < 2 THEN 1 ELSE 0 END) AS n_single
+             FROM u GROUP BY 1),
+       ct AS (SELECT uc.panel, uc.lang, sum(uc.k) AS cj
+              FROM uc JOIN u ON uc.panel = u.panel AND uc.unit = u.unit
+              WHERE u.nu >= 2 GROUP BY 1, 2),
+       s AS (SELECT panel, sum(cj * cj) AS sc2 FROM ct GROUP BY 1)
+       SELECT t.panel, CAST(n_units AS BIGINT) AS n_units,
+              CAST(n_single AS BIGINT) AS n_single,
+              CAST(n AS BIGINT) AS n_ratings,
+              CAST(CASE WHEN n < 2 OR n * n = sc2 THEN NULL
+                   ELSE 1000000 - ((n - 1) * don) // (n * n - sc2)
+                   END AS BIGINT) AS alpha_ppm
+       FROM t LEFT JOIN s ON t.panel = s.panel"""
 }

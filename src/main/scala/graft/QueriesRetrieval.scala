@@ -1048,6 +1048,58 @@ private[graft] trait QueriesRetrieval extends QueryHelpers { this: QueryBattery 
        FROM r WHERE rk = 1"""
   }
 
+  /**
+   * `copeland_rank`: [[graft.ops.Retrieval.copelandRank]] over pairwise
+   * "judgments" derived from the event stream — each consecutive event
+   * pair per user (under the `(ts, event_id)` total order) compares two
+   * event types, the larger `value` winning and equal-or-null values a
+   * tie. The Copeland leaderboard (doubled so half-points stay integral)
+   * is the RLHF preference-log readout: which variant wins the most
+   * pairwise majorities, no Elo iteration, no floats. Oracle replays the
+   * lag pairing, the canonical cells and the side explode.
+   */
+  def copelandRankQ(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val prefs = events(dir)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .where(col("prev_type").isNotNull && col("prev_type") =!= col("event_type"))
+      .withColumn("winner",
+        when(col("value") > col("prev_value"), col("event_type"))
+          .when(col("value") < col("prev_value"), col("prev_type")))
+    graft.ops.Retrieval.copelandRank(prefs, Nil, "prev_type", "event_type", "winner")
+  }
+
+  val copelandRankSql: String =
+    """WITH p AS (
+         SELECT event_type,
+                lag(event_type) OVER w AS prev_type,
+                value,
+                lag(value) OVER w AS prev_value
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       j AS (SELECT prev_type, event_type,
+               CASE WHEN value > prev_value THEN event_type
+                    WHEN value < prev_value THEN prev_type END AS w
+             FROM p WHERE prev_type IS NOT NULL AND prev_type <> event_type),
+       cells AS (
+         SELECT least(prev_type, event_type) AS lo,
+                greatest(prev_type, event_type) AS hi,
+                sum(CASE WHEN w = least(prev_type, event_type) THEN 1 ELSE 0 END) AS wins_lo,
+                sum(CASE WHEN w = greatest(prev_type, event_type) THEN 1 ELSE 0 END) AS wins_hi
+         FROM j GROUP BY 1, 2),
+       sides AS (
+         SELECT lo AS item, wins_lo AS w, wins_hi AS l FROM cells
+         UNION ALL
+         SELECT hi, wins_hi, wins_lo FROM cells)
+       SELECT item, count(*) AS n_opponents,
+              CAST(sum(CASE WHEN w > l THEN 1 ELSE 0 END) AS BIGINT) AS beats,
+              CAST(sum(CASE WHEN w = l THEN 1 ELSE 0 END) AS BIGINT) AS pair_ties,
+              CAST(sum(CASE WHEN w < l THEN 1 ELSE 0 END) AS BIGINT) AS losses,
+              CAST(sum(CASE WHEN w > l THEN 2 WHEN w = l THEN 1 ELSE 0 END) AS BIGINT) AS copeland2
+       FROM sides GROUP BY item"""
+
   // =====================================================================
   // Registry
   // =====================================================================

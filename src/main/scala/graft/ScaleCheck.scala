@@ -44,7 +44,8 @@ object ScaleCheck {
     "connected_components", "audience_overlap",
     "pr_curve", "cuped_adjust", "gini_concentration", "theil_sen",
     "holt_forecast", "kaplan_meier", "mann_kendall", "changepoint",
-    "mantel_haenszel", "zipf_slope", "negative_samples")
+    "mantel_haenszel", "zipf_slope", "negative_samples",
+    "link_prediction", "copeland_rank", "krippendorff")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -824,6 +825,38 @@ object ScaleCheck {
       val n = bigDocs.count()
       ops.Retrieval.negativeSamples(bigDocs.select(col("doc_id")), "doc_id",
         k = 3, buckets = math.max(1L, n / 64L).toInt)
+    }
+    // wedge volume must track edges (cap x |E|), not degree^2: hosts stay
+    // 250 while each gains 20x the edges — the worst case for an uncapped
+    // wedge join, tamed by the center cap
+    time("link_prediction") {
+      val edges = bigDocs.select(
+        concat(lit("h"), (col("doc_id") % 250).cast("string")).as("src"),
+        concat(lit("h"), ((col("doc_id") * 7 + 13) % 997).cast("string")).as("dst"))
+      ops.Graphs.linkPrediction(edges, maxCenterDegree = 64)
+    }
+    // judgments grow 20x through the ONE user-keyed lag window (keys
+    // re-keyed to 20x, per-user history constant) then collapse to the
+    // pair-sized cell frame — item count constant
+    time("copeland_rank") {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val prefs = bigEvents
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+        .where(col("prev_type").isNotNull && col("prev_type") =!= col("event_type"))
+        .withColumn("winner",
+          when(col("value") > col("prev_value"), col("event_type"))
+            .when(col("value") < col("prev_value"), col("prev_type")))
+      ops.Retrieval.copelandRank(prefs, Nil, "prev_type", "event_type", "winner")
+    }
+    // ratings grow 20x through the linear agg pipeline; units grow 20x,
+    // per-unit collect bounded by the category count
+    time("krippendorff") {
+      ops.Stats.krippendorffAlpha(
+        bigDocs.select(expr("doc_id DIV 5").as("unit"),
+          expr("(doc_id DIV 5) % 3").as("panel"), col("lang")),
+        Seq("panel"), "unit", "lang")
     }
     spark.stop()
   }

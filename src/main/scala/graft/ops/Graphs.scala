@@ -501,4 +501,61 @@ object Graphs {
         coalesce(col("in_deg"), lit(0L)).as("in_deg"),
         coalesce(col("reciprocal"), lit(0L)).as("reciprocal"))
   }
+
+  /**
+   * Exact link-prediction scores for non-adjacent node pairs over the
+   * UNDIRECTED view of an edge list — the classic neighborhood heuristics
+   * (Liben-Nowell & Kleinberg 2003, the public formulation): which hosts
+   * SHOULD be linking but aren't (crawl-frontier candidates, related-domain
+   * suggestions, missing-citation screens)?
+   *
+   * Per candidate pair `(u, v)` with `u < v`, no existing edge, and at
+   * least one common neighbor:
+   *  - `cn` — common-neighbor count `|N(u) ∩ N(v)|`;
+   *  - `jaccard_ppm` — `cn * 1e6 DIV (deg_u + deg_v − cn)` (truncated —
+   *    exact integer, engine-reproducible);
+   *  - `pa` — preferential attachment `deg_u * deg_v`.
+   *
+   * `maxCenterDegree`: wedge enumeration is quadratic in the CENTER node's
+   * degree (a hub with a million neighbors implies ~5e11 candidate pairs),
+   * and a super-hub is also the weakest evidence — being co-linked from a
+   * portal front page says nothing, the same reason Adamic–Adar divides by
+   * log(deg). Centers above the cap contribute NO wedges (their edges
+   * still count toward `deg` and `jaccard`'s denominator); the cap is part
+   * of the operator's definition, so the oracle replays it digit-for-digit.
+   * Wedge volume is then ≤ cap · |E| — linear in edges at any skew.
+   *
+   * Plan: edge dedup (materialized once — degree agg and wedge join both
+   * read it) + node-degree agg + ONE adjacency self-join on the capped
+   * center + pair-count agg + an anti-join removing existing edges + two
+   * broadcast-eligible degree attaches. Every join is an equi-join on
+   * hash-partitionable keys; the only expansion is the capped wedge join.
+   */
+  def linkPrediction(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      maxCenterDegree: Int = 1000): DataFrame = {
+    require(maxCenterDegree >= 2, s"maxCenterDegree must be >= 2, got $maxCenterDegree")
+    val und = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("lo"), greatest(col("a"), col("b")).as("hi"))
+      .distinct()
+      .localCheckpoint(eager = true)
+    val adj = und.select(col("lo").as("ctr"), col("hi").as("nbr"))
+      .union(und.select(col("hi").as("ctr"), col("lo").as("nbr")))
+    val deg = adj.groupBy(col("ctr").as("id")).agg(count(lit(1)).as("degree"))
+    val centers = adj.join(
+      deg.where(col("degree") <= maxCenterDegree).select(col("id").as("ctr")), Seq("ctr"))
+    val w1 = centers.select(col("ctr"), col("nbr").as("u"))
+    val w2 = centers.select(col("ctr"), col("nbr").as("v"))
+    val cn = w1.join(w2, Seq("ctr")).where(col("u") < col("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("cn"))
+    cn.join(und, cn("u") === und("lo") && cn("v") === und("hi"), "left_anti")
+      .join(deg.select(col("id").as("u"), col("degree").as("deg_u")), Seq("u"))
+      .join(deg.select(col("id").as("v"), col("degree").as("deg_v")), Seq("v"))
+      .select(col("u"), col("v"), col("cn"), col("deg_u"), col("deg_v"),
+        expr("CAST(cn * 1000000 DIV (deg_u + deg_v - cn) AS BIGINT)").as("jaccard_ppm"),
+        (col("deg_u") * col("deg_v")).as("pa"))
+  }
 }

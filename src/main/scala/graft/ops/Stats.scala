@@ -1390,4 +1390,78 @@ object Stats {
       .select(groupCols.map(col) ++ Seq(
         col(s"__best.$valueCol").as("mode"),
         col("__best.__cnt").cast("long").as("mode_n")): _*)
+
+  /**
+   * Krippendorff's alpha (nominal) per group — the inter-annotator
+   * reliability coefficient that, unlike [[fleissKappa]], needs NO
+   * balanced panel: units may have any number of ratings (2 raters here,
+   * 5 there, raters anonymous), exactly the shape of real labeling
+   * campaigns where assignments overlap irregularly. Input is LONG form:
+   * one row per rating `(group, unit, category)`.
+   *
+   * With per-(unit, category) counts `n_uc`, unit totals `n_u` (units
+   * with `n_u >= 2`; single-rating units carry no agreement information
+   * and are counted in `n_single`), grand total `n = Σ n_u` and category
+   * totals `c_j`: observed disagreement `D_o = (1/n) Σ_u (n_u² − Σ_c
+   * n_uc²)/(n_u − 1)`, expected `D_e = (n² − Σ_j c_j²)/(n(n−1))`, and
+   * `alpha = 1 − D_o/D_e` (Krippendorff 2004, nominal metric — public
+   * formulation).
+   *
+   * Exact staged integers: each unit's term is
+   * `(n_u² − Σ n_uc²) · 1e6 DIV (n_u − 1)` — one truncated division per
+   * unit, flooring at most 1 micro-unit each (the [[graft.ops.Drift]]
+   * `chiSquareKx2` staged-truncation discipline), then
+   * `alpha_ppm = 1e6 − ((n−1) · Σ terms) DIV (n² − Σ c_j²)` — so the
+   * result is a pure integer function of the counts that replays
+   * digit-for-digit in any engine. Null when no unit has 2+ ratings or
+   * every rating lands in one category (`D_e = 0`). Null categories are
+   * a real category. DECIMAL(38,0) carries `n²·1e6` to ~1e15 ratings.
+   *
+   * Shape: ONE (group, unit, category) row-sized agg, a unit-sized agg
+   * (per-category counts collected — bounded by the category count), the
+   * [[fleissKappa]] posexplode trick so the (group, category) agg
+   * accumulates unit AND category sums in one pass, and a group-sized
+   * finisher. No joins.
+   */
+  def krippendorffAlpha(
+      df: DataFrame,
+      groupCols: Seq[String],
+      unitCol: String,
+      categoryCol: String): DataFrame = {
+    val g = groupCols.map(col)
+    val d38 = "DECIMAL(38,0)"
+    val uc = df.groupBy((g :+ col(unitCol).as("__unit") :+
+        col(categoryCol).as("__cat")): _*)
+      .agg(count(lit(1)).as("__k"))
+    val unit = uc.groupBy((g :+ col("__unit")): _*)
+      .agg(sum(col("__k")).cast(d38).as("__nu"),
+        sum(col("__k") * col("__k")).cast(d38).as("__s2"),
+        collect_list(struct(col("__cat").as("c"), col("__k").as("k"))).as("__cats"))
+      .withColumn("__term",
+        expr("CASE WHEN __nu >= 2 THEN (__nu * __nu - __s2) * 1000000 DIV (__nu - 1) " +
+          "ELSE CAST(0 AS DECIMAL(38,0)) END"))
+    val exploded = unit.select((g :+ col("__nu") :+ col("__term") :+
+      posexplode(col("__cats")).as(Seq("__pos", "__e"))): _*)
+    val byCat = exploded
+      .groupBy((g :+ col("__e.c").as("__cat")): _*)
+      .agg(sum(when(col("__nu") >= 2, col("__e.k")).otherwise(0L)).cast(d38).as("__cj"),
+        sum(when(col("__pos") === 0 && col("__nu") >= 2, col("__nu")).otherwise(0))
+          .cast(d38).as("__n"),
+        sum(when(col("__pos") === 0 && col("__nu") >= 2, 1L).otherwise(0L)).as("__units"),
+        sum(when(col("__pos") === 0 && col("__nu") < 2, 1L).otherwise(0L)).as("__singles"),
+        sum(when(col("__pos") === 0, col("__term")).otherwise(0)).cast(d38).as("__do"))
+    byCat.groupBy(g: _*)
+      .agg(sum(col("__cj") * col("__cj")).as("__sc2"),
+        sum(col("__n")).cast(d38).as("__nn"),
+        sum(col("__units")).as("n_units"),
+        sum(col("__singles")).as("n_single"),
+        sum(col("__do")).cast(d38).as("__don"))
+      .withColumn("n_ratings", col("__nn").cast("long"))
+      .withColumn("alpha_ppm",
+        expr("CAST(CASE WHEN __nn < 2 OR __nn * __nn = __sc2 THEN NULL " +
+          "ELSE 1000000 - ((__nn - 1) * __don) DIV (__nn * __nn - __sc2) " +
+          "END AS BIGINT)"))
+      .select((groupCols.map(col) ++ Seq(col("n_units"), col("n_single"),
+        col("n_ratings"), col("alpha_ppm"))): _*)
+  }
 }

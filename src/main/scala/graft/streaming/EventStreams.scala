@@ -508,6 +508,39 @@ object EventStreams {
   }
 
   /**
+   * S30 — windowed PREFERENCE cells, the streaming twin of
+   * [[graft.ops.Retrieval.preferenceCells]]: per (window, canonical
+   * pair) the exact `(wins_lo, wins_hi, ties)` judgment counts from a
+   * live preference/judgment stream (`itemA, itemB, winner`; winner
+   * null = tie, a winner matching neither item counts as a tie, self-
+   * pairs and null items drop — the batch law verbatim). Cells ADD per
+   * pair across windows/days, so any horizon finishes through
+   * [[graft.ops.Retrieval.copelandFromCells]] bit-identically to a
+   * batch leaderboard over the union — a LIVE RLHF preference
+   * leaderboard from three longs of state per (window, pair).
+   */
+  def preferenceCellsRollup(
+      judgments: DataFrame,
+      itemACol: String = "item_a",
+      itemBCol: String = "item_b",
+      winnerCol: String = "winner",
+      windowLength: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame = {
+    val (a, b, w) = (col(itemACol), col(itemBCol), col(winnerCol))
+    val agged = judgments
+      .where(col("ts").isNotNull && a.isNotNull && b.isNotNull && a =!= b)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength),
+        least(a, b).as("lo"), greatest(a, b).as("hi"))
+      .agg(
+        sum(when(w === least(a, b), 1L).otherwise(0L)).as("wins_lo"),
+        sum(when(w === greatest(a, b), 1L).otherwise(0L)).as("wins_hi"),
+        sum(when(w.isNull || (w =!= a && w =!= b), 1L).otherwise(0L)).as("ties"))
+    agged.select(col("window.start").as("window_start") +:
+      agged.columns.filterNot(_ == "window").map(col): _*)
+  }
+
+  /**
    * Streaming exact dedup on `idCol`: duplicates arriving within the
    * watermark horizon are dropped; the watermark bounds the id-set state.
    */

@@ -562,6 +562,14 @@ class PlanInvariantsSpec extends SparkTestBase {
     check("dow_strength", maxShuffles = 2)
     // ids distinct + bucket equi-join + (anchor, j) argmin agg
     check("negative_samples", maxShuffles = 4)
+    // edge dedup (checkpoint-hidden) + degree agg + capped wedge self-join
+    // + pair-count agg + anti-join + two degree attaches + top-100 sort
+    check("link_prediction", maxShuffles = 7)
+    // (panel, unit, cat) counts -> unit collect -> posexplode -> (panel,
+    // cat) -> panel finisher: the fleiss linear-agg pipeline, no join
+    check("krippendorff_alpha", maxShuffles = 4)
+    // user-keyed lag window + pair-cell agg + side-explode item agg
+    check("copeland_rank", maxShuffles = 3)
   }
 
   test("round-14 additions: agreement, calibration, privacy and web audits") {

@@ -296,4 +296,38 @@ class GraphsSpec extends SparkTestBase {
       .groupBy($"component").count().as[(Long, Long)].collect().toMap
     fams shouldBe Map(100L -> 3L, 500L -> 2L)
   }
+
+  test("linkPrediction: hand-computed cn/jaccard/pa on the diamond graph") {
+    // 1-2, 1-3, 2-3, 2-4, 3-4: the only non-adjacent pair is (1,4), with
+    // common neighbors {2, 3}; deg 1 = deg 4 = 2 -> jaccard = 2/(2+2-2) = 1
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("src", "dst")
+    val out = Graphs.linkPrediction(edges)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    out.toSeq shouldBe Seq((1L, 4L, 2L, 2L, 2L, 1000000L, 4L))
+  }
+
+  test("linkPrediction: existing edges never appear; duplicates/reversals dedup") {
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 2L), (1L, 3L)).toDF("src", "dst")
+    // path 2-1-3: candidate (2,3) via center 1; (1,2)/(1,3) are edges
+    val out = Graphs.linkPrediction(edges)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    out.toSeq shouldBe Seq((2L, 3L, 1L, 1L, 1L, 1000000L, 1L))
+  }
+
+  test("linkPrediction: centers above maxCenterDegree contribute no wedges") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("src", "dst")
+    // deg(2) = deg(3) = 3 > 2: the only wedge centers for (1,4) are capped out
+    Graphs.linkPrediction(edges, maxCenterDegree = 2).count() shouldBe 0L
+  }
+
+  test("linkPrediction: jaccard truncates; hub degree still counts in the denominator") {
+    // star 1-{2,3,4} plus 2-3: non-edges (2,4) and (3,4) share center 1 only;
+    // cn=1, deg2=2 (or deg3=2), deg4=1 -> jaccard = 1e6 DIV 2 = 500000
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L)).toDF("src", "dst")
+    val out = Graphs.linkPrediction(edges)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    out shouldBe Set(
+      (2L, 4L, 1L, 2L, 1L, 500000L, 2L),
+      (3L, 4L, 1L, 2L, 1L, 500000L, 2L))
+  }
 }

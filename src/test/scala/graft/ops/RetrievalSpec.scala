@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.testkit.SparkTestBase
+import org.apache.spark.sql.functions.sum
 
 class RetrievalSpec extends SparkTestBase {
   import spark.implicits._
@@ -205,5 +206,46 @@ class RetrievalSpec extends SparkTestBase {
     second.select("anchor", "negative")
       .join(positives, Seq("anchor", "negative"), "left_semi")
       .count() shouldBe 0L
+  }
+
+  test("copelandRank: hand-computed doubled scores over three items") {
+    // A beats B 2-1; C beats B 1-0 (one tie judgment); A-C is an exact tie
+    val prefs = Seq(
+      ("A", "B", Some("A")), ("A", "B", Some("A")), ("A", "B", Some("B")),
+      ("B", "C", Some("C")), ("B", "C", None),
+      ("A", "C", Some("A")), ("A", "C", Some("C"))).toDF("ia", "ib", "w")
+    val out = Retrieval.copelandRank(prefs, Nil, "ia", "ib", "w")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    out("A") shouldBe ((2L, 1L, 1L, 0L, 3L)) // beat B, tied C
+    out("B") shouldBe ((2L, 0L, 0L, 2L, 0L))
+    out("C") shouldBe ((2L, 1L, 1L, 0L, 3L)) // beat B, tied A
+  }
+
+  test("preferenceCells: reversed rows merge into one canonical cell") {
+    val prefs = Seq(
+      ("B", "A", Some("A")), ("A", "B", Some("A")), ("A", "B", Some("B")),
+      ("A", "B", Some("Z")), // winner matching neither item = tie
+      ("A", "A", Some("A")), // self-pair dropped
+      (null.asInstanceOf[String], "B", Some("B"))) // null item dropped
+      .toDF("ia", "ib", "w")
+    val cells = Retrieval.preferenceCells(prefs, Nil, "ia", "ib", "w")
+      .as[(String, String, Long, Long, Long)].collect()
+    cells.toSeq shouldBe Seq(("A", "B", 2L, 1L, 1L))
+  }
+
+  test("copelandFromCells re-rolls: daily cells sum to the all-time ranking") {
+    val day1 = Seq(("d1", "A", "B", Some("A")), ("d1", "A", "B", Some("B"))).toDF("d", "ia", "ib", "w")
+    val day2 = Seq(("d2", "A", "B", Some("A")), ("d2", "B", "C", Some("B"))).toDF("d", "ia", "ib", "w")
+    val daily = Retrieval.preferenceCells(day1.union(day2), Seq("d"), "ia", "ib", "w")
+    // merge daily cells by summing, then finish — must equal the direct build
+    val merged = daily.groupBy($"lo", $"hi")
+      .agg(sum($"wins_lo").as("wins_lo"), sum($"wins_hi").as("wins_hi"),
+        sum($"ties").as("ties"))
+    val reRolled = Retrieval.copelandFromCells(merged, Nil)
+      .orderBy($"item").collect().toSeq
+    val direct = Retrieval.copelandRank(day1.union(day2), Nil, "ia", "ib", "w")
+      .orderBy($"item").collect().toSeq
+    reRolled shouldBe direct
   }
 }

@@ -879,4 +879,48 @@ class StatsSpec extends SparkTestBase {
       got(t) shouldBe ((tp.toLong, fp.toLong, (pTot - tp).toLong))
     }
   }
+
+  private def alpha(rows: Seq[(String, Long, String)]) =
+    Stats.krippendorffAlpha(rows.toDF("g", "u", "c"), Seq("g"), "u", "c")
+      .as[(String, Long, Long, Long, Option[Long])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+
+  test("krippendorffAlpha: perfect agreement is 1e6, maximal disagreement -5e5") {
+    val out = alpha(Seq(
+      ("perf", 1L, "a"), ("perf", 1L, "a"), ("perf", 2L, "b"), ("perf", 2L, "b"),
+      ("anti", 1L, "a"), ("anti", 1L, "b"), ("anti", 2L, "a"), ("anti", 2L, "b")))
+    out("perf") shouldBe ((2L, 0L, 4L, Some(1000000L)))
+    // Do = 1, De = 2/3 -> alpha = -1/2 exactly
+    out("anti") shouldBe ((2L, 0L, 4L, Some(-500000L)))
+  }
+
+  test("krippendorffAlpha: unbalanced panel, hand-computed staged digits") {
+    // u1 (a,a), u2 (a,b,b), u3 (b) single -> excluded
+    // n=5, Do terms: 0 and (9-5)/2 = 2 -> sum_ppm 2e6; c_a=3 c_b=2,
+    // De_num = 25-13 = 12; alpha = 1e6 - (4*2e6) DIV 12 = 333334
+    // (exact alpha = 1/3; the subtracted term floors, so alpha rounds UP <= 1)
+    val out = alpha(Seq(
+      ("g", 1L, "a"), ("g", 1L, "a"),
+      ("g", 2L, "a"), ("g", 2L, "b"), ("g", 2L, "b"),
+      ("g", 3L, "b")))
+    out("g") shouldBe ((2L, 1L, 5L, Some(333334L)))
+  }
+
+  test("krippendorffAlpha: one category or no 2+-rated units yields null") {
+    val out = alpha(Seq(
+      ("one", 1L, "a"), ("one", 1L, "a"), ("one", 2L, "a"), ("one", 2L, "a"),
+      ("none", 1L, "a"), ("none", 2L, "b")))
+    out("one") shouldBe ((2L, 0L, 4L, None))
+    out("none") shouldBe ((0L, 2L, 0L, None))
+  }
+
+  test("krippendorffAlpha: null categories are a real category") {
+    val rows = Seq(
+      ("g", 1L, Some("a")), ("g", 1L, None),
+      ("g", 2L, Some("a")), ("g", 2L, None)).toDF("g", "u", "c")
+    val out = Stats.krippendorffAlpha(rows, Seq("g"), "u", "c")
+      .as[(String, Long, Long, Long, Option[Long])].collect().head
+    // both units split a/null identically: Do = 1, De = 2/3 -> -500000
+    out shouldBe (("g", 2L, 0L, 4L, Some(-500000L)))
+  }
 }

@@ -10,6 +10,9 @@ import graft.testkit.SparkTestBase
 /** Embedding-bearing stream row for the S15 semantic-dedup test. */
 case class VecDoc(docId: Long, ts: Timestamp, embedding: Seq[Float])
 
+/** Preference-judgment stream row for the S30 cells test. */
+case class Judgment(ts: Timestamp, itemA: String, itemB: String, winner: Option[String])
+
 class EventStreamsSpec extends SparkTestBase {
   import EventStreams._
   import spark.implicits._
@@ -1216,5 +1219,39 @@ class EventStreamsSpec extends SparkTestBase {
     val batch = graft.ops.Stats.olsFit(batchDf, Seq.empty, "x", "y")
       .as[(Long, Option[Long], Option[Long], Option[Long])].head()
     batch shouldBe merged
+  }
+
+  test("S30 preference cells: windowed judgments merge to the batch Copeland ranking") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Judgment]
+    val stream = in.toDF().toDF("ts", "item_a", "item_b", "winner")
+    val q = EventStreams.preferenceCellsRollup(stream,
+      windowLength = "10 minutes", watermark = "5 minutes")
+      .writeStream.format("memory").queryName("pref_out").outputMode("append").start()
+    val rows = Seq(
+      Judgment(ts(1), "A", "B", Some("A")),
+      Judgment(ts(2), "B", "A", Some("A")),  // reversed order, same cell
+      Judgment(ts(3), "A", "B", Some("B")),
+      Judgment(ts(4), "A", "C", None),       // tie judgment
+      Judgment(ts(15), "A", "B", Some("A")), // second window
+      Judgment(ts(16), "B", "C", Some("C")))
+    in.addData(rows: _*)
+    q.processAllAvailable()
+    in.addData(Judgment(ts(60), "X", "Y", Some("X"))) // advance watermark
+    runToCompletion(q)
+    val cells = spark.table("pref_out").where($"lo" =!= "X")
+    cells.select($"window_start").distinct().count() shouldBe 2L
+    val streamed = graft.ops.Retrieval.copelandFromCells(
+      cells.groupBy($"lo", $"hi")
+        .agg(org.apache.spark.sql.functions.sum($"wins_lo").as("wins_lo"),
+          org.apache.spark.sql.functions.sum($"wins_hi").as("wins_hi"),
+          org.apache.spark.sql.functions.sum($"ties").as("ties")),
+      Seq.empty).orderBy($"item")
+    val batch = graft.ops.Retrieval.copelandRank(
+      rows.take(6).map(j => (j.itemA, j.itemB, j.winner)).toDF("ia", "ib", "w"),
+      Seq.empty, "ia", "ib", "w").orderBy($"item")
+    streamed.collect().map(_.toSeq) shouldBe batch.collect().map(_.toSeq)
+    // hand check: A beat B 3-1 -> copeland2(A) = 2 (beat) + 1 (tie with C)
+    streamed.where($"item" === "A").select($"copeland2").as[Long].head() shouldBe 3L
   }
 }
