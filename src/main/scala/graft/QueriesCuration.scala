@@ -382,6 +382,95 @@ private[graft] trait QueriesCuration extends QueryHelpers { this: QueryBattery =
        FROM avail a JOIN tgt t USING (source), tot"""
 
   /**
+   * `temperature_mix`: [[graft.ops.TextAnalysis.sqrtMixWeights]] — the
+   * α = 1/2 temperature-sampling mixture over sources (`p_i ∝ √tokens_i`,
+   * the multilingual rebalancing law) in exact integers: the only
+   * temperature with a libm-free exact power ([[graft.ops.TextAnalysis
+   * .isqrt]]'s two-sided clamp), so natural share, sampled share and the
+   * head/tail boost all replay digit-for-digit in the oracle.
+   */
+  def temperatureMixQ(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val docs = t(dir, "documents").select(col("source"),
+      TextAnalysis.whitespaceTokenCount(col("text")).cast("long").as("n_tok"))
+    TextAnalysis.sqrtMixWeights(docs, "source", "n_tok")
+  }
+
+  val temperatureMixSql: String =
+    raw"""WITH d AS (
+         SELECT source,
+                cast(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) as bigint) AS n_tok
+         FROM documents),
+       avail AS (SELECT source, cast(sum(n_tok) as bigint) AS n_tokens FROM d GROUP BY source),
+       w0 AS (SELECT source, n_tokens,
+                cast(floor(sqrt(cast(n_tokens as double))) as bigint) AS a FROM avail),
+       w1 AS (SELECT source, n_tokens, CASE WHEN a * a > n_tokens THEN a - 1 ELSE a END AS a FROM w0),
+       sq AS (SELECT source, n_tokens,
+                CASE WHEN (a + 1) * (a + 1) <= n_tokens THEN a + 1 ELSE a END AS sqrt_tokens FROM w1),
+       tot AS (SELECT cast(sum(n_tokens) as hugeint) AS t,
+                      cast(sum(sqrt_tokens) as hugeint) AS st FROM sq),
+       sh AS (SELECT source, n_tokens, sqrt_tokens,
+                CASE WHEN t > 0 THEN cast(n_tokens as hugeint) * 1000000 // t END AS np,
+                CASE WHEN st > 0 THEN cast(sqrt_tokens as hugeint) * 1000000 // st END AS wp
+              FROM sq, tot)
+       SELECT source, n_tokens, sqrt_tokens,
+              cast(np as bigint) AS natural_ppm, cast(wp as bigint) AS weight_ppm,
+              cast(CASE WHEN np > 0 THEN wp * 100 // np END as bigint) AS boost_x100
+       FROM sh"""
+
+  /**
+   * `sketch_error`: [[graft.ops.Sketches.sketchErrorProfile]] — the
+   * sketch-accuracy eval that closes the quantile-sketch loop the way
+   * `ann_recall` closes ANN's: k = 128 KMV estimates vs the exact
+   * nearest-rank percentiles of event cents per type, signed error and
+   * relative ppm. Both the deterministic md5 sample and the exact
+   * percentile replay in SQL, so even the ERROR itself hash-matches.
+   */
+  def sketchErrorQ(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val ev = events(dir).select(col("event_type"), col("event_id"),
+      cents(col("value")).as("cents"))
+    graft.ops.Sketches.sketchErrorProfile(ev, "event_type", "event_id",
+      "cents", Seq(50, 90, 99), k = 128)
+  }
+
+  val sketchErrorSql: String =
+    """WITH e AS (SELECT event_type, event_id,
+                  CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events),
+       ranked AS (
+         SELECT event_type, cents,
+                row_number() OVER (PARTITION BY event_type
+                                   ORDER BY md5(cast(event_id AS varchar))) AS rn
+         FROM e WHERE cents IS NOT NULL),
+       s AS (SELECT event_type,
+               list_sort(list_filter(list(cents), x -> x IS NOT NULL)) AS vs
+             FROM ranked WHERE rn <= 128 GROUP BY event_type),
+       est AS (
+         SELECT event_type, 50 AS pct,
+                vs[greatest(cast(ceil(0.5 * len(vs)) AS int), 1)] AS est FROM s
+         UNION ALL
+         SELECT event_type, 90,
+                vs[greatest(cast(ceil(0.9 * len(vs)) AS int), 1)] FROM s
+         UNION ALL
+         SELECT event_type, 99,
+                vs[greatest(cast(ceil(0.99 * len(vs)) AS int), 1)] FROM s),
+       ex AS (
+         SELECT event_type, cents,
+                row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rk,
+                count(*) OVER (PARTITION BY event_type) AS n
+         FROM e WHERE cents IS NOT NULL),
+       exact AS (
+         SELECT event_type, p.pct, min(cents) AS exact
+         FROM ex, (SELECT unnest([50, 90, 99]) AS pct) p
+         WHERE rk = (n * p.pct + 99) // 100
+         GROUP BY 1, 2)
+       SELECT est.event_type, CAST(est.pct AS BIGINT) AS pct, est.est, exact.exact,
+              est.est - exact.exact AS err,
+              CAST(abs(CAST(est.est - exact.exact AS HUGEINT)) * 1000000
+                   // greatest(CAST(1 AS HUGEINT), abs(CAST(exact.exact AS HUGEINT))) AS BIGINT) AS abs_err_ppm
+       FROM est JOIN exact USING (event_type, pct)"""
+
+  /**
    * One Lloyd (k-means) update iteration over the deterministic IVF cells:
    * per (cell, dim) member count, exact fixed-point sum and floor-mean —
    * the whole step replays bit-for-bit in SQL.

@@ -1855,4 +1855,48 @@ private[graft] trait QueriesGraphsDq extends QueryHelpers { this: QueryBattery =
                    ELSE 1000000 - ((n - 1) * don) // (n * n - sc2)
                    END AS BIGINT) AS alpha_ppm
        FROM t LEFT JOIN s ON t.panel = s.panel"""
+
+  /**
+   * `bh_select`: [[graft.ops.Stats.benjaminiHochberg]] over a
+   * deterministic synthetic readout sheet — one "test" per document with
+   * an md5-derived p-value (every 11th doc planted small, the signal the
+   * step-up must find without admitting the uniform noise), grouped by
+   * source at α = 0.05. The full decision sheet (rank, m, significant)
+   * replays digit-for-digit: the md5 bucket, the `(p, id)` total-order
+   * rank and the cross-multiplied step-up cutoff are all exact integers.
+   */
+  def bhSelectQ(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    // inline twin of TextAnalysis.hashBucket (private[ops]): first 16
+    // md5 bits of "bh:<id>" — the library-wide sampling primitive
+    val b = conv(substring(md5(concat(lit("bh:"), col("doc_id").cast("string"))), 1, 4),
+      16, 10).cast("long")
+    val tests = t(dir, "documents").select(col("source"), col("doc_id"),
+      when(col("doc_id") % 11 === 0, b % 2000L + 1L)
+        .otherwise((b * 16L) % 1000000L + 1L).cast("long").as("p_ppm"))
+    graft.ops.Stats.benjaminiHochberg(tests, Seq("source"), "p_ppm", "doc_id",
+      alphaPpm = 50000L)
+  }
+
+  val bhSelectSql: String = {
+    val b = sqlHashBucket("doc_id", "bh")
+    s"""WITH tests AS (
+         SELECT source, doc_id,
+                CAST(CASE WHEN doc_id % 11 = 0 THEN $b % 2000 + 1
+                     ELSE ($b * 16) % 1000000 + 1 END AS BIGINT) AS p_ppm
+         FROM documents),
+       ranked AS (
+         SELECT source, doc_id, p_ppm,
+                row_number() OVER (PARTITION BY source ORDER BY p_ppm, doc_id) AS rank,
+                count(*) OVER (PARTITION BY source) AS n_tests
+         FROM tests),
+       cut AS (
+         SELECT source, max(rank) AS c FROM ranked
+         WHERE CAST(p_ppm AS HUGEINT) * n_tests <= 50000 * CAST(rank AS HUGEINT)
+         GROUP BY source)
+       SELECT r.source, r.doc_id, r.p_ppm, CAST(r.rank AS BIGINT) AS rank,
+              CAST(r.n_tests AS BIGINT) AS n_tests,
+              r.rank <= coalesce(c.c, 0) AS significant
+       FROM ranked r LEFT JOIN cut c ON r.source = c.source"""
+  }
 }

@@ -45,7 +45,7 @@ object ScaleCheck {
     "pr_curve", "cuped_adjust", "gini_concentration", "theil_sen",
     "holt_forecast", "kaplan_meier", "mann_kendall", "changepoint",
     "mantel_haenszel", "zipf_slope", "negative_samples",
-    "link_prediction", "copeland_rank", "krippendorff")
+    "link_prediction", "copeland_rank", "krippendorff", "bh_select")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -857,6 +857,17 @@ object ScaleCheck {
         bigDocs.select(expr("doc_id DIV 5").as("unit"),
           expr("(doc_id DIV 5) % 3").as("panel"), col("lang")),
         Seq("panel"), "unit", "lang")
+    }
+    // tests grow 20x through the range-partition rank scaffold; the m /
+    // cutoff frames stay group-sized
+    time("bh_select") {
+      val b = conv(substring(md5(concat(lit("bh:"), col("doc_id").cast("string"))), 1, 4),
+        16, 10).cast("long")
+      ops.Stats.benjaminiHochberg(
+        bigDocs.select(col("source"), col("doc_id"),
+          when(col("doc_id") % 11 === 0, b % 2000L + 1L)
+            .otherwise((b * 16L) % 1000000L + 1L).cast("long").as("p_ppm")),
+        Seq("source"), "p_ppm", "doc_id", 50000L)
     }
     spark.stop()
   }

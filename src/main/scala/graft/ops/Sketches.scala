@@ -116,6 +116,47 @@ object Sketches {
     element_at(values, greatest(ceil(lit(q) * size(values)), lit(1)).cast("int"))
   }
 
+  /**
+   * Sketch-accuracy evaluation — the quantile analogue of
+   * [[graft.ops.Similarity.annRecall]], closing the sketch family's loop:
+   * BEFORE trusting a k-sized [[quantileSketch]] for a production rollup,
+   * measure what its estimates actually miss by against
+   * [[exactPercentiles]]' ground truth on a slice you can afford to scan.
+   * An estimate that drifts past tolerance means k is too small for the
+   * value distribution (heavy tails need larger k at high percentiles).
+   *
+   * Per (group, pct): the sketch estimate, the exact nearest-rank value,
+   * the signed error in value units and `abs_err_ppm` relative to
+   * `max(1, |exact|)` (one truncated division — integer, engine-exact).
+   * Values must be integral (cents, micros — the exactness contract).
+   *
+   * Plan: the k-capped sketch agg (O(k) buffers, one sketch-row
+   * exchange) + the range-partition exact-percentile pass + ONE
+   * group-sized equi-join of (group, pct) frames.
+   */
+  def sketchErrorProfile(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      valueCol: String,
+      percentiles: Seq[Int],
+      k: Int = 128): DataFrame = {
+    require(percentiles.nonEmpty, "need at least one percentile")
+    val est = quantileSketch(df.where(col(valueCol).isNotNull),
+        Seq(groupCol), idCol, valueCol, k)
+      .select(col(groupCol), explode(array(percentiles.map(p =>
+        struct(lit(p.toLong).as("pct"),
+          quantileFromSketch(col("q_sample"), p / 100.0).as("est"))): _*)).as("__e"))
+      .select(col(groupCol), col("__e.pct").as("pct"), col("__e.est").as("est"))
+    val exact = exactPercentiles(df, groupCol, valueCol, percentiles)
+      .select(col(groupCol), col("pct"), col(valueCol).as("exact"))
+    est.join(exact, Seq(groupCol, "pct"))
+      .withColumn("err", col("est") - col("exact"))
+      .withColumn("abs_err_ppm",
+        expr("CAST(abs(CAST(err AS DECIMAL(38,0))) * 1000000 " +
+          "DIV greatest(CAST(1 AS DECIMAL(38,0)), abs(CAST(exact AS DECIMAL(38,0)))) AS BIGINT)"))
+  }
+
   // ---- heavy hitters (Misra-Gries) -------------------------------------
 
   /**

@@ -1464,4 +1464,55 @@ object Stats {
       .select((groupCols.map(col) ++ Seq(col("n_units"), col("n_single"),
         col("n_ratings"), col("alpha_ppm"))): _*)
   }
+
+  /**
+   * Benjamini–Hochberg FDR selection per group — the step-up procedure
+   * (Benjamini & Hochberg 1995, public formulation) that makes a
+   * 10,000-readout experiment platform honest: testing every metric ×
+   * segment at α = 0.05 "finds" 500 false effects, BH bounds the
+   * FALSE-DISCOVERY share instead. Tests carry p-values in ppm
+   * (`pPpmCol`; null p-values drop); within each group the tests are
+   * ranked ascending under the `(p, id)` total order, the cutoff is the
+   * LARGEST rank `i` with `p_i · m ≤ alphaPpm · i` (cross-multiplied —
+   * exact integers, no division anywhere), and every test at rank ≤
+   * cutoff is significant — including ties and non-monotone stragglers
+   * below it, the step-up property.
+   *
+   * Output: input group cols + `(idCol, p_ppm, rank, n_tests,
+   * significant)` — the full decision sheet, not just the survivors, so
+   * the caller audits the boundary.
+   *
+   * Shape: the [[graft.ops.TextAnalysis.withGroupRank]] range-partition
+   * rank (no one-reducer p-value window at any test count), ONE
+   * group-sized max-rank agg for `m`, ONE group-sized cutoff agg, two
+   * group-keyed equi-joins of group-sized frames.
+   */
+  def benjaminiHochberg(
+      df: DataFrame,
+      groupCols: Seq[String],
+      pPpmCol: String,
+      idCol: String,
+      alphaPpm: Long = 50000L): DataFrame = {
+    require(alphaPpm > 0 && alphaPpm <= 1000000L,
+      s"alphaPpm must be in (0, 1e6], got $alphaPpm")
+    val g = groupCols.map(col)
+    // materialized once: THREE consumers (the m agg, the cutoff agg and
+    // the final sheet) read the ranked frame, whose lineage is the whole
+    // range-partition rank scaffold
+    val ranked = TextAnalysis.withGroupRank(
+      df.where(col(pPpmCol).isNotNull), "rank", groupCols,
+      col(pPpmCol), col(idCol))
+      .localCheckpoint(true)
+    val m = ranked.groupBy(g: _*).agg(max(col("rank")).as("n_tests"))
+    val flagged = ranked.join(m, groupCols)
+      .withColumn("__cand",
+        col(pPpmCol).cast("DECIMAL(38,0)") * col("n_tests") <=
+          lit(alphaPpm) * col("rank").cast("DECIMAL(38,0)"))
+    val cutoff = flagged.where(col("__cand"))
+      .groupBy(g: _*).agg(max(col("rank")).as("__cut"))
+    flagged.join(cutoff, groupCols, "left")
+      .withColumn("significant", col("rank") <= coalesce(col("__cut"), lit(0L)))
+      .select((g :+ col(idCol) :+ col(pPpmCol) :+ col("rank") :+
+        col("n_tests") :+ col("significant")): _*)
+  }
 }

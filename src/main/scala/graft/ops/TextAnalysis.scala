@@ -1784,77 +1784,47 @@ object TextAnalysis {
   /**
    * Exact global 1-based rank in `order` — `row_number() OVER (ORDER BY
    * ...)` semantics WITHOUT its scale bug (a global window collapses the
-   * corpus onto ONE reducer): range-repartition by the order key, count
-   * rows per partition (partition-count rows — the only input any
-   * single-partition window sees), broadcast the running offsets back and
-   * add a per-partition row_number. `order` must be a TOTAL order
-   * (include a unique id as the last key) or ranks are partition-
-   * dependent. As in [[selectTokenBudget]], the ranged data is eagerly
-   * `localCheckpoint`ed before the two branches derive from it, so the
-   * sampled range boundaries — and with them every `__pid` — are
-   * physically frozen rather than trusted to exchange reuse.
+   * corpus onto ONE reducer): the rank is the running count of 1s in
+   * order, so this is [[graft.ops.Sketches.rangedCumSums]]' scan recipe
+   * verbatim — range-repartition by the order key (checkpoint-frozen
+   * shard ids), a per-partition linear scan for local ranks, broadcast
+   * per-shard offsets shifting them global. `order` must be a TOTAL
+   * order (include a unique id as the last key) or ranks are partition-
+   * dependent.
    */
   def withGlobalRank(
       df: org.apache.spark.sql.DataFrame,
       rankCol: String,
       order: Column*): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.functions.broadcast
     require(order.nonEmpty, "withGlobalRank needs at least one order column")
-    val ranged = df.repartitionByRange(order: _*).withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
-    val offsets = ranged.groupBy(col("__pid"))
-      .agg(count(lit(1)).as("__n"))
-      .withColumn("__offset",
-        coalesce(sum(col("__n")).over(
-          Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-      .select(col("__pid"), col("__offset"))
-    ranged.join(broadcast(offsets), Seq("__pid"))
-      .withColumn(rankCol,
-        (col("__offset") +
-          row_number().over(Window.partitionBy(col("__pid")).orderBy(order: _*))).cast("long"))
-      .drop("__pid", "__offset")
+    // rank = running count of 1s in order: the rangedCumSums scan recipe
+    // (round 16) — one range exchange + a per-partition linear scan, no
+    // second full-frame exchange to re-create the shard clustering
+    Sketches.rangedCumSums(df.withColumn("__rank_one", lit(1L)), Seq.empty,
+      order, cums = Seq("__rank_one" -> rankCol))
+      .drop("__rank_one")
   }
 
   /**
    * Exact PER-GROUP 1-based rank in `order` — `row_number() OVER
    * (PARTITION BY group ORDER BY ...)` semantics without forcing a hot
-   * group onto one reducer: the [[withGlobalRank]] recipe keyed
-   * `(group, order...)` (the [[selectTokenBudgetPerGroup]] pattern —
-   * range-repartition, per-(group, partition) counts, group-keyed
-   * running offsets over partition-count rows, per-(group, partition)
-   * row_number). A group hotter than one partition spreads across
-   * contiguous partitions. `order` must totally order rows WITHIN a
-   * group (end with a unique id) or ranks are partition-dependent.
+   * group onto one reducer: the [[withGlobalRank]] scan recipe keyed
+   * `(group, order...)`. A group hotter than one partition spreads
+   * across contiguous partitions. `order` must totally order rows
+   * WITHIN a group (end with a unique id) or ranks are
+   * partition-dependent.
    */
   def withGroupRank(
       df: org.apache.spark.sql.DataFrame,
       rankCol: String,
       groupCols: Seq[String],
       order: Column*): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.functions.broadcast
     require(groupCols.nonEmpty, "withGroupRank needs group columns (see withGlobalRank)")
     require(order.nonEmpty, "withGroupRank needs at least one order column")
-    val keys = groupCols.map(col) ++ order
-    val ranged = df.repartitionByRange(keys: _*)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
-    val offsets = ranged.groupBy((groupCols.map(col) :+ col("__pid")): _*)
-      .agg(count(lit(1)).as("__n"))
-      .withColumn("__offset",
-        coalesce(sum(col("__n")).over(
-          Window.partitionBy(groupCols.map(col): _*).orderBy(col("__pid"))
-            .rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-      .select((groupCols.map(col) :+ col("__pid") :+ col("__offset")): _*)
-    ranged.join(broadcast(offsets), groupCols :+ "__pid")
-      .withColumn(rankCol,
-        (col("__offset") + row_number().over(
-          Window.partitionBy((groupCols.map(col) :+ col("__pid")): _*)
-            .orderBy(order: _*))).cast("long"))
-      .drop("__pid", "__offset")
+    // same scan recipe as withGlobalRank, keyed (group, order...)
+    Sketches.rangedCumSums(df.withColumn("__rank_one", lit(1L)), groupCols,
+      order, cums = Seq("__rank_one" -> rankCol))
+      .drop("__rank_one")
   }
 
   /**
@@ -1912,6 +1882,58 @@ object TextAnalysis {
         .otherwise(
           expr("CAST((CAST(planned_tokens AS DECIMAL(38,0)) * 100 + avail_tokens - 1) DIV avail_tokens AS BIGINT)")))
       .drop("__total")
+  }
+
+  /**
+   * EXACT integer square root of a non-negative LONG column: the unique
+   * `w >= 0` with `w² <= t < (w+1)²`. Double `sqrt` alone is off by one
+   * near perfect squares above 2^52; one floor + a two-sided integer
+   * clamp repairs it, and because the clamp decides on pure integer
+   * comparisons the result replays digit-for-digit in any engine with
+   * the same three-step form. Null/negative inputs yield null.
+   */
+  def isqrt(t: Column): Column = {
+    val w0 = floor(sqrt(t.cast("double"))).cast("long")
+    val w1 = when(w0 * w0 > t, w0 - 1).otherwise(w0)
+    when(t.isNull || t < 0, lit(null).cast("long"))
+      .otherwise(when((w1 + 1) * (w1 + 1) <= t, w1 + 1).otherwise(w1))
+  }
+
+  /**
+   * Temperature-sampled mixture weights at α = 1/2 — the multilingual /
+   * multi-source rebalancing law (`p_i ∝ tokens_i^α`, the mBERT/XLM
+   * exponentiated-smoothing recipe, public formulation) in EXACT integer
+   * arithmetic: α = 1/2 is [[isqrt]], the one temperature that needs no
+   * libm `pow`, so the plan replays digit-for-digit cross-engine. Head
+   * strata (English, web crawl) shrink toward the tail without drowning
+   * it — the standard fix for "the 100 TB corpus is 90% one source".
+   *
+   * Per stratum: `n_tokens`, `sqrt_tokens`, the natural share
+   * `natural_ppm = n_tokens·1e6 DIV total` and the sampled share
+   * `weight_ppm = sqrt_tokens·1e6 DIV Σ sqrt_tokens`, plus
+   * `boost_x100 = weight_ppm·100 DIV natural_ppm` (>100 = up-sampled
+   * tail, <100 = down-sampled head; null when the natural share floors
+   * to 0 ppm). ONE stratum agg + a 1-row broadcast total — no collect.
+   */
+  def sqrtMixWeights(
+      df: org.apache.spark.sql.DataFrame,
+      stratumCol: String,
+      tokensCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val avail = df.groupBy(col(stratumCol))
+      .agg(sum(col(tokensCol)).cast("long").as("n_tokens"))
+      .withColumn("sqrt_tokens", isqrt(col("n_tokens")))
+    val total = broadcast(avail.agg(
+      sum(col("n_tokens")).cast("DECIMAL(38,0)").as("__t"),
+      sum(col("sqrt_tokens")).cast("DECIMAL(38,0)").as("__st")))
+    avail.crossJoin(total)
+      .withColumn("natural_ppm",
+        expr("CAST(CASE WHEN __t > 0 THEN CAST(n_tokens AS DECIMAL(38,0)) * 1000000 DIV __t END AS BIGINT)"))
+      .withColumn("weight_ppm",
+        expr("CAST(CASE WHEN __st > 0 THEN CAST(sqrt_tokens AS DECIMAL(38,0)) * 1000000 DIV __st END AS BIGINT)"))
+      .withColumn("boost_x100",
+        expr("CAST(CASE WHEN natural_ppm > 0 THEN CAST(weight_ppm AS DECIMAL(38,0)) * 100 DIV natural_ppm END AS BIGINT)"))
+      .drop("__t", "__st")
   }
 
   /**

@@ -570,6 +570,17 @@ class PlanInvariantsSpec extends SparkTestBase {
     check("krippendorff_alpha", maxShuffles = 4)
     // user-keyed lag window + pair-cell agg + side-explode item agg
     check("copeland_rank", maxShuffles = 3)
+    // withGroupRank scaffold (offsets agg + (group, pid) window exchange;
+    // range exchange checkpoint-hidden) + m agg + cutoff agg + two
+    // group-keyed joins of group-sized frames
+    check("bh_select", maxShuffles = 6)
+    // ONE source agg (appearing twice pre-reuse: the shares branch and the
+    // 1-row total both read it — the mix_plan shape); total is a broadcast
+    // BNLJ by construction
+    check("temperature_mix", maxShuffles = 2, maxBnlj = 1)
+    // k-capped sketch agg + the exact-percentile range scaffold + ONE
+    // (group, pct) equi-join of group-sized frames
+    check("sketch_error", maxShuffles = 6)
   }
 
   test("round-14 additions: agreement, calibration, privacy and web audits") {

@@ -451,4 +451,27 @@ class SketchesSpec extends SparkTestBase {
       Seq.empty, 64, 4))
     merged shouldBe direct
   }
+  test("sketchErrorProfile: a sketch holding the full group has zero error") {
+    val rows = (1L to 100L).map(v => ("g", v, v * 10)).toDF("g", "id", "cents")
+    val out = Sketches.sketchErrorProfile(rows, "g", "id", "cents",
+      Seq(50, 90, 99), k = 128)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._2 -> ((r._3, r._4, r._5, r._6))).toMap
+    out.keySet shouldBe Set(50L, 90L, 99L)
+    out.foreach { case (_, (est, exact, err, ppm)) =>
+      est shouldBe exact; err shouldBe 0L; ppm shouldBe 0L
+    }
+    out(50L)._2 shouldBe 500L // nearest-rank p50 of 10..1000 by 10
+  }
+
+  test("sketchErrorProfile: a small sketch reports its miss honestly") {
+    val rows = (1L to 1000L).map(v => ("g", v, v)).toDF("g", "id", "v")
+    val out = Sketches.sketchErrorProfile(rows, "g", "id", "v", Seq(50), k = 16)
+      .as[(String, Long, Long, Long, Long, Long)].collect().head
+    val (_, _, est, exact, err, ppm) = out
+    exact shouldBe 500L
+    err shouldBe (est - exact)
+    ppm shouldBe math.abs(err) * 1000000L / math.max(1L, math.abs(exact))
+  }
+
 }

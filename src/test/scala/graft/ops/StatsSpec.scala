@@ -923,4 +923,38 @@ class StatsSpec extends SparkTestBase {
     // both units split a/null identically: Do = 1, De = 2/3 -> -500000
     out shouldBe (("g", 2L, 0L, 4L, Some(-500000L)))
   }
+
+  private def bh(ps: Seq[Long], alphaPpm: Long) =
+    Stats.benjaminiHochberg(
+      ps.zipWithIndex.map { case (p, i) => ("g", i.toLong, p) }.toDF("g", "id", "p_ppm"),
+      Seq("g"), "p_ppm", "id", alphaPpm)
+      .as[(String, Long, Long, Long, Long, Boolean)]
+      .collect().map(r => r._3 -> ((r._4, r._5, r._6))).toMap
+
+  test("benjaminiHochberg: hand-computed cutoff at rank 4 of 10") {
+    // thresholds alpha*i/m = 5000*i: p4=20000 <= 20000 holds, p5=30000 > 25000
+    val out = bh(Seq(1000L, 8000L, 12000L, 20000L, 30000L,
+      200000L, 300000L, 400000L, 500000L, 600000L), alphaPpm = 50000L)
+    out(20000L) shouldBe ((4L, 10L, true))
+    out(30000L) shouldBe ((5L, 10L, false))
+    out(600000L) shouldBe ((10L, 10L, false))
+  }
+
+  test("benjaminiHochberg: step-up rescues a rank that individually fails") {
+    // i=2 fails (39000*3 > 50000*2) but i=3 passes (40000*3 <= 50000*3),
+    // so the cutoff is 3 and EVERYTHING below it is significant
+    val out = bh(Seq(10000L, 40000L, 39000L), alphaPpm = 50000L)
+    out.values.map(_._3).toSeq.distinct shouldBe Seq(true)
+  }
+
+  test("benjaminiHochberg: nothing passes -> all false; null p-values drop from m") {
+    val out = bh(Seq(900000L, 950000L), alphaPpm = 50000L)
+    out.values.map(_._3).toSet shouldBe Set(false)
+    val withNull = Seq(("g", 0L, Some(10000L)), ("g", 1L, None))
+      .toDF("g", "id", "p_ppm")
+    val res = Stats.benjaminiHochberg(withNull, Seq("g"), "p_ppm", "id", 50000L)
+      .as[(String, Long, Option[Long], Long, Long, Boolean)].collect()
+    res.length shouldBe 1
+    res.head._5 shouldBe 1L // m counts only non-null p-values
+  }
 }

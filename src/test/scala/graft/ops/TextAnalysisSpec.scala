@@ -1121,4 +1121,26 @@ class TextAnalysisSpec extends SparkTestBase {
     val slope = one.head(1).asInstanceOf[Long]
     slope should be < -500000L
   }
+  test("isqrt: exact at boundaries, including past the double-precision cliff") {
+    val t = Seq(0L, 1L, 2L, 3L, 4L, 8L, 9L,
+      (1L << 31) * (1L << 31),       // 2^62, a perfect square
+      (1L << 31) * (1L << 31) - 1,   // one below it
+      1000000007L * 1000000007L, 1000000007L * 1000000007L + 1)
+      .toDF("t").select(TextAnalysis.isqrt(col("t"))).as[Long].collect()
+    t.toSeq shouldBe Seq(0L, 1L, 1L, 1L, 2L, 2L, 3L,
+      1L << 31, (1L << 31) - 1, 1000000007L, 1000000007L)
+    Seq(Some(-1L), None).toDF("t").select(TextAnalysis.isqrt(col("t")))
+      .as[Option[Long]].collect().toSeq shouldBe Seq(None, None)
+  }
+
+  test("sqrtMixWeights: hand-computed shares, head down-sampled, tail boosted") {
+    val docs = (Seq.fill(9)(("A", 100L)) ++ Seq(("B", 100L))).toDF("src", "tok")
+    val out = TextAnalysis.sqrtMixWeights(docs, "src", "tok")
+      .as[(String, Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    // A: 900 tokens -> sqrt 30; B: 100 -> sqrt 10; total 1000 / 40
+    out("A") shouldBe ((900L, 30L, Some(900000L), Some(750000L), Some(83L)))
+    out("B") shouldBe ((100L, 10L, Some(100000L), Some(250000L), Some(250L)))
+  }
+
 }
