@@ -288,18 +288,19 @@ object Sketches {
    * both [[quantileSketch]] (approximate, mergeable) and Spark's
    * `percentile` aggregate (exact, but its buffer COLLECTS every value of
    * a group into one reducer — at 100 TB a 5-value group key means five
-   * reducers each holding a fifth of the corpus). Same recipe as the
-   * global-order operators (`withGlobalRank` family): range-repartition
-   * by `(group, value)`, eagerly localCheckpoint so every derived branch
-   * sees frozen partition boundaries, count rows per `(group, partition)`
-   * (a groups x partitions frame — the only input any single-partition
-   * window ever sees), broadcast running offsets back, and pick the rows
-   * whose in-group rank hits each percentile's NEAREST-RANK target
-   * `ceil(n * pct / 100)` (exact integer, no interpolation — interpolated
-   * definitions average in doubles, which the cross-engine exactness
-   * contract avoids; ties at the target rank share the same value, so the
-   * answer is partition-independent). Null values are dropped before
-   * ranking, like the sketch reader.
+   * reducers each holding a fifth of the corpus). Round 16: rows collapse
+   * to per-(group, value) COUNTS first (one map-side-combined exchange —
+   * a duplicate-heavy column shrinks to its distinct-value frame before
+   * anything else moves), then the running count comes from
+   * [[rangedCumSums]]' scan recipe, and the reported value is the
+   * smallest `v` whose cumulative count reaches the NEAREST-RANK target,
+   * decided by the CROSS-MULTIPLIED comparison `cum·100 >= total·pct`
+   * (⇔ `cum >= ceil(total·pct/100)` on integers — exact, no
+   * interpolation: interpolated definitions average in doubles, which
+   * the cross-engine exactness contract avoids). Null values drop, like
+   * the sketch reader. The weight-1 specialization of
+   * [[weightedPercentiles]], kept named because half the library reads
+   * through it.
    *
    * Output: `(groupCol, pct, value-column-named-after-valueCol)` — one
    * row per group per requested percentile.
@@ -308,40 +309,21 @@ object Sketches {
       df: DataFrame,
       groupCol: String,
       valueCol: String,
-      percentiles: Seq[Int],
-      numPartitions: Int = 0): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+      percentiles: Seq[Int]): DataFrame = {
     require(percentiles.nonEmpty, "need at least one percentile")
     require(percentiles.forall(p => p >= 1 && p <= 100),
       s"percentiles must be in [1,100], got $percentiles")
     require(percentiles.distinct.size == percentiles.size, "duplicate percentiles")
-    val base = df.select(col(groupCol), col(valueCol))
+    val counts = df.select(col(groupCol), col(valueCol))
       .where(col(valueCol).isNotNull)
-    val keys = Seq(col(groupCol), col(valueCol))
-    val ranged =
-      (if (numPartitions > 0) base.repartitionByRange(numPartitions, keys: _*)
-      else base.repartitionByRange(keys: _*))
-        .withColumn("__pid", spark_partition_id())
-        .localCheckpoint(true)
-    val counts = ranged.groupBy(col(groupCol), col("__pid"))
-      .agg(count(lit(1)).as("__n"))
-    val offsets = counts
-      .withColumn("__offset",
-        coalesce(sum(col("__n")).over(
-          Window.partitionBy(col(groupCol)).orderBy(col("__pid"))
-            .rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-      .select(col(groupCol), col("__pid"), col("__offset"))
-    val targets = counts.groupBy(col(groupCol)).agg(sum(col("__n")).as("__total"))
+      .groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("__cnt"))
+    rangedCumSums(counts, Seq(groupCol), Seq(col(valueCol)),
+      cums = Seq("__cnt" -> "__cum"), totals = Seq("__cnt" -> "__total"))
       .withColumn("pct", explode(typedLit(percentiles.map(_.toLong))))
-      .withColumn("__target", expr("(__total * pct + 99) DIV 100"))
-      .select(col(groupCol), col("pct"), col("__target"))
-    val wRow = Window.partitionBy(col(groupCol), col("__pid")).orderBy(col(valueCol))
-    ranged.join(broadcast(offsets), Seq(groupCol, "__pid"))
-      .withColumn("__rank", col("__offset") + row_number().over(wRow))
-      .join(broadcast(targets.withColumnRenamed(groupCol, "__g")),
-        col(groupCol) === col("__g") && col("__rank") === col("__target"))
-      .select(col(groupCol), col("pct"), col(valueCol))
+      .where(col("__cum") * 100 >= col("__total") * col("pct"))
+      .groupBy(col(groupCol), col("pct"))
+      .agg(min(col(valueCol)).as(valueCol))
   }
 
   // ---- bottom-k (KMV) SET sketches: intersection / Jaccard --------------

@@ -193,8 +193,7 @@ class SketchesSpec extends SparkTestBase {
       }
     }.toSet
     for (parts <- Seq(1, 4, 23)) {
-      val out = Sketches.exactPercentiles(df.repartition(parts), "g", "v", pcts,
-        numPartitions = parts)
+      val out = Sketches.exactPercentiles(df.repartition(parts), "g", "v", pcts)
         .as[(String, Long, Long)].collect().toSet
       withClue(s"parts=$parts") { out shouldBe naive }
     }
