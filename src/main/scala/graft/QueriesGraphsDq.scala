@@ -1899,4 +1899,38 @@ private[graft] trait QueriesGraphsDq extends QueryHelpers { this: QueryBattery =
               r.rank <= coalesce(c.c, 0) AS significant
        FROM ranked r LEFT JOIN cut c ON r.source = c.source"""
   }
+
+  /**
+   * `feature_bins`: [[graft.ops.Stats.featureBins]] — per-source
+   * equal-frequency length deciles of `n_chars` with the English rate per
+   * bin, the "is document length predictive of language" feature screen.
+   * The oracle replays the nearest-rank decile edges, the `value > edge`
+   * counting-chain bin law and the truncated rate division.
+   */
+  def featureBinsQ(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    graft.ops.Stats.featureBins(t(dir, "documents"), "source", "n_chars",
+      col("lang") === "en", nBins = 10)
+  }
+
+  val featureBinsSql: String =
+    """WITH d AS (SELECT source, n_chars AS f, lang = 'en' AS t
+                  FROM documents WHERE n_chars IS NOT NULL),
+       ranked AS (SELECT source, f,
+                    row_number() OVER (PARTITION BY source ORDER BY f) AS rk,
+                    count(*) OVER (PARTITION BY source) AS n
+                  FROM d),
+       edges AS (SELECT source, list_sort(list(f)) AS es
+                 FROM ranked, (SELECT unnest([10, 20, 30, 40, 50, 60, 70, 80, 90]) AS p) ps
+                 WHERE rk = (n * p + 99) // 100
+                 GROUP BY source),
+       binned AS (SELECT d.source,
+                    CAST(len(list_filter(es, e -> d.f > e)) AS BIGINT) AS bin,
+                    d.t
+                  FROM d JOIN edges ON d.source = edges.source)
+       SELECT source, bin, count(*) AS n,
+              CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+              CAST(CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS HUGEINT) * 1000000
+                   // count(*) AS BIGINT) AS pos_rate_ppm
+       FROM binned GROUP BY 1, 2"""
 }

@@ -1515,4 +1515,50 @@ object Stats {
       .select((g :+ col(idCol) :+ col(pPpmCol) :+ col("rank") :+
         col("n_tests") :+ col("significant")): _*)
   }
+
+  /**
+   * Equal-frequency feature binning with per-bin target rates — the
+   * feature-analysis readout behind every "is this signal worth training
+   * on" decision (and the log-free half of weight-of-evidence tables):
+   * cut the feature at its per-group nearest-rank quantiles
+   * ([[graft.ops.Sketches.exactPercentiles]] — `nBins` equal-POPULATION
+   * bins, not equal-width, so heavy-tailed features don't dump 95% of
+   * rows into bin 0), then count rows and target positives per bin.
+   * A monotone `pos_rate_ppm` across bins is the classic screen for a
+   * usable ordinal feature; a flat profile means the feature carries
+   * nothing.
+   *
+   * Bin law: `bin = |{edges e : value > e}|` with edges the p(100k/n)
+   * percentiles, k = 1..n−1 — values at or below an edge fall LEFT of it,
+   * a pure integer comparison chain that replays digit-for-digit (ties
+   * at an edge can make bins uneven — exactness over evenness, the
+   * nearest-rank discipline). Feature must be integral; null features
+   * drop, null targets count as false.
+   *
+   * Plan: the exactPercentiles counts-collapse pass for edges, ONE
+   * group-sized edge collect (n−1 entries), a broadcast edge attach and
+   * ONE (group, bin) agg — the row frame crosses one exchange.
+   */
+  def featureBins(
+      df: DataFrame,
+      groupCol: String,
+      featureCol: String,
+      target: Column,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2 && nBins <= 100 && 100 % nBins == 0,
+      s"nBins must divide 100 and be in [2,100], got $nBins")
+    val pcts = (1 until nBins).map(_ * (100 / nBins))
+    val edges = graft.ops.Sketches.exactPercentiles(df, groupCol, featureCol, pcts)
+      .groupBy(col(groupCol))
+      .agg(sort_array(collect_list(col(featureCol))).as("__edges"))
+    df.where(col(featureCol).isNotNull)
+      .join(broadcast(edges), Seq(groupCol))
+      .withColumn("bin",
+        aggregate(col("__edges"), lit(0L),
+          (acc, e) => acc + when(col(featureCol) > e, 1L).otherwise(0L)))
+      .groupBy(col(groupCol), col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(target, 1L).otherwise(0L)).as("n_pos"))
+      .withColumn("pos_rate_ppm", expr("n_pos * 1000000 DIV n"))
+  }
 }

@@ -581,6 +581,9 @@ class PlanInvariantsSpec extends SparkTestBase {
     // k-capped sketch agg + the exact-percentile range scaffold + ONE
     // (group, pct) equi-join of group-sized frames
     check("sketch_error", maxShuffles = 6)
+    // the exactPercentiles counts-collapse scaffold for edges + ONE
+    // group-sized edge collect + a broadcast edge attach + (group, bin) agg
+    check("feature_bins", maxShuffles = 6)
   }
 
   test("round-14 additions: agreement, calibration, privacy and web audits") {

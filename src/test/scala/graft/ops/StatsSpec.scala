@@ -947,6 +947,24 @@ class StatsSpec extends SparkTestBase {
     out.values.map(_._3).toSeq.distinct shouldBe Seq(true)
   }
 
+  test("featureBins: hand-computed quintiles, monotone target rate, edge ties left") {
+    val df = (1L to 10L).map(v => ("g", v, v > 6)).toDF("g", "f", "t")
+    val out = Stats.featureBins(df, "g", "f", col("t"), nBins = 5)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._2 -> ((r._3, r._4, r._5))).toMap
+    // edges = p20/40/60/80 of 1..10 -> 2,4,6,8; two values per bin
+    out.keySet shouldBe Set(0L, 1L, 2L, 3L, 4L)
+    out(0L) shouldBe ((2L, 0L, 0L))
+    out(2L) shouldBe ((2L, 0L, 0L))
+    out(3L) shouldBe ((2L, 2L, 1000000L))
+    out(4L) shouldBe ((2L, 2L, 1000000L))
+    // a constant feature degenerates to one bin holding everything
+    val const = Seq.fill(8)(("g", 5L, true)).toDF("g", "f", "t")
+    val one = Stats.featureBins(const, "g", "f", col("t"), nBins = 4)
+      .as[(String, Long, Long, Long, Long)].collect()
+    one.toSeq shouldBe Seq(("g", 0L, 8L, 8L, 1000000L))
+  }
+
   test("benjaminiHochberg: nothing passes -> all false; null p-values drop from m") {
     val out = bh(Seq(900000L, 950000L), alphaPpm = 50000L)
     out.values.map(_._3).toSet shouldBe Set(false)
