@@ -1933,4 +1933,59 @@ private[graft] trait QueriesGraphsDq extends QueryHelpers { this: QueryBattery =
               CAST(CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS HUGEINT) * 1000000
                    // count(*) AS BIGINT) AS pos_rate_ppm
        FROM binned GROUP BY 1, 2"""
+
+  /**
+   * `bootstrap_ci`: [[graft.ops.Stats.poissonBootstrapCI]] — the
+   * deterministic Poisson-bootstrap 5–95 band on mean event cents per
+   * type, 32 replicates drawn through the fixed λ=1 inverse-CDF table
+   * from `md5(boot:id:rep)`. The one bootstrap an oracle can replay:
+   * buckets, weights, truncated replicate means and the nearest-rank
+   * band all hash-match digit-for-digit.
+   */
+  def bootstrapCiQ(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val ev = events(dir).select(col("event_type"), col("event_id"),
+      cents(col("value")).as("cents"))
+    graft.ops.Stats.poissonBootstrapCI(ev, "event_type", "event_id", "cents",
+      b = 32, loPct = 5, hiPct = 95)
+  }
+
+  val bootstrapCiSql: String = {
+    // the block law: md5('boot:' || id || ':' || rep // 8), 16-bit slice
+    // at hex offset (rep % 8) * 4 — poissonWeightArray digit-for-digit
+    def digit(i: Int) =
+      s"(strpos('0123456789abcdef', substring(h, CAST((rep % 8) * 4 + $i AS INT), 1)) - 1)"
+    val bucket = s"(((${digit(1)} * 16 + ${digit(2)}) * 16 + ${digit(3)}) * 16 + ${digit(4)})"
+    val wTerms = graft.ops.Stats.PoissonCdf16
+      .map(t => s"(CASE WHEN bk >= $t THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH e AS (SELECT event_type, event_id,
+                  CAST(round(value * 100, 0) AS BIGINT) AS cents
+                FROM events WHERE value IS NOT NULL),
+       reps AS (SELECT event_type, event_id, cents, unnest(range(32)) AS rep FROM e),
+       hs AS (SELECT event_type, rep, cents,
+                md5('boot:' || event_id || ':' || (rep // 8)) AS h
+              FROM reps),
+       bks AS (SELECT event_type, rep, cents, $bucket AS bk FROM hs),
+       wts AS (SELECT event_type, rep, cents, ($wTerms) AS w FROM bks),
+       m AS (SELECT event_type, rep, CAST(sum(w) AS HUGEINT) AS nw,
+               CAST(sum(w * cents) AS HUGEINT) AS s
+             FROM wts GROUP BY 1, 2),
+       means AS (SELECT event_type,
+                   CAST(s * 1000000 // nw AS BIGINT) AS mean
+                 FROM m WHERE nw > 0),
+       ranked AS (SELECT event_type, mean,
+                    row_number() OVER (PARTITION BY event_type ORDER BY mean) AS rk,
+                    count(*) OVER (PARTITION BY event_type) AS nr
+                  FROM means),
+       ci AS (SELECT event_type,
+                max(CASE WHEN rk = (nr * 5 + 99) // 100 THEN mean END) AS ci_lo_micro,
+                max(CASE WHEN rk = (nr * 95 + 99) // 100 THEN mean END) AS ci_hi_micro
+              FROM ranked GROUP BY 1),
+       pt AS (SELECT event_type, count(*) AS n,
+                CAST(CAST(sum(CAST(cents AS HUGEINT)) AS HUGEINT) * 1000000
+                     // count(*) AS BIGINT) AS mean_micro
+              FROM e GROUP BY 1)
+       SELECT pt.event_type, pt.n, pt.mean_micro, ci.ci_lo_micro, ci.ci_hi_micro
+       FROM pt JOIN ci USING (event_type)"""
+  }
 }

@@ -45,7 +45,7 @@ object ScaleCheck {
     "pr_curve", "cuped_adjust", "gini_concentration", "theil_sen",
     "holt_forecast", "kaplan_meier", "mann_kendall", "changepoint",
     "mantel_haenszel", "zipf_slope", "negative_samples",
-    "link_prediction", "copeland_rank", "krippendorff", "bh_select")
+    "link_prediction", "copeland_rank", "krippendorff", "bh_select", "bootstrap_ci")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -61,11 +61,17 @@ object ScaleCheck {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    /** `factor` copies; ids re-keyed into disjoint ranges, timestamps kept. */
+    /** `factor` copies; ids re-keyed into disjoint ranges, timestamps kept.
+      * Repartitioned to the core count BEFORE the checkpoint (untimed):
+      * the tiny source parquet reads as ONE split, so without this every
+      * stage's pre-shuffle map work ran on one core — unrepresentative of
+      * any real input, which arrives in thousands of splits (round 16:
+      * the single-partition layout was inflating map-heavy stages ~10x). */
     def amplify(df: DataFrame, idCols: Seq[String], span: Long): DataFrame =
       df.withColumn("__copy", explode(sequence(lit(0), lit(factor - 1))))
         .select(df.columns.map(c =>
           (if (idCols.contains(c)) col(c) + col("__copy") * span else col(c)).as(c)): _*)
+        .repartition(cpus.toInt)
 
     // Optional comma-separated stage filter (same contract as Bench's
     // SPARK_GRAFT_ONLY): re-measure one stage's 1x/20x pair without paying
@@ -857,6 +863,15 @@ object ScaleCheck {
         bigDocs.select(expr("doc_id DIV 5").as("unit"),
           expr("(doc_id DIV 5) % 3").as("panel"), col("lang")),
         Seq("panel"), "unit", "lang")
+    }
+    // rows explode x32 but map-side-combine into ONE (group, rep)
+    // exchange — only groups x 32 x shards partials ever cross; the
+    // replicate-mean frame is groups x 32 rows at any data size
+    time("bootstrap_ci") {
+      ops.Stats.poissonBootstrapCI(
+        bigEvents.select(col("event_type"), col("event_id"),
+          (col("value") * 100).cast("long").as("cents")),
+        "event_type", "event_id", "cents", b = 32)
     }
     // tests grow 20x through the range-partition rank scaffold; the m /
     // cutoff frames stay group-sized

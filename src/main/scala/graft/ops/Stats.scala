@@ -1539,6 +1539,119 @@ object Stats {
    * group-sized edge collect (n−1 entries), a broadcast edge attach and
    * ONE (group, bin) agg — the row frame crosses one exchange.
    */
+  /**
+   * λ = 1 Poisson CDF thresholds scaled by 2^16 (floor) — the inverse-CDF
+   * table behind [[poissonBootstrapCI]]'s deterministic weight draw:
+   * a uniform 16-bit bucket `b` maps to weight `k = |{t in table : b >= t}|`
+   * (so P(k=0) ≈ e^−1, P(k=1) ≈ e^−1, ... — the exact Poisson(1) pmf to
+   * within 2^−16 per cell, capped at 7). FIXED integer constants, so the
+   * draw is a pure function of the md5 bucket and replays digit-for-digit
+   * in any engine — no `rand()`, no engine RNG law anywhere.
+   */
+  private[graft] val PoissonCdf16: Seq[Int] =
+    Seq(24109, 48219, 60282, 64291, 65296, 65497, 65530)
+
+  /**
+   * The `b` per-replicate Poisson(1) weights of one row as an
+   * `array<long>` — each 128-bit `md5(salt:id:block)` yields EIGHT
+   * independent 16-bit buckets (4 hex chars each), so `b` replicates
+   * cost `ceil(b/8)` hash evaluations per row, not `b`: the weight draw
+   * is hash-bound at scale and this is an 8× cut of the hot loop.
+   * Shared by [[poissonBootstrapCI]] and the S31 streaming twin so both
+   * draw the identical replicate sets.
+   */
+  private[graft] def poissonWeightArray(id: Column, b: Int, salt: String): Column = {
+    val nBlocks = (b + 7) / 8
+    // decode each 32-hex-char hash with THREE conv calls (12+12+8 chars ->
+    // 48/48/32-bit longs), then DIV/MOD out the eight 16-bit buckets —
+    // `conv`'s string machinery is the hot cost of the draw (a per-bucket
+    // conv measured ~30% slower); long values < 2^48 divide exactly in
+    // doubles, so the extraction is a pure integer function of the hex
+    val parts: Seq[Column] = (0 until nBlocks).flatMap { blk =>
+      val h = md5(concat(lit(s"$salt:"), id.cast("string"), lit(s":$blk")))
+      Seq(conv(substring(h, 1, 12), 16, 10).cast("long"),
+        conv(substring(h, 13, 12), 16, 10).cast("long"),
+        conv(substring(h, 25, 8), 16, 10).cast("long"))
+    }
+    def bucket(r: Int): Column = {
+      val blk = r / 8
+      val off = r % 8
+      val (p, shift) =
+        if (off < 3) (parts(blk * 3), 2 - off)
+        else if (off < 6) (parts(blk * 3 + 1), 5 - off)
+        else (parts(blk * 3 + 2), 7 - off)
+      ((p / math.pow(65536.0, shift).toLong).cast("long")) % 65536L
+    }
+    // UNCONDITIONAL boolean casts, not when-chains: codegen's subexpression
+    // elimination skips expressions inside conditional branches, so a
+    // CaseWhen form would re-evaluate the md5/conv per threshold
+    def weight(r: Int): Column =
+      PoissonCdf16.map(t => (bucket(r) >= t).cast("long")).reduce(_ + _)
+    array((0 until b).map(weight): _*)
+  }
+
+  /**
+   * Deterministic POISSON-BOOTSTRAP confidence interval per group — the
+   * assumption-free uncertainty readout the experiment/eval suite was
+   * missing: a mean difference without a CI invites shipping noise, and
+   * closed-form normal CIs lie on skewed metrics (revenue, latency).
+   * The Poisson bootstrap (the streaming-friendly resampling scheme:
+   * each row enters replicate `r` with weight ~ Poisson(1), independent
+   * per (row, replicate)) is the one bootstrap that needs NO global
+   * resample — and drawing the weights via [[poissonWeightArray]]
+   * (16-bit md5 slices through the fixed [[PoissonCdf16]] inverse-CDF
+   * table) makes every replicate a PURE FUNCTION of the data: re-runs,
+   * engines and the oracle agree on every digit, which no `rand()`
+   * bootstrap allows.
+   *
+   * Per group: `n`, the plain mean (`mean_micro`, truncated micro units),
+   * and the nearest-rank `loPct`/`hiPct` percentiles of the `b`
+   * replicate means (`ci_lo_micro`, `ci_hi_micro`). Values must be
+   * integral (cents, counts — the exactness contract); null values drop.
+   *
+   * Plan: ONE row-sized exchange — rows explode ×`b` replicates but the
+   * (group, rep) aggregation map-side-combines, so only groups × b ×
+   * shards partials ever cross; the replicate-mean frame (groups × b
+   * rows) rides [[graft.ops.Sketches.exactPercentiles]] and one
+   * group-sized join. The classic sort-the-resamples bootstrap ships
+   * the data B times; this ships partials.
+   */
+  def poissonBootstrapCI(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      valueCol: String,
+      b: Int = 32,
+      loPct: Int = 5,
+      hiPct: Int = 95,
+      salt: String = "boot"): DataFrame = {
+    require(b >= 8 && b <= 256, s"replicates must be in [8,256], got $b")
+    require(loPct >= 1 && hiPct <= 100 && loPct < hiPct,
+      s"need 1 <= loPct < hiPct <= 100, got $loPct/$hiPct")
+    val rows = df.select(col(groupCol), col(idCol), col(valueCol))
+      .where(col(valueCol).isNotNull)
+    val reps = rows
+      .withColumn("__wa", poissonWeightArray(col(idCol), b, salt))
+      .select(col(groupCol), col(valueCol),
+        posexplode(col("__wa")).as(Seq("rep", "__w")))
+      .groupBy(col(groupCol), col("rep"))
+      .agg(sum(col("__w")).cast("DECIMAL(38,0)").as("__n"),
+        sum(col("__w") * col(valueCol)).cast("DECIMAL(38,0)").as("__s"))
+      .withColumn("__mean",
+        expr("CAST(CASE WHEN __n > 0 THEN __s * 1000000 DIV __n END AS BIGINT)"))
+      .where(col("__mean").isNotNull)
+    val ci = graft.ops.Sketches.exactPercentiles(
+        reps, groupCol, "__mean", Seq(loPct, hiPct))
+      .groupBy(col(groupCol))
+      .agg(max(when(col("pct") === loPct, col("__mean"))).as("ci_lo_micro"),
+        max(when(col("pct") === hiPct, col("__mean"))).as("ci_hi_micro"))
+    val point = rows.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        expr(s"CAST(sum(CAST($valueCol AS DECIMAL(38,0))) * 1000000 " +
+          "DIV count(1) AS BIGINT)").as("mean_micro"))
+    point.join(ci, Seq(groupCol))
+  }
+
   def featureBins(
       df: DataFrame,
       groupCol: String,

@@ -541,6 +541,42 @@ object EventStreams {
   }
 
   /**
+   * S31 — windowed POISSON-BOOTSTRAP cells, the streaming twin of
+   * [[graft.ops.Stats.poissonBootstrapCI]]'s feed: per (window, group,
+   * replicate) the exact `(nw, s)` weighted sums in DECIMAL(38,0), the
+   * replicate weights drawn by [[graft.ops.Stats.poissonWeightArray]]
+   * (16-bit md5 slices through the fixed λ=1 inverse-CDF table) — a pure
+   * function of the ids, so cells ADD element-wise across windows/days
+   * and any horizon finishes to replicate means (then the nearest-rank
+   * CI band) bit-identically to a batch bootstrap over the union: LIVE
+   * confidence intervals on a streaming metric from `2·b` decimals of
+   * state per (window, group). Null values drop (the batch law).
+   */
+  def bootstrapCellsRollup(
+      events: DataFrame,
+      groupCol: String = "event_type",
+      idCol: String = "event_id",
+      valueCol: String = "value_units",
+      b: Int = 32,
+      salt: String = "boot",
+      windowLength: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame = {
+    require(b >= 8 && b <= 256, s"replicates must be in [8,256], got $b")
+    val d38 = "DECIMAL(38,0)"
+    val agged = events
+      .where(col("ts").isNotNull && col(valueCol).isNotNull)
+      .withColumn("__wa", graft.ops.Stats.poissonWeightArray(col(idCol), b, salt))
+      .select(col("ts"), col(groupCol), col(valueCol),
+        posexplode(col("__wa")).as(Seq("rep", "__w")))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength), col(groupCol), col("rep"))
+      .agg(sum(col("__w")).cast(d38).as("nw"),
+        sum(col("__w") * col(valueCol)).cast(d38).as("s"))
+    agged.select(col("window.start").as("window_start") +:
+      agged.columns.filterNot(_ == "window").map(col): _*)
+  }
+
+  /**
    * Streaming exact dedup on `idCol`: duplicates arriving within the
    * watermark horizon are dropped; the watermark bounds the id-set state.
    */

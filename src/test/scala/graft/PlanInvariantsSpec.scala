@@ -584,6 +584,9 @@ class PlanInvariantsSpec extends SparkTestBase {
     // the exactPercentiles counts-collapse scaffold for edges + ONE
     // group-sized edge collect + a broadcast edge attach + (group, bin) agg
     check("feature_bins", maxShuffles = 6)
+    // explode x32 map-side-combines into ONE (group, rep) exchange; the
+    // groups x b mean frame rides the percentile scaffold + point-mean agg
+    check("bootstrap_ci", maxShuffles = 7)
   }
 
   test("round-14 additions: agreement, calibration, privacy and web audits") {

@@ -947,6 +947,35 @@ class StatsSpec extends SparkTestBase {
     out.values.map(_._3).toSeq.distinct shouldBe Seq(true)
   }
 
+  test("poissonBootstrapCI: deterministic, partition-pure, CI brackets the point mean") {
+    val df = (1L to 200L).map(v => ("g", v, v * 100))
+    def go(parts: Int) =
+      Stats.poissonBootstrapCI(df.toDF("g", "id", "cents").repartition(parts),
+        "g", "id", "cents", b = 32)
+        .as[(String, Long, Long, Long, Long)].collect().head
+    val one = go(1)
+    one shouldBe go(16) // pure function of the data, not the layout
+    val (_, n, mean, lo, hi) = one
+    n shouldBe 200L
+    mean shouldBe 10050000000L // exact micro mean of 100..20000 cents
+    lo should be <= hi
+    // resampled means of a 1..200 uniform sample stay inside the range
+    lo should be > 100L * 1000000L / 100L
+    hi should be < 20000L * 1000000L
+    // and the 5-95 band brackets the point estimate on this sample
+    lo should be <= mean
+    hi should be >= mean
+  }
+
+  test("poissonBootstrapCI: a fresh salt draws a different replicate set") {
+    val df = (1L to 100L).map(v => ("g", v, v)).toDF("g", "id", "v")
+    val a = Stats.poissonBootstrapCI(df, "g", "id", "v", b = 16)
+      .select($"ci_lo_micro", $"ci_hi_micro").as[(Long, Long)].head()
+    val c = Stats.poissonBootstrapCI(df, "g", "id", "v", b = 16, salt = "boot2")
+      .select($"ci_lo_micro", $"ci_hi_micro").as[(Long, Long)].head()
+    a should not be c
+  }
+
   test("featureBins: hand-computed quintiles, monotone target rate, edge ties left") {
     val df = (1L to 10L).map(v => ("g", v, v > 6)).toDF("g", "f", "t")
     val out = Stats.featureBins(df, "g", "f", col("t"), nBins = 5)

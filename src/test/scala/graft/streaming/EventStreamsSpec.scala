@@ -1254,4 +1254,39 @@ class EventStreamsSpec extends SparkTestBase {
     // hand check: A beat B 3-1 -> copeland2(A) = 2 (beat) + 1 (tie with C)
     streamed.where($"item" === "A").select($"copeland2").as[Long].head() shouldBe 3L
   }
+
+  test("S31 bootstrap cells: windowed replicate sums merge to the batch CI") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Event]
+    val stream = asContract(in.toDF())
+      .withColumn("value_units", ($"value" * 100).cast("long"))
+    val q = EventStreams.bootstrapCellsRollup(stream, b = 16,
+      windowLength = "10 minutes", watermark = "5 minutes")
+      .writeStream.format("memory").queryName("boot_out").outputMode("append").start()
+    val rows = (1 to 30).map(i =>
+      Event(i.toLong, ts(if (i <= 15) i else i + 5), 10, "click", i.toDouble))
+    in.addData(rows: _*)
+    q.processAllAvailable()
+    in.addData(Event(99, ts(90), 15, "purchase", 1.0)) // advance watermark
+    runToCompletion(q)
+    val cells = spark.table("boot_out").where($"event_type" === "click")
+    cells.select($"window_start").distinct().count() should be >= 2L
+    // cells ADD per (group, rep) across windows, then the finished
+    // replicate means equal a batch bootstrap over the union
+    val streamedMeans = cells.groupBy($"event_type", $"rep")
+      .agg(org.apache.spark.sql.functions.sum($"nw").as("nw"),
+        org.apache.spark.sql.functions.sum($"s").as("s"))
+      .where($"nw" > 0)
+      .selectExpr("event_type", "rep", "CAST(s * 1000000 DIV nw AS BIGINT) AS mean")
+      .orderBy($"rep")
+    val batch = graft.ops.Stats.poissonBootstrapCI(
+      rows.map(e => ("click", e.eventId, (e.value * 100).toLong))
+        .toDF("event_type", "event_id", "value_units"),
+      "event_type", "event_id", "value_units", b = 16)
+      .select($"ci_lo_micro", $"ci_hi_micro").as[(Long, Long)].head()
+    val means = streamedMeans.select($"mean").as[Long].collect().sorted
+    // nearest-rank 5/95 band over the 16 merged replicate means
+    means(math.max(1, (means.length * 5 + 99) / 100) - 1) shouldBe batch._1
+    means((means.length * 95 + 99) / 100 - 1) shouldBe batch._2
+  }
 }
