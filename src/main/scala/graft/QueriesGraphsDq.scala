@@ -1935,6 +1935,37 @@ private[graft] trait QueriesGraphsDq extends QueryHelpers { this: QueryBattery =
        FROM binned GROUP BY 1, 2"""
 
   /**
+   * `qte_readout`: [[graft.ops.Stats.quantileTreatmentEffects]] — the
+   * distributional A/B readout on event cents per type (even/odd users as
+   * arms): exact nearest-rank `Q_treat − Q_control` at p10/25/50/75/90,
+   * the effect a mean lift hides when only a tail moves. Both percentile
+   * passes and the join replay digit-for-digit.
+   */
+  def qteReadout(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val ev = events(dir).select(col("event_type"), cents(col("value")).as("cents"),
+      (col("user_id") % 2 === 0).as("in_t"))
+    graft.ops.Stats.quantileTreatmentEffects(ev, "event_type", "cents", col("in_t"))
+  }
+
+  val qteReadoutSql: String =
+    """WITH e AS (SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS cents,
+                  user_id % 2 = 0 AS in_t
+                FROM events WHERE value IS NOT NULL),
+       r AS (SELECT event_type, in_t, cents,
+               row_number() OVER (PARTITION BY event_type, in_t ORDER BY cents) AS rk,
+               count(*) OVER (PARTITION BY event_type, in_t) AS n
+             FROM e),
+       q AS (SELECT event_type, in_t, p.pct, min(cents) AS v
+             FROM r, (SELECT unnest([10, 25, 50, 75, 90]) AS pct) p
+             WHERE rk = (n * p.pct + 99) // 100
+             GROUP BY 1, 2, 3)
+       SELECT t.event_type, CAST(t.pct AS BIGINT) AS pct,
+              t.v AS treat, c.v AS control, t.v - c.v AS qte
+       FROM q t JOIN q c ON t.event_type = c.event_type AND t.pct = c.pct
+       WHERE t.in_t AND NOT c.in_t"""
+
+  /**
    * `bootstrap_ci`: [[graft.ops.Stats.poissonBootstrapCI]] — the
    * deterministic Poisson-bootstrap 5–95 band on mean event cents per
    * type, 32 replicates drawn through the fixed λ=1 inverse-CDF table

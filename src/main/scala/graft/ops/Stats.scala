@@ -1652,6 +1652,39 @@ object Stats {
     point.join(ci, Seq(groupCol))
   }
 
+  /**
+   * Quantile treatment effects per group — the DISTRIBUTIONAL A/B readout
+   * beside [[cupedAdjust]]'s mean lift: a treatment that moves the median
+   * nothing but fattens the p90 tail (latency regressions, whale-revenue
+   * effects) is invisible to every mean-based readout and is exactly what
+   * `QTE(p) = Q_treat(p) − Q_control(p)` surfaces. Built on
+   * [[graft.ops.Sketches.exactPercentiles]] per arm (nearest-rank, exact
+   * integers — so the whole readout replays digit-for-digit), joined per
+   * (group, pct); groups missing an arm drop (no one-sided effect rows).
+   * `inTreat` labels each row's arm; null labels and null values drop.
+   *
+   * Output: `(group, pct, treat, control, qte)` in the value column's
+   * units. Two counts-collapse percentile passes (each one row-sized
+   * map-side-combined exchange + the scan recipe) + ONE group-sized
+   * equi-join.
+   */
+  def quantileTreatmentEffects(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      inTreat: Column,
+      percentiles: Seq[Int] = Seq(10, 25, 50, 75, 90)): DataFrame = {
+    val base = df.where(inTreat.isNotNull && col(valueCol).isNotNull)
+    val t = graft.ops.Sketches.exactPercentiles(
+        base.where(inTreat), groupCol, valueCol, percentiles)
+      .select(col(groupCol), col("pct"), col(valueCol).as("treat"))
+    val c = graft.ops.Sketches.exactPercentiles(
+        base.where(!inTreat), groupCol, valueCol, percentiles)
+      .select(col(groupCol), col("pct"), col(valueCol).as("control"))
+    t.join(c, Seq(groupCol, "pct"))
+      .withColumn("qte", col("treat") - col("control"))
+  }
+
   def featureBins(
       df: DataFrame,
       groupCol: String,

@@ -587,6 +587,8 @@ class PlanInvariantsSpec extends SparkTestBase {
     // explode x32 map-side-combines into ONE (group, rep) exchange; the
     // groups x b mean frame rides the percentile scaffold + point-mean agg
     check("bootstrap_ci", maxShuffles = 7)
+    // two per-arm counts-collapse percentile passes + one group-sized join
+    check("qte_readout", maxShuffles = 9)
   }
 
   test("round-14 additions: agreement, calibration, privacy and web audits") {

@@ -947,6 +947,19 @@ class StatsSpec extends SparkTestBase {
     out.values.map(_._3).toSeq.distinct shouldBe Seq(true)
   }
 
+  test("quantileTreatmentEffects: hand-computed per-quantile shifts; one-armed groups drop") {
+    val rows = (1L to 10L).map(v => ("g", v, true)) ++
+      (11L to 20L).map(v => ("g", v, false)) ++
+      (1L to 5L).map(v => ("lone", v, true)) // no control arm
+    val out = Stats.quantileTreatmentEffects(
+      rows.toDF("g", "v", "t"), "g", "v", col("t"), Seq(50, 90))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    out.keySet shouldBe Set(("g", 50L), ("g", 90L))
+    out(("g", 50L)) shouldBe ((5L, 15L, -10L)) // nearest-rank p50 of 1..10 vs 11..20
+    out(("g", 90L)) shouldBe ((9L, 19L, -10L))
+  }
+
   test("poissonBootstrapCI: deterministic, partition-pure, CI brackets the point mean") {
     val df = (1L to 200L).map(v => ("g", v, v * 100))
     def go(parts: Int) =
