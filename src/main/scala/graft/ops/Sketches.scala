@@ -464,6 +464,10 @@ object Sketches {
    * (the scan accumulates in BigDecimal — exact, no overflow), integral
    * sources come back LONG (so callers must pre-cast to DECIMAL(38,0)
    * themselves when a long running sum could overflow, as all do).
+   * Group columns must be scalar (no ARRAY/MAP/BINARY/STRUCT): the scan
+   * detects group changes by value equality on the raw row slots, and
+   * array/binary slots compare by REFERENCE there — the accumulator
+   * would never reset and every running sum would silently be wrong.
    */
   def rangedCumSums(
       df: DataFrame,
@@ -476,6 +480,18 @@ object Sketches {
     import org.apache.spark.sql.{Encoders, Row}
     require(order.nonEmpty, "rangedCumSums needs order columns")
     require(cums.nonEmpty, "rangedCumSums needs at least one running-sum column")
+    groupCols.foreach { g =>
+      val dt = df.schema(g).dataType
+      require(dt match {
+        case _: org.apache.spark.sql.types.ArrayType |
+             _: org.apache.spark.sql.types.MapType |
+             _: StructType |
+             org.apache.spark.sql.types.BinaryType => false
+        case _ => true
+      }, s"rangedCumSums group column '$g' has non-scalar type ${dt.sql}: " +
+        "the per-partition scan's group-change check compares raw row " +
+        "values, and array/map/binary/struct slots compare by reference")
+    }
     val gCols = groupCols.map(col)
     val ranged = df.repartitionByRange((gCols ++ order): _*)
       .sortWithinPartitions((gCols ++ order): _*)

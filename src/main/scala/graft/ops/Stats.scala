@@ -1517,29 +1517,6 @@ object Stats {
   }
 
   /**
-   * Equal-frequency feature binning with per-bin target rates — the
-   * feature-analysis readout behind every "is this signal worth training
-   * on" decision (and the log-free half of weight-of-evidence tables):
-   * cut the feature at its per-group nearest-rank quantiles
-   * ([[graft.ops.Sketches.exactPercentiles]] — `nBins` equal-POPULATION
-   * bins, not equal-width, so heavy-tailed features don't dump 95% of
-   * rows into bin 0), then count rows and target positives per bin.
-   * A monotone `pos_rate_ppm` across bins is the classic screen for a
-   * usable ordinal feature; a flat profile means the feature carries
-   * nothing.
-   *
-   * Bin law: `bin = |{edges e : value > e}|` with edges the p(100k/n)
-   * percentiles, k = 1..n−1 — values at or below an edge fall LEFT of it,
-   * a pure integer comparison chain that replays digit-for-digit (ties
-   * at an edge can make bins uneven — exactness over evenness, the
-   * nearest-rank discipline). Feature must be integral; null features
-   * drop, null targets count as false.
-   *
-   * Plan: the exactPercentiles counts-collapse pass for edges, ONE
-   * group-sized edge collect (n−1 entries), a broadcast edge attach and
-   * ONE (group, bin) agg — the row frame crosses one exchange.
-   */
-  /**
    * λ = 1 Poisson CDF thresholds scaled by 2^16 (floor) — the inverse-CDF
    * table behind [[poissonBootstrapCI]]'s deterministic weight draw:
    * a uniform 16-bit bucket `b` maps to weight `k = |{t in table : b >= t}|`
@@ -1549,18 +1526,30 @@ object Stats {
    * in any engine — no `rand()`, no engine RNG law anywhere.
    */
   private[graft] val PoissonCdf16: Seq[Int] =
-    Seq(24109, 48219, 60282, 64291, 65296, 65497, 65530)
+    graft.functions.PoissonDraw.Cdf16.toSeq
 
   /**
    * The `b` per-replicate Poisson(1) weights of one row as an
    * `array<long>` — each 128-bit `md5(salt:id:block)` yields EIGHT
    * independent 16-bit buckets (4 hex chars each), so `b` replicates
-   * cost `ceil(b/8)` hash evaluations per row, not `b`: the weight draw
-   * is hash-bound at scale and this is an 8× cut of the hot loop.
-   * Shared by [[poissonBootstrapCI]] and the S31 streaming twin so both
-   * draw the identical replicate sets.
+   * cost `ceil(b/8)` hash evaluations per row, not `b`. Shared by
+   * [[poissonBootstrapCI]] and the S31 streaming twin so both draw the
+   * identical replicate sets. Since round 17 this is the NATIVE
+   * [[graft.functions.PoissonDraw]] kernel (one digest per block, buckets
+   * read straight from the digest bytes); [[poissonWeightArrayComposed]]
+   * keeps the original built-in-expression formulation, spec-pinned
+   * element-identical, as the cross-engine statement of the law.
    */
-  private[graft] def poissonWeightArray(id: Column, b: Int, salt: String): Column = {
+  private[graft] def poissonWeightArray(id: Column, b: Int, salt: String): Column =
+    graft.functions.PoissonWeights.column(id.cast("string"), b, salt)
+
+  /**
+   * The composed-builtin twin of [[poissonWeightArray]] — the md5-hex /
+   * `conv` formulation the DuckDB oracle mirrors. Kept for the kernel
+   * parity spec; the `conv` string machinery made it the battery's
+   * hottest per-row loop, which is why the kernel exists.
+   */
+  private[graft] def poissonWeightArrayComposed(id: Column, b: Int, salt: String): Column = {
     val nBlocks = (b + 7) / 8
     // decode each 32-hex-char hash with THREE conv calls (12+12+8 chars ->
     // 48/48/32-bit longs), then DIV/MOD out the eight 16-bit buckets —
@@ -1685,6 +1674,29 @@ object Stats {
       .withColumn("qte", col("treat") - col("control"))
   }
 
+  /**
+   * Equal-frequency feature binning with per-bin target rates — the
+   * feature-analysis readout behind every "is this signal worth training
+   * on" decision (and the log-free half of weight-of-evidence tables):
+   * cut the feature at its per-group nearest-rank quantiles
+   * ([[graft.ops.Sketches.exactPercentiles]] — `nBins` equal-POPULATION
+   * bins, not equal-width, so heavy-tailed features don't dump 95% of
+   * rows into bin 0), then count rows and target positives per bin.
+   * A monotone `pos_rate_ppm` across bins is the classic screen for a
+   * usable ordinal feature; a flat profile means the feature carries
+   * nothing.
+   *
+   * Bin law: `bin = |{edges e : value > e}|` with edges the p(100k/n)
+   * percentiles, k = 1..n−1 — values at or below an edge fall LEFT of it,
+   * a pure integer comparison chain that replays digit-for-digit (ties
+   * at an edge can make bins uneven — exactness over evenness, the
+   * nearest-rank discipline). Feature must be integral; null features
+   * drop, null targets count as false.
+   *
+   * Plan: the exactPercentiles counts-collapse pass for edges, ONE
+   * group-sized edge collect (n−1 entries), a broadcast edge attach and
+   * ONE (group, bin) agg — the row frame crosses one exchange.
+   */
   def featureBins(
       df: DataFrame,
       groupCol: String,

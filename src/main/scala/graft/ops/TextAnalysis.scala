@@ -1890,13 +1890,16 @@ object TextAnalysis {
    * near perfect squares above 2^52; one floor + a two-sided integer
    * clamp repairs it, and because the clamp decides on pure integer
    * comparisons the result replays digit-for-digit in any engine with
-   * the same three-step form. Null/negative inputs yield null.
+   * the same three-step form. The upward probe compares via
+   * `t − w1² >= 2·w1 + 1` (never forming `(w1+1)²`, which wraps Long for
+   * `t >= 3037000499²` and would promote past the true root on the top
+   * ~5.9e9 values of the domain). Null/negative inputs yield null.
    */
   def isqrt(t: Column): Column = {
     val w0 = floor(sqrt(t.cast("double"))).cast("long")
     val w1 = when(w0 * w0 > t, w0 - 1).otherwise(w0)
     when(t.isNull || t < 0, lit(null).cast("long"))
-      .otherwise(when((w1 + 1) * (w1 + 1) <= t, w1 + 1).otherwise(w1))
+      .otherwise(when(t - w1 * w1 >= w1 * 2L + 1L, w1 + 1).otherwise(w1))
   }
 
   /**

@@ -408,6 +408,21 @@ class SketchesSpec extends SparkTestBase {
     recipe shouldBe naive
   }
 
+  test("rangedCumSums rejects non-scalar group columns") {
+    // the per-partition scan compares raw row slots to detect group
+    // changes; array slots compare by reference there, so the accumulator
+    // would never reset — the recipe must refuse rather than be wrong
+    val arr = Seq((Seq(1L), 1L, 1L)).toDF("g", "v", "a")
+    val e = intercept[IllegalArgumentException] {
+      Sketches.rangedCumSums(arr, Seq("g"), Seq($"v"), cums = Seq("a" -> "c"))
+    }
+    e.getMessage should include("non-scalar")
+    val bin = Seq((Array[Byte](1), 1L, 1L)).toDF("g", "v", "a")
+    intercept[IllegalArgumentException] {
+      Sketches.rangedCumSums(bin, Seq("g"), Seq($"v"), cums = Seq("a" -> "c"))
+    }
+  }
+
   test("rangedCumSums with empty group columns shards a single global order") {
     val df = (0 until 1000).map(i => (i.toLong, 1L)).toDF("v", "one").repartition(7)
     val out = Sketches.rangedCumSums(df, Seq.empty, Seq($"v"),

@@ -980,6 +980,34 @@ class StatsSpec extends SparkTestBase {
     hi should be >= mean
   }
 
+  test("PoissonCdf16 equals floor(Poisson(1) CDF * 2^16) computed from the pmf") {
+    // pmf(k) = e^-1 / k!; the table holds the first 7 CDF thresholds floored
+    // to the 16-bit bucket domain — the law the scaladoc promises, checked
+    // here so a transcription slip can never silently bias every CI again
+    val pmf = Iterator.iterate((0, math.exp(-1.0))) { case (k, p) =>
+      (k + 1, p / (k + 1)) }.map(_._2)
+    val cdf = pmf.scanLeft(0.0)(_ + _).drop(1)
+    val expected = cdf.map(c => math.floor(c * 65536.0).toLong).take(7).toSeq
+    Stats.PoissonCdf16.map(_.toLong) shouldBe expected
+  }
+
+  test("poissonWeightArray: native kernel element-identical to the composed conv form") {
+    // ids exercise multi-digit, negative-looking and non-numeric strings;
+    // b = 13 crosses a block boundary mid-block, b = 32 is the battery law
+    val ids = ((1L to 300L).map(_.toString) ++ Seq("x:y", "-7", "", "éß"))
+      .toDF("id")
+    for ((b, salt) <- Seq((32, "boot"), (13, "s2.t-3"))) {
+      val native = ids.select($"id",
+        Stats.poissonWeightArray($"id", b, salt).as("w"))
+        .as[(String, Seq[Long])].collect().toMap
+      val composed = ids.select($"id",
+        Stats.poissonWeightArrayComposed($"id", b, salt).as("w"))
+        .as[(String, Seq[Long])].collect().toMap
+      native shouldBe composed
+      native.values.flatten.foreach { w => w should be >= 0L; w should be <= 7L }
+    }
+  }
+
   test("poissonBootstrapCI: a fresh salt draws a different replicate set") {
     val df = (1L to 100L).map(v => ("g", v, v)).toDF("g", "id", "v")
     val a = Stats.poissonBootstrapCI(df, "g", "id", "v", b = 16)

@@ -1125,10 +1125,16 @@ class TextAnalysisSpec extends SparkTestBase {
     val t = Seq(0L, 1L, 2L, 3L, 4L, 8L, 9L,
       (1L << 31) * (1L << 31),       // 2^62, a perfect square
       (1L << 31) * (1L << 31) - 1,   // one below it
-      1000000007L * 1000000007L, 1000000007L * 1000000007L + 1)
+      1000000007L * 1000000007L, 1000000007L * 1000000007L + 1,
+      // the top of the Long domain, where a naive (w+1)² probe wraps
+      // negative and promotes past the true root 3037000499
+      3037000499L * 3037000499L,     // the largest representable square
+      3037000499L * 3037000499L - 1,
+      Long.MaxValue)
       .toDF("t").select(TextAnalysis.isqrt(col("t"))).as[Long].collect()
     t.toSeq shouldBe Seq(0L, 1L, 1L, 1L, 2L, 2L, 3L,
-      1L << 31, (1L << 31) - 1, 1000000007L, 1000000007L)
+      1L << 31, (1L << 31) - 1, 1000000007L, 1000000007L,
+      3037000499L, 3037000498L, 3037000499L)
     Seq(Some(-1L), None).toDF("t").select(TextAnalysis.isqrt(col("t")))
       .as[Option[Long]].collect().toSeq shouldBe Seq(None, None)
   }
