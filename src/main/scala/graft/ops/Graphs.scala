@@ -278,17 +278,19 @@ object Graphs {
         .groupBy(col("u").as("id")).agg(min(col("lbl")).as("__nl"))
       val stepped = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"), least(col("lbl"), coalesce(col("__nl"), col("lbl"))).as("lbl"))
-      // pointer jump ×2: compress lbl to its label's label, twice — the
-      // second hop squares the compression per materialized round (labels
-      // are node ids and monotonically non-increasing, so each hop stays a
-      // total, valid relabeling and the fixpoint is unchanged), roughly
-      // halving rounds — and driver convergence probes — on long-diameter
-      // graphs for the price of one extra label-keyed equi-join per round.
-      val jumped1 = stepped
+      // ONE pointer jump: compress lbl to its label's label (labels are
+      // node ids and monotonically non-increasing, so the hop is a total,
+      // valid relabeling and the fixpoint is unchanged) — this is what
+      // makes convergence O(log diameter). A SECOND hop per round was
+      // tried (round 16) and measured OUT (round 17): on the battery host
+      // graph it saves ZERO rounds (7 = 7 with either form — realistic
+      // web/dedup graphs are small-diameter, so the propagation step, not
+      // compression, gates the round count) while paying two extra
+      // label-keyed joins per round (~+29% wall-clock); only on a
+      // pathological 200-node chain did it cut rounds 8 -> 5, and the
+      // single hop already closes that chain in 8 ≪ 199 rounds.
+      val jumped = stepped
         .join(stepped.select(col("id").as("lbl"), col("lbl").as("__ll")), Seq("lbl"), "left")
-        .select(col("id"), coalesce(col("__ll"), col("lbl")).as("lbl"))
-      val jumped = jumped1
-        .join(jumped1.select(col("id").as("lbl"), col("lbl").as("__ll")), Seq("lbl"), "left")
         .select(col("id"), coalesce(col("__ll"), col("lbl")).as("lbl"))
       val next = materialize(jumped)
       // limit(1): the probe needs existence, not the change count
