@@ -836,11 +836,13 @@ private[graft] trait QueriesDedup extends QueryHelpers { this: QueryBattery =>
    * and pass through untouched. Oracle replays the same canonicalization
    * chain and a `row_number` keep-first in DuckDB.
    */
-  def urlDedup(spark: SparkSession, dir: String): DataFrame = {
-    implicit val s: SparkSession = spark
+  /** Deterministic synthetic URL variants shared by `url_dedup` and
+    * `release_manifest` (the corpus has no URL column, so both replay the
+    * same variant law on each side). */
+  private[graft] def syntheticUrl: Column = {
     val site = (col("doc_id") % 5).cast("string")
     val page = (col("doc_id") % 50).cast("string")
-    val url = when(col("doc_id") % 10 === 7, lit(null).cast("string"))
+    when(col("doc_id") % 10 === 7, lit(null).cast("string"))
       .when(col("doc_id") % 4 === 0,
         concat(lit("HTTP://WWW.Site"), site, lit(".COM:80/Page/"), page))
       .when(col("doc_id") % 4 === 1,
@@ -850,20 +852,21 @@ private[graft] trait QueriesDedup extends QueryHelpers { this: QueryBattery =>
         concat(lit("www.site"), site, lit(".com/Page/"), page, lit("#section")))
       .otherwise(concat(lit("http://www.site"), site, lit(".com/Page/"), page,
         lit("?ref=keep")))
-    val docs = t(dir, "documents").select(col("doc_id"), url.as("url"))
-    Web.dedupByUrl(docs, "url", "doc_id")
-      .select(col("doc_id"), Web.normalizeUrl(col("url")).as("canon_url"))
   }
 
-  val urlDedupSql: String = {
-    val urlCase = "CASE WHEN doc_id % 10 = 7 THEN NULL" +
+  /** DuckDB twin of [[syntheticUrl]]. */
+  private[graft] val SqlUrlCase: String =
+    "CASE WHEN doc_id % 10 = 7 THEN NULL" +
       " WHEN doc_id % 4 = 0 THEN 'HTTP://WWW.Site' || (doc_id % 5) || '.COM:80/Page/' || (doc_id % 50)" +
       " WHEN doc_id % 4 = 1 THEN 'http://www.site' || (doc_id % 5) || '.com/Page/' || (doc_id % 50) || '?utm_source=feed&utm_id=9'" +
       " WHEN doc_id % 4 = 2 THEN 'www.site' || (doc_id % 5) || '.com/Page/' || (doc_id % 50) || '#section'" +
       " ELSE 'http://www.site' || (doc_id % 5) || '.com/Page/' || (doc_id % 50) || '?ref=keep' END"
-    s"""WITH urls AS (SELECT doc_id, $urlCase AS url FROM documents),
-       canon AS (
-         SELECT doc_id,
+
+  /** DuckDB URL-canonicalization CTE body (the [[Web.dedupByUrl]] law)
+    * over a CTE named `urls(doc_id, url)`; emits `(doc_id, canon_url)`
+    * for non-null URLs. Shared by `url_dedup` and `release_manifest`. */
+  private[graft] val SqlUrlCanon: String =
+    s"""SELECT doc_id,
            sch || '://' || nhost || (CASE WHEN path0 = '/' THEN '' ELSE path0 END) ||
              (CASE WHEN qc = '' THEN '' ELSE '?' || qc END) AS canon_url
          FROM (SELECT doc_id, sch, nhost, path0,
@@ -875,7 +878,19 @@ private[graft] trait QueriesDedup extends QueryHelpers { this: QueryBattery =>
                        regexp_extract(u, '\\?([^#]*)', 1) AS q0
                      FROM (SELECT doc_id,
                              regexp_replace(CASE WHEN regexp_matches(url, '^[A-Za-z][A-Za-z0-9+.-]*://') THEN url ELSE 'http://' || url END, '#.*', '', 'g') AS u
-                           FROM urls WHERE url IS NOT NULL))))
+                           FROM urls WHERE url IS NOT NULL)))"""
+
+  def urlDedup(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val docs = t(dir, "documents").select(col("doc_id"), syntheticUrl.as("url"))
+    Web.dedupByUrl(docs, "url", "doc_id")
+      .select(col("doc_id"), Web.normalizeUrl(col("url")).as("canon_url"))
+  }
+
+  val urlDedupSql: String = {
+    val urlCase = SqlUrlCase
+    s"""WITH urls AS (SELECT doc_id, $urlCase AS url FROM documents),
+       canon AS ($SqlUrlCanon)
        SELECT doc_id, canon_url FROM (
          SELECT doc_id, canon_url,
                 row_number() OVER (PARTITION BY canon_url ORDER BY doc_id) AS rn
@@ -1365,4 +1380,162 @@ private[graft] trait QueriesDedup extends QueryHelpers { this: QueryBattery =>
              SELECT host, CAST(2 AS BIGINT), '/' || lang || '/' || seg2 FROM u)
        SELECT host, depth, prefix, count(*) AS n_urls
        FROM p GROUP BY 1, 2, 3"""
+
+  /**
+   * `release_manifest`: the CAPSTONE —
+   * [[graft.etl.examples.Release.build]]'s manifest over the full
+   * URL→exact→near dedup → quality gate → decontaminate → target-mix →
+   * pack → shuffle chain, every stage one of the battery's already
+   * hash-proven laws composed end-to-end. Rows: per-stage kept/rejected
+   * counts WITH token totals, the realized mix shares, the packed-chunk
+   * totals and the order-SENSITIVE shuffle checksum
+   * (`Σ rank·bucket16(key) mod 2³¹−1`). The oracle replays the entire
+   * chain as one CTE pipeline — the strongest single correctness
+   * statement in the battery: a one-row drift in ANY stage moves at
+   * least one manifest count.
+   */
+  def releaseManifest(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val docs = t(dir, "documents").select(col("doc_id"), syntheticUrl.as("url"),
+      col("lang"), col("source"), col("text"))
+    val bench = t(dir, "documents").filter(col("doc_id") % 17 === 0)
+      .select(col("doc_id").as("bench_id"), col("text"))
+    graft.etl.examples.Release.build(docs, bench,
+      Map("en" -> 400000, "de" -> 200000, "fr" -> 200000, "zh" -> 200000))._2
+  }
+
+  val releaseManifestSql: String = {
+    val mhs = (0 until 12).map(j => s"${sqlMinhash(j)} AS mh$j").mkString(", ")
+    val bands = (0 until 4)
+      .map(b => s"md5(mh${3 * b} || '|' || mh${3 * b + 1} || '|' || mh${3 * b + 2}) AS band$b")
+      .mkString(", ")
+    val unpivot = (0 until 4)
+      .map(b => s"SELECT doc_id, $b AS band, band$b AS bh FROM banded").mkString(" UNION ALL ")
+    val ccRounds = (1 to OracleLabelPropRounds).map { k =>
+      s"""l$k AS MATERIALIZED (SELECT id, min(cluster_id) AS cluster_id FROM (
+            SELECT id, cluster_id FROM l${k - 1}
+            UNION ALL
+            SELECT e.src AS id, l.cluster_id FROM edges e JOIN l${k - 1} l ON e.dst = l.id
+          ) GROUP BY id)"""
+    }.mkString(",\n       ")
+    val reason = RejectReasonsSqlCase
+    val bucketDoc = sqlHashBucket("doc_id")
+    val bucketKey = sqlHashBucket("chunk_key")
+    s"""WITH d0 AS MATERIALIZED (
+         SELECT doc_id, lang, source, text,
+           cast(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]')) as bigint) AS n_tokens,
+           $SqlUrlCase AS url
+         FROM documents),
+       urls AS (SELECT doc_id, url FROM d0),
+       canon AS ($SqlUrlCanon),
+       u_keep AS (
+         SELECT doc_id FROM (
+           SELECT doc_id, row_number() OVER (PARTITION BY canon_url ORDER BY doc_id) AS rn
+           FROM canon) WHERE rn = 1
+         UNION ALL SELECT doc_id FROM d0 WHERE url IS NULL),
+       s1 AS MATERIALIZED (SELECT d0.* FROM d0 JOIN u_keep USING (doc_id)),
+       s2 AS MATERIALIZED (SELECT doc_id, lang, source, text, n_tokens FROM (
+           SELECT s1.*, row_number() OVER (PARTITION BY md5($Norm) ORDER BY doc_id) AS rn
+           FROM s1) WHERE rn = 1),
+       sh2 AS MATERIALIZED (SELECT doc_id, $SqlShingles AS sh
+               FROM (SELECT doc_id, $Toks AS toks FROM s2)),
+       sig AS MATERIALIZED (SELECT doc_id, $mhs FROM sh2),
+       banded AS MATERIALIZED (SELECT doc_id, $bands FROM sig),
+       buckets AS MATERIALIZED ($unpivot),
+       capped AS MATERIALIZED (SELECT doc_id, band, bh FROM buckets
+                  QUALIFY count(*) OVER (PARTITION BY band, bh) <= 1000),
+       cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM capped a JOIN capped b ON a.band = b.band AND a.bh = b.bh
+                WHERE a.doc_id < b.doc_id),
+       pairs AS MATERIALIZED (SELECT id_a, id_b FROM (
+           SELECT id_a, id_b,
+                  round(cast(len(list_filter(a.sh, x -> list_contains(b.sh, x))) as double)
+                        / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1), 4) AS jaccard
+           FROM cand JOIN sh2 a ON cand.id_a = a.doc_id JOIN sh2 b ON cand.id_b = b.doc_id)
+         WHERE jaccard >= 0.8),
+       edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
+                 UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+       l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS cluster_id FROM edges),
+       $ccRounds,
+       losers AS (SELECT id FROM l$OracleLabelPropRounds WHERE id <> cluster_id),
+       s3 AS MATERIALIZED (SELECT * FROM s2 WHERE doc_id NOT IN (SELECT id FROM losers)),
+       s4 AS MATERIALIZED (SELECT doc_id, lang, source, text, n_tokens FROM (
+           SELECT doc_id, lang, source, text, n_tokens,
+             (CASE WHEN len(toks) >= 5 AND len(toks) <= 100000 THEN 1 ELSE 0 END)
+             * (CASE WHEN mean_len >= 2.0 AND mean_len <= 12.0 THEN 1 ELSE 0 END)
+             * (CASE WHEN symbol_ratio <= 0.2 THEN 1 ELSE 0 END)
+             * (CASE WHEN distinct_ratio >= 0.2 THEN 1 ELSE 0 END) AS passes
+           FROM (SELECT doc_id, lang, source, text, n_tokens, toks,
+                   coalesce(list_sum(list_transform(toks, t -> length(t))), 0) / cast(greatest(len(toks), 1) as double) AS mean_len,
+                   (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))) / cast(greatest(length(text), 1) as double) AS symbol_ratio,
+                   len(list_distinct(toks)) / cast(greatest(len(toks), 1) as double) AS distinct_ratio
+                 FROM (SELECT doc_id, lang, source, text, n_tokens, $Toks AS toks FROM s3)))
+         WHERE passes = 1),
+       benchg AS MATERIALIZED (SELECT doc_id AS bench_id, unnest(sh) AS g
+                  FROM $SqlShingleDocs WHERE doc_id % 17 = 0),
+       docg AS MATERIALIZED (SELECT doc_id, unnest(sh) AS g
+                FROM (SELECT doc_id, $SqlShingles AS sh
+                      FROM (SELECT doc_id, $Toks AS toks FROM s4))),
+       flagged AS MATERIALIZED (SELECT d.doc_id FROM docg d JOIN benchg b ON d.g = b.g
+                   GROUP BY d.doc_id, b.bench_id HAVING count(*) >= 3),
+       s5 AS MATERIALIZED (SELECT * FROM s4 WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM flagged)),
+       counts AS MATERIALIZED (SELECT lang, count(*) AS cn FROM s5 GROUP BY 1),
+       tgt AS MATERIALIZED (SELECT lang, cn,
+                 CASE lang WHEN 'en' THEN 400000 WHEN 'de' THEN 200000
+                           WHEN 'fr' THEN 200000 WHEN 'zh' THEN 200000 ELSE 0 END AS t
+               FROM counts),
+       feasible AS MATERIALIZED (SELECT min(cast(cn AS hugeint) * 1000000 // t) AS m FROM tgt WHERE t > 0),
+       s6 AS MATERIALIZED (SELECT s5.* FROM s5 JOIN tgt USING (lang), feasible
+              WHERE t > 0 AND cast($bucketDoc AS hugeint) * cn * 1000000 < cast(t AS hugeint) * m * 65536),
+       packed AS MATERIALIZED (SELECT doc_id, source, n_tokens,
+           cast((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 512 as bigint) AS chunk_id
+         FROM s6),
+       chunks AS MATERIALIZED (SELECT source, chunk_id,
+                    cast(sum(n_tokens) as bigint) AS n_tokens,
+                    source || ':' || chunk_id AS chunk_key
+                  FROM packed GROUP BY 1, 2),
+       shuffled AS MATERIALIZED (SELECT *, cast(row_number() OVER (
+                      ORDER BY md5('shuffle:release:' || chunk_key), chunk_key) as bigint) AS shuffle_rank
+                    FROM chunks),
+       base AS MATERIALIZED (
+             SELECT 0 AS ord, 'raw' AS stage, count(*) AS n, coalesce(sum(n_tokens), 0) AS tokens FROM d0
+         UNION ALL SELECT 1, 'url_dedup', count(*), coalesce(sum(n_tokens), 0) FROM s1
+         UNION ALL SELECT 2, 'exact_dedup', count(*), coalesce(sum(n_tokens), 0) FROM s2
+         UNION ALL SELECT 3, 'near_dedup', count(*), coalesce(sum(n_tokens), 0) FROM s3
+         UNION ALL SELECT 4, 'quality_gate', count(*), coalesce(sum(n_tokens), 0) FROM s4
+         UNION ALL SELECT 5, 'decontaminate', count(*), coalesce(sum(n_tokens), 0) FROM s5
+         UNION ALL SELECT 6, 'target_mix', count(*), coalesce(sum(n_tokens), 0) FROM s6),
+       kept AS (SELECT ord, stage, 'kept' AS detail, n, tokens, NULL AS checksum FROM base),
+       rej AS (SELECT ord, stage, 'rejected:' || ($reason) AS detail,
+                 pn - n AS n, pt - tokens AS tokens, NULL AS checksum
+               FROM (SELECT ord, stage, n, tokens,
+                       lag(n) OVER (ORDER BY ord) AS pn,
+                       lag(tokens) OVER (ORDER BY ord) AS pt
+                     FROM base)
+               WHERE ord >= 1),
+       shares AS (SELECT 7 AS ord, 'mix_share' AS stage, lang AS detail,
+                    count(*) AS n, sum(n_tokens) AS tokens, NULL AS checksum
+                  FROM s6 GROUP BY lang),
+       packrow AS (SELECT 8 AS ord, 'pack' AS stage, 'kept' AS detail,
+                     count(*) AS n, sum(n_tokens) AS tokens, NULL AS checksum
+                   FROM chunks),
+       shufrow AS (SELECT 9 AS ord, 'shuffle' AS stage, 'kept' AS detail,
+                     count(*) AS n, sum(n_tokens) AS tokens,
+                     sum(cast(shuffle_rank AS hugeint) * $bucketKey) % 2147483647 AS checksum
+                   FROM shuffled)
+       SELECT cast(ord AS BIGINT) AS ord, stage, detail,
+              cast(n AS BIGINT) AS n, cast(tokens AS BIGINT) AS tokens,
+              cast(checksum AS BIGINT) AS checksum
+       FROM (SELECT * FROM kept UNION ALL SELECT * FROM rej
+             UNION ALL SELECT * FROM shares UNION ALL SELECT * FROM packrow
+             UNION ALL SELECT * FROM shufrow)"""
+  }
+
+  /** DuckDB CASE over [[graft.etl.examples.Release.RejectReasons]] —
+    * generated from the same constant the Spark side folds, so the audit
+    * vocabulary cannot drift between engines. */
+  private def RejectReasonsSqlCase: String =
+    "CASE stage " + graft.etl.examples.Release.RejectReasons
+      .map { case (stage, r) => s"WHEN '$stage' THEN '$r'" }.mkString(" ") + " END"
 }

@@ -858,7 +858,7 @@ object TextAnalysis {
    * `Queries.sqlHashBucket`). Changing salt format or digit width here
    * changes every sampling op in lockstep, never one of them silently.
    */
-  private[ops] def hashBucket(id: Column, salt: String): Column =
+  private[graft] def hashBucket(id: Column, salt: String): Column =
     conv(substring(md5(concat(lit(salt), lit(":"), id.cast("string"))), 1, 4), 16, 10)
       .cast("long")
 
