@@ -114,11 +114,14 @@ object Release {
       (0L, "raw", s0), (1L, "url_dedup", s1), (2L, "exact_dedup", s2),
       (3L, "near_dedup", s3), (4L, "quality_gate", s4),
       (5L, "decontaminate", s5), (6L, "target_mix", s6))
-    val base = stageFrames.map { case (ord, name, df) =>
+    // materialized: the kept AND rejected branches both read the 7-row
+    // stage-stats frame — without the barrier each branch re-runs all
+    // seven aggregate scans over the checkpointed stage frames
+    val base = mat(stageFrames.map { case (ord, name, df) =>
       df.agg(count(lit(1)).cast("long").as("n"),
         coalesce(sum(col("n_tokens")), lit(0L)).cast("long").as("tokens"))
         .select(lit(ord).as("ord"), lit(name).as("stage"), col("n"), col("tokens"))
-    }.reduce(_ unionByName _)
+    }.reduce(_ unionByName _))
     val kept = base.select(col("ord"), col("stage"), lit("kept").as("detail"),
       col("n"), col("tokens"), noChk)
     // the lag window is global over the STAGE-COUNT-sized frame (7 rows by

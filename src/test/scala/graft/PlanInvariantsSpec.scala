@@ -623,4 +623,15 @@ class PlanInvariantsSpec extends SparkTestBase {
     // never a shuffle beyond the one join
     check("leakage_safe_split", maxShuffles = 2, maxSmj = 1)
   }
+
+  test("round-17 capstone: release manifest assembly over materialized stages") {
+    // every chain stage (url/exact/near dedup, quality, decontaminate,
+    // mix, pack, shuffle) hides behind its own checkpoint and is pinned by
+    // its own battery row; the VISIBLE plan is the manifest assembly —
+    // stage-count-sized 1-row aggs over the checkpointed base frame, the
+    // 7-row lag window, shares/pack/checksum aggs. No cartesian anywhere;
+    // the small SMJ allowance covers AQE declining to broadcast the tiny
+    // union legs
+    check("release_manifest", maxShuffles = 8, maxSmj = 2)
+  }
 }
