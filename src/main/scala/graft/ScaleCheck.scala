@@ -45,7 +45,8 @@ object ScaleCheck {
     "pr_curve", "cuped_adjust", "gini_concentration", "theil_sen",
     "holt_forecast", "kaplan_meier", "mann_kendall", "changepoint",
     "mantel_haenszel", "zipf_slope", "negative_samples",
-    "link_prediction", "copeland_rank", "krippendorff", "bh_select", "bootstrap_ci")
+    "link_prediction", "copeland_rank", "krippendorff", "bh_select", "bootstrap_ci",
+    "release_chain")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -883,6 +884,25 @@ object ScaleCheck {
           when(col("doc_id") % 11 === 0, b % 2000L + 1L)
             .otherwise((b * 16L) % 1000000L + 1L).cast("long").as("p_ppm")),
         Seq("source"), "p_ppm", "doc_id", 50000L)
+    }
+    // the round-17 capstone end-to-end: URL -> exact -> near dedup ->
+    // quality -> decontaminate -> mix -> pack -> shuffle + manifest over
+    // the amplified corpus. Amplified copies share TEXT, so the 20x run
+    // carries maximal duplicate mass — and the chain's stage ORDER is the
+    // scale story: exact dedup collapses the copy families before the
+    // (quadratic-within-family) near-dup verify ever sees them
+    time("release_chain") {
+      val chainDocs = bigDocs.select(col("doc_id"), Queries.syntheticUrl.as("url"),
+        col("lang"), col("source"), col("text"))
+      // bench stays ORIGINAL-sized (the sentence_redact convention: eval
+      // suites don't grow with the corpus). Amplified-side bench would be
+      // degenerate here: copy ids d + k*1e6 cover every residue mod 17
+      // (1e6 ≡ 9, coprime to 17), so every text family would contain a
+      // bench member and decontamination would correctly erase the corpus
+      val bench = docs.filter(col("doc_id") % 17 === 0)
+        .select(col("doc_id").as("bench_id"), col("text"))
+      graft.etl.examples.Release.build(chainDocs, bench,
+        Map("en" -> 400000, "de" -> 200000, "fr" -> 200000, "zh" -> 200000))._2
     }
     spark.stop()
   }
