@@ -79,30 +79,68 @@ class ReleaseJobSpec extends SparkJobSuiteBase {
     // downsampling may drop more from the targeted groups
     m((6L, "target_mix", "rejected:mix_downsample"))._1 should be >= 5L
 
-    // conservation at every stage, rows AND tokens
-    val keptByOrd = (0L to 6L).map { o =>
-      o -> m.collectFirst { case ((`o`, _, "kept"), v) => v }.get
-    }.toMap
-    (1L to 6L).foreach { o =>
-      val rej = m.collectFirst { case ((`o`, _, d), v) if d.startsWith("rejected:") => v }.get
-      keptByOrd(o)._1 + rej._1 shouldBe keptByOrd(o - 1)._1
-      keptByOrd(o)._2 + rej._2 shouldBe keptByOrd(o - 1)._2
-    }
-
-    // mix shares: per-group rows sum to the stage-6 kept row; no es share
-    val shares = m.collect { case ((7L, "mix_share", g), v) => g -> v }
-    shares.keySet should not contain "es"
-    shares.values.map(_._1).sum shouldBe keptByOrd(6L)._1
-    shares.values.map(_._2).sum shouldBe keptByOrd(6L)._2
-
-    // pack conserves tokens; shuffle conserves chunks and carries the checksum
-    m((8L, "pack", "kept"))._2 shouldBe keptByOrd(6L)._2
-    m((9L, "shuffle", "kept"))._1 shouldBe m((8L, "pack", "kept"))._1
+    // conservation at every stage (rows AND tokens), shares summing to
+    // the mix stage, pack/shuffle consistency — the generic audit laws
+    checkConservation(m)
+    m.collect { case ((7L, "mix_share", g), _) => g }.toSet should not contain "es"
     m((9L, "shuffle", "kept"))._3 should not be None
 
     // the export IS the shuffled chunk frame the manifest summarized
     export.count() shouldBe m((9L, "shuffle", "kept"))._1
     export.agg(sum($"n_tokens")).as[Long].head() shouldBe m((9L, "shuffle", "kept"))._2
+  }
+
+  /** The generic audit laws every manifest must satisfy, whatever the
+    * corpus: kept+rejected conservation (rows AND tokens) at every stage,
+    * shares that sum to the mix stage, pack/shuffle/export consistency. */
+  private def checkConservation(
+      m: Map[(Long, String, String), (Long, Long, Option[Long])]): Unit = {
+    val keptByOrd = (0L to 6L).map { o =>
+      o -> m.collectFirst { case ((`o`, _, "kept"), v) => v }.get
+    }.toMap
+    (1L to 6L).foreach { o =>
+      val rej = m.collectFirst { case ((`o`, _, d), v) if d.startsWith("rejected:") => v }.get
+      withClue(s"stage $o rows: ") {
+        keptByOrd(o)._1 + rej._1 shouldBe keptByOrd(o - 1)._1
+      }
+      withClue(s"stage $o tokens: ") {
+        keptByOrd(o)._2 + rej._2 shouldBe keptByOrd(o - 1)._2
+      }
+      rej._1 should be >= 0L
+    }
+    val shares = m.collect { case ((7L, "mix_share", g), v) => g -> v }
+    shares.values.map(_._1).sum shouldBe keptByOrd(6L)._1
+    shares.values.map(_._2).sum shouldBe keptByOrd(6L)._2
+    m((8L, "pack", "kept"))._2 shouldBe keptByOrd(6L)._2
+    m((9L, "shuffle", "kept"))._1 shouldBe m((8L, "pack", "kept"))._1
+    m((9L, "shuffle", "kept"))._2 shouldBe m((8L, "pack", "kept"))._2
+  }
+
+  test("conservation holds on random corpora (seeded trials, not just the planted one)") {
+    for (seed <- Seq(7, 23, 94)) {
+      val rnd = new scala.util.Random(seed)
+      val langs = Seq("en", "en", "en", "de", "fr", "es") // en-heavy like a crawl
+      val rows = (0 until 60).map { i =>
+        val lang = langs(rnd.nextInt(langs.length))
+        // URLs collide ~1/8 of the time; ~1/10 null; texts duplicate
+        // ~1/6 of the time (exact) and occasionally quote the bench span
+        val url = if (rnd.nextInt(10) == 0) null
+          else s"https://h${rnd.nextInt(3)}.com/p${rnd.nextInt(45)}"
+        val text =
+          if (rnd.nextInt(6) == 0) prose(777) // exact-dup family
+          else if (rnd.nextInt(12) == 0)
+            s"quoting alpha bravo charlie delta echo foxtrot golf hotel here ${prose(seed * 100 + i, 10)}"
+          else if (rnd.nextInt(15) == 0) "!!! @@@ ###" // gate fodder
+          else prose(seed * 1000 + i, 20 + rnd.nextInt(40))
+        (i.toLong, url, lang, s"s${rnd.nextInt(4)}", text)
+      }
+      val df = rows.toDF("doc_id", "url", "lang", "source", "text")
+      // random corpora can lose a whole target group to the gates; keep
+      // only groups that survive to stage 5 in the targets (the op's
+      // documented fail-fast contract is separately spec'd)
+      val m = manifestMap(Release.build(df, bench, Map("en" -> 500000))._2)
+      withClue(s"seed $seed: ") { checkConservation(m) }
+    }
   }
 
   test("manifest is a pure function of the data (repartition-stable, checksum included)") {
