@@ -273,11 +273,14 @@ object Graphs {
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIterations) {
-      // closed-neighborhood min
+      // closed-neighborhood min; the PRE-round label rides along as __old
+      // so convergence is decided on the materialized frame itself — no
+      // per-round probe join back to the previous labels
       val nbrMin = bidir.join(labels.withColumnRenamed("id", "v"), "v")
         .groupBy(col("u").as("id")).agg(min(col("lbl")).as("__nl"))
       val stepped = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), least(col("lbl"), coalesce(col("__nl"), col("lbl"))).as("lbl"))
+        .select(col("id"), col("lbl").as("__old"),
+          least(col("lbl"), coalesce(col("__nl"), col("lbl"))).as("lbl"))
       // ONE pointer jump: compress lbl to its label's label (labels are
       // node ids and monotonically non-increasing, so the hop is a total,
       // valid relabeling and the fixpoint is unchanged) — this is what
@@ -291,12 +294,14 @@ object Graphs {
       // single hop already closes that chain in 8 ≪ 199 rounds.
       val jumped = stepped
         .join(stepped.select(col("id").as("lbl"), col("lbl").as("__ll")), Seq("lbl"), "left")
-        .select(col("id"), coalesce(col("__ll"), col("lbl")).as("lbl"))
+        .select(col("id"), coalesce(col("__ll"), col("lbl")).as("lbl"), col("__old"))
       val next = materialize(jumped)
-      // limit(1): the probe needs existence, not the change count
-      changed = next.join(labels.withColumnRenamed("lbl", "__old"), "id")
-        .where(col("lbl") =!= col("__old")).limit(1).count()
-      labels = next
+      // limit(1): the probe needs existence, not the change count — and it
+      // reads the JUST-materialized frame (lbl vs the carried __old), so
+      // the whole round costs exactly one join-bearing job plus this
+      // node-sized filter scan
+      changed = next.where(col("lbl") =!= col("__old")).limit(1).count()
+      labels = next.drop("__old")
       it += 1
     }
     labels.select(col("id"), col("lbl").as("component"))
