@@ -1015,15 +1015,25 @@ private[graft] trait QueriesRetrieval extends QueryHelpers { this: QueryBattery 
   /**
    * `negative_samples`: deterministic contrastive negatives over the
    * document corpus ([[graft.ops.Retrieval.negativeSamples]]) — 3 md5-
-   * drawn negatives per doc_id through 32 hash buckets, a pure function
-   * of the ids (the oracle replays bucket, draw and argmin tie law
-   * digit-for-digit). The (anchor, positive, NEGATIVE) triple builder an
-   * embedding/reranker training set needs without `rand()` anywhere.
+   * drawn negatives per doc_id, a pure function of the ids (the oracle
+   * replays bucket, draw and argmin tie law digit-for-digit). The
+   * (anchor, positive, NEGATIVE) triple builder an embedding/reranker
+   * training set needs without `rand()` anywhere. The bucket count is
+   * the op's documented scale knob APPLIED: `max(32, N DIV 64)` — per-
+   * anchor fan-out stays ≤ 64·k however big the corpus (round 17; the
+   * fixed-32 form paid fan-out linear in N — the battery's heaviest
+   * query at sf0.1). The corpus count is one bounded control-flow job
+   * (the targetMixSample precedent); the oracle computes the identical
+   * knob from `count(*)`, so results match at every sf (and are
+   * unchanged at sf ≤ 0.04, where the floor of 32 binds).
    */
   def negativeSamplesQ(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    graft.ops.Retrieval.negativeSamples(t(dir, "documents"), "doc_id",
-      k = 3, buckets = 32)
+    val docs = t(dir, "documents")
+    val n = docs.where(col("doc_id").isNotNull)
+      .select(col("doc_id")).distinct().count()
+    graft.ops.Retrieval.negativeSamples(docs, "doc_id",
+      k = 3, buckets = math.max(32L, n / 64L).toInt)
   }
 
   val negativeSamplesSql: String = {
@@ -1032,10 +1042,11 @@ private[graft] trait QueriesRetrieval extends QueryHelpers { this: QueryBattery 
     s"""WITH ids AS (
          SELECT DISTINCT doc_id AS anchor FROM documents
          WHERE doc_id IS NOT NULL),
-       cands AS (SELECT anchor AS cand, $candB % 32 AS b
-                 FROM (SELECT anchor FROM ids)),
-       draws AS (SELECT anchor, j, $drawB % 32 AS b
-                 FROM ids CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)),
+       nb AS (SELECT greatest(32, count(*) // 64) AS b_n FROM ids),
+       cands AS (SELECT anchor AS cand, $candB % b_n AS b
+                 FROM (SELECT anchor FROM ids), nb),
+       draws AS (SELECT anchor, j, $drawB % b_n AS b
+                 FROM ids CROSS JOIN (SELECT unnest([0, 1, 2]) AS j), nb),
        scored AS (
          SELECT anchor, j, cand,
                 md5('neg:' || anchor || ':' || j || ':' || cand) AS score
