@@ -1597,6 +1597,11 @@ object Stats {
    * and the nearest-rank `loPct`/`hiPct` percentiles of the `b`
    * replicate means (`ci_lo_micro`, `ci_hi_micro`). Values must be
    * integral (cents, counts — the exactness contract); null values drop.
+   * `salt` must match `[A-Za-z0-9_.-]*` — it is spliced into the weight
+   * kernel's generated Java source as a string literal
+   * ([[graft.functions.PoissonWeights]] enforces this at construction),
+   * so a salt carrying e.g. `:` or a quote fails fast rather than
+   * compiling injected code.
    *
    * Plan: ONE row-sized exchange — rows explode ×`b` replicates but the
    * (group, rep) aggregation map-side-combines, so only groups × b ×

@@ -48,6 +48,15 @@ def battery_from_verify(sf_dir, out_dir):
     green, oracled = int(m.group(1)), int(m.group(2))
     dumped = sum(1 for d in os.listdir(out_dir)
                  if os.path.isdir(os.path.join(out_dir, d)))
+    # A name-filtered Verify dump (the documented fast local loop) still
+    # writes the FULL oracle_sql.json, so compare.py reports the whole
+    # registry as its denominator; splicing claims from such a dump would
+    # silently write a negative rows-only count into README/SURVEY.
+    if dumped < oracled:
+        raise SystemExit(
+            f"{out_dir} looks like a PARTIAL Verify dump ({dumped} results vs "
+            f"{oracled} oracled queries) — re-run graft.Verify with no name "
+            "filter before splicing claims")
     return green, oracled, dumped, dumped - oracled
 
 
@@ -109,9 +118,11 @@ def main():
 
     tests, failures, suites = test_counts()
 
+    # "no-oracle", not "rows-only": the driver checks NOTHING about a query
+    # with no oracleSql entry (rows_match comes back null, not rows-verified)
     battery = (f"{green} of {oracled} oracle-checked battery queries hash-match "
                f"at sf0.01 as of round {rnd} ({total} total; {no_oracle} "
-               f"rows-only by design)")
+               f"no-oracle by design)")
     testline = f"`sbt test` {tests}/{failures} across {suites} suites"
 
     ok = True
