@@ -714,18 +714,35 @@ private[graft] trait QueriesCuration extends QueryHelpers { this: QueryBattery =
   /**
    * Mergeable distinct-user rollup: daily HLL sketches per event type,
    * re-aggregated to all-time per type by sketch union — never re-reading
-   * events. No SQL oracle (the estimate is approximate by design; DuckDB
-   * has no DataSketches twin): the driver records a rows-only check, and
-   * SketchesSpec pins accuracy + exact merge equality.
+   * events. DuckDB has no DataSketches twin, so the ESTIMATE itself can't
+   * hash-match — but a VERDICT about it can: the query joins the merged
+   * estimate against the exact `count(distinct)` and emits the exact count
+   * plus `est_within_bound = |est − exact|·1e6 DIV exact <= 50000` (5% =
+   * ~3σ of HLL lgK=12's 1.04/√4096 ≈ 1.6% relative error). The oracle
+   * replays the exact side and asserts the bound column TRUE, so the
+   * driver's hash check now fails if the sketch estimate (or the daily →
+   * all-time merge) ever drifts past the bound. SketchesSpec still pins
+   * the raw estimate's accuracy and exact merge equality.
    */
   def distinctUsersSketch(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     val ev = events(dir).select(col("event_type"),
       to_date(col("ts").cast("timestamp")).as("day"), col("user_id"))
     val daily = graft.ops.Sketches.distinctRollup(ev, Seq("event_type", "day"), "user_id")
-    graft.ops.Sketches.reRollup(daily, Seq("event_type"))
+    val est = graft.ops.Sketches.reRollup(daily, Seq("event_type"))
       .select(col("event_type"), col("distinct_est"))
+    val exact = events(dir).groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("distinct_exact"))
+    est.join(exact, Seq("event_type"))
+      .select(col("event_type"), col("distinct_exact"),
+        expr("abs(distinct_est - distinct_exact) * 1000000L DIV distinct_exact <= 50000L")
+          .as("est_within_bound"))
   }
+
+  val distinctUsersSketchSql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS distinct_exact,
+       TRUE AS est_within_bound
+       FROM events GROUP BY event_type"""
 
   /**
    * Exact twin of [[distinctUsersSketch]]: the same per-type distinct-user
