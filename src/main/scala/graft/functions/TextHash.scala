@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
@@ -378,6 +378,75 @@ object TextHash {
     if (java.text.Normalizer.isNormalized(s, f)) text
     else UTF8String.fromString(java.text.Normalizer.normalize(s, f))
   }
+
+  /**
+   * Sentence-boundary chunking in ONE character scan — the codegen'd twin
+   * of [[graft.ops.TextAnalysis.chunkBySentences]]'s composed form (which
+   * remains as the oracle-shaped specification; parity is spec-pinned):
+   *
+   *  - sentences are the non-overlapping matches of
+   *    `[^.!?]+[.!?]+|[^.!?]+$` in match order — a run of non-terminators
+   *    plus its terminator run, or the trailing unterminated fragment;
+   *    leading terminator characters between matches belong to no sentence
+   *    (the regex can't start a match on one), exactly as the regex scans;
+   *  - each sentence's START offset in the concatenated sentence stream
+   *    (code points, Spark's `length`) lands it in primary offset window
+   *    `p = o / step` (`step = maxChars - overlap`) and ALSO in `p - 1`
+   *    when `o % step < overlap` (the boundary-straddling repeat);
+   *  - offset windows containing no sentence start are never created, so
+   *    empty chunks are dropped without a post-filter.
+   *
+   * Window ids created while scanning are strictly increasing: within one
+   * window, remainders grow with the offset, so if a later sentence
+   * straddles back into `p - 1`, the window's earlier sentences (smaller
+   * remainder) already did — a flat builder list with a short backward
+   * probe replaces any map. The composed form pays O(sentences × chunks)
+   * interpreted-lambda evals per row; this is O(chars).
+   *
+   * Returns `array<struct<chunk_id:long, chunk_text:string>>`; no
+   * sentences (empty / all-terminator text) yields an empty array (the
+   * caller's `explode` then drops the row, matching the composed form's
+   * `size > 0` filter).
+   */
+  def sentenceChunks(text: UTF8String, maxChars: Int, overlap: Int): ArrayData = {
+    val step = maxChars - overlap
+    val s = text.toString
+    val n = s.length
+    @inline def isTerm(c: Char): Boolean = c == '.' || c == '!' || c == '?'
+    val ids = new java.util.ArrayList[java.lang.Long]()
+    val sbs = new java.util.ArrayList[java.lang.StringBuilder]()
+    def appendTo(id: Long, str: String, from: Int, until: Int): Unit = {
+      var k = ids.size() - 1
+      while (k >= 0 && ids.get(k).longValue() != id) k -= 1
+      if (k >= 0) sbs.get(k).append(str, from, until)
+      else {
+        ids.add(java.lang.Long.valueOf(id))
+        sbs.add(new java.lang.StringBuilder().append(str, from, until))
+      }
+    }
+    var i = 0
+    var offset = 0L // code-point offset in the sentence stream
+    while (i < n) {
+      if (isTerm(s.charAt(i))) i += 1 // unmatched inter-sentence terminator
+      else {
+        val start = i
+        while (i < n && !isTerm(s.charAt(i))) i += 1
+        while (i < n && isTerm(s.charAt(i))) i += 1
+        val p = offset / step
+        if (offset % step < overlap && p >= 1) appendTo(p - 1, s, start, i)
+        appendTo(p, s, start, i)
+        offset += s.codePointCount(start, i)
+      }
+    }
+    val out = new Array[Any](ids.size())
+    var k = 0
+    while (k < out.length) {
+      out(k) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](ids.get(k).longValue(), UTF8String.fromString(sbs.get(k).toString)))
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** Base for graft's unary string-hash expressions: codegen is a static call. */
@@ -514,6 +583,22 @@ case class ScriptCounts(child: Expression) extends TextHashExpression {
     copy(child = newChild)
 }
 
+case class SentenceChunks(child: Expression, maxChars: Int, overlap: Int)
+    extends TextHashExpression {
+  require(maxChars > 0, "maxChars must be positive")
+  require(overlap >= 0 && overlap * 2 <= maxChars, "overlap must be in [0, maxChars/2]")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("chunk_id", LongType, nullable = false),
+    StructField("chunk_text", StringType, nullable = false))), containsNull = false)
+  override def prettyName: String = "sentence_chunks"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.sentenceChunks(input.asInstanceOf[UTF8String], maxChars, overlap)
+  override protected def staticCall(c: String): String =
+    s"graft.functions.TextHash$$.MODULE$$.sentenceChunks($c, $maxChars, $overlap)"
+  override protected def withNewChildInternal(newChild: Expression): SentenceChunks =
+    copy(child = newChild)
+}
+
 /** Column-API constructors for the native expressions. */
 object functions {
   private def lit(e: Expression): Int = e match {
@@ -548,6 +633,14 @@ object functions {
   def simhash64(text: Column, scriptAware: Boolean = false): Column =
     GraftExpressionBridge.column(
       SimHash64(GraftExpressionBridge.expression(text), scriptAware))
+
+  /** Sentence-boundary chunk windows (codegen'd, one char scan) as
+    * `array<struct<chunk_id, chunk_text>>`; empty array when the text has
+    * no sentences; null text null-propagates. Bit-identical to
+    * `TextAnalysis.chunkBySentences`'s composed form (parity-spec'd). */
+  def sentence_chunks(text: Column, maxChars: Int, overlap: Int): Column =
+    GraftExpressionBridge.column(
+      SentenceChunks(GraftExpressionBridge.expression(text), maxChars, overlap))
 
   /** Per-script character counts (codegen'd, one pass); index order is
     * `TextAnalysis.ScriptRanges` sorted keys. Null text null-propagates. */

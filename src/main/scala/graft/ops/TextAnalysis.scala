@@ -1391,14 +1391,34 @@ object TextAnalysis {
    * windows, and the windows containing no sentence start are dropped
    * rather than emitted as empty chunks.
    *
-   * Per-row and exchange-free: sentence start offsets are ONE `aggregate`
-   * prefix-sum pass (array state, O(sentences) per row), membership is
-   * decided per (sentence, chunk) inside the row, and the only row
-   * multiplier is the explode to one output row per chunk — the same
-   * scan-speed shape as [[chunkDocuments]]. Documents with no sentences
-   * (null/empty text) yield no rows.
+   * Per-row and exchange-free: the sentence split, offset prefix sums and
+   * window membership all run in ONE character scan per row
+   * ([[graft.functions.SentenceChunks]], inside whole-stage codegen), and
+   * the only row multiplier is the explode to one output row per chunk —
+   * the same scan-speed shape as [[chunkDocuments]]. Documents with no
+   * sentences (null/empty text) yield no rows.
    */
   def chunkBySentences(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      maxChars: Int = 1000,
+      overlap: Int = 0): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol),
+        explode(graft.functions.functions.sentence_chunks(
+          col(textCol), maxChars, overlap)).as("__c"))
+      .select(col(idCol), col("__c.chunk_id").as("chunk_id"),
+        col("__c.chunk_text").as("chunk_text"))
+
+  /** The composed higher-order-function SPECIFICATION form of
+    * [[chunkBySentences]] — the shape the DuckDB oracle replays. The
+    * public entry point rides the bit-identical single-scan kernel
+    * [[graft.functions.SentenceChunks]] (cross-checked in
+    * TextAnalysisSpec): the membership scan here is
+    * O(sentences × chunks) interpreted-lambda evals per row, which made
+    * `sentence_chunks` the battery's biggest per-row CPU after the
+    * round-17 PoissonDraw win. */
+  private[ops] def chunkBySentencesComposed(
       df: org.apache.spark.sql.DataFrame,
       idCol: String,
       textCol: String,

@@ -799,6 +799,31 @@ class TextAnalysisSpec extends SparkTestBase {
     all.filter(_._1 == 3L) shouldBe empty // null text -> no rows
   }
 
+  test("chunkBySentences kernel is bit-identical to the composed specification form") {
+    // adversarial shapes: multi-terminator runs, leading/inter-sentence
+    // terminator gaps (belong to NO sentence), trailing unterminated
+    // fragment, an over-long sentence spanning several offset windows
+    // (sparse chunk ids), non-ASCII and astral code points (offsets count
+    // code points, not UTF-16 units), empty / all-terminator / null text
+    val docs = Seq(
+      (1L, (0 until 40).map(i => s"sentence number $i here.").mkString(" ")),
+      (2L, "...!!!???"), // all terminators: no sentences, no rows
+      (3L, ""), // empty: no rows
+      (4L, null.asInstanceOf[String]),
+      (5L, "x" * 500 + ". tail fragment without terminator"),
+      (6L, "?!leading. gaps..between?!sentences.!?tail"),
+      (7L, "émojis 😀 count once. ça va?! bien... oui"),
+      (8L, "short. " + "y" * 300 + "! after the long one. end")
+    ).toDF("doc_id", "text")
+    for ((maxChars, overlap) <- Seq((120, 30), (80, 0), (64, 32), (1000, 0))) {
+      val fast = TextAnalysis.chunkBySentences(docs, "doc_id", "text", maxChars, overlap)
+        .as[(Long, Long, String)].collect().sorted
+      val composed = TextAnalysis.chunkBySentencesComposed(docs, "doc_id", "text", maxChars, overlap)
+        .as[(Long, Long, String)].collect().sorted
+      fast shouldBe composed
+    }
+  }
+
   test("stopword hits count multiset occurrences") {
     one("the the the").select(
       TextAnalysis.stopwordHits(TextAnalysis.tokens($"text"), Seq("the", "and")))
