@@ -1404,6 +1404,51 @@ private[graft] trait QueriesDedup extends QueryHelpers { this: QueryBattery =>
       Map("en" -> 400000, "de" -> 200000, "fr" -> 200000, "zh" -> 200000))._2
   }
 
+  /**
+   * `release_manifest_incr`: the batch ≡ incremental LAW of the capstone,
+   * driver-checked on real data — the corpus is split into three
+   * contiguous doc_id ranges ("days", ids monotone across days), curated
+   * day by day through [[graft.etl.examples.IncrementalRelease.curateDay]]
+   * against accumulating URL/fingerprint/band stores, and the release cut
+   * from the pooled survivors. The ORACLE is [[releaseManifestSql]] — the
+   * ONE-SHOT batch chain over the union — so a hash match proves the
+   * day-split manifest is digit-identical to the batch manifest (under
+   * the preconditions IncrementalRelease documents; they hold on this
+   * corpus, which the match itself verifies at every sf the driver runs).
+   * Day bounds come from a 1-row max broadcast, never a collect.
+   */
+  def releaseManifestIncr(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    import graft.etl.examples.IncrementalRelease
+    val docs = t(dir, "documents").select(col("doc_id"), syntheticUrl.as("url"),
+      col("lang"), col("source"), col("text"))
+    val bench = t(dir, "documents").filter(col("doc_id") % 17 === 0)
+      .select(col("doc_id").as("bench_id"), col("text"))
+    val bounds = docs.agg(max(col("doc_id")).as("__maxid"))
+    val withB = docs.crossJoin(broadcast(bounds))
+    val days = Seq(
+      withB.filter(col("doc_id") * 3 <= col("__maxid")),
+      withB.filter(col("doc_id") * 3 > col("__maxid") &&
+        col("doc_id") * 3 <= col("__maxid") * 2),
+      withB.filter(col("doc_id") * 3 > col("__maxid") * 2)
+    ).map(_.drop("__maxid"))
+    def empty(schema: org.apache.spark.sql.types.StructType) =
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val init = (empty(IncrementalRelease.UrlStoreSchema),
+      empty(IncrementalRelease.FpStoreSchema),
+      empty(IncrementalRelease.BandStoreSchema),
+      Seq.empty[DataFrame], Seq.empty[DataFrame])
+    val (_, _, _, curatedParts, statsParts) =
+      days.foldLeft(init) { case ((urls, fps, bands, cur, st), day) =>
+        val dc = IncrementalRelease.curateDay(day, bench, urls, fps, bands)
+        (urls.unionByName(dc.urls), fps.unionByName(dc.fps),
+          bands.unionByName(dc.bands), cur :+ dc.curated, st :+ dc.stats)
+      }
+    IncrementalRelease.cut(curatedParts.reduce(_ unionByName _),
+      statsParts.reduce(_ unionByName _),
+      Map("en" -> 400000, "de" -> 200000, "fr" -> 200000, "zh" -> 200000))._2
+  }
+
   val releaseManifestSql: String = {
     val mhs = (0 until 12).map(j => s"${sqlMinhash(j)} AS mh$j").mkString(", ")
     val bands = (0 until 4)

@@ -46,7 +46,7 @@ object ScaleCheck {
     "holt_forecast", "kaplan_meier", "mann_kendall", "changepoint",
     "mantel_haenszel", "zipf_slope", "negative_samples",
     "link_prediction", "copeland_rank", "krippendorff", "bh_select", "bootstrap_ci",
-    "release_chain")
+    "release_chain", "release_chain_incr")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -902,6 +902,41 @@ object ScaleCheck {
       val bench = docs.filter(col("doc_id") % 17 === 0)
         .select(col("doc_id").as("bench_id"), col("text"))
       graft.etl.examples.Release.build(chainDocs, bench,
+        Map("en" -> 400000, "de" -> 200000, "fr" -> 200000, "zh" -> 200000))._2
+    }
+    // the INCREMENTAL twin end-to-end: the same amplified corpus arrives
+    // as three contiguous-id "days" through the store-backed tiers, the
+    // cut runs over the pooled survivors. The data-dependent work equals
+    // the batch chain's (each day curates a third; store joins are
+    // key-sized) — what this row bounds is that the per-day fixed job
+    // overhead stays FLAT as data grows, i.e. the incremental shape's
+    // extra cost is a constant, not a multiplier
+    time("release_chain_incr") {
+      import graft.etl.examples.IncrementalRelease
+      val chainDocs = bigDocs.select(col("doc_id"), Queries.syntheticUrl.as("url"),
+        col("lang"), col("source"), col("text"))
+      val bench = docs.filter(col("doc_id") % 17 === 0)
+        .select(col("doc_id").as("bench_id"), col("text"))
+      val bounds = chainDocs.agg(max(col("doc_id")).as("__maxid"))
+      val withB = chainDocs.crossJoin(broadcast(bounds))
+      val days = Seq(
+        withB.filter(col("doc_id") * 3 <= col("__maxid")),
+        withB.filter(col("doc_id") * 3 > col("__maxid") &&
+          col("doc_id") * 3 <= col("__maxid") * 2),
+        withB.filter(col("doc_id") * 3 > col("__maxid") * 2)).map(_.drop("__maxid"))
+      def empty(schema: org.apache.spark.sql.types.StructType) =
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      val init = (empty(IncrementalRelease.UrlStoreSchema),
+        empty(IncrementalRelease.FpStoreSchema),
+        empty(IncrementalRelease.BandStoreSchema),
+        Seq.empty[DataFrame], Seq.empty[DataFrame])
+      val (_, _, _, cur, st) = days.foldLeft(init) {
+        case ((urls, fps, bands, cur, st), day) =>
+          val dc = IncrementalRelease.curateDay(day, bench, urls, fps, bands)
+          (urls.unionByName(dc.urls), fps.unionByName(dc.fps),
+            bands.unionByName(dc.bands), cur :+ dc.curated, st :+ dc.stats)
+      }
+      IncrementalRelease.cut(cur.reduce(_ unionByName _), st.reduce(_ unionByName _),
         Map("en" -> 400000, "de" -> 200000, "fr" -> 200000, "zh" -> 200000))._2
     }
     spark.stop()

@@ -97,6 +97,40 @@ object Release {
     val s4 = mat(s3.filter(passes === 1L))
     val s5 = mat(Decontaminate.removeContaminated(
       s4, "doc_id", "text", bench, "bench_id", "text", n = 5, minHits = minHits))
+    val base05 = Seq(
+      (0L, "raw", s0), (1L, "url_dedup", s1), (2L, "exact_dedup", s2),
+      (3L, "near_dedup", s3), (4L, "quality_gate", s4),
+      (5L, "decontaminate", s5))
+      .map { case (ord, name, df) => stageStat(ord, name, df) }
+      .reduce(_ unionByName _)
+    assemble(s5, base05, targetsPpm, contextLen, shuffleSalt, mat)
+  }
+
+  /** One `(ord, stage, n, tokens)` stats row for a stage frame — the unit
+    * the manifest's kept/rejected rows are built from. The incremental
+    * twin persists these per day and SUMS them at cut time (counts and
+    * token totals are additive across a day split), which is why the row
+    * shape is public to the package. */
+  private[examples] def stageStat(ord: Long, name: String, df: DataFrame): DataFrame =
+    df.agg(count(lit(1)).cast("long").as("n"),
+      coalesce(sum(col("n_tokens")), lit(0L)).cast("long").as("tokens"))
+      .select(lit(ord).as("ord"), lit(name).as("stage"), col("n"), col("tokens"))
+
+  /**
+   * The release CUT — stages 6–9 (target mix, pack, shuffle) plus manifest
+   * assembly — over a curated stage-5-shaped frame and the dedup/gate
+   * stats rows (ords 0–5). Shared verbatim by [[build]] and
+   * [[IncrementalRelease.cut]] so the one-shot and incremental manifests
+   * are produced by the SAME code path and can only differ if their
+   * inputs do (the batch≡incremental law IncrementalReleaseJobSpec pins).
+   */
+  private[examples] def assemble(
+      s5: DataFrame,
+      base05: DataFrame,
+      targetsPpm: Map[String, Int],
+      contextLen: Int,
+      shuffleSalt: String,
+      mat: DataFrame => DataFrame): (DataFrame, DataFrame) = {
     val s6 = mat(TextAnalysis.targetMixSample(s5, "lang", "doc_id", targetsPpm))
     val packed = TextAnalysis.packSequences(
       s6.select(col("doc_id"), col("source"), col("n_tokens")),
@@ -110,18 +144,10 @@ object Release {
       TextAnalysis.deterministicShuffle(chunks, "chunk_key", shuffleSalt))
 
     val noChk = lit(null).cast("long").as("checksum")
-    val stageFrames = Seq(
-      (0L, "raw", s0), (1L, "url_dedup", s1), (2L, "exact_dedup", s2),
-      (3L, "near_dedup", s3), (4L, "quality_gate", s4),
-      (5L, "decontaminate", s5), (6L, "target_mix", s6))
     // materialized: the kept AND rejected branches both read the 7-row
     // stage-stats frame — without the barrier each branch re-runs all
     // seven aggregate scans over the checkpointed stage frames
-    val base = mat(stageFrames.map { case (ord, name, df) =>
-      df.agg(count(lit(1)).cast("long").as("n"),
-        coalesce(sum(col("n_tokens")), lit(0L)).cast("long").as("tokens"))
-        .select(lit(ord).as("ord"), lit(name).as("stage"), col("n"), col("tokens"))
-    }.reduce(_ unionByName _))
+    val base = mat(base05.unionByName(stageStat(6L, "target_mix", s6)))
     val kept = base.select(col("ord"), col("stage"), lit("kept").as("detail"),
       col("n"), col("tokens"), noChk)
     // the lag window is global over the STAGE-COUNT-sized frame (7 rows by

@@ -224,8 +224,27 @@ object Dedup {
       rowsPerBand: Int = 3,
       maxBucket: Int = 1000,
       saltHotBuckets: Boolean = false,
-      scriptAware: Boolean = false): DataFrame = {
-    val banded = bandedIds(df, idCol, textCol, numHashes, rowsPerBand, scriptAware)
+      scriptAware: Boolean = false): DataFrame =
+    lshCandidatePairsFromBands(
+      bandedIds(df, idCol, textCol, numHashes, rowsPerBand, scriptAware),
+      idCol, maxBucket, saltHotBuckets)
+
+  /**
+   * [[lshCandidatePairs]] from a PRECOMPUTED `(id, band, bh)` frame (the
+   * [[bandedIds]] shape) — the shingle-once entry point for callers that
+   * already hold the day's band rows (an incremental job feeds the same
+   * frame to its cross-day store semi-join, its store append, and the
+   * within-day candidate self-join; re-deriving bands from text would
+   * triple the dominant per-row minhash cost at corpus scale). Bucket caps
+   * and hot-bucket salting behave exactly as in [[lshCandidatePairs]],
+   * computed over the rows given.
+   */
+  def lshCandidatePairsFromBands(
+      bands: DataFrame,
+      idCol: String,
+      maxBucket: Int = 1000,
+      saltHotBuckets: Boolean = false): DataFrame = {
+    val banded = bands
       .withColumn("bucket_n", count("*").over(Window.partitionBy(col("band"), col("bh"))))
     val cold = banded.filter(col("bucket_n") <= maxBucket).drop("bucket_n")
     val a = cold.select(col("band"), col("bh"), col(idCol).as("id_a"))
@@ -275,6 +294,18 @@ object Dedup {
     val candidates =
       lshCandidatePairs(df, idCol, textCol, numHashes, rowsPerBand, maxBucket,
         saltHotBuckets, scriptAware)
+    verifyCandidates(candidates, df, idCol, textCol, threshold, scriptAware)
+  }
+
+  /** The exact-Jaccard verify join shared by the from-text and from-bands
+    * pair builders: touches only candidate rows. */
+  private def verifyCandidates(
+      candidates: DataFrame,
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      scriptAware: Boolean): DataFrame = {
     val docs = df.select(col(idCol),
       wordShingles(col(textCol), scriptAware = scriptAware).as("sh"))
     candidates
@@ -595,6 +626,32 @@ object Dedup {
       scriptAware: Boolean = false): DataFrame = {
     val pairs = nearDuplicatePairs(df, idCol, textCol, threshold, numHashes, rowsPerBand,
       scriptAware = scriptAware)
+    val losers = duplicateClusters(pairs, checkpointDir = checkpointDir)
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /**
+   * [[removeNearDuplicates]] with PRECOMPUTED band rows (see
+   * [[lshCandidatePairsFromBands]] for why): `bands` must be the
+   * [[bandedIds]] frame of exactly `df`'s rows — candidates come from the
+   * band self-join, the exact-Jaccard verify re-reads only candidate
+   * texts, and the cluster/keeper law is identical to the from-text form
+   * (bit-equal output, since bands are a pure function of the text).
+   */
+  def removeNearDuplicatesFromBands(
+      df: DataFrame,
+      bands: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8,
+      maxBucket: Int = 1000,
+      saltHotBuckets: Boolean = false,
+      checkpointDir: Option[String] = None,
+      scriptAware: Boolean = false): DataFrame = {
+    val candidates = lshCandidatePairsFromBands(bands, idCol, maxBucket, saltHotBuckets)
+    val pairs = verifyCandidates(candidates, df, idCol, textCol, threshold, scriptAware)
     val losers = duplicateClusters(pairs, checkpointDir = checkpointDir)
       .filter(col("id") =!= col("cluster_id"))
       .select(col("id").as(idCol))

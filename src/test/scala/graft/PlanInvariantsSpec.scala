@@ -636,5 +636,10 @@ class PlanInvariantsSpec extends SparkTestBase {
     // the small SMJ allowance covers AQE declining to broadcast the tiny
     // union legs
     check("release_manifest", maxShuffles = 8, maxSmj = 2)
+    // the incremental twin's visible plan adds one (ord, stage)-keyed agg
+    // over the per-day stats frames to the same assembly; the per-day
+    // curation tiers hide behind their own checkpoints (audited by the
+    // same battery rows as the batch chain)
+    check("release_manifest_incr", maxShuffles = 9, maxSmj = 2)
   }
 }
