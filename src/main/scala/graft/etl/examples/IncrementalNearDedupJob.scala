@@ -68,26 +68,35 @@ class IncrementalNearDedupJob(
     // success AND failure: a backfill loop runs many dates in one session,
     // and blocks leaked on a failed date would accumulate for its lifetime
     val cached = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    def persisted(df: DataFrame): DataFrame = { cached += df.persist(); df }
+    // the day's band frame, built once in drop_seen and reused by
+    // append_bands (stages of one date run sequentially; reassigned per
+    // date in a backfill loop)
+    var dayBands: DataFrame = null
     val pipeline = for {
       raw <- "read_docs".source(ctx => source(ctx.date))
-      fresh <- Stage.transform[org.apache.spark.sql.Row, org.apache.spark.sql.Row]("drop_seen") { ctx =>
+      // the day is shingled EXACTLY once (round 18): this band frame feeds
+      // the cross-date semi-join, the within-day candidate self-join
+      // (removeNearDuplicatesFromBands — bands are per-doc, so the
+      // survivor restriction IS the survivors' band frame) and the store
+      // append; re-deriving it from text tripled the dominant minhash cost
+      deduped <- Stage.transform[org.apache.spark.sql.Row, org.apache.spark.sql.Row]("dedup_day") { ctx =>
         val docs = ctx.value.toDF()
-        val hits = bandRows(docs)
+        dayBands = persisted(bandRows(docs))
+        val hits = dayBands
           .join(storedBands(ctx.spark, ctx.date), Seq("band", "bh"), "left_semi")
           .select(col(idCol)).distinct()
-        docs.join(hits, Seq(idCol), "left_anti")
-      }
-      deduped <- Stage.transform[org.apache.spark.sql.Row, org.apache.spark.sql.Row]("within_day") {
+        val kept = docs.join(hits, Seq(idCol), "left_anti")
         // persist: both sinks consume this, and its lineage is the whole
         // shingle/minhash/verify pipeline — without it each sink recomputes
-        ctx =>
-          val d = Dedup.removeNearDuplicates(ctx.value.toDF(), idCol, textCol, threshold,
-            numHashes, rowsPerBand, checkpointDir, scriptAware).persist()
-          cached += d
-          d
+        persisted(Dedup.removeNearDuplicatesFromBands(kept,
+          dayBands.join(hits, Seq(idCol), "left_anti"), idCol, textCol, threshold,
+          checkpointDir = checkpointDir, scriptAware = scriptAware))
       }
       _ <- "append_bands".sink[org.apache.spark.sql.Row] { ctx =>
-        bandStore.save(bandRows(ctx.value.toDF()).select(col("band"), col("bh")).distinct(),
+        val survivors = ctx.value.toDF().select(col(idCol))
+        bandStore.save(dayBands.join(survivors, Seq(idCol), "left_semi")
+          .select(col("band"), col("bh")).distinct(),
           ctx.date, Warehouse.WriteTruncate)
       }
       _ <- "write_clean".sink[org.apache.spark.sql.Row] { ctx =>

@@ -249,6 +249,9 @@ class PlanInvariantsSpec extends SparkTestBase {
   test("round-6 additions: bounded shuffles, no cartesian") {
     // one exact distinct-agg shuffle pair on (type, user)
     check("distinct_users_exact", maxShuffles = 2)
+    // round 18 verdict row: daily sketch agg + re-agg (2) + the exact
+    // two-phase distinct (2), joined group-sized (broadcast)
+    check("distinct_users_sketch", maxShuffles = 4)
     // daily bottom-k agg + re-rollup agg: k-row sketches through both
     check("value_quantiles_sketch", maxShuffles = 2)
     // daily Misra-Gries agg + merge agg: capacity-bounded summaries through

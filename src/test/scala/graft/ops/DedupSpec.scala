@@ -104,6 +104,19 @@ class DedupSpec extends SparkTestBase {
     kept shouldBe Array(1L, 4L)
   }
 
+  test("from-bands entry points are bit-identical to the from-text forms") {
+    // bands are a pure function of the text, so feeding the precomputed
+    // bandedIds frame (the shingle-once path incremental jobs ride) must
+    // reproduce the from-text results exactly — candidates AND survivors
+    val bands = Dedup.bandedIds(docs, "id", "text")
+    Dedup.lshCandidatePairsFromBands(bands, "id")
+      .as[(Long, Long)].collect().toSet shouldBe
+      Dedup.lshCandidatePairs(docs, "id", "text").as[(Long, Long)].collect().toSet
+    Dedup.removeNearDuplicatesFromBands(docs, bands, "id", "text")
+      .select("id").as[Long].collect().sorted shouldBe
+      Dedup.removeNearDuplicates(docs, "id", "text").select("id").as[Long].collect().sorted
+  }
+
   test("removeNearDuplicatesKeepBest keeps the highest-scored cluster member") {
     val scored = docs.withColumn("quality",
       when($"id" === 3L, 9.0).when($"id" === 4L, 1.0).otherwise(5.0))
