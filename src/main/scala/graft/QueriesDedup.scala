@@ -1415,6 +1415,10 @@ private[graft] trait QueriesDedup extends QueryHelpers { this: QueryBattery =>
    * day-split manifest is digit-identical to the batch manifest (under
    * the preconditions IncrementalRelease documents; they hold on this
    * corpus, which the match itself verifies at every sf the driver runs).
+   * Runs with `verifyNear = true` (round 19): cross-day band collisions
+   * pay the exact-Jaccard residual instead of being dropped unverified,
+   * so the law here needs one FEWER precondition than the default mode —
+   * and the manifest must still match the batch oracle digit-for-digit.
    * Day bounds come from a 1-row max broadcast, never a collect.
    */
   def releaseManifestIncr(spark: SparkSession, dir: String): DataFrame = {
@@ -1436,11 +1440,12 @@ private[graft] trait QueriesDedup extends QueryHelpers { this: QueryBattery =>
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     val init = (empty(IncrementalRelease.UrlStoreSchema),
       empty(IncrementalRelease.FpStoreSchema),
-      empty(IncrementalRelease.BandStoreSchema),
+      empty(IncrementalRelease.VerifiedBandStoreSchema),
       Seq.empty[DataFrame], Seq.empty[DataFrame])
     val (_, _, _, curatedParts, statsParts) =
       days.foldLeft(init) { case ((urls, fps, bands, cur, st), day) =>
-        val dc = IncrementalRelease.curateDay(day, bench, urls, fps, bands)
+        val dc = IncrementalRelease.curateDay(day, bench, urls, fps, bands,
+          verifyNear = true)
         (urls.unionByName(dc.urls), fps.unionByName(dc.fps),
           bands.unionByName(dc.bands), cur :+ dc.curated, st :+ dc.stats)
       }

@@ -60,6 +60,73 @@ private[graft] trait QueriesRetrieval extends QueryHelpers { this: QueryBattery 
        WHERE levenshtein(a.str, b.str) <= 2"""
 
   /**
+   * `edit_capped_join`: [[graft.ops.Joins.editDistanceJoin]] with the
+   * round-19 `maxBlock` knob BITING — the block-density control for the
+   * edit-distance family, oracle-replayed cap included. The corpus is
+   * built to concentrate: customer keys pair into families of 2 (a
+   * 10-hex-char md5 base; the odd variant substitutes `z` at positions 5
+   * and 9, so intra-family distance is exactly 2 and the pair's ONLY
+   * unedited segment is i=0), and every third family overwrites segment
+   * i=0 with the constant `aaa` — one hot block holding a third of the
+   * build side. At `maxBlock = 64` the hot block is dropped (sf0.01:
+   * 500 rows >> 64) while every md5-random cold block survives, so the
+   * result is exactly the COLD families' pairs: the recall loss is real,
+   * deterministic, and the DuckDB oracle replays the segment blocking,
+   * the per-block count, the drop, and the verify digit-for-digit (all
+   * strings are length 10 at maxDist 2, so the probe shift enumeration
+   * closes to seven (i, shift) cases). JoinsSpec measures the same loss
+   * and pins `saltHotBlocks` as the no-loss alternative.
+   */
+  def editCappedJoin(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val base = substring(md5(concat(lit("ec:"), expr("c_custkey DIV 2").cast("string"))), 1, 10)
+    val strs = t(dir, "customer").withColumn("__b", base)
+      .withColumn("__v", expr(
+        """CASE WHEN c_custkey % 2 = 1
+             THEN concat(substring(__b, 1, 4), 'z', substring(__b, 6, 3), 'z', substring(__b, 10, 1))
+             ELSE __b END"""))
+      .select(col("c_custkey").as("id"), expr(
+        """CASE WHEN (c_custkey DIV 2) % 3 = 0
+             THEN concat('aaa', substring(__v, 4, 7)) ELSE __v END""").as("str"))
+    graft.ops.Joins.editDistanceJoin(strs, "id", "str", strs, "id", "str",
+      maxDist = 2, maxBlock = 64)
+      .where(col("id_a") < col("id_b"))
+  }
+
+  val editCappedJoinSql: String =
+    """WITH s AS (
+         SELECT c_custkey AS id,
+           CASE WHEN (c_custkey // 2) % 3 = 0
+                THEN 'aaa' || substring(v, 4, 7) ELSE v END AS str
+         FROM (SELECT c_custkey,
+                 CASE WHEN c_custkey % 2 = 1
+                   THEN substring(b, 1, 4) || 'z' || substring(b, 6, 3) || 'z' || substring(b, 10, 1)
+                   ELSE b END AS v
+               FROM (SELECT c_custkey,
+                       substring(md5('ec:' || (c_custkey // 2)), 1, 10) AS b
+                     FROM customer))),
+       segs AS (
+         SELECT id, str, i,
+           CASE i WHEN 0 THEN substring(str, 1, 3)
+                  WHEN 1 THEN substring(str, 4, 3)
+                  ELSE substring(str, 7, 4) END AS seg
+         FROM s, (VALUES (0), (1), (2)) t(i)),
+       sizes AS (SELECT i, seg, count(*) AS n FROM segs GROUP BY 1, 2),
+       cold AS (SELECT g.id, g.str, g.i, g.seg FROM segs g
+                JOIN sizes z USING (i, seg) WHERE z.n <= 64),
+       probe AS (
+         SELECT id, str, i, substring(str, st + 1, ln) AS seg
+         FROM s, (VALUES (0, 0, 3), (0, 1, 3),
+                         (1, 2, 3), (1, 3, 3), (1, 4, 3),
+                         (2, 5, 4), (2, 6, 4)) t(i, st, ln)),
+       cand AS (
+         SELECT DISTINCT a.id AS id_a, a.str AS sa, b.id AS id_b, b.str AS sb
+         FROM cold a JOIN probe b ON a.i = b.i AND a.seg = b.seg)
+       SELECT id_a, id_b, CAST(levenshtein(sa, sb) AS BIGINT) AS dist
+       FROM cand
+       WHERE levenshtein(sa, sb) <= 2 AND id_a < id_b"""
+
+  /**
    * `mutual_best`: [[graft.ops.Joins.mutualBest]] over (user bucket,
    * event type) affinity counts — the reciprocal-argmax acceptance rule
    * of entity resolution (a pair survives iff each side is the other's
@@ -188,6 +255,21 @@ private[graft] trait QueriesRetrieval extends QueryHelpers { this: QueryBattery 
    * names are ASCII, where the kernel's code-point semantics and DuckDB's
    * byte-based `damerau_levenshtein` coincide — the oracle replays the
    * block join and every distance digit.
+   *
+   * **Block-density control** (round 19): the block alphabet is FIXED
+   * (TPC-H part names end in one of ~92 color words), so block density
+   * grows linearly with the corpus and uncapped within-block candidates
+   * quadratically — measured 106x wall on 10x data at the sf1 decade. The
+   * build (a) side therefore takes a deterministic PER-BLOCK RANK CAP
+   * (`row_number() over (partition by block order by id) <= 32`): probe
+   * rows grow linearly, build rows per block are bounded, candidates grow
+   * linearly. Rank-cap rather than [[graft.ops.Joins.editDistanceJoin]]'s
+   * whole-block drop because every block here saturates together (uniform
+   * density — whole-block drop degenerates to an empty result at scale,
+   * while the rank cap keeps a deterministic, oracle-replayable prefix of
+   * each block). Pairs whose build row ranks beyond 32 are the measured
+   * recall sacrifice — the same trade as LSH `maxBucket`. The oracle
+   * replays the cap with the identical QUALIFY window.
    */
   def damerauPairs(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
@@ -196,6 +278,10 @@ private[graft] trait QueriesRetrieval extends QueryHelpers { this: QueryBattery 
       element_at(split(col("p_name"), " "), -1).as("block"))
     val a = parts.where(col("id") % 7 === 1)
       .select(col("block"), col("id").as("id_a"), col("name").as("__na"))
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("block")).orderBy(col("id_a"))))
+      .where(col("__rk") <= 32).drop("__rk")
     val b = parts.where(col("id") % 7 === 2)
       .select(col("block"), col("id").as("id_b"), col("name").as("__nb"))
     a.join(b, "block")
@@ -213,7 +299,8 @@ private[graft] trait QueriesRetrieval extends QueryHelpers { this: QueryBattery 
          FROM part)
        SELECT a.id AS id_a, b.id AS id_b,
               CAST(damerau_levenshtein(a.name, b.name) AS BIGINT) AS dist
-       FROM (SELECT * FROM p WHERE id % 7 = 1) a
+       FROM (SELECT * FROM p WHERE id % 7 = 1
+             QUALIFY row_number() OVER (PARTITION BY block ORDER BY id) <= 32) a
        JOIN (SELECT * FROM p WHERE id % 7 = 2) b USING (block)
        WHERE damerau_levenshtein(a.name, b.name) <= 4"""
 

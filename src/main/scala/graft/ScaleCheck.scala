@@ -36,7 +36,7 @@ object ScaleCheck {
     "token_budget_per_group", "fuzzy_join", "containment_pairs", "host_pagerank",
     "bm25_topk", "collocations", "exact_percentiles",
     "triangles", "label_prop", "jaccard_join", "sorted_neighborhood",
-    "running_total", "kcore", "bfs_reach",
+    "running_total", "kcore", "bfs_reach", "edit_capped_density",
     "gap_fill", "cusum", "trailing", "zorder",
     "basket_lift", "time_weighted_load", "damerau_pairs", "rrf_fusion",
     "attribution_linear", "blocklist", "spearman", "fleiss", "vocab_growth",
@@ -424,6 +424,26 @@ object ScaleCheck {
       ops.Joins.editDistanceJoin(strs, "id", "s", strs, "id", "s", maxDist = 2)
         .filter(col("id_a") < col("id_b"))
     }
+    // block-density stress for the maxBlock knob: a third of the families
+    // share the constant `aaa` first segment (the battery edit_capped_join
+    // corpus), so amplifying rows 20x makes the hot i=0 block 20x DENSER —
+    // uncapped, its within-block candidates grow 400x; with maxBlock the
+    // hot block drops before the candidate join (measured recall trade,
+    // JoinsSpec) and wall must track the linear cold/probe work instead
+    time("edit_capped_density") {
+      val strs = bigDocs.selectExpr("doc_id AS id",
+        "substring(md5(concat('ec:', CAST(doc_id DIV 2 AS STRING))), 1, 10) AS b")
+        .selectExpr("id",
+          """CASE WHEN id % 2 = 1
+               THEN concat(substring(b, 1, 4), 'z', substring(b, 6, 3), 'z', substring(b, 10, 1))
+               ELSE b END AS v""")
+        .selectExpr("id",
+          """CASE WHEN (id DIV 2) % 3 = 0
+               THEN concat('aaa', substring(v, 4, 7)) ELSE v END AS s""")
+      ops.Joins.editDistanceJoin(strs, "id", "s", strs, "id", "s",
+        maxDist = 2, maxBlock = 64)
+        .filter(col("id_a") < col("id_b"))
+    }
     // the full record-linkage pipeline: the same variant-family generator
     // A/B-split by parity, then the mutualBest acceptance rule — pair
     // volume grows with family count, the argmax aggs collapse to
@@ -617,13 +637,22 @@ object ScaleCheck {
     // copy index, as fuzzy_join's families do): a bigger corpus means MORE
     // blocks, not denser ones — the honest entity-resolution scale model;
     // per-block verify cost is bounded by block size at any factor
+    // block DENSITY grows with the amplification here, deliberately: TPC-H
+    // part names keep their ~92 last-word blocks across copies, so 20x rows
+    // means 20x rows PER BLOCK — the regime that blew up 106x at the real
+    // sf1 decade before round 19. The build-side rank cap (the battery
+    // query's exact recipe) bounds within-block candidates to 32 x probe,
+    // so wall must grow ~linearly with the probe side, not quadratically
     time("damerau_pairs") {
       val parts = bigPart.select(col("p_partkey").as("id"),
         col("p_name").as("name"),
-        concat(element_at(split(col("p_name"), " "), -1), lit("-"),
-          (col("p_partkey") / keySpan).cast("long").cast("string")).as("block"))
+        element_at(split(col("p_name"), " "), -1).as("block"))
       val a = parts.where(col("id") % 7 === 1)
         .select(col("block"), col("id").as("id_a"), col("name").as("__na"))
+        .withColumn("__rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("block")).orderBy(col("id_a"))))
+        .where(col("__rk") <= 32).drop("__rk")
       val b = parts.where(col("id") % 7 === 2)
         .select(col("block"), col("id").as("id_b"), col("name").as("__nb"))
       a.join(b, "block")

@@ -79,7 +79,11 @@ class IncrementalNearDedupJob(
       // the cross-date semi-join, the within-day candidate self-join
       // (removeNearDuplicatesFromBands — bands are per-doc, so the
       // survivor restriction IS the survivors' band frame) and the store
-      // append; re-deriving it from text tripled the dominant minhash cost
+      // append; re-deriving it from text tripled the dominant minhash cost.
+      // NOTE (externally visible rename, round 18): the former
+      // `drop_seen` + `within_day` stages were fused into this single
+      // `dedup_day` stage — monitoring or metrics keyed on the old stage
+      // names must re-key on `dedup_day`
       deduped <- Stage.transform[org.apache.spark.sql.Row, org.apache.spark.sql.Row]("dedup_day") { ctx =>
         val docs = ctx.value.toDF()
         dayBands = persisted(bandRows(docs))

@@ -42,11 +42,20 @@ import graft.time.DateInterval
  *     the larger id, so the batch keep-smallest rule and the incremental
  *     drop-the-newcomer rule pick the same keeper — true of any ingest
  *     with time-ordered ids);
- *  2. every cross-day LSH band collision is a true near-duplicate at the
- *     threshold (the store keeps `(band, bh)` only, so cross-day
- *     candidates are dropped UNVERIFIED — the same one-sided rule as
- *     [[IncrementalNearDedupJob]]; raise `rowsPerBand` to push the
- *     false-candidate rate down);
+ *  2. *(default mode only — struck entirely by `verifyNear = true`)*
+ *     every cross-day LSH band collision is a true near-duplicate at the
+ *     threshold: with `verifyNear = false` the store keeps `(band, bh)`
+ *     only, so cross-day candidates are dropped UNVERIFIED — the same
+ *     one-sided rule as [[IncrementalNearDedupJob]] (raise `rowsPerBand`
+ *     to push the false-candidate rate down). With `verifyNear = true`
+ *     the store keeps each band-input document's word shingles BESIDE its
+ *     `(band, bh)` rows (the S13/S14 streaming tier's opt-in, in batch
+ *     form) and a cross-day collision drops a document only when the
+ *     exact shingle Jaccard — the IDENTICAL [[Dedup.jaccard]] predicate
+ *     the batch verify applies — clears `threshold`; a FALSE band
+ *     collision now survives incrementally exactly as it survives the
+ *     batch build (IncrementalReleaseJobSpec constructs one and pins the
+ *     agreement);
  *  3. no near-dup cluster is bridged across days only through a
  *     later-day doc (batch connected components would merge what the
  *     day-by-day view saw as separate — the inherent blind spot of any
@@ -79,6 +88,15 @@ object IncrementalRelease {
   val BandStoreSchema: StructType = StructType(Seq(
     StructField("band", IntegerType), StructField("bh", StringType)))
 
+  /** Band-store shape under `verifyNear = true`: the band-input document's
+    * word shingles ride beside each of its `(band, bh)` rows (colocated,
+    * never an id-keyed side table — a cross-day collision verifies as a
+    * residual on the SAME equi-join, no second shuffle; the cost is the
+    * shingles stored `bands` times, the trade the S14 streaming tier made). */
+  val VerifiedBandStoreSchema: StructType = StructType(Seq(
+    StructField("band", IntegerType), StructField("bh", StringType),
+    StructField("sh", org.apache.spark.sql.types.ArrayType(StringType, containsNull = false))))
+
   /**
    * Curate one day against the stores: URL / exact / near dedup (cross-day
    * via `seenUrls`/`seenFps`/`seenBands`, within-day via the same
@@ -103,7 +121,8 @@ object IncrementalRelease {
       numHashes: Int = 12,
       rowsPerBand: Int = 3,
       minHits: Int = 3,
-      checkpointDir: Option[String] = None): DayCuration = {
+      checkpointDir: Option[String] = None,
+      verifyNear: Boolean = false): DayCuration = {
     checkpointDir.foreach(docs.sparkSession.sparkContext.setCheckpointDir)
     def mat(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(eager = true)
@@ -131,8 +150,23 @@ object IncrementalRelease {
     // band rows of the near tier's INPUT — the day is shingled once; the
     // same frame feeds the cross-day semi-join and the store append
     val dayBands = mat(Dedup.bandedIds(s2, "doc_id", "text", numHashes, rowsPerBand))
-    val nearSeen = dayBands.join(seenBands, Seq("band", "bh"), "left_semi")
-      .select(col("doc_id")).distinct()
+    // verified mode: the day's shingles ride the band frame (computed once,
+    // reused by the cross-day residual AND the store append), and a
+    // cross-day collision drops the doc only when the exact Jaccard — the
+    // batch verify's identical predicate — clears the threshold
+    val daySh =
+      if (!verifyNear) null
+      else mat(s2.select(col("doc_id"), Dedup.wordShingles(col("text")).as("__dsh")))
+    val nearSeen =
+      if (!verifyNear)
+        dayBands.join(seenBands, Seq("band", "bh"), "left_semi")
+          .select(col("doc_id")).distinct()
+      else
+        dayBands.join(daySh, "doc_id")
+          .join(seenBands.select(col("band"), col("bh"), col("sh").as("__vsh")),
+            Seq("band", "bh"))
+          .where(Dedup.jaccard(col("__dsh"), col("__vsh")) >= threshold)
+          .select(col("doc_id")).distinct()
     val fresh2 = s2.join(nearSeen, Seq("doc_id"), "left_anti")
     // within-day candidates reuse the SAME band rows (restricted to the
     // cross-day survivors — bands are per-doc, so the restriction IS the
@@ -152,8 +186,11 @@ object IncrementalRelease {
       (3L, "near_dedup", s3), (4L, "quality_gate", s4), (5L, "decontaminate", s5))
       .map { case (ord, name, df) => Release.stageStat(ord, name, df) }
       .reduce(_ unionByName _)
-    DayCuration(s5, mat(stats), urls, fps,
-      dayBands.select(col("band"), col("bh")).distinct())
+    val bandRows =
+      if (!verifyNear) dayBands.select(col("band"), col("bh")).distinct()
+      else dayBands.join(daySh, "doc_id")
+        .select(col("band"), col("bh"), col("__dsh").as("sh")).distinct()
+    DayCuration(s5, mat(stats), urls, fps, bandRows)
   }
 
   /**
@@ -208,7 +245,8 @@ class IncrementalReleaseJob(
     numHashes: Int = 12,
     rowsPerBand: Int = 3,
     shuffleSalt: String = "release",
-    checkpointDir: Option[String] = None)
+    checkpointDir: Option[String] = None,
+    verifyNear: Boolean = false)
     extends SparkJob {
 
   override def shouldRunForDate(spark: SparkSession, date: DateInterval): Boolean =
@@ -232,8 +270,9 @@ class IncrementalReleaseJob(
       curateDay(ctx.value.toDF(), benchmark(ctx.spark),
         storedOrEmpty(ctx.spark, urlStore, ctx.date, UrlStoreSchema),
         storedOrEmpty(ctx.spark, fpStore, ctx.date, FpStoreSchema),
-        storedOrEmpty(ctx.spark, bandStore, ctx.date, BandStoreSchema),
-        threshold, numHashes, rowsPerBand, minHits, checkpointDir)
+        storedOrEmpty(ctx.spark, bandStore, ctx.date,
+          if (verifyNear) VerifiedBandStoreSchema else BandStoreSchema),
+        threshold, numHashes, rowsPerBand, minHits, checkpointDir, verifyNear)
     }
     _ <- Stage[DayCuration, DayCuration]("append_stores") { ctx =>
       urlStore.save(ctx.value.urls, ctx.date, Warehouse.WriteTruncate)

@@ -416,8 +416,14 @@ object TextHash {
     val ids = new java.util.ArrayList[java.lang.Long]()
     val sbs = new java.util.ArrayList[java.lang.StringBuilder]()
     def appendTo(id: Long, str: String, from: Int, until: Int): Unit = {
-      var k = ids.size() - 1
-      while (k >= 0 && ids.get(k).longValue() != id) k -= 1
+      // window ids are strictly increasing and only p and p-1 are ever
+      // targeted, so a hit can only sit in the LAST TWO entries — probing
+      // further keeps per-window cost O(1) instead of O(windows) on long
+      // documents
+      val sz = ids.size()
+      var k = -1
+      if (sz >= 1 && ids.get(sz - 1).longValue() == id) k = sz - 1
+      else if (sz >= 2 && ids.get(sz - 2).longValue() == id) k = sz - 2
       if (k >= 0) sbs.get(k).append(str, from, until)
       else {
         ids.add(java.lang.Long.valueOf(id))

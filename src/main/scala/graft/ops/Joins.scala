@@ -267,10 +267,38 @@ object Joins {
    * The probe enumeration is `O((2d+1)^2 * (d+1))` substrings per row
    * (d = `maxDist`, deduplicated before the join) — per-row codegen'd
    * higher-order functions, no shuffle until the candidate equi-join.
-   * Degenerate blocks (every row sharing a constant prefix segment) are
-   * data-inherent, the same hazard as LSH hot buckets; profile with
-   * [[Skew.skewProfile]] on the segment key and salt or cap upstream if a
-   * corpus concentrates.
+   *
+   * **Block density is the scale hazard** — the same one as LSH hot
+   * buckets, and it gets the same two-knob treatment
+   * ([[Dedup.lshCandidatePairs]]'s `maxBucket`/`saltHotBuckets`): when a
+   * corpus concentrates on few segment blocks (templated titles, shared
+   * product names, or simply a segment alphabet the corpus saturates —
+   * e.g. hex trigrams cap at 4096 keys, so blocks grow LINEARLY with rows
+   * and the within-block candidate count QUADRATICALLY), the blocked join
+   * stops being linear. A block of `b` build rows x `p` probe rows emits
+   * `b*p` candidates on one reducer key.
+   *
+   *  - `maxBlock` (default unbounded: bit-identical to the uncapped
+   *    join, which is what the naive-oracle exactness proof checks):
+   *    build-side blocks — `(segment index, left length, segment)` keys
+   *    with more than `maxBlock` LEFT rows — are DROPPED before the
+   *    candidate join. Cheap and linear, but a RECALL LOSS: a true pair
+   *    whose every surviving segment falls in hot blocks is never
+   *    proposed (JoinsSpec measures the loss on a dense-block corpus).
+   *  - `saltHotBlocks = true`: keep hot blocks and pair them via a salted
+   *    join (deterministic per-id salt, each pair produced exactly once):
+   *    hot LEFT rows take salt `hash(id) mod nsalt`
+   *    (`nsalt = ceil(block_n / maxBlock)`), hot probe rows replicate
+   *    across the salts, so no reducer key sees more than `~maxBlock`
+   *    build rows however hot the block. Zero recall loss; the replicated
+   *    shuffle volume is bounded by the candidate output the block was
+   *    always going to emit — you pay for the pairs you asked to keep,
+   *    spread evenly, instead of one straggling reducer.
+   *
+   * The hot-key frame is an AGGREGATED `(i, l, seg)` frame with at most
+   * `rows / maxBlock` entries by construction, so it broadcasts at any
+   * corpus size; cold rows route through a broadcast anti-join, never a
+   * shuffle on the raw frame.
    *
    * `ids` must be unique per side (they key the verify re-join). Null
    * strings never match. Output: `(id_a, id_b, dist)`, `dist` exact.
@@ -282,8 +310,11 @@ object Joins {
       right: DataFrame,
       rightId: String,
       rightStr: String,
-      maxDist: Int): DataFrame = {
+      maxDist: Int,
+      maxBlock: Int = Int.MaxValue,
+      saltHotBlocks: Boolean = false): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    require(maxBlock > 0, s"maxBlock must be positive, got $maxBlock")
     val d = maxDist
     val k = d + 1
     val la = left.select(col(leftId).as("id_a"), col(leftStr).as("__sa"))
@@ -338,9 +369,37 @@ object Joins {
       .select(col("id_b"), col("__sb"), col("__key.i").as("i"),
         col("__key.l").as("l"), col("__key.seg").as("seg"))
 
+    val candidates =
+      if (maxBlock == Int.MaxValue) segs.join(probeKeys, Seq("i", "l", "seg"))
+      else {
+        // aggregated build-side block sizes: <= rows/maxBlock hot keys by
+        // construction, so the hot-key frame broadcasts at any scale
+        val blockKey = Seq("i", "l", "seg")
+        val hotKeys = segs.groupBy(blockKey.map(col): _*)
+          .agg(count(lit(1)).as("__block_n"))
+          .filter(col("__block_n") > maxBlock)
+        val coldCand = segs
+          .join(broadcast(hotKeys.select(blockKey.map(col): _*)),
+            blockKey, "left_anti")
+          .join(probeKeys, blockKey)
+        if (!saltHotBlocks) coldCand
+        else {
+          val hk = broadcast(hotKeys.withColumn("__nsalt",
+            ceil(col("__block_n").cast("double") / maxBlock).cast("int"))
+            .select(col("i"), col("l"), col("seg"), col("__nsalt")))
+          val hotSegs = segs.join(hk, blockKey)
+            .withColumn("__salt", pmod(hash(col("id_a")), col("__nsalt")))
+            .drop("__nsalt")
+          val hotProbe = probeKeys.join(hk, blockKey)
+            .withColumn("__salt", explode(sequence(lit(0), col("__nsalt") - 1)))
+            .drop("__nsalt")
+          coldCand.unionByName(
+            hotSegs.join(hotProbe, blockKey :+ "__salt").drop("__salt"))
+        }
+      }
     // distinct BEFORE verify: a pair found through several surviving
     // segments must pay the levenshtein DP once, not once per segment
-    segs.join(probeKeys, Seq("i", "l", "seg"))
+    candidates
       .select(col("id_a"), col("id_b"), col("__sa"), col("__sb")).distinct()
       .withColumn("dist", levenshtein(col("__sa"), col("__sb"), d).cast("long"))
       .where(col("dist") >= 0)

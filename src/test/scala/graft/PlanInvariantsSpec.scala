@@ -645,4 +645,14 @@ class PlanInvariantsSpec extends SparkTestBase {
     // same battery rows as the batch chain)
     check("release_manifest_incr", maxShuffles = 9, maxSmj = 2)
   }
+
+  test("round-19 block-density control: capped edit join and capped damerau blocking") {
+    // hot-key agg + broadcast anti-join route the cold rows; ONE candidate
+    // equi-join + the pair distinct; verify per-row — and still no
+    // cartesian even though the corpus deliberately saturates a block
+    check("edit_capped_join", maxShuffles = 6)
+    // build-side rank cap (one block-keyed window sort) + the block
+    // equi-join; the DP is per-row codegen
+    check("damerau_pairs", maxShuffles = 3)
+  }
 }

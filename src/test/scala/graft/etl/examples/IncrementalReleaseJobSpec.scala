@@ -127,6 +127,71 @@ class IncrementalReleaseJobSpec extends SparkJobSuiteBase {
     rej("near_dedup") shouldBe 2L // 113 (vs day1's 34) + 207 (vs day2's 117)
   }
 
+  test("verifyNear: a FALSE cross-day band collision survives incrementally " +
+    "and the manifest still matches the batch (precondition 2 struck)") {
+    import org.apache.spark.sql.functions.col
+    import graft.ops.Dedup
+    // search deterministically for a sub-threshold pair that nonetheless
+    // collides on a band: 20 shared words + 20 distinct per side gives
+    // shingle Jaccard ~0.29 (far below 0.8), and each band collides with
+    // probability ~0.29^3 — over 200 seeds some pair collides
+    val cand = (0 until 200).flatMap { s =>
+      val shared = (0 until 20).map(i => s"aw${s}q$i")
+      val a = (shared ++ (20 until 40).map(i => s"bx${s}q$i")).mkString(" ")
+      val b = (shared ++ (20 until 40).map(i => s"cy${s}q$i")).mkString(" ")
+      Seq((2L * s, a), (2L * s + 1, b))
+    }
+    val candDf = cand.toDF("doc_id", "text")
+    val bands = Dedup.bandedIds(candDf, "doc_id", "text")
+    val seed = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") + 1 === col("y.doc_id") && col("x.doc_id") % 2 === 0)
+      .select((col("x.doc_id") / 2).cast("long")).as[Long].collect()
+      .headOption.getOrElse(fail("no false band collision in 200 seeds"))
+    val textA = cand((2 * seed).toInt)._2
+    val textB = cand((2 * seed).toInt + 1)._2
+    // the planted pair is genuinely sub-threshold
+    val jac = candDf.filter((col("doc_id") / 2).cast("long") === seed)
+      .agg(Dedup.jaccard(
+        org.apache.spark.sql.functions.min(Dedup.wordShingles(col("text"))),
+        org.apache.spark.sql.functions.max(Dedup.wordShingles(col("text")))))
+      .as[Double].head()
+    jac should be < 0.8
+
+    val d1 = Seq((10L, "https://e.com/a", "en", "s_en", textA))
+      .toDF("doc_id", "url", "lang", "source", "text")
+    val d2 = Seq((20L, "https://e.com/b", "en", "s_en", textB))
+      .toDF("doc_id", "url", "lang", "source", "text")
+    def empty(s: org.apache.spark.sql.types.StructType) =
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+    def runIncr(verify: Boolean) = {
+      val bandSchema = if (verify) IncrementalRelease.VerifiedBandStoreSchema
+        else IncrementalRelease.BandStoreSchema
+      val init = (empty(IncrementalRelease.UrlStoreSchema),
+        empty(IncrementalRelease.FpStoreSchema), empty(bandSchema),
+        Seq.empty[DataFrame], Seq.empty[DataFrame])
+      val (_, _, _, cur, st) = Seq(d1, d2).foldLeft(init) {
+        case ((urls, fps, bs, c, s2), day) =>
+          val dc = IncrementalRelease.curateDay(day, bench, urls, fps, bs,
+            verifyNear = verify)
+          (urls.unionByName(dc.urls), fps.unionByName(dc.fps),
+            bs.unionByName(dc.bands), c :+ dc.curated, s2 :+ dc.stats)
+      }
+      (cur.reduce(_ unionByName _),
+        IncrementalRelease.cut(cur.reduce(_ unionByName _),
+          st.reduce(_ unionByName _), Map("en" -> 1000000))._2)
+    }
+    val (curVerified, mVerified) = runIncr(verify = true)
+    val (curDefault, _) = runIncr(verify = false)
+    // default mode drops the day-2 doc UNVERIFIED (the documented
+    // one-sided rule); the verified tier pays the exact-Jaccard residual
+    // and keeps it — agreeing with the batch verdict
+    curDefault.filter(col("doc_id") === 20L).count() shouldBe 0L
+    curVerified.filter(col("doc_id") === 20L).count() shouldBe 1L
+    val (_, batchM) = Release.build(d1.unionByName(d2), bench, Map("en" -> 1000000))
+    collected(mVerified) shouldBe collected(batchM)
+  }
+
   test("reruns are manifest-gated and crash-rerun idempotent") {
     val root = HdfsUrl(tmpDir("incr_release_rerun"))
     val j = job(root)

@@ -252,6 +252,76 @@ class JoinsSpec extends SparkTestBase {
     a shouldBe b
   }
 
+  /** A block-DENSE corpus: 40 families of 2 strings at distance exactly 2
+    * (z-substitutions at positions 5 and 9, so the pair's only unedited
+    * segment is i=0), with 30 families sharing the constant hot prefix
+    * `aaa` — one i=0 block holding 60 of 80 build rows. */
+  private def denseCorpus: Seq[(Long, String)] = {
+    val hex = "0123456789abcdef"
+    def base(f: Int): String = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"blk:$f".getBytes("UTF-8"))
+      (0 until 10).map(i => hex((h(i) & 0xff) % 16)).mkString
+    }
+    (0 until 40).flatMap { f =>
+      val b0 = base(f)
+      val b = if (f % 4 != 3) "aaa" + b0.substring(3) else b0
+      val v = b.substring(0, 4) + "z" + b.substring(5, 8) + "z" + b.substring(9)
+      Seq((2L * f, b), (2L * f + 1, v))
+    }
+  }
+
+  test("editDistanceJoin: maxBlock drops hot blocks (measured recall loss); " +
+    "saltHotBlocks keeps them losslessly") {
+    val df = denseCorpus.toDF("id", "s")
+    def run(maxBlock: Int, salt: Boolean) =
+      Joins.editDistanceJoin(df, "id", "s", df, "id", "s", 2,
+        maxBlock = maxBlock, saltHotBlocks = salt)
+        .where($"id_a" < $"id_b").as[(Long, Long, Long)].collect().toSet
+    val full = run(Int.MaxValue, salt = false)
+    val capped = run(8, salt = false)
+    val salted = run(8, salt = true)
+    // the salted variant is EXACTLY the uncapped join — zero recall loss,
+    // the hot block just pairs through the salted join
+    salted shouldBe full
+    // the drop variant never invents pairs and measurably loses recall
+    capped.subsetOf(full) shouldBe true
+    val lost = full -- capped
+    lost should not be empty
+    val recall = capped.size.toDouble / full.size
+    recall should be < 1.0
+    // every lost pair is between two hot-prefix strings: its only unedited
+    // segment is the dropped `aaa` block — exactly the documented loss mode
+    val strOf = denseCorpus.toMap
+    lost.foreach { case (a, b, _) =>
+      withClue(s"lost pair ($a, $b): ") {
+        strOf(a).take(3) shouldBe "aaa"
+        strOf(b).take(3) shouldBe "aaa"
+      }
+    }
+    // and the cold families' pairs all survive the cap
+    denseCorpus.collect { case (id, s) if !s.startsWith("aaa") => id / 2 }
+      .distinct.foreach { f =>
+        withClue(s"cold family $f: ") {
+          capped.exists { case (a, b, _) => a / 2 == f && b / 2 == f } shouldBe true
+        }
+      }
+  }
+
+  test("editDistanceJoin salted path is partitioning-independent and " +
+    "composes with the verify") {
+    val df = denseCorpus.toDF("id", "s")
+    val a = Joins.editDistanceJoin(df, "id", "s", df, "id", "s", 2,
+      maxBlock = 8, saltHotBlocks = true)
+      .as[(Long, Long, Long)].collect().toSet
+    val b = Joins.editDistanceJoin(df.repartition(13), "id", "s",
+      df.repartition(3), "id", "s", 2, maxBlock = 8, saltHotBlocks = true)
+      .as[(Long, Long, Long)].collect().toSet
+    a shouldBe b
+    // distances on surviving pairs are exact (the verify is untouched)
+    a.foreach { case (_, _, d) => d should be <= 2L }
+  }
+
   test("mutualBest keeps only reciprocal argmax pairs; hubs absorb nothing extra") {
     val pairs = Seq(
       ("a1", "b1", 90L), ("a1", "b2", 80L), // a1's best is b1

@@ -1,7 +1,13 @@
 #!/usr/bin/env python3
 """Deterministic scale-up of the driver's synthetic test tables.
 
-Usage: python3 tools/gen_sf.py <srcDir> <dstDir> [factor=10]
+Usage: python3 tools/gen_sf.py <srcDir> <dstDir> [factor=10] [tables]
+
+`tables` (optional, comma-separated) restricts generation to a subset —
+e.g. `region,nation,customer,supplier,part,orders,lineitem,events` for a
+documents-free relational decade. The source must be an ORIGINAL sf
+directory: every shift key is asserted < SPAN before writing (re-running
+over an amplified directory would collide replica id lanes).
 
 Derives an N-times-larger dataset from an existing sf directory by writing
 `factor` replicas with TPC-H-style growth semantics, so per-query
@@ -53,13 +59,28 @@ def rot(s: str, k: int) -> str:
     return s[k:] + s[:k]
 
 
-def gen(src: str, dst: str, factor: int) -> None:
+def gen(src: str, dst: str, factor: int, tables=None) -> None:
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
     for t in COPY_AS_IS:
+        if tables and t not in tables:
+            continue
         con.execute(f"COPY (SELECT * FROM '{src}/{t}.parquet') TO '{dst}/{t}.parquet' (FORMAT parquet)")
         print(f"{t}: copied")
     for t, keys in SHIFTS.items():
+        if tables and t not in tables:
+            continue
+        # guard against re-amplifying an already-amplified directory:
+        # shifted keys reuse the same SPAN lanes, so source keys at or
+        # above SPAN would silently collide replica ids and corrupt the
+        # join-structure/dedup invariants the scale measurements rest on
+        for k in keys:
+            mx = con.execute(
+                f"SELECT max({k}) FROM '{src}/{t}.parquet'").fetchone()[0]
+            if mx is not None and mx >= SPAN:
+                sys.exit(f"ERROR: {t}.{k} max={mx} >= SPAN={SPAN} — source "
+                         "directory looks already amplified; refusing to "
+                         "collide replica id lanes")
         cols = [r[0] for r in con.execute(
             f"DESCRIBE SELECT * FROM '{src}/{t}.parquet'").fetchall()]
         legs = []
@@ -92,4 +113,8 @@ def gen(src: str, dst: str, factor: int) -> None:
 
 
 if __name__ == "__main__":
-    gen(sys.argv[1], sys.argv[2], int(sys.argv[3]) if len(sys.argv) > 3 else 10)
+    # optional 4th arg: comma-separated table subset (e.g. the relational
+    # tables + events for a documents-free sf10 decade)
+    subset = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
+    gen(sys.argv[1], sys.argv[2],
+        int(sys.argv[3]) if len(sys.argv) > 3 else 10, subset)
