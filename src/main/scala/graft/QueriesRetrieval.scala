@@ -406,6 +406,14 @@ private[graft] trait QueriesRetrieval extends QueryHelpers { this: QueryBattery 
    * runs are masked; the oracle replays the candidate regex, the
    * reversed-digit double-and-fold sum, and the literal replaces in
    * DuckDB.
+   *
+   * Runs on the [[graft.functions.functions.card_scan]] NATIVE kernel
+   * (round 19): candidate scan + Luhn checksum + masking in one codegen
+   * char pass — the composed regex + higher-order-fold chain
+   * ([[TextAnalysis.cardCandidates]]/[[TextAnalysis.validCardNumbers]]/
+   * [[TextAnalysis.scrubCardNumbers]]) is kept as the kernel's
+   * bit-parity twin (TextAnalysisSpec) and remains what the DuckDB
+   * oracle replays, so the hash must not move.
    */
   def piiLuhn(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
@@ -417,10 +425,11 @@ private[graft] trait QueriesRetrieval extends QueryHelpers { this: QueryBattery 
       .withColumn("n1g", expr("concat(substring(n1, 1, 4), ' ', substring(n1, 5, 4)," +
         " ' ', substring(n1, 9, 4), ' ', substring(n1, 13, 4))"))
       .withColumn("text", expr("concat('user ', id, ' card ', n1g, ' alt ', n2, ' ok')"))
+      .withColumn("__cs", graft.functions.functions.card_scan(col("text")))
     base.select(col("id"),
-      size(TextAnalysis.cardCandidates(col("text"))).cast("long").as("n_candidates"),
-      size(TextAnalysis.validCardNumbers(col("text"))).cast("long").as("n_valid"),
-      TextAnalysis.scrubCardNumbers(col("text")).as("scrubbed"))
+      size(col("__cs.cands")).cast("long").as("n_candidates"),
+      size(col("__cs.valid")).cast("long").as("n_valid"),
+      col("__cs.scrubbed").as("scrubbed"))
   }
 
   val piiLuhnSql: String = {

@@ -59,7 +59,9 @@ import graft.time.DateInterval
  *     removed them),
  *  5. scrub PII from the survivors (email/phone/IPv4/SSN -> `<KIND>`;
  *     with `scrubCards` set, Luhn-validated payment-card runs mask to
- *     `<CARD>` FIRST — [[TextAnalysis.scrubCardNumbers]] — since the
+ *     `<CARD>` FIRST — the [[graft.functions.functions.card_scan]]
+ *     native kernel, bit-identical to the composed
+ *     [[TextAnalysis.scrubCardNumbers]] (parity spec) — since the
  *     generic phone pattern would otherwise consume card digits),
  *  6. remove near-duplicates (MinHash LSH -> Jaccard verify -> cluster
  *     representative; pass `checkpointDir` on real clusters),
@@ -202,7 +204,8 @@ class CurationPipelineJob(
       // the Luhn check must see the text before the generic patterns do
       val carded =
         if (scrubCards)
-          ctx.value.toDF().withColumn(textCol, TextAnalysis.scrubCardNumbers(col(textCol)))
+          ctx.value.toDF().withColumn(textCol,
+            graft.functions.functions.card_scan(col(textCol))("scrubbed"))
         else ctx.value.toDF()
       carded.withColumn(textCol, TextAnalysis.scrubPii(col(textCol)))
     }
@@ -215,7 +218,8 @@ class CurationPipelineJob(
         // scrub the bench side too — the corpus is already scrubbed, and
         // gram overlap must compare like with like (see scaladoc step 7)
         val cardedBench =
-          if (scrubCards) bench.withColumn(textCol, TextAnalysis.scrubCardNumbers(col(textCol)))
+          if (scrubCards) bench.withColumn(textCol,
+            graft.functions.functions.card_scan(col(textCol))("scrubbed"))
           else bench
         val scrubbedBench = cardedBench.withColumn(textCol, TextAnalysis.scrubPii(col(textCol)))
         graft.ops.Decontaminate.removeContaminated(

@@ -377,6 +377,68 @@ class TextAnalysisSpec extends SparkTestBase {
     nullRow shouldBe empty
   }
 
+  test("card_scan kernel is bit-identical to the composed regex chain") {
+    // adversarial shapes for every documented matching quirk: grouped /
+    // dashed / plain runs; 12 (short), 13/16/19 (in-range), 20 (over-long)
+    // digits; over-long SPACE-separated runs (13+-digit prefix matches,
+    // the separator doubling as the consumed boundary) vs DASH-separated
+    // (never match); double separators; runs at string start / end; two
+    // runs separated by a single char (the consumed-boundary miss); runs
+    // preceded by a dash (no legal left boundary); Luhn-valid and -invalid
+    // runs; a valid run appearing twice (replace-all); astral boundary
+    // chars (code-point stepping); empty text
+    val validPan = "4532015112830366" // passes Luhn
+    val texts = Seq(
+      s"user card $validPan ok",
+      s"$validPan",
+      s"pay $validPan",
+      s"4532 0151 1283 0366 grouped",
+      s"4532-0151-1283-0366 dashed",
+      "short 123456789012 run",
+      "plain 1234567890123 thirteen",
+      "nineteen 1234567890123456789 digits",
+      "overlong 12345678901234567890 twenty",
+      "overlong spaced 1234567890123 4567890 prefix",
+      "overlong dashed 1234567890123-4567890 prefix",
+      "double  sep 12345  67890123456 x",
+      "1234567890123,2222222222222 single-sep miss",
+      s"-$validPan dash boundary",
+      s"twice $validPan and $validPan again",
+      s"🙂$validPan🙂 astral",
+      "4532 0151 1283 0366", // grouped, at both ends
+      "ends with 4532015112830366",
+      "tail sep 4532015112830366 ",
+      "tail dash 4532015112830366-x",
+      "")
+    // plus deterministic digit/sep/letter soup to shake out anything the
+    // hand-picked shapes miss
+    val soup = (0 until 200).map { i =>
+      val r = new scala.util.Random(i)
+      (0 until 60).map { _ =>
+        "0123456789- x.🙂".charAt(r.nextInt(15))
+      }.mkString
+    }
+    val rows = (texts ++ soup).toDF("text").select(
+      $"text",
+      graft.functions.functions.card_scan($"text").as("k"),
+      TextAnalysis.cardCandidates($"text").as("c"),
+      TextAnalysis.validCardNumbers($"text").as("v"),
+      TextAnalysis.scrubCardNumbers($"text").as("s"))
+      .collect()
+    rows.foreach { r =>
+      withClue(s"text=<${r.getString(0)}>: ") {
+        val k = r.getStruct(1)
+        k.getSeq[String](0) shouldBe r.getSeq[String](2)
+        k.getSeq[String](1) shouldBe r.getSeq[String](3)
+        k.getString(2) shouldBe r.getString(4)
+      }
+    }
+    // null text null-propagates like every TextHash kernel
+    Seq(Option.empty[String]).toDF("text")
+      .select(graft.functions.functions.card_scan($"text"))
+      .collect().head.isNullAt(0) shouldBe true
+  }
+
   test("script_counts kernel is bit-identical to the composed regex form") {
     // one row per script plus boundary shapes: mixed scripts, chars just
     // outside each range (é, Cyrillic-supplement, CJK-ext-A, fullwidth
