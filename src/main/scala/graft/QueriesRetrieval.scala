@@ -30,6 +30,15 @@ private[graft] trait QueriesRetrieval extends QueryHelpers { this: QueryBattery 
    * plan; the oracle is the NAIVE all-pairs `levenshtein(a, b) <= 2`
    * definition in DuckDB — the hash-match IS the blocked-equals-naive
    * exactness proof.
+   *
+   * The sf1 decade's 14.8x on this row (41.5 s) was adjudicated as
+   * block-density growth; round 19's measurement says otherwise — it was
+   * the single-partition scan serializing the probe enumeration onto one
+   * core (the `spread` fix in [[graft.ops.Joins.editDistanceJoin]]; 6.8 s
+   * at sf1 after, ~linear). The `redundancy = 2` pair-segment knob is the
+   * defense for when candidates DO saturate (measured at sf1: 28.2M
+   * single-segment candidates vs 3.9M pair-segment — the quadratic term
+   * crosses over roughly another 10x out on this corpus shape).
    */
   def fuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
@@ -41,7 +50,8 @@ private[graft] trait QueriesRetrieval extends QueryHelpers { this: QueryBattery 
              CAST(10 - (c_custkey % 4) * 3 AS INT))) END""")
     val strs = t(dir, "customer").withColumn("__base", base)
       .select(col("c_custkey").as("id"), str.as("str"))
-    graft.ops.Joins.editDistanceJoin(strs, "id", "str", strs, "id", "str", maxDist = 2)
+    graft.ops.Joins.editDistanceJoin(strs, "id", "str", strs, "id", "str",
+      maxDist = 2, redundancy = 1)
       .where(col("id_a") < col("id_b"))
   }
 

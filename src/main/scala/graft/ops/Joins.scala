@@ -300,6 +300,47 @@ object Joins {
    * corpus size; cold rows route through a broadcast anti-join, never a
    * shuffle on the raw frame.
    *
+   * **`redundancy = 2` — pair-segment blocking for saturated segment
+   * alphabets** (round 19, the PartEnum-style selectivity knob: Arasu,
+   * Ganti, Kaushik, VLDB 2006's partition-enumeration signatures, in
+   * PassJoin's even-segment form): block density is only half the
+   * story — on short strings the segments themselves are short (10-char
+   * hex keys at `maxDist = 2` give ~3-char segments, a 4096-key
+   * alphabet), so blocks are UNIFORMLY dense and the cap/salt knobs
+   * have no skew to work with. `redundancy = 2` cuts each string into
+   * `k = maxDist + 2` segments instead of `maxDist + 1`; at most
+   * `maxDist` segments are touched by edits, so at least TWO survive
+   * unedited, and the block key becomes an (i < j) segment PAIR —
+   * roughly doubling the key's bits and dropping random-collision
+   * candidates quadratically. The probe side enumerates shift pairs
+   * `(si, sj)` with `|si| + |sj - si| + |delta - sj| <= maxDist` (the
+   * three terms bound the net indels before segment i, between the
+   * segments, and after segment j — the groups partition the edit
+   * budget). Exact like the default — the naive-oracle hash match is
+   * the proof — at the price of `C(k, 2)` build keys and a larger probe
+   * enumeration per row, which buys orders of magnitude fewer
+   * candidates whenever the single-segment alphabet saturates. Default
+   * `redundancy = 1` is bit-identical to the pre-round-19 plan.
+   *
+   * Candidates then pass a LOSSLESS q-gram count prefilter (round 19 —
+   * the count-filtering principle of Gravano et al., VLDB 2001, hashed
+   * into a 64-bit bigram bitmap per string, built once per input row)
+   * before the distinct + verify: one edit operation rewrites at most
+   * q = 2 of a string's positionally-overlapping bigrams, so at most
+   * `2 * maxDist` distinct bigram TYPES of either string can be absent
+   * from the other — `|D(a) ∩ D(b)| >= |D(a)| - 2*maxDist` (and
+   * symmetrically for `b`). Any hash only MERGES types, shrinking the
+   * left and right of the inequality together
+   * (`|bits(a) ∩ bits(b)| >= popcount(a) - |D(a) \ D(b)|`), so
+   * `bit_count(bm_a & bm_b) >= greatest(popcount) - 2*maxDist` can never
+   * reject a true pair — the naive-oracle hash matches are untouched at
+   * every scale. What it does reject is the blocked join's residue:
+   * random same-segment collisions share ~`g²/64` expected bits (g =
+   * grams per string), so on a saturated segment alphabet — where block
+   * density makes candidates quadratic — almost every false candidate
+   * dies on two codegen'd integer ops instead of reaching the
+   * shuffle-heavy distinct and the band DP.
+   *
    * `ids` must be unique per side (they key the verify re-join). Null
    * strings never match. Output: `(id_a, id_b, dist)`, `dist` exact.
    */
@@ -312,30 +353,67 @@ object Joins {
       rightStr: String,
       maxDist: Int,
       maxBlock: Int = Int.MaxValue,
-      saltHotBlocks: Boolean = false): DataFrame = {
+      saltHotBlocks: Boolean = false,
+      redundancy: Int = 1): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     require(maxBlock > 0, s"maxBlock must be positive, got $maxBlock")
+    require(redundancy == 1 || redundancy == 2,
+      s"redundancy must be 1 or 2, got $redundancy")
     val d = maxDist
-    val k = d + 1
-    val la = left.select(col(leftId).as("id_a"), col(leftStr).as("__sa"))
-      .where(col("__sa").isNotNull)
-    val rb = right.select(col(rightId).as("id_b"), col(rightStr).as("__sb"))
-      .where(col("__sb").isNotNull)
+    val k = d + redundancy
+    // hashed bigram bitmap per input string (for the lossless count
+    // prefilter below): bit `hash(bigram) mod 64` per distinct bigram
+    def gramBitmap(c: String): Column = expr(
+      s"""CASE WHEN length($c) < 2 THEN CAST(0 AS BIGINT)
+          ELSE aggregate(transform(sequence(1, length($c) - 1),
+            j -> shiftleft(CAST(1 AS BIGINT), pmod(hash(substring($c, j, 2)), 64))),
+            CAST(0 AS BIGINT), (acc, x) -> acc | x) END""")
+    // the per-row key enumeration below is the operator's CPU: if the
+    // input scan under-partitions (a single small parquet file arrives
+    // as ONE partition however many cores the session has — sf1
+    // measured the whole probe enumeration serializing onto one core,
+    // 122 s where the cluster-shaped plan takes seconds), spread it
+    // with a round-robin repartition first. Guarded, so well-partitioned
+    // cluster inputs are never reshuffled.
+    def spread(df: DataFrame): DataFrame = {
+      val p = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    }
+    val la = spread(left.select(col(leftId).as("id_a"), col(leftStr).as("__sa"))
+      .where(col("__sa").isNotNull))
+      .withColumn("__bma", gramBitmap("__sa"))
+    val rb = spread(right.select(col(rightId).as("id_b"), col(rightStr).as("__sb"))
+      .where(col("__sb").isNotNull))
+      .withColumn("__bmb", gramBitmap("__sb"))
 
     // build side: (segment index, own length, segment text) per row —
     // short strings (< k chars) take the single shared short-block key.
     // The string itself rides along: linkage keys are short (names,
     // titles, URLs), so carrying them through the candidate join is
     // cheaper than two id-keyed re-joins before the verify.
-    val segs = la
-      .withColumn("__l", length(col("__sa")))
-      .withColumn("__seg", explode(expr(
+    def buildSeg(s: String, i: String, l: String): String =
+      s"""substring($s, CAST($i * $l DIV $k AS INT) + 1,
+          CAST(($i + 1) * $l DIV $k - $i * $l DIV $k AS INT))"""
+    val buildKeysExpr =
+      if (redundancy == 1)
         s"""CASE WHEN __l < $k THEN array(struct(-1 AS i, '' AS seg))
             ELSE transform(sequence(0, $d), i -> struct(
-              i AS i,
-              substring(__sa, CAST(i * __l DIV $k AS INT) + 1,
-                CAST((i + 1) * __l DIV $k - i * __l DIV $k AS INT)) AS seg)) END""")))
-      .select(col("id_a"), col("__sa"), col("__seg.i").as("i"),
+              i AS i, ${buildSeg("__sa", "i", "__l")} AS seg)) END"""
+      else
+        // redundancy = 2: one key per unordered segment PAIR (i < j),
+        // indices packed as `i * k + j`, contents concatenated — the
+        // concat is unambiguous because both segment lengths are fixed
+        // functions of (i, j, l)
+        s"""CASE WHEN __l < $k THEN array(struct(-1 AS i, '' AS seg))
+            ELSE flatten(transform(sequence(0, ${k - 2}), i ->
+              transform(sequence(i + 1, ${k - 1}), j -> struct(
+                i * $k + j AS i,
+                concat(${buildSeg("__sa", "i", "__l")},
+                  ${buildSeg("__sa", "j", "__l")}) AS seg)))) END"""
+    val segs = la
+      .withColumn("__l", length(col("__sa")))
+      .withColumn("__seg", explode(expr(buildKeysExpr)))
+      .select(col("id_a"), col("__sa"), col("__bma"), col("__seg.i").as("i"),
         col("__l").as("l"), col("__seg.seg").as("seg"))
 
     // probe side: every substring a surviving segment could be, for every
@@ -346,28 +424,76 @@ object Joins {
     // (|delta - shift| <= e_post), and e_pre + e_post <= maxDist — so only
     // shifts with |shift| + |delta - shift| <= maxDist can occur (for
     // equal lengths that's |shift| <= maxDist/2, not maxDist)
-    val probeKeys = rb
-      .withColumn("__m", length(col("__sb")))
-      .withColumn("__key", explode(expr(
-        s"""array_distinct(concat(
-            CASE WHEN __m + $d >= greatest(__m - $d, $k) THEN
-              flatten(flatten(transform(sequence(greatest(__m - $d, $k), __m + $d), l ->
-                transform(sequence(0, $d), i ->
-                  filter(transform(sequence(-$d, $d), sh ->
-                    CASE WHEN abs(sh) + abs((__m - l) - sh) <= $d
-                          AND i * l DIV $k + sh >= 0
-                          AND i * l DIV $k + sh + ((i + 1) * l DIV $k - i * l DIV $k) <= __m
-                         THEN struct(i AS i, l AS l,
-                           substring(__sb, CAST(i * l DIV $k + sh AS INT) + 1,
-                             CAST((i + 1) * l DIV $k - i * l DIV $k AS INT)) AS seg)
-                         ELSE NULL END), x -> x IS NOT NULL)))))
-            ELSE array() END,
-            CASE WHEN least($d, __m + $d) >= greatest(__m - $d, 0) THEN
-              transform(sequence(greatest(__m - $d, 0), least($d, __m + $d)), l ->
-                struct(-1 AS i, l AS l, '' AS seg))
-            ELSE array() END))""")))
-      .select(col("id_b"), col("__sb"), col("__key.i").as("i"),
-        col("__key.l").as("l"), col("__key.seg").as("seg"))
+    def probeSeg(idx: String, sh: String): String =
+      s"""substring(__sb, CAST($idx * l DIV $k + $sh AS INT) + 1,
+          CAST(($idx + 1) * l DIV $k - $idx * l DIV $k AS INT))"""
+    def probeInBounds(idx: String, sh: String): String =
+      s"""$idx * l DIV $k + $sh >= 0
+          AND $idx * l DIV $k + $sh + (($idx + 1) * l DIV $k - $idx * l DIV $k) <= __m"""
+    // probe keys for build lengths that don't exist can never match —
+    // prune them with a broadcast semi-join against the build side's
+    // distinct-length frame (at most maxLen entries, broadcastable at
+    // any corpus size) BEFORE the candidate shuffle (redundancy = 1) or
+    // even before the pair/shift enumeration (redundancy = 2, where the
+    // per-length enumeration is the larger constant). On a fixed-length
+    // corpus this cuts the enumerated 2d+1 length lanes to one.
+    val buildLengths = broadcast(
+      la.select(length(col("__sa")).as("l")).distinct())
+    val probeKeys =
+      if (redundancy == 1) rb
+        .withColumn("__m", length(col("__sb")))
+        .withColumn("__key", explode(expr(
+          s"""array_distinct(concat(
+              CASE WHEN __m + $d >= greatest(__m - $d, $k) THEN
+                flatten(flatten(transform(sequence(greatest(__m - $d, $k), __m + $d), l ->
+                  transform(sequence(0, $d), i ->
+                    filter(transform(sequence(-$d, $d), sh ->
+                      CASE WHEN abs(sh) + abs((__m - l) - sh) <= $d
+                            AND ${probeInBounds("i", "sh")}
+                           THEN struct(i AS i, l AS l, ${probeSeg("i", "sh")} AS seg)
+                           ELSE NULL END), x -> x IS NOT NULL)))))
+              ELSE array() END,
+              CASE WHEN least(${k - 1}, __m + $d) >= greatest(__m - $d, 0) THEN
+                transform(sequence(greatest(__m - $d, 0), least(${k - 1}, __m + $d)), l ->
+                  struct(-1 AS i, l AS l, '' AS seg))
+              ELSE array() END))""")))
+        .select(col("id_b"), col("__sb"), col("__bmb"), col("__key.i").as("i"),
+          col("__key.l").as("l"), col("__key.seg").as("seg"))
+        .join(buildLengths, Seq("l"), "left_semi")
+      else {
+        // redundancy = 2: explode candidate left LENGTHS first and
+        // length-prune before the pair/shift enumeration runs — the
+        // enumeration then pays only for length lanes that exist on the
+        // build side. For each pair (i < j) and each feasible shift pair:
+        // |si| bounds the net indels before segment i, |sj - si| those
+        // between the segments, |delta - sj| those after segment j; the
+        // three edit groups share the maxDist budget, hence the triangle
+        // sum. No array_distinct: the pair-level distinct before the
+        // verify already collapses duplicate candidates, and O(n²)
+        // struct dedup per row costs more than the duplicates do.
+        rb.withColumn("__m", length(col("__sb")))
+          .withColumn("l", explode(expr(s"sequence(greatest(__m - $d, 0), __m + $d)")))
+          .join(buildLengths, Seq("l"), "left_semi")
+          .withColumn("__key", explode(expr(
+            s"""CASE
+                WHEN l < $k AND l <= ${k - 1} THEN array(struct(-1 AS i, '' AS seg))
+                WHEN l >= $k THEN
+                  flatten(flatten(transform(sequence(0, ${k - 2}), i ->
+                    transform(sequence(i + 1, ${k - 1}), j ->
+                      filter(flatten(transform(sequence(-$d, $d), si ->
+                        transform(sequence(greatest(si - $d, -$d), least(si + $d, $d)), sj ->
+                          CASE WHEN abs(si) + abs(sj - si) + abs((__m - l) - sj) <= $d
+                                AND ${probeInBounds("i", "si")}
+                                AND ${probeInBounds("j", "sj")}
+                               THEN struct(i * $k + j AS i,
+                                 concat(${probeSeg("i", "si")},
+                                   ${probeSeg("j", "sj")}) AS seg)
+                               ELSE NULL END))),
+                        x -> x IS NOT NULL)))))
+                ELSE array() END""")))
+          .select(col("id_b"), col("__sb"), col("__bmb"), col("__key.i").as("i"),
+            col("l"), col("__key.seg").as("seg"))
+      }
 
     val candidates =
       if (maxBlock == Int.MaxValue) segs.join(probeKeys, Seq("i", "l", "seg"))
@@ -397,9 +523,15 @@ object Joins {
             hotSegs.join(hotProbe, blockKey :+ "__salt").drop("__salt"))
         }
       }
+    // lossless bigram-count prefilter (see scaladoc) BEFORE the distinct:
+    // random same-segment collisions die on two integer ops and never
+    // reach the pair shuffle or the DP
+    val prefiltered = candidates.where(expr(
+      s"""bit_count(__bma & __bmb) >=
+          greatest(bit_count(__bma), bit_count(__bmb)) - ${2 * d}"""))
     // distinct BEFORE verify: a pair found through several surviving
     // segments must pay the levenshtein DP once, not once per segment
-    candidates
+    prefiltered
       .select(col("id_a"), col("id_b"), col("__sa"), col("__sb")).distinct()
       .withColumn("dist", levenshtein(col("__sa"), col("__sb"), d).cast("long"))
       .where(col("dist") >= 0)

@@ -435,8 +435,11 @@ class PlanInvariantsSpec extends SparkTestBase {
   test("round-15 additions: entity resolution, gram, kfold, balance") {
     // editDistanceJoin generator (segment-index equi-join; its range/
     // checkpoint internals hide) + the mutualBest acceptance shape:
-    // two key-sized argmax aggs + their key-sized equi-join
-    check("entity_resolution", maxShuffles = 4)
+    // two key-sized argmax aggs + their key-sized equi-join; +2 in
+    // round 19: the build-length distinct (<= maxLen rows, bytes on
+    // the wire) feeding the probe-pruning broadcast semi-join appears
+    // once per mutualBest leg (each leg re-evaluates the generator)
+    check("entity_resolution", maxShuffles = 6)
     // pure per-row hash math — NO exchange at any scale
     check("kfold_split", maxShuffles = 0)
     // ONE ObjectHashAggregate pass (map-side gram partials -> merge on

@@ -214,24 +214,60 @@ class JoinsSpec extends SparkTestBase {
       .select($"a.id", $"b.id",
         org.apache.spark.sql.functions.levenshtein($"a.s", $"b.s").cast("long"))
       .as[(Long, Long, Long)].collect()
-    for (d <- 0 to 3) {
+    for (d <- 0 to 3; r <- 1 to 2) {
       val expected = naive.filter(_._3 <= d).toSet
-      val blocked = Joins.editDistanceJoin(df, "id", "s", df, "id", "s", d)
+      val blocked = Joins.editDistanceJoin(df, "id", "s", df, "id", "s", d,
+        redundancy = r)
         .where($"id_a" < $"id_b")
         .as[(Long, Long, Long)].collect().toSet
-      withClue(s"maxDist=$d") { blocked shouldBe expected }
+      withClue(s"maxDist=$d redundancy=$r") { blocked shouldBe expected }
+    }
+  }
+
+  test("editDistanceJoin bigram prefilter is lossless on repeated-gram and " +
+    "collision-heavy strings") {
+    // adversarial shapes for the count prefilter's popcount bound:
+    // repeated-gram strings collapse to ONE bitmap bit (a naive fixed
+    // threshold like `shared >= grams - 2d` would false-reject the
+    // aaaa...-vs-aabaa pair, since they share only that one bit), plus
+    // true pairs whose edits sit gram-adjacent (maximal gram damage) and
+    // long strings dense enough for hash collisions to merge types
+    val df = Seq(
+      1L -> "aaaaaaaaaa", 2L -> "aaaabaaaaa", 3L -> "aaaaaaaaab",
+      4L -> "abababababab", 5L -> "babababababa",
+      6L -> "xxyyxxyyxxyy", 7L -> "xxyyxyyyxxyy",
+      8L -> "qwertyuiopasdfghjklzxcvbnm0123456789", // 35 grams in 64 bits
+      9L -> "qwertyuiopasdfghjklzxcvbnm0123456798", // tail transposed: d=2
+      10L -> "zz", 11L -> "z").toDF("id", "s")
+    val naive = df.as("a").crossJoin(df.as("b"))
+      .where($"a.id" < $"b.id")
+      .select($"a.id", $"b.id",
+        org.apache.spark.sql.functions.levenshtein($"a.s", $"b.s").cast("long"))
+      .as[(Long, Long, Long)].collect()
+    for (d <- 1 to 2; r <- 1 to 2) {
+      val expected = naive.filter(_._3 <= d).toSet
+      val blocked = Joins.editDistanceJoin(df, "id", "s", df, "id", "s", d,
+        redundancy = r)
+        .where($"id_a" < $"id_b")
+        .as[(Long, Long, Long)].collect().toSet
+      withClue(s"maxDist=$d redundancy=$r") { blocked shouldBe expected }
     }
   }
 
   test("editDistanceJoin: short and empty strings take the shared short block") {
     val left = Seq((1L, ""), (2L, "a"), (3L, "ab")).toDF("id", "s")
     val right = Seq((10L, ""), (11L, "b"), (12L, "abcd")).toDF("id", "s")
-    val out = Joins.editDistanceJoin(left, "id", "s", right, "id", "s", 2)
-      .as[(Long, Long, Long)].collect().toSet
-    // naive truth: ED("", "")=0, ("","b")=1, ("a","")=1, ("a","b")=1,
-    // ("ab","")=2, ("ab","b")=1, ("ab","abcd")=2
-    out shouldBe Set((1L, 10L, 0L), (1L, 11L, 1L), (2L, 10L, 1L), (2L, 11L, 1L),
-      (3L, 10L, 2L), (3L, 11L, 1L), (3L, 12L, 2L))
+    for (r <- 1 to 2) {
+      val out = Joins.editDistanceJoin(left, "id", "s", right, "id", "s", 2,
+        redundancy = r)
+        .as[(Long, Long, Long)].collect().toSet
+      // naive truth: ED("", "")=0, ("","b")=1, ("a","")=1, ("a","b")=1,
+      // ("ab","")=2, ("ab","b")=1, ("ab","abcd")=2
+      withClue(s"redundancy=$r") {
+        out shouldBe Set((1L, 10L, 0L), (1L, 11L, 1L), (2L, 10L, 1L),
+          (2L, 11L, 1L), (3L, 10L, 2L), (3L, 11L, 1L), (3L, 12L, 2L))
+      }
+    }
   }
 
   test("editDistanceJoin: null strings never match; maxDist=0 is exact equality") {
