@@ -264,7 +264,7 @@ private[graft] trait QueriesAnnCorpus extends QueryHelpers { this: QueryBattery 
   def annQuantizedTopK(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
     val emb = t(dir, "embeddings").select(col("vec_id"),
-      Similarity.dequantizeInt8(Similarity.quantizeInt8(col("embedding"))).as("qvec"))
+      Similarity.int8RoundtripVec(col("embedding")).as("qvec"))
     Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5), emb, "vec_id", "qvec", k = 5)
   }
 

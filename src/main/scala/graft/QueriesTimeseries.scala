@@ -814,21 +814,30 @@ private[graft] trait QueriesTimeseries extends QueryHelpers { this: QueryBattery
    */
   def basketLift(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    // (order, brand) distinct is read FOUR times (both pair sides, the
-    // marginals, the total) — materialize once instead of re-running the
-    // lineitem scan + distinct per consumer
-    val ob = t(dir, "lineitem")
+    // collapse straight to per-order SORTED distinct brand sets: ONE
+    // order-keyed exchange with map-side collect_set partials replaces the
+    // former distinct + order-keyed self-join (which shuffled the exploded
+    // (order, brand) rows twice and re-paired them with a join — guide
+    // §2.3 "aggregate before you shuffle"). Brands-per-order is bounded
+    // (TPC-H ~7 lines/order), so the arrays are constant-sized at any
+    // corpus scale. Materialized once for its three consumers.
+    val sets = t(dir, "lineitem")
       .join(broadcast(t(dir, "part")), col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
-      .distinct()
+      .groupBy(col("ok")).agg(sort_array(collect_set(col("brand"))).as("bs"))
       .localCheckpoint(true)
-    val pairs = ob.select(col("ok"), col("brand").as("brand_a"))
-      .join(ob.select(col("ok"), col("brand").as("brand_b")), Seq("ok"))
-      .where(col("brand_a") < col("brand_b"))
+    // pair expansion is now a per-row double explode over the sorted set
+    // (codegen Generate nodes, no join): identical (ok, a < b) triples,
+    // identical counts
+    val pairs = sets
+      .select(col("ok"), posexplode(col("bs")).as(Seq("__i", "brand_a")), col("bs"))
+      .select(col("brand_a"),
+        explode(slice(col("bs"), col("__i") + 2, size(col("bs")))).as("brand_b"))
       .groupBy("brand_a", "brand_b").agg(count(lit(1)).as("n_ab"))
     // brand marginals are brand-cardinality-sized — broadcast by definition
-    val marg = ob.groupBy(col("brand")).agg(count(lit(1)).as("n"))
-    val total = ob.select(countDistinct(col("ok")).as("n_orders"))
+    val marg = sets.select(explode(col("bs")).as("brand"))
+      .groupBy(col("brand")).agg(count(lit(1)).as("n"))
+    val total = sets.agg(count(lit(1)).as("n_orders"))
     pairs
       .join(broadcast(marg.select(col("brand").as("brand_a"), col("n").as("n_a"))),
         Seq("brand_a"))

@@ -107,6 +107,42 @@ object VectorMath {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(acc)
   }
 
+  /**
+   * Int8 quantize→dequantize round trip in ONE pass: `scale = max|v| / 127`
+   * (null elements skipped, NaN wins every comparison — Spark's `greatest`
+   * law), `out_i = floor(v_i / scale + 0.5).toInt * scale` (half-up; the
+   * `.toInt` clamps exactly like Spark's non-ANSI double→int cast), zero
+   * scale → all-zero codes. Bit-identical to the composed
+   * `dequantizeInt8(quantizeInt8(v))` chain (SimilaritySpec parity), whose
+   * two `transform` + one `aggregate` higher-order lambdas are
+   * CodegenFallback — interpreted per ELEMENT, with a boxed struct per row.
+   */
+  def int8Roundtrip(a: ArrayData, ta: DataType): ArrayData = {
+    val n = a.numElements()
+    var mx = 0.0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val x = math.abs(value(a, ta, i))
+        // Spark's greatest(): NaN compares greater than any double
+        if (java.lang.Double.isNaN(x) || x > mx) mx = x
+      }
+      i += 1
+    }
+    val scale = mx / 127.0
+    val out = new Array[Any](n)
+    i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        out(i) =
+          if (scale == 0.0) 0.0
+          else math.floor(value(a, ta, i) / scale + 0.5).toInt * scale
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   def cosine(a: ArrayData, ta: DataType, b: ArrayData, tb: DataType): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var d = 0.0
@@ -208,6 +244,25 @@ case class SignSketch(child: Expression, nbits: Int)
     copy(child = newChild)
 }
 
+case class Int8Roundtrip(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  private def elemType: DataType = child.dataType.asInstanceOf[ArrayType].elementType
+  override def dataType: DataType = ArrayType(DoubleType,
+    containsNull = child.dataType.asInstanceOf[ArrayType].containsNull)
+  override def prettyName: String = "int8_roundtrip"
+  override protected def nullSafeEval(input: Any): Any =
+    VectorMath.int8Roundtrip(input.asInstanceOf[ArrayData], elemType)
+  override def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val tRef = ctx.addReferenceObj("etype", elemType)
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorMath$$.MODULE$$.int8Roundtrip($c, $tRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Int8Roundtrip =
+    copy(child = newChild)
+}
+
 case class RandomProject(child: Expression, k: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   // plan-time guard: k = 0 would yield empty projections whose cosine is
@@ -239,6 +294,9 @@ object vectors {
 
   def sign_sketch(vec: Column, nbits: Int = 48): Column =
     GraftExpressionBridge.column(SignSketch(GraftExpressionBridge.expression(vec), nbits))
+
+  def int8_roundtrip(vec: Column): Column =
+    GraftExpressionBridge.column(Int8Roundtrip(GraftExpressionBridge.expression(vec)))
 
   def dot_product(a: Column, b: Column): Column =
     GraftExpressionBridge.column(

@@ -74,6 +74,16 @@ object Similarity {
     transform(quantized.getField("q"),
       q => q.cast("double") * quantized.getField("scale"))
 
+  /** `dequantizeInt8(quantizeInt8(vec))` as ONE codegen char pass — the
+    * quantization-error view an int8 ANN tier scores against. The composed
+    * chain is three higher-order lambdas (CodegenFallback: interpreted per
+    * element, boxing every value) plus a packed struct per row; the kernel
+    * ([[graft.functions.Int8Roundtrip]]) loops once over the raw ArrayData.
+    * Bit-identical to the composed form — SimilaritySpec pins the parity,
+    * the `ann_quantized_topk` oracle hash pins it end-to-end. */
+  def int8RoundtripVec(vec: Column): Column =
+    graft.functions.vectors.int8_roundtrip(vec)
+
   /**
    * Exact per-query top-k over a scored expansion WITHOUT ranking it
    * through a window: aggregate each query's rows with a k-capped

@@ -56,6 +56,28 @@ class SimilaritySpec extends SparkTestBase {
     (exact intersect quant).size.toDouble / exact.size should be >= 0.9
   }
 
+  test("int8 round-trip kernel is bit-identical to the composed quantize→dequantize") {
+    // corpus + adversarial shapes: all-zero, single element, negatives,
+    // exact-half codes (5/10*127 = 63.5), tiny magnitudes, empty vector
+    val edge = Seq(
+      (1000L, Array(10.0f, -10.0f, 5.0f, 0.0f, 0.04f)),
+      (1001L, Array(0.0f, 0.0f)),
+      (1002L, Array(-3.5f)),
+      (1003L, Array.empty[Float]),
+      (1004L, Array(1e-30f, -1e-30f)),
+      (1005L, Array(127.0f, -63.5f, 63.5f))).toDF("vec_id", "embedding")
+    val both = corpus.select($"vec_id", $"embedding").unionByName(edge)
+      .select($"vec_id",
+        Similarity.dequantizeInt8(Similarity.quantizeInt8($"embedding")).as("composed"),
+        Similarity.int8RoundtripVec($"embedding").as("kernel"))
+    both.where(!($"composed" <=> $"kernel")).count() shouldBe 0L
+    // null text propagates to a null array on both forms
+    val nullRow = Seq((1L, null: Array[Float])).toDF("vec_id", "embedding")
+      .select(Similarity.dequantizeInt8(Similarity.quantizeInt8($"embedding")).as("composed"),
+        Similarity.int8RoundtripVec($"embedding").as("kernel"))
+    nullRow.where(!($"composed" <=> $"kernel")).count() shouldBe 0L
+  }
+
   test("dot, norm and cosine on known vectors") {
     val df = spark.sql("SELECT array(1.0, 0.0) AS a, array(0.0, 1.0) AS b, array(2.0, 0.0) AS c")
     df.select(Similarity.dot($"a", $"c")).as[Double].head() shouldBe 2.0
