@@ -48,6 +48,33 @@ object TextHash {
     text.toLowerCase(Locale.ROOT).split(tokenSplit, -1).filter(_.nonEmpty)
 
   /**
+   * Multiset stopword-profile hit counts in ONE tokenize pass: for each
+   * token, a hash lookup adds 1 to every profile containing the word.
+   * Bit-identical to folding `aggregate(tokens, zero, acc + one_hot(t))`
+   * per profile (TextAnalysis.stopwordPickComposed / stopwordHits — whose
+   * higher-order lambdas are CodegenFallback and pay a per-TOKEN linear
+   * scan of the literal word map plus a fresh boxed accumulator array),
+   * pinned by TextAnalysisSpec parity.
+   */
+  def stopwordScores(
+      text: UTF8String,
+      lookup: java.util.HashMap[String, Array[Int]],
+      width: Int): ArrayData = {
+    val toks = tokenize(text.toString)
+    val acc = new Array[Long](width)
+    var i = 0
+    while (i < toks.length) {
+      val idx = lookup.get(toks(i))
+      if (idx != null) {
+        var j = 0
+        while (j < idx.length) { acc(idx(j)) += 1L; j += 1 }
+      }
+      i += 1
+    }
+    new GenericArrayData(acc)
+  }
+
+  /**
    * Character class for [[scriptTokenize]]: 1 = word scripts (space- or
    * separator-delimited: ASCII alphanumerics plus Greek/Cyrillic, Hebrew,
    * Arabic, Devanagari, Hangul — the BMP ranges of
@@ -595,6 +622,34 @@ abstract class TextHashExpression extends UnaryExpression {
     defineCodeGen(ctx, ev, c => staticCall(c))
 }
 
+case class StopwordScores(child: Expression, profiles: Seq[Seq[String]])
+    extends UnaryExpression {
+  require(profiles.nonEmpty, "stopword_scores needs at least one profile")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "stopword_scores"
+  // word -> distinct profile indices; rebuilt once per deserialized
+  // expression (per executor), never per row
+  @transient private lazy val lookup: java.util.HashMap[String, Array[Int]] = {
+    val m = new java.util.HashMap[String, Array[Int]]()
+    profiles.zipWithIndex.foreach { case (words, i) =>
+      words.distinct.foreach { w =>
+        val prev = m.get(w)
+        m.put(w, if (prev == null) Array(i) else prev :+ i)
+      }
+    }
+    m
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.stopwordScores(input.asInstanceOf[UTF8String], lookup, profiles.size)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("stopLookup", lookup, "java.util.HashMap")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHash$$.MODULE$$.stopwordScores($c, $ref, ${profiles.size})")
+  }
+  override protected def withNewChildInternal(newChild: Expression): StopwordScores =
+    copy(child = newChild)
+}
+
 case class MinHashSignature(child: Expression, numHashes: Int, words: Int,
     scriptAware: Boolean = false)
     extends TextHashExpression {
@@ -765,6 +820,10 @@ object functions {
   def word_shingles(text: Column, words: Int = 5, scriptAware: Boolean = false): Column =
     GraftExpressionBridge.column(
       WordShingles(GraftExpressionBridge.expression(text), words, scriptAware))
+
+  def stopword_scores(text: Column, profiles: Seq[Seq[String]]): Column =
+    GraftExpressionBridge.column(
+      StopwordScores(GraftExpressionBridge.expression(text), profiles))
 
   /** Adjacent word n-grams (codegen'd); empty array below `n` tokens;
     * null text null-propagates (null out, not an empty array). */

@@ -493,7 +493,15 @@ object Sketches {
         "values, and array/map/binary/struct slots compare by reference")
     }
     val gCols = groupCols.map(col)
-    val ranged = df.repartitionByRange((gCols ++ order): _*)
+    // materialize the input BEFORE the range exchange (round 19): the
+    // RangePartitioner's bounds sampling executes the child plan once and
+    // the exchange executes it AGAIN — for every caller here the child is
+    // a collapse aggregate, so its reduce ran twice per call. Checkpointing
+    // the collapsed frame first makes the sample and the exchange two cheap
+    // scans of stored blocks (the frame is the same size the post-exchange
+    // checkpoint below already stores).
+    val input = df.localCheckpoint(true)
+    val ranged = input.repartitionByRange((gCols ++ order): _*)
       .sortWithinPartitions((gCols ++ order): _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(true)

@@ -147,11 +147,20 @@ object TextAnalysis {
     "arab" -> "ar", "cyrl" -> "ru", "deva" -> "hi", "grek" -> "el",
     "hang" -> "ko", "hebr" -> "he", "thai" -> "th")
 
-  /** Number of tokens that appear in `words` (multiset count, not set intersection). */
+  /** Number of tokens that appear in `words` (multiset count, not set
+    * intersection). Composed SPECIFICATION form — the `aggregate` lambda is
+    * CodegenFallback and scans the word array per token; hot paths use
+    * [[stopwordHitsKernel]] (TextAnalysisSpec pins the parity). */
   def stopwordHits(toks: Column, words: Seq[String]): Column = {
     val wordArray = array(words.map(lit): _*)
     aggregate(toks, lit(0), (acc, t) => acc + when(array_contains(wordArray, t), 1).otherwise(0))
   }
+
+  /** [[stopwordHits]] over `tokens(text)` as one kernel pass (LONG-typed;
+    * callers cast as their schema needs, exactly as they cast the
+    * composed INT form). */
+  private[graft] def stopwordHitsKernel(text: Column, words: Seq[String]): Column =
+    element_at(graft.functions.functions.stopword_scores(text, Seq(words)), 1)
 
   /** Characters of `text` inside the regex char-class `range` (exact count). */
   private def scriptChars(text: Column, range: String): Column =
@@ -191,8 +200,15 @@ object TextAnalysis {
    * `greatest` and every argmax branch — re-evaluates the token fold
    * hundreds of times per row; measured 100x slower at 27 profiles.)
    * Bit-identical to scoring each profile with [[stopwordHits]].
+   *
+   * Composed SPECIFICATION form (round 19): the fold's higher-order
+   * lambdas are CodegenFallback — per token, an O(vocabulary) linear scan
+   * of the literal map plus a boxed 27-element accumulator allocation.
+   * [[languageId]] now rides [[stopwordPickKernel]] (one tokenize pass +
+   * hash lookups, [[graft.functions.StopwordScores]]); TextAnalysisSpec
+   * pins the parity over the battery corpus and adversarial shapes.
    */
-  private def stopwordPick(toks: Column): Column = {
+  private[ops] def stopwordPickComposed(toks: Column): Column = {
     val m = typedLit(StopwordVecs)
     val zero = array_repeat(lit(0L), StopLangs.size)
     aggregate(
@@ -205,6 +221,24 @@ object TextAnalysis {
           when(element_at(acc, i + 1) === best && best > 0, lit(lang)).otherwise(alt)
         }
       })
+  }
+
+  /** Kernel twin of [[stopwordPickComposed]]: the 27-profile counts come
+    * from ONE [[graft.functions.StopwordScores]] pass over the text, and
+    * the identical argmax/tie-break decides inside a transform lambda
+    * where the count array is a bound variable (computed once per row). */
+  private[ops] def stopwordPickKernel(text: Column): Column = {
+    val scores =
+      graft.functions.functions.stopword_scores(text, StopLangs.map(StopwordProfiles))
+    // null text -> null pick, exactly like the composed fold over a null
+    // token array (the bare argmax chain would fall through to "und")
+    element_at(transform(array(scores), acc =>
+      when(acc.isNull, lit(null).cast("string")).otherwise {
+        val best = array_max(acc)
+        StopLangs.zipWithIndex.foldRight(lit("und")) { case ((lang, i), alt) =>
+          when(element_at(acc, i + 1) === best && best > 0, lit(lang)).otherwise(alt)
+        }
+      }), 1)
   }
 
   /**
@@ -240,7 +274,7 @@ object TextAnalysis {
     // however many argmax branches reference it (same trick as
     // stopwordPick's finish lambda)
     val counts = graft.functions.functions.script_counts(text)
-    val packed = array(struct(counts.as("c"), stopwordPick(tokens(text)).as("s")))
+    val packed = array(struct(counts.as("c"), stopwordPickKernel(text).as("s")))
     val kanaIdx = ScriptRanges.indexWhere(_._1 == "kana") + 1
     val haniIdx = ScriptRanges.indexWhere(_._1 == "hani") + 1
     element_at(transform(packed, p => {
@@ -270,7 +304,7 @@ object TextAnalysis {
     val nChars = length(text)
     val nTokens = size(toks)
     val punct = length(text) - length(regexp_replace(text, """[^a-zA-Z0-9\s]""", ""))
-    val stopHits = stopwordHits(toks, StopwordProfiles("en"))
+    val stopHits = stopwordHitsKernel(text, StopwordProfiles("en"))
     val wordChars = aggregate(toks, lit(0), (acc, t) => acc + length(t))
     Seq(
       "n_chars" -> nChars,
@@ -305,7 +339,7 @@ object TextAnalysis {
     val punct = (length(text) -
       length(regexp_replace(text, """[^a-zA-Z0-9\s]""", ""))).cast("long")
     val digits = (length(text) - length(regexp_replace(text, "[0-9]", ""))).cast("long")
-    val stopHits = stopwordHits(toks, StopwordProfiles("en")).cast("long")
+    val stopHits = stopwordHitsKernel(text, StopwordProfiles("en"))
     val distinctToks = size(array_distinct(toks)).cast("long")
     val wordChars = aggregate(toks, lit(0), (acc, t) => acc + length(t)).cast("long")
     Seq(

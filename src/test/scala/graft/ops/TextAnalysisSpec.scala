@@ -32,6 +32,33 @@ class TextAnalysisSpec extends SparkTestBase {
       .as[String].head() shouldBe "und"
   }
 
+  test("stopword kernel is bit-identical to the composed fold (pick and single-profile hits)") {
+    import org.apache.spark.sql.functions.{col, lit, element_at}
+    // adversarial shapes: empty, null, separators-only, mixed scripts,
+    // repeated stopwords (multiset law), stopwords shared across profiles,
+    // uppercase (lowering first), digits glued to words
+    val rows = Seq(
+      "the cat and the dog is in the house",
+      "der Hund und die Katze ist nicht hier",
+      "le chat est dans la maison avec les enfants",
+      "zzz qqq xxx", "", "   \t\n ", null,
+      "THE THE THE the the de la el en un es und",
+      "der die das de la le a o e i у и не 的 是",
+      "a1the b2and c3und", "el agua es la vida y el sol",
+      "это не русский текст а просто слова и буквы")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val both = rows.select(
+      TextAnalysis.stopwordPickKernel(col("text")).as("k"),
+      TextAnalysis.stopwordPickComposed(TextAnalysis.tokens(col("text"))).as("c"),
+      TextAnalysis.stopwordHitsKernel(col("text"),
+        TextAnalysis.StopwordProfiles("en")).as("hk"),
+      TextAnalysis.stopwordHits(TextAnalysis.tokens(col("text")),
+        TextAnalysis.StopwordProfiles("en")).cast("long").as("hc"))
+    both.where(!(col("k") <=> col("c")) || !(col("hk") <=> col("hc")))
+      .count() shouldBe 0L
+  }
+
   test("language id classifies non-Latin scripts via the script pre-filter") {
     def lang(s: String): String =
       one(s).select(TextAnalysis.languageId($"text")).as[String].head()
