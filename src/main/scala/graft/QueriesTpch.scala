@@ -1062,17 +1062,22 @@ private[graft] trait QueriesTpch extends QueryHelpers { this: QueryBattery =>
    */
   def q21SoleBlame(spark: SparkSession, dir: String): DataFrame = {
     implicit val s: SparkSession = spark
-    // one scan, one per-order agg: the flagged-supplier set rides along as a
-    // collect_list (collect_list drops the nulls of unflagged lines), so the
-    // qualifying orders' sole supplier pops out of the same shuffle — no
-    // second lineitem scan, no join back
+    // one scan, two codegen HashAggregates: collapse to distinct
+    // (order, supplier) pairs with an any-R flag first, then per-order
+    // counts decide the qualifying orders and min() pops their sole
+    // flagged supplier (a size-1 set's min IS its element). The former
+    // countDistinct + collect_list single agg planned as an
+    // ObjectHashAggregate with distinct expansion — row doubling plus
+    // per-group array building that whole-stage codegen cannot touch
+    // (guide step 4); this form ships only the collapsed pairs
     t(dir, "lineitem")
+      .where(col("l_suppkey").isNotNull) // countDistinct's null law, kept explicit
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("__flg"))
       .groupBy(col("l_orderkey"))
-      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-        array_distinct(collect_list(when(col("l_returnflag") === "R", col("l_suppkey"))))
-          .as("flagged"))
-      .filter(col("n_supp") > 1 && size(col("flagged")) === 1)
-      .select(element_at(col("flagged"), 1).as("l_suppkey"))
+      .agg(count(lit(1)).as("n_supp"), sum(col("__flg")).as("n_flagged"),
+        min(when(col("__flg") === 1L, col("l_suppkey"))).as("l_suppkey"))
+      .filter(col("n_supp") > 1 && col("n_flagged") === 1)
       .groupBy(col("l_suppkey"))
       .agg(count(lit(1)).as("numwait"))
       .join(broadcast(t(dir, "supplier")), col("l_suppkey") === col("s_suppkey"))

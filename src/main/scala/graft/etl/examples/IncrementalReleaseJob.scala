@@ -177,16 +177,19 @@ object IncrementalRelease {
 
     val passes = TextAnalysis.qualityFlags(col("text"))
       .collectFirst { case ("passes", c) => c }.get
-    // NOT materialized (round 19, same reasoning as Release.build): the
-    // per-row gate re-applies to checkpointed s3 rows under each of its
-    // two consumers instead of paying a sequential barrier per day
-    val s4 = s3.filter(passes === 1L)
+    // materialized (same reasoning as Release.build): decontaminate reads
+    // s4 twice and the stats row a third time — re-running the per-row
+    // regex gate 3× per DAY measured slower than the barrier
+    val s4 = mat(s3.filter(passes === 1L))
     val s5 = mat(Decontaminate.removeContaminated(
       s4, "doc_id", "text", bench, "bench_id", "text", n = 5, minHits = minHits))
 
-    // six 1-row aggregates over checkpointed frames — left lazy (round 19):
-    // their single consumer is the cut's additive ord-0–5 sum, which scans
-    // them inside its own job; a per-day eager barrier bought nothing
+    // materialized: the day's six 1-row aggregates collapse to six ROWS
+    // here — left lazy, every downstream consumer of the cut's manifest
+    // (kept + rejected branches) re-inlines the whole aggregate-union
+    // subtree per day (round 19 measured the lazy form costing +3 s on
+    // release_manifest_incr: 18 duplicated single-partition aggregate
+    // stages in the final job — the barrier buys plan deduplication)
     val stats = Seq(
       (0L, "raw", s0), (1L, "url_dedup", s1), (2L, "exact_dedup", s2),
       (3L, "near_dedup", s3), (4L, "quality_gate", s4), (5L, "decontaminate", s5))
@@ -196,7 +199,7 @@ object IncrementalRelease {
       if (!verifyNear) dayBands.select(col("band"), col("bh")).distinct()
       else dayBands.join(daySh, "doc_id")
         .select(col("band"), col("bh"), col("__dsh").as("sh")).distinct()
-    DayCuration(s5, stats, urls, fps, bandRows)
+    DayCuration(s5, mat(stats), urls, fps, bandRows)
   }
 
   /**

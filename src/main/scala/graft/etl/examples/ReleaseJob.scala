@@ -94,14 +94,12 @@ object Release {
       checkpointDir = checkpointDir))
     val passes = TextAnalysis.qualityFlags(col("text"))
       .collectFirst { case ("passes", c) => c }.get
-    // NOT materialized (round 19): a per-row filter over the checkpointed
-    // s3 — its two consumers (the decontaminate tier under s5's barrier,
-    // the stage-4 stats aggregate inside the final manifest job) each
-    // re-apply the gate to cached rows, which is cheaper than an extra
-    // sequential barrier that writes every surviving text to block storage
-    // a second time (guide §2.4: remove barriers that exist only to split
-    // consumers of a cheap recompute)
-    val s4 = s3.filter(passes === 1L)
+    // materialized: the gate's regex battery is per-row expensive and s4
+    // has THREE consumers (decontaminate reads it twice — the gram probe
+    // and the anti-join back — plus the stage-4 stats row); round 19
+    // measured the lazy form re-running the gate 3× per build and LOSING
+    // 0.5-1 s despite the saved barrier
+    val s4 = mat(s3.filter(passes === 1L))
     val s5 = mat(Decontaminate.removeContaminated(
       s4, "doc_id", "text", bench, "bench_id", "text", n = 5, minHits = minHits))
     val base05 = Seq(
@@ -151,12 +149,13 @@ object Release {
       TextAnalysis.deterministicShuffle(chunks, "chunk_key", shuffleSalt))
 
     val noChk = lit(null).cast("long").as("checksum")
-    // NOT materialized (round 19): the kept and rejected branches each
-    // re-run the seven 1-row aggregates, but those scan CHECKPOINTED
-    // stage frames inside the one final manifest job (parallel stages) —
-    // strictly cheaper than a dedicated sequential barrier job for a
-    // 7-row frame
-    val base = base05.unionByName(stageStat(6L, "target_mix", s6))
+    // materialized: the kept AND rejected branches both read the 7-row
+    // stage-stats frame — without the barrier each branch DUPLICATES the
+    // whole aggregate-union subtree (2×7 single-partition exchanges, an
+    // AQE stage each; round 19 measured the lazy form costing +2 s on
+    // the protocol bench despite the saved job — the barrier here buys
+    // plan deduplication, not data reuse)
+    val base = mat(base05.unionByName(stageStat(6L, "target_mix", s6)))
     val kept = base.select(col("ord"), col("stage"), lit("kept").as("detail"),
       col("n"), col("tokens"), noChk)
     // the lag window is global over the STAGE-COUNT-sized frame (7 rows by
