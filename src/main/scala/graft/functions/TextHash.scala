@@ -47,6 +47,18 @@ object TextHash {
   def tokenize(text: String): Array[String] =
     text.toLowerCase(Locale.ROOT).split(tokenSplit, -1).filter(_.nonEmpty)
 
+  /** [[tokenize]] as ArrayData — the eval body of the [[Tokenize]] kernel
+    * (`TextAnalysis.tokens`' hot form: the composed
+    * `filter(split(lower(...)))` evaluates its filter lambda interpreted,
+    * per element, at every explode site in the battery). */
+  def tokenizeArray(text: UTF8String): ArrayData = {
+    val toks = tokenize(text.toString)
+    val out = new Array[AnyRef](toks.length)
+    var i = 0
+    while (i < toks.length) { out(i) = UTF8String.fromString(toks(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+
   /**
    * Multiset stopword-profile hit counts in ONE tokenize pass: for each
    * token, a hash lookup adds 1 to every profile containing the word.
@@ -622,6 +634,17 @@ abstract class TextHashExpression extends UnaryExpression {
     defineCodeGen(ctx, ev, c => staticCall(c))
 }
 
+case class Tokenize(child: Expression) extends TextHashExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "tokenize_text"
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.tokenizeArray(input.asInstanceOf[UTF8String])
+  override protected def staticCall(c: String): String =
+    s"graft.functions.TextHash$$.MODULE$$.tokenizeArray($c)"
+  override protected def withNewChildInternal(newChild: Expression): Tokenize =
+    copy(child = newChild)
+}
+
 case class StopwordScores(child: Expression, profiles: Seq[Seq[String]])
     extends UnaryExpression {
   require(profiles.nonEmpty, "stopword_scores needs at least one profile")
@@ -824,6 +847,9 @@ object functions {
   def stopword_scores(text: Column, profiles: Seq[Seq[String]]): Column =
     GraftExpressionBridge.column(
       StopwordScores(GraftExpressionBridge.expression(text), profiles))
+
+  def tokenize_text(text: Column): Column =
+    GraftExpressionBridge.column(Tokenize(GraftExpressionBridge.expression(text)))
 
   /** Adjacent word n-grams (codegen'd); empty array below `n` tokens;
     * null text null-propagates (null out, not an empty array). */

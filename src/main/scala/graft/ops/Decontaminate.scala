@@ -93,11 +93,16 @@ object Decontaminate {
       n: Int = 5,
       broadcastBench: Boolean = true): DataFrame = {
     require(n >= 1, "n must be at least 1")
-    // a full n-gram is exactly n tokens joined by single spaces; the padded
-    // short/empty shingles wordShingles emits for < n-token inputs have
-    // fewer — drop them on BOTH sides before any matching
+    // a full n-gram is exactly n tokens joined by single spaces. The
+    // word_ngrams kernel emits exactly those (nothing for < n-token
+    // inputs), so the former filter(wordShingles(...), size(split(g)) = n)
+    // — an interpreted HOF that re-split every gram — disappears
+    // (round 19; guide §4). word_ngrams is positional where wordShingles
+    // was distinct, but both consumers are set-shaped: benchGrams is
+    // .distinct() and the flagged frame semi-joins then .distinct()s, so
+    // the result is bit-identical (oracle hash pins it).
     def fullGrams(text: Column): Column =
-      filter(Dedup.wordShingles(text, n), g => size(split(g, " ")) === n && g =!= "")
+      graft.functions.functions.word_ngrams(text, n)
     val benchGrams0 = bench
       .select(explode(fullGrams(col(benchText))).as("__gram")).distinct()
     val benchGrams = if (broadcastBench) broadcast(benchGrams0) else benchGrams0

@@ -16,7 +16,16 @@ import org.apache.spark.sql.functions._
 object TextAnalysis {
 
   /** Lowercased alphanumeric word tokens. */
+  // the hot form is the Tokenize kernel: the composed filter(split(lower))
+  // evaluates its filter lambda interpreted per element at every explode
+  // site in the battery (round 19; guide §4). tokensComposed stays as the
+  // spec twin — the TextAnalysisSpec parity property and every oracle hash
+  // pin the kernel to it.
   def tokens(text: Column): Column =
+    graft.functions.functions.tokenize_text(text)
+
+  /** Composed SPECIFICATION form of [[tokens]]. */
+  private[graft] def tokensComposed(text: Column): Column =
     filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
 
   /** Non-ASCII word-script ranges (space-delimited scripts the ASCII

@@ -32,6 +32,20 @@ class TextAnalysisSpec extends SparkTestBase {
       .as[String].head() shouldBe "und"
   }
 
+  test("tokenize kernel is bit-identical to the composed filter(split(lower))") {
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      "The cat AND the dog", "a1b2c3", "  leading  and trailing  ",
+      "", null, "...!!!", "ΣΊΣΥΦΟΣ greek UPPER", "İstanbul mixed TR",
+      "中文没有空格但有English words", "tabs\tand\nnewlines", "ALL CAPS 123",
+      "répétition déjà vu", "под водой кириллица")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    rows.select(
+        TextAnalysis.tokens(col("text")).as("k"),
+        TextAnalysis.tokensComposed(col("text")).as("c"))
+      .where(!(col("k") <=> col("c"))).count() shouldBe 0L
+  }
+
   test("stopword kernel is bit-identical to the composed fold (pick and single-profile hits)") {
     import org.apache.spark.sql.functions.{col, lit, element_at}
     // adversarial shapes: empty, null, separators-only, mixed scripts,
