@@ -658,4 +658,26 @@ class PlanInvariantsSpec extends SparkTestBase {
     // equi-join; the DP is per-row codegen
     check("damerau_pairs", maxShuffles = 3)
   }
+
+  test("round-19 optimization pins: kernels in the hot paths, no object-agg q21") {
+    def plan(name: String): String = {
+      val fn = Queries.all.collectFirst { case (`name`, f, _) => f }
+        .getOrElse(fail(s"unknown query $name"))
+      fn(spark, sfDir).queryExecution.executedPlan.toString
+    }
+    // q21: two codegen HashAggregates, never the ObjectHashAggregate +
+    // distinct-Expand the countDistinct+collect_list form planned as
+    val q21 = plan("q21_sole_blame")
+    withClue(q21) {
+      "ObjectHashAggregate".r.findAllIn(q21).size shouldBe 0
+      "\\bExpand\\b".r.findAllIn(q21).size shouldBe 0
+    }
+    // the int8 ANN tier rides the one-pass kernel, not the interpreted
+    // three-lambda quantize/dequantize chain
+    plan("ann_quantized_topk") should include("int8_roundtrip")
+    // languageId scores profiles through the single-pass kernel
+    plan("mcnemar_test") should include("stopword_scores")
+    // tokens() is the codegen kernel at its explode sites
+    plan("bm25_topk") should include("tokenize_text")
+  }
 }
