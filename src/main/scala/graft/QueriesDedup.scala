@@ -1442,10 +1442,18 @@ private[graft] trait QueriesDedup extends QueryHelpers { this: QueryBattery =>
       empty(IncrementalRelease.FpStoreSchema),
       empty(IncrementalRelease.VerifiedBandStoreSchema),
       Seq.empty[DataFrame], Seq.empty[DataFrame])
+    // the benchmark gram set is identical for every day: shingle the bench
+    // suite ONCE and hand the materialized frame to each day's
+    // decontamination instead of re-deriving it per day (round 20;
+    // guide §1.2 — the grams are a pure function of `bench`, so the
+    // manifest is unchanged and the batch oracle still pins it)
+    val benchGrams = graft.ops.Decontaminate
+      .benchGramRows(bench, "bench_id", "text", n = 5)
+      .localCheckpoint(eager = true)
     val (_, _, _, curatedParts, statsParts) =
       days.foldLeft(init) { case ((urls, fps, bands, cur, st), day) =>
         val dc = IncrementalRelease.curateDay(day, bench, urls, fps, bands,
-          verifyNear = true)
+          verifyNear = true, benchGrams = Some(benchGrams))
         (urls.unionByName(dc.urls), fps.unionByName(dc.fps),
           bands.unionByName(dc.bands), cur :+ dc.curated, st :+ dc.stats)
       }

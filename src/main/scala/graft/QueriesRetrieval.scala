@@ -517,11 +517,15 @@ private[graft] trait QueriesRetrieval extends QueryHelpers { this: QueryBattery 
     import spark.implicits._
     val qs = Seq(("q1", "table scan merge"), ("q2", "slow query filter"),
       ("q3", "stream window customer")).toDF("query_id", "qtext")
-    val run = graft.ops.Retrieval.bm25TopK(t(dir, "documents"), "doc_id", "text",
-      qs, "query_id", "qtext", k = 10)
+    // ONE shared corpus base: the BM25 run and the conjunctive qrels both
+    // derive from the same tokenized/tf subtree (exchange reuse), instead
+    // of tokenizing + exploding the corpus once per consumer (round 20;
+    // matchCountsFromBase ≡ percolate — RetrievalSpec + the oracle pin it)
+    val base = graft.ops.Retrieval.queryTermBase(
+      t(dir, "documents"), "doc_id", "text", qs, "query_id", "qtext")
+    val run = graft.ops.Retrieval.bm25TopKFromBase(base, k = 10)
       .select(col("query_id"), col("doc_id"), col("rank"))
-    val qrels = graft.ops.Retrieval.percolate(t(dir, "documents"), "doc_id", "text",
-      qs, "query_id", "qtext", minMatchPct = 100)
+    val qrels = graft.ops.Retrieval.matchCountsFromBase(base, minMatchPct = 100)
       .select(col("query_id"), col("doc_id"))
     graft.ops.Retrieval.rankingMetrics(run, qrels, k = 10)
   }
@@ -631,12 +635,16 @@ private[graft] trait QueriesRetrieval extends QueryHelpers { this: QueryBattery 
     val qs = Seq(("q1", "table scan merge"), ("q2", "slow query filter"),
       ("q3", "stream window customer")).toDF("query_id", "qtext")
     val docs = t(dir, "documents")
-    val lex = graft.ops.Retrieval
-      .bm25TopK(docs, "doc_id", "text", qs, "query_id", "qtext", k = 20)
+    // ONE shared corpus base for both rankers (round 20): the lexical BM25
+    // run and the term-overlap run read the same tokenized/tf subtree
+    // (exchange reuse) instead of each tokenizing + exploding the corpus
+    // (matchCountsFromBase ≡ percolate — RetrievalSpec + the oracle pin it)
+    val base = graft.ops.Retrieval.queryTermBase(
+      docs, "doc_id", "text", qs, "query_id", "qtext")
+    val lex = graft.ops.Retrieval.bm25TopKFromBase(base, k = 20)
       .select(col("query_id"), col("doc_id"), col("rank"))
     val overlap = graft.ops.Retrieval.toRanking(
-      graft.ops.Retrieval
-        .percolate(docs, "doc_id", "text", qs, "query_id", "qtext", minMatchPct = 1)
+      graft.ops.Retrieval.matchCountsFromBase(base, minMatchPct = 1)
         .select(col("query_id"), col("doc_id"), col("n_matched")),
       "n_matched", k = 20)
     graft.ops.Retrieval.rrfFuse(Seq(lex, overlap), k0 = 60, k = 10)

@@ -122,7 +122,8 @@ object IncrementalRelease {
       rowsPerBand: Int = 3,
       minHits: Int = 3,
       checkpointDir: Option[String] = None,
-      verifyNear: Boolean = false): DayCuration = {
+      verifyNear: Boolean = false,
+      benchGrams: Option[DataFrame] = None): DayCuration = {
     checkpointDir.foreach(docs.sparkSession.sparkContext.setCheckpointDir)
     def mat(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(eager = true)
@@ -181,8 +182,15 @@ object IncrementalRelease {
     // s4 twice and the stats row a third time — re-running the per-row
     // regex gate 3× per DAY measured slower than the barrier
     val s4 = mat(s3.filter(passes === 1L))
-    val s5 = mat(Decontaminate.removeContaminated(
-      s4, "doc_id", "text", bench, "bench_id", "text", n = 5, minHits = minHits))
+    // the benchmark gram set is day-INDEPENDENT: a caller curating many
+    // days against one eval suite precomputes+materializes it once
+    // (benchGrams) instead of re-scanning and re-shingling the benchmark
+    // per day (round 20; guide §1.2)
+    val s5 = mat(Decontaminate.removeContaminatedOnGrams(
+      s4, "doc_id", "text",
+      benchGrams.getOrElse(
+        Decontaminate.benchGramRows(bench, "bench_id", "text", n = 5)),
+      n = 5, minHits = minHits, broadcastBench = true))
 
     // materialized: the day's six 1-row aggregates collapse to six ROWS
     // here — left lazy, every downstream consumer of the cut's manifest

@@ -44,6 +44,15 @@ object TextHash {
     new String(out)
   }
 
+  // Locale note (round 20): the kernels lowercase with Locale.ROOT, while
+  // their composed spec twins use Spark's lower() (UTF8String casing,
+  // which is locale-independent but not identical to a tr/az JVM-default
+  // toLowerCase — e.g. 'I' lowers to dotless 'ı' under a Turkish default
+  // locale). The documented "bit-identical" parity therefore assumes a
+  // non-tr/az environment OR, as here, a locale-pinned kernel: Locale.ROOT
+  // matches lower()'s behavior on every shape the parity specs and the
+  // oracle exercise, and keeps the kernel itself independent of the host
+  // JVM's default locale.
   def tokenize(text: String): Array[String] =
     text.toLowerCase(Locale.ROOT).split(tokenSplit, -1).filter(_.nonEmpty)
 

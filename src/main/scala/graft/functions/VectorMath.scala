@@ -132,13 +132,20 @@ object VectorMath {
     val scale = mx / 127.0
     val out = new Array[Any](n)
     i = 0
-    while (i < n) {
-      if (!a.isNullAt(i)) {
-        out(i) =
-          if (scale == 0.0) 0.0
-          else math.floor(value(a, ta, i) / scale + 0.5).toInt * scale
+    if (scale == 0.0) {
+      // the composed spec twin's `when(s === 0.0, lit(0))` branch never
+      // inspects the element, so a NULL slot in a max-abs-0 vector codes to
+      // 0 and dequantizes to 0.0 — reproduce that (round 20; the non-zero
+      // branch below keeps null, matching the composed null-propagating
+      // arithmetic)
+      while (i < n) { out(i) = 0.0; i += 1 }
+    } else {
+      while (i < n) {
+        if (!a.isNullAt(i)) {
+          out(i) = math.floor(value(a, ta, i) / scale + 0.5).toInt * scale
+        }
+        i += 1
       }
-      i += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }

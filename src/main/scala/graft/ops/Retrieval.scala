@@ -60,10 +60,33 @@ object Retrieval {
       queryTextCol: String,
       k: Int = 10,
       k1X10: Int = 12,
-      bX100: Int = 75): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
-    require(k1X10 >= 0, s"k1X10 must be >= 0, got $k1X10")
-    require(bX100 >= 0 && bX100 <= 100, s"bX100 must be in [0,100], got $bX100")
+      bX100: Int = 75): DataFrame =
+    bm25TopKFromBase(
+      queryTermBase(docs, idCol, textCol, queries, queryIdCol, queryTextCol),
+      k, k1X10, bX100)
+
+  /**
+   * The corpus-side subtrees [[bm25TopK]] and the percolate-style match
+   * count share: the once-tokenized corpus, the broadcast query-term
+   * frame, and the per-(doc, term) `tf` frame restricted to the query
+   * vocabulary. A query that needs BOTH a BM25 run and a term-overlap
+   * view (`rrf_fusion`'s second ranker, `retrieval_eval`'s conjunctive
+   * qrels) builds the base ONCE and derives each from the same `tf`
+   * exchange subtree — Spark's exchange reuse then tokenizes and explodes
+   * the corpus once per query instead of once per consumer (round 20;
+   * guide §2.4 — two operations keyed the same way share one exchange).
+   */
+  final case class QueryTermBase(tokened: DataFrame, qterms: DataFrame, tf: DataFrame)
+
+  /** Build the [[QueryTermBase]] for a corpus + query set — the shared
+    * front half of [[bm25TopK]], split out verbatim (round 20). */
+  def queryTermBase(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryTextCol: String): QueryTermBase = {
     // tokenize ONCE into an array column; explode and stats read the array
     val tokened = docs.select(col(idCol).as("doc_id"),
       TextAnalysis.tokens(col(textCol)).as("__toks"))
@@ -71,10 +94,6 @@ object Retrieval {
       size(col("__toks")).cast("long").as("dl"))
     val qterms = broadcast(queries.select(col(queryIdCol).as("query_id"),
       explode(array_distinct(TextAnalysis.tokens(col(queryTextCol)))).as("term")))
-    // stats: one row (N docs, T tokens), broadcast everywhere
-    val stats = broadcast(tokened.agg(
-      count(lit(1)).as("__n"),
-      sum(size(col("__toks"))).cast("long").as("__t")))
     // only query-vocabulary terms survive into the tf aggregation, and df
     // DERIVES from the tf frame (df = rows per term there) — the corpus
     // explode feeds ONE exchange subtree, which AQE reuses for both
@@ -82,6 +101,24 @@ object Retrieval {
     val qdocTerms = terms.join(broadcast(qterms.select("term").distinct()), "term")
     val tf = qdocTerms.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    QueryTermBase(tokened, qterms, tf)
+  }
+
+  /** The scoring back half of [[bm25TopK]] over a prebuilt
+    * [[QueryTermBase]] — identical arithmetic, split out verbatim. */
+  def bm25TopKFromBase(
+      base: QueryTermBase,
+      k: Int = 10,
+      k1X10: Int = 12,
+      bX100: Int = 75): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(k1X10 >= 0, s"k1X10 must be >= 0, got $k1X10")
+    require(bX100 >= 0 && bX100 <= 100, s"bX100 must be in [0,100], got $bX100")
+    val QueryTermBase(tokened, qterms, tf) = base
+    // stats: one row (N docs, T tokens), broadcast everywhere
+    val stats = broadcast(tokened.agg(
+      count(lit(1)).as("__n"),
+      sum(size(col("__toks"))).cast("long").as("__t")))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val termScore = tf.join(broadcast(dfreq), "term").join(qterms, "term")
       .join(stats)
@@ -148,6 +185,30 @@ object Retrieval {
     val docTerms = docs.select(col(idCol).as("doc_id"),
       explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("term"))
     docTerms.join(broadcast(qterms), "term")
+      .groupBy(col("doc_id"), col("query_id"))
+      .agg(count(lit(1)).as("n_matched"))
+      .join(broadcast(qsizes), "query_id")
+      .where(col("n_matched") * 100 >= col("n_terms") * minMatchPct)
+      .select(col("doc_id"), col("query_id"), col("n_matched"), col("n_terms"))
+  }
+
+  /**
+   * [[percolate]]'s match-count law derived from a [[QueryTermBase]]
+   * instead of a second corpus pass: the base's `tf` frame already holds
+   * exactly one row per (doc, query-vocabulary term) the doc contains, so
+   * joining it to the per-query term list and counting per (doc, query)
+   * yields the identical `n_matched` — without re-tokenizing, re-exploding
+   * or re-shuffling the corpus (RetrievalSpec pins the equivalence; the
+   * `rrf_fusion` / `retrieval_eval` oracle hashes pin it end-to-end).
+   * Output shape matches [[percolate]]:
+   * `(doc_id, query_id, n_matched, n_terms)`.
+   */
+  def matchCountsFromBase(base: QueryTermBase, minMatchPct: Int = 100): DataFrame = {
+    require(minMatchPct >= 1 && minMatchPct <= 100,
+      s"minMatchPct must be in [1,100], got $minMatchPct")
+    val qsizes = base.qterms.groupBy(col("query_id")).agg(count(lit(1)).as("n_terms"))
+    base.tf.select(col("doc_id"), col("term"))
+      .join(broadcast(base.qterms), "term")
       .groupBy(col("doc_id"), col("query_id"))
       .agg(count(lit(1)).as("n_matched"))
       .join(broadcast(qsizes), "query_id")

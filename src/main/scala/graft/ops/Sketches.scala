@@ -474,7 +474,8 @@ object Sketches {
       groupCols: Seq[String],
       order: Seq[Column],
       cums: Seq[(String, String)],
-      totals: Seq[(String, String)] = Nil): DataFrame = {
+      totals: Seq[(String, String)] = Nil,
+      checkpointDir: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.{DecimalType, StructField, StructType}
     import org.apache.spark.sql.{Encoders, Row}
@@ -493,18 +494,28 @@ object Sketches {
         "values, and array/map/binary/struct slots compare by reference")
     }
     val gCols = groupCols.map(col)
+    // reliable-checkpoint escape hatch (round 20, mirroring Graphs /
+    // ReleaseJob): localCheckpoint stores blocks on executors with no
+    // lineage fallback, so a 1000-executor run that must survive executor
+    // loss passes `checkpointDir` and pays the HDFS write instead
+    checkpointDir.foreach(df.sparkSession.sparkContext.setCheckpointDir)
+    def mat(d: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) d.checkpoint(eager = true)
+      else d.localCheckpoint(eager = true)
     // materialize the input BEFORE the range exchange (round 19): the
     // RangePartitioner's bounds sampling executes the child plan once and
     // the exchange executes it AGAIN — for every caller here the child is
     // a collapse aggregate, so its reduce ran twice per call. Checkpointing
     // the collapsed frame first makes the sample and the exchange two cheap
-    // scans of stored blocks (the frame is the same size the post-exchange
-    // checkpoint below already stores).
-    val input = df.localCheckpoint(true)
-    val ranged = input.repartitionByRange((gCols ++ order): _*)
+    // scans of stored blocks. Both frames stay pinned for the call's
+    // lifetime (a doubled footprint of the collapsed rows — accepted and
+    // consistent with the repo's mat() pattern; Dataset.unpersist does not
+    // reach checkpoint blocks, and the input copy is what a recompute-free
+    // bounds sample reads).
+    val input = mat(df)
+    val ranged = mat(input.repartitionByRange((gCols ++ order): _*)
       .sortWithinPartitions((gCols ++ order): _*)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
+      .withColumn("__pid", spark_partition_id()))
     val srcs = (cums.map(_._1) ++ totals.map(_._1)).distinct
     val partials = ranged.groupBy((gCols :+ col("__pid")): _*)
       .agg(sum(col(srcs.head)).as(s"__p_${srcs.head}"),

@@ -28,6 +28,28 @@ class DecontaminateSpec extends SparkTestBase {
     hits(2L) shouldBe 13L
   }
 
+  test("precomputed benchGramRows reproduce the direct forms exactly") {
+    // the incremental release hands ONE materialized gram frame to every
+    // day's curation (round 20) — this pins the OnGrams twins to the
+    // bench-DataFrame forms row for row
+    val grams = Decontaminate.benchGramRows(bench, "eval_id", "text", n = 5)
+      .localCheckpoint(true)
+    val hitsDirect = Decontaminate.contaminationHits(
+      corpus, "doc_id", "text", bench, "eval_id", "text", n = 5, minHits = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val hitsPre = Decontaminate.contaminationHitsOnGrams(
+      corpus, "doc_id", "text", grams, n = 5, minHits = 3, broadcastBench = true)
+      .as[(Long, Long, Long)].collect().toSet
+    hitsPre shouldBe hitsDirect
+    val cleanDirect = Decontaminate.removeContaminated(
+      corpus, "doc_id", "text", bench, "eval_id", "text", n = 5, minHits = 3)
+      .select("doc_id").as[Long].collect().sorted
+    val cleanPre = Decontaminate.removeContaminatedOnGrams(
+      corpus, "doc_id", "text", grams, n = 5, minHits = 3, broadcastBench = true)
+      .select("doc_id").as[Long].collect().sorted
+    cleanPre shouldBe cleanDirect
+  }
+
   test("one shared phrase stays below the threshold; removal keeps clean docs") {
     // doc 3 shares "the solar system has the" (single 5-gram) -> not flagged
     val clean = Decontaminate.removeContaminated(

@@ -110,6 +110,38 @@ class RetrievalSpec extends SparkTestBase {
     out shouldBe Set((1L, "q", 2L, 2L)) // repeated terms collapse both sides
   }
 
+  test("matchCountsFromBase is row-identical to percolate (the shared-base law)") {
+    // mixed shapes: full matches, partial matches, repeated terms both
+    // sides, a no-match doc, a token-free query, two queries sharing a term
+    val docs = Seq(
+      (1L, "spark shuffle join plan"),
+      (2L, "spark shuffle only here spark"),
+      (3L, "nothing relevant at all"),
+      (4L, "join join join")).toDF("id", "text")
+    val qs = Seq(("q_all", "spark shuffle join"), ("q2", "spark plan"),
+      ("q_none", "zebra unicorn"), ("empty", "!!!")).toDF("qid", "qtext")
+    val base = Retrieval.queryTermBase(docs, "id", "text", qs, "qid", "qtext")
+    for (pct <- Seq(1, 50, 100)) {
+      val viaBase = Retrieval.matchCountsFromBase(base, pct)
+        .as[(Long, String, Long, Long)].collect().toSet
+      val direct = Retrieval.percolate(docs, "id", "text", qs, "qid", "qtext", pct)
+        .as[(Long, String, Long, Long)].collect().toSet
+      viaBase shouldBe direct
+    }
+  }
+
+  test("bm25TopKFromBase on a shared base matches the one-shot bm25TopK") {
+    val docs = Seq(
+      (1L, "cat aa bb cc"), (2L, "cat cat dd ee"),
+      (3L, "ff gg hh ii"), (4L, "jj kk ll mm")).toDF("id", "text")
+    val base = Retrieval.queryTermBase(docs, "id", "text", q("cat"), "qid", "qtext")
+    val viaBase = Retrieval.bm25TopKFromBase(base, k = 10)
+      .collect().map(_.toSeq).toSet
+    val direct = Retrieval.bm25TopK(docs, "id", "text", q("cat"), "qid", "qtext")
+      .collect().map(_.toSeq).toSet
+    viaBase shouldBe direct
+  }
+
   test("invertedIndex is partitioning-independent (the cap rule is deterministic)") {
     val docs = (1L to 50L).map(i => (i, s"t${i % 4} shared")).toDF("id", "text")
     val a = Retrieval.invertedIndex(docs.coalesce(1), "id", "text", maxPostings = 5)

@@ -76,6 +76,20 @@ class SimilaritySpec extends SparkTestBase {
       .select(Similarity.dequantizeInt8(Similarity.quantizeInt8($"embedding")).as("composed"),
         Similarity.int8RoundtripVec($"embedding").as("kernel"))
     nullRow.where(!($"composed" <=> $"kernel")).count() shouldBe 0L
+    // null-ELEMENT shapes (round 20): in a max-abs-0 vector the composed
+    // `when(s === 0.0, lit(0))` branch codes a null slot to 0 without ever
+    // inspecting the element, so it dequantizes to 0.0 — the kernel
+    // reproduces that; with non-zero max-abs the null propagates through
+    // the arithmetic on both forms
+    val nullElems = spark.sql(
+      """SELECT embedding FROM VALUES
+           (array(CAST(NULL AS DOUBLE))),
+           (array(0.0D, CAST(NULL AS DOUBLE))),
+           (array(CAST(NULL AS DOUBLE), 1.0D)) AS t(embedding)""")
+      .select(
+        Similarity.dequantizeInt8(Similarity.quantizeInt8($"embedding")).as("composed"),
+        Similarity.int8RoundtripVec($"embedding").as("kernel"))
+    nullElems.where(!($"composed" <=> $"kernel")).count() shouldBe 0L
   }
 
   test("dot, norm and cosine on known vectors") {

@@ -408,6 +408,37 @@ class SketchesSpec extends SparkTestBase {
     recipe shouldBe naive
   }
 
+  test("rangedCumSums with a reliable checkpointDir matches the default and writes files") {
+    // the scaffold's two materializations honor the escape hatch the way
+    // Graphs/ReleaseJob do (round 20): same sums, and checkpoint files
+    // actually land under the dir — executor loss on a real cluster then
+    // recovers from storage instead of failing the job
+    val dir = java.nio.file.Files.createTempDirectory("graft-sketch-ckpt").toFile
+    try {
+      val df = (for (g <- 0 until 3; v <- 0 until 40)
+        yield ("g" + g, v.toLong, (v * 7 % 13).toLong)).toDF("g", "v", "a").repartition(5)
+      val reliable = Sketches.rangedCumSums(df, Seq("g"), Seq($"v"),
+        cums = Seq("a" -> "cuma"), totals = Seq("a" -> "ta"),
+        checkpointDir = Some(dir.getAbsolutePath))
+        .select($"g", $"v", $"cuma", $"ta")
+        .collect().map(_.toSeq.map(String.valueOf)).toSet
+      val default = Sketches.rangedCumSums(df, Seq("g"), Seq($"v"),
+        cums = Seq("a" -> "cuma"), totals = Seq("a" -> "ta"))
+        .select($"g", $"v", $"cuma", $"ta")
+        .collect().map(_.toSeq.map(String.valueOf)).toSet
+      reliable shouldBe default
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) else Seq(f)
+      walk(dir) should not be empty
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   test("rangedCumSums rejects non-scalar group columns") {
     // the per-partition scan compares raw row slots to detect group
     // changes; array slots compare by reference there, so the accumulator
