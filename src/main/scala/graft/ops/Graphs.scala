@@ -285,14 +285,21 @@ object Graphs {
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIterations) {
-      // closed-neighborhood min; the PRE-round label rides along as __old
-      // so convergence is decided on the materialized frame itself — no
-      // per-round probe join back to the previous labels
-      val nbrMin = bidir.join(labels.withColumnRenamed("id", "v"), "v")
-        .groupBy(col("u").as("id")).agg(min(col("lbl")).as("__nl"))
-      val stepped = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), col("lbl").as("__old"),
-          least(col("lbl"), coalesce(col("__nl"), col("lbl"))).as("lbl"))
+      // closed-neighborhood min in ONE join + ONE aggregation (round 20):
+      // each node's own label rides the neighbor-label union with a self
+      // flag, so `min(lbl)` over the union IS the closed-neighborhood min
+      // (the former separate labels⋈nbrMin join + least()), and
+      // `max(when(self))` recovers the PRE-round label as __old — each id
+      // has exactly one self row, so the max IS that label. Convergence is
+      // still decided on the materialized frame itself; the round loses
+      // one node-sized join (and its broadcast/exchange stage) vs the
+      // round-19 shape, with an identical fixpoint.
+      val stepped = bidir.join(labels.withColumnRenamed("id", "v"), "v")
+        .select(col("u").as("id"), col("lbl"), lit(0L).as("__self"))
+        .unionByName(labels.select(col("id"), col("lbl"), lit(1L).as("__self")))
+        .groupBy(col("id"))
+        .agg(min(col("lbl")).as("lbl"),
+          max(when(col("__self") === 1L, col("lbl"))).as("__old"))
       // ONE pointer jump: compress lbl to its label's label (labels are
       // node ids and monotonically non-increasing, so the hop is a total,
       // valid relabeling and the fixpoint is unchanged) — this is what

@@ -535,35 +535,76 @@ object Sketches {
         coalesce(sum(col(s"__p_$s")).over(wPrev), lit(0)).cast(d380).as(s"__off_$n") } ++
       totals.map { case (s, n) => sum(col(s"__p_$s")).over(wAll).cast(outType(s)).as(n) }: _*)
     // per-shard linear scan: rows arrive (group, order)-sorted, so group
-    // changes are contiguous — reset the accumulators on each new key
+    // changes are contiguous — reset the accumulators on each new key.
+    // Runs over the raw InternalRow stream (round 20; guide §4): the
+    // Dataset.mapPartitions form paid a per-row external codec
+    // (DeserializeToObject → SerializeFromObject with per-field validation
+    // and string/decimal conversions both ways) that profiled as the
+    // scaffold's single heaviest job on high-cardinality value domains
+    // (weighted_pctl's 1.3 s scan). Same arithmetic, same output schema.
     val schema = ranged.schema
-    val gIdx = groupCols.map(schema.fieldIndex)
+    val gIdx = groupCols.map(schema.fieldIndex).toArray
+    val gTypes = gIdx.map(schema(_).dataType)
     val srcIdx = cums.map { case (s, _) => schema.fieldIndex(s) }.toArray
+    val srcTypes = srcIdx.map(schema(_).dataType)
     val locSchema = StructType(schema.fields ++
       cums.map { case (_, n) => StructField(s"__loc_$n", d380, nullable = false) })
-    val withLocal = ranged.mapPartitions { it =>
-      var curKey: Seq[Any] = null
-      var acc: Array[java.math.BigDecimal] = null
-      it.map { r =>
-        val key = gIdx.map(i => r.get(i))
-        if (curKey == null || key != curKey) {
-          curKey = key
-          acc = Array.fill(srcIdx.length)(java.math.BigDecimal.ZERO)
-        }
-        var i = 0
-        while (i < srcIdx.length) {
-          val v = r.get(srcIdx(i)) match {
-            case null                        => java.math.BigDecimal.ZERO
-            case d: java.math.BigDecimal     => d
-            case d: scala.math.BigDecimal    => d.bigDecimal
-            case x: java.lang.Number         => java.math.BigDecimal.valueOf(x.longValue())
+    val nSrc = srcIdx.length
+    val nKey = gIdx.length
+    // boxed-value equality with the former Scala `==` semantics: primitive
+    // comparison for same-typed floats (NaN != NaN, -0.0 == 0.0), value
+    // equality everywhere else (UTF8String/Decimal equals are value-based)
+    def sameKeyVal(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: java.lang.Double, y: java.lang.Double) => x.doubleValue == y.doubleValue
+      case (x: java.lang.Float, y: java.lang.Float)   => x.floatValue == y.floatValue
+      case _ => java.util.Objects.equals(a, b)
+    }
+    val withLocal = org.apache.spark.sql.GraftExpressionBridge
+      .mapPartitionsInternal(ranged, locSchema) { it =>
+        var curKey: Array[Any] = null
+        var acc: Array[java.math.BigDecimal] = null
+        it.map { r =>
+          val key = new Array[Any](nKey)
+          var k = 0
+          while (k < nKey) {
+            // values extracted from a reused row buffer must be copied
+            // before they are held across rows (UTF8String points into it)
+            key(k) = r.get(gIdx(k), gTypes(k)) match {
+              case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
+              case x => x
+            }
+            k += 1
           }
-          acc(i) = acc(i).add(v)
-          i += 1
+          var changed = curKey == null
+          if (!changed) {
+            var j = 0
+            while (!changed && j < nKey) {
+              if (!sameKeyVal(key(j), curKey(j))) changed = true
+              j += 1
+            }
+          }
+          if (changed) {
+            curKey = key
+            acc = Array.fill(nSrc)(java.math.BigDecimal.ZERO)
+          }
+          val extra = new Array[Any](nSrc)
+          var i = 0
+          while (i < nSrc) {
+            val v =
+              if (r.isNullAt(srcIdx(i))) java.math.BigDecimal.ZERO
+              else r.get(srcIdx(i), srcTypes(i)) match {
+                case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
+                case x: java.lang.Number => java.math.BigDecimal.valueOf(x.longValue())
+              }
+            acc(i) = acc(i).add(v)
+            extra(i) = org.apache.spark.sql.types.Decimal(acc(i), 38, 0)
+            i += 1
+          }
+          new org.apache.spark.sql.catalyst.expressions.JoinedRow(
+            r.copy(),
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(extra))
         }
-        Row.fromSeq(r.toSeq ++ acc.toSeq)
       }
-    }(Encoders.row(locSchema))
     val joined = withLocal.join(broadcast(offsets), groupCols :+ "__pid")
     cums.foldLeft(joined) { case (d, (s, n)) =>
         d.withColumn(n, (col(s"__off_$n") + col(s"__loc_$n")).cast(outType(s)))

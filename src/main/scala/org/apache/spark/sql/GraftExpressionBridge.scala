@@ -16,4 +16,25 @@ object GraftExpressionBridge {
   /** Analyzed logical plan of a DataFrame — for embedding one as a scalar subquery. */
   def analyzedPlan(df: Dataset[_]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
+
+  /**
+   * `mapPartitions` over the PHYSICAL `InternalRow` stream of `df`,
+   * rebuilt as a DataFrame of `schema` — without the per-row external
+   * codec `Dataset.mapPartitions` inserts (DeserializeToObject → closure →
+   * SerializeFromObject: per-field type validation, UTF8String↔String and
+   * Decimal↔BigDecimal conversions in BOTH directions). For a cheap linear
+   * pass (graft's per-shard running-sum scan) that codec IS the cost —
+   * round 20 measured it dominating the scaffold's heaviest job.
+   *
+   * Contract for `f`: input rows may be reused buffers — `.copy()`
+   * anything held across `next()` calls (including values extracted from
+   * a row); output rows must match `schema` slot for slot.
+   */
+  def mapPartitionsInternal(df: Dataset[Row], schema: org.apache.spark.sql.types.StructType)(
+      f: Iterator[org.apache.spark.sql.catalyst.InternalRow] =>
+         Iterator[org.apache.spark.sql.catalyst.InternalRow]): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    ds.sparkSession.internalCreateDataFrame(
+      ds.queryExecution.toRdd.mapPartitions(f), schema)
+  }
 }
