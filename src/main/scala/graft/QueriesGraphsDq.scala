@@ -554,11 +554,19 @@ private[graft] trait QueriesGraphsDq extends QueryHelpers { this: QueryBattery =
       .select(col("event_type"), cents(col("value")).as("cents"),
         (col("user_id") % 2 === 0).as("in_a"))
     val pcts = (10 to 90 by 10)
-    val a = graft.ops.Sketches.exactPercentiles(ev.where(col("in_a")),
-      "event_type", "cents", pcts).withColumnRenamed("cents", "cents_a")
-    val b = graft.ops.Sketches.exactPercentiles(ev.where(!col("in_a")),
-      "event_type", "cents", pcts).withColumnRenamed("cents", "cents_b")
-    a.join(b, Seq("event_type", "pct"))
+    // ONE stratified percentile pass with the cohort in the group key,
+    // then pivot (round 20, same fusion as quantileTreatmentEffects): the
+    // former two exactPercentiles passes + join paid two collapses, four
+    // checkpoints and two range exchanges for bit-identical digits —
+    // per-(event_type, cohort) cumulative counts never see the other
+    // cohort, and the not-null filter is the inner join's
+    // both-cohorts-present law.
+    graft.ops.Sketches
+      .exactPercentilesBy(ev, Seq("event_type", "in_a"), "cents", pcts)
+      .groupBy(col("event_type"), col("pct"))
+      .agg(max(when(col("in_a"), col("cents"))).as("cents_a"),
+        max(when(!col("in_a"), col("cents"))).as("cents_b"))
+      .where(col("cents_a").isNotNull && col("cents_b").isNotNull)
       .withColumn("delta", col("cents_a") - col("cents_b"))
   }
 

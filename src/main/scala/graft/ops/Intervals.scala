@@ -141,9 +141,23 @@ object Intervals {
       endCol: String,
       idCol: String): DataFrame = {
     val dayUs = 86400000000L
-    val prof = concurrency(intervals, startCol, endCol, idCol)
-    val ranked = TextAnalysis.withGlobalRank(prof, "__rank",
-      col("ts"), col("delta"), col("id"))
+    // running concurrency AND global rank in ONE rangedCumSums pass over
+    // the boundary order (round 20): the former concurrency() +
+    // withGlobalRank() chain ran two full global-order scaffolds over the
+    // same `(ts, delta, id)` total order — two range exchanges, an extra
+    // per-__pid window exchange and an extra checkpoint of the boundary
+    // frame. Both are running sums (active = Σdelta, rank = Σ1), so one
+    // sharded scan emits both, bit-identically (same order, same inclusive
+    // law; the oracle replays the fused form digit-for-digit).
+    val opens = intervals.select(col(startCol).as("ts"), lit(1L).as("delta"),
+      col(idCol).as("id"))
+    val closes = intervals.select(col(endCol).as("ts"), lit(-1L).as("delta"),
+      col(idCol).as("id"))
+    val ranked = Sketches.rangedCumSums(
+      opens.unionByName(closes).withColumn("__one", lit(1L)),
+      Seq.empty, Seq(col("ts"), col("delta"), col("id")),
+      cums = Seq("delta" -> "active", "__one" -> "__rank"))
+      .drop("__one")
     val segs = ranked.select(col("ts").as("s"), col("active"), col("__rank"))
       .join(ranked.select((col("__rank") - 1L).as("__rank"), col("ts").as("e")),
         Seq("__rank"))

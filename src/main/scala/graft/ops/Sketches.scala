@@ -309,20 +309,36 @@ object Sketches {
       df: DataFrame,
       groupCol: String,
       valueCol: String,
+      percentiles: Seq[Int]): DataFrame =
+    exactPercentilesBy(df, Seq(groupCol), valueCol, percentiles)
+
+  /** [[exactPercentiles]] keyed by MULTIPLE group columns — one scaffold
+    * pass for stratified callers (round 20:
+    * [[graft.ops.Stats.quantileTreatmentEffects]] runs treat and control
+    * through ONE collapse + one range exchange with the side in the group
+    * key, instead of two full percentile passes). Per-(finer-group)
+    * cumulative counts are independent of sibling groups by construction,
+    * so the values are bit-identical to per-slice calls. */
+  def exactPercentilesBy(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
       percentiles: Seq[Int]): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
     require(percentiles.nonEmpty, "need at least one percentile")
     require(percentiles.forall(p => p >= 1 && p <= 100),
       s"percentiles must be in [1,100], got $percentiles")
     require(percentiles.distinct.size == percentiles.size, "duplicate percentiles")
-    val counts = df.select(col(groupCol), col(valueCol))
+    val gCols = groupCols.map(col)
+    val counts = df.select((gCols :+ col(valueCol)): _*)
       .where(col(valueCol).isNotNull)
-      .groupBy(col(groupCol), col(valueCol))
+      .groupBy((gCols :+ col(valueCol)): _*)
       .agg(count(lit(1)).as("__cnt"))
-    rangedCumSums(counts, Seq(groupCol), Seq(col(valueCol)),
+    rangedCumSums(counts, groupCols, Seq(col(valueCol)),
       cums = Seq("__cnt" -> "__cum"), totals = Seq("__cnt" -> "__total"))
       .withColumn("pct", explode(typedLit(percentiles.map(_.toLong))))
       .where(col("__cum") * 100 >= col("__total") * col("pct"))
-      .groupBy(col(groupCol), col("pct"))
+      .groupBy((gCols :+ col("pct")): _*)
       .agg(min(col(valueCol)).as(valueCol))
   }
 

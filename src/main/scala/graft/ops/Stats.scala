@@ -1669,13 +1669,22 @@ object Stats {
       inTreat: Column,
       percentiles: Seq[Int] = Seq(10, 25, 50, 75, 90)): DataFrame = {
     val base = df.where(inTreat.isNotNull && col(valueCol).isNotNull)
-    val t = graft.ops.Sketches.exactPercentiles(
-        base.where(inTreat), groupCol, valueCol, percentiles)
-      .select(col(groupCol), col("pct"), col(valueCol).as("treat"))
-    val c = graft.ops.Sketches.exactPercentiles(
-        base.where(!inTreat), groupCol, valueCol, percentiles)
-      .select(col(groupCol), col("pct"), col(valueCol).as("control"))
-    t.join(c, Seq(groupCol, "pct"))
+    // ONE stratified percentile pass (round 20): treat and control ride the
+    // same counts-collapse + range exchange with the side in the group key
+    // (exactPercentilesBy), then pivot — the former two full
+    // exactPercentiles passes paid two collapses, four checkpoints and two
+    // range exchanges for the same digits. Per-(group, side) cumulative
+    // counts never see the other side, so the values are bit-identical;
+    // the not-null filter reproduces the former inner join's
+    // both-sides-present law (a side emits ALL percentiles for any group
+    // it has rows in).
+    val sided = base.select(col(groupCol), col(valueCol), inTreat.as("__treat"))
+    graft.ops.Sketches
+      .exactPercentilesBy(sided, Seq(groupCol, "__treat"), valueCol, percentiles)
+      .groupBy(col(groupCol), col("pct"))
+      .agg(max(when(col("__treat"), col(valueCol))).as("treat"),
+        max(when(!col("__treat"), col(valueCol))).as("control"))
+      .where(col("treat").isNotNull && col("control").isNotNull)
       .withColumn("qte", col("treat") - col("control"))
   }
 
