@@ -285,21 +285,23 @@ object Graphs {
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIterations) {
-      // closed-neighborhood min in ONE join + ONE aggregation (round 20):
-      // each node's own label rides the neighbor-label union with a self
-      // flag, so `min(lbl)` over the union IS the closed-neighborhood min
-      // (the former separate labels⋈nbrMin join + least()), and
-      // `max(when(self))` recovers the PRE-round label as __old — each id
-      // has exactly one self row, so the max IS that label. Convergence is
-      // still decided on the materialized frame itself; the round loses
-      // one node-sized join (and its broadcast/exchange stage) vs the
-      // round-19 shape, with an identical fixpoint.
-      val stepped = bidir.join(labels.withColumnRenamed("id", "v"), "v")
-        .select(col("u").as("id"), col("lbl"), lit(0L).as("__self"))
-        .unionByName(labels.select(col("id"), col("lbl"), lit(1L).as("__self")))
-        .groupBy(col("id"))
-        .agg(min(col("lbl")).as("lbl"),
-          max(when(col("__self") === 1L, col("lbl"))).as("__old"))
+      // closed-neighborhood min; the PRE-round label rides along as __old
+      // so convergence is decided on the materialized frame itself — no
+      // per-round probe join back to the previous labels.
+      // Round 20 TRIED folding this agg + join into ONE union'd
+      // aggregation (self rows riding the neighbor union with a flag;
+      // min = closed min, max(when(self)) = __old): results identical and
+      // ~4 fewer jobs/query at sf0.1, but at sf1 the union form measured
+      // +20-45% summed task time on all four CC consumers (9.3→11.5,
+      // 7.0→8.8, 6.3→9.3, 5.5→6.8 task-s) with neutral wall — the label
+      // rows that this join BROADCASTS get shuffled through the union's
+      // exchange instead, and the partial agg doubles its functions.
+      // Reverted on that measurement; this shape stands.
+      val nbrMin = bidir.join(labels.withColumnRenamed("id", "v"), "v")
+        .groupBy(col("u").as("id")).agg(min(col("lbl")).as("__nl"))
+      val stepped = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("lbl").as("__old"),
+          least(col("lbl"), coalesce(col("__nl"), col("lbl"))).as("lbl"))
       // ONE pointer jump: compress lbl to its label's label (labels are
       // node ids and monotonically non-increasing, so the hop is a total,
       // valid relabeling and the fixpoint is unchanged) — this is what

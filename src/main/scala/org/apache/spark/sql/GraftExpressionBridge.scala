@@ -34,7 +34,20 @@ object GraftExpressionBridge {
       f: Iterator[org.apache.spark.sql.catalyst.InternalRow] =>
          Iterator[org.apache.spark.sql.catalyst.InternalRow]): DataFrame = {
     val ds = df.asInstanceOf[classic.Dataset[Row]]
-    ds.sparkSession.internalCreateDataFrame(
-      ds.queryExecution.toRdd.mapPartitions(f), schema)
+    val session = ds.sparkSession
+    val rdd = ds.queryExecution.toRdd.mapPartitions(f)
+    val attrs = org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(schema)
+    // Carry the child's cost statistics onto the rebuilt leaf (the same
+    // origin-stats mechanism Dataset.checkpoint uses): a stats-less
+    // LogicalRDD defaults to spark.sql.defaultSizeInBytes — effectively
+    // infinite — which silently flips every downstream broadcast-eligible
+    // join over this frame to sort-merge (PlanInvariantsSpec caught
+    // bh_select/time_weighted_load doing exactly that).
+    val childStats = ds.queryExecution.optimizedPlan.stats
+    val plan = execution.LogicalRDD(
+      attrs, rdd,
+      org.apache.spark.sql.catalyst.plans.physical.UnknownPartitioning(0),
+      Nil, false, None)(session, Some(childStats), None)
+    classic.Dataset.ofRows(session, plan)
   }
 }
